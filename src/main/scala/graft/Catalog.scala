@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source registration: typed readers for the driver-provided TPC-H-ish
+  * parquet tables (/root/repo/TESTDATA.md) and for the reference's three
+  * CSV seed tables (schemas from /root/reference/seeds/schema.yml:1-43 —
+  * re-declared here as Spark StructTypes, never inferSchema, so empty CSV
+  * cells load as null and ids like "R001" stay strings).
+  */
+object Catalog {
+
+  /** All driver-provided parquet tables, one file each. */
+  val tables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan. Column pruning + predicate pushdown reach the scan
+    * because this stays a plain declarative relation (SURVEY §4).
+    *
+    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 only
+    * reads via the legacy nanos-as-long conf; we truncate to microseconds
+    * (integer division — matches DuckDB's ns→us truncation) and restore
+    * TimestampType so downstream operators see a normal timestamp.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path)
+  }
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ── Reference seed schemas (seeds/schema.yml) ────────────────────────────
+
+  /** raw_sensor_readings — seeds/schema.yml:4-13. */
+  val sensorReadingsSchema: StructType = StructType(Seq(
+    StructField("reading_id", StringType),
+    StructField("device_id", StringType),
+    StructField("metric_name", StringType),
+    StructField("metric_value", FloatType),
+    StructField("reading_ts", TimestampType),
+    StructField("ingested_at", TimestampType)))
+
+  /** raw_devices — seeds/schema.yml:15-27. */
+  val devicesSchema: StructType = StructType(Seq(
+    StructField("device_id", StringType),
+    StructField("device_name", StringType),
+    StructField("device_type", StringType),
+    StructField("location", StringType),
+    StructField("zone", StringType),
+    StructField("install_date", DateType),
+    StructField("manufacturer", StringType),
+    StructField("firmware_version", StringType),
+    StructField("is_active", BooleanType)))
+
+  /** raw_alerts — seeds/schema.yml:29-43. */
+  val alertsSchema: StructType = StructType(Seq(
+    StructField("alert_id", StringType),
+    StructField("device_id", StringType),
+    StructField("alert_type", StringType),
+    StructField("severity", StringType),
+    StructField("metric_name", StringType),
+    StructField("threshold_value", FloatType),
+    StructField("actual_value", FloatType),
+    StructField("alert_ts", TimestampType),
+    StructField("resolved_at", TimestampType),
+    StructField("resolution_notes", StringType)))
+
+  /** Typed CSV seed load (SURVEY §2.1 S1) — dbt-seed equivalent. */
+  def seed(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("dateFormat", "yyyy-MM-dd")
+      .csv(path)
+
+  val defaultSeedDir = "/root/reference/seeds"
+
+  def rawSensorReadings(spark: SparkSession, dir: String = defaultSeedDir): DataFrame =
+    seed(spark, s"$dir/raw_sensor_readings.csv", sensorReadingsSchema)
+
+  def rawDevices(spark: SparkSession, dir: String = defaultSeedDir): DataFrame =
+    seed(spark, s"$dir/raw_devices.csv", devicesSchema)
+
+  def rawAlerts(spark: SparkSession, dir: String = defaultSeedDir): DataFrame =
+    seed(spark, s"$dir/raw_alerts.csv", alertsSchema)
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Relational operator coverage (SURVEY §2.1-2.7) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle. Every float
+  * aggregate goes through Det's exact-decimal path so Spark and DuckDB
+  * produce bit-identical doubles; every query ends in a deterministic
+  * ORDER BY.
+  *
+  * Scale notes (100 TB): all aggregates are partial+final hash aggregates;
+  * joins either broadcast a dimension (region/nation/supplier — bounded
+  * size at any SF) or shuffle on the join key with AQE handling skew;
+  * filters/projections sit directly on the parquet scan so pushdown and
+  * column pruning apply.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Catalog.table(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: P7 filter, A1 multi-aggregate, O1 sort.
+    * SURVEY §2.5 A1/A5, §2.2 P7.
+    */
+  val q01 = Q("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(CAST(FLOOR((l_quantity) * 10000.0) AS BIGINT)) / 10000.0 AS sum_qty,
+      |  SUM(CAST(FLOOR((l_extendedprice) * 10000.0) AS BIGINT)) / 10000.0 AS sum_base_price,
+      |  SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+      |  SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0) AS BIGINT)) / 10000.0 AS sum_charge,
+      |  SUM(CAST(FLOOR((l_quantity) * 10000.0) AS BIGINT)) / 10000.0 / COUNT(l_quantity) AS avg_qty,
+      |  SUM(CAST(FLOOR((l_extendedprice) * 10000.0) AS BIGINT)) / 10000.0 / COUNT(l_extendedprice) AS avg_price,
+      |  SUM(CAST(FLOOR((l_discount) * 10000.0) AS BIGINT)) / 10000.0 / COUNT(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Row-level left-join enrichment (SURVEY J1/J2 analog, P1 rename
+    * projection). Raw doubles/timestamps pass through untouched, so no
+    * decimal routing is needed.
+    */
+  val q02 = Q("q02_orders_enriched",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |  c_name AS customer_name, c_mktsegment AS market_segment, c_acctbal AS account_balance
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("market_segment"),
+        col("c_acctbal").as("account_balance"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Join + aggregate + top-k (SURVEY J7 inner join, A2, O1/O3 limit). */
+  val q03 = Q("q03_top_revenue_orders",
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS) + grouped count (SURVEY §2.3; left_semi). */
+  val q04 = Q("q04_priority_with_heavy_lines",
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    t(s, dir, "orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Anti join — customers with no orders (SURVEY J5/J6 orphan pattern). */
+  val q05 = Q("q05_customers_no_orders",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Set ops: UNION ALL + EXCEPT + sort (SURVEY O4/O5). */
+  val q06 = Q("q06_nationkey_setops",
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) EXCEPT (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val supp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val excl = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nationkey"))
+    cust.unionByName(supp).except(excl).orderBy("nationkey")
+  }
+
+  /** DISTINCT (SURVEY O6). */
+  val q07 = Q("q07_distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment") { (s, dir) =>
+    t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+  }
+
+  /** Window dedup — keep the latest event per (user_id, event_type)
+    * (SURVEY W1 row_number + P5 rank filter). Tie-break on event_id keeps
+    * it fully deterministic.
+    */
+  val q08 = Q("q08_latest_event_per_user_type",
+    """SELECT user_id, event_type, event_id, ts, value FROM (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS _rn
+      |  FROM events
+      |) WHERE _rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Scalar-function battery (SURVEY §2.4 F1-F16): normalize, casts, date
+    * parts, epoch, datediff, round-on-decimal, CASE, coalesce/nullif/
+    * greatest, md5 surrogate key. Derived ints are cast to BIGINT on both
+    * sides so schemas align.
+    */
+  val q09 = Q("q09_scalar_battery",
+    """SELECT event_id,
+      |  lower(trim(event_type)) AS etype_norm,
+      |  value,
+      |  CAST(ROUND(CAST(value AS DECIMAL(18,2)), 1) AS DOUBLE) AS value_r1,
+      |  date_trunc('hour', ts) AS ts_hour,
+      |  CAST(ts AS DATE) AS ts_day,
+      |  CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+      |  CAST(CASE event_type WHEN 'error' THEN 3 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 1 ELSE 0 END AS BIGINT) AS sev_score,
+      |  COALESCE(NULLIF(value, 0.0), -1.0) AS amt,
+      |  GREATEST(value, 10.0) AS floored,
+      |  md5(concat_ws('-', CAST(event_id AS VARCHAR), event_type)) AS event_key
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      lower(trim(col("event_type"))).as("etype_norm"),
+      col("value"),
+      round(col("value").cast("decimal(18,2)"), 1).cast("double").as("value_r1"),
+      date_trunc("hour", col("ts")).as("ts_hour"),
+      to_date(col("ts")).as("ts_day"),
+      hour(col("ts")).cast("long").as("hr"),
+      dayofweek(col("ts")).cast("long").as("dow"),
+      unix_timestamp(col("ts")).as("epoch_s"),
+      datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("days_since"),
+      when(col("event_type") === "error", 3L)
+        .when(col("event_type") === "purchase", 2L)
+        .when(col("event_type") === "signup", 1L)
+        .otherwise(0L).as("sev_score"),
+      coalesce(nullif(col("value"), lit(0.0)), lit(-1.0)).as("amt"),
+      greatest(col("value"), lit(10.0)).as("floored"),
+      md5(concat_ws("-", col("event_id").cast("string"), col("event_type"))).as("event_key"))
+      .orderBy("event_id")
+  }
+
+  /** Grouped aggregate + HAVING (SURVEY A7). */
+  val q10 = Q("q10_active_users",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR((value) * 10000.0) AS BIGINT)) / 10000.0 AS total_value,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      |FROM events
+      |GROUP BY user_id
+      |HAVING COUNT(*) > 50
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        countIf(col("event_type") === "error").as("n_errors"))
+      .filter(col("n_events") > 50)
+      .orderBy("user_id")
+  }
+
+  /** Compound range + IN-list predicates (SURVEY P7/P8). */
+  val q11 = Q("q11_filtered_events",
+    """SELECT event_id, event_type, value
+      |FROM events
+      |WHERE event_type IN ('purchase', 'signup') AND (value > 50.0 OR value < 5.0)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "signup") &&
+        (col("value") > 50.0 || col("value") < 5.0))
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** COUNT(DISTINCT) + avg per group (SURVEY A8/A9). */
+  val q12 = Q("q12_type_cardinality",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR((value) * 10000.0) AS BIGINT)) / 10000.0 / COUNT(value) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  /** Incremental-watermark pattern (SURVEY P4/A6/S4): scalar max subquery
+    * drives a tail filter. Spark side collects the scalar first (exactly
+    * how the incremental materializer consumes its target watermark).
+    */
+  val q13 = Q("q13_watermark_tail",
+    """SELECT event_type, COUNT(*) AS n_recent,
+      |  SUM(CAST(FLOOR((value) * 10000.0) AS BIGINT)) / 10000.0 AS sum_value
+      |FROM events
+      |WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val wm = ev.agg(max(col("ts")).as("m")).select(col("m") - expr("INTERVAL 7 DAYS")).head().getTimestamp(0)
+    ev.filter(col("ts") > lit(wm))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_recent"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Multi-way join + aggregate (TPC-H Q5 shape): fact shuffles on join
+    * keys; nation/region are broadcast (bounded dimensions at any scale).
+    */
+  val q14 = Q("q14_regional_revenue",
+    """SELECT n_name,
+      |  SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+}
