@@ -1,0 +1,148 @@
+package graft.exec
+
+import graft.{Catalog, RunConfig}
+import graft.models._
+import graft.quality.Checks
+import graft.quality.Checks.CheckResult
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+/** Orchestration (SURVEY §3): seed → bronze views → silver incremental →
+  * silver tests → (gate) → gold tables, plus the production-workflow
+  * semantics worth preserving (§3.4): IF/ELSE branch on an anomaly-count
+  * scalar, ForEach over plant locations with bounded concurrency, and a
+  * retry helper.
+  */
+object Pipeline {
+
+  case class Result(
+      silverChecks: Seq[CheckResult],
+      goldBuilt: Boolean,
+      goldChecks: Seq[CheckResult]) {
+    def allPassed: Boolean = (silverChecks ++ goldChecks).forall(_.passed)
+  }
+
+  /** Full `dbt seed → run → test` lifecycle against a warehouse dir.
+    *
+    * Silver models are materialized incrementally on their unique keys with
+    * the reference's exact watermark predicates; `fullRefresh` mirrors
+    * `dbt run --full-refresh` (drop + rebuild), the branch the production
+    * workflow takes when anomalies spike
+    * (notebooks/databricks_control_flow.py:150-215).
+    */
+  def run(
+      spark: SparkSession,
+      warehouseDir: String,
+      seedDir: String = Catalog.defaultSeedDir,
+      cfg: RunConfig = RunConfig.frozen,
+      fullRefresh: Boolean = false): Result = {
+
+    val cleanedPath = s"$warehouseDir/silver/int_sensor_readings_cleaned"
+    val healthPath  = s"$warehouseDir/silver/int_device_health"
+    val alertsPath  = s"$warehouseDir/silver/int_alerts_enriched"
+
+    // Bronze: views over the typed seeds — nothing materialized (S5).
+    val stgR = Staging.stgSensorReadings(Catalog.rawSensorReadings(spark, seedDir), cfg)
+    val stgD = Staging.stgDevices(Catalog.rawDevices(spark, seedDir), cfg)
+    val stgA = Staging.stgAlerts(Catalog.rawAlerts(spark, seedDir), cfg)
+
+    def wm(path: String, c: String): Option[java.sql.Timestamp] =
+      if (fullRefresh) None else Materializer.watermark(spark, path, c)
+
+    // Silver 1: cleaned readings — incremental on reading_id, watermark on
+    // ingested_at (int_sensor_readings_cleaned.sql:24-27).
+    val newReadings = wm(cleanedPath, "ingested_at")
+      .map(w => stgR.filter(col("ingested_at") > lit(w))).getOrElse(stgR)
+    Materializer.incrementalUpsert(
+      Intermediate.intSensorReadingsCleaned(newReadings, stgD, cfg),
+      cleanedPath, Seq("reading_id"))
+    val cleaned = spark.read.parquet(cleanedPath)
+
+    // Silver 2: device health — incremental on the surrogate key, watermark
+    // on _dbt_processed_at (int_device_health.sql:20-22).
+    val healthInput = wm(healthPath, "_dbt_processed_at")
+      .map(w => cleaned.filter(col("_dbt_processed_at") > lit(w))).getOrElse(cleaned)
+    Materializer.incrementalUpsert(
+      Intermediate.intDeviceHealth(healthInput, cfg),
+      healthPath, Seq("device_health_key"))
+    val health = spark.read.parquet(healthPath)
+
+    // Silver 3: enriched alerts — incremental on alert_id, watermark on
+    // alert_ts (int_alerts_enriched.sql:18-20).
+    val newAlerts = wm(alertsPath, "alert_ts")
+      .map(w => stgA.filter(col("alert_ts") > lit(w))).getOrElse(stgA)
+    Materializer.incrementalUpsert(
+      Intermediate.intAlertsEnriched(newAlerts, stgD, cfg),
+      alertsPath, Seq("alert_id"))
+    val alertsE = spark.read.parquet(alertsPath)
+
+    // Gate: gold is conditional on bronze+silver tests passing
+    // (databricks_control_flow.py:88-110, CONCEPTS.md:104-121).
+    val m0 = Medallion(stgR, stgD, stgA, cleaned, health, alertsE,
+      Marts.fctHourlyMetrics(health, cfg),
+      Marts.fctDeviceSummary(cleaned, alertsE, cfg),
+      Marts.fctAnomalyEvents(cleaned, cfg),
+      Marts.dimDevices(stgD, cleaned, cfg))
+    val silverChecks = Checks.suite(m0)
+      .filter(ch => ch.model.startsWith("stg_") || ch.model.startsWith("int_"))
+      .map(ch => CheckResult(ch.model, ch.test, ch.count))
+
+    if (silverChecks.exists(!_.passed)) return Result(silverChecks, goldBuilt = false, Nil)
+
+    // Gold: full-table sinks (S7).
+    Materializer.overwriteTable(m0.fctHourlyMetrics, s"$warehouseDir/gold/fct_hourly_metrics")
+    Materializer.overwriteTable(m0.fctDeviceSummary, s"$warehouseDir/gold/fct_device_summary")
+    Materializer.overwriteTable(m0.fctAnomalyEvents, s"$warehouseDir/gold/fct_anomaly_events")
+    Materializer.overwriteTable(m0.dimDevices, s"$warehouseDir/gold/dim_devices")
+
+    val goldChecks = Checks.suite(m0)
+      .filter(ch => ch.model.startsWith("fct_") || ch.model.startsWith("dim_"))
+      .map(ch => CheckResult(ch.model, ch.test, ch.count))
+    Result(silverChecks, goldBuilt = true, goldChecks)
+  }
+
+  /** IF/ELSE condition task (databricks_control_flow.py:150-215): anomaly
+    * count above the threshold triggers a full refresh, else incremental.
+    */
+  def runWithConditionalRefresh(
+      spark: SparkSession,
+      warehouseDir: String,
+      seedDir: String = Catalog.defaultSeedDir,
+      cfg: RunConfig = RunConfig.frozen,
+      anomalyThreshold: Long = 50): Result = {
+    val anomalyCount = Materializer.readTarget(spark, s"$warehouseDir/silver/int_sensor_readings_cleaned")
+      .map(_.filter(col("is_anomaly")).count()).getOrElse(0L)
+    run(spark, warehouseDir, seedDir, cfg, fullRefresh = anomalyCount > anomalyThreshold)
+  }
+
+  /** ForEach task over `SELECT DISTINCT plant_location` with bounded
+    * concurrency 3 (databricks_control_flow.py:254-317).
+    */
+  def forEachPlant[T](stgDevices: DataFrame, concurrency: Int = 3)(
+      body: String => T): Seq[(String, Try[T])] = {
+    val locations = stgDevices.select("plant_location").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = locations.map(loc => Future(loc -> Try(body(loc))))
+      Await.result(Future.sequence(futures), Duration.Inf).map { case (l, t) => (l, t) }
+    } finally pool.shutdown()
+  }
+
+  /** Retry with fixed interval (databricks_control_flow.py:365-369:
+    * max 3 retries, 30 s interval — interval injectable for tests).
+    */
+  @annotation.tailrec
+  def retry[T](maxRetries: Int = 3, intervalMs: Long = 30000)(f: => T): T =
+    Try(f) match {
+      case Success(v) => v
+      case Failure(e) if maxRetries > 0 =>
+        Thread.sleep(intervalMs)
+        retry(maxRetries - 1, intervalMs)(f)
+      case Failure(e) => throw e
+    }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.exec.Materializer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class MaterializerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_mat").toString + "/t"
+
+  test("first upsert creates the target") {
+    val path = tmpDir()
+    val batch = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v")
+    Materializer.incrementalUpsert(batch, path, Seq("id"))
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("upsert replaces matched keys and appends new ones (MERGE semantics)") {
+    val path = tmpDir()
+    Materializer.incrementalUpsert(Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v"), path, Seq("id"))
+    Materializer.incrementalUpsert(Seq((2, "b2", 21), (3, "c", 30)).toDF("id", "name", "v"), path, Seq("id"))
+    val got = spark.read.parquet(path).orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1, "a", 10), (2, "b2", 21), (3, "c", 30)))
+  }
+
+  test("upsert is idempotent: re-applying the same batch is a no-op") {
+    val path = tmpDir()
+    val batch = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v")
+    Materializer.incrementalUpsert(batch, path, Seq("id"))
+    val first = spark.read.parquet(path).orderBy("id").collect().toSeq
+    Materializer.incrementalUpsert(batch, path, Seq("id"))
+    val second = spark.read.parquet(path).orderBy("id").collect().toSeq
+    assert(first === second)
+  }
+
+  test("randomized upsert idempotence + key uniqueness (property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val path = tmpDir()
+      val batches = (1 to 3).map { _ =>
+        (1 to 20).map(_ => (rnd.nextInt(10), rnd.nextInt(100))).toDF("id", "v")
+          .dropDuplicates("id") // a batch has one row per key, like a MERGE source must
+      }
+      batches.foreach(b => Materializer.incrementalUpsert(b, path, Seq("id")))
+      val t = spark.read.parquet(path)
+      // key uniqueness invariant
+      assert(t.groupBy("id").count().filter(col("count") > 1).count() === 0)
+      // re-applying the last batch changes nothing
+      val before = t.orderBy("id").collect().toSeq
+      Materializer.incrementalUpsert(batches.last, path, Seq("id"))
+      assert(spark.read.parquet(path).orderBy("id").collect().toSeq === before)
+    }
+  }
+
+  test("schema evolution: append_new_columns null-fills old rows") {
+    val path = tmpDir()
+    Materializer.incrementalUpsert(Seq((1, "a")).toDF("id", "name"), path, Seq("id"))
+    Materializer.incrementalUpsert(
+      Seq((2, "b", 99)).toDF("id", "name", "extra"), path, Seq("id"))
+    val t = spark.read.parquet(path).orderBy("id").collect()
+    assert(t.length === 2)
+    assert(t(0).isNullAt(t(0).fieldIndex("extra")))
+    assert(t(1).getInt(t(1).fieldIndex("extra")) === 99)
+  }
+
+  test("partitioned upsert only rewrites touched partitions (dynamic overwrite)") {
+    val path = tmpDir()
+    val day1 = Seq((1, "2025-01-01", 10), (2, "2025-01-01", 20), (3, "2025-01-02", 30))
+      .toDF("id", "day", "v")
+    Materializer.incrementalUpsert(day1, path, Seq("id"), partitionCols = Seq("day"))
+    // upsert into day 2 only; day 1 files must be untouched
+    val day1Files = new java.io.File(s"$path/day=2025-01-01").listFiles().map(_.lastModified).sorted.toSeq
+    Thread.sleep(1100)
+    Materializer.incrementalUpsert(
+      Seq((3, "2025-01-02", 31), (4, "2025-01-02", 40)).toDF("id", "day", "v"),
+      path, Seq("id"), partitionCols = Seq("day"))
+    val day1FilesAfter = new java.io.File(s"$path/day=2025-01-01").listFiles().map(_.lastModified).sorted.toSeq
+    assert(day1Files === day1FilesAfter, "untouched partition must not be rewritten")
+    val got = spark.read.parquet(path).orderBy("id")
+      .collect().map(r => (r.getAs[Int]("id"), r.getAs[Int]("v"))).toSeq
+    assert(got === Seq((1, 10), (2, 20), (3, 31), (4, 40)))
+  }
+
+  test("overwriteTable swaps atomically and is re-runnable") {
+    val path = tmpDir()
+    Materializer.overwriteTable(Seq((1, "a")).toDF("id", "v"), path)
+    Materializer.overwriteTable(Seq((2, "b"), (3, "c")).toDF("id", "v"), path)
+    assert(spark.read.parquet(path).count() === 2)
+  }
+}

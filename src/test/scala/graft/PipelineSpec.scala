@@ -1,0 +1,80 @@
+package graft
+
+import graft.exec.Pipeline
+import graft.models.Medallion
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def wh(): String = Files.createTempDirectory("graft_wh").toString
+
+  test("end-to-end: seed -> bronze -> silver -> tests -> gold, all green") {
+    val dir = wh()
+    val res = Pipeline.run(spark, dir)
+    assert(res.goldBuilt)
+    assert(res.allPassed)
+    assert(res.silverChecks.length === 35) // 19 staging + 15 intermediate + orphan singular
+    assert(res.goldChecks.length === 19)
+    assert(spark.read.parquet(s"$dir/silver/int_sensor_readings_cleaned").count() === 209)
+    assert(spark.read.parquet(s"$dir/gold/dim_devices").count() === 10)
+    assert(spark.read.parquet(s"$dir/gold/fct_device_summary").count() === 10)
+  }
+
+  test("incremental re-run is a no-op (watermark filters everything out)") {
+    val dir = wh()
+    Pipeline.run(spark, dir)
+    val before = spark.read.parquet(s"$dir/silver/int_sensor_readings_cleaned")
+      .orderBy("reading_id").collect().toSeq
+    val res2 = Pipeline.run(spark, dir) // same seeds, same frozen clock
+    assert(res2.goldBuilt)
+    val after = spark.read.parquet(s"$dir/silver/int_sensor_readings_cleaned")
+      .orderBy("reading_id").collect().toSeq
+    assert(before === after)
+  }
+
+  test("full refresh rebuilds and matches the incremental result") {
+    val dir = wh()
+    Pipeline.run(spark, dir)
+    val incr = spark.read.parquet(s"$dir/silver/int_device_health")
+      .orderBy("device_health_key").collect().toSeq
+    Pipeline.run(spark, dir, fullRefresh = true)
+    val full = spark.read.parquet(s"$dir/silver/int_device_health")
+      .orderBy("device_health_key").collect().toSeq
+    assert(incr === full)
+  }
+
+  test("conditional refresh branches on the anomaly-count scalar") {
+    val dir = wh()
+    // threshold 0: any anomaly forces the full-refresh branch; just assert it runs green
+    Pipeline.run(spark, dir)
+    val res = Pipeline.runWithConditionalRefresh(spark, dir, anomalyThreshold = 0)
+    assert(res.goldBuilt)
+  }
+
+  test("forEachPlant fans out over distinct locations with bounded concurrency") {
+    val m = Medallion.fromSeeds(spark)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val results = Pipeline.forEachPlant(m.stgDevices) { loc =>
+      seen.add(loc)
+      m.fctDeviceSummary.filter(col("plant_location") === loc).count()
+    }
+    assert(results.map(_._1).sorted === Seq("Plant-Austin", "Plant-Chicago", "Plant-Detroit"))
+    assert(results.forall(_._2.isSuccess))
+    assert(results.map(_._2.get).sum === 10)
+  }
+
+  test("retry retries transient failures then succeeds") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val v = Pipeline.retry(maxRetries = 3, intervalMs = 1) {
+      if (attempts.incrementAndGet() < 3) sys.error("transient") else 42
+    }
+    assert(v === 42)
+    assert(attempts.get() === 3)
+    intercept[RuntimeException] {
+      Pipeline.retry(maxRetries = 1, intervalMs = 1)(sys.error("always"))
+    }
+  }
+}
