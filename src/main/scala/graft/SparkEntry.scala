@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All query definitions, grouped by module. */
-  def allQ: Seq[Q] = Relational.all
+  def allQ: Seq[Q] = Relational.all ++ EventsPipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

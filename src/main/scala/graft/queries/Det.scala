@@ -51,4 +51,15 @@ object Det {
   /** Conditional count `SUM(CASE WHEN cond THEN 1 ELSE 0 END)` (SURVEY A5). */
   def countIf(cond: Column): Column =
     sum(when(cond, 1L).otherwise(0L))
+
+  /** Deterministic half-up rounding for non-negative computed doubles:
+    * FLOOR(x*10^s + 0.5)/10^s — every step is IEEE-identical across
+    * engines, unlike round(), whose exact-decimal (Spark) vs scaled-double
+    * (DuckDB) semantics disagree within 1 ulp of a tie.
+    * SQL mirror: `FLOOR(x * 10.0 + 0.5) / 10.0` (scale 1).
+    */
+  def dround(c: Column, scale: Int): Column = {
+    val f = math.pow(10.0, scale)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
 }

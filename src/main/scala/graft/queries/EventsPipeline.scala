@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+
+/** The reference's medallion pipeline shapes (SURVEY §2 / §7.1), re-expressed
+  * over the driver's `events` + `customer` tables so the DuckDB oracle gate
+  * verifies the exact operator semantics the IoT models use on the seed
+  * fixture: staging projection (P1/F1-F3), enrichment join + anomaly CASE
+  * (J1/F11), hourly health rollup (A1), daily summary with composite-key
+  * left join + health score (A2/A3/J3/F13-F15), and an SCD dimension with
+  * surrogate keys (A4/J4/F16).
+  *
+  * `user_id` plays device_id, `event_type` plays metric_name, `value` plays
+  * metric_value, `error` events play anomalies, `purchase` events play
+  * alerts.
+  */
+object EventsPipeline {
+
+  private def t(s: SparkSession, dir: String, n: String) = Catalog.table(s, dir, n)
+
+  /** md5 surrogate key over string-rendered parts (F16, dbt_utils
+    * semantics) — only int/string/date/formatted-ts parts, never raw
+    * doubles (engine double→string rendering differs).
+    */
+  private def skey(cols: org.apache.spark.sql.Column*) =
+    md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"),
+      lit("_dbt_utils_surrogate_key_null_"))): _*))
+
+  /** Staging projection with JSON prop extraction and audit literal
+    * (stg_* analog; F1/F2/F18 + semi-structured access).
+    */
+  val q20 = Q("q20_stg_events",
+    """SELECT event_id, user_id,
+      |  lower(trim(event_type)) AS event_type,
+      |  value AS metric_value,
+      |  ts AS event_ts,
+      |  props ->> '$.k' AS prop_k,
+      |  'graft-run' AS _invocation_id
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      lower(trim(col("event_type"))).as("event_type"),
+      col("value").as("metric_value"),
+      col("ts").as("event_ts"),
+      get_json_object(col("props"), "$.k").as("prop_k"),
+      lit("graft-run").as("_invocation_id"))
+      .orderBy("event_id")
+  }
+
+  /** Enrichment left join + threshold anomaly flags (int_*_cleaned analog:
+    * J1 + F11 null-guarded CASE).
+    */
+  val q21 = Q("q21_events_enriched",
+    """SELECT event_id, e.user_id, event_type, value, ts,
+      |  c_name AS user_name, c_mktsegment AS segment,
+      |  (value IS NULL) AS is_missing_value,
+      |  CASE
+      |    WHEN event_type = 'error' AND value IS NOT NULL AND value > 90.0 THEN TRUE
+      |    WHEN event_type = 'purchase' AND value IS NOT NULL AND (value > 95.0 OR value < 1.0) THEN TRUE
+      |    ELSE FALSE
+      |  END AS is_anomaly
+      |FROM events e LEFT JOIN customer ON e.user_id = c_custkey
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+    val c = t(s, dir, "customer")
+    val v = col("value")
+    e.join(c, e("user_id") === c("c_custkey"), "left")
+      .select(
+        col("event_id"), e("user_id"), col("event_type"), col("value"), col("ts"),
+        col("c_name").as("user_name"), col("c_mktsegment").as("segment"),
+        v.isNull.as("is_missing_value"),
+        when(col("event_type") === "error" && v.isNotNull && v > 90.0, true)
+          .when(col("event_type") === "purchase" && v.isNotNull && (v > 95.0 || v < 1.0), true)
+          .otherwise(false).as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  /** Hourly health rollup (int_device_health analog: A1 full stat set with
+    * deterministic stddev, anomaly rate, surrogate key over an expression
+    * component).
+    */
+  val q22 = Q("q22_hourly_health",
+    """SELECT
+      |  md5(concat_ws('-', event_type, CAST(date_trunc('hour', ts) AS VARCHAR))) AS health_key,
+      |  event_type,
+      |  date_trunc('hour', ts) AS event_hour,
+      |  COUNT(*) AS event_count,
+      |  SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) / 10000.0 / COUNT(value) AS avg_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  CASE WHEN COUNT(value) > 1 THEN
+      |    SQRT((SUM(CAST(FLOOR(value * value * 1000000.0) AS BIGINT)) / 1000000.0
+      |      - (SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) / 1000000.0)
+      |        * (SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) / 1000000.0) / COUNT(value))
+      |      / (COUNT(value) - 1.0))
+      |  END AS stddev_value,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+      |  FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+      |    / COUNT(*) * 10.0 + 0.5) / 10.0 AS error_rate_pct,
+      |  MAX(ts) AS latest_ts
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, event_hour""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("event_hour"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        dstddev(col("value")).as("stddev_value"),
+        countIf(col("event_type") === "error").as("error_count"),
+        dround(countIf(col("event_type") === "error") * 100.0 / count(lit(1)), 1)
+          .as("error_rate_pct"),
+        max(col("ts")).as("latest_ts"))
+      .select(
+        skey(col("event_type"), col("event_hour")).as("health_key"),
+        col("*"))
+      .orderBy("event_type", "event_hour")
+  }
+
+  /** Daily user scorecard (fct_device_summary analog): daily event stats ⟕
+    * daily purchase rollup on the composite (user_id, day) key, health
+    * score with coalesce/nullif/greatest, category CASE.
+    */
+  val q23 = Q("q23_daily_user_summary",
+    """WITH daily_events AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+      |    COUNT(*) AS total_events,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+      |    SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) / 10000.0 AS total_value,
+      |    FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
+      |      / COUNT(*) * 10.0 + 0.5) / 10.0 AS error_rate_pct,
+      |    MIN(ts) AS first_event_ts,
+      |    MAX(ts) AS last_event_ts
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |), daily_purchases AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS purchase_date,
+      |    COUNT(*) AS total_purchases,
+      |    SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) / 10000.0 AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, CAST(ts AS DATE)
+      |)
+      |SELECT
+      |  md5(concat_ws('-', CAST(e.user_id AS VARCHAR), CAST(e.event_date AS VARCHAR))) AS summary_key,
+      |  e.user_id, e.event_date, e.total_events, e.error_events, e.total_value,
+      |  e.error_rate_pct, e.first_event_ts, e.last_event_ts,
+      |  COALESCE(p.total_purchases, 0) AS total_purchases,
+      |  COALESCE(p.purchase_value, 0.0) AS purchase_value,
+      |  GREATEST(0.0, 100.0 - e.error_events * 5.0 - e.error_rate_pct * 0.5) AS engagement_score,
+      |  CASE
+      |    WHEN e.error_events > 3 THEN 'critical'
+      |    WHEN e.error_events > 0 THEN 'at_risk'
+      |    WHEN COALESCE(p.total_purchases, 0) = 0 THEN 'inactive'
+      |    ELSE 'healthy'
+      |  END AS engagement_category
+      |FROM daily_events e
+      |LEFT JOIN daily_purchases p
+      |  ON e.user_id = p.user_id AND e.event_date = p.purchase_date
+      |ORDER BY e.user_id, e.event_date""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val dailyEvents = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(col("event_type") === "error").as("error_events"),
+        dsum(col("value")).as("total_value"),
+        dround(countIf(col("event_type") === "error") * 100.0 / count(lit(1)), 1)
+          .as("error_rate_pct"),
+        min(col("ts")).as("first_event_ts"),
+        max(col("ts")).as("last_event_ts"))
+    val dailyPurchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user_id"), to_date(col("ts")).as("purchase_date"))
+      .agg(
+        count(lit(1)).as("p_total_purchases"),
+        dsum(col("value")).as("p_purchase_value"))
+    dailyEvents
+      .join(dailyPurchases,
+        dailyEvents("user_id") === dailyPurchases("p_user_id") &&
+          dailyEvents("event_date") === dailyPurchases("purchase_date"),
+        "left")
+      .select(
+        skey(col("user_id"), col("event_date")).as("summary_key"),
+        col("user_id"), col("event_date"), col("total_events"), col("error_events"),
+        col("total_value"), col("error_rate_pct"), col("first_event_ts"), col("last_event_ts"),
+        coalesce(col("p_total_purchases"), lit(0L)).as("total_purchases"),
+        coalesce(col("p_purchase_value"), lit(0.0)).as("purchase_value"),
+        greatest(lit(0.0), lit(100.0) - col("error_events") * 5.0 - col("error_rate_pct") * 0.5)
+          .as("engagement_score"),
+        when(col("error_events") > 3, "critical")
+          .when(col("error_events") > 0, "at_risk")
+          .when(coalesce(col("p_total_purchases"), lit(0L)) === 0, "inactive")
+          .otherwise("healthy").as("engagement_category"))
+      .orderBy("user_id", "event_date")
+  }
+
+  /** SCD Type 1 user dimension (dim_devices analog: A4 lifetime stats +
+    * J4 + F16 key + frozen SCD metadata F3).
+    */
+  val q24 = Q("q24_user_dim",
+    """SELECT
+      |  md5(concat_ws('-', CAST(c_custkey AS VARCHAR))) AS user_key,
+      |  c_custkey AS user_id, c_name, c_mktsegment, c_acctbal, c_nationkey,
+      |  COALESCE(s.total_events, 0) AS lifetime_events,
+      |  COALESCE(s.error_events, 0) AS lifetime_errors,
+      |  s.first_ts, s.last_ts,
+      |  CASE WHEN s.total_events > 0
+      |    THEN FLOOR(s.error_events * 100.0 / s.total_events * 100.0 + 0.5) / 100.0
+      |    ELSE 0.0 END AS lifetime_error_rate_pct,
+      |  TIMESTAMP '2025-02-01 00:00:00' AS _valid_from,
+      |  CAST(NULL AS TIMESTAMP) AS _valid_to,
+      |  TRUE AS _is_current
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT user_id, COUNT(*) AS total_events,
+      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+      |    MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      |  FROM events GROUP BY user_id
+      |) s ON c_custkey = s.user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val stats = t(s, dir, "events")
+      .groupBy(col("user_id").as("s_user_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(col("event_type") === "error").as("error_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+    val c = t(s, dir, "customer")
+    c.join(stats, c("c_custkey") === stats("s_user_id"), "left")
+      .select(
+        skey(col("c_custkey")).as("user_key"),
+        col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"), col("c_nationkey"),
+        coalesce(col("total_events"), lit(0L)).as("lifetime_events"),
+        coalesce(col("error_events"), lit(0L)).as("lifetime_errors"),
+        col("first_ts"), col("last_ts"),
+        when(col("total_events") > 0,
+          dround(col("error_events") * 100.0 / col("total_events"), 2))
+          .otherwise(0.0).as("lifetime_error_rate_pct"),
+        lit(java.sql.Timestamp.valueOf("2025-02-01 00:00:00")).as("_valid_from"),
+        lit(null).cast("timestamp").as("_valid_to"),
+        lit(true).as("_is_current"))
+      .orderBy("user_id")
+  }
+
+  /** Data-quality checks as scalar counts (SURVEY §2.10 not_null/unique/
+    * accepted_values/relationships compiled shapes over the driver tables;
+    * one row so the oracle compare is direct).
+    */
+  val q40 = Q("q40_dq_summary",
+    """SELECT
+      |  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+      |     GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS dup_order_keys,
+      |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS orphan_lineitems,
+      |  (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL AND event_type NOT IN
+      |     ('click','view','purchase','signup','error')) AS bad_event_types,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL) AS null_order_status
+      |""".stripMargin) { (s, dir) =>
+    import graft.quality.Checks
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val ev = t(s, dir, "events")
+    val dup = Checks.unique(orders, "o_orderkey").count()
+    val orphan = Checks.relationships(li, "l_orderkey", orders, "o_orderkey").count()
+    val badTypes = Checks.acceptedValues(ev, "event_type",
+      Seq("click", "view", "purchase", "signup", "error")).count()
+    val nullStatus = Checks.notNull(orders, "o_orderstatus").count()
+    import s.implicits._
+    Seq((dup, orphan, badTypes, nullStatus))
+      .toDF("dup_order_keys", "orphan_lineitems", "bad_event_types", "null_order_status")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q40)
+}
