@@ -10,7 +10,10 @@ import graft.queries._
 object SparkEntry {
 
   /** All query definitions, grouped by module. */
-  def allQ: Seq[Q] = Relational.all ++ EventsPipeline.all
+  def allQ: Seq[Q] =
+    Relational.all ++ EventsPipeline.all ++
+      graft.ops.TextOps.all ++ graft.ops.Dedup.all ++
+      graft.ops.Similarity.all ++ graft.ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.Catalog
+import graft.queries.{Det, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Cosine arithmetic is a sequential double fold (`aggregate` over
+  * `zip_with`) — element order is fixed, so results are bit-identical to
+  * DuckDB's list_sum/list_transform fold, which makes the brute-force
+  * queries oracle-checkable. The LSH variant is the scale path: candidate
+  * generation via bucket equi-join instead of the all-pairs product.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String) = Catalog.table(s, dir, "embeddings")
+
+  /** Cast float vector to double once. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product (IEEE-identical across engines).
+    * SQL mirror: `list_sum(list_transform(list_zip(a, b),
+    * x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))`.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def normSql(v: String) = s"SQRT(${dotSql.format(v, v)})"
+
+  /** q35 — brute-force cosine top-k against a fixed query vector
+    * (vec_id = 0): the exactness baseline every ANN variant is judged
+    * against. Broadcast of the single query row; one pass over the table.
+    */
+  val q35 = Q("q35_ann_bruteforce_topk",
+    s"""SELECT b.vec_id, b.label,
+       |  ${dotSql.format("a.embedding", "b.embedding")}
+       |    / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS cosine_sim
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id = 0 AND b.vec_id <> 0
+       |ORDER BY cosine_sim DESC, b.vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** q34 — embedding near-duplicate stats: for every vector, its best
+    * cosine partner and the count above 0.5, from label-blocked pairs
+    * (same-label blocking = the IVF idea: compare within a coarse
+    * partition, shuffle on the partition key — linear in bucket sizes,
+    * not quadratic in corpus size).
+    */
+  val q34 = Q("q34_embedding_neardup",
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+       |    ${dotSql.format("a.embedding", "b.embedding")}
+       |      / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT a_id, a_label, b_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn,
+       |    COUNT(CASE WHEN sim > 0.5 THEN 1 END) OVER (PARTITION BY a_id) AS n_above_05
+       |  FROM pairs
+       |)
+       |SELECT a_id AS vec_id, a_label AS label, b_id AS best_match_id,
+       |  sim AS best_sim, n_above_05
+       |FROM ranked WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+    val pairs = e.join(b, col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
+      .select(col("vec_id"), col("label"), col("b_id"),
+        (dot(col("v"), col("bv")) / (norm(col("v")) * norm(col("bv")))).as("sim"))
+    val w = Window.partitionBy("vec_id")
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w.orderBy(col("sim").desc, col("b_id"))))
+      .withColumn("n_above_05", sum(when(col("sim") > 0.5, 1L)).over(w))
+    ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("b_id").as("best_match_id"),
+        col("sim").as("best_sim"),
+        coalesce(col("n_above_05"), lit(0L)).as("n_above_05"))
+      .orderBy("vec_id")
+  }
+
+  // ── LSH-bucketed ANN (the 100 TB path) ────────────────────────────────
+
+  val NumPlanes = 6
+  /** Seeded random hyperplanes (deterministic across runs/engines). The
+    * bit count scales with corpus size (buckets ~ n / target-bucket-size);
+    * 6 bits / 64 buckets fits the test corpora, a 100 TB corpus would use
+    * ~log2(n/4096) bits with the same code.
+    */
+  val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Multiprobe masks: the query bucket plus every 1- and 2-bit flip. */
+  val probeMasks: Seq[Int] =
+    Seq(0) ++
+      (0 until NumPlanes).map(1 << _) ++
+      (for { i <- 0 until NumPlanes; j <- i + 1 until NumPlanes } yield (1 << i) | (1 << j))
+
+  /** Sign-bit bucket id from the hyperplane projections. */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { i =>
+      val plane = array(planes(i).map(lit(_)): _*)
+      when(dot(v, plane) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** q36 — LSH ANN: bucket every vector once (16 signed projections), probe
+    * the query's bucket plus all 1- and 2-bit-flip neighbors (multiprobe),
+    * rank
+    * candidates by true cosine. At scale the bucket column is a partition/
+    * cluster key: a query touches 17 buckets, not the corpus. No SQL
+    * oracle (seeded planes); SimilaritySpec measures recall vs q35.
+    */
+  val q36 = Q.noOracle("q36_ann_lsh") { (s, dir) =>
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val qRow = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("bucket").as("qb"))
+    val probes = e.crossJoin(broadcast(qRow))
+      .withColumn("probe_buckets", array(probeMasks.map(lit(_)): _*))
+      .filter(col("vec_id") =!= 0 &&
+        exists(col("probe_buckets"), m => col("bucket") === col("qb").bitwiseXOR(m)))
+    probes
+      .select(col("vec_id"), col("label"), col("bucket"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36)
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.Catalog
+import graft.functions.RollingHash
+import graft.queries.{Det, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting. Everything is per-row
+  * projection work — embarrassingly parallel, no shuffle, scales linearly
+  * with document count.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+
+  /** Word tokens — lowercase alphanumeric runs. Mirrors DuckDB
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`.
+    */
+  def tokens(text: Column): Column = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens appearing in a fixed word list (HOF filter — codegen'd
+    * array op, no explode/shuffle).
+    */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val esStop = Seq("el", "la", "de", "que", "y", "en", "un")
+  val deStop = Seq("der", "die", "das", "und", "ist", "von")
+  val frStop = Seq("le", "les", "et", "une", "des", "du")
+  val allStop: Seq[String] = (enStop ++ esStop ++ deStop ++ frStop).distinct
+
+  /** q50 — token/character statistics + quality score (length, punctuation
+    * ratio, stopword ratio — the classic pretraining quality heuristics).
+    */
+  val q50 = Q("q50_text_stats",
+    s"""SELECT doc_id, n_chars,
+       |  length(text) AS text_len,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+       |  FLOOR(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |    / length(text) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> list_contains([${allStop.map("'" + _ + "'").mkString(",")}], t))) AS n_stopwords,
+       |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN
+       |    FLOOR(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        t -> list_contains([${allStop.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+       |      / len(regexp_extract_all(lower(text), '[a-z0-9]+')) * 10000.0 + 0.5) / 10000.0
+       |    ELSE 0.0 END AS stopword_ratio,
+       |  (length(text) >= 100 AND length(text) <= 20000
+       |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20) AS passes_length_filter
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = col("text")
+    val nTokens = tokenCount(t)
+    val nPunct = length(regexp_replace(t, "[^.!?,;:]", ""))
+    val nStop = wordHits(t, allStop)
+    docs(s, dir).select(
+      col("doc_id"), col("n_chars"),
+      length(t).as("text_len"),
+      nTokens.as("n_tokens"),
+      nPunct.as("n_punct"),
+      Det.dround(nPunct.cast("double") / length(t), 4).as("punct_ratio"),
+      nStop.as("n_stopwords"),
+      when(nTokens > 0, Det.dround(nStop.cast("double") / nTokens, 4))
+        .otherwise(0.0).as("stopword_ratio"),
+      (length(t) >= 100 && length(t) <= 20000 && nTokens >= 20)
+        .as("passes_length_filter"))
+      .orderBy("doc_id")
+  }
+
+  /** q51 — language-ID heuristic: stopword-hit votes per language with a
+    * CJK-character fallback, argmax with a fixed preference order. (The
+    * synthetic corpus is English-vocabulary throughout, so the heuristic
+    * predicts 'en' — the oracle verifies the operator, not the labels.)
+    */
+  val q51 = Q("q51_lang_id",
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains([${enStop.map("'" + _ + "'").mkString(",")}], t))) AS en_hits,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains([${esStop.map("'" + _ + "'").mkString(",")}], t))) AS es_hits,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains([${deStop.map("'" + _ + "'").mkString(",")}], t))) AS de_hits,
+       |  len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |    t -> list_contains([${frStop.map("'" + _ + "'").mkString(",")}], t))) AS fr_hits,
+       |  CASE
+       |    WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |    WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> list_contains([${enStop.map("'" + _ + "'").mkString(",")}], t))) >=
+       |      GREATEST(
+       |        len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${esStop.map("'" + _ + "'").mkString(",")}], t))),
+       |        len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${deStop.map("'" + _ + "'").mkString(",")}], t))),
+       |        len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${frStop.map("'" + _ + "'").mkString(",")}], t))), 1) THEN 'en'
+       |    WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> list_contains([${esStop.map("'" + _ + "'").mkString(",")}], t))) >=
+       |      GREATEST(
+       |        len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${deStop.map("'" + _ + "'").mkString(",")}], t))),
+       |        len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${frStop.map("'" + _ + "'").mkString(",")}], t))), 1) THEN 'es'
+       |    WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> list_contains([${deStop.map("'" + _ + "'").mkString(",")}], t))) >=
+       |      GREATEST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |          t -> list_contains([${frStop.map("'" + _ + "'").mkString(",")}], t))), 1) THEN 'de'
+       |    WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> list_contains([${frStop.map("'" + _ + "'").mkString(",")}], t))) >= 1 THEN 'fr'
+       |    ELSE 'unknown'
+       |  END AS predicted_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = col("text")
+    val en = wordHits(t, enStop); val es = wordHits(t, esStop)
+    val de = wordHits(t, deStop); val fr = wordHits(t, frStop)
+    val cjk = length(regexp_replace(t, "[^\\x{4e00}-\\x{9fff}]", ""))
+    docs(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+      when(cjk > 0, "zh")
+        .when(en >= greatest(es, de, fr, lit(1)), "en")
+        .when(es >= greatest(de, fr, lit(1)), "es")
+        .when(de >= greatest(fr, lit(1)), "de")
+        .when(fr >= 1, "fr")
+        .otherwise("unknown").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace-normalized text (lower, collapse runs, trim) — the
+    * canonical form for fingerprinting and exact dedup.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** q52 — md5 content fingerprint over normalized text (oracled). */
+  val q52 = Q("q52_fingerprint_md5",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** q53 — 64-bit polynomial rolling-hash fingerprint via the custom
+    * codegen'd Catalyst Expression (no SQL-expressible oracle; the driver
+    * records a rows-only check, and RollingHashSpec pins golden values).
+    */
+  val q53 = Q.noOracle("q53_fingerprint_rolling") { (s, dir) =>
+    RollingHash.register(s)
+    docs(s, dir).select(
+      col("doc_id"),
+      RollingHash(normalized(col("text"))).as("fingerprint64"),
+      RollingHash(col("text")).as("fingerprint64_raw"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+}

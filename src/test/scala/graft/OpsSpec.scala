@@ -1,0 +1,148 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.RollingHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data-pipeline op specs: planted near-duplicates for the dedup
+  * family, recall for ANN, golden values for the custom expression, and
+  * determinism/schema for the multimodal plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  /** Corpus with planted near-duplicates: doc 9001 = doc 1 with one word
+    * changed; doc 9002 = doc 2 with two words appended; doc 9003 = exact
+    * copy of doc 3.
+    */
+  private lazy val planted: DataFrame = {
+    val base = Catalog.table(spark, sf, "documents").select("doc_id", "text").limit(50).cache()
+    val Seq(t1, t2, t3) = base.filter(col("doc_id").isin(1, 2, 3))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val dups = Seq(
+      (9001L, t1.replaceFirst("\\w+", "changedword")),
+      (9002L, t2 + " appended tokens"),
+      (9003L, t3)).toDF("doc_id", "text")
+    base.unionByName(dups)
+  }
+
+  test("exact dedup clusters the exact copy only") {
+    val clusters = planted.groupBy(md5(TextOps.normalized(col("text"))).as("fp"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val dupCluster = clusters.filter(col("n") > 1).collect()
+    assert(dupCluster.length === 1)
+    assert(dupCluster.head.getAs[Long]("keep") === 3L)
+  }
+
+  test("minhash LSH surfaces all three planted near-dups as candidates") {
+    val sigs = Dedup.minhashSignatures(planted)
+    val bands = Dedup.lshBands(sigs)
+    val other = bands.select(col("doc_id").as("b"), col("band_idx").as("bi"), col("band_hash").as("bh"))
+    val cands = bands.join(other,
+      col("band_idx") === col("bi") && col("band_hash") === col("bh") && col("doc_id") < col("b"))
+      .select("doc_id", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 9001L)), s"1~9001 missing from $cands")
+    assert(cands.contains((2L, 9002L)))
+    assert(cands.contains((3L, 9003L)))
+  }
+
+  test("simhash: planted near-dups within hamming 8, exact copy at 0") {
+    val sigs = Dedup.simhash(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(3L), sigs(9003L)) === 0)
+    assert(ham(sigs(1L), sigs(9001L)) <= 8, s"hamming=${ham(sigs(1L), sigs(9001L))}")
+    assert(ham(sigs(2L), sigs(9002L)) <= 8, s"hamming=${ham(sigs(2L), sigs(9002L))}")
+  }
+
+  test("ngram jaccard: exact copy J=1.0, near-dups J>0.5, unrelated J small") {
+    val pairs = Dedup.jaccardPairs(planted)
+      .select("doc_id", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((3L, 9003L)) === 1.0)
+    assert(pairs((1L, 9001L)) > 0.5)
+    assert(pairs((2L, 9002L)) > 0.5)
+    // the synthetic corpus itself contains planted near-dups (e.g. docs
+    // 8 and 12 share ~97% of shingles) — the op must surface them too
+    val corpusDups = pairs.filter { case ((a, b), j) => a < 9000 && b < 9000 && j >= 0.5 }
+    assert(corpusDups.nonEmpty, "driver-planted corpus near-dups must be detected")
+  }
+
+  test("ANN LSH: candidates carry true cosine and achieve recall vs brute force") {
+    val brute = Similarity.q35.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim")).toMap
+    val lsh = Similarity.q36.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim"))
+    assert(lsh.nonEmpty, "multiprobe must surface candidates")
+    // any candidate also in the brute-force top-10 must carry the identical sim
+    lsh.foreach { case (id, sim) =>
+      brute.get(id).foreach(bs => assert(bs === sim, s"sim mismatch for vec $id"))
+    }
+    val recall = lsh.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall@10 $recall too low")
+  }
+
+  test("rolling_hash: golden value, null passthrough, matches JVM reference") {
+    RollingHash.register(spark)
+    val got = Seq(("abc"), ("")).toDF("s")
+      .select(RollingHash(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(got(0) === (("a" * 1).charAt(0) * 31L + 'b') * 31L + 'c') // 96354
+    assert(got(0) === 96354L)
+    assert(got(1) === 0L)
+    val withNull = Seq(Some("x"), None).toDF("s").select(RollingHash(col("s")).as("h")).collect()
+    assert(withNull(1).isNullAt(0))
+    // matches a plain JVM implementation on real document text
+    val doc = Catalog.table(spark, sf, "documents").select("text").head().getString(0)
+    def ref(s: String): Long = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    val sparkH = Seq(doc).toDF("s").select(RollingHash(col("s")).as("h")).head().getLong(0)
+    assert(sparkH === ref(doc))
+  }
+
+  test("multimodal decode: deterministic, batch-size independent, fixed schema") {
+    val assets = Multimodal.assetTable(spark, sf).limit(20)
+    val a = Multimodal.decodeFeatures(assets, batchSize = 64).orderBy("doc_id").collect()
+    val b = Multimodal.decodeFeatures(assets, batchSize = 1).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq, "batching must not change results")
+    val row = a.head
+    assert(row.schema.fieldNames.toSeq ===
+      Seq("doc_id", "byte_len", "checksum", "width", "height", "n_frames", "feature"))
+    assert(row.getAs[Seq[Float]]("feature").length === 8)
+    assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("width") <= 640)
+    // byte_len equals the UTF-8 length of the source text
+    val textLen = Catalog.table(spark, sf, "documents")
+      .filter(col("doc_id") === row.getAs[Long]("doc_id"))
+      .select(length(col("text"))).head().getInt(0)
+    assert(row.getAs[Int]("byte_len") === textLen)
+  }
+
+  test("text stats: quality flags and ratios are internally consistent") {
+    val rows = TextOps.q50.fn(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chars") === r.getAs[Int]("text_len").toLong)
+      val ratio = r.getAs[Double]("stopword_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("langid: argmax is consistent with the hit counts") {
+    val rows = TextOps.q51.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val (en, es, de, fr) = (r.getAs[Int]("en_hits"), r.getAs[Int]("es_hits"),
+        r.getAs[Int]("de_hits"), r.getAs[Int]("fr_hits"))
+      val pred = r.getAs[String]("predicted_lang")
+      val expected =
+        if (en >= math.max(math.max(es, de), math.max(fr, 1))) "en"
+        else if (es >= math.max(de, math.max(fr, 1))) "es"
+        else if (de >= math.max(fr, 1)) "de"
+        else if (fr >= 1) "fr"
+        else "unknown"
+      assert(pred === expected, s"doc ${r.getAs[Long]("doc_id")}: $pred vs $expected")
+    }
+  }
+}
