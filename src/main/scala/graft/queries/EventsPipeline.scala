@@ -98,7 +98,7 @@ object EventsPipeline {
       |        * (SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) / 1000000.0) / COUNT(value))
       |      / (COUNT(value) - 1.0))
       |  END AS stddev_value,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
       |  FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
       |    / COUNT(*) * 10.0 + 0.5) / 10.0 AS error_rate_pct,
       |  MAX(ts) AS latest_ts
@@ -131,7 +131,7 @@ object EventsPipeline {
     """WITH daily_events AS (
       |  SELECT user_id, CAST(ts AS DATE) AS event_date,
       |    COUNT(*) AS total_events,
-      |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
       |    SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) / 10000.0 AS total_value,
       |    FLOOR(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0
       |      / COUNT(*) * 10.0 + 0.5) / 10.0 AS error_rate_pct,
@@ -206,7 +206,7 @@ object EventsPipeline {
       |  md5(concat_ws('-', CAST(c_custkey AS VARCHAR))) AS user_key,
       |  c_custkey AS user_id, c_name, c_mktsegment, c_acctbal, c_nationkey,
       |  COALESCE(s.total_events, 0) AS lifetime_events,
-      |  COALESCE(s.error_events, 0) AS lifetime_errors,
+      |  CAST(COALESCE(s.error_events, 0) AS BIGINT) AS lifetime_errors,
       |  s.first_ts, s.last_ts,
       |  CASE WHEN s.total_events > 0
       |    THEN FLOOR(s.error_events * 100.0 / s.total_events * 100.0 + 0.5) / 100.0

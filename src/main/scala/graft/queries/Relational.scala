@@ -209,7 +209,7 @@ object Relational {
   val q10 = Q("q10_active_users",
     """SELECT user_id, COUNT(*) AS n_events,
       |  SUM(CAST(FLOOR((value) * 10000.0) AS BIGINT)) / 10000.0 AS total_value,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
       |FROM events
       |GROUP BY user_id
       |HAVING COUNT(*) > 50

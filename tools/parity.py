@@ -55,6 +55,14 @@ for name in sorted(os.listdir(out)):
     for c in m.columns:
         a, b = m[c], r[c]
         if a.dtype != b.dtype:
+            # The driver's hash normalizes int widths but NOT float-vs-int
+            # (a DuckDB HUGEINT comes back float64 and hash-mismatches an
+            # int64 parquet column even when values are equal) — treat
+            # cross-kind coercion as a failure, like the driver does.
+            a_f, b_f = np.issubdtype(a.dtype, np.floating), np.issubdtype(b.dtype, np.floating)
+            if a_f != b_f:
+                bad = f"float/int dtype mismatch col {c}: {a.dtype} vs {b.dtype} (driver hash would differ)"
+                break
             try:
                 b = b.astype(a.dtype)
             except Exception:
