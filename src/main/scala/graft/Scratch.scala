@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling main (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"TIMING $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val d = Catalog.table(spark, sfDir, "documents")
+    time("docs.count")(d.count())
+    val sh = d.select(col("doc_id"), explode(graft.ops.Dedup.shingleHashes(col("text"))).as("h"))
+    time("shingles.explode")(sh.count())
+    val other = sh.select(col("doc_id").as("doc_b"), col("h").as("h2"))
+    val joined = sh.join(other, col("h") === col("h2") && col("doc_id") < col("doc_b"))
+    time("shingle.selfjoin")(joined.count())
+    val shared = joined.groupBy("doc_id", "doc_b").agg(count(lit(1)).as("n_shared"))
+    time("pairs.agg")(shared.count())
+    val pairs = graft.ops.Dedup.jaccardPairs(d)
+    time("jaccardPairs.full")(pairs.count())
+    time("q33.full")(graft.ops.Dedup.q33.fn(spark, sfDir).count())
+    time("q32.full")(graft.ops.Dedup.q32.fn(spark, sfDir).count())
+    time("q31.full")(graft.ops.Dedup.q31.fn(spark, sfDir).count())
+    time("q34.full")(graft.ops.Similarity.q34.fn(spark, sfDir).count())
+    spark.stop()
+  }
+}

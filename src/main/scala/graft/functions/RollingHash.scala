@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 64-bit polynomial rolling hash over a string's UTF-8 bytes —
-  * h = h*31 + byte, wrapping (document fingerprinting for the
-  * training-data pipeline; cheaper than md5 and order-sensitive).
+/** Polynomial rolling hash over a string's Unicode code points,
+  * h = (h*31 + codepoint) mod (2^31 - 1) — document fingerprinting for
+  * the training-data pipeline (cheaper than md5, order-sensitive).
+  *
+  * Mod-prime (not wrapping-64-bit) arithmetic so a DuckDB oracle computes
+  * the identical value with overflow-checked BIGINTs:
+  * `list_reduce(list_concat([0], list_transform(string_split(s, ''),
+  *    c -> unicode(c))), (a, b) -> (a * 31 + b) % 2147483647)`.
   *
   * Implemented as a native Catalyst Expression with codegen so it stays
   * inside WholeStageCodegen (no UDF serialization, no codegen fallback) —
@@ -22,22 +27,30 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
     h
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
+      val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |String $s = $c.toString();
          |long ${ev.value}_h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  ${ev.value}_h = ${ev.value}_h * 31L + ($bytes[$i] & 0xff);
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value}_h = (${ev.value}_h * 31L + $cp) % 2147483647L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = ${ev.value}_h;
        """.stripMargin
@@ -58,4 +71,11 @@ object RollingHash {
 
   /** Column wrapper — requires register(spark) once per session. */
   def apply(c: Column): Column = call_function("rolling_hash", c)
+
+  /** DuckDB SQL mirror of the hash over an arbitrary string expression.
+    * The fold seed is CAST AS BIGINT so `a * 31` stays in 64-bit range
+    * (DuckDB integer arithmetic is overflow-checked, not wrapping).
+    */
+  def oracleSql(e: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(string_split($e, ''), c -> unicode(c))), (a, b) -> (a * 31 + b) % 2147483647)"
 }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cross-engine 60-bit string hash + one-pass shingle extraction.
+  *
+  * h60(s) = the first 15 hex chars of md5(s) parsed as a base-16 integer —
+  * chosen because a DuckDB oracle can compute the identical value as
+  * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`, which makes every
+  * hash-based operator (minhash, simhash, LSH bands, fingerprints)
+  * oracle-checkable, unlike engine-private hashes (xxhash64/murmur).
+  * 60 bits keeps all arithmetic non-negative and overflow-free in BIGINT.
+  */
+object TextHash {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5(bytes) as a non-negative long: the first 8
+    * digest bytes big-endian, logically shifted right 4 bits (16 hex chars
+    * minus the last one).
+    */
+  def h60(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def h60(s: String): Long = h60(s.getBytes("UTF-8"))
+
+  /** Tokens of lower(s) matching [a-z0-9]+ — the JVM mirror of
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` (ASCII fast path; any
+    * non-[a-z0-9] char after lowercasing is a separator in both engines).
+    */
+  def tokenize(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else Character.toLowerCase(c0)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.result()
+  }
+
+  /** Distinct h60 hashes of the n-word shingles of `s` (space-joined);
+    * shorter texts fall back to one whole-tokens shingle. n = 1 gives
+    * distinct token hashes. Mirrors the DuckDB list pipeline:
+    * `list_distinct(CASE WHEN len(t) >= n THEN
+    *    [array_to_string(t[i:i+n-1], ' ') for i in range(1, len(t)-n+2)]
+    *  ELSE [array_to_string(t, ' ')] END)` hashed with h60.
+    */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val toks = tokenize(s)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen.add(h60(sb.toString))
+        i += 1
+      }
+    } else seen.add(h60(toks.mkString(" ")))
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** ALL (non-distinct) token h60 hashes — term-frequency-weighted inputs
+    * for simhash. Mirrors hashing `regexp_extract_all(lower(text),
+    * '[a-z0-9]+')` element-wise.
+    */
+  def tokenHashes(s: String): Array[Long] = {
+    val toks = tokenize(s)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = h60(toks(i)); i += 1 }
+    out
+  }
+}
+
+/** Array of distinct n-shingle h60 hashes — a native codegen Expression so
+  * the whole tokenize→shingle→hash pass is one tight JVM loop per row
+  * (the equivalent built-in tree — transform(sequence(...), slice) +
+  * md5/conv — costs ~1 ms/row interpreted and gets re-evaluated on both
+  * sides of self-joins).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.shingleHashes($c.toString(), $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** ALL token h60 hashes (with repeats) — simhash term-frequency input. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.tokenHashes(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.tokenHashes($c.toString());
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def register(spark: SparkSession): Unit = {
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
+  }
+
+  /** Distinct n-shingle hashes column (register(spark) once per session). */
+  def apply(text: Column, n: Int): Column =
+    call_function("shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+
+  /** All token hashes column. */
+  def tokens(text: Column): Column = call_function("token_hashes", text)
+}

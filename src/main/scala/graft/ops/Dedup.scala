@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Catalog
+import graft.functions.ShingleHashes
 import graft.queries.{Det, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -13,10 +14,39 @@ import org.apache.spark.sql.functions._
   * cross join, so the shapes hold at 100 TB: work scales with
   * sum-of-bucket-sizes, and hot buckets are ordinary join skew that AQE
   * handles.
+  *
+  * Every hash is h60 (md5-prefix, see graft.functions.TextHash) so each
+  * query carries a full DuckDB oracle: the seeded hash-family constants are
+  * inlined into machine-generated oracle SQL, and all modular arithmetic
+  * stays in non-negative BIGINT range on both engines.
   */
 object Dedup {
 
   private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+
+  /** SQL fragment: h60 of a string expression (DuckDB mirror of
+    * TextHash.h60 / the conv(substr(md5)) Spark tree).
+    */
+  private def h60Sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Spark column: h60 via built-ins (for small per-row strings like band
+    * keys; the per-shingle path uses the codegen ShingleHashes instead).
+    */
+  def h60Col(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Shared oracle CTEs: tokens → distinct shingle strings → h60 list.
+    * Mirrors ShingleHashes(text, 3) exactly.
+    */
+  private val shingleCtes =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk
+      |), hs AS (
+      |  SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM sh
+      |)""".stripMargin
 
   /** q30 — exact dedup: cluster by normalized-content fingerprint, keep the
     * lowest doc_id (one shuffle on the 128-bit key; at any scale this is
@@ -44,35 +74,29 @@ object Dedup {
   val NumHashes = 64
   val BandSize = 4                      // 16 bands of 4 → catches J ≳ 0.5
   val MinhashPrime = 2147483647L        // 2^31 - 1
-  /** Seeded affine hash families (a*h + b mod p) — deterministic. */
+  /** Seeded affine hash families (a*h + b mod p) — deterministic, and
+    * inlined as literals into the oracle SQL below.
+    */
   val (hashA, hashB) = {
     val rnd = new scala.util.Random(12345)
     (Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Distinct 3-word-shingle xxhash64 set per document (short docs fall
-    * back to the whole token string as one shingle).
-    */
-  def shingleHashes(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    array_distinct(transform(shingles, sh => xxhash64(sh)))
-  }
+  /** Distinct 3-word-shingle h60 set per document, one codegen pass/row. */
+  def shingleHashes(text: Column): Column = ShingleHashes(text, 3)
 
   /** Per-doc 64-slot MinHash signature frame: doc_id, n_shingles, sig_0..63.
     * Shape: explode distinct shingle hashes, one hash-aggregate with 64
     * partial mins — map-side combine keeps the shuffle at one row per doc.
     */
   def minhashSignatures(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
     val exploded = d
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
-    val hp = pmod(col("h"), lit(MinhashPrime))
+    val hp = col("h") % MinhashPrime
     val sigCols = (0 until NumHashes).map(i =>
-      min(pmod(hp * hashA(i) + hashB(i), lit(MinhashPrime))).as(s"sig_$i"))
+      min((hp * hashA(i) + hashB(i)) % MinhashPrime).as(s"sig_$i"))
     exploded.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), sigCols: _*)
   }
@@ -81,19 +105,51 @@ object Dedup {
   def lshBands(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandSize).map { j =>
       val parts = (0 until BandSize).map(k => col(s"sig_${j * BandSize + k}"))
-      struct(lit(j).as("band_idx"), xxhash64(concat_ws(",", parts: _*)).as("band_hash"))
+      struct(lit(j).as("band_idx"), h60Col(concat_ws(",", parts: _*)).as("band_hash"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
   }
 
+  private def q31OracleSql: String = {
+    val p = MinhashPrime
+    val sigDefs = (0 until NumHashes).map(i =>
+      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
+      .mkString(",\n")
+    val bandSelects = (0 until NumHashes / BandSize).map { j =>
+      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
+      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    val checksum = (0 until NumHashes).map(i => s"sig_$i").mkString(" + ")
+    s"""$shingleCtes, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id
+       |), nc AS (
+       |  SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.n_shingles,
+       |  $checksum AS sig_checksum,
+       |  sig_0, sig_63,
+       |  CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates
+       |FROM sigs s LEFT JOIN nc ON s.doc_id = nc.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** q31 — MinHash+LSH dup candidates: per-doc signature digest and the
     * number of distinct candidate partners found via band-bucket join.
-    * No SQL oracle (seeded hash families aren't expressible in ANSI SQL);
-    * DedupSpec pins planted near-duplicate recall.
+    * Oracle: the full pipeline (shingles → 64 affine min-hashes → 16-band
+    * h60 buckets → self-join) regenerated in DuckDB list SQL.
     */
-  val q31 = Q.noOracle("q31_minhash_lsh") { (s, dir) =>
-    val sigs = minhashSignatures(docs(s, dir)).cache()
+  val q31 = Q("q31_minhash_lsh", q31OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val sigs = minhashSignatures(docs(s, dir))
     val bands = lshBands(sigs)
     val other = bands.select(col("doc_id").as("doc_b"),
       col("band_idx").as("bi"), col("band_hash").as("bh"))
@@ -114,31 +170,75 @@ object Dedup {
 
   // ── SimHash ───────────────────────────────────────────────────────────
 
-  /** Per-doc 64-bit SimHash over distinct token hashes: one explode + one
-    * aggregate with 64 ±1 bit sums (all codegen'd), bits reassembled with
-    * a bitwise OR chain.
+  val SimBits = 60                      // h60 has 60 usable bits
+  val SimBandBits = 15                  // 4 bands of 15 bits
+  val SimHammingMax = 8
+
+  /** Per-doc 60-bit term-frequency-weighted SimHash (Charikar): every
+    * token occurrence votes ±1 per bit, bit set when the sum is positive.
+    * One explode + one aggregate with 60 conditional sums (all codegen'd);
+    * the signature reassembles as a plain sum of disjoint powers of two.
     */
   def simhash(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
     val exploded = d.select(col("doc_id"),
-      explode(array_distinct(transform(TextOps.tokens(col("text")), t => xxhash64(t)))).as("h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit_$b"))
+      explode(ShingleHashes.tokens(col("text"))).as("h"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"bit_$b"))
     val agg = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), bitSums: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    val sig = (0 until SimBits).map(b =>
+      when(col(s"bit_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col("doc_id"), col("n_tokens"), sig.as("simhash"))
   }
 
-  /** q32 — SimHash near-dup: 4×16-bit band LSH over the signature, Hamming
-    * distance ≤ 8 counts as near-duplicate. No SQL oracle; DedupSpec pins
-    * behavior on planted dups.
+  private def q32OracleSql: String = {
+    val sigSum = (0 until SimBits).map(b =>
+      s"    (CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" +\n")
+    val bandSelects = (0 until 4).map { k =>
+      s"  SELECT doc_id, simhash, $k AS band_idx, (simhash >> ${k * SimBandBits}) & ${(1 << SimBandBits) - 1} AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh
+       |  FROM tk WHERE len(t) > 0
+       |), sigs AS (
+       |  SELECT doc_id, len(hh) AS n_tokens,
+       |$sigSum AS simhash
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, a.simhash AS sim_a, b.doc_id AS doc_b, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id <> b.doc_id
+       |), near AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN bit_count(xor(sim_a, sim_b)) <= $SimHammingMax THEN 1 ELSE 0 END) AS n_near_dups,
+       |    MIN(bit_count(xor(sim_a, sim_b))) AS min_hamming
+       |  FROM pairs GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.n_tokens, s.simhash,
+       |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(n.min_hamming AS INTEGER) AS min_hamming
+       |FROM sigs s LEFT JOIN near n ON s.doc_id = n.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** q32 — SimHash near-dup: 4×15-bit band LSH over the signature, Hamming
+    * distance ≤ 8 counts as near-duplicate. Full DuckDB oracle (bit sums
+    * spelled out per bit position).
     */
-  val q32 = Q.noOracle("q32_simhash") { (s, dir) =>
-    val sigs = simhash(docs(s, dir)).cache()
+  val q32 = Q("q32_simhash", q32OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val sigs = simhash(docs(s, dir))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
-          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xffffL)).as("band_val"))): _*)).as("b"))
+          shiftright(col("simhash"), k * SimBandBits)
+            .bitwiseAND(lit(((1 << SimBandBits) - 1).toLong)).as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
     val other = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
       col("band_idx").as("bi"), col("band_val").as("bv"))
@@ -151,7 +251,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_candidates"),
-        Det.countIf(col("hamming") <= 8).as("n_near_dups"),
+        Det.countIf(col("hamming") <= SimHammingMax).as("n_near_dups"),
         min(col("hamming")).as("min_hamming"))
     sigs.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("simhash"),
@@ -169,6 +269,7 @@ object Dedup {
     * no per-pair set materialization.
     */
   def jaccardPairs(d: DataFrame, minShared: Int = 1): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
     val sh = d.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val other = sh.select(col("doc_id").as("doc_b"), col("h").as("h2"))
@@ -184,10 +285,43 @@ object Dedup {
           (col("set_size") + col("size_b") - col("n_shared"))).as("jaccard"))
   }
 
+  private def q33OracleSql: String =
+    s"""$shingleCtes, ex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs
+       |), sizes AS (
+       |  SELECT doc_id, len(hh) AS sz FROM hs
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT s.doc_id, s.doc_b,
+       |    CAST(s.n_shared AS DOUBLE) / (sa.sz + sb.sz - s.n_shared) AS j
+       |  FROM shared s
+       |  JOIN sizes sa ON s.doc_id = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |), sym AS (
+       |  SELECT doc_id, doc_b, j FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_id AS doc_b, j FROM pairs
+       |), best AS (
+       |  SELECT doc_id, doc_b, j,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j DESC, doc_b) AS rn
+       |  FROM sym
+       |)
+       |SELECT d.doc_id, b.doc_b AS best_match_id,
+       |  COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) AS best_jaccard,
+       |  (COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) >= 0.8) AS is_near_dup
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, doc_b, j FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q33 — per-doc best n-gram-Jaccard match (docs with no shared shingle
     * report null match, so the output is always one row per document).
+    * Oracle: the identical inverted-index formulation in DuckDB.
     */
-  val q33 = Q.noOracle("q33_ngram_jaccard") { (s, dir) =>
+  val q33 = Q("q33_ngram_jaccard", q33OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
     val d = docs(s, dir)
     val pairs = jaccardPairs(d)
     // symmetrize so every doc sees its best partner

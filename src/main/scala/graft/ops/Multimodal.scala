@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * batch, exactly how a GPU decode stage is driven), and fixed-width
   * feature output. Swapping `decodeStub` for a JNI/codec call changes no
   * plan shape.
+  *
+  * The stub derives every pseudo-feature from the md5 hex digest of the
+  * payload bytes, which a DuckDB oracle reproduces from md5(text) — so
+  * even the stubbed path is hash-checked end to end.
   */
 object Multimodal {
 
@@ -35,23 +39,34 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Float])
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   /** STUB decoder — deterministic fake standing in for an image/audio
     * codec (???-equivalent; the container ships no codecs). Derives
-    * pseudo-dimensions and an 8-float "embedding" from the bytes.
+    * pseudo-dimensions and an 8-float "embedding" from the md5 of the
+    * bytes: checksum = h60 (first 15 hex chars), width/height/n_frames
+    * from 16-bit hex windows, feature[k] = hex[4k..4k+4) / 65536 (exact
+    * in float32, so the oracle's double arithmetic matches bit-for-bit).
     */
   def decodeStub(a: Asset): AssetFeatures = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < a.payload.length) { h = h * 31L + (a.payload(i) & 0xff); i += 1 }
-    val feat = Array.tabulate(8) { k =>
-      val x = h * (k * 2 + 1)
-      ((x % 1000L).toFloat) / 1000.0f
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(a.payload)
+    val hex = {
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < 16) {
+        sb.append(hexDigits((d(i) >> 4) & 0xf)).append(hexDigits(d(i) & 0xf))
+        i += 1
+      }
+      sb.toString
     }
-    AssetFeatures(a.doc_id, a.payload.length, h,
-      width = (math.floorMod(h, 640L) + 1).toInt,
-      height = (math.floorMod(h >> 16, 480L) + 1).toInt,
-      n_frames = (math.floorMod(h >> 32, 32L) + 1).toInt,
-      feature = feat)
+    def h16(off: Int): Int = Integer.parseInt(hex.substring(off, off + 4), 16)
+    val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    AssetFeatures(a.doc_id, a.payload.length, checksum,
+      width = h16(0) % 640 + 1,
+      height = h16(4) % 480 + 1,
+      n_frames = h16(8) % 32 + 1,
+      feature = Array.tabulate(8)(k => h16(k * 4) / 65536.0f))
   }
 
   /** Documents rendered as a multimodal asset table: binary payload
@@ -81,19 +96,29 @@ object Multimodal {
       .toDF()
   }
 
+  private val q37OracleSql =
+    """SELECT doc_id, 'text/plain' AS mime, source,
+      |  CAST(strlen(text) AS INTEGER) AS byte_len,
+      |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum,
+      |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 480 + 1 AS INTEGER) AS height,
+      |  CAST(CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 32 + 1 AS INTEGER) AS n_frames,
+      |  CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) / 65536.0 AS feat_0
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** q37 — multimodal decode pipeline: asset table → batched stub decode →
-    * per-asset features joined back to metadata. No SQL oracle (the stub
-    * hash isn't ANSI-expressible); MultimodalSpec pins golden values and
-    * schema.
+    * per-asset features joined back to metadata. Oracle: the md5-derived
+    * stub recomputed in DuckDB from the same bytes.
     */
-  val q37 = Q.noOracle("q37_multimodal_decode") { (s, dir) =>
+  val q37 = Q("q37_multimodal_decode", q37OracleSql) { (s, dir) =>
     val assets = assetTable(s, dir)
     decodeFeatures(assets)
       .join(assets.select(col("doc_id"), col("mime"), col("meta.source").as("source")),
         Seq("doc_id"))
       .select(col("doc_id"), col("mime"), col("source"), col("byte_len"),
         col("checksum"), col("width"), col("height"), col("n_frames"),
-        element_at(col("feature"), 1).as("feat_0"))
+        element_at(col("feature"), 1).cast("double").as("feat_0"))
       .orderBy("doc_id")
   }
 

@@ -21,12 +21,14 @@ object Similarity {
   /** Cast float vector to double once. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product (IEEE-identical across engines).
+  /** Sequential-fold dot product (IEEE-identical across engines), computed
+    * by the codegen'd VecDot Expression — same bits as the built-in
+    * `aggregate(zip_with(...))` tree but one fused loop per pair instead
+    * of interpreted per-element lambdas.
     * SQL mirror: `list_sum(list_transform(list_zip(a, b),
     * x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))`.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -46,6 +48,7 @@ object Similarity {
        |WHERE a.vec_id = 0 AND b.vec_id <> 0
        |ORDER BY cosine_sim DESC, b.vec_id
        |LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"))
@@ -80,6 +83,7 @@ object Similarity {
        |  sim AS best_sim, n_above_05
        |FROM ranked WHERE rn = 1
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
     val pairs = e.join(b, col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
@@ -122,14 +126,39 @@ object Similarity {
       when(dot(v, plane) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** q36 — LSH ANN: bucket every vector once (16 signed projections), probe
+  private def q36OracleSql: String = {
+    val bucketSum = (0 until NumPlanes).map { i =>
+      val planeLit = planes(i).map(_.toString).mkString("[", ", ", "]")
+      s"    (CASE WHEN ${dotSql.format("v", planeLit)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" +\n")
+    val probeList = probeMasks.map(m => s"xor(q.qb, $m)").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, label, v,
+       |$bucketSum AS bucket
+       |  FROM e
+       |), q AS (
+       |  SELECT v AS qv, bucket AS qb FROM bk WHERE vec_id = 0
+       |)
+       |SELECT b.vec_id, b.label, b.bucket,
+       |  ${dotSql.format("q.qv", "b.v")} / (${normSql("q.qv")} * ${normSql("b.v")}) AS cosine_sim
+       |FROM bk b, q
+       |WHERE b.vec_id <> 0 AND b.bucket IN ($probeList)
+       |ORDER BY cosine_sim DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q36 — LSH ANN: bucket every vector once (6 signed projections), probe
     * the query's bucket plus all 1- and 2-bit-flip neighbors (multiprobe),
-    * rank
-    * candidates by true cosine. At scale the bucket column is a partition/
-    * cluster key: a query touches 17 buckets, not the corpus. No SQL
-    * oracle (seeded planes); SimilaritySpec measures recall vs q35.
+    * rank candidates by true cosine. At scale the bucket column is a
+    * partition/cluster key: a query touches 22 buckets, not the corpus.
+    * Oracle: the seeded hyperplanes inlined as DuckDB list literals (the
+    * shortest-round-trip double rendering parses back to identical bits),
+    * so bucketing, multiprobe, and ranking are all hash-checked.
     */
-  val q36 = Q.noOracle("q36_ann_lsh") { (s, dir) =>
+  val q36 = Q("q36_ann_lsh", q36OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
     val e = emb(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))

@@ -151,16 +151,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** q53 — 64-bit polynomial rolling-hash fingerprint via the custom
-    * codegen'd Catalyst Expression (no SQL-expressible oracle; the driver
-    * records a rows-only check, and RollingHashSpec pins golden values).
+  /** q53 — polynomial rolling-hash fingerprint via the custom codegen'd
+    * Catalyst Expression; mod-prime arithmetic makes it oracle-checkable
+    * (RollingHash.oracleSql), and RollingHashSpec pins golden values.
     */
-  val q53 = Q.noOracle("q53_fingerprint_rolling") { (s, dir) =>
+  val q53 = Q("q53_fingerprint_rolling",
+    s"""SELECT doc_id,
+       |  ${RollingHash.oracleSql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fingerprint,
+       |  ${RollingHash.oracleSql("text")} AS fingerprint_raw
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     RollingHash.register(s)
     docs(s, dir).select(
       col("doc_id"),
-      RollingHash(normalized(col("text"))).as("fingerprint64"),
-      RollingHash(col("text")).as("fingerprint64_raw"))
+      RollingHash(normalized(col("text"))).as("fingerprint"),
+      RollingHash(col("text")).as("fingerprint_raw"))
       .orderBy("doc_id")
   }
 

@@ -92,14 +92,15 @@ class OpsSpec extends AnyFunSuite {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
       .select(RollingHash(col("s")).as("h")).collect().map(_.getLong(0))
-    assert(got(0) === (("a" * 1).charAt(0) * 31L + 'b') * 31L + 'c') // 96354
+    assert(got(0) === (('a' * 31L + 'b') * 31L + 'c') % 2147483647L) // 96354
     assert(got(0) === 96354L)
     assert(got(1) === 0L)
     val withNull = Seq(Some("x"), None).toDF("s").select(RollingHash(col("s")).as("h")).collect()
     assert(withNull(1).isNullAt(0))
     // matches a plain JVM implementation on real document text
     val doc = Catalog.table(spark, sf, "documents").select("text").head().getString(0)
-    def ref(s: String): Long = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xff))
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 31L + cp) % 2147483647L)
     val sparkH = Seq(doc).toDF("s").select(RollingHash(col("s")).as("h")).head().getLong(0)
     assert(sparkH === ref(doc))
   }
@@ -119,6 +120,37 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === row.getAs[Long]("doc_id"))
       .select(length(col("text"))).head().getInt(0)
     assert(row.getAs[Int]("byte_len") === textLen)
+  }
+
+  test("shingle_hashes: codegen expression matches the built-in md5/conv tree") {
+    graft.functions.ShingleHashes.register(spark)
+    val d = Catalog.table(spark, sf, "documents").limit(50)
+    val toks = TextOps.tokens(col("text"))
+    val shingles = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val builtin = d.select(col("doc_id"), sort_array(array_distinct(transform(shingles,
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val custom = d.select(col("doc_id"), sort_array(Dedup.shingleHashes(col("text"))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(builtin === custom)
+  }
+
+  test("vec_dot: codegen expression is bit-identical to the HOF fold") {
+    graft.functions.VecDot.register(spark)
+    val e = Catalog.table(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val hof = e.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (a, b) => a + b).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cg = e.select(col("vec_id"), graft.functions.VecDot(col("v"), col("v")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact bit equality, not approx — VecDot must preserve the fold order
+    hof.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(cg(id)), s"vec $id")
+    }
   }
 
   test("text stats: quality flags and ratios are internally consistent") {
