@@ -16,10 +16,17 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.VecDot.register(spark)
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"TIMING $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      try {
+        val n = f
+        println(f"TIMING $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      } catch {
+        case e: Throwable => println(s"TIMING $name FAILED: ${e.getMessage}")
+      }
     }
 
     val d = Catalog.table(spark, sfDir, "documents")
