@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.models.Staging
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming specs (SURVEY §2.8 parity-plus): file-source
+  * ingest driving the shared Silver upsert path, watermarked streaming
+  * dedup, tumbling-window aggregation, and flatMapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val csvHeader = "reading_id,device_id,metric_name,metric_value,reading_ts,ingested_at"
+
+  private def writeLanding(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.write(java.nio.file.Paths.get(dir, name),
+      (csvHeader +: rows).mkString("\n").getBytes("UTF-8"))
+
+  test("file-source stream -> foreachBatch upsert: idempotent re-ingestion across batches") {
+    val landing = tmpDir("graft-landing")
+    val target = tmpDir("graft-silver") + "/readings"
+    val checkpoint = tmpDir("graft-ckpt")
+    val devices = Staging.stgDevices(Catalog.rawDevices(spark), RunConfig.frozen)
+
+    writeLanding(landing, "batch1.csv", Seq(
+      "R001,DEV001,temperature,72.5,2024-01-15 08:00:00,2024-01-15 08:01:00",
+      "R002,DEV002,humidity,45.0,2024-01-15 08:00:00,2024-01-15 08:01:00"))
+    val q1 = StreamingIngest.silverUpsertSink(
+      StreamingIngest.readSensorStream(spark, landing), devices, target, checkpoint)
+    q1.awaitTermination()
+
+    val after1 = spark.read.parquet(target)
+    assert(after1.count() === 2)
+
+    // re-deliver R001 with a later ingest and changed value, plus a new row
+    writeLanding(landing, "batch2.csv", Seq(
+      "R001,DEV001,temperature,99.9,2024-01-15 08:00:00,2024-01-15 09:30:00",
+      "R003,DEV001,pressure,1001.0,2024-01-15 09:00:00,2024-01-15 09:30:00"))
+    val q2 = StreamingIngest.silverUpsertSink(
+      StreamingIngest.readSensorStream(spark, landing), devices, target, checkpoint)
+    q2.awaitTermination()
+
+    val after2 = spark.read.parquet(target)
+    assert(after2.count() === 3, "one row per reading_id after upsert")
+    val r001 = after2.filter(col("reading_id") === "R001").collect()
+    assert(r001.length === 1)
+    assert(r001.head.getAs[Double]("metric_value") === 99.9f.toDouble)
+    assert(r001.head.getAs[Boolean]("is_anomaly"), "99.9 exceeds the temperature threshold")
+    // enrichment joined device metadata in
+    assert(r001.head.getAs[String]("plant_location") !== null)
+  }
+
+  test("streaming dedup: duplicate reading_id within the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double, Timestamp)]
+    val df = mem.toDF().toDF("reading_id", "device_id", "metric_value", "ingested_at")
+    val deduped = StreamingIngest.dedupWithinWatermark(df)
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        ("R1", "D1", 1.0, Timestamp.valueOf("2024-01-15 08:00:00")),
+        ("R2", "D1", 2.0, Timestamp.valueOf("2024-01-15 08:05:00")))
+      q.processAllAvailable()
+      mem.addData(
+        ("R1", "D1", 999.0, Timestamp.valueOf("2024-01-15 08:10:00")), // dup id
+        ("R3", "D1", 3.0, Timestamp.valueOf("2024-01-15 08:15:00")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length === 3, s"dup must be dropped, got ${out.toSeq}")
+      assert(out.count(_.getString(0) == "R1") === 1)
+      // first arrival wins in streaming dedup (state holds the first R1)
+      val r1 = out.find(_.getString(0) == "R1").get
+      assert(r1.getAs[Double]("metric_value") === 1.0)
+    } finally q.stop()
+  }
+
+  test("tumbling-window hourly aggregation finalizes when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double, Timestamp)]
+    val df = mem.toDF().toDF("device_id", "metric_name", "metric_value", "reading_ts")
+    val hourly = StreamingIngest.hourlyHealthStream(df)
+    val q = hourly.writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        ("D1", "temperature", 70.0, Timestamp.valueOf("2024-01-15 08:00:00")),
+        ("D1", "temperature", 80.0, Timestamp.valueOf("2024-01-15 08:30:00")))
+      q.processAllAvailable()
+      // advance event time far enough that the 08:00 window closes
+      // (watermark = max ts - 2h must pass 09:00)
+      mem.addData(("D1", "temperature", 60.0, Timestamp.valueOf("2024-01-15 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(("D9", "humidity", 1.0, Timestamp.valueOf("2024-01-15 13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").collect()
+      val h8 = out.find(r => r.getAs[String]("device_id") == "D1" &&
+        r.getAs[Timestamp]("reading_hour") == Timestamp.valueOf("2024-01-15 08:00:00"))
+      assert(h8.isDefined, s"08:00 window must be finalized, got ${out.toSeq}")
+      assert(h8.get.getAs[Long]("reading_count") === 2)
+      assert(h8.get.getAs[Double]("avg_value") === 75.0)
+      assert(h8.get.getAs[Double]("min_value") === 70.0)
+      assert(h8.get.getAs[Double]("max_value") === 80.0)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Reading]
+    val streaks = StreamingIngest.anomalyStreaks(mem.toDS())
+    val q = streaks.writeStream.format("memory").queryName("streak_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        StreamingIngest.Reading("D1", Timestamp.valueOf("2024-01-15 08:00:00"), true),
+        StreamingIngest.Reading("D1", Timestamp.valueOf("2024-01-15 08:15:00"), true),
+        StreamingIngest.Reading("D2", Timestamp.valueOf("2024-01-15 08:00:00"), true))
+      q.processAllAvailable()
+      mem.addData(
+        StreamingIngest.Reading("D1", Timestamp.valueOf("2024-01-15 08:30:00"), true), // streak 3
+        StreamingIngest.Reading("D2", Timestamp.valueOf("2024-01-15 08:15:00"), false), // reset
+        StreamingIngest.Reading("D2", Timestamp.valueOf("2024-01-15 08:30:00"), true)) // streak 1
+      q.processAllAvailable()
+      val out = spark.table("streak_out").as[StreamingIngest.StreakEvent].collect()
+      val d1 = out.filter(_.device_id == "D1").sortBy(_.reading_ts.getTime).map(_.streak).toSeq
+      assert(d1 === Seq(1, 2, 3), s"state must carry across batches: $d1")
+      val d2Last = out.filter(_.device_id == "D2").maxBy(_.reading_ts.getTime)
+      assert(d2Last.streak === 1, "normal reading must reset the streak")
+    } finally q.stop()
+  }
+}
