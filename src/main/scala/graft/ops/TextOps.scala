@@ -169,5 +169,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** GPT-2-style pretokenizer pattern, restricted to lookahead-free syntax
+    * so Java regex (Spark) and RE2 (DuckDB) match identically: contraction
+    * suffixes, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace. Both engines use leftmost alternation preference, so the
+    * token streams agree byte-for-byte.
+    */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|'| ?\\s+"
+
+  /** q54 — token counting for training-data budgeting: BPE-ish subword
+    * pretokens vs whitespace tokens, and chars-per-token (the compression
+    * ratio heuristic used to spot boilerplate/code vs prose).
+    */
+  private val bpeSqlPattern = bpePattern.replace("'", "''")
+
+  val q54 = Q("q54_bpe_tokens",
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$bpeSqlPattern')) AS n_bpe_tokens,
+       |  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       |  FLOOR(CAST(length(text) AS DOUBLE)
+       |    / nullif(len(regexp_extract_all(lower(text), '$bpeSqlPattern')), 0)
+       |    * 100.0 + 0.5) / 100.0 AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bpe = size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+    docs(s, dir).select(
+      col("doc_id"),
+      bpe.as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_ws_tokens"),
+      Det.dround(length(col("text")).cast("double") / nullif(bpe, lit(0)), 2)
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
 }

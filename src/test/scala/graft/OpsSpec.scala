@@ -162,6 +162,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe pretokenizer: golden tokenization and count consistency") {
+    val toks = TextOps.bpePattern.r
+      .findAllIn("it's a well-known fact that 42 models... don't overfit!").toList
+    assert(toks === List("it", "'s", " a", " well", "-", "known", " fact", " that",
+      " 42", " models", "...", " don", "'t", " overfit", "!"),
+      "Java regex must tokenize exactly like the RE2 oracle")
+    val rows = TextOps.q54.fn(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_bpe_tokens") >= r.getAs[Int]("n_ws_tokens"),
+        "subword pretokens can only split whitespace tokens further")
+    }
+  }
+
   test("langid: argmax is consistent with the hit counts") {
     val rows = TextOps.q51.fn(spark, sf).collect()
     rows.foreach { r =>
