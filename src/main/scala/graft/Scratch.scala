@@ -29,6 +29,16 @@ object Scratch {
       }
     }
 
+    if (args.length > 1 && args(1) == "explain") {
+      Seq("q01_pricing_summary", "q14_regional_revenue", "q03_top_revenue_orders",
+        "q08_latest_event_per_user_type", "q33_ngram_jaccard", "q34_embedding_neardup")
+        .foreach { n =>
+          println(s"===== EXPLAIN $n =====")
+          SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+        }
+      spark.stop(); return
+    }
+
     val d = Catalog.table(spark, sfDir, "documents")
     time("docs.count")(d.count())
     val sh = d.select(col("doc_id"), explode(graft.ops.Dedup.shingleHashes(col("text"))).as("h"))

@@ -324,9 +324,13 @@ object Dedup {
     ShingleHashes.register(s)
     val d = docs(s, dir)
     val pairs = jaccardPairs(d)
-    // symmetrize so every doc sees its best partner
-    val sym = pairs.select(col("doc_id"), col("doc_b"), col("jaccard"))
-      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_id").as("doc_b"), col("jaccard")))
+    // symmetrize so every doc sees its best partner — explode both
+    // orientations from ONE evaluation of the pair pipeline (a union of
+    // pairs with its flipped self would re-run the whole shingle join)
+    val sym = pairs.select(explode(array(
+        struct(col("doc_id"), col("doc_b"), col("jaccard")),
+        struct(col("doc_b").as("doc_id"), col("doc_id").as("doc_b"), col("jaccard")))).as("p"))
+      .select(col("p.doc_id"), col("p.doc_b"), col("p.jaccard"))
     val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("doc_b").asc)
     val best = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("doc_b").as("best_match_id"),
