@@ -265,14 +265,17 @@ object EventsPipeline {
     val orders = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
     val ev = t(s, dir, "events")
-    val dup = Checks.unique(orders, "o_orderkey").count()
-    val orphan = Checks.relationships(li, "l_orderkey", orders, "o_orderkey").count()
-    val badTypes = Checks.acceptedValues(ev, "event_type",
-      Seq("click", "view", "purchase", "signup", "error")).count()
-    val nullStatus = Checks.notNull(orders, "o_orderstatus").count()
-    import s.implicits._
-    Seq((dup, orphan, badTypes, nullStatus))
-      .toDF("dup_order_keys", "orphan_lineitems", "bad_event_types", "null_order_status")
+    // one action, four check subtrees — the stages run concurrently inside
+    // a single job instead of four sequential driver-side count() calls
+    Checks.unique(orders, "o_orderkey")
+      .agg(count(lit(1)).as("dup_order_keys"))
+      .crossJoin(Checks.relationships(li, "l_orderkey", orders, "o_orderkey")
+        .agg(count(lit(1)).as("orphan_lineitems")))
+      .crossJoin(Checks.acceptedValues(ev, "event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)).as("bad_event_types")))
+      .crossJoin(Checks.notNull(orders, "o_orderstatus")
+        .agg(count(lit(1)).as("null_order_status")))
   }
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q40)
