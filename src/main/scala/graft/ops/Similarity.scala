@@ -174,5 +174,68 @@ object Similarity {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36)
+  // ── IVF ANN (coarse-quantizer variant of the 100 TB path) ─────────────
+
+  val NProbe = 2
+
+  private def q38OracleSql: String = {
+    val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), un AS (
+       |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+       |), mu AS (
+       |  SELECT label, i, $davg6 AS mu FROM un GROUP BY label, i
+       |), cents AS (
+       |  SELECT label, list(mu ORDER BY i) AS centroid FROM mu GROUP BY label
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = 0
+       |), probes AS (
+       |  SELECT c.label AS probe_label
+       |  FROM cents c, q
+       |  ORDER BY ${dotSql.format("q.qv", "c.centroid")}
+       |    / (${normSql("q.qv")} * ${normSql("c.centroid")}) DESC, c.label
+       |  LIMIT $NProbe
+       |)
+       |SELECT b.vec_id, b.label,
+       |  ${dotSql.format("q.qv", "b.v")} / (${normSql("q.qv")} * ${normSql("b.v")}) AS cosine_sim
+       |FROM e b, q
+       |WHERE b.vec_id <> 0 AND b.label IN (SELECT probe_label FROM probes)
+       |ORDER BY cosine_sim DESC, b.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q38 — IVF ANN: the coarse quantizer is the per-label fixed-point mean
+    * vector (one posexplode + hash aggregate — exact-decimal means so the
+    * oracle matches bit-for-bit); the query probes its NProbe nearest
+    * centroids and runs exact cosine only inside those partitions. At
+    * scale the label/centroid id is the table's partition key: a query
+    * reads nProbe partitions, not the corpus, and the centroid table
+    * (k rows) broadcasts everywhere.
+    */
+  val q38 = Q("q38_ann_ivf", q38OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val un = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val mu = un.groupBy("label", "pos").agg(Det.davg(col("x"), 6).as("mu"))
+    val cents = mu.groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        c => c.getField("mu")).as("centroid"))
+    val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(qv))
+      .select(col("label").as("probe_label"),
+        (dot(col("qv"), col("centroid")) / (norm(col("qv")) * norm(col("centroid")))).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("probe_label"))
+      .limit(NProbe)
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes.select("probe_label")),
+        col("label") === col("probe_label"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38)
 }

@@ -88,6 +88,19 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@10 $recall too low")
   }
 
+  test("ANN IVF: probed-partition results carry true cosine and overlap brute force") {
+    val brute = Similarity.q35.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim")).toMap
+    val ivf = Similarity.q38.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim"))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, sim) =>
+      brute.get(id).foreach(bs => assert(bs === sim, s"sim mismatch for vec $id"))
+    }
+    val recall = ivf.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall@10 $recall too low")
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
