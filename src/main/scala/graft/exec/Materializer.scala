@@ -82,6 +82,26 @@ object Materializer {
     }
   }
 
+  /** OPTIMIZE + ZORDER analog (SURVEY §4): compact to `numFiles` files,
+    * range-partitioned and sorted by the clustering keys, so parquet
+    * min/max column stats make key-filtered scans skip whole files — the
+    * same file-pruning effect Liquid Clustering gives Databricks tables.
+    * At 100 TB this is the difference between a point-lookup reading one
+    * file and reading every file of the table.
+    */
+  def clusteredWrite(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = path + "__tmp"
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    swap(spark, tmp, path)
+  }
+
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)

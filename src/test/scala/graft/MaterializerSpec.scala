@@ -86,6 +86,17 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got === Seq((1, 10), (2, 20), (3, 31), (4, 40)))
   }
 
+  test("clusteredWrite: a key-filtered scan touches exactly one file") {
+    val path = tmpDir()
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(i => (rnd.nextInt(1000), i)).toDF("k", "v")
+    Materializer.clusteredWrite(rows, path, Seq("k"), numFiles = 8)
+    val t = spark.read.parquet(path)
+    val files = t.filter(col("k") === 77).select(input_file_name()).distinct().count()
+    assert(files === 1, "range clustering must confine a key to one file")
+    assert(t.count() === 5000)
+  }
+
   test("overwriteTable swaps atomically and is re-runnable") {
     val path = tmpDir()
     Materializer.overwriteTable(Seq((1, "a")).toDF("id", "v"), path)
