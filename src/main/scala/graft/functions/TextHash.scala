@@ -41,18 +41,32 @@ object TextHash {
 
   def h60(s: String): Long = h60(s.getBytes("UTF-8"))
 
+  private val tokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
   /** Tokens of lower(s) matching [a-z0-9]+ — the JVM mirror of
-    * `regexp_extract_all(lower(text), '[a-z0-9]+')` (ASCII fast path; any
-    * non-[a-z0-9] char after lowercasing is a separator in both engines).
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`. ASCII strings take a
+    * single-pass fast path; anything else falls back to the exact
+    * Locale.ROOT lowercase + java.util.regex pipeline Spark's built-ins
+    * use (special casing like İ/ß changes string length, so per-char
+    * lowering would diverge).
     */
   def tokenize(s: String): Array[String] = {
+    var ascii = true
+    var j = 0
+    while (ascii && j < s.length) { if (s.charAt(j) >= 0x80) ascii = false; j += 1 }
+    if (!ascii) {
+      val m = tokenPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+      val out = Array.newBuilder[String]
+      while (m.find()) out += m.group()
+      return out.result()
+    }
     val out = Array.newBuilder[String]
     val sb = new java.lang.StringBuilder
     var i = 0
     val n = s.length
     while (i < n) {
       val c0 = s.charAt(i)
-      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else Character.toLowerCase(c0)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       i += 1

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextHash
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the fused TextHash pipeline must agree with the plain
+  * lower+regex reference on arbitrary input (the OpsSpec equivalence test
+  * covers the corpus; this covers the space around it).
+  */
+class TextHashPropSpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A])(f: A => Boolean): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(g)(f))
+    assert(res.passed, res.status.toString)
+  }
+
+  private def refTokens(s: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile("[a-z0-9]+")
+      .matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '-', '_', '!', '\'', '"'),
+      1 -> Gen.choose(33.toChar, 126.toChar))).map(_.mkString)
+
+  private val unicodeGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.const(' '),
+      2 -> Gen.oneOf('É', 'ß', 'İ', 'ı', 'Ω', '中', '�', 'Ⅻ'),
+      1 -> Gen.choose(0x80.toChar, 0x2fff.toChar))).map(_.mkString)
+
+  test("tokenize matches lower+regex reference on ASCII") {
+    forAll(asciiGen) { s => TextHash.tokenize(s).toSeq == refTokens(s) }
+  }
+
+  test("tokenize matches lower+regex reference on non-ASCII (special casing)") {
+    forAll(unicodeGen) { s => TextHash.tokenize(s).toSeq == refTokens(s) }
+  }
+
+  test("h60 is non-negative, 60-bit, and distinct across token space") {
+    forAll(asciiGen) { s =>
+      val h = TextHash.h60(s)
+      h >= 0L && h < (1L << 60)
+    }
+    // pinned value so the oracle formula can never drift silently:
+    // md5('abc') = 900150983cd24fb0..., first 15 hex = 0x900150983cd24fb
+    assert(TextHash.h60("abc") === java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("shingleHashes: short-text fallback and n=1 token hashing") {
+    assert(TextHash.shingleHashes("one two", 3).toSeq ===
+      Seq(TextHash.h60("one two")))
+    assert(TextHash.shingleHashes("", 3).toSeq === Seq(TextHash.h60("")))
+    assert(TextHash.shingleHashes("A b a B", 1).toSeq ===
+      Seq(TextHash.h60("a"), TextHash.h60("b")), "distinct, first-seen order")
+    assert(TextHash.tokenHashes("A b a").toSeq ===
+      Seq(TextHash.h60("a"), TextHash.h60("b"), TextHash.h60("a")), "non-distinct")
+  }
+}
