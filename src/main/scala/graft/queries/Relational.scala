@@ -300,5 +300,22 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+  /** Custom TypedImperativeAggregate: exact distinct via bitmap OR-merge —
+    * one aggregation pass (partial bitmaps combine map-side) instead of
+    * COUNT(DISTINCT)'s expand + double shuffle. Oracled against DuckDB's
+    * COUNT(DISTINCT), so the sketch must be exactly right.
+    */
+  val q15 = Q("q15_bitmap_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.functions.BitmapDistinct.register(s)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.BitmapDistinct(col("user_id"), 1 << 20).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
 }

@@ -166,6 +166,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap_distinct: equals countDistinct across partitions, ignores nulls") {
+    graft.functions.BitmapDistinct.register(spark)
+    val df = ((1 to 500).map(i => (i % 5, Some(i % 37L))) ++
+      Seq((0, None), (1, None))).toDF("g", "id").repartition(7)
+    val got = df.groupBy("g")
+      .agg(graft.functions.BitmapDistinct(col("id"), 1 << 16).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g").agg(countDistinct(col("id")).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("text stats: quality flags and ratios are internally consistent") {
     val rows = TextOps.q50.fn(spark, sf).collect()
     rows.foreach { r =>
