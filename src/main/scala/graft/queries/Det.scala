@@ -28,6 +28,14 @@ object Det {
     sum(floor(c * lit(f))) / lit(f)
   }
 
+  /** Partial-level raw fixed-point sum (a LONG, no final divide) — for
+    * two-level aggregations: pre-aggregate facts with dsumRaw, re-sum the
+    * longs after joins, divide once at the end. Integer sums re-associate
+    * exactly, so the result is bit-identical to a single-level dsum.
+    */
+  def dsumRaw(c: Column, scale: Int = 4): Column =
+    sum(floor(c * lit(math.pow(10.0, scale))))
+
   /** Fixed-point average over non-null values.
     * SQL mirror: `SUM(CAST(FLOOR(x * 10000.0) AS BIGINT)) / 10000.0 / COUNT(x)`.
     */

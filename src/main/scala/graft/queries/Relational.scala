@@ -84,12 +84,17 @@ object Relational {
       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin) { (s, dir) =>
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+    // aggregate the fact FIRST (map-side partials on a single long key),
+    // then join one row per order — at any scale this shuffles |orders|
+    // aggregated rows instead of |lineitem| raw rows through the join
+    val lagg = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
+    lagg.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue"), col("n_lines"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -287,7 +292,16 @@ object Relational {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
-    t(s, dir, "lineitem")
+    // pre-aggregate the fact to one raw-long row per order before the join
+    // chain: the joins move |orders| rows, not |lineitem| rows, and the
+    // integer partial sums re-associate exactly (bit-identical to the
+    // single-level oracle SUM)
+    val lagg = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        dsumRaw(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"),
+        count(lit(1)).as("n"))
+    lagg
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -295,8 +309,8 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_lines"))
+        (sum(col("rev_raw")) / lit(10000.0)).as("revenue"),
+        sum(col("n")).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -317,5 +331,26 @@ object Relational {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+  /** ROLLUP hierarchy totals (beyond-reference §2.5 extension): daily,
+    * per-type, and grand totals in one pass — Spark expands grouping sets
+    * inside a single hash aggregate rather than three scans.
+    */
+  val q16 = Q("q16_rollup_daily",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR((value) * 10000.0) AS BIGINT)) / 10000.0 AS sum_value,
+      |  CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+      |ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .rollup(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
 }
