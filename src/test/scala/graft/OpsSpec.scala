@@ -166,6 +166,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join: latest right row at-or-before each left timestamp, null when none") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      ("A", ts("2024-01-01 10:00:00"), "l1"),
+      ("A", ts("2024-01-01 12:00:00"), "l2"),
+      ("B", ts("2024-01-01 09:00:00"), "l3")).toDF("k", "t", "lv")
+    val right = Seq(
+      ("A", ts("2024-01-01 09:30:00"), "r1"),
+      ("A", ts("2024-01-01 12:00:00"), "r2"), // equal ts matches (<=)
+      ("B", ts("2024-01-01 11:00:00"), "r3")). // after l3 — no match
+      toDF("k", "rt", "rv")
+    val got = graft.ops.AsOf.join(left, right, Seq("k"), "t", "rt")
+      .select(col("lv"), col("asof.rv").as("rv")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map("l1" -> Some("r1"), "l2" -> Some("r2"), "l3" -> None))
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, ignores nulls") {
     graft.functions.BitmapDistinct.register(spark)
     val df = ((1 to 500).map(i => (i % 5, Some(i % 37L))) ++
