@@ -184,6 +184,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map("l1" -> Some("r1"), "l2" -> Some("r2"), "l3" -> None))
   }
 
+  test("range join via binning equals the naive cross+filter plan") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5), new Timestamp(base + rnd.nextInt(86400) * 1000L)))
+      .toDF("pid", "k", "t")
+    val intervals = (1 to 80).map { _ =>
+      val s = base + rnd.nextInt(86400) * 1000L
+      (rnd.nextInt(5), new Timestamp(s), new Timestamp(s + (600 + rnd.nextInt(3000)) * 1000L))
+    }.toDF("k", "s", "e")
+    val binned = graft.ops.RangeJoin.pointInInterval(points, intervals,
+      "k", "t", "s", "e", binSeconds = 3600L)
+      .select("pid", "s").collect().map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "s").collect().map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    assert(binned === naive)
+    assert(naive.nonEmpty, "fixture must produce matches")
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, ignores nulls") {
     graft.functions.BitmapDistinct.register(spark)
     val df = ((1 to 500).map(i => (i % 5, Some(i % 37L))) ++
