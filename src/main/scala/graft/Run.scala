@@ -17,6 +17,7 @@ object Run {
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -166,6 +166,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions: custom functions resolve in plain spark.sql") {
+    assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) === 96354L)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n").head().getInt(0) === 2)
+    assert(spark.sql(
+      "SELECT bitmap_distinct(id, 100) AS n FROM VALUES (1), (2), (2), (7) AS t(id)")
+      .head().getLong(0) === 3L)
+  }
+
   test("asof join: latest right row at-or-before each left timestamp, null when none") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
