@@ -331,10 +331,14 @@ object Dedup {
         struct(col("doc_id"), col("doc_b"), col("jaccard")),
         struct(col("doc_b").as("doc_id"), col("doc_id").as("doc_b"), col("jaccard")))).as("p"))
       .select(col("p.doc_id"), col("p.doc_b"), col("p.jaccard"))
-    val w = Window.partitionBy("doc_id").orderBy(col("jaccard").desc, col("doc_b").asc)
-    val best = sym.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("doc_b").as("best_match_id"),
-        Det.dround(col("jaccard"), 4).as("best_jaccard"))
+    // argmax via one hash aggregate (partial+final, map-side combine)
+    // instead of a window sort over every candidate pair; the negated
+    // doc_b gives the same tie-break as ORDER BY jaccard DESC, doc_b ASC
+    val best = sym
+      .groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("doc_b")).as("neg_b"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_b")).as("best_match_id"),
+        Det.dround(col("m.jaccard"), 4).as("best_jaccard"))
     d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("best_match_id"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),

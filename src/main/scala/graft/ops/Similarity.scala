@@ -89,14 +89,17 @@ object Similarity {
     val pairs = e.join(b, col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
       .select(col("vec_id"), col("label"), col("b_id"),
         (dot(col("v"), col("bv")) / (norm(col("v")) * norm(col("bv")))).as("sim"))
-    val w = Window.partitionBy("vec_id")
-    val ranked = pairs
-      .withColumn("rn", row_number().over(w.orderBy(col("sim").desc, col("b_id"))))
-      .withColumn("n_above_05", sum(when(col("sim") > 0.5, 1L)).over(w))
-    ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("b_id").as("best_match_id"),
-        col("sim").as("best_sim"),
-        coalesce(col("n_above_05"), lit(0L)).as("n_above_05"))
+    // argmax + conditional count in ONE hash aggregate (same tie-break as
+    // the oracle's ROW_NUMBER ORDER BY sim DESC, b_id via the negated id)
+    pairs
+      .groupBy("vec_id", "label")
+      .agg(
+        max(struct(col("sim"), (-col("b_id")).as("neg_b"))).as("m"),
+        Det.countIf(col("sim") > 0.5).as("n_above_05"))
+      .select(col("vec_id"), col("label"),
+        (-col("m.neg_b")).as("best_match_id"),
+        col("m.sim").as("best_sim"),
+        col("n_above_05"))
       .orderBy("vec_id")
   }
 
