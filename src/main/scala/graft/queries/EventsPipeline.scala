@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
 
@@ -278,5 +279,51 @@ object EventsPipeline {
         .agg(count(lit(1)).as("null_order_status")))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q40)
+  /** q25 — gap-based sessionization (30-min inactivity): lag marks session
+    * starts, a running sum numbers them, one aggregate per session. The
+    * standard event-log shape for training-data pipelines; lag/lead and
+    * running-frame windows are beyond the reference's W1-only surface.
+    * Scale: one shuffle on user_id, sort within partitions — the same
+    * shape Structured Streaming's session_window materializes.
+    */
+  val q25 = Q("q25_sessionize",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+      |FROM numbered
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagTs = lag(col("ts"), 1).over(w)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("is_new",
+        when(lagTs.isNull || col("ts") > lagTs + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_s"))
+      .drop("session_idx")
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40)
 }
