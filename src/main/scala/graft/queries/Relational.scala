@@ -352,5 +352,55 @@ object Relational {
       .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
+  /** PIVOT — wide daily matrix of per-type event counts. Spark's pivot
+    * with an explicit value list compiles to conditional aggregates in ONE
+    * hash aggregate (never a per-value scan); the oracle spells out the
+    * same CASE columns.
+    */
+  val q26 = Q("q26_pivot_daily_types",
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+      .orderBy("day")
+  }
+
+  /** Exact median by rank selection (no interpolation arithmetic — the
+    * lower-median ELEMENT is picked, so both engines return an input value
+    * verbatim and the oracle matches bit-for-bit; percentile-interpolation
+    * semantics differ subtly across engines and are deliberately avoided).
+    */
+  val q27 = Q("q27_exact_median",
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |)
+      |SELECT event_type, value AS median_value, n
+      |FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type")
+    val ranked = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long"))
+      .select(col("event_type"), col("value").as("median_value"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q26, q27)
 }
