@@ -103,6 +103,27 @@ object StreamingIngest {
       }
       .start()
 
+  /** Gap-based session windows on the stream — the streaming twin of the
+    * batch sessionization query (q25): a session closes once the watermark
+    * passes its end + gap, so state per (user, open session) is bounded.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_event_ts"),
+        max(col("ts")).as("last_event_ts"))
+      .select(
+        col("user_id"),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"), col("first_event_ts"), col("last_event_ts"))
+
   // ── Custom state: anomaly streak tracking ─────────────────────────────
 
   case class Reading(device_id: String, reading_ts: java.sql.Timestamp, is_anomaly: Boolean)

@@ -116,6 +116,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window: gap merge within a session, close after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val sessions = StreamingIngest.sessionizeStream(df)
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-01-15 08:00:00")),
+        (1L, Timestamp.valueOf("2024-01-15 08:20:00")), // same session (gap 20m < 30m)
+        (1L, Timestamp.valueOf("2024-01-15 09:30:00"))) // new session (gap 70m)
+      q.processAllAvailable()
+      // push the watermark far past both sessions so they finalize
+      mem.addData((2L, Timestamp.valueOf("2024-01-15 13:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, Timestamp.valueOf("2024-01-15 15:00:00")))
+      q.processAllAvailable()
+      val u1 = spark.table("session_out").filter(col("user_id") === 1)
+        .orderBy("session_start").collect()
+      assert(u1.length === 2, s"two sessions expected, got ${u1.toSeq}")
+      assert(u1(0).getAs[Long]("n_events") === 2)
+      assert(u1(0).getAs[Timestamp]("last_event_ts") === Timestamp.valueOf("2024-01-15 08:20:00"))
+      assert(u1(1).getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Reading]
