@@ -401,6 +401,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** String-function battery (LIKE predicates + the portable string ops;
+    * transcendental numeric functions are deliberately absent from every
+    * oracle — libm vs JVM can differ in the last ulp).
+    */
+  val q28 = Q("q28_string_battery",
+    """SELECT c_custkey, c_name,
+      |  (c_name LIKE '%0042%') AS has_42,
+      |  (c_name LIKE 'Customer%') AS is_customer_prefix,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  substr(c_name, 10, 5) AS name_mid,
+      |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  repeat(c_mktsegment, 2) AS seg_twice,
+      |  replace(c_name, 'Customer', 'Cust') AS name_short,
+      |  split_part(c_name, '#', 2) AS name_num,
+      |  CAST(length(trim(c_name)) AS BIGINT) AS name_len,
+      |  concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"), col("c_name"),
+      col("c_name").like("%0042%").as("has_42"),
+      col("c_name").like("Customer%").as("is_customer_prefix"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), 10, 5).as("name_mid"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("key_padded"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      repeat(col("c_mktsegment"), 2).as("seg_twice"),
+      expr("replace(c_name, 'Customer', 'Cust')").as("name_short"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      length(trim(col("c_name"))).cast("long").as("name_len"),
+      concat_ws("|", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nation"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q26, q27)
+    q11, q12, q13, q14, q15, q16, q26, q27, q28)
 }
