@@ -96,29 +96,61 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize-to-fit + frame-sampling plan columns (pure arithmetic on the
+    * decoded metadata — the stage a real pipeline runs between decode and
+    * feature extraction): scale the longer edge down to `box` (never up),
+    * sample at most `maxFrames` frames at a regular stride.
+    */
+  def withResizeAndSampling(
+      decoded: org.apache.spark.sql.DataFrame,
+      box: Int = 224,
+      maxFrames: Int = 8): org.apache.spark.sql.DataFrame = {
+    val scale = least(lit(1.0),
+      lit(box.toDouble) / greatest(col("width"), col("height")).cast("double"))
+    val stride = ceil(col("n_frames") / lit(maxFrames.toDouble)).cast("int")
+    decoded
+      .withColumn("resized_w",
+        greatest(lit(1L), floor(col("width") * scale)).cast("int"))
+      .withColumn("resized_h",
+        greatest(lit(1L), floor(col("height") * scale)).cast("int"))
+      .withColumn("frame_stride", stride)
+      .withColumn("n_sampled",
+        ceil(col("n_frames").cast("double") / stride).cast("int"))
+  }
+
   private val q37OracleSql =
-    """SELECT doc_id, 'text/plain' AS mime, source,
-      |  CAST(strlen(text) AS INTEGER) AS byte_len,
-      |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum,
-      |  CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 640 + 1 AS INTEGER) AS width,
-      |  CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 480 + 1 AS INTEGER) AS height,
-      |  CAST(CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 32 + 1 AS INTEGER) AS n_frames,
-      |  CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) / 65536.0 AS feat_0
-      |FROM documents
+    """WITH d AS (
+      |  SELECT doc_id, 'text/plain' AS mime, source,
+      |    CAST(strlen(text) AS INTEGER) AS byte_len,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS checksum,
+      |    CAST(CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 640 + 1 AS INTEGER) AS width,
+      |    CAST(CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 480 + 1 AS INTEGER) AS height,
+      |    CAST(CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 32 + 1 AS INTEGER) AS n_frames,
+      |    CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) / 65536.0 AS feat_0
+      |  FROM documents
+      |)
+      |SELECT doc_id, mime, source, byte_len, checksum, width, height, n_frames, feat_0,
+      |  CAST(GREATEST(1, FLOOR(width * LEAST(1.0, 224.0 / GREATEST(width, height)))) AS INTEGER) AS resized_w,
+      |  CAST(GREATEST(1, FLOOR(height * LEAST(1.0, 224.0 / GREATEST(width, height)))) AS INTEGER) AS resized_h,
+      |  CAST(CEIL(n_frames / 8.0) AS INTEGER) AS frame_stride,
+      |  CAST(CEIL(CAST(n_frames AS DOUBLE) / CAST(CEIL(n_frames / 8.0) AS INTEGER)) AS INTEGER) AS n_sampled
+      |FROM d
       |ORDER BY doc_id""".stripMargin
 
-  /** q37 — multimodal decode pipeline: asset table → batched stub decode →
-    * per-asset features joined back to metadata. Oracle: the md5-derived
-    * stub recomputed in DuckDB from the same bytes.
+  /** q37 — multimodal pipeline: asset table → batched stub decode →
+    * resize-to-fit + frame-sampling plan → joined back to metadata.
+    * Oracle: the md5-derived stub and the resize/sample arithmetic
+    * recomputed in DuckDB from the same bytes.
     */
   val q37 = Q("q37_multimodal_decode", q37OracleSql) { (s, dir) =>
     val assets = assetTable(s, dir)
-    decodeFeatures(assets)
+    withResizeAndSampling(decodeFeatures(assets))
       .join(assets.select(col("doc_id"), col("mime"), col("meta.source").as("source")),
         Seq("doc_id"))
       .select(col("doc_id"), col("mime"), col("source"), col("byte_len"),
         col("checksum"), col("width"), col("height"), col("n_frames"),
-        element_at(col("feature"), 1).cast("double").as("feat_0"))
+        element_at(col("feature"), 1).cast("double").as("feat_0"),
+        col("resized_w"), col("resized_h"), col("frame_stride"), col("n_sampled"))
       .orderBy("doc_id")
   }
 
