@@ -436,6 +436,28 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Correlated scalar subquery, executed from ONE dialect-neutral SQL
+    * string through both engines — Spark gets it via spark.sql over
+    * Catalog.registerAll (the S2/spark.sql lifecycle entry), DuckDB runs
+    * the same text as the oracle. Catalyst rewrites the correlated
+    * subquery into an aggregate + join; the fixed-point integer sums keep
+    * the customer-share division bit-exact.
+    */
+  private val q29Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT) AS price_raw,
+      |  CAST(FLOOR(o_totalprice * 10000.0) AS BIGINT) /
+      |    CAST((SELECT SUM(CAST(FLOOR(o2.o_totalprice * 10000.0) AS BIGINT))
+      |          FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+      |    AS share_of_customer
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q29 = Q("q29_correlated_share", q29Sql) { (s, dir) =>
+    graft.Catalog.registerAll(s, dir)
+    s.sql(q29Sql)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q26, q27, q28)
+    q11, q12, q13, q14, q15, q16, q26, q27, q28, q29)
 }
