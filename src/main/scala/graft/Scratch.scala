@@ -31,8 +31,9 @@ object Scratch {
     }
 
     if (args.length > 1 && args(1) == "explain") {
-      Seq("q01_pricing_summary", "q14_regional_revenue", "q03_top_revenue_orders",
-        "q08_latest_event_per_user_type", "q33_ngram_jaccard", "q34_embedding_neardup")
+      Seq("q15_bitmap_distinct", "q16_rollup_daily", "q17_asof_last_error",
+        "q18_range_join_recent_errors", "q25_sessionize", "q26_pivot_daily_types",
+        "q27_exact_median", "q29_correlated_share", "q38_ann_ivf")
         .foreach { n =>
           println(s"===== EXPLAIN $n =====")
           SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -352,6 +352,51 @@ object Relational {
       .orderBy(col("gid"), col("event_type").asc_nulls_first, col("day").asc_nulls_first)
   }
 
+  /** Window-function battery — the full ranking/offset/frame surface in
+    * one oracle (the reference uses only row_number, SURVEY §2.6): rank,
+    * dense_rank, percent_rank, cume_dist, ntile, lag/lead with defaults,
+    * first/nth value and a running fixed-point sum over an explicit ROWS
+    * frame. The (value, event_id) tie-break makes every function
+    * deterministic; percent_rank/cume_dist arithmetic is exact integer
+    * ratios so the doubles agree.
+    */
+  val q19 = Q("q19_window_battery",
+    """SELECT event_id, user_id, value,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  PERCENT_RANK() OVER w AS prnk,
+      |  CUME_DIST() OVER w AS cdist,
+      |  NTILE(4) OVER w AS quartile,
+      |  LAG(event_id, 1, -1) OVER w AS prev_event,
+      |  LEAD(event_id, 2) OVER w AS next2_event,
+      |  FIRST_VALUE(event_id) OVER w AS first_event,
+      |  NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY value, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event,
+      |  SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) OVER (PARTITION BY user_id
+      |    ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    / 10000.0 AS running_value
+      |FROM events WHERE value IS NOT NULL AND user_id <= 100
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY user_id, value, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    val rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("value").isNotNull && col("user_id") <= 100)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prev_event", lag(col("event_id"), 1, -1).over(w))
+      .withColumn("next2_event", lead(col("event_id"), 2).over(w))
+      .withColumn("first_event", first(col("event_id")).over(rows))
+      .withColumn("second_event", nth_value(col("event_id"), 2).over(rows))
+      .withColumn("running_value",
+        (sum(floor(col("value") * 10000.0)).over(rows) / 10000.0))
+      .orderBy("user_id", "value", "event_id")
+  }
+
   /** PIVOT — wide daily matrix of per-type event counts. Spark's pivot
     * with an explicit value list compiles to conditional aggregates in ONE
     * hash aggregate (never a per-value scan); the oracle spells out the
@@ -459,5 +504,5 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q26, q27, q28, q29)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29)
 }
