@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the physical-plan properties that make
+  * these queries scale (predicate pushdown into the parquet scan,
+  * broadcast of bounded dimensions, no accidental nested-loop joins) are
+  * pinned so a refactor that silently loses them fails `sbt test` instead
+  * of a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01: shipdate filter is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must reach the scan:\n$p")
+  }
+
+  test("q01: scan is pruned to the seven referenced columns") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), s"unused columns must be pruned: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+  }
+
+  test("q14: bounded dimensions join via broadcast, not shuffle") {
+    val p = plan("q14_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+  }
+
+  test("q18: binned range join plans as equi-join, never a nested loop") {
+    val p = plan("q18_range_join_recent_errors")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
+  test("q33: shingle blocking plans as equi-join, never a nested loop") {
+    val p = plan("q33_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"jaccard blocking must stay an equi-join:\n$p")
+  }
+
+  test("q15: bitmap aggregate runs partial+final (map-side combine)") {
+    val p = plan("q15_bitmap_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"TypedImperativeAggregate must plan partial+final:\n$p")
+  }
+}
