@@ -124,6 +124,24 @@ object StreamingIngest {
         col("session.end").as("session_end"),
         col("n_events"), col("first_event_ts"), col("last_event_ts"))
 
+  /** Stream-stream interval join — the streaming twin of the batch binned
+    * range join (q18): purchases pick up same-user errors from the
+    * trailing hour. Watermarks on BOTH sides bound the join state: an
+    * error older than watermark + interval can never match again and is
+    * evicted. Columns on the right side must be pre-renamed (err_*) so the
+    * join condition is unambiguous.
+    */
+  def recentErrorsJoin(
+      purchases: DataFrame,
+      errors: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    purchases.withWatermark("ts", delay)
+      .join(
+        errors.withWatermark("err_ts", delay),
+        org.apache.spark.sql.functions.expr(
+          """user_id = err_user_id AND
+            |ts >= err_ts AND ts < err_ts + INTERVAL 1 HOUR""".stripMargin))
+
   // ── Custom state: anomaly streak tracking ─────────────────────────────
 
   case class Reading(device_id: String, reading_ts: java.sql.Timestamp, is_anomaly: Boolean)

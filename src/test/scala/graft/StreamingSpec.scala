@@ -143,6 +143,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch binned range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pMem.toDF().toDF("event_id", "user_id", "ts")
+    val errors = eMem.toDF().toDF("err_event_id", "err_user_id", "err_ts")
+    val joined = StreamingIngest.recentErrorsJoin(purchases, errors)
+      .select("event_id", "err_event_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val pRows = Seq(
+        (100L, 1L, Timestamp.valueOf("2024-01-15 08:30:00")), // 30m after err 1 -> match
+        (101L, 1L, Timestamp.valueOf("2024-01-15 09:30:00")), // 90m after err 1 -> no
+        (102L, 2L, Timestamp.valueOf("2024-01-15 08:10:00"))) // other user
+      val eRows = Seq(
+        (200L, 1L, Timestamp.valueOf("2024-01-15 08:00:00")),
+        (201L, 2L, Timestamp.valueOf("2024-01-15 08:10:00"))) // equal ts -> match (>=)
+      pMem.addData(pRows: _*)
+      eMem.addData(eRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the batch binned range join over the same rows must agree
+      val pDf = pRows.toDF("event_id", "user_id", "ts")
+      val iDf = eRows.toDF("err_event_id", "user_id", "err_start")
+        .withColumn("err_end", col("err_start") + expr("INTERVAL 1 HOUR"))
+      val batch = graft.ops.RangeJoin.pointInInterval(pDf, iDf,
+        "user_id", "ts", "err_start", "err_end", binSeconds = 3600L)
+        .select("event_id", "err_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, s"stream=$streamed batch=$batch")
+      assert(streamed === Set((100L, 200L), (102L, 201L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Reading]
