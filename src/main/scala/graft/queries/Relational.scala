@@ -503,6 +503,60 @@ object Relational {
     s.sql(q29Sql)
   }
 
+  /** Array-function battery over the embeddings vectors: cardinality,
+    * element access, containment-by-threshold, and a fixed-point element
+    * sum via posexplode (floats pass through exactly; the sum uses the
+    * two-level raw-integer pattern so re-association is exact).
+    */
+  val q41 = Q("q41_array_battery",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+      |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_elem,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_positive
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_elem"),
+      element_at(col("embedding"), size(col("embedding"))).cast("double").as("last_elem"),
+      size(filter(col("embedding"), x => x > 0)).as("n_positive"))
+      .orderBy("vec_id")
+  }
+
+  /** Ordered string aggregation (reporting staple): per-nation roster of
+    * the five richest customers — collect_list + array_sort + transform +
+    * array_join mirrors DuckDB's string_agg(... ORDER BY) deterministically.
+    */
+  val q42 = Q("q42_string_agg",
+    """WITH top5 AS (
+      |  SELECT c_nationkey, c_name, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer
+      |)
+      |SELECT c_nationkey,
+      |  string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS roster,
+      |  COUNT(*) AS n
+      |FROM top5 WHERE rn <= 5
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("c_nationkey")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct((-col("c_acctbal")).as("negbal"), col("c_name")))),
+            x => x.getField("c_name")),
+          ",").as("roster"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42)
 }

@@ -46,6 +46,23 @@ class PlanSpec extends AnyFunSuite {
       s"jaccard blocking must stay an equi-join:\n$p")
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    Catalog.table(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-05")
+    val p = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("2024-01-05"),
+      s"day filter must prune partitions:\n$p")
+    // and the pruned read returns exactly that day's rows
+    val expect = Catalog.table(spark, sf, "events")
+      .filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(read.count() === expect)
+  }
+
   test("q15: bitmap aggregate runs partial+final (map-side combine)") {
     val p = plan("q15_bitmap_distinct")
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
