@@ -557,6 +557,45 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Date/time battery over order dates — the portable subset (field
+    * extraction, truncation, day/month arithmetic with end-of-month
+    * clamping, last_day, formatting): semantics verified identical across
+    * engines; ISO-week and fractional months_between are deliberately
+    * excluded (dialects disagree).
+    */
+  val q43 = Q("q43_datetime_battery",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+      |  CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS DATE) AS year_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od_str
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val od = col("o_orderdate")
+    val d = to_date(od)
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      d.as("od"),
+      year(od).cast("long").as("y"),
+      quarter(od).cast("long").as("q"),
+      month(od).cast("long").as("m"),
+      dayofmonth(od).cast("long").as("d"),
+      trunc(d, "month").as("month_start"),
+      trunc(d, "year").as("year_start"),
+      last_day(d).as("month_end"),
+      date_add(d, 30).as("plus_30d"),
+      add_months(d, 2).as("plus_2mo"),
+      date_format(d, "yyyy-MM-dd").as("od_str"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43)
 }
