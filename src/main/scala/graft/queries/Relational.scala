@@ -596,6 +596,28 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Set-operation completion: INTERSECT (distinct) and EXCEPT ALL
+    * (multiset difference — bag semantics preserve duplicate counts),
+    * complementing q06's UNION ALL / EXCEPT.
+    */
+  val q44 = Q("q44_setops_intersect",
+    """SELECT nationkey FROM (
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT
+      |   SELECT s_nationkey AS nationkey FROM supplier)
+      |  UNION ALL
+      |  (SELECT c_nationkey AS nationkey FROM customer WHERE c_nationkey < 5
+      |   EXCEPT ALL
+      |   SELECT s_nationkey AS nationkey FROM supplier)
+      |)
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val cust = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val supp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    cust.intersect(supp)
+      .unionByName(cust.filter(col("nationkey") < 5).exceptAll(supp))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44)
 }
