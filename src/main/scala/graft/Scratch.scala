@@ -41,6 +41,41 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "scale") {
+      // 10x scale probe: union id-shifted copies of the sf0.1 tables so the
+      // heavy operators run against ~sf1 volumes without writing anything.
+      def x10(name: String, idCol: String, shift: Long) = {
+        val base = Catalog.table(spark, sfDir, name)
+        (0 until 10).map(k =>
+          base.withColumn(idCol, col(idCol) + lit(k * shift)))
+          .reduce(_.unionByName(_))
+      }
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        try {
+          val n = f
+          println(f"SCALE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        } catch { case e: Throwable => println(s"SCALE $name FAILED: ${e.getMessage}") }
+      }
+      val ev10 = x10("events", "event_id", 10000000L)     // 6M rows
+      val docs10 = x10("documents", "doc_id", 1000000L)   // 50k docs
+      time("events10.hourly_agg") {
+        ev10.groupBy(col("event_type"), date_trunc("hour", col("ts")))
+          .agg(count(lit(1)), sum(floor(col("value") * 1e4))).count()
+      }
+      time("events10.window_dedup") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev10.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).count()
+      }
+      time("docs10.minhash_sigs")(graft.ops.Dedup.minhashSignatures(docs10).count())
+      time("docs10.simhash")(graft.ops.Dedup.simhash(docs10).count())
+      time("docs10.jaccard_lsh")(graft.ops.Dedup.jaccardLshPairs(docs10).count())
+      time("docs10.jaccard_pairs")(graft.ops.Dedup.jaccardPairs(docs10).count())
+      spark.stop(); return
+    }
+
     val d = Catalog.table(spark, sfDir, "documents")
     time("docs.count")(d.count())
     val sh = d.select(col("doc_id"), explode(graft.ops.Dedup.shingleHashes(col("text"))).as("h"))

@@ -285,6 +285,36 @@ object Dedup {
           (col("set_size") + col("size_b") - col("n_shared"))).as("jaccard"))
   }
 
+  /** Exact Jaccard restricted to MinHash-LSH candidate pairs — the 100 TB
+    * path for near-duplicate detection. The all-pairs inverted index
+    * (jaccardPairs) is exact but Σdf²-quadratic on low-entropy corpora
+    * (measured: 10× docs → 100× pairs on the synthetic vocabulary); LSH
+    * banding bounds the candidate set by true near-dup density instead,
+    * and the exact J = |A∩B| / |A∪B| over the candidates' shingle arrays
+    * removes the LSH false positives. False-negative rate is the standard
+    * banding curve (1-(1-J^r)^b ≈ 96% at J=0.5 for 16 bands of 4).
+    */
+  def jaccardLshPairs(d: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
+    val sigs = minhashSignatures(d)
+    val bands = lshBands(sigs)
+    val other = bands.select(col("doc_id").as("doc_b"),
+      col("band_idx").as("bi"), col("band_hash").as("bh"))
+    val candidates = bands
+      .join(other, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b").distinct()
+    val sh = d.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(sh, Seq("doc_id"))
+      .join(shB, Seq("doc_b"))
+      .select(col("doc_id"), col("doc_b"),
+        (size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   private def q33OracleSql: String =
     s"""$shingleCtes, ex AS (
        |  SELECT doc_id, unnest(hh) AS h FROM hs

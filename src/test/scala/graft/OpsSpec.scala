@@ -74,6 +74,21 @@ class OpsSpec extends AnyFunSuite {
     assert(corpusDups.nonEmpty, "driver-planted corpus near-dups must be detected")
   }
 
+  test("LSH-candidate jaccard finds the same high-similarity pairs as exact all-pairs") {
+    val exact = Dedup.jaccardPairs(planted)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_id", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.jaccardLshPairs(planted, minJaccard = 0.5)
+      .select("doc_id", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exact), "LSH path must introduce no false positives")
+    assert(viaLsh.contains((1L, 9001L)) && viaLsh.contains((2L, 9002L)) &&
+      viaLsh.contains((3L, 9003L)), s"planted near-dups must survive: $viaLsh")
+    val recall = viaLsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below the banding curve expectation")
+  }
+
   test("ANN LSH: candidates carry true cosine and achieve recall vs brute force") {
     val brute = Similarity.q35.fn(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim")).toMap
