@@ -71,6 +71,22 @@ object Scratch {
       }
       time("docs10.minhash_sigs")(graft.ops.Dedup.minhashSignatures(docs10).count())
       time("docs10.simhash")(graft.ops.Dedup.simhash(docs10).count())
+      time("docs10.minhash_band_cands") {
+        val bands = graft.ops.Dedup.lshBands(graft.ops.Dedup.minhashSignatures(docs10))
+        val other = bands.select(col("doc_id").as("b"), col("band_idx").as("bi"), col("band_hash").as("bh"))
+        bands.join(other, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_id") < col("b")).select("doc_id", "b").distinct().count()
+      }
+      time("docs10.simhash_band_cands") {
+        val sigs = graft.ops.Dedup.simhash(docs10)
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map(k => struct(lit(k).as("bi"),
+            shiftright(col("simhash"), k * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.bi"), col("b.bv"))
+        val other = bands.select(col("doc_id").as("b2"), col("bi").as("bi2"), col("bv").as("bv2"))
+        bands.join(other, col("bi") === col("bi2") && col("bv") === col("bv2") &&
+          col("doc_id") < col("b2")).select("doc_id", "b2").distinct().count()
+      }
       time("docs10.jaccard_lsh")(graft.ops.Dedup.jaccardLshPairs(docs10).count())
       time("docs10.jaccard_pairs")(graft.ops.Dedup.jaccardPairs(docs10).count())
       spark.stop(); return

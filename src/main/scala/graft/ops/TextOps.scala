@@ -202,5 +202,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** q55 — deterministic hash-based dataset split: h60 of the normalized
+    * content keyed into 100 buckets → 90/5/5 train/val/test. Content-hash
+    * (not id-hash) splitting keeps exact duplicates in the SAME split —
+    * the property that prevents train/test leakage in a dedup-imperfect
+    * corpus — and the assignment is reproducible across runs and engines.
+    */
+  val q55 = Q("q55_dataset_split",
+    """WITH assigned AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc_id,
+      |  MAX(doc_id) AS max_doc_id
+      |FROM assigned
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin) { (s, dir) =>
+    val bucket = graft.ops.Dedup.h60Col(normalized(col("text"))) % 100
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("split")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
 }
