@@ -234,5 +234,80 @@ object TextOps {
       .orderBy("split")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
+  /** q56 — sequence packing for pretraining: contiguous-fill documents
+    * into fixed token-budget packs (running token total over a stable
+    * order, pack id = which budget window the doc's cumulative range
+    * starts in). One window pass — the distributed form of sequential
+    * packing; at scale the ORDER BY key becomes (shard, doc) so packs
+    * build independently per shard.
+    */
+  val q56 = Q("q56_pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |  FROM documents
+      |), packed AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+      |  FROM toks
+      |)
+      |SELECT pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM packed
+      |GROUP BY pack_id
+      |ORDER BY pack_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0).cast("long"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  /** q57 — repetition/diversity quality signals (Gopher-style): type-token
+    * ratio and the most-frequent-token share, per document.
+    */
+  val q57 = Q("q57_repetition_stats",
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct,
+      |    CAST(MAX(c) AS BIGINT) AS top_token_count
+      |  FROM counts GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, top_token_count,
+      |  FLOOR(CAST(n_distinct AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS type_token_ratio,
+      |  FLOOR(CAST(top_token_count AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS top_token_share
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val counts = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_token_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_token_count"),
+        Det.dround(col("n_distinct").cast("double") / col("n_tokens"), 4).as("type_token_ratio"),
+        Det.dround(col("top_token_count").cast("double") / col("n_tokens"), 4).as("top_token_share"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57)
 }
