@@ -309,5 +309,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57)
+  /** q58 — corpus mixture weights: per-source document/token counts and
+    * each source's share of total tokens (the numbers that set sampling
+    * weights when mixing sources for pretraining). One aggregate + one
+    * global-window total.
+    */
+  val q58 = Q("q58_source_mixture",
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  FLOOR(CAST(n_tokens AS DOUBLE)
+      |    / CAST(SUM(n_tokens) OVER () AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS token_share
+      |FROM s
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val agg = docs(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    agg.select(col("source"), col("n_docs"), col("n_tokens"),
+      Det.dround(col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(total).cast("double"), 6).as("token_share"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }
