@@ -376,5 +376,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+  /** Cross-corpus shingle overlap — decontamination: for every corpus doc,
+    * its worst n-gram containment against a benchmark set. Containment
+    * |A∩B| / |A| (not symmetric Jaccard) is the decontamination metric: a
+    * short benchmark item fully embedded in a long training doc must
+    * score 1.0. Same inverted-index blocking as jaccardPairs, but the
+    * join is corpus×benchmark, so work scales with shared-shingle density
+    * between the two sets, and the benchmark side (small by nature)
+    * broadcasts.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    ShingleHashes.register(corpus.sparkSession)
+    val c = corpus.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    val b = benchmark.select(col("doc_id").as("bench_id"),
+      explode(shingleHashes(col("text"))).as("h2"))
+    val bSizes = benchmark.select(col("doc_id").as("bench_id"),
+      size(shingleHashes(col("text"))).as("bench_size"))
+    c.join(b, col("h") === col("h2"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .join(bSizes, Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("bench_size")).as("containment"))
+  }
+
+  private def q34ContOracleSql: String =
+    s"""$shingleCtes, bench AS (
+       |  SELECT doc_id AS bench_id, hh FROM hs WHERE doc_id < 50
+       |), corpus AS (
+       |  SELECT doc_id, hh FROM hs WHERE doc_id >= 50
+       |), ce AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM corpus
+       |), be AS (
+       |  SELECT bench_id, unnest(hh) AS h FROM bench
+       |), shared AS (
+       |  SELECT ce.doc_id, be.bench_id, COUNT(*) AS n_shared
+       |  FROM ce JOIN be ON ce.h = be.h
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT s.doc_id, s.bench_id,
+       |    CAST(s.n_shared AS DOUBLE) / len(b.hh) AS containment
+       |  FROM shared s JOIN bench b ON s.bench_id = b.bench_id
+       |), best AS (
+       |  SELECT doc_id, bench_id, containment,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY containment DESC, bench_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, bench_id AS worst_bench_id,
+       |  FLOOR(containment * 10000.0 + 0.5) / 10000.0 AS containment,
+       |  (FLOOR(containment * 10000.0 + 0.5) / 10000.0 >= 0.3) AS is_contaminated
+       |FROM best WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** q39 — decontamination report: corpus docs (doc_id ≥ 50) scored
+    * against the benchmark slice (doc_id < 50); one row per corpus doc
+    * that shares any shingle, with its worst containment.
+    */
+  val q39 = Q("q39_decontamination", q34ContOracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val pairs = contaminationPairs(
+      d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+    pairs
+      .groupBy("doc_id")
+      .agg(max(struct(col("containment"), (-col("bench_id")).as("neg_b"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_b")).as("worst_bench_id"),
+        Det.dround(col("m.containment"), 4).as("containment"),
+        (Det.dround(col("m.containment"), 4) >= 0.3).as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39)
 }
