@@ -337,5 +337,46 @@ object TextOps {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58)
+  /** Portable PII patterns (no lookarounds — RE2-safe). */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** q59 — PII detection/redaction: count and mask email/phone matches.
+    * The synthetic corpus contains no PII, so a deterministic contact line
+    * (derived from doc_id) is appended first — the scrub path then has
+    * real matches to find, and the oracle verifies detection counts and
+    * the redacted text end-to-end.
+    */
+  val q59 = Q("q59_pii_scrub",
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or +155-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$emailPattern')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phonePattern')) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(lower(text), '$emailPattern', '<EMAIL>', 'g'),
+       |    '$phonePattern', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+       |  md5(regexp_replace(regexp_replace(lower(text), '$emailPattern', '<EMAIL>', 'g'),
+       |    '$phonePattern', '<PHONE>', 'g')) AS redacted_md5
+       |FROM d
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val injected = concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +155-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(lower(injected), emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(injected), lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(injected, lit(phonePattern), lit(0))).as("n_phones"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }
