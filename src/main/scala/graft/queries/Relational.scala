@@ -618,6 +618,40 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** FULL OUTER join — daily purchase and error rollups per user merged so
+    * days with only one side survive with null-coalesced keys (the
+    * reconciliation-report shape; completes the join-type coverage).
+    */
+  val q45 = Q("q45_full_outer_daily",
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+      |)
+      |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+      |  COALESCE(p.day, e.day) AS day,
+      |  CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |  CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors
+      |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id AND p.day = e.day
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), to_date(col("ts")).as("p_day"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val e = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"), to_date(col("ts")).as("e_day"))
+      .agg(count(lit(1)).as("n_errors"))
+    p.join(e, col("p_user") === col("e_user") && col("p_day") === col("e_day"), "full_outer")
+      .select(
+        coalesce(col("p_user"), col("e_user")).as("user_id"),
+        coalesce(col("p_day"), col("e_day")).as("day"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45)
 }
