@@ -652,6 +652,29 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Explicit GROUPING SETS (the general form behind q16's ROLLUP): two
+    * chosen grouping combinations — (segment, nation) and (segment) —
+    * in one pass, with grouping-id disambiguation.
+    */
+  val q46 = Q("q46_grouping_sets",
+    """SELECT c_mktsegment, c_nationkey,
+      |  COUNT(*) AS n_customers,
+      |  SUM(CAST(FLOOR((c_acctbal) * 10000.0) AS BIGINT)) / 10000.0 AS total_balance,
+      |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment))
+      |ORDER BY gid, c_mktsegment, c_nationkey NULLS FIRST""".stripMargin) { (s, dir) =>
+    graft.Catalog.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, c_nationkey,
+        |  COUNT(*) AS n_customers,
+        |  SUM(CAST(FLOOR(c_acctbal * 10000.0) AS BIGINT)) / 10000.0 AS total_balance,
+        |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment))
+        |ORDER BY gid, c_mktsegment, c_nationkey NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46)
 }
