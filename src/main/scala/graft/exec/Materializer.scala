@@ -82,6 +82,21 @@ object Materializer {
     }
   }
 
+  /** Interchange export (S1's write-side complement): parquet is the
+    * native format, but downstream consumers ask for csv/jsonl — both
+    * round-trip exactly for the primitive types the engine emits (longs,
+    * doubles via shortest-repr strings, ISO timestamps).
+    */
+  def export(df: DataFrame, path: String, format: String): Unit = format match {
+    case "csv" =>
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    case "json" | "jsonl" =>
+      df.write.mode("overwrite").json(path)
+    case "parquet" =>
+      df.write.mode("overwrite").parquet(path)
+    case other => throw new IllegalArgumentException(s"unsupported export format: $other")
+  }
+
   /** OPTIMIZE + ZORDER analog (SURVEY §4): compact to `numFiles` files,
     * range-partitioned and sorted by the clustering keys, so parquet
     * min/max column stats make key-filtered scans skip whole files — the

@@ -97,6 +97,24 @@ class MaterializerSpec extends AnyFunSuite {
     assert(t.count() === 5000)
   }
 
+  test("csv and jsonl exports round-trip typed rows exactly") {
+    import org.apache.spark.sql.types._
+    val df = Catalog.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .limit(200)
+    val want = df.orderBy("event_id").collect().toSeq
+    val schema = df.schema
+    val base = tmpDir()
+    graft.exec.Materializer.export(df, s"$base/csv", "csv")
+    graft.exec.Materializer.export(df, s"$base/json", "jsonl")
+    val fromCsv = spark.read.schema(schema).option("header", "true")
+      .csv(s"$base/csv").orderBy("event_id").collect().toSeq
+    val fromJson = spark.read.schema(schema).json(s"$base/json")
+      .orderBy("event_id").collect().toSeq
+    assert(fromCsv === want)
+    assert(fromJson === want)
+  }
+
   test("overwriteTable swaps atomically and is re-runnable") {
     val path = tmpDir()
     Materializer.overwriteTable(Seq((1, "a")).toDF("id", "v"), path)
