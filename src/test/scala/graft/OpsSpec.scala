@@ -230,6 +230,16 @@ class OpsSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "fixture must produce matches")
   }
 
+  test("approx_count_distinct (HLL++) stays within rsd bounds of the exact count") {
+    // the sketch path for UNBOUNDED id domains; BitmapDistinct covers the
+    // exact bounded-domain case (q15)
+    val ev = Catalog.table(spark, sf, "events")
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val approx = ev.agg(approx_count_distinct(col("user_id"), rsd = 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.06).toLong),
+      s"approx=$approx exact=$exact")
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, ignores nulls") {
     graft.functions.BitmapDistinct.register(spark)
     val df = ((1 to 500).map(i => (i % 5, Some(i % 37L))) ++
