@@ -675,6 +675,32 @@ object Relational {
         |ORDER BY gid, c_mktsegment, c_nationkey NULLS FIRST""".stripMargin)
   }
 
+  /** Safe-cast battery — TRY_CAST (same name and NULL-on-failure
+    * semantics in both engines) over clean and dirty inputs: the
+    * ANSI-mode-compatible way to ingest dirty data without aborting a
+    * 1000-executor job on one malformed row.
+    */
+  val q47 = Q("q47_try_cast",
+    """SELECT event_id,
+      |  TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS roundtrip_id,
+      |  TRY_CAST(event_type AS BIGINT) AS bad_int,
+      |  TRY_CAST(event_type AS DATE) AS bad_date,
+      |  TRY_CAST('2024-01-15' AS DATE) AS good_date,
+      |  TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS roundtrip_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.Catalog.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id,
+        |  TRY_CAST(CAST(event_id AS STRING) AS BIGINT) AS roundtrip_id,
+        |  TRY_CAST(event_type AS BIGINT) AS bad_int,
+        |  TRY_CAST(event_type AS DATE) AS bad_date,
+        |  TRY_CAST('2024-01-15' AS DATE) AS good_date,
+        |  TRY_CAST(CAST(value AS STRING) AS DOUBLE) AS roundtrip_value
+        |FROM events
+        |ORDER BY event_id""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47)
 }
