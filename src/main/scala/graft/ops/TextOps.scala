@@ -237,9 +237,12 @@ object TextOps {
   /** q56 — sequence packing for pretraining: contiguous-fill documents
     * into fixed token-budget packs (running token total over a stable
     * order, pack id = which budget window the doc's cumulative range
-    * starts in). One window pass — the distributed form of sequential
-    * packing; at scale the ORDER BY key becomes (shard, doc) so packs
-    * build independently per shard.
+    * starts in). The running total is `exec.PrefixSum.runningTotal` — a
+    * two-pass distributed prefix sum (range-bucket by doc_id →
+    * per-bucket totals → broadcast cumulative offsets → per-bucket
+    * window), NOT a global `Window.orderBy`, which would plan
+    * `Exchange SinglePartition` and serialize the whole corpus through
+    * one task. PlanSpec pins the no-SinglePartition property.
     */
   val q56 = Q("q56_pack_sequences",
     """WITH toks AS (
@@ -258,13 +261,11 @@ object TextOps {
       |FROM packed
       |GROUP BY pack_id
       |ORDER BY pack_id""".stripMargin) { (s, dir) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    docs(s, dir)
+    val toks = docs(s, dir)
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+    graft.exec.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum_tokens")
       .withColumn("pack_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 2048.0).cast("long"))
+        floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
       .groupBy("pack_id")
       .agg(
         count(lit(1)).as("n_docs"),

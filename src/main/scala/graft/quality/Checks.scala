@@ -69,6 +69,27 @@ object Checks {
     }
   }
 
+  /** Freshness as a one-row DataFrame (the oracle-checkable form of
+    * `freshness` above): max(loadedAtField), integer age in hours against
+    * the injected `now`, and the warn/error classification — the exact
+    * `dbt source freshness` output shape. Age comparisons are in whole
+    * seconds (`unix_timestamp` ≡ DuckDB `FLOOR(epoch(..))`) so the
+    * classification is engine-exact.
+    */
+  def freshnessSummary(df: DataFrame, loadedAtField: String, sourceName: String,
+      now: java.sql.Timestamp, warnAfterHours: Long = 24,
+      errorAfterHours: Long = 48): DataFrame = {
+    val ageSeconds = lit(now).cast("long") - unix_timestamp(col("max_loaded_at"))
+    df.agg(max(col(loadedAtField)).as("max_loaded_at"))
+      .select(
+        lit(sourceName).as("source_name"),
+        col("max_loaded_at"),
+        floor(ageSeconds / 3600.0).cast("long").as("age_hours"),
+        when(col("max_loaded_at").isNull || ageSeconds > errorAfterHours * 3600, "error")
+          .when(ageSeconds > warnAfterHours * 3600, "warn")
+          .otherwise("fresh").as("status"))
+  }
+
   // ── The reference's full 54-test suite ──────────────────────────────────
 
   case class Check(model: String, test: String, violations: () => DataFrame) {

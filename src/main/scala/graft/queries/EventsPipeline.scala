@@ -262,21 +262,69 @@ object EventsPipeline {
       |     ('click','view','purchase','signup','error')) AS bad_event_types,
       |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL) AS null_order_status
       |""".stripMargin) { (s, dir) =>
-    import graft.quality.Checks
     val orders = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
     val ev = t(s, dir, "events")
-    // one action, four check subtrees — the stages run concurrently inside
-    // a single job instead of four sequential driver-side count() calls
-    Checks.unique(orders, "o_orderkey")
-      .agg(count(lit(1)).as("dup_order_keys"))
-      .crossJoin(Checks.relationships(li, "l_orderkey", orders, "o_orderkey")
-        .agg(count(lit(1)).as("orphan_lineitems")))
-      .crossJoin(Checks.acceptedValues(ev, "event_type",
+    // Each base table is scanned exactly ONCE: the three orders-side
+    // checks (unique key, null status, referential parent set) all fall
+    // out of a single groupBy(o_orderkey) pass, and the orphan check is a
+    // full-outer reconciliation against a per-key lineitem rollup rather
+    // than a second anti-join scan of orders. One job, two co-partitioned
+    // shuffles, one final aggregate.
+    val ordersByKey = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("o_n"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("o_null_status"))
+    val liByKey = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("l_n"))
+    ordersByKey
+      .join(liByKey, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .agg(
+        count_if(col("o_orderkey").isNotNull && col("o_n") > 1).as("dup_order_keys"),
+        sum(when(col("o_orderkey").isNull, col("l_n")).otherwise(0L)).as("orphan_lineitems"),
+        sum(coalesce(col("o_null_status"), lit(0L))).as("null_order_status"))
+      .crossJoin(graft.quality.Checks.acceptedValues(ev, "event_type",
         Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)).as("bad_event_types")))
-      .crossJoin(Checks.notNull(orders, "o_orderstatus")
-        .agg(count(lit(1)).as("null_order_status")))
+      .select(col("dup_order_keys"), col("orphan_lineitems"),
+        col("bad_event_types"), col("null_order_status"))
+  }
+
+  /** q60 — source freshness as data (SURVEY §2.10's last shape; reference
+    * models/staging/sources.yml:7-10,44-47 declares warn_after 24h /
+    * error_after 48h on the loaded-at field): per source, max(loaded_at),
+    * whole-hours age against an injected deterministic `now`, and the
+    * fresh/warn/error classification. Four source rows exercise all three
+    * statuses (events→warn at 24/48 but fresh under a relaxed 48/168 SLA;
+    * the 2001-dated TPC-H tables→error).
+    */
+  private val freshnessNow = java.sql.Timestamp.valueOf("2024-02-01 12:00:00")
+
+  private def freshnessOracle(table: String, field: String, name: String,
+      warnH: Long, errH: Long): String = {
+    val nowS = s"FLOOR(epoch(TIMESTAMP '2024-02-01 12:00:00'))"
+    val age = s"$nowS - FLOOR(epoch(max($field)))"
+    s"""SELECT '$name' AS source_name, max($field) AS max_loaded_at,
+       |  CAST(FLOOR(($age) / 3600.0) AS BIGINT) AS age_hours,
+       |  CASE WHEN max($field) IS NULL OR $age > ${errH * 3600} THEN 'error'
+       |       WHEN $age > ${warnH * 3600} THEN 'warn'
+       |       ELSE 'fresh' END AS status
+       |FROM $table""".stripMargin
+  }
+
+  val q60 = Q("q60_source_freshness",
+    Seq(
+      freshnessOracle("events", "ts", "events", 24, 48),
+      freshnessOracle("events", "ts", "events_slow_sla", 48, 168),
+      freshnessOracle("lineitem", "l_shipdate", "lineitem", 24, 48),
+      freshnessOracle("orders", "o_orderdate", "orders", 24, 48))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY source_name")) { (s, dir) =>
+    import graft.quality.Checks.freshnessSummary
+    val ev = t(s, dir, "events")
+    freshnessSummary(ev, "ts", "events", freshnessNow)
+      .unionByName(freshnessSummary(ev, "ts", "events_slow_sla", freshnessNow, 48, 168))
+      .unionByName(freshnessSummary(t(s, dir, "lineitem"), "l_shipdate", "lineitem", freshnessNow))
+      .unionByName(freshnessSummary(t(s, dir, "orders"), "o_orderdate", "orders", freshnessNow))
+      .orderBy("source_name")
   }
 
   /** q25 — gap-based sessionization (30-min inactivity): lag marks session
@@ -325,5 +373,5 @@ object EventsPipeline {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40)
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60)
 }

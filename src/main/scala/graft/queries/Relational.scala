@@ -424,6 +424,10 @@ object Relational {
     * lower-median ELEMENT is picked, so both engines return an input value
     * verbatim and the oracle matches bit-for-bit; percentile-interpolation
     * semantics differ subtly across engines and are deliberately avoided).
+    * The Spark side is `ops.RankSelect.groupMedian` — histogram rank
+    * selection that sorts only the median's value bucket, instead of the
+    * naive `row_number OVER (PARTITION BY event_type)` whose parallelism
+    * is capped at #groups (5) and whose tasks each sort a full group.
     */
   val q27 = Q("q27_exact_median",
     """WITH ranked AS (
@@ -435,14 +439,10 @@ object Relational {
       |SELECT event_type, value AS median_value, n
       |FROM ranked WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("event_type")
-    val ranked = t(s, dir, "events")
+    val ev = t(s, dir, "events")
       .filter(col("value").isNotNull)
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(w))
-    ranked.filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long"))
-      .select(col("event_type"), col("value").as("median_value"), col("n"))
+    graft.ops.RankSelect.groupMedian(ev, "event_type", "value", "event_id")
       .orderBy("event_type")
   }
 
@@ -665,10 +665,12 @@ object Relational {
       |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment))
       |ORDER BY gid, c_mktsegment, c_nationkey NULLS FIRST""".stripMargin) { (s, dir) =>
     graft.Catalog.registerAll(s, dir)
+    // Spark SQL parses bare `10000.0` as DECIMAL (DuckDB: DOUBLE), so the
+    // division must be cast to DOUBLE or the output column type diverges.
     s.sql(
       """SELECT c_mktsegment, c_nationkey,
         |  COUNT(*) AS n_customers,
-        |  SUM(CAST(FLOOR(c_acctbal * 10000.0) AS BIGINT)) / 10000.0 AS total_balance,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_balance,
         |  CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment))

@@ -68,4 +68,32 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"TypedImperativeAggregate must plan partial+final:\n$p")
   }
+
+  test("q56: sequence packing never plans a single-partition exchange") {
+    // the prefix sum must run as a bucket-partitioned window, not a global
+    // Window.orderBy (whose plan is `Exchange SinglePartition` — the whole
+    // corpus through one task)
+    val p = plan("q56_pack_sequences")
+    assert(!p.contains("SinglePartition"),
+      s"global-window exchange crept back into the prefix sum:\n$p")
+    assert(p.contains("hashpartitioning(_bucket"),
+      s"running sum must partition by the prefix-sum bucket:\n$p")
+  }
+
+  test("q40: orders and lineitem are each scanned exactly once") {
+    val p = plan("q40_dq_summary")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"the three orders-side checks must share one scan:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned once:\n$p")
+  }
+
+  test("q27: median selection sorts only the located value bucket") {
+    val p = plan("q27_exact_median")
+    // the window's input must be bucket-filtered (broadcast-joined median
+    // bucket `_mb`), not the full per-group table
+    assert(p.contains("_mb"), s"median-bucket filter missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket/rank metadata must broadcast:\n$p")
+  }
 }
