@@ -338,6 +338,75 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q62 — deterministic mixture sampling: apply per-source sampling
+    * rates (the operational half of q58's mixture WEIGHTS — actually
+    * thinning each source to its target share) via hash-Bernoulli keep
+    * decisions. h60 of a salted (source, doc_id) key mod 10⁴ under the
+    * source's rate in basis points: reproducible across runs, engines and
+    * cluster layouts, no RNG state, and per-row — no shuffle beyond the
+    * reporting aggregate. Rates themselves derive from h60(source) so the
+    * oracle shares the exact constants without hand-copying.
+    */
+  val q62 = Q("q62_mixture_sampling",
+    """WITH d AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks,
+      |    1000 + CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 9000 AS rate_bp,
+      |    (CAST('0x' || substr(md5('sample:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000)
+      |      < 1000 + CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 9000 AS kept
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  CAST(MAX(rate_bp) AS BIGINT) AS rate_bp,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  FLOOR(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS kept_share
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val rateBp = Dedup.h60Col(col("source")) % 9000 + 1000
+    val kept = (Dedup.h60Col(concat(lit("sample:"), col("source"), lit(":"),
+      col("doc_id").cast("string"))) % 10000) < rateBp
+    docs(s, dir)
+      .select(col("source"), tokenCount(col("text")).as("toks"),
+        rateBp.as("rate_bp"), kept.as("kept"))
+      .groupBy("source")
+      .agg(
+        max(col("rate_bp")).as("rate_bp"),
+        count(lit(1)).as("n_docs"),
+        Det.countIf(col("kept")).as("n_kept"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).cast("long").as("kept_tokens"))
+      .select(col("source"), col("rate_bp"), col("n_docs"), col("n_kept"), col("kept_tokens"),
+        Det.dround(col("n_kept").cast("double") / col("n_docs"), 4).as("kept_share"))
+      .orderBy("source")
+  }
+
+  /** q63 — corpus heavy hitters: exact global top-k tokens. Two-level
+    * hash aggregate (map-side combine shrinks the shuffle to distinct
+    * tokens per partition), then top-k via TakeOrdered — a per-partition
+    * heap + driver merge of k rows, never a global sort of the token
+    * vocabulary.
+    */
+  val q63 = Q("q63_heavy_hitters",
+    """WITH ex AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents
+      |)
+      |SELECT tok, COUNT(*) AS n
+      |FROM ex
+      |GROUP BY tok
+      |ORDER BY n DESC, tok
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
   /** Portable PII patterns (no lookarounds — RE2-safe). */
   val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
@@ -379,5 +448,5 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63)
 }

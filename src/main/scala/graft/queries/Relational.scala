@@ -446,6 +446,36 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q61 — exact quantile battery (p25/p50/p75/p90 per event type), the
+    * generalized form of q27: one histogram pass locates ALL four target
+    * ranks, and only the needed value buckets are sorted
+    * (`ops.RankSelect.groupQuantiles`). Element selection, no
+    * interpolation — rank ⌊(n−1)·p⌋+1 — so both engines return input
+    * values verbatim and the oracle is bit-exact.
+    */
+  val q61 = Q("q61_quantile_battery",
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |)
+      |SELECT event_type, n,
+      |  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.25) + 1 AS BIGINT) THEN value END) AS p25,
+      |  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) + 1 AS BIGINT) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.75) + 1 AS BIGINT) THEN value END) AS p75,
+      |  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.9) + 1 AS BIGINT) THEN value END) AS p90
+      |FROM ranked
+      |GROUP BY event_type, n
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    graft.ops.RankSelect.groupQuantiles(ev, "event_type", "value", "event_id",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      .orderBy("event_type")
+  }
+
   /** String-function battery (LIKE predicates + the portable string ops;
     * transcendental numeric functions are deliberately absent from every
     * oracle — libm vs JVM can differ in the last ulp).
@@ -704,5 +734,6 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47)
+    q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
+    q61)
 }

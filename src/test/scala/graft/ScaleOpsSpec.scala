@@ -54,6 +54,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got === naive)
   }
 
+  test("RankSelect.groupQuantiles equals the full-sort window selection") {
+    val ev = Catalog.table(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+    val w = Window.partitionBy("event_type")
+    val ranked = ev
+      .withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val naive = ps.map { case (_, p) =>
+      ranked.filter(col("rn") === (floor((col("n") - 1) * p) + 1).cast("long"))
+        .select("event_type", "value")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val got = ops.RankSelect.groupQuantiles(ev, "event_type", "value", "event_id", ps)
+      .collect()
+    got.foreach { r =>
+      ps.zipWithIndex.foreach { case ((label, _), i) =>
+        assert(r.getAs[Double](label) === naive(i)(r.getString(0)),
+          s"$label mismatch for ${r.getString(0)}")
+      }
+    }
+    assert(got.length === naive.head.size)
+  }
+
   test("RankSelect handles constant-value and single-row groups") {
     import spark.implicits._
     val df = Seq(

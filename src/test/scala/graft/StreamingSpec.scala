@@ -203,4 +203,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(d2Last.streak === 1, "normal reading must reset the streak")
     } finally q.stop()
   }
+
+  test("volume parity: sf0.01 events streamed in hourly windows equal the batch rollup") {
+    // end-to-end at driver-testdata volume (10k events over ~30 days, ~3.4k
+    // hourly windows): the full corpus flows through the watermarked
+    // tumbling aggregation in time-ordered micro-batches, every window is
+    // closed by a sentinel, and the appended output must equal the batch
+    // groupBy(window) bit-for-bit (counts + fixed-point value sums — the
+    // associative-exact form, since double sums are order-sensitive).
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Catalog.table(spark, "/root/testdata/sf0.01", "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = ev.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1.getTime)
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    def hourlyAgg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value").isNotNull,
+            floor(col("value") * 10000.0).cast("long")).otherwise(0L)).as("value_fp"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("value_fp"))
+    val q = hourlyAgg(stream.withWatermark("ts", "48 hours"))
+      .writeStream.format("memory").queryName("vol_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      rows.grouped(2500).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+      // two sentinel batches: the first pushes the watermark past every real
+      // window, the second triggers the flush of the now-closed state
+      mem.addData(Seq((Timestamp.valueOf("2024-06-01 00:00:00"), "zz_sentinel", None)))
+      q.processAllAvailable()
+      mem.addData(Seq((Timestamp.valueOf("2024-06-02 00:00:00"), "zz_sentinel", None)))
+      q.processAllAvailable()
+      val streamed = spark.table("vol_out")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = hourlyAgg(ev).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed.size === batch.size, s"${batch.size} windows expected, got ${streamed.size}")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
