@@ -42,11 +42,13 @@ object Scratch {
     }
 
     if (args.length > 1 && args(1) == "scale") {
-      // 10x scale probe: union id-shifted copies of the sf0.1 tables so the
-      // heavy operators run against ~sf1 volumes without writing anything.
+      // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
+      // tables so the heavy operators run against ~sf1+ volumes without
+      // writing anything.
+      val mult = if (args.length > 2) args(2).toInt else 10
       def x10(name: String, idCol: String, shift: Long) = {
         val base = Catalog.table(spark, sfDir, name)
-        (0 until 10).map(k =>
+        (0 until mult).map(k =>
           base.withColumn(idCol, col(idCol) + lit(k * shift)))
           .reduce(_.unionByName(_))
       }
@@ -57,8 +59,37 @@ object Scratch {
           println(f"SCALE $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
         } catch { case e: Throwable => println(s"SCALE $name FAILED: ${e.getMessage}") }
       }
-      val ev10 = x10("events", "event_id", 10000000L)     // 6M rows
-      val docs10 = x10("documents", "doc_id", 1000000L)   // 50k docs
+      val ev10 = x10("events", "event_id", 10000000L)     // 600k * mult rows
+      lazy val docs10 = x10("documents", "doc_id", 1000000L)
+      if (mult != 10) {
+        // comparison-only mode (e.g. 100x): the prefix-sum / rank-select
+        // rewrites vs their naive single-task forms at 60M rows
+        import org.apache.spark.sql.expressions.Window
+        val vals = ev10.select(col("event_id"),
+          coalesce(floor(col("value") * 100).cast("long"), lit(0L)).as("v"))
+        time(s"events${mult}.cumsum_global_window") {
+          val w = Window.orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          vals.withColumn("cum", sum("v").over(w))
+            .select(max(col("cum"))).head().getLong(0)
+        }
+        time(s"events${mult}.cumsum_prefix_sum") {
+          graft.exec.PrefixSum.runningTotal(vals, "event_id", "v", "cum", 256)
+            .select(max(col("cum"))).head().getLong(0)
+        }
+        val evVal = ev10.filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"), col("event_id"))
+        time(s"events${mult}.median_full_sort") {
+          val w = Window.partitionBy("event_type")
+          evVal.withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
+            .withColumn("n", count(lit(1)).over(w))
+            .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long")).count()
+        }
+        time(s"events${mult}.median_rank_select") {
+          graft.ops.RankSelect.groupMedian(evVal, "event_type", "value", "event_id").count()
+        }
+        spark.stop(); return
+      }
       time("events10.hourly_agg") {
         ev10.groupBy(col("event_type"), date_trunc("hour", col("ts")))
           .agg(count(lit(1)), sum(floor(col("value") * 1e4))).count()
@@ -89,6 +120,32 @@ object Scratch {
       }
       time("docs10.jaccard_lsh")(graft.ops.Dedup.jaccardLshPairs(docs10).count())
       time("docs10.jaccard_pairs")(graft.ops.Dedup.jaccardPairs(docs10).count())
+      // round-3 rewrites vs their naive single-task forms at 6M rows
+      import org.apache.spark.sql.expressions.Window
+      val vals = ev10.select(col("event_id"),
+        coalesce(floor(col("value") * 100).cast("long"), lit(0L)).as("v"))
+      time("events10.cumsum_global_window") {
+        val w = Window.orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        vals.withColumn("cum", sum("v").over(w))
+          .select(max(col("cum"))).head().getLong(0)
+      }
+      time("events10.cumsum_prefix_sum") {
+        graft.exec.PrefixSum.runningTotal(vals, "event_id", "v", "cum", 64)
+          .select(max(col("cum"))).head().getLong(0)
+      }
+      val evVal = ev10.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      time("events10.median_full_sort") {
+        val w = Window.partitionBy("event_type")
+        evVal.withColumn("rn", row_number().over(w.orderBy(col("value"), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long")).count()
+      }
+      time("events10.median_rank_select") {
+        graft.ops.RankSelect.groupMedian(evVal, "event_type", "value", "event_id").count()
+      }
+      time("docs10.neardup_pipeline")(graft.ops.Dedup.nearDupPipeline(docs10).count())
       spark.stop(); return
     }
 
