@@ -82,6 +82,52 @@ object Materializer {
     }
   }
 
+  /** SCD Type-2 sink. The reference dim carries SCD metadata
+    * (`_valid_from`/`_valid_to`/`_is_current`,
+    * reference dim_devices.sql:68-70) but overwrites in place (Type 1);
+    * this is the Type-2 upsert a warehouse runs on the same scaffolding:
+    * a key whose tracked attributes changed gets its current row CLOSED
+    * (`_valid_to = now`, `_is_current = false`) and a new version opened;
+    * unchanged keys are untouched (idempotent re-runs add no versions);
+    * history rows are immutable. Change detection is null-safe (`<=>`).
+    * Scale shape: one key-partitioned join of current-rows vs the batch —
+    * history is only ever appended, never rewritten, so at 100 TB the
+    * closed-version majority of the dim is write-once data.
+    */
+  def scd2Upsert(incoming: DataFrame, path: String, key: String,
+      trackedCols: Seq[String], now: java.sql.Timestamp): Unit = {
+    val spark = incoming.sparkSession
+    val stamped = incoming
+      .withColumn("_valid_from", lit(now))
+      .withColumn("_valid_to", lit(null).cast("timestamp"))
+      .withColumn("_is_current", lit(true))
+    readTarget(spark, path) match {
+      case None => overwriteTable(stamped, path)
+      case Some(old) =>
+        val cur = old.filter(col("_is_current"))
+        val hist = old.filter(!col("_is_current"))
+        val probe = stamped.select(
+          col(key).as("__k") +: trackedCols.map(c => col(c).as(s"__t_$c")): _*)
+        val changedKeys = cur.join(probe, col(key) === col("__k"))
+          .filter(trackedCols.map(c => !(col(c) <=> col(s"__t_$c"))).reduce(_ || _))
+          .select(col(key)).distinct()
+        val closed = cur.join(changedKeys, Seq(key), "left_semi")
+          .withColumn("_valid_to", lit(now))
+          .withColumn("_is_current", lit(false))
+        val untouched = cur.join(changedKeys, Seq(key), "left_anti")
+        val newKeyRows = stamped.join(cur.select(col(key)), Seq(key), "left_anti")
+        val newVersions = stamped.join(changedKeys, Seq(key), "left_semi")
+        val merged = hist
+          .unionByName(closed, allowMissingColumns = true)
+          .unionByName(untouched, allowMissingColumns = true)
+          .unionByName(newKeyRows, allowMissingColumns = true)
+          .unionByName(newVersions, allowMissingColumns = true)
+        val tmp = path + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap(spark, tmp, path)
+    }
+  }
+
   /** Interchange export (S1's write-side complement): parquet is the
     * native format, but downstream consumers ask for csv/jsonl — both
     * round-trip exactly for the primitive types the engine emits (longs,

@@ -407,6 +407,66 @@ object TextOps {
       .limit(20)
   }
 
+  val CmsDepth = 4
+  val CmsWidth = 8192
+
+  /** q64 — count-min sketch twin of q63: the fixed-memory, mergeable
+    * frequency structure a 100 TB pipeline keeps when the exact vocabulary
+    * aggregate is too wide. Counters are CmsDepth × CmsWidth cells built
+    * from the per-token rollup (so the sketch build shuffles the
+    * VOCABULARY, not the token stream) with h60-salted bucket hashes —
+    * fully deterministic, so the estimates themselves are DuckDB-oracled.
+    * Output: the exact top-20 tokens with exact count, CMS estimate
+    * (estimate ≥ exact always; equality when no collision), and the
+    * overestimate.
+    */
+  val q64 = Q("q64_count_min_sketch",
+    s"""WITH ex AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok
+       |), rows_ AS (
+       |  SELECT * FROM (VALUES (0),(1),(2),(3)) r(j)
+       |), counters AS (
+       |  SELECT j,
+       |    CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % $CmsWidth AS bucket,
+       |    CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM vocab, rows_ GROUP BY 1, 2
+       |), top AS (
+       |  SELECT tok, c FROM vocab ORDER BY c DESC, tok LIMIT 20
+       |)
+       |SELECT t.tok, CAST(t.c AS BIGINT) AS n_exact,
+       |  MIN(ct.cnt) AS n_cms,
+       |  MIN(ct.cnt) - CAST(t.c AS BIGINT) AS overestimate
+       |FROM top t
+       |CROSS JOIN rows_ r
+       |JOIN counters ct ON ct.j = r.j AND ct.bucket =
+       |  CAST('0x' || substr(md5('cms' || CAST(r.j AS VARCHAR) || ':' || t.tok), 1, 15) AS BIGINT) % $CmsWidth
+       |GROUP BY t.tok, t.c
+       |ORDER BY n_exact DESC, tok""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def bucketOf(j: Column, tok: Column): Column =
+      Dedup.h60Col(concat(lit("cms"), j.cast("string"), lit(":"), tok)) % CmsWidth
+    val vocab = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val rows = (0 until CmsDepth).toDF("j")
+    val counters = vocab.crossJoin(broadcast(rows))
+      .groupBy(col("j"), bucketOf(col("j"), col("tok")).as("bucket"))
+      .agg(sum(col("c")).cast("long").as("cnt"))
+    val top = vocab.orderBy(col("c").desc, col("tok")).limit(20)
+    val probeRows = (0 until CmsDepth).toDF("pj") // distinct name: counters also carry j
+    top.crossJoin(broadcast(probeRows))
+      .join(counters,
+        counters("j") === col("pj") && counters("bucket") === bucketOf(col("pj"), col("tok")))
+      .groupBy(col("tok"), col("c"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("tok"), col("c").cast("long").as("n_exact"), col("n_cms"),
+        (col("n_cms") - col("c").cast("long")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   /** Portable PII patterns (no lookarounds — RE2-safe). */
   val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
@@ -448,5 +508,5 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64)
 }

@@ -28,6 +28,39 @@ class MaterializerSpec extends AnyFunSuite {
     assert(got === Seq((1, "a", 10), (2, "b2", 21), (3, "c", 30)))
   }
 
+  test("SCD2 upsert: changed keys close + reopen, unchanged keys untouched, history immutable") {
+    val path = tmpDir()
+    val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2025-02-01 00:00:00")
+    val t3 = java.sql.Timestamp.valueOf("2025-03-01 00:00:00")
+    Materializer.scd2Upsert(
+      Seq(("D1", "plant_a", "active"), ("D2", "plant_b", "active"))
+        .toDF("device_id", "location", "status"),
+      path, "device_id", Seq("location", "status"), t1)
+    // D1 moves plant, D2 unchanged, D3 is new
+    Materializer.scd2Upsert(
+      Seq(("D1", "plant_c", "active"), ("D2", "plant_b", "active"), ("D3", "plant_a", "active"))
+        .toDF("device_id", "location", "status"),
+      path, "device_id", Seq("location", "status"), t2)
+    val rows = spark.read.parquet(path)
+      .select("device_id", "location", "_valid_from", "_valid_to", "_is_current")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3), r.getBoolean(4)))
+      .toSet
+    assert(rows === Set(
+      ("D1", "plant_a", t1, t2, false),   // closed version
+      ("D1", "plant_c", t2, null, true),  // reopened with the new attribute
+      ("D2", "plant_b", t1, null, true),  // unchanged: original row untouched
+      ("D3", "plant_a", t2, null, true))) // new key
+    // idempotence: re-applying the same state adds no versions
+    Materializer.scd2Upsert(
+      Seq(("D1", "plant_c", "active"), ("D2", "plant_b", "active"), ("D3", "plant_a", "active"))
+        .toDF("device_id", "location", "status"),
+      path, "device_id", Seq("location", "status"), t3)
+    assert(spark.read.parquet(path).count() === 4, "no new versions for unchanged state")
+    assert(spark.read.parquet(path).filter(col("_is_current")).count() === 3)
+  }
+
   test("upsert is idempotent: re-applying the same batch is a no-op") {
     val path = tmpDir()
     val batch = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "name", "v")

@@ -84,11 +84,15 @@ class ScaleOpsSpec extends AnyFunSuite {
     val df = Seq(
       ("const", 5.0, 1L), ("const", 5.0, 2L), ("const", 5.0, 3L),
       ("single", 9.0, 4L),
-      ("two", 1.0, 5L), ("two", 2.0, 6L))
+      ("two", 1.0, 5L), ("two", 2.0, 6L),
+      // negatives exercise the all-bits-flipped half of the radix encoding
+      ("neg", -5.0, 7L), ("neg", -1.0, 8L), ("neg", -3.0, 9L),
+      ("mixed", -2.0, 10L), ("mixed", 0.0, 11L), ("mixed", 4.0, 12L), ("mixed", 1.0, 13L))
       .toDF("g", "value", "id")
     val got = ops.RankSelect.groupMedian(df, "g", "value", "id")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
-    assert(got === Set(("const", 5.0, 3L), ("single", 9.0, 1L), ("two", 1.0, 2L)))
+    assert(got === Set(("const", 5.0, 3L), ("single", 9.0, 1L), ("two", 1.0, 2L),
+      ("neg", -3.0, 3L), ("mixed", 0.0, 4L)))
   }
 
   test("nearDupPipeline keeps band candidates density-bounded under exact-dup clusters") {
