@@ -12,7 +12,7 @@ object SparkEntry {
   /** All query definitions, grouped by module. */
   def allQ: Seq[Q] =
     Relational.all ++ EventsPipeline.all ++
-      graft.ops.TextOps.all ++ graft.ops.Dedup.all ++
+      graft.ops.TextOps.all ++ graft.ops.Dedup.all ++ graft.ops.Cluster.all ++
       graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
       graft.ops.AsOf.all ++ graft.ops.RangeJoin.all
 

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Catalog
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: the step AFTER candidate generation.
+  * The dedup operators (Dedup.scala) emit near-dup PAIRS; an actual
+  * training-data pipeline must turn those pairs into duplicate GROUPS
+  * (transitive closure) and pick one canonical document per group —
+  * otherwise A~B and B~C keep both B and C. The reference's dbt project
+  * has no graph step (its dedup is row_number-per-key, e.g.
+  * models/staging/stg_device_readings.sql:15-25); this is the
+  * scale-path generalization of that keep-one-per-key idea to a
+  * similarity graph.
+  *
+  * Connected components run as iterative min-label propagation: each
+  * vertex's label drops to the min of its neighborhood until fixpoint —
+  * O(diameter of the largest component) shuffle rounds, each a plain
+  * equi-join + hash aggregate, with `localCheckpoint()` truncating the
+  * lineage so the plan does not grow with iterations. Near-dup clusters
+  * are shallow (dups of a common source), so the diameter is small in
+  * practice; for adversarial long-chain graphs the alternating
+  * large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) bounds rounds at O(log² n) — the
+  * propagation loop here is the simple form of the same join+min kernel.
+  */
+object Cluster {
+
+  private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+
+  /** Distributed connected components over an undirected graph.
+    * `edges` needs columns (src, dst) — one row per edge, either
+    * direction; `vertices` needs column (id) and must cover every vertex
+    * (isolated vertices become singleton components). Returns
+    * (id, component) where component = min vertex id reachable.
+    * Deterministic: min-label is order-independent.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // edges are re-joined every round: cut their lineage once
+    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev"))
+        .count()
+      labels = updated
+    }
+    labels
+  }
+
+  private def q65OracleSql: String = {
+    val bandSelects = (0 until Dedup.SimBits / Dedup.SimBandBits).map { k =>
+      s"  SELECT rep_id, simhash, $k AS band_idx, (simhash >> ${k * Dedup.SimBandBits}) & ${(1 << Dedup.SimBandBits) - 1} AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id, text, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents
+       |), reps AS (
+       |  SELECT fp, MIN(doc_id) AS rep_id, arg_min(text, doc_id) AS text FROM norm GROUP BY fp
+       |), tk AS (
+       |  SELECT rep_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM reps
+       |), hs AS (
+       |  SELECT rep_id, list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh
+       |  FROM tk WHERE len(t) > 0
+       |), sigs AS (
+       |  SELECT rep_id,
+       |${Dedup.simhashSumSql} AS simhash
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.rep_id AS src, b.rep_id AS dst
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.rep_id < b.rep_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimHammingMax}
+       |), edges AS (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+       |), reach AS (
+       |  SELECT rep_id AS v, rep_id AS lab FROM reps
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.v = e.dst
+       |), labels AS (
+       |  SELECT v AS rep_id, MIN(lab) AS cluster_id FROM reach GROUP BY v
+       |), assigned AS (
+       |  SELECT n.doc_id, r.rep_id, l.cluster_id
+       |  FROM norm n JOIN reps r ON n.fp = r.fp JOIN labels l ON l.rep_id = r.rep_id
+       |), sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY cluster_id
+       |)
+       |SELECT a.doc_id, a.rep_id, a.cluster_id, s.cluster_size,
+       |  a.doc_id = a.cluster_id AS is_canonical
+       |FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** q65 — duplicate clusters end to end: exact-dedup to representatives
+    * (one shuffle on the content fingerprint), SimHash band candidates +
+    * Hamming verify among representatives (Dedup.nearDupPipeline's
+    * ordering), connected components over the near-dup graph, then every
+    * document mapped rep→cluster. cluster_id = min doc_id of the group,
+    * the canonical keeper. The oracle computes the identical closure with
+    * a recursive CTE — the component labels, not just counts, must agree.
+    */
+  val q65 = Q("q65_dedup_clusters", q65OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val fp = md5(TextOps.normalized(col("text")))
+    val norm = d.select(col("doc_id"), fp.as("fp"))
+    val reps = d.groupBy(fp.as("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), min_by(col("text"), col("doc_id")).as("text"))
+    val edges = Dedup.simhashCandidates(
+        Dedup.simhash(reps.select(col("rep_id").as("doc_id"), col("text"))))
+      .filter(col("hamming") <= Dedup.SimHammingMax)
+      .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+    val comp = connectedComponents(edges, reps.select(col("rep_id").as("id")))
+    val assigned = norm.join(reps.select("fp", "rep_id"), "fp")
+      .join(comp.select(col("id").as("rep_id"), col("component").as("cluster_id")), "rep_id")
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q65)
+}

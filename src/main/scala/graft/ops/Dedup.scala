@@ -191,10 +191,16 @@ object Dedup {
     agg.select(col("doc_id"), col("n_tokens"), sig.as("simhash"))
   }
 
+  /** DuckDB expression for the 60-bit simhash of a token-hash list column
+    * named `hh` — the SQL mirror of simhash(), shared by the q32 and q65
+    * oracles so the signature definition lives in one place.
+    */
+  def simhashSumSql: String = (0 until SimBits).map(b =>
+    s"    (CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+    .mkString(" +\n")
+
   private def q32OracleSql: String = {
-    val sigSum = (0 until SimBits).map(b =>
-      s"    (CASE WHEN list_sum(list_transform(hh, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
-      .mkString(" +\n")
+    val sigSum = simhashSumSql
     val bandSelects = (0 until 4).map { k =>
       s"  SELECT doc_id, simhash, $k AS band_idx, (simhash >> ${k * SimBandBits}) & ${(1 << SimBandBits) - 1} AS band_val FROM sigs"
     }.mkString("\n  UNION ALL\n")

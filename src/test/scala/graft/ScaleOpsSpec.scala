@@ -118,6 +118,35 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"pipeline candidates $pipelinePairs must equal base-corpus candidates $basePairs")
   }
 
+  test("connectedComponents: chains, isolated vertices, and label determinism") {
+    import spark.implicits._
+    // component {1,2,3,4} is a CHAIN (forces multi-round propagation),
+    // {10,11} a pair, {20} isolated; edge direction is arbitrary
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = ops.Cluster.connectedComponents(edges, verts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("q65: exact-dup docs land in one cluster with the min doc_id canonical") {
+    import spark.implicits._
+    val out = ops.Cluster.q65.fn(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byCluster = out.groupBy(_._2)
+    // every cluster's id is its min member and exactly that member is canonical
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._4) === 1)
+      assert(members.forall(_._3 === members.length))
+    }
+    // every document is assigned exactly once
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.length === Catalog.table(spark, sf, "documents").count())
+  }
+
   test("IVF index artifact is built once and reused by q38") {
     val path = ops.Similarity.buildIvfIndex(spark, sf)
     val success = new java.io.File(path, "_SUCCESS")
