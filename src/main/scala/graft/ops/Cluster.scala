@@ -41,22 +41,29 @@ object Cluster {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // edges are re-joined every round: cut their lineage once
-    var labels = vertices.select(col("id"), col("id").as("component")).localCheckpoint()
+    // the loop runs over edge-touched vertices ONLY — isolated vertices
+    // are singleton components by definition and would otherwise be
+    // dead weight shuffled every round (at 100 TB the near-dup subgraph
+    // is a sliver of the corpus)
+    val touched = sym.select(col("src").as("id")).distinct()
+    var labels = touched.select(col("id"), col("id").as("component")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min(col("component")).as("ncomp"))
+      // one checkpointed pass carries both the new label and the old one,
+      // so convergence detection is a scan of the checkpoint, not a re-join
       val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
+          col("component").as("prev"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev"))
-        .count()
-      labels = updated
+      changed = updated.filter(col("component") =!= col("prev")).count()
+      labels = updated.select("id", "component")
     }
-    labels
+    val isolated = vertices.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.unionByName(isolated)
   }
 
   private def q65OracleSql: String = {
@@ -117,16 +124,21 @@ object Cluster {
     val fp = md5(TextOps.normalized(col("text")))
     val norm = d.select(col("doc_id"), fp.as("fp"))
     val reps = d.groupBy(fp.as("fp"))
-      .agg(min(col("doc_id")).as("rep_id"), min_by(col("text"), col("doc_id")).as("text"))
+      .agg(min(col("doc_id")).as("rep_id"), min_by(col("text"), col("doc_id")).as("text"),
+        count(lit(1)).as("n_docs"))
     val edges = Dedup.simhashCandidates(
         Dedup.simhash(reps.select(col("rep_id").as("doc_id"), col("text"))))
       .filter(col("hamming") <= Dedup.SimHammingMax)
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
     val comp = connectedComponents(edges, reps.select(col("rep_id").as("id")))
-    val assigned = norm.join(reps.select("fp", "rep_id"), "fp")
-      .join(comp.select(col("id").as("rep_id"), col("component").as("cluster_id")), "rep_id")
-    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, "cluster_id")
+      .select(col("id").as("rep_id"), col("component").as("cluster_id"))
+    // cluster sizes aggregate the per-rep doc counts — a rep-level shuffle,
+    // not a second pass over the per-document assignment
+    val sizes = reps.select("rep_id", "n_docs").join(comp, "rep_id")
+      .groupBy("cluster_id").agg(sum(col("n_docs")).cast("long").as("cluster_size"))
+    norm.join(reps.select("fp", "rep_id"), "fp")
+      .join(comp, "rep_id")
+      .join(sizes, "cluster_id")
       .select(col("doc_id"), col("rep_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")

@@ -4,6 +4,7 @@ import graft.Catalog
 import graft.functions.RollingHash
 import graft.queries.{Det, Q}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a large-scale training-data pipeline over the
@@ -407,6 +408,55 @@ object TextOps {
       .limit(20)
   }
 
+  /** q66 — per-document keyword salience (tf-idf family). The classic
+    * idf needs log(N/df), but transcendentals are banned from oracles
+    * (libm vs JVM last-ulp); the ranking-equivalent exact form is the
+    * scaled rational salience = ⌊tf·N·10⁴ / df⌋ in BIGINT floor division
+    * — monotone in tf·N/df, so the argmax token is the same one log-idf
+    * ranks first (for a fixed doc, log is monotone in N/df and tf scales
+    * positively). Shapes: one token explode, tf = (doc,tok) hash agg,
+    * df = tok hash agg OVER the tf rollup (vocabulary-sized, not
+    * token-stream-sized), broadcast scalar N, and the per-doc argmax is
+    * ONE hash aggregate (min_by over the (−salience, token) order — no
+    * per-doc sort window), so parallelism scales with documents and the
+    * only shuffles are the three keyed aggregates.
+    */
+  val q66 = Q("q66_tfidf_salience",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+      |), nn AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |), scored AS (
+      |  SELECT doc_id, tok, tf.tf, df.df, (tf.tf * nn.n * 10000) // df.df AS salience_fp
+      |  FROM tf JOIN df USING (tok) CROSS JOIN nn
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY salience_fp DESC, tok) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, tok AS top_token, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, salience_fp
+      |FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tk = docs(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("salience_fp", expr("(tf * n * 10000) div df"))
+    scored.groupBy("doc_id")
+      .agg(min_by(
+        struct(col("tok"), col("tf"), col("df"), col("salience_fp")),
+        struct((-col("salience_fp")).as("neg"), col("tok"))).as("top"))
+      .select(col("doc_id"), col("top.tok").as("top_token"), col("top.tf"),
+        col("top.df"), col("top.salience_fp"))
+      .orderBy("doc_id")
+  }
+
   val CmsDepth = 4
   val CmsWidth = 8192
 
@@ -508,5 +558,5 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66)
 }

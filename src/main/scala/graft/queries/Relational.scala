@@ -293,20 +293,26 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
     // pre-aggregate the fact to one raw-long row per order before the join
-    // chain: the joins move |orders| rows, not |lineitem| rows, and the
-    // integer partial sums re-associate exactly (bit-identical to the
-    // single-level oracle SUM)
+    // chain (integer partial sums re-associate exactly — bit-identical to
+    // the single-level oracle SUM), and push the selective region predicate
+    // to the OTHER side first: customers filter to ASIA through broadcast
+    // dims, orders shrink 5× on the custkey join, so the expensive orderkey
+    // shuffle joins the fact against only the surviving order keys.
     val lagg = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(
         dsumRaw(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_raw"),
         count(lit(1)).as("n"))
-    lagg
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val asiaCustomers = t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val asiaOrders = t(s, dir, "orders")
+      .join(asiaCustomers, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    lagg
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("n_name")
       .agg(
         (sum(col("rev_raw")) / lit(10000.0)).as("revenue"),
