@@ -41,6 +41,27 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "q65") {
+      // piecewise timing of the dedup-cluster pipeline
+      val d = Catalog.table(spark, sfDir, "documents")
+      val fp = md5(graft.ops.TextOps.normalized(col("text")))
+      val reps = d.groupBy(fp.as("fp"))
+        .agg(min(col("doc_id")).as("rep_id"), min_by(col("text"), col("doc_id")).as("text"))
+        .localCheckpoint()
+      time("q65.reps") { reps.count() }
+      val edges = graft.ops.Dedup.simhashCandidates(
+          graft.ops.Dedup.simhash(reps.select(col("rep_id").as("doc_id"), col("text"))))
+        .filter(col("hamming") <= graft.ops.Dedup.SimHammingMax)
+        .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+        .localCheckpoint()
+      time("q65.edges") { edges.count() }
+      time("q65.cc_loop") {
+        graft.ops.Cluster.connectedComponents(edges, reps.select(col("rep_id").as("id"))).count()
+      }
+      time("q65.full") { SparkEntry.queries("q65_dedup_clusters")(spark, sfDir).count() }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without

@@ -38,27 +38,52 @@ object Cluster {
     * Deterministic: min-label is order-independent.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val sym0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // edges are re-joined every round: cut their lineage once
+    // size the loop's parallelism from the data, not the cluster: each
+    // round is a join + agg over the edge set, and a fixed 32-partition
+    // shuffle on a 35k-edge graph spends the whole round on task
+    // scheduling. One partition per ~500k edges, capped at the session's
+    // parallelism — at 100 TB this saturates the cluster, at test scale
+    // it collapses each round to a couple of tasks.
+    val nEdges = sym0.count()
+    val spark = edges.sparkSession
+    val np = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 500000L + 1L)).toInt
+    val sym = sym0.repartition(np, col("dst")).localCheckpoint()
     // the loop runs over edge-touched vertices ONLY — isolated vertices
     // are singleton components by definition and would otherwise be
     // dead weight shuffled every round (at 100 TB the near-dup subgraph
     // is a sliver of the corpus)
     val touched = sym.select(col("src").as("id")).distinct()
-    var labels = touched.select(col("id"), col("id").as("component")).localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("component"))
+      .repartition(np, col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid")).agg(min(col("component")).as("ncomp"))
-      // one checkpointed pass carries both the new label and the old one,
-      // so convergence detection is a scan of the checkpoint, not a re-join
-      val updated = labels.join(neighborMin, col("id") === col("nid"), "left")
+      val stepped = labels.join(neighborMin, col("id") === col("nid"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"),
           col("component").as("prev"))
+      // pointer jump (path halving): component := component(component).
+      // Label ids are always vertex ids in `labels`, so the self-join
+      // resolves; distance-to-root halves per round, bounding the loop at
+      // O(log diameter) shuffle rounds instead of O(diameter) — the same
+      // round bound as Kiveris large-star/small-star, with one extra
+      // equi-join per round. One checkpointed pass carries both the new
+      // label and the old one, so convergence detection is a scan of the
+      // checkpoint, not a re-join.
+      val parent = stepped.select(col("id").as("p_id"), col("component").as("p_comp"))
+      val updated = stepped.join(parent, stepped("component") === parent("p_id"), "left")
+        .select(stepped("id"),
+          least(stepped("component"), coalesce(col("p_comp"), stepped("component")))
+            .as("component"),
+          col("prev"))
         .localCheckpoint()
       changed = updated.filter(col("component") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"CC round: changed=$changed")
       labels = updated.select("id", "component")
     }
     val isolated = vertices.join(touched, Seq("id"), "left_anti")
