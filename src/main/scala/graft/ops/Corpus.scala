@@ -1,0 +1,209 @@
+package graft.ops
+
+import graft.Catalog
+import graft.queries.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a pretraining data pipeline, beyond
+  * the per-document statistics in TextOps: tokenizer induction input
+  * (adjacent-pair counts — one BPE merge round), overlapping-window
+  * chunking, a composed quality gate (the Gopher/C4-style rule family
+  * over integer arithmetic only, so it oracles exactly), and incremental
+  * corpus ingest (new-batch dedup against an already-ingested history).
+  *
+  * Everything here is per-row array work plus at most one keyed
+  * aggregate — the shapes that stay linear at 100 TB. The reference has
+  * no corpus tooling (its transforms are device telemetry, e.g.
+  * models/staging/stg_device_readings.sql); these extend the same
+  * staged-transform idea to LLM training data.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+
+  /** q67 — adjacent token-pair frequencies, i.e. the statistic one BPE
+    * merge round maximizes (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", ACL'16: repeatedly merge the
+    * most frequent symbol pair). Pairs are built INSIDE the token array
+    * with a codegen'd `transform` over `element_at` (1-based, matching
+    * DuckDB list indexing) — no self-join, no window; the only shuffle
+    * is the final (left,right) count aggregate with map-side partials.
+    * At 100 TB the pair stream is ~token-stream-sized and the aggregate
+    * key space is vocabulary², both linear-scan friendly.
+    */
+  val q67 = Q("q67_bpe_merge_pairs",
+    """WITH tk AS (
+      |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), pr AS (
+      |  SELECT unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS p
+      |  FROM tk WHERE len(t) >= 2
+      |)
+      |SELECT p.a AS left_tok, p.b AS right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+      |FROM pr
+      |GROUP BY 1, 2
+      |ORDER BY pair_count DESC, left_tok, right_tok
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("left_tok"), col("p.b").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+      .limit(20)
+  }
+
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** q68 — overlapping-window chunking: split each document into
+    * fixed-budget token windows (64 tokens, stride 48 → 16-token overlap),
+    * the unit a context-length-bounded trainer actually consumes. Chunk
+    * starts come from a codegen'd `sequence(0, n-1, stride)` explode and
+    * each chunk is a `slice` of the in-row token array — per-row work,
+    * zero shuffle, output keyed (doc_id, chunk_idx) so downstream packing
+    * can repartition by hash(doc_id) and stay balanced. chunk_idx is
+    * derived as start/stride (exact integer division) rather than a
+    * window ordinal, so no ordering dependency exists at all.
+    */
+  val q68 = Q("q68_chunk_documents",
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), ch AS (
+       |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS start FROM tk
+       |  WHERE len(t) > 0
+       |)
+       |SELECT doc_id, start // $ChunkStride AS chunk_idx, start AS start_tok,
+       |  len(list_slice(t, start + 1, start + $ChunkTokens)) AS n_chunk_tokens,
+       |  ${Dedup.h60Sql(s"array_to_string(list_slice(t, start + 1, start + $ChunkTokens), ' ')")} AS chunk_h60
+       |FROM ch
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, size(t) - 1, $ChunkStride)")).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(start div $ChunkStride AS BIGINT)").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        expr(s"size(slice(t, start + 1, $ChunkTokens))").as("n_chunk_tokens"),
+        Dedup.h60Col(expr(s"concat_ws(' ', slice(t, start + 1, $ChunkTokens))")).as("chunk_h60"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q69 — composed quality gate, the Gopher rule family (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, §A1.1 and C4's filters)
+    * re-expressed over INTEGER arithmetic only: every ratio threshold is
+    * a cross-multiplication (`10 * n_punct <= text_len` instead of
+    * `n_punct / text_len <= 0.1`), so the gate is bit-exact across
+    * engines with no float division anywhere. Per-row projection — the
+    * filter that runs FIRST at 100 TB, before any shuffle-bearing dedup.
+    */
+  val q69 = Q("q69_quality_gate",
+    s"""WITH st AS (
+       |  SELECT doc_id,
+       |    length(text) AS text_len,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text_len, len(t) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS alpha_chars,
+       |    n_punct,
+       |    len(list_filter(t, x -> list_contains([${TextOps.allStop.map("'" + _ + "'").mkString(",")}], x))) AS n_stop
+       |  FROM st
+       |)
+       |SELECT doc_id, text_len, n_tokens, alpha_chars, n_punct,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  n_tokens BETWEEN 50 AND 100000 AS len_ok,
+       |  (3 * n_tokens <= alpha_chars AND alpha_chars <= 10 * n_tokens) AS wordlen_ok,
+       |  10 * n_punct <= text_len AS punct_ok,
+       |  n_stop >= 2 AS stop_ok,
+       |  (n_tokens BETWEEN 50 AND 100000
+       |    AND 3 * n_tokens <= alpha_chars AND alpha_chars <= 10 * n_tokens
+       |    AND 10 * n_punct <= text_len AND n_stop >= 2) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("text_len"),
+      TextOps.tokens(col("text")).as("t"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("n_punct"))
+    val m = base.select(
+      col("doc_id"), col("text_len"),
+      size(col("t")).as("n_tokens"),
+      coalesce(expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)"), lit(0))
+        .cast("long").as("alpha_chars"),
+      col("n_punct"),
+      size(filter(col("t"), x => x.isInCollection(TextOps.allStop))).cast("long").as("n_stop"))
+    val lenOk = col("n_tokens").between(50, 100000)
+    val wordlenOk = (lit(3) * col("n_tokens") <= col("alpha_chars")) &&
+      (col("alpha_chars") <= lit(10) * col("n_tokens"))
+    val punctOk = lit(10) * col("n_punct") <= col("text_len")
+    val stopOk = col("n_stop") >= 2
+    m.select(col("doc_id"), col("text_len"), col("n_tokens"), col("alpha_chars"),
+        col("n_punct"), col("n_stop"),
+        lenOk.as("len_ok"), wordlenOk.as("wordlen_ok"), punctOk.as("punct_ok"),
+        stopOk.as("stop_ok"),
+        (lenOk && wordlenOk && punctOk && stopOk).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q72 — incremental corpus ingest: dedup a NEW batch of documents
+    * against the already-ingested history without rescanning history
+    * content — only its fingerprint set. History/batch are derived from
+    * q55's content-hash split (train = history, val+test = the arriving
+    * batch) so the query is self-contained on the test tables; in
+    * production the history side is the fingerprint column of the
+    * ingested store (a bucketed join key, no text movement). Each batch
+    * doc is classified: `dup_history` (fingerprint already ingested),
+    * `dup_batch` (an earlier doc in the same batch has it — min doc_id
+    * wins), or `new`. Shapes: one distinct over history fingerprints,
+    * one min-aggregate over the batch, two equi-joins on the fingerprint
+    * — all hash-partitioned by fp, no skew (md5 keys are uniform).
+    */
+  val q72 = Q("q72_incremental_ingest",
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) % 100 AS bucket
+      |  FROM documents
+      |), hist AS (
+      |  SELECT DISTINCT fp FROM base WHERE bucket < 90
+      |), batch AS (
+      |  SELECT doc_id, source, fp FROM base WHERE bucket >= 90
+      |), first_in_batch AS (
+      |  SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp
+      |)
+      |SELECT b.doc_id, b.source,
+      |  CASE WHEN h.fp IS NOT NULL THEN 'dup_history'
+      |       WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch b
+      |LEFT JOIN hist h ON b.fp = h.fp
+      |JOIN first_in_batch f ON b.fp = f.fp
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val fp = md5(TextOps.normalized(col("text")))
+    val base = docs(s, dir).select(
+      col("doc_id"), col("source"), fp.as("fp"),
+      (Dedup.h60Col(TextOps.normalized(col("text"))) % 100).as("bucket"))
+    val hist = base.filter(col("bucket") < 90).select(col("fp")).distinct()
+      .withColumn("in_hist", lit(1))
+    val batch = base.filter(col("bucket") >= 90)
+    val firstInBatch = batch.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
+    batch
+      .join(hist, Seq("fp"), "left")
+      .join(firstInBatch, "fp")
+      .select(col("doc_id"), col("source"),
+        when(col("in_hist").isNotNull, "dup_history")
+          .when(col("doc_id") =!= col("first_id"), "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72)
+}

@@ -27,7 +27,7 @@ object Dedup {
   /** SQL fragment: h60 of a string expression (DuckDB mirror of
     * TextHash.h60 / the conv(substr(md5)) Spark tree).
     */
-  private def h60Sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  def h60Sql(e: String): String = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
   /** Spark column: h60 via built-ins (for small per-row strings like band
     * keys; the per-shingle path uses the codegen ShingleHashes instead).
