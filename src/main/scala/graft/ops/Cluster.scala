@@ -169,5 +169,90 @@ object Cluster {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q65)
+  private val CustOffset = 1000000000L
+  private val PrIters = 5
+
+  private def q71OracleSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.id, 150000 + (85 * COALESCE(s.cc, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r // e.deg) AS cc
+         |    FROM ed e JOIN pr${k - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT CAST(s AS BIGINT) AS src, CAST($CustOffset AS BIGINT) + c AS dst FROM e0
+       |  UNION ALL
+       |  SELECT CAST($CustOffset AS BIGINT) + c AS src, CAST(s AS BIGINT) AS dst FROM e0
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
+       |), nodes AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+       |  UNION ALL
+       |  SELECT CAST($CustOffset AS BIGINT) + c_custkey FROM customer
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $iters
+       |SELECT CASE WHEN id >= $CustOffset THEN 'customer' ELSE 'supplier' END AS node_kind,
+       |  CAST(CASE WHEN id >= $CustOffset THEN id - $CustOffset ELSE id END AS BIGINT) AS node_id,
+       |  CAST(r AS BIGINT) AS rank_fp
+       |FROM pr$PrIters
+       |ORDER BY rank_fp DESC, node_kind, node_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** q71 — PageRank over the supplier↔customer transaction graph
+    * (who-trades-with-whom, the relational twin of link-graph importance
+    * scoring used to weight web-crawl documents; Page et al. 1999). All
+    * arithmetic is FIXED-POINT INTEGER: ranks are 1e6-scaled longs,
+    * contributions are floor divisions, damping is `(85 * x) div 100` —
+    * exact, associative, engine-independent, so five unrolled iterations
+    * oracle bit-for-bit against DuckDB (no recursive CTE: the closure is
+    * bounded, K chained aggregates). Per iteration: one equi-join of the
+    * degree-annotated edge list (checkpointed once, partitioned by src)
+    * against the rank vector, one map-side-combined sum by dst, one left
+    * join back to the node set — every stage scales with executors; rank
+    * state per round is O(|nodes|), the same footprint GraphX/Pregel
+    * carries. Dangling mass (nodes with no outgoing edges contribute
+    * nothing) matches the oracle by construction.
+    */
+  val q71 = Q("q71_pagerank", q71OracleSql) { (s, dir) =>
+    val li = Catalog.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Catalog.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"), col("o_custkey").cast("long").as("c"))
+      .distinct()
+    val edges = e0.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
+      .unionByName(e0.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src").localCheckpoint()
+    val nodes = Catalog.table(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("id"))
+      .unionByName(Catalog.table(s, dir, "customer")
+        .select((col("c_custkey") + CustOffset).as("id")))
+      .localCheckpoint()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst"), expr("r div deg").as("ct"))
+        .groupBy("dst").agg(sum(col("ct")).as("cc"))
+      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"), expr("150000L + ((85L * coalesce(cc, 0L)) div 100L)").as("r"))
+        .localCheckpoint()
+    }
+    r.select(
+        when(col("id") >= CustOffset, "customer").otherwise("supplier").as("node_kind"),
+        when(col("id") >= CustOffset, col("id") - CustOffset).otherwise(col("id")).as("node_id"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_kind"), col("node_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q65, q71)
 }

@@ -277,5 +277,68 @@ object Similarity {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38)
+  /** q70 — per-label centroid quality report: the embedding-space health
+    * check a training pipeline runs over its clustered corpus (how tight
+    * is each label's cluster, are there outliers). Centroids are exact
+    * fixed-point: each element is floor-scaled to a long BEFORE summing,
+    * so the per-dimension sums are associative integers (partial + final
+    * aggregate, any partition order) and the derived centroid doubles are
+    * bit-identical across engines — the same Det discipline as every
+    * float aggregate here. Cosines against the centroid then fold
+    * sequentially per row (VecDot), and the per-label average is again a
+    * floor-scaled integer sum. Shapes: one (label, dim) hash aggregate
+    * (64 × labels cells), one broadcast-sized centroid table joined back,
+    * one per-label rollup — nothing quadratic, nothing single-task.
+    */
+  val q70 = Q("q70_label_centroid_quality",
+    s"""WITH ed AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), pe AS (
+       |  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x FROM ed
+       |), sums AS (
+       |  SELECT label, pos, SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n
+       |  FROM pe GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+       |  FROM sums GROUP BY label
+       |), cn AS (
+       |  SELECT label, c,
+       |    CAST(FLOOR(${normSql("c")} * 1000000.0) AS BIGINT) AS centroid_norm_fp
+       |  FROM cent
+       |), j AS (
+       |  SELECT e.label, cn.centroid_norm_fp,
+       |    ${dotSql.format("e.v", "cn.c")} / (${normSql("e.v")} * ${normSql("cn.c")}) AS cos
+       |  FROM ed e JOIN cn ON e.label = cn.label
+       |)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  MAX(centroid_norm_fp) AS centroid_norm_fp,
+       |  CAST(SUM(CAST(FLOOR(cos * 1000000.0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_cos_fp,
+       |  MIN(CAST(FLOOR(cos * 1000000.0) AS BIGINT)) AS min_cos_fp
+       |FROM j GROUP BY label
+       |ORDER BY label""".stripMargin) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val pe = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val sums = pe.groupBy("label", "pos")
+      .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
+    val cent = sums.groupBy("label").agg(
+      expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+        "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
+    val cn = cent.select(col("label"), col("c"),
+      floor(norm(col("c")) * lit(1000000.0)).as("centroid_norm_fp"))
+    val j = e.join(broadcast(cn), "label")
+      .select(col("label"), col("centroid_norm_fp"),
+        (dot(col("v"), col("c")) / (norm(col("v")) * norm(col("c")))).as("cos"))
+    j.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        max(col("centroid_norm_fp")).as("centroid_norm_fp"),
+        (sum(floor(col("cos") * lit(1000000.0))).cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("avg_cos_fp"),
+        min(floor(col("cos") * lit(1000000.0))).as("min_cos_fp"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70)
 }
