@@ -289,4 +289,68 @@ class OpsSpec extends AnyFunSuite {
       assert(pred === expected, s"doc ${r.getAs[Long]("doc_id")}: $pred vs $expected")
     }
   }
+
+  test("chunking: windows tile every document end-to-end at the stride") {
+    val nTok = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val perDoc = graft.ops.Corpus.q68.fn(spark, sf)
+      .groupBy("doc_id")
+      .agg(min(col("start_tok")).as("first_start"),
+        max(col("start_tok") + col("n_chunk_tokens")).as("covered_to"),
+        count(lit(1)).as("n_chunks"),
+        max(col("start_tok")).as("last_start"))
+      .join(nTok, "doc_id")
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("first_start") === 0L)
+      assert(r.getAs[Long]("covered_to") === r.getAs[Long]("n_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")}: chunks must cover the full token stream")
+      assert(r.getAs[Long]("last_start") ===
+        graft.ops.Corpus.ChunkStride.toLong * (r.getAs[Long]("n_chunks") - 1),
+        "starts must advance by exactly one stride per chunk")
+    }
+  }
+
+  test("quality gate: keep is exactly the conjunction of its flags") {
+    val rows = graft.ops.Corpus.q69.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("len_ok") && r.getAs[Boolean]("wordlen_ok") &&
+        r.getAs[Boolean]("punct_ok") && r.getAs[Boolean]("stop_ok")
+      assert(r.getAs[Boolean]("keep") === conj)
+    }
+  }
+
+  test("centroid quality: cosines-to-centroid are bounded and labels complete") {
+    val rows = Similarity.q70.fn(spark, sf).collect()
+    val total = Catalog.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === total)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_cos_fp")) <= 1.0)
+      assert(r.getAs[Long]("min_cos_fp") >= -1000000L && r.getAs[Long]("min_cos_fp") <= 1000000L)
+      assert(r.getAs[Long]("centroid_norm_fp") > 0L)
+    }
+  }
+
+  test("pagerank: ranks keep teleport floor and damping ceiling") {
+    val rows = graft.ops.Cluster.q71.fn(spark, sf).collect()
+    assert(rows.length === 20)
+    val ranks = rows.map(_.getAs[Long]("rank_fp"))
+    assert(ranks.sameElements(ranks.sorted.reverse), "top-k must be rank-descending")
+    // teleport term is 0.15 * 1e6; no node can hold more than the whole
+    // graph's mass — at sf0.001 that is a loose but real invariant
+    ranks.foreach(r => assert(r >= 150000L && r < 1000000L * 10000))
+  }
+
+  test("incremental ingest: batch docs are classified exhaustively, new fps are unique") {
+    val out = graft.ops.Corpus.q72.fn(spark, sf).cache()
+    val statuses = out.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("new", "dup_history", "dup_batch")))
+    val batchCount = Catalog.table(spark, sf, "documents")
+      .select((graft.ops.Dedup.h60Col(TextOps.normalized(col("text"))) % 100).as("b"))
+      .filter(col("b") >= 90).count()
+    assert(out.count() === batchCount, "every batch doc must be classified exactly once")
+    out.unpersist()
+  }
 }

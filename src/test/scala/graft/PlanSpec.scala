@@ -96,4 +96,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"bucket/rank metadata must broadcast:\n$p")
   }
+
+  test("q68: chunking is per-row — only the final sort exchanges data") {
+    val p = plan("q68_chunk_documents")
+    val nEx = "Exchange \\(".r.findAllIn(p).length // tree nodes only, not the detail section
+    assert(nEx <= 1, s"chunking must not shuffle before the output sort ($nEx exchanges):\n$p")
+  }
+
+  test("q67: pair counting is one hash aggregate, top-k without a global sort") {
+    val p = plan("q67_bpe_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+order must plan as TakeOrdered, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs must come from in-row transform, not a join:\n$p")
+  }
+
+  test("q70: centroid table broadcasts back to the vector scan") {
+    val p = plan("q70_label_centroid_quality")
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
