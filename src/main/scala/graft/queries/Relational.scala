@@ -739,7 +739,129 @@ object Relational {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** q73 — JSON battery over the `props` column: path extraction with a
+    * typed cast, string extraction, missing-key probe, and re-serialization
+    * of a (string, long) struct. All per-row projection (codegen'd
+    * `GetJsonObject`/`StructsToJson`) — no shuffle except the output sort.
+    * Serialization parity holds because both engines emit compact JSON
+    * (no spaces) with field order = struct order and only string/int64
+    * leaves — exactly the shapes that round-trip identically.
+    */
+  val q73 = Q("q73_json_battery",
+    """WITH ex AS (
+      |  SELECT event_id, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
+      |    json_extract_string(props, '$.k') AS k_str
+      |  FROM events
+      |)
+      |SELECT event_id, event_type, k, has_missing, k_str,
+      |  to_json({'event_type': event_type, 'k': k}) AS packed
+      |FROM ex
+      |WHERE event_id < 100
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") < 100)
+      .select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.missing").isNotNull.as("has_missing"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .withColumn("packed", to_json(struct(col("event_type"), col("k"))))
+      .orderBy("event_id")
+  }
+
+  /** q74 — calendar gap-fill + forward-fill: densify (event_type, day) to
+    * the full observed date range, count 0 on missing days, and carry the
+    * last observed day-average forward (the standard time-series
+    * "resample + ffill"). The fill key is a STRUCT of (fixed-point sum,
+    * count) carried atomically by `last(..., ignoreNulls)` so a day with
+    * events but no values cannot mix one day's sum with another's count.
+    * Scale shape: the window runs over the dense CALENDAR GRID
+    * (days × types — metadata-sized at any corpus scale), never the event
+    * table; the only data-sized stages are the daily pre-aggregate and
+    * its join to the grid.
+    */
+  val q74 = Q("q74_gap_fill",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS sum_fp,
+      |    COUNT(value) AS n_vals
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+      |), days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+      |), grid AS (
+      |  SELECT t.event_type, d.day FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN days d
+      |), joined AS (
+      |  SELECT g.event_type, g.day,
+      |    COALESCE(dl.n_events, 0) AS n_events,
+      |    last_value(CASE WHEN dl.n_vals > 0 THEN {'sf': dl.sum_fp, 'nv': dl.n_vals} END IGNORE NULLS)
+      |      OVER (PARTITION BY g.event_type ORDER BY g.day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+      |  FROM grid g LEFT JOIN daily dl ON g.event_type = dl.event_type AND g.day = dl.day
+      |)
+      |SELECT event_type, day, n_events,
+      |  CAST(sv.sf AS DOUBLE) / (sv.nv * 10000.0) AS filled_avg
+      |FROM joined
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(10000.0))).as("sum_fp"),
+        count(col("value")).as("n_vals"))
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val days = bounds.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(broadcast(days))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(when(col("n_vals") > 0, struct(col("sum_fp").as("sf"), col("n_vals").as("nv"))),
+          ignoreNulls = true).over(w).as("sv"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("sv.sf").cast("double") / (col("sv.nv") * lit(10000.0))).as("filled_avg"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q75 — UNPIVOT (melt): the wide daily matrix of q26 back to long
+    * (day, event_type, cnt) form via the native `Dataset.unpivot`
+    * operator — the inverse operator a reference user reaches for when a
+    * downstream consumer wants tidy rows. Per-row expansion (Expand
+    * node), no shuffle beyond the output sort.
+    */
+  val q75 = Q("q75_unpivot_daily",
+    """WITH wide AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT day, event_type, cnt FROM (
+      |  SELECT day, 'click' AS event_type, click AS cnt FROM wide
+      |  UNION ALL SELECT day, 'view', view FROM wide
+      |  UNION ALL SELECT day, 'purchase', purchase FROM wide
+      |  UNION ALL SELECT day, 'signup', signup FROM wide
+      |  UNION ALL SELECT day, 'error', error FROM wide
+      |)
+      |ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+    q26.fn(s, dir)
+      .unpivot(
+        Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"), col("error")),
+        "event_type", "cnt")
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61)
+    q61, q73, q74, q75)
 }
