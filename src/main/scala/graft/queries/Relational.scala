@@ -861,7 +861,36 @@ object Relational {
       .orderBy("day", "event_type")
   }
 
+  /** q76 — RANGE-frame window (value-based frame bounds, distinct from
+    * q19's ROWS frames): trailing 3-day windowed sum/avg over per-day
+    * counts, where the frame is `RANGE BETWEEN 2 PRECEDING AND CURRENT
+    * ROW` on the day number — days missing from the data are correctly
+    * excluded by VALUE, which a ROWS frame cannot express. Window input
+    * is the daily aggregate (calendar-sized), partitioned by type.
+    */
+  val q76 = Q("q76_range_frame_trailing",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, day, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing3_n
+      |FROM daily
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-2, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w).as("trailing3_n"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75)
+    q61, q73, q74, q75, q76)
 }

@@ -142,6 +142,22 @@ object StreamingIngest {
           """user_id = err_user_id AND
             |ts >= err_ts AND ts < err_ts + INTERVAL 1 HOUR""".stripMargin))
 
+  /** Stream-static join — enrich a stream with a batch dimension (the
+    * DLT "streaming table joins a materialized dim" shape; reference's
+    * silver enrich int_readings_enriched.sql does this batchwise). The
+    * static side is re-read per micro-batch (picking up dim updates) and
+    * broadcast when it fits `autoBroadcastJoinThreshold`, so the stream
+    * side never shuffles — stateless, no watermark needed, unlike the
+    * stream-stream case. At 100 TB of stream the dim broadcast is the
+    * only sane plan; a huge dim would instead go through the foreachBatch
+    * MERGE path.
+    */
+  def enrichWithDevices(readings: DataFrame, devices: DataFrame): DataFrame =
+    readings.join(
+      org.apache.spark.sql.functions.broadcast(
+        devices.select(col("device_id"), col("plant_location"), col("device_type"))),
+      Seq("device_id"), "left")
+
   // ── Custom state: anomaly streak tracking ─────────────────────────────
 
   case class Reading(device_id: String, reading_ts: java.sql.Timestamp, is_anomaly: Boolean)

@@ -179,6 +179,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: stream enriches from the batch dim and matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val devices = Staging.stgDevices(Catalog.rawDevices(spark), RunConfig.frozen)
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val readings = mem.toDF().toDF("device_id", "reading_ts", "temperature")
+    val enriched = StreamingIngest.enrichWithDevices(readings, devices)
+      .select("device_id", "plant_location", "device_type")
+    val q = enriched.writeStream.format("memory").queryName("ss_static_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val known = devices.select("device_id").limit(2).collect().map(_.getString(0))
+      val rows = Seq(
+        (known(0), Timestamp.valueOf("2024-01-15 08:00:00"), 20.0),
+        (known(1), Timestamp.valueOf("2024-01-15 08:01:00"), 21.0),
+        ("no-such-device", Timestamp.valueOf("2024-01-15 08:02:00"), 22.0))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_static_out").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+      val batch = StreamingIngest.enrichWithDevices(
+          rows.toDF("device_id", "reading_ts", "temperature"), devices)
+        .select("device_id", "plant_location", "device_type").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+      assert(streamed === batch, s"stream=$streamed batch=$batch")
+      // left join: the unknown device survives with null enrichment
+      assert(streamed.exists(t => t._1 == "no-such-device" && t._2.isEmpty))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Reading]
