@@ -163,6 +163,54 @@ object Materializer {
     swap(spark, tmp, path)
   }
 
+  /** Z-order clustered write: multi-dimensional file clustering (the
+    * OPTIMIZE ZORDER BY idea from the reference's Databricks notebook,
+    * notebooks/databricks_data_flow.sql — re-expressed as a plain
+    * Spark write). Each clustering column is scaled to a 16-bit integer
+    * between its observed min/max (one aggregate pass), the bits are
+    * interleaved into a Morton code, and files are range-partitioned +
+    * sorted by that code. Rows close in ANY clustered dimension land in
+    * few files, so single-column predicates on EITHER dimension skip
+    * most files via parquet min/max stats — linear `clusteredWrite`
+    * only does this for its leading column. Linear min/max scaling is
+    * skew-sensitive (a heavy hitter compresses the useful range); for
+    * skewed columns feed a pre-ranked proxy column instead.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4, "zorder needs 2-4 columns")
+    val bits = 16
+    val maxv = (1 << bits) - 1
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = r.getDouble(2 * i)
+      val hi = r.getDouble(2 * i + 1)
+      val span = if (hi > lo) hi - lo else 1.0
+      coalesce(
+        least(lit(maxv.toLong), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxv.toDouble)))),
+        lit(0L))
+    }
+    val code = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, ci)) =>
+        a.bitwiseOR(shiftleft(shiftrightunsigned(sc, b).bitwiseAND(lit(1L)), b * zCols.size + ci))
+      }
+    }
+    val spark = df.sparkSession
+    val tmp = path + "__tmp"
+    df.withColumn("__zcode", code)
+      .repartitionByRange(numFiles, col("__zcode"))
+      .sortWithinPartitions("__zcode")
+      .drop("__zcode")
+      .write.mode("overwrite").parquet(tmp)
+    swap(spark, tmp, path)
+  }
+
   private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)

@@ -130,6 +130,27 @@ class MaterializerSpec extends AnyFunSuite {
     assert(t.count() === 5000)
   }
 
+  test("zorderWrite: point filters on EITHER dimension skip most files; linear clustering cannot") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map(i => (rnd.nextInt(1024), rnd.nextInt(1024), i)).toDF("x", "y", "v")
+
+    val zPath = tmpDir()
+    Materializer.zorderWrite(rows, zPath, Seq("x", "y"), numFiles = 16)
+    val z = spark.read.parquet(zPath)
+    assert(z.count() === 20000)
+    val zx = z.filter(col("x") === 5).select(input_file_name()).distinct().count()
+    val zy = z.filter(col("y") === 5).select(input_file_name()).distinct().count()
+    assert(zx <= 8, s"z-order: x-point query hit $zx of 16 files")
+    assert(zy <= 8, s"z-order: y-point query hit $zy of 16 files")
+
+    // linear clustering on (x, y) localizes x but scatters y across all files
+    val lPath = tmpDir()
+    Materializer.clusteredWrite(rows, lPath, Seq("x", "y"), numFiles = 16)
+    val l = spark.read.parquet(lPath)
+    val ly = l.filter(col("y") === 5).select(input_file_name()).distinct().count()
+    assert(ly > 8, s"linear: y-point query should scatter, hit $ly of 16 files")
+  }
+
   test("csv and jsonl exports round-trip typed rows exactly") {
     import org.apache.spark.sql.types._
     val df = Catalog.table(spark, "/root/testdata/sf0.001", "events")
