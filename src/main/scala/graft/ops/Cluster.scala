@@ -237,6 +237,10 @@ object Cluster {
       .unionByName(Catalog.table(s, dir, "customer")
         .select((col("c_custkey") + CustOffset).as("id")))
       .localCheckpoint()
+    // fixed iteration count → no convergence action is ever needed, so
+    // the rounds chain LAZILY into one job: Catalyst sees all five
+    // join+agg rounds at once (the checkpointed edge scan is reused via
+    // ReusedExchange) instead of materializing the rank vector per round
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to PrIters) {
       val contrib = ed.join(r, ed("src") === r("id"))
@@ -244,7 +248,6 @@ object Cluster {
         .groupBy("dst").agg(sum(col("ct")).as("cc"))
       r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(nodes("id"), expr("150000L + ((85L * coalesce(cc, 0L)) div 100L)").as("r"))
-        .localCheckpoint()
     }
     r.select(
         when(col("id") >= CustOffset, "customer").otherwise("supplier").as("node_kind"),
