@@ -205,5 +205,37 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72)
+  /** q77 — deterministic per-source sample: keep the k=5 docs with the
+    * smallest h60(doc_id) per source — a seedless, reproducible
+    * "reservoir" (hash order is fixed, so re-runs, engines, and
+    * partitionings all agree; contrast with q62's Bernoulli thinning,
+    * which has no per-group cap). The window partitions by source
+    * (bounded set here); for high-cardinality groups the same semantics
+    * run as a RankSelect-style per-group top-k — the hash IS the rank, so
+    * no data-dependent ordering is ever needed.
+    */
+  val q77 = Q("q77_group_sample",
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS sample_rank
+      |  FROM h
+      |)
+      |SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+      |FROM r WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = docs(s, dir).select(col("source"), col("doc_id"),
+      Dedup.h60Col(col("doc_id").cast("string")).as("hk"))
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+    h.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 5)
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77)
 }

@@ -890,7 +890,35 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** q78 — table checksum for cross-system reconciliation: per-partition
+    * row count + XOR of per-row content hashes. XOR is commutative and
+    * associative, so the checksum is independent of partitioning and row
+    * order — the property that lets a 1000-executor MERGE target be
+    * compared against its source without any sort, in one map-side-
+    * combined aggregate pass. (A SUM-based checksum would need overflow
+    * care; XOR cannot overflow.)
+    */
+  val q78 = Q("q78_table_checksum",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  bit_xor(CAST('0x' || substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+      |    CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT)) AS checksum
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val rowHash = graft.ops.Dedup.h60Col(concat_ws("|",
+      col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      col("l_suppkey").cast("string")))
+    t(s, dir, "lineitem")
+      .withColumn("rh", rowHash)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(rh)").as("checksum"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75, q76)
+    q61, q73, q74, q75, q76, q78)
 }
