@@ -167,6 +167,18 @@ object Scratch {
         graft.ops.RankSelect.groupMedian(evVal, "event_type", "value", "event_id").count()
       }
       time("docs10.neardup_pipeline")(graft.ops.Dedup.nearDupPipeline(docs10).count())
+      // iterative graph ops at 10× input volume: the id-shifted copies are
+      // exact duplicates, so dedup_clusters exercises the 10× assignment
+      // join over an unchanged rep graph (the nearDupPipeline property);
+      // pagerank exercises the 10× fact join + distinct ahead of the loop
+      time("docs10.dedup_clusters")(graft.ops.Cluster.dedupClusters(docs10).count())
+      val li10 = x10("lineitem", "l_orderkey", 100000000L)
+      val ord10 = x10("orders", "o_orderkey", 100000000L)
+      time("tpch10.pagerank") {
+        graft.ops.Cluster.pagerank(li10, ord10,
+          Catalog.table(spark, sfDir, "supplier"),
+          Catalog.table(spark, sfDir, "customer")).count()
+      }
       spark.stop(); return
     }
 

@@ -145,7 +145,13 @@ object Cluster {
     * a recursive CTE — the component labels, not just counts, must agree.
     */
   val q65 = Q("q65_dedup_clusters", q65OracleSql) { (s, dir) =>
-    val d = docs(s, dir)
+    dedupClusters(docs(s, dir))
+  }
+
+  /** The q65 pipeline over an arbitrary (doc_id, text) frame — also the
+    * 10× scale-probe entry (`Scratch scale`).
+    */
+  def dedupClusters(d: DataFrame): DataFrame = {
     val fp = md5(TextOps.normalized(col("text")))
     val norm = d.select(col("doc_id"), fp.as("fp"))
     val reps = d.groupBy(fp.as("fp"))
@@ -223,8 +229,18 @@ object Cluster {
     * nothing) matches the oracle by construction.
     */
   val q71 = Q("q71_pagerank", q71OracleSql) { (s, dir) =>
-    val li = Catalog.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Catalog.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    pagerank(
+      Catalog.table(s, dir, "lineitem"), Catalog.table(s, dir, "orders"),
+      Catalog.table(s, dir, "supplier"), Catalog.table(s, dir, "customer"))
+  }
+
+  /** The q71 pipeline over arbitrary TPC-H-shaped frames — also the 10×
+    * scale-probe entry (`Scratch scale`).
+    */
+  def pagerank(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, customer: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
     val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").cast("long").as("s"), col("o_custkey").cast("long").as("c"))
       .distinct()
@@ -232,9 +248,9 @@ object Cluster {
       .unionByName(e0.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src").localCheckpoint()
-    val nodes = Catalog.table(s, dir, "supplier")
+    val nodes = supplier
       .select(col("s_suppkey").cast("long").as("id"))
-      .unionByName(Catalog.table(s, dir, "customer")
+      .unionByName(customer
         .select((col("c_custkey") + CustOffset).as("id")))
       .localCheckpoint()
     // fixed iteration count → no convergence action is ever needed, so
