@@ -240,6 +240,32 @@ class OpsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile (GK sketch) stays within rank-error bounds of RankSelect") {
+    // the sketch path for quantiles at unbounded scale; RankSelect covers
+    // the exact case (q27/q61). accuracy=1000 → rank error <= n/1000
+    val ev = Catalog.table(spark, sf, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val exact = graft.ops.RankSelect.groupQuantiles(ev, "event_type", "value", "event_id",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val sketch = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(1000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val ranked = ev.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    sketch.foreach { case (tpe, qs) =>
+      val vals = ranked(tpe)
+      val n = vals.length
+      Seq(qs.head -> exact(tpe)._1, qs(1) -> exact(tpe)._2).foreach { case (a, e) =>
+        // compare by RANK distance, the sketch's actual guarantee
+        val ra = vals.count(_ <= a)
+        val re = vals.count(_ <= e)
+        assert(math.abs(ra - re) <= math.max(2, n / 100),
+          s"$tpe: sketch value $a sits ${math.abs(ra - re)} ranks from exact $e (n=$n)")
+      }
+    }
+  }
+
   test("bitmap_distinct: equals countDistinct across partitions, ignores nulls") {
     graft.functions.BitmapDistinct.register(spark)
     val df = ((1 to 500).map(i => (i % 5, Some(i % 37L))) ++

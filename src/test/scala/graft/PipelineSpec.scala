@@ -77,4 +77,32 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.retry(maxRetries = 1, intervalMs = 1)(sys.error("always"))
     }
   }
+
+  test("lineage manifest: declared DAG matches Medallion wiring, acyclic, schemas real") {
+    val m = graft.models.Medallion.fromSeeds(spark)
+    val names = m.byName.map(_._1)
+    // every model has a declared dependency entry and vice versa
+    assert(graft.exec.Lineage.dependencies.keySet === names.toSet)
+    // declared deps reference only models or sources
+    graft.exec.Lineage.dependencies.foreach { case (model, deps) =>
+      deps.foreach(d => assert(names.contains(d) || d.startsWith("source."),
+        s"$model depends on unknown node $d"))
+    }
+    // Kahn order exists (acyclic); every model appears after its model deps
+    val order = graft.exec.Lineage.topologicalOrder()
+    val pos = order.zipWithIndex.toMap
+    graft.exec.Lineage.dependencies.foreach { case (model, deps) =>
+      deps.filter(pos.contains).foreach(d =>
+        assert(pos(d) < pos(model), s"$d must precede $model"))
+    }
+    // manifest carries the ACTUAL resolved output columns
+    val manifest = graft.exec.Lineage.manifest(m)
+    assert(manifest.contains("\"reading_id\""))
+    assert(manifest.contains("\"is_anomaly\""))
+    assert(manifest.contains("\"materialization\":\"incremental\""))
+    // a wired cycle is rejected
+    intercept[IllegalArgumentException] {
+      graft.exec.Lineage.topologicalOrder(Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+  }
 }
