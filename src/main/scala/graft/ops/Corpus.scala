@@ -237,5 +237,32 @@ object Corpus {
       .orderBy("source", "sample_rank")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77)
+  /** q79 — per-source dedup report: the health dashboard a corpus
+    * pipeline publishes after ingest (how redundant is each source).
+    * Duplicate rate is exact integer basis points — `(n_docs − n_unique)
+    * · 10⁴ div n_docs` — no float division. One (source, fp) aggregate
+    * then a source rollup; both hash-partitioned, both map-side combined.
+    */
+  val q79 = Q("q79_dedup_report",
+    """WITH f AS (
+      |  SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique
+      |  FROM f GROUP BY source
+      |)
+      |SELECT source, n_docs, n_unique,
+      |  ((n_docs - n_unique) * 10000) // n_docs AS dup_rate_bp
+      |FROM per
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), md5(TextOps.normalized(col("text"))).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .withColumn("dup_rate_bp", expr("((n_docs - n_unique) * 10000) div n_docs"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79)
 }

@@ -373,5 +373,55 @@ object EventsPipeline {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60)
+  /** q80 — peak concurrent sessions per day, the classic interval sweep:
+    * sessions (from q25's gap logic) become +1/−1 boundary deltas, the
+    * running sum over boundary order is the live concurrency, and the max
+    * per day is the capacity-planning number. The order key encodes
+    * starts-before-ends at equal timestamps (k = µs·2 + 0/1), same-key
+    * deltas are PRE-AGGREGATED (k parity ⇒ same sign, so merging cannot
+    * hide a peak) which also makes keys unique, and the running sum is
+    * `exec/PrefixSum` — two parallel passes, NO single-partition global
+    * window (the naive sweep's scale killer).
+    */
+  val q80 = Q("q80_session_concurrency",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM marked
+      |), sess AS (
+      |  SELECT MIN(ts) AS s, MAX(ts) AS e FROM numbered GROUP BY user_id, session_idx
+      |), pts AS (
+      |  SELECT s AS ts, CAST(1 AS BIGINT) AS d, epoch_us(s) * 2 AS k FROM sess
+      |  UNION ALL
+      |  SELECT e, CAST(-1 AS BIGINT), epoch_us(e) * 2 + 1 FROM sess
+      |), merged AS (
+      |  SELECT k, CAST(SUM(d) AS BIGINT) AS d, MIN(ts) AS ts FROM pts GROUP BY k
+      |), run AS (
+      |  SELECT ts, SUM(d) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM merged
+      |)
+      |SELECT CAST(ts AS DATE) AS day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+      |FROM run
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val sess = q25.fn(s, dir).select(col("session_start"), col("session_end"))
+    val pts = sess.select(col("session_start").as("ts"), lit(1L).as("d"))
+      .unionByName(sess.select(col("session_end").as("ts"), lit(-1L).as("d")))
+      .withColumn("k",
+        unix_micros(col("ts")) * 2 + when(col("d") === 1L, 0L).otherwise(1L))
+    val merged = pts.groupBy("k").agg(sum(col("d")).as("d"), min(col("ts")).as("ts"))
+    graft.exec.PrefixSum.runningTotal(merged, "k", "d", "conc", 64)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("conc")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80)
 }

@@ -111,6 +111,12 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must come from in-row transform, not a join:\n$p")
   }
 
+  test("q80: concurrency sweep never plans a single-partition exchange") {
+    val p = plan("q80_session_concurrency")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the sweep's running sum must go through PrefixSum, not a global window:\n$p")
+  }
+
   test("q70: centroid table broadcasts back to the vector scan") {
     val p = plan("q70_label_centroid_quality")
     assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
