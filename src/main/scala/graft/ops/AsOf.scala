@@ -83,5 +83,52 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q17)
+  /** As-of-backward join with a match tolerance (pandas `merge_asof
+    * tolerance=` / QuestDB `ASOF JOIN ... TOLERANCE`): a right row older
+    * than `tolerance` is no match at all. Same execution shape as
+    * `join` — the tolerance is a post-window null-out, zero extra
+    * shuffles.
+    */
+  def joinWithTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: String): DataFrame =
+    join(left, right, by, leftTs, rightTs)
+      .withColumn("asof",
+        when(col(leftTs) <= col(s"asof.$rightTs") + expr(s"INTERVAL $tolerance"), col("asof")))
+
+  /** q81 — tolerance-bounded as-of: a purchase is only enriched by an
+    * error from the trailing 30 minutes; staler state is null, not
+    * silently ancient (the difference between "last known state" and
+    * "last RELEVANT state" in feature engineering).
+    */
+  val q81 = Q("q81_asof_tolerance",
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), e AS (
+      |  SELECT event_id AS err_event_id, user_id, ts AS err_ts
+      |  FROM events WHERE event_type = 'error'
+      |)
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CASE WHEN p.ts <= e.err_ts + INTERVAL 30 MINUTE THEN e.err_event_id END AS err_event_id,
+      |  CASE WHEN p.ts <= e.err_ts + INTERVAL 30 MINUTE THEN e.err_ts END AS err_ts
+      |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Catalog.table(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_event_id"), col("user_id"), col("ts").as("err_ts"))
+    joinWithTolerance(purchases, errors, by = Seq("user_id"),
+        leftTs = "ts", rightTs = "err_ts", tolerance = "30 MINUTES")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.err_event_id").as("err_event_id"),
+        col("asof.err_ts").as("err_ts"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q17, q81)
 }
