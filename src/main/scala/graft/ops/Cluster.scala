@@ -246,26 +246,14 @@ object Cluster {
       .distinct()
     val edges = e0.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .unionByName(e0.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("wsum"))
+    val ed = edges.join(deg, "src").withColumn("w", lit(1L)).localCheckpoint()
     val nodes = supplier
       .select(col("s_suppkey").cast("long").as("id"))
       .unionByName(customer
         .select((col("c_custkey") + CustOffset).as("id")))
       .localCheckpoint()
-    // fixed iteration count → no convergence action is ever needed, so
-    // the rounds chain LAZILY into one job: Catalyst sees all five
-    // join+agg rounds at once (the checkpointed edge scan is reused via
-    // ReusedExchange) instead of materializing the rank vector per round
-    var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to PrIters) {
-      val contrib = ed.join(r, ed("src") === r("id"))
-        .select(col("dst"), expr("r div deg").as("ct"))
-        .groupBy("dst").agg(sum(col("ct")).as("cc"))
-      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"), expr("150000L + ((85L * coalesce(cc, 0L)) div 100L)").as("r"))
-    }
-    r.select(
+    prIterate(ed, nodes).select(
         when(col("id") >= CustOffset, "customer").otherwise("supplier").as("node_kind"),
         when(col("id") >= CustOffset, col("id") - CustOffset).otherwise(col("id")).as("node_id"),
         col("r").as("rank_fp"))
@@ -273,5 +261,90 @@ object Cluster {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q65, q71)
+  /** The damped fixed-point iteration over a weighted edge list
+    * (src, dst, w, wsum = Σ outgoing w per src): contribution is
+    * `(r·w) div wsum` — the unweighted case is w=1, wsum=out-degree,
+    * reducing exactly to `r div deg`. Fixed iteration count → no
+    * convergence action; the rounds chain LAZILY into one job (the
+    * checkpointed edge scan is reused via ReusedExchange) instead of
+    * materializing the rank vector per round.
+    */
+  private def prIterate(ed: DataFrame, nodes: DataFrame): DataFrame = {
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst"), expr("(r * w) div wsum").as("ct"))
+        .groupBy("dst").agg(sum(col("ct")).as("cc"))
+      r = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"), expr("150000L + ((85L * coalesce(cc, 0L)) div 100L)").as("r"))
+    }
+    r
+  }
+
+  private def q82OracleSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT n.id, 150000 + (85 * COALESCE(s.cc, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM((p.r * e.w) // e.wsum) AS cc
+         |    FROM ed e JOIN pr${k - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) s ON s.dst = n.id)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS (
+       |  SELECT l_suppkey AS s, o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT CAST(s AS BIGINT) AS src, CAST($CustOffset AS BIGINT) + c AS dst, w FROM e0
+       |  UNION ALL
+       |  SELECT CAST($CustOffset AS BIGINT) + c AS src, CAST(s AS BIGINT) AS dst, w FROM e0
+       |), wsums AS (
+       |  SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM edges GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, e.w, d.wsum FROM edges e JOIN wsums d ON d.src = e.src
+       |), nodes AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+       |  UNION ALL
+       |  SELECT CAST($CustOffset AS BIGINT) + c_custkey FROM customer
+       |), pr0 AS (
+       |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $iters
+       |SELECT CASE WHEN id >= $CustOffset THEN 'customer' ELSE 'supplier' END AS node_kind,
+       |  CAST(CASE WHEN id >= $CustOffset THEN id - $CustOffset ELSE id END AS BIGINT) AS node_id,
+       |  CAST(r AS BIGINT) AS rank_fp
+       |FROM pr$PrIters
+       |ORDER BY rank_fp DESC, node_kind, node_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** q82 — WEIGHTED PageRank: edge weight = transaction count between the
+    * supplier and customer, so rank flows proportionally to trade volume
+    * (`(r·w) div wsum` per edge) instead of uniformly per neighbor — the
+    * random surfer follows frequent relationships more often. Same
+    * fixed-point integer discipline and lazy 5-round chain as q71.
+    */
+  val q82 = Q("q82_weighted_pagerank", q82OracleSql) { (s, dir) =>
+    val li = Catalog.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Catalog.table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").cast("long").as("s"), col("o_custkey").cast("long").as("c"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.select(col("s").as("src"), (col("c") + CustOffset).as("dst"), col("w"))
+      .unionByName(e0.select((col("c") + CustOffset).as("src"), col("s").as("dst"), col("w")))
+    val wsums = edges.groupBy("src").agg(sum(col("w")).cast("long").as("wsum"))
+    val ed = edges.join(wsums, "src").localCheckpoint()
+    val nodes = Catalog.table(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("id"))
+      .unionByName(Catalog.table(s, dir, "customer")
+        .select((col("c_custkey") + CustOffset).as("id")))
+      .localCheckpoint()
+    prIterate(ed, nodes).select(
+        when(col("id") >= CustOffset, "customer").otherwise("supplier").as("node_kind"),
+        when(col("id") >= CustOffset, col("id") - CustOffset).otherwise(col("id")).as("node_id"),
+        col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("node_kind"), col("node_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q65, q71, q82)
 }
