@@ -416,7 +416,11 @@ object EventsPipeline {
       .unionByName(sess.select(col("session_end").as("ts"), lit(-1L).as("d")))
       .withColumn("k",
         unix_micros(col("ts")) * 2 + when(col("d") === 1L, 0L).otherwise(1L))
+    // PrefixSum makes three passes (bounds, bucket totals, window) over its
+    // input; checkpoint the boundary set — O(sessions), tiny next to the
+    // event table — so the sessionize window runs ONCE, not three times
     val merged = pts.groupBy("k").agg(sum(col("d")).as("d"), min(col("ts")).as("ts"))
+      .localCheckpoint()
     graft.exec.PrefixSum.runningTotal(merged, "k", "d", "conc", 64)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(max(col("conc")).as("peak_concurrency"))
