@@ -240,6 +240,24 @@ class OpsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("hll_sketch_agg: partial sketches merge to the same estimate as one pass") {
+    // mergeability is THE distributed-rollup property: per-partition (or
+    // per-day) sketches unioned later must equal the single-pass sketch —
+    // what lets a 100 TB daily pipeline keep tiny per-day aggregates and
+    // still answer "distinct over any date range"
+    val ev = Catalog.table(spark, sf, "events")
+    val direct = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head().getLong(0)
+    val merged = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    assert(direct === merged, s"per-day sketches must merge losslessly: $direct vs $merged")
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(direct - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"estimate=$direct exact=$exact")
+  }
+
   test("approx_percentile (GK sketch) stays within rank-error bounds of RankSelect") {
     // the sketch path for quantiles at unbounded scale; RankSelect covers
     // the exact case (q27/q61). accuracy=1000 → rank error <= n/1000
