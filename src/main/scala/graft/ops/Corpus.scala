@@ -264,5 +264,35 @@ object Corpus {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79)
+  /** q83 — cross-source overlap matrix: for every source pair, how many
+    * content fingerprints they share — the diagnostic that tells a corpus
+    * team WHICH feeds mirror each other (and so which dedup savings are
+    * attributable where). Join is fp-keyed on the DISTINCT (source, fp)
+    * set; a fingerprint present in s sources contributes s·(s−1)/2 pairs,
+    * bounded by #sources² — never corpus-quadratic.
+    */
+  val q83 = Q("q83_source_overlap",
+    """WITH f AS (
+      |  SELECT DISTINCT source,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    val f = docs(s, dir)
+      .select(col("source"), md5(TextOps.normalized(col("text"))).as("fp"))
+      .distinct()
+    val b = f.select(col("source").as("source_b"), col("fp"))
+    f.select(col("source").as("source_a"), col("fp"))
+      .join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83)
 }
