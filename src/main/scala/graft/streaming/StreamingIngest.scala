@@ -158,6 +158,48 @@ object StreamingIngest {
         devices.select(col("device_id"), col("plant_location"), col("device_type"))),
       Seq("device_id"), "left")
 
+  // ── Custom state v2: transformWithState (Spark 4, RocksDB-backed) ─────
+
+  case class MetricReading(device_id: String, metric_value: Double)
+  case class DeviceRunningStats(device_id: String, n_readings: Long, max_value: Double)
+  case class RunningState(n: Long, mx: Double)
+
+  /** Arbitrary-state v2 processor: per-device lifetime (count, max) in a
+    * `ValueState`, one Update row emitted per (key, micro-batch). The
+    * successor API to flatMapGroupsWithState — typed state handles,
+    * RocksDB state store (incremental checkpoints, state larger than
+    * executor memory), per-state TTL available via `TTLConfig` when the
+    * key space is unbounded.
+    */
+  class DeviceStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, MetricReading, DeviceRunningStats] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[RunningState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[RunningState]("agg",
+        org.apache.spark.sql.Encoders.product[RunningState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[MetricReading],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[DeviceRunningStats] = {
+      var s = Option(st.get()).getOrElse(RunningState(0L, Double.MinValue))
+      rows.foreach(r => s = RunningState(s.n + 1, math.max(s.mx, r.metric_value)))
+      st.update(s)
+      Iterator.single(DeviceRunningStats(key, s.n, s.mx))
+    }
+  }
+
+  /** Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — transformWithState
+    * does not run on the default HDFS-backed store.
+    */
+  def deviceRunningStats(readings: Dataset[MetricReading]): Dataset[DeviceRunningStats] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.device_id)
+      .transformWithState(new DeviceStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   // ── Custom state: anomaly streak tracking ─────────────────────────────
 
   case class Reading(device_id: String, reading_ts: java.sql.Timestamp, is_anomaly: Boolean)

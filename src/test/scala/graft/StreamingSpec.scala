@@ -208,6 +208,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: RocksDB-backed running stats persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Double)]
+    val ds = mem.toDS().map { case (d, v) => StreamingIngest.MetricReading(d, v) }
+    val q = StreamingIngest.deviceRunningStats(ds).toDF()
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(("D1", 10.0), ("D1", 20.0), ("D2", 5.0))
+      q.processAllAvailable()
+      mem.addData(("D1", 15.0), ("D3", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // batch 1 snapshots
+      assert(rows.contains(("D1", 2L, 20.0)))
+      assert(rows.contains(("D2", 1L, 5.0)))
+      // batch 2: D1's state carried over (count 3, max still 20), D3 fresh
+      assert(rows.contains(("D1", 3L, 20.0)), s"state must persist, got ${rows.toSeq}")
+      assert(rows.contains(("D3", 1L, 1.0)))
+    } finally {
+      q.stop()
+      prev match { case Some(p) => spark.conf.set(key, p); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Reading]
