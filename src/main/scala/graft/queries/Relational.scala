@@ -918,7 +918,59 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q84 — equi-width histogram: value distribution per event type in
+    * fixed width-10 bins, clamped to [0, 100). The binning expression is
+    * pure integer floor division on the clamped value — one hash
+    * aggregate over (type, bin), output bounded by types × bins
+    * regardless of corpus size. The building block behind RankSelect's
+    * radix histogram, exposed as a user-facing operator.
+    */
+  val q84 = Q("q84_value_histogram",
+    """SELECT event_type,
+      |  CAST(LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS BIGINT))) AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS min_fp,
+      |  CAST(MAX(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS max_fp
+      |FROM events
+      |WHERE value IS NOT NULL
+      |GROUP BY 1, 2
+      |ORDER BY event_type, bin""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        least(lit(9L), greatest(lit(0L), floor(col("value") / lit(10.0)))).as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(floor(col("value") * lit(10000.0))).as("min_fp"),
+        max(floor(col("value") * lit(10000.0))).as("max_fp"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** q85 — CUBE: all 2² grouping combinations of (type, day) in one
+    * Expand + hash aggregate — completes the grouping-operator family
+    * next to ROLLUP (q16) and explicit GROUPING SETS (q46). grouping()
+    * flags disambiguate real NULLs from subtotal rows.
+    */
+  val q85 = Q("q85_cube_daily_types",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+      |  CAST(grouping(CAST(ts AS DATE)) AS BIGINT) AS g_day,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+      |ORDER BY g_type, g_day, event_type, day""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("day")).cast("long").as("g_day"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("g_type"), col("g_day"), col("n"))
+      .orderBy("g_type", "g_day", "event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75, q76, q78)
+    q61, q73, q74, q75, q76, q78, q84, q85)
 }
