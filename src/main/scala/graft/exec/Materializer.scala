@@ -140,6 +140,8 @@ object Materializer {
       df.write.mode("overwrite").json(path)
     case "parquet" =>
       df.write.mode("overwrite").parquet(path)
+    case "orc" =>
+      df.write.mode("overwrite").orc(path)
     case other => throw new IllegalArgumentException(s"unsupported export format: $other")
   }
 

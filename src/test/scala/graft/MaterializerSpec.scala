@@ -167,6 +167,26 @@ class MaterializerSpec extends AnyFunSuite {
       .orderBy("event_id").collect().toSeq
     assert(fromCsv === want)
     assert(fromJson === want)
+    graft.exec.Materializer.export(df, s"$base/orc", "orc")
+    val fromOrc = spark.read.orc(s"$base/orc").orderBy("event_id").collect().toSeq
+    assert(fromOrc === want, "orc round-trip must be exact")
+  }
+
+  test("binaryFile source: opaque blobs ingest with path/length/content intact") {
+    // the multimodal ingest path: raw image/audio files land as binary
+    // columns (Multimodal.scala consumes exactly this shape downstream)
+    val dir = Files.createTempDirectory("graft_bin").toString
+    val payloads = Seq("img1.bin" -> Array[Byte](1, 2, 3, 4),
+      "img2.bin" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (n, b) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), b)
+    }
+    val read = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("length"), col("content"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(read === payloads.map { case (n, b) => (n, b.length.toLong, b.toSeq) })
   }
 
   test("overwriteTable swaps atomically and is re-runnable") {
