@@ -427,5 +427,69 @@ object EventsPipeline {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80)
+  /** q86 — ordered conversion funnel (view → click → purchase): a user
+    * advances through step k only if step k's earliest qualifying event is
+    * strictly AFTER their step-(k−1) conversion time. Three chained
+    * conditional-min aggregates, each a user-keyed groupBy + equi-join —
+    * the same shuffle key throughout, so at scale all three stages
+    * co-partition on user_id and never move the fact more than once per
+    * step. Output is the one-row funnel summary.
+    */
+  val q86 = Q("q86_conversion_funnel",
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id
+      |), t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t
+      |  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      |)
+      |SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
+      |  CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_click_after_view,
+      |  CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_purchase_after_click""".stripMargin) {
+    (s, dir) =>
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    def step(prev: DataFrame, tpe: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev.select(col("user_id"), col("t").as("_pt")), Seq("user_id"))
+        .filter(col("ts") > col("_pt"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val t2 = step(t1, "click")
+    val t3 = step(t2, "purchase")
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  /** q87 — retention cohort matrix: users grouped by first-seen day, the
+    * classic (cohort_day, day_offset) → distinct-active count triangle.
+    * Two user-keyed aggregates and one join on user_id; the output is
+    * days² cells — calendar-bounded however large the corpus.
+    */
+  val q87 = Q("q87_retention_cohorts",
+    """WITH firstd AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+      |), act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      |)
+      |SELECT f.d0 AS cohort_day, CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM act a JOIN firstd f ON a.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val firstd = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+    val act = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    act.join(firstd, "user_id")
+      .groupBy(col("d0").as("cohort_day"), datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80, q86, q87)
 }
