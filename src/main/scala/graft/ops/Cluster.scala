@@ -269,7 +269,7 @@ object Cluster {
     * checkpointed edge scan is reused via ReusedExchange) instead of
     * materializing the rank vector per round.
     */
-  private def prIterate(ed: DataFrame, nodes: DataFrame): DataFrame = {
+  private[graft] def prIterate(ed: DataFrame, nodes: DataFrame): DataFrame = {
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to PrIters) {
       val contrib = ed.join(r, ed("src") === r("id"))
@@ -279,6 +279,49 @@ object Cluster {
         .select(nodes("id"), expr("150000L + ((85L * coalesce(cc, 0L)) div 100L)").as("r"))
     }
     r
+  }
+
+  /** Pregel-style RDD variant of the same iteration, kept as a MEASURED
+    * reference implementation (OpsSpec pins it bit-equal to `prIterate`),
+    * not the production path. Theory: hash-partition edge list and rank
+    * vector once with the same partitioner, persist both, and every
+    * iteration's `join` is narrow — only the contribution `reduceByKey`
+    * shuffles — whereas the DataFrame loop re-shuffles both join sides
+    * every round (Catalyst cannot carry RDD co-partitioning through
+    * logical plans). Measurement (sf0.1, local[32], 5 rounds over ~2M
+    * symmetric edges): RDD loop 15.3 s vs DataFrame loop 5.4 s — row
+    * objects, Java-serialized caches, and the lost whole-stage codegen
+    * cost ~3× more than the avoided exchanges, so Tungsten wins until the
+    * per-round shuffle dominates (far larger graphs / real clusters).
+    * Arithmetic is the identical fixed-point integer form (`/` on
+    * positive Longs ≡ `div`), so either path satisfies the same oracle.
+    */
+  private[graft] def prIterateRdd(ed: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    val np = spark.sparkContext.defaultParallelism
+    val part = new org.apache.spark.HashPartitioner(np)
+    val edRdd = ed.select("src", "dst", "w", "wsum").as[(Long, Long, Long, Long)].rdd
+      .map { case (s, d, w, ws) => (s, (d, w, ws)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodeRdd = nodes.select("id").as[Long].rdd
+      .map(id => (id, ()))
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodeRdd.mapValues(_ => 1000000L)
+    for (_ <- 1 to PrIters) {
+      val contribs = edRdd.join(ranks) // narrow: both sides share `part`
+        .map { case (_, ((dst, w, ws), r)) => (dst, r * w / ws) }
+        .reduceByKey(part, _ + _) // the round's one shuffle
+      ranks = nodeRdd.leftOuterJoin(contribs) // narrow again
+        .mapValues { case (_, cc) => 150000L + 85L * cc.getOrElse(0L) / 100L }
+    }
+    // materialize before unpersisting — the rank lineage reads both caches
+    val out = ranks.map { case (id, r) => (id, r) }.toDF("id", "r").localCheckpoint()
+    edRdd.unpersist(false)
+    nodeRdd.unpersist(false)
+    out
   }
 
   private def q82OracleSql: String = {

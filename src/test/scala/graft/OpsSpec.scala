@@ -240,6 +240,26 @@ class OpsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("pagerank: the Pregel-style RDD loop is bit-equal to the DataFrame loop") {
+    // same fixed-point arithmetic, two execution strategies — the RDD form
+    // exists purely for narrow co-partitioned joins, never for semantics
+    val edges = Seq(
+      (1L, 101L, 3L), (1L, 102L, 1L), (2L, 101L, 2L), (3L, 103L, 5L), (2L, 103L, 1L))
+      .toDF("src", "dst", "w")
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val wsums = sym.groupBy("src").agg(sum(col("w")).cast("long").as("wsum"))
+    val ed = sym.join(wsums, "src")
+    val nodes = (Seq(1L, 2L, 3L, 4L) ++ Seq(101L, 102L, 103L)).toDF("id")
+    val a = graft.ops.Cluster.prIterate(ed, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = graft.ops.Cluster.prIterateRdd(ed, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+    // isolated node 4 holds exactly the teleport floor
+    assert(a.toMap.apply(4L) === 150000L)
+  }
+
   test("hll_sketch_agg: partial sketches merge to the same estimate as one pass") {
     // mergeability is THE distributed-rollup property: per-partition (or
     // per-day) sketches unioned later must equal the single-pass sketch —
