@@ -294,5 +294,48 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83)
+  /** q89 — end-to-end corpus funnel: documents surviving each pipeline
+    * stage (quality gate → exact dedup among survivors), with retained
+    * share in exact basis points. The single number a data team watches
+    * per ingest run. Stage predicates are the SAME expressions as q69 and
+    * q30 — composed, not re-derived — and each stage count is one
+    * aggregate over the staged frame.
+    */
+  val q89 = Q("q89_corpus_funnel",
+    s"""WITH st AS (
+       |  SELECT doc_id, text,
+       |    length(text) AS text_len,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, text_len, len(t) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS alpha_chars,
+       |    n_punct,
+       |    len(list_filter(t, x -> list_contains([${TextOps.allStop.map("'" + _ + "'").mkString(",")}], x))) AS n_stop
+       |  FROM st
+       |), kept AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM m
+       |  WHERE n_tokens BETWEEN 50 AND 100000
+       |    AND 3 * n_tokens <= alpha_chars AND alpha_chars <= 10 * n_tokens
+       |    AND 10 * n_punct <= text_len AND n_stop >= 2
+       |)
+       |SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_total,
+       |  CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_pass_gate,
+       |  CAST((SELECT COUNT(DISTINCT fp) FROM kept) AS BIGINT) AS n_unique,
+       |  (SELECT COUNT(DISTINCT fp) FROM kept) * 10000 // (SELECT COUNT(*) FROM m) AS retained_bp""".stripMargin) {
+    (s, dir) =>
+    val gated = q69.fn(s, dir).filter(col("keep"))
+      .select(col("doc_id"))
+    val kept = docs(s, dir).join(gated, "doc_id")
+      .select(md5(TextOps.normalized(col("text"))).as("fp"))
+    val total = docs(s, dir).agg(count(lit(1)).as("n_total"))
+    val passed = kept.agg(count(lit(1)).as("n_pass_gate"))
+    val uniq = kept.agg(countDistinct(col("fp")).as("n_unique"))
+    total.crossJoin(passed).crossJoin(uniq)
+      .withColumn("retained_bp", expr("(n_unique * 10000) div n_total"))
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89)
 }

@@ -340,5 +340,32 @@ object Similarity {
       .orderBy("label")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70)
+  /** q88 — ANN recall report: the LSH index's quality MEASURED AS A
+    * QUERY — |brute-force top-10 ∩ LSH top-10| and the recall in exact
+    * basis points. Every serious ANN deployment runs this continuously
+    * (recall drifts as the corpus grows); here it composes the two
+    * existing oracled pipelines and intersects their id sets, so the
+    * oracle is their oracles composed. Exact integer output — no float
+    * recall ratio.
+    */
+  val q88 = Q("q88_ann_recall",
+    s"""WITH bf AS (
+       |${q35.oracle.get.linesIterator.map("  " + _).mkString("\n")}
+       |), lsh AS (
+       |${q36.oracle.get.linesIterator.map("  " + _).mkString("\n")}
+       |), overlap AS (
+       |  SELECT COUNT(*) AS n FROM (
+       |    SELECT vec_id FROM bf INTERSECT SELECT vec_id FROM lsh)
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_overlap,
+       |  CAST(n * 1000 AS BIGINT) AS recall_bp
+       |FROM overlap""".stripMargin) { (s, dir) =>
+    val bf = q35.fn(s, dir).select("vec_id")
+    val lsh = q36.fn(s, dir).select("vec_id")
+    bf.intersect(lsh)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"), (col("n_overlap") * 1000).as("recall_bp"))
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88)
 }
