@@ -491,5 +491,38 @@ object EventsPipeline {
       .orderBy("cohort_day", "day_offset")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80, q86, q87)
+  /** q90 — expanding distinct count (cumulative distinct users per type
+    * through each day — the DAU-growth curve). `COUNT(DISTINCT) OVER` an
+    * expanding frame is unsupported (Spark) or quadratic (naive rescan);
+    * the scale form: a user's first-seen day per type (one keyed
+    * aggregate), count first-appearances per (type, day), then a running
+    * sum over the CALENDAR per type — the window input is days × types,
+    * metadata-sized at any corpus scale.
+    */
+  val q90 = Q("q90_cumulative_distinct",
+    """WITH firstd AS (
+      |  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS d0
+      |  FROM events GROUP BY 1, 2
+      |), adds AS (
+      |  SELECT event_type, d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      |  FROM firstd GROUP BY 1, 2
+      |)
+      |SELECT event_type, day, n_new,
+      |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+      |FROM adds
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val firstd = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val adds = firstd.groupBy(col("event_type"), col("d0").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    adds.select(col("event_type"), col("day"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_distinct_users"))
+      .orderBy("event_type", "day")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80, q86, q87, q90)
 }
