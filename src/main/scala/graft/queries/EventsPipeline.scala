@@ -524,5 +524,40 @@ object EventsPipeline {
       .orderBy("event_type", "day")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80, q86, q87, q90)
+  /** q91 — behavior transition matrix: counts of consecutive event-type
+    * pairs per user timeline (the Markov-chain sufficient statistic
+    * behind next-action prediction). One lag window per user — shuffle
+    * keyed and parallel by user_id — then a (from, to) hash aggregate
+    * with transition share in exact basis points of the from-state total.
+    */
+  val q91 = Q("q91_type_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+      |)
+      |SELECT p.from_type, p.to_type, p.n, (p.n * 10000) // t.n_from AS share_bp
+      |FROM pairs p JOIN tot t ON p.from_type = t.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum(col("n")).cast("long").as("n_from"))
+    pairs.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 10000) div n_from").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q40, q60, q80, q86, q87, q90, q91)
 }
