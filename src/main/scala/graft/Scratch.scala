@@ -109,6 +109,9 @@ object Scratch {
         time(s"events${mult}.median_rank_select") {
           graft.ops.RankSelect.groupMedian(evVal, "event_type", "value", "event_id").count()
         }
+        time(s"docs${mult}.dedup_clusters") {
+          graft.ops.Cluster.dedupClusters(docs10).count()
+        }
         spark.stop(); return
       }
       time("events10.hourly_agg") {
