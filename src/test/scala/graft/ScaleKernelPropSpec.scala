@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the two custom scale kernels — PrefixSum and
+  * RankSelect — over RANDOM inputs (sizes, value distributions, bucket
+  * counts). The ScaleOpsSpec equality tests cover curated fixtures; this
+  * covers the space around them: duplicates-heavy values, negative
+  * values, single-element groups, bucket counts from 1 to way-past-n.
+  */
+class ScaleKernelPropSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import spark.implicits._
+
+  private val seeds = Seq(1, 7, 42, 1001, 99999)
+
+  test("PrefixSum.runningTotal equals the sequential scan for random inputs") {
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(2000)
+      val nBuckets = 1 + rnd.nextInt(300)
+      // unique integral keys (the documented contract), possibly negative
+      val keys = rnd.shuffle((0 until n).map(i => i.toLong * 3 - n))
+      val rows = keys.map(k => (k, rnd.nextInt(2001).toLong - 1000L))
+      val expected = rows.sortBy(_._1)
+        .scanLeft(0L)(_ + _._2).tail // sequential running totals in key order
+      val got = graft.exec.PrefixSum
+        .runningTotal(rows.toDF("k", "v"), "k", "v", "cum", nBuckets)
+        .orderBy("k").select("cum").as[Long].collect().toSeq
+      assert(got === expected, s"seed=$seed n=$n buckets=$nBuckets")
+    }
+  }
+
+  test("RankSelect.groupQuantiles equals the sorted-element pick for random inputs") {
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val groups = 1 + rnd.nextInt(4)
+      val rows = (0 until 1 + rnd.nextInt(3000)).map { i =>
+        val g = s"g${rnd.nextInt(groups)}"
+        // duplicates-heavy, negative-capable distribution
+        val v = (rnd.nextInt(41) - 20).toDouble / (1 + rnd.nextInt(4))
+        (g, v, i.toLong)
+      }
+      val got = graft.ops.RankSelect
+        .groupQuantiles(rows.toDF("g", "v", "id"), "g", "v", "id", qs)
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (g, grp) =>
+        val sorted = grp.map(v => (v._2, v._3)).sortBy(identity).map(_._1)
+        def pick(p: Double) = sorted(math.floor((sorted.length - 1) * p).toInt)
+        g -> ((pick(0.25), pick(0.5), pick(0.9)))
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+}
