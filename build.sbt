@@ -12,8 +12,12 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // Forked run output goes straight to stdout — no [info] log prefix, so the
-// driver's JSON-line parse of Bench/Verify output works.
+// driver's JSON-line parse of Bench/Verify output works. Suppressing the
+// trailing "[success] Total time" line keeps Bench's JSON the LAST stdout
+// line (BENCH_r1..r3 all recorded parsed:null because that trailer followed
+// the JSON).
 run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 
 /** Benchmark main — times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":"total",...}. A warmup pass at sf0.001
   * first runs each query shape end-to-end so JIT/codegen/parquet-footer
   * costs are paid before timing (the measured numbers then reflect steady-
   * state plan execution, which is what scales to a cluster).
+  *
+  * The timed action is a FULL-OUTPUT checksum (xxhash64 over every output
+  * column, XOR-folded), not `.count()`: a count lets Catalyst prune any
+  * projection that doesn't affect cardinality, so per-row expression
+  * batteries (q09/q43/q47/q59) would be timed as bare scans. The fold is
+  * `bit_xor`, not `sum` — xxhash64 values are uniform over Long, so a
+  * summed fold overflows (and under ANSI mode, throws) after ~2 rows.
   */
 object Bench {
+
+  /** Force production of every output column. Falls back to count() for
+    * the rare output type the hash expression rejects (e.g. MapType).
+    */
+  private def force(df: DataFrame): Unit =
+    try df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+    catch { case _: org.apache.spark.sql.AnalysisException => df.count() }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,14 +40,14 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       ordered.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     // index BUILD steps are offline artifacts (built once, reused by every
     // query), not per-query latency — materialize before the timed loop
     try ops.Similarity.buildIvfIndex(spark, sfDir) catch { case _: Throwable => () }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -41,6 +41,23 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "forcecheck") {
+      // run every query under Bench's full-output checksum action and
+      // report which (if any) reject or fail it
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+            .agg(expr("bit_xor(h)")).head()
+          println(s"FORCE OK   $name")
+        } catch { case e: Throwable =>
+          println(s"FORCE FAIL $name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(300))
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "q65") {
       // piecewise timing of the dedup-cluster pipeline
       val d = Catalog.table(spark, sfDir, "documents")

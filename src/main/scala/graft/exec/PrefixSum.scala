@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * Bucketing is computed from the key VALUE (fixed-stride over the
   * driver-fetched min/max), not `repartitionByRange`, because the range
   * sampler is nondeterministic across jobs — the totals pass and the
-  * window pass must agree on bucket membership without caching the input.
+  * window pass must agree on bucket membership regardless of caching.
+  * The input IS materialized (one `localCheckpoint`) before the passes,
+  * so the upstream plan — e.g. q56's tokenization — runs once, not once
+  * per pass.
   * On a cluster, nBuckets scales with executors; each task's sort stays
   * bounded by bucket size rather than corpus size.
   *
@@ -31,8 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
+  def runningTotal(df0: DataFrame, orderCol: String, valueCol: String,
       cumCol: String, nBuckets: Int = 32): DataFrame = {
+    // Three passes follow (bounds, bucket totals, the window itself) —
+    // against a lazy input each pass recomputes the upstream plan from
+    // the source scan (q56 measured 3× its tokenization cost before
+    // this). Materialize once unless the caller already handed us a
+    // checkpointed/materialized frame (analyzed plan is a LogicalRDD).
+    val df =
+      if (df0.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") df0
+      else df0.localCheckpoint()
     val bounds = df.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
     if (bounds.isNullAt(0)) return df.withColumn(cumCol, col(valueCol).cast("long"))
     val mn = bounds.getLong(0)

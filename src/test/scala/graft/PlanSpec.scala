@@ -80,6 +80,16 @@ class PlanSpec extends AnyFunSuite {
       s"running sum must partition by the prefix-sum bucket:\n$p")
   }
 
+  test("q56: tokenization runs once — the prefix-sum passes read a materialized frame") {
+    // PrefixSum makes three passes (bounds, bucket totals, window); before
+    // the input checkpoint each pass re-ran the regexp tokenization from the
+    // parquet scan (measured 3x its cost). The materialized (doc_id,
+    // n_tokens) frame means the final plan holds NO documents scan at all.
+    val p = plan("q56_pack_sequences")
+    assert(!p.contains("documents.parquet"),
+      s"prefix-sum input must be materialized once, not re-tokenized per pass:\n$p")
+  }
+
   test("q40: orders and lineitem are each scanned exactly once") {
     val p = plan("q40_dq_summary")
     assert("orders\\.parquet".r.findAllIn(p).size == 1,
