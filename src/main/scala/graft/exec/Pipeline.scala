@@ -25,6 +25,39 @@ object Pipeline {
     def allPassed: Boolean = (silverChecks ++ goldChecks).forall(_.passed)
   }
 
+  /** One model-build task in the dependency graph. `deps` name other nodes
+    * in the same `runDag` call; the body runs only after they complete.
+    */
+  case class DagNode(name: String, deps: Seq[String])(val body: () => Unit) {
+    def run(): Unit = body()
+  }
+
+  /** dbt's `threads: N` scheduler semantics (profiles.yml.template:24):
+    * run model nodes on a bounded pool, each starting the moment its
+    * dependencies finish and a thread frees up — independent models build
+    * concurrently. Spark sessions accept job submission from many threads,
+    * so concurrent models' stages interleave on the cluster; per-model
+    * results are unchanged because the DAG edges (not wall-clock order)
+    * carry all data dependencies. Nodes must be listed deps-first (models
+    * are written in DAG order already); an unknown dep is an error. Fails
+    * fast: the first body exception propagates and unstarted dependents
+    * are skipped.
+    */
+  def runDag(nodes: Seq[DagNode], threads: Int = 4): Unit = {
+    require(threads >= 1, "threads must be >= 1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val done = scala.collection.mutable.Map[String, Future[Unit]]()
+    nodes.foreach { n =>
+      val depFs = n.deps.map(d => done.getOrElse(d,
+        throw new IllegalArgumentException(
+          s"node '${n.name}' depends on '$d', which is not defined before it")))
+      done(n.name) = Future.sequence(depFs).map(_ => n.run())
+    }
+    try Await.result(Future.sequence(nodes.map(n => done(n.name))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Full `dbt seed → run → test` lifecycle against a warehouse dir.
     *
     * Silver models are materialized incrementally on their unique keys with
@@ -38,7 +71,8 @@ object Pipeline {
       warehouseDir: String,
       seedDir: String = Catalog.defaultSeedDir,
       cfg: RunConfig = RunConfig.frozen,
-      fullRefresh: Boolean = false): Result = {
+      fullRefresh: Boolean = false,
+      threads: Int = 4): Result = {
 
     val cleanedPath = s"$warehouseDir/silver/int_sensor_readings_cleaned"
     val healthPath  = s"$warehouseDir/silver/int_device_health"
@@ -52,31 +86,42 @@ object Pipeline {
     def wm(path: String, c: String): Option[java.sql.Timestamp] =
       if (fullRefresh) None else Materializer.watermark(spark, path, c)
 
-    // Silver 1: cleaned readings — incremental on reading_id, watermark on
-    // ingested_at (int_sensor_readings_cleaned.sql:24-27).
-    val newReadings = wm(cleanedPath, "ingested_at")
-      .map(w => stgR.filter(col("ingested_at") > lit(w))).getOrElse(stgR)
-    Materializer.incrementalUpsert(
-      Intermediate.intSensorReadingsCleaned(newReadings, stgD, cfg),
-      cleanedPath, Seq("reading_id"))
+    // Silver, as a DAG on `threads` workers: cleaned ∥ alerts first,
+    // health once cleaned lands — the two independent chains overlap
+    // exactly as dbt's scheduler would run them.
+    runDag(Seq(
+      // Silver 1: cleaned readings — incremental on reading_id, watermark
+      // on ingested_at (int_sensor_readings_cleaned.sql:24-27).
+      DagNode("int_sensor_readings_cleaned", Nil) { () =>
+        val newReadings = wm(cleanedPath, "ingested_at")
+          .map(w => stgR.filter(col("ingested_at") > lit(w))).getOrElse(stgR)
+        Materializer.incrementalUpsert(
+          Intermediate.intSensorReadingsCleaned(newReadings, stgD, cfg),
+          cleanedPath, Seq("reading_id"))
+      },
+      // Silver 3: enriched alerts — incremental on alert_id, watermark on
+      // alert_ts (int_alerts_enriched.sql:18-20). Independent of cleaned.
+      DagNode("int_alerts_enriched", Nil) { () =>
+        val newAlerts = wm(alertsPath, "alert_ts")
+          .map(w => stgA.filter(col("alert_ts") > lit(w))).getOrElse(stgA)
+        Materializer.incrementalUpsert(
+          Intermediate.intAlertsEnriched(newAlerts, stgD, cfg),
+          alertsPath, Seq("alert_id"))
+      },
+      // Silver 2: device health — incremental on the surrogate key,
+      // watermark on _dbt_processed_at (int_device_health.sql:20-22);
+      // reads the cleaned table it depends on.
+      DagNode("int_device_health", Seq("int_sensor_readings_cleaned")) { () =>
+        val cleanedT = spark.read.parquet(cleanedPath)
+        val healthInput = wm(healthPath, "_dbt_processed_at")
+          .map(w => cleanedT.filter(col("_dbt_processed_at") > lit(w))).getOrElse(cleanedT)
+        Materializer.incrementalUpsert(
+          Intermediate.intDeviceHealth(healthInput, cfg),
+          healthPath, Seq("device_health_key"))
+      }), threads)
+
     val cleaned = spark.read.parquet(cleanedPath)
-
-    // Silver 2: device health — incremental on the surrogate key, watermark
-    // on _dbt_processed_at (int_device_health.sql:20-22).
-    val healthInput = wm(healthPath, "_dbt_processed_at")
-      .map(w => cleaned.filter(col("_dbt_processed_at") > lit(w))).getOrElse(cleaned)
-    Materializer.incrementalUpsert(
-      Intermediate.intDeviceHealth(healthInput, cfg),
-      healthPath, Seq("device_health_key"))
     val health = spark.read.parquet(healthPath)
-
-    // Silver 3: enriched alerts — incremental on alert_id, watermark on
-    // alert_ts (int_alerts_enriched.sql:18-20).
-    val newAlerts = wm(alertsPath, "alert_ts")
-      .map(w => stgA.filter(col("alert_ts") > lit(w))).getOrElse(stgA)
-    Materializer.incrementalUpsert(
-      Intermediate.intAlertsEnriched(newAlerts, stgD, cfg),
-      alertsPath, Seq("alert_id"))
     val alertsE = spark.read.parquet(alertsPath)
 
     // Gate: gold is conditional on bronze+silver tests passing
@@ -92,11 +137,17 @@ object Pipeline {
 
     if (silverChecks.exists(!_.passed)) return Result(silverChecks, goldBuilt = false, Nil)
 
-    // Gold: full-table sinks (S7).
-    Materializer.overwriteTable(m0.fctHourlyMetrics, s"$warehouseDir/gold/fct_hourly_metrics")
-    Materializer.overwriteTable(m0.fctDeviceSummary, s"$warehouseDir/gold/fct_device_summary")
-    Materializer.overwriteTable(m0.fctAnomalyEvents, s"$warehouseDir/gold/fct_anomaly_events")
-    Materializer.overwriteTable(m0.dimDevices, s"$warehouseDir/gold/dim_devices")
+    // Gold: full-table sinks (S7) — all four are leaves of the DAG, so
+    // they build concurrently on the same pool width.
+    runDag(Seq(
+      DagNode("fct_hourly_metrics", Nil) { () =>
+        Materializer.overwriteTable(m0.fctHourlyMetrics, s"$warehouseDir/gold/fct_hourly_metrics") },
+      DagNode("fct_device_summary", Nil) { () =>
+        Materializer.overwriteTable(m0.fctDeviceSummary, s"$warehouseDir/gold/fct_device_summary") },
+      DagNode("fct_anomaly_events", Nil) { () =>
+        Materializer.overwriteTable(m0.fctAnomalyEvents, s"$warehouseDir/gold/fct_anomaly_events") },
+      DagNode("dim_devices", Nil) { () =>
+        Materializer.overwriteTable(m0.dimDevices, s"$warehouseDir/gold/dim_devices") }), threads)
 
     val goldChecks = Checks.suite(m0)
       .filter(ch => ch.model.startsWith("fct_") || ch.model.startsWith("dim_"))

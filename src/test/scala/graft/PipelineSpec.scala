@@ -78,6 +78,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("runDag: independent nodes genuinely overlap on the pool") {
+    // Each body blocks until BOTH bodies have started — completes only if
+    // the scheduler has the two independent nodes in flight at once. A
+    // sequential scheduler would park forever; the await timeout turns
+    // that into a latch failure rather than a hung suite.
+    val bothStarted = new java.util.concurrent.CountDownLatch(2)
+    val overlapped = new java.util.concurrent.atomic.AtomicInteger(0)
+    def body(): Unit = {
+      bothStarted.countDown()
+      if (bothStarted.await(10, java.util.concurrent.TimeUnit.SECONDS))
+        overlapped.incrementAndGet()
+    }
+    Pipeline.runDag(Seq(
+      Pipeline.DagNode("a", Nil)(() => body()),
+      Pipeline.DagNode("b", Nil)(() => body())), threads = 4)
+    assert(overlapped.get() === 2, "independent models must build concurrently")
+  }
+
+  test("runDag: dependencies gate start order; unknown deps rejected; failures propagate") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Pipeline.runDag(Seq(
+      Pipeline.DagNode("up", Nil)(() => { Thread.sleep(50); order.add("up") }),
+      Pipeline.DagNode("down", Seq("up"))(() => order.add("down"))), threads = 4)
+    assert(order.toArray.toSeq === Seq("up", "down"))
+    intercept[IllegalArgumentException] {
+      Pipeline.runDag(Seq(Pipeline.DagNode("x", Seq("missing"))(() => ())))
+    }
+    intercept[RuntimeException] {
+      Pipeline.runDag(Seq(Pipeline.DagNode("boom", Nil)(() => sys.error("model failed"))))
+    }
+  }
+
+  test("threads=1 and threads=4 lifecycles produce identical tables and checks") {
+    val d1 = wh(); val d4 = wh()
+    val r1 = Pipeline.run(spark, d1, threads = 1)
+    val r4 = Pipeline.run(spark, d4, threads = 4)
+    assert(r1 === r4)
+    for (t <- Seq("silver/int_sensor_readings_cleaned", "silver/int_device_health",
+        "silver/int_alerts_enriched", "gold/fct_hourly_metrics",
+        "gold/fct_device_summary", "gold/fct_anomaly_events", "gold/dim_devices")) {
+      val a = spark.read.parquet(s"$d1/$t")
+      val b = spark.read.parquet(s"$d4/$t")
+      assert(a.schema === b.schema, t)
+      val cols = a.columns.toSeq.map(col)
+      assert(a.orderBy(cols: _*).collect().toSeq === b.orderBy(cols: _*).collect().toSeq, t)
+    }
+  }
+
   test("lineage manifest: declared DAG matches Medallion wiring, acyclic, schemas real") {
     val m = graft.models.Medallion.fromSeeds(spark)
     val names = m.byName.map(_._1)
