@@ -174,9 +174,18 @@ object Materializer {
     * sorted by that code. Rows close in ANY clustered dimension land in
     * few files, so single-column predicates on EITHER dimension skip
     * most files via parquet min/max stats — linear `clusteredWrite`
-    * only does this for its leading column. Linear min/max scaling is
-    * skew-sensitive (a heavy hitter compresses the useful range); for
-    * skewed columns feed a pre-ranked proxy column instead.
+    * only does this for its leading column.
+    *
+    * Scaling is RANK-based, not min/max: each column's bucket is the
+    * number of its 255 approx-quantile boundaries ≤ the value (one
+    * sketch pass per write, Greenwald-Khanna under the hood), so buckets
+    * are equi-DEPTH. Min/max scaling is skew-fragile — a single 1000×
+    * outlier compresses every normal value into bucket 0 and that
+    * dimension's bits stop discriminating; under rank scaling an outlier
+    * just occupies the top bucket and the remaining 255 keep their
+    * resolution. 8 bits/dimension is deliberate: pruning power is capped
+    * by file count (16-256 files ⇒ 4-8 useful code bits) long before
+    * 2⁸ buckets per dimension run out.
     */
   def zorderWrite(
       df: DataFrame,
@@ -184,19 +193,15 @@ object Materializer {
       zCols: Seq[String],
       numFiles: Int): Unit = {
     require(zCols.size >= 2 && zCols.size <= 4, "zorder needs 2-4 columns")
-    val bits = 16
+    val bits = 8
     val maxv = (1 << bits) - 1
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val scaled = zCols.zipWithIndex.map { case (c, i) =>
-      val lo = r.getDouble(2 * i)
-      val hi = r.getDouble(2 * i + 1)
-      val span = if (hi > lo) hi - lo else 1.0
-      coalesce(
-        least(lit(maxv.toLong), greatest(lit(0L),
-          floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxv.toDouble)))),
-        lit(0L))
+    val probs = (1 to maxv).map(_.toDouble / (maxv + 1)).toArray
+    val boundaries = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val scaled = zCols.zip(boundaries).map { case (c, qs) =>
+      val qArr = array(qs.toIndexedSeq.map(lit): _*)
+      // bucket = #boundaries ≤ v; nulls fold to bucket 0
+      aggregate(qArr, lit(0L), (acc, q) =>
+        acc + when(col(c).cast("double") >= q, lit(1L)).otherwise(lit(0L)))
     }
     val code = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
       scaled.zipWithIndex.foldLeft(acc) { case (a, (sc, ci)) =>

@@ -196,4 +196,54 @@ object Pipeline {
         retry(maxRetries - 1, intervalMs)(f)
       case Failure(e) => throw e
     }
+
+  /** SLA policy for a monitored task (databricks_control_flow.py:366-386:
+    * the production workflow alerts when a run exceeds 900 s and hard-kills
+    * a task at 1800 s). `clock` is injectable so specs can drive the alert
+    * path without sleeping 15 minutes.
+    */
+  case class Sla(
+      alertAfterMs: Long = 900000,
+      timeoutMs: Long = 1800000,
+      clock: () => Long = () => System.currentTimeMillis(),
+      onAlert: SlaReport => Unit = _ => ())
+
+  case class SlaReport(task: String, durationMs: Long, thresholdMs: Long, timedOut: Boolean)
+
+  class SlaTimeoutException(val report: SlaReport) extends RuntimeException(
+    s"task '${report.task}' exceeded its ${report.thresholdMs} ms timeout " +
+      s"(ran ${report.durationMs} ms before cancellation)")
+
+  /** Run `body` under the SLA: if it outlives `timeoutMs` it is cancelled
+    * (thread interrupt + SlaTimeoutException — the Jobs-API task-timeout
+    * analog); if it finishes but took longer than `alertAfterMs`, `onAlert`
+    * fires with the measured duration (the duration-alert analog) and the
+    * result is still returned — an SLA breach is a page, not a failure.
+    * Durations are measured with the injected clock so both paths are
+    * deterministically testable.
+    */
+  def withSla[T](task: String, sla: Sla = Sla())(body: => T): T = {
+    val t0 = sla.clock()
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"sla-$task"); t.setDaemon(true); t
+    })
+    val fut = exec.submit(new java.util.concurrent.Callable[T] { def call(): T = body })
+    try {
+      val out =
+        try fut.get(sla.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            fut.cancel(true) // interrupts the body's thread
+            val r = SlaReport(task, sla.clock() - t0, sla.timeoutMs, timedOut = true)
+            sla.onAlert(r)
+            throw new SlaTimeoutException(r)
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // body failure propagates as itself, not wrapped
+        }
+      val elapsed = sla.clock() - t0
+      if (elapsed > sla.alertAfterMs)
+        sla.onAlert(SlaReport(task, elapsed, sla.alertAfterMs, timedOut = false))
+      out
+    } finally exec.shutdownNow()
+  }
 }

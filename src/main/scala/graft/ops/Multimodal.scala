@@ -39,6 +39,29 @@ object Multimodal {
       n_frames: Int,
       feature: Array[Float])
 
+  /** A decoder for one asset family. Implementations must be pure
+    * functions of the payload bytes (decode(a) is called from executor
+    * tasks, once per asset, after per-batch `init()`), and must THROW on
+    * malformed payloads — the caller maps failures to a null-feature row
+    * rather than killing the task, mirroring how a production decode
+    * stage quarantines corrupt media instead of failing the job.
+    */
+  trait Codec extends Serializable {
+    /** Amortized once per batch (model load / codec context). */
+    def init(): Unit = ()
+    def decode(a: Asset): AssetFeatures
+  }
+
+  /** MIME-type dispatch table: real parsers for the two pure-JVM formats,
+    * the md5 stub for everything else (the container ships no jpeg/mp3
+    * codecs — that seam stays a stub, clearly marked).
+    */
+  def codecFor(mime: String): Codec = mime match {
+    case "image/bmp" => BmpCodec
+    case "audio/wav" | "audio/x-wav" => WavCodec
+    case _ => Md5StubCodec
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   /** STUB decoder — deterministic fake standing in for an image/audio
@@ -69,6 +92,164 @@ object Multimodal {
       feature = Array.tabulate(8)(k => h16(k * 4) / 65536.0f))
   }
 
+  object Md5StubCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = decodeStub(a)
+  }
+
+  /** Real BMP decoder — pure JVM, no codec jars. Parses the classic
+    * Windows BITMAPFILEHEADER + BITMAPINFOHEADER (uncompressed 24/32-bit;
+    * the format every `mspaint`/PIL `save(format='BMP')` emits): 'BM'
+    * magic, pixel-array offset at byte 10, header size ≥ 40 at byte 14,
+    * width/height as signed LE int32 at 18/22 (negative height = top-down
+    * row order — accepted, |height| used), bpp at 28, compression 0 (BI_RGB)
+    * at 30. Rows are padded to 4-byte boundaries. Features are real image
+    * statistics in [0,1]: mean B, G, R, mean luma, min luma, max luma,
+    * mean |∂luma/∂x| (horizontal edge energy), fraction of pixels brighter
+    * than 0.5 — the kind of cheap quality signals a pretraining image
+    * filter computes before any model sees the pixels.
+    */
+  object BmpCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = {
+      val b = a.payload
+      require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte, "not a BMP")
+      def i32(off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      val pixelOff = i32(10)
+      val hdrSize = i32(14)
+      val width = i32(18)
+      val rawHeight = i32(22)
+      val height = math.abs(rawHeight)
+      val bpp = i16(28)
+      val compression = if (hdrSize >= 20) i32(30) else 0
+      require(hdrSize >= 40, s"unsupported DIB header size $hdrSize")
+      require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+      require(bpp == 24 || bpp == 32, s"unsupported bpp $bpp (only 24/32-bit BI_RGB)")
+      require(compression == 0, s"unsupported compression $compression")
+      val bytesPerPx = bpp / 8
+      val rowStride = ((width * bytesPerPx + 3) / 4) * 4
+      require(b.length >= pixelOff + rowStride.toLong * height, "truncated pixel array")
+      var sumB, sumG, sumR, sumLuma, sumEdge = 0.0
+      var minLuma = Double.MaxValue
+      var maxLuma = Double.MinValue
+      var nBright = 0L
+      var y = 0
+      while (y < height) {
+        val row = pixelOff + y * rowStride
+        var x = 0
+        var prevLuma = 0.0
+        while (x < width) {
+          val p = row + x * bytesPerPx
+          val blue = (b(p) & 0xff) / 255.0
+          val green = (b(p + 1) & 0xff) / 255.0
+          val red = (b(p + 2) & 0xff) / 255.0
+          val luma = 0.2126 * red + 0.7152 * green + 0.0722 * blue
+          sumB += blue; sumG += green; sumR += red; sumLuma += luma
+          if (luma < minLuma) minLuma = luma
+          if (luma > maxLuma) maxLuma = luma
+          if (luma > 0.5) nBright += 1
+          if (x > 0) sumEdge += math.abs(luma - prevLuma)
+          prevLuma = luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      val nEdges = math.max(1L, (width - 1).toLong * height)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 0, b.length)
+      AssetFeatures(a.doc_id, b.length, crc.getValue, width, height, n_frames = 1,
+        feature = Array(
+          (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
+          (sumLuma / n).toFloat, minLuma.toFloat, maxLuma.toFloat,
+          (sumEdge / nEdges).toFloat, nBright.toFloat / n))
+    }
+  }
+
+  /** Real WAV/PCM decoder — pure JVM RIFF parse: 'RIFF'…'WAVE' magic, then
+    * chunk walk to 'fmt ' (PCM format 1 or IEEE-float 3, 8/16-bit int or
+    * 32-bit float samples) and 'data'. Maps onto the fixed-width record
+    * as: width = sample rate, height = channel count, n_frames = frames
+    * (samples per channel). Features are the audio-quality battery a
+    * speech-data filter runs: mean amplitude, RMS, peak, zero-crossing
+    * rate, DC offset, dynamic range (peak−RMS), fraction of near-silent
+    * frames (|s|<0.01), and clipping fraction (|s|>0.99) — all on samples
+    * normalized to [−1,1], frame values averaged across channels.
+    */
+  object WavCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = {
+      val b = a.payload
+      require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a WAV")
+      def i32(off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      var off = 12
+      var fmtOff = -1
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val sz = i32(off + 4)
+        require(sz >= 0, s"bad chunk size $sz")
+        if (id == "fmt ") fmtOff = off + 8
+        else if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff) }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(fmtOff >= 0 && dataOff >= 0, "missing fmt/data chunk")
+      val fmtTag = i16(fmtOff)
+      val channels = i16(fmtOff + 2)
+      val sampleRate = i32(fmtOff + 4)
+      val bitsPerSample = i16(fmtOff + 14)
+      require(channels > 0 && sampleRate > 0, "bad fmt chunk")
+      require((fmtTag == 1 && (bitsPerSample == 8 || bitsPerSample == 16)) ||
+        (fmtTag == 3 && bitsPerSample == 32),
+        s"unsupported format tag=$fmtTag bits=$bitsPerSample")
+      val bytesPerSample = bitsPerSample / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      var sumAbs, sumSq, sumRaw = 0.0
+      var peak = 0.0
+      var nZeroCross, nSilent, nClipped = 0L
+      var prevSign = 0
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val p = dataOff + f * frameBytes + c * bytesPerSample
+          val s = bitsPerSample match {
+            case 8 => ((b(p) & 0xff) - 128) / 128.0 // 8-bit WAV is unsigned
+            case 16 => ((b(p) & 0xff) | (b(p + 1) << 8)).toShort / 32768.0
+            case 32 => java.lang.Float.intBitsToFloat(i32(p)).toDouble
+          }
+          acc += s
+          c += 1
+        }
+        val s = acc / channels
+        val abs = math.abs(s)
+        sumAbs += abs; sumSq += s * s; sumRaw += s
+        if (abs > peak) peak = abs
+        if (abs < 0.01) nSilent += 1
+        if (abs > 0.99) nClipped += 1
+        val sign = java.lang.Double.compare(s, 0.0)
+        if (f > 0 && sign != 0 && prevSign != 0 && sign != prevSign) nZeroCross += 1
+        if (sign != 0) prevSign = sign
+        f += 1
+      }
+      val n = math.max(1L, nFrames.toLong)
+      val rms = math.sqrt(sumSq / n)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 0, b.length)
+      AssetFeatures(a.doc_id, b.length, crc.getValue,
+        width = sampleRate, height = channels, n_frames = nFrames,
+        feature = Array(
+          (sumAbs / n).toFloat, rms.toFloat, peak.toFloat,
+          nZeroCross.toFloat / n, (sumRaw / n).toFloat,
+          (peak - rms).toFloat, nSilent.toFloat / n, nClipped.toFloat / n))
+    }
+  }
+
   /** Documents rendered as a multimodal asset table: binary payload
     * (UTF-8 bytes stand in for media bytes) + metadata struct.
     */
@@ -82,6 +263,10 @@ object Multimodal {
   /** Batched partition-wise decode — the mapInPandas-shaped stage.
     * Batching is explicit (`grouped(batchSize)`) so decoder init cost is
     * amortized per batch, and partition count controls decode parallelism.
+    * Codec is chosen per asset from its MIME type (`codecFor`); a payload
+    * the codec rejects becomes a quarantine row (negative dimensions,
+    * empty feature vector) instead of failing the task — corrupt media is
+    * a certainty at 100 TB and one bad file must not kill a stage.
     */
   def decodeFeatures(assets: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = assets.sparkSession
@@ -89,8 +274,15 @@ object Multimodal {
     assets.select(col("doc_id"), col("mime"), col("payload")).as[Asset]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // a real codec would init once here, decode the batch, release
-          batch.map(decodeStub)
+          // one init per (batch, codec family) — where a real decoder
+          // loads its codec context / model weights
+          batch.iterator.map(a => codecFor(a.mime)).toSet.foreach((c: Codec) => c.init())
+          batch.map { a =>
+            try codecFor(a.mime).decode(a)
+            catch { case scala.util.control.NonFatal(_) =>
+              AssetFeatures(a.doc_id, a.payload.length, 0L, -1, -1, 0, Array.empty)
+            }
+          }
         }
       }
       .toDF()

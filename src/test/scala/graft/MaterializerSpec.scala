@@ -151,6 +151,24 @@ class MaterializerSpec extends AnyFunSuite {
     assert(ly > 8, s"linear: y-point query should scatter, hit $ly of 16 files")
   }
 
+  test("zorderWrite: a 1000x outlier does not collapse a dimension's pruning (rank scaling)") {
+    // min/max scaling would squash x∈[0,1024) into bucket 0 once one row
+    // has x = 1,048,576 — every x-point query would then hit every file.
+    // Rank buckets are equi-depth, so the outlier occupies the top bucket
+    // and the normal range keeps its full resolution.
+    val rnd = new scala.util.Random(13)
+    val rows = ((1 to 20000).map(i => (rnd.nextInt(1024), rnd.nextInt(1024), i))
+      :+ ((1024 * 1024, 1024 * 1024, 0))).toDF("x", "y", "v")
+    val path = tmpDir()
+    Materializer.zorderWrite(rows, path, Seq("x", "y"), numFiles = 16)
+    val t = spark.read.parquet(path)
+    assert(t.count() === 20001)
+    val zx = t.filter(col("x") === 5).select(input_file_name()).distinct().count()
+    val zy = t.filter(col("y") === 5).select(input_file_name()).distinct().count()
+    assert(zx <= 8, s"outlier-skewed x-point query hit $zx of 16 files")
+    assert(zy <= 8, s"outlier-skewed y-point query hit $zy of 16 files")
+  }
+
   test("csv and jsonl exports round-trip typed rows exactly") {
     import org.apache.spark.sql.types._
     val df = Catalog.table(spark, "/root/testdata/sf0.001", "events")

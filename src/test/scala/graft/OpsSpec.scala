@@ -150,6 +150,75 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("byte_len") === textLen)
   }
 
+  /** Hand-built 2×2 24-bit BMP: bottom row [blue, green], top row
+    * [red, white] — 54-byte header + two 8-byte rows (6 px bytes + 2 pad).
+    */
+  private def bmp2x2: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(70).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(70).putInt(0).putInt(54) // file header
+    buf.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)         // BITMAPINFOHEADER
+    buf.putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // pixel array, bottom-up, BGR, rows padded to 4 bytes
+    buf.put(Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0))   // bottom row: blue, green
+    buf.put(Array[Byte](0, 0, -1, -1, -1, -1, 0, 0)) // top row: red, white
+    buf.array()
+  }
+
+  /** PCM16 mono 8 kHz WAV with 4 samples at ±0.5 amplitude. */
+  private def wavPcm16: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1) // PCM, mono
+    buf.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(8)
+    Seq(16384, -16384, 16384, -16384).foreach(s => buf.putShort(s.toShort))
+    buf.array()
+  }
+
+  test("BmpCodec: real 2x2 BMP decodes to exact dimensions and pixel statistics") {
+    val f = Multimodal.BmpCodec.decode(Multimodal.Asset(7L, "image/bmp", bmp2x2))
+    assert(f.width === 2 && f.height === 2 && f.n_frames === 1)
+    assert(f.byte_len === 70)
+    val Array(mB, mG, mR, mLuma, minLuma, maxLuma, edge, bright) = f.feature
+    assert(math.abs(mB - 0.5f) < 1e-6 && math.abs(mG - 0.5f) < 1e-6 && math.abs(mR - 0.5f) < 1e-6)
+    assert(math.abs(mLuma - 0.5f) < 1e-6, "luma coefficients sum to 1 over {pure B, pure G, pure R, white}")
+    assert(math.abs(minLuma - 0.0722f) < 1e-6 && math.abs(maxLuma - 1.0f) < 1e-6)
+    assert(math.abs(edge - (0.6430f + 0.7874f) / 2) < 1e-4) // |G-B| and |white-R| luma steps
+    assert(bright === 0.5f, "green and white exceed 0.5 luma")
+    // top-down variant (negative height) decodes with identical statistics
+    val td = bmp2x2
+    val b = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(22, -2)
+    val g = Multimodal.BmpCodec.decode(Multimodal.Asset(7L, "image/bmp", td))
+    assert(g.height === 2 && g.feature.toSeq === f.feature.toSeq)
+  }
+
+  test("WavCodec: real PCM16 WAV decodes to exact rate/frames and amplitude stats") {
+    val f = Multimodal.WavCodec.decode(Multimodal.Asset(8L, "audio/wav", wavPcm16))
+    assert(f.width === 8000 && f.height === 1 && f.n_frames === 4)
+    val Array(meanAbs, rms, peak, zcr, dc, dyn, silent, clipped) = f.feature
+    assert(meanAbs === 0.5f && rms === 0.5f && peak === 0.5f)
+    assert(zcr === 0.75f, "signs +,-,+,- cross three times over four frames")
+    assert(dc === 0.0f && dyn === 0.0f && silent === 0.0f && clipped === 0.0f)
+  }
+
+  test("decodeFeatures dispatches codecs by mime and quarantines corrupt payloads") {
+    val assets = Seq(
+      (1L, "image/bmp", bmp2x2),
+      (2L, "audio/wav", wavPcm16),
+      (3L, "image/bmp", "not a bitmap".getBytes("UTF-8")), // corrupt: quarantined, not fatal
+      (4L, "text/plain", "hello".getBytes("UTF-8"))        // falls back to the md5 stub
+    ).toDF("doc_id", "mime", "payload")
+    val out = Multimodal.decodeFeatures(assets, batchSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("width") === 2 && out(0).getAs[Int]("height") === 2)
+    assert(out(1).getAs[Int]("width") === 8000 && out(1).getAs[Int]("n_frames") === 4)
+    assert(out(2).getAs[Int]("width") === -1 &&
+      out(2).getSeq[Float](out(2).fieldIndex("feature")).isEmpty)
+    assert(out(3).getAs[Long]("checksum") ===
+      Multimodal.decodeStub(Multimodal.Asset(4L, "text/plain", "hello".getBytes("UTF-8"))).checksum)
+  }
+
   test("shingle_hashes: codegen expression matches the built-in md5/conv tree") {
     graft.functions.ShingleHashes.register(spark)
     val d = Catalog.table(spark, sf, "documents").limit(50)

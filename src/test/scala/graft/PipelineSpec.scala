@@ -153,4 +153,43 @@ class PipelineSpec extends AnyFunSuite {
       graft.exec.Lineage.topologicalOrder(Map("a" -> Seq("b"), "b" -> Seq("a")))
     }
   }
+
+  test("SLA: duration alert fires on a slow-but-successful run, with the measured duration") {
+    // fake clock: t0=0ms at entry, 901_000ms when the body completes —
+    // one tick past the reference's 900 s alert threshold
+    val ticks = Iterator(0L, 901000L, 901000L)
+    val alerts = scala.collection.mutable.ArrayBuffer[Pipeline.SlaReport]()
+    val sla = Pipeline.Sla(clock = () => ticks.next(), onAlert = alerts += _)
+    val out = Pipeline.withSla("dbt_run", sla) { 42 }
+    assert(out === 42, "an SLA breach alerts but still returns the result")
+    assert(alerts.toSeq === Seq(Pipeline.SlaReport("dbt_run", 901000L, 900000L, timedOut = false)))
+    // under-threshold run: no alert
+    val quiet = scala.collection.mutable.ArrayBuffer[Pipeline.SlaReport]()
+    val fast = Iterator(0L, 1000L)
+    assert(Pipeline.withSla("dbt_run",
+      Pipeline.Sla(clock = () => fast.next(), onAlert = quiet += _)) { 7 } === 7)
+    assert(quiet.isEmpty)
+  }
+
+  test("SLA: task timeout cancels the body and raises SlaTimeoutException") {
+    val alerts = scala.collection.mutable.ArrayBuffer[Pipeline.SlaReport]()
+    val interrupted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[Pipeline.SlaTimeoutException] {
+      Pipeline.withSla("stuck_model", Pipeline.Sla(timeoutMs = 200, onAlert = alerts += _)) {
+        try Thread.sleep(30000)
+        catch { case _: InterruptedException => interrupted.set(true); throw new RuntimeException("killed") }
+      }
+    }
+    assert(e.report.task === "stuck_model" && e.report.timedOut)
+    assert(alerts.exists(_.timedOut), "timeout also pages")
+    // the body's thread actually received the interrupt (hard kill, not abandonment)
+    val deadline = System.currentTimeMillis() + 5000
+    while (!interrupted.get() && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(interrupted.get(), "cancel(true) must interrupt the running body")
+    // body failures propagate as themselves, not wrapped in ExecutionException
+    val boom = intercept[IllegalStateException] {
+      Pipeline.withSla("failing_model")(throw new IllegalStateException("model failed"))
+    }
+    assert(boom.getMessage === "model failed")
+  }
 }

@@ -57,4 +57,49 @@ class ScaleKernelPropSpec extends AnyFunSuite {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("RankSelect refinement: 99%-one-value skew never exceeds the bucket sort bound") {
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    val bound = 500L
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // 99% of rows share ONE value (plus a handful of its closest double
+      // neighbors, which share its 12-bit radix bucket at every level
+      // until ~full precision), 1% spread wide — the pathological case
+      // where the single-histogram form would sort the whole corpus in
+      // one task.
+      val heavy = 37.25 + rnd.nextInt(100)
+      val rows = (0 until 20000).map { i =>
+        val v =
+          if (i % 100 == 0) (rnd.nextInt(4001) - 2000).toDouble / 3
+          else if (i % 17 == 0) heavy + (i % 5) * java.lang.Math.ulp(heavy)
+          else heavy
+        (s"g${i % 2}", v, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      // every located target is either within the sort bound or resolved
+      // EXACTLY from its full 64-bit prefix (single distinct value — no
+      // sort at all)
+      val targets = graft.ops.RankSelect.locateTargets(df, "g", "v", qs, bound)
+      assert(targets.nonEmpty)
+      targets.foreach { t =>
+        assert(t.occ <= bound || t.bits == 64,
+          s"seed=$seed target $t: oversized bucket survived refinement")
+      }
+      assert(targets.exists(_.bits > 12),
+        s"seed=$seed: the heavy value must force at least one refinement round")
+      // and the refined answer still equals the naive sorted-element pick
+      val got = graft.ops.RankSelect
+        .groupQuantiles(df, "g", "v", "id", qs, maxBucketRows = bound)
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (g, grp) =>
+        val sorted = grp.map(v => (v._2, v._3)).sortBy(identity).map(_._1)
+        def pick(p: Double) = sorted(math.floor((sorted.length - 1) * p).toInt)
+        g -> ((pick(0.25), pick(0.5), pick(0.99)))
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
 }
