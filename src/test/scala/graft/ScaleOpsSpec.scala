@@ -124,10 +124,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     // {10,11} a pair, {20} isolated; edge direction is arbitrary
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // single-task union-find path (default: edge set within the bound)
     val got = ops.Cluster.connectedComponents(edges, verts)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    assert(got === want)
+    // iterative min-label + path-halving path (forced by a zero bound)
+    // must be bit-equal — the bound is a performance switch, never a
+    // semantics switch
+    val gotLoop = ops.Cluster.connectedComponents(edges, verts, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop === want)
+  }
+
+  test("connectedComponents: both paths agree on a random graph (property)") {
+    import spark.implicits._
+    Seq(3, 17, 404).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nVerts = 60 + rnd.nextInt(140)
+      val verts = (0 until nVerts).map(_.toLong)
+      val edges = (0 until nVerts / 2).map(_ =>
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+      val eDf = edges.toDF("src", "dst")
+      val vDf = verts.toDF("id")
+      val small = ops.Cluster.connectedComponents(eDf, vDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = ops.Cluster.connectedComponents(eDf, vDf, smallGraphMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(small === loop, s"seed=$seed")
+      assert(small.keySet === verts.toSet, s"seed=$seed: every vertex labeled")
+    }
   }
 
   test("q65: exact-dup docs land in one cluster with the min doc_id canonical") {
