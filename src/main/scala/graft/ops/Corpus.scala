@@ -209,10 +209,11 @@ object Corpus {
     * smallest h60(doc_id) per source — a seedless, reproducible
     * "reservoir" (hash order is fixed, so re-runs, engines, and
     * partitionings all agree; contrast with q62's Bernoulli thinning,
-    * which has no per-group cap). The window partitions by source
-    * (bounded set here); for high-cardinality groups the same semantics
-    * run as a RankSelect-style per-group top-k — the hash IS the rank, so
-    * no data-dependent ordering is ever needed.
+    * which has no per-group cap). Runs as a k-bounded TopKMin aggregate,
+    * not a window: map-side partial aggregation reduces every (partition,
+    * source) to ≤5 pairs before the shuffle, so high-cardinality groups
+    * never sort-and-discard their full membership (the window form
+    * shuffles and sorts the whole corpus to keep 5 rows per group).
     */
   val q77 = Q("q77_group_sample",
     """WITH h AS (
@@ -227,13 +228,13 @@ object Corpus {
       |SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
       |FROM r WHERE sample_rank <= 5
       |ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val h = docs(s, dir).select(col("source"), col("doc_id"),
       Dedup.h60Col(col("doc_id").cast("string")).as("hk"))
-    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
-    h.withColumn("sample_rank", row_number().over(w).cast("long"))
-      .filter(col("sample_rank") <= 5)
-      .select(col("source"), col("doc_id"), col("sample_rank"))
+    h.groupBy("source")
+      .agg(graft.functions.TopKMin.topKMin(5)(col("hk"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
       .orderBy("source", "sample_rank")
   }
 

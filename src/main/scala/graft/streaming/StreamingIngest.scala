@@ -200,6 +200,58 @@ object StreamingIngest {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  // ── Timers: processing-time idle-source detection ─────────────────────
+
+  case class IdleAlert(device_id: String, last_value: Double, idle_ms_at_least: Long)
+  case class LastSeen(value: Double, timerAt: Long)
+
+  /** TimeMode.ProcessingTime + per-key timers: every reading (re)arms a
+    * one-shot timer `idleMs` ahead and cancels the previous one; if the
+    * timer fires before the next reading, the key has gone quiet and an
+    * IdleAlert is emitted from `handleExpiredTimer` — the push-based
+    * "device went dark" monitor (the reference's freshness check, q60, is
+    * the batch pull-based form of the same SLA). State is one LastSeen
+    * per key plus at most one registered timer; the alert clears the
+    * state, so a dead key costs nothing after its single alert.
+    */
+  class IdleDeviceProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, MetricReading, IdleAlert] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[LastSeen] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[LastSeen]("last",
+        org.apache.spark.sql.Encoders.product[LastSeen],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[MetricReading],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[IdleAlert] = {
+      Option(last.get()).foreach(p => getHandle.deleteTimer(p.timerAt)) // re-arm
+      var v = 0.0
+      rows.foreach(r => v = r.metric_value)
+      val fireAt = timers.getCurrentProcessingTimeInMs() + idleMs
+      getHandle.registerTimer(fireAt)
+      last.update(LastSeen(v, fireAt))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleAlert] = {
+      val out = Option(last.get())
+        .map(p => IdleAlert(key, p.value, idleMs)).iterator
+      last.clear() // one alert per silence; a new reading re-creates state
+      out
+    }
+  }
+
+  /** Requires the RocksDB state store provider, like `deviceRunningStats`. */
+  def idleDeviceAlerts(readings: Dataset[MetricReading],
+      idleMs: Long): Dataset[IdleAlert] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.device_id)
+      .transformWithState(new IdleDeviceProcessor(idleMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   // ── Custom state: anomaly streak tracking ─────────────────────────────
 
   case class Reading(device_id: String, reading_ts: java.sql.Timestamp, is_anomaly: Boolean)

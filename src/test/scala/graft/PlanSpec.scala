@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
       s"TypedImperativeAggregate must plan partial+final:\n$p")
   }
 
+  test("q77: per-group sample aggregates k-bounded buffers partial+final, no window sort") {
+    val p = plan("q77_group_sample")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"TopKMin must plan map-side partial + final aggregation:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      s"the window sort-and-discard form crept back into q77:\n$p")
+  }
+
   test("q56: sequence packing never plans a single-partition exchange") {
     // the prefix sum must run as a bucket-partitioned window, not a global
     // Window.orderBy (whose plan is `Exchange SinglePartition` — the whole
@@ -100,9 +108,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q27: median selection sorts only the located value bucket") {
     val p = plan("q27_exact_median")
-    // the window's input must be bucket-filtered (broadcast-joined median
-    // bucket `_mb`), not the full per-group table
-    assert(p.contains("_mb"), s"median-bucket filter missing from plan:\n$p")
+    // the window's input must be bucket-filtered (broadcast-joined target
+    // prefix `_tprefix`), not the full per-group table
+    assert(p.contains("_tprefix"), s"median-bucket filter missing from plan:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"bucket/rank metadata must broadcast:\n$p")
   }

@@ -138,6 +138,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(gotLoop === want)
   }
 
+  test("TopKMin aggregate equals the window top-k for random inputs (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Seq(5, 23, 777).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(6)
+      val rows = (0 until 2000).map { i =>
+        // duplicate-heavy sort keys exercise the payload tie-break
+        (s"g${rnd.nextInt(7)}", rnd.nextInt(50).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "hk", "id")
+      val viaAgg = df.groupBy("g")
+        .agg(graft.functions.TopKMin.topKMin(k)(col("hk"), col("id")).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), col("col._1").as("hk"), col("col._2").as("id"),
+          (col("pos") + 1).as("rk"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val w = Window.partitionBy("g").orderBy(col("hk"), col("id"))
+      val viaWindow = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(viaAgg === viaWindow, s"seed=$seed k=$k")
+    }
+  }
+
   test("connectedComponents: both paths agree on a random graph (property)") {
     import spark.implicits._
     Seq(3, 17, 404).foreach { seed =>

@@ -238,6 +238,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers: a device going quiet fires exactly one idle alert") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Double)]
+    val ds = mem.toDS().map { case (d, v) => StreamingIngest.MetricReading(d, v) }
+    val q = StreamingIngest.idleDeviceAlerts(ds, idleMs = 800).toDF()
+      .writeStream.format("memory").queryName("idle_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // NOTE: never processAllAvailable() on a ProcessingTime-timer query —
+      // pending timers keep the engine scheduling batches, so quiescence
+      // never arrives and the call blocks forever. Poll the sink instead.
+      mem.addData(("D1", 42.0), ("D2", 7.0))
+      def d1Alerts() = spark.table("idle_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .filter(_._1 == "D1") // D2 assertions would race its own idle timer
+      val deadline = System.currentTimeMillis() + 20000
+      while (d1Alerts().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        mem.addData(("D2", 8.0)) // D2 stays chatty; D1 goes silent past 800ms
+      }
+      assert(d1Alerts().toSeq === Seq(("D1", 42.0, 800L)),
+        "exactly one alert for the silent key, carrying its last value")
+      // the alert cleared D1's state: continued silence fires nothing further
+      Thread.sleep(1500)
+      assert(d1Alerts().length === 1)
+    } finally {
+      q.stop()
+      prev match { case Some(p) => spark.conf.set(key, p); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState: anomaly streaks persist across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.Reading]
