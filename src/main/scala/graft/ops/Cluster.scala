@@ -356,7 +356,13 @@ object Cluster {
     * which Catalyst re-optimizes as a whole and the scheduler/GC handle
     * with high run-to-run variance (measured 2.3× swings at sf0.1).
     */
-  private[graft] def prIterate(ed: DataFrame, nodes: DataFrame): DataFrame = {
+  private[graft] def prIterate(ed: DataFrame, nodes: DataFrame,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
+    // scale-adaptive, mirroring connectedComponents: an edge list within
+    // the one-task bound iterates in a single executor task (5 in-memory
+    // sweeps beat 5 shuffle rounds by ~6s at sf0.1); `ed` is already
+    // checkpointed by both callers, so the count is a metadata-cheap scan
+    if (ed.count() <= smallGraphMaxEdges) return prIterateLocal(ed, nodes)
     var r = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to PrIters) {
       val contrib = ed.join(r, ed("src") === r("id"))
@@ -367,6 +373,46 @@ object Cluster {
         .localCheckpoint()
     }
     r
+  }
+
+  /** The same damped fixed-point iteration run inside ONE executor task —
+    * the bounded-small path of `prIterate`. Edges and the node set arrive
+    * as one tagged union so a single `mapPartitions` sees both; the
+    * arithmetic is the identical positive-Long `r*w/ws` and
+    * `150000 + 85*cc/100` floor division, and Long sums commute exactly,
+    * so the result is bit-equal to the shuffle loop (spec-pinned) — the
+    * bound is a performance switch, never a semantics switch.
+    */
+  private def prIterateLocal(ed: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = ed.sparkSession
+    import spark.implicits._
+    ed.select(lit(0L).as("t"), col("src"), col("dst"), col("w"), col("wsum"))
+      .unionByName(nodes.select(lit(1L).as("t"), col("id").as("src"),
+        lit(0L).as("dst"), lit(0L).as("w"), lit(0L).as("wsum")))
+      .as[(Long, Long, Long, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (t, a, b, w, ws) =>
+          if (t == 0L) edges += ((a, b, w, ws)) else ids += a
+        }
+        val rank = scala.collection.mutable.HashMap.empty[Long, Long]
+        ids.foreach(id => rank(id) = 1000000L)
+        for (_ <- 1 to PrIters) {
+          val incoming = scala.collection.mutable.HashMap.empty[Long, Long]
+          edges.foreach { case (s, d, w, ws) =>
+            // contributions flow only from nodes in the node set, exactly
+            // like the loop's ed⋈rank equi-join
+            rank.get(s).foreach { r =>
+              incoming(d) = incoming.getOrElse(d, 0L) + r * w / ws
+            }
+          }
+          ids.foreach(id => rank(id) = 150000L + 85L * incoming.getOrElse(id, 0L) / 100L)
+        }
+        ids.iterator.map(id => (id, rank(id)))
+      }
+      .toDF("id", "r")
   }
 
   /** Pregel-style RDD variant of the same iteration, kept as a MEASURED

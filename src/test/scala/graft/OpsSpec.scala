@@ -320,10 +320,13 @@ class OpsSpec extends AnyFunSuite {
     val wsums = sym.groupBy("src").agg(sum(col("w")).cast("long").as("wsum"))
     val ed = sym.join(wsums, "src")
     val nodes = (Seq(1L, 2L, 3L, 4L) ++ Seq(101L, 102L, 103L)).toDF("id")
-    val a = graft.ops.Cluster.prIterate(ed, nodes)
+    val a = graft.ops.Cluster.prIterate(ed, nodes) // single-task path (within bound)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val loop = graft.ops.Cluster.prIterate(ed, nodes, smallGraphMaxEdges = 0) // forced shuffle loop
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val b = graft.ops.Cluster.prIterateRdd(ed, nodes)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === loop, "bounded-small path must be bit-equal to the shuffle loop")
     assert(a === b)
     // isolated node 4 holds exactly the teleport floor
     assert(a.toMap.apply(4L) === 150000L)
