@@ -129,6 +129,20 @@ object Scratch {
         time(s"docs${mult}.dedup_clusters") {
           graft.ops.Cluster.dedupClusters(docs10).count()
         }
+        // the duplicated probe corpus keeps the rep-level graph under the
+        // one-task bound, so force the distributed loop to evidence the
+        // big-graph path's scaling too
+        time(s"docs${mult}.cc_shuffle_loop") {
+          val reps = docs10.groupBy(md5(graft.ops.TextOps.normalized(col("text"))).as("fp"))
+            .agg(min(col("doc_id")).as("rep_id"),
+              min_by(col("text"), col("doc_id")).as("text"))
+          val edges = graft.ops.Dedup.simhashCandidates(
+              graft.ops.Dedup.simhash(reps.select(col("rep_id").as("doc_id"), col("text"))))
+            .filter(col("hamming") <= graft.ops.Dedup.SimHammingMax)
+            .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+          graft.ops.Cluster.connectedComponents(edges,
+            reps.select(col("rep_id").as("id")), smallGraphMaxEdges = 0).count()
+        }
         spark.stop(); return
       }
       time("events10.hourly_agg") {
@@ -198,6 +212,19 @@ object Scratch {
         graft.ops.Cluster.pagerank(li10, ord10,
           Catalog.table(spark, sfDir, "supplier"),
           Catalog.table(spark, sfDir, "customer")).count()
+      }
+      // the duplicated probe keeps the distinct pair set under the
+      // one-task bound — force the shuffle loop to evidence the
+      // big-graph path at 10x fact volume as well
+      time("tpch10.pagerank_shuffle_loop") {
+        val li = li10.select(col("l_orderkey"), col("l_suppkey"))
+        val ord = ord10.select(col("o_orderkey"), col("o_custkey"))
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").cast("long").as("s"), col("o_custkey").cast("long").as("c"))
+          .distinct()
+        graft.ops.Cluster.pagerankFromPairs(e0,
+          Catalog.table(spark, sfDir, "supplier"),
+          Catalog.table(spark, sfDir, "customer"), smallGraphMaxEdges = 0).count()
       }
       spark.stop(); return
     }

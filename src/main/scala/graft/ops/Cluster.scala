@@ -327,7 +327,7 @@ object Cluster {
     * frame: symmetrize, annotate out-degree, iterate.
     */
   def pagerankFromPairs(e0: DataFrame, supplier: DataFrame,
-      customer: DataFrame): DataFrame = {
+      customer: DataFrame, smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     val edges = e0.select(col("s").as("src"), (col("c") + CustOffset).as("dst"))
       .unionByName(e0.select((col("c") + CustOffset).as("src"), col("s").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("wsum"))
@@ -337,7 +337,7 @@ object Cluster {
       .unionByName(customer
         .select((col("c_custkey") + CustOffset).as("id")))
       .localCheckpoint()
-    prIterate(ed, nodes).select(
+    prIterate(ed, nodes, smallGraphMaxEdges).select(
         when(col("id") >= CustOffset, "customer").otherwise("supplier").as("node_kind"),
         when(col("id") >= CustOffset, col("id") - CustOffset).otherwise(col("id")).as("node_id"),
         col("r").as("rank_fp"))
