@@ -113,6 +113,57 @@ object TextHash {
     while (i < toks.length) { out(i) = h60(toks(i)); i += 1 }
     out
   }
+
+  /** Fused MinHash signature: tokenize → shingle → h60 → per-lane affine
+    * min, one pass per row with no shingle materialization beyond the
+    * hash array. Returns [n_shingles, sig_0, …, sig_{L-1}]. Arithmetic is
+    * `((h % p) * a + b) % p` in plain Long — h%p and a are < 2³¹ so the
+    * product is < 2⁶², overflow-free, matching the SQL tree and the
+    * DuckDB oracle bit-for-bit. `shingleHashes` never returns empty (the
+    * short-text fallback), so every lane sees at least one value.
+    */
+  def minhashSig(s: String, n: Int, prime: Long, a: Array[Long], b: Array[Long]): Array[Long] = {
+    val hs = shingleHashes(s, n)
+    val out = new Array[Long](a.length + 1)
+    out(0) = hs.length
+    java.util.Arrays.fill(out, 1, out.length, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val hp = hs(i) % prime
+      var k = 0
+      while (k < a.length) {
+        val v = (hp * a(k) + b(k)) % prime
+        if (v < out(k + 1)) out(k + 1) = v
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Fused term-frequency SimHash (Charikar): every token occurrence
+    * votes ±1 per bit, bit set when the sum is positive. Returns
+    * [n_tokens, signature]; callers filter n_tokens = 0 to reproduce the
+    * explode-then-aggregate form's drop-empty-docs semantics.
+    */
+  def simhashSig(s: String, bits: Int): Array[Long] = {
+    val hs = tokenHashes(s)
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var bb = 0
+      while (bb < bits) {
+        if (((h >>> bb) & 1L) == 1L) sums(bb) += 1 else sums(bb) -= 1
+        bb += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bb = 0
+    while (bb < bits) { if (sums(bb) > 0) sig |= 1L << bb; bb += 1 }
+    Array(hs.length.toLong, sig)
+  }
 }
 
 /** Array of distinct n-shingle h60 hashes — a native codegen Expression so
@@ -164,6 +215,68 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [n_shingles, sig_0..sig_{L-1}] MinHash signature — the whole
+  * tokenize→shingle→hash→L-lane-min pipeline fused into one codegen
+  * call per row. Replaces an explode + L-aggregate groupBy: signatures
+  * are a pure function of the document, so the per-doc shuffle the
+  * aggregate form paid was structural waste — this form is a projection.
+  * Hash-family params are Seqs (value equality) so Catalyst
+  * canonicalization and subexpression elimination see identical
+  * expressions as equal.
+  */
+case class MinhashSig(child: Expression, n: Int, prime: Long,
+    a: Seq[Long], b: Seq[Long]) extends UnaryExpression {
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.minhashSig(
+      input.asInstanceOf[UTF8String].toString, n, prime, aArr, bArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.minhashSig($c.toString(), $n, ${prime}L, $aRef, $bRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** [n_tokens, simhash] — the fused form of the 60-conditional-sum
+  * aggregate simhash; same projection-not-shuffle rationale as
+  * MinhashSig.
+  */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.simhashSig(input.asInstanceOf[UTF8String].toString, bits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.simhashSig($c.toString(), $bits);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   def register(spark: SparkSession): Unit = {
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -173,6 +286,20 @@ object ShingleHashes {
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
   }
+
+  /** Register the fused minhash signature under `name` with the hash
+    * family fixed at registration time (the family is inlined into
+    * machine-generated oracle SQL from the same values, so it must not
+    * arrive via per-call literals that could drift).
+    */
+  def registerMinhash(spark: SparkSession, name: String, n: Int, prime: Long,
+      a: Seq[Long], b: Seq[Long]): Unit =
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MinhashSig(exprs.head, n, prime, a, b), "scala_udf")
+
+  def registerSimhash(spark: SparkSession, name: String, bits: Int): Unit =
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => SimhashSig(exprs.head, bits), "scala_udf")
 
   /** Distinct n-shingle hashes column (register(spark) once per session). */
   def apply(text: Column, n: Int): Column =

@@ -83,14 +83,35 @@ object Dedup {
       Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  val ShingleN = 3
+
   /** Distinct 3-word-shingle h60 set per document, one codegen pass/row. */
-  def shingleHashes(text: Column): Column = ShingleHashes(text, 3)
+  def shingleHashes(text: Column): Column = ShingleHashes(text, ShingleN)
 
   /** Per-doc 64-slot MinHash signature frame: doc_id, n_shingles, sig_0..63.
-    * Shape: explode distinct shingle hashes, one hash-aggregate with 64
-    * partial mins — map-side combine keeps the shuffle at one row per doc.
+    * Shape: ONE fused codegen call per row (`minhash_sig` — tokenize →
+    * shingle → h60 → 64-lane affine min in a single pass), unpacked into
+    * the wide column layout. A signature is a pure function of the
+    * document, so this is a projection with ZERO shuffle; the previous
+    * explode + 64-min-aggregate form paid a per-doc hash-aggregate
+    * exchange for nothing (kept bit-equal in OpsSpec as the reference
+    * tree). At 100 TB: embarrassingly parallel, no exchange at all.
     */
   def minhashSignatures(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
+    ShingleHashes.registerMinhash(d.sparkSession, "minhash_sig", ShingleN,
+      MinhashPrime, hashA.toSeq, hashB.toSeq)
+    d.select(col("doc_id"), call_function("minhash_sig", col("text")).as("_mh"))
+      .select(col("doc_id") +: element_at(col("_mh"), 1).as("n_shingles") +:
+        (0 until NumHashes).map(i => element_at(col("_mh"), i + 2).as(s"sig_$i")): _*)
+  }
+
+  /** The pre-fusion signature build — explode distinct shingle hashes,
+    * one hash-aggregate with 64 partial mins. Kept as the spec-pinned
+    * reference tree for the fused kernel (the SQL-tree arithmetic the
+    * oracle mirrors).
+    */
+  private[graft] def minhashSignaturesAgg(d: DataFrame): DataFrame = {
     ShingleHashes.register(d.sparkSession)
     val exploded = d
       .select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
@@ -176,10 +197,24 @@ object Dedup {
 
   /** Per-doc 60-bit term-frequency-weighted SimHash (Charikar): every
     * token occurrence votes ±1 per bit, bit set when the sum is positive.
-    * One explode + one aggregate with 60 conditional sums (all codegen'd);
-    * the signature reassembles as a plain sum of disjoint powers of two.
+    * ONE fused codegen call per row (`simhash_sig`) — a projection with
+    * zero shuffle, like `minhashSignatures`; the n_tokens = 0 filter
+    * reproduces the explode-then-aggregate reference tree's
+    * drop-empty-docs semantics (and the oracle's `WHERE len(t) > 0`).
     */
   def simhash(d: DataFrame): DataFrame = {
+    ShingleHashes.registerSimhash(d.sparkSession, "simhash_sig", SimBits)
+    d.select(col("doc_id"), call_function("simhash_sig", col("text")).as("_sh"))
+      .select(col("doc_id"), element_at(col("_sh"), 1).as("n_tokens"),
+        element_at(col("_sh"), 2).as("simhash"))
+      .filter(col("n_tokens") > 0)
+  }
+
+  /** The pre-fusion simhash — explode + 60 conditional sums, signature
+    * reassembled as a sum of disjoint powers of two. Spec-pinned
+    * reference tree for the fused kernel.
+    */
+  private[graft] def simhashAgg(d: DataFrame): DataFrame = {
     ShingleHashes.register(d.sparkSession)
     val exploded = d.select(col("doc_id"),
       explode(ShingleHashes.tokens(col("text"))).as("h"))

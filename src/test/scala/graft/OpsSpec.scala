@@ -234,6 +234,23 @@ class OpsSpec extends AnyFunSuite {
     assert(builtin === custom)
   }
 
+  test("minhash_sig / simhash_sig: fused kernels bit-equal the aggregate reference trees") {
+    // real corpus text plus the edge cases the fusion must preserve:
+    // empty text (simhash drops it, minhash keeps the fallback shingle),
+    // sub-shingle-length text, and non-ASCII special casing
+    val d = Catalog.table(spark, sf, "documents").select("doc_id", "text").limit(200)
+      .unionByName(Seq((90001L, ""), (90002L, "one two"),
+        (90003L, "Straße İstanbul ÄÖÜ 42")).toDF("doc_id", "text"))
+    val mhFused = Dedup.minhashSignatures(d).orderBy("doc_id").collect().toSeq
+    val mhRef = Dedup.minhashSignaturesAgg(d).orderBy("doc_id").collect().toSeq
+    assert(mhFused === mhRef)
+    val shFused = Dedup.simhash(d).orderBy("doc_id").collect().toSeq
+    val shRef = Dedup.simhashAgg(d).orderBy("doc_id").collect().toSeq
+    assert(shFused === shRef)
+    assert(!shFused.exists(_.getLong(0) == 90001L), "empty docs drop from simhash on both paths")
+    assert(mhFused.exists(_.getLong(0) == 90001L), "empty docs keep their fallback shingle in minhash")
+  }
+
   test("vec_dot: codegen expression is bit-identical to the HOF fold") {
     graft.functions.VecDot.register(spark)
     val e = Catalog.table(spark, sf, "embeddings").limit(100)
