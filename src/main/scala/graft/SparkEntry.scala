@@ -13,7 +13,7 @@ object SparkEntry {
   def allQ: Seq[Q] =
     Relational.all ++ EventsPipeline.all ++
       graft.ops.TextOps.all ++ graft.ops.Dedup.all ++ graft.ops.Cluster.all ++
-      graft.ops.Corpus.all ++
+      graft.ops.Corpus.all ++ graft.ops.Mining.all ++
       graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++
       graft.ops.AsOf.all ++ graft.ops.RangeJoin.all
 

@@ -141,6 +141,20 @@ object TextHash {
     out
   }
 
+  /** Fused hashed-linear-classifier score (fasttext-style quality model
+    * without the training): every token occurrence adds the weight of its
+    * hash bucket, `w[h60(tok) % w.length]`. Returns [n_tokens, score].
+    * All-integer, so the DuckDB oracle (list_transform over an inlined
+    * weight-array literal) is bit-exact.
+    */
+  def linearScore(s: String, w: Array[Long]): Array[Long] = {
+    val hs = tokenHashes(s)
+    var sum = 0L
+    var i = 0
+    while (i < hs.length) { sum += w((hs(i) % w.length).toInt); i += 1 }
+    Array(hs.length.toLong, sum)
+  }
+
   /** Fused term-frequency SimHash (Charikar): every token occurrence
     * votes ±1 per bit, bit set when the sum is positive. Returns
     * [n_tokens, signature]; callers filter n_tokens = 0 to reproduce the
@@ -277,6 +291,34 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [n_tokens, Σ w[h60(tok) % D]] — hashed linear model scoring fused into
+  * one codegen call per row (a projection, zero shuffle). The weight table
+  * is a Seq for Catalyst value-equality, same as MinhashSig.
+  */
+case class LinearScore(child: Expression, w: Seq[Long]) extends UnaryExpression {
+  @transient private lazy val wArr = w.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "linear_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.linearScore(input.asInstanceOf[UTF8String].toString, wArr))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("lsW", wArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.linearScore($c.toString(), $wRef);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearScore =
+    copy(child = newChild)
+}
+
 object ShingleHashes {
   def register(spark: SparkSession): Unit = {
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -296,6 +338,13 @@ object ShingleHashes {
       a: Seq[Long], b: Seq[Long]): Unit =
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => MinhashSig(exprs.head, n, prime, a, b), "scala_udf")
+
+  /** Register the fused linear scorer with the weight table fixed at
+    * registration time (inlined into the oracle SQL from the same values).
+    */
+  def registerLinearScore(spark: SparkSession, name: String, w: Seq[Long]): Unit =
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => LinearScore(exprs.head, w), "scala_udf")
 
   def registerSimhash(spark: SparkSession, name: String, bits: Int): Unit =
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(

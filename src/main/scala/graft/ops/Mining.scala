@@ -1,0 +1,310 @@
+package graft.ops
+
+import graft.Catalog
+import graft.functions.ShingleHashes
+import graft.queries.{Det, Q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-mining operators that round out the training-data pipeline
+  * (beyond the dedup/similarity families in Dedup/Similarity/TextOps):
+  *
+  *  - windowed substring dedup (q48) — the distributed fingerprint
+  *    formulation of exact-substring deduplication: instead of a
+  *    monolithic suffix array, hash every W-token window and count
+  *    cross-document window collisions; work is one shuffle on the
+  *    window hash, partial-aggregated map-side, so it scales like any
+  *    token-count-proportional aggregation.
+  *  - blocked record linkage (q49) — candidate pairs only within
+  *    (nation, segment) blocks, scored with integer Levenshtein; B²
+  *    work per block where the block key bounds B, never corpus².
+  *  - hashed linear quality classifier (q92) — fasttext-shaped scoring
+  *    with a fixed seeded weight table; one fused codegen call per row
+  *    (functions/TextHash.LinearScore), zero shuffle.
+  *  - Bloom-filter decontamination (q93) — the broadcast alternative to
+  *    q39's inverted-index join: benchmark shingles are folded into a
+  *    65536-bit filter (a ≤2048-row frame), broadcast, and every corpus
+  *    shingle membership-tests map-side. At 100 TB the corpus never
+  *    shuffles at all; only the (tiny) benchmark side is aggregated.
+  *
+  * Reference scope: the dbt demo has no corpus mining; these are the
+  * builder-brief extensions (training-data pipeline operators), kept
+  * oracle-checkable end-to-end via h60 arithmetic (see TextHash).
+  */
+object Mining {
+
+  private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+
+  /** DuckDB CTEs: tokens → distinct n-token windows → h60 list (the
+    * parameterized form of Dedup's 3-shingle CTEs; mirrors
+    * ShingleHashes(text, n) exactly).
+    */
+  def shingleCtesN(n: Int): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= $n
+       |    THEN [array_to_string(t[i:i+${n - 1}], ' ') for i in range(1, len(t) - ${n - 2})]
+       |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk
+       |), hs AS (
+       |  SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM sh
+       |)""".stripMargin
+
+  // ── q48: windowed exact-substring dedup ───────────────────────────────
+
+  /** Window width in tokens. Real pipelines use ~50 (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"); the
+    * synthetic docs average ~50 tokens total, so 8 keeps per-doc window
+    * counts meaningful at test scale. The shape is width-independent.
+    */
+  val SubstringWindow = 8
+  val SubstringDupThreshold = 0.5
+
+  /** Per-doc duplicated-window report: a window is "duplicated" when its
+    * hash occurs in ≥2 documents. `docFreq` is reusable for other window
+    * widths (q-gram novelty, coverage maps).
+    */
+  def windowDocFreq(d: DataFrame, w: Int): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
+    d.select(col("doc_id"), explode(ShingleHashes(col("text"), w)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+  }
+
+  private def q48OracleSql: String =
+    s"""${shingleCtesN(SubstringWindow)}, ex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs
+       |), df AS (
+       |  SELECT h, COUNT(*) AS n_docs FROM ex GROUP BY h
+       |), per AS (
+       |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM ex JOIN df ON ex.h = df.h GROUP BY ex.doc_id
+       |)
+       |SELECT doc_id, n_windows, n_dup_windows,
+       |  FLOOR(CAST(n_dup_windows AS DOUBLE) / n_windows * 10000.0 + 0.5) / 10000.0 AS dup_fraction,
+       |  (FLOOR(CAST(n_dup_windows AS DOUBLE) / n_windows * 10000.0 + 0.5) / 10000.0 >= $SubstringDupThreshold) AS is_substring_dup
+       |FROM per ORDER BY doc_id""".stripMargin
+
+  /** q48 — windowed substring dedup: per doc, how many of its W-token
+    * windows appear verbatim in at least one other document. Every doc
+    * emits ≥1 window (short-text fallback), so the report has one row per
+    * document with no outer join.
+    */
+  val q48 = Q("q48_substring_dedup", q48OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(ShingleHashes(col("text"), SubstringWindow)).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("n_docs"))
+    val frac = Det.dround(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+    ex.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        Det.countIf(col("n_docs") >= 2).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        frac.as("dup_fraction"),
+        (frac >= SubstringDupThreshold).as("is_substring_dup"))
+      .orderBy("doc_id")
+  }
+
+  // ── q49: blocked record linkage ───────────────────────────────────────
+
+  val LinkageMaxDistance = 2
+
+  private val q49OracleSql =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+       |), p AS (
+       |  SELECT a.c_custkey AS ka, b.c_custkey AS kb, levenshtein(a.c_name, b.c_name) AS d
+       |  FROM c a JOIN c b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+       |   AND a.c_custkey < b.c_custkey
+       |), sym AS (
+       |  SELECT ka AS k, kb AS pk, d FROM p
+       |  UNION ALL
+       |  SELECT kb AS k, ka AS pk, d FROM p
+       |), best AS (
+       |  SELECT k, pk, d, ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, pk) AS rn
+       |  FROM sym
+       |)
+       |SELECT c.c_custkey, b.pk AS best_match_key, CAST(b.d AS INTEGER) AS best_distance,
+       |  (b.d <= $LinkageMaxDistance) AS is_match
+       |FROM c LEFT JOIN (SELECT k, pk, d FROM best WHERE rn = 1) b ON c.c_custkey = b.k
+       |ORDER BY c.c_custkey""".stripMargin
+
+  /** q49 — record linkage: within (nation, segment) blocks, every
+    * customer's nearest neighbor by edit distance. Candidate generation
+    * is the blocked self-join (B² per block, bounded by the block key —
+    * the standard linkage trade; a skewed block re-blocks on more
+    * attributes or falls back to sorted-neighborhood). The argmin is one
+    * hash aggregate over a both-orientations explode of each pair — no
+    * window sort, same shape as q33.
+    */
+  val q49 = Q("q49_record_linkage", q49OracleSql) { (s, dir) =>
+    val c = Catalog.table(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"))
+    val pairs = c.join(b,
+        col("c_nationkey") === col("nk") && col("c_mktsegment") === col("ms") &&
+          col("c_custkey") < col("kb"))
+      .select(col("c_custkey").as("ka"), col("kb"),
+        levenshtein(col("c_name"), col("nb")).as("d"))
+    val sym = pairs.select(explode(array(
+        struct(col("ka").as("k"), col("kb").as("pk"), col("d")),
+        struct(col("kb").as("k"), col("ka").as("pk"), col("d")))).as("p"))
+      .select(col("p.k"), col("p.pk"), col("p.d"))
+    val best = sym.groupBy("k")
+      .agg(min(struct(col("d"), col("pk"))).as("m"))
+      .select(col("k").as("c_custkey"), col("m.pk").as("best_match_key"),
+        col("m.d").as("best_distance"))
+    c.select("c_custkey").join(best, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("best_match_key"), col("best_distance"),
+        (col("best_distance") <= LinkageMaxDistance).as("is_match"))
+      .orderBy("c_custkey")
+  }
+
+  // ── q92: hashed linear quality classifier ─────────────────────────────
+
+  val ClassifierBuckets = 64
+
+  /** Fixed seeded weight table (integers in [-5, 5]) — stands in for a
+    * trained fasttext/logreg quality model; inlined into the oracle SQL
+    * from the same values so the scores are bit-checkable.
+    */
+  val classifierWeights: Seq[Long] = {
+    val rnd = new scala.util.Random(777)
+    Seq.fill(ClassifierBuckets)((rnd.nextInt(11) - 5).toLong)
+  }
+
+  private def q92OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    val mean = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR(CAST(score AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 END"
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM tk
+       |), sc AS (
+       |  SELECT doc_id, CAST(len(hh) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(hh,
+       |      h -> list_extract($w, CAST(h % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM hs
+       |)
+       |SELECT doc_id, n_tokens, score,
+       |  $mean AS quality_score,
+       |  ($mean > 0.0) AS is_quality
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q92 — model-based quality scoring: per-token hashed-bucket weights
+    * summed into a document score (term-frequency weighted), thresholded
+    * on the per-token mean. One fused codegen projection per row — the
+    * operator an LLM-corpus quality gate runs over every document, with
+    * zero shuffle until the final sort.
+    */
+  val q92 = Q("q92_quality_classifier", q92OracleSql) { (s, dir) =>
+    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
+    val mean = when(col("n_tokens") === 0L, lit(0.0))
+      .otherwise(Det.dround(col("score").cast("double") / col("n_tokens"), 4))
+    docs(s, dir)
+      .select(col("doc_id"), call_function("linear_score", col("text")).as("_ls"))
+      .select(col("doc_id"), element_at(col("_ls"), 1).as("n_tokens"),
+        element_at(col("_ls"), 2).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        mean.as("quality_score"), (mean > 0.0).as("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  // ── q93: Bloom-filter decontamination ─────────────────────────────────
+
+  val BloomBits = 65536                // 2^16 bits → 2048 32-bit words
+  val BloomFlagThreshold = 0.3
+
+  /** Build the benchmark Bloom filter: two probes per shingle hash
+    * (low 16 bits, bits 20-35), folded into 32-bit words via bit_or.
+    * ≤2048 rows regardless of benchmark size — the broadcastable index.
+    */
+  def bloomFilter(benchmark: DataFrame): DataFrame = {
+    ShingleHashes.register(benchmark.sparkSession)
+    benchmark
+      .select(explode(ShingleHashes(col("text"), Dedup.ShingleN)).as("h"))
+      .select(explode(array(
+        col("h").bitwiseAND(lit((BloomBits - 1).toLong)),
+        shiftright(col("h"), 20).bitwiseAND(lit((BloomBits - 1).toLong)))).as("p"))
+      .select(shiftright(col("p"), 5).as("w"), col("p").bitwiseAND(lit(31L)).as("b"))
+      .groupBy("w")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))").as("bits"))
+  }
+
+  private def q93OracleSql: String = {
+    val m = BloomBits - 1
+    s"""${shingleCtesN(Dedup.ShingleN)}, bex AS (
+       |  SELECT unnest(hh) AS h FROM hs WHERE doc_id < 50
+       |), probes AS (
+       |  SELECT h & $m AS p FROM bex
+       |  UNION ALL
+       |  SELECT (h >> 20) & $m AS p FROM bex
+       |), bloom AS (
+       |  SELECT p >> 5 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+       |  FROM probes GROUP BY 1
+       |), cex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs WHERE doc_id >= 50
+       |), probed AS (
+       |  SELECT doc_id, h & $m AS p1, (h >> 20) & $m AS p2 FROM cex
+       |), tested AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b1.bits IS NOT NULL AND ((b1.bits >> CAST(t.p1 & 31 AS INT)) & 1) = 1
+       |          AND b2.bits IS NOT NULL AND ((b2.bits >> CAST(t.p2 & 31 AS INT)) & 1) = 1
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM probed t
+       |  LEFT JOIN bloom b1 ON (t.p1 >> 5) = b1.w
+       |  LEFT JOIN bloom b2 ON (t.p2 >> 5) = b2.w
+       |), per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hits
+       |  FROM tested GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_hits,
+       |  FLOOR(CAST(n_hits AS DOUBLE) / n_shingles * 10000.0 + 0.5) / 10000.0 AS hit_fraction,
+       |  (FLOOR(CAST(n_hits AS DOUBLE) / n_shingles * 10000.0 + 0.5) / 10000.0 >= $BloomFlagThreshold) AS is_flagged
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
+  /** q93 — Bloom-gate decontamination: the benchmark slice (doc_id < 50)
+    * folds into a 65536-bit filter; corpus shingles test membership
+    * map-side through two broadcast joins against the ≤2048-row word
+    * table. Deliberately approximate (false positives ≈ the standard
+    * (1-e^{-kn/m})^k curve) but one-sided: a clean doc can be flagged,
+    * a contaminated one never cleared — the cheap first gate before
+    * q39's exact containment join. The corpus side never shuffles.
+    */
+  val q93 = Q("q93_bloom_decontaminate", q93OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val bloom = bloomFilter(d.filter(col("doc_id") < 50))
+    val m = (BloomBits - 1).toLong
+    val probed = d.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(ShingleHashes(col("text"), Dedup.ShingleN)).as("h"))
+      .select(col("doc_id"),
+        col("h").bitwiseAND(lit(m)).as("p1"),
+        shiftright(col("h"), 20).bitwiseAND(lit(m)).as("p2"))
+    val b1 = bloom.select(col("w").as("w1"), col("bits").as("bits1"))
+    val b2 = bloom.select(col("w").as("w2"), col("bits").as("bits2"))
+    val hit = when(
+      col("bits1").isNotNull && col("bits2").isNotNull &&
+        expr("(shiftright(bits1, CAST(p1 & 31 AS INT)) & 1) = 1") &&
+        expr("(shiftright(bits2, CAST(p2 & 31 AS INT)) & 1) = 1"), 1L).otherwise(0L)
+    val frac = Det.dround(col("n_hits").cast("double") / col("n_shingles"), 4)
+    probed
+      .join(broadcast(b1), shiftright(col("p1"), 5) === col("w1"), "left")
+      .join(broadcast(b2), shiftright(col("p2"), 5) === col("w2"), "left")
+      .select(col("doc_id"), hit.as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        frac.as("hit_fraction"), (frac >= BloomFlagThreshold).as("is_flagged"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q48, q49, q92, q93)
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.functions.ShingleHashes
+import graft.ops.{Dedup, Mining}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-mining operators (Mining.scala): planted-duplicate
+  * behavior for substring dedup, kernel bit-equality for the linear
+  * scorer, integer edit-distance goldens for linkage, the Bloom filter's
+  * one-sided error guarantee, and the broadcast plan shape.
+  */
+class MiningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  /** Base slice plus an exact copy (9003 = copy of 3) and a one-word edit
+    * (9001 = doc 1 with its first word changed) — same planting scheme as
+    * OpsSpec.
+    */
+  private lazy val planted: DataFrame = {
+    val base = Catalog.table(spark, sf, "documents").select("doc_id", "text").limit(50).cache()
+    val Seq(t1, t3) = base.filter(col("doc_id").isin(1, 3))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    base.unionByName(Seq(
+      (9001L, t1.replaceFirst("\\w+", "changedword")),
+      (9003L, t3)).toDF("doc_id", "text"))
+  }
+
+  test("substring dedup: an exact copy duplicates every window; an edited copy most but not all") {
+    ShingleHashes.register(spark)
+    val ex = planted.select(col("doc_id"),
+      explode(ShingleHashes(col("text"), Mining.SubstringWindow)).as("h"))
+    val dfreq = Mining.windowDocFreq(planted, Mining.SubstringWindow)
+    val per = ex.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), queries.Det.countIf(col("n_docs") >= 2).as("dup"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(per(3L)._1 === per(3L)._2, "every window of the copied doc must be duplicated")
+    assert(per(9003L)._1 === per(9003L)._2)
+    val (n1, d1) = per(9001L)
+    assert(d1 > 0 && d1 < n1,
+      s"one edited word must break some but not all windows (got $d1/$n1)")
+  }
+
+  test("substring dedup: every document appears in the q48 report exactly once") {
+    val out = Mining.q48.fn(spark, sf)
+    val total = Catalog.table(spark, sf, "documents").count()
+    assert(out.count() === total)
+    assert(out.select("doc_id").distinct().count() === total)
+  }
+
+  test("linear_score kernel is bit-equal to the built-in HOF tree") {
+    ShingleHashes.register(spark)
+    ShingleHashes.registerLinearScore(spark, "linear_score", Mining.classifierWeights)
+    val w = array(Mining.classifierWeights.map(lit): _*)
+    val d = Catalog.table(spark, sf, "documents").limit(100)
+    val fused = d.select(col("doc_id"),
+        call_function("linear_score", col("text")).as("ls"))
+      .select(col("doc_id"), element_at(col("ls"), 1).as("n"), element_at(col("ls"), 2).as("score"))
+    val ref = d.select(col("doc_id"),
+        ShingleHashes.tokens(col("text")).as("hh"))
+      .select(col("doc_id"), size(col("hh")).cast("long").as("n"),
+        aggregate(transform(col("hh"),
+            h => element_at(w, (h % Mining.ClassifierBuckets).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as("score"))
+    assert(fused.exceptAll(ref).isEmpty && ref.exceptAll(fused).isEmpty,
+      "fused kernel must match the transform/aggregate reference tree")
+  }
+
+  test("record linkage: edit-distance goldens and symmetric-best consistency") {
+    // Spark's levenshtein must agree with DuckDB's on the linkage inputs
+    // (both classic DP; pinned on representative name pairs).
+    val golden = Seq(
+      ("Customer#000000001", "Customer#000000123", 3),
+      ("Customer#000000001", "Customer#000000002", 1),
+      ("abc", "axc", 1), ("abc", "abc", 0)).toDF("a", "b", "want")
+    assert(golden.filter(levenshtein(col("a"), col("b")) =!= col("want")).isEmpty)
+
+    val out = Mining.q49.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // symmetric consistency: if a's best partner is b at distance d, then
+    // b's own best distance can't exceed d (b sees the same pair)
+    out.values.filter(!_.isNullAt(1)).foreach { r =>
+      val (partner, d) = (r.getLong(1), r.getInt(2))
+      assert(out(partner).getInt(2) <= d,
+        s"best(${r.getLong(0)})=$partner@$d but best($partner)=${out(partner).getInt(2)}")
+    }
+  }
+
+  test("bloom filter has no false negatives: benchmark's own shingles always hit") {
+    ShingleHashes.register(spark)
+    val bench = Catalog.table(spark, sf, "documents").filter(col("doc_id") < 50)
+    val bloom = Mining.bloomFilter(bench)
+    val m = (Mining.BloomBits - 1).toLong
+    val probed = bench
+      .select(explode(ShingleHashes(col("text"), Dedup.ShingleN)).as("h"))
+      .select(col("h").bitwiseAND(lit(m)).as("p1"),
+        shiftright(col("h"), 20).bitwiseAND(lit(m)).as("p2"))
+    val missed = probed
+      .join(bloom.select(col("w").as("w1"), col("bits").as("bits1")),
+        shiftright(col("p1"), 5) === col("w1"), "left")
+      .join(bloom.select(col("w").as("w2"), col("bits").as("bits2")),
+        shiftright(col("p2"), 5) === col("w2"), "left")
+      .filter(col("bits1").isNull || col("bits2").isNull ||
+        !expr("(shiftright(bits1, CAST(p1 & 31 AS INT)) & 1) = 1") ||
+        !expr("(shiftright(bits2, CAST(p2 & 31 AS INT)) & 1) = 1"))
+    assert(missed.isEmpty, "a Bloom filter must never miss an inserted element")
+  }
+
+  test("bloom word table is bounded by the filter size, not the benchmark size") {
+    val bloom = Mining.bloomFilter(
+      Catalog.table(spark, sf, "documents").filter(col("doc_id") < 50))
+    assert(bloom.count() <= Mining.BloomBits / 32)
+  }
+
+  test("q93 plan: corpus probes join the bloom table via broadcast, and never shuffle the corpus") {
+    val p = Mining.q93.fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"bloom side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
+  }
+
+  test("q92 plan: classifier scoring is a pure projection until the final sort") {
+    val df = Mining.q92.fn(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // one Exchange allowed: the rangepartitioning for ORDER BY doc_id
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"scoring must not shuffle before the sort:\n$p")
+  }
+}
