@@ -102,6 +102,29 @@ object TextHash {
     out
   }
 
+  /** POSITIONAL (non-distinct, in-order) n-shingle h60 hashes — the
+    * winnowing input, where window position matters. Mirrors the DuckDB
+    * list pipeline WITHOUT list_distinct:
+    * `CASE WHEN len(t) >= n THEN
+    *    [array_to_string(t[i:i+n-1], ' ') for i in range(1, len(t)-n+2)]
+    *  ELSE [array_to_string(t, ' ')] END` hashed with h60.
+    */
+  def shingleHashesAll(s: String, n: Int): Array[Long] = {
+    val toks = tokenize(s)
+    if (toks.length >= n) {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = h60(sb.toString)
+        i += 1
+      }
+      out
+    } else Array(h60(toks.mkString(" ")))
+  }
+
   /** ALL (non-distinct) token h60 hashes — term-frequency-weighted inputs
     * for simhash. Mirrors hashing `regexp_extract_all(lower(text),
     * '[a-z0-9]+')` element-wise.
@@ -204,6 +227,30 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Positional (in-order, non-distinct) n-shingle h60 hashes — winnowing
+  * input; same fused-loop rationale as ShingleHashes.
+  */
+case class ShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashesAll(input.asInstanceOf[UTF8String].toString, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.shingleHashesAll($c.toString(), $n);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
     copy(child = newChild)
 }
 
@@ -327,6 +374,10 @@ object ShingleHashes {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes_all",
+      exprs => ShingleHashesAll(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   /** Register the fused minhash signature under `name` with the hash
@@ -353,6 +404,10 @@ object ShingleHashes {
   /** Distinct n-shingle hashes column (register(spark) once per session). */
   def apply(text: Column, n: Int): Column =
     call_function("shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Positional (non-distinct) n-shingle hashes column. */
+  def positional(text: Column, n: Int): Column =
+    call_function("shingle_hashes_all", text, org.apache.spark.sql.functions.lit(n))
 
   /** All token hashes column. */
   def tokens(text: Column): Column = call_function("token_hashes", text)

@@ -306,5 +306,147 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93)
+  // ── q95: per-source token-budget selection ────────────────────────────
+
+  /** Fraction of each source's token mass the budget admits. */
+  val BudgetFraction = 0.4
+
+  private def q95OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    val mean = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR(CAST(score AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 END"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), sc AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(t,
+       |      s -> list_extract($w, CAST(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM tk
+       |), q AS (
+       |  SELECT doc_id, source, n_tokens, $mean AS quality_score FROM sc
+       |), win AS (
+       |  SELECT doc_id, source, n_tokens, quality_score,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source) AS tokens_total
+       |  FROM q
+       |)
+       |SELECT doc_id, source, n_tokens, quality_score,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(FLOOR(tokens_total * $BudgetFraction) AS BIGINT) AS quota,
+       |  (cum_tokens <= FLOOR(tokens_total * $BudgetFraction)) AS selected
+       |FROM win ORDER BY doc_id""".stripMargin
+  }
+
+  /** q95 — data selection under a token budget: within each source, admit
+    * documents in quality order (classifier score per token, doc_id
+    * tie-break) until the source's cumulative token count exceeds its
+    * quota (a fixed fraction of its token mass). Both windows share the
+    * same source partitioning — ONE shuffle on source, no global sort;
+    * at 100 TB this is a per-source prefix scan, and a pathologically hot
+    * source falls back to the PrefixSum kernel (q56's shape).
+    */
+  val q95 = Q("q95_token_budget", q95OracleSql) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
+    val mean = when(col("n_tokens") === 0L, lit(0.0))
+      .otherwise(Det.dround(col("score").cast("double") / col("n_tokens"), 4))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), call_function("linear_score", col("text")).as("_ls"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("_ls"), 1).as("n_tokens"), element_at(col("_ls"), 2).as("score"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), mean.as("quality_score"))
+    val byQuality = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("source")
+    val quota = floor(col("tokens_total") * BudgetFraction).cast("long")
+    scored
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"),
+        sum(col("n_tokens")).over(byQuality).as("cum_tokens"),
+        sum(col("n_tokens")).over(whole).as("tokens_total"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"),
+        col("cum_tokens"), quota.as("quota"),
+        (col("cum_tokens") <= quota).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  // ── q96: winnowing fingerprint sketches ───────────────────────────────
+
+  val WinnowK = 3                      // k-gram width (tokens)
+  val WinnowWindow = 4                 // winnowing window (k-grams)
+  val WinnowDupThreshold = 0.5
+
+  /** Winnowed sketch column: min hash of each w-window over the
+    * positional k-gram hashes, deduplicated. Guarantee (Schleimer et al.
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * any shared run of w+k-1 tokens shares ≥1 selected fingerprint, at
+    * ~2/(w+1) of the k-gram count — the sketch that replaces full window
+    * sets at 100 TB.
+    */
+  def winnowSketch(text: Column): Column = {
+    val hw = ShingleHashes.positional(text, WinnowK)
+    array_distinct(
+      when(size(hw) >= WinnowWindow,
+        transform(sequence(lit(1), size(hw) - (WinnowWindow - 1)),
+          i => array_min(slice(hw, i, lit(WinnowWindow)))))
+        .otherwise(array(array_min(hw))))
+  }
+
+  private def q96OracleSql: String = {
+    val (k, w) = (WinnowK, WinnowWindow)
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= $k
+       |    THEN [array_to_string(t[i:i+${k - 1}], ' ') for i in range(1, len(t) - ${k - 2})]
+       |    ELSE [array_to_string(t, ' ')] END AS ss FROM tk
+       |), hs AS (
+       |  SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hw FROM sh
+       |), sk AS (
+       |  SELECT doc_id, len(hw) AS n_kgrams,
+       |    list_distinct(CASE WHEN len(hw) >= $w
+       |      THEN [list_min(hw[i:i+${w - 1}]) for i in range(1, len(hw) - ${w - 2})]
+       |      ELSE [list_min(hw)] END) AS sketch
+       |  FROM hs
+       |), ex AS (
+       |  SELECT doc_id, unnest(sketch) AS fp FROM sk
+       |), df AS (
+       |  SELECT fp, COUNT(*) AS n_docs FROM ex GROUP BY fp
+       |), per AS (
+       |  SELECT ex.doc_id, CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fps
+       |  FROM ex JOIN df ON ex.fp = df.fp GROUP BY ex.doc_id
+       |)
+       |SELECT sk.doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+       |  CAST(len(sketch) AS BIGINT) AS sketch_size, per.n_dup_fps,
+       |  FLOOR(CAST(per.n_dup_fps AS DOUBLE) / len(sketch) * 10000.0 + 0.5) / 10000.0 AS dup_fraction,
+       |  (FLOOR(CAST(per.n_dup_fps AS DOUBLE) / len(sketch) * 10000.0 + 0.5) / 10000.0 >= $WinnowDupThreshold) AS is_winnow_dup
+       |FROM sk JOIN per ON sk.doc_id = per.doc_id
+       |ORDER BY sk.doc_id""".stripMargin
+  }
+
+  /** q96 — winnowing dedup report: per doc, the sketch size and how many
+    * of its winnowed fingerprints occur in other documents. Same
+    * two-shuffle shape as q48 but over the ~2/(w+1)-compressed sketch —
+    * the variant that keeps the fingerprint table sub-corpus-sized.
+    */
+  val q96 = Q("q96_winnowing", q96OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val sk = docs(s, dir)
+      .select(col("doc_id"),
+        size(ShingleHashes.positional(col("text"), WinnowK)).cast("long").as("n_kgrams"),
+        winnowSketch(col("text")).as("sketch"))
+    val ex = sk.select(col("doc_id"), explode(col("sketch")).as("fp"))
+    val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+    val per = ex.join(dfreq, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(Det.countIf(col("n_docs") >= 2).as("n_dup_fps"))
+    val frac = Det.dround(col("n_dup_fps").cast("double") / col("sketch_size"), 4)
+    sk.select(col("doc_id"), col("n_kgrams"), size(col("sketch")).cast("long").as("sketch_size"))
+      .join(per, Seq("doc_id"))
+      .select(col("doc_id"), col("n_kgrams"), col("sketch_size"), col("n_dup_fps"),
+        frac.as("dup_fraction"), (frac >= WinnowDupThreshold).as("is_winnow_dup"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96)
 }

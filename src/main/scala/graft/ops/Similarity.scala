@@ -367,5 +367,97 @@ object Similarity {
       .select(col("n_overlap"), (col("n_overlap") * 1000).as("recall_bp"))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88)
+  private def q94OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), pe AS (
+       |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e
+       |), sums AS (
+       |  SELECT label, pos, SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n
+       |  FROM pe GROUP BY 1, 2
+       |), c0 AS (
+       |  SELECT label AS cluster, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+       |  FROM sums GROUP BY label
+       |), sims AS (
+       |  SELECT e.vec_id, e.label, c0.cluster,
+       |    ${dotSql.format("e.v", "c0.c")} / (${normSql("e.v")} * ${normSql("c0.c")}) AS sim
+       |  FROM e, c0
+       |), asg AS (
+       |  SELECT vec_id, label, cluster, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+       |  FROM sims
+       |), a AS (
+       |  SELECT vec_id, label, cluster, sim FROM asg WHERE rn = 1
+       |), pe1 AS (
+       |  SELECT a.cluster, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+       |  FROM a JOIN e ON a.vec_id = e.vec_id
+       |), sums1 AS (
+       |  SELECT cluster, pos, SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n
+       |  FROM pe1 GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT cluster, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+       |  FROM sums1 GROUP BY cluster
+       |), rep AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(SUM(CASE WHEN cluster <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned,
+       |    CAST(SUM(CAST(FLOOR(sim * 1000000.0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_sim_fp
+       |  FROM a GROUP BY cluster
+       |)
+       |SELECT c0.cluster,
+       |  CAST(COALESCE(rep.n_members, 0) AS BIGINT) AS n_members,
+       |  CAST(COALESCE(rep.n_reassigned, 0) AS BIGINT) AS n_reassigned,
+       |  rep.avg_sim_fp,
+       |  ${dotSql.format("c0.c", "c1.c")} / (${normSql("c0.c")} * ${normSql("c1.c")}) AS drift_cos
+       |FROM c0
+       |LEFT JOIN rep ON c0.cluster = rep.cluster
+       |LEFT JOIN c1 ON c0.cluster = c1.cluster
+       |ORDER BY c0.cluster""".stripMargin
+
+  /** q94 — one k-means Lloyd step over the embeddings, the clustering
+    * iteration behind SemDeDup-style semantic dedup and IVF index
+    * training: assign every vector to its nearest current centroid
+    * (cosine, broadcast k-row centroid table — a projection over the
+    * corpus), then recompute centroids as exact fixed-point means (one
+    * (cluster, dim) hash aggregate) and report per-cluster size, how many
+    * vectors left their seed label, mean member similarity, and the
+    * old→new centroid drift. State is O(k·dim); the corpus is scanned
+    * twice and never shuffled except the (cluster, dim) aggregate —
+    * Lloyd's exact distributed shape at any scale.
+    */
+  val q94 = Q("q94_kmeans_step", q94OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    def centroids(members: DataFrame, key: String): DataFrame =
+      members.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(key, "pos")
+        .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
+        .groupBy(key)
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+          "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
+    val c0 = centroids(e, "label").select(col("label").as("cluster"), col("c"))
+    val asg = e.crossJoin(broadcast(c0))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        (dot(col("v"), col("c")) / (norm(col("v")) * norm(col("c")))).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max(struct(col("sim"), (-col("cluster")).as("neg_c"))).as("m"))
+      .select(col("vec_id"), col("label"),
+        (-col("m.neg_c")).as("cluster"), col("m.sim").as("sim"))
+    val c1 = centroids(e.join(asg.select("vec_id", "cluster"), "vec_id"), "cluster")
+      .select(col("cluster").as("c1k"), col("c").as("cn"))
+    val rep = asg.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        Det.countIf(col("cluster") =!= col("label")).as("n_reassigned"),
+        (sum(floor(col("sim") * lit(1000000.0))).cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("avg_sim_fp"))
+    c0.join(rep, Seq("cluster"), "left")
+      .join(c1, col("cluster") === col("c1k"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_reassigned"), lit(0L)).as("n_reassigned"),
+        col("avg_sim_fp"),
+        (dot(col("c"), col("cn")) / (norm(col("c")) * norm(col("cn")))).as("drift_cos"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94)
 }

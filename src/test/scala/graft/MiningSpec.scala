@@ -124,6 +124,50 @@ class MiningSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$p")
   }
 
+  test("winnowing: identical documents produce identical sketches, compressed vs the k-gram set") {
+    ShingleHashes.register(spark)
+    val sk = planted.select(col("doc_id"),
+        size(ShingleHashes.positional(col("text"), Mining.WinnowK)).as("n_kgrams"),
+        Mining.winnowSketch(col("text")).as("sketch"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Long](2).toSet)).toMap
+    assert(sk(3L)._2 === sk(9003L)._2, "exact copies must have equal sketches")
+    // Schleimer et al.: expected density 2/(w+1) = 0.4 — allow slack but
+    // require genuine compression on long docs
+    val longDocs = sk.values.filter(_._1 >= 40)
+    assert(longDocs.nonEmpty)
+    longDocs.foreach { case (n, sketch) =>
+      assert(sketch.size < n, s"sketch (${sketch.size}) must compress $n k-grams")
+    }
+    // one-word edit still shares fingerprints with its source
+    assert((sk(1L)._2 & sk(9001L)._2).nonEmpty, "winnowing must detect the overlapping run")
+  }
+
+  test("token budget: selected docs are exactly the quality-ordered prefix within quota") {
+    val rows = Mining.q95.fn(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (src, docs) =>
+      val quota = docs.head.getLong(5)
+      val selTokens = docs.filter(_.getBoolean(6)).map(_.getLong(2)).sum
+      assert(selTokens <= quota, s"$src: selected ${selTokens} tokens > quota $quota")
+      // the cheapest unselected doc (by cum_tokens) must overflow the quota
+      val unselected = docs.filter(!_.getBoolean(6))
+      if (unselected.nonEmpty)
+        assert(unselected.map(_.getLong(4)).min > quota,
+          s"$src: an unselected doc fits inside the quota — selection is not the maximal prefix")
+    }
+  }
+
+  test("kmeans step: members conserved, similarities bounded, centroids near their seeds") {
+    val rows = graft.ops.Similarity.q94.fn(spark, sf).collect()
+    val total = Catalog.table(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum === total, "every vector assigned exactly once")
+    rows.filter(_.getLong(1) > 0).foreach { r =>
+      val (avgSim, drift) = (r.getDouble(3), r.getDouble(4))
+      assert(avgSim >= -1.0 && avgSim <= 1.0)
+      assert(drift <= 1.0 + 1e-9 && drift >= -1.0 - 1e-9)
+      assert(r.getLong(2) <= r.getLong(1), "reassigned is a subset of members")
+    }
+  }
+
   test("q92 plan: classifier scoring is a pure projection until the final sort") {
     val df = Mining.q92.fn(spark, sf)
     val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
