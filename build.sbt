@@ -33,5 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~100 queries x 3 scales of whole-stage codegen overflow the 240 MB
+  // default reserved code cache; once full the JIT disables itself and
+  // later queries run interpreted at random 5-10x slowdowns.
+  "-XX:ReservedCodeCacheSize=1g",
 )

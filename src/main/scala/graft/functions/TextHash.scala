@@ -125,6 +125,43 @@ object TextHash {
     } else Array(h60(toks.mkString(" ")))
   }
 
+  /** Fused winnowing sketch: positional k-gram hashes → sliding-window
+    * minima (monotonic deque, O(n)) → first-seen-order distinct. Returns
+    * [n_kgrams, fp_0, …] — element 0 is the k-gram count, the rest the
+    * sketch. One pass per row; the equivalent built-in tree
+    * (transform(sequence)/slice/array_min) re-slices per window and
+    * re-evaluates the hash array per reference.
+    */
+  def winnowSketch(s: String, k: Int, w: Int): Array[Long] = {
+    val hw = shingleHashesAll(s, k)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (hw.length < w) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hw.length) { if (hw(i) < m) m = hw(i); i += 1 }
+      seen.add(m)
+    } else {
+      // deque of indices with increasing values; front = window min
+      val dq = new Array[Int](hw.length)
+      var head = 0
+      var tail = 0 // exclusive
+      var i = 0
+      while (i < hw.length) {
+        while (tail > head && hw(dq(tail - 1)) >= hw(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(hw(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size + 1)
+    out(0) = hw.length
+    val it = seen.iterator()
+    var j = 1
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** ALL (non-distinct) token h60 hashes — term-frequency-weighted inputs
     * for simhash. Mirrors hashing `regexp_extract_all(lower(text),
     * '[a-z0-9]+')` element-wise.
@@ -254,6 +291,30 @@ case class ShingleHashesAll(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [n_kgrams, sketch…] winnowing fingerprints — the fused one-pass form
+  * of the transform/slice/array_min tree (spec-pinned bit-equal).
+  */
+case class WinnowSketch(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_sketch"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.winnowSketch(input.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.TextHash.winnowSketch($c.toString(), $k, $w);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSketch =
+    copy(child = newChild)
+}
+
 /** ALL token h60 hashes (with repeats) — simhash term-frequency input. */
 case class TokenHashes(child: Expression) extends UnaryExpression {
 
@@ -378,6 +439,11 @@ object ShingleHashes {
       "shingle_hashes_all",
       exprs => ShingleHashesAll(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_sketch",
+      exprs => WinnowSketch(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 
   /** Register the fused minhash signature under `name` with the hash
@@ -408,6 +474,11 @@ object ShingleHashes {
   /** Positional (non-distinct) n-shingle hashes column. */
   def positional(text: Column, n: Int): Column =
     call_function("shingle_hashes_all", text, org.apache.spark.sql.functions.lit(n))
+
+  /** [n_kgrams, sketch…] fused winnowing column. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_sketch", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
 
   /** All token hashes column. */
   def tokens(text: Column): Column = call_function("token_hashes", text)

@@ -141,10 +141,18 @@ object Mining {
     * window sort, same shape as q33.
     */
   val q49 = Q("q49_record_linkage", q49OracleSql) { (s, dir) =>
-    val c = Catalog.table(s, dir, "customer")
+    val c0 = Catalog.table(s, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-    val b = c.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"))
+    // explicit block-key repartition on BOTH join inputs: the join input is
+    // tiny (the block table) but its output is B-squared per block, so
+    // AQE's size-based coalescing would fold the post-shuffle stage to ~1
+    // partition and serialize every levenshtein; a user repartition is
+    // exempt from coalescing and keeps one task per hash bucket of blocks
+    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = c0.repartition(shufP, col("c_nationkey"), col("c_mktsegment"))
+    val b = c0.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"))
+      .repartition(shufP, col("nk"), col("ms"))
     val pairs = c.join(b,
         col("c_nationkey") === col("nk") && col("c_mktsegment") === col("ms") &&
           col("c_custkey") < col("kb"))
@@ -381,9 +389,21 @@ object Mining {
     * 2003, "Winnowing: Local Algorithms for Document Fingerprinting"):
     * any shared run of w+k-1 tokens shares ≥1 selected fingerprint, at
     * ~2/(w+1) of the k-gram count — the sketch that replaces full window
-    * sets at 100 TB.
+    * sets at 100 TB. One fused codegen pass per row (monotonic-deque
+    * sliding min); `winnowSketchTree` is the spec-pinned built-in-tree
+    * reference.
     */
   def winnowSketch(text: Column): Column = {
+    val ws = ShingleHashes.winnow(text, WinnowK, WinnowWindow)
+    slice(ws, lit(2), size(ws) - 1)
+  }
+
+  /** The built-in-HOF formulation (transform(sequence)/slice/array_min) —
+    * kept as the bit-equal reference tree for the fused kernel; the SQL
+    * arithmetic the oracle mirrors. Interpreted lambdas re-slice per
+    * window, so this form is ~10× the kernel's cost on the bench.
+    */
+  private[graft] def winnowSketchTree(text: Column): Column = {
     val hw = ShingleHashes.positional(text, WinnowK)
     array_distinct(
       when(size(hw) >= WinnowWindow,
@@ -432,9 +452,9 @@ object Mining {
   val q96 = Q("q96_winnowing", q96OracleSql) { (s, dir) =>
     ShingleHashes.register(s)
     val sk = docs(s, dir)
-      .select(col("doc_id"),
-        size(ShingleHashes.positional(col("text"), WinnowK)).cast("long").as("n_kgrams"),
-        winnowSketch(col("text")).as("sketch"))
+      .select(col("doc_id"), ShingleHashes.winnow(col("text"), WinnowK, WinnowWindow).as("ws"))
+      .select(col("doc_id"), element_at(col("ws"), 1).as("n_kgrams"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("sketch"))
     val ex = sk.select(col("doc_id"), explode(col("sketch")).as("fp"))
     val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("n_docs"))
     val per = ex.join(dfreq, Seq("fp"))

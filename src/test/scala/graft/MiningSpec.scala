@@ -142,6 +142,18 @@ class MiningSpec extends AnyFunSuite {
     assert((sk(1L)._2 & sk(9001L)._2).nonEmpty, "winnowing must detect the overlapping run")
   }
 
+  test("winnow_sketch kernel is set-equal to the built-in HOF tree") {
+    ShingleHashes.register(spark)
+    val d = Catalog.table(spark, sf, "documents").limit(200)
+    val both = d.select(col("doc_id"),
+      Mining.winnowSketch(col("text")).as("fused"),
+      Mining.winnowSketchTree(col("text")).as("tree"))
+    val bad = both.filter(
+      size(array_except(col("fused"), col("tree"))) =!= 0 ||
+        size(array_except(col("tree"), col("fused"))) =!= 0)
+    assert(bad.isEmpty, "fused kernel must select the same fingerprint set as the HOF tree")
+  }
+
   test("token budget: selected docs are exactly the quality-ordered prefix within quota") {
     val rows = Mining.q95.fn(spark, sf).collect()
     rows.groupBy(_.getString(1)).foreach { case (src, docs) =>
