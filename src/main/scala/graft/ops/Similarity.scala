@@ -459,5 +459,143 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94)
+  // ── Product quantization (the compression half of billion-scale ANN) ──
+
+  val PqM = 8       // subspaces
+  val PqSubDim = 8  // dims per subspace (8 × 8 = 64)
+  val PqK = 16      // codewords per subspace → 4 bits per code
+
+  /** Squared-L2 as the same sequential fold in both engines: zip, per-
+    * element (a-b)², then an in-order sum — bit-identical like dotSql.
+    */
+  private def sqDistSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  private def q97OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(range($PqM)) AS m
+       |), cb AS (
+       |  SELECT m, vec_id AS k,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS cw
+       |  FROM e, ms WHERE vec_id < $PqK
+       |), sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS sv
+       |  FROM e, ms
+       |), d AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM sub s JOIN cb c ON s.m = c.m
+       |), best AS (
+       |  SELECT vec_id, m, k, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM d
+       |), codes AS (
+       |  SELECT vec_id, list(k ORDER BY m) AS codes,
+       |    CAST(SUM(k * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS packed_code,
+       |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS quant_err
+       |  FROM best WHERE rn = 1 GROUP BY vec_id
+       |)
+       |SELECT e.vec_id, e.label, c.codes, c.packed_code, c.quant_err
+       |FROM e JOIN codes c ON e.vec_id = c.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** q97 — product-quantization encode: split each 64-dim vector into 8
+    * subvectors, assign each to its nearest of 16 per-subspace codewords
+    * (squared L2, tie on codeword id), and emit the code array, the
+    * 32-bit packed code, and the fixed-point total quantization error.
+    * This is the compression half of IVF-PQ (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): 64 floats → 4 bytes, the
+    * representation that lets a billion-vector index live in RAM. Shapes:
+    * the codebook (M×K rows, here the first K vectors' subvectors as a
+    * deterministic seed — q94's Lloyd step is the training iteration that
+    * would refine it) BROADCASTS; the corpus is scanned once, exploded
+    * M-way, and reduced by two bounded hash aggregates — no shuffle ever
+    * carries more than (rows × M) fixed-width tuples, nothing quadratic.
+    */
+  val q97 = Q("q97_pq_encode", q97OracleSql) { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val subArr = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+    val sub = e.select(col("vec_id"), explode(subArr).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+    val cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+    val d = sub.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+    // argmin per (vector, subspace) in one hash aggregate — min(struct)
+    // gives the oracle's ORDER BY dist, k tie-break directly
+    val best = d.groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+    val codes = best.groupBy("vec_id").agg(
+      expr("transform(array_sort(collect_list(struct(m, k))), r -> r.k)").as("codes"),
+      expr("CAST(sum(k * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("packed_code"),
+      (sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
+        lit(1000000.0)).as("quant_err"))
+    e.select(col("vec_id"), col("label")).join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("codes"), col("packed_code"), col("quant_err"))
+      .orderBy("vec_id")
+  }
+
+  private def bucketSumSql: String =
+    (0 until NumPlanes).map { i =>
+      val planeLit = planes(i).map(_.toString).mkString("[", ", ", "]")
+      s"    (CASE WHEN ${dotSql.format("v", planeLit)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" +\n")
+
+  private def q98OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), bk AS (
+       |  SELECT vec_id, label, v,
+       |$bucketSumSql AS bucket
+       |  FROM e
+       |), pairs AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+       |    ${dotSql.format("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS sim
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.label <> b.label
+       |), ranked AS (
+       |  SELECT vec_id, label, neg_id, neg_label, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neg_id) AS neg_rank
+       |  FROM pairs
+       |)
+       |SELECT vec_id, label, CAST(neg_rank AS INTEGER) AS neg_rank, neg_id, neg_label, sim
+       |FROM ranked WHERE neg_rank <= 2
+       |ORDER BY vec_id, neg_rank""".stripMargin
+
+  /** q98 — hard-negative mining for contrastive training: each vector's
+    * top-2 most-cosine-similar neighbors with a DIFFERENT label, from
+    * LSH-bucket candidates (same signed-projection bucket, different
+    * label). The near-but-wrong-label pairs are exactly what a
+    * contrastive/embedding trainer wants in its batches. The all-pairs
+    * different-label product is ~n² — the bucket equi-join bounds
+    * candidates per vector by bucket occupancy (a tunable: more planes →
+    * smaller buckets), so the join, the per-vector rank (window partitions
+    * are bucket-bounded, never corpus-sized), and the shuffle all scale
+    * with Σ bucket², not n².
+    */
+  val q98 = Q("q98_hard_negatives", q98OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val b2 = e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+      col("v").as("nv"), col("bucket").as("nb"))
+    val pairs = e.join(b2, col("bucket") === col("nb") && col("label") =!= col("neg_label"))
+      .select(col("vec_id"), col("label"), col("neg_id"), col("neg_label"),
+        (dot(col("v"), col("nv")) / (norm(col("v")) * norm(col("nv")))).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neg_id"))
+    pairs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= 2)
+      .select(col("vec_id"), col("label"), col("neg_rank"), col("neg_id"),
+        col("neg_label"), col("sim"))
+      .orderBy("vec_id", "neg_rank")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98)
 }

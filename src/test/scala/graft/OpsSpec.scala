@@ -116,6 +116,40 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@10 $recall too low")
   }
 
+  test("PQ encode: codes bounded, packed code consistent, seed vectors lossless") {
+    val rows = Similarity.q97.fn(spark, sf).collect()
+    val total = Catalog.table(spark, sf, "embeddings").count()
+    assert(rows.length === total, "one code row per vector")
+    rows.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Long]]("codes")
+      assert(codes.length === Similarity.PqM)
+      assert(codes.forall(k => k >= 0 && k < Similarity.PqK))
+      val packed = codes.zipWithIndex.map { case (k, m) => k << (4 * m) }.sum
+      assert(packed === r.getAs[Long]("packed_code"))
+      assert(r.getAs[Double]("quant_err") >= 0.0)
+      // codebook seeds quantize to themselves: distance 0, so zero error
+      if (r.getAs[Long]("vec_id") < Similarity.PqK)
+        assert(r.getAs[Double]("quant_err") === 0.0)
+    }
+  }
+
+  test("hard negatives: labels differ, ranks sequential, sims ordered and bounded") {
+    val rows = Similarity.q98.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "bucketed corpus must yield cross-label candidates")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") !== r.getAs[Int]("neg_label"))
+      assert(math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-9)
+    }
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("neg_rank"))
+      assert(byRank.map(_.getAs[Int]("neg_rank")).toSeq === (1 to rs.length).toSeq,
+        s"ranks for vec $id must be 1..n")
+      val sims = byRank.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"rank order must be sim-descending for vec $id")
+    }
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
