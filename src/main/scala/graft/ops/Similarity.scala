@@ -542,6 +542,152 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Where the materialized PQ code table for a source dir lives — same
+    * content-addressed scheme as the IVF centroids: at scale the codes are
+    * a written index artifact (4 bytes/vector), not per-query work.
+    */
+  def pqIndexPath(dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_$key"
+  }
+
+  /** Build step: materialize (vec_id, m, k) PQ code assignments once per
+    * corpus (idempotent, `_SUCCESS`-guarded like the IVF build).
+    */
+  def buildPqIndex(s: SparkSession, dir: String): String = {
+    val path = pqIndexPath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val subArr = array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+      val sub = e.select(col("vec_id"), explode(subArr).as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      val cb = sub.filter(col("vec_id") < PqK)
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+      sub.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.k").as("k"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  private def q99OracleSql: String = {
+    val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(range($PqM)) AS m
+       |), cb AS (
+       |  SELECT m, vec_id AS k,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS cw
+       |  FROM e, ms WHERE vec_id < $PqK
+       |), sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS sv
+       |  FROM e, ms
+       |), dd AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM sub s JOIN cb c ON s.m = c.m
+       |), bestc AS (
+       |  SELECT vec_id, m, k,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM dd
+       |), codes AS (
+       |  SELECT vec_id, m, k FROM bestc WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = 0
+       |), lut AS (
+       |  SELECT s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS ld
+       |  FROM (SELECT m, sv FROM sub WHERE vec_id = 0) s JOIN cb c ON s.m = c.m
+       |), un AS (
+       |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+       |), mu AS (
+       |  SELECT label, i, $davg6 AS mu FROM un GROUP BY label, i
+       |), cents AS (
+       |  SELECT label, list(mu ORDER BY i) AS centroid FROM mu GROUP BY label
+       |), probes AS (
+       |  SELECT c.label AS probe_label
+       |  FROM cents c, q
+       |  ORDER BY ${dotSql.format("q.qv", "c.centroid")}
+       |    / (${normSql("q.qv")} * ${normSql("c.centroid")}) DESC, c.label
+       |  LIMIT $NProbe
+       |), adc AS (
+       |  SELECT e.vec_id, e.label,
+       |    CAST(SUM(CAST(FLOOR(l.ld * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_fp
+       |  FROM e
+       |  JOIN codes c ON e.vec_id = c.vec_id
+       |  JOIN lut l ON c.m = l.m AND c.k = l.k
+       |  WHERE e.vec_id <> 0 AND e.label IN (SELECT probe_label FROM probes)
+       |  GROUP BY 1, 2
+       |), shortlist AS (
+       |  SELECT vec_id, label, CAST(adc_fp AS DOUBLE) / 1000000.0 AS adc_dist
+       |  FROM adc ORDER BY adc_fp, vec_id LIMIT 10
+       |)
+       |SELECT s.vec_id, s.label, s.adc_dist,
+       |  ${dotSql.format("q.qv", "b.v")} / (${normSql("q.qv")} * ${normSql("b.v")}) AS cosine_sim
+       |FROM shortlist s
+       |JOIN e b ON s.vec_id = b.vec_id
+       |CROSS JOIN q
+       |ORDER BY s.adc_dist, s.vec_id""".stripMargin
+  }
+
+  /** q99 — IVF-PQ ANN search, the billion-scale query path (Jégou et al.
+    * 2011; the Faiss IVFPQ architecture): probe the NProbe nearest coarse
+    * centroids (the q38 IVF artifact), score every vector in the probed
+    * partitions by ASYMMETRIC DISTANCE — the query builds an M×K lookup
+    * table of subspace distances once (128 cells, broadcast), and each
+    * candidate costs M table lookups against its stored 4-bit codes (the
+    * q97 artifact) instead of a 64-dim float scan — then exact-rerank only
+    * the top-10 shortlist. At 100 TB the engine reads 4-byte codes for the
+    * probed partitions (RAM-resident at billions of vectors), touches full
+    * float vectors for 10 rows, and every join here is a broadcast of
+    * O(M×K) or O(k) state — the corpus-sized side never shuffles.
+    */
+  val q99 = Q("q99_ivf_pq_search", q99OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val codes = s.read.parquet(buildPqIndex(s, dir))
+    val cents = s.read.parquet(buildIvfIndex(s, dir))
+    val qrow = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val qsub = qrow.select(explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
+      .select(col("p.m").as("qm"), col("p.sv").as("qs"))
+    val cb = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("k"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("cw"))): _*)).as("p"))
+      .select(col("k"), col("p.m").as("cm"), col("p.cw").as("cw"))
+    val lut = qsub.join(cb, col("qm") === col("cm"))
+      .select(col("cm").as("lm"), col("k").as("lk"), sqDist(col("qs"), col("cw")).as("ld"))
+    val probes = cents.crossJoin(broadcast(qrow))
+      .select(col("label").as("probe_label"),
+        (dot(col("qv"), col("centroid")) / (norm(col("qv")) * norm(col("centroid")))).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("probe_label"))
+      .limit(NProbe)
+    val adc = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes.select("probe_label")),
+        col("label") === col("probe_label"), "left_semi")
+      .select("vec_id", "label")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), col("m") === col("lm") && col("k") === col("lk"))
+      .groupBy("vec_id", "label")
+      .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long")).as("adc_fp"))
+    val shortlist = adc.orderBy("adc_fp", "vec_id").limit(10)
+      .select(col("vec_id"), col("label"),
+        (col("adc_fp").cast("double") / lit(1000000.0)).as("adc_dist"))
+    shortlist
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("label"), col("adc_dist"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+      .orderBy("adc_dist", "vec_id")
+  }
+
   private def bucketSumSql: String =
     (0 until NumPlanes).map { i =>
       val planeLit = planes(i).map(_.toString).mkString("[", ", ", "]")
@@ -597,5 +743,5 @@ object Similarity {
       .orderBy("vec_id", "neg_rank")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98)
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99)
 }

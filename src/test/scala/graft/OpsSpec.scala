@@ -150,6 +150,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: ADC shortlist reranks with true cosine and overlaps brute force") {
+    val brute = Similarity.q35.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim")).toMap
+    val rows = Similarity.q99.fn(spark, sf).collect()
+    assert(rows.length === 10, "shortlist must be exactly top-10 by ADC distance")
+    val dists = rows.map(_.getAs[Double]("adc_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "ADC ascending")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("adc_dist") >= 0.0)
+      // the rerank column is the TRUE cosine — identical to brute force
+      brute.get(r.getAs[Long]("vec_id")).foreach(bs =>
+        assert(bs === r.getAs[Double]("cosine_sim")))
+    }
+    val recall = rows.map(_.getAs[Long]("vec_id")).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"IVF-PQ recall@10 $recall below the coarse+ADC expectation")
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")

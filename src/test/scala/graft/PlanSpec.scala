@@ -140,4 +140,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q97: PQ codebook broadcasts; encoding has no cartesian or nested loop") {
+    val p = plan("q97_pq_encode")
+    assert(p.contains("BroadcastHashJoin"), s"the M x K codebook must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q98: hard negatives pair via bucket equi-join, never all-pairs") {
+    val p = plan("q98_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay bucket-blocked:\n$p")
+  }
+
+  test("q99: ADC lookup table and probe list broadcast to the code scan") {
+    val p = plan("q99_ivf_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"LUT and probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
