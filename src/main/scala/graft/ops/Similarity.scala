@@ -743,5 +743,59 @@ object Similarity {
       .orderBy("vec_id", "neg_rank")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99)
+  // ── Semantic dedup (SemDeDup) ─────────────────────────────────────────
+
+  val SemDupThreshold = 0.35
+
+  private def q100OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS b_id,
+       |    ${dotSql.format("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+       |), best AS (
+       |  SELECT vec_id, b_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, b_id) AS rn
+       |  FROM p
+       |)
+       |SELECT e.vec_id, e.label,
+       |  COALESCE(b.sim, 0.0) AS max_prior_sim,
+       |  b.b_id AS dup_of,
+       |  (COALESCE(b.sim, 0.0) >= $SemDupThreshold) AS is_semantic_dup
+       |FROM e LEFT JOIN (SELECT vec_id, b_id, sim FROM best WHERE rn = 1) b
+       |  ON e.vec_id = b.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** q100 — semantic dedup (Abbas et al. 2023, "SemDeDup"): within each
+    * cluster, a vector whose cosine to some LOWER-id cluster member
+    * exceeds the threshold is a semantic duplicate of that member (keep
+    * the earliest, drop the rest — the id order makes the keep-set
+    * deterministic). The cluster key (here the label; at 100 TB the q94
+    * k-means assignment with k sized so clusters stay bounded) is the
+    * whole trick: pairwise cosine runs inside clusters only, so the join
+    * is an equi-join on the cluster key and the work is Σ cluster², never
+    * corpus². One hash-aggregate argmax per vector — no window over
+    * pair-space.
+    */
+  val q100 = Q("q100_semantic_dedup", q100OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+    val best = e.join(b2, col("label") === col("b_label") && col("b_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (dot(col("v"), col("bv")) / (norm(col("v")) * norm(col("bv")))).as("sim"),
+        col("b_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("b_id")).as("neg_b"))).as("m"))
+      .select(col("vec_id"), col("m.sim").as("sim"), (-col("m.neg_b")).as("b_id"))
+    e.select(col("vec_id"), col("label")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("sim"), lit(0.0)).as("max_prior_sim"),
+        col("b_id").as("dup_of"),
+        (coalesce(col("sim"), lit(0.0)) >= SemDupThreshold).as("is_semantic_dup"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100)
 }

@@ -558,5 +558,74 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66)
+  /** q101 — corpus-trained bigram language-model fluency score: the
+    * CCNet/KenLM-style quality filter, self-trained. Train = bigram and
+    * bigram-prefix counts over the whole corpus (two hash aggregates,
+    * map-side partial, vocab²-bounded by Zipf — the "model" is a count
+    * table, exactly how a KenLM filter ships). Score = each document's
+    * mean conditional probability over its bigrams, in EXACT integer
+    * arithmetic: per-bigram `(c12 * 1e6) div c1` (floor division of
+    * BIGINTs — associative, engine-identical), summed per doc, divided
+    * once at the end. Docs shorter than one bigram score 0. The count
+    * tables join back to the exploded corpus on the bigram key — frequent
+    * bigrams are the classic heavy-hitter skew; AQE skew-join (or the
+    * broadcast of the top-K counts) handles it, and nothing here is a
+    * window or a single task.
+    */
+  val q101 = Q("q101_bigram_lm",
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+      |    unnest(list_slice(t, 2, len(t))) AS w2
+      |  FROM tk WHERE len(t) >= 2
+      |), big AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+      |), scored AS (
+      |  SELECT bg.doc_id,
+      |    COUNT(*) AS n_bigrams,
+      |    CAST(SUM((big.c12 * 1000000) // uni.c1) AS BIGINT) AS sum_fp
+      |  FROM bg
+      |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |  JOIN uni ON bg.w1 = uni.w1
+      |  GROUP BY bg.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CASE WHEN s.n_bigrams IS NULL THEN 0.0
+      |    ELSE CAST(s.sum_fp AS DOUBLE) / (s.n_bigrams * 1000000.0) END AS fluency_score
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val t = tokens(col("text"))
+    val bg = docs(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .select(col("w1").as("u1"), col("c1"))
+    val scored = bg
+      .join(big, Seq("w1", "w2"))
+      .join(uni, col("w1") === col("u1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c12 * 1000000L) div c1")).cast("long").as("sum_fp"))
+    docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101)
 }

@@ -167,6 +167,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF-PQ recall@10 $recall below the coarse+ADC expectation")
   }
 
+  test("semantic dedup: flags match threshold, dup_of is an earlier same-label vector") {
+    val rows = Similarity.q100.fn(spark, sf).collect()
+    val total = Catalog.table(spark, sf, "embeddings").count()
+    assert(rows.length === total)
+    val labelOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val firstOfLabel = rows.groupBy(_.getAs[Int]("label"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("vec_id")).min }.toSet
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("max_prior_sim")
+      assert(r.getAs[Boolean]("is_semantic_dup") === (sim >= Similarity.SemDupThreshold))
+      if (firstOfLabel.contains(r.getAs[Long]("vec_id"))) {
+        assert(sim === 0.0, "cluster-first vector has no prior")
+        assert(r.isNullAt(r.fieldIndex("dup_of")))
+      }
+      if (!r.isNullAt(r.fieldIndex("dup_of"))) {
+        val dupOf = r.getAs[Long]("dup_of")
+        assert(dupOf < r.getAs[Long]("vec_id"), "keep the earliest member")
+        assert(labelOf(dupOf) === r.getAs[Int]("label"), "dup_of stays in-cluster")
+      }
+    }
+  }
+
+  test("bigram LM: scores are mean conditional probabilities in [0,1]") {
+    val rows = TextOps.q101.fn(spark, sf).collect()
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    assert(rows.length === nDocs)
+    val tokCounts = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    rows.foreach { r =>
+      val n = tokCounts(r.getAs[Long]("doc_id"))
+      val nb = r.getAs[Long]("n_bigrams")
+      assert(nb === math.max(0, n - 1), "one bigram per adjacent token pair")
+      val score = r.getAs[Double]("fluency_score")
+      assert(score >= 0.0 && score <= 1.0, s"conditional-probability mean must be in [0,1]: $score")
+      if (nb == 0) assert(score === 0.0)
+    }
+    // the corpus repeats templated phrases, so SOME doc must score well
+    assert(rows.map(_.getAs[Double]("fluency_score")).max > 0.05,
+      "a templated corpus cannot be uniformly surprising")
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
