@@ -260,6 +260,45 @@ object Scratch {
           Catalog.table(spark, sfDir, "supplier"),
           Catalog.table(spark, sfDir, "customer")).count()
       }
+      // embedding ops at 10× vector volume (vec_id-shifted copies)
+      import graft.ops.Similarity
+      val emb10 = x10("embeddings", "vec_id", 1000000L)
+        .select(col("vec_id"), col("label"),
+          Similarity.asDouble(col("embedding")).as("v"))
+      graft.functions.VecDot.register(spark)
+      time("emb10.pq_encode") {
+        // linear path: broadcast codebook, per-subspace argmin
+        val subArr = array((0 until Similarity.PqM).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))): _*)
+        val sub = emb10.select(col("vec_id"), explode(subArr).as("p"))
+          .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+        val cb = sub.filter(col("vec_id") < Similarity.PqK)
+          .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+        sub.join(broadcast(cb), col("m") === col("cm"))
+          .select(col("vec_id"), col("m"), col("k"),
+            aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), _ + _).as("dist"))
+          .groupBy("vec_id", "m").agg(min(struct(col("dist"), col("k"))).as("b"))
+          .count()
+      }
+      // SemDeDup's cost law: pair work is Σ cluster². Fixed cluster count at
+      // 10× data → ~100× pairs (the anti-pattern); re-clustering so cluster
+      // SIZE stays fixed (here: salt the key by the multiplier) → ~10×.
+      def semPairs(clusterKey: org.apache.spark.sql.Column) = {
+        val a = emb10.select(col("vec_id"), clusterKey.as("ck"), col("v"))
+        val b = a.select(col("vec_id").as("b_id"), col("ck").as("bk"), col("v").as("bv"))
+        a.join(b, col("ck") === col("bk") && col("b_id") < col("vec_id"))
+          .select(col("vec_id"),
+            (graft.ops.Similarity.dot(col("v"), col("bv")) /
+              (sqrt(graft.ops.Similarity.dot(col("v"), col("v"))) *
+                sqrt(graft.ops.Similarity.dot(col("bv"), col("bv"))))).as("sim"))
+          .groupBy("vec_id").agg(max(col("sim")))
+          .count()
+      }
+      time("emb10.semdedup_fixed_clusters")(semPairs(col("label")))
+      time("emb10.semdedup_bounded_clusters")(
+        semPairs(struct(col("label"), pmod(col("vec_id"), lit(mult)))))
       // the duplicated probe keeps the distinct pair set under the
       // one-task bound — force the shuffle loop to evidence the
       // big-graph path at 10x fact volume as well
