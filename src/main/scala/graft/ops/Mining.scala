@@ -223,6 +223,79 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  // ── q102: per-source quality calibration ──────────────────────────────
+
+  private def q102OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    val mean = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR(CAST(score AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 END"
+    val tier = "CASE WHEN q.quality_score >= th.p90 THEN 4 WHEN q.quality_score >= th.p70 THEN 3" +
+      " WHEN q.quality_score >= th.p50 THEN 2 WHEN q.quality_score >= th.p30 THEN 1 ELSE 0 END"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id, source, list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM tk
+       |), sc AS (
+       |  SELECT doc_id, source, CAST(len(hh) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(hh,
+       |      h -> list_extract($w, CAST(h % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM hs
+       |), sq AS (
+       |  SELECT doc_id, source, $mean AS quality_score FROM sc
+       |), ranked AS (
+       |  SELECT source, doc_id, quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM sq
+       |), th AS (
+       |  SELECT source,
+       |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.3) + 1 AS BIGINT) THEN quality_score END) AS p30,
+       |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) + 1 AS BIGINT) THEN quality_score END) AS p50,
+       |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.7) + 1 AS BIGINT) THEN quality_score END) AS p70,
+       |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.9) + 1 AS BIGINT) THEN quality_score END) AS p90
+       |  FROM ranked GROUP BY source, n
+       |)
+       |SELECT q.doc_id, q.source, q.quality_score, th.p50, th.p90,
+       |  CAST($tier AS INTEGER) AS tier,
+       |  ($tier >= 2) AS keep
+       |FROM sq q JOIN th ON q.source = th.source
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
+  /** q102 — per-source quality calibration (the DCLM/FineWeb practice):
+    * raw classifier scores aren't comparable across sources (web text and
+    * curated text have different score distributions), so the keep
+    * decision is "top share WITHIN each source". Thresholds are exact
+    * per-source order statistics computed by `RankSelect.groupQuantiles`
+    * — histogram rank selection whose parallelism is bounded by value
+    * buckets, never a per-source corpus sort (a source at 100 TB is one
+    * window partition in the naive form — the q27/q61 anti-pattern).
+    * The tiny (sources × 4) threshold table then BROADCASTS back and tier
+    * assignment is a pure projection: the corpus is scanned, scored, and
+    * tiered with no corpus-sized shuffle at all.
+    */
+  val q102 = Q("q102_source_calibration", q102OracleSql) { (s, dir) =>
+    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
+    val mean = when(col("n_tokens") === 0L, lit(0.0))
+      .otherwise(Det.dround(col("score").cast("double") / col("n_tokens"), 4))
+    val sq = docs(s, dir)
+      .select(col("doc_id"), col("source"), call_function("linear_score", col("text")).as("_ls"))
+      .select(col("doc_id"), col("source"),
+        element_at(col("_ls"), 1).as("n_tokens"), element_at(col("_ls"), 2).as("score"))
+      .select(col("doc_id"), col("source"), mean.as("quality_score"))
+    val th = RankSelect.groupQuantiles(sq, "source", "quality_score", "doc_id",
+      Seq("p30" -> 0.3, "p50" -> 0.5, "p70" -> 0.7, "p90" -> 0.9))
+      .select(col("source"), col("p30"), col("p50"), col("p70"), col("p90"))
+    val tier = when(col("quality_score") >= col("p90"), 4)
+      .when(col("quality_score") >= col("p70"), 3)
+      .when(col("quality_score") >= col("p50"), 2)
+      .when(col("quality_score") >= col("p30"), 1)
+      .otherwise(0)
+    sq.join(broadcast(th), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("p50"), col("p90"),
+        tier.as("tier"), (tier >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ── q93: Bloom-filter decontamination ─────────────────────────────────
 
   val BloomBits = 65536                // 2^16 bits → 2048 32-bit words
@@ -468,5 +541,5 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96)
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102)
 }

@@ -154,6 +154,26 @@ class MiningSpec extends AnyFunSuite {
     assert(bad.isEmpty, "fused kernel must select the same fingerprint set as the HOF tree")
   }
 
+  test("source calibration: tiers follow per-source thresholds, keep is the top half") {
+    val rows = Mining.q102.fn(spark, sf).collect()
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    assert(rows.length === nDocs)
+    rows.foreach { r =>
+      val qs = r.getAs[Double]("quality_score")
+      val tier = r.getAs[Int]("tier")
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"), "thresholds must be ordered")
+      assert(r.getAs[Boolean]("keep") === (tier >= 2))
+      if (qs >= r.getAs[Double]("p90")) assert(tier === 4)
+      if (qs < r.getAs[Double]("p50")) assert(tier <= 1)
+    }
+    // per source, the kept share brackets the intended top half (ties and
+    // the rank-selection element convention move it off exactly 50%)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val share = rs.count(_.getAs[Boolean]("keep")).toDouble / rs.length
+      assert(share > 0.3 && share < 0.7, s"source $src kept share $share far from top-half")
+    }
+  }
+
   test("token budget: selected docs are exactly the quality-ordered prefix within quota") {
     val rows = Mining.q95.fn(spark, sf).collect()
     rows.groupBy(_.getString(1)).foreach { case (src, docs) =>
