@@ -84,11 +84,16 @@ object Similarity {
        |FROM ranked WHERE rn = 1
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     graft.functions.VecDot.register(s)
+    // per-vector norm computed ONCE per side, not per pair — the reused
+    // double is bit-identical to recomputation, so the oracle (which
+    // inlines the norm per pair) still hash-matches
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+      .withColumn("nn", norm(col("v")))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("bv"), col("nn").as("bn"))
     val pairs = e.join(b, col("label") === col("b_label") && col("vec_id") =!= col("b_id"))
       .select(col("vec_id"), col("label"), col("b_id"),
-        (dot(col("v"), col("bv")) / (norm(col("v")) * norm(col("bv")))).as("sim"))
+        (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"))
     // argmax + conditional count in ONE hash aggregate (same tie-break as
     // the oracle's ROW_NUMBER ORDER BY sim DESC, b_id via the negated id)
     pairs
@@ -730,11 +735,12 @@ object Similarity {
     val e = emb(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("nn", norm(col("v")))
     val b2 = e.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
-      col("v").as("nv"), col("bucket").as("nb"))
+      col("v").as("nv"), col("bucket").as("nb"), col("nn").as("bn"))
     val pairs = e.join(b2, col("bucket") === col("nb") && col("label") =!= col("neg_label"))
       .select(col("vec_id"), col("label"), col("neg_id"), col("neg_label"),
-        (dot(col("v"), col("nv")) / (norm(col("v")) * norm(col("nv")))).as("sim"))
+        (dot(col("v"), col("nv")) / (col("nn") * col("bn"))).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neg_id"))
     pairs.withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= 2)
@@ -781,10 +787,12 @@ object Similarity {
   val q100 = Q("q100_semantic_dedup", q100OracleSql) { (s, dir) =>
     graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"), col("v").as("bv"))
+      .withColumn("nn", norm(col("v")))
+    val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("bv"), col("nn").as("bn"))
     val best = e.join(b2, col("label") === col("b_label") && col("b_id") < col("vec_id"))
       .select(col("vec_id"),
-        (dot(col("v"), col("bv")) / (norm(col("v")) * norm(col("bv")))).as("sim"),
+        (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"),
         col("b_id"))
       .groupBy("vec_id")
       .agg(max(struct(col("sim"), (-col("b_id")).as("neg_b"))).as("m"))
