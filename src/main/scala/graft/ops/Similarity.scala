@@ -440,9 +440,10 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
           "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
     val c0 = centroids(e, "label").select(col("label").as("cluster"), col("c"))
-    val asg = e.crossJoin(broadcast(c0))
+      .withColumn("cn0", norm(col("c")))
+    val asg = e.withColumn("vn", norm(col("v"))).crossJoin(broadcast(c0))
       .select(col("vec_id"), col("label"), col("cluster"),
-        (dot(col("v"), col("c")) / (norm(col("v")) * norm(col("c")))).as("sim"))
+        (dot(col("v"), col("c")) / (col("vn") * col("cn0"))).as("sim"))
       .groupBy("vec_id", "label")
       .agg(max(struct(col("sim"), (-col("cluster")).as("neg_c"))).as("m"))
       .select(col("vec_id"), col("label"),
