@@ -56,6 +56,26 @@ class TextHashPropSpec extends AnyFunSuite {
     assert(TextHash.h60("abc") === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  /** JVM reference for the winnowing sketch: per-window argmin over the
+    * positional k-gram hashes, first-seen-distinct — the quadratic spec
+    * the O(n) monotonic-deque kernel must reproduce.
+    */
+  private def refWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val hs = TextHash.shingleHashesAll(s, k).toSeq
+    val mins =
+      if (hs.length < w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq
+    mins.distinct
+  }
+
+  test("winnowSketch matches the sliding-window-min reference on arbitrary text") {
+    forAll(asciiGen) { s =>
+      val fused = TextHash.winnowSketch(s, 3, 4).toSeq
+      fused.head == TextHash.shingleHashesAll(s, 3).length &&
+        fused.tail == refWinnow(s, 3, 4)
+    }
+  }
+
   test("shingleHashes: short-text fallback and n=1 token hashing") {
     assert(TextHash.shingleHashes("one two", 3).toSeq ===
       Seq(TextHash.h60("one two")))
