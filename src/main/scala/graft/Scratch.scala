@@ -58,6 +58,14 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "explainq") {
+      args.drop(2).foreach { n =>
+        println(s"===== EXPLAIN $n =====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "repeat") {
       // Bench-faithful repeat timing: same warmup scales, same full-output
       // checksum action, 3 reps — separates first-run overhead (JIT,

@@ -600,6 +600,9 @@ object TextOps {
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val t = tokens(col("text"))
+    // bg feeds THREE consumers (the bigram counts, the prefix counts, and
+    // the per-doc scoring join) — materialize the one tokenization pass
+    // instead of re-exploding the corpus per consumer (the q56 lesson)
     val bg = docs(s, dir)
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 2)
@@ -608,6 +611,7 @@ object TextOps {
           slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
           slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
     val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
       .select(col("w1").as("u1"), col("c1"))

@@ -141,6 +141,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q101: the corpus is tokenized once — count/score consumers read the materialized bigrams") {
+    val p = plan("q101_bigram_lm")
+    // three consumers (bigram counts, prefix counts, scoring join) share one
+    // checkpointed explode; only the final doc_id left join reads parquet
+    // formatted mode prints each node twice (tree line + detail header)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet")) / 2
+    assert(scans <= 1, s"bigram explode must not re-run per consumer ($scans parquet scans):\n$p")
+    assert(!p.contains("Generate"), s"no re-tokenization in the final plan:\n$p")
+  }
+
   test("q97: PQ codebook broadcasts; encoding has no cartesian or nested loop") {
     val p = plan("q97_pq_encode")
     assert(p.contains("BroadcastHashJoin"), s"the M x K codebook must broadcast:\n$p")
