@@ -128,7 +128,16 @@ object Corpus {
        |    AND 10 * n_punct <= text_len AND n_stop >= 2) AS keep
        |FROM m
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val base = docs(s, dir).select(
+    gateFrame(docs(s, dir)).orderBy("doc_id")
+  }
+
+  /** The q69 gate as a reusable frame: per-doc quality metrics + rule
+    * booleans + keep, over any frame with (doc_id, text). Pure per-row
+    * projection — streaming-safe (CorpusStream gates micro-batches with
+    * the IDENTICAL predicates, so stream and batch keep-sets agree).
+    */
+  def gateFrame(d: DataFrame): DataFrame = {
+    val base = d.select(
       col("doc_id"),
       length(col("text")).as("text_len"),
       TextOps.tokens(col("text")).as("t"),
@@ -146,11 +155,10 @@ object Corpus {
     val punctOk = lit(10) * col("n_punct") <= col("text_len")
     val stopOk = col("n_stop") >= 2
     m.select(col("doc_id"), col("text_len"), col("n_tokens"), col("alpha_chars"),
-        col("n_punct"), col("n_stop"),
-        lenOk.as("len_ok"), wordlenOk.as("wordlen_ok"), punctOk.as("punct_ok"),
-        stopOk.as("stop_ok"),
-        (lenOk && wordlenOk && punctOk && stopOk).as("keep"))
-      .orderBy("doc_id")
+      col("n_punct"), col("n_stop"),
+      lenOk.as("len_ok"), wordlenOk.as("wordlen_ok"), punctOk.as("punct_ok"),
+      stopOk.as("stop_ok"),
+      (lenOk && wordlenOk && punctOk && stopOk).as("keep"))
   }
 
   /** q72 — incremental corpus ingest: dedup a NEW batch of documents

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.ops.{Corpus, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming corpus ingest — the training-data twin of the sensor
+  * streaming surface: documents land as parquet files, each micro-batch
+  * is quality-gated with the EXACT batch predicates (Corpus.gateFrame),
+  * exact-deduplicated within the batch and against the history
+  * FINGERPRINT store (never history text), and appended atomically via
+  * `foreachBatch`. This is q72's incremental-ingest classification run
+  * continuously: the history side a batch job would rescan is here a
+  * monotonically growing fp column store, and re-delivered files are
+  * no-ops because the fp anti-join makes the sink idempotent (on top of
+  * the checkpoint's exactly-once file accounting).
+  *
+  * Scale notes: per micro-batch work is (batch × gate projection) + one
+  * min-aggregate on fp + one anti-join against history fingerprints —
+  * hash-partitioned on uniform md5 keys, no state store at all (the
+  * "state" is the warehouse itself), so an unbounded feed never
+  * accumulates executor state the way windowed operators do.
+  */
+object CorpusStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a parquet landing directory. */
+  def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(landingDir)
+
+  /** Gate + fingerprint a (micro-)batch: returns (doc_id, source, fp)
+    * for gate-keepers only — the shared projection of the batch and
+    * streaming paths.
+    */
+  def gatedFingerprints(batch: DataFrame): DataFrame =
+    batch
+      .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), md5(TextOps.normalized(col("text"))).as("fp"))
+
+  /** Ingest sink: for each micro-batch, keep gate-passing docs, collapse
+    * within-batch duplicates to the min doc_id, drop docs whose fp is
+    * already in history, and append the survivors to the history store.
+    * Runs with Trigger.AvailableNow (drain the landing dir, then stop) —
+    * call again as new files land; the checkpoint carries progress.
+    */
+  def ingestSink(stream: DataFrame, historyDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("corpus_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fps = gatedFingerprints(batch)
+        val firstInBatch = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        val batchReps = fps.join(firstInBatch, Seq("fp", "doc_id"), "left_semi")
+        val hist = new java.io.File(historyDir)
+        val fresh =
+          if (hist.exists() && hist.listFiles() != null && hist.listFiles().nonEmpty) {
+            val known = spark.read.parquet(historyDir).select("fp")
+            batchReps.join(known, Seq("fp"), "left_anti")
+          } else batchReps
+        // history rows carry (fp, doc_id, source): later batches anti-join
+        // on fp only, so appended text never needs to be re-read
+        fresh.select("fp", "doc_id", "source")
+          .write.mode("append").parquet(historyDir)
+        ()
+      }
+      .start()
+}

@@ -62,6 +62,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(r001.head.getAs[String]("plant_location") !== null)
   }
 
+  test("corpus ingest stream: gate + dedup-vs-history matches the batch pipeline and is idempotent") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-doc-landing")
+    val history = tmpDir("graft-doc-hist") + "/fps"
+    val checkpoint = tmpDir("graft-doc-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    // the file source lists FILES, not nested write.parquet directories —
+    // land each chunk as a single moved part file
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-doc-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // two id-ordered landing files -> two micro-batches in arrival order
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    CorpusStream.ingestSink(
+      CorpusStream.readDocStream(spark, landing), history, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    CorpusStream.ingestSink(
+      CorpusStream.readDocStream(spark, landing), history, checkpoint).awaitTermination()
+
+    // batch reference: gate-keepers, min doc_id per fingerprint. The landing
+    // files are id-ranges, so first-arrival == global min and the streamed
+    // store must match the batch answer EXACTLY.
+    val expected = CorpusStream.gatedFingerprints(docs)
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = spark.read.parquet(history).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("doc_id")).toMap
+    assert(got === expected, "streamed history must equal the batch gate+dedup result")
+
+    // re-deliver the same content under a new file name: fp anti-join makes it a no-op
+    land(docs.filter(col("doc_id") >= cut), "f3.parquet")
+    CorpusStream.ingestSink(
+      CorpusStream.readDocStream(spark, landing), history, checkpoint).awaitTermination()
+    assert(spark.read.parquet(history).count() === expected.size,
+      "re-delivered documents must not grow the history store")
+  }
+
   test("streaming dedup: duplicate reading_id within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Double, Timestamp)]
