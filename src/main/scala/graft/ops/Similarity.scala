@@ -429,16 +429,24 @@ object Similarity {
     * twice and never shuffled except the (cluster, dim) aggregate —
     * Lloyd's exact distributed shape at any scale.
     */
+  /** Exact fixed-point centroids per `key`: each element floor-scaled to a
+    * long BEFORE summing (associative integer partials, any partition
+    * order), decoded to doubles once — the bit-stable mean every k-means
+    * round and the q94 oracle share.
+    */
+  def fixedPointCentroids(members: DataFrame, key: String): DataFrame =
+    members.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(key, "pos")
+      .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
+      .groupBy(key)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+        "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
+
   val q94 = Q("q94_kmeans_step", q94OracleSql) { (s, dir) =>
     graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     def centroids(members: DataFrame, key: String): DataFrame =
-      members.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(key, "pos")
-        .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
-        .groupBy(key)
-        .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
-          "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
+      fixedPointCentroids(members, key)
     val c0 = centroids(e, "label").select(col("label").as("cluster"), col("c"))
       .withColumn("cn0", norm(col("c")))
     val asg = e.withColumn("vn", norm(col("v"))).crossJoin(broadcast(c0))
@@ -748,6 +756,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("neg_rank"), col("neg_id"),
         col("neg_label"), col("sim"))
       .orderBy("vec_id", "neg_rank")
+  }
+
+  /** Lloyd's algorithm to convergence — the trainer behind the IVF coarse
+    * quantizer (q38), the PQ codebooks (q97), and SemDeDup's clusters
+    * (q100); q94 is one step of this loop, oracled. Input: (vec_id, v)
+    * plus an initial integer assignment column. Each round recomputes
+    * exact fixed-point centroids (one (cluster, dim) hash aggregate),
+    * broadcasts the k×dim table, reassigns by cosine argmax (tie: lowest
+    * cluster id), and stops when no vector moves or `maxIters` is hit.
+    * Scale shape per round: two corpus scans, O(k·dim) driver/broadcast
+    * state, `localCheckpoint` on the assignment so the plan never
+    * re-derives prior rounds (the PageRank rank-vector lesson). Returns
+    * (final assignment, rounds run, vectors moved in the last round).
+    */
+  def kmeans(e: DataFrame, initCol: String, maxIters: Int = 10): (DataFrame, Int, Long) = {
+    val s = e.sparkSession
+    graft.functions.VecDot.register(s)
+    val vecs = e.select(col("vec_id"), col("v")).withColumn("vn", norm(col("v")))
+    var asg = e.select(col("vec_id"), col(initCol).cast("int").as("cluster"))
+      .localCheckpoint()
+    var rounds = 0
+    var moved = -1L
+    while (rounds < maxIters && moved != 0L) {
+      val cents = fixedPointCentroids(
+          vecs.join(asg, "vec_id").select(col("cluster"), col("v")), "cluster")
+        .withColumn("cn", norm(col("c")))
+        .localCheckpoint()
+      val next = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          (dot(col("v"), col("c")) / (col("vn") * col("cn"))).as("sim"),
+          col("cluster"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cluster")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).cast("int").as("cluster"))
+        .localCheckpoint()
+      moved = next.join(asg.select(col("vec_id"), col("cluster").as("prev")), "vec_id")
+        .filter(col("cluster") =!= col("prev")).count()
+      asg = next
+      rounds += 1
+    }
+    (asg, rounds, moved)
   }
 
   // ── Semantic dedup (SemDeDup) ─────────────────────────────────────────

@@ -209,6 +209,29 @@ class OpsSpec extends AnyFunSuite {
       "a templated corpus cannot be uniformly surprising")
   }
 
+  test("kmeans loop: separable clusters recovered from a bad init, then fixpoint") {
+    // 3 well-separated axis clusters, 8 vectors each, 12-dim; initial
+    // assignment deliberately wrong (round-robin)
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 8
+    } yield {
+      val v = Array.tabulate(12)(d =>
+        (if (d / 4 == c) 10.0 else 0.0) + rnd.nextDouble() * 0.1)
+      (c * 8L + i, v.toSeq, (c * 8 + i) % 3)
+    }
+    val e = rows.toDF("vec_id", "v", "init")
+    val (asg, roundsRun, moved) = Similarity.kmeans(e, "init", maxIters = 10)
+    assert(moved === 0L, "loop must reach a fixpoint on separable data")
+    assert(roundsRun < 10, "fixpoint must arrive before the iteration cap")
+    val byCluster = asg.collect()
+      .groupBy(_.getAs[Int]("cluster"))
+      .values.map(_.map(r => r.getAs[Long]("vec_id") / 8).toSet).toSeq
+    assert(byCluster.size === 3 && byCluster.forall(_.size === 1),
+      s"each recovered cluster must hold exactly one planted group: $byCluster")
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
