@@ -855,5 +855,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The full SemDeDup scale path q100 documents: cluster with the Lloyd
+    * loop (init = deterministic hash buckets, so no labels are needed),
+    * then keep-earliest within each LEARNED cluster by cosine threshold.
+    * `k` controls the Σ cluster² pair bound — scale it with the corpus
+    * (the measured cost law in the 10× probe). Returns per-vector
+    * (vec_id, cluster, max_prior_sim, dup_of, is_semantic_dup).
+    */
+  def semanticDedup(e: DataFrame, k: Int, threshold: Double = SemDupThreshold,
+      maxIters: Int = 10): DataFrame = {
+    graft.functions.VecDot.register(e.sparkSession)
+    val init = e.select(col("vec_id"), col("v"),
+      pmod(graft.functions.DoubleBits(col("vec_id").cast("double")), lit(k)).cast("int").as("init"))
+    val (asg, _, _) = kmeans(init, "init", maxIters)
+    val m = e.join(asg, "vec_id").withColumn("nn", norm(col("v")))
+    val b2 = m.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+      col("v").as("bv"), col("nn").as("bn"))
+    val best = m.join(b2, col("cluster") === col("bc") && col("b_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"), col("b_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("b_id")).as("nb"))).as("mx"))
+      .select(col("vec_id"), col("mx.sim").as("sim"), (-col("mx.nb")).as("b_id"))
+    m.select(col("vec_id"), col("cluster")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("sim"), lit(0.0)).as("max_prior_sim"),
+        col("b_id").as("dup_of"),
+        (coalesce(col("sim"), lit(0.0)) >= threshold).as("is_semantic_dup"))
+  }
+
   val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100)
 }

@@ -232,6 +232,28 @@ class OpsSpec extends AnyFunSuite {
       s"each recovered cluster must hold exactly one planted group: $byCluster")
   }
 
+  test("semanticDedup end-to-end: planted near-duplicates flagged inside learned clusters") {
+    val rnd = new scala.util.Random(7)
+    // two separable groups (random magnitudes INSIDE the group's dim block,
+    // so members cluster together without being near-parallel) plus a
+    // near-copy of vector 0 (id 100)
+    val base = for {
+      c <- 0 until 2
+      i <- 0 until 6
+    } yield (c * 6L + i,
+      Array.tabulate(8)(d =>
+        (if (d / 4 == c) 0.5 + rnd.nextDouble() * 4.5 else 0.0) +
+          rnd.nextDouble() * 0.05).toSeq)
+    val nearDup = (100L, base.head._2.map(_ + 0.001))
+    val e = (base :+ nearDup).toDF("vec_id", "v")
+    val out = Similarity.semanticDedup(e, k = 2, threshold = 0.999).collect()
+    val dup = out.find(_.getAs[Long]("vec_id") == 100L).get
+    assert(dup.getAs[Boolean]("is_semantic_dup"), "the planted near-copy must be flagged")
+    assert(dup.getAs[Long]("dup_of") === 0L, "and attributed to its earliest twin")
+    assert(out.count(_.getAs[Boolean]("is_semantic_dup")) === 1,
+      "separable non-duplicates must all survive")
+  }
+
   test("rolling_hash: golden value, null passthrough, matches JVM reference") {
     RollingHash.register(spark)
     val got = Seq(("abc"), ("")).toDF("s")
