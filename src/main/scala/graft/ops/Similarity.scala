@@ -799,6 +799,79 @@ object Similarity {
     (asg, rounds, moved)
   }
 
+  private def q103OracleSql: String = {
+    val davg = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n"
+    def centroidCtes(member: String, tag: String) =
+      s"""pe$tag AS (
+         |  SELECT a.cluster, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+         |  FROM $member a JOIN e ON a.vec_id = e.vec_id
+         |), sums$tag AS (
+         |  SELECT cluster, pos, $davg FROM pe$tag GROUP BY 1, 2
+         |), c$tag AS (
+         |  SELECT cluster, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+         |  FROM sums$tag GROUP BY cluster
+         |)""".stripMargin
+    def assignCtes(cents: String, tag: String) =
+      s"""sims$tag AS (
+         |  SELECT e.vec_id, $cents.cluster,
+         |    ${dotSql.format("e.v", s"$cents.c")} / (${normSql("e.v")} * ${normSql(s"$cents.c")}) AS sim
+         |  FROM e, $cents
+         |), asg$tag AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+         |    FROM sims$tag) WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), a0 AS (
+       |  SELECT vec_id, label AS cluster FROM e
+       |), ${centroidCtes("a0", "0")},
+       |${assignCtes("c0", "1")},
+       |${centroidCtes("asg1", "1")},
+       |${assignCtes("c1", "2")},
+       |${centroidCtes("asg2", "2")},
+       |rep AS (
+       |  SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(SUM(CAST(FLOOR((${dotSql.format("e.v", "c2.c")}
+       |      / (${normSql("e.v")} * ${normSql("c2.c")})) * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS avg_sim_fp
+       |  FROM asg2 a JOIN e ON a.vec_id = e.vec_id JOIN c2 ON a.cluster = c2.cluster
+       |  GROUP BY a.cluster
+       |)
+       |SELECT cluster, n_members, avg_sim_fp FROM rep ORDER BY cluster""".stripMargin
+  }
+
+  /** q103 — two Lloyd rounds to a (near-)fixpoint, oracled: the kmeans
+    * LOOP's chaining semantics (centroids from assignment N feed
+    * assignment N+1, fixed-point means at every round) verified
+    * bit-for-bit against a fully unrolled DuckDB CTE chain — the same
+    * loop-parity technique as q71's unrolled PageRank. The Spark side IS
+    * the production `kmeans` driver (maxIters = 2); early convergence is
+    * safe because a converged round reproduces its own assignment, which
+    * is exactly what the unrolled oracle computes.
+    */
+  val q103 = Q("q103_kmeans_converge", q103OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val (asg, _, _) = kmeans(e.select(col("vec_id"), col("v"), col("label").as("init")),
+      "init", maxIters = 2)
+    val c2 = fixedPointCentroids(
+        e.select(col("vec_id"), col("v")).join(asg, "vec_id").select(col("cluster"), col("v")),
+        "cluster")
+      .withColumn("cn", norm(col("c")))
+    e.select(col("vec_id"), col("v")).withColumn("vn", norm(col("v")))
+      .join(asg, "vec_id")
+      .join(broadcast(c2), Seq("cluster"))
+      .select(col("cluster"),
+        (dot(col("v"), col("c")) / (col("vn") * col("cn"))).as("sim"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        (sum(floor(col("sim") * lit(1000000.0))).cast("double") /
+          (count(lit(1)) * lit(1000000.0))).as("avg_sim_fp"))
+      .orderBy("cluster")
+  }
+
   // ── Semantic dedup (SemDeDup) ─────────────────────────────────────────
 
   val SemDupThreshold = 0.35
@@ -884,5 +957,5 @@ object Similarity {
         (coalesce(col("sim"), lit(0.0)) >= threshold).as("is_semantic_dup"))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100)
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103)
 }
