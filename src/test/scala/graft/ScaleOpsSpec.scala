@@ -212,4 +212,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cents.count() === labels)
     assert(cents.select(size(col("centroid"))).head().getInt(0) === 64)
   }
+
+  test("PQ code artifact is built once and holds M codes per vector") {
+    val path = ops.Similarity.buildPqIndex(spark, sf)
+    val success = new java.io.File(path, "_SUCCESS")
+    assert(success.exists())
+    val mtime = success.lastModified()
+    ops.Similarity.buildPqIndex(spark, sf)
+    assert(success.lastModified() === mtime, "second build must reuse the committed artifact")
+    val codes = spark.read.parquet(path)
+    val vectors = Catalog.table(spark, sf, "embeddings").count()
+    assert(codes.count() === vectors * ops.Similarity.PqM, "one code row per (vector, subspace)")
+    assert(codes.agg(max(col("k"))).head().getLong(0) < ops.Similarity.PqK)
+    assert(codes.agg(min(col("k"))).head().getLong(0) >= 0L)
+  }
 }
