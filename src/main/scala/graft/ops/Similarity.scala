@@ -236,7 +236,63 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_centroids_$key"
+    // v2: the artifact carries raw integer sums alongside the decoded
+    // centroids (appendIvfIndex needs them) — new key so a pre-v2 cached
+    // artifact is never reused with the s_fp column missing
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_centroids_v2_$key"
+  }
+
+  /** (label, pos) INTEGER centroid sums — the associative representation
+    * behind the IVF artifact. Because each element is floor-scaled to a
+    * long before summing, merging two corpora's sums then decoding equals
+    * building from the union bit-for-bit — which is what makes the index
+    * APPENDABLE (see appendIvfIndex) instead of rebuild-only.
+    */
+  def ivfCentroidSums(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"),
+        count(lit(1)).as("n"))
+
+  /** Sums → artifact rows: decoded centroid (the exact Det.davg(…, 6)
+    * arithmetic: s_fp → double, ÷1e6, ÷n) plus the raw sums and count the
+    * append path needs.
+    */
+  private def sumsToArtifact(sums: DataFrame): DataFrame =
+    sums.groupBy("label").agg(
+      expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+        "r -> CAST(r.s_fp AS DOUBLE) / 1000000.0 / r.n)").as("centroid"),
+      expr("transform(array_sort(collect_list(struct(pos, s_fp))), r -> r.s_fp)").as("s_fp"),
+      max(col("n")).as("n"))
+
+  /** Write the quantizer artifact for a vector frame (label, v). */
+  def writeIvfIndex(e: DataFrame, path: String): Unit =
+    sumsToArtifact(ivfCentroidSums(e)).write.mode("overwrite").parquet(path)
+
+  /** Incrementally fold NEW vectors into an existing quantizer artifact —
+    * the 100 TB maintenance path: an append-heavy corpus updates k×dim
+    * integer sums (broadcast-sized state) instead of re-scanning the full
+    * history. Exactness falls out of the integer representation: merged
+    * sums decode to the SAME doubles a from-scratch rebuild over the union
+    * produces (spec-pinned), so readers can never tell which path built
+    * the index.
+    */
+  def appendIvfIndex(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cur = spark.read.parquet(path)
+      .select(col("label"), posexplode(col("s_fp")).as(Seq("pos", "s_fp")), col("n"))
+    val add = ivfCentroidSums(delta)
+      .select(col("label").as("dl"), col("pos").as("dp"),
+        col("s_fp").as("ds"), col("n").as("dn"))
+    val merged = cur.join(add,
+        col("label") === col("dl") && col("pos") === col("dp"), "full_outer")
+      .select(
+        coalesce(col("label"), col("dl")).as("label"),
+        coalesce(col("pos"), col("dp")).as("pos"),
+        (coalesce(col("s_fp"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s_fp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+    // materialize before overwriting the artifact the plan reads from
+    val out = sumsToArtifact(merged).localCheckpoint()
+    out.write.mode("overwrite").parquet(path)
   }
 
   /** Build step: materialize the centroid table once per corpus — this is
@@ -250,7 +306,7 @@ object Similarity {
     val success = new java.io.File(path, "_SUCCESS")
     if (!success.exists()) {
       val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-      ivfCentroids(e).write.mode("overwrite").parquet(path)
+      writeIvfIndex(e, path)
     }
     path
   }

@@ -213,6 +213,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cents.select(size(col("centroid"))).head().getInt(0) === 64)
   }
 
+  test("IVF append: half-corpus index + appended half equals the full rebuild exactly") {
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), ops.Similarity.asDouble(col("embedding")).as("v"))
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString + "/idx"
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivf-full").toString + "/idx"
+    ops.Similarity.writeIvfIndex(e.filter(col("vec_id") < cut), p1)
+    ops.Similarity.appendIvfIndex(spark, p1, e.filter(col("vec_id") >= cut))
+    ops.Similarity.writeIvfIndex(e, p2)
+    val inc = spark.read.parquet(p1).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[scala.collection.Seq[Double]]("centroid"), r.getAs[Long]("n"))).toMap
+    val full = spark.read.parquet(p2).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[scala.collection.Seq[Double]]("centroid"), r.getAs[Long]("n"))).toMap
+    assert(inc.keySet === full.keySet)
+    full.foreach { case (label, (cFull, nFull)) =>
+      val (cInc, nInc) = inc(label)
+      assert(nInc === nFull)
+      // BIT-equal doubles: integer sums merge associatively, decode once
+      assert(cInc === cFull, s"centroid for label $label must be bit-identical")
+    }
+  }
+
   test("PQ code artifact is built once and holds M codes per vector") {
     val path = ops.Similarity.buildPqIndex(spark, sf)
     val success = new java.io.File(path, "_SUCCESS")
