@@ -290,9 +290,15 @@ object Similarity {
         coalesce(col("pos"), col("dp")).as("pos"),
         (coalesce(col("s_fp"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s_fp"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
-    // materialize before overwriting the artifact the plan reads from
-    val out = sumsToArtifact(merged).localCheckpoint()
-    out.write.mode("overwrite").parquet(path)
+    // The artifact is k×dim integer sums — broadcast-sized BY DESIGN — so
+    // materialize it on the driver before overwriting the path the plan
+    // reads from. (A checkpoint is not enough: a non-reliable checkpoint
+    // recomputes lost partitions from the source parquet, which overwrite
+    // deletes — on executor loss that would corrupt the only copy.)
+    val out = sumsToArtifact(merged)
+    val rows = out.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Build step: materialize the centroid table once per corpus — this is
@@ -382,7 +388,7 @@ object Similarity {
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val pe = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val sums = pe.groupBy("label", "pos")
-      .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
+      .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"), count(lit(1)).as("n"))
     val cent = sums.groupBy("label").agg(
       expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
         "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
@@ -493,7 +499,10 @@ object Similarity {
   def fixedPointCentroids(members: DataFrame, key: String): DataFrame =
     members.select(col(key), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(key, "pos")
-      .agg(sum(floor(col("x") * lit(1000000.0))).as("s_fp"), count(lit(1)).as("n"))
+      // explicit bigint cast (Spark's floor already yields LongType; the
+      // cast pins the integer-sum invariant against any future type drift,
+      // matching ivfCentroidSums) — exact past 2^53 rows × 1e6 scale
+      .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"), count(lit(1)).as("n"))
       .groupBy(key)
       .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
         "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("c"))
@@ -565,7 +574,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
        |  FROM d
        |), codes AS (
-       |  SELECT vec_id, list(k ORDER BY m) AS codes,
+       |  SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes,
        |    CAST(SUM(k * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS packed_code,
        |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS quant_err
        |  FROM best WHERE rn = 1 GROUP BY vec_id
@@ -586,6 +595,9 @@ object Similarity {
     * would refine it) BROADCASTS; the corpus is scanned once, exploded
     * M-way, and reduced by two bounded hash aggregates — no shuffle ever
     * carries more than (rows × M) fixed-width tuples, nothing quadratic.
+    * `codes` is emitted as a comma-joined STRING (not array<bigint>) so
+    * every output column stays scalar — sortable/hashable by any harness;
+    * the array form is derivable from packed_code (4 bits per subspace).
     */
   val q97 = Q("q97_pq_encode", q97OracleSql) { (s, dir) =>
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
@@ -603,7 +615,8 @@ object Similarity {
       .agg(min(struct(col("dist"), col("k"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
     val codes = best.groupBy("vec_id").agg(
-      expr("transform(array_sort(collect_list(struct(m, k))), r -> r.k)").as("codes"),
+      expr("array_join(transform(array_sort(collect_list(struct(m, k))), r -> CAST(r.k AS STRING)), ',')")
+        .as("codes"),
       expr("CAST(sum(k * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("packed_code"),
       (sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
         lit(1000000.0)).as("quant_err"))

@@ -121,7 +121,8 @@ class OpsSpec extends AnyFunSuite {
     val total = Catalog.table(spark, sf, "embeddings").count()
     assert(rows.length === total, "one code row per vector")
     rows.foreach { r =>
-      val codes = r.getAs[scala.collection.Seq[Long]]("codes")
+      // codes is a comma-joined scalar string (harness-hashable); parse it back
+      val codes = r.getAs[String]("codes").split(',').toSeq.map(_.toLong)
       assert(codes.length === Similarity.PqM)
       assert(codes.forall(k => k >= 0 && k < Similarity.PqK))
       val packed = codes.zipWithIndex.map { case (k, m) => k << (4 * m) }.sum
