@@ -110,15 +110,27 @@ object Mining {
   // ── q49: blocked record linkage ───────────────────────────────────────
 
   val LinkageMaxDistance = 2
+  /** Sorted-neighborhood window: each record is compared with at most this
+    * many sort-successors (and, via the symmetric explode, the same number
+    * of predecessors) inside its block.
+    */
+  val LinkageWindow = 10
 
   private val q49OracleSql =
     s"""WITH c AS (
        |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+       |), r AS (
+       |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       |    ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+       |                       ORDER BY c_name, c_custkey) AS rn
+       |  FROM c
+       |), o AS (
+       |  SELECT CAST(unnest(range(1, ${LinkageWindow + 1})) AS BIGINT) AS o
        |), p AS (
        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb, levenshtein(a.c_name, b.c_name) AS d
-       |  FROM c a JOIN c b
+       |  FROM r a CROSS JOIN o JOIN r b
        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
-       |   AND a.c_custkey < b.c_custkey
+       |   AND b.rn = a.rn + o.o
        |), sym AS (
        |  SELECT ka AS k, kb AS pk, d FROM p
        |  UNION ALL
@@ -132,32 +144,46 @@ object Mining {
        |FROM c LEFT JOIN (SELECT k, pk, d FROM best WHERE rn = 1) b ON c.c_custkey = b.k
        |ORDER BY c.c_custkey""".stripMargin
 
-  /** q49 — record linkage: within (nation, segment) blocks, every
-    * customer's nearest neighbor by edit distance. Candidate generation
-    * is the blocked self-join (B² per block, bounded by the block key —
-    * the standard linkage trade; a skewed block re-blocks on more
-    * attributes or falls back to sorted-neighborhood). The argmin is one
-    * hash aggregate over a both-orientations explode of each pair — no
-    * window sort, same shape as q33.
+  /** Size-bounded candidate pairs for record linkage: sorted-neighborhood
+    * within (nation, segment) blocks. Records are ranked by (name, key)
+    * inside each block and each record pairs only with its next
+    * `window` sort-neighbors, realized as an offset-explode EQUI-join on
+    * (block, rank) — never a within-block cross product. Candidate count
+    * is ≤ rows × window whatever the block-size distribution, so the cost
+    * law is LINEAR in corpus size (spec-pinned in ScaleOpsSpec), unlike
+    * naive blocking whose per-block B² blows up when a fixed-cardinality
+    * key (here ~125 (nation, segment) cells) meets a growing corpus.
+    * Near-duplicate names sort adjacently, which is what makes the window
+    * a faithful linkage candidate set (Hernández & Stolfo's classic
+    * sorted-neighborhood method).
+    */
+  def linkageCandidates(c0: DataFrame, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byName = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("c_name", "c_custkey")
+    val r = c0.withColumn("rn", row_number().over(byName))
+    val probes = r.select(col("c_custkey").as("ka"), col("c_name").as("na"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"), col("rn"))
+      .withColumn("rn_b", explode(sequence(col("rn") + 1, col("rn") + window)))
+    val targets = r.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
+      col("c_nationkey").as("nk2"), col("c_mktsegment").as("ms2"),
+      col("rn").as("rn_b2"))
+    probes.join(targets,
+        col("nk") === col("nk2") && col("ms") === col("ms2") &&
+          col("rn_b") === col("rn_b2"))
+      .select(col("ka"), col("kb"), levenshtein(col("na"), col("nb")).as("d"))
+  }
+
+  /** q49 — record linkage: every customer's nearest neighbor by edit
+    * distance among its sorted-neighborhood candidates (see
+    * `linkageCandidates` for the scale story). The argmin is one hash
+    * aggregate over a both-orientations explode of each pair — no window
+    * sort, same shape as q33.
     */
   val q49 = Q("q49_record_linkage", q49OracleSql) { (s, dir) =>
     val c0 = Catalog.table(s, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-    // explicit block-key repartition on BOTH join inputs: the join input is
-    // tiny (the block table) but its output is B-squared per block, so
-    // AQE's size-based coalescing would fold the post-shuffle stage to ~1
-    // partition and serialize every levenshtein; a user repartition is
-    // exempt from coalescing and keeps one task per hash bucket of blocks
-    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val c = c0.repartition(shufP, col("c_nationkey"), col("c_mktsegment"))
-    val b = c0.select(col("c_custkey").as("kb"), col("c_name").as("nb"),
-        col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"))
-      .repartition(shufP, col("nk"), col("ms"))
-    val pairs = c.join(b,
-        col("c_nationkey") === col("nk") && col("c_mktsegment") === col("ms") &&
-          col("c_custkey") < col("kb"))
-      .select(col("c_custkey").as("ka"), col("kb"),
-        levenshtein(col("c_name"), col("nb")).as("d"))
+    val pairs = linkageCandidates(c0, LinkageWindow)
     val sym = pairs.select(explode(array(
         struct(col("ka").as("k"), col("kb").as("pk"), col("d")),
         struct(col("kb").as("k"), col("ka").as("pk"), col("d")))).as("p"))
@@ -166,7 +192,7 @@ object Mining {
       .agg(min(struct(col("d"), col("pk"))).as("m"))
       .select(col("k").as("c_custkey"), col("m.pk").as("best_match_key"),
         col("m.d").as("best_distance"))
-    c.select("c_custkey").join(best, Seq("c_custkey"), "left")
+    c0.select("c_custkey").join(best, Seq("c_custkey"), "left")
       .select(col("c_custkey"), col("best_match_key"), col("best_distance"),
         (col("best_distance") <= LinkageMaxDistance).as("is_match"))
       .orderBy("c_custkey")

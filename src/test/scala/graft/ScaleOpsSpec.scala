@@ -118,6 +118,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"pipeline candidates $pipelinePairs must equal base-corpus candidates $basePairs")
   }
 
+  test("linkageCandidates: pairs scale linearly with corpus size, not quadratically") {
+    import spark.implicits._
+    // worst case for naive blocking: the WHOLE corpus lands in ONE
+    // (nation, segment) block, the regime where a fixed-cardinality block
+    // key meets a growing corpus and a within-block self-join goes B²
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, f"Customer#$i%09d", 1L, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val w = ops.Mining.LinkageWindow
+    val small = ops.Mining.linkageCandidates(corpus(200), w).count()
+    val big = ops.Mining.linkageCandidates(corpus(2000), w).count()
+    // the hard bound sorted-neighborhood guarantees at ANY block layout
+    assert(small <= 200L * w, s"$small exceeds rows×window")
+    assert(big <= 2000L * w, s"$big exceeds rows×window")
+    // 10× the rows → ~10× the candidates (a B² self-join would be ~100×)
+    val ratio = big.toDouble / small
+    assert(ratio >= 8.0 && ratio <= 12.0, s"candidate growth $ratio not linear")
+  }
+
+  test("linkageCandidates: near-identical names are candidate pairs across a large block") {
+    import spark.implicits._
+    // two typo-twins buried in 1000 alphabetically-scattered names: the
+    // sort-neighborhood must still surface the pair (they sort adjacent)
+    val names = (0 until 1000).map(i => (i.toLong, f"Name$i%04d x", 1L, "AUTO")) ++
+      Seq((5000L, "Zelda Quartermaine", 1L, "AUTO"), (5001L, "Zelda Quartermained", 1L, "AUTO"))
+    val pairs = ops.Mining.linkageCandidates(
+      names.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+      ops.Mining.LinkageWindow)
+    val hit = pairs.filter((col("ka") === 5000L && col("kb") === 5001L) ||
+      (col("ka") === 5001L && col("kb") === 5000L)).collect()
+    assert(hit.length === 1)
+    assert(hit.head.getAs[Int]("d") === 1)
+  }
+
   test("connectedComponents: chains, isolated vertices, and label determinism") {
     import spark.implicits._
     // component {1,2,3,4} is a CHAIN (forces multi-round propagation),
