@@ -113,6 +113,46 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "q80") {
+      // piecewise timing of the interval-sweep pipeline
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gap = expr("INTERVAL 30 MINUTES")
+      val lagTs = lag(col("ts"), 1).over(w)
+      val leadTs = lead(col("ts"), 1).over(w)
+      val ev = Catalog.table(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      time("q80.scan")(ev.count())
+      val marked = ev
+        .withColumn("is_start", lagTs.isNull || col("ts") > lagTs + gap)
+        .withColumn("is_end", leadTs.isNull || leadTs > col("ts") + gap)
+      time("q80.window")(marked.filter(col("is_start")).count())
+      val pts = marked.select(explode(array(
+          struct(when(col("is_start"), 1L).otherwise(0L).as("d"),
+            (unix_micros(col("ts")) * 2).as("k"), col("ts")),
+          struct(when(col("is_end"), -1L).otherwise(0L).as("d"),
+            (unix_micros(col("ts")) * 2 + 1).as("k"), col("ts")))).as("p"))
+        .select(col("p.d").as("d"), col("p.k").as("k"), col("p.ts").as("ts"))
+        .filter(col("d") =!= 0L)
+      val mergedPlan = pts.groupBy("k").agg(sum(col("d")).as("d"), min(col("ts")).as("ts"))
+      time("q80.merged_compute")(mergedPlan.count())
+      var merged: org.apache.spark.sql.DataFrame = null
+      time("q80.checkpoint") { merged = mergedPlan.localCheckpoint(); merged.count() }
+      var run: org.apache.spark.sql.DataFrame = null
+      time("q80.prefix_sum") {
+        run = graft.exec.PrefixSum.runningTotal(merged, "k", "d", "conc", 64)
+        run.count()
+      }
+      time("q80.final_agg") {
+        run.groupBy(to_date(col("ts")).as("day"))
+          .agg(max(col("conc")).as("peak_concurrency")).orderBy("day").count()
+      }
+      (1 to 3).foreach { rep =>
+        time(s"q80.full_rep$rep")(SparkEntry.queries("q80_session_concurrency")(spark, sfDir).count())
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "q65") {
       // piecewise timing of the dedup-cluster pipeline
       val d = Catalog.table(spark, sfDir, "documents")

@@ -374,14 +374,28 @@ object EventsPipeline {
   }
 
   /** q80 — peak concurrent sessions per day, the classic interval sweep:
-    * sessions (from q25's gap logic) become +1/−1 boundary deltas, the
-    * running sum over boundary order is the live concurrency, and the max
-    * per day is the capacity-planning number. The order key encodes
+    * sessions (q25's gap logic) become +1/−1 boundary deltas, the running
+    * sum over boundary order is the live concurrency, and the max per day
+    * is the capacity-planning number. Boundaries come from ONE lag+lead
+    * window pass over the events — an event is a session START when the
+    * gap before it exceeds the timeout (or it is first) and a session END
+    * when the gap after it does (or it is last) — so the event table is
+    * scanned and window-sorted exactly once; no session aggregate, and no
+    * union of two copies of the sessionize subtree (the previous shape,
+    * which evaluated the window twice). The order key encodes
     * starts-before-ends at equal timestamps (k = µs·2 + 0/1), same-key
     * deltas are PRE-AGGREGATED (k parity ⇒ same sign, so merging cannot
     * hide a peak) which also makes keys unique, and the running sum is
     * `exec/PrefixSum` — two parallel passes, NO single-partition global
-    * window (the naive sweep's scale killer).
+    * window (the naive sweep's scale killer). The running sum is an
+    * inlined value-bucketed prefix sum — the bucket is the HOUR INDEX
+    * `k div 7.2e9`, derivable from the key itself, so unlike the generic
+    * `exec/PrefixSum` there is no min/max bounds job: one job materializes
+    * the boundary set, one tiny job collects per-hour delta totals
+    * (bounded by corpus hours, not rows) into broadcast offsets, and one
+    * job runs the hour-partitioned window plus the daily max. Same-key
+    * deltas share a sign (k parity), so their intra-window order cannot
+    * move a day's max — the sweep stays exact without pre-merging keys.
     */
   val q80 = Q("q80_session_concurrency",
     """WITH marked AS (
@@ -411,17 +425,43 @@ object EventsPipeline {
       |FROM run
       |GROUP BY 1
       |ORDER BY day""".stripMargin) { (s, dir) =>
-    val sess = q25.fn(s, dir).select(col("session_start"), col("session_end"))
-    val pts = sess.select(col("session_start").as("ts"), lit(1L).as("d"))
-      .unionByName(sess.select(col("session_end").as("ts"), lit(-1L).as("d")))
-      .withColumn("k",
-        unix_micros(col("ts")) * 2 + when(col("d") === 1L, 0L).otherwise(1L))
-    // PrefixSum makes three passes (bounds, bucket totals, window) over its
-    // input; checkpoint the boundary set — O(sessions), tiny next to the
-    // event table — so the sessionize window runs ONCE, not three times
-    val merged = pts.groupBy("k").agg(sum(col("d")).as("d"), min(col("ts")).as("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = expr("INTERVAL 30 MINUTES")
+    val lagTs = lag(col("ts"), 1).over(w)
+    val leadTs = lead(col("ts"), 1).over(w)
+    val marked = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("is_start", lagTs.isNull || col("ts") > lagTs + gap)
+      .withColumn("is_end", leadTs.isNull || leadTs > col("ts") + gap)
+    // each boundary event emits its ±1 delta(s); interior events emit d=0
+    // rows that the filter drops (a singleton session emits both)
+    // one hour of µs·2 key space — each window task sorts one hour of
+    // boundaries; offsets per hour are collected to the driver (corpus
+    // hours, not rows) and broadcast
+    val hourSpan = 7200000000L
+    val pts = marked.select(explode(array(
+        struct(when(col("is_start"), 1L).otherwise(0L).as("d"),
+          (unix_micros(col("ts")) * 2).as("k"), col("ts")),
+        struct(when(col("is_end"), -1L).otherwise(0L).as("d"),
+          (unix_micros(col("ts")) * 2 + 1).as("k"), col("ts")))).as("p"))
+      .select(col("p.d").as("d"), col("p.k").as("k"), col("p.ts").as("ts"))
+      .filter(col("d") =!= 0L)
+      // two passes follow (hour totals, the window) — materialize the
+      // boundary set, O(sessions), so the event window runs ONCE
       .localCheckpoint()
-    graft.exec.PrefixSum.runningTotal(merged, "k", "d", "conc", 64)
+    val bucket = (col("k") / lit(hourSpan)).cast("long")
+    val totals = pts.groupBy(bucket.as("_b")).agg(sum(col("d")).cast("long").as("_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      totals.map { case (b, t) => val o = b -> acc; acc += t; o }.toMap
+    }
+    val run = Window.partitionBy("_b").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("_b", bucket)
+      .withColumn("conc",
+        sum(col("d")).over(run) +
+          coalesce(element_at(typedLit(offsets), col("_b")), lit(0L)))
       .groupBy(to_date(col("ts")).as("day"))
       .agg(max(col("conc")).as("peak_concurrency"))
       .orderBy("day")
