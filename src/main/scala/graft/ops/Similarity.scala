@@ -868,29 +868,36 @@ object Similarity {
     (asg, rounds, moved)
   }
 
-  private def q103OracleSql: String = {
+  /** Oracle CTE builders for an unrolled Lloyd round (shared by q103 and
+    * q104): exact fixed-point centroids of `member`'s clusters, and the
+    * cosine-argmax reassignment against centroid table `cents`.
+    */
+  private def centroidCtes(member: String, tag: String) = {
     val davg = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n"
-    def centroidCtes(member: String, tag: String) =
-      s"""pe$tag AS (
-         |  SELECT a.cluster, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
-         |  FROM $member a JOIN e ON a.vec_id = e.vec_id
-         |), sums$tag AS (
-         |  SELECT cluster, pos, $davg FROM pe$tag GROUP BY 1, 2
-         |), c$tag AS (
-         |  SELECT cluster, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
-         |  FROM sums$tag GROUP BY cluster
-         |)""".stripMargin
-    def assignCtes(cents: String, tag: String) =
-      s"""sims$tag AS (
-         |  SELECT e.vec_id, $cents.cluster,
-         |    ${dotSql.format("e.v", s"$cents.c")} / (${normSql("e.v")} * ${normSql(s"$cents.c")}) AS sim
-         |  FROM e, $cents
-         |), asg$tag AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
-         |    FROM sims$tag) WHERE rn = 1
-         |)""".stripMargin
+    s"""pe$tag AS (
+       |  SELECT a.cluster, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+       |  FROM $member a JOIN e ON a.vec_id = e.vec_id
+       |), sums$tag AS (
+       |  SELECT cluster, pos, $davg FROM pe$tag GROUP BY 1, 2
+       |), c$tag AS (
+       |  SELECT cluster, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+       |  FROM sums$tag GROUP BY cluster
+       |)""".stripMargin
+  }
+
+  private def assignCtes(cents: String, tag: String) =
+    s"""sims$tag AS (
+       |  SELECT e.vec_id, $cents.cluster,
+       |    ${dotSql.format("e.v", s"$cents.c")} / (${normSql("e.v")} * ${normSql(s"$cents.c")}) AS sim
+       |  FROM e, $cents
+       |), asg$tag AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+       |    FROM sims$tag) WHERE rn = 1
+       |)""".stripMargin
+
+  private def q103OracleSql: String = {
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
        |), a0 AS (
@@ -1007,8 +1014,11 @@ object Similarity {
   def semanticDedup(e: DataFrame, k: Int, threshold: Double = SemDupThreshold,
       maxIters: Int = 10): DataFrame = {
     graft.functions.VecDot.register(e.sparkSession)
+    // hash-bucket init: h60 of the id — deterministic, engine-portable
+    // (the q104 oracle mirrors it), and independent of id distribution
     val init = e.select(col("vec_id"), col("v"),
-      pmod(graft.functions.DoubleBits(col("vec_id").cast("double")), lit(k)).cast("int").as("init"))
+      pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))), lit(k.toLong))
+        .cast("int").as("init"))
     val (asg, _, _) = kmeans(init, "init", maxIters)
     val m = e.join(asg, "vec_id").withColumn("nn", norm(col("v")))
     val b2 = m.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
@@ -1026,5 +1036,57 @@ object Similarity {
         (coalesce(col("sim"), lit(0.0)) >= threshold).as("is_semantic_dup"))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103)
+  /** Learned-cluster count for the oracled SemDeDup run (q104). */
+  val SemK = 8
+
+  private def q104OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), a0 AS (
+       |  SELECT vec_id,
+       |    CAST(${Dedup.h60Sql("'sem:' || CAST(vec_id AS VARCHAR)")} % $SemK AS BIGINT) AS cluster
+       |  FROM e
+       |), ${centroidCtes("a0", "0")},
+       |${assignCtes("c0", "1")},
+       |${centroidCtes("asg1", "1")},
+       |${assignCtes("c1", "2")},
+       |m AS (
+       |  SELECT a.vec_id, a.cluster, e.v FROM asg2 a JOIN e ON a.vec_id = e.vec_id
+       |), p AS (
+       |  SELECT a.vec_id, b.vec_id AS b_id,
+       |    ${dotSql.format("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS sim
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |), best AS (
+       |  SELECT vec_id, b_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, b_id) AS rn
+       |  FROM p
+       |)
+       |SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       |  COALESCE(b.sim, 0.0) AS max_prior_sim,
+       |  b.b_id AS dup_of,
+       |  (COALESCE(b.sim, 0.0) >= $SemDupThreshold) AS is_semantic_dup
+       |FROM m LEFT JOIN (SELECT vec_id, b_id, sim FROM best WHERE rn = 1) b
+       |  ON m.vec_id = b.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
+  /** q104 — SemDeDup end-to-end on LEARNED clusters: the full production
+    * path (`semanticDedup`: h60 hash-bucket init → 2 Lloyd rounds of the
+    * `kmeans` driver → keep-earliest cosine dedup inside each learned
+    * cluster), verified bit-for-bit against a fully UNROLLED DuckDB CTE
+    * chain — init hash, both rounds' fixed-point centroids and argmax
+    * reassignments, and the final within-cluster pair argmax. q100 keeps
+    * the label-cluster form; this is the one a 100 TB corpus runs, where
+    * no labels exist and k scales so Σ cluster² stays linear. Early
+    * convergence is safe: a converged round reproduces its assignment,
+    * which is exactly what the unrolled chain computes.
+    */
+  val q104 = Q("q104_semdedup_learned", q104OracleSql) { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    semanticDedup(e, k = SemK, maxIters = 2)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("max_prior_sim"), col("dup_of"), col("is_semantic_dup"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104)
 }

@@ -233,6 +233,22 @@ class OpsSpec extends AnyFunSuite {
       s"each recovered cluster must hold exactly one planted group: $byCluster")
   }
 
+  test("q104 learned-cluster SemDeDup: keep-earliest, within-cluster attribution") {
+    val rows = Similarity.q104.fn(spark, sf).collect()
+    val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(rows.length === cluster.size, "one row per vector")
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (id, dupOf) = (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))
+      assert(dupOf < id, "attribution must point at an EARLIER id (keep-earliest)")
+      assert(cluster(dupOf) === cluster(id), "attribution must stay inside the learned cluster")
+    }
+    rows.filter(_.getAs[Boolean]("is_semantic_dup")).foreach { r =>
+      assert(r.getAs[Double]("max_prior_sim") >= Similarity.SemDupThreshold)
+    }
+    // the learned clustering must actually partition the corpus (not collapse)
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length > 1)
+  }
+
   test("semanticDedup end-to-end: planted near-duplicates flagged inside learned clusters") {
     val rnd = new scala.util.Random(7)
     // two separable groups (random magnitudes INSIDE the group's dim block,
