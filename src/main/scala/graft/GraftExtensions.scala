@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("double_bits"),
       info("double_bits", "double_bits(x) - raw IEEE-754 bits of a double as BIGINT"),
       exprs => DoubleBits.withCast(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bpe_merge"),
+      info("bpe_merge", "bpe_merge(tokens, a, b) - one left-to-right BPE merge round"),
+      exprs => BpeMerge(exprs.head, exprs(1), exprs(2))))
     ext.injectFunction((FunctionIdentifier("bitmap_distinct"),
       info("bitmap_distinct", "bitmap_distinct(id, maxId) - exact distinct via bitmap agg"),
       exprs => BitmapDistinct(exprs.head,

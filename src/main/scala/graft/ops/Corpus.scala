@@ -346,5 +346,102 @@ object Corpus {
       .withColumn("retained_bp", expr("(n_unique * 10000) div n_total"))
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89)
+  private def q105OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), pr1 AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS p
+       |  FROM tk WHERE len(t) >= 2
+       |), c1 AS (
+       |  SELECT p.a AS left_tok, p.b AS right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+       |  FROM pr1 GROUP BY 1, 2
+       |), top1 AS (
+       |  SELECT left_tok AS ma, right_tok AS mb FROM c1
+       |  ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1
+       |), pos AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM tk
+       |), mt AS (
+       |  SELECT p.doc_id, p.i, p.tok,
+       |    (p.tok = t1.ma
+       |      AND lead(p.tok) OVER (PARTITION BY p.doc_id ORDER BY p.i) = t1.mb) AS m
+       |  FROM pos p CROSS JOIN top1 t1
+       |), isl AS (
+       |  SELECT doc_id, i, tok, m,
+       |    CASE WHEN m THEN i - ROW_NUMBER() OVER (PARTITION BY doc_id, m ORDER BY i) END AS grp
+       |  FROM mt
+       |), mrg AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN m THEN (ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1) % 2 = 0
+       |      ELSE FALSE END AS do_merge
+       |  FROM isl
+       |), rb AS (
+       |  SELECT g.doc_id, g.i, g.tok, g.do_merge, t1.ma, t1.mb,
+       |    COALESCE(LAG(g.do_merge) OVER (PARTITION BY g.doc_id ORDER BY g.i), FALSE) AS prev_merge
+       |  FROM mrg g CROSS JOIN top1 t1
+       |), toks2 AS (
+       |  SELECT doc_id, list(CASE WHEN do_merge THEN ma || mb ELSE tok END ORDER BY i) AS t
+       |  FROM rb WHERE NOT prev_merge GROUP BY doc_id
+       |), pr2 AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS p
+       |  FROM toks2 WHERE len(t) >= 2
+       |), c2 AS (
+       |  SELECT p.a AS left_tok, p.b AS right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+       |  FROM pr2 GROUP BY 1, 2
+       |), r1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS round,
+       |    ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_tok, right_tok) AS merge_rank,
+       |    left_tok, right_tok, pair_count
+       |  FROM c1 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 20
+       |), r2 AS (
+       |  SELECT CAST(2 AS BIGINT) AS round,
+       |    ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_tok, right_tok) AS merge_rank,
+       |    left_tok, right_tok, pair_count
+       |  FROM c2 ORDER BY pair_count DESC, left_tok, right_tok LIMIT 20
+       |)
+       |SELECT round, merge_rank, left_tok, right_tok, pair_count FROM r1
+       |UNION ALL
+       |SELECT round, merge_rank, left_tok, right_tok, pair_count FROM r2
+       |ORDER BY round, merge_rank""".stripMargin
+
+  /** q105 — the BPE merge LOOP (q67 is its first half-round): count
+    * adjacent pairs, apply the winning merge to the token stream (the
+    * fused `bpe_merge` kernel — left-to-right greedy, the sequential
+    * trainer's semantics), and recount on the REWRITTEN stream. Output is
+    * both rounds' top-20 pair tables; round 2's counts reflect the merged
+    * symbol (the round-1 winner is gone, and new pairs bridging the merged
+    * symbol appear). The oracle reproduces the rewrite in DuckDB with
+    * gaps-and-islands run parity over exploded token positions — run
+    * parity equals greedy left-to-right exactly (overlap exists only when
+    * a = b, where even run offsets merge). Scale shape per round: one
+    * pair-count aggregate (vocabulary²-bounded) and one per-row kernel
+    * pass — token-stream linear, the 1-row merge table broadcasts.
+    */
+  val q105 = Q("q105_bpe_merge_loop", q105OracleSql) { (s, dir) =>
+    graft.functions.BpeMerge.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs(s, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    def pairCounts(toks: DataFrame): DataFrame = toks
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("left_tok"), col("p.b").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+    def top20(c: DataFrame, round: Int): DataFrame = c
+      .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok")).limit(20)
+      .withColumn("merge_rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))).cast("long"))
+      .select(lit(round.toLong).as("round"), col("merge_rank"),
+        col("left_tok"), col("right_tok"), col("pair_count"))
+    val c1 = pairCounts(tk).localCheckpoint()
+    val top1 = c1.orderBy(col("pair_count").desc, col("left_tok"), col("right_tok")).limit(1)
+      .select(col("left_tok").as("ma"), col("right_tok").as("mb"))
+    val tk2 = tk.crossJoin(broadcast(top1))
+      .select(col("doc_id"),
+        graft.functions.BpeMerge(col("t"), col("ma"), col("mb")).as("t"))
+    top20(c1, 1).unionByName(top20(pairCounts(tk2), 2))
+      .orderBy("round", "merge_rank")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105)
 }

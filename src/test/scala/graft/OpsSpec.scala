@@ -620,6 +620,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_merge kernel: left-to-right greedy, including self-pair runs") {
+    graft.functions.BpeMerge.register(spark)
+    val cases = Seq(
+      (Seq("a", "b", "c", "a", "b"), "a", "b", Seq("ab", "c", "ab")),
+      // self-pair run: greedy merges (1,2) and (3,4), the middle match is consumed
+      (Seq("x", "x", "x", "x"), "x", "x", Seq("xx", "xx")),
+      (Seq("x", "x", "x"), "x", "x", Seq("xx", "x")),
+      // alternating overlap-free a b a b
+      (Seq("a", "b", "a", "b"), "a", "b", Seq("ab", "ab")),
+      (Seq("q"), "a", "b", Seq("q")),
+      (Seq.empty[String], "a", "b", Seq.empty[String]))
+    cases.foreach { case (in, a, b, want) =>
+      val got = Seq(in).toDF("t")
+        .select(graft.functions.BpeMerge(col("t"), lit(a), lit(b)).as("r"))
+        .head().getAs[scala.collection.Seq[String]]("r")
+      assert(got === want, s"bpe_merge($in, $a, $b)")
+    }
+  }
+
+  test("q105 merge loop: round 2 reflects the applied merge") {
+    val rows = graft.ops.Corpus.q105.fn(spark, sf).collect()
+    val r1 = rows.filter(_.getAs[Long]("round") == 1L).sortBy(_.getAs[Long]("merge_rank"))
+    val r2 = rows.filter(_.getAs[Long]("round") == 2L).sortBy(_.getAs[Long]("merge_rank"))
+    assert(r1.nonEmpty && r2.nonEmpty)
+    def pair(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("left_tok"), r.getAs[String]("right_tok"))
+    val winner = pair(r1.head)
+    // the merged pair is gone from round 2's table entirely
+    assert(!r2.map(pair).contains(winner),
+      s"round-1 winner $winner must not survive its own merge")
+    // so round 2's top pair differs from round 1's
+    assert(pair(r2.head) !== winner)
+    // pairs not involving the merged symbol can only LOSE occurrences
+    // (the merge removes tokens; only pairs touching the new symbol —
+    // which may collide with a pre-existing token — can gain)
+    val merged = winner._1 + winner._2
+    val c1 = r1.map(r => pair(r) -> r.getAs[Long]("pair_count")).toMap
+    r2.filter(r => pair(r)._1 != merged && pair(r)._2 != merged).foreach { r =>
+      c1.get(pair(r)).foreach(old =>
+        assert(r.getAs[Long]("pair_count") <= old,
+          s"pair ${pair(r)} count grew across the merge"))
+    }
+  }
+
   test("quality gate: keep is exactly the conjunction of its flags") {
     val rows = graft.ops.Corpus.q69.fn(spark, sf).collect()
     assert(rows.nonEmpty)
