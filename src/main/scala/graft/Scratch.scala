@@ -153,6 +153,56 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "adc") {
+      // recall diagnostics: raw-PQ (q99) vs residual-PQ (q106) against
+      // global brute force and against exact-within-probed-cells
+      import graft.ops.Similarity
+      val e = Catalog.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+      val brute = Similarity.q35.fn(spark, sfDir).collect().map(_.getAs[Long]("vec_id")).toSet
+      val raw = Similarity.q99.fn(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+      val res = Similarity.q106.fn(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+      println(s"ADC global: raw=${raw.count(brute.contains)} res=${res.count(brute.contains)} of ${brute.size}")
+      // exact top-10 restricted to the probed cells (shared by both)
+      val cents = spark.read.parquet(Similarity.buildIvfIndex(spark, sfDir))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val probes = cents.crossJoin(broadcast(qv))
+        .select(col("label").as("pl"),
+          (Similarity.dot(col("qv"), col("centroid")) /
+            (Similarity.norm(col("qv")) * Similarity.norm(col("centroid")))).as("cs"))
+        .orderBy(col("cs").desc, col("pl")).limit(Similarity.NProbe)
+      val inCells = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes.select("pl")), col("label") === col("pl"), "left_semi")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          (Similarity.dot(col("qv"), col("v")) /
+            (Similarity.norm(col("qv")) * Similarity.norm(col("v")))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      println(s"ADC probed-exact: raw=${raw.count(inCells.contains)} res=${res.count(inCells.contains)} of ${inCells.size}")
+      // total quantization error, raw vs residual, same code budget
+      val rawErr = Similarity.q97.fn(spark, sfDir)
+        .agg(sum(col("quant_err"))).head().getDouble(0)
+      val centSel = cents.select(col("label").as("cl"), col("centroid"))
+      val er = e.join(broadcast(centSel), col("label") === col("cl"))
+        .select(col("vec_id"), zip_with(col("v"), col("centroid"), _ - _).as("v"))
+      val resCodesP = Similarity.buildResPqIndex(spark, sfDir)
+      val cbr = spark.read.parquet(Similarity.cbPath(resCodesP))
+      val subArr = array((0 until Similarity.PqM).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))): _*)
+      val resErr = er.select(col("vec_id"), explode(subArr).as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+        .join(broadcast(cbr), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"),
+          aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), _ + _).as("dist"))
+        .groupBy("vec_id", "m").agg(min(col("dist")).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+      println(f"ADC quant-err: raw=$rawErr%.2f res=$resErr%.2f")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "q65") {
       // piecewise timing of the dedup-cluster pipeline
       val d = Catalog.table(spark, sfDir, "documents")

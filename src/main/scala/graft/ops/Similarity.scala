@@ -628,36 +628,78 @@ object Similarity {
   /** Where the materialized PQ code table for a source dir lives — same
     * content-addressed scheme as the IVF centroids: at scale the codes are
     * a written index artifact (4 bytes/vector), not per-query work.
+    * v2: the frozen codebook is written beside the codes (see `cbPath`) so
+    * the append path can encode NEW vectors without the seed rows.
     */
   def pqIndexPath(dir: String): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_v2_$key"
   }
 
+  /** The frozen (m, k, cw) codebook parquet that travels with a PQ code
+    * artifact — what new vectors encode against when APPENDING.
+    */
+  def cbPath(codesPath: String): String = codesPath + "_cb"
+
+  /** Per-subspace explode of a vector frame: (vec_id, m, sv). */
+  private def subspaces(e: DataFrame, vcol: String): DataFrame = {
+    val subArr = array((0 until PqM).map(m =>
+      struct(lit(m).as("m"), slice(col(vcol), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
+    e.select(col("vec_id"), explode(subArr).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+  }
+
+  /** Encode every vector of `sub` against codebook `cb` — the shared
+    * argmin kernel of the build and append paths (one broadcast join, one
+    * hash aggregate; tie on codeword id like the q97 oracle).
+    */
+  private def encodeAgainst(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"))
+
   /** Build step: materialize (vec_id, m, k) PQ code assignments once per
-    * corpus (idempotent, `_SUCCESS`-guarded like the IVF build).
+    * corpus (idempotent, `_SUCCESS`-guarded like the IVF build), plus the
+    * frozen codebook beside them.
     */
   def buildPqIndex(s: SparkSession, dir: String): String = {
     val path = pqIndexPath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val subArr = array((0 until PqM).map(m =>
-        struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
-      val sub = e.select(col("vec_id"), explode(subArr).as("p"))
-        .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
-      val cb = sub.filter(col("vec_id") < PqK)
-        .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
-      sub.join(broadcast(cb), col("m") === col("cm"))
-        .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("k"))).as("b"))
-        .select(col("vec_id"), col("m"), col("b.k").as("k"))
-        .write.mode("overwrite").parquet(path)
+      writePqIndex(e, path)
     }
     path
+  }
+
+  /** Write codes + codebook for a (vec_id, v) frame. The codebook seed is
+    * the first PqK vectors' subvectors (deterministic; q94's Lloyd loop is
+    * the trainer that would refine it).
+    */
+  def writePqIndex(e: DataFrame, path: String): Unit = {
+    val sub = subspaces(e, "v")
+    val cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+    cb.write.mode("overwrite").parquet(cbPath(path))
+    encodeAgainst(sub, cb).write.mode("overwrite").parquet(path)
+  }
+
+  /** Incrementally encode NEW vectors against the artifact's FROZEN
+    * codebook and append their codes — the 100 TB maintenance path (the
+    * IVF-sums twin: `appendIvfIndex`). Exactness is structural: a code is
+    * a per-vector function of (v, codebook), so frozen-codebook append
+    * equals a from-scratch rebuild over the union bit-for-bit
+    * (spec-pinned). Codebook DRIFT — when enough appended mass would move
+    * the trained codewords — is the rebuild trigger, exactly as in Faiss:
+    * the index serves stale-but-valid codes until retraining.
+    */
+  def appendPqIndex(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cb = s.read.parquet(cbPath(path))
+    encodeAgainst(subspaces(delta, "v"), cb).write.mode("append").parquet(path)
   }
 
   private def q99OracleSql: String = {
@@ -758,6 +800,166 @@ object Similarity {
       .select("vec_id", "label")
       .join(codes, Seq("vec_id"))
       .join(broadcast(lut), col("m") === col("lm") && col("k") === col("lk"))
+      .groupBy("vec_id", "label")
+      .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long")).as("adc_fp"))
+    val shortlist = adc.orderBy("adc_fp", "vec_id").limit(10)
+      .select(col("vec_id"), col("label"),
+        (col("adc_fp").cast("double") / lit(1000000.0)).as("adc_dist"))
+    shortlist
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .crossJoin(broadcast(qrow))
+      .select(col("vec_id"), col("label"), col("adc_dist"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+      .orderBy("adc_dist", "vec_id")
+  }
+
+  /** Where the RESIDUAL PQ code artifact lives (IVFADC's compressed
+    * payload — codes of v − centroid(cell(v)), not of v).
+    */
+  def resPqIndexPath(dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_respq_codes_v1_$key"
+  }
+
+  /** Build the residual-PQ artifact: subtract each vector's cell centroid
+    * (the IVF artifact), then encode the residuals with `writePqIndex`
+    * (seed codebook = the first PqK RESIDUALS' subvectors). Residuals are
+    * what IVFADC compresses because they are smaller and center on zero —
+    * the same code budget quantizes a tighter distribution, which is why
+    * residual recall ≥ raw recall (spec-measured).
+    */
+  def buildResPqIndex(s: SparkSession, dir: String): String = {
+    val path = resPqIndexPath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val cents = s.read.parquet(buildIvfIndex(s, dir))
+        .select(col("label").as("cl"), col("centroid"))
+      val er = e.join(broadcast(cents), col("label") === col("cl"))
+        .select(col("vec_id"), zip_with(col("v"), col("centroid"), _ - _).as("v"))
+      writePqIndex(er, path)
+    }
+    path
+  }
+
+  private def q106OracleSql: String = {
+    val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(range($PqM)) AS m
+       |), un AS (
+       |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+       |), mu AS (
+       |  SELECT label, i, $davg6 AS mu FROM un GROUP BY label, i
+       |), cents AS (
+       |  SELECT label, list(mu ORDER BY i) AS centroid FROM mu GROUP BY label
+       |), er AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_transform(list_zip(e.v, c.centroid), x -> x[1] - x[2]) AS r
+       |  FROM e JOIN cents c ON e.label = c.label
+       |), cbr AS (
+       |  SELECT m, vec_id AS k,
+       |    list_slice(r, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS cw
+       |  FROM er, ms WHERE vec_id < $PqK
+       |), subr AS (
+       |  SELECT vec_id, m,
+       |    list_slice(r, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS sv
+       |  FROM er, ms
+       |), ddr AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM subr s JOIN cbr c ON s.m = c.m
+       |), bestc AS (
+       |  SELECT vec_id, m, k,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM ddr
+       |), codes AS (
+       |  SELECT vec_id, m, k FROM bestc WHERE rn = 1
+       |), q AS (
+       |  SELECT v AS qv FROM e WHERE vec_id = 0
+       |), probes AS (
+       |  SELECT c.label AS probe_label
+       |  FROM cents c, q
+       |  ORDER BY ${dotSql.format("q.qv", "c.centroid")}
+       |    / (${normSql("q.qv")} * ${normSql("c.centroid")}) DESC, c.label
+       |  LIMIT $NProbe
+       |), rq AS (
+       |  SELECT p.probe_label AS cell,
+       |    list_transform(list_zip(q.qv, c.centroid), x -> x[1] - x[2]) AS rqv
+       |  FROM probes p JOIN cents c ON p.probe_label = c.label CROSS JOIN q
+       |), lut AS (
+       |  SELECT r.cell, ms.m, c.k,
+       |    ${sqDistSql.format(
+             s"list_slice(r.rqv, CAST(ms.m * $PqSubDim + 1 AS INTEGER), CAST(ms.m * $PqSubDim + $PqSubDim AS INTEGER))",
+             "c.cw")} AS ld
+       |  FROM rq r, ms JOIN cbr c ON ms.m = c.m
+       |), adc AS (
+       |  SELECT e.vec_id, e.label,
+       |    CAST(SUM(CAST(FLOOR(l.ld * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_fp
+       |  FROM e
+       |  JOIN codes c ON e.vec_id = c.vec_id
+       |  JOIN lut l ON e.label = l.cell AND c.m = l.m AND c.k = l.k
+       |  WHERE e.vec_id <> 0
+       |  GROUP BY 1, 2
+       |), shortlist AS (
+       |  SELECT vec_id, label, CAST(adc_fp AS DOUBLE) / 1000000.0 AS adc_dist
+       |  FROM adc ORDER BY adc_fp, vec_id LIMIT 10
+       |)
+       |SELECT s.vec_id, s.label, s.adc_dist,
+       |  ${dotSql.format("q.qv", "b.v")} / (${normSql("q.qv")} * ${normSql("b.v")}) AS cosine_sim
+       |FROM shortlist s
+       |JOIN e b ON s.vec_id = b.vec_id
+       |CROSS JOIN q
+       |ORDER BY s.adc_dist, s.vec_id""".stripMargin
+  }
+
+  /** q106 — TRUE IVFADC (Jégou et al. 2011, §IV): like q99 but the PQ
+    * codes compress RESIDUALS r = v − centroid(cell(v)) (the materialized
+    * `buildResPqIndex` artifact), and the query builds one M×K lookup
+    * table PER PROBED CELL from its cell-residualized query vector —
+    * distances are then M lookups against the candidate's residual codes.
+    * Residuals center on zero with smaller spread, so the same 4-bit code
+    * budget yields tighter quantization (the spec measures residual
+    * recall ≥ raw-PQ recall). Scale shape is q99's: candidates restricted
+    * to probed cells via the semi-join, codes scanned not vectors,
+    * broadcast state grows only to NProbe×M×K LUT cells; the
+    * membership-implicit cell id (label) means no per-vector cell lookup
+    * table is ever joined. Note the LUT join key includes the CELL — a
+    * candidate's ADC distance uses its own cell's residualized query, the
+    * detail that distinguishes IVFADC from single-LUT PQ scan.
+    */
+  val q106 = Q("q106_ivfadc_residual", q106OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val codes = s.read.parquet(buildResPqIndex(s, dir))
+    val cents = s.read.parquet(buildIvfIndex(s, dir))
+    val centSel = cents.select(col("label").as("cl"), col("centroid"))
+    val cb = s.read.parquet(cbPath(resPqIndexPath(dir)))
+    val qrow = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(qrow))
+      .select(col("label").as("probe_label"),
+        (dot(col("qv"), col("centroid")) / (norm(col("qv")) * norm(col("centroid")))).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("probe_label"))
+      .limit(NProbe)
+    val rq = probes.join(broadcast(centSel), col("probe_label") === col("cl"))
+      .crossJoin(broadcast(qrow))
+      .select(col("probe_label").as("cell"),
+        zip_with(col("qv"), col("centroid"), _ - _).as("rqv"))
+    val rqsub = rq.select(col("cell"), explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("rqv"), m * PqSubDim + 1, PqSubDim).as("qs"))): _*)).as("p"))
+      .select(col("cell"), col("p.m").as("qm"), col("p.qs").as("qs"))
+    val lut = rqsub.join(cb, col("qm") === col("cm"))
+      .select(col("cell").as("lc"), col("cm").as("lm"), col("k").as("lk"),
+        sqDist(col("qs"), col("cw")).as("ld"))
+    val adc = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes.select("probe_label")),
+        col("label") === col("probe_label"), "left_semi")
+      .select("vec_id", "label")
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("label") === col("lc") && col("m") === col("lm") && col("k") === col("lk"))
       .groupBy("vec_id", "label")
       .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long")).as("adc_fp"))
     val shortlist = adc.orderBy("adc_fp", "vec_id").limit(10)
@@ -1088,5 +1290,5 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104)
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106)
 }

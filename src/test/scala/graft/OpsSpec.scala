@@ -116,6 +116,57 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@10 $recall too low")
   }
 
+  test("IVFADC residual coding beats raw PQ at the same code budget") {
+    // (1) the structural claim, true at every SF: residuals center on zero
+    // with smaller spread, so the same seed codebook quantizes TIGHTER —
+    // total quantization error strictly below raw PQ's
+    val rawErr = Similarity.q97.fn(spark, sf)
+      .agg(sum(col("quant_err"))).head().getDouble(0)
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+    val cents = spark.read.parquet(Similarity.buildIvfIndex(spark, sf))
+      .select(col("label").as("cl"), col("centroid"))
+    val er = e.join(broadcast(cents), col("label") === col("cl"))
+      .select(col("vec_id"), zip_with(col("v"), col("centroid"), _ - _).as("v"))
+    val cbr = spark.read.parquet(
+      Similarity.cbPath(Similarity.buildResPqIndex(spark, sf)))
+    val subArr = array((0 until Similarity.PqM).map(m =>
+      struct(lit(m).as("m"),
+        slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))): _*)
+    val resErr = er.select(col("vec_id"), explode(subArr).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .join(broadcast(cbr), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"),
+        aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _).as("dist"))
+      .groupBy("vec_id", "m").agg(min(col("dist")).as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
+    assert(resErr < rawErr,
+      s"residual quantization error $resErr must beat raw PQ's $rawErr")
+    // (2) the reranked cosines are TRUE cosines (match brute force where shared)
+    val bruteSim = Similarity.q35.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine_sim")).toMap
+    Similarity.q106.fn(spark, sf).collect().foreach { r =>
+      bruteSim.get(r.getAs[Long]("vec_id")).foreach(bs =>
+        assert(bs === r.getAs[Double]("cosine_sim")))
+    }
+  }
+
+  test("IVFADC residual recall >= raw-PQ recall once cells have structure (sf0.01)") {
+    // at sf0.001 (50 vectors) both ADC variants are probe-miss dominated;
+    // at sf0.01 the per-label cells carry enough mass for the tighter
+    // residual quantizer to show up in end-to-end recall@10
+    val sf01 = "/root/testdata/sf0.01"
+    val brute = Similarity.q35.fn(spark, sf01).collect().map(_.getAs[Long]("vec_id")).toSet
+    val raw = Similarity.q99.fn(spark, sf01).collect().map(_.getAs[Long]("vec_id"))
+    val res = Similarity.q106.fn(spark, sf01).collect().map(_.getAs[Long]("vec_id"))
+    assert(raw.length === res.length, "same shortlist budget")
+    val rawRecall = raw.count(brute.contains)
+    val resRecall = res.count(brute.contains)
+    assert(resRecall >= rawRecall,
+      s"residual-PQ recall $resRecall must be >= raw-PQ recall $rawRecall (of ${brute.size})")
+  }
+
   test("PQ encode: codes bounded, packed code consistent, seed vectors lossless") {
     val rows = Similarity.q97.fn(spark, sf).collect()
     val total = Catalog.table(spark, sf, "embeddings").count()

@@ -272,6 +272,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ append: half-corpus codes + appended half equals the full rebuild exactly") {
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), ops.Similarity.asDouble(col("embedding")).as("v"))
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    assert(cut > ops.Similarity.PqK, "first half must contain the codebook seeds")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-pq-inc").toString + "/idx"
+    val p2 = java.nio.file.Files.createTempDirectory("graft-pq-full").toString + "/idx"
+    ops.Similarity.writePqIndex(e.filter(col("vec_id") < cut), p1)
+    ops.Similarity.appendPqIndex(spark, p1, e.filter(col("vec_id") >= cut))
+    ops.Similarity.writePqIndex(e, p2)
+    def codeSet(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inc = codeSet(p1)
+    val full = codeSet(p2)
+    assert(inc === full, "frozen-codebook append must be bit-equal to a rebuild")
+    assert(inc.size === ids.length * ops.Similarity.PqM)
+    // the frozen codebook is part of the artifact and identical across paths
+    def cbSet(p: String) = spark.read.parquet(ops.Similarity.cbPath(p))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Double]](2).toList)).toSet
+    assert(cbSet(p1) === cbSet(p2))
+  }
+
   test("PQ code artifact is built once and holds M codes per vector") {
     val path = ops.Similarity.buildPqIndex(spark, sf)
     val success = new java.io.File(path, "_SUCCESS")
