@@ -397,6 +397,72 @@ object Scratch {
       time("emb10.semdedup_fixed_clusters")(semPairs(col("label")))
       time("emb10.semdedup_bounded_clusters")(
         semPairs(struct(col("label"), pmod(col("vec_id"), lit(mult)))))
+      // round-6 op probes: winnow sketch, bigram-LM join, ADC code scan,
+      // sorted-neighborhood linkage vs the old blocked B² self-join
+      graft.functions.ShingleHashes.register(spark)
+      time("docs10.winnow_sketch_report") {
+        val sk = docs10
+          .select(col("doc_id"),
+            graft.functions.ShingleHashes.winnow(col("text"),
+              graft.ops.Mining.WinnowK, graft.ops.Mining.WinnowWindow).as("ws"))
+          .select(col("doc_id"), slice(col("ws"), lit(2), size(col("ws")) - 1).as("sketch"))
+        val ex = sk.select(col("doc_id"), explode(col("sketch")).as("fp"))
+        val dfreq = ex.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+        ex.join(dfreq, Seq("fp")).groupBy("doc_id")
+          .agg(sum(when(col("n_docs") >= 2, 1L).otherwise(0L))).count()
+      }
+      time("docs10.bigram_lm_join") {
+        val bg = docs10
+          .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+            slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint()
+        val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+          .select(col("w1").as("u1"), col("c1"))
+        bg.join(big, Seq("w1", "w2")).join(uni, col("w1") === col("u1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)), sum(expr("(c12 * 1000000L) div c1"))).count()
+      }
+      time("emb10.adc_code_scan") {
+        // the q99/q106 hot loop at 10×: M code lookups per candidate
+        // against a broadcast LUT, then the per-vector fixed-point sum
+        val sub = emb10.select(col("vec_id"), explode(array((0 until Similarity.PqM).map(m =>
+            struct(lit(m).as("m"),
+              slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))): _*)).as("p"))
+          .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+        val cb = sub.filter(col("vec_id") < Similarity.PqK)
+          .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+        val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+          .select(col("vec_id"), col("m"), col("k"),
+            aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), _ + _).as("dist"))
+          .groupBy("vec_id", "m").agg(min(struct(col("dist"), col("k"))).as("b"))
+          .select(col("vec_id"), col("m"), col("b.k").as("k"))
+        val lut = cb.select(col("cm").as("lm"), col("k").as("lk"),
+          (col("k") * lit(0.001)).as("ld"))  // stand-in LUT values, same shape
+        codes.join(broadcast(lut), col("m") === col("lm") && col("k") === col("lk"))
+          .groupBy("vec_id")
+          .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long"))).count()
+      }
+      val cust10 = x10("customer", "c_custkey", 10000000L)
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      time("cust10.linkage_sorted_neighborhood") {
+        val pairs = graft.ops.Mining.linkageCandidates(cust10, graft.ops.Mining.LinkageWindow)
+        pairs.agg(sum("d")).head(); pairs.count()
+      }
+      time("cust10.linkage_blocked_b2_pairs_only") {
+        // the pre-round-6 candidate generator (no levenshtein — count only,
+        // the pair VOLUME is the anti-pattern being evidenced)
+        val b = cust10.select(col("c_custkey").as("kb"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("ms"))
+        cust10.join(b,
+          col("c_nationkey") === col("nk") && col("c_mktsegment") === col("ms") &&
+            col("c_custkey") < col("kb")).count()
+      }
       // the duplicated probe keeps the distinct pair set under the
       // one-task bound — force the shuffle loop to evidence the
       // big-graph path at 10x fact volume as well
