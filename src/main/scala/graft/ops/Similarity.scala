@@ -625,6 +625,119 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private def q107OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(range($PqM)) AS m
+       |), cb AS (
+       |  SELECT m, vec_id AS k,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS cw
+       |  FROM e, ms WHERE vec_id < $PqK
+       |), sub AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS sv
+       |  FROM e, ms
+       |), d AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM sub s JOIN cb c ON s.m = c.m
+       |), a0 AS (
+       |  SELECT vec_id, m, k, dist FROM (
+       |    SELECT vec_id, m, k, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM d) WHERE rn = 1
+       |), err0 AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS quant_err_seed
+       |  FROM a0 GROUP BY vec_id
+       |), mem AS (
+       |  SELECT a.m, a.k, unnest(s.sv) AS x, generate_subscripts(s.sv, 1) AS pos
+       |  FROM a0 a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+       |), sums AS (
+       |  SELECT m, k, pos, SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n
+       |  FROM mem GROUP BY 1, 2, 3
+       |), ref AS (
+       |  SELECT m, k, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cw
+       |  FROM sums GROUP BY m, k
+       |), cb1 AS (
+       |  SELECT c.m, c.k, COALESCE(r.cw, c.cw) AS cw
+       |  FROM cb c LEFT JOIN ref r ON c.m = r.m AND c.k = r.k
+       |), d1 AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM sub s JOIN cb1 c ON s.m = c.m
+       |), best1 AS (
+       |  SELECT vec_id, m, k, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM d1
+       |), codes1 AS (
+       |  SELECT vec_id, array_to_string(list(k ORDER BY m), ',') AS codes,
+       |    CAST(SUM(k * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT) AS packed_code,
+       |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS quant_err_trained
+       |  FROM best1 WHERE rn = 1 GROUP BY vec_id
+       |)
+       |SELECT e.vec_id, e.label, c.codes, c.packed_code,
+       |  e0.quant_err_seed, c.quant_err_trained
+       |FROM e JOIN codes1 c ON e.vec_id = c.vec_id
+       |JOIN err0 e0 ON e.vec_id = e0.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  /** q107 — one PQ TRAINING round (the per-subspace Lloyd step the q97
+    * docstring promised): assign every subvector to its nearest seed
+    * codeword, recompute each (subspace, codeword) cell as the exact
+    * fixed-point mean of its members (empty cells — possible when seed
+    * subvectors collide — keep their seed), re-encode the corpus against
+    * the REFINED codebook, and report per-vector codes plus both
+    * quantization errors. Lloyd monotonicity makes the total trained
+    * error ≤ the seed error (spec-measured); this is how the q97/q99/q106
+    * codebooks would actually be trained at scale — each round is two
+    * broadcast-join encodes and one (M×K×subdim)-cell hash aggregate,
+    * corpus-linear, state O(M·K·subdim). The oracle unrolls the round as
+    * CTEs exactly like q103 does for vector-space k-means.
+    */
+  val q107 = Q("q107_pq_train_round", q107OracleSql) { (s, dir) =>
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val sub = subspaces(e, "v")
+    val cb0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+    val a0 = sub.join(broadcast(cb0), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+    val err0 = a0.groupBy("vec_id")
+      .agg((sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
+        lit(1000000.0)).as("quant_err_seed"))
+    val mem = a0.select(col("vec_id"), col("m"), col("k"))
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+    val ref = mem.groupBy("m", "k", "pos")
+      .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"),
+        count(lit(1)).as("n"))
+      .groupBy("m", "k")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+        "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("rcw"))
+      .select(col("m").as("rm"), col("k").as("rk"), col("rcw"))
+    val cb1 = cb0.join(ref, col("cm") === col("rm") && col("k") === col("rk"), "left")
+      .select(col("cm"), col("k"), coalesce(col("rcw"), col("cw")).as("cw"))
+    val best1 = sub.join(broadcast(cb1), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+    val codes1 = best1.groupBy("vec_id").agg(
+      expr("array_join(transform(array_sort(collect_list(struct(m, k))), r -> CAST(r.k AS STRING)), ',')")
+        .as("codes"),
+      expr("CAST(sum(k * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("packed_code"),
+      (sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
+        lit(1000000.0)).as("quant_err_trained"))
+    e.select(col("vec_id"), col("label"))
+      .join(codes1, Seq("vec_id"))
+      .join(err0, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("codes"), col("packed_code"),
+        col("quant_err_seed"), col("quant_err_trained"))
+      .orderBy("vec_id")
+  }
+
   /** Where the materialized PQ code table for a source dir lives — same
     * content-addressed scheme as the IVF centroids: at scale the codes are
     * a written index artifact (4 bytes/vector), not per-query work.
@@ -1290,5 +1403,5 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106)
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107)
 }

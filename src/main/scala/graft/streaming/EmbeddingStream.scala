@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming SemDeDup — the embedding twin of `CorpusStream`: vectors
+  * land as parquet files, each micro-batch is assigned to a cluster by
+  * cosine argmax against the FROZEN centroid artifact (the
+  * `buildIvfIndex` quantizer — serving-time clustering never retrains
+  * per batch), scored for semantic duplication against the already-
+  * ingested history of its cluster plus its own batch's earlier ids, and
+  * appended. This is q104's keep-earliest rule run continuously: a
+  * vector is a semantic dup when some EARLIER vector in its cluster has
+  * cosine ≥ the threshold, and "earlier" is well-defined because ingest
+  * ids are monotone in arrival order (the same assumption CorpusStream's
+  * first-arrival-wins dedup makes).
+  *
+  * Scale notes: the centroid table broadcasts (k rows); per micro-batch
+  * work is batch×k assignment plus a cluster-keyed equi-join against
+  * history — the history side is the warehouse itself partitioned by
+  * cluster (at 100 TB a batch reads only its own clusters' partitions),
+  * and no streaming state store is needed at all. Appended history rows
+  * carry (vec_id, cluster, v); decisions are an append-only audit table.
+  */
+object EmbeddingStream {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over a parquet landing directory. */
+  def readEmbStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(landingDir)
+
+  /** Assign vectors to their frozen cluster: cosine argmax against the
+    * centroid table, tie on the lowest cluster id — the identical rule to
+    * the kmeans driver's assignment step, against centroids that do NOT
+    * move. Returns (vec_id, cluster, v).
+    */
+  def assignFrozen(batch: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("label").cast("long").as("ck"), col("centroid"))
+      .withColumn("cn", sqrt(Similarity.dot(col("centroid"), col("centroid"))))
+    batch
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("vn", sqrt(Similarity.dot(col("v"), col("v"))))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("v"),
+        (Similarity.dot(col("v"), col("centroid")) / (col("vn") * col("cn"))).as("sim"),
+        col("ck"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("ck")).as("nc"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), (-col("m.nc")).as("cluster"), col("v"))
+  }
+
+  /** Score an assigned batch against prior vectors (history ∪ the batch's
+    * own lower ids, same cluster): per vector, the max cosine to any
+    * earlier vector and the keep-earliest dup verdict — the exact q100/
+    * q104 argmax shape, candidates bounded per cluster.
+    */
+  def scoreBatch(asg: DataFrame, history: DataFrame,
+      threshold: Double = Similarity.SemDupThreshold): DataFrame = {
+    val a = asg.withColumn("nn", sqrt(Similarity.dot(col("v"), col("v"))))
+    val cand = a.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+        col("v").as("bv"), col("nn").as("bn"))
+      .unionByName(history
+        .withColumn("bn", sqrt(Similarity.dot(col("v"), col("v"))))
+        .select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+          col("v").as("bv"), col("bn")))
+    val best = a.join(cand, col("cluster") === col("bc") && col("b_id") < col("vec_id"))
+      .select(col("vec_id"),
+        (Similarity.dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"),
+        col("b_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("m.sim").as("sim"), (-col("m.nb")).as("b_id"))
+    a.select(col("vec_id"), col("cluster")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("sim"), lit(0.0)).as("max_prior_sim"),
+        col("b_id").as("dup_of"),
+        (coalesce(col("sim"), lit(0.0)) >= threshold).as("is_semantic_dup"))
+  }
+
+  /** Ingest sink: per micro-batch, assign against the frozen quantizer,
+    * score against cluster history, append decisions (audit) and ALL
+    * batch vectors (history — dups included, so later verdicts see the
+    * same prior set a batch run would). Trigger.AvailableNow like the
+    * corpus twin; the checkpoint makes file delivery exactly-once.
+    */
+  def dedupSink(stream: DataFrame, centroidPath: String, historyDir: String,
+      decisionsDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("embedding_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cents = spark.read.parquet(centroidPath)
+        val asg = assignFrozen(batch, cents).localCheckpoint()
+        val hist = new java.io.File(historyDir)
+        val history =
+          if (hist.exists() && hist.listFiles() != null &&
+              hist.listFiles().exists(_.getName.endsWith(".parquet")))
+            spark.read.parquet(historyDir)
+          else asg.filter(lit(false))
+        scoreBatch(asg, history)
+          .write.mode("append").parquet(decisionsDir)
+        asg.write.mode("append").parquet(historyDir)
+        ()
+      }
+      .start()
+}

@@ -185,6 +185,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 PQ training round: total distortion decreases (Lloyd monotonicity)") {
+    val rows = Similarity.q107.fn(spark, sf).collect()
+    assert(rows.length === Catalog.table(spark, sf, "embeddings").count())
+    val seedTotal = rows.map(_.getAs[Double]("quant_err_seed")).sum
+    val trainedTotal = rows.map(_.getAs[Double]("quant_err_trained")).sum
+    // each Lloyd half-step (reassign, re-center) is non-increasing in total
+    // distortion; the 1e-6 fixed-point rounding of the means can cost at
+    // most 1e-6 per (vector, subspace) cell
+    val slack = rows.length * Similarity.PqM * 1e-6
+    assert(trainedTotal <= seedTotal + slack,
+      s"trained distortion $trainedTotal must not exceed seed $seedTotal")
+    assert(trainedTotal < seedTotal, "training should strictly improve on real data")
+    rows.foreach { r =>
+      val codes = r.getAs[String]("codes").split(',').map(_.toLong)
+      assert(codes.length === Similarity.PqM)
+      assert(codes.forall(k => k >= 0 && k < Similarity.PqK))
+      val packed = codes.zipWithIndex.map { case (k, m) => k << (4 * m) }.sum
+      assert(packed === r.getAs[Long]("packed_code"))
+    }
+  }
+
   test("hard negatives: labels differ, ranks sequential, sims ordered and bounded") {
     val rows = Similarity.q98.fn(spark, sf).collect()
     assert(rows.nonEmpty, "bucketed corpus must yield cross-label candidates")

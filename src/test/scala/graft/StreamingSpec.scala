@@ -108,6 +108,60 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivered documents must not grow the history store")
   }
 
+  test("embedding ingest stream: frozen-cluster SemDeDup matches the one-shot batch scoring") {
+    import graft.streaming.EmbeddingStream
+    val landing = tmpDir("graft-emb-landing")
+    val history = tmpDir("graft-emb-hist") + "/vecs"
+    val decisions = tmpDir("graft-emb-dec") + "/rows"
+    val checkpoint = tmpDir("graft-emb-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val emb = Catalog.table(spark, sf, "embeddings")
+    val centroidPath = ops.Similarity.buildIvfIndex(spark, sf)
+    val ids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-emb-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // two id-ordered landing files -> two micro-batches in arrival order
+    land(emb.filter(col("vec_id") < cut), "f1.parquet")
+    EmbeddingStream.dedupSink(EmbeddingStream.readEmbStream(spark, landing),
+      centroidPath, history, decisions, checkpoint).awaitTermination()
+    land(emb.filter(col("vec_id") >= cut), "f2.parquet")
+    EmbeddingStream.dedupSink(EmbeddingStream.readEmbStream(spark, landing),
+      centroidPath, history, decisions, checkpoint).awaitTermination()
+
+    // batch reference: the SAME shared projections applied in one shot —
+    // id-ordered arrival makes streamed "earlier" == batch "lower id", so
+    // verdicts, attributions, and similarities must match bit-for-bit
+    val asgAll = EmbeddingStream.assignFrozen(emb, spark.read.parquet(centroidPath))
+    val expected = EmbeddingStream
+      .scoreBatch(asgAll, asgAll.filter(lit(false)))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("max_prior_sim"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_semantic_dup"))))
+      .toMap
+    val got = spark.read.parquet(decisions).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("max_prior_sim"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_semantic_dup"))))
+      .toMap
+    assert(got.size === ids.length, "one decision per vector, none re-emitted")
+    assert(got === expected, "streamed SemDeDup must equal the one-shot batch scoring")
+
+    // history carries every vector (dups included) so future batches see
+    // the same prior set a batch run would
+    assert(spark.read.parquet(history).count() === ids.length)
+  }
+
   test("streaming dedup: duplicate reading_id within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Double, Timestamp)]
