@@ -168,4 +168,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"LUT and probes must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q104: learned-cluster dedup pairs via cluster equi-join, never all-pairs") {
+    val p = plan("q104_semdedup_learned")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must stay an equi-join:\n$p")
+  }
+
+  test("q105: the 1-row merge winner broadcasts to the rewrite pass") {
+    val p = plan("q105_bpe_merge_loop")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the winner row must broadcast (it is the crossJoin's only sane plan):\n$p")
+    assert(p.contains("bpe_merge"), s"the fused kernel must survive optimization:\n$p")
+  }
+
+  test("q106: per-cell residual LUT joins broadcast to the code scan, no cartesian") {
+    val p = plan("q106_ivfadc_residual")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-keyed LUT and probe list must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q107: both encode passes broadcast their codebook, no cartesian") {
+    val p = plan("q107_pq_train_round")
+    // seed-codebook encode AND refined-codebook encode each broadcast M×K rows
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin")) / 2
+    assert(bhj >= 2, s"expected two broadcast codebook joins, saw $bhj:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
