@@ -1152,7 +1152,10 @@ object Similarity {
     * Scale shape per round: two corpus scans, O(k·dim) driver/broadcast
     * state, `localCheckpoint` on the assignment so the plan never
     * re-derives prior rounds (the PageRank rank-vector lesson). Returns
-    * (final assignment, rounds run, vectors moved in the last round).
+    * (final assignment, rounds run, vectors moved in the last round —
+    * or −1 when the iteration cap cut the loop before that count, since
+    * the count's only job is deciding whether to run another round and
+    * skipping it saves a job for fixed-round callers like q103/q104).
     */
   def kmeans(e: DataFrame, initCol: String, maxIters: Int = 10): (DataFrame, Int, Long) = {
     val s = e.sparkSession
@@ -1175,10 +1178,13 @@ object Similarity {
         .agg(max(struct(col("sim"), (-col("cluster")).as("nc"))).as("m"))
         .select(col("vec_id"), (-col("m.nc")).cast("int").as("cluster"))
         .localCheckpoint()
-      moved = next.join(asg.select(col("vec_id"), col("cluster").as("prev")), "vec_id")
-        .filter(col("cluster") =!= col("prev")).count()
-      asg = next
       rounds += 1
+      moved =
+        if (rounds < maxIters)
+          next.join(asg.select(col("vec_id"), col("cluster").as("prev")), "vec_id")
+            .filter(col("cluster") =!= col("prev")).count()
+        else -1L
+      asg = next
     }
     (asg, rounds, moved)
   }
