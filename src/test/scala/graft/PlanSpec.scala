@@ -196,4 +196,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 2, s"expected two broadcast codebook joins, saw $bhj:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q108: HLL registers build as partial+final hash aggregates, never an Expand") {
+    val p = plan("q108_hll_distinct")
+    assert(!p.contains("Expand"),
+      s"the sketch path must not inherit COUNT(DISTINCT)'s expand:\n$p")
+    assert(p.contains("partial_max"),
+      s"register partials must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row estimate joins the exact twin by broadcast:\n$p")
+  }
+
+  test("q109: sketch merge is register-row aggregation only — no self-join of events") {
+    val p = plan("q109_hll_merge")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join input is register/group-count sized and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
