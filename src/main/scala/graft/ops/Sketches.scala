@@ -201,5 +201,94 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q108, q109)
+  /** KMV sketch size for q110. */
+  val KmvK = 256
+
+  /** q110 — KMV (k-minimum-values) audience overlap: the set-algebra
+    * complement of HLL. A KMV sketch (k smallest distinct h60 values,
+    * built by `functions.KmvMin` as one map-side-bounded aggregate with
+    * no pre-DISTINCT shuffle) supports what registers cannot: union AND
+    * intersection/Jaccard estimates between groups. For every event-type
+    * pair, the (user, day) active-set overlap is estimated from two
+    * 256-value sketches — (k−1)·2^60 / kth-min for the union, the matching
+    * fraction of the union's k minima for Jaccard — beside the exact
+    * intersection/union from a distinct-key self-join. Sketches smaller
+    * than k ARE the exact set (the estimator's |S| < k branch, exercised
+    * at sf0.001). Everything is order statistics of h60 — deterministic,
+    * so estimates carry the oracle bit-for-bit.
+    */
+  val q110 = Q("q110_kmv_overlap",
+    s"""WITH dk AS (
+       |  SELECT DISTINCT event_type, ${Dedup.h60Sql(userDayKey)} AS h FROM events
+       |), sk AS (
+       |  SELECT event_type, list_slice(list_sort(list(h)), 1, $KmvK) AS mins,
+       |    CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM dk GROUP BY event_type
+       |), ux AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.mins AS am, b.mins AS bm, a.nd AS na, b.nd AS nb,
+       |    list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))), 1, $KmvK) AS u
+       |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+       |), est AS (
+       |  SELECT type_a, type_b, na, nb,
+       |    CAST(len(u) AS BIGINT) AS n_u,
+       |    CAST(len(list_filter(u, x -> list_contains(am, x) AND list_contains(bm, x))) AS BIGINT) AS c,
+       |    CASE WHEN len(u) < $KmvK THEN CAST(len(u) AS DOUBLE)
+       |         ELSE (CAST(${KmvK - 1} AS DOUBLE) * CAST(${1L << 60} AS DOUBLE))
+       |              / CAST(u[$KmvK] AS DOUBLE) END AS kmv_union_est
+       |  FROM ux
+       |), inter AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+       |  FROM dk a JOIN dk b ON a.h = b.h AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.type_a, e.type_b,
+       |  COALESCE(i.n_exact_inter, 0) AS n_exact_inter,
+       |  CAST(e.na + e.nb - COALESCE(i.n_exact_inter, 0) AS BIGINT) AS n_exact_union,
+       |  e.kmv_union_est,
+       |  CAST(e.c AS DOUBLE) / CAST(e.n_u AS DOUBLE) AS kmv_jaccard,
+       |  (CAST(e.c AS DOUBLE) / CAST(e.n_u AS DOUBLE)) * e.kmv_union_est AS kmv_inter_est
+       |FROM est e LEFT JOIN inter i ON e.type_a = i.type_a AND e.type_b = i.type_b
+       |ORDER BY e.type_a, e.type_b""".stripMargin) { (s, dir) =>
+    val e = ev(s, dir)
+    val key = concat(col("user_id").cast("string"), lit("@"),
+      col("ts").cast("date").cast("string"))
+    // one scan + distinct feeds three consumers (sketch build, both sides
+    // of the exact-intersection self-join) — the q101 checkpoint pattern
+    val dk = e.select(col("event_type"), Dedup.h60Col(key).as("h")).distinct()
+      .localCheckpoint()
+    val sk = dk.groupBy("event_type")
+      .agg(graft.functions.KmvMin.kmvMin(KmvK)(col("h")).as("mins"),
+        count(lit(1)).as("nd"))
+    val a = sk.select(col("event_type").as("type_a"), col("mins").as("am"), col("nd").as("na"))
+    val b = sk.select(col("event_type").as("type_b"), col("mins").as("bm"), col("nd").as("nb"))
+    val ux = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", slice(array_sort(array_union(col("am"), col("bm"))), 1, KmvK))
+    val est = ux.select(
+      col("type_a"), col("type_b"), col("na"), col("nb"),
+      size(col("u")).cast("long").as("n_u"),
+      size(filter(col("u"),
+        x => array_contains(col("am"), x) && array_contains(col("bm"), x)))
+        .cast("long").as("c"),
+      when(size(col("u")) < KmvK, size(col("u")).cast("double"))
+        .otherwise((lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)))
+          / element_at(col("u"), KmvK).cast("double")).as("kmv_union_est"))
+    val inter = dk.as("x").join(dk.as("y"),
+        col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    est.join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        (col("na") + col("nb") - coalesce(col("n_exact_inter"), lit(0L)))
+          .cast("long").as("n_exact_union"),
+        col("kmv_union_est"),
+        (col("c").cast("double") / col("n_u").cast("double")).as("kmv_jaccard"),
+        ((col("c").cast("double") / col("n_u").cast("double")) * col("kmv_union_est"))
+          .as("kmv_inter_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val all: Seq[Q] = Seq(q108, q109, q110)
 }

@@ -213,4 +213,13 @@ class PlanSpec extends AnyFunSuite {
       s"every join input is register/group-count sized and must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q110: one checkpointed distinct feeds sketch build and intersection; k-min partials are map-side") {
+    val p = plan("q110_kmv_overlap")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"the distinct key frame must be computed once, saw $scans scans:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"KmvMin must aggregate as partial+final object hash agg:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

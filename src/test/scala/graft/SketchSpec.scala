@@ -65,6 +65,48 @@ class SketchSpec extends AnyFunSuite {
     assert(denom > 63L * (1L << maxRho) && denom <= 64L * (1L << maxRho))
   }
 
+  test("KMV buffer keeps distinct order statistics — duplicates never crowd it") {
+    val base = (1 to 400).map(i => (0, s"v-$i")).toDF("g", "k")
+    val dup = base.union(base).union(base) // every key 3x
+    def mins(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g")
+        .agg(functions.KmvMin.kmvMin(64)(ops.Dedup.h60Col(col("k"))).as("m"))
+        .collect().head.getSeq[Long](1)
+    val m = mins(base)
+    assert(m === mins(dup))
+    assert(m.length === 64 && m === m.distinct.sorted)
+  }
+
+  test("KMV sketch of fewer than k distinct keys IS the exact hash set") {
+    val small = (1 to 20).map(i => (0, s"s-$i")).toDF("g", "k")
+    val m = small.groupBy("g")
+      .agg(functions.KmvMin.kmvMin(64)(ops.Dedup.h60Col(col("k"))).as("m"))
+      .collect().head.getSeq[Long](1)
+    val exact = small.select(ops.Dedup.h60Col(col("k"))).collect().map(_.getLong(0)).distinct.sorted
+    assert(m === exact.toSeq)
+  }
+
+  test("merging two KMV sketches equals the sketch of the concatenated corpus") {
+    val left = (1 to 1500).map(i => (0, s"l-$i")).toDF("g", "k")
+    val right = (1000 to 2500).map(i => (0, s"l-$i")).toDF("g", "k") // overlapping keys
+    def mins(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g")
+        .agg(functions.KmvMin.kmvMin(128)(ops.Dedup.h60Col(col("k"))).as("m"))
+        .collect().head.getSeq[Long](1)
+    val merged = (mins(left) ++ mins(right)).distinct.sorted.take(128)
+    assert(merged === mins(left.union(right)))
+  }
+
+  test("KMV union estimate lands within 3 sigma at k=256") {
+    val df = (1 to 4000).map(i => (0, s"u-$i")).toDF("g", "k")
+    val m = df.groupBy("g")
+      .agg(functions.KmvMin.kmvMin(256)(ops.Dedup.h60Col(col("k"))).as("m"))
+      .collect().head.getSeq[Long](1)
+    val est = 255.0 * math.pow(2.0, 60) / m.last.toDouble
+    val sigma = 1.0 / math.sqrt(254.0) // KMV relative error ~ 1/sqrt(k-2)
+    assert(math.abs(est - 4000.0) / 4000.0 < 3 * sigma, s"estimate $est vs 4000")
+  }
+
   test("rho is the leading-zero rank of the hash suffix") {
     // hand-checked values: w = h60 >> 6; rho = 55 - bitlength(w), 55 at w=0
     val df = Seq("a", "b", "c").toDF("k")
