@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.ops.Sketches
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming HLL register maintenance — q109's merge algebra run
+  * continuously: each micro-batch's registers fold into a persistent
+  * register artifact by register-wise MAX, so "distinct active user-days
+  * ever seen" stays queryable incrementally with O(groups × m) state, no
+  * rescan of history, and NO streaming state store — the artifact IS the
+  * state, and max-merge associativity makes the fold correct under ANY
+  * micro-batch boundaries (it is even idempotent under re-delivered
+  * content: max with itself changes nothing, so the sketch survives
+  * at-least-once delivery without the checkpoint's exactly-once help).
+  *
+  * The artifact is groups × m rows — broadcast-sized by design — so the
+  * merged frame is collected to the driver before the overwrite (the
+  * appendIvfIndex lesson: never overwrite a path a lazy plan still
+  * reads).
+  */
+object SketchStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a parquet landing directory. */
+  def readEventStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(landingDir)
+
+  /** The sketch key: active (user, day) — same as q108. */
+  def userDayKey: Column =
+    concat(col("user_id").cast("string"), lit("@"),
+      col("ts").cast("date").cast("string"))
+
+  /** Fold batch registers into the artifact by register-wise MAX. The
+    * merged register set is driver-materialized (≤ groups × m rows)
+    * before the overwrite so the write never reads the path it replaces.
+    */
+  def mergeRegisters(spark: SparkSession, batchRegs: DataFrame, artifactDir: String): Unit = {
+    val f = new java.io.File(artifactDir)
+    val prior =
+      if (f.exists() && f.listFiles() != null &&
+          f.listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(artifactDir)
+      else batchRegs.filter(lit(false))
+    val mdf = prior.unionByName(batchRegs)
+      .groupBy("event_type", "bucket").agg(max("r").as("r"))
+    val rows = mdf.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
+      .coalesce(1).write.mode("overwrite").parquet(artifactDir)
+  }
+
+  /** Register-maintenance sink: per micro-batch, build the batch's
+    * registers (one partial+final hash aggregate, ≤ groups × m rows out)
+    * and fold them into the artifact. Trigger.AvailableNow + checkpoint
+    * as in the corpus/embedding twins.
+    */
+  def sketchSink(stream: DataFrame, artifactDir: String, checkpointDir: String,
+      p: Int = 6): StreamingQuery =
+    stream.writeStream
+      .queryName("hll_register_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p)
+        mergeRegisters(batch.sparkSession, regs, artifactDir)
+        ()
+      }
+      .start()
+
+  /** Serve the maintained sketch: distinct estimates straight off the
+    * artifact — no event data touched at query time.
+    */
+  def estimates(spark: SparkSession, artifactDir: String, p: Int = 6): DataFrame =
+    Sketches.hllEstimate(spark.read.parquet(artifactDir), Seq("event_type"), p)
+}

@@ -441,4 +441,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("sketch stream: micro-batch register folds equal the one-shot batch sketch, re-delivery is a no-op") {
+    import graft.streaming.SketchStream
+    import graft.ops.Sketches
+    val landing = tmpDir("graft-hll-landing")
+    val artifact = tmpDir("graft-hll-art") + "/regs"
+    val checkpoint = tmpDir("graft-hll-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val ev = Catalog.table(spark, sf, "events")
+    val ids = ev.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-hll-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // three landing files, sink run after each -> three incremental folds
+    land(ev.filter(col("event_id") < cut1), "f1.parquet")
+    SketchStream.sketchSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+    land(ev.filter(col("event_id") >= cut1 && col("event_id") < cut2), "f2.parquet")
+    SketchStream.sketchSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+    land(ev.filter(col("event_id") >= cut2), "f3.parquet")
+    SketchStream.sketchSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) -> r.getAs[Int]("r"))
+      .toMap
+    val batchRegs = Sketches.hllRegisters(ev, Seq("event_type"), SketchStream.userDayKey, 6)
+    assert(regMap(spark.read.parquet(artifact)) === regMap(batchRegs),
+      "maintained registers must equal the one-shot batch registers")
+
+    // estimates served off the artifact are bit-equal to the batch fold
+    val served = SketchStream.estimates(spark, artifact).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("hll_estimate")).toMap
+    val batchEst = Sketches.hllEstimate(batchRegs, Seq("event_type"), 6).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("hll_estimate")).toMap
+    assert(served === batchEst)
+
+    // re-deliver the last chunk under a new name: register max-merge makes
+    // the fold idempotent — the artifact must not change
+    land(ev.filter(col("event_id") >= cut2), "f4.parquet")
+    SketchStream.sketchSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+    assert(regMap(spark.read.parquet(artifact)) === regMap(batchRegs),
+      "re-delivered content must not move any register")
+  }
 }
