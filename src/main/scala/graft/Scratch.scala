@@ -320,6 +320,30 @@ object Scratch {
       }
       time("docs10.jaccard_lsh")(graft.ops.Dedup.jaccardLshPairs(docs10).count())
       time("docs10.jaccard_pairs")(graft.ops.Dedup.jaccardPairs(docs10).count())
+      // sketched distinct at 10x volume AND 10x cardinality (user ids
+      // shifted per copy): the register/sketch builds stay one linear
+      // scan with fixed-size output, vs the exact path shuffling every
+      // distinct key
+      val evU10 = {
+        val base = Catalog.table(spark, sfDir, "events")
+        (0 until mult).map(k => base
+          .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 100000L)))
+          .reduce(_.unionByName(_))
+      }
+      val userDay = concat(col("user_id").cast("string"), lit("@"),
+        col("ts").cast("date").cast("string"))
+      time("events10.hll_registers_p8") {
+        graft.ops.Sketches.hllRegisters(evU10, Seq("event_type"), userDay, 8).count()
+      }
+      time("events10.kmv_sketch_k256") {
+        evU10.select(col("event_type"), graft.ops.Dedup.h60Col(userDay).as("h"))
+          .groupBy("event_type")
+          .agg(graft.functions.KmvMin.kmvMin(256)(col("h")).as("mins")).count()
+      }
+      time("events10.count_distinct_exact") {
+        evU10.groupBy("event_type").agg(countDistinct(userDay)).count()
+      }
       // round-3 rewrites vs their naive single-task forms at 6M rows
       import org.apache.spark.sql.expressions.Window
       val vals = ev10.select(col("event_id"),
