@@ -62,9 +62,14 @@ object Bench {
       try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    // min over N passes (default 3): single-shot timings on this shared
+    // host fold GC pauses and CPU steal into whichever query they land on
+    // (observed: identical plans 1.4 s vs 8.7 s, suite totals 66-85 s);
+    // the per-query min is the reproducible steady-state cost of the plan
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val runs = (1 to passes).map(_ => timedPass())
     val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> runs.map(_(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
