@@ -1409,5 +1409,97 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107)
+  /** Ascending sort key ≡ `sim` DESCENDING, bijective and
+    * order-preserving over doubles (±0.0 collapsed): negate, take raw
+    * IEEE bits, and flip the non-sign bits of negatives so SIGNED long
+    * order equals double order. Lets similarity top-k run as a k-bounded
+    * TopKMin aggregate (map-side partials) instead of a window sort,
+    * while selecting exactly the `ORDER BY sim DESC, id` set an oracle
+    * window ranks.
+    */
+  def simDescKey(sim: Column): Column = {
+    val z = when(sim === 0.0, lit(0.0)).otherwise(sim)
+    val r = graft.functions.DoubleBits(-z)
+    when(r >= 0, r).otherwise(r.bitwiseXOR(lit(Long.MaxValue)))
+  }
+
+  /** q112 — Matryoshka truncation recall: rank neighbors by cosine over
+    * the FIRST 16 of 64 dims (the matryoshka-embedding serving trick —
+    * 4× less compute and memory per candidate) and measure top-10
+    * agreement against full-dimension ranking per probe. Selection runs
+    * as two TopKMin aggregates on `simDescKey` (k-bounded map-side
+    * partials — no window sort of the |probes|×|corpus| pair stream);
+    * the oracle ranks the same pairs with windows, and the two
+    * mechanisms must pick the identical sets. Scale shape: probes
+    * broadcast, one linear candidate scan, O(dim) per pair, state ≤
+    * probes × k; the 100 TB serving path would put the truncated scan in
+    * front of q99/q106's ADC rerank. (On this corpus recall@10 reads
+    * 0-30%: the synthetic embeddings are isotropic random, so a 16-dim
+    * prefix carries ~1/4 of the variance and truncated ranking is near
+    * the random baseline — the query MEASURES that tradeoff; matryoshka-
+    * trained embeddings front-load variance and would score high.)
+    */
+  val q112 = Q("q112_matryoshka_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 16) AS v16
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id AS probe_id, v AS pv, v16 AS pv16 FROM e WHERE vec_id < 10
+       |), sims AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ${dotSql.format("p.pv", "e.v")} / (${normSql("p.pv")} * ${normSql("e.v")}) AS sim_full,
+       |    ${dotSql.format("p.pv16", "e.v16")} / (${normSql("p.pv16")} * ${normSql("e.v16")}) AS sim_t16
+       |  FROM p JOIN e ON e.vec_id <> p.probe_id
+       |), rf AS (
+       |  SELECT probe_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_full DESC, vec_id) AS rn
+       |  FROM sims
+       |), rt AS (
+       |  SELECT probe_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_t16 DESC, vec_id) AS rn
+       |  FROM sims
+       |), ff AS (SELECT probe_id, vec_id, rn FROM rf WHERE rn <= 10
+       |), tt AS (SELECT probe_id, vec_id, rn FROM rt WHERE rn <= 10
+       |), ov AS (
+       |  SELECT ff.probe_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM ff JOIN tt ON ff.probe_id = tt.probe_id AND ff.vec_id = tt.vec_id
+       |  GROUP BY ff.probe_id
+       |), t1 AS (
+       |  SELECT f.probe_id, f.vec_id AS top1_full, t.vec_id AS top1_t16
+       |  FROM (SELECT probe_id, vec_id FROM ff WHERE rn = 1) f
+       |  JOIN (SELECT probe_id, vec_id FROM tt WHERE rn = 1) t ON f.probe_id = t.probe_id
+       |)
+       |SELECT t1.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp,
+       |  t1.top1_full, t1.top1_t16,
+       |  t1.top1_full = t1.top1_t16 AS top1_match
+       |FROM t1 LEFT JOIN ov ON t1.probe_id = ov.probe_id
+       |ORDER BY t1.probe_id""".stripMargin) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    graft.functions.DoubleBits.register(s)
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("v16").as("pv16"))
+    val pairs = e.crossJoin(broadcast(p)).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v")))).as("sim_full"),
+        (dot(col("pv16"), col("v16")) / (norm(col("pv16")) * norm(col("v16")))).as("sim_t16"))
+    val tk = pairs.groupBy("probe_id").agg(
+      graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_full")), col("vec_id")).as("tf"),
+      graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_t16")), col("vec_id")).as("tt"))
+    val ids = tk.select(col("probe_id"),
+      transform(col("tf"), x => x.getField("_2")).as("idsf"),
+      transform(col("tt"), x => x.getField("_2")).as("idst"))
+    ids.select(col("probe_id"),
+        size(array_intersect(col("idsf"), col("idst"))).cast("long").as("n_overlap"),
+        (size(array_intersect(col("idsf"), col("idst"))) * 1000).cast("long").as("recall_bp"),
+        element_at(col("idsf"), 1).as("top1_full"),
+        element_at(col("idst"), 1).as("top1_t16"),
+        (element_at(col("idsf"), 1) === element_at(col("idst"), 1)).as("top1_match"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112)
 }

@@ -630,6 +630,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q111 — temperature-weighted source mixing: the n^α reweighting
+    * (α = 1/2) that multilingual/multi-source training uses to boost
+    * low-resource sources — raw token shares (q58) oversample the head,
+    * uniform sharing starves it, n^0.5 sits between. α = 1/2 keeps the
+    * oracle exact: sqrt is correctly-rounded IEEE in both engines (the
+    * general pow() is NOT — see Det), and the normalizer Σ√n is a
+    * SEQUENTIAL fold over the source-sorted weight array
+    * (aggregate ≡ list_reduce, the q53 RollingHash mirror pattern), so
+    * the double sum has one well-defined association order in both
+    * engines. Output: each source's mixture weight, its token quota from
+    * a 1M-token budget, and the oversampling factor quota/n_tokens (>1 =
+    * the source repeats, the visible effect of temperature sampling).
+    * Scale shape: one corpus aggregate to ~|sources| rows; everything
+    * after is arithmetic on a bounded frame (the fold array is |sources|
+    * long — metadata-sized at any corpus scale).
+    */
+  val q111 = Q("q111_temperature_mixing",
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), sw AS (
+      |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wr FROM s
+      |), t AS (
+      |  SELECT list_reduce(
+      |    list_transform(list_sort(list(struct_pack(source := source, wr := wr))), x -> x.wr),
+      |    (a, b) -> a + b) AS total
+      |  FROM sw
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  FLOOR(wr / total * 1000000.0 + 0.5) / 1000000.0 AS mix_weight,
+      |  CAST(FLOOR(wr / total * 1000000.0) AS BIGINT) AS target_tokens,
+      |  FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+      |    AS oversample_x
+      |FROM sw, t
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val agg = docs(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("wr", sqrt(col("n_tokens").cast("double")))
+    val tot = agg.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("wr")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wr")).as("total"))
+    val share = col("wr") / col("total")
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.dround(share, 6).as("mix_weight"),
+        floor(share * lit(1000000.0)).cast("long").as("target_tokens"),
+        Det.dround(share * lit(1000000.0) / col("n_tokens").cast("double"), 4)
+          .as("oversample_x"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111)
 }

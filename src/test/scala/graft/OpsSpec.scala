@@ -777,4 +777,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() === batchCount, "every batch doc must be classified exactly once")
     out.unpersist()
   }
+
+  test("simDescKey: ascending key order equals descending double order, zeros collapse") {
+    import spark.implicits._
+    graft.functions.DoubleBits.register(spark)
+    val vals = Seq(1.0, 0.9999999999999999, 0.5, 1e-300, 4.9e-324, 0.0, -0.0,
+      -4.9e-324, -1e-300, -0.5, -1.0, 0.123456789, -0.987654321)
+    val got = vals.toDF("sim")
+      .select(col("sim"), Similarity.simDescKey(col("sim")).as("k"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+    // sort by key ascending must equal sort by sim descending (stable on
+    // the collapsed zeros, which share one key)
+    val byKey = got.sortBy(_._2).map(_._1)
+    val bySim = got.sortBy(-_._1).map(_._1)
+    assert(byKey.zip(bySim).forall { case (a, b) => a == b || (a == 0.0 && b == 0.0) })
+    assert(got.toMap.apply(0.0) === got.toMap.apply(-0.0), "±0.0 must share a key")
+    // bijective away from zero: 13 inputs, ±0.0 share one key -> 12 keys
+    assert(got.map(_._2).distinct.length === vals.length - 1)
+  }
 }

@@ -214,6 +214,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q112: truncated-vs-full top-k selects via bounded aggregates, never a window sort") {
+    val p = plan("q112_matryoshka_recall")
+    assert(!p.contains("Window"),
+      s"top-k must run as TopKMin partials, not a window over the pair stream:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopKMin must aggregate as partial+final object hash agg:\n$p")
+  }
+
   test("q110: one checkpointed distinct feeds sketch build and intersection; k-min partials are map-side") {
     val p = plan("q110_kmv_overlap")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
