@@ -970,7 +970,71 @@ object Relational {
       .orderBy("g_type", "g_day", "event_type", "day")
   }
 
+  /** q113 — MAD robust outlier report: per-type median, median absolute
+    * deviation, and the count of |x − med| > 3·1.4826·MAD outliers — the
+    * robust z-score that stddev-based rules (q21's anomaly flags) lack:
+    * one wild value inflates a stddev threshold and hides its peers, the
+    * MAD threshold does not move. Exactness: both medians are ELEMENT
+    * selections (RankSelect histogram passes, q27's convention), so med
+    * and MAD are input doubles verbatim; |x − med| and the 4.4478·MAD
+    * threshold are single IEEE ops — the oracle matches every verdict
+    * bit-for-bit. Scale shape: two RankSelect medians (histogram passes,
+    * parallelism bounded by buckets) + one broadcast join of the
+    * |types|-row constants back to the fact scan.
+    */
+  val q113 = Q("q113_mad_outliers",
+    """WITH ev AS (
+      |  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+      |), r1 AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), med AS (
+      |  SELECT event_type, value AS median_value, n
+      |  FROM r1 WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+      |), d AS (
+      |  SELECT e.event_type, e.event_id, ABS(e.value - m.median_value) AS adev,
+      |    m.median_value, m.n
+      |  FROM ev e JOIN med m USING (event_type)
+      |), r2 AS (
+      |  SELECT event_type, adev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n2
+      |  FROM d
+      |), mad AS (
+      |  SELECT event_type, adev AS mad
+      |  FROM r2 WHERE rn = CAST(FLOOR((n2 + 1) / 2.0) AS BIGINT)
+      |)
+      |SELECT d.event_type, d.median_value, mad.mad,
+      |  CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * mad.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  d.n
+      |FROM d JOIN mad USING (event_type)
+      |GROUP BY d.event_type, d.median_value, mad.mad, d.n
+      |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val med = graft.ops.RankSelect.groupMedian(ev, "event_type", "value", "event_id")
+    // RankSelect makes several passes over its input and the final agg
+    // reads it once more — checkpoint the deviation frame so each pass
+    // reads the materialized rows instead of re-running the scan + join
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("median_value")))
+      .localCheckpoint()
+    val mad = graft.ops.RankSelect.groupMedian(
+      dev.select(col("event_type"), col("adev"), col("event_id")),
+      "event_type", "adev", "event_id")
+      .select(col("event_type"), col("median_value").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("median_value"), col("mad"), col("n"))
+      .agg(Det.countIf(col("adev") > lit(4.4478) * col("mad")).cast("long").as("n_outliers"))
+      .select(col("event_type"), col("median_value"), col("mad"),
+        col("n_outliers"), col("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75, q76, q78, q84, q85)
+    q61, q73, q74, q75, q76, q78, q84, q85, q113)
 }

@@ -309,4 +309,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(codes.agg(max(col("k"))).head().getLong(0) < ops.Similarity.PqK)
     assert(codes.agg(min(col("k"))).head().getLong(0) >= 0L)
   }
+
+  test("MAD outlier rule resists masking where the 3-sigma rule does not") {
+    import spark.implicits._
+    // 0..99 plus a huge and a medium outlier: the huge one inflates the
+    // stddev until the medium one hides under 3 sigma; the MAD threshold
+    // does not move, so both stay flagged
+    val vals = ((0 until 100).map(_.toDouble) ++ Seq(1e6, 5e4))
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("event_type", "value", "event_id")
+    val med = ops.RankSelect.groupMedian(df, "event_type", "value", "event_id")
+      .head().getAs[Double]("median_value")
+    val dev = df.withColumn("adev", abs(col("value") - lit(med)))
+    val mad = ops.RankSelect.groupMedian(
+      dev.select(col("event_type"), col("adev"), col("event_id")),
+      "event_type", "adev", "event_id").head().getAs[Double]("median_value")
+    val madOut = dev.filter(col("adev") > lit(4.4478) * lit(mad)).count()
+    val stats = df.agg(avg("value"), stddev_samp("value")).head()
+    val (mu, sigma) = (stats.getDouble(0), stats.getDouble(1))
+    val sigmaOut = df.filter(abs(col("value") - lit(mu)) > lit(3.0) * lit(sigma)).count()
+    assert(madOut === 2L, "MAD flags both planted outliers")
+    assert(sigmaOut === 1L, "the huge outlier masks the medium one under 3 sigma")
+  }
 }
