@@ -81,4 +81,47 @@ object SketchStream {
     */
   def estimates(spark: SparkSession, artifactDir: String, p: Int = 6): DataFrame =
     Sketches.hllEstimate(spark.read.parquet(artifactDir), Seq("event_type"), p)
+
+  /** Fold a batch's KMV sketches into the artifact: merged sketch = the k
+    * smallest distinct values of the concatenation (SketchSpec pins this
+    * associative, so any batch boundaries give the whole-corpus sketch).
+    * Same driver-materialize-then-overwrite discipline; the artifact is
+    * one k-array per group.
+    */
+  def mergeKmv(spark: SparkSession, batchSk: DataFrame, artifactDir: String, k: Int): Unit = {
+    val f = new java.io.File(artifactDir)
+    val prior =
+      if (f.exists() && f.listFiles() != null &&
+          f.listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(artifactDir)
+      else batchSk.filter(lit(false))
+    val mdf = prior.unionByName(batchSk)
+      .select(col("event_type"), explode(col("mins")).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
+    val rows = mdf.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
+      .coalesce(1).write.mode("overwrite").parquet(artifactDir)
+  }
+
+  /** KMV-maintenance sink: per micro-batch, one KmvMin aggregate over the
+    * batch (map-side bounded at k per group) folded into the artifact —
+    * the streaming half of q110: overlap/Jaccard estimates between groups
+    * stay serveable off the artifact alone.
+    */
+  def kmvSink(stream: DataFrame, artifactDir: String, checkpointDir: String,
+      k: Int = 256): StreamingQuery =
+    stream.writeStream
+      .queryName("kmv_sketch_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = batch
+          .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
+          .groupBy("event_type")
+          .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
+        mergeKmv(batch.sparkSession, sk, artifactDir, k)
+        ()
+      }
+      .start()
 }

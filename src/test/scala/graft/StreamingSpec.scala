@@ -494,4 +494,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(regMap(spark.read.parquet(artifact)) === regMap(batchRegs),
       "re-delivered content must not move any register")
   }
+
+  test("KMV stream: incremental k-min folds equal the one-shot batch sketch") {
+    import graft.streaming.SketchStream
+    val landing = tmpDir("graft-kmv-landing")
+    val artifact = tmpDir("graft-kmv-art") + "/sk"
+    val checkpoint = tmpDir("graft-kmv-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val ev = Catalog.table(spark, sf, "events")
+    val ids = ev.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-kmv-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(ev.filter(col("event_id") < cut), "f1.parquet")
+    SketchStream.kmvSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint, k = 64).awaitTermination()
+    land(ev.filter(col("event_id") >= cut), "f2.parquet")
+    SketchStream.kmvSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint, k = 64).awaitTermination()
+
+    val batch = ev
+      .select(col("event_type"), ops.Dedup.h60Col(SketchStream.userDayKey).as("h"))
+      .groupBy("event_type")
+      .agg(functions.KmvMin.kmvMin(64)(col("h")).as("mins"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getSeq[Long](1)).toMap
+    val got = spark.read.parquet(artifact).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getSeq[Long](1)).toMap
+    assert(got === batch, "maintained KMV sketches must equal the one-shot batch sketches")
+  }
 }
