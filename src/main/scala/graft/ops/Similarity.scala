@@ -1501,5 +1501,82 @@ object Similarity {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112)
+  /** q114 — two-stage retrieval: q112's cheap truncated scan promoted to
+    * a SERVING CHAIN — stage 1 shortlists the top-50 by 16-dim prefix
+    * cosine (4× less compute/memory per candidate), stage 2 reranks only
+    * the shortlist with full-dimension cosine and keeps the top-10. The
+    * output measures recall against the exact full-dim top-10: reranking
+    * a 50-candidate shortlist recovers most of what raw truncation
+    * (q112, 0-30% here) loses, at ~1/4 the scan cost plus 50 exact
+    * distances per probe — the standard filter-then-rerank tradeoff.
+    * Both stages select via TopKMin on `simDescKey` (map-side-bounded, no
+    * window over the pair stream); the checkpointed pair frame feeds
+    * stage 1, the rerank join, and the exact baseline.
+    */
+  val q114 = Q("q114_two_stage_retrieval",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 16) AS v16
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT vec_id AS probe_id, v AS pv, v16 AS pv16 FROM e WHERE vec_id < 10
+       |), sims AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ${dotSql.format("p.pv", "e.v")} / (${normSql("p.pv")} * ${normSql("e.v")}) AS sim_full,
+       |    ${dotSql.format("p.pv16", "e.v16")} / (${normSql("p.pv16")} * ${normSql("e.v16")}) AS sim_t16
+       |  FROM p JOIN e ON e.vec_id <> p.probe_id
+       |), short AS (
+       |  SELECT probe_id, vec_id, sim_full FROM (
+       |    SELECT probe_id, vec_id, sim_full,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_t16 DESC, vec_id) AS rn
+       |    FROM sims) s WHERE rn <= 50
+       |), reranked AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_full DESC, vec_id) AS rn
+       |    FROM short) r WHERE rn <= 10
+       |), exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_full DESC, vec_id) AS rn
+       |    FROM sims) x WHERE rn <= 10
+       |), ov AS (
+       |  SELECT r.probe_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM reranked r JOIN exact x ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
+       |  GROUP BY r.probe_id
+       |)
+       |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp
+       |FROM p LEFT JOIN ov ON p.probe_id = ov.probe_id
+       |ORDER BY p.probe_id""".stripMargin) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    graft.functions.DoubleBits.register(s)
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("v16").as("pv16"))
+    val pairs = e.crossJoin(broadcast(p)).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v")))).as("sim_full"),
+        (dot(col("pv16"), col("v16")) / (norm(col("pv16")) * norm(col("v16")))).as("sim_t16"))
+      .localCheckpoint()
+    val short = pairs.groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(50)(simDescKey(col("sim_t16")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), explode(col("tk")).as("s"))
+      .select(col("probe_id"), col("s._2").as("vec_id"))
+    val reranked = short.join(pairs, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_full")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), transform(col("tk"), x => x.getField("_2")).as("ids2"))
+    val exact = pairs.groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_full")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), transform(col("tk"), x => x.getField("_2")).as("idsx"))
+    reranked.join(exact, "probe_id")
+      .select(col("probe_id"),
+        size(array_intersect(col("ids2"), col("idsx"))).cast("long").as("n_overlap"),
+        (size(array_intersect(col("ids2"), col("idsx"))) * 1000).cast("long").as("recall_bp"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114)
 }

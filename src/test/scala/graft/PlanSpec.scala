@@ -222,6 +222,15 @@ class PlanSpec extends AnyFunSuite {
       s"TopKMin must aggregate as partial+final object hash agg:\n$p")
   }
 
+  test("q114: both retrieval stages select via bounded aggregates off one checkpointed pair frame") {
+    val p = plan("q114_two_stage_retrieval")
+    assert(!p.contains("Window"),
+      s"shortlist and rerank must run as TopKMin partials, not windows:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 0,
+      s"all three consumers must read the checkpointed pairs:\n$p")
+  }
+
   test("q110: one checkpointed distinct feeds sketch build and intersection; k-min partials are map-side") {
     val p = plan("q110_kmv_overlap")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
