@@ -1034,7 +1034,85 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q115 — histogram-sketch quantiles: approximate p25/p50/p75/p90 read
+    * off a FIXED 1000-bin width-1 histogram (the additive, mergeable
+    * digest a pipeline keeps per partition/day — counts merge by plain +,
+    * the same artifact algebra as the HLL registers), beside the exact
+    * RankSelect quantiles, with the per-quantile error and the ≤ bin-width
+    * guarantee evaluated IN-QUERY. The histogram approx is the lower bin
+    * edge at rank ⌊(n−1)p⌋+1 (q61's convention), so exact ∈
+    * [approx, approx+1) whenever the rank lands outside the clamp bin.
+    * Scale shape: one hash aggregate to ≤ types×1000 rows; the cumulative
+    * window runs over that metadata-sized frame, never the events.
+    */
+  val q115 = Q("q115_histogram_quantiles",
+    """WITH ev AS (
+      |  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+      |), ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), exact AS (
+      |  SELECT event_type, CAST(n AS BIGINT) AS n,
+      |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) + 1 AS BIGINT) THEN value END) AS exact_p50,
+      |    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.9) + 1 AS BIGINT) THEN value END) AS exact_p90
+      |  FROM ranked GROUP BY event_type, n
+      |), hist AS (
+      |  SELECT event_type,
+      |    LEAST(999, GREATEST(0, CAST(FLOOR(value) AS BIGINT))) AS bin,
+      |    COUNT(*) AS n_bin
+      |  FROM ev GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, bin,
+      |    SUM(n_bin) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+      |    SUM(n_bin) OVER (PARTITION BY event_type) AS n
+      |  FROM hist
+      |), approx AS (
+      |  SELECT event_type,
+      |    CAST(MIN(CASE WHEN c >= CAST(FLOOR((n - 1) * 0.5) + 1 AS BIGINT) THEN bin END) AS DOUBLE) AS approx_p50,
+      |    CAST(MIN(CASE WHEN c >= CAST(FLOOR((n - 1) * 0.9) + 1 AS BIGINT) THEN bin END) AS DOUBLE) AS approx_p90
+      |  FROM cum GROUP BY event_type
+      |)
+      |SELECT e.event_type, e.n,
+      |  a.approx_p50, e.exact_p50, e.exact_p50 - a.approx_p50 AS err_p50,
+      |  a.approx_p90, e.exact_p90, e.exact_p90 - a.approx_p90 AS err_p90,
+      |  (e.exact_p50 - a.approx_p50 >= CAST(0 AS DOUBLE)
+      |    AND e.exact_p50 - a.approx_p50 < CAST(1 AS DOUBLE)
+      |    AND e.exact_p90 - a.approx_p90 >= CAST(0 AS DOUBLE)
+      |    AND e.exact_p90 - a.approx_p90 < CAST(1 AS DOUBLE)) AS within_binwidth
+      |FROM exact e JOIN approx a USING (event_type)
+      |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val exact = graft.ops.RankSelect.groupQuantiles(ev, "event_type", "value", "event_id",
+      Seq("exact_p50" -> 0.5, "exact_p90" -> 0.9))
+    val hist = ev.groupBy(col("event_type"),
+        least(lit(999L), greatest(lit(0L), floor(col("value")))).as("bin"))
+      .agg(count(lit(1)).as("n_bin"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val cum = hist
+      .withColumn("c", sum("n_bin").over(wCum))
+      .withColumn("nh", sum("n_bin").over(wAll))
+    def rankOf(p: Double) = (floor((col("nh") - 1) * lit(p)) + 1).cast("long")
+    val approx = cum.groupBy("event_type").agg(
+      min(when(col("c") >= rankOf(0.5), col("bin"))).cast("double").as("approx_p50"),
+      min(when(col("c") >= rankOf(0.9), col("bin"))).cast("double").as("approx_p90"))
+    val errP50 = col("exact_p50") - col("approx_p50")
+    val errP90 = col("exact_p90") - col("approx_p90")
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n"),
+        col("approx_p50"), col("exact_p50"), errP50.as("err_p50"),
+        col("approx_p90"), col("exact_p90"), errP90.as("err_p90"),
+        (errP50 >= lit(0.0) && errP50 < lit(1.0) &&
+          errP90 >= lit(0.0) && errP90 < lit(1.0)).as("within_binwidth"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75, q76, q78, q84, q85, q113)
+    q61, q73, q74, q75, q76, q78, q84, q85, q113, q115)
 }
