@@ -274,6 +274,22 @@ object Scratch {
         time(s"docs${mult}.dedup_clusters") {
           graft.ops.Cluster.dedupClusters(docs10).count()
         }
+        // sketched vs exact distinct at NxM volume and cardinality
+        val evUN = {
+          val base = Catalog.table(spark, sfDir, "events")
+          (0 until mult).map(k => base
+            .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+            .withColumn("user_id", col("user_id") + lit(k * 100000L)))
+            .reduce(_.unionByName(_))
+        }
+        val userDayN = concat(col("user_id").cast("string"), lit("@"),
+          col("ts").cast("date").cast("string"))
+        time(s"events${mult}.hll_registers_p8") {
+          graft.ops.Sketches.hllRegisters(evUN, Seq("event_type"), userDayN, 8).count()
+        }
+        time(s"events${mult}.count_distinct_exact") {
+          evUN.groupBy("event_type").agg(countDistinct(userDayN)).count()
+        }
         // the duplicated probe corpus keeps the rep-level graph under the
         // one-task bound, so force the distributed loop to evidence the
         // big-graph path's scaling too

@@ -1112,7 +1112,46 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q116 — group-wise z-score normalization: the standard feature-prep
+    * projection (x − μ_g)/σ_g with per-type moments, plus a ±3 clamp
+    * (winsorized z) — both the raw and clamped forms a training pipeline
+    * feeds downstream. Exactness: μ from Det's fixed-point integer sums,
+    * σ from Det.dstddev (integer sums + one exact sqrt), then two IEEE
+    * ops per row — every value oracles bit-for-bit. Scale shape: one
+    * aggregate to |types| rows broadcast back over the fact scan; the
+    * projection itself is map-side only.
+    */
+  val q116 = Q("q116_zscore_normalize",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) / 10000.0 / COUNT(value) AS mu,
+      |    CASE WHEN COUNT(value) > 1 THEN SQRT(
+      |      (SUM(CAST(FLOOR(value * value * 1000000.0) AS BIGINT)) / 1000000.0
+      |        - (SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) / 1000000.0)
+      |          * (SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) / 1000000.0) / COUNT(value))
+      |      / (COUNT(value) - 1.0)) END AS sigma
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - m.mu) / m.sigma AS z,
+      |  LEAST(CAST(3 AS DOUBLE), GREATEST(CAST(-3 AS DOUBLE), (e.value - m.mu) / m.sigma)) AS z_winsor
+      |FROM events e JOIN m USING (event_type)
+      |WHERE e.value IS NOT NULL AND e.event_id < 2000
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events").filter(col("value").isNotNull)
+    val m = ev.groupBy("event_type").agg(
+      Det.davg(col("value")).as("mu"),
+      Det.dstddev(col("value")).as("sigma"))
+    val z = (col("value") - col("mu")) / col("sigma")
+    ev.filter(col("event_id") < 2000)
+      .join(broadcast(m), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.as("z"),
+        least(lit(3.0), greatest(lit(-3.0), z)).as("z_winsor"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q19, q26, q27, q28, q29, q41, q42, q43, q44, q45, q46, q47,
-    q61, q73, q74, q75, q76, q78, q84, q85, q113, q115)
+    q61, q73, q74, q75, q76, q78, q84, q85, q113, q115, q116)
 }
