@@ -66,7 +66,8 @@ object Bench {
     // host fold GC pauses and CPU steal into whichever query they land on
     // (observed: identical plans 1.4 s vs 8.7 s, suite totals 66-85 s);
     // the per-query min is the reproducible steady-state cost of the plan
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     val runs = (1 to passes).map(_ => timedPass())
     val results = ordered.map { case (name, _) =>
       name -> runs.map(_(name)).min

@@ -235,6 +235,16 @@ object Scratch {
           base.withColumn(idCol, col(idCol) + lit(k * shift)))
           .reduce(_.unionByName(_))
       }
+      // events at Nx volume AND Nx key cardinality (both ids shifted) —
+      // shared by the sketched-vs-exact distinct probes in both branches
+      def evShifted() = {
+        val base = Catalog.table(spark, sfDir, "events")
+        (0 until mult).map(k => base
+          .withColumn("event_id", col("event_id") + lit(k * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 100000L)))
+          .reduce(_.unionByName(_))
+      }
+      val userDayKey = graft.ops.Sketches.userDayKeyCol
       def time(name: String)(f: => Long): Unit = {
         val t0 = System.nanoTime()
         try {
@@ -274,21 +284,13 @@ object Scratch {
         time(s"docs${mult}.dedup_clusters") {
           graft.ops.Cluster.dedupClusters(docs10).count()
         }
-        // sketched vs exact distinct at NxM volume and cardinality
-        val evUN = {
-          val base = Catalog.table(spark, sfDir, "events")
-          (0 until mult).map(k => base
-            .withColumn("event_id", col("event_id") + lit(k * 10000000L))
-            .withColumn("user_id", col("user_id") + lit(k * 100000L)))
-            .reduce(_.unionByName(_))
-        }
-        val userDayN = concat(col("user_id").cast("string"), lit("@"),
-          col("ts").cast("date").cast("string"))
+        // sketched vs exact distinct at Nx volume and cardinality
+        val evUN = evShifted()
         time(s"events${mult}.hll_registers_p8") {
-          graft.ops.Sketches.hllRegisters(evUN, Seq("event_type"), userDayN, 8).count()
+          graft.ops.Sketches.hllRegisters(evUN, Seq("event_type"), userDayKey, 8).count()
         }
         time(s"events${mult}.count_distinct_exact") {
-          evUN.groupBy("event_type").agg(countDistinct(userDayN)).count()
+          evUN.groupBy("event_type").agg(countDistinct(userDayKey)).count()
         }
         // the duplicated probe corpus keeps the rep-level graph under the
         // one-task bound, so force the distributed loop to evidence the
@@ -336,29 +338,20 @@ object Scratch {
       }
       time("docs10.jaccard_lsh")(graft.ops.Dedup.jaccardLshPairs(docs10).count())
       time("docs10.jaccard_pairs")(graft.ops.Dedup.jaccardPairs(docs10).count())
-      // sketched distinct at 10x volume AND 10x cardinality (user ids
-      // shifted per copy): the register/sketch builds stay one linear
-      // scan with fixed-size output, vs the exact path shuffling every
-      // distinct key
-      val evU10 = {
-        val base = Catalog.table(spark, sfDir, "events")
-        (0 until mult).map(k => base
-          .withColumn("event_id", col("event_id") + lit(k * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(k * 100000L)))
-          .reduce(_.unionByName(_))
-      }
-      val userDay = concat(col("user_id").cast("string"), lit("@"),
-        col("ts").cast("date").cast("string"))
+      // sketched distinct at 10x volume AND 10x cardinality: the
+      // register/sketch builds stay one linear scan with fixed-size
+      // output, vs the exact path shuffling every distinct key
+      val evU10 = evShifted()
       time("events10.hll_registers_p8") {
-        graft.ops.Sketches.hllRegisters(evU10, Seq("event_type"), userDay, 8).count()
+        graft.ops.Sketches.hllRegisters(evU10, Seq("event_type"), userDayKey, 8).count()
       }
       time("events10.kmv_sketch_k256") {
-        evU10.select(col("event_type"), graft.ops.Dedup.h60Col(userDay).as("h"))
+        evU10.select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
           .groupBy("event_type")
           .agg(graft.functions.KmvMin.kmvMin(256)(col("h")).as("mins")).count()
       }
       time("events10.count_distinct_exact") {
-        evU10.groupBy("event_type").agg(countDistinct(userDay)).count()
+        evU10.groupBy("event_type").agg(countDistinct(userDayKey)).count()
       }
       // round-3 rewrites vs their naive single-task forms at 6M rows
       import org.apache.spark.sql.expressions.Window

@@ -22,12 +22,25 @@ case class KmvMin(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
   def zero: Seq[Long] = Vector.empty
 
-  // buffer is sorted ascending: the common full-buffer case is one
-  // comparison; insertion re-sorts at most k+1 elements
+  // buffer is sorted ascending: the common full-buffer reject is one
+  // comparison; an accepted value binary-searches its slot (O(log k)
+  // compare + one O(k) splice), with the same search detecting duplicates
   def reduce(b: Seq[Long], a: Long): Seq[Long] =
     if (b.length >= k && b.last <= a) b
-    else if (b.contains(a)) b
-    else ((b :+ a).sorted).take(k)
+    else {
+      val v = b.toIndexedSeq
+      var lo = 0
+      var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < a) lo = mid + 1 else hi = mid
+      }
+      if (lo < v.length && v(lo) == a) b
+      else {
+        val ins = (v.take(lo) :+ a) ++ v.drop(lo)
+        if (ins.length > k) ins.take(k) else ins
+      }
+    }
 
   def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
     (b1 ++ b2).distinct.sorted.take(k)

@@ -16,8 +16,10 @@ import graft.queries.Q
   * m = 2^p registers is the memory/accuracy knob (σ ≈ 1.04/√m): q108 runs
   * p = 8 (256 registers, σ ≈ 6.5%) over ~1.6k-cardinality groups; q109
   * runs p = 6 because its user-level cardinality (~150 at verify scale)
-  * sits just above the raw estimator's ≈ 2.5·m small-range boundary at
-  * m = 64 and far below it at m = 256.
+  * sits NEAR the raw estimator's ≈ 2.5·m small-range boundary at m = 64
+  * (just below it, so some small-range bias remains — the observed
+  * estimate is 151.6 vs 150 exact) and far below it at m = 256, where
+  * the bias would dominate.
   *
   * Everything before the final division is integer arithmetic on h60
   * hashes (md5-prefix, graft.functions.TextHash scheme), so the estimates
@@ -30,7 +32,8 @@ import graft.queries.Q
   * Meunier estimator only (no linear-counting small-range correction: its
   * m·ln(m/V) term is transcendental and libm vs JVM differ in the last
   * ulp, which would break oracle parity; production use below n ≈ 2.5·m
-  * would add it — callers here stay above that regime).
+  * would add it — q108 stays well above that regime, q109 sits at its
+  * edge by design, see above).
   */
 object Sketches {
 
@@ -112,8 +115,14 @@ object Sketches {
       s" * CAST(${1L << maxRho(p)} AS DOUBLE)) / CAST(reg_denom AS DOUBLE)"
   }
 
-  /** Key for q108: one token per active (user, day) pair. */
-  private val userDayKey = "CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+  /** Key for q108/q110 and the streaming sinks: one token per active
+    * (user, day) pair. The Column and SQL forms are parity-load-bearing
+    * twins — every consumer (batch queries, SketchStream, Scratch probes)
+    * must reference THESE definitions, never a private copy.
+    */
+  val userDayKeySql = "CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+  def userDayKeyCol: Column =
+    concat(col("user_id").cast("string"), lit("@"), col("ts").cast("date").cast("string"))
 
   /** q108 — groupwise HLL distinct: active user-days per event type at
     * p = 8, the sketch estimate beside the exact count (like q64's
@@ -123,13 +132,13 @@ object Sketches {
     */
   val q108 = Q("q108_hll_distinct",
     s"""WITH reg AS (
-       |  ${regSql(userDayKey, "event_type", 8)}
+       |  ${regSql(userDayKeySql, "event_type", 8)}
        |), fold AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
        |    ${foldDenom(8)} AS reg_denom
        |  FROM reg GROUP BY event_type
        |), ex AS (
-       |  SELECT event_type, CAST(COUNT(DISTINCT $userDayKey) AS BIGINT) AS n_exact
+       |  SELECT event_type, CAST(COUNT(DISTINCT $userDayKeySql) AS BIGINT) AS n_exact
        |  FROM events GROUP BY event_type
        |)
        |SELECT f.event_type, x.n_exact, f.n_buckets, f.reg_denom,
@@ -137,8 +146,7 @@ object Sketches {
        |FROM fold f JOIN ex x USING (event_type)
        |ORDER BY event_type""".stripMargin) { (s, dir) =>
     val e = ev(s, dir)
-    val key = concat(col("user_id").cast("string"), lit("@"),
-      col("ts").cast("date").cast("string"))
+    val key = userDayKeyCol
     val est = hllEstimate(hllRegisters(e, Seq("event_type"), key, 8), Seq("event_type"), 8)
     val exact = e.groupBy("event_type").agg(countDistinct(key).as("n_exact"))
     est.join(exact, "event_type")
@@ -219,7 +227,7 @@ object Sketches {
     */
   val q110 = Q("q110_kmv_overlap",
     s"""WITH dk AS (
-       |  SELECT DISTINCT event_type, ${Dedup.h60Sql(userDayKey)} AS h FROM events
+       |  SELECT DISTINCT event_type, ${Dedup.h60Sql(userDayKeySql)} AS h FROM events
        |), sk AS (
        |  SELECT event_type, list_slice(list_sort(list(h)), 1, $KmvK) AS mins,
        |    CAST(COUNT(*) AS BIGINT) AS nd

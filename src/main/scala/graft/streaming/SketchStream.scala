@@ -35,28 +35,33 @@ object SketchStream {
   def readEventStream(spark: SparkSession, landingDir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(landingDir)
 
-  /** The sketch key: active (user, day) — same as q108. */
-  def userDayKey: Column =
-    concat(col("user_id").cast("string"), lit("@"),
-      col("ts").cast("date").cast("string"))
+  /** The sketch key: active (user, day) — the q108/q110 definition,
+    * delegated so batch and streaming can never diverge. */
+  def userDayKey: Column = Sketches.userDayKeyCol
 
-  /** Fold batch registers into the artifact by register-wise MAX. The
-    * merged register set is driver-materialized (≤ groups × m rows)
-    * before the overwrite so the write never reads the path it replaces.
+  /** Shared artifact-fold discipline: read the prior artifact (empty
+    * frame when absent), merge the batch in, driver-materialize the
+    * result (every sketch artifact is ≤ groups × k rows by design), and
+    * only then overwrite — the write never reads the path it replaces.
     */
-  def mergeRegisters(spark: SparkSession, batchRegs: DataFrame, artifactDir: String): Unit = {
+  private def foldArtifact(spark: SparkSession, batch: DataFrame, artifactDir: String)(
+      merge: DataFrame => DataFrame): Unit = {
     val f = new java.io.File(artifactDir)
     val prior =
       if (f.exists() && f.listFiles() != null &&
           f.listFiles().exists(_.getName.endsWith(".parquet")))
         spark.read.parquet(artifactDir)
-      else batchRegs.filter(lit(false))
-    val mdf = prior.unionByName(batchRegs)
-      .groupBy("event_type", "bucket").agg(max("r").as("r"))
+      else batch.filter(lit(false))
+    val mdf = merge(prior.unionByName(batch))
     val rows = mdf.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
       .coalesce(1).write.mode("overwrite").parquet(artifactDir)
   }
+
+  /** Fold batch registers into the artifact by register-wise MAX. */
+  def mergeRegisters(spark: SparkSession, batchRegs: DataFrame, artifactDir: String): Unit =
+    foldArtifact(spark, batchRegs, artifactDir)(
+      _.groupBy("event_type", "bucket").agg(max("r").as("r")))
 
   /** Register-maintenance sink: per micro-batch, build the batch's
     * registers (one partial+final hash aggregate, ≤ groups × m rows out)
@@ -88,21 +93,11 @@ object SketchStream {
     * Same driver-materialize-then-overwrite discipline; the artifact is
     * one k-array per group.
     */
-  def mergeKmv(spark: SparkSession, batchSk: DataFrame, artifactDir: String, k: Int): Unit = {
-    val f = new java.io.File(artifactDir)
-    val prior =
-      if (f.exists() && f.listFiles() != null &&
-          f.listFiles().exists(_.getName.endsWith(".parquet")))
-        spark.read.parquet(artifactDir)
-      else batchSk.filter(lit(false))
-    val mdf = prior.unionByName(batchSk)
-      .select(col("event_type"), explode(col("mins")).as("h"))
-      .groupBy("event_type")
-      .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
-    val rows = mdf.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
-      .coalesce(1).write.mode("overwrite").parquet(artifactDir)
-  }
+  def mergeKmv(spark: SparkSession, batchSk: DataFrame, artifactDir: String, k: Int): Unit =
+    foldArtifact(spark, batchSk, artifactDir)(
+      _.select(col("event_type"), explode(col("mins")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins")))
 
   /** KMV-maintenance sink: per micro-batch, one KmvMin aggregate over the
     * batch (map-side bounded at k per group) folded into the artifact —
