@@ -75,7 +75,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The round driver captures only the TAIL of stdout (~2.7 KB — the
+    // r06 artifact lost the first 57 entries of this single line). Print
+    // the full contract line FIRST (may truncate), then compact chunk
+    // lines (short qNN keys, ms precision, ≤60 queries each) and a final
+    // one-line summary — together ≤2 KB, so the authoritative per-query
+    // times and totals always survive tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    val chunks = results.grouped(58).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      }.mkString("{", ",", "}")
+      println(s"""{"bench_chunk":${i + 1},"of":${chunks.size},"q":$body}""")
+    }
+    val (maxQ, maxV) = results.maxBy(_._2)
+    println(s"""{"total_s":${r3(total)},"n_queries":${results.size},"max_s":${r3(maxV)},"max_q":"$maxQ","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -279,6 +279,10 @@ object Sketches {
       size(filter(col("u"),
         x => array_contains(col("am"), x) && array_contains(col("bm"), x)))
         .cast("long").as("c"),
+      // CaseWhen short-circuit is LOAD-BEARING: under ANSI mode
+      // element_at(u, KmvK) throws when size(u) < KmvK, and only the
+      // lazy when/otherwise evaluation guards it. Do not hoist the
+      // otherwise-expression into a separate column (see verify skill).
       when(size(col("u")) < KmvK, size(col("u")).cast("double"))
         .otherwise((lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)))
           / element_at(col("u"), KmvK).cast("double")).as("kmv_union_est"))

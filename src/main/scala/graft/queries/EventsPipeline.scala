@@ -446,6 +446,14 @@ object EventsPipeline {
           (unix_micros(col("ts")) * 2 + 1).as("k"), col("ts")))).as("p"))
       .select(col("p.d").as("d"), col("p.k").as("k"), col("p.ts").as("ts"))
       .filter(col("d") =!= 0L)
+      // merge same-key deltas BEFORE the running sum (the oracle's
+      // `merged` CTE): with ties unmerged, a group of n end-deltas that
+      // is a day's FIRST boundary would expose intermediate running
+      // values prev-1..prev-n inside that day, and the day's MAX could
+      // read one of them. Keys are unique after the merge, so the
+      // window semantics match the oracle exactly.
+      .groupBy("k")
+      .agg(sum(col("d")).cast("long").as("d"), min(col("ts")).as("ts"))
       // two passes follow (hour totals, the window) — materialize the
       // boundary set, O(sessions), so the event window runs ONCE
       .localCheckpoint()

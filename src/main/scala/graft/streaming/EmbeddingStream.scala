@@ -85,10 +85,16 @@ object EmbeddingStream {
   }
 
   /** Ingest sink: per micro-batch, assign against the frozen quantizer,
-    * score against cluster history, append decisions (audit) and ALL
+    * score against cluster history, write decisions (audit) and ALL
     * batch vectors (history — dups included, so later verdicts see the
     * same prior set a batch run would). Trigger.AvailableNow like the
-    * corpus twin; the checkpoint makes file delivery exactly-once.
+    * corpus twin. The checkpoint makes file DELIVERY exactly-once, but
+    * foreachBatch side-effects are at-least-once: a crash between the
+    * two writes (or before checkpoint commit) replays the batch. Both
+    * writes therefore OVERWRITE a per-batchId partition directory —
+    * a replay rewrites the same rows instead of appending duplicates,
+    * so the sink is idempotent end-to-end. Readers see `batch_id` as a
+    * trailing partition-discovery column.
     */
   def dedupSink(stream: DataFrame, centroidPath: String, historyDir: String,
       decisionsDir: String, checkpointDir: String): StreamingQuery =
@@ -96,19 +102,23 @@ object EmbeddingStream {
       .queryName("embedding_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val cents = spark.read.parquet(centroidPath)
         val asg = assignFrozen(batch, cents).localCheckpoint()
         val hist = new java.io.File(historyDir)
         val history =
           if (hist.exists() && hist.listFiles() != null &&
-              hist.listFiles().exists(_.getName.endsWith(".parquet")))
-            spark.read.parquet(historyDir)
+              hist.listFiles().exists(f => f.getName.endsWith(".parquet") ||
+                (f.isDirectory && f.getName.startsWith("batch_id="))))
+            // a replayed batch may already have (partially) written its
+            // own partition — exclude it so scoring always sees exactly
+            // the pre-batch history
+            spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
           else asg.filter(lit(false))
         scoreBatch(asg, history)
-          .write.mode("append").parquet(decisionsDir)
-        asg.write.mode("append").parquet(historyDir)
+          .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+        asg.write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
         ()
       }
       .start()
