@@ -53,6 +53,7 @@ object Bench {
     try ops.Similarity.buildIvfIndex(spark, sfDir) catch { case _: Throwable => () }
     try ops.Similarity.buildPqIndex(spark, sfDir) catch { case _: Throwable => () }
     try ops.Similarity.buildResPqIndex(spark, sfDir) catch { case _: Throwable => () }
+    try ops.Similarity.buildTrainedResPqIndex(spark, sfDir) catch { case _: Throwable => () }
     // two timed passes, min per query: a single-shot timing on a shared
     // host folds GC pauses and CPU steal into whichever query they land
     // on (observed: the same query 1.4 s and 8.7 s across runs); the min

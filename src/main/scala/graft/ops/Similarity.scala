@@ -957,6 +957,83 @@ object Similarity {
     path
   }
 
+  /** Where the TRAINED residual-PQ artifact lives — q106's residual codes
+    * after ONE q107 Lloyd round refined the codebook.
+    */
+  def trainedResPqIndexPath(dir: String): String = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_trespq_codes_v1_$key"
+  }
+
+  /** Per-vector fixed-point quantization-error sidecar that travels with
+    * the trained code artifact (seed vs trained codebook, BIGINT µ-units)
+    * — what serving-chain reports read instead of re-encoding anything.
+    */
+  def errPath(codesPath: String): String = codesPath + "_err"
+
+  /** Build the TRAINED residual-PQ artifact: q106's residuals
+    * (v − centroid(cell), the IVF artifact), seed codebook = first PqK
+    * residual subvectors, then ONE q107 Lloyd round (assign → exact
+    * fixed-point cell means; empty cells keep their seed) refines the
+    * codebook, and the whole corpus re-encodes against the REFINED book.
+    * Writes three tables: codes (vec_id, m, k), the frozen trained
+    * codebook (`cbPath` — what appends and query LUTs read), and the
+    * per-vector seed/trained error sidecar (`errPath`; Lloyd
+    * monotonicity makes Σtrained ≤ Σseed, spec-pinned). Codes write LAST
+    * so the `_SUCCESS` guard implies both sidecars exist. Same scale
+    * shape as the untrained build: two broadcast-codebook encodes plus
+    * one (M·K·subdim)-cell hash aggregate, corpus-linear.
+    */
+  def buildTrainedResPqIndex(s: SparkSession, dir: String): String = {
+    val path = trainedResPqIndexPath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val cents = s.read.parquet(buildIvfIndex(s, dir))
+        .select(col("label").as("cl"), col("centroid"))
+      val er = e.join(broadcast(cents), col("label") === col("cl"))
+        .select(col("vec_id"), zip_with(col("v"), col("centroid"), _ - _).as("v"))
+      val sub = subspaces(er, "v").localCheckpoint()
+      val cb0 = sub.filter(col("vec_id") < PqK)
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+      val a0 = sub.join(broadcast(cb0), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+        .localCheckpoint()
+      val mem = a0.select(col("vec_id"), col("m"), col("k"))
+        .join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+      val ref = mem.groupBy("m", "k", "pos")
+        .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"),
+          count(lit(1)).as("n"))
+        .groupBy("m", "k")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
+          "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("rcw"))
+        .select(col("m").as("rm"), col("k").as("rk"), col("rcw"))
+      val cb1 = cb0.join(ref, col("cm") === col("rm") && col("k") === col("rk"), "left")
+        .select(col("cm"), col("k"), coalesce(col("rcw"), col("cw")).as("cw"))
+      cb1.write.mode("overwrite").parquet(cbPath(path))
+      val cb1r = s.read.parquet(cbPath(path))
+      val best1 = sub.join(broadcast(cb1r), col("m") === col("cm"))
+        .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+        .localCheckpoint()
+      val err0 = a0.groupBy("vec_id")
+        .agg(sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("err_seed_fp"))
+      val err1 = best1.groupBy("vec_id")
+        .agg(sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("err_trained_fp"))
+      err0.join(err1, Seq("vec_id")).write.mode("overwrite").parquet(errPath(path))
+      best1.select(col("vec_id"), col("m"), col("k")).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   private def q106OracleSql: String = {
     val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
     s"""WITH e AS (
@@ -1578,5 +1655,225 @@ object Similarity {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114)
+  private def q117OracleSql: String = {
+    val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |    list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), 1, 16) AS v16
+       |  FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(range($PqM)) AS m
+       |), un AS (
+       |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e
+       |), mu AS (
+       |  SELECT label, i, $davg6 AS mu FROM un GROUP BY label, i
+       |), cents AS (
+       |  SELECT label, list(mu ORDER BY i) AS centroid FROM mu GROUP BY label
+       |), er AS (
+       |  SELECT e.vec_id, e.label,
+       |    list_transform(list_zip(e.v, c.centroid), x -> x[1] - x[2]) AS r
+       |  FROM e JOIN cents c ON e.label = c.label
+       |), cbr AS (
+       |  SELECT m, vec_id AS k,
+       |    list_slice(r, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS cw
+       |  FROM er, ms WHERE vec_id < $PqK
+       |), subr AS (
+       |  SELECT vec_id, m,
+       |    list_slice(r, CAST(m * $PqSubDim + 1 AS INTEGER), CAST(m * $PqSubDim + $PqSubDim AS INTEGER)) AS sv
+       |  FROM er, ms
+       |), ddr AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM subr s JOIN cbr c ON s.m = c.m
+       |), a0 AS (
+       |  SELECT vec_id, m, k, dist FROM (
+       |    SELECT vec_id, m, k, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM ddr) WHERE rn = 1
+       |), err0 AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS err_seed_fp
+       |  FROM a0 GROUP BY vec_id
+       |), mem AS (
+       |  SELECT a.m, a.k, unnest(s.sv) AS x, generate_subscripts(s.sv, 1) AS pos
+       |  FROM a0 a JOIN subr s ON a.vec_id = s.vec_id AND a.m = s.m
+       |), sums AS (
+       |  SELECT m, k, pos, SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS s_fp, COUNT(*) AS n
+       |  FROM mem GROUP BY 1, 2, 3
+       |), ref AS (
+       |  SELECT m, k, list(CAST(s_fp AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cw
+       |  FROM sums GROUP BY m, k
+       |), cb1 AS (
+       |  SELECT c.m, c.k, COALESCE(r.cw, c.cw) AS cw
+       |  FROM cbr c LEFT JOIN ref r ON c.m = r.m AND c.k = r.k
+       |), d1 AS (
+       |  SELECT s.vec_id, s.m, c.k, ${sqDistSql.format("s.sv", "c.cw")} AS dist
+       |  FROM subr s JOIN cb1 c ON s.m = c.m
+       |), best1 AS (
+       |  SELECT vec_id, m, k, dist FROM (
+       |    SELECT vec_id, m, k, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), err1 AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS err_trained_fp
+       |  FROM best1 GROUP BY vec_id
+       |), p AS (
+       |  SELECT vec_id AS probe_id, v AS pv, v16 AS pv16 FROM e WHERE vec_id < 10
+       |), sims AS (
+       |  SELECT p.probe_id, e.vec_id, e.label,
+       |    ${dotSql.format("p.pv", "e.v")} / (${normSql("p.pv")} * ${normSql("e.v")}) AS sim_full,
+       |    ${dotSql.format("p.pv16", "e.v16")} / (${normSql("p.pv16")} * ${normSql("e.v16")}) AS sim_t16
+       |  FROM p JOIN e ON e.vec_id <> p.probe_id
+       |), short AS (
+       |  SELECT probe_id, vec_id, label FROM (
+       |    SELECT probe_id, vec_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_t16 DESC, vec_id) AS rn
+       |    FROM sims) s WHERE rn <= 50
+       |), cellsp AS (
+       |  SELECT DISTINCT probe_id, label AS cell FROM short
+       |), rq AS (
+       |  SELECT cp.probe_id, cp.cell,
+       |    list_transform(list_zip(p.pv, c.centroid), x -> x[1] - x[2]) AS rqv
+       |  FROM cellsp cp JOIN cents c ON cp.cell = c.label JOIN p ON cp.probe_id = p.probe_id
+       |), lut AS (
+       |  SELECT r.probe_id, r.cell, ms.m, c.k,
+       |    ${sqDistSql.format(
+             s"list_slice(r.rqv, CAST(ms.m * $PqSubDim + 1 AS INTEGER), CAST(ms.m * $PqSubDim + $PqSubDim AS INTEGER))",
+             "c.cw")} AS ld
+       |  FROM rq r, ms JOIN cb1 c ON ms.m = c.m
+       |), adc AS (
+       |  SELECT s.probe_id, s.vec_id,
+       |    CAST(SUM(CAST(FLOOR(l.ld * 1000000.0) AS BIGINT)) AS BIGINT) AS adc_fp
+       |  FROM short s
+       |  JOIN best1 b ON s.vec_id = b.vec_id
+       |  JOIN lut l ON s.probe_id = l.probe_id AND s.label = l.cell
+       |    AND b.m = l.m AND b.k = l.k
+       |  GROUP BY 1, 2
+       |), adc20 AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_fp, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 20
+       |), reranked AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT s.probe_id, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.probe_id ORDER BY s.sim_full DESC, s.vec_id) AS rn
+       |    FROM sims s JOIN adc20 a ON s.probe_id = a.probe_id AND s.vec_id = a.vec_id
+       |  ) WHERE rn <= 10
+       |), exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim_full DESC, vec_id) AS rn
+       |    FROM sims) WHERE rn <= 10
+       |), ov AS (
+       |  SELECT r.probe_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM reranked r JOIN exact x ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
+       |  GROUP BY r.probe_id
+       |), qe AS (
+       |  SELECT s.probe_id,
+       |    CAST(SUM(e0.err_seed_fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS quant_err_seed,
+       |    CAST(SUM(e1.err_trained_fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS quant_err_trained
+       |  FROM short s
+       |  JOIN err0 e0 ON s.vec_id = e0.vec_id
+       |  JOIN err1 e1 ON s.vec_id = e1.vec_id
+       |  GROUP BY s.probe_id
+       |)
+       |SELECT p.probe_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp,
+       |  qe.quant_err_seed, qe.quant_err_trained
+       |FROM p
+       |LEFT JOIN ov ON p.probe_id = ov.probe_id
+       |JOIN qe ON p.probe_id = qe.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
+  /** q117 — the COMPOSED trained-retrieval serving chain, end to end as
+    * one query: q114's cheap 16-dim truncated scan shortlists the top-50
+    * per probe, the shortlist is ADC-scored against the TRAINED residual
+    * codes (q106's cell-keyed LUT machinery over `buildTrainedResPqIndex`
+    * — the artifact whose codebook a q107 Lloyd round refined), ADC keeps
+    * 20, and an exact full-dimension cosine rerank of those 20 emits the
+    * final top-10. Each row reports the chain's recall against the exact
+    * full-scan top-10 plus the shortlist's mean seed/trained quantization
+    * errors read from the artifact's error sidecar — the monotone
+    * improvement the training round bought, in-row. The chain READS the
+    * code/codebook/error artifacts and never re-encodes (PlanSpec-pinned:
+    * only artifact tables are scanned; probes and the pair frame are
+    * checkpointed). Scale shape: one linear truncated scan (the only
+    * corpus-sized pass, at 1/4 dim cost), then everything downstream is
+    * shortlist-sized — codes join 50 rows/probe, LUT ≤ probes×cells×M×K
+    * broadcast, rerank 20 exact distances/probe. The oracle unrolls
+    * centroid build + residuals + one Lloyd round + the three stages as
+    * CTEs (q103/q106/q107's techniques composed).
+    */
+  val q117 = Q("q117_trained_retrieval_chain", q117OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    graft.functions.DoubleBits.register(s)
+    val codesPath = buildTrainedResPqIndex(s, dir)
+    val codes = s.read.parquet(codesPath)
+    val cb = s.read.parquet(cbPath(codesPath))
+    val errs = s.read.parquet(errPath(codesPath))
+    val cents = s.read.parquet(buildIvfIndex(s, dir))
+      .select(col("label").as("cl"), col("centroid"))
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("v16", slice(col("v"), 1, 16))
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("v16").as("pv16"))
+      .localCheckpoint()
+    val pairs = e.crossJoin(broadcast(p)).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        (dot(col("pv"), col("v")) / (norm(col("pv")) * norm(col("v")))).as("sim_full"),
+        (dot(col("pv16"), col("v16")) / (norm(col("pv16")) * norm(col("v16")))).as("sim_t16"))
+      .localCheckpoint()
+    val short = pairs.groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(50)(simDescKey(col("sim_t16")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), explode(col("tk")).as("t"))
+      .select(col("probe_id"), col("t._2").as("vec_id"))
+      .join(pairs.select("probe_id", "vec_id", "label"), Seq("probe_id", "vec_id"))
+    val cellsp = short.select(col("probe_id"), col("label").as("cell")).distinct()
+    val rq = cellsp.join(broadcast(cents), col("cell") === col("cl"))
+      .join(broadcast(p.select(col("probe_id"), col("pv"))), Seq("probe_id"))
+      .select(col("probe_id"), col("cell"),
+        zip_with(col("pv"), col("centroid"), _ - _).as("rqv"))
+    val rqsub = rq.select(col("probe_id"), col("cell"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("rqv"), m * PqSubDim + 1, PqSubDim).as("qs"))): _*)).as("x"))
+      .select(col("probe_id"), col("cell"), col("x.m").as("qm"), col("x.qs").as("qs"))
+    val lut = rqsub.join(cb, col("qm") === col("cm"))
+      .select(col("probe_id").as("lp"), col("cell").as("lc"), col("cm").as("lm"),
+        col("k").as("lk"), sqDist(col("qs"), col("cw")).as("ld"))
+    val adc = short.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        col("probe_id") === col("lp") && col("label") === col("lc") &&
+          col("m") === col("lm") && col("k") === col("lk"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long")).as("adc_fp"))
+    val adc20 = adc.groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(20)(col("adc_fp"), col("vec_id")).as("tk"))
+      .select(col("probe_id"), explode(col("tk")).as("t"))
+      .select(col("probe_id"), col("t._2").as("vec_id"))
+    val reranked = adc20
+      .join(pairs.select("probe_id", "vec_id", "sim_full"), Seq("probe_id", "vec_id"))
+      .groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_full")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), transform(col("tk"), x => x.getField("_2")).as("ids2"))
+    val exact = pairs.groupBy("probe_id")
+      .agg(graft.functions.TopKMin.topKMin(10)(simDescKey(col("sim_full")), col("vec_id")).as("tk"))
+      .select(col("probe_id"), transform(col("tk"), x => x.getField("_2")).as("idsx"))
+    val qe = short.join(errs, Seq("vec_id"))
+      .groupBy("probe_id")
+      .agg(sum(col("err_seed_fp")).as("s0"), sum(col("err_trained_fp")).as("s1"),
+        count(lit(1)).as("n"))
+      .select(col("probe_id"),
+        (col("s0").cast("double") / (col("n") * lit(1000000.0))).as("quant_err_seed"),
+        (col("s1").cast("double") / (col("n") * lit(1000000.0))).as("quant_err_trained"))
+    reranked.join(exact, Seq("probe_id"))
+      .select(col("probe_id"),
+        size(array_intersect(col("ids2"), col("idsx"))).cast("long").as("n_overlap"),
+        (size(array_intersect(col("ids2"), col("idsx"))) * 1000).cast("long").as("recall_bp"))
+      .join(qe, Seq("probe_id"))
+      .orderBy("probe_id")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117)
 }

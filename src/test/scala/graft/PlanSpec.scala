@@ -239,4 +239,22 @@ class PlanSpec extends AnyFunSuite {
       s"KmvMin must aggregate as partial+final object hash agg:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q117: serving chain reads code/codebook artifacts and never re-encodes") {
+    val p = plan("q117_trained_retrieval_chain")
+    // the only parquet scans allowed are the four artifact tables (codes,
+    // trained codebook, error sidecar, IVF centroids) — a re-encode would
+    // need a fifth scan of embeddings plus an encode aggregate; probes and
+    // the pair frame are checkpointed out of the plan. Count the detail
+    // entries ("(NN) Scan parquet"), not tree lines — FormattedMode
+    // prints every scan twice.
+    val scans = p.linesIterator.count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans <= 4, s"only artifact tables may be scanned, saw $scans:\n$p")
+    assert(!p.contains("Window"),
+      s"all three top-k selections must run as TopKMin partials, not windows:\n$p")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cell-keyed LUT must broadcast to the shortlist code join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -310,6 +310,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(codes.agg(min(col("k"))).head().getLong(0) >= 0L)
   }
 
+  test("trained residual-PQ artifact: Lloyd round strictly reduces total error, codes+sidecars frozen") {
+    val path = ops.Similarity.buildTrainedResPqIndex(spark, sf)
+    val success = new java.io.File(path, "_SUCCESS")
+    assert(success.exists())
+    val mtime = success.lastModified()
+    ops.Similarity.buildTrainedResPqIndex(spark, sf)
+    assert(success.lastModified() === mtime, "second build must reuse the committed artifact")
+    val vectors = Catalog.table(spark, sf, "embeddings").count()
+    val codes = spark.read.parquet(path)
+    assert(codes.count() === vectors * ops.Similarity.PqM, "one code row per (vector, subspace)")
+    val errs = spark.read.parquet(ops.Similarity.errPath(path))
+    assert(errs.count() === vectors, "one error row per vector")
+    // Lloyd monotonicity is a TOTAL-error guarantee (assignment and
+    // update steps each reduce the sum); individual vectors may get
+    // worse, so only the corpus sum is pinned
+    val t = errs.agg(sum(col("err_seed_fp")).as("s0"), sum(col("err_trained_fp")).as("s1")).head()
+    assert(t.getLong(1) < t.getLong(0),
+      "one Lloyd round must strictly reduce the corpus quantization error")
+    // the frozen trained codebook travels with the codes: M*K rows
+    val cb = spark.read.parquet(ops.Similarity.cbPath(path))
+    assert(cb.count() === ops.Similarity.PqM.toLong * ops.Similarity.PqK)
+  }
+
   test("MAD outlier rule resists masking where the 3-sigma rule does not") {
     import spark.implicits._
     // 0..99 plus a huge and a medium outlier: the huge one inflates the
