@@ -28,12 +28,15 @@ import graft.queries.Q
   * any p), and only the closing α·m² / Σ division runs in doubles — the
   * same IEEE operations in the same order in both engines, with α inlined
   * into the oracle SQL from the Scala double (shortest-roundtrip printing
-  * parses back to the identical double). The raw Flajolet–Fusy–Gandouet–
-  * Meunier estimator only (no linear-counting small-range correction: its
-  * m·ln(m/V) term is transcendental and libm vs JVM differ in the last
-  * ulp, which would break oracle parity; production use below n ≈ 2.5·m
-  * would add it — q108 stays well above that regime, q109 sits at its
-  * edge by design, see above).
+  * parses back to the identical double). The ORACLED columns carry the raw
+  * Flajolet–Fusy–Gandouet–Meunier estimator only (the linear-counting
+  * small-range term m·ln(m/V) is transcendental and libm vs JVM differ in
+  * the last ulp, which would break oracle parity — q108 stays well above
+  * that regime, q109 sits at its edge by design, see above). The
+  * PRODUCTION estimator is `hllEstimateCorrected`: it adds the standard
+  * linear-counting branch below ≈2.5·m, correctness spec-pinned against
+  * exact counts over a 1 → 50·m cardinality sweep (SketchSpec) instead of
+  * oracled.
   */
 object Sketches {
 
@@ -91,6 +94,31 @@ object Sketches {
         lit(alphaFor(p)) * lit((m * m).toDouble) * lit(math.pow(2.0, maxRho(p)))
           / col("reg_denom").cast("double"))
       .drop("denom_present")
+  }
+
+  /** PRODUCTION estimator: `hllEstimate`'s raw FFGM value with the
+    * standard linear-counting small-range correction (Flajolet et al.
+    * 2007, §4): when the raw estimate falls at or below 2.5·m and at
+    * least one register is still empty, return m·ln(m/V) (V = empty
+    * registers) — the regime where the raw estimator's collision bias
+    * dominates and linear counting is near-exact. ln is transcendental,
+    * so `hll_corrected` is deliberately NOT carried in the DuckDB-oracled
+    * q108/q109 columns (libm vs JVM differ in the last ulp; the raw
+    * column keeps bit parity); its correctness is spec-pinned instead —
+    * SketchSpec sweeps cardinalities 1 → 50·m and holds the corrected
+    * estimate inside the published error envelope where the raw one
+    * drifts far outside below ~2.5·m. Adds `n_empty` and
+    * `hll_corrected` beside the raw columns; same one-aggregate scale
+    * shape.
+    */
+  def hllEstimateCorrected(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1L << p
+    hllEstimate(registers, groupCols, p)
+      .withColumn("n_empty", (lit(m) - col("n_buckets")).cast("long"))
+      .withColumn("hll_corrected",
+        when(col("hll_estimate") <= lit(2.5 * m) && col("n_empty") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty").cast("double")))
+          .otherwise(col("hll_estimate")))
   }
 
   /** Oracle fragments mirroring the three helpers above, parameterized the

@@ -33,6 +33,47 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("corrected estimator holds its error envelope over a 1 -> 50*m cardinality sweep") {
+    // the production regime split (raw FFGM above ~2.5*m, linear counting
+    // below): for every n the corrected estimate must stay within the
+    // estimator's published envelope — linear counting is near-exact at
+    // tiny n where the raw estimator's collision bias dominates, and the
+    // branch must hand over to raw continuously above the boundary.
+    val p = 6
+    val m = 1 << p // 64; sweep 1 -> 3200 = 50*m
+    val sweep = Seq(1, 2, 5, 10, 25, 50, 100, 160, 320, 640, 1600, 3200)
+    val sigma = 1.04 / math.sqrt(m.toDouble)
+    for (n <- sweep) {
+      val df = (1 to n).map(i => (0, s"sweep-key-$i")).toDF("g", "k")
+      val row = Sketches.hllEstimateCorrected(
+        Sketches.hllRegisters(df, Seq("g"), col("k"), p), Seq("g"), p)
+        .collect().head
+      val corrected = row.getAs[Double]("hll_corrected")
+      val absErr = math.abs(corrected - n)
+      val relErr = absErr / n.toDouble
+      // the PUBLISHED envelopes: linear counting's standard error is
+      // sqrt(m(e^t - t - 1))/t at load t = n/m (Whang et al. 1990),
+      // the raw FFGM regime's is 1.04/sqrt(m); the branch choice depends
+      // on the raw estimate, so accept either 3-sigma envelope (plus a
+      // 2-key absolute floor where one collision is the whole error)
+      val t = n.toDouble / m
+      val seLc = math.sqrt(m * (math.exp(t) - t - 1.0)) / t
+      val ok = absErr <= 3 * seLc || relErr <= 3 * sigma || absErr <= 2.0
+      assert(ok, s"n=$n corrected=$corrected absErr=$absErr relErr=$relErr " +
+        s"outside both envelopes (3*seLc=${3 * seLc}, 3*sigma_rel=${3 * sigma})")
+    }
+    // the small-range fix matters: at n = m/2 the raw estimator is far
+    // outside the envelope the corrected one satisfies
+    val small = (1 to m / 2).map(i => (0, s"sweep-key-$i")).toDF("g", "k")
+    val sr = Sketches.hllEstimateCorrected(
+      Sketches.hllRegisters(small, Seq("g"), col("k"), p), Seq("g"), p)
+      .collect().head
+    val rawErr = math.abs(sr.getAs[Double]("hll_estimate") - m / 2) / (m / 2).toDouble
+    val corErr = math.abs(sr.getAs[Double]("hll_corrected") - m / 2) / (m / 2).toDouble
+    assert(corErr < rawErr, "correction must strictly beat raw in the small range")
+    assert(rawErr > 0.15, s"raw small-range bias should be visible (got $rawErr)")
+  }
+
   test("per-partition registers merged by max equal the whole-table registers") {
     val df = keyed(3000).withColumn("part", (length(col("k")) % 3).cast("int"))
     val whole = Sketches.hllRegisters(df, Seq("g"), col("k"), 6)
