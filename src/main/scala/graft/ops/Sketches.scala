@@ -297,37 +297,55 @@ object Sketches {
     val sk = dk.groupBy("event_type")
       .agg(graft.functions.KmvMin.kmvMin(KmvK)(col("h")).as("mins"),
         count(lit(1)).as("nd"))
-    val a = sk.select(col("event_type").as("type_a"), col("mins").as("am"), col("nd").as("na"))
-    val b = sk.select(col("event_type").as("type_b"), col("mins").as("bm"), col("nd").as("nb"))
-    val ux = a.join(b, col("type_a") < col("type_b"))
-      .withColumn("u", slice(array_sort(array_union(col("am"), col("bm"))), 1, KmvK))
-    val est = ux.select(
-      col("type_a"), col("type_b"), col("na"), col("nb"),
-      size(col("u")).cast("long").as("n_u"),
-      size(filter(col("u"),
-        x => array_contains(col("am"), x) && array_contains(col("bm"), x)))
-        .cast("long").as("c"),
-      // CaseWhen short-circuit is LOAD-BEARING: under ANSI mode
-      // element_at(u, KmvK) throws when size(u) < KmvK, and only the
-      // lazy when/otherwise evaluation guards it. Do not hoist the
-      // otherwise-expression into a separate column (see verify skill).
-      when(size(col("u")) < KmvK, size(col("u")).cast("double"))
-        .otherwise((lit((KmvK - 1).toDouble) * lit(math.pow(2.0, 60)))
-          / element_at(col("u"), KmvK).cast("double")).as("kmv_union_est"))
+    val est = kmvPairEstimates(sk.select(col("event_type"), col("mins")), KmvK)
+    val cnt = sk.select(col("event_type"), col("nd"))
     val inter = dk.as("x").join(dk.as("y"),
         col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
       .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_exact_inter"))
-    est.join(inter, Seq("type_a", "type_b"), "left")
+    est
+      .join(cnt.select(col("event_type").as("type_a"), col("nd").as("na")), Seq("type_a"))
+      .join(cnt.select(col("event_type").as("type_b"), col("nd").as("nb")), Seq("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"),
         coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
         (col("na") + col("nb") - coalesce(col("n_exact_inter"), lit(0L)))
           .cast("long").as("n_exact_union"),
         col("kmv_union_est"),
-        (col("c").cast("double") / col("n_u").cast("double")).as("kmv_jaccard"),
-        ((col("c").cast("double") / col("n_u").cast("double")) * col("kmv_union_est"))
-          .as("kmv_inter_est"))
+        col("kmv_jaccard"),
+        col("kmv_inter_est"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** Pairwise overlap estimates from per-group KMV sketches ALONE —
+    * (type_a, type_b, n_u, c, kmv_union_est, kmv_jaccard, kmv_inter_est)
+    * for every group pair, as pure functions of the (event_type, mins)
+    * sketch frame. The shared kernel of q110's in-query estimates and the
+    * streaming artifact serving (SketchStream.overlapFromArtifact): both
+    * paths build this identical expression tree, so served estimates are
+    * bit-equal to in-query ones (StreamingSpec-pinned).
+    */
+  def kmvPairEstimates(sk: DataFrame, k: Int): DataFrame = {
+    val a = sk.select(col("event_type").as("type_a"), col("mins").as("am"))
+    val b = sk.select(col("event_type").as("type_b"), col("mins").as("bm"))
+    val ux = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", slice(array_sort(array_union(col("am"), col("bm"))), 1, k))
+    ux.select(
+      col("type_a"), col("type_b"),
+      size(col("u")).cast("long").as("n_u"),
+      size(filter(col("u"),
+        x => array_contains(col("am"), x) && array_contains(col("bm"), x)))
+        .cast("long").as("c"),
+      // CaseWhen short-circuit is LOAD-BEARING: under ANSI mode
+      // element_at(u, k) throws when size(u) < k, and only the lazy
+      // when/otherwise evaluation guards it. Do not hoist the
+      // otherwise-expression into a separate column (see verify skill).
+      when(size(col("u")) < k, size(col("u")).cast("double"))
+        .otherwise((lit((k - 1).toDouble) * lit(math.pow(2.0, 60)))
+          / element_at(col("u"), k).cast("double")).as("kmv_union_est"))
+      .withColumn("kmv_jaccard",
+        col("c").cast("double") / col("n_u").cast("double"))
+      .withColumn("kmv_inter_est", col("kmv_jaccard") * col("kmv_union_est"))
   }
 
   val all: Seq[Q] = Seq(q108, q109, q110)

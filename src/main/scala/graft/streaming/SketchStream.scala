@@ -44,18 +44,30 @@ object SketchStream {
     * result (every sketch artifact is ≤ groups × k rows by design), and
     * only then overwrite — the write never reads the path it replaces.
     */
-  private def foldArtifact(spark: SparkSession, batch: DataFrame, artifactDir: String)(
+  private def foldArtifact(spark: SparkSession, batch: DataFrame, artifactDir: String,
+      partitionCol: Option[String] = None)(
       merge: DataFrame => DataFrame): Unit = {
     val f = new java.io.File(artifactDir)
+    val hasData = f.exists() && f.listFiles() != null &&
+      f.listFiles().exists(x => x.getName.endsWith(".parquet") ||
+        (x.isDirectory && x.getName.contains("=")))
     val prior =
-      if (f.exists() && f.listFiles() != null &&
-          f.listFiles().exists(_.getName.endsWith(".parquet")))
-        spark.read.parquet(artifactDir)
-      else batch.filter(lit(false))
+      if (hasData) {
+        // a partitioned layout resurfaces its partition column last and
+        // with an inferred type — re-align names and types to the batch.
+        // Cast only on a REAL type difference: cast refuses
+        // nullability-only array mismatches (ARRAY<BIGINT> either way).
+        val raw = spark.read.parquet(artifactDir)
+        raw.select(batch.columns.map { c =>
+          val t = batch.schema(c).dataType
+          if (raw.schema(c).dataType.sql == t.sql) col(c) else col(c).cast(t)
+        }: _*)
+      } else batch.filter(lit(false))
     val mdf = merge(prior.unionByName(batch))
     val rows = mdf.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
-      .coalesce(1).write.mode("overwrite").parquet(artifactDir)
+    val out = spark.createDataFrame(java.util.Arrays.asList(rows: _*), mdf.schema)
+      .coalesce(1).write.mode("overwrite")
+    partitionCol.fold(out)(c => out.partitionBy(c)).parquet(artifactDir)
   }
 
   /** Fold batch registers into the artifact by register-wise MAX. */
@@ -86,6 +98,50 @@ object SketchStream {
     */
   def estimates(spark: SparkSession, artifactDir: String, p: Int = 6): DataFrame =
     Sketches.hllEstimate(spark.read.parquet(artifactDir), Seq("event_type"), p)
+
+  /** Register sink with the group as a PARTITION column in the artifact
+    * layout (event_type=… directories): the same max-merge fold, but a
+    * per-source dashboard (q79-style) serving ONE group reads one
+    * partition directory — partition-pruned scan over m register rows,
+    * zero event rescans (StreamingSpec pins the pruned file set).
+    */
+  def sketchSinkPartitioned(stream: DataFrame, artifactDir: String, checkpointDir: String,
+      p: Int = 6): StreamingQuery =
+    stream.writeStream
+      .queryName("hll_register_maintenance_partitioned")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val regs = Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p)
+        foldArtifact(batch.sparkSession, regs, artifactDir, Some("event_type"))(
+          _.groupBy("event_type", "bucket").agg(max("r").as("r")))
+        ()
+      }
+      .start()
+
+  /** Serve ONE group's distinct estimate off its artifact partition: the
+    * equality filter prunes the partitioned layout to a single directory
+    * (the scan's PartitionFilters, ≤ m rows read), and the estimator is
+    * the PRODUCTION one — `hllEstimateCorrected`, including the
+    * linear-counting small-range branch a dashboard group below ~2.5·m
+    * needs.
+    */
+  def estimateFor(spark: SparkSession, artifactDir: String, group: String,
+      p: Int = 6): DataFrame =
+    Sketches.hllEstimateCorrected(
+      spark.read.parquet(artifactDir).filter(col("event_type") === group),
+      Seq("event_type"), p)
+
+  /** q110's overlap estimates served OFF THE MAINTAINED ARTIFACT: union,
+    * Jaccard, and intersection size per group pair as pure functions of
+    * the folded k-min sketches — zero event rescans at serving time.
+    * Shares q110's expression kernel (Sketches.kmvPairEstimates), so
+    * after streaming a corpus the served estimates equal the in-query
+    * ones bit-for-bit (StreamingSpec-pinned); the exact-count companion
+    * columns need the raw keys and remain batch-only.
+    */
+  def overlapFromArtifact(spark: SparkSession, artifactDir: String, k: Int = 256): DataFrame =
+    Sketches.kmvPairEstimates(spark.read.parquet(artifactDir), k)
 
   /** Fold a batch's KMV sketches into the artifact: merged sketch = the k
     * smallest distinct values of the concatenation (SketchSpec pins this

@@ -529,4 +529,101 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("event_type") -> r.getSeq[Long](1)).toMap
     assert(got === batch, "maintained KMV sketches must equal the one-shot batch sketches")
   }
+
+  test("KMV overlap served off the maintained artifact equals q110's in-query estimates") {
+    import graft.streaming.SketchStream
+    val landing = tmpDir("graft-kmvov-landing")
+    val artifact = tmpDir("graft-kmvov-art") + "/sk"
+    val checkpoint = tmpDir("graft-kmvov-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val ev = Catalog.table(spark, sf, "events")
+    val ids = ev.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-kmvov-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // stream the SAME corpus q110 queries, at q110's k, in two chunks
+    land(ev.filter(col("event_id") < cut), "f1.parquet")
+    SketchStream.kmvSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint, k = ops.Sketches.KmvK).awaitTermination()
+    land(ev.filter(col("event_id") >= cut), "f2.parquet")
+    SketchStream.kmvSink(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint, k = ops.Sketches.KmvK).awaitTermination()
+
+    def estMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Double]("kmv_union_est"), r.getAs[Double]("kmv_jaccard"),
+          r.getAs[Double]("kmv_inter_est")))).toMap
+    val served = estMap(SketchStream.overlapFromArtifact(spark, artifact))
+    val inQuery = estMap(ops.Sketches.q110.fn(spark, sf)
+      .select("type_a", "type_b", "kmv_union_est", "kmv_jaccard", "kmv_inter_est"))
+    // bit-equal doubles: both paths run Sketches.kmvPairEstimates over
+    // identical folded sketches
+    assert(served === inQuery,
+      "artifact-served overlap estimates must equal q110's in-query estimates")
+  }
+
+  test("partitioned register artifact: fold equals batch, one-group serving prunes to one partition") {
+    import graft.streaming.SketchStream
+    import graft.ops.Sketches
+    val landing = tmpDir("graft-hllp-landing")
+    val artifact = tmpDir("graft-hllp-art") + "/regs"
+    val checkpoint = tmpDir("graft-hllp-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val ev = Catalog.table(spark, sf, "events")
+    val ids = ev.select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-hllp-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(ev.filter(col("event_id") < cut), "f1.parquet")
+    SketchStream.sketchSinkPartitioned(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+    land(ev.filter(col("event_id") >= cut), "f2.parquet")
+    SketchStream.sketchSinkPartitioned(SketchStream.readEventStream(spark, landing),
+      artifact, checkpoint).awaitTermination()
+
+    // the partitioned fold carries the same registers as the batch build
+    def regMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("bucket"), col("r").cast("int"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket")) -> r.getInt(2))
+      .toMap
+    val batchRegs = Sketches.hllRegisters(ev, Seq("event_type"), SketchStream.userDayKey, 6)
+    assert(regMap(spark.read.parquet(artifact)) === regMap(batchRegs))
+
+    // serving one group: the scan prunes to that group's partition — the
+    // probe that estimate-serving touches ONLY artifact register rows
+    val group = ev.select("event_type").distinct().orderBy("event_type")
+      .head().getString(0)
+    val served = SketchStream.estimateFor(spark, artifact, group)
+    // inputFiles reports the UNPRUNED file index, so probe the physical
+    // scan: the group equality must land in PartitionFilters (directory
+    // pruning — one event_type=… partition listed, not filtered rows),
+    // and the read schema must be the register column alone
+    val plan = served.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*event_type#\d+ = $group".r
+        .findFirstIn(plan).isDefined,
+      s"group equality must prune as a partition filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<r:int>"),
+      s"serving must read only the register rows of the artifact:\n$plan")
+
+    // and the served value is the production (corrected) batch estimate
+    val expected = Sketches.hllEstimateCorrected(
+      batchRegs.filter(col("event_type") === group), Seq("event_type"), 6)
+      .head().getAs[Double]("hll_corrected")
+    assert(served.head().getAs[Double]("hll_corrected") == expected)
+  }
 }
