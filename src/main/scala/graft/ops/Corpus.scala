@@ -443,5 +443,167 @@ object Corpus {
       .orderBy("round", "merge_rank")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105)
+  /** q54's GPT-2-style pretokenizer over a documents frame: (doc_id, t).
+    * The stream BPE training and encoding both start from — shared so the
+    * zero-merge encode is exactly q54's token counts (spec-pinned).
+    */
+  def pretokens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit(TextOps.bpePattern), lit(0)).as("t"))
+
+  /** Adjacent-pair counts of a (doc_id, t) token frame — q105's counting
+    * stage as a reusable kernel (vocabulary²-bounded output).
+    */
+  private def pairCountsOf(toks: DataFrame): DataFrame = toks
+    .filter(size(col("t")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))"))
+      .as("p"))
+    .groupBy(col("p.a").as("left_tok"), col("p.b").as("right_tok"))
+    .agg(count(lit(1)).as("pair_count"))
+
+  /** TRAIN-half: learn k ranked merges by iterating q105's loop — count
+    * pairs, take the (pair_count DESC, left, right) winner, rewrite the
+    * stream with the `bpe_merge` kernel, repeat. Each round collects ONE
+    * winner row to the driver (k rows total — bounded by the requested
+    * vocabulary growth, never by the corpus) and localCheckpoints the
+    * rewritten stream so round r+1 never replays rounds 1..r.
+    */
+  def trainMerges(tk0: DataFrame, k: Int): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var tk = tk0
+    for (_ <- 1 to k) {
+      val w = pairCountsOf(tk)
+        .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+        .limit(1).collect()
+      if (w.nonEmpty) {
+        val (a, b) = (w(0).getString(0), w(0).getString(1))
+        out += ((a, b))
+        tk = tk.select(col("doc_id"),
+          graft.functions.BpeMerge(col("t"), lit(a), lit(b)).as("t"))
+          .localCheckpoint()
+      }
+    }
+    out.toSeq
+  }
+
+  /** APPLY-half: encode a pretoken stream with a ranked merge table —
+    * one fused `bpe_merge` kernel pass per rank, in rank order (the
+    * trainer's own rewrite order, so encoding the training corpus
+    * reproduces its final stream exactly). Merges ride as literals: the
+    * rewrite is pure per-row map work, no join, no shuffle.
+    */
+  def bpeEncode(tk: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(tk) { case (df, (a, b)) =>
+      df.select(col("doc_id"),
+        graft.functions.BpeMerge(col("t"), lit(a), lit(b)).as("t"))
+    }
+
+  private val BpeEncodeRounds = 3
+
+  private def q118OracleSql: String = {
+    val pat = TextOps.bpePattern.replace("'", "''")
+    def round(r: Int, in: String): String =
+      s"""c$r AS (
+         |  SELECT p.a AS left_tok, p.b AS right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+         |  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS p
+         |        FROM $in WHERE len(t) >= 2)
+         |  GROUP BY 1, 2
+         |), top$r AS (
+         |  SELECT left_tok AS ma, right_tok AS mb FROM c$r
+         |  ORDER BY pair_count DESC, left_tok, right_tok LIMIT 1
+         |), pos$r AS (
+         |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM $in
+         |), mt$r AS (
+         |  SELECT p.doc_id, p.i, p.tok,
+         |    (p.tok = t1.ma
+         |      AND lead(p.tok) OVER (PARTITION BY p.doc_id ORDER BY p.i) = t1.mb) AS m
+         |  FROM pos$r p CROSS JOIN top$r t1
+         |), isl$r AS (
+         |  SELECT doc_id, i, tok, m,
+         |    CASE WHEN m THEN i - ROW_NUMBER() OVER (PARTITION BY doc_id, m ORDER BY i) END AS grp
+         |  FROM mt$r
+         |), mrg$r AS (
+         |  SELECT doc_id, i, tok,
+         |    CASE WHEN m THEN (ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1) % 2 = 0
+         |      ELSE FALSE END AS do_merge
+         |  FROM isl$r
+         |), rb$r AS (
+         |  SELECT g.doc_id, g.i, g.tok, g.do_merge, t1.ma, t1.mb,
+         |    COALESCE(LAG(g.do_merge) OVER (PARTITION BY g.doc_id ORDER BY g.i), FALSE) AS prev_merge
+         |  FROM mrg$r g CROSS JOIN top$r t1
+         |), tk$r AS (
+         |  SELECT doc_id, list(CASE WHEN do_merge THEN ma || mb ELSE tok END ORDER BY i) AS t
+         |  FROM rb$r WHERE NOT prev_merge GROUP BY doc_id
+         |)""".stripMargin
+    val rounds = (1 to BpeEncodeRounds)
+      .map(r => round(r, if (r == 1) "tk0" else s"tk${r - 1}")).mkString(",\n")
+    val fin = s"tk$BpeEncodeRounds"
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$pat') AS t FROM documents
+       |),
+       |$rounds,
+       |vocab AS (
+       |  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS id
+       |  FROM (SELECT DISTINCT unnest(t) AS token FROM $fin)
+       |), posi AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok FROM $fin
+       |), ids AS (
+       |  SELECT p.doc_id,
+       |    array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY p.i), ',') AS token_ids
+       |  FROM posi p JOIN vocab v ON p.tok = v.token
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT t0.doc_id,
+       |  CAST(len(t0.t) AS BIGINT) AS n_pretokens,
+       |  CAST(COALESCE(len(f.t), 0) AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN len(t0.t) = 0 THEN 0
+       |       ELSE (len(t0.t) - COALESCE(len(f.t), 0)) * 10000 // len(t0.t) END AS BIGINT)
+       |    AS compression_bp,
+       |  COALESCE(i.token_ids, '') AS token_ids
+       |FROM tk0 t0
+       |LEFT JOIN $fin f ON t0.doc_id = f.doc_id
+       |LEFT JOIN ids i ON t0.doc_id = i.doc_id
+       |ORDER BY t0.doc_id""".stripMargin
+  }
+
+  /** q118 — the tokenizer APPLY-half q105 trains for: learn a 3-entry
+    * ranked merge table (q105's count→winner→rewrite loop iterated), then
+    * ENCODE the corpus with it — `bpeEncode`'s iterated kernel passes —
+    * and emit per-document token ids (dense ids over the final
+    * vocabulary, sorted-token order) plus tokens/doc and compression vs
+    * the q54 pretokenizer. Scale shape: training is k (count + rewrite)
+    * corpus-linear rounds with a 1-row driver collect each; encoding is
+    * pure per-row kernel work with the merges as literals (no join);
+    * id assignment sorts only the VOCABULARY (bounded, never the
+    * corpus) and broadcasts it back to one posexplode join. The oracle
+    * unrolls all three training rounds with q105's gaps-and-islands run
+    * parity and replays them as the encode — bit-identical because run
+    * parity equals greedy left-to-right exactly.
+    */
+  val q118 = Q("q118_bpe_encode", q118OracleSql) { (s, dir) =>
+    graft.functions.BpeMerge.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val tk0 = pretokens(docs(s, dir)).localCheckpoint()
+    val merges = trainMerges(tk0, BpeEncodeRounds)
+    val enc = bpeEncode(tk0, merges).localCheckpoint()
+    val vocab = enc.select(explode(col("t")).as("token")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("token")).cast("long"))
+    val ids = enc.select(col("doc_id"), posexplode(col("t")).as(Seq("i", "token")))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, id))), " +
+        "r -> CAST(r.id AS STRING)), ',')").as("token_ids"))
+    tk0.select(col("doc_id"), size(col("t")).cast("long").as("n_pretokens"))
+      .join(enc.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pretokens"), col("n_tokens"),
+        expr("CAST(CASE WHEN n_pretokens = 0 THEN 0 " +
+          "ELSE ((n_pretokens - n_tokens) * 10000) div n_pretokens END AS BIGINT)")
+          .as("compression_bp"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118)
 }

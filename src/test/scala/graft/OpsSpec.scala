@@ -711,6 +711,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncode with zero merges is the identity: counts equal q54's pretokenizer") {
+    val tk0 = graft.ops.Corpus.pretokens(Catalog.table(spark, sf, "documents"))
+    val enc = graft.ops.Corpus.bpeEncode(tk0, Nil)
+      .select(col("doc_id"), size(col("t")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val q54 = graft.ops.TextOps.q54.fn(spark, sf)
+      .select("doc_id", "n_bpe_tokens")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bpe_tokens")).toMap
+    assert(enc === q54, "zero-merge encoding must reproduce the q54 pretoken counts")
+  }
+
+  test("q118: encoding the training corpus reproduces the trainer's final stream") {
+    graft.functions.BpeMerge.register(spark)
+    val tk0 = graft.ops.Corpus.pretokens(Catalog.table(spark, sf, "documents"))
+      .localCheckpoint()
+    val merges = graft.ops.Corpus.trainMerges(tk0, 3)
+    assert(merges.size === 3)
+    assert(merges.distinct.size === 3, "each round must learn a NEW merge (the old pair is gone)")
+    // compression is real and monotone in k on this corpus
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(size(col("t")))).head().getLong(0)
+    val n0 = total(tk0)
+    val n2 = total(graft.ops.Corpus.bpeEncode(tk0, merges.take(2)))
+    val n3 = total(graft.ops.Corpus.bpeEncode(tk0, merges))
+    assert(n3 < n2 && n2 < n0, s"each merge rank must shrink the stream: $n0 -> $n2 -> $n3")
+  }
+
   test("q105 merge loop: round 2 reflects the applied merge") {
     val rows = graft.ops.Corpus.q105.fn(spark, sf).collect()
     val r1 = rows.filter(_.getAs[Long]("round") == 1L).sortBy(_.getAs[Long]("merge_rank"))
