@@ -418,10 +418,13 @@ object Mining {
   /** Fraction of each source's token mass the budget admits. */
   val BudgetFraction = 0.4
 
-  private def q95OracleSql: String = {
+  /** The q95 scoring/selection CTE body (tk/sc/q/win), shared with q119's
+    * oracle so the resharder consumes exactly the selection q95 defines.
+    */
+  private def q95WithBody: String = {
     val w = classifierWeights.mkString("[", ", ", "]")
     val mean = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE FLOOR(CAST(score AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 END"
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
        |), sc AS (
        |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -436,13 +439,16 @@ object Mining {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
        |    SUM(n_tokens) OVER (PARTITION BY source) AS tokens_total
        |  FROM q
-       |)
+       |)""".stripMargin
+  }
+
+  private def q95OracleSql: String =
+    s"""WITH $q95WithBody
        |SELECT doc_id, source, n_tokens, quality_score,
        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
        |  CAST(FLOOR(tokens_total * $BudgetFraction) AS BIGINT) AS quota,
        |  (cum_tokens <= FLOOR(tokens_total * $BudgetFraction)) AS selected
        |FROM win ORDER BY doc_id""".stripMargin
-  }
 
   /** q95 — data selection under a token budget: within each source, admit
     * documents in quality order (classifier score per token, doc_id
@@ -475,6 +481,71 @@ object Mining {
         col("cum_tokens"), quota.as("quota"),
         (col("cum_tokens") <= quota).as("selected"))
       .orderBy("doc_id")
+  }
+
+  // ── q119: deterministic corpus resharding with manifests ─────────────
+
+  /** Token budget per training shard (the size bound). */
+  val ShardBudget = 4096L
+
+  private def q119OracleSql: String = {
+    val hkSql = Dedup.h60Sql("CAST(s.doc_id AS VARCHAR)")
+    val chSql = Dedup.h60Sql("trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))")
+    s"""WITH $q95WithBody, sel AS (
+       |  SELECT doc_id, n_tokens FROM win
+       |  WHERE cum_tokens <= FLOOR(tokens_total * $BudgetFraction)
+       |), h AS (
+       |  SELECT s.doc_id, s.n_tokens, $hkSql AS hk, $chSql AS ch
+       |  FROM sel s JOIN documents d ON s.doc_id = d.doc_id
+       |), cum AS (
+       |  SELECT doc_id, n_tokens, hk, ch,
+       |    SUM(n_tokens) OVER (ORDER BY hk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+       |  FROM h
+       |)
+       |SELECT CAST(cum_before // $ShardBudget AS BIGINT) AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  bit_xor(ch) AS checksum,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+       |FROM cum
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
+  }
+
+  /** q119 — deterministic resharding of the CURATED corpus into
+    * size-bounded training shards, with a verification manifest: q95's
+    * budget-selected documents are laid out in h60(doc_id) hash order
+    * (decorrelates source/ingest order, reproducible across runs and
+    * engines), a PrefixSum running token total cuts shard boundaries
+    * every $ShardBudget tokens (each shard ≤ budget + one document), and
+    * the manifest reports per-shard row counts plus an order-independent
+    * XOR content checksum (q78's reconciliation primitive) — what a
+    * training job validates before reading a shard. Scale shape: the
+    * selection is q95's per-source window pass, the prefix sum is the
+    * PrefixSum kernel (NO single-partition window — bucketed two-pass
+    * scan), and the manifest is one hash aggregate over shard_id; output
+    * rows = shard count, growing with corpus tokens / budget. Re-running
+    * on the same corpus is byte-identical (spec-pinned): every step is a
+    * pure function of content hashes.
+    */
+  val q119 = Q("q119_reshard_manifest", q119OracleSql) { (s, dir) =>
+    val sel = q95.fn(s, dir).filter(col("selected"))
+      .select(col("doc_id"), col("n_tokens"))
+    val h = sel.join(docs(s, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        Dedup.h60Col(col("doc_id").cast("string")).as("hk"),
+        Dedup.h60Col(TextOps.normalized(col("text"))).as("ch"))
+    val cum = graft.exec.PrefixSum.runningTotal(h, "hk", "n_tokens", "cum")
+      .withColumn("cum_before", col("cum") - col("n_tokens"))
+    cum.groupBy(expr(s"CAST(cum_before div $ShardBudget AS BIGINT)").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        expr("bit_xor(ch)").as("checksum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard_id")
   }
 
   // ── q96: winnowing fingerprint sketches ───────────────────────────────
@@ -567,5 +638,5 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102)
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119)
 }

@@ -207,4 +207,39 @@ class MiningSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"scoring must not shuffle before the sort:\n$p")
   }
+
+  test("q119: shards are size-bounded, cover the selection exactly, and re-run byte-identical") {
+    val manifest = Mining.q119.fn(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    // shard ids are dense from 0 (hash order leaves no gaps)
+    assert(manifest.map(_.getAs[Long]("shard_id")).toSeq ===
+      (0L until manifest.length.toLong))
+    // the size bound: a shard never exceeds budget + one document's
+    // tokens (the doc that crosses the cut), and only the LAST shard may
+    // run light
+    val sel = Mining.q95.fn(spark, sf).filter(col("selected"))
+    val maxDoc = sel.agg(max(col("n_tokens"))).head().getLong(0)
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("shard_tokens") <= Mining.ShardBudget + maxDoc,
+        s"shard ${r.getAs[Long]("shard_id")} exceeds the bound")
+    }
+    manifest.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("shard_tokens") >= Mining.ShardBudget - maxDoc,
+        s"non-final shard ${r.getAs[Long]("shard_id")} is underfilled")
+    }
+    // coverage: manifest totals equal the q95 selection exactly
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === sel.count())
+    assert(manifest.map(_.getAs[Long]("shard_tokens")).sum ===
+      sel.agg(sum(col("n_tokens"))).head().getLong(0))
+    // determinism: a re-run materializes BYTE-identical manifest parquet
+    def writeOnce(tag: String): Array[Byte] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-manifest-$tag").toString
+      Mining.q119.fn(spark, sf).coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = new java.io.File(dir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.readAllBytes(part.toPath)
+    }
+    assert(java.util.Arrays.equals(writeOnce("a"), writeOnce("b")),
+      "re-running the resharder on the same corpus must be byte-identical")
+  }
 }
