@@ -293,7 +293,7 @@ object Scratch {
           evUN.groupBy("event_type").agg(countDistinct(userDayKey)).count()
         }
         // the duplicated probe corpus keeps the rep-level graph under the
-        // one-task bound, so force the distributed loop to evidence the
+        // one-task bound, so force the shuffle loop to evidence the
         // big-graph path's scaling too
         time(s"docs${mult}.cc_shuffle_loop") {
           val reps = docs10.groupBy(md5(graft.ops.TextOps.normalized(col("text"))).as("fp"))
@@ -305,6 +305,113 @@ object Scratch {
             .select(col("doc_id").as("src"), col("doc_b").as("dst"))
           graft.ops.Cluster.connectedComponents(edges,
             reps.select(col("rep_id").as("id")), smallGraphMaxEdges = 0).count()
+        }
+        // ── round-6/7 family probes at Nx ────────────────────────────────
+        import graft.ops.Similarity
+        graft.functions.VecDot.register(spark)
+        graft.functions.BpeMerge.register(spark)
+        val embN = x10("embeddings", "vec_id", 1000000L)
+          .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+        // q104's cost law: cluster COUNT scales with n (salt by mult), so
+        // per-cluster size — and per-row pair work — stays fixed
+        time(s"emb${mult}.semdedup_bounded_clusters") {
+          val a = embN.select(col("vec_id"),
+            struct(col("label"), pmod(col("vec_id"), lit(mult))).as("ck"), col("v"))
+          val b = a.select(col("vec_id").as("b_id"), col("ck").as("bk"), col("v").as("bv"))
+          a.join(b, col("ck") === col("bk") && col("b_id") < col("vec_id"))
+            .select(col("vec_id"), Similarity.dot(col("v"), col("bv")).as("s"))
+            .groupBy("vec_id").agg(max(col("s"))).count()
+        }
+        // q106/q117's serving hot loop: residualize against broadcast cell
+        // centroids, encode, then ADC = M LUT lookups + fixed-point sum
+        time(s"emb${mult}.residual_adc_scan") {
+          val c0 = embN.groupBy(col("label").as("cl"))
+            .agg(min_by(col("v"), col("vec_id")).as("centroid"))
+          val er = embN.join(broadcast(c0), col("label") === col("cl"))
+            .select(col("vec_id"), zip_with(col("v"), col("centroid"), _ - _).as("v"))
+          val sub = er.select(col("vec_id"), explode(array((0 until Similarity.PqM).map(m =>
+              struct(lit(m).as("m"),
+                slice(col("v"), m * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))): _*)).as("p"))
+            .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+          val cb = sub.filter(col("vec_id") < Similarity.PqK)
+            .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
+          val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+            .select(col("vec_id"), col("m"), col("k"),
+              aggregate(zip_with(col("sv"), col("cw"), (x, y) => (x - y) * (x - y)),
+                lit(0.0), _ + _).as("dist"))
+            .groupBy("vec_id", "m").agg(min(struct(col("dist"), col("k"))).as("b"))
+            .select(col("vec_id"), col("m"), col("b.k").as("k"))
+          val lut = cb.select(col("cm").as("lm"), col("k").as("lk"),
+            (col("k") * lit(0.001)).as("ld"))
+          codes.join(broadcast(lut), col("m") === col("lm") && col("k") === col("lk"))
+            .groupBy("vec_id")
+            .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long"))).count()
+        }
+        // q117 stage 1: the only corpus-sized pass of the serving chain —
+        // broadcast probes, 16-dim prefix cosine, TopKMin(50) partials
+        time(s"emb${mult}.truncated_scan_top50") {
+          val p = embN.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("pid"), slice(col("v"), 1, 16).as("pv16"))
+          embN.select(col("vec_id"), slice(col("v"), 1, 16).as("v16"))
+            .crossJoin(broadcast(p)).filter(col("vec_id") =!= col("pid"))
+            .select(col("pid"), col("vec_id"),
+              Similarity.dot(col("pv16"), col("v16")).as("s"))
+            .groupBy("pid")
+            .agg(graft.functions.TopKMin.topKMin(50)(
+              Similarity.simDescKey(col("s")), col("vec_id")).as("tk")).count()
+        }
+        // q105's loop body at Nx: pair count, one bpe_merge rewrite, recount
+        time(s"docs${mult}.bpe_merge_recount") {
+          def pc(toks: org.apache.spark.sql.DataFrame) = toks
+            .filter(size(col("t")) >= 2)
+            .select(explode(expr("transform(sequence(1, size(t)-1), " +
+              "i -> struct(element_at(t, i) AS a, element_at(t, i+1) AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(count(lit(1)).as("c"))
+          val tk = docs10.select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("t"))
+            .localCheckpoint()
+          val top1 = pc(tk).orderBy(col("c").desc, col("a"), col("b")).limit(1)
+            .select(col("a").as("ma"), col("b").as("mb"))
+          val tk2 = tk.crossJoin(broadcast(top1))
+            .select(col("doc_id"), graft.functions.BpeMerge(col("t"), col("ma"), col("mb")).as("t"))
+          pc(tk2).count()
+        }
+        // q118's apply-half at Nx: train on the BASE corpus (once), then
+        // three literal-merge kernel passes over the Nx stream — no join
+        time(s"docs${mult}.bpe_encode_3") {
+          val merges = graft.ops.Corpus.trainMerges(
+            graft.ops.Corpus.pretokens(Catalog.table(spark, sfDir, "documents"))
+              .localCheckpoint(), 3)
+          graft.ops.Corpus.bpeEncode(graft.ops.Corpus.pretokens(docs10), merges)
+            .agg(sum(size(col("t")))).head().getLong(0)
+        }
+        // q110 served off sketches at Nx volume AND cardinality: linear
+        // k-min build, then pair estimates over groups²-bounded sketches
+        time(s"events${mult}.kmv_overlap_estimates") {
+          val sk = evUN.select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
+            .groupBy("event_type")
+            .agg(graft.functions.KmvMin.kmvMin(256)(col("h")).as("mins"))
+          graft.ops.Sketches.kmvPairEstimates(sk, 256).count()
+        }
+        // q113's shape at Nx: TWO RankSelect median selections with a
+        // checkpointed deviation frame between them
+        time(s"events${mult}.mad_double_rank_select") {
+          val evv = ev10.filter(col("value").isNotNull)
+            .select(col("event_type"), col("value"), col("event_id"))
+          val med = graft.ops.RankSelect.groupMedian(evv, "event_type", "value", "event_id")
+            .select(col("event_type").as("et"), col("median_value").as("med"))
+          val dev = evv.join(broadcast(med), col("event_type") === col("et"))
+            .select(col("event_type"), abs(col("value") - col("med")).as("value"), col("event_id"))
+            .localCheckpoint()
+          graft.ops.RankSelect.groupMedian(dev, "event_type", "value", "event_id").count()
+        }
+        // q119's shard cut at Nx docs: hash order + PrefixSum + manifest agg
+        time(s"docs${mult}.reshard_prefix_cut") {
+          val sel = docs10.select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+            graft.ops.Dedup.h60Col(col("doc_id").cast("string")).as("hk"))
+          graft.exec.PrefixSum.runningTotal(sel, "hk", "n_tokens", "cum", 256)
+            .groupBy(expr("CAST((cum - n_tokens) div 4096 AS BIGINT)").as("sid"))
+            .agg(count(lit(1))).count()
         }
         spark.stop(); return
       }
