@@ -686,6 +686,114 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ── q120: corpus-frequency boilerplate span scrubbing ─────────────────
+
+  /** Shingle width (tokens) and the document-frequency threshold above
+    * which a span counts as boilerplate. df ≥ 2 on this corpus flags
+    * exactly the planted duplicated spans; production corpora tune the
+    * threshold up (Gopher-style) as shared phrasing becomes common.
+    */
+  val BoilerShingle = 5
+  val BoilerDf = 2
+
+  private def q120OracleSql: String = {
+    val w = BoilerShingle
+    val ghSql = "CAST('0x' || substr(md5(array_to_string(" +
+      s"list_slice(t, i, i + ${w - 1}), ' ')), 1, 15) AS BIGINT)"
+    val keptH = Dedup.h60Sql("COALESCE(k.kept, '')")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), pos AS (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS j, unnest(t) AS tok FROM tk
+       |), st AS (
+       |  SELECT doc_id, s['i'] AS i, s['gh'] AS gh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - ${w - 2}),
+       |        i -> {'i': i, 'gh': $ghSql})) AS s
+       |    FROM tk WHERE len(t) >= $w)
+       |), df AS (
+       |  SELECT gh, COUNT(*) AS d FROM (SELECT DISTINCT gh, doc_id FROM st) GROUP BY gh
+       |), boiler AS (
+       |  SELECT st.doc_id, st.i FROM st JOIN df ON st.gh = df.gh WHERE df.d >= $BoilerDf
+       |), covered AS (
+       |  SELECT DISTINCT b.doc_id, b.i + o.o AS j
+       |  FROM boiler b CROSS JOIN (SELECT unnest(range(0, $w)) AS o) o
+       |), kept AS (
+       |  SELECT p.doc_id, array_to_string(list(p.tok ORDER BY p.j), ' ') AS kept
+       |  FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+       |  WHERE c.j IS NULL GROUP BY p.doc_id
+       |), bl AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler_spans FROM boiler GROUP BY doc_id
+       |), scr AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scrubbed FROM covered GROUP BY doc_id
+       |)
+       |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(bl.n_boiler_spans, 0) AS BIGINT) AS n_boiler_spans,
+       |  CAST(COALESCE(scr.n_scrubbed, 0) AS BIGINT) AS n_scrubbed,
+       |  CAST(CASE WHEN len(tk.t) = 0 THEN 0
+       |       ELSE COALESCE(scr.n_scrubbed, 0) * 10000 // len(tk.t) END AS BIGINT) AS scrub_bp,
+       |  $keptH AS kept_checksum
+       |FROM tk
+       |LEFT JOIN bl ON tk.doc_id = bl.doc_id
+       |LEFT JOIN scr ON tk.doc_id = scr.doc_id
+       |LEFT JOIN kept k ON tk.doc_id = k.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+  }
+
+  /** q120 — corpus-frequency boilerplate scrubbing (the C4/Gopher span
+    * removal family, adapted to span shingles): any $BoilerShingle-token
+    * span appearing in ≥ $BoilerDf DISTINCT documents is boilerplate; all
+    * token positions covered by a boilerplate span occurrence are
+    * scrubbed from their document. Per doc: token counts, boilerplate
+    * span count, scrubbed-token count/share, and an h60 checksum of the
+    * SCRUBBED text (order-preserving reassembly — the actual cleaning
+    * output, verified bit-for-bit). Scale shape: shingle hashing is
+    * per-row; df is a distinct + hash aggregate on the shingle hash (NO
+    * count-distinct Expand — PlanSpec-pinned); the boiler join is an
+    * equi-join on the hash; coverage explodes ≤ w rows per boiler span;
+    * reassembly is the q107 sorted-collect per doc. Everything shuffles
+    * on (hash) or (doc_id) keys — nothing quadratic, nothing global.
+    */
+  val q120 = Q("q120_boilerplate_scrub", q120OracleSql) { (s, dir) =>
+    val w = BoilerShingle
+    val tk = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val pos = tk.select(col("doc_id"), posexplode(col("t")).as(Seq("j0", "tok")))
+      .select(col("doc_id"), (col("j0") + 1).as("j"), col("tok"))
+    val st = tk.filter(size(col("t")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> struct(i AS i, " +
+          s"CAST(conv(substring(md5(array_join(slice(t, i, $w), ' ')), 1, 15), 16, 10) AS BIGINT) AS gh))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.gh").as("gh"))
+      .localCheckpoint()
+    val df = st.select(col("gh"), col("doc_id")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("d"))
+    val boiler = st.join(df.filter(col("d") >= BoilerDf).select("gh"), Seq("gh"))
+      .select(col("doc_id"), col("i"))
+      .localCheckpoint()
+    val covered = boiler
+      .select(col("doc_id"), explode(expr(s"transform(sequence(0, ${w - 1}), o -> i + o)")).as("j"))
+      .distinct()
+    val kept = pos.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(j, tok))), " +
+        "r -> r.tok), ' ')").as("kept"))
+    val bl = boiler.groupBy("doc_id").agg(count(lit(1)).as("n_boiler_spans"))
+    val scr = covered.groupBy("doc_id").agg(count(lit(1)).as("n_scrubbed"))
+    tk.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(bl, Seq("doc_id"), "left")
+      .join(scr, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_boiler_spans"), lit(0L)).as("n_boiler_spans"),
+        coalesce(col("n_scrubbed"), lit(0L)).as("n_scrubbed"),
+        expr("CAST(CASE WHEN n_tokens = 0 THEN 0 " +
+          "ELSE coalesce(n_scrubbed, 0) * 10000 div n_tokens END AS BIGINT)").as("scrub_bp"),
+        Dedup.h60Col(coalesce(col("kept"), lit(""))).as("kept_checksum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120)
 }

@@ -822,4 +822,46 @@ class OpsSpec extends AnyFunSuite {
     // bijective away from zero: 13 inputs, ±0.0 share one key -> 12 keys
     assert(got.map(_._2).distinct.length === vals.length - 1)
   }
+
+  test("boilerplate scrub: per-doc counts and kept-text checksum match a brute-force twin") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val w = TextOps.BoilerShingle
+    val tok = Catalog.table(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector).toMap
+    // df = number of DISTINCT docs containing the shingle (a doc repeating
+    // its own phrase must not self-flag)
+    val df = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    tok.foreach { case (id, t) =>
+      t.sliding(w).filter(_.length == w).foreach { g =>
+        df.getOrElseUpdate(g.mkString(" "), scala.collection.mutable.Set.empty[Long]) += id
+      }
+    }
+    val boiler = df.collect { case (g, ds) if ds.size >= TextOps.BoilerDf => g }.toSet
+    val rows = TextOps.q120.fn(spark, sf).collect()
+    assert(rows.length === tok.size)
+    rows.foreach { r =>
+      val t = tok(r.getAs[Long]("doc_id"))
+      val starts = t.sliding(w).zipWithIndex
+        .collect { case (g, i) if g.length == w && boiler(g.mkString(" ")) => i }.toVector
+      val covered = starts.flatMap(i => i until i + w).toSet
+      assert(r.getAs[Long]("n_tokens") === t.length.toLong)
+      assert(r.getAs[Long]("n_boiler_spans") === starts.length.toLong)
+      assert(r.getAs[Long]("n_scrubbed") === covered.size.toLong)
+      assert(r.getAs[Long]("scrub_bp") ===
+        (if (t.isEmpty) 0L else covered.size.toLong * 10000 / t.length))
+      val kept = t.zipWithIndex.collect { case (tk, j) if !covered(j) => tk }.mkString(" ")
+      assert(r.getAs[Long]("kept_checksum") === h60(kept),
+        s"scrubbed reassembly must be bit-exact for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the corpus plants duplicated spans; the scrub must find real work
+    assert(rows.map(_.getAs[Long]("n_scrubbed")).sum > 0,
+      "planted near-duplicate spans must be scrubbed")
+    assert(rows.exists(_.getAs[Long]("n_scrubbed") === 0L),
+      "threshold df>=2 must not scrub unique docs")
+  }
 }

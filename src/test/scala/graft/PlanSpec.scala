@@ -257,4 +257,12 @@ class PlanSpec extends AnyFunSuite {
       s"the cell-keyed LUT must broadcast to the shortlist code join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q120: shingle df is distinct-then-count hash aggregation, never an Expand") {
+    val p = plan("q120_boilerplate_scrub")
+    assert(!p.contains("Expand"),
+      s"the df count must run as distinct + hash agg on the shingle hash, not COUNT(DISTINCT)'s expand:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join (df filter, coverage anti-join, per-doc rollups) is a hash equi-join:\n$p")
+  }
 }
