@@ -803,6 +803,122 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── q121: intra-document repetition signals (Gopher family) ───────────
+
+  private def q121OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), g2 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)),
+       |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+       |  FROM tk WHERE len(t) >= 2
+       |), c2 AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g
+       |), a2 AS (
+       |  SELECT doc_id, MAX(c) AS topc FROM c2 GROUP BY doc_id
+       |), g5 AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t) - 3),
+       |      i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS g
+       |  FROM tk WHERE len(t) >= 5
+       |), c5 AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g
+       |), a5 AS (
+       |  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc FROM c5 GROUP BY doc_id
+       |), runs AS (
+       |  SELECT doc_id, MAX(rl) AS mx FROM (
+       |    SELECT doc_id, COUNT(*) AS rl FROM (
+       |      SELECT doc_id, tok, j,
+       |        j - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY j) AS isl
+       |      FROM (SELECT doc_id, generate_subscripts(t, 1) AS j, unnest(t) AS tok FROM tk))
+       |    GROUP BY doc_id, tok, isl)
+       |  GROUP BY doc_id
+       |)
+       |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a2.topc, 0) AS BIGINT) AS top_2gram_cnt,
+       |  CASE WHEN len(tk.t) >= 2 THEN
+       |    FLOOR(CAST(COALESCE(a2.topc, 0) AS DOUBLE) / (len(tk.t) - 1) * 10000.0 + 0.5) / 10000.0
+       |    ELSE CAST(0.0 AS DOUBLE) END AS top_2gram_share,
+       |  CAST(COALESCE(a5.dupc, 0) AS BIGINT) AS dup_5gram_cnt,
+       |  CASE WHEN len(tk.t) >= 5 THEN
+       |    FLOOR(CAST(COALESCE(a5.dupc, 0) AS DOUBLE) / (len(tk.t) - 4) * 10000.0 + 0.5) / 10000.0
+       |    ELSE CAST(0.0 AS DOUBLE) END AS dup_5gram_frac,
+       |  CAST(COALESCE(runs.mx, 0) AS BIGINT) AS max_token_run,
+       |  ((len(tk.t) >= 2 AND COALESCE(a2.topc, 0) * 5 >= len(tk.t) - 1)
+       |    OR (len(tk.t) >= 5 AND COALESCE(a5.dupc, 0) * 5 >= len(tk.t) - 4)
+       |    OR COALESCE(runs.mx, 0) >= 5) AS is_repetitive
+       |FROM tk
+       |LEFT JOIN a2 ON tk.doc_id = a2.doc_id
+       |LEFT JOIN a5 ON tk.doc_id = a5.doc_id
+       |LEFT JOIN runs ON tk.doc_id = runs.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
+  /** In-row duplicate profile of a gram array: sort, then one linear fold
+    * over adjacent-equal runs → (max occurrence count of any single gram,
+    * total occurrences belonging to grams appearing more than once). The
+    * '' sentinel can never collide with a gram (tokens are non-empty).
+    */
+  private def dupProfile(grams: String): String =
+    s"""aggregate(array_sort($grams),
+       |  named_struct('p', '', 'c', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT)),
+       |  (a, x) -> named_struct(
+       |    'p', x,
+       |    'c', IF(x = a.p, a.c + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+       |    'm', greatest(a.m, IF(x = a.p, a.c + CAST(1 AS BIGINT), CAST(1 AS BIGINT))),
+       |    'd', a.d + IF(x = a.p, IF(a.c = 1, CAST(2 AS BIGINT), CAST(1 AS BIGINT)), CAST(0 AS BIGINT))),
+       |  a -> named_struct('m', a.m, 'd', a.d))""".stripMargin.replaceAll("\\s+", " ")
+
+  /** q121 — intra-document repetition signals (the Gopher §A1.1 quality
+    * family, token-granularity: the synthetic corpus has no newlines, so
+    * the line-based variants collapse to these): per doc, the share of
+    * 2-gram slots taken by the single most frequent 2-gram, the fraction
+    * of 5-gram slots covered by 5-grams occurring more than once, and the
+    * longest same-token run, plus a composite repetitiveness flag (any
+    * signal ≥ 20%, or a run ≥ 5). Scale shape: repetition is
+    * intra-document by definition, so NOTHING shuffles — one scan of
+    * `documents`, per-row gram construction + array_sort + a linear
+    * adjacent-run fold (O(G log G) per doc), and a run-length fold over
+    * the raw token stream. The explode/groupBy twin the oracle uses would
+    * re-key every token twice; at 100 TB this form is a pure map over
+    * document splits with no exchange at all (PlanSpec-pinned).
+    */
+  val q121 = Q("q121_repetition_signals", q121OracleSql) { (s, dir) =>
+    val gram = (n: Int) =>
+      s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> array_join(slice(t, i, $n), ' ')) ELSE CAST(array() AS ARRAY<STRING>) END"
+    // longest run of one token: single unsorted pass, same sentinel trick
+    val runFold =
+      """aggregate(t,
+        |  named_struct('p', '', 'c', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT)),
+        |  (a, x) -> named_struct(
+        |    'p', x,
+        |    'c', IF(x = a.p, a.c + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |    'm', greatest(a.m, IF(x = a.p, a.c + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+        |  a -> a.m)""".stripMargin.replaceAll("\\s+", " ")
+    val nT = size(col("t"))
+    val share = (cnt: Column, slots: Column) =>
+      floor(cnt.cast("double") / slots.cast("double") * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("p2", expr(dupProfile(gram(2))))
+      .withColumn("p5", expr(dupProfile(gram(5))))
+      .withColumn("mr", expr(runFold))
+      .select(
+        col("doc_id"),
+        nT.cast("long").as("n_tokens"),
+        col("p2.m").as("top_2gram_cnt"),
+        when(nT >= 2, share(col("p2.m"), nT - 1)).otherwise(0.0).as("top_2gram_share"),
+        col("p5.d").as("dup_5gram_cnt"),
+        when(nT >= 5, share(col("p5.d"), nT - 4)).otherwise(0.0).as("dup_5gram_frac"),
+        col("mr").as("max_token_run"),
+        ((nT >= 2 && col("p2.m") * 5 >= nT - 1) ||
+          (nT >= 5 && col("p5.d") * 5 >= nT - 4) ||
+          col("mr") >= 5).as("is_repetitive"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120)
+    Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
+      q121)
 }

@@ -864,4 +864,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n_scrubbed") === 0L),
       "threshold df>=2 must not scrub unique docs")
   }
+
+  test("repetition signals: in-row folds match a brute-force n-gram count twin") {
+    val tok = Catalog.table(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        "[a-z0-9]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toVector).toMap
+    def gramCounts(t: Vector[String], n: Int): Map[String, Int] =
+      t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toVector
+        .groupBy(identity).map { case (g, occ) => g -> occ.length }
+    def maxRun(t: Vector[String]): Int =
+      if (t.isEmpty) 0
+      else t.tail.foldLeft((t.head, 1, 1)) { case ((p, c, m), x) =>
+        val c2 = if (x == p) c + 1 else 1; (x, c2, math.max(m, c2))
+      }._3
+    val rows = TextOps.q121.fn(spark, sf).collect()
+    assert(rows.length === tok.size)
+    rows.foreach { r =>
+      val t = tok(r.getAs[Long]("doc_id"))
+      val c2 = gramCounts(t, 2); val c5 = gramCounts(t, 5)
+      val top2 = if (c2.isEmpty) 0L else c2.values.max.toLong
+      val dup5 = c5.values.filter(_ > 1).map(_.toLong).sum
+      assert(r.getAs[Long]("n_tokens") === t.length.toLong)
+      assert(r.getAs[Long]("top_2gram_cnt") === top2)
+      assert(r.getAs[Long]("dup_5gram_cnt") === dup5)
+      assert(r.getAs[Long]("max_token_run") === maxRun(t).toLong)
+      val share = if (t.length >= 2) math.floor(top2.toDouble / (t.length - 1) * 10000.0 + 0.5) / 10000.0 else 0.0
+      assert(r.getAs[Double]("top_2gram_share") === share)
+      val frac = if (t.length >= 5) math.floor(dup5.toDouble / (t.length - 4) * 10000.0 + 0.5) / 10000.0 else 0.0
+      assert(r.getAs[Double]("dup_5gram_frac") === frac)
+      val flag = (t.length >= 2 && top2 * 5 >= t.length - 1) ||
+        (t.length >= 5 && dup5 * 5 >= t.length - 4) || maxRun(t) >= 5
+      assert(r.getAs[Boolean]("is_repetitive") === flag)
+    }
+    // the synthetic corpus repeats a small vocabulary: 2-gram repetition
+    // must actually fire somewhere (no intra-doc 5-gram repeats exist at
+    // sf0.001 — verified via DuckDB — so the 5-gram branch is exercised
+    // by the per-row zero assertions above, plus the oracle at sf0.01+)
+    assert(rows.exists(_.getAs[Long]("top_2gram_cnt") > 1L))
+    assert(rows.exists(_.getAs[Long]("max_token_run") > 1L))
+  }
 }

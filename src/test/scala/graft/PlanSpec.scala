@@ -258,6 +258,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q121: repetition signals are a pure map — the only exchange is the final sort") {
+    val p = plan("q121_repetition_signals")
+    val nEx = "Exchange \\(".r.findAllIn(p).length
+    assert(nEx <= 1, s"intra-doc metrics must not shuffle (one range exchange for ORDER BY only):\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"no groupBy/join may appear — the gram counting folds in-row:\n$p")
+  }
+
   test("q120: shingle df is distinct-then-count hash aggregation, never an Expand") {
     val p = plan("q120_boilerplate_scrub")
     assert(!p.contains("Expand"),
