@@ -19,18 +19,27 @@ object Catalog {
   /** Parquet scan. Column pruning + predicate pushdown reach the scan
     * because this stays a plain declarative relation (SURVEY §4).
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 only
-    * reads via the legacy nanos-as-long conf; we truncate to microseconds
-    * (integer division — matches DuckDB's ns→us truncation) and restore
-    * TimestampType so downstream operators see a normal timestamp.
+    * `events.ts` has shipped in two physical encodings across driver data
+    * generations: INT64 TIMESTAMP(NANOS) (Spark 4 reads it only as a long
+    * via the legacy nanos-as-long conf — we truncate ns→us by integer
+    * division, matching DuckDB) and plain TIMESTAMP(MICROS) without the
+    * UTC flag (Spark reads TIMESTAMP_NTZ). Both normalize to session-tz
+    * TimestampType (session tz is pinned UTC, so the NTZ cast is
+    * value-preserving) and downstream operators see one schema.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ parquet; UTC session tz makes this exact
+          raw.withColumn("ts", raw("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(path)
   }
 
