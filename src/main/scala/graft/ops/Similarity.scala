@@ -1655,7 +1655,13 @@ object Similarity {
       .orderBy("probe_id")
   }
 
-  private def q117OracleSql: String = {
+  /** Oracle generator for the trained-retrieval serving chain,
+    * PARAMETERIZED by the probe-id set (a SQL relation producing a
+    * `probe_id` column over `e`): the chain SQL is identical for every
+    * probe binding — only the `p` CTE's id source changes, mirroring
+    * `retrievalChain`'s probe-table argument exactly.
+    */
+  private def chainOracleSql(probeIdsSql: String): String = {
     val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -1718,7 +1724,8 @@ object Similarity {
        |    CAST(SUM(CAST(FLOOR(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS err_trained_fp
        |  FROM best1 GROUP BY vec_id
        |), p AS (
-       |  SELECT vec_id AS probe_id, v AS pv, v16 AS pv16 FROM e WHERE vec_id < 10
+       |  SELECT e.vec_id AS probe_id, e.v AS pv, e.v16 AS pv16
+       |  FROM e JOIN ($probeIdsSql) pid ON e.vec_id = pid.probe_id
        |), sims AS (
        |  SELECT p.probe_id, e.vec_id, e.label,
        |    ${dotSql.format("p.pv", "e.v")} / (${normSql("p.pv")} * ${normSql("e.v")}) AS sim_full,
@@ -1787,8 +1794,10 @@ object Similarity {
        |ORDER BY p.probe_id""".stripMargin
   }
 
-  /** q117 — the COMPOSED trained-retrieval serving chain, end to end as
-    * one query: q114's cheap 16-dim truncated scan shortlists the top-50
+  /** The COMPOSED trained-retrieval serving chain, PARAMETERIZED by its
+    * probe set — `probeIds` is any table with a `probe_id` column naming
+    * corpus vectors to serve (an argument table, not a hard-wired
+    * predicate): q114's cheap 16-dim truncated scan shortlists the top-50
     * per probe, the shortlist is ADC-scored against the TRAINED residual
     * codes (q106's cell-keyed LUT machinery over `buildTrainedResPqIndex`
     * — the artifact whose codebook a q107 Lloyd round refined), ADC keeps
@@ -1802,11 +1811,14 @@ object Similarity {
     * checkpointed). Scale shape: one linear truncated scan (the only
     * corpus-sized pass, at 1/4 dim cost), then everything downstream is
     * shortlist-sized — codes join 50 rows/probe, LUT ≤ probes×cells×M×K
-    * broadcast, rerank 20 exact distances/probe. The oracle unrolls
-    * centroid build + residuals + one Lloyd round + the three stages as
-    * CTEs (q103/q106/q107's techniques composed).
+    * broadcast, rerank 20 exact distances/probe; the probe table itself
+    * broadcasts, so serving cost is probes × corpus at stage one and
+    * probes × shortlist after. The oracle unrolls centroid build +
+    * residuals + one Lloyd round + the three stages as CTEs
+    * (q103/q106/q107's techniques composed), with the probe binding as
+    * the only varying CTE (`chainOracleSql`).
     */
-  val q117 = Q("q117_trained_retrieval_chain", q117OracleSql) { (s, dir) =>
+  def retrievalChain(s: SparkSession, dir: String, probeIds: DataFrame): DataFrame = {
     graft.functions.VecDot.register(s)
     graft.functions.DoubleBits.register(s)
     val codesPath = buildTrainedResPqIndex(s, dir)
@@ -1817,8 +1829,9 @@ object Similarity {
       .select(col("label").as("cl"), col("centroid"))
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .withColumn("v16", slice(col("v"), 1, 16))
-    val p = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("v16").as("pv16"))
+    val p = e.join(broadcast(probeIds.select(col("probe_id"))),
+        e("vec_id") === col("probe_id"))
+      .select(col("probe_id"), col("v").as("pv"), col("v16").as("pv16"))
       .localCheckpoint()
     val pairs = e.crossJoin(broadcast(p)).filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("label"),
@@ -1875,5 +1888,30 @@ object Similarity {
       .orderBy("probe_id")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117)
+  /** q117 — the serving chain bound to the fixed vec_id < 10 probe set
+    * (the original end-to-end capstone; see `retrievalChain`).
+    */
+  val q117 = Q("q117_trained_retrieval_chain",
+    chainOracleSql("SELECT vec_id AS probe_id FROM e WHERE vec_id < 10")) { (s, dir) =>
+    val ids = emb(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"))
+    retrievalChain(s, dir, ids)
+  }
+
+  /** q122 — the SAME chain bound to a different argument table, proving
+    * the parameterization: one probe per cluster (the lowest vec_id in
+    * each label), so the serving stack is exercised across every IVF
+    * cell rather than the id-prefix q117 happens to hit. Any (probe_id)
+    * relation slots in — the chain code and its oracle generator are
+    * shared verbatim; only the probe CTE differs.
+    */
+  val q122 = Q("q122_retrieval_chain_stratified",
+    chainOracleSql("SELECT MIN(vec_id) AS probe_id FROM e GROUP BY label")) { (s, dir) =>
+    val ids = emb(s, dir).groupBy("label")
+      .agg(min(col("vec_id")).as("probe_id"))
+      .select(col("probe_id"))
+    retrievalChain(s, dir, ids)
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122)
 }

@@ -258,6 +258,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q122: parameterized chain keeps q117's artifact-only scan shape under a different probe table") {
+    val p = plan("q122_retrieval_chain_stratified")
+    // the probe binding is an argument table (min vec_id per label), so it
+    // adds ONE embeddings scan for the id aggregate; the chain itself must
+    // still read only the four artifacts — same pins as q117.
+    val scans = p.linesIterator.count(l => l.trim.startsWith("(") && l.contains("Scan parquet"))
+    assert(scans <= 5, s"artifact tables + the probe-id scan only, saw $scans:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k selections must stay TopKMin partials under any probe binding:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q121: repetition signals are a pure map — the only exchange is the final sort") {
     val p = plan("q121_repetition_signals")
     val nEx = "Exchange \\(".r.findAllIn(p).length
