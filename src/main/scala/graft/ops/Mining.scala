@@ -548,6 +548,79 @@ object Mining {
       .orderBy("shard_id")
   }
 
+  // ── q123: fixed hash-range shard manifest (streaming-foldable) ───────
+
+  /** Number of fixed hash-range shards; range width over the 60-bit h60
+    * space is 2^60 / ShardCount. */
+  val ShardCount = 16
+  private val ShardRangeWidth = (1L << 60) / ShardCount
+
+  /** Per-document shard statistics — the SHARED projection of batch q123
+    * and the streaming manifest fold (ShardStream), so the two paths can
+    * never diverge: shard assignment is a pure function of the content
+    * hash (hk div rangeWidth), token count is q54's tokenizer, and the
+    * checksum key is q119's normalized-text h60.
+    */
+  def shardStats(d: DataFrame): DataFrame = d
+    .select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      Dedup.h60Col(col("doc_id").cast("string")).as("hk"),
+      Dedup.h60Col(TextOps.normalized(col("text"))).as("ch"))
+    .withColumn("shard_id", expr(s"CAST(hk div $ShardRangeWidth AS BIGINT)"))
+
+  /** Manifest aggregate over a shard-stats frame: every column is
+    * associative AND commutative (count/sum add, XOR combines, min/max
+    * compose), so per-batch partial manifests fold to the whole-corpus
+    * manifest under ANY batch boundaries — the property the streaming
+    * twin rides (StreamingSpec-pinned).
+    */
+  def shardManifest(stats: DataFrame): DataFrame = stats
+    .groupBy(col("shard_id"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("shard_tokens"),
+      expr("bit_xor(ch)").as("checksum"),
+      min(col("doc_id")).as("min_doc_id"),
+      max(col("doc_id")).as("max_doc_id"))
+    .orderBy("shard_id")
+
+  private def q123OracleSql: String = {
+    val hkSql = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+    val chSql = Dedup.h60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    $hkSql AS hk, $chSql AS ch
+       |  FROM documents
+       |)
+       |SELECT CAST(hk // $ShardRangeWidth AS BIGINT) AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  bit_xor(ch) AS checksum,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+       |FROM h
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
+  }
+
+  /** q123 — FIXED hash-range sharding of the corpus with the same
+    * verification manifest as q119, built to be maintained INCREMENTALLY:
+    * q119 cuts exactly-size-bounded shards with a global prefix sum (a
+    * batch job's layout — inserting one document shifts every later
+    * boundary), while q123 assigns each document to one of $ShardCount
+    * fixed h60 ranges as a pure per-row function. The trade is balance
+    * (shard mass varies binomially around tokens/$ShardCount instead of
+    * being cut at exact budgets) for MERGEABILITY: the manifest is an
+    * associative fold, so document deltas landing in any order fold into
+    * the artifact without rescanning history — the streaming half lives
+    * in ShardStream, spec-pinned equal to this query. Scale shape: one
+    * map pass + one $ShardCount-group hash aggregate; no window, no
+    * prefix sum, no shuffle beyond the final 16-row rollup.
+    */
+  val q123 = Q("q123_hash_shard_manifest", q123OracleSql) { (s, dir) =>
+    shardManifest(shardStats(docs(s, dir)))
+  }
+
   // ── q96: winnowing fingerprint sketches ───────────────────────────────
 
   val WinnowK = 3                      // k-gram width (tokens)
@@ -638,5 +711,5 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119)
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123)
 }

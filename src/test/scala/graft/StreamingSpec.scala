@@ -626,4 +626,54 @@ class StreamingSpec extends AnyFunSuite {
       .head().getAs[Double]("hll_corrected")
     assert(served.head().getAs[Double]("hll_corrected") == expected)
   }
+
+  test("shard manifest stream: per-batch delta folds equal batch q123; replayed deltas are no-ops") {
+    import graft.streaming.ShardStream
+    val landing = tmpDir("graft-shard-landing")
+    val deltas = tmpDir("graft-shard-art") + "/deltas"
+    val checkpoint = tmpDir("graft-shard-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-shard-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // three landing files, sink run after each -> three delta partitions
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    ShardStream.manifestSink(ShardStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    ShardStream.manifestSink(ShardStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    ShardStream.manifestSink(ShardStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def maniMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Long]("checksum"), r.getAs[Long]("min_doc_id"),
+          r.getAs[Long]("max_doc_id"))))
+      .toMap
+    // the folded deltas must equal the one-shot batch manifest (q123):
+    // every manifest column is an associative-commutative merge
+    val batch = maniMap(ops.Mining.q123.fn(spark, sf))
+    assert(maniMap(ShardStream.manifestFromDeltas(spark, deltas)) === batch,
+      "served manifest must equal batch q123 over the landed corpus")
+
+    // replay pin: foreachBatch is at-least-once — re-writing the SAME
+    // batchId delta overwrites its partition, so XOR/SUM never double-fold
+    val replay = docs.filter(col("doc_id") < cut1)
+    ShardStream.writeDelta(replay, deltas, 0L)
+    ShardStream.writeDelta(replay, deltas, 0L)
+    assert(maniMap(ShardStream.manifestFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served manifest")
+  }
 }
