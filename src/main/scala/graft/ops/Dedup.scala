@@ -345,6 +345,91 @@ object Dedup {
       .filter(col("hamming") <= hammingMax)
   }
 
+  // ── Incremental (keep-earliest) LSH dedup ─────────────────────────────
+
+  /** Distinct EARLIER band partners: for each document in `bands`, every
+    * distinct pool document with a lower id sharing a band bucket — the
+    * asymmetric half of q31's candidate join, and the verdict kernel the
+    * streaming band index rides (LshStream): for a batch run pool =
+    * bands; for a micro-batch pool = history ∪ the batch itself, and the
+    * id ordering makes "earlier" well-defined under id-ordered arrival
+    * (the CorpusStream/EmbeddingStream assumption).
+    */
+  def earlierBandPartners(bands: DataFrame, pool: DataFrame): DataFrame =
+    bands.join(
+        pool.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("band_hash").as("bh")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_b") < col("doc_id"))
+      .select("doc_id", "doc_b").distinct()
+
+  /** Keep-earliest verdicts for `ids` (one doc_id column) given the
+    * earlier-partner pairs: earliest partner, distinct-partner count,
+    * and the dup flag (any earlier band collision). Null-safe for docs
+    * with no partners.
+    */
+  def keepEarliestVerdicts(ids: DataFrame, partners: DataFrame): DataFrame =
+    ids.join(
+        partners.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_earlier"), min(col("doc_b")).as("dup_of")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_earlier"), lit(0L)).as("n_earlier"),
+        col("dup_of"),
+        col("dup_of").isNotNull.as("is_band_dup"))
+
+  private def q124OracleSql: String = {
+    val p = MinhashPrime
+    val sigDefs = (0 until NumHashes).map(i =>
+      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
+      .mkString(",\n")
+    val bandSelects = (0 until NumHashes / BandSize).map { j =>
+      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
+      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""$shingleCtes, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_earlier, MIN(doc_b) AS dup_of
+       |  FROM cand GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_earlier, 0) AS BIGINT) AS n_earlier,
+       |  a.dup_of,
+       |  a.dup_of IS NOT NULL AS is_band_dup
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q124 — keep-earliest MinHash-LSH dedup verdicts: q31's band-bucket
+    * candidates made ASYMMETRIC (partners with a lower doc_id only), so
+    * every document gets the decision an incremental curation run makes —
+    * first arrival survives, later band-colliders point at their earliest
+    * partner. This is the batch anchor for the maintained band index:
+    * LshStream folds (band_idx, band_hash, doc_id) rows per micro-batch
+    * and scores each batch against history ∪ its own lower ids, and the
+    * StreamingSpec pins the streamed decisions equal to THIS query under
+    * id-ordered arrival. Scale shape: signature build is a zero-shuffle
+    * fused projection, the candidate join is an equi-join on
+    * (band_idx, band_hash) — work bounded by bucket occupancy (near-dup
+    * density), never corpus²; verdicts are one per-doc aggregate.
+    */
+  val q124 = Q("q124_lsh_keep_earliest", q124OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val bands = lshBands(minhashSignatures(d))
+    keepEarliestVerdicts(d.select("doc_id"), earlierBandPartners(bands, bands))
+      .orderBy("doc_id")
+  }
+
   // ── n-gram Jaccard ────────────────────────────────────────────────────
 
   /** Exact Jaccard over shingle sets for candidate pairs found by
@@ -529,5 +614,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124)
 }

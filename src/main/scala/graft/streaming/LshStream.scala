@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming MinHash-LSH near-dup curation — the TEXT twin of
+  * EmbeddingStream's SemDeDup: documents land as parquet files, each
+  * micro-batch builds its 64-lane signatures and 16 band buckets (pure
+  * per-row projections, zero shuffle), scores every document against the
+  * maintained BAND INDEX plus its own batch's earlier ids (q124's
+  * keep-earliest rule — first arrival survives, later band-colliders
+  * point at their earliest partner), and appends its bands to the index.
+  * This closes the near-dup gap in the incremental path: CorpusStream
+  * dedups EXACT fingerprints against history; LshStream catches the
+  * near-misses exact hashing can't, without ever rescanning history
+  * text — history is 16 fixed-width band rows per document, and the
+  * candidate join is an equi-join on (band_idx, band_hash) whose work is
+  * bounded by bucket occupancy (true near-dup density), never corpus².
+  *
+  * Idempotence follows the EmbeddingStream discipline: foreachBatch
+  * side-effects are at-least-once, so both writes OVERWRITE a
+  * per-batchId partition and the scoring join excludes the batch's own
+  * (possibly partially replayed) partition by `batch_id < batchId` —
+  * a replay rewrites identical rows. At 100 TB the index is corpus × 16
+  * short rows partitioned by batch_id; bucketing it by band_hash instead
+  * would co-locate the candidate join, the same layout call the batch
+  * q31/q124 path makes.
+  */
+object LshStream {
+
+  /** File-source document stream (CorpusStream's schema). */
+  def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
+    CorpusStream.readDocStream(spark, landingDir)
+
+  /** One micro-batch's band rows — Dedup's fused signature kernel +
+    * banding verbatim, so streamed and batch bands can never diverge.
+    */
+  def batchBands(batch: DataFrame): DataFrame =
+    Dedup.lshBands(Dedup.minhashSignatures(batch))
+
+  /** Dedup sink: per micro-batch, score against the band index + the
+    * batch's own earlier ids and write (decisions, bands) to per-batchId
+    * partitions. Trigger.AvailableNow + checkpoint as in the other
+    * ingest twins; decisions are the audit table, the index is the only
+    * state. All batch docs' bands are indexed — dups included — so later
+    * verdicts see the same prior set a batch q124 run would.
+    */
+  /** One micro-batch's full fold — score then index, both as per-batchId
+    * partition overwrites. Exposed so the spec can pin foreachBatch
+    * REPLAY (same batchId re-run) as a no-op for both stores.
+    */
+  def processBatch(batch: DataFrame, indexDir: String, decisionsDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bands = batchBands(batch).localCheckpoint()
+    val idx = new java.io.File(indexDir)
+    val history =
+      if (idx.exists() && idx.listFiles() != null &&
+          idx.listFiles().exists(f => f.getName.endsWith(".parquet") ||
+            (f.isDirectory && f.getName.startsWith("batch_id="))))
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
+          .select("doc_id", "band_idx", "band_hash")
+      else bands.filter(lit(false))
+    val partners = Dedup.earlierBandPartners(bands, history.unionByName(bands))
+    Dedup.keepEarliestVerdicts(batch.select("doc_id"), partners)
+      .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+    bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+  }
+
+  def dedupSink(stream: DataFrame, indexDir: String, decisionsDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("lsh_band_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, decisionsDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The decision audit across all batches, in doc order. */
+  def decisions(spark: SparkSession, decisionsDir: String): DataFrame =
+    spark.read.parquet(decisionsDir)
+      .select("doc_id", "n_earlier", "dup_of", "is_band_dup")
+      .orderBy("doc_id")
+}

@@ -676,4 +676,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(maniMap(ShardStream.manifestFromDeltas(spark, deltas)) === batch,
       "a replayed delta write must not move the served manifest")
   }
+
+  test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
+    import graft.streaming.LshStream
+    val landing = tmpDir("graft-lsh-landing")
+    val index = tmpDir("graft-lsh-idx") + "/bands"
+    val decisions = tmpDir("graft-lsh-dec") + "/rows"
+    val checkpoint = tmpDir("graft-lsh-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-lsh-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // three id-ordered landing files -> three micro-batches; streamed
+    // "earlier" (history + own lower ids) == batch "lower id"
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint).awaitTermination()
+
+    def decMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_earlier"),
+          Option(r.getAs[java.lang.Long]("dup_of")),
+          r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    val expected = decMap(ops.Dedup.q124.fn(spark, sf))
+    assert(decMap(LshStream.decisions(spark, decisions)) === expected,
+      "streamed keep-earliest verdicts must equal the one-shot q124 run")
+    // every doc's bands are in the index — dups included, as in batch
+    assert(spark.read.parquet(index).select("doc_id").distinct().count() === docs.count())
+
+    // replay pin: re-running a batch fold under its own batchId rewrites
+    // both per-batchId partitions — decisions and index are unchanged
+    LshStream.processBatch(docs.filter(col("doc_id") < cut1), index, decisions, 0L)
+    assert(decMap(LshStream.decisions(spark, decisions)) === expected,
+      "a replayed batch must not change any verdict")
+    assert(spark.read.parquet(index).count() === docs.count() * 16,
+      "a replayed batch must not grow the band index")
+  }
 }
