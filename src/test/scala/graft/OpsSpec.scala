@@ -738,6 +738,52 @@ class OpsSpec extends AnyFunSuite {
     assert(n3 < n2 && n2 < n0, s"each merge rank must shrink the stream: $n0 -> $n2 -> $n3")
   }
 
+  test("trainMerges to vocabulary depth 16 matches a sequential reference trainer exactly") {
+    // the "real vocabulary size" pin: the distributed count->winner->rewrite
+    // loop must agree with a plain single-threaded BPE trainer at every
+    // rank, not just the 3 ranks q118 exercises — merge table AND final
+    // stream size, differentially
+    graft.functions.BpeMerge.register(spark)
+    val k = 16
+    val tk0 = graft.ops.Corpus.pretokens(Catalog.table(spark, sf, "documents"))
+      .localCheckpoint()
+    val dist = graft.ops.Corpus.trainMerges(tk0, k)
+    assert(dist.size === k)
+
+    def applyMerge(t: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
+    var streams = tk0.collect()
+      .map(_.getSeq[String](1).toVector)
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      streams.foreach { t =>
+        var i = 0
+        while (i + 1 < t.length) {
+          counts((t(i), t(i + 1))) = counts.getOrElse((t(i), t(i + 1)), 0L) + 1
+          i += 1
+        }
+      }
+      val (wa, wb) = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+      ref += ((wa, wb))
+      streams = streams.map(applyMerge(_, wa, wb))
+    }
+    assert(dist === ref.toSeq,
+      "every learned rank must match the sequential trainer's winner")
+    val nDist = graft.ops.Corpus.bpeEncode(tk0, dist)
+      .agg(sum(size(col("t")))).head().getLong(0)
+    assert(nDist === streams.map(_.size.toLong).sum,
+      "the distributed encode must land on the reference's final stream size")
+  }
+
   test("q105 merge loop: round 2 reflects the applied merge") {
     val rows = graft.ops.Corpus.q105.fn(spark, sf).collect()
     val r1 = rows.filter(_.getAs[Long]("round") == 1L).sortBy(_.getAs[Long]("merge_rank"))
