@@ -413,6 +413,27 @@ object Scratch {
             .groupBy(expr("CAST((cum - n_tokens) div 4096 AS BIGINT)").as("sid"))
             .agg(count(lit(1))).count()
         }
+        // q123's fixed-range manifest at Nx: pure map + 16-group rollup (the
+        // mergeable streaming layout) — contrast with reshard_prefix_cut's
+        // global prefix pass above
+        time(s"docs${mult}.hash_shard_manifest") {
+          graft.ops.Mining.shardManifest(graft.ops.Mining.shardStats(docs10)).count()
+        }
+        // q124's keep-earliest verdicts at Nx: asymmetric band join + one
+        // per-doc aggregate. The id-shifted probe corpus is ADVERSARIAL for
+        // banding — every copy shares every band, so bucket occupancy grows
+        // with mult and candidates ~ mult² per fingerprint group; this
+        // evidences the banding cost law (occupancy-bounded, density-driven),
+        // the same law the exact-dedup-first pipeline ordering exists for.
+        time(s"docs${mult}.lsh_keep_earliest") {
+          val bands = graft.ops.Dedup.lshBands(graft.ops.Dedup.minhashSignatures(docs10))
+          // force through the candidate aggregate (a bare count() lets
+          // Catalyst eliminate the left join against the unique-key agg
+          // and time only the signature scan); "rows" = total candidates
+          graft.ops.Dedup.keepEarliestVerdicts(docs10.select("doc_id"),
+            graft.ops.Dedup.earlierBandPartners(bands, bands))
+            .agg(sum(col("n_earlier"))).head().getLong(0)
+        }
         spark.stop(); return
       }
       time("events10.hourly_agg") {

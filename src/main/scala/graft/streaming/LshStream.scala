@@ -18,6 +18,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * text — history is 16 fixed-width band rows per document, and the
   * candidate join is an equi-join on (band_idx, band_hash) whose work is
   * bounded by bucket occupancy (true near-dup density), never corpus².
+  * ORDERING MATTERS at scale: feed this sink CorpusStream's fp-dedup
+  * SURVIVORS, not the raw landing stream — exact copies are the
+  * degenerate bucket occupants (banding cost is quadratic in occupancy;
+  * the §8 probe measured candidates ∝ copies² on a duplicated corpus),
+  * and the exact-dedup-first ordering is the same 779× candidate
+  * reduction the batch nearDupPipeline pins.
   *
   * Idempotence follows the EmbeddingStream discipline: foreachBatch
   * side-effects are at-least-once, so both writes OVERWRITE a
