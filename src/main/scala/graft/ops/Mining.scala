@@ -559,14 +559,18 @@ object Mining {
     * and the streaming manifest fold (ShardStream), so the two paths can
     * never diverge: shard assignment is a pure function of the content
     * hash (hk div rangeWidth), token count is q54's tokenizer, and the
-    * checksum key is q119's normalized-text h60.
+    * checksum key is q119's normalized-text h60. `nShards` parameterizes
+    * the range count (q123 pins 16; q125 exercises 8 — any divisor of
+    * the 60-bit space works, the width is 2^60 / nShards).
     */
-  def shardStats(d: DataFrame): DataFrame = d
-    .select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-      Dedup.h60Col(col("doc_id").cast("string")).as("hk"),
-      Dedup.h60Col(TextOps.normalized(col("text"))).as("ch"))
-    .withColumn("shard_id", expr(s"CAST(hk div $ShardRangeWidth AS BIGINT)"))
+  def shardStats(d: DataFrame, nShards: Int = ShardCount): DataFrame = {
+    val width = (1L << 60) / nShards
+    d.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        Dedup.h60Col(col("doc_id").cast("string")).as("hk"),
+        Dedup.h60Col(TextOps.normalized(col("text"))).as("ch"))
+      .withColumn("shard_id", expr(s"CAST(hk div $width AS BIGINT)"))
+  }
 
   /** Manifest aggregate over a shard-stats frame: every column is
     * associative AND commutative (count/sum add, XOR combines, min/max
@@ -619,6 +623,56 @@ object Mining {
     */
   val q123 = Q("q123_hash_shard_manifest", q123OracleSql) { (s, dir) =>
     shardManifest(shardStats(docs(s, dir)))
+  }
+
+  /** Shard count for the q125 membership listing — deliberately NOT
+    * q123's, to exercise the parameterization. */
+  val MembershipShards = 8
+
+  private def q125OracleSql: String = {
+    val width = (1L << 60) / MembershipShards
+    val hkSql = Dedup.h60Sql("CAST(doc_id AS VARCHAR)")
+    val chSql = Dedup.h60Sql("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    $hkSql AS hk, $chSql AS ch
+       |  FROM documents
+       |)
+       |SELECT CAST(hk // $width AS BIGINT) AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  bit_xor(ch) AS checksum,
+       |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY hk, doc_id), ',')
+       |    AS doc_order
+       |FROM h
+       |GROUP BY 1
+       |ORDER BY shard_id""".stripMargin
+  }
+
+  /** q125 — shard MEMBERSHIP: the manifest plus each shard's ordered
+    * document list (hash order — the read order a training job consumes,
+    * q119's decorrelation argument), at a different shard count than
+    * q123 to exercise `shardStats`' parameterization. This is the last
+    * mile before a training run: the reader takes (shard_id → doc ids in
+    * order) and validates n_docs/checksum against the manifest columns
+    * beside it. Scale shape: the list aggregate is the only addition —
+    * per-shard output is corpus/nShards ids, the one deliberately
+    * corpus-proportional column (a membership table IS its data); the
+    * aggregate is still a single hash agg on shard_id, and at 100 TB the
+    * natural emission is one membership FILE per shard (partitionBy on
+    * the same frame), not one row — the row form is what the oracle can
+    * hash-check.
+    */
+  val q125 = Q("q125_shard_membership", q125OracleSql) { (s, dir) =>
+    shardStats(docs(s, dir), MembershipShards)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        expr("bit_xor(ch)").as("checksum"),
+        expr("array_join(transform(array_sort(collect_list(struct(hk, doc_id))), " +
+          "r -> CAST(r.doc_id AS STRING)), ',')").as("doc_order"))
+      .orderBy("shard_id")
   }
 
   // ── q96: winnowing fingerprint sketches ───────────────────────────────
@@ -711,5 +765,5 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123)
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125)
 }

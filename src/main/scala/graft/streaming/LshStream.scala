@@ -92,4 +92,46 @@ object LshStream {
     spark.read.parquet(decisionsDir)
       .select("doc_id", "n_earlier", "dup_of", "is_band_dup")
       .orderBy("doc_id")
+
+  /** Periodic index COMPACTION: rewrite the per-batchId delta partitions
+    * as ONE table bucketed on the candidate-join keys. The delta layout
+    * is write-optimal (each batch appends its own partition,
+    * replay-safe); the bucketed layout is read-optimal — the scan's
+    * HashPartitioning(band_idx, band_hash) IS the join's required
+    * distribution, so the index side reaches the scoring join with NO
+    * exchange (and pre-sorted: no Sort either) while only the small
+    * batch side shuffles to match. The shuffle over the full index is
+    * paid once here, not per scoring batch — BucketingSpec's
+    * fact-to-fact story applied to the curation index. Bucketing on
+    * band_hash alone would NOT do it: Spark re-shuffles both sides when
+    * the bucket keys are a proper subset of the join keys (observed:
+    * "Bucketed: false (disabled by query planner)"). Scoring works
+    * identically off either layout (spec-pinned).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, tableName: String,
+      nBuckets: Int = 32): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val loc = new org.apache.hadoop.fs.Path(s"spark-warehouse/$tableName")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.read.parquet(indexDir)
+      .select("doc_id", "band_idx", "band_hash")
+      .write.bucketBy(nBuckets, "band_idx", "band_hash")
+      .sortBy("band_idx", "band_hash")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Score a new batch against a compacted index table — the same
+    * partners/verdicts kernels as the sink. The index join runs SEPARATE
+    * from the in-batch join (unioning the bucketed table with batch
+    * bands would discard its partitioning); index and batch doc sets are
+    * disjoint, so the two distinct partner sets concatenate directly.
+    */
+  def verdictsAgainstIndex(batch: DataFrame, index: DataFrame): DataFrame = {
+    val bands = batchBands(batch).localCheckpoint()
+    val partners = Dedup.earlierBandPartners(bands,
+        index.select("doc_id", "band_idx", "band_hash"))
+      .unionByName(Dedup.earlierBandPartners(bands, bands))
+    Dedup.keepEarliestVerdicts(batch.select("doc_id"), partners)
+  }
 }

@@ -728,4 +728,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(index).count() === docs.count() * 16,
       "a replayed batch must not grow the band index")
   }
+
+  test("compacted band index: same verdicts, index side joins with no exchange") {
+    import graft.streaming.LshStream
+    val deltaDir = tmpDir("graft-lshc-idx") + "/bands"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(2 * ids.length / 3)
+
+    // two delta partitions stand in for a streamed history; compact them
+    val hist = docs.filter(col("doc_id") < cut)
+    LshStream.batchBands(hist.filter(col("doc_id") < ids(ids.length / 3)))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=0")
+    LshStream.batchBands(hist.filter(col("doc_id") >= ids(ids.length / 3)))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=1")
+    LshStream.compactIndex(spark, deltaDir, "b_lsh_index")
+    try {
+      val idx = spark.table("b_lsh_index")
+      val batch3 = docs.filter(col("doc_id") >= cut)
+      val got = LshStream.verdictsAgainstIndex(batch3, idx).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_earlier"),
+            Option(r.getAs[java.lang.Long]("dup_of")),
+            r.getAs[Boolean]("is_band_dup"))))
+        .toMap
+      val expected = ops.Dedup.q124.fn(spark, sf)
+        .filter(col("doc_id") >= cut).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_earlier"),
+            Option(r.getAs[java.lang.Long]("dup_of")),
+            r.getAs[Boolean]("is_band_dup"))))
+        .toMap
+      assert(got === expected,
+        "verdicts off the compacted index must equal batch q124 for the new docs")
+
+      // the read-optimal claim: under the forced shuffle path, the bucketed
+      // index side must reach its join with NO exchange (the bucket hash on
+      // band_hash satisfies the (band_idx, band_hash) distribution)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.ops.Dedup.earlierBandPartners(
+            LshStream.batchBands(batch3),
+            idx.select("doc_id", "band_idx", "band_hash"))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning(bh#"),
+          s"the bucketed index side must not shuffle into the candidate join:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"the index scan must report its bucketed layout:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+  }
 }
