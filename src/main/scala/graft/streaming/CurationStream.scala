@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.ops.{Corpus, Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The CONSOLIDATED curation sink — gate, exact-fingerprint dedup, and
+  * band-index near-dup verdicts as ONE pass per micro-batch, in the
+  * exact-first order the banding cost law demands (the §8 probe: band
+  * candidates are quadratic in bucket occupancy and exact copies are
+  * the degenerate occupants, so LSH must only ever see fingerprint
+  * representatives — the 779× candidate reduction the batch
+  * nearDupPipeline pins). CorpusStream and LshStream remain the
+  * single-concern sinks; this is their composition without a second
+  * pass over the batch text:
+  *
+  *   1. gate (Corpus.gateFrame — the batch predicates verbatim),
+  *   2. exact verdicts: a doc is an exact dup when its normalized-text
+  *      fingerprint has an EARLIER owner (fp-history min or a lower id
+  *      in its own batch); survivors are the fp representatives,
+  *   3. band verdicts (q124's keep-earliest rule) for SURVIVORS only,
+  *      against the maintained band index + the batch's own survivor
+  *      bands,
+  *   4. stores: fp history rows for the survivors (anti-join makes
+  *      re-delivery a no-op), survivor bands and the combined decision
+  *      audit as per-batchId overwrite partitions (replay-safe).
+  *
+  * Decision rows carry both verdicts: (doc_id, is_exact_dup,
+  * exact_dup_of, n_earlier, dup_of, is_band_dup) — band columns are
+  * null for exact dups, which never reach banding.
+  */
+object CurationStream {
+
+  def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
+    CorpusStream.readDocStream(spark, landingDir)
+
+  /** One micro-batch's consolidated fold; exposed for the replay pin. */
+  def processBatch(batch: DataFrame, fpDir: String, indexDir: String,
+      decisionsDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val gated = batch
+      .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("source"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint()
+
+    // exact verdicts: earliest owner of each fp among history + the batch
+    val fpFile = new java.io.File(fpDir)
+    val histMin =
+      if (fpFile.exists() && fpFile.listFiles() != null && fpFile.listFiles().nonEmpty)
+        spark.read.parquet(fpDir).groupBy("fp").agg(min(col("doc_id")).as("h_min"))
+      else gated.select(col("fp"), col("doc_id").as("h_min")).filter(lit(false))
+    val batchMin = gated.groupBy("fp").agg(min(col("doc_id")).as("b_min"))
+    val exact = gated
+      .join(batchMin, Seq("fp"))
+      .join(histMin, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), col("source"),
+        least(coalesce(col("h_min"), col("b_min")), col("b_min")).as("first_owner"))
+      .select(col("doc_id"), col("fp"), col("source"),
+        (col("first_owner") < col("doc_id")).as("is_exact_dup"),
+        when(col("first_owner") < col("doc_id"), col("first_owner"))
+          .as("exact_dup_of"))
+      .localCheckpoint()
+
+    // band verdicts for fp survivors only (exact-first ordering)
+    val survivors = gated.join(
+      exact.filter(!col("is_exact_dup")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val bands = LshStream.batchBands(survivors).localCheckpoint()
+    val idxFile = new java.io.File(indexDir)
+    val idxHist =
+      if (idxFile.exists() && idxFile.listFiles() != null &&
+          idxFile.listFiles().exists(f => f.getName.endsWith(".parquet") ||
+            (f.isDirectory && f.getName.startsWith("batch_id="))))
+        spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
+          .select("doc_id", "band_idx", "band_hash")
+      else bands.filter(lit(false))
+    val partners = Dedup.earlierBandPartners(bands, idxHist.unionByName(bands))
+    val bandVerdicts = Dedup.keepEarliestVerdicts(survivors.select("doc_id"), partners)
+
+    // decisions: both verdicts in one audit row
+    exact
+      .join(bandVerdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup"))
+      .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+    // band index grows by the survivors' bands
+    bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    // fp history grows by the survivors' fingerprints (anti-join on fp:
+    // a re-delivered file under a NEW name stays a no-op)
+    val freshFps = exact.filter(!col("is_exact_dup"))
+      .select(col("fp"), col("doc_id"), col("source"))
+      .join(histMin.select("fp"), Seq("fp"), "left_anti")
+    freshFps.write.mode("append").parquet(fpDir)
+  }
+
+  /** Trigger.AvailableNow + checkpoint, like every ingest twin. */
+  def curationSink(stream: DataFrame, fpDir: String, indexDir: String,
+      decisionsDir: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("curated_corpus_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, fpDir, indexDir, decisionsDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The combined decision audit across all batches, in doc order. */
+  def decisions(spark: SparkSession, decisionsDir: String): DataFrame =
+    spark.read.parquet(decisionsDir)
+      .select("doc_id", "is_exact_dup", "exact_dup_of",
+        "n_earlier", "dup_of", "is_band_dup")
+      .orderBy("doc_id")
+}

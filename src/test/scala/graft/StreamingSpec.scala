@@ -729,6 +729,78 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must not grow the band index")
   }
 
+  test("consolidated curation stream: gate + exact-first + band verdicts equal the batch composition") {
+    import graft.streaming.{CurationStream, LshStream}
+    import graft.ops.{Corpus, Dedup, TextOps}
+    val landing = tmpDir("graft-cur-landing")
+    val fps = tmpDir("graft-cur-fps") + "/fps"
+    val index = tmpDir("graft-cur-idx") + "/bands"
+    val decisions = tmpDir("graft-cur-dec") + "/rows"
+    val checkpoint = tmpDir("graft-cur-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-cur-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+      fps, index, decisions, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+      fps, index, decisions, checkpoint).awaitTermination()
+
+    // batch reference: the same composition in one shot — gate, global
+    // first-owner-per-fingerprint, band verdicts among representatives
+    val keepers = docs
+      .join(Corpus.gateFrame(docs).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+    val firstOwner = keepers.groupBy("fp").agg(min(col("doc_id")).as("first"))
+    val exactRef = keepers.join(firstOwner, Seq("fp"))
+      .select(col("doc_id"), (col("first") < col("doc_id")).as("is_exact_dup"),
+        when(col("first") < col("doc_id"), col("first")).as("exact_dup_of"))
+    val reps = keepers.join(firstOwner,
+      keepers("doc_id") === firstOwner("first"), "left_semi")
+    val bandsR = LshStream.batchBands(reps)
+    val bandRef = Dedup.keepEarliestVerdicts(reps.select("doc_id"),
+      Dedup.earlierBandPartners(bandsR, bandsR))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_exact_dup"),
+          Option(r.getAs[java.lang.Long]("exact_dup_of")),
+          Option(r.getAs[java.lang.Long]("n_earlier")),
+          Option(r.getAs[java.lang.Long]("dup_of")),
+          Option(r.getAs[java.lang.Boolean]("is_band_dup")))))
+      .toMap
+    val expected = toMap(exactRef.join(bandRef, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup")))
+    val got = toMap(CurationStream.decisions(spark, decisions))
+    assert(got === expected,
+      "streamed consolidated verdicts must equal the batch gate->exact->band composition")
+    // exact dups never reach the band index (the occupancy law)
+    val nReps = reps.count()
+    assert(spark.read.parquet(index).select("doc_id").distinct().count() === nReps,
+      "only fingerprint representatives may be banded")
+
+    // replay pin: re-running the last batch fold is a no-op everywhere
+    val nFps = spark.read.parquet(fps).count()
+    CurationStream.processBatch(docs.filter(col("doc_id") >= cut), fps, index, decisions, 1L)
+    assert(toMap(CurationStream.decisions(spark, decisions)) === expected,
+      "a replayed batch must not change any verdict")
+    assert(spark.read.parquet(fps).count() === nFps,
+      "a replayed batch must not grow the fingerprint store")
+  }
+
   test("compacted band index: same verdicts, index side joins with no exchange") {
     import graft.streaming.LshStream
     val deltaDir = tmpDir("graft-lshc-idx") + "/bands"
