@@ -270,6 +270,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q123/q125: shard manifests are map + one rollup — no window, no join, no prefix pass") {
+    Seq("q123_hash_shard_manifest", "q125_shard_membership").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Window"),
+        s"$n must not run a window (fixed ranges need no prefix sum):\n$p")
+      assert(!p.contains("Join"),
+        s"$n is a single-table map + aggregate:\n$p")
+    }
+  }
+
+  test("q124: keep-earliest candidates are an equi-join on band keys, verdicts one aggregate") {
+    val p = plan("q124_lsh_keep_earliest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the candidate join must stay an equi-join on (band_idx, band_hash):\n$p")
+    assert(!p.contains("Window"),
+      s"verdicts are a per-doc hash aggregate, not a window:\n$p")
+  }
+
   test("q121: repetition signals are a pure map — the only exchange is the final sort") {
     val p = plan("q121_repetition_signals")
     val nEx = "Exchange \\(".r.findAllIn(p).length
