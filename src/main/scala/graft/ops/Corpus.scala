@@ -605,5 +605,100 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118)
+  // ── q126: per-source distribution drift (chi-square vs rest) ─────────
+
+  val DriftBinWidth = 64L              // token-count histogram bin width
+  val DriftMaxBin = 31L                // cap: everything ≥ 2048 tokens in one bin
+
+  private def q126OracleSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    LEAST(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      // $DriftBinWidth, $DriftMaxBin) AS bin
+       |  FROM documents
+       |), cells AS (
+       |  SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY 1, 2
+       |), rowt AS (
+       |  SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+       |), colt AS (
+       |  SELECT bin, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+       |), grid AS (
+       |  SELECT rt.source, ct.bin, rt.r, ct.c, tot.n FROM rowt rt, colt ct, tot
+       |), gcell AS (
+       |  SELECT g.source, g.bin,
+       |    COALESCE(ce.o, 0) AS o1, g.c - COALESCE(ce.o, 0) AS o2,
+       |    g.r, g.n - g.r AS r2, g.c, g.n
+       |  FROM grid g LEFT JOIN cells ce ON g.source = ce.source AND g.bin = ce.bin
+       |), terms AS (
+       |  SELECT source,
+       |    CAST(FLOOR(CAST((o1*n - r*c)*(o1*n - r*c) AS DOUBLE)
+       |      / CAST(n*r*c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t1,
+       |    CAST(FLOOR(CAST((o2*n - r2*c)*(o2*n - r2*c) AS DOUBLE)
+       |      / CAST(n*r2*c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t2
+       |  FROM gcell
+       |), agg AS (
+       |  SELECT source, CAST(SUM(t1 + t2) AS BIGINT) AS chi2_fp,
+       |    CAST(COUNT(*) AS BIGINT) - 1 AS df
+       |  FROM terms GROUP BY source
+       |)
+       |SELECT a.source, rt.r AS n_docs, a.chi2_fp, a.df,
+       |  a.chi2_fp > 2000000 * a.df AS elevated
+       |FROM agg a JOIN rowt rt ON a.source = rt.source
+       |ORDER BY a.source""".stripMargin
+
+  /** q126 — distribution-drift monitoring: for each source, a chi-square
+    * statistic of its token-length histogram against the REST of the
+    * corpus (source-vs-rest 2×bins contingency), the mixture-shift check
+    * a curation pipeline runs per snapshot (which source changed shape?).
+    * Exactness: every O/R/C/N is an exact BIGINT, each cell's
+    * (O·N − R·C)²/(N·R·C) is ONE double division of exact integers
+    * (bit-identical in both engines — same expression tree), and the sum
+    * is floor-scaled fixed-point, so the statistic oracles exactly; the
+    * `elevated` flag uses the E[χ²] = df heuristic (chi2 > 2·df) as a
+    * demo threshold. Scale shape: one map pass (tokenize → bin), one
+    * (source, bin) hash aggregate — everything after the cells table is
+    * sources × bins arithmetic on broadcast-sized frames. Caveat the doc
+    * carries: the BIGINT cross-products are exact up to ~3·10⁹ rows per
+    * engine-word; beyond that compute the marginal products in DOUBLE
+    * (the statistic is scale-free) — the fixed-point form is what keeps
+    * the ORACLE bit-exact.
+    */
+  val q126 = Q("q126_source_drift", q126OracleSql) { (s, dir) =>
+    val binned = docs(s, dir).select(col("source"),
+      least((size(TextOps.tokens(col("text"))).cast("long") / lit(DriftBinWidth))
+          .cast("long"),
+        lit(DriftMaxBin)).as("bin"))
+    val cells = binned.groupBy("source", "bin")
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rowt = cells.groupBy("source").agg(sum(col("o")).cast("long").as("r"))
+    val colt = cells.groupBy("bin").agg(sum(col("o")).cast("long").as("c"))
+    val tot = cells.agg(sum(col("o")).cast("long").as("n"))
+    val grid = rowt.crossJoin(broadcast(colt)).crossJoin(broadcast(tot))
+    val gcell = grid.join(cells, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"),
+        coalesce(col("o"), lit(0L)).as("o1"),
+        (col("c") - coalesce(col("o"), lit(0L))).as("o2"),
+        col("r"), (col("n") - col("r")).as("r2"), col("c"), col("n"))
+    gcell
+      .select(col("source"),
+        floor(((col("o1") * col("n") - col("r") * col("c")) *
+            (col("o1") * col("n") - col("r") * col("c"))).cast("double") /
+          (col("n") * col("r") * col("c")).cast("double") * lit(1000000.0))
+          .cast("long").as("t1"),
+        floor(((col("o2") * col("n") - col("r2") * col("c")) *
+            (col("o2") * col("n") - col("r2") * col("c"))).cast("double") /
+          (col("n") * col("r2") * col("c")).cast("double") * lit(1000000.0))
+          .cast("long").as("t2"))
+      .groupBy("source")
+      .agg(sum(col("t1") + col("t2")).cast("long").as("chi2_fp"),
+        (count(lit(1)) - 1L).as("df"))
+      .join(rowt.withColumnRenamed("r", "n_docs"), Seq("source"))
+      .select(col("source"), col("n_docs"), col("chi2_fp"), col("df"),
+        (col("chi2_fp") > lit(2000000L) * col("df")).as("elevated"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126)
 }
