@@ -663,15 +663,30 @@ object Corpus {
     * carries: the BIGINT cross-products are exact up to ~3·10⁹ rows per
     * engine-word; beyond that compute the marginal products in DOUBLE
     * (the statistic is scale-free) — the fixed-point form is what keeps
-    * the ORACLE bit-exact.
+    * the ORACLE bit-exact. Split into `driftCells` + `chi2FromCells` so
+    * the streaming fold (DriftStream) shares both halves.
     */
-  val q126 = Q("q126_source_drift", q126OracleSql) { (s, dir) =>
-    val binned = docs(s, dir).select(col("source"),
+  // (q126 = chi2FromCells(driftCells(documents)) — defined below the kernels)
+
+  /** (source, bin, o) histogram cells — the SHARED projection of batch
+    * q126 and the streaming drift fold (DriftStream): counts are
+    * add-mergeable, so per-batch partial cells fold to the whole-corpus
+    * table under any batch boundaries.
+    */
+  def driftCells(d: DataFrame): DataFrame = d
+    .select(col("source"),
       least((size(TextOps.tokens(col("text"))).cast("long") / lit(DriftBinWidth))
           .cast("long"),
         lit(DriftMaxBin)).as("bin"))
-    val cells = binned.groupBy("source", "bin")
-      .agg(count(lit(1)).as("o")).localCheckpoint()
+    .groupBy("source", "bin")
+    .agg(count(lit(1)).as("o"))
+
+  /** The χ² computation over a cells table — shared so batch and
+    * artifact-served drift can never diverge. Everything here is
+    * sources × bins arithmetic on broadcast-sized frames.
+    */
+  def chi2FromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.localCheckpoint()
     val rowt = cells.groupBy("source").agg(sum(col("o")).cast("long").as("r"))
     val colt = cells.groupBy("bin").agg(sum(col("o")).cast("long").as("c"))
     val tot = cells.agg(sum(col("o")).cast("long").as("n"))
@@ -698,6 +713,10 @@ object Corpus {
       .select(col("source"), col("n_docs"), col("chi2_fp"), col("df"),
         (col("chi2_fp") > lit(2000000L) * col("df")).as("elevated"))
       .orderBy("source")
+  }
+
+  val q126 = Q("q126_source_drift", q126OracleSql) { (s, dir) =>
+    chi2FromCells(driftCells(docs(s, dir)))
   }
 
   val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126)

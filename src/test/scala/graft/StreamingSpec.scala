@@ -801,6 +801,47 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must not grow the fingerprint store")
   }
 
+  test("drift stream: folded histogram cells serve q126's statistics bit-for-bit; replay is a no-op") {
+    import graft.streaming.DriftStream
+    val landing = tmpDir("graft-drift-landing")
+    val deltas = tmpDir("graft-drift-art") + "/cells"
+    val checkpoint = tmpDir("graft-drift-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-drift-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    DriftStream.cellSink(DriftStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    DriftStream.cellSink(DriftStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def repMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chi2_fp"),
+          r.getAs[Long]("df"), r.getAs[Boolean]("elevated"))))
+      .toMap
+    val expected = repMap(ops.Corpus.q126.fn(spark, sf))
+    assert(repMap(DriftStream.driftFromDeltas(spark, deltas)) === expected,
+      "served drift statistics must equal batch q126 bit-for-bit")
+
+    // replay pin: SUM is not idempotent — the per-batchId overwrite is
+    // what keeps a replayed fold from double-counting
+    DriftStream.writeDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
+    assert(repMap(DriftStream.driftFromDeltas(spark, deltas)) === expected,
+      "a replayed delta write must not move any statistic")
+  }
+
   test("compacted band index: same verdicts, index side joins with no exchange") {
     import graft.streaming.LshStream
     val deltaDir = tmpDir("graft-lshc-idx") + "/bands"
