@@ -34,19 +34,21 @@ object Dedup {
     */
   def h60Col(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Shared oracle CTEs: tokens → distinct shingle strings → h60 list.
-    * Mirrors ShingleHashes(text, 3) exactly.
-    */
-  private val shingleCtes =
-    """WITH tk AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-      |), sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-      |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk
-      |), hs AS (
-      |  SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM sh
-      |)""".stripMargin
+  /** Shared oracle CTEs: tokens → distinct 3-shingle strings → h60 list
+    * (mirrors ShingleHashes(text, 3) exactly), from any (doc_id, text)
+    * relation — q127 runs it over gate-keeper representatives. */
+  private def shingleCtesBody(base: String): String =
+    s"""tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $base
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+       |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk
+       |), hs AS (
+       |  SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hh FROM sh
+       |)""".stripMargin
+
+  private val shingleCtes = "WITH " + shingleCtesBody("documents")
 
   /** q30 — exact dedup: cluster by normalized-content fingerprint, keep the
     * lowest doc_id (one shuffle on the 128-bit key; at any scale this is
@@ -430,6 +432,107 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private def q127OracleSql: String = {
+    val p = MinhashPrime
+    val sigDefs = (0 until NumHashes).map(i =>
+      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
+      .mkString(",\n")
+    val bandSelects = (0 until NumHashes / BandSize).map { j =>
+      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
+      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    val stop = TextOps.allStop.map("'" + _ + "'").mkString(",")
+    s"""WITH st AS (
+       |  SELECT doc_id,
+       |    length(text) AS text_len,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), gm AS (
+       |  SELECT doc_id, text_len, len(t) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS alpha_chars,
+       |    n_punct,
+       |    len(list_filter(t, x -> list_contains([$stop], x))) AS n_stop
+       |  FROM st
+       |), keep_ids AS (
+       |  SELECT doc_id FROM gm
+       |  WHERE n_tokens BETWEEN 50 AND 100000
+       |    AND 3 * n_tokens <= alpha_chars AND alpha_chars <= 10 * n_tokens
+       |    AND 10 * n_punct <= text_len AND n_stop >= 2
+       |), keepers AS (
+       |  SELECT d.doc_id, d.text,
+       |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents d JOIN keep_ids k ON d.doc_id = k.doc_id
+       |), firstown AS (
+       |  SELECT fp, MIN(doc_id) AS first FROM keepers GROUP BY fp
+       |), exact AS (
+       |  SELECT k.doc_id, (f.first < k.doc_id) AS is_exact_dup,
+       |    CASE WHEN f.first < k.doc_id THEN f.first END AS exact_dup_of
+       |  FROM keepers k JOIN firstown f ON k.fp = f.fp
+       |), reps AS (
+       |  SELECT k.doc_id, k.text FROM keepers k JOIN firstown f ON k.doc_id = f.first
+       |), ${shingleCtesBody("reps")}, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_earlier, MIN(doc_b) AS dup_of
+       |  FROM cand GROUP BY doc_id
+       |), verdicts AS (
+       |  SELECT r.doc_id,
+       |    CAST(COALESCE(a.n_earlier, 0) AS BIGINT) AS n_earlier,
+       |    a.dup_of,
+       |    a.dup_of IS NOT NULL AS is_band_dup
+       |  FROM reps r LEFT JOIN agg a ON r.doc_id = a.doc_id
+       |)
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
+  /** q127 — the consolidated CURATION DECISION TABLE as one oracled
+    * batch query: gate (q69's integer-exact Gopher rules) → exact
+    * first-owner-per-fingerprint verdicts → keep-earliest band verdicts
+    * among fingerprint REPRESENTATIVES only (q124's rule, run where the
+    * occupancy law says it must run — after exact dedup). One row per
+    * gate-keeper with both verdicts; band columns are null for exact
+    * dups, which never reach banding. This is CurationStream's decision
+    * audit in batch form — the streaming sink's semantics made
+    * driver-green, not just spec-pinned. Scale shape: gate is a per-row
+    * projection, exact dedup one shuffle on the fingerprint, banding
+    * bounded by rep bucket occupancy; the decision join is rep-keyed.
+    */
+  val q127 = Q("q127_curation_decisions", q127OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val keepers = d
+      .join(Corpus.gateFrame(d).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint()
+    val firstOwner = keepers.groupBy("fp").agg(min(col("doc_id")).as("first"))
+    val exact = keepers.join(firstOwner, Seq("fp"))
+      .select(col("doc_id"), (col("first") < col("doc_id")).as("is_exact_dup"),
+        when(col("first") < col("doc_id"), col("first")).as("exact_dup_of"))
+    val reps = keepers.join(firstOwner,
+      keepers("doc_id") === firstOwner("first"), "left_semi")
+    val bands = lshBands(minhashSignatures(reps))
+    val verdicts = keepEarliestVerdicts(reps.select("doc_id"),
+      earlierBandPartners(bands, bands))
+    exact.join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup"))
+      .orderBy("doc_id")
+  }
+
   // ── n-gram Jaccard ────────────────────────────────────────────────────
 
   /** Exact Jaccard over shingle sets for candidate pairs found by
@@ -614,5 +717,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127)
 }

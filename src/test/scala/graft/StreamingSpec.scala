@@ -787,6 +787,9 @@ class StreamingSpec extends AnyFunSuite {
     val got = toMap(CurationStream.decisions(spark, decisions))
     assert(got === expected,
       "streamed consolidated verdicts must equal the batch gate->exact->band composition")
+    // and the DRIVER-GREEN anchor: q127 is this composition as one oracled query
+    assert(got === toMap(ops.Dedup.q127.fn(spark, sf)),
+      "streamed decisions must equal the oracled q127 curation table")
     // exact dups never reach the band index (the occupancy law)
     val nReps = reps.count()
     assert(spark.read.parquet(index).select("doc_id").distinct().count() === nReps,
