@@ -35,9 +35,19 @@ object CurationStream {
   def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
     CorpusStream.readDocStream(spark, landingDir)
 
-  /** One micro-batch's consolidated fold; exposed for the replay pin. */
+  /** One micro-batch's consolidated fold; exposed for the replay pin.
+    * When `acceptedDir`/`quarantineDir` are given, the DLT-expectations
+    * WRITE path runs too: accepted documents (gate-passing, no exact or
+    * band dup) land in one store and every reject lands in the
+    * quarantine with its reason ('gate' | 'exact_dup' | 'near_dup' —
+    * first failing stage wins, mirroring the pipeline order), both as
+    * per-batchId overwrite partitions. The decision table stays the
+    * audit; these are the stores a training reader consumes.
+    */
   def processBatch(batch: DataFrame, fpDir: String, indexDir: String,
-      decisionsDir: String, batchId: Long): Unit = {
+      decisionsDir: String, batchId: Long,
+      acceptedDir: Option[String] = None,
+      quarantineDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val gated = batch
       .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
@@ -80,11 +90,37 @@ object CurationStream {
     val bandVerdicts = Dedup.keepEarliestVerdicts(survivors.select("doc_id"), partners)
 
     // decisions: both verdicts in one audit row
-    exact
+    val decisionRows = exact
       .join(bandVerdicts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
         col("n_earlier"), col("dup_of"), col("is_band_dup"))
+      .localCheckpoint()
+    decisionRows
       .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+
+    // expectations-style split: accepted store + quarantine-with-reason
+    if (acceptedDir.isDefined || quarantineDir.isDefined) {
+      val verdictsAll = batch
+        .join(decisionRows.select(col("doc_id"),
+          col("is_exact_dup"), coalesce(col("is_band_dup"), lit(false)).as("band")),
+          Seq("doc_id"), "left")
+      acceptedDir.foreach { dir =>
+        verdictsAll
+          .filter(col("is_exact_dup").isNotNull && !col("is_exact_dup") && !col("band"))
+          .drop("is_exact_dup", "band")
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      }
+      quarantineDir.foreach { dir =>
+        verdictsAll
+          .filter(col("is_exact_dup").isNull || col("is_exact_dup") || col("band"))
+          .withColumn("reason",
+            when(col("is_exact_dup").isNull, lit("gate"))
+              .when(col("is_exact_dup"), lit("exact_dup"))
+              .otherwise(lit("near_dup")))
+          .drop("is_exact_dup", "band")
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      }
+    }
     // band index grows by the survivors' bands
     bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
     // fp history grows by the survivors' fingerprints (anti-join on fp:
@@ -95,15 +131,20 @@ object CurationStream {
     freshFps.write.mode("append").parquet(fpDir)
   }
 
-  /** Trigger.AvailableNow + checkpoint, like every ingest twin. */
+  /** Trigger.AvailableNow + checkpoint, like every ingest twin. Pass
+    * `acceptedDir`/`quarantineDir` to run the expectations write path.
+    */
   def curationSink(stream: DataFrame, fpDir: String, indexDir: String,
-      decisionsDir: String, checkpointDir: String): StreamingQuery =
+      decisionsDir: String, checkpointDir: String,
+      acceptedDir: Option[String] = None,
+      quarantineDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .queryName("curated_corpus_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, fpDir, indexDir, decisionsDir, batchId)
+        processBatch(batch, fpDir, indexDir, decisionsDir, batchId,
+          acceptedDir, quarantineDir)
         ()
       }
       .start()

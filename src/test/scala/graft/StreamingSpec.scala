@@ -750,12 +750,16 @@ class StreamingSpec extends AnyFunSuite {
       Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
     }
 
+    val accepted = tmpDir("graft-cur-acc") + "/docs"
+    val quarantine = tmpDir("graft-cur-quar") + "/docs"
     land(docs.filter(col("doc_id") < cut), "f1.parquet")
     CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
-      fps, index, decisions, checkpoint).awaitTermination()
+      fps, index, decisions, checkpoint,
+      Some(accepted), Some(quarantine)).awaitTermination()
     land(docs.filter(col("doc_id") >= cut), "f2.parquet")
     CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
-      fps, index, decisions, checkpoint).awaitTermination()
+      fps, index, decisions, checkpoint,
+      Some(accepted), Some(quarantine)).awaitTermination()
 
     // batch reference: the same composition in one shot — gate, global
     // first-owner-per-fingerprint, band verdicts among representatives
@@ -790,6 +794,29 @@ class StreamingSpec extends AnyFunSuite {
     // and the DRIVER-GREEN anchor: q127 is this composition as one oracled query
     assert(got === toMap(ops.Dedup.q127.fn(spark, sf)),
       "streamed decisions must equal the oracled q127 curation table")
+
+    // expectations write path: accepted ∪ quarantined partitions the batch
+    // docs exactly, with first-failing-stage reasons
+    val accIds = spark.read.parquet(accepted).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarRows = spark.read.parquet(quarantine).select("doc_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(accIds.intersect(quarRows.keySet).isEmpty)
+    assert((accIds ++ quarRows.keySet) ===
+      docs.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "every document lands in exactly one store")
+    val expAccepted = expected.collect {
+      case (id, (false, _, _, _, band)) if band.exists(_ == false) => id }.toSet
+    assert(accIds === expAccepted,
+      "accepted store = gate-keepers with both verdicts false")
+    expected.foreach {
+      case (id, (true, _, _, _, _)) =>
+        assert(quarRows(id) === "exact_dup", s"doc $id")
+      case (id, (false, _, _, _, band)) if band.exists(_ == true) =>
+        assert(quarRows(id) === "near_dup", s"doc $id")
+      case _ => ()
+    }
+    assert(quarRows.values.toSet.subsetOf(Set("gate", "exact_dup", "near_dup")))
     // exact dups never reach the band index (the occupancy law)
     val nReps = reps.count()
     assert(spark.read.parquet(index).select("doc_id").distinct().count() === nReps,
