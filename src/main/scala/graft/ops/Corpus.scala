@@ -633,10 +633,14 @@ object Corpus {
        |  FROM grid g LEFT JOIN cells ce ON g.source = ce.source AND g.bin = ce.bin
        |), terms AS (
        |  SELECT source,
-       |    CAST(FLOOR(CAST((o1*n - r*c)*(o1*n - r*c) AS DOUBLE)
-       |      / CAST(n*r*c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t1,
-       |    CAST(FLOOR(CAST((o2*n - r2*c)*(o2*n - r2*c) AS DOUBLE)
-       |      / CAST(n*r2*c AS DOUBLE) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t2
+       |    CAST(FLOOR((CAST(o1 AS DOUBLE)*CAST(n AS DOUBLE) - CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+       |      * (CAST(o1 AS DOUBLE)*CAST(n AS DOUBLE) - CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+       |      / (CAST(n AS DOUBLE)*CAST(r AS DOUBLE)*CAST(c AS DOUBLE))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t1,
+       |    CAST(FLOOR((CAST(o2 AS DOUBLE)*CAST(n AS DOUBLE) - CAST(r2 AS DOUBLE)*CAST(c AS DOUBLE))
+       |      * (CAST(o2 AS DOUBLE)*CAST(n AS DOUBLE) - CAST(r2 AS DOUBLE)*CAST(c AS DOUBLE))
+       |      / (CAST(n AS DOUBLE)*CAST(r2 AS DOUBLE)*CAST(c AS DOUBLE))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS t2
        |  FROM gcell
        |), agg AS (
        |  SELECT source, CAST(SUM(t1 + t2) AS BIGINT) AS chi2_fp,
@@ -652,19 +656,23 @@ object Corpus {
     * statistic of its token-length histogram against the REST of the
     * corpus (source-vs-rest 2×bins contingency), the mixture-shift check
     * a curation pipeline runs per snapshot (which source changed shape?).
-    * Exactness: every O/R/C/N is an exact BIGINT, each cell's
-    * (O·N − R·C)²/(N·R·C) is ONE double division of exact integers
-    * (bit-identical in both engines — same expression tree), and the sum
-    * is floor-scaled fixed-point, so the statistic oracles exactly; the
+    * Exactness: every O/R/C/N count is an exact BIGINT; the per-cell
+    * term (O·N − R·C)²/(N·R·C) is computed ENTIRELY in DOUBLE — each
+    * count cast individually before any product, so nothing ever
+    * overflows (the squared cross-product would blow int64 at ~10⁵ docs
+    * and the N·R·C denominator at ~2·10⁶; DuckDB raises on BIGINT
+    * overflow while Spark wraps, so integer intermediates would break
+    * parity far below any real corpus size). Both engines evaluate the
+    * SAME IEEE-754 tree left-to-right, so the floor-scaled fixed-point
+    * sum stays bit-identical at EVERY scale: values are exact while
+    * intermediates fit 2⁵³ (~9·10⁷ docs for the cross term) and
+    * deterministically rounded — never overflowed — beyond. The
     * `elevated` flag uses the E[χ²] = df heuristic (chi2 > 2·df) as a
     * demo threshold. Scale shape: one map pass (tokenize → bin), one
     * (source, bin) hash aggregate — everything after the cells table is
-    * sources × bins arithmetic on broadcast-sized frames. Caveat the doc
-    * carries: the BIGINT cross-products are exact up to ~3·10⁹ rows per
-    * engine-word; beyond that compute the marginal products in DOUBLE
-    * (the statistic is scale-free) — the fixed-point form is what keeps
-    * the ORACLE bit-exact. Split into `driftCells` + `chi2FromCells` so
-    * the streaming fold (DriftStream) shares both halves.
+    * sources × bins arithmetic on broadcast-sized frames. Split into
+    * `driftCells` + `chi2FromCells` so the streaming fold (DriftStream)
+    * shares both halves.
     */
   // (q126 = chi2FromCells(driftCells(documents)) — defined below the kernels)
 
@@ -696,16 +704,13 @@ object Corpus {
         coalesce(col("o"), lit(0L)).as("o1"),
         (col("c") - coalesce(col("o"), lit(0L))).as("o2"),
         col("r"), (col("n") - col("r")).as("r2"), col("c"), col("n"))
+    def d(name: String) = col(name).cast("double")
+    def diff(o: String, r: String) = d(o) * d("n") - d(r) * d("c")
+    def term(o: String, r: String) =
+      floor(diff(o, r) * diff(o, r) /
+        (d("n") * d(r) * d("c")) * lit(1000000.0)).cast("long")
     gcell
-      .select(col("source"),
-        floor(((col("o1") * col("n") - col("r") * col("c")) *
-            (col("o1") * col("n") - col("r") * col("c"))).cast("double") /
-          (col("n") * col("r") * col("c")).cast("double") * lit(1000000.0))
-          .cast("long").as("t1"),
-        floor(((col("o2") * col("n") - col("r2") * col("c")) *
-            (col("o2") * col("n") - col("r2") * col("c"))).cast("double") /
-          (col("n") * col("r2") * col("c")).cast("double") * lit(1000000.0))
-          .cast("long").as("t2"))
+      .select(col("source"), term("o1", "r").as("t1"), term("o2", "r2").as("t2"))
       .groupBy("source")
       .agg(sum(col("t1") + col("t2")).cast("long").as("chi2_fp"),
         (count(lit(1)) - 1L).as("df"))

@@ -57,7 +57,7 @@ object CorpusStream {
       .queryName("corpus_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fps = gatedFingerprints(batch)
         val firstInBatch = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
@@ -65,13 +65,19 @@ object CorpusStream {
         val hist = new java.io.File(historyDir)
         val fresh =
           if (hist.exists() && hist.listFiles() != null && hist.listFiles().nonEmpty) {
-            val known = spark.read.parquet(historyDir).select("fp")
+            // exclude this batch's own partition: a partially-visible
+            // replay write must never count as history for itself
+            val known = spark.read.parquet(historyDir)
+              .filter(col("batch_id") < batchId).select("fp")
             batchReps.join(known, Seq("fp"), "left_anti")
           } else batchReps
         // history rows carry (fp, doc_id, source): later batches anti-join
-        // on fp only, so appended text never needs to be re-read
+        // on fp only, so appended text never needs to be re-read. A
+        // per-batchId OVERWRITE partition (not append) makes a crashed-
+        // then-replayed batch rewrite identical rows instead of adding a
+        // second copy — history stays one row per fp by construction.
         fresh.select("fp", "doc_id", "source")
-          .write.mode("append").parquet(historyDir)
+          .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -24,7 +24,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      bands,
   *   4. stores: fp history rows for the survivors (anti-join makes
   *      re-delivery a no-op), survivor bands and the combined decision
-  *      audit as per-batchId overwrite partitions (replay-safe).
+  *      audit — ALL as per-batchId overwrite partitions (replay-safe).
   *
   * Decision rows carry both verdicts: (doc_id, is_exact_dup,
   * exact_dup_of, n_earlier, dup_of, is_band_dup) — band columns are
@@ -56,11 +56,14 @@ object CurationStream {
         md5(TextOps.normalized(col("text"))).as("fp"))
       .localCheckpoint()
 
-    // exact verdicts: earliest owner of each fp among history + the batch
+    // exact verdicts: earliest owner of each fp among history + the batch.
+    // History excludes this batch's own partition (batch_id < batchId) so
+    // a partially-visible replay write is never its own history.
     val fpFile = new java.io.File(fpDir)
     val histMin =
       if (fpFile.exists() && fpFile.listFiles() != null && fpFile.listFiles().nonEmpty)
-        spark.read.parquet(fpDir).groupBy("fp").agg(min(col("doc_id")).as("h_min"))
+        spark.read.parquet(fpDir).filter(col("batch_id") < batchId)
+          .groupBy("fp").agg(min(col("doc_id")).as("h_min"))
       else gated.select(col("fp"), col("doc_id").as("h_min")).filter(lit(false))
     val batchMin = gated.groupBy("fp").agg(min(col("doc_id")).as("b_min"))
     val exact = gated
@@ -123,12 +126,16 @@ object CurationStream {
     }
     // band index grows by the survivors' bands
     bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    // fp history grows by the survivors' fingerprints (anti-join on fp:
-    // a re-delivered file under a NEW name stays a no-op)
+    // fp history grows by the survivors' fingerprints — a per-batchId
+    // OVERWRITE partition like every other store (a crashed-then-replayed
+    // batch rewrites identical rows instead of appending a second copy;
+    // history stays one row per fp by construction, not by the min()
+    // fold absorbing drift). The anti-join on fp keeps a re-delivered
+    // file under a NEW name a no-op across batches.
     val freshFps = exact.filter(!col("is_exact_dup"))
       .select(col("fp"), col("doc_id"), col("source"))
       .join(histMin.select("fp"), Seq("fp"), "left_anti")
-    freshFps.write.mode("append").parquet(fpDir)
+    freshFps.write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
   }
 
   /** Trigger.AvailableNow + checkpoint, like every ingest twin. Pass

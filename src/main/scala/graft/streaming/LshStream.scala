@@ -110,15 +110,37 @@ object LshStream {
     */
   def compactIndex(spark: SparkSession, indexDir: String, tableName: String,
       nBuckets: Int = 32): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val loc = new org.apache.hadoop.fs.Path(s"spark-warehouse/$tableName")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(spark, tableName)
     spark.read.parquet(indexDir)
       .select("doc_id", "band_idx", "band_hash")
       .write.bucketBy(nBuckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Drop a managed table AND its storage location, resolving the
+    * location from the CATALOG (falling back to the session's configured
+    * `spark.sql.warehouse.dir`) rather than a literal `spark-warehouse/`
+    * prefix — a session with a different warehouse dir (or cwd) must not
+    * have leftover files from a previously dropped table make the next
+    * `saveAsTable` fail, and must never delete an unrelated path.
+    */
+  private[streaming] def dropTableAndLocation(spark: SparkSession,
+      tableName: String): Unit = {
+    val locUri =
+      if (spark.catalog.tableExists(tableName))
+        scala.util.Try(
+          spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+            .location).toOption
+      else None
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val loc = locUri.map(u => new org.apache.hadoop.fs.Path(u)).getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh), tableName)
+    }
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Score a new batch against a compacted index table — the same
