@@ -106,16 +106,61 @@ object LshStream {
     * band_hash alone would NOT do it: Spark re-shuffles both sides when
     * the bucket keys are a proper subset of the join keys (observed:
     * "Bucketed: false (disabled by query planner)"). Scoring works
-    * identically off either layout (spec-pinned).
+    * identically off either layout (spec-pinned). This is the MAJOR
+    * compaction (full rewrite, one sorted file per bucket);
+    * `compactIndexIncremental` below is the O(delta) minor one.
     */
   def compactIndex(spark: SparkSession, indexDir: String, tableName: String,
       nBuckets: Int = 32): Unit = {
     dropTableAndLocation(spark, tableName)
     spark.read.parquet(indexDir)
-      .select("doc_id", "band_idx", "band_hash")
+      .select("doc_id", "band_idx", "band_hash", "batch_id")
       .write.bucketBy(nBuckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** INCREMENTAL compaction — the LSM answer to the full rewrite being
+    * O(history) on a growing index: APPEND only the delta partitions the
+    * table has not absorbed yet, preserving the bucket spec. The
+    * `batch_id` column kept in the table IS the compaction watermark
+    * (its max = the last folded delta), so there is no sidecar state to
+    * desync from the data — a crashed append either committed its files
+    * (watermark advanced) or left nothing visible, and a re-run reads
+    * the watermark that matches what the table actually contains.
+    *
+    * Layout cost model: each append writes O(delta) rows into ≤ nBuckets
+    * new files; bucket membership is preserved, so the scoring join
+    * still sees HashPartitioning(band_idx, band_hash) and needs NO
+    * exchange on the index side. What an append DOES give up is the
+    * one-file-per-bucket guarantee, and with it the scan's sort order —
+    * the join re-sorts each bucket in-task (CPU-local, no network).
+    * Periodically running the full `compactIndex` is the MAJOR
+    * compaction that restores one sorted file per bucket; this method is
+    * the minor one that makes the steady-state maintenance cost
+    * O(new data), not O(history). Returns the number of appended rows
+    * (0 = nothing new).
+    */
+  def compactIndexIncremental(spark: SparkSession, indexDir: String,
+      tableName: String, nBuckets: Int = 32): Long = {
+    if (!spark.catalog.tableExists(tableName)) {
+      compactIndex(spark, indexDir, tableName, nBuckets)
+      spark.table(tableName).count()
+    } else {
+      // partition discovery types batch_id as int; normalize to long
+      val wm = spark.table(tableName)
+        .agg(max(col("batch_id")).cast("long")).head.getLong(0)
+      val delta = spark.read.parquet(indexDir)
+        .filter(col("batch_id") > wm)
+        .select("doc_id", "band_idx", "band_hash", "batch_id")
+        .localCheckpoint()
+      val n = delta.count()
+      if (n > 0)
+        delta.write.bucketBy(nBuckets, "band_idx", "band_hash")
+          .sortBy("band_idx", "band_hash")
+          .mode("append").saveAsTable(tableName)
+      n
+    }
   }
 
   /** Drop a managed table AND its storage location, resolving the

@@ -923,4 +923,119 @@ class StreamingSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally spark.sql("DROP TABLE IF EXISTS b_lsh_index")
   }
+
+  test("incremental band-index compaction: O(delta) appends, same verdicts, still exchange-free") {
+    import graft.streaming.LshStream
+    val deltaDir = tmpDir("graft-lshi-idx") + "/bands"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (t1, t2, t3) = (ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+
+    LshStream.batchBands(docs.filter(col("doc_id") < t1))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=0")
+    LshStream.batchBands(docs.filter(col("doc_id") >= t1 && col("doc_id") < t2))
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=1")
+    try {
+      // first call: no table yet -> full build (the major compaction)
+      val n0 = LshStream.compactIndexIncremental(spark, deltaDir, "b_lsh_inc")
+      assert(n0 === spark.read.parquet(deltaDir).count())
+
+      // a third delta lands; the incremental call must append ONLY it
+      LshStream.batchBands(docs.filter(col("doc_id") >= t2 && col("doc_id") < t3))
+        .write.mode("overwrite").parquet(s"$deltaDir/batch_id=2")
+      val delta2 = spark.read.parquet(s"$deltaDir/batch_id=2").count()
+      assert(LshStream.compactIndexIncremental(spark, deltaDir, "b_lsh_inc") === delta2,
+        "the second call must fold exactly the new delta partition")
+      assert(spark.table("b_lsh_inc").count() === n0 + delta2)
+
+      // nothing new -> a strict no-op (the in-table batch_id watermark)
+      assert(LshStream.compactIndexIncremental(spark, deltaDir, "b_lsh_inc") === 0L)
+      assert(spark.table("b_lsh_inc").count() === n0 + delta2)
+
+      // verdicts off the incrementally-grown table equal batch q124
+      val batch4 = docs.filter(col("doc_id") >= t3)
+      def vMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_earlier"),
+            Option(r.getAs[java.lang.Long]("dup_of")),
+            r.getAs[Boolean]("is_band_dup"))))
+        .toMap
+      val got = vMap(LshStream.verdictsAgainstIndex(batch4, spark.table("b_lsh_inc")))
+      val expected = vMap(ops.Dedup.q124.fn(spark, sf).filter(col("doc_id") >= t3))
+      assert(got === expected,
+        "verdicts off the incrementally compacted index must equal batch q124")
+
+      // appended buckets (several files per bucket now) must STILL reach
+      // the candidate join without an exchange on the index side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = graft.ops.Dedup.earlierBandPartners(
+            LshStream.batchBands(batch4),
+            spark.table("b_lsh_inc").select("doc_id", "band_idx", "band_hash"))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning(bh#"),
+          s"the bucketed index side must not shuffle into the candidate join:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"the index scan must stay bucketed after appends:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS b_lsh_inc")
+  }
+
+  test("fp-history compaction folds deltas into a base partition; audit pruning drops expired partitions") {
+    import graft.streaming.CurationStream
+    val fps = tmpDir("graft-fpc") + "/fps"
+    val index = tmpDir("graft-fpc-idx") + "/bands"
+    val decisions = tmpDir("graft-fpc-dec") + "/rows"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    CurationStream.processBatch(docs.filter(col("doc_id") < c1), fps, index, decisions, 0L)
+    CurationStream.processBatch(
+      docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), fps, index, decisions, 1L)
+    def fpSet() = spark.read.parquet(fps).select("fp", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    def parts() = new java.io.File(fps).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    val before = fpSet()
+
+    // an incomplete crashed staging dir (no _SUCCESS) must be discarded
+    val stale = new java.io.File(fps, ".fp_compact_tmp")
+    stale.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stale, "garbage").toPath, "x".getBytes)
+
+    // fold batch 0 only (upto = lastCommitted - 1): base + live delta
+    CurationStream.compactFpHistory(spark, fps, upto = 0L)
+    assert(parts() === Seq("batch_id=-1", "batch_id=1"))
+    assert(fpSet() === before, "folding must not change the fingerprint set")
+    assert(!stale.exists(), "incomplete staging must be cleaned up")
+
+    // fold everything: one base partition, same rows
+    CurationStream.compactFpHistory(spark, fps, upto = 1L)
+    assert(parts() === Seq("batch_id=-1"))
+    assert(fpSet() === before)
+    // idempotent when there is nothing to fold
+    CurationStream.compactFpHistory(spark, fps, upto = 1L)
+    assert(parts() === Seq("batch_id=-1") && fpSet() === before)
+
+    // the sink keeps working off the compacted store: re-delivered batch-0
+    // text under new ids is all exact dups -> no new fingerprints
+    CurationStream.processBatch(
+      docs.filter(col("doc_id") < c1).withColumn("doc_id", col("doc_id") + 1000000L),
+      fps, index, decisions, 2L)
+    assert(fpSet() === before,
+      "re-delivered content after compaction must stay a fingerprint no-op")
+    val d2 = spark.read.parquet(decisions).filter(col("batch_id") === 2)
+    assert(d2.filter(!col("is_exact_dup")).count() === 0,
+      "every re-delivered doc must be flagged an exact dup against the base")
+
+    // audit retention: partitions below the keep horizon are dropped
+    assert(CurationStream.pruneAudit(decisions, keepFrom = 2L) === 2L)
+    val left = spark.read.parquet(decisions).select("batch_id").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(left === Set(2L), "only the kept audit partition may remain")
+  }
 }
