@@ -689,6 +689,21 @@ object Corpus {
     .groupBy("source", "bin")
     .agg(count(lit(1)).as("o"))
 
+  /** SNAPSHOT-keyed histogram cells — `driftCells` with the corpus-state
+    * key kept, for streams whose documents carry a `snapshot_id` (ingest
+    * generation) column. Same bin projection by construction, so per-
+    * snapshot slices of this table equal `driftCells` of that snapshot's
+    * documents, and the folded artifact can serve χ² BETWEEN any two
+    * snapshots (chi2Pair) as well as within one (chi2FromCells).
+    */
+  def driftCellsBySnapshot(d: DataFrame): DataFrame = d
+    .select(col("snapshot_id"), col("source"),
+      least((size(TextOps.tokens(col("text"))).cast("long") / lit(DriftBinWidth))
+          .cast("long"),
+        lit(DriftMaxBin)).as("bin"))
+    .groupBy("snapshot_id", "source", "bin")
+    .agg(count(lit(1)).as("o"))
+
   /** The χ² computation over a cells table — shared so batch and
     * artifact-served drift can never diverge. Everything here is
     * sources × bins arithmetic on broadcast-sized frames.
@@ -724,5 +739,229 @@ object Corpus {
     chi2FromCells(driftCells(docs(s, dir)))
   }
 
-  val all: Seq[Q] = Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126)
+  // ── q128/q129: drift between two SNAPSHOTS ───────────────────────────
+
+  /** The deterministic two-snapshot fixture carved from `documents` —
+    * the per-ingest question q126 cannot answer ("did the mixture shift
+    * between snapshot A and B?") needs two corpus states, so the
+    * carrying queries split the one driver table by doc_id parity and
+    * inject REAL shift into B: `DriftShiftSource` loses every document
+    * of ≥ one bin width (its length histogram collapses to bin 0) and
+    * `DriftDropSource` disappears from B entirely (the degenerate
+    * zero-margin branch). Every other source differs only by the parity
+    * split — sampling noise, not shift.
+    */
+  val DriftShiftSource = "src0"
+  val DriftDropSource = "src9"
+
+  /** Snapshot membership by doc_id HASH parity, not doc_id parity — the
+    * driver assigns sources round-robin over ids, so raw parity would
+    * correlate perfectly with source and put every source wholly in one
+    * snapshot. h60 decorrelates (both engines share the md5 identity).
+    */
+  private def snapParity = Dedup.h60Col(col("doc_id").cast("string")) % 2
+
+  private val snapParitySql = s"${Dedup.h60Sql("CAST(doc_id AS VARCHAR)")} % 2"
+
+  def snapshotA(d: DataFrame): DataFrame = d.filter(snapParity === 0)
+
+  def snapshotB(d: DataFrame): DataFrame = d.filter(snapParity === 1)
+    .filter(!(col("source") === DriftShiftSource &&
+      size(TextOps.tokens(col("text"))).cast("long") >= lit(DriftBinWidth)))
+    .filter(col("source") =!= DriftDropSource)
+
+  private def snapshotSqlA = s"SELECT * FROM documents WHERE $snapParitySql = 0"
+
+  private def snapshotSqlB =
+    s"""SELECT * FROM documents WHERE $snapParitySql = 1
+       |    AND NOT (source = '$DriftShiftSource'
+       |      AND CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) >= $DriftBinWidth)
+       |    AND source <> '$DriftDropSource'""".stripMargin
+
+  private def cellsSql(alias: String) =
+    s"""SELECT source,
+       |    LEAST(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      // $DriftBinWidth, $DriftMaxBin) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM $alias GROUP BY 1, 2""".stripMargin
+
+  /** A-vs-B χ² per source over two histogram-cell tables (`driftCells`
+    * output shape): for each source, the 2×bins contingency of its
+    * snapshot-A histogram against its snapshot-B histogram — the test a
+    * curation pipeline runs per ingest to ask WHICH source changed
+    * shape between two corpus states. Same full-DOUBLE fixed-point
+    * arithmetic as `chi2FromCells` (nothing overflows, both engines
+    * evaluate one IEEE tree), with the zero-margin guard: a source
+    * present in only one snapshot has no finite χ² — its terms are
+    * skipped, chi2_fp is NULL, and `shifted` is true by definition
+    * (appearing/disappearing IS maximal drift). Everything past the two
+    * cell tables is sources × bins arithmetic on broadcast-sized
+    * frames; the cells themselves are add-mergeable partials, which is
+    * what lets DriftStream serve this off its folded artifact.
+    */
+  def chi2Pair(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    val a = cellsA.select(col("source").as("sa"), col("bin").as("ba"), col("o").as("oa"))
+    val b = cellsB.select(col("source").as("sb"), col("bin").as("bb"), col("o").as("ob"))
+    val cells = a.join(b, col("sa") === col("sb") && col("ba") === col("bb"), "full_outer")
+      .select(coalesce(col("sa"), col("sb")).as("source"),
+        coalesce(col("ba"), col("bb")).as("bin"),
+        coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+      .localCheckpoint()
+    val tot = cells.groupBy("source")
+      .agg(sum(col("oa")).cast("long").as("ra"), sum(col("ob")).cast("long").as("rb"))
+    val g = cells.join(tot, Seq("source"))
+      .withColumn("c", col("oa") + col("ob"))
+      .withColumn("n", col("ra") + col("rb"))
+    def d(name: String) = col(name).cast("double")
+    def diff(o: String, r: String) = d(o) * d("n") - d(r) * d("c")
+    def term(o: String, r: String) =
+      when(col("ra") > 0 && col("rb") > 0,
+        floor(diff(o, r) * diff(o, r) /
+          (d("n") * d(r) * d("c")) * lit(1000000.0)).cast("long"))
+        .otherwise(lit(0L))
+    g.select(col("source"), col("ra"), col("rb"),
+        term("oa", "ra").as("t1"), term("ob", "rb").as("t2"))
+      .groupBy("source")
+      .agg(max(col("ra")).as("n_a"), max(col("rb")).as("n_b"),
+        sum(col("t1") + col("t2")).cast("long").as("chi2_raw"),
+        (count(lit(1)) - 1L).as("df"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("chi2_raw")).as("chi2_fp"),
+        col("df"))
+      .withColumn("shifted",
+        coalesce(col("chi2_fp") > lit(2000000L) * col("df"), lit(true)))
+      .orderBy("source")
+  }
+
+  private def chi2PairTermSql(o: String, r: String) =
+    s"""CASE WHEN ra > 0 AND rb > 0 THEN
+       |      CAST(FLOOR((CAST($o AS DOUBLE)*CAST(n AS DOUBLE) - CAST($r AS DOUBLE)*CAST(c AS DOUBLE))
+       |        * (CAST($o AS DOUBLE)*CAST(n AS DOUBLE) - CAST($r AS DOUBLE)*CAST(c AS DOUBLE))
+       |        / (CAST(n AS DOUBLE)*CAST($r AS DOUBLE)*CAST(c AS DOUBLE))
+       |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) ELSE 0 END""".stripMargin
+
+  private def q128OracleSql: String =
+    s"""WITH snap_a AS ($snapshotSqlA
+       |), snap_b AS ($snapshotSqlB
+       |), ca AS (
+       |  ${cellsSql("snap_a")}
+       |), cb AS (
+       |  ${cellsSql("snap_b")}
+       |), cells AS (
+       |  SELECT COALESCE(a.source, b.source) AS source, COALESCE(a.bin, b.bin) AS bin,
+       |    COALESCE(a.o, 0) AS oa, COALESCE(b.o, 0) AS ob
+       |  FROM ca a FULL JOIN cb b ON a.source = b.source AND a.bin = b.bin
+       |), tot AS (
+       |  SELECT source, CAST(SUM(oa) AS BIGINT) AS ra, CAST(SUM(ob) AS BIGINT) AS rb
+       |  FROM cells GROUP BY 1
+       |), g AS (
+       |  SELECT ce.source, ce.oa, ce.ob, t.ra, t.rb,
+       |    ce.oa + ce.ob AS c, t.ra + t.rb AS n
+       |  FROM cells ce JOIN tot t ON ce.source = t.source
+       |), terms AS (
+       |  SELECT source, ra, rb,
+       |    ${chi2PairTermSql("oa", "ra")} AS t1,
+       |    ${chi2PairTermSql("ob", "rb")} AS t2
+       |  FROM g
+       |), agg AS (
+       |  SELECT source, MAX(ra) AS n_a, MAX(rb) AS n_b,
+       |    CASE WHEN MAX(ra) > 0 AND MAX(rb) > 0
+       |      THEN CAST(SUM(t1 + t2) AS BIGINT) END AS chi2_fp,
+       |    CAST(COUNT(*) AS BIGINT) - 1 AS df
+       |  FROM terms GROUP BY source
+       |)
+       |SELECT source, n_a, n_b, chi2_fp, df,
+       |  COALESCE(chi2_fp > 2000000 * df, TRUE) AS shifted
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** q128 — snapshot-pair drift: which source changed SHAPE between two
+    * corpus snapshots. The question q126's source-vs-rest test cannot
+    * answer (its cells are not snapshot-keyed) and the round-7 verdict
+    * named as the gap: per-ingest drift needs χ² BETWEEN two corpus
+    * states, served from snapshot-keyed artifacts. The fixture injects
+    * real shift (see `snapshotA`/`snapshotB`); the kernel is
+    * `chi2Pair`, shared verbatim with DriftStream's artifact-served
+    * pair drift so streamed and batch answers cannot diverge.
+    */
+  val q128 = Q("q128_snapshot_pair_drift", q128OracleSql) { (s, dir) =>
+    val d0 = docs(s, dir)
+    chi2Pair(driftCells(snapshotA(d0)), driftCells(snapshotB(d0)))
+  }
+
+  private def q129OracleSql: String =
+    s"""WITH snap_a AS ($snapshotSqlA
+       |), snap_b AS ($snapshotSqlB
+       |), ca AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS na FROM snap_a GROUP BY 1
+       |), cb AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nb FROM snap_b GROUP BY 1
+       |), cells AS (
+       |  SELECT COALESCE(a.source, b.source) AS source,
+       |    COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+       |  FROM ca a FULL JOIN cb b ON a.source = b.source
+       |), tot AS (
+       |  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM cells
+       |), g AS (
+       |  SELECT c.source, c.na, c.nb, t.ta, t.tb,
+       |    t.ta + t.tb AS n, c.na + c.nb AS cs, t.ta + t.tb - c.na - c.nb AS cr
+       |  FROM cells c, tot t
+       |), t AS (
+       |  SELECT source, na, nb,
+       |    CASE WHEN ta > 0 THEN (na * 10000) // ta ELSE 0 END AS share_a_bp,
+       |    CASE WHEN tb > 0 THEN (nb * 10000) // tb ELSE 0 END AS share_b_bp,
+       |    CASE WHEN ta > 0 AND tb > 0 AND cr > 0 THEN
+       |      CAST(FLOOR(CAST(n AS DOUBLE)
+       |        * (CAST(na AS DOUBLE)*CAST(tb - nb AS DOUBLE) - CAST(ta - na AS DOUBLE)*CAST(nb AS DOUBLE))
+       |        * (CAST(na AS DOUBLE)*CAST(tb - nb AS DOUBLE) - CAST(ta - na AS DOUBLE)*CAST(nb AS DOUBLE))
+       |        / (CAST(ta AS DOUBLE)*CAST(tb AS DOUBLE)*CAST(cs AS DOUBLE)*CAST(cr AS DOUBLE))
+       |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT) END AS chi2_fp
+       |  FROM g
+       |)
+       |SELECT source, na AS n_a, nb AS n_b, share_a_bp, share_b_bp, chi2_fp,
+       |  CAST(1 AS BIGINT) AS df,
+       |  COALESCE(chi2_fp > 2000000, TRUE) AS shifted
+       |FROM t ORDER BY source""".stripMargin
+
+  /** q129 — mixture-share drift between the same two snapshots: which
+    * source's SHARE of the corpus changed (the composition question;
+    * q128 asks about within-source shape). Per source, the 2×2
+    * snapshot × (source, rest) contingency via the closed form
+    * χ² = n·(ad−bc)²/(r₁r₂c₁c₂) — one guarded full-DOUBLE term per
+    * source, df = 1 — plus basis-point shares as exact integer division.
+    * A source absent from one snapshot is NOT degenerate here (its
+    * column margin stays positive), so the dropped source gets a real,
+    * large χ² — the two queries are complementary detectors. Everything
+    * after the two count tables is sources-sized broadcast arithmetic.
+    */
+  val q129 = Q("q129_mixture_share_drift", q129OracleSql) { (s, dir) =>
+    val d0 = docs(s, dir)
+    val ca = snapshotA(d0).groupBy("source").agg(count(lit(1)).as("na"))
+    val cb = snapshotB(d0).groupBy("source").agg(count(lit(1)).as("nb"))
+    val cells = ca.join(cb, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("na")).cast("long").as("ta"), sum(col("nb")).cast("long").as("tb"))
+    val g = cells.crossJoin(broadcast(tot))
+      .withColumn("n", col("ta") + col("tb"))
+      .withColumn("cs", col("na") + col("nb"))
+      .withColumn("cr", col("ta") + col("tb") - col("na") - col("nb"))
+    def d(name: String) = col(name).cast("double")
+    val det = d("na") * (col("tb") - col("nb")).cast("double") -
+      (col("ta") - col("na")).cast("double") * d("nb")
+    g.select(col("source"), col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("ta") > 0, expr("(na * 10000) div ta")).otherwise(lit(0L)).as("share_a_bp"),
+        when(col("tb") > 0, expr("(nb * 10000) div tb")).otherwise(lit(0L)).as("share_b_bp"),
+        when(col("ta") > 0 && col("tb") > 0 && col("cr") > 0,
+          floor(d("n") * det * det /
+            (d("ta") * d("tb") * d("cs") * d("cr")) * lit(1000000.0)).cast("long"))
+          .as("chi2_fp"),
+        lit(1L).as("df"))
+      .withColumn("shifted", coalesce(col("chi2_fp") > lit(2000000L), lit(true)))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] =
+    Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129)
 }

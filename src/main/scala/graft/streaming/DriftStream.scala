@@ -57,4 +57,62 @@ object DriftStream {
     */
   def driftFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
     Corpus.chi2FromCells(cellsFromDeltas(spark, deltaDir))
+
+  // ── snapshot-keyed cells: drift BETWEEN corpus states ────────────────
+
+  /** Document stream whose rows carry a `snapshot_id` (ingest
+    * generation) column alongside CorpusStream's schema.
+    */
+  def readSnapshotDocStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema(CorpusStream.docSchema.add("snapshot_id", "long"))
+      .parquet(landingDir)
+
+  /** Snapshot-keyed delta write — Corpus.driftCellsBySnapshot verbatim.
+    * One micro-batch may span snapshots (a late file from an old ingest
+    * landing next to the new one); the key travels in the DATA, so the
+    * fold assigns every cell to its snapshot regardless of which batch
+    * carried it.
+    */
+  def writeSnapshotDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    Corpus.driftCellsBySnapshot(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Cell-maintenance sink keyed by snapshot: state is
+    * O(batches × snapshots × sources × bins) cell rows, never documents;
+    * per-batchId overwrite partitions keep replays no-ops exactly like
+    * the unkeyed sink.
+    */
+  def snapshotCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("snapshot_drift_cell_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSnapshotDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** One snapshot's folded cell table ((source, bin, o) — the
+    * driftCells shape) off the delta store alone.
+    */
+  def cellsForSnapshot(spark: SparkSession, deltaDir: String,
+      snapshotId: Long): DataFrame =
+    spark.read.parquet(deltaDir)
+      .filter(col("snapshot_id") === snapshotId)
+      .groupBy("source", "bin")
+      .agg(sum(col("o")).cast("long").as("o"))
+
+  /** Snapshot-PAIR drift served off the maintained artifact: which
+    * source changed shape between corpus states A and B — q128's
+    * question answered with zero document rescans, via the SAME kernel
+    * (Corpus.chi2Pair), so served and in-query statistics are
+    * bit-identical (StreamingSpec-pinned).
+    */
+  def pairDriftFromDeltas(spark: SparkSession, deltaDir: String,
+      snapA: Long, snapB: Long): DataFrame =
+    Corpus.chi2Pair(cellsForSnapshot(spark, deltaDir, snapA),
+      cellsForSnapshot(spark, deltaDir, snapB))
 }

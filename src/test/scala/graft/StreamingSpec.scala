@@ -1038,4 +1038,83 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.get(0).toString.toLong).toSet
     assert(left === Set(2L), "only the kept audit partition may remain")
   }
+
+  test("snapshot-keyed drift stream: artifact-served pair drift equals batch q128 on a really-shifted fixture") {
+    import graft.streaming.DriftStream
+    import graft.ops.Corpus
+    val landing = tmpDir("graft-snap-landing")
+    val deltas = tmpDir("graft-snap-art") + "/cells"
+    val checkpoint = tmpDir("graft-snap-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+
+    // the multi-snapshot fixture with REAL distribution shift: snapshot 1
+    // collapses DriftShiftSource's length histogram and drops
+    // DriftDropSource entirely (Corpus.snapshotA/B — q128's exact split)
+    val tagged = Corpus.snapshotA(docs).withColumn("snapshot_id", lit(0L))
+      .unionByName(Corpus.snapshotB(docs).withColumn("snapshot_id", lit(1L)))
+      .localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-snap-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // landing files split by doc_id RANGE, so every micro-batch mixes
+    // snapshots — the key must travel in the data, not batch boundaries
+    land(tagged.filter(col("doc_id") < c1), "f1.parquet")
+    DriftStream.snapshotCellSink(DriftStream.readSnapshotDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(tagged.filter(col("doc_id") >= c1 && col("doc_id") < c2), "f2.parquet")
+    DriftStream.snapshotCellSink(DriftStream.readSnapshotDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(tagged.filter(col("doc_id") >= c2), "f3.parquet")
+    DriftStream.snapshotCellSink(DriftStream.readSnapshotDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        Option(r.getAs[java.lang.Long]("chi2_fp")), r.getAs[Long]("df"),
+        r.getAs[Boolean]("shifted")))
+      .toSeq
+    val served = rows(DriftStream.pairDriftFromDeltas(spark, deltas, 0L, 1L))
+    assert(served === rows(Corpus.q128.fn(spark, sf)),
+      "artifact-served snapshot-pair drift must equal the oracled q128 bit-for-bit")
+
+    // the fixture's injected shifts are actually detected
+    val bySource = served.map(r => r._1 -> r).toMap
+    val dropped = bySource(Corpus.DriftDropSource)
+    assert(dropped._3 === 0L && dropped._4.isEmpty && dropped._6,
+      "a source absent from snapshot B must be flagged via the degenerate branch")
+    // the injected shape shift, read off the ARTIFACT itself (sample-size
+    // independent, unlike the χ²>2df demo threshold at 25 docs/source):
+    // snapshot 0 has ≥1-bin mass for the shifted source, snapshot 1 none
+    def binMass(snap: Long) = DriftStream.cellsForSnapshot(spark, deltas, snap)
+      .filter(col("source") === Corpus.DriftShiftSource && col("bin") >= 1)
+      .agg(coalesce(sum(col("o")), lit(0L))).head.getLong(0)
+    assert(binMass(0L) > 0L,
+      "fixture must have long documents for the shifted source in snapshot A")
+    assert(binMass(1L) === 0L,
+      "snapshot B must have lost the shifted source's upper histogram bins")
+    assert(bySource(Corpus.DriftShiftSource)._3 < bySource(Corpus.DriftShiftSource)._2,
+      "the shifted source must have lost documents in snapshot B")
+
+    // replay pin: rewriting a batch's delta partition changes nothing
+    val before = served
+    DriftStream.writeSnapshotDelta(tagged.filter(col("doc_id") >= c2), deltas, 2L)
+    assert(rows(DriftStream.pairDriftFromDeltas(spark, deltas, 0L, 1L)) === before,
+      "a replayed snapshot-cell delta must be a no-op")
+
+    // and the mixture-share detector flags the dropped source too (q129)
+    val q129BySource = Corpus.q129.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_b"), r.getAs[Boolean]("shifted")))).toMap
+    assert(q129BySource(Corpus.DriftDropSource) === ((0L, true)),
+      "the dropped source's SHARE shift must be caught by the mixture test")
+  }
 }
