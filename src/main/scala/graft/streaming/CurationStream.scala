@@ -4,7 +4,6 @@ import graft.ops.{Corpus, Dedup, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import scala.jdk.CollectionConverters._
 
 /** The CONSOLIDATED curation sink — gate, exact-fingerprint dedup, and
   * band-index near-dup verdicts as ONE pass per micro-batch, in the
@@ -166,68 +165,16 @@ object CurationStream {
 
   // ── store maintenance: retention for the accreting partition stores ──
 
-  private val FpBasePartition = -1L
-  private val FpCompactTmp = ".fp_compact_tmp"
-
-  private def partitionIds(dir: java.io.File): Seq[Long] =
-    Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .map(_.getName.stripPrefix("batch_id=").toLong)
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
   /** Fold fingerprint-history delta partitions with `batch_id <= upto`
-    * (plus any existing base) into ONE base partition at
-    * `batch_id=$FpBasePartition` — the retention path for the store that
-    * otherwise accretes a partition per micro-batch forever. The base id
-    * is negative so the sink's `batch_id < batchId` history read picks
-    * it up unchanged; pass `upto <= lastCommittedBatch - 1` so the one
-    * batch the checkpoint may still replay keeps its own partition.
-    *
-    * Crash-safe by a hidden-staging protocol (single maintenance writer
-    * assumed, like every compactor here): (1) write the merged rows to a
-    * dot-prefixed staging dir — invisible to parquet readers — then a
-    * `_folded_ids` manifest naming exactly the partitions it folded;
-    * (2) delete those partitions; (3) rename the staging dir to the base
-    * partition. A crash before the manifest leaves the store untouched
-    * (incomplete staging is discarded); a crash after it leaves the data
-    * complete in staging, and the next call finishes steps (2)-(3) from
-    * the manifest — deltas that landed after the crash are never
-    * touched. Cost is O(fp rows), narrow
-    * fixed-width rows only — never document text; run it at major-
-    * compaction cadence, not per batch.
+    * (plus any existing base) into one base partition — the retention
+    * path for the store that otherwise accretes a partition per
+    * micro-batch forever. The fold is a plain row union (history is one
+    * row per fp by construction); protocol and crash-safety are
+    * StoreCompaction's. Cost is O(fp rows) of narrow fixed-width rows —
+    * never document text.
     */
-  def compactFpHistory(spark: SparkSession, fpDir: String, upto: Long): Unit = {
-    val root = new java.io.File(fpDir)
-    val staging = new java.io.File(root, FpCompactTmp)
-    val base = new java.io.File(root, s"batch_id=$FpBasePartition")
-    val manifest = new java.io.File(staging, "_folded_ids")
-    def finishFold(ids: Seq[Long]): Unit = {
-      ids.foreach(id => deleteRecursively(new java.io.File(root, s"batch_id=$id")))
-      require(staging.renameTo(base), s"rename $staging -> $base failed")
-    }
-    // recovery: a staging dir with BOTH markers is a complete crashed
-    // fold — finish it by deleting exactly the partitions its manifest
-    // names (deltas that landed after the crash are untouched) and
-    // renaming; anything less than complete is discarded and redone.
-    if (staging.exists()) {
-      if (new java.io.File(staging, "_SUCCESS").exists() && manifest.exists())
-        finishFold(java.nio.file.Files.readAllLines(manifest.toPath)
-          .asScala.toSeq.filter(_.nonEmpty).map(_.toLong))
-      else deleteRecursively(staging)
-    }
-    val ids = partitionIds(root).filter(id => id == FpBasePartition || id <= upto)
-    if (ids.isEmpty || ids == Seq(FpBasePartition)) return
-    spark.read.parquet(ids.map(id => s"$fpDir/batch_id=$id"): _*)
-      .select("fp", "doc_id", "source")
-      .write.mode("overwrite").parquet(staging.getPath)
-    java.nio.file.Files.write(manifest.toPath,
-      ids.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finishFold(ids)
-  }
+  def compactFpHistory(spark: SparkSession, fpDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, fpDir, upto)(_.select("fp", "doc_id", "source"))
 
   /** Audit-store retention: drop decision/quarantine partitions with
     * `batch_id < keepFrom`. The decision and quarantine tables are audit
@@ -237,8 +184,9 @@ object CurationStream {
     */
   def pruneAudit(auditDir: String, keepFrom: Long): Long = {
     val root = new java.io.File(auditDir)
-    val expired = partitionIds(root).filter(_ < keepFrom)
-    expired.foreach(id => deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+    val expired = StoreCompaction.partitionIds(root).filter(_ < keepFrom)
+    expired.foreach(id =>
+      StoreCompaction.deleteRecursively(new java.io.File(root, s"batch_id=$id")))
     expired.size.toLong
   }
 }

@@ -115,4 +115,20 @@ object DriftStream {
       snapA: Long, snapB: Long): DataFrame =
     Corpus.chi2Pair(cellsForSnapshot(spark, deltaDir, snapA),
       cellsForSnapshot(spark, deltaDir, snapB))
+
+  /** Delta-store retention for the unkeyed cell store: counts are plain
+    * sums, so folding old partitions into the base reassociates exactly
+    * and every served statistic is unchanged (StreamingSpec-pinned).
+    */
+  def compactDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto)(
+      _.groupBy("source", "bin").agg(sum(col("o")).cast("long").as("o")))
+
+  /** Retention for the snapshot-keyed store: the fold keeps the
+    * snapshot key, so pair drift between ANY two snapshots — including
+    * long-closed ones — still serves off the compacted base.
+    */
+  def compactSnapshotDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto)(
+      _.groupBy("snapshot_id", "source", "bin").agg(sum(col("o")).cast("long").as("o")))
 }

@@ -69,12 +69,25 @@ object ShardStream {
     * landed documents (StreamingSpec-pinned).
     */
   def manifestFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
-    spark.read.parquet(deltaDir)
+    foldManifest(spark.read.parquet(deltaDir)).orderBy("shard_id")
+
+  private def foldManifest(deltas: DataFrame): DataFrame =
+    deltas
       .groupBy(col("shard_id"))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("shard_tokens")).cast("long").as("shard_tokens"),
         expr("bit_xor(checksum)").as("checksum"),
         min(col("min_doc_id")).as("min_doc_id"),
         max(col("max_doc_id")).as("max_doc_id"))
-      .orderBy("shard_id")
+
+  /** Delta-store retention: fold partitions `batch_id <= upto` into the
+    * base partition using the SAME associative manifest algebra serving
+    * applies — sums, XOR, min/max all reassociate exactly, so the served
+    * manifest is bit-identical before and after compaction
+    * (StreamingSpec-pinned). The store then holds ≤ ShardCount base rows
+    * plus one small partition per recent batch instead of one per batch
+    * ever ingested.
+    */
+  def compactDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto)(foldManifest)
 }

@@ -675,6 +675,16 @@ class StreamingSpec extends AnyFunSuite {
     ShardStream.writeDelta(replay, deltas, 0L)
     assert(maniMap(ShardStream.manifestFromDeltas(spark, deltas)) === batch,
       "a replayed delta write must not move the served manifest")
+
+    // retention pin: folding old deltas into the base reassociates the
+    // same algebra — the served manifest must not move, and the store
+    // must shrink to base + the still-replayable tail
+    ShardStream.compactDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(maniMap(ShardStream.manifestFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served manifest")
   }
 
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
@@ -1003,7 +1013,7 @@ class StreamingSpec extends AnyFunSuite {
     val before = fpSet()
 
     // an incomplete crashed staging dir (no _SUCCESS) must be discarded
-    val stale = new java.io.File(fps, ".fp_compact_tmp")
+    val stale = new java.io.File(fps, ".compact_tmp")
     stale.mkdirs()
     java.nio.file.Files.write(new java.io.File(stale, "garbage").toPath, "x".getBytes)
 
@@ -1109,6 +1119,16 @@ class StreamingSpec extends AnyFunSuite {
     DriftStream.writeSnapshotDelta(tagged.filter(col("doc_id") >= c2), deltas, 2L)
     assert(rows(DriftStream.pairDriftFromDeltas(spark, deltas, 0L, 1L)) === before,
       "a replayed snapshot-cell delta must be a no-op")
+
+    // retention pin: cells fold by exact integer sums, so pair drift —
+    // including for a long-closed snapshot — serves identically off the
+    // compacted base partition
+    DriftStream.compactSnapshotDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(rows(DriftStream.pairDriftFromDeltas(spark, deltas, 0L, 1L)) === before,
+      "compaction must not move any served pair statistic")
 
     // and the mixture-share detector flags the dropped source too (q129)
     val q129BySource = Corpus.q129.fn(spark, sf).collect()
