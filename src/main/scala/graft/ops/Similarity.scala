@@ -1913,5 +1913,130 @@ object Similarity {
     retrievalChain(s, dir, ids)
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122)
+  private def q130OracleSql: String = {
+    val parity = s"${Dedup.h60Sql("'snap:' || CAST(vec_id AS VARCHAR)")} % 2"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), a0 AS (
+       |  SELECT vec_id,
+       |    CAST(${Dedup.h60Sql("'sem:' || CAST(vec_id AS VARCHAR)")} % $SemK AS BIGINT) AS cluster
+       |  FROM e
+       |), ${centroidCtes("a0", "0")},
+       |${assignCtes("c0", "1")},
+       |${centroidCtes("asg1", "1")},
+       |${assignCtes("c1", "2")},
+       |asg AS (
+       |  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg2
+       |), tagged AS (
+       |  SELECT vec_id, cluster, $parity AS par FROM asg
+       |), mn AS (
+       |  SELECT MIN(cluster) AS mc FROM asg
+       |), ca AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS na FROM tagged WHERE par = 0 GROUP BY 1
+       |), cb AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM tagged, mn WHERE par = 1 AND cluster <> mn.mc GROUP BY 1
+       |), cells AS (
+       |  SELECT COALESCE(a.cluster, b.cluster) AS cluster,
+       |    COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+       |  FROM ca a FULL JOIN cb b ON a.cluster = b.cluster
+       |), tot AS (
+       |  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM cells
+       |), g AS (
+       |  SELECT c.cluster, c.na, c.nb, t.ta, t.tb,
+       |    c.na + c.nb AS cc, t.ta + t.tb AS n
+       |  FROM cells c, tot t
+       |), t AS (
+       |  SELECT cluster, na, nb,
+       |    CASE WHEN ta > 0 THEN (na * 10000) // ta ELSE 0 END AS share_a_bp,
+       |    CASE WHEN tb > 0 THEN (nb * 10000) // tb ELSE 0 END AS share_b_bp,
+       |    CASE WHEN ta > 0 AND tb > 0 THEN
+       |      CAST(FLOOR((CAST(na AS DOUBLE)*CAST(n AS DOUBLE) - CAST(ta AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        * (CAST(na AS DOUBLE)*CAST(n AS DOUBLE) - CAST(ta AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        / (CAST(n AS DOUBLE)*CAST(ta AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |      + CAST(FLOOR((CAST(nb AS DOUBLE)*CAST(n AS DOUBLE) - CAST(tb AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        * (CAST(nb AS DOUBLE)*CAST(n AS DOUBLE) - CAST(tb AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        / (CAST(n AS DOUBLE)*CAST(tb AS DOUBLE)*CAST(cc AS DOUBLE))
+       |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+       |    ELSE 0 END AS contrib_fp
+       |  FROM g
+       |), gl AS (
+       |  SELECT CAST(SUM(contrib_fp) AS BIGINT) AS chi2_fp,
+       |    CAST(COUNT(*) AS BIGINT) - 1 AS df
+       |  FROM t
+       |)
+       |SELECT t.cluster, t.na AS n_a, t.nb AS n_b, t.share_a_bp, t.share_b_bp,
+       |  t.contrib_fp, gl.chi2_fp, gl.df,
+       |  gl.chi2_fp > 2000000 * gl.df AS shifted
+       |FROM t, gl ORDER BY t.cluster""".stripMargin
+  }
+
+  /** q130 — EMBEDDING-space occupancy drift between two corpus
+    * snapshots: the vector twin of q128/q129. Text drift watches token
+    * histograms; a retrieval/dedup pipeline also needs to know when the
+    * EMBEDDING distribution moved (new topic, encoder change), and the
+    * deployable statistic is cluster-occupancy shift — assign every
+    * vector to the q104-learned k-means cells (SAME `sem:` h60 init and
+    * 2-round Lloyd chain, so the unrolled oracle is shared machinery),
+    * split into snapshots by independent `snap:` h60 parity, and test
+    * the 2×k snapshot × cluster contingency with per-cluster
+    * contributions. The fixture drops the min-id cluster from snapshot
+    * B entirely — a region of embedding space vanishing is exactly the
+    * shift shape SemDeDup/IVF serving must re-train for. All counts are
+    * exact BIGINTs and every χ² term is the same guarded full-DOUBLE
+    * fixed-point tree as q128/q129, so the statistic oracles exactly.
+    * Scale shape: one assignment pass (the kmeans cost, shared with
+    * q104's artifact in production), then clusters-sized broadcast
+    * arithmetic — the occupancy cells are add-mergeable partials, so a
+    * streaming fold could maintain them per snapshot exactly like
+    * DriftStream's text cells.
+    */
+  val q130 = Q("q130_embedding_occupancy_drift", q130OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val init = e.select(col("vec_id"), col("v"),
+      pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))),
+        lit(SemK.toLong)).cast("int").as("init"))
+    val (asgRaw, _, _) = kmeans(init, "init", maxIters = 2)
+    val asg = asgRaw.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .localCheckpoint()
+    val tagged = asg.withColumn("par",
+      Dedup.h60Col(concat(lit("snap:"), col("vec_id").cast("string"))) % 2)
+    val mn = asg.agg(min(col("cluster")).as("mc"))
+    val ca = tagged.filter(col("par") === 0)
+      .groupBy("cluster").agg(count(lit(1)).as("na"))
+    val cb = tagged.filter(col("par") === 1)
+      .crossJoin(broadcast(mn)).filter(col("cluster") =!= col("mc"))
+      .groupBy("cluster").agg(count(lit(1)).as("nb"))
+    val cells = ca.join(cb, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("na")).cast("long").as("ta"), sum(col("nb")).cast("long").as("tb"))
+    val g = cells.crossJoin(broadcast(tot))
+      .withColumn("cc", col("na") + col("nb"))
+      .withColumn("n", col("ta") + col("tb"))
+    def d(name: String) = col(name).cast("double")
+    def half(o: String, r: String) = {
+      val diff = d(o) * d("n") - d(r) * d("cc")
+      floor(diff * diff / (d("n") * d(r) * d("cc")) * lit(1000000.0)).cast("long")
+    }
+    val t = g.select(col("cluster"), col("na"), col("nb"),
+      when(col("ta") > 0, expr("(na * 10000) div ta")).otherwise(lit(0L)).as("share_a_bp"),
+      when(col("tb") > 0, expr("(nb * 10000) div tb")).otherwise(lit(0L)).as("share_b_bp"),
+      when(col("ta") > 0 && col("tb") > 0, half("na", "ta") + half("nb", "tb"))
+        .otherwise(lit(0L)).as("contrib_fp"))
+      .localCheckpoint()
+    val gl = t.agg(sum(col("contrib_fp")).cast("long").as("chi2_fp"),
+      (count(lit(1)) - 1L).as("df"))
+    t.crossJoin(broadcast(gl))
+      .select(col("cluster"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("share_a_bp"), col("share_b_bp"), col("contrib_fp"),
+        col("chi2_fp"), col("df"),
+        (col("chi2_fp") > lit(2000000L) * col("df")).as("shifted"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130)
 }
