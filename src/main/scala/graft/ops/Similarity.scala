@@ -1992,23 +1992,14 @@ object Similarity {
     * streaming fold could maintain them per snapshot exactly like
     * DriftStream's text cells.
     */
-  val q130 = Q("q130_embedding_occupancy_drift", q130OracleSql) { (s, dir) =>
-    graft.functions.VecDot.register(s)
-    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val init = e.select(col("vec_id"), col("v"),
-      pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))),
-        lit(SemK.toLong)).cast("int").as("init"))
-    val (asgRaw, _, _) = kmeans(init, "init", maxIters = 2)
-    val asg = asgRaw.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-      .localCheckpoint()
-    val tagged = asg.withColumn("par",
-      Dedup.h60Col(concat(lit("snap:"), col("vec_id").cast("string"))) % 2)
-    val mn = asg.agg(min(col("cluster")).as("mc"))
-    val ca = tagged.filter(col("par") === 0)
-      .groupBy("cluster").agg(count(lit(1)).as("na"))
-    val cb = tagged.filter(col("par") === 1)
-      .crossJoin(broadcast(mn)).filter(col("cluster") =!= col("mc"))
-      .groupBy("cluster").agg(count(lit(1)).as("nb"))
+  /** The occupancy-drift χ² kernel over two per-cluster count tables —
+    * `ca` with (cluster, na), `cb` with (cluster, nb): snapshot × cluster
+    * contingency with per-cluster contributions and the global statistic
+    * on every row. Shared by q130 and EmbeddingStream's artifact-served
+    * drift so streamed and batch statistics can never diverge. Same
+    * guarded full-DOUBLE fixed-point discipline as Corpus.chi2Pair.
+    */
+  def occupancyPairChi2(ca: DataFrame, cb: DataFrame): DataFrame = {
     val cells = ca.join(cb, Seq("cluster"), "full_outer")
       .select(col("cluster"),
         coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
@@ -2036,6 +2027,26 @@ object Similarity {
         col("chi2_fp"), col("df"),
         (col("chi2_fp") > lit(2000000L) * col("df")).as("shifted"))
       .orderBy("cluster")
+  }
+
+  val q130 = Q("q130_embedding_occupancy_drift", q130OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val init = e.select(col("vec_id"), col("v"),
+      pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))),
+        lit(SemK.toLong)).cast("int").as("init"))
+    val (asgRaw, _, _) = kmeans(init, "init", maxIters = 2)
+    val asg = asgRaw.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .localCheckpoint()
+    val tagged = asg.withColumn("par",
+      Dedup.h60Col(concat(lit("snap:"), col("vec_id").cast("string"))) % 2)
+    val mn = asg.agg(min(col("cluster")).as("mc"))
+    val ca = tagged.filter(col("par") === 0)
+      .groupBy("cluster").agg(count(lit(1)).as("na"))
+    val cb = tagged.filter(col("par") === 1)
+      .crossJoin(broadcast(mn)).filter(col("cluster") =!= col("mc"))
+      .groupBy("cluster").agg(count(lit(1)).as("nb"))
+    occupancyPairChi2(ca, cb)
   }
 
   val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130)

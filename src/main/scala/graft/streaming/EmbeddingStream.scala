@@ -96,6 +96,79 @@ object EmbeddingStream {
     * so the sink is idempotent end-to-end. Readers see `batch_id` as a
     * trailing partition-discovery column.
     */
+  // ── snapshot-keyed occupancy cells: q130's drift, maintained ─────────
+
+  /** Embedding stream whose rows carry a `snapshot_id` (ingest
+    * generation) column alongside the base schema.
+    */
+  def readSnapshotEmbStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(embSchema.add("snapshot_id", "long")).parquet(landingDir)
+
+  /** One micro-batch's occupancy delta: assign against the FROZEN
+    * quantizer (serving-time clustering never retrains per batch — the
+    * same centroid artifact the dedup sink uses), count per (snapshot,
+    * cluster). ≤ snapshots × k rows per batch; counts are add-mergeable,
+    * so any batch boundaries fold to the whole-corpus cells. Exposed for
+    * the spec's replay pin.
+    */
+  def writeOccupancyDelta(batch: DataFrame, centroidPath: String,
+      deltaDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(centroidPath)
+    assignFrozen(batch, cents)
+      .join(batch.select(col("vec_id"), col("snapshot_id")), Seq("vec_id"))
+      .groupBy("snapshot_id", "cluster")
+      .agg(count(lit(1)).as("o"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
+
+  /** Occupancy-cell maintenance sink — the embedding twin of
+    * DriftStream.snapshotCellSink: per-batchId overwrite partitions keep
+    * replays no-ops; the artifact is cells, never vectors.
+    */
+  def occupancySink(stream: DataFrame, centroidPath: String, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("embedding_occupancy_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeOccupancyDelta(batch, centroidPath, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** One snapshot's folded per-cluster counts, aliased for the kernel
+    * side (`na`/`nb`) by the caller.
+    */
+  def occupancyForSnapshot(spark: SparkSession, deltaDir: String,
+      snapshotId: Long, as: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .filter(col("snapshot_id") === snapshotId)
+      .groupBy("cluster")
+      .agg(sum(col("o")).cast("long").as(as))
+
+  /** q130's statistic served off the maintained artifact: which region
+    * of embedding space grew or vanished between snapshots A and B —
+    * zero vector rescans, same kernel (Similarity.occupancyPairChi2), so
+    * served and batch statistics are bit-identical (StreamingSpec-
+    * pinned).
+    */
+  def occupancyPairFromDeltas(spark: SparkSession, deltaDir: String,
+      snapA: Long, snapB: Long): DataFrame =
+    Similarity.occupancyPairChi2(
+      occupancyForSnapshot(spark, deltaDir, snapA, "na"),
+      occupancyForSnapshot(spark, deltaDir, snapB, "nb"))
+
+  /** Delta-store retention: cells fold by exact integer sums keyed by
+    * snapshot, so pair drift for any snapshot pair serves identically
+    * off the compacted base.
+    */
+  def compactOccupancyDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto)(
+      _.groupBy("snapshot_id", "cluster").agg(sum(col("o")).cast("long").as("o")))
+
   def dedupSink(stream: DataFrame, centroidPath: String, historyDir: String,
       decisionsDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream

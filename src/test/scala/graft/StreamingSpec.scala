@@ -1137,4 +1137,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(q129BySource(Corpus.DriftDropSource) === ((0L, true)),
       "the dropped source's SHARE shift must be caught by the mixture test")
   }
+
+  test("embedding occupancy stream: artifact-served snapshot-pair drift equals the frozen-cluster batch statistic") {
+    import graft.streaming.EmbeddingStream
+    import graft.ops.{Dedup, Similarity}
+    val landing = tmpDir("graft-occ-landing")
+    val deltas = tmpDir("graft-occ-art") + "/cells"
+    val checkpoint = tmpDir("graft-occ-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val emb = Catalog.table(spark, sf, "embeddings")
+    val centroidPath = Similarity.buildIvfIndex(spark, sf)
+    val cents = spark.read.parquet(centroidPath)
+
+    // multi-snapshot fixture with real embedding-space shift: snapshot 1
+    // loses the min FROZEN cluster entirely (a region of space vanishes)
+    val asgAll = EmbeddingStream.assignFrozen(emb, cents)
+      .select("vec_id", "cluster").localCheckpoint()
+    val minCluster = asgAll.agg(min(col("cluster"))).head.getLong(0)
+    val tagged = emb
+      .withColumn("snapshot_id",
+        Dedup.h60Col(concat(lit("esnap:"), col("vec_id").cast("string"))) % 2)
+      .join(asgAll, Seq("vec_id"))
+      .filter(!(col("snapshot_id") === 1 && col("cluster") === minCluster))
+      .select("vec_id", "embedding", "label", "snapshot_id")
+      .localCheckpoint()
+    val ids = tagged.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-occ-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // two landing files split by vec_id range: batches mix snapshots
+    land(tagged.filter(col("vec_id") < cut), "f1.parquet")
+    EmbeddingStream.occupancySink(EmbeddingStream.readSnapshotEmbStream(spark, landing),
+      centroidPath, deltas, checkpoint).awaitTermination()
+    land(tagged.filter(col("vec_id") >= cut), "f2.parquet")
+    EmbeddingStream.occupancySink(EmbeddingStream.readSnapshotEmbStream(spark, landing),
+      centroidPath, deltas, checkpoint).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("share_a_bp"), r.getAs[Long]("share_b_bp"),
+        r.getAs[Long]("contrib_fp"), r.getAs[Long]("chi2_fp"), r.getAs[Long]("df"),
+        r.getAs[Boolean]("shifted")))
+      .toSeq
+    // batch twin: the same frozen assignment aggregated in one shot
+    val occ = tagged.join(asgAll, Seq("vec_id"))
+    val expected = rows(Similarity.occupancyPairChi2(
+      occ.filter(col("snapshot_id") === 0).groupBy("cluster").agg(count(lit(1)).as("na")),
+      occ.filter(col("snapshot_id") === 1).groupBy("cluster").agg(count(lit(1)).as("nb"))))
+    val served = rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas, 0L, 1L))
+    assert(served === expected,
+      "artifact-served occupancy drift must equal the frozen-cluster batch statistic")
+
+    // the vanished region is visible and attributed
+    val dropRow = served.find(_._1 === minCluster).get
+    assert(dropRow._2 > 0L && dropRow._3 === 0L,
+      "the dropped cluster must appear with zero snapshot-B mass")
+
+    // replay + compaction pins: both must leave every served number fixed
+    EmbeddingStream.writeOccupancyDelta(tagged.filter(col("vec_id") >= cut),
+      centroidPath, deltas, 1L)
+    assert(rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas, 0L, 1L)) === expected,
+      "a replayed occupancy delta must be a no-op")
+    EmbeddingStream.compactOccupancyDeltas(spark, deltas, upto = 0L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=1"))
+    assert(rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas, 0L, 1L)) === expected,
+      "compaction must not move any served statistic")
+  }
 }
