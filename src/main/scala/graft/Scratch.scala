@@ -224,6 +224,65 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "compactprobe") {
+      // Incremental-vs-full compaction cost law: full rewrite is
+      // O(history), the bucket-preserving append is O(delta). History =
+      // `mult` band-delta partitions (whole-corpus bands id-shifted per
+      // partition), then ONE new delta lands.
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val base = Catalog.table(spark, sfDir, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-compact-probe").toString
+      val idx = dir + "/bands"
+      (0 until mult).foreach { k =>
+        graft.streaming.LshStream.batchBands(
+            base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+          .write.mode("overwrite").parquet(s"$idx/batch_id=$k")
+      }
+      time(s"compact.full_hist$mult") {
+        graft.streaming.LshStream.compactIndex(spark, idx, "probe_bands")
+        spark.table("probe_bands").count()
+      }
+      graft.streaming.LshStream.batchBands(
+          base.withColumn("doc_id", col("doc_id") + lit(mult * 1000000L)))
+        .write.mode("overwrite").parquet(s"$idx/batch_id=$mult")
+      time(s"compact.incr_1delta_hist$mult") {
+        graft.streaming.LshStream.compactIndexIncremental(spark, idx, "probe_bands")
+      }
+      time(s"compact.full_hist${mult + 1}") {
+        graft.streaming.LshStream.compactIndex(spark, idx, "probe_bands")
+        spark.table("probe_bands").count()
+      }
+      spark.sql("DROP TABLE IF EXISTS probe_bands")
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "driftprobe") {
+      // Drift serving cost law: building cells is the one corpus pass;
+      // every χ² (within-corpus q126, pair q128) is cells-sized
+      // arithmetic — at mult× corpus the serving side stays constant.
+      val mult = if (args.length > 2) args(2).toInt else 10
+      val base = Catalog.table(spark, sfDir, "documents")
+      val docsN = (0 until mult).map(k =>
+          base.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      val dir = java.nio.file.Files.createTempDirectory("graft-drift-probe").toString
+      time(s"drift.cells_build_${mult}x") {
+        graft.ops.Corpus.driftCells(graft.ops.Corpus.snapshotA(docsN))
+          .write.mode("overwrite").parquet(s"$dir/ca")
+        graft.ops.Corpus.driftCells(graft.ops.Corpus.snapshotB(docsN))
+          .write.mode("overwrite").parquet(s"$dir/cb")
+        spark.read.parquet(s"$dir/ca").count() + spark.read.parquet(s"$dir/cb").count()
+      }
+      time(s"drift.chi2pair_serving_${mult}x") {
+        graft.ops.Corpus.chi2Pair(
+          spark.read.parquet(s"$dir/ca"), spark.read.parquet(s"$dir/cb")).count()
+      }
+      time(s"drift.q126_serving_${mult}x") {
+        graft.ops.Corpus.chi2FromCells(spark.read.parquet(s"$dir/ca")).count()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
