@@ -116,6 +116,38 @@ object DriftStream {
     Corpus.chi2Pair(cellsForSnapshot(spark, deltaDir, snapA),
       cellsForSnapshot(spark, deltaDir, snapB))
 
+  /** Snapshot lifecycle registry, derived from the cell store itself (no
+    * sidecar state to desync): which snapshot ids exist, their document
+    * mass (each document lands in exactly one cell, so Σo = docs), cell
+    * count, and the batch range that carried them — what a monitoring
+    * job needs to ENUMERATE comparable snapshot pairs instead of being
+    * told. O(store rows) over cells, never documents.
+    */
+  def snapshotRegistry(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .groupBy("snapshot_id")
+      .agg(sum(col("o")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        min(col("batch_id")).cast("long").as("first_batch"),
+        max(col("batch_id")).cast("long").as("last_batch"))
+      .orderBy("snapshot_id")
+
+  /** Pair drift for every ADJACENT snapshot pair in the registry — the
+    * per-ingest monitoring sweep ("did anything shift since the last
+    * snapshot?") served entirely off the artifact: the registry
+    * enumerates the pairs (snapshot count rows, a driver-side collect of
+    * a few ids by design), chi2Pair serves each.
+    */
+  def adjacentPairDrift(spark: SparkSession, deltaDir: String): DataFrame = {
+    val snaps = snapshotRegistry(spark, deltaDir)
+      .select("snapshot_id").collect().map(_.getLong(0)).sorted
+    require(snaps.length >= 2, s"need at least 2 snapshots, found ${snaps.length}")
+    snaps.zip(snaps.drop(1)).map { case (a, b) =>
+      pairDriftFromDeltas(spark, deltaDir, a, b)
+        .select(lit(a).as("snap_a"), lit(b).as("snap_b"), col("*"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Delta-store retention for the unkeyed cell store: counts are plain
     * sums, so folding old partitions into the base reassociates exactly
     * and every served statistic is unchanged (StreamingSpec-pinned).

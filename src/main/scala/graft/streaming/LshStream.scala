@@ -163,6 +163,18 @@ object LshStream {
     }
   }
 
+  /** The catalog-resolved storage location of a managed table (None if
+    * the table does not exist).
+    */
+  def tableLocation(spark: SparkSession,
+      tableName: String): Option[java.net.URI] =
+    if (spark.catalog.tableExists(tableName))
+      scala.util.Try(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+          .location).toOption
+    else None
+
   /** Drop a managed table AND its storage location, resolving the
     * location from the CATALOG (falling back to the session's configured
     * `spark.sql.warehouse.dir`) rather than a literal `spark-warehouse/`
@@ -172,13 +184,7 @@ object LshStream {
     */
   private[streaming] def dropTableAndLocation(spark: SparkSession,
       tableName: String): Unit = {
-    val locUri =
-      if (spark.catalog.tableExists(tableName))
-        scala.util.Try(
-          spark.sessionState.catalog
-            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
-            .location).toOption
-      else None
+    val locUri = tableLocation(spark, tableName)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     val loc = locUri.map(u => new org.apache.hadoop.fs.Path(u)).getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -186,6 +192,95 @@ object LshStream {
     }
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Per-bucket MINOR compaction — the middle LSM level between the
+    * O(delta) incremental append and the O(history) full rewrite:
+    * rewrite ONLY the buckets whose file count exceeds the threshold,
+    * reading just those buckets' files and never touching the rest of
+    * the table. Each rewritten bucket becomes one file SORTED on the
+    * declared sort keys — mandatory, because once every bucket is back
+    * to a single file Spark trusts the catalog's sortBy metadata and
+    * reports the scan pre-sorted (an unsorted rewrite would silently
+    * corrupt sort-merge joins). The new file name carries the bucket id
+    * in Spark's `_NNNNN` suffix convention so the bucketed scan maps it
+    * correctly.
+    *
+    * Crash-safe per bucket (single maintenance writer): (1) write the
+    * merged rows and copy them in as a dot-prefixed hidden file —
+    * invisible to scans; (2) write a per-bucket manifest naming the new
+    * file and the old files; (3) delete the old files; (4) rename hidden
+    * → visible; (5) delete the manifest. Recovery on the next call
+    * replays from the manifest: final file visible → just drop stale
+    * olds; hidden present → finish (3)-(4); neither → the fold never
+    * completed its write, discard the manifest (old files intact).
+    * Returns the number of buckets rewritten.
+    */
+  def compactBuckets(spark: SparkSession, tableName: String,
+      maxFilesPerBucket: Int = 4): Long =
+    tableLocation(spark, tableName) match {
+      case None => 0L
+      case Some(uri) => compactBucketsAt(spark, tableName, new java.io.File(uri),
+        maxFilesPerBucket)
+    }
+
+  private def compactBucketsAt(spark: SparkSession, tableName: String,
+      loc: java.io.File, maxFilesPerBucket: Int): Long = {
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def dataFiles() = Option(loc.listFiles()).toSeq.flatten.filter(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    // recovery of any crashed per-bucket fold, from its manifest
+    Option(loc.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_compact_manifest_")).foreach { mf =>
+        val lines = java.nio.file.Files.readAllLines(mf.toPath)
+        val (finalName, olds) = (lines.get(0), lines.subList(1, lines.size))
+        val hidden = new java.io.File(loc, "." + finalName)
+        if (new java.io.File(loc, finalName).exists() || hidden.exists()) {
+          olds.forEach(o => { new java.io.File(loc, o).delete(); () })
+          if (hidden.exists())
+            require(hidden.renameTo(new java.io.File(loc, finalName)))
+        }
+        mf.delete()
+      }
+    // stray hidden files with no manifest are incomplete writes
+    Option(loc.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(".part-")).foreach(_.delete())
+
+    val sortCols = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec.map(_.sortColumnNames).getOrElse(Seq.empty)
+    val byBucket = dataFiles().groupBy(f => f.getName match {
+      case bucketRe(b) => b.toInt
+      case _ => -1
+    })
+    var rewritten = 0L
+    byBucket.toSeq.sortBy(_._1).foreach { case (bucket, files) =>
+      if (bucket >= 0 && files.size > maxFilesPerBucket) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bucket-compact").toString
+        var merged = spark.read.parquet(files.map(_.getPath): _*).coalesce(1)
+        if (sortCols.nonEmpty)
+          merged = merged.sortWithinPartitions(sortCols.map(col): _*)
+        merged.write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val finalName =
+          f"part-00000-compact-${java.util.UUID.randomUUID()}_$bucket%05d.c000.snappy.parquet"
+        val hidden = new java.io.File(loc, "." + finalName)
+        java.nio.file.Files.copy(part.toPath, hidden.toPath)
+        val manifest = new java.io.File(loc, s"_compact_manifest_$bucket")
+        java.nio.file.Files.write(manifest.toPath,
+          (finalName +: files.map(_.getName)).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        files.foreach(_.delete())
+        require(hidden.renameTo(new java.io.File(loc, finalName)),
+          s"rename ${hidden.getName} failed")
+        manifest.delete()
+        StoreCompaction.deleteRecursively(new java.io.File(tmp))
+        rewritten += 1
+      }
+    }
+    if (rewritten > 0) spark.catalog.refreshTable(tableName)
+    rewritten
   }
 
   /** Score a new batch against a compacted index table — the same

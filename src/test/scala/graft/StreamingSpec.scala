@@ -990,6 +990,43 @@ class StreamingSpec extends AnyFunSuite {
         assert(plan.contains("Bucketed: true"),
           s"the index scan must stay bucketed after appends:\n$plan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+      // MINOR per-bucket compaction: appends piled several files onto some
+      // buckets; rewrite ONLY those, leave the rest untouched
+      val tableDir = new java.io.File(
+        LshStream.tableLocation(spark, "b_lsh_inc").get)
+      def bucketFiles() = tableDir.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .groupBy(_.getName.replaceAll(""".*_(\d+)(?:\..*)?$""", "$1").toInt)
+        .view.mapValues(_.length).toMap
+      val filesBefore = bucketFiles()
+      assert(filesBefore.values.max > 1, "appends must have created multi-file buckets")
+      val total = spark.table("b_lsh_inc").count()
+      val nRewritten = LshStream.compactBuckets(spark, "b_lsh_inc", maxFilesPerBucket = 1)
+      assert(nRewritten === filesBefore.count(_._2 > 1).toLong,
+        "exactly the over-threshold buckets must be rewritten")
+      assert(bucketFiles().values.forall(_ === 1),
+        "every bucket must be back to one file")
+      assert(spark.table("b_lsh_inc").count() === total,
+        "minor compaction must not change the table contents")
+      assert(vMap(LshStream.verdictsAgainstIndex(batch4, spark.table("b_lsh_inc")))
+        === expected,
+        "verdicts off the minor-compacted table must be unchanged")
+      // back to one sorted file per bucket: the scan must again satisfy
+      // the join with neither an exchange NOR a sort on the index side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan2 = graft.ops.Dedup.earlierBandPartners(
+            LshStream.batchBands(batch4),
+            spark.table("b_lsh_inc").select("doc_id", "band_idx", "band_hash"))
+          .queryExecution.executedPlan.toString
+        assert(plan2.contains("Bucketed: true"),
+          s"the index scan must stay bucketed after minor compaction:\n$plan2")
+        assert(!plan2.contains("Exchange hashpartitioning(bh#"),
+          s"no index-side exchange after minor compaction:\n$plan2")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // idempotence: nothing left over the threshold
+      assert(LshStream.compactBuckets(spark, "b_lsh_inc", maxFilesPerBucket = 1) === 0L)
     } finally spark.sql("DROP TABLE IF EXISTS b_lsh_inc")
   }
 
@@ -1120,10 +1157,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(DriftStream.pairDriftFromDeltas(spark, deltas, 0L, 1L)) === before,
       "a replayed snapshot-cell delta must be a no-op")
 
+    // snapshot lifecycle registry: derived from the store itself, it must
+    // report exactly the two snapshots with their true document masses
+    // and batch spans (pre-compaction: deltas still carry batches 0-2)
+    val reg = DriftStream.snapshotRegistry(spark, deltas).collect()
+      .map(r => r.getAs[Long]("snapshot_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("first_batch"),
+          r.getAs[Long]("last_batch"))))
+      .toMap
+    assert(reg.keySet === Set(0L, 1L))
+    assert(reg(0L)._1 === Corpus.snapshotA(docs).count())
+    assert(reg(1L)._1 === Corpus.snapshotB(docs).count())
+    assert(reg(0L)._2 === 0L && reg(0L)._3 === 2L,
+      "snapshot 0 cells must span the three carrying batches")
+    // the enumerated adjacent sweep is the same served pair statistic
+    val adj = DriftStream.adjacentPairDrift(spark, deltas)
+    assert(adj.select("snap_a", "snap_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    assert(rows(adj.drop("snap_a", "snap_b")) === before,
+      "the adjacent-pair sweep must serve the identical statistic")
+
     // retention pin: cells fold by exact integer sums, so pair drift —
     // including for a long-closed snapshot — serves identically off the
-    // compacted base partition
+    // compacted base partition (the registry keeps the snapshots, with
+    // first_batch collapsing to the base id)
     DriftStream.compactSnapshotDeltas(spark, deltas, upto = 1L)
+    assert(DriftStream.snapshotRegistry(spark, deltas)
+      .collect().map(_.getAs[Long]("snapshot_id")).toSet === Set(0L, 1L),
+      "compaction must not lose any snapshot from the registry")
     assert(new java.io.File(deltas).listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
       Seq("batch_id=-1", "batch_id=2"))
