@@ -962,6 +962,104 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ── q131: rolling drift — each snapshot vs its cumulative baseline ──
+
+  val RollSnapshots = 4
+
+  private val rollParitySql =
+    s"CAST(${Dedup.h60Sql("'roll:' || CAST(doc_id AS VARCHAR)")} % $RollSnapshots AS BIGINT)"
+
+  /** The rolling fixture: RollSnapshots-way h60 split, with
+    * `DriftDropSource` vanishing from the LAST snapshot only — the sweep
+    * must stay quiet for it at snaps 1..k-1 and flag it exactly at k.
+    */
+  def rollTagged(d: DataFrame): DataFrame = d
+    .withColumn("snapshot_id",
+      Dedup.h60Col(concat(lit("roll:"), col("doc_id").cast("string"))) % RollSnapshots)
+    .filter(!(col("snapshot_id") === (RollSnapshots - 1) &&
+      col("source") === DriftDropSource))
+
+  private def rollBlockSql(s: Int): String =
+    s"""ca$s AS (
+       |  SELECT source, bin, CAST(SUM(o) AS BIGINT) AS o
+       |  FROM kcells WHERE snapshot_id < $s GROUP BY 1, 2
+       |), cb$s AS (
+       |  SELECT source, bin, o FROM kcells WHERE snapshot_id = $s
+       |), cells$s AS (
+       |  SELECT COALESCE(a.source, b.source) AS source, COALESCE(a.bin, b.bin) AS bin,
+       |    COALESCE(a.o, 0) AS oa, COALESCE(b.o, 0) AS ob
+       |  FROM ca$s a FULL JOIN cb$s b ON a.source = b.source AND a.bin = b.bin
+       |), tot$s AS (
+       |  SELECT source, CAST(SUM(oa) AS BIGINT) AS ra, CAST(SUM(ob) AS BIGINT) AS rb
+       |  FROM cells$s GROUP BY 1
+       |), g$s AS (
+       |  SELECT ce.source, ce.oa, ce.ob, t.ra, t.rb,
+       |    ce.oa + ce.ob AS c, t.ra + t.rb AS n
+       |  FROM cells$s ce JOIN tot$s t ON ce.source = t.source
+       |), terms$s AS (
+       |  SELECT source, ra, rb,
+       |    ${chi2PairTermSql("oa", "ra")} AS t1,
+       |    ${chi2PairTermSql("ob", "rb")} AS t2
+       |  FROM g$s
+       |), out$s AS (
+       |  SELECT CAST($s AS BIGINT) AS snap, source, MAX(ra) AS n_base, MAX(rb) AS n_snap,
+       |    CASE WHEN MAX(ra) > 0 AND MAX(rb) > 0
+       |      THEN CAST(SUM(t1 + t2) AS BIGINT) END AS chi2_fp,
+       |    CAST(COUNT(*) AS BIGINT) - 1 AS df
+       |  FROM terms$s GROUP BY source
+       |)""".stripMargin
+
+  private def q131OracleSql: String = {
+    val blocks = (1 until RollSnapshots).map(rollBlockSql).mkString(",\n")
+    val unions = (1 until RollSnapshots)
+      .map(s => s"SELECT snap, source, n_base, n_snap, chi2_fp, df, " +
+        s"COALESCE(chi2_fp > 2000000 * df, TRUE) AS shifted FROM out$s")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tagged AS (
+       |  SELECT source, text, $rollParitySql AS snapshot_id FROM documents
+       |), tg AS (
+       |  SELECT * FROM tagged
+       |  WHERE NOT (snapshot_id = ${RollSnapshots - 1} AND source = '$DriftDropSource')
+       |), kcells AS (
+       |  SELECT snapshot_id, source,
+       |    LEAST(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      // $DriftBinWidth, $DriftMaxBin) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM tg GROUP BY 1, 2, 3
+       |),
+       |$blocks
+       |$unions
+       |ORDER BY snap, source""".stripMargin
+  }
+
+  /** q131 — ROLLING drift: for every snapshot s ≥ 1, the per-source
+    * shape χ² of s against the UNION of all prior snapshots (the
+    * cumulative baseline a monitoring sweep actually compares each
+    * ingest to — one noisy ingest should not move the yardstick the way
+    * adjacent-pair comparison lets it). Entirely cells algebra: the
+    * baseline's cells are the SUM of prior snapshots' cells
+    * (add-mergeability again), so the whole sweep is k-1 `chi2Pair`
+    * calls over one snapshot-keyed cell table — which is exactly how
+    * DriftStream serves it off the artifact (rollingDriftFromDeltas,
+    * spec-pinned bit-equal). The fixture drops `DriftDropSource` from
+    * the LAST snapshot only: the sweep stays quiet for it at every
+    * earlier snap and flags it via the zero-margin branch exactly at
+    * the end. Output column names n_base/n_snap (not n_a/n_b) carry
+    * the baseline-vs-ingest reading.
+    */
+  val q131 = Q("q131_rolling_drift", q131OracleSql) { (s, dir) =>
+    val cells = driftCellsBySnapshot(rollTagged(docs(s, dir))).localCheckpoint()
+    (1 until RollSnapshots).map { snap =>
+      chi2Pair(
+        cells.filter(col("snapshot_id") < snap)
+          .groupBy("source", "bin").agg(sum(col("o")).cast("long").as("o")),
+        cells.filter(col("snapshot_id") === snap).select("source", "bin", "o"))
+        .select(lit(snap.toLong).as("snap"), col("source"),
+          col("n_a").as("n_base"), col("n_b").as("n_snap"),
+          col("chi2_fp"), col("df"), col("shifted"))
+    }.reduce(_.unionByName(_)).orderBy("snap", "source")
+  }
+
   val all: Seq[Q] =
-    Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129)
+    Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129, q131)
 }

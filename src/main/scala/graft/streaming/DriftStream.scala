@@ -148,6 +148,32 @@ object DriftStream {
     }.reduce(_.unionByName(_))
   }
 
+  /** q131's ROLLING sweep served off the artifact: every snapshot
+    * against the cumulative union of its predecessors — the baseline
+    * cells are just the SUM of prior snapshots' cells (add-mergeable),
+    * so the whole sweep is (snapshots−1) chi2Pair calls over the folded
+    * keyed store, zero document rescans. Same kernel as batch q131
+    * (StreamingSpec pins bit-equality).
+    */
+  def rollingDriftFromDeltas(spark: SparkSession, deltaDir: String): DataFrame = {
+    val cells = spark.read.parquet(deltaDir)
+      .groupBy("snapshot_id", "source", "bin")
+      .agg(sum(col("o")).cast("long").as("o"))
+      .localCheckpoint()
+    val snaps = cells.select("snapshot_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(snaps.length >= 2, s"need at least 2 snapshots, found ${snaps.length}")
+    snaps.drop(1).map { snap =>
+      Corpus.chi2Pair(
+        cells.filter(col("snapshot_id") < snap)
+          .groupBy("source", "bin").agg(sum(col("o")).cast("long").as("o")),
+        cells.filter(col("snapshot_id") === snap).select("source", "bin", "o"))
+        .select(lit(snap).as("snap"), col("source"),
+          col("n_a").as("n_base"), col("n_b").as("n_snap"),
+          col("chi2_fp"), col("df"), col("shifted"))
+    }.reduce(_.unionByName(_)).orderBy("snap", "source")
+  }
+
   /** Delta-store retention for the unkeyed cell store: counts are plain
     * sums, so folding old partitions into the base reassociates exactly
     * and every served statistic is unchanged (StreamingSpec-pinned).

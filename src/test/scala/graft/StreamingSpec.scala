@@ -1199,6 +1199,60 @@ class StreamingSpec extends AnyFunSuite {
       "the dropped source's SHARE shift must be caught by the mixture test")
   }
 
+  test("rolling drift off the artifact equals oracled q131: each snapshot vs its cumulative baseline") {
+    import graft.streaming.DriftStream
+    import graft.ops.Corpus
+    val landing = tmpDir("graft-roll-landing")
+    val deltas = tmpDir("graft-roll-art") + "/cells"
+    val checkpoint = tmpDir("graft-roll-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    // the q131 fixture verbatim: 4-way h60 split, DriftDropSource gone
+    // from the LAST snapshot only
+    val tagged = Corpus.rollTagged(docs).localCheckpoint()
+    val ids = tagged.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-roll-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // two id-range batches, each mixing all four snapshots
+    land(tagged.filter(col("doc_id") < cut), "f1.parquet")
+    DriftStream.snapshotCellSink(DriftStream.readSnapshotDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(tagged.filter(col("doc_id") >= cut), "f2.parquet")
+    DriftStream.snapshotCellSink(DriftStream.readSnapshotDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("snap"), r.getAs[String]("source"),
+        r.getAs[Long]("n_base"), r.getAs[Long]("n_snap"),
+        Option(r.getAs[java.lang.Long]("chi2_fp")), r.getAs[Long]("df"),
+        r.getAs[Boolean]("shifted")))
+      .toSeq
+    val served = rows(DriftStream.rollingDriftFromDeltas(spark, deltas))
+    assert(served === rows(Corpus.q131.fn(spark, sf)),
+      "artifact-served rolling drift must equal the oracled q131 bit-for-bit")
+
+    // the dropped source is present in every pre-final baseline and snap,
+    // and flagged via the zero-margin branch exactly at the last snapshot
+    val dropRows = served.filter(_._2 === Corpus.DriftDropSource)
+    assert(dropRows.map(_._1) === (1L until Corpus.RollSnapshots.toLong),
+      "the dropped source must appear at every sweep step")
+    dropRows.foreach { r =>
+      if (r._1 < Corpus.RollSnapshots - 1)
+        assert(r._4 > 0L, s"snap ${r._1}: source still present before the drop")
+      else
+        assert(r._4 === 0L && r._5.isEmpty && r._7,
+          "the final snapshot must flag the vanished source degenerately")
+    }
+  }
+
   test("embedding occupancy stream: artifact-served snapshot-pair drift equals the frozen-cluster batch statistic") {
     import graft.streaming.EmbeddingStream
     import graft.ops.{Dedup, Similarity}
