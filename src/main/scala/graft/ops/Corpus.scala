@@ -882,11 +882,30 @@ object Corpus {
     * states, served from snapshot-keyed artifacts. The fixture injects
     * real shift (see `snapshotA`/`snapshotB`); the kernel is
     * `chi2Pair`, shared verbatim with DriftStream's artifact-served
-    * pair drift so streamed and batch answers cannot diverge.
+    * pair drift so streamed and batch answers cannot diverge. Plan
+    * shape: ONE corpus scan and ONE tokenize — the token count is
+    * projected once and feeds both the snapshot-B exclusion predicate
+    * and the histogram bin (the naive chi2Pair(driftCells(A),
+    * driftCells(B)) form re-scans and re-tokenizes per side; at 100 TB
+    * the corpus pass IS the cost, so halving it matters more than any
+    * downstream arithmetic).
     */
   val q128 = Q("q128_snapshot_pair_drift", q128OracleSql) { (s, dir) =>
-    val d0 = docs(s, dir)
-    chi2Pair(driftCells(snapshotA(d0)), driftCells(snapshotB(d0)))
+    val base = docs(s, dir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+        snapParity.as("snap"))
+    val cells = base
+      .filter(col("snap") === 0 ||
+        (!(col("source") === DriftShiftSource && col("ntok") >= lit(DriftBinWidth)) &&
+          col("source") =!= DriftDropSource))
+      .groupBy(col("snap"), col("source"),
+        least((col("ntok") / lit(DriftBinWidth)).cast("long"), lit(DriftMaxBin)).as("bin"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    chi2Pair(
+      cells.filter(col("snap") === 0).select("source", "bin", "o"),
+      cells.filter(col("snap") === 1).select("source", "bin", "o"))
   }
 
   private def q129OracleSql: String =

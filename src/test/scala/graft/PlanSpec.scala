@@ -296,6 +296,31 @@ class PlanSpec extends AnyFunSuite {
       s"no groupBy/join may appear — the gram counting folds in-row:\n$p")
   }
 
+  test("q128: one corpus scan feeds both snapshots; the sweep itself reads no documents") {
+    // the returned plan starts AFTER the checkpointed cell table — every
+    // χ² consumer must read cells, never re-scan or re-tokenize documents
+    val p = plan("q128_snapshot_pair_drift")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 0,
+      s"the pair statistic must be cells-only arithmetic:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"tokenization must happen once, before the checkpoint:\n$p")
+  }
+
+  test("q131: the rolling sweep is cells algebra — zero document scans, no window") {
+    val p = plan("q131_rolling_drift")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 0,
+      s"all sweep steps must read the one checkpointed cell table:\n$p")
+    assert(!p.contains("Window"), s"no window in the sweep:\n$p")
+  }
+
+  test("q130: occupancy drift's scan cost is the assignment; the statistic reads no vectors") {
+    val p = plan("q130_embedding_occupancy_drift")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 0,
+      s"the contingency must be built from checkpointed counts:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the totals join must broadcast, not cross:\n$p")
+  }
+
   test("q120: shingle df is distinct-then-count hash aggregation, never an Expand") {
     val p = plan("q120_boilerplate_scrub")
     assert(!p.contains("Expand"),
