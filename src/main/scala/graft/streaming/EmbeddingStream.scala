@@ -169,6 +169,97 @@ object EmbeddingStream {
     StoreCompaction.foldInto(spark, deltaDir, upto)(
       _.groupBy("snapshot_id", "cluster").agg(sum(col("o")).cast("long").as("o")))
 
+  /** Occupancy-store lifecycle registry — DriftStream.snapshotRegistry's
+    * shape for the vector side: snapshot ids, vector mass (Σo — each
+    * vector lands in one cluster cell), cluster count, batch span, all
+    * derived from the cell store itself.
+    */
+  def occupancyRegistry(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .groupBy("snapshot_id")
+      .agg(sum(col("o")).cast("long").as("n_vectors"),
+        count(lit(1)).as("n_cells"),
+        min(col("batch_id")).cast("long").as("first_batch"),
+        max(col("batch_id")).cast("long").as("last_batch"))
+      .orderBy("snapshot_id")
+
+  // ── consolidated embedding curation: ONE assignment pass per batch ───
+
+  /** The vector twin of CurationStream's consolidation: the dedup sink
+    * and the occupancy sink each need the batch assigned against the
+    * frozen quantizer, so running them separately pays the batch × k
+    * assignment TWICE per micro-batch — at scale the assignment is the
+    * per-batch cost. This sink assigns ONCE and fans the result into
+    * both maintenance paths plus the expectations split:
+    *
+    *   1. assign (frozen centroids — never retrains per batch),
+    *   2. occupancy cells: (snapshot, cluster) count delta,
+    *   3. semantic-dup verdicts vs cluster history + the batch's own
+    *      lower ids (the dedup sink's exact rule, kernels shared),
+    *   4. stores: decisions, history vectors, cells — all per-batchId
+    *      overwrite partitions; optional accepted/quarantine split
+    *      (reason 'semantic_dup') for the training reader.
+    */
+  def curationProcessBatch(batch: DataFrame, centroidPath: String,
+      historyDir: String, decisionsDir: String, occDeltaDir: String,
+      batchId: Long,
+      acceptedDir: Option[String] = None,
+      quarantineDir: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(centroidPath)
+    val asg = assignFrozen(batch, cents).localCheckpoint()
+    // occupancy delta off the SAME assignment
+    asg.join(batch.select(col("vec_id"), col("snapshot_id")), Seq("vec_id"))
+      .groupBy("snapshot_id", "cluster")
+      .agg(count(lit(1)).as("o"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$occDeltaDir/batch_id=$batchId")
+    // dedup verdicts off the same assignment (dedupSink's history rule)
+    val hist = new java.io.File(historyDir)
+    val history =
+      if (hist.exists() && hist.listFiles() != null &&
+          hist.listFiles().exists(f => f.getName.endsWith(".parquet") ||
+            (f.isDirectory && f.getName.startsWith("batch_id="))))
+        spark.read.parquet(historyDir).filter(col("batch_id") < batchId)
+      else asg.filter(lit(false))
+    val decisions = scoreBatch(asg, history).localCheckpoint()
+    decisions.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
+    asg.write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+    // expectations split: accepted vectors vs semantic-dup quarantine
+    if (acceptedDir.isDefined || quarantineDir.isDefined) {
+      val verdicts = batch.join(
+        decisions.select(col("vec_id"), col("is_semantic_dup"), col("dup_of")),
+        Seq("vec_id"), "left")
+      acceptedDir.foreach { dir =>
+        verdicts.filter(!coalesce(col("is_semantic_dup"), lit(false)))
+          .drop("is_semantic_dup", "dup_of")
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      }
+      quarantineDir.foreach { dir =>
+        verdicts.filter(coalesce(col("is_semantic_dup"), lit(false)))
+          .withColumn("reason", lit("semantic_dup"))
+          .drop("is_semantic_dup")
+          .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+      }
+    }
+  }
+
+  /** Trigger.AvailableNow + checkpoint, like every ingest twin. */
+  def curationSink(stream: DataFrame, centroidPath: String, historyDir: String,
+      decisionsDir: String, occDeltaDir: String, checkpointDir: String,
+      acceptedDir: Option[String] = None,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .queryName("embedding_curation")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationProcessBatch(batch, centroidPath, historyDir, decisionsDir,
+          occDeltaDir, batchId, acceptedDir, quarantineDir)
+        ()
+      }
+      .start()
+
   def dedupSink(stream: DataFrame, centroidPath: String, historyDir: String,
       decisionsDir: String, checkpointDir: String): StreamingQuery =
     stream.writeStream

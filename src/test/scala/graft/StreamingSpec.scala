@@ -162,6 +162,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(history).count() === ids.length)
   }
 
+  test("consolidated embedding curation: one assignment pass feeds dedup verdicts, occupancy cells, and the expectations split") {
+    import graft.streaming.EmbeddingStream
+    import graft.ops.{Dedup, Similarity}
+    val landing = tmpDir("graft-ecur-landing")
+    val history = tmpDir("graft-ecur-hist") + "/vecs"
+    val decisions = tmpDir("graft-ecur-dec") + "/rows"
+    val occ = tmpDir("graft-ecur-occ") + "/cells"
+    val accepted = tmpDir("graft-ecur-acc") + "/vecs"
+    val quarantine = tmpDir("graft-ecur-quar") + "/vecs"
+    val checkpoint = tmpDir("graft-ecur-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val centroidPath = Similarity.buildIvfIndex(spark, sf)
+    val tagged = Catalog.table(spark, sf, "embeddings")
+      .withColumn("snapshot_id",
+        Dedup.h60Col(concat(lit("ecur:"), col("vec_id").cast("string"))) % 2)
+      .localCheckpoint()
+    val ids = tagged.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-ecur-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    def runSink(): Unit =
+      EmbeddingStream.curationSink(
+        EmbeddingStream.readSnapshotEmbStream(spark, landing),
+        centroidPath, history, decisions, occ, checkpoint,
+        Some(accepted), Some(quarantine)).awaitTermination()
+    land(tagged.filter(col("vec_id") < cut), "f1.parquet")
+    runSink()
+    land(tagged.filter(col("vec_id") >= cut), "f2.parquet")
+    runSink()
+
+    // dedup verdicts ≡ the one-shot batch scoring (id-ordered arrival)
+    val asgAll = EmbeddingStream.assignFrozen(tagged, spark.read.parquet(centroidPath))
+      .localCheckpoint()
+    def dMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster", "max_prior_sim", "dup_of", "is_semantic_dup")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("max_prior_sim"),
+          Option(r.getAs[java.lang.Long]("dup_of")),
+          r.getAs[Boolean]("is_semantic_dup"))))
+      .toMap
+    val expected = dMap(EmbeddingStream.scoreBatch(asgAll, asgAll.filter(lit(false))))
+    assert(dMap(spark.read.parquet(decisions)) === expected,
+      "consolidated verdicts must equal the one-shot batch scoring")
+
+    // occupancy cells ≡ the batch aggregation over the same assignment
+    val occServed = spark.read.parquet(occ)
+      .groupBy("snapshot_id", "cluster").agg(sum(col("o")).cast("long").as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val occExpected = asgAll
+      .join(tagged.select("vec_id", "snapshot_id"), Seq("vec_id"))
+      .groupBy("snapshot_id", "cluster").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(occServed === occExpected,
+      "occupancy cells must equal the batch aggregation over one frozen assignment")
+    // and the drift serving path works off this sink's store too
+    assert(EmbeddingStream.occupancyRegistry(spark, occ)
+      .collect().map(_.getAs[Long]("snapshot_id")).toSet === Set(0L, 1L))
+
+    // expectations split: accepted ∪ quarantine partitions the corpus
+    val accIds = spark.read.parquet(accepted).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarRows = spark.read.parquet(quarantine).select("vec_id", "reason")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(accIds.intersect(quarRows.keySet).isEmpty)
+    assert((accIds ++ quarRows.keySet) === ids.toSet,
+      "every vector lands in exactly one store")
+    assert(accIds === expected.collect { case (id, (_, _, _, false)) => id }.toSet,
+      "accepted = vectors that are not semantic dups")
+    assert(quarRows.values.toSet.subsetOf(Set("semantic_dup")))
+
+    // replay pin: re-running the last batch fold is a no-op everywhere
+    val occBefore = occServed
+    EmbeddingStream.curationProcessBatch(tagged.filter(col("vec_id") >= cut),
+      centroidPath, history, decisions, occ, 1L, Some(accepted), Some(quarantine))
+    assert(dMap(spark.read.parquet(decisions)) === expected)
+    assert(spark.read.parquet(occ)
+      .groupBy("snapshot_id", "cluster").agg(sum(col("o")).cast("long").as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap === occBefore,
+      "a replayed consolidated batch must not move any store")
+  }
+
   test("streaming dedup: duplicate reading_id within the watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Double, Timestamp)]
