@@ -66,10 +66,16 @@ object CorpusStream {
         val fresh =
           if (hist.exists() && hist.listFiles() != null && hist.listFiles().nonEmpty) {
             // exclude this batch's own partition: a partially-visible
-            // replay write must never count as history for itself
+            // replay write must never count as history for itself.
+            // Per-batch cost law: probe the BIG history with the small
+            // batch's fps (broadcast semi-join — history is scanned,
+            // never shuffled), then anti-join against the matched slice
+            // (≤ batch size, broadcast). A direct anti-join against the
+            // full store would shuffle the whole store every batch.
             val known = spark.read.parquet(historyDir)
               .filter(col("batch_id") < batchId).select("fp")
-            batchReps.join(known, Seq("fp"), "left_anti")
+              .join(broadcast(batchReps.select("fp")), Seq("fp"), "left_semi")
+            batchReps.join(broadcast(known), Seq("fp"), "left_anti")
           } else batchReps
         // history rows carry (fp, doc_id, source): later batches anti-join
         // on fp only, so appended text never needs to be re-read. A

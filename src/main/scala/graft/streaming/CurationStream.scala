@@ -58,17 +58,26 @@ object CurationStream {
 
     // exact verdicts: earliest owner of each fp among history + the batch.
     // History excludes this batch's own partition (batch_id < batchId) so
-    // a partially-visible replay write is never its own history.
+    // a partially-visible replay write is never its own history. The
+    // store is ONE ROW PER FP by construction (per-batch survivors are
+    // fp-distinct and anti-joined against history before writing), so
+    // history needs no aggregation — and the per-batch cost law matters
+    // at scale: probe the big store with the SMALL batch's fp set via a
+    // broadcast semi-join (history is scanned, never shuffled), then the
+    // matched slice (≤ batch size) broadcasts into the verdict join.
+    // The old groupBy(fp).min shape re-shuffled the ENTIRE store every
+    // micro-batch.
     val fpFile = new java.io.File(fpDir)
     val histMin =
       if (fpFile.exists() && fpFile.listFiles() != null && fpFile.listFiles().nonEmpty)
         spark.read.parquet(fpDir).filter(col("batch_id") < batchId)
-          .groupBy("fp").agg(min(col("doc_id")).as("h_min"))
+          .join(broadcast(gated.select("fp").distinct()), Seq("fp"), "left_semi")
+          .select(col("fp"), col("doc_id").as("h_min"))
       else gated.select(col("fp"), col("doc_id").as("h_min")).filter(lit(false))
     val batchMin = gated.groupBy("fp").agg(min(col("doc_id")).as("b_min"))
     val exact = gated
       .join(batchMin, Seq("fp"))
-      .join(histMin, Seq("fp"), "left")
+      .join(broadcast(histMin), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("source"),
         least(coalesce(col("h_min"), col("b_min")), col("b_min")).as("first_owner"))
       .select(col("doc_id"), col("fp"), col("source"),
@@ -134,7 +143,7 @@ object CurationStream {
     // file under a NEW name a no-op across batches.
     val freshFps = exact.filter(!col("is_exact_dup"))
       .select(col("fp"), col("doc_id"), col("source"))
-      .join(histMin.select("fp"), Seq("fp"), "left_anti")
+      .join(broadcast(histMin.select("fp")), Seq("fp"), "left_anti")
     freshFps.write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
   }
 
