@@ -70,9 +70,7 @@ object CurationStream {
     val fpFile = new java.io.File(fpDir)
     val histMin =
       if (fpFile.exists() && fpFile.listFiles() != null && fpFile.listFiles().nonEmpty)
-        spark.read.parquet(fpDir).filter(col("batch_id") < batchId)
-          .join(broadcast(gated.select("fp").distinct()), Seq("fp"), "left_semi")
-          .select(col("fp"), col("doc_id").as("h_min"))
+        fpHistorySlice(spark, fpDir, batchId, gated.select("fp").distinct())
       else gated.select(col("fp"), col("doc_id").as("h_min")).filter(lit(false))
     val batchMin = gated.groupBy("fp").agg(min(col("doc_id")).as("b_min"))
     val exact = gated
@@ -146,6 +144,18 @@ object CurationStream {
       .join(broadcast(histMin.select("fp")), Seq("fp"), "left_anti")
     freshFps.write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
   }
+
+  /** The history slice for one batch's fingerprints: the store probed
+    * with a broadcast semi-join on the SMALL batch fp set — history is
+    * scanned, never shuffled, and the result is ≤ batch-sized (one row
+    * per fp by store construction). Exposed as a seam so the spec can
+    * pin the executed plan: no exchange anywhere, broadcast semi probe.
+    */
+  def fpHistorySlice(spark: SparkSession, fpDir: String, batchId: Long,
+      batchFps: DataFrame): DataFrame =
+    spark.read.parquet(fpDir).filter(col("batch_id") < batchId)
+      .join(broadcast(batchFps.select("fp")), Seq("fp"), "left_semi")
+      .select(col("fp"), col("doc_id").as("h_min"))
 
   /** Trigger.AvailableNow + checkpoint, like every ingest twin. Pass
     * `acceptedDir`/`quarantineDir` to run the expectations write path.

@@ -1168,6 +1168,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(d2.filter(!col("is_exact_dup")).count() === 0,
       "every re-delivered doc must be flagged an exact dup against the base")
 
+    // the probe-read cost law: history is SCANNED, never shuffled — the
+    // slice plan must be a broadcast semi probe with zero exchanges on
+    // the store side (the store side's only exchange would be a shuffle;
+    // the batch side's broadcast shows as BroadcastExchange, not hash)
+    val sliceBatch = docs.filter(col("doc_id") >= c2)
+      .select(md5(graft.ops.TextOps.normalized(col("text"))).as("fp")).distinct()
+    val slicePlan = CurationStream.fpHistorySlice(spark, fps, 3L, sliceBatch)
+      .queryExecution.executedPlan.toString
+    assert(slicePlan.contains("BroadcastHashJoin") && slicePlan.contains("LeftSemi"),
+      s"the store must be probed with a broadcast semi-join:\n$slicePlan")
+    // the STORE branch is everything above the batch side's
+    // BroadcastExchange: it must carry no shuffle (the batch side may
+    // shuffle its own batch-sized distinct — that is the small side)
+    val storeBranch = slicePlan.linesIterator
+      .takeWhile(!_.contains("BroadcastExchange")).mkString("\n")
+    assert(storeBranch.contains("FileScan parquet") &&
+      !storeBranch.contains("Exchange hashpartitioning"),
+      s"the fp store must never shuffle for a batch probe:\n$slicePlan")
+
     // audit retention: partitions below the keep horizon are dropped
     assert(CurationStream.pruneAudit(decisions, keepFrom = 2L) === 2L)
     val left = spark.read.parquet(decisions).select("batch_id").distinct()
