@@ -1913,7 +1913,10 @@ object Similarity {
     retrievalChain(s, dir, ids)
   }
 
-  private def q130OracleSql: String = {
+  /** q130's oracle body up to (but excluding) the final ORDER BY —
+    * shared with q132, which aggregates the same drift table.
+    */
+  private def q130OracleBody: String = {
     val parity = s"${Dedup.h60Sql("'snap:' || CAST(vec_id AS VARCHAR)")} % 2"
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -1969,8 +1972,10 @@ object Similarity {
        |SELECT t.cluster, t.na AS n_a, t.nb AS n_b, t.share_a_bp, t.share_b_bp,
        |  t.contrib_fp, gl.chi2_fp, gl.df,
        |  gl.chi2_fp > 2000000 * gl.df AS shifted
-       |FROM t, gl ORDER BY t.cluster""".stripMargin
+       |FROM t, gl""".stripMargin
   }
+
+  private def q130OracleSql: String = s"$q130OracleBody ORDER BY cluster"
 
   /** q130 — EMBEDDING-space occupancy drift between two corpus
     * snapshots: the vector twin of q128/q129. Text drift watches token
@@ -2049,5 +2054,50 @@ object Similarity {
     occupancyPairChi2(ca, cb)
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130)
+  private def q132OracleSql: String =
+    s"""WITH drift AS (
+       |$q130OracleBody
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN n_a = 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appeared,
+       |  CAST(SUM(CASE WHEN n_a > 0 AND n_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vanished,
+       |  CAST(MAX(ABS(share_b_bp - share_a_bp)) AS BIGINT) AS max_share_delta_bp,
+       |  MAX(chi2_fp) AS chi2_fp, MAX(df) AS df, BOOL_OR(shifted) AS shifted,
+       |  (BOOL_OR(shifted) OR SUM(CASE WHEN n_a = 0 AND n_b > 0 THEN 1 ELSE 0 END) > 0
+       |    OR SUM(CASE WHEN n_a > 0 AND n_b = 0 THEN 1 ELSE 0 END) > 0
+       |    OR MAX(ABS(share_b_bp - share_a_bp)) >= 500) AS rebuild
+       |FROM drift""".stripMargin
+
+  /** q132 — the REBUILD decision over q130's drift table: the loop a
+    * serving pipeline actually closes — "has embedding space moved
+    * enough that the IVF/PQ/SemDeDup artifacts (all trained on the old
+    * snapshot's distribution) need retraining?". One row: cluster
+    * census (appeared / vanished regions), the maximum per-cluster
+    * share delta in basis points, the global χ², and the decision —
+    * rebuild when the global test fires OR any region appeared/vanished
+    * OR any cluster's corpus share moved ≥ 5 %. The thresholds are the
+    * policy surface (demo values); the statistic columns are what a
+    * production policy would tune against. Everything is an aggregate
+    * of q130's exactly-oracled rows, so the decision oracles exactly;
+    * scale cost is q130's assignment pass — the decision itself is
+    * clusters-sized arithmetic.
+    */
+  val q132 = Q("q132_index_rebuild_decision", q132OracleSql) { (s, dir) =>
+    val drift = q130.fn(s, dir)
+    val appeared = sum(when(col("n_a") === 0 && col("n_b") > 0, 1L).otherwise(0L))
+    val vanished = sum(when(col("n_a") > 0 && col("n_b") === 0, 1L).otherwise(0L))
+    val maxDelta = max(abs(col("share_b_bp") - col("share_a_bp")))
+    drift.agg(
+      count(lit(1)).as("n_clusters"),
+      appeared.cast("long").as("n_appeared"),
+      vanished.cast("long").as("n_vanished"),
+      maxDelta.cast("long").as("max_share_delta_bp"),
+      max(col("chi2_fp")).as("chi2_fp"),
+      max(col("df")).as("df"),
+      max(col("shifted")).as("shifted"),
+      (max(col("shifted")) || appeared > 0 || vanished > 0 ||
+        maxDelta >= 500).as("rebuild"))
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132)
 }
