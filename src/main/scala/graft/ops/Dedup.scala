@@ -365,6 +365,34 @@ object Dedup {
           col("doc_b") < col("doc_id"))
       .select("doc_id", "doc_b").distinct()
 
+  /** FIRST-SEEN band partners for a micro-batch: every distinct band
+    * collider already in the maintained index (history arrived in an
+    * EARLIER micro-batch by construction, whatever its id — self rows
+    * from a re-delivered file excluded) plus same-batch colliders with a
+    * lower id (a batch has no internal arrival order, so the id is the
+    * deterministic tiebreak). Under id-ordered arrival every history id
+    * is lower than every batch id, so this equals
+    * `earlierBandPartners(bands, hist ∪ bands)` bit-for-bit; under
+    * OUT-OF-ORDER arrival it is what keeps decisions final — the first
+    * arrival survives and a late lower-id collider becomes the
+    * duplicate, instead of both copies slipping through the `<` test.
+    */
+  def firstSeenBandPartners(bands: DataFrame, hist: DataFrame): DataFrame =
+    bands.join(
+        hist.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("band_hash").as("bh")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_b") =!= col("doc_id"))
+      .select("doc_id", "doc_b")
+      .unionByName(
+        bands.join(
+            bands.select(col("doc_id").as("doc_b"),
+              col("band_idx").as("bi"), col("band_hash").as("bh")),
+            col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+              col("doc_b") < col("doc_id"))
+          .select("doc_id", "doc_b"))
+      .distinct()
+
   /** Keep-earliest verdicts for `ids` (one doc_id column) given the
     * earlier-partner pairs: earliest partner, distinct-partner count,
     * and the dup flag (any earlier band collision). Null-safe for docs
@@ -432,7 +460,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private def q127OracleSql: String = {
+  /** The oracle CTE chain shared by q127/q133: gate → keepers with
+    * fingerprints → exact first-owner verdicts → representative banding →
+    * keep-earliest band verdicts. Ends with the `exact` and `verdicts`
+    * relations ready for a final SELECT.
+    */
+  private def curationVerdictCtes: String = {
     val p = MinhashPrime
     val sigDefs = (0 until NumHashes).map(i =>
       s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
@@ -490,12 +523,15 @@ object Dedup {
        |    a.dup_of,
        |    a.dup_of IS NOT NULL AS is_band_dup
        |  FROM reps r LEFT JOIN agg a ON r.doc_id = a.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def q127OracleSql: String =
+    s"""$curationVerdictCtes
        |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
        |  v.n_earlier, v.dup_of, v.is_band_dup
        |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
        |ORDER BY e.doc_id""".stripMargin
-  }
 
   /** q127 — the consolidated CURATION DECISION TABLE as one oracled
     * batch query: gate (q69's integer-exact Gopher rules) → exact
@@ -531,6 +567,92 @@ object Dedup {
       .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
         col("n_earlier"), col("dup_of"), col("is_band_dup"))
       .orderBy("doc_id")
+  }
+
+  /** Where the batch-built curation stores for a source dir live —
+    * content-addressed by documents.parquet identity like the vector
+    * index artifacts, so a regenerated corpus invalidates the stores.
+    */
+  def curationStoresPath(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_curation_stores_v1_$key"
+  }
+
+  /** Build the full curation store family (fp history, band index,
+    * decisions, accepted, quarantine) for a corpus dir by running the
+    * consolidated CurationStream fold over the whole corpus as one
+    * batch — the same code path every micro-batch runs, so the stores
+    * ARE the streaming sink's output shape. Idempotent via a marker
+    * file written after all five stores commit (parquet `_SUCCESS` per
+    * store is not enough: a crash between stores would leave a partial
+    * family). Returns the root; stores live at `$root/{fp,index,
+    * decisions,accepted,quarantine}`.
+    */
+  def buildCurationStores(s: SparkSession, dir: String): String = {
+    val root = curationStoresPath(dir)
+    val marker = new java.io.File(root, "_STORES_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      graft.streaming.CurationStream.processBatch(
+        d, s"$root/fp", s"$root/index", s"$root/decisions", 0L,
+        Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  private def q133OracleSql: String =
+    s"""$curationVerdictCtes, reasons AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN e.doc_id IS NULL THEN 'gate'
+       |         WHEN e.is_exact_dup THEN 'exact_dup'
+       |         WHEN v.is_band_dup THEN 'near_dup'
+       |         ELSE 'accepted' END AS reason
+       |  FROM documents d
+       |  LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |  LEFT JOIN verdicts v ON d.doc_id = v.doc_id
+       |), per AS (
+       |  SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM reasons GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+       |  FROM reasons GROUP BY 1
+       |)
+       |SELECT p.source, p.reason, p.n, t.n_source,
+       |  (p.n * 10000) // t.n_source AS share_bp
+       |FROM per p JOIN tot t ON p.source = t.source
+       |ORDER BY p.source, p.reason""".stripMargin
+
+  /** q133 — quarantine analytics OFF THE STORES: per-source × per-reason
+    * curation outcome rates in exact basis points, computed by reading
+    * ONLY the accepted and quarantine stores the expectations write path
+    * produced (PlanSpec pins zero `documents` scans in the executed
+    * plan) — the report a curation dashboard serves without touching
+    * corpus text. 'accepted' rides along as a pseudo-reason so the four
+    * shares partition each source's gate input exactly; the oracle
+    * recomputes every reason from raw documents, so a row match proves
+    * accepted ∪ quarantine = input with no doc dropped or double-stored.
+    * Scale shape: the stores carry (source, reason) only — two
+    * source-keyed hash aggregates and a broadcast-sized join; the
+    * store build itself is the q127 curation pass, amortized across
+    * every reader of the artifact family.
+    */
+  val q133 = Q("q133_quarantine_rates", q133OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationStores(s, dir)
+    val acc = s.read.parquet(s"$root/accepted")
+      .select(col("source"), lit("accepted").as("reason"))
+    val qua = s.read.parquet(s"$root/quarantine")
+      .select(col("source"), col("reason"))
+    val u = acc.unionByName(qua)
+    val per = u.groupBy("source", "reason").agg(count(lit(1)).as("n"))
+    val tot = u.groupBy("source").agg(count(lit(1)).as("n_source"))
+    per.join(broadcast(tot), Seq("source"))
+      .withColumn("share_bp", expr("(n * 10000) div n_source"))
+      .orderBy("source", "reason")
   }
 
   // ── n-gram Jaccard ────────────────────────────────────────────────────
@@ -717,5 +839,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133)
 }

@@ -73,14 +73,23 @@ object CurationStream {
         fpHistorySlice(spark, fpDir, batchId, gated.select("fp").distinct())
       else gated.select(col("fp"), col("doc_id").as("h_min")).filter(lit(false))
     val batchMin = gated.groupBy("fp").agg(min(col("doc_id")).as("b_min"))
+    // FIRST-SEEN-WINS ownership: a history owner precedes every doc in
+    // this batch (it arrived in an earlier micro-batch) REGARDLESS of id;
+    // within the batch the lowest id is the canonical first owner. Under
+    // id-ordered arrival h_min < b_min always, so this is bit-equal to
+    // the id-order composition; out of order, decisions stay FINAL — the
+    // first-seen copy keeps ownership and a late lower-id copy becomes
+    // the duplicate (the old `least(h_min, b_min) < doc_id` test let
+    // BOTH copies through). A re-delivered doc owns its own history row
+    // (h_min = doc_id), so it is correctly not its own duplicate.
     val exact = gated
       .join(batchMin, Seq("fp"))
       .join(broadcast(histMin), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"), col("source"),
-        least(coalesce(col("h_min"), col("b_min")), col("b_min")).as("first_owner"))
+        coalesce(col("h_min"), col("b_min")).as("first_owner"))
       .select(col("doc_id"), col("fp"), col("source"),
-        (col("first_owner") < col("doc_id")).as("is_exact_dup"),
-        when(col("first_owner") < col("doc_id"), col("first_owner"))
+        (col("first_owner") =!= col("doc_id")).as("is_exact_dup"),
+        when(col("first_owner") =!= col("doc_id"), col("first_owner"))
           .as("exact_dup_of"))
       .localCheckpoint()
 
@@ -96,7 +105,7 @@ object CurationStream {
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
           .select("doc_id", "band_idx", "band_hash")
       else bands.filter(lit(false))
-    val partners = Dedup.earlierBandPartners(bands, idxHist.unionByName(bands))
+    val partners = Dedup.firstSeenBandPartners(bands, idxHist)
     val bandVerdicts = Dedup.keepEarliestVerdicts(survivors.select("doc_id"), partners)
 
     // decisions: both verdicts in one audit row
@@ -175,11 +184,22 @@ object CurationStream {
       }
       .start()
 
-  /** The combined decision audit across all batches, in doc order. */
+  /** The combined decision audit across all batches, in doc order —
+    * FIRST-VERDICT-WINS: if a doc somehow decided twice (a re-delivered
+    * file under a new name lands it in a later batch), the earliest
+    * batch's row is the authoritative one, so a published decision is
+    * never silently revised by a replayed delivery. One row per doc in
+    * the normal case, where the min_by is a pass-through.
+    */
   def decisions(spark: SparkSession, decisionsDir: String): DataFrame =
     spark.read.parquet(decisionsDir)
-      .select("doc_id", "is_exact_dup", "exact_dup_of",
-        "n_earlier", "dup_of", "is_band_dup")
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("is_exact_dup"), col("exact_dup_of"),
+          col("n_earlier"), col("dup_of"), col("is_band_dup")),
+        col("batch_id").cast("long")).as("d"))
+      .select(col("doc_id"), col("d.is_exact_dup"), col("d.exact_dup_of"),
+        col("d.n_earlier"), col("d.dup_of"), col("d.is_band_dup"))
       .orderBy("doc_id")
 
   // ── store maintenance: retention for the accreting partition stores ──

@@ -69,7 +69,12 @@ object LshStream {
         spark.read.parquet(indexDir).filter(col("batch_id") < batchId)
           .select("doc_id", "band_idx", "band_hash")
       else bands.filter(lit(false))
-    val partners = Dedup.earlierBandPartners(bands, history.unionByName(bands))
+    // first-seen partner rule (Dedup.firstSeenBandPartners): history
+    // colliders count unconditionally (they arrived earlier by
+    // construction), batch-internal ones by lower id — bit-equal to the
+    // old `<`-only rule under id-ordered arrival, decision-final under
+    // out-of-order arrival.
+    val partners = Dedup.firstSeenBandPartners(bands, history)
     Dedup.keepEarliestVerdicts(batch.select("doc_id"), partners)
       .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
     bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
@@ -87,10 +92,18 @@ object LshStream {
       }
       .start()
 
-  /** The decision audit across all batches, in doc order. */
+  /** The decision audit across all batches, in doc order —
+    * first-verdict-wins per doc, like CurationStream.decisions: a doc
+    * re-decided by a re-delivered file keeps its earliest batch's row.
+    */
   def decisions(spark: SparkSession, decisionsDir: String): DataFrame =
     spark.read.parquet(decisionsDir)
-      .select("doc_id", "n_earlier", "dup_of", "is_band_dup")
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("n_earlier"), col("dup_of"), col("is_band_dup")),
+        col("batch_id").cast("long")).as("d"))
+      .select(col("doc_id"), col("d.n_earlier"), col("d.dup_of"),
+        col("d.is_band_dup"))
       .orderBy("doc_id")
 
   /** Periodic index COMPACTION: rewrite the per-batchId delta partitions
@@ -291,9 +304,8 @@ object LshStream {
     */
   def verdictsAgainstIndex(batch: DataFrame, index: DataFrame): DataFrame = {
     val bands = batchBands(batch).localCheckpoint()
-    val partners = Dedup.earlierBandPartners(bands,
-        index.select("doc_id", "band_idx", "band_hash"))
-      .unionByName(Dedup.earlierBandPartners(bands, bands))
-    Dedup.keepEarliestVerdicts(batch.select("doc_id"), partners)
+    Dedup.keepEarliestVerdicts(batch.select("doc_id"),
+      Dedup.firstSeenBandPartners(bands,
+        index.select("doc_id", "band_idx", "band_hash")))
   }
 }

@@ -321,6 +321,19 @@ class PlanSpec extends AnyFunSuite {
       s"the totals join must broadcast, not cross:\n$p")
   }
 
+  test("q133: quarantine analytics read ONLY the curation stores — zero document scans") {
+    val p = plan("q133_quarantine_rates")
+    val scanLines = p.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scanLines.nonEmpty, s"the stores must be scanned:\n$p")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.forall(_.contains("graft_curation_stores")),
+      s"every scan must hit the store family, not corpus text:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet"),
+      s"the report must never re-read documents:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source totals join is broadcast-sized:\n$p")
+  }
+
   test("q120: shingle df is distinct-then-count hash aggregation, never an Expand") {
     val p = plan("q120_boilerplate_scrub")
     assert(!p.contains("Expand"),

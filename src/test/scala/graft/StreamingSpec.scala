@@ -930,6 +930,178 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must not grow the fingerprint store")
   }
 
+  test("curation under OUT-OF-ORDER arrival: first-seen wins, decisions final, anchor divergence is exactly the cross-boundary collision set") {
+    import graft.streaming.{CurationStream, LshStream}
+    import graft.ops.{Corpus, Dedup, TextOps}
+    val landing = tmpDir("graft-ooo-landing")
+    val fps = tmpDir("graft-ooo-fps") + "/fps"
+    val index = tmpDir("graft-ooo-idx") + "/bands"
+    val decisions = tmpDir("graft-ooo-dec") + "/rows"
+    val checkpoint = tmpDir("graft-ooo-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val raw = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+    val ids = raw.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val maxId = ids.last
+
+    // pick two LOW-half gate-keepers with a unique fingerprint and no
+    // band collider anywhere — their planted HIGH-id twins then create
+    // the only new collision structure, and it spans the arrival cut
+    val gateIds = Corpus.gateFrame(raw).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fpCount = raw
+      .groupBy(md5(TextOps.normalized(col("text"))).as("fp"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("ds"))
+    val uniqueFp = fpCount.filter(_.size == 1).map(_.head).toSet
+    val bandsRaw = LshStream.batchBands(raw).localCheckpoint()
+    val colliding = bandsRaw.join(
+        bandsRaw.select(col("doc_id").as("b"),
+          col("band_idx").as("bi"), col("band_hash").as("bh")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_id") =!= col("b"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val clean = ids.filter(d => d < cut && gateIds(d) && uniqueFp(d) && !colliding(d))
+    assert(clean.length >= 2, "fixture needs two clean low-half keepers")
+    val lk1 = clean(0)
+    val lk2 = clean(1)
+    def textOf(id: Long) =
+      raw.filter(col("doc_id") === id).select("text").head().getString(0)
+    val planted = Seq(
+      (maxId + 1, textOf(lk1), "planted"),              // exact twin of lk1
+      (maxId + 2, textOf(lk2) + " qqxyzzy", "planted")) // near twin of lk2
+      .toDF("doc_id", "text", "source")
+    val docs = raw.unionByName(planted).localCheckpoint()
+
+    // HIGH half (with the planted twins) lands FIRST, low half second —
+    // the reversed-arrival case the id-ordered fixtures never exercise
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-ooo-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    land(docs.filter(col("doc_id") >= cut), "f1.parquet")
+    CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+      fps, index, decisions, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") < cut), "f2.parquet")
+    CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+      fps, index, decisions, checkpoint).awaitTermination()
+
+    // FIRST-SEEN reference, computed in batch over the arrival key
+    // (arrival_batch, doc_id): ownership goes to the earliest arrival,
+    // band partners are cross-batch colliders (any id) plus same-batch
+    // lower ids — the semantics the sink must realize under ANY order
+    val ab = when(col("doc_id") >= cut, 0).otherwise(1)
+    val keepers = docs
+      .join(Corpus.gateFrame(docs).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), ab.as("ab"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint()
+    assert(Seq(lk1, lk2, maxId + 1, maxId + 2).forall(
+      keepers.select("doc_id").collect().map(_.getLong(0)).toSet),
+      "planted twins and their anchors must all pass the gate")
+    val owner = keepers.groupBy("fp")
+      .agg(min(struct(col("ab"), col("doc_id"))).as("o"))
+      .select(col("fp"), col("o.doc_id").as("owner"))
+    val exactRef = keepers.join(owner, Seq("fp"))
+      .select(col("doc_id"), (col("owner") =!= col("doc_id")).as("is_exact_dup"),
+        when(col("owner") =!= col("doc_id"), col("owner")).as("exact_dup_of"))
+    val reps = keepers.join(owner, keepers("doc_id") === owner("owner"), "left_semi")
+    val rb = LshStream.batchBands(reps)
+      .join(keepers.select(col("doc_id"), col("ab")), Seq("doc_id"))
+    val partnersRef = rb.join(
+        rb.select(col("doc_id").as("doc_b"), col("band_idx").as("bi"),
+          col("band_hash").as("bh"), col("ab").as("ab_b")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          (col("ab_b") < col("ab") ||
+            (col("ab_b") === col("ab") && col("doc_b") < col("doc_id"))))
+      .select("doc_id", "doc_b").distinct()
+    val bandRef = Dedup.keepEarliestVerdicts(reps.select("doc_id"), partnersRef)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_exact_dup"),
+          Option(r.getAs[java.lang.Long]("exact_dup_of")),
+          Option(r.getAs[java.lang.Long]("n_earlier")),
+          Option(r.getAs[java.lang.Long]("dup_of")),
+          Option(r.getAs[java.lang.Boolean]("is_band_dup")))))
+      .toMap
+    val expected = toMap(exactRef.join(bandRef, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup")))
+    val got = toMap(CurationStream.decisions(spark, decisions))
+    assert(got === expected,
+      "streamed verdicts under reversed arrival must equal the first-seen composition")
+
+    // id-order ANCHOR (q127's composition over the same augmented corpus)
+    val anchorOwner = keepers.groupBy("fp").agg(min(col("doc_id")).as("owner"))
+    val anchorExact = keepers.join(anchorOwner, Seq("fp"))
+      .select(col("doc_id"), (col("owner") =!= col("doc_id")).as("is_exact_dup"),
+        when(col("owner") =!= col("doc_id"), col("owner")).as("exact_dup_of"))
+    val anchorReps = keepers.join(anchorOwner,
+      keepers("doc_id") === anchorOwner("owner"), "left_semi")
+    val abands = LshStream.batchBands(anchorReps)
+    val anchorBand = Dedup.keepEarliestVerdicts(anchorReps.select("doc_id"),
+      Dedup.earlierBandPartners(abands, abands))
+    val anchor = toMap(anchorExact.join(anchorBand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup")))
+
+    // the planted EXACT pair: the anchor keeps the low id; first-seen
+    // keeps the high id that arrived first and marks the low id the dup
+    assert(anchor(lk1) === ((false, None, Some(0L), None, Some(false))))
+    assert(anchor(maxId + 1)._1 === true &&
+      anchor(maxId + 1)._2 === Some(lk1))
+    assert(got(maxId + 1) === ((false, None, Some(0L), None, Some(false))))
+    assert(got(lk1)._1 === true && got(lk1)._2 === Some(maxId + 1))
+    // the planted NEAR pair: distinct fingerprints, so both are reps in
+    // both orders — only the band verdict flips direction
+    assert(anchor(lk2)._5 === Some(false) &&
+      anchor(maxId + 2)._5 === Some(true) && anchor(maxId + 2)._4 === Some(lk2),
+      s"planted near twin must band-collide in the anchor: ${anchor(maxId + 2)}")
+    assert(got(maxId + 2)._5 === Some(false),
+      "the first-arrived near twin must survive")
+    assert(got(lk2)._5 === Some(true) && got(lk2)._4 === Some(maxId + 2),
+      "the late lower-id near twin must point at its first-seen partner")
+
+    // the divergence from the anchor is EXACTLY the cross-boundary
+    // collision set: every doc whose verdict changed belongs to an
+    // fp-group spanning the cut, or collides (symmetrically, via the
+    // all-docs band table) with a doc or fp-group member across the cut
+    val divergent = expected.keySet.filter(d => anchor(d) != expected(d))
+    assert(divergent.nonEmpty, "the fixture must force real divergence")
+    assert(Seq(lk1, lk2, maxId + 1, maxId + 2).forall(divergent),
+      "every member of the two planted cross-boundary pairs flips")
+    val bandsAug = LshStream.batchBands(docs)
+    val fpGroups = keepers.groupBy("fp").agg(collect_list(col("doc_id")).as("ds"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("ds").toSet)
+    val spanningFp = fpGroups.filter(g =>
+      g.exists(_ < cut) && g.exists(_ >= cut)).flatten.toSet
+    val sym = bandsAug.join(
+        bandsAug.select(col("doc_id").as("b"),
+          col("band_idx").as("bi"), col("band_hash").as("bh")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("doc_id") =!= col("b"))
+      .select("doc_id", "b").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val collidesAcross = sym.filter { case (a, b) =>
+      ((a < cut) != (b < cut)) || spanningFp(b) }.map(_._1).toSet
+    assert(divergent.subsetOf(spanningFp ++ collidesAcross),
+      s"divergence must be explained by cross-boundary collisions: " +
+        s"${divergent -- spanningFp -- collidesAcross}")
+
+    // decision FINALITY: re-delivering the low half under a new name
+    // changes no published verdict
+    land(docs.filter(col("doc_id") < cut), "f2-redelivered.parquet")
+    CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+      fps, index, decisions, checkpoint).awaitTermination()
+    assert(toMap(CurationStream.decisions(spark, decisions)) === expected,
+      "a re-delivered file must never revise a published decision")
+  }
+
   test("drift stream: folded histogram cells serve q126's statistics bit-for-bit; replay is a no-op") {
     import graft.streaming.DriftStream
     val landing = tmpDir("graft-drift-landing")
