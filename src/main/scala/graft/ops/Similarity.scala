@@ -743,13 +743,15 @@ object Similarity {
     * a written index artifact (4 bytes/vector), not per-query work.
     * v2: the frozen codebook is written beside the codes (see `cbPath`) so
     * the append path can encode NEW vectors without the seed rows.
+    * v3: the per-vector quantization-error sidecar (`errPath`) is written
+    * too — the training baseline the append drift trigger reads.
     */
   def pqIndexPath(dir: String): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_v2_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_v3_$key"
   }
 
   /** The frozen (m, k, cw) codebook parquet that travels with a PQ code
@@ -765,16 +767,27 @@ object Similarity {
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
   }
 
-  /** Encode every vector of `sub` against codebook `cb` — the shared
-    * argmin kernel of the build and append paths (one broadcast join, one
-    * hash aggregate; tie on codeword id like the q97 oracle).
+  /** Encode every vector of `sub` against codebook `cb`, keeping the
+    * winning subspace distance — the shared argmin kernel of the build
+    * and append paths (one broadcast join, one hash aggregate; tie on
+    * codeword id like the q97 oracle).
     */
-  private def encodeAgainst(sub: DataFrame, cb: DataFrame): DataFrame =
+  private def encodeAgainstWithDist(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), col("m") === col("cm"))
       .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("k"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.k").as("k"))
+      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
+
+  private def encodeAgainst(sub: DataFrame, cb: DataFrame): DataFrame =
+    encodeAgainstWithDist(sub, cb).select("vec_id", "m", "k")
+
+  /** Per-vector fixed-point quantization error (µ-units, the sidecar
+    * convention) from an encode-with-dist frame.
+    */
+  private def vecErrFp(coded: DataFrame): DataFrame =
+    coded.groupBy("vec_id")
+      .agg(sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("err_fp"))
 
   /** Build step: materialize (vec_id, m, k) PQ code assignments once per
     * corpus (idempotent, `_SUCCESS`-guarded like the IVF build), plus the
@@ -791,14 +804,19 @@ object Similarity {
 
   /** Write codes + codebook for a (vec_id, v) frame. The codebook seed is
     * the first PqK vectors' subvectors (deterministic; q94's Lloyd loop is
-    * the trainer that would refine it).
+    * the trainer that would refine it). Also writes the per-vector
+    * quantization-error sidecar (`errPath`, µ-unit BIGINTs) — the
+    * TRAINING-ERROR BASELINE the append path's drift trigger compares
+    * against; codes commit last so `_SUCCESS` implies the sidecar exists.
     */
   def writePqIndex(e: DataFrame, path: String): Unit = {
     val sub = subspaces(e, "v")
     val cb = sub.filter(col("vec_id") < PqK)
       .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
     cb.write.mode("overwrite").parquet(cbPath(path))
-    encodeAgainst(sub, cb).write.mode("overwrite").parquet(path)
+    val coded = encodeAgainstWithDist(sub, cb).localCheckpoint()
+    vecErrFp(coded).write.mode("overwrite").parquet(errPath(path))
+    coded.select("vec_id", "m", "k").write.mode("overwrite").parquet(path)
   }
 
   /** Incrementally encode NEW vectors against the artifact's FROZEN
@@ -808,11 +826,70 @@ object Similarity {
     * equals a from-scratch rebuild over the union bit-for-bit
     * (spec-pinned). Codebook DRIFT — when enough appended mass would move
     * the trained codewords — is the rebuild trigger, exactly as in Faiss:
-    * the index serves stale-but-valid codes until retraining.
+    * the index serves stale-but-valid codes until retraining;
+    * `appendPqIndexMeasured` below is this append WITH that trigger.
     */
   def appendPqIndex(s: SparkSession, path: String, delta: DataFrame): Unit = {
     val cb = s.read.parquet(cbPath(path))
     encodeAgainst(subspaces(delta, "v"), cb).write.mode("append").parquet(path)
+  }
+
+  /** One append's drift verdict: how much worse the frozen codebook
+    * quantizes the appended vectors than the corpus it was built/trained
+    * on. All µ-unit fixed point — `driftPct` is the append's mean
+    * per-vector error as an integer percentage of the training mean, and
+    * `rebuild` fires at the threshold (Faiss's operating rule made a
+    * measured decision instead of folklore: serve stale-but-valid codes
+    * until the appended mass demonstrably quantizes worse).
+    */
+  final case class PqAppendDrift(
+      nAppended: Long,
+      meanAppendErrFp: Long,
+      baselineMeanErrFp: Long,
+      driftPct: Long,
+      rebuild: Boolean)
+
+  /** Where the per-append drift audit rows live, beside the codes. */
+  def driftAuditPath(codesPath: String): String = codesPath + "_drift"
+
+  /** The MEASURED append — codes written exactly as `appendPqIndex`
+    * (spec-pinned bit-equal), plus the codebook-drift statistic the
+    * round-trip was already paying for: the encode computes every
+    * winning subspace distance, so the appended vectors' quantization
+    * error is one extra aggregate, not a second pass. Baseline = the
+    * artifact's error sidecar mean (`err_trained_fp` when the artifact
+    * is trained, `err_fp` otherwise — both written at build time).
+    * Returns the verdict and appends it to a drift audit table so the
+    * rebuild decision has a history; thresholdPct = 150 means "rebuild
+    * when appended vectors quantize ≥1.5× worse than training". Scale
+    * shape: identical to the plain append (broadcast codebook, one
+    * hash aggregate over the DELTA only) — the corpus is never rescanned.
+    */
+  def appendPqIndexMeasured(s: SparkSession, path: String, delta: DataFrame,
+      thresholdPct: Long = 150L): PqAppendDrift = {
+    val cb = s.read.parquet(cbPath(path))
+    val coded = encodeAgainstWithDist(subspaces(delta, "v"), cb).localCheckpoint()
+    coded.select("vec_id", "m", "k").write.mode("append").parquet(path)
+    val errs = s.read.parquet(errPath(path))
+    val baseCol = if (errs.columns.contains("err_trained_fp")) "err_trained_fp" else "err_fp"
+    val base = errs.agg(sum(col(baseCol)).cast("long").as("s"),
+      count(lit(1)).as("n")).head()
+    val baselineMean = base.getLong(0) / math.max(base.getLong(1), 1L)
+    val app = vecErrFp(coded).agg(sum(col("err_fp")).cast("long").as("s"),
+      count(lit(1)).as("n")).head()
+    val n = app.getLong(1)
+    val appendMean = if (n > 0) app.getLong(0) / n else 0L
+    val driftPct = if (baselineMean > 0) appendMean * 100L / baselineMean
+      else if (appendMean > 0) Long.MaxValue else 100L
+    val verdict = PqAppendDrift(n, appendMean, baselineMean, driftPct,
+      rebuild = driftPct >= thresholdPct)
+    s.createDataFrame(Seq(
+        (verdict.nAppended, verdict.meanAppendErrFp, verdict.baselineMeanErrFp,
+          verdict.driftPct, verdict.rebuild)))
+      .toDF("n_appended", "mean_append_err_fp", "baseline_mean_err_fp",
+        "drift_pct", "rebuild")
+      .write.mode("append").parquet(driftAuditPath(path))
+    verdict
   }
 
   private def q99OracleSql: String = {
@@ -934,7 +1011,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_respq_codes_v1_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_respq_codes_v2_$key"
   }
 
   /** Build the residual-PQ artifact: subtract each vector's cell centroid

@@ -296,6 +296,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cbSet(p1) === cbSet(p2))
   }
 
+  test("PQ append drift trigger: in-distribution append serves on, planted drift trips the rebuild") {
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), ops.Similarity.asDouble(col("embedding")).as("v"))
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    assert(cut > ops.Similarity.PqK)
+    val half = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+
+    // in-distribution: the appended half quantizes like the trained half
+    val p1 = java.nio.file.Files.createTempDirectory("graft-pqd-in").toString + "/idx"
+    ops.Similarity.writePqIndex(half, p1)
+    val inDist = ops.Similarity.appendPqIndexMeasured(spark, p1, delta)
+    assert(inDist.nAppended === ids.length - ids.count(_ < cut))
+    assert(inDist.baselineMeanErrFp > 0L)
+    assert(!inDist.rebuild,
+      s"an in-distribution append must keep serving the frozen codebook: $inDist")
+
+    // the measured append writes EXACTLY the plain append's codes — the
+    // drift statistic rides the encode, it never changes the artifact
+    val p2 = java.nio.file.Files.createTempDirectory("graft-pqd-full").toString + "/idx"
+    ops.Similarity.writePqIndex(e, p2)
+    def codeSet(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codeSet(p1) === codeSet(p2),
+      "measured append must stay bit-equal to a from-scratch rebuild")
+
+    // planted drift: the same delta scaled 3x sits far from every
+    // codeword — mean quantization error explodes and the trigger fires
+    val p3 = java.nio.file.Files.createTempDirectory("graft-pqd-drift").toString + "/idx"
+    ops.Similarity.writePqIndex(half, p3)
+    val shifted = delta.select(col("vec_id"),
+      transform(col("v"), x => x * lit(3.0)).as("v"))
+    val drifted = ops.Similarity.appendPqIndexMeasured(spark, p3, shifted)
+    assert(drifted.rebuild,
+      s"a distribution shift must trip the rebuild trigger: $drifted")
+    assert(drifted.driftPct > inDist.driftPct)
+
+    // every append leaves one audit row for the decision history
+    assert(spark.read.parquet(ops.Similarity.driftAuditPath(p1)).count() === 1L)
+    val audit = spark.read.parquet(ops.Similarity.driftAuditPath(p3)).head()
+    assert(audit.getAs[Boolean]("rebuild") === true)
+    assert(audit.getAs[Long]("n_appended") === drifted.nAppended)
+  }
+
   test("PQ code artifact is built once and holds M codes per vector") {
     val path = ops.Similarity.buildPqIndex(spark, sf)
     val success = new java.io.File(path, "_SUCCESS")
