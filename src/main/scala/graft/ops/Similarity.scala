@@ -1311,36 +1311,59 @@ object Similarity {
     * the count's only job is deciding whether to run another round and
     * skipping it saves a job for fixed-round callers like q103/q104).
     */
+  /** Literal-centroid cosine argmax: one Lloyd reassignment as a PURE
+    * PROJECTION against a driver-collected (cluster, centroid, norm)
+    * table — the k×dim state rides the plan (a broadcast in all but
+    * mechanism), so the round pays zero joins and zero shuffles to
+    * reassign. Bit-equal to the broadcast-join + struct-max form it
+    * replaced: the sim tree is the identical dot/(vn·cn) (cn collected
+    * verbatim from the same executor-computed norm), and `array_max`
+    * applies the same struct ordering (sim desc, then lowest cluster id
+    * via the negated id) as the `max(struct(...))` aggregate.
+    */
+  private def argmaxLit(v: Column, vn: Column,
+      cents: Seq[(Int, Seq[Double], Double)]): Column =
+    array_max(array(cents.map { case (id, c, cn) =>
+      struct((dot(v, typedlit(c)) / (vn * lit(cn))).as("sim"),
+        lit(-id).as("nc"))
+    }: _*))
+
   def kmeans(e: DataFrame, initCol: String, maxIters: Int = 10): (DataFrame, Int, Long) = {
     val s = e.sparkSession
     graft.functions.VecDot.register(s)
-    val vecs = e.select(col("vec_id"), col("v")).withColumn("vn", norm(col("v")))
-    var asg = e.select(col("vec_id"), col(initCol).cast("int").as("cluster"))
-      .localCheckpoint()
+    // Iterative state carries the vector WITH its assignment —
+    // (vec_id, v, vn, cluster), localCheckpointed — so a round never
+    // re-joins the corpus on vec_id. Per round: ONE map-side-combined
+    // (cluster, pos) aggregate (the centroid sums, k·dim rows per task
+    // after combine), a k×dim driver collect, and the argmaxLit
+    // projection; the moved count scans the fresh checkpoint. The
+    // previous form paid three corpus-sized exchanges per round (the
+    // vec_id join feeding the centroids, the argmax groupBy, and the
+    // moved-count join).
+    var state = e.select(col("vec_id"), col("v"), norm(col("v")).as("vn"),
+      col(initCol).cast("int").as("cluster")).localCheckpoint()
     var rounds = 0
     var moved = -1L
     while (rounds < maxIters && moved != 0L) {
       val cents = fixedPointCentroids(
-          vecs.join(asg, "vec_id").select(col("cluster"), col("v")), "cluster")
+          state.select(col("cluster"), col("v")), "cluster")
         .withColumn("cn", norm(col("c")))
-        .localCheckpoint()
-      val next = vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-          (dot(col("v"), col("c")) / (col("vn") * col("cn"))).as("sim"),
-          col("cluster"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("sim"), (-col("cluster")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).cast("int").as("cluster"))
-        .localCheckpoint()
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getAs[scala.collection.Seq[Double]]("c").toSeq, r.getDouble(2)))
+        .toSeq.sortBy(_._1)
+      val next = state.select(col("vec_id"), col("v"), col("vn"),
+        (-argmaxLit(col("v"), col("vn"), cents).getField("nc")).cast("int")
+          .as("cluster"),
+        col("cluster").as("prev")).localCheckpoint()
       rounds += 1
       moved =
         if (rounds < maxIters)
-          next.join(asg.select(col("vec_id"), col("cluster").as("prev")), "vec_id")
-            .filter(col("cluster") =!= col("prev")).count()
+          next.filter(col("cluster") =!= col("prev")).count()
         else -1L
-      asg = next
+      state = next.drop("prev")
     }
-    (asg, rounds, moved)
+    (state.select("vec_id", "cluster"), rounds, moved)
   }
 
   /** Oracle CTE builders for an unrolled Lloyd round (shared by q103 and
