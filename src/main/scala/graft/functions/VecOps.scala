@@ -55,10 +55,72 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "scala_udf")
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist", exprs => VecSqDist(exprs.head, exprs(1)), "scala_udf")
+  }
 
   /** Column wrapper — requires register(spark) once per session. */
   def apply(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
+
+/** Squared L2 distance of two double arrays as a native codegen
+  * Expression — the fused twin of VecDot for the PQ encode/ADC hot path.
+  *
+  * Semantics are EXACTLY the sequential left fold
+  * `acc = acc + (a(i) - b(i)) * (a(i) - b(i))` from 0.0 — bit-identical
+  * to the `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_)`
+  * tree it replaces (same per-element expression, same addition order)
+  * and to DuckDB's `list_sum(list_transform(list_zip(a, b), ...))`
+  * oracle mirror. The HOF tree allocates a zipped array and runs
+  * interpreted lambdas per element; PQ encoding evaluates this M·K times
+  * per vector, which made the interpreted form the measured bottleneck
+  * of the training/encode rounds.
+  */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSqDist {
+  /** Column wrapper — requires VecDot.register(spark) once per session. */
+  def apply(a: Column, b: Column): Column = call_function("vec_sqdist", a, b)
 }

@@ -512,16 +512,21 @@ object Similarity {
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     def centroids(members: DataFrame, key: String): DataFrame =
       fixedPointCentroids(members, key)
+    // same fusion as the kmeans loop: centroids collect to the driver
+    // and the reassignment is the argmaxLit projection (identical sim
+    // tree and struct ordering as the old broadcast-join + struct-max),
+    // carrying v so the second centroid pass needs no vec_id join
     val c0 = centroids(e, "label").select(col("label").as("cluster"), col("c"))
       .withColumn("cn0", norm(col("c")))
-    val asg = e.withColumn("vn", norm(col("v"))).crossJoin(broadcast(c0))
-      .select(col("vec_id"), col("label"), col("cluster"),
-        (dot(col("v"), col("c")) / (col("vn") * col("cn0"))).as("sim"))
-      .groupBy("vec_id", "label")
-      .agg(max(struct(col("sim"), (-col("cluster")).as("neg_c"))).as("m"))
-      .select(col("vec_id"), col("label"),
-        (-col("m.neg_c")).as("cluster"), col("m.sim").as("sim"))
-    val c1 = centroids(e.join(asg.select("vec_id", "cluster"), "vec_id"), "cluster")
+      .localCheckpoint()
+    val c0rows = c0.collect().map(r => (r.getInt(0),
+      r.getAs[scala.collection.Seq[Double]]("c").toSeq, r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    val mx = argmaxLit(col("v"), norm(col("v")), c0rows)
+    val asg = e.select(col("vec_id"), col("label"), col("v"),
+        (-mx.getField("nc")).as("cluster"), mx.getField("sim").as("sim"))
+      .localCheckpoint()
+    val c1 = centroids(asg.select(col("cluster"), col("v")), "cluster")
       .select(col("cluster").as("c1k"), col("c").as("cn"))
     val rep = asg.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
@@ -550,8 +555,13 @@ object Similarity {
   private def sqDistSql =
     "list_sum(list_transform(list_zip(%s, %s), x -> (x[1] - x[2]) * (x[1] - x[2])))"
 
+  /** Codegen'd (VecSqDist) — bit-identical to the
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)` HOF
+    * fold it replaced; the interpreted HOF was the measured bottleneck
+    * of the M·K-per-vector encode rounds. Requires VecDot.register.
+    */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.VecSqDist(a, b)
 
   private def q97OracleSql: String =
     s"""WITH e AS (
@@ -600,6 +610,7 @@ object Similarity {
     * the array form is derivable from packed_code (4 bits per subspace).
     */
   val q97 = Q("q97_pq_encode", q97OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     val subArr = array((0 until PqM).map(m =>
       struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)
@@ -694,47 +705,75 @@ object Similarity {
     * corpus-linear, state O(M·K·subdim). The oracle unrolls the round as
     * CTEs exactly like q103 does for vector-space k-means.
     */
+  /** Per-row PQ encode against a DRIVER-SIDE codebook, as one projection:
+    * array over m of struct(m, k, dist), argmin by (dist, k) within each
+    * subspace — the identical lexicographic ordering `min(struct(dist,
+    * k))` applies, with the identical sqDist fold, so the codes and
+    * distances are bit-equal to the broadcast-join + groupBy form while
+    * costing ZERO exchanges (M·K state rides the plan like a broadcast).
+    */
+  private def encodeLit(v: Column,
+      cb: Map[Int, Seq[(Long, Seq[Double])]]): Column =
+    array((0 until PqM).map { m =>
+      val sv = slice(v, m * PqSubDim + 1, PqSubDim)
+      val best = array_min(array(cb(m).map { case (k, cw) =>
+        struct(sqDist(sv, typedlit(cw)).as("dist"), lit(k).as("k"))
+      }: _*))
+      struct(lit(m).as("m"), best.getField("k").as("k"),
+        best.getField("dist").as("dist"))
+    }: _*)
+
+  /** In-row µ-unit quantization error of an encodeLit array — integer
+    * addition, so the m-ascending fold equals any aggregation order.
+    */
+  private def codesErrFp(codes: Column): Column =
+    aggregate(transform(codes, r => floor(r.getField("dist") * lit(1000000.0))),
+      lit(0L), (a, x) => a + x)
+
   val q107 = Q("q107_pq_train_round", q107OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
     val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val sub = subspaces(e, "v")
-    val cb0 = sub.filter(col("vec_id") < PqK)
-      .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
-    val a0 = sub.join(broadcast(cb0), col("m") === col("cm"))
-      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("dist"), col("k"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
-    val err0 = a0.groupBy("vec_id")
-      .agg((sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
-        lit(1000000.0)).as("quant_err_seed"))
-    val mem = a0.select(col("vec_id"), col("m"), col("k"))
-      .join(sub, Seq("vec_id", "m"))
-      .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+    // seed codebook: the first PqK vectors' subvectors, collected once
+    // (M·K·subdim doubles of driver state — a broadcast in all but name)
+    val seedRows = e.filter(col("vec_id") < PqK).select("vec_id", "v")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toSeq).sortBy(_._1)
+    val cb0 = (0 until PqM).map(m => m -> seedRows.toSeq.map { case (k, v) =>
+      k -> v.slice(m * PqSubDim, m * PqSubDim + PqSubDim) }).toMap
+    // pass 1: per-row seed encode — a pure projection, no join/shuffle
+    val a = e.select(col("vec_id"), col("label"), col("v"),
+      encodeLit(col("v"), cb0).as("codes0")).localCheckpoint()
+    // the one corpus-sized exchange of the round: (m, k, pos) integer
+    // centroid sums over the assigned subvectors, map-side combined down
+    // to M·K·subdim cells per task; decode stays in Spark so the
+    // refined-codeword arithmetic tree is unchanged
+    val mem = a.select(explode(col("codes0")).as("c"), col("v"))
+      .select(col("c.m").as("m"), col("c.k").as("k"),
+        posexplode(slice(col("v"), col("c.m") * lit(PqSubDim) + lit(1),
+          lit(PqSubDim))).as(Seq("pos", "x")))
     val ref = mem.groupBy("m", "k", "pos")
       .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("s_fp"),
         count(lit(1)).as("n"))
       .groupBy("m", "k")
       .agg(expr("transform(array_sort(collect_list(struct(pos, s_fp, n))), " +
         "r -> CAST(r.s_fp AS DOUBLE) / (r.n * 1000000.0))").as("rcw"))
-      .select(col("m").as("rm"), col("k").as("rk"), col("rcw"))
-    val cb1 = cb0.join(ref, col("cm") === col("rm") && col("k") === col("rk"), "left")
-      .select(col("cm"), col("k"), coalesce(col("rcw"), col("cw")).as("cw"))
-    val best1 = sub.join(broadcast(cb1), col("m") === col("cm"))
-      .select(col("vec_id"), col("m"), col("k"), sqDist(col("sv"), col("cw")).as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("dist"), col("k"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist").as("dist"))
-    val codes1 = best1.groupBy("vec_id").agg(
-      expr("array_join(transform(array_sort(collect_list(struct(m, k))), r -> CAST(r.k AS STRING)), ',')")
-        .as("codes"),
-      expr("CAST(sum(k * shiftleft(CAST(1 AS BIGINT), 4 * m)) AS BIGINT)").as("packed_code"),
-      (sum(floor(col("dist") * lit(1000000.0)).cast("long")).cast("double") /
-        lit(1000000.0)).as("quant_err_trained"))
-    e.select(col("vec_id"), col("label"))
-      .join(codes1, Seq("vec_id"))
-      .join(err0, Seq("vec_id"))
-      .select(col("vec_id"), col("label"), col("codes"), col("packed_code"),
-        col("quant_err_seed"), col("quant_err_trained"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getAs[scala.collection.Seq[Double]]("rcw").toSeq).toMap
+    // Lloyd update: refined codeword where the cell had members, seed
+    // codeword otherwise — merged on the driver
+    val cb1 = cb0.map { case (m, ks) =>
+      m -> ks.map { case (k, cw) => k -> ref.getOrElse((m, k), cw) } }
+    // pass 2: per-row re-encode + ALL outputs in-row — codes string and
+    // packed code fold the m-ascending array (the sort the old
+    // collect_list needed is free), errors are integer sums
+    a.select(col("vec_id"), col("label"),
+        col("codes0"), encodeLit(col("v"), cb1).as("codes1"))
+      .select(col("vec_id"), col("label"),
+        expr("array_join(transform(codes1, r -> CAST(r.k AS STRING)), ',')").as("codes"),
+        expr("aggregate(codes1, CAST(0 AS BIGINT), " +
+          "(a, r) -> a + r.k * shiftleft(CAST(1 AS BIGINT), 4 * r.m))").as("packed_code"),
+        (codesErrFp(col("codes0")).cast("double") / lit(1000000.0)).as("quant_err_seed"),
+        (codesErrFp(col("codes1")).cast("double") / lit(1000000.0)).as("quant_err_trained"))
       .orderBy("vec_id")
   }
 
@@ -810,6 +849,7 @@ object Similarity {
     * against; codes commit last so `_SUCCESS` implies the sidecar exists.
     */
   def writePqIndex(e: DataFrame, path: String): Unit = {
+    graft.functions.VecDot.register(e.sparkSession)
     val sub = subspaces(e, "v")
     val cb = sub.filter(col("vec_id") < PqK)
       .select(col("m").as("cm"), col("vec_id").as("k"), col("sv").as("cw"))
@@ -830,6 +870,7 @@ object Similarity {
     * `appendPqIndexMeasured` below is this append WITH that trigger.
     */
   def appendPqIndex(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    graft.functions.VecDot.register(s)
     val cb = s.read.parquet(cbPath(path))
     encodeAgainst(subspaces(delta, "v"), cb).write.mode("append").parquet(path)
   }
@@ -867,6 +908,7 @@ object Similarity {
     */
   def appendPqIndexMeasured(s: SparkSession, path: String, delta: DataFrame,
       thresholdPct: Long = 150L): PqAppendDrift = {
+    graft.functions.VecDot.register(s)
     val cb = s.read.parquet(cbPath(path))
     val coded = encodeAgainstWithDist(subspaces(delta, "v"), cb).localCheckpoint()
     coded.select("vec_id", "m", "k").write.mode("append").parquet(path)
@@ -1065,6 +1107,7 @@ object Similarity {
     * one (M·K·subdim)-cell hash aggregate, corpus-linear.
     */
   def buildTrainedResPqIndex(s: SparkSession, dir: String): String = {
+    graft.functions.VecDot.register(s)
     val path = trainedResPqIndexPath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))

@@ -189,11 +189,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q107: both encode passes broadcast their codebook, no cartesian") {
+  test("q107: the trained encode is joinless — literal codebooks, in-row outputs") {
     val p = plan("q107_pq_train_round")
-    // seed-codebook encode AND refined-codebook encode each broadcast M×K rows
-    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin")) / 2
-    assert(bhj >= 2, s"expected two broadcast codebook joins, saw $bhj:\n$p")
+    // both encode passes carry their M×K codebook as plan literals and
+    // every per-vector output (codes string, packed code, both errors)
+    // folds in-row, so the final plan has NO join of any kind and no
+    // per-vector aggregation — its only exchange is the output sort
+    assert(!p.contains("Join"), s"the encode must not join anything:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"per-vector outputs must fold in-row, not aggregate:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
