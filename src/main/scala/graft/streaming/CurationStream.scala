@@ -215,6 +215,16 @@ object CurationStream {
   def compactFpHistory(spark: SparkSession, fpDir: String, upto: Long): Unit =
     StoreCompaction.foldInto(spark, fpDir, upto)(_.select("fp", "doc_id", "source"))
 
+  /** O(delta) MINOR fold for the fp store: delta partitions move into
+    * the base as fingerprint-bucketed files WITHOUT reading the base
+    * (`StoreCompaction.appendInto`) — the steady-state retention call.
+    * `compactFpHistory` stays the whole-base major fold;
+    * `StoreCompaction.compactBaseBuckets` is the bounded middle level
+    * that rewrites only over-threshold buckets.
+    */
+  def appendFpHistory(spark: SparkSession, fpDir: String, upto: Long): Long =
+    StoreCompaction.appendInto(spark, fpDir, upto, Seq("fp"))
+
   /** Audit-store retention: drop decision/quarantine partitions with
     * `batch_id < keepFrom`. The decision and quarantine tables are audit
     * output, not pipeline state — nothing reads them back into verdicts

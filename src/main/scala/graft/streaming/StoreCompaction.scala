@@ -71,4 +71,138 @@ object StoreCompaction {
       ids.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finishFold(ids)
   }
+
+  // ── the incremental LSM levels: O(delta) minor fold + per-bucket major ──
+
+  private val AppendStagingName = ".append_tmp"
+  private val bucketFileRe = """append_b(\d+)_.*""".r
+
+  /** MINOR fold — the O(delta) answer to `foldInto` rewriting the whole
+    * base every time: move the rows of delta partitions `batch_id <=
+    * upto` INTO the base partition as new bucket-tagged files, without
+    * ever reading the base. Correct for every store here because each
+    * read path either treats the store as a row union (fp history, band
+    * rows, shard membership) or re-aggregates the cells it reads (drift
+    * and occupancy sums) — appending delta rows beside base rows serves
+    * bit-identically either way. Rows are hashed on `bucketCols` into
+    * `nBuckets` file groups (the tag rides the FILE NAME — the base dir
+    * stays a flat parquet partition, so partition discovery and every
+    * existing reader are untouched), which is what lets
+    * `compactBaseBuckets` bound file counts by rewriting ONLY
+    * over-threshold buckets. Crash-safe like `foldInto` (single
+    * maintenance writer): stage the bucketed files hidden, write the
+    * manifest, delete the folded deltas, then move staged files in —
+    * a crash mid-move replays from the manifest, and a move that finds
+    * its target already present skips it. Returns files appended.
+    */
+  def appendInto(spark: SparkSession, storeDir: String, upto: Long,
+      bucketCols: Seq[String], nBuckets: Int = 32): Long = {
+    val root = new java.io.File(storeDir)
+    val staging = new java.io.File(root, AppendStagingName)
+    val base = new java.io.File(root, s"batch_id=$BasePartition")
+    val manifest = new java.io.File(staging, "_appended_ids")
+    def stagedFiles(): Seq[(java.io.File, Int)] =
+      Option(staging.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("__b="))
+        .flatMap { d =>
+          val b = d.getName.stripPrefix("__b=").toInt
+          Option(d.listFiles()).toSeq.flatten
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .map(_ -> b)
+        }
+    def finishAppend(ids: Seq[Long]): Long = {
+      ids.foreach(id => deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+      base.mkdirs()
+      val moved = stagedFiles().map { case (f, b) =>
+        val target = new java.io.File(base, s"append_b${b}_${f.getName}")
+        if (!target.exists())
+          java.nio.file.Files.move(f.toPath, target.toPath)
+        1L
+      }.sum
+      deleteRecursively(staging)
+      moved
+    }
+    if (staging.exists()) {
+      if (manifest.exists())
+        finishAppend(java.nio.file.Files.readAllLines(manifest.toPath)
+          .asScala.toSeq.filter(_.nonEmpty).map(_.toLong))
+      else deleteRecursively(staging)
+    }
+    val ids = partitionIds(root).filter(id => id != BasePartition && id <= upto)
+    if (ids.isEmpty) return 0L
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*)
+      .withColumn("__b", pmod(xxhash64(bucketCols.map(col): _*), lit(nBuckets.toLong)))
+      .repartition(col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.write(manifest.toPath,
+      ids.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finishAppend(ids)
+  }
+
+  /** MAJOR fold, per bucket — rewrite only the buckets of the base
+    * partition whose bucket-tagged file count exceeds the threshold,
+    * each into one file; files from a legacy whole-base `foldInto`
+    * (untagged) count as bucket 0 and get re-tagged on their first
+    * rewrite. Reads ONLY the over-threshold buckets' files, so the
+    * steady-state major cost is bounded by bucket size, not base size.
+    * Crash-safe per bucket: merged rows land as a hidden dot-file, a
+    * per-bucket manifest names it and the files it replaces, then olds
+    * are deleted, the hidden file unhides, and the manifest drops; the
+    * next call replays any crashed step from the manifest. Returns the
+    * number of buckets rewritten.
+    */
+  def compactBaseBuckets(spark: SparkSession, storeDir: String,
+      maxFilesPerBucket: Int = 4): Long = {
+    val base = new java.io.File(storeDir, s"batch_id=$BasePartition")
+    if (!base.exists()) return 0L
+    // recovery of a crashed per-bucket rewrite
+    Option(base.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_compactb_manifest_")).foreach { mf =>
+        val lines = java.nio.file.Files.readAllLines(mf.toPath)
+        val (finalName, olds) = (lines.get(0), lines.subList(1, lines.size))
+        val hidden = new java.io.File(base, "." + finalName)
+        if (new java.io.File(base, finalName).exists() || hidden.exists()) {
+          olds.forEach(o => { new java.io.File(base, o).delete(); () })
+          if (hidden.exists())
+            require(hidden.renameTo(new java.io.File(base, finalName)))
+        }
+        mf.delete()
+      }
+    Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith(".") && f.getName.contains("append_b"))
+      .foreach(_.delete())
+    val byBucket = Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_") && f.getName.endsWith(".parquet"))
+      .groupBy(f => f.getName match {
+        case bucketFileRe(b) => b.toInt
+        case _ => 0
+      })
+    var rewritten = 0L
+    byBucket.toSeq.sortBy(_._1).foreach { case (bucket, files) =>
+      if (files.size > maxFilesPerBucket) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-base-compact").toString
+        spark.read.parquet(files.map(_.getPath): _*).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val finalName = s"append_b${bucket}_${part.getName}"
+        val hidden = new java.io.File(base, "." + finalName)
+        java.nio.file.Files.copy(part.toPath, hidden.toPath)
+        val mf = new java.io.File(base, s"_compactb_manifest_$bucket")
+        java.nio.file.Files.write(mf.toPath,
+          (finalName +: files.map(_.getName)).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        files.foreach(_.delete())
+        require(hidden.renameTo(new java.io.File(base, finalName)),
+          s"rename ${hidden.getName} failed")
+        mf.delete()
+        deleteRecursively(new java.io.File(tmp))
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
 }

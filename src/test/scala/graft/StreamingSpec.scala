@@ -1366,6 +1366,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(left === Set(2L), "only the kept audit partition may remain")
   }
 
+  test("incremental fp-store fold: O(delta) bucket appends, per-bucket major compaction, store content invariant") {
+    import graft.streaming.{CurationStream, StoreCompaction}
+    val fps = tmpDir("graft-fpinc") + "/fps"
+    val index = tmpDir("graft-fpinc-idx") + "/bands"
+    val decisions = tmpDir("graft-fpinc-dec") + "/rows"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents").select("doc_id", "text", "source")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    CurationStream.processBatch(docs.filter(col("doc_id") < c1), fps, index, decisions, 0L)
+    CurationStream.processBatch(
+      docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), fps, index, decisions, 1L)
+    CurationStream.processBatch(docs.filter(col("doc_id") >= c2), fps, index, decisions, 2L)
+    def storeRows() = spark.read.parquet(fps)
+      .select("fp", "doc_id", "source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val before = storeRows()
+    val baseDir = new java.io.File(fps, "batch_id=-1")
+    def baseFiles() = Option(baseDir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    // minor fold 1: batches 0 and 1 move into the bucketed base
+    val moved1 = CurationStream.appendFpHistory(spark, fps, upto = 1L)
+    assert(moved1 > 0L)
+    assert(!new java.io.File(fps, "batch_id=0").exists())
+    assert(!new java.io.File(fps, "batch_id=1").exists())
+    assert(new java.io.File(fps, "batch_id=2").exists(),
+      "the unfolded delta must keep its own partition")
+    assert(baseFiles().nonEmpty && baseFiles().forall(_.startsWith("append_b")),
+      s"base files must carry their bucket tag: ${baseFiles()}")
+    assert(storeRows() === before, "a minor fold must not change store content")
+
+    // minor fold 2 is O(delta): every file of fold 1 survives UNTOUCHED
+    val afterFold1 = baseFiles()
+    CurationStream.appendFpHistory(spark, fps, upto = 2L)
+    assert(afterFold1.subsetOf(baseFiles()),
+      "an append-only fold must never rewrite earlier base files")
+    assert(storeRows() === before)
+
+    // per-bucket major: only over-threshold buckets rewrite, to one file
+    val rewrote = StoreCompaction.compactBaseBuckets(spark, fps, maxFilesPerBucket = 1)
+    assert(rewrote > 0L, "two folds must leave at least one multi-file bucket")
+    val bucketRe = """append_b(\d+)_.*""".r
+    val perBucket = baseFiles().groupBy { case bucketRe(b) => b.toInt; case _ => -1 }
+    assert(perBucket.keySet.forall(_ >= 0))
+    assert(perBucket.values.forall(_.size === 1),
+      s"every bucket must be back to one file: $perBucket")
+    assert(storeRows() === before, "the major fold must not change store content")
+
+    // the probe read path serves identically off the folded layout
+    val probeFps = spark.createDataset(before.toSeq.map(_._1).sorted.take(50))(
+      org.apache.spark.sql.Encoders.STRING).toDF("fp")
+    val slice = CurationStream.fpHistorySlice(spark, fps, 10L, probeFps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedSlice = before.groupBy(_._1).view
+      .mapValues(_.map(_._2).min).toMap
+      .filter(kv => probeFps.collect().map(_.getString(0)).contains(kv._1))
+    assert(slice === expectedSlice,
+      "history probes must serve the same owners off any fold level")
+  }
+
   test("snapshot-keyed drift stream: artifact-served pair drift equals batch q128 on a really-shifted fixture") {
     import graft.streaming.DriftStream
     import graft.ops.Corpus
