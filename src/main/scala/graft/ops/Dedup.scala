@@ -640,19 +640,26 @@ object Dedup {
     * store build itself is the q127 curation pass, amortized across
     * every reader of the artifact family.
     */
-  val q133 = Q("q133_quarantine_rates", q133OracleSql) { (s, dir) =>
-    ShingleHashes.register(s)
-    val root = buildCurationStores(s, dir)
-    val acc = s.read.parquet(s"$root/accepted")
-      .select(col("source"), lit("accepted").as("reason"))
-    val qua = s.read.parquet(s"$root/quarantine")
-      .select(col("source"), col("reason"))
-    val u = acc.unionByName(qua)
+  /** The rates kernel shared by q133 and the streaming-parity spec:
+    * per-source × per-reason counts and exact basis-point shares over
+    * an accepted store and a quarantine store, 'accepted' riding as a
+    * pseudo-reason so the shares partition each source's input exactly.
+    */
+  def quarantineRates(accepted: DataFrame, quarantine: DataFrame): DataFrame = {
+    val u = accepted.select(col("source"), lit("accepted").as("reason"))
+      .unionByName(quarantine.select(col("source"), col("reason")))
     val per = u.groupBy("source", "reason").agg(count(lit(1)).as("n"))
     val tot = u.groupBy("source").agg(count(lit(1)).as("n_source"))
     per.join(broadcast(tot), Seq("source"))
       .withColumn("share_bp", expr("(n * 10000) div n_source"))
       .orderBy("source", "reason")
+  }
+
+  val q133 = Q("q133_quarantine_rates", q133OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationStores(s, dir)
+    quarantineRates(s.read.parquet(s"$root/accepted"),
+      s.read.parquet(s"$root/quarantine"))
   }
 
   // ── n-gram Jaccard ────────────────────────────────────────────────────

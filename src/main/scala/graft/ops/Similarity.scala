@@ -278,6 +278,69 @@ object Similarity {
     * the index.
     */
   def appendIvfIndex(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    mergeIvfIndex(spark, path, delta); ()
+  }
+
+  /** One IVF append's drift verdict — the `PqAppendDrift` twin for the
+    * coarse quantizer, whose failure mode is different: appended sums
+    * shift the CENTROIDS (silently re-routing future probes) rather
+    * than quantizing worse against frozen codewords. `maxDispPct` is
+    * the largest centroid displacement as an integer percentage of the
+    * smallest inter-centroid gap BEFORE the append (the scale on which
+    * routing decisions live); `rebuild` fires when a centroid moved
+    * at least the threshold share of that gap (default 100 — it crossed
+    * a full minimum gap, an unambiguous routing change; an
+    * in-distribution refit of this corpus re-centers by ~75) or the
+    * append created a cell the index had never seen.
+    */
+  final case class IvfAppendDrift(
+      nAppended: Long,
+      nNewCells: Long,
+      maxDispPct: Long,
+      rebuild: Boolean)
+
+  /** The MEASURED IVF append — the artifact is written by the SAME merge
+    * path as `appendIvfIndex` (bit-equal), and the drift statistic costs
+    * zero extra Spark jobs: the artifact is k×dim driver state on both
+    * sides of the merge, so displacement and the inter-centroid gap are
+    * driver arithmetic over the rows the merge already collected.
+    */
+  def appendIvfIndexMeasured(spark: SparkSession, path: String,
+      delta: DataFrame, thresholdPct: Long = 100L): IvfAppendDrift = {
+    val before = spark.read.parquet(path)
+      .select(col("label"), col("centroid")).collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray).toMap
+    val (after, nAppended) = mergeIvfIndex(spark, path, delta)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val gapSq = {
+      val cs = before.toSeq.sortBy(_._1).map(_._2)
+      val pairs = for { i <- cs.indices; j <- cs.indices if j > i }
+        yield sq(cs(i), cs(j))
+      if (pairs.isEmpty) 0.0 else pairs.min
+    }
+    val nNew = after.keySet.diff(before.keySet).size.toLong
+    val maxDispSq = before.collect {
+      case (label, c) if after.contains(label) => sq(c, after(label))
+    }.foldLeft(0.0)(math.max)
+    val maxDispPct =
+      if (gapSq > 0.0) math.floor(100.0 * math.sqrt(maxDispSq / gapSq)).toLong
+      else if (maxDispSq > 0.0) Long.MaxValue else 0L
+    IvfAppendDrift(nAppended, nNew, maxDispPct,
+      rebuild = nNew > 0L || maxDispPct >= thresholdPct)
+  }
+
+  /** Shared merge kernel of the plain and measured appends: fold the
+    * delta's integer sums into the artifact and overwrite it. Returns
+    * the post-merge (label → centroid) table and the delta row count.
+    */
+  private def mergeIvfIndex(spark: SparkSession, path: String,
+      delta: DataFrame): (Map[Int, Array[Double]], Long) = {
     val cur = spark.read.parquet(path)
       .select(col("label"), posexplode(col("s_fp")).as(Seq("pos", "s_fp")), col("n"))
     val add = ivfCentroidSums(delta)
@@ -299,6 +362,12 @@ object Similarity {
     val rows = out.collect().toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
       .write.mode("overwrite").parquet(path)
+    val nAppended = delta.count()
+    val afterMap = rows.map { r =>
+      r.getAs[Int]("label") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray
+    }.toMap
+    (afterMap, nAppended)
   }
 
   /** Build step: materialize the centroid table once per corpus — this is

@@ -272,6 +272,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF append drift trigger: in-distribution append serves on, shifted or new-cell appends trip") {
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), ops.Similarity.asDouble(col("embedding")).as("v"))
+    val ids = e.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val half = e.filter(col("vec_id") < cut)
+    val delta = e.filter(col("vec_id") >= cut)
+    val labelsAll = e.select("label").distinct().count()
+    assert(half.select("label").distinct().count() === labelsAll,
+      "fixture: the first half must cover every cell")
+
+    // in-distribution: centroids barely move, no new cells, keep serving
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ivfd-in").toString + "/idx"
+    ops.Similarity.writeIvfIndex(half, p1)
+    val inDist = ops.Similarity.appendIvfIndexMeasured(spark, p1, delta)
+    assert(inDist.nAppended === delta.count())
+    assert(inDist.nNewCells === 0L)
+    assert(!inDist.rebuild,
+      s"an in-distribution append must not trip the rebuild: $inDist")
+    // and the measured merge wrote exactly the plain append's artifact
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ivfd-full").toString + "/idx"
+    ops.Similarity.writeIvfIndex(e, p2)
+    def cents(p: String) = spark.read.parquet(p).collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toList).toMap
+    assert(cents(p1) === cents(p2),
+      "measured append must stay bit-equal to a from-scratch rebuild")
+
+    // planted magnitude shift: centroids move past the routing gap
+    val p3 = java.nio.file.Files.createTempDirectory("graft-ivfd-shift").toString + "/idx"
+    ops.Similarity.writeIvfIndex(half, p3)
+    val shifted = delta.select(col("vec_id"), col("label"),
+      transform(col("v"), x => x * lit(10.0)).as("v"))
+    val moved = ops.Similarity.appendIvfIndexMeasured(spark, p3, shifted)
+    assert(moved.rebuild && moved.maxDispPct > inDist.maxDispPct,
+      s"a centroid-moving append must trip: $moved vs $inDist")
+
+    // a never-seen cell always trips, whatever the geometry
+    val p4 = java.nio.file.Files.createTempDirectory("graft-ivfd-new").toString + "/idx"
+    ops.Similarity.writeIvfIndex(half, p4)
+    val newCell = delta.select(col("vec_id"),
+      (col("label") + lit(1000)).as("label"), col("v"))
+    val appeared = ops.Similarity.appendIvfIndexMeasured(spark, p4, newCell)
+    assert(appeared.nNewCells > 0L && appeared.rebuild,
+      s"an appeared cell must trip: $appeared")
+  }
+
   test("PQ append: half-corpus codes + appended half equals the full rebuild exactly") {
     val e = Catalog.table(spark, sf, "embeddings")
       .select(col("vec_id"), ops.Similarity.asDouble(col("embedding")).as("v"))

@@ -928,6 +928,17 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed batch must not change any verdict")
     assert(spark.read.parquet(fps).count() === nFps,
       "a replayed batch must not grow the fingerprint store")
+
+    // q133 parity: the quarantine-rates report computed off the STREAMED
+    // stores equals the oracled batch report over the same corpus
+    def rateMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("reason")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_source"), r.getAs[Long]("share_bp"))))
+      .toMap
+    assert(rateMap(Dedup.quarantineRates(
+        spark.read.parquet(accepted), spark.read.parquet(quarantine)))
+      === rateMap(Dedup.q133.fn(spark, sf)),
+      "streamed stores must serve the identical oracled rates report")
   }
 
   test("curation under OUT-OF-ORDER arrival: first-seen wins, decisions final, anchor divergence is exactly the cross-boundary collision set") {
