@@ -859,7 +859,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_v3_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_pq_codes_v4_$key"
   }
 
   /** The frozen (m, k, cw) codebook parquet that travels with a PQ code
@@ -925,6 +925,7 @@ object Similarity {
     cb.write.mode("overwrite").parquet(cbPath(path))
     val coded = encodeAgainstWithDist(sub, cb).localCheckpoint()
     vecErrFp(coded).write.mode("overwrite").parquet(errPath(path))
+    writeBuildMeta(e, path)
     coded.select("vec_id", "m", "k").write.mode("overwrite").parquet(path)
   }
 
@@ -1122,7 +1123,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_respq_codes_v2_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_respq_codes_v3_$key"
   }
 
   /** Build the residual-PQ artifact: subtract each vector's cell centroid
@@ -1153,7 +1154,7 @@ object Similarity {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_trespq_codes_v1_$key"
+    s"${sys.props("java.io.tmpdir")}/graft_trespq_codes_v2_$key"
   }
 
   /** Per-vector fixed-point quantization-error sidecar that travels with
@@ -1161,6 +1162,55 @@ object Similarity {
     * — what serving-chain reports read instead of re-encoding anything.
     */
   def errPath(codesPath: String): String = codesPath + "_err"
+
+  /** Build-metadata sidecar beside a PQ code artifact: one row with the
+    * TRAINING corpus's row count and a deterministic content fingerprint
+    * (bit_xor of per-row xxhash64 — order-free, engine-reproducible, no
+    * wall clock anywhere). This is what lets a rebuild decision reason
+    * about codebook AGE: appends are logged in the drift audit, so
+    * appended-rows / trained-rows is a pure function of the sidecars.
+    */
+  def buildMetaPath(codesPath: String): String = codesPath + "_meta"
+
+  private def writeBuildMeta(e: DataFrame, codesPath: String): Unit =
+    e.agg(count(lit(1)).as("n_train_rows"),
+        expr("bit_xor(xxhash64(vec_id))").as("train_fp"))
+      .write.mode("overwrite").parquet(buildMetaPath(codesPath))
+
+  /** Codebook age of a PQ artifact, from sidecars only: rows appended
+    * since training (the drift audit's ledger) over rows trained on.
+    */
+  final case class IndexAge(trainedRows: Long, appendedRows: Long, agePct: Long)
+
+  def pqIndexAge(s: SparkSession, path: String): IndexAge = {
+    val meta = s.read.parquet(buildMetaPath(path)).head()
+    val trained = meta.getLong(0)
+    val audit = new java.io.File(driftAuditPath(path))
+    val appended =
+      if (audit.exists())
+        s.read.parquet(driftAuditPath(path))
+          .agg(sum(col("n_appended")).cast("long")).head().getLong(0)
+      else 0L
+    IndexAge(trained, appended,
+      if (trained > 0) appended * 100L / trained
+      else if (appended > 0) Long.MaxValue else 0L)
+  }
+
+  /** The consolidated PQ rebuild decision — the q132 pattern applied to
+    * the artifact's own sidecars instead of corpus drift: rebuild when
+    * any logged append tripped the quantization-drift trigger OR the
+    * appended mass has outgrown the training corpus (age threshold).
+    * Reads only sidecar rows; never touches codes or vectors.
+    */
+  def pqRebuildDecision(s: SparkSession, path: String,
+      ageThresholdPct: Long = 50L): (IndexAge, Boolean, Boolean) = {
+    val age = pqIndexAge(s, path)
+    val audit = new java.io.File(driftAuditPath(path))
+    val driftTripped = audit.exists() &&
+      s.read.parquet(driftAuditPath(path))
+        .filter(col("rebuild")).limit(1).count() > 0
+    (age, driftTripped, driftTripped || age.agePct >= ageThresholdPct)
+  }
 
   /** Build the TRAINED residual-PQ artifact: q106's residuals
     * (v − centroid(cell), the IVF artifact), seed codebook = first PqK
@@ -1218,6 +1268,7 @@ object Similarity {
       val err1 = best1.groupBy("vec_id")
         .agg(sum(floor(col("dist") * lit(1000000.0)).cast("long")).as("err_trained_fp"))
       err0.join(err1, Seq("vec_id")).write.mode("overwrite").parquet(errPath(path))
+      writeBuildMeta(er, path)
       best1.select(col("vec_id"), col("m"), col("k")).write.mode("overwrite").parquet(path)
     }
     path

@@ -386,6 +386,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     val audit = spark.read.parquet(ops.Similarity.driftAuditPath(p3)).head()
     assert(audit.getAs[Boolean]("rebuild") === true)
     assert(audit.getAs[Long]("n_appended") === drifted.nAppended)
+
+    // build metadata + age: the consolidated decision reads ONLY sidecars.
+    // p1 appended as many rows as it trained on -> age trips the default
+    // 50% threshold even though quantization drift never did; a laxer
+    // age policy keeps serving; p3's logged drift trips at any threshold
+    val age1 = ops.Similarity.pqIndexAge(spark, p1)
+    assert(age1.trainedRows === ids.count(_ < cut))
+    assert(age1.appendedRows === inDist.nAppended)
+    val (_, trip1, rebuild1) = ops.Similarity.pqRebuildDecision(spark, p1)
+    assert(!trip1 && rebuild1, "age alone must force the default rebuild")
+    val (_, _, lax) = ops.Similarity.pqRebuildDecision(spark, p1, ageThresholdPct = 200L)
+    assert(!lax, "a lax age policy keeps serving an undrifted index")
+    val (_, trip3, rebuild3) = ops.Similarity.pqRebuildDecision(spark, p3, ageThresholdPct = 10000L)
+    assert(trip3 && rebuild3, "logged quantization drift must trip at any age policy")
   }
 
   test("PQ code artifact is built once and holds M codes per vector") {
