@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * ingested history of its cluster plus its own batch's earlier ids, and
   * appended. This is q104's keep-earliest rule run continuously: a
   * vector is a semantic dup when some EARLIER vector in its cluster has
-  * cosine ≥ the threshold, and "earlier" is well-defined because ingest
-  * ids are monotone in arrival order (the same assumption CorpusStream's
-  * first-arrival-wins dedup makes).
+  * cosine ≥ the threshold — where "earlier" is FIRST-SEEN: history
+  * membership for cross-batch priors (arrival order by construction),
+  * the id tiebreak only within a batch. Under monotone-id arrival this
+  * equals the pure id order; under out-of-order arrival decisions stay
+  * final (the round-8b semantics shared with CurationStream/LshStream).
   *
   * Scale notes: the centroid table broadcasts (k rows); per micro-batch
   * work is batch×k assignment plus a cluster-keyed equi-join against
@@ -59,18 +61,30 @@ object EmbeddingStream {
   /** Score an assigned batch against prior vectors (history ∪ the batch's
     * own lower ids, same cluster): per vector, the max cosine to any
     * earlier vector and the keep-earliest dup verdict — the exact q100/
-    * q104 argmax shape, candidates bounded per cluster.
+    * q104 argmax shape, candidates bounded per cluster. "Earlier" is
+    * FIRST-SEEN, like the corpus sinks after round-8b: a history vector
+    * arrived in an earlier micro-batch by construction, so it counts as
+    * a prior WHATEVER its id (self rows from a re-delivered file
+    * excluded), while batch-internal priors use the lower-id tiebreak.
+    * Under id-ordered arrival every history id is lower, so this is
+    * bit-equal to the old `<`-only rule; out of order it closes the
+    * leak where a late lower-id near-duplicate survived beside its
+    * earlier-arrived twin.
     */
   def scoreBatch(asg: DataFrame, history: DataFrame,
       threshold: Double = Similarity.SemDupThreshold): DataFrame = {
     val a = asg.withColumn("nn", sqrt(Similarity.dot(col("v"), col("v"))))
-    val cand = a.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
-        col("v").as("bv"), col("nn").as("bn"))
-      .unionByName(history
-        .withColumn("bn", sqrt(Similarity.dot(col("v"), col("v"))))
-        .select(col("vec_id").as("b_id"), col("cluster").as("bc"),
-          col("v").as("bv"), col("bn")))
-    val best = a.join(cand, col("cluster") === col("bc") && col("b_id") < col("vec_id"))
+    def candOf(df: DataFrame) = df
+      .select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+        col("v").as("bv"), col("bn"))
+    val histCand = candOf(history
+      .withColumn("bn", sqrt(Similarity.dot(col("v"), col("v")))))
+    val batchCand = candOf(a.withColumnRenamed("nn", "bn"))
+    val pairs = a
+      .join(histCand, col("cluster") === col("bc") && col("b_id") =!= col("vec_id"))
+      .unionByName(
+        a.join(batchCand, col("cluster") === col("bc") && col("b_id") < col("vec_id")))
+    val best = pairs
       .select(col("vec_id"),
         (Similarity.dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"),
         col("b_id"))

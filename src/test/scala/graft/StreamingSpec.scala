@@ -162,6 +162,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(history).count() === ids.length)
   }
 
+  test("embedding SemDeDup under OUT-OF-ORDER arrival: first-seen wins, the late lower-id twin is the dup") {
+    import graft.streaming.EmbeddingStream
+    val landing = tmpDir("graft-embooo-landing")
+    val history = tmpDir("graft-embooo-hist") + "/vecs"
+    val decisions = tmpDir("graft-embooo-dec") + "/rows"
+    val checkpoint = tmpDir("graft-embooo-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val emb = Catalog.table(spark, sf, "embeddings")
+    val centroidPath = ops.Similarity.buildIvfIndex(spark, sf)
+    val ids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val maxId = ids.last
+    val x = ids.head
+    // the planted HIGH-id exact twin of low vector x arrives FIRST
+    val planted = emb.filter(col("vec_id") === x)
+      .select(lit(maxId + 1).as("vec_id"), col("embedding"), col("label"))
+    val all = emb.unionByName(planted).localCheckpoint()
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-embooo-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    land(all.filter(col("vec_id") >= cut), "f1.parquet")
+    EmbeddingStream.dedupSink(EmbeddingStream.readEmbStream(spark, landing),
+      centroidPath, history, decisions, checkpoint).awaitTermination()
+    land(all.filter(col("vec_id") < cut), "f2.parquet")
+    EmbeddingStream.dedupSink(EmbeddingStream.readEmbStream(spark, landing),
+      centroidPath, history, decisions, checkpoint).awaitTermination()
+
+    // first-seen reference over the arrival key, with the SAME shared
+    // projections the sink applies — bit-equal sims by construction
+    val cents = spark.read.parquet(centroidPath)
+    val ab = when(col("vec_id") >= cut, 0).otherwise(1)
+    val a = EmbeddingStream.assignFrozen(all, cents)
+      .withColumn("nn", sqrt(ops.Similarity.dot(col("v"), col("v"))))
+      .withColumn("ab", ab)
+    val cand = a.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+      col("v").as("bv"), col("nn").as("bn"), col("ab").as("ab_b"))
+    val best = a.join(cand, col("cluster") === col("bc") &&
+        (col("ab_b") < col("ab") ||
+          (col("ab_b") === col("ab") && col("b_id") < col("vec_id"))))
+      .select(col("vec_id"),
+        (ops.Similarity.dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"),
+        col("b_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("m.sim").as("sim"), (-col("m.nb")).as("b_id"))
+    def decMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Double]("max_prior_sim"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_semantic_dup"))))
+      .toMap
+    val expected = decMap(a.select(col("vec_id"), col("cluster"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("sim"), lit(0.0)).as("max_prior_sim"),
+        col("b_id").as("dup_of"),
+        (coalesce(col("sim"), lit(0.0)) >= ops.Similarity.SemDupThreshold)
+          .as("is_semantic_dup")))
+    val got = decMap(spark.read.parquet(decisions)
+      .select("vec_id", "cluster", "max_prior_sim", "dup_of", "is_semantic_dup"))
+    assert(got === expected,
+      "streamed verdicts under reversed arrival must equal the first-seen scoring")
+    // the planted pair: first arrival survives, the late lower id points
+    // at its first-seen twin (the old `<`-only rule let BOTH survive)
+    assert(got(x)._4 === true && got(x)._3 === Some(maxId + 1),
+      s"the late lower-id twin must be the duplicate: ${got(x)}")
+    assert(got(maxId + 1)._3 !== Some(x),
+      "the first arrival can never point at a vector it had not seen")
+  }
+
   test("consolidated embedding curation: one assignment pass feeds dedup verdicts, occupancy cells, and the expectations split") {
     import graft.streaming.EmbeddingStream
     import graft.ops.{Dedup, Similarity}
