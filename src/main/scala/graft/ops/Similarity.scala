@@ -239,7 +239,8 @@ object Similarity {
     // v2: the artifact carries raw integer sums alongside the decoded
     // centroids (appendIvfIndex needs them) — new key so a pre-v2 cached
     // artifact is never reused with the s_fp column missing
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_centroids_v2_$key"
+    // v3: the build-metadata sidecar is written beside the artifact
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_centroids_v3_$key"
   }
 
   /** (label, pos) INTEGER centroid sums — the associative representation
@@ -265,9 +266,16 @@ object Similarity {
       expr("transform(array_sort(collect_list(struct(pos, s_fp))), r -> r.s_fp)").as("s_fp"),
       max(col("n")).as("n"))
 
-  /** Write the quantizer artifact for a vector frame (label, v). */
-  def writeIvfIndex(e: DataFrame, path: String): Unit =
+  /** Write the quantizer artifact for a vector frame (vec_id, label, v).
+    * Also writes the build-metadata sidecar (`buildMetaPath` — training
+    * row count + content fingerprint), so `pqIndexAge` /
+    * `pqRebuildDecision` work on IVF artifacts too: the sidecar protocol
+    * is artifact-generic. Meta commits first, artifact last.
+    */
+  def writeIvfIndex(e: DataFrame, path: String): Unit = {
+    writeBuildMeta(e, path)
     sumsToArtifact(ivfCentroidSums(e)).write.mode("overwrite").parquet(path)
+  }
 
   /** Incrementally fold NEW vectors into an existing quantizer artifact —
     * the 100 TB maintenance path: an append-heavy corpus updates k×dim
@@ -331,8 +339,16 @@ object Similarity {
     val maxDispPct =
       if (gapSq > 0.0) math.floor(100.0 * math.sqrt(maxDispSq / gapSq)).toLong
       else if (maxDispSq > 0.0) Long.MaxValue else 0L
-    IvfAppendDrift(nAppended, nNew, maxDispPct,
+    val verdict = IvfAppendDrift(nAppended, nNew, maxDispPct,
       rebuild = nNew > 0L || maxDispPct >= thresholdPct)
+    // audit ledger beside the artifact — same column contract as the PQ
+    // drift audit (n_appended, rebuild), so pqIndexAge/pqRebuildDecision
+    // read IVF artifacts unchanged
+    spark.createDataFrame(Seq(
+        (verdict.nAppended, verdict.nNewCells, verdict.maxDispPct, verdict.rebuild)))
+      .toDF("n_appended", "n_new_cells", "max_disp_pct", "rebuild")
+      .write.mode("append").parquet(driftAuditPath(path))
+    verdict
   }
 
   /** Shared merge kernel of the plain and measured appends: fold the

@@ -317,6 +317,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     val appeared = ops.Similarity.appendIvfIndexMeasured(spark, p4, newCell)
     assert(appeared.nNewCells > 0L && appeared.rebuild,
       s"an appeared cell must trip: $appeared")
+
+    // the sidecar protocol is artifact-generic: IVF builds write the same
+    // metadata and the measured append the same audit columns, so the
+    // PQ age/decision readers work unchanged on the coarse quantizer
+    val age = ops.Similarity.pqIndexAge(spark, p1)
+    assert(age.trainedRows === ids.count(_ < cut) &&
+      age.appendedRows === inDist.nAppended)
+    val (_, ivfTrip, ivfRebuild) = ops.Similarity.pqRebuildDecision(spark, p1)
+    assert(!ivfTrip && ivfRebuild,
+      "doubling an IVF corpus must force the default age rebuild without a drift trip")
+    val (_, shiftTrip, _) = ops.Similarity.pqRebuildDecision(spark, p3, ageThresholdPct = 10000L)
+    assert(shiftTrip, "the logged displacement verdict must trip the decision")
   }
 
   test("PQ append: half-corpus codes + appended half equals the full rebuild exactly") {

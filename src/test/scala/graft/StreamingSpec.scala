@@ -1753,5 +1753,29 @@ class StreamingSpec extends AnyFunSuite {
       Seq("batch_id=-1", "batch_id=1"))
     assert(rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas, 0L, 1L)) === expected,
       "compaction must not move any served statistic")
+
+    // ARRIVAL-ORDER invariance, stated explicitly: occupancy cells are
+    // add-mergeable integer counts keyed by (snapshot, cluster), so a
+    // REVERSED delivery of the same corpus serves the identical
+    // statistic — unlike the dedup verdicts, no first-seen rule is even
+    // needed here
+    val landing2 = tmpDir("graft-occ2-landing")
+    val deltas2 = tmpDir("graft-occ2-art") + "/cells"
+    val checkpoint2 = tmpDir("graft-occ2-ckpt")
+    def land2(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-occ2-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing2, name))
+    }
+    land2(tagged.filter(col("vec_id") >= cut), "f1.parquet")
+    EmbeddingStream.occupancySink(EmbeddingStream.readSnapshotEmbStream(spark, landing2),
+      centroidPath, deltas2, checkpoint2).awaitTermination()
+    land2(tagged.filter(col("vec_id") < cut), "f2.parquet")
+    EmbeddingStream.occupancySink(EmbeddingStream.readSnapshotEmbStream(spark, landing2),
+      centroidPath, deltas2, checkpoint2).awaitTermination()
+    assert(rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas2, 0L, 1L)) === expected,
+      "reversed arrival must serve the identical occupancy statistic")
   }
 }
