@@ -31,6 +31,39 @@ object StoreCompaction {
 
   val BasePartition = -1L
   private val StagingName = ".compact_tmp"
+  private val LeaseName = "_maintenance_lease"
+
+  /** Make the single-maintenance-writer assumption CHECKABLE: every
+    * fold/compaction body runs under a store-level lease file, created
+    * atomically — a second concurrent maintenance call on the same store
+    * fails fast with `IllegalStateException` instead of corrupting the
+    * staging protocol. A crash leaves a stale lease; it is taken over
+    * when older than `staleMs` (the crashed writer's recovery logic
+    * already makes a takeover safe — every protocol here resumes or
+    * discards from its manifest). The lease guards MAINTENANCE against
+    * maintenance only: readers and the per-batch sink writers never
+    * touch it.
+    */
+  def withLease[A](storeDir: String, staleMs: Long = 30L * 60L * 1000L)(
+      body: => A): A = {
+    val root = new java.io.File(storeDir)
+    root.mkdirs()
+    val lease = new java.io.File(root, LeaseName)
+    val now = System.currentTimeMillis()
+    if (lease.exists() && now - lease.lastModified() < staleMs)
+      throw new IllegalStateException(
+        s"maintenance lease held on $storeDir (age ${now - lease.lastModified()} ms); " +
+          "a second maintenance writer must not run concurrently")
+    // takeover of a stale lease: reset its clock, then proceed — the
+    // fold protocols recover any crashed predecessor from manifests
+    lease.delete()
+    if (!lease.createNewFile()) {
+      if (!lease.setLastModified(now))
+        throw new IllegalStateException(s"cannot acquire lease on $storeDir")
+    }
+    try body
+    finally { lease.delete(); () }
+  }
 
   private[streaming] def partitionIds(dir: java.io.File): Seq[Long] =
     Option(dir.listFiles()).toSeq.flatten
@@ -48,7 +81,7 @@ object StoreCompaction {
     * schema the sink writes.
     */
   def foldInto(spark: SparkSession, storeDir: String, upto: Long)(
-      merge: DataFrame => DataFrame): Unit = {
+      merge: DataFrame => DataFrame): Unit = withLease(storeDir) {
     val root = new java.io.File(storeDir)
     val staging = new java.io.File(root, StagingName)
     val base = new java.io.File(root, s"batch_id=$BasePartition")
@@ -96,7 +129,7 @@ object StoreCompaction {
     * its target already present skips it. Returns files appended.
     */
   def appendInto(spark: SparkSession, storeDir: String, upto: Long,
-      bucketCols: Seq[String], nBuckets: Int = 32): Long = {
+      bucketCols: Seq[String], nBuckets: Int = 32): Long = withLease(storeDir) {
     val root = new java.io.File(storeDir)
     val staging = new java.io.File(root, AppendStagingName)
     val base = new java.io.File(root, s"batch_id=$BasePartition")
@@ -154,7 +187,7 @@ object StoreCompaction {
     * number of buckets rewritten.
     */
   def compactBaseBuckets(spark: SparkSession, storeDir: String,
-      maxFilesPerBucket: Int = 4): Long = {
+      maxFilesPerBucket: Int = 4): Long = withLease(storeDir) {
     val base = new java.io.File(storeDir, s"batch_id=$BasePartition")
     if (!base.exists()) return 0L
     // recovery of a crashed per-bucket rewrite

@@ -1501,6 +1501,19 @@ class StreamingSpec extends AnyFunSuite {
       s"every bucket must be back to one file: $perBucket")
     assert(storeRows() === before, "the major fold must not change store content")
 
+    // maintenance lease: a held lease fails a second writer fast; a
+    // stale one is taken over; a finished fold always releases it
+    val leaseFile = new java.io.File(fps, "_maintenance_lease")
+    assert(!leaseFile.exists(), "a completed fold must release its lease")
+    assert(leaseFile.createNewFile())
+    intercept[IllegalStateException] {
+      graft.streaming.StoreCompaction.compactBaseBuckets(spark, fps)
+    }
+    assert(leaseFile.setLastModified(
+      System.currentTimeMillis() - 60L * 60L * 1000L))
+    graft.streaming.StoreCompaction.compactBaseBuckets(spark, fps)
+    assert(!leaseFile.exists(), "a stale lease is taken over, then released")
+
     // the probe read path serves identically off the folded layout
     val probeFps = spark.createDataset(before.toSeq.map(_._1).sorted.take(50))(
       org.apache.spark.sql.Encoders.STRING).toDF("fp")
