@@ -283,6 +283,64 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "foldprobe") {
+      // Base-fold cost law: appendInto is O(delta) whatever the base
+      // size (bucket-tagged file moves, base never read); foldInto is
+      // the O(base) major; compactBaseBuckets is bounded per bucket.
+      import graft.streaming.StoreCompaction
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val docs = Catalog.table(spark, sfDir, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft-fold-probe").toString + "/fps"
+      def deltaFrame(k: Int) = docs.select(
+        md5(concat(graft.ops.TextOps.normalized(col("text")), lit(s":$k"))).as("fp"),
+        (col("doc_id") + k * 1000000L).as("doc_id"), col("source"))
+      (0 until mult).foreach(k =>
+        deltaFrame(k).write.mode("overwrite").parquet(s"$dir/batch_id=$k"))
+      time(s"fold.append_${mult}deltas") {
+        StoreCompaction.appendInto(spark, dir, mult - 1, Seq("fp"))
+      }
+      deltaFrame(mult).write.mode("overwrite").parquet(s"$dir/batch_id=$mult")
+      time(s"fold.append_1delta_base${mult}x") {
+        StoreCompaction.appendInto(spark, dir, mult.toLong, Seq("fp"))
+      }
+      time("fold.bucket_compact_threshold1") {
+        StoreCompaction.compactBaseBuckets(spark, dir, maxFilesPerBucket = 1)
+      }
+      deltaFrame(mult + 1).write.mode("overwrite").parquet(s"$dir/batch_id=${mult + 1}")
+      time(s"fold.full_base${mult + 1}x") {
+        StoreCompaction.foldInto(spark, dir, (mult + 1).toLong)(
+          _.select("fp", "doc_id", "source"))
+        spark.read.parquet(dir).count()
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "lloydprobe") {
+      // Fused-kernel scaling: the literal-centroid Lloyd loop and the
+      // joinless PQ train round at 1x and Nx embedding volume (union of
+      // id-shifted copies) — per-round cost should scale linearly with
+      // rows (one combined aggregate + a projection), no exchange growth.
+      import graft.ops.{Dedup, Similarity}
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val e = Catalog.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.asDouble(col("embedding")).as("v"))
+      def at(m: Int) = (0 until m).map(k =>
+          e.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      // first element is a JIT/codegen warmup pass; read the later runs
+      Seq(1, 1, mult).foreach { m =>
+        val em = at(m)
+        val init = em.select(col("vec_id"), col("v"),
+          pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))),
+            lit(8L)).cast("int").as("init"))
+        time(s"lloyd.2rounds_${m}x") {
+          val (asg, _, _) = Similarity.kmeans(init, "init", maxIters = 2)
+          asg.count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
