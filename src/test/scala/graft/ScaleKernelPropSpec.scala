@@ -44,8 +44,12 @@ class ScaleKernelPropSpec extends AnyFunSuite {
         val v = (rnd.nextInt(41) - 20).toDouble / (1 + rnd.nextInt(4))
         (g, v, i.toLong)
       }
-      val got = graft.ops.RankSelect
-        .groupQuantiles(rows.toDF("g", "v", "id"), "g", "v", "id", qs)
+      // BOTH execution paths must equal the naive pick: the sort-scan
+      // small path (default) and the histogram/window path
+      // (smallMaxRows = 0 forces it) — the switch is never semantic
+      def run(smallMax: Long) = graft.ops.RankSelect
+        .groupQuantiles(rows.toDF("g", "v", "id"), "g", "v", "id", qs,
+          smallMaxRows = smallMax)
         .collect()
         .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
         .toMap
@@ -54,7 +58,8 @@ class ScaleKernelPropSpec extends AnyFunSuite {
         def pick(p: Double) = sorted(math.floor((sorted.length - 1) * p).toInt)
         g -> ((pick(0.25), pick(0.5), pick(0.9)))
       }
-      assert(got === expected, s"seed=$seed")
+      assert(run(8L << 20) === expected, s"seed=$seed (small path)")
+      assert(run(0L) === expected, s"seed=$seed (histogram path)")
     }
   }
 
@@ -89,8 +94,10 @@ class ScaleKernelPropSpec extends AnyFunSuite {
       assert(targets.exists(_.bits > 12),
         s"seed=$seed: the heavy value must force at least one refinement round")
       // and the refined answer still equals the naive sorted-element pick
+      // (smallMaxRows = 0 keeps this on the histogram/refinement path)
       val got = graft.ops.RankSelect
-        .groupQuantiles(df, "g", "v", "id", qs, maxBucketRows = bound)
+        .groupQuantiles(df, "g", "v", "id", qs, maxBucketRows = bound,
+          smallMaxRows = 0L)
         .collect()
         .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
         .toMap
