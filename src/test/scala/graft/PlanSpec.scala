@@ -106,13 +106,17 @@ class PlanSpec extends AnyFunSuite {
       s"lineitem must be scanned once:\n$p")
   }
 
-  test("q27: median selection sorts only the located value bucket") {
+  test("q27: median selection never plans a global single-partition sort") {
+    // at sf0.001 the scale-adaptive SMALL path runs (one repartition-by-
+    // group sort-scan, no window, no single-partition exchange); the
+    // bucket-filtered histogram path is property-pinned bit-equal in
+    // ScaleKernelPropSpec (smallMaxRows = 0 forces it) and takes over at
+    // corpus scale per the §8 crossover probe
     val p = plan("q27_exact_median")
-    // the window's input must be bucket-filtered (broadcast-joined target
-    // prefix `_tprefix`), not the full per-group table
-    assert(p.contains("_tprefix"), s"median-bucket filter missing from plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"bucket/rank metadata must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"the small path selects by sort-scan, not a window rank:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || p.contains("mapPartitions"),
+      s"no global serial sort anywhere in median selection:\n$p")
   }
 
   test("q68: chunking is per-row — only the final sort exchanges data") {
