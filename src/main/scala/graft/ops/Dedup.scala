@@ -662,6 +662,63 @@ object Dedup {
       s.read.parquet(s"$root/quarantine"))
   }
 
+  private def q134OracleSql: String =
+    s"""$curationVerdictCtes, acc AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d
+       |  JOIN exact e ON d.doc_id = e.doc_id
+       |  LEFT JOIN verdicts v ON d.doc_id = v.doc_id
+       |  WHERE NOT e.is_exact_dup AND NOT COALESCE(v.is_band_dup, FALSE)
+       |), toks AS (
+       |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+       |  FROM acc
+       |), packed AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+       |  FROM toks
+       |)
+       |SELECT pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  (CAST(SUM(n_tokens) AS BIGINT) * 10000) // 2048 AS fill_bp
+       |FROM packed
+       |GROUP BY pack_id
+       |ORDER BY pack_id""".stripMargin
+
+  /** q134 — the pipeline CAPSTONE: pack the CURATED corpus (the accepted
+    * store — gate-passing, exact- and near-dup-free) into fixed
+    * token-budget training shards. This is the composition a training
+    * run actually executes — curation verdicts feed the packer, not raw
+    * documents — expressed store-first: the only corpus input is the
+    * accepted store (PlanSpec pins zero `documents` scans), tokenization
+    * is q55's counting rule, the running total is the distributed
+    * PrefixSum (no single-partition window — q56's scale shape), and the
+    * oracle re-derives the accepted set from raw documents through the
+    * q127 CTE chain, so a row match proves store-served packing ≡
+    * recompute-from-scratch packing exactly. fill_bp (basis points of
+    * the 2048-token budget, exact integer division) is the shard-health
+    * signal a packing dashboard publishes.
+    */
+  val q134 = Q("q134_curated_packing", q134OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationStores(s, dir)
+    val toks = s.read.parquet(s"$root/accepted")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    graft.exec.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_bp", expr("(pack_tokens * 10000) div 2048"))
+      .orderBy("pack_id")
+  }
+
   // ── n-gram Jaccard ────────────────────────────────────────────────────
 
   /** Exact Jaccard over shingle sets for candidate pairs found by
@@ -846,5 +903,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134)
 }

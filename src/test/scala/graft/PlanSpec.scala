@@ -342,6 +342,19 @@ class PlanSpec extends AnyFunSuite {
       s"the per-source totals join is broadcast-sized:\n$p")
   }
 
+  test("q134: curated packing reads only the accepted store and never serializes the prefix") {
+    val p = plan("q134_curated_packing")
+    // PrefixSum checkpoints the token frame, so the FINAL plan reads no
+    // parquet at all — and in particular never raw documents; any store
+    // scan that does surface must be the curation family
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.forall(_.contains("graft_curation_stores")),
+      s"only the accepted store may be scanned:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet"), s"zero raw-document scans:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the running total must stay the distributed PrefixSum, not a global window:\n$p")
+  }
+
   test("q120: shingle df is distinct-then-count hash aggregation, never an Expand") {
     val p = plan("q120_boilerplate_scrub")
     assert(!p.contains("Expand"),
