@@ -341,6 +341,31 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "rankprobe") {
+      // Place groupQuantiles' sort-scan/histogram switch point on data:
+      // force each path at 1x and Nx event volume. First pair is warmup.
+      import graft.ops.RankSelect
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val ev = Catalog.table(spark, sfDir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+      def at(m: Int) = (0 until m).map(k =>
+          ev.withColumn("event_id", col("event_id") + lit(k * 100000000L)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+      Seq(1, 1, mult).foreach { m =>
+        val df = at(m)
+        time(s"rank.sortscan_${m}x") {
+          RankSelect.groupQuantiles(df, "event_type", "value", "event_id", qs,
+            smallMaxRows = Long.MaxValue).count()
+        }
+        time(s"rank.histogram_${m}x") {
+          RankSelect.groupQuantiles(df, "event_type", "value", "event_id", qs,
+            smallMaxRows = 0L).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without

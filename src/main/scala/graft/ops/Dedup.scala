@@ -701,10 +701,12 @@ object Dedup {
     * the 2048-token budget, exact integer division) is the shard-health
     * signal a packing dashboard publishes.
     */
-  val q134 = Q("q134_curated_packing", q134OracleSql) { (s, dir) =>
-    ShingleHashes.register(s)
-    val root = buildCurationStores(s, dir)
-    val toks = s.read.parquet(s"$root/accepted")
+  /** The packing kernel shared by q134 and the streaming-parity spec:
+    * fixed token-budget shards over any accepted-store frame
+    * (doc_id, text), via the distributed PrefixSum.
+    */
+  def packAccepted(accepted: DataFrame): DataFrame = {
+    val toks = accepted
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
     graft.exec.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum_tokens")
       .withColumn("pack_id",
@@ -717,6 +719,12 @@ object Dedup {
         max(col("doc_id")).as("last_doc"))
       .withColumn("fill_bp", expr("(pack_tokens * 10000) div 2048"))
       .orderBy("pack_id")
+  }
+
+  val q134 = Q("q134_curated_packing", q134OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationStores(s, dir)
+    packAccepted(s.read.parquet(s"$root/accepted"))
   }
 
   // ── n-gram Jaccard ────────────────────────────────────────────────────

@@ -1014,6 +1014,18 @@ class StreamingSpec extends AnyFunSuite {
         spark.read.parquet(accepted), spark.read.parquet(quarantine)))
       === rateMap(Dedup.q133.fn(spark, sf)),
       "streamed stores must serve the identical oracled rates report")
+
+    // q134 parity: training-shard packing off the STREAMED accepted
+    // store equals the oracled batch packing (kernel shared)
+    def packMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"),
+          r.getAs[Long]("fill_bp"))))
+      .toMap
+    assert(packMap(Dedup.packAccepted(spark.read.parquet(accepted)))
+      === packMap(Dedup.q134.fn(spark, sf)),
+      "streamed accepted store must pack into the identical oracled shards")
   }
 
   test("curation under OUT-OF-ORDER arrival: first-seen wins, decisions final, anchor divergence is exactly the cross-boundary collision set") {
