@@ -44,10 +44,20 @@ object StoreCompaction {
     * maintenance only: readers and the per-batch sink writers never
     * touch it.
     */
+  /** Leases already held by THIS thread — makes withLease reentrant, so
+    * a pipeline-scope `withLeases` can wrap the self-leasing entry
+    * points without double-acquiring its own lease.
+    */
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
   def withLease[A](storeDir: String, staleMs: Long = 30L * 60L * 1000L)(
       body: => A): A = {
     val root = new java.io.File(storeDir)
     root.mkdirs()
+    val key = root.getCanonicalPath
+    if (held.get().contains(key)) return body
     val lease = new java.io.File(root, LeaseName)
     val now = System.currentTimeMillis()
     if (lease.exists() && now - lease.lastModified() < staleMs)
@@ -61,9 +71,24 @@ object StoreCompaction {
       if (!lease.setLastModified(now))
         throw new IllegalStateException(s"cannot acquire lease on $storeDir")
     }
+    held.set(held.get() + key)
     try body
-    finally { lease.delete(); () }
+    finally { held.set(held.get() - key); lease.delete(); () }
   }
+
+  /** Pipeline-scope maintenance window: hold SEVERAL stores' leases for
+    * one body (sorted, deduplicated acquisition — with fail-fast
+    * acquisition there is no deadlock to order against, but a canonical
+    * order keeps two overlapping pipelines' failure modes symmetric).
+    * Use when one maintenance pass touches multiple stores of a
+    * pipeline (fp history + band index + decisions) and a concurrent
+    * single-store maintainer must not interleave with it.
+    */
+  def withLeases[A](storeDirs: Seq[String],
+      staleMs: Long = 30L * 60L * 1000L)(body: => A): A =
+    storeDirs.distinct.sorted
+      .foldRight(() => body)((dir, cont) => () => withLease(dir, staleMs)(cont()))
+      .apply()
 
   private[streaming] def partitionIds(dir: java.io.File): Seq[Long] =
     Option(dir.listFiles()).toSeq.flatten

@@ -1526,6 +1526,19 @@ class StreamingSpec extends AnyFunSuite {
     graft.streaming.StoreCompaction.compactBaseBuckets(spark, fps)
     assert(!leaseFile.exists(), "a stale lease is taken over, then released")
 
+    // pipeline-scope lease window: wraps the self-leasing entry points
+    // reentrantly and holds every store for the whole body
+    graft.streaming.StoreCompaction.withLeases(Seq(fps, index)) {
+      assert(leaseFile.exists() &&
+        new java.io.File(index, "_maintenance_lease").exists(),
+        "the window must hold every store's lease")
+      graft.streaming.StoreCompaction.compactBaseBuckets(spark, fps)
+      assert(leaseFile.exists(), "a nested maintainer must reuse the held lease")
+    }
+    assert(!leaseFile.exists() &&
+      !new java.io.File(index, "_maintenance_lease").exists(),
+      "the window must release every store's lease")
+
     // the probe read path serves identically off the folded layout
     val probeFps = spark.createDataset(before.toSeq.map(_._1).sorted.take(50))(
       org.apache.spark.sql.Encoders.STRING).toDF("fp")
