@@ -134,15 +134,22 @@ object Dedup {
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
   }
 
+  /** Oracle fragment: the 64 affine min-hash signature columns off an `hh`
+    * shingle-hash list (shared by every LSH oracle below).
+    */
+  private def sigDefsSql: String = (0 until NumHashes).map(i =>
+    s"  list_min(list_transform(hh, h -> ((h % $MinhashPrime) * ${hashA(i)} + ${hashB(i)}) % $MinhashPrime)) AS sig_$i")
+    .mkString(",\n")
+
+  /** Oracle fragment: the 16-band h60 bucket rows off a `sigs` relation. */
+  private def bandSelectsSql: String = (0 until NumHashes / BandSize).map { j =>
+    val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
+    s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
+  }.mkString("\n  UNION ALL\n")
+
   private def q31OracleSql: String = {
-    val p = MinhashPrime
-    val sigDefs = (0 until NumHashes).map(i =>
-      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
-      .mkString(",\n")
-    val bandSelects = (0 until NumHashes / BandSize).map { j =>
-      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
-      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
-    }.mkString("\n  UNION ALL\n")
+    val sigDefs = sigDefsSql
+    val bandSelects = bandSelectsSql
     val checksum = (0 until NumHashes).map(i => s"sig_$i").mkString(" + ")
     s"""$shingleCtes, sigs AS (
        |  SELECT doc_id, len(hh) AS n_shingles,
@@ -409,14 +416,8 @@ object Dedup {
         col("dup_of").isNotNull.as("is_band_dup"))
 
   private def q124OracleSql: String = {
-    val p = MinhashPrime
-    val sigDefs = (0 until NumHashes).map(i =>
-      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
-      .mkString(",\n")
-    val bandSelects = (0 until NumHashes / BandSize).map { j =>
-      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
-      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
-    }.mkString("\n  UNION ALL\n")
+    val sigDefs = sigDefsSql
+    val bandSelects = bandSelectsSql
     s"""$shingleCtes, sigs AS (
        |  SELECT doc_id, len(hh) AS n_shingles,
        |$sigDefs
@@ -466,14 +467,8 @@ object Dedup {
     * relations ready for a final SELECT.
     */
   private def curationVerdictCtes: String = {
-    val p = MinhashPrime
-    val sigDefs = (0 until NumHashes).map(i =>
-      s"  list_min(list_transform(hh, h -> ((h % $p) * ${hashA(i)} + ${hashB(i)}) % $p)) AS sig_$i")
-      .mkString(",\n")
-    val bandSelects = (0 until NumHashes / BandSize).map { j =>
-      val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
-      s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
-    }.mkString("\n  UNION ALL\n")
+    val sigDefs = sigDefsSql
+    val bandSelects = bandSelectsSql
     val stop = TextOps.allStop.map("'" + _ + "'").mkString(",")
     s"""WITH st AS (
        |  SELECT doc_id,
@@ -911,5 +906,166 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134)
+  private def q135OracleSql: String =
+    s"""$shingleCtes, sigs AS (
+       |  SELECT doc_id,
+       |$sigDefsSql
+       |  FROM hs
+       |), bands AS (
+       |$bandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), jac AS (
+       |  SELECT c.doc_id, c.doc_b,
+       |    CAST(len(list_filter(ha.hh, h -> list_contains(hb.hh, h))) AS DOUBLE)
+       |      / (len(ha.hh) + len(hb.hh) - len(list_filter(ha.hh, h -> list_contains(hb.hh, h)))) AS j
+       |  FROM cand c JOIN hs ha ON c.doc_id = ha.doc_id JOIN hs hb ON c.doc_b = hb.doc_id
+       |), strong AS (
+       |  SELECT doc_id, doc_b, j FROM jac WHERE j >= 0.5
+       |), splits AS (
+       |  ${TextOps.splitAssignmentSql}
+       |), tagged AS (
+       |  SELECT least(s1.split, s2.split) AS split_a, greatest(s1.split, s2.split) AS split_b,
+       |    p.doc_id, p.doc_b, p.j
+       |  FROM strong p
+       |  JOIN splits s1 ON p.doc_id = s1.doc_id
+       |  JOIN splits s2 ON p.doc_b = s2.doc_id
+       |), docsides AS (
+       |  SELECT split_a, split_b, doc_id AS d FROM tagged
+       |  UNION
+       |  SELECT split_a, split_b, doc_b AS d FROM tagged
+       |), dcount AS (
+       |  SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM docsides GROUP BY 1, 2
+       |)
+       |SELECT t.split_a, t.split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MAX(dc.n_docs) AS n_docs,
+       |  FLOOR(MAX(t.j) * 10000.0 + 0.5) / 10000.0 AS max_jaccard,
+       |  (t.split_a <> t.split_b) AS is_leak
+       |FROM tagged t JOIN dcount dc ON t.split_a = dc.split_a AND t.split_b = dc.split_b
+       |GROUP BY t.split_a, t.split_b
+       |ORDER BY t.split_a, t.split_b""".stripMargin
+
+  /** q135 — train/test split-leakage audit: the near-dup pairs the shipped
+    * corpus would carry ACROSS the q55 content-hash split boundaries.
+    * Content-hash splitting pins exact duplicates to one split, but
+    * NEAR-duplicates hash to unrelated buckets — exactly the residual
+    * leakage an eval-integrity audit must quantify before training. The
+    * pair generator is the production near-dup path (`jaccardLshPairs`:
+    * band-bucket candidates, exact-Jaccard rescore ≥ 0.5 — never
+    * corpus²); each pair is then tagged with both sides' split under the
+    * SAME rule the corpus ships with (`TextOps.splitAssignment`) and
+    * rolled up into the split×split leak matrix: pair count, distinct
+    * docs involved, worst Jaccard. Scale shape: the audit joins the
+    * (small, density-bounded) pair set against the split projection on
+    * doc_id — two equi-joins and a 6-group rollup; no new corpus-sized
+    * exchange beyond what the dedup path already pays.
+    */
+  val q135 = Q("q135_split_leakage", q135OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    val tagged = jaccardLshPairs(d, 0.5)
+      .join(splits.select(col("doc_id"), col("split").as("_sa")), Seq("doc_id"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("_sb")), Seq("doc_b"))
+      .select(
+        least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"),
+        col("doc_id"), col("doc_b"), col("jaccard"))
+    val dcount = tagged
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("doc_id"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_docs"))
+    tagged.groupBy("split_a", "split_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        Det.dround(max(col("jaccard")), 4).as("max_jaccard"))
+      .join(dcount, Seq("split_a", "split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"),
+        col("max_jaccard"), (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private def q136OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), ps AS (
+      |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_pos,
+      |    [struct_pack(pos := i, h := CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT)) for i in range(1, len(t) - 1)] AS ph
+      |  FROM tk WHERE len(t) >= 3 AND doc_id >= 50
+      |), ce AS (
+      |  SELECT doc_id, n_pos, unnest(ph, recursive := true) FROM ps
+      |), bsh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk WHERE doc_id < 50
+      |), be AS (
+      |  SELECT doc_id AS bench_id,
+      |    unnest(list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS h
+      |  FROM bsh
+      |)
+      |SELECT ce.doc_id, be.bench_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  CAST(MIN(ce.pos) AS BIGINT) AS first_pos,
+      |  CAST(MAX(ce.pos) AS BIGINT) AS last_pos,
+      |  FLOOR(CAST(COUNT(*) AS DOUBLE) / MAX(ce.n_pos) * 10000.0 + 0.5) / 10000.0 AS coverage
+      |FROM ce JOIN be ON ce.h = be.h
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** q136 — contamination SPAN localization: q39 says WHICH corpus docs
+    * overlap the benchmark slice; this says WHERE. Every corpus document
+    * is unrolled into positional 3-shingles (start position → h60), the
+    * positions are matched against each benchmark item's distinct shingle
+    * set, and each contaminated (doc, bench) pair reports its hit count,
+    * first/last matched token position, and position coverage — the spans
+    * a surgical-removal pass (cut the span, keep the doc) needs, where
+    * doc-level decontamination would discard the whole document. Scale
+    * shape: the positional unroll is a per-row projection (O(tokens), no
+    * shuffle); the benchmark side is small by nature and BROADCAST, so
+    * the only exchange is the per-(doc, bench) aggregate — work scales
+    * with shared-shingle density like `contaminationPairs`, never
+    * corpus×benchmark. Docs under 3 tokens have no 3-shingle positions
+    * and are skipped on the corpus side (the whole-doc fallback shingle
+    * exists only for the SET-semantics ops).
+    */
+  /** Span kernel behind q136, callable on any (doc_id, text) frames: the
+    * corpus side unrolls into positional 3-shingle h60s (a per-row
+    * projection), the benchmark's distinct shingle sets broadcast, and
+    * each contaminated (doc, bench) pair aggregates its hit positions.
+    */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    ShingleHashes.register(corpus.sparkSession)
+    val pos = corpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), (size(col("t")) - 2).cast("long").as("n_pos"),
+        explode(expr(
+          """transform(sequence(1, size(t) - 2), i -> named_struct(
+            |  'pos', CAST(i AS BIGINT),
+            |  'h', CAST(conv(substring(md5(array_join(slice(t, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+          .as("p"))
+      .select(col("doc_id"), col("n_pos"), col("p.pos").as("pos"), col("p.h").as("h"))
+    val bench = benchmark
+      .select(col("doc_id").as("bench_id"), explode(shingleHashes(col("text"))).as("h"))
+    pos.join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        Det.dround(count(lit(1)).cast("double") / max(col("n_pos")), 4).as("coverage"))
+  }
+
+  val q136 = Q("q136_contamination_spans", q136OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    contaminationSpans(d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134, q135, q136)
 }

@@ -209,6 +209,24 @@ object TextOps {
     * the property that prevents train/test leakage in a dedup-imperfect
     * corpus — and the assignment is reproducible across runs and engines.
     */
+  /** The q55 split assignment as a column over `text`: h60 of normalized
+    * content keyed into 100 buckets → 90/5/5 train/val/test. Shared with
+    * the leakage audit (Dedup q135), which must tag near-dup pairs with
+    * EXACTLY the split rule the corpus ships under.
+    */
+  def splitAssignment(text: Column): Column = {
+    val bucket = graft.ops.Dedup.h60Col(normalized(text)) % 100
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** Oracle fragment: q55's split CTE body over `documents` — (doc_id, split). */
+  def splitAssignmentSql: String =
+    """SELECT doc_id,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    CAST('0x' || substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) % 100 AS b
+      |    FROM documents)""".stripMargin
+
   val q55 = Q("q55_dataset_split",
     """WITH assigned AS (
       |  SELECT doc_id,
@@ -223,10 +241,8 @@ object TextOps {
       |FROM assigned
       |GROUP BY 1
       |ORDER BY split""".stripMargin) { (s, dir) =>
-    val bucket = graft.ops.Dedup.h60Col(normalized(col("text"))) % 100
     docs(s, dir)
-      .select(col("doc_id"),
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .select(col("doc_id"), splitAssignment(col("text")).as("split"))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -949,4 +949,71 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("top_2gram_cnt") > 1L))
     assert(rows.exists(_.getAs[Long]("max_token_run") > 1L))
   }
+
+  test("q55/q135: content-hash split pins every exact-duplicate cluster to one split") {
+    // the planted corpus carries an exact copy (9003 = doc 3), so the
+    // cluster-unity property is exercised on a real multi-member cluster
+    val clusters = planted.select(
+        md5(TextOps.normalized(col("text"))).as("fp"),
+        TextOps.splitAssignment(col("text")).as("split"))
+      .groupBy("fp").agg(countDistinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n"))
+    assert(clusters.filter(col("n_splits") > 1).count() === 0L,
+      "exact duplicates must never straddle a split boundary")
+    assert(clusters.filter(col("n") > 1).count() > 0L)
+  }
+
+  test("q135: every LSH-audited leak pair is a true near-dup pair of the exact twin") {
+    val d = Catalog.table(spark, sf, "documents")
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    def tagged(pairs: DataFrame): DataFrame = pairs
+      .join(splits.select(col("doc_id"), col("split").as("_sa")), Seq("doc_id"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("_sb")), Seq("doc_b"))
+      .select(col("doc_id"), col("doc_b"),
+        least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+    val lsh = tagged(Dedup.jaccardLshPairs(d, 0.5))
+    val exact = tagged(Dedup.jaccardPairs(d).filter(col("jaccard") >= 0.5))
+    // LSH candidates are exact-rescored, so the audited pair set is a
+    // subset of the all-pairs ground truth (banding may only lose pairs)
+    assert(lsh.exceptAll(exact).count() === 0L)
+    // and the audit finds real cross-split leakage in this corpus
+    assert(lsh.filter(col("split_a") =!= col("split_b")).count() > 0L)
+  }
+
+  test("q136: planted benchmark text is localized at its exact token span") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // 10 filler tokens, then the 6 benchmark tokens at positions 11..16,
+    // then more filler — all filler tokens distinct from the bench ones
+    val filler1 = (1 to 10).map(i => s"f$i").mkString(" ")
+    val filler2 = (11 to 15).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"$filler1 alpha beta gamma delta epsilon zeta $filler2"),
+      (101L, "nothing shared here at all with anyone")).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(corpus, bench).collect()
+    assert(spans.length === 1)
+    val r = spans.head
+    assert(r.getAs[Long]("doc_id") === 100L)
+    assert(r.getAs[Long]("bench_id") === 1L)
+    // 6 bench tokens → 4 internal 3-shingles, matched at starts 11..14
+    // (junction shingles mix filler+bench and must NOT match)
+    assert(r.getAs[Long]("n_hits") === 4L)
+    assert(r.getAs[Long]("first_pos") === 11L)
+    assert(r.getAs[Long]("last_pos") === 14L)
+    // 21 tokens → 19 shingle positions; 4/19 rounded half-up to 4dp
+    assert(r.getAs[Double]("coverage") === math.floor(4.0 / 19.0 * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("q136: span-level containment agrees with q39's doc-level contamination flags") {
+    val d = Catalog.table(spark, sf, "documents")
+    val spanDocs = Dedup.contaminationSpans(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+      .select(col("doc_id")).distinct()
+    val q39Docs = Dedup.q39.fn(spark, sf).select(col("doc_id")).distinct()
+    // q39 reports every doc sharing ANY shingle; the positional kernel
+    // can only drop sub-3-token docs (none at this sf), never add docs
+    assert(spanDocs.exceptAll(q39Docs).count() === 0L)
+    assert(q39Docs.count() > 0L)
+  }
 }

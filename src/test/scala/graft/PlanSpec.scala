@@ -40,6 +40,19 @@ class PlanSpec extends AnyFunSuite {
       s"range join must stay an equi-join:\n$p")
   }
 
+  test("q135: leak audit keeps LSH blocking — equi-joins only, no nested loop") {
+    val p = plan("q135_split_leakage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"leakage audit must stay candidate-blocked:\n$p")
+  }
+
+  test("q136: benchmark shingle set broadcasts; no nested loop") {
+    val p = plan("q136_contamination_spans")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span match must stay an equi-join:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
