@@ -1067,5 +1067,178 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134, q135, q136)
+  private def q137OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), bsh AS (
+      |  SELECT list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk WHERE doc_id < 50
+      |), ba AS (
+      |  SELECT DISTINCT unnest(list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS h FROM bsh
+      |), ps AS (
+      |  SELECT doc_id,
+      |    [struct_pack(pos := i, h := CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT)) for i in range(1, len(t) - 1)] AS ph
+      |  FROM tk WHERE len(t) >= 3 AND doc_id >= 50
+      |), ce AS (
+      |  SELECT doc_id, unnest(ph, recursive := true) FROM ps
+      |), hp AS (
+      |  SELECT ce.doc_id, list(ce.pos) AS hp
+      |  FROM ce JOIN ba ON ce.h = ba.h GROUP BY ce.doc_id
+      |), scrub AS (
+      |  SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS n_tokens,
+      |    [c.t[i] for i in range(1, len(c.t) + 1)
+      |      if len(list_filter(COALESCE(hp.hp, CAST([] AS BIGINT[])), p -> i >= p AND i <= p + 2)) = 0] AS st
+      |  FROM tk c LEFT JOIN hp ON c.doc_id = hp.doc_id WHERE c.doc_id >= 50
+      |)
+      |SELECT doc_id, n_tokens,
+      |  n_tokens - CAST(len(st) AS BIGINT) AS n_removed,
+      |  CAST(len(st) AS BIGINT) AS n_after,
+      |  md5(COALESCE(array_to_string(st, ' '), '')) AS scrubbed_fp,
+      |  (n_tokens > CAST(len(st) AS BIGINT)) AS was_contaminated
+      |FROM scrub ORDER BY doc_id""".stripMargin
+
+  /** q137 — surgical span scrub: CUT the contamination q136 localized,
+    * keep the documents. Every corpus token covered by any 3-shingle
+    * matching the UNION of benchmark shingle sets is removed (a hit at
+    * position p covers tokens p..p+2; overlapping spans merge by
+    * construction of the coverage test), and each doc reports its
+    * before/after token counts plus the md5 of the scrubbed token stream
+    * — the verifiable artifact a decontamination pass ships where
+    * doc-level removal (q39's flag) would discard 95 % of a long doc for
+    * a one-line benchmark hit. Hit positions come from q136's kernel
+    * shape — positional unroll, HASH-join against the broadcast distinct
+    * benchmark set (NOT an in-row array_contains scan, which is
+    * O(positions × |bench|) and measured unusable past sf0.01) —
+    * collected to one per-doc position list and joined back, so the
+    * token filter itself stays an in-row higher-order function. Scale
+    * shape: one broadcast join + one per-doc collect + one doc-keyed
+    * join — all linear, position lists bounded by hit density. DuckDB
+    * NULL trap: array_to_string([]) is NULL there but '' in Spark's
+    * array_join, so the oracle COALESCEs before hashing (a
+    * fully-scrubbed doc must fingerprint as md5('') in both engines).
+    */
+  /** Scrub kernel behind q137, callable on any (doc_id, text) frames. */
+  def scrubSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    ShingleHashes.register(corpus.sparkSession)
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val pos = toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(1, size(t) - 2), i -> named_struct(
+            |  'pos', CAST(i AS BIGINT),
+            |  'h', CAST(conv(substring(md5(array_join(slice(t, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
+          .as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
+    val bench = benchmark
+      .select(explode(shingleHashes(col("text"))).as("h")).distinct()
+    val hitPos = pos.join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("hp"))
+    toks.join(hitPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("hp"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("hp"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr("filter(t, (x, i) -> NOT exists(hp, p -> i + 1 >= p AND i + 1 <= p + 2))").as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("st"))).as("n_removed"),
+        size(col("st")).cast("long").as("n_after"),
+        md5(array_join(col("st"), " ")).as("scrubbed_fp"),
+        (col("n_tokens") > size(col("st"))).as("was_contaminated"))
+  }
+
+  val q137 = Q("q137_span_scrub", q137OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    scrubSpans(d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+      .orderBy("doc_id")
+  }
+
+  private def q138OracleSql: String =
+    s"""WITH RECURSIVE ${shingleCtesBody("documents")}, sigs AS (
+       |  SELECT doc_id,
+       |$sigDefsSql
+       |  FROM hs
+       |), bands AS (
+       |$bandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), jac AS (
+       |  SELECT c.doc_id, c.doc_b,
+       |    CAST(len(list_filter(ha.hh, h -> list_contains(hb.hh, h))) AS DOUBLE)
+       |      / (len(ha.hh) + len(hb.hh) - len(list_filter(ha.hh, h -> list_contains(hb.hh, h)))) AS j
+       |  FROM cand c JOIN hs ha ON c.doc_id = ha.doc_id JOIN hs hb ON c.doc_b = hb.doc_id
+       |), strong AS (
+       |  SELECT doc_id, doc_b FROM jac WHERE j >= 0.5
+       |), edges AS (
+       |  SELECT doc_id AS src, doc_b AS dst FROM strong
+       |  UNION ALL SELECT doc_b AS src, doc_id AS dst FROM strong
+       |), verts AS (
+       |  SELECT DISTINCT src AS v FROM edges
+       |), reach AS (
+       |  SELECT v, v AS lab FROM verts
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.v = e.dst
+       |), labels AS (
+       |  SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v
+       |), splits AS (
+       |  ${TextOps.splitAssignmentSql}
+       |), members AS (
+       |  SELECT l.doc_id, l.cluster_id, s.split
+       |  FROM labels l JOIN splits s ON l.doc_id = s.doc_id
+       |), counts AS (
+       |  SELECT cluster_id, split, COUNT(*) AS cnt FROM members GROUP BY 1, 2
+       |), maj AS (
+       |  SELECT cluster_id, split AS final_split,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, split ASC) AS rn
+       |  FROM counts
+       |)
+       |SELECT m.doc_id, m.cluster_id, m.split, j.final_split,
+       |  (m.split <> j.final_split) AS moved
+       |FROM members m
+       |JOIN (SELECT cluster_id, final_split FROM maj WHERE rn = 1) j
+       |  ON m.cluster_id = j.cluster_id
+       |ORDER BY m.doc_id""".stripMargin
+
+  /** q138 — leak REPAIR policy: q135 finds the near-dup pairs straddling
+    * split boundaries; this closes them. Pairs can chain (A≈B≈C across
+    * three splits), so the repair unit is the connected COMPONENT of the
+    * strong-pair graph (`Cluster.connectedComponents` — the q65 kernel
+    * on the Jaccard≥0.5 graph instead of the SimHash graph): every
+    * cluster is reassigned wholesale to its majority split (ties break
+    * lexicographically — deterministic, engine-independent), which by
+    * construction leaves ZERO cross-split near-dup pairs (both ends of
+    * every pair are in one component). One row per clustered doc with
+    * its old/final split and moved flag; untouched docs keep q55's
+    * assignment and never enter the frame. Scale shape: the graph is
+    * near-dup pairs only (density-bounded, tiny vs corpus), components
+    * run in O(log d) label rounds over it, and the majority vote is a
+    * per-cluster rollup over ≤|splits| rows; the oracle recomputes the
+    * closure with a recursive CTE, so the LABELS must agree, not just
+    * the counts.
+    */
+  val q138 = Q("q138_leak_repair", q138OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    val pairs = jaccardLshPairs(d, 0.5)
+      .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint() // the LSH pipeline feeds edges, vertices, AND the CC loop — evaluate once
+    val verts = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct()
+    val members = Cluster.connectedComponents(pairs, verts)
+      .join(splits, col("id") === col("doc_id"))
+      .select(col("doc_id"), col("component").as("cluster_id"), col("split"))
+    val majority = members.groupBy("cluster_id", "split").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("cnt").desc, col("split").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("split").as("final_split"))
+    members.join(majority, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("final_split"),
+        (col("split") =!= col("final_split")).as("moved"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134, q135, q136, q137, q138)
 }

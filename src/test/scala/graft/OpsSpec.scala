@@ -1005,6 +1005,69 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage") === math.floor(4.0 / 19.0 * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("q137: scrub excises exactly the planted benchmark window, fillers intact") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val filler1 = (1 to 10).map(i => s"f$i").mkString(" ")
+    val filler2 = (11 to 15).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"$filler1 alpha beta gamma delta epsilon zeta $filler2"),
+      (101L, "nothing shared here at all with anyone")).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(corpus, bench).orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val hit = out(0)
+    // hits at positions 11..14 cover tokens 11..16 — the benchmark text
+    // and ONLY it is removed; the scrubbed stream is the 15 filler tokens
+    assert(hit.getAs[Long]("n_tokens") === 21L)
+    assert(hit.getAs[Long]("n_removed") === 6L)
+    assert(hit.getAs[Long]("n_after") === 15L)
+    val expectedFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(((1 to 15).map(i => s"f$i").mkString(" ")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(hit.getAs[String]("scrubbed_fp") === expectedFp)
+    assert(hit.getAs[Boolean]("was_contaminated"))
+    // the clean doc passes through untouched
+    val clean = out(1)
+    assert(clean.getAs[Long]("n_removed") === 0L)
+    assert(!clean.getAs[Boolean]("was_contaminated"))
+  }
+
+  test("q137: a fully-contaminated doc scrubs to the empty stream (md5 of '')") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r = Dedup.scrubSpans(corpus, bench).collect().head
+    assert(r.getAs[Long]("n_after") === 0L)
+    assert(r.getAs[String]("scrubbed_fp") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("q138: cluster reassignment leaves zero cross-split near-dup pairs") {
+    val d = Catalog.table(spark, sf, "documents")
+    val repair = Dedup.q138.fn(spark, sf).cache()
+    // moved flag is consistent with the split columns
+    assert(repair.filter(col("moved") =!= (col("split") =!= col("final_split"))).count() === 0L)
+    // every cluster resolves to exactly one final split
+    assert(repair.groupBy("cluster_id")
+      .agg(countDistinct(col("final_split")).as("n")).filter(col("n") > 1).count() === 0L)
+    // re-audit: apply the repaired assignment to the strong-pair graph —
+    // no pair may straddle splits any more (and some did before)
+    val fin = repair.select(col("doc_id"), col("final_split"))
+    val pairs = Dedup.jaccardLshPairs(d, 0.5).select("doc_id", "doc_b")
+    val crossBefore = {
+      val s0 = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("sp"))
+      pairs.join(s0.withColumnRenamed("sp", "sa"), Seq("doc_id"))
+        .join(s0.select(col("doc_id").as("doc_b"), col("sp").as("sb")), Seq("doc_b"))
+        .filter(col("sa") =!= col("sb")).count()
+    }
+    val crossAfter = pairs
+      .join(fin.withColumnRenamed("final_split", "sa"), Seq("doc_id"))
+      .join(fin.select(col("doc_id").as("doc_b"), col("final_split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossBefore > 0L, "the un-repaired corpus must actually leak")
+    assert(crossAfter === 0L, "repair must close every cross-split pair")
+    repair.unpersist()
+  }
+
   test("q136: span-level containment agrees with q39's doc-level contamination flags") {
     val d = Catalog.table(spark, sf, "documents")
     val spanDocs = Dedup.contaminationSpans(

@@ -53,6 +53,13 @@ class PlanSpec extends AnyFunSuite {
       s"span match must stay an equi-join:\n$p")
   }
 
+  test("q137: scrub hit-matching broadcasts the benchmark set; no nested loop") {
+    val p = plan("q137_span_scrub")
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"scrub must stay hash-join blocked:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
