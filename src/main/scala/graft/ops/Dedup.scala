@@ -1067,8 +1067,11 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
-  private def q137OracleSql: String =
-    """WITH tk AS (
+  /** Oracle CTE chain ending in `scrub` (doc_id, n_tokens, st = scrubbed
+    * token list) — shared by q137 and the requalification pass q139.
+    */
+  private def scrubCtesSql: String =
+    """tk AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
       |), bsh AS (
       |  SELECT list_distinct(CASE WHEN len(t) >= 3
@@ -1090,7 +1093,10 @@ object Dedup {
       |    [c.t[i] for i in range(1, len(c.t) + 1)
       |      if len(list_filter(COALESCE(hp.hp, CAST([] AS BIGINT[])), p -> i >= p AND i <= p + 2)) = 0] AS st
       |  FROM tk c LEFT JOIN hp ON c.doc_id = hp.doc_id WHERE c.doc_id >= 50
-      |)
+      |)""".stripMargin
+
+  private def q137OracleSql: String =
+    s"""WITH $scrubCtesSql
       |SELECT doc_id, n_tokens,
       |  n_tokens - CAST(len(st) AS BIGINT) AS n_removed,
       |  CAST(len(st) AS BIGINT) AS n_after,
@@ -1118,8 +1124,10 @@ object Dedup {
     * array_join, so the oracle COALESCEs before hashing (a
     * fully-scrubbed doc must fingerprint as md5('') in both engines).
     */
-  /** Scrub kernel behind q137, callable on any (doc_id, text) frames. */
-  def scrubSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+  /** The scrub kernel's inner frame: (doc_id, n_tokens, st = scrubbed
+    * token array) — q137 projects stats off it, q139 re-gates it.
+    */
+  def scrubbedTokens(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     ShingleHashes.register(corpus.sparkSession)
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val pos = toks.filter(size(col("t")) >= 3)
@@ -1139,12 +1147,16 @@ object Dedup {
         coalesce(col("hp"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("hp"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         expr("filter(t, (x, i) -> NOT exists(hp, p -> i + 1 >= p AND i + 1 <= p + 2))").as("st"))
+  }
+
+  /** Scrub kernel behind q137, callable on any (doc_id, text) frames. */
+  def scrubSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    scrubbedTokens(corpus, benchmark)
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("st"))).as("n_removed"),
         size(col("st")).cast("long").as("n_after"),
         md5(array_join(col("st"), " ")).as("scrubbed_fp"),
         (col("n_tokens") > size(col("st"))).as("was_contaminated"))
-  }
 
   val q137 = Q("q137_span_scrub", q137OracleSql) { (s, dir) =>
     val d = docs(s, dir)
@@ -1152,7 +1164,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private def q138OracleSql: String =
+  /** Oracle CTE chain (recursive) ending in `members` (clustered doc,
+    * cluster_id, current split) and `rep` (cluster_id, final_split) —
+    * shared by q138 and the repaired-packing pass q140.
+    */
+  private def leakRepairCtesSql: String =
     s"""WITH RECURSIVE ${shingleCtesBody("documents")}, sigs AS (
        |  SELECT doc_id,
        |$sigDefsSql
@@ -1192,12 +1208,16 @@ object Dedup {
        |  SELECT cluster_id, split AS final_split,
        |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, split ASC) AS rn
        |  FROM counts
-       |)
+       |), rep AS (
+       |  SELECT cluster_id, final_split FROM maj WHERE rn = 1
+       |)""".stripMargin
+
+  private def q138OracleSql: String =
+    s"""$leakRepairCtesSql
        |SELECT m.doc_id, m.cluster_id, m.split, j.final_split,
        |  (m.split <> j.final_split) AS moved
        |FROM members m
-       |JOIN (SELECT cluster_id, final_split FROM maj WHERE rn = 1) j
-       |  ON m.cluster_id = j.cluster_id
+       |JOIN rep j ON m.cluster_id = j.cluster_id
        |ORDER BY m.doc_id""".stripMargin
 
   /** q138 — leak REPAIR policy: q135 finds the near-dup pairs straddling
@@ -1217,9 +1237,11 @@ object Dedup {
     * closure with a recursive CTE, so the LABELS must agree, not just
     * the counts.
     */
-  val q138 = Q("q138_leak_repair", q138OracleSql) { (s, dir) =>
-    ShingleHashes.register(s)
-    val d = docs(s, dir)
+  /** Repair kernel behind q138: one row per doc in a strong-pair
+    * component — (doc_id, cluster_id, split, final_split, moved).
+    */
+  def leakRepair(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
     val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
     val pairs = jaccardLshPairs(d, 0.5)
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
@@ -1237,8 +1259,153 @@ object Dedup {
     members.join(majority, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("split"), col("final_split"),
         (col("split") =!= col("final_split")).as("moved"))
+  }
+
+  val q138 = Q("q138_leak_repair", q138OracleSql) { (s, dir) =>
+    leakRepair(docs(s, dir)).orderBy("doc_id")
+  }
+
+  /** Oracle fragment: the q69 gate's keep boolean over any (doc_id, text)
+    * relation, CTEs prefixed to stay unique within one WITH chain.
+    */
+  private def gateKeepCtes(base: String, prefix: String): String = {
+    val stop = TextOps.allStop.map("'" + _ + "'").mkString(",")
+    s"""${prefix}src AS (
+       |  SELECT doc_id,
+       |    length(text) AS text_len,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM $base
+       |), ${prefix}keep AS (
+       |  SELECT doc_id,
+       |    (len(t) BETWEEN 50 AND 100000
+       |      AND 3 * len(t) <= CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT)
+       |      AND CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) <= 10 * len(t)
+       |      AND 10 * n_punct <= text_len
+       |      AND len(list_filter(t, x -> list_contains([$stop], x))) >= 2) AS keep
+       |  FROM ${prefix}src
+       |)""".stripMargin
+  }
+
+  private def q139OracleSql: String =
+    s"""WITH $scrubCtesSql, scrubdocs AS (
+       |  SELECT doc_id, COALESCE(array_to_string(st, ' '), '') AS text FROM scrub
+       |), ${gateKeepCtes("(SELECT doc_id, text FROM documents WHERE doc_id >= 50)", "g1")},
+       |${gateKeepCtes("scrubdocs", "g2")}
+       |SELECT s.doc_id, s.n_tokens AS n_tokens_before,
+       |  s.n_tokens - CAST(len(s.st) AS BIGINT) AS n_removed,
+       |  (s.n_tokens > CAST(len(s.st) AS BIGINT)) AS was_contaminated,
+       |  g1keep.keep AS keep_before,
+       |  g2keep.keep AS keep_after,
+       |  (g1keep.keep AND NOT g2keep.keep) AS damaged
+       |FROM scrub s
+       |JOIN g1keep ON s.doc_id = g1keep.doc_id
+       |JOIN g2keep ON s.doc_id = g2keep.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** q139 — scrub REQUALIFICATION: decontaminate → re-gate, the loop a
+    * production pipeline closes after q137. Each corpus doc's scrubbed
+    * token stream is rebuilt into text and pushed through the IDENTICAL
+    * q69 gate (`Corpus.gateFrame` — shared code, not re-derived rules),
+    * next to its pre-scrub verdict: `damaged` marks the collateral of
+    * decontamination — docs the gate accepted raw but rejects after the
+    * benchmark spans are cut (e.g. dropped under the 50-token floor).
+    * That column is the scrub policy's cost surface: too-aggressive span
+    * removal shows up HERE, not in a silent corpus shrink. Scale shape:
+    * q137's kernel plus two per-row gate projections and two doc-keyed
+    * joins — nothing new shuffles.
+    */
+  /** Requalification kernel behind q139, callable on any frames. */
+  def scrubRequalify(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val scrubbed = scrubbedTokens(corpus, benchmark)
+    val before = Corpus.gateFrame(corpus)
+      .select(col("doc_id"), col("keep").as("keep_before"))
+    val after = Corpus.gateFrame(
+        scrubbed.select(col("doc_id"), array_join(col("st"), " ").as("text")))
+      .select(col("doc_id"), col("keep").as("keep_after"))
+    scrubbed
+      .select(col("doc_id"), col("n_tokens").as("n_tokens_before"),
+        (col("n_tokens") - size(col("st"))).as("n_removed"),
+        (col("n_tokens") > size(col("st"))).as("was_contaminated"))
+      .join(before, Seq("doc_id"))
+      .join(after, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens_before"), col("n_removed"),
+        col("was_contaminated"), col("keep_before"), col("keep_after"),
+        (col("keep_before") && !col("keep_after")).as("damaged"))
+  }
+
+  val q139 = Q("q139_scrub_requalify", q139OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    scrubRequalify(d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134, q135, q136, q137, q138)
+  private def q140OracleSql: String =
+    s"""$leakRepairCtesSql, fin AS (
+       |  SELECT s.doc_id,
+       |    COALESCE(j.final_split, s.split) AS split,
+       |    COALESCE(m.split <> 'train' AND j.final_split = 'train', FALSE) AS moved_in
+       |  FROM splits s
+       |  LEFT JOIN members m ON s.doc_id = m.doc_id
+       |  LEFT JOIN rep j ON m.cluster_id = j.cluster_id
+       |), toks AS (
+       |  SELECT d.doc_id, len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+       |    f.moved_in
+       |  FROM documents d JOIN fin f ON d.doc_id = f.doc_id
+       |  WHERE f.split = 'train'
+       |), packed AS (
+       |  SELECT doc_id, n_tokens, moved_in,
+       |    CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+       |  FROM toks
+       |)
+       |SELECT pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  CAST(SUM(CASE WHEN moved_in THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY pack_id
+       |ORDER BY pack_id""".stripMargin
+
+  /** q140 — repair-aware packing: the audit chain consumed end to end.
+    * The training split is q55's assignment WITH q138's cluster repairs
+    * applied (near-dup components live wholly inside one split), then
+    * the repaired train set packs into 2048-token shards exactly as q56
+    * does — `exec.PrefixSum.runningTotal`, never a single-partition
+    * global window — with each shard reporting how many of its docs were
+    * MOVED IN by repair (the lineage a training job audits when a shard's
+    * content changes between corpus versions). Scale shape: q138's
+    * density-bounded graph work + one broadcast-joined split override +
+    * the two-pass distributed prefix sum.
+    */
+  val q140 = Q("q140_repaired_packing", q140OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    val repair = leakRepair(d)
+      .select(col("doc_id"), col("split").as("old_split"), col("final_split"))
+    val fin = splits.join(broadcast(repair), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final_split"), col("split")).as("split"),
+        coalesce(col("old_split") =!= "train" && col("final_split") === "train",
+          lit(false)).as("moved_in"))
+    val toks = d.select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .join(fin.filter(col("split") === "train"), Seq("doc_id"))
+    graft.exec.PrefixSum.runningTotal(
+        toks.select(col("doc_id"), col("n_tokens"), col("moved_in")),
+        "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        sum(when(col("moved_in"), 1L).otherwise(0L)).as("n_moved_in"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
+    q135, q136, q137, q138, q139, q140)
 }

@@ -1068,6 +1068,49 @@ class OpsSpec extends AnyFunSuite {
     repair.unpersist()
   }
 
+  test("q139: scrub collateral — a doc the gate accepted raw is damaged when the cut drops it under the floor") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    def fillers(n: Int) = (1 to n).map(i => f"fill$i%02d").mkString(" ")
+    val corpus = Seq(
+      // 44 fillers + 2 stopwords + 6 bench tokens = 52: passes raw, 46 after scrub → damaged
+      (100L, s"${fillers(44)} the and alpha beta gamma delta epsilon zeta"),
+      // 100 fillers + 2 stopwords + 6 bench tokens = 108: 102 after scrub → survives
+      (101L, s"${fillers(100)} the and alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRequalify(corpus, bench).orderBy("doc_id").collect()
+    val d100 = out(0)
+    assert(d100.getAs[Boolean]("keep_before") && !d100.getAs[Boolean]("keep_after"))
+    assert(d100.getAs[Boolean]("damaged"))
+    assert(d100.getAs[Long]("n_removed") === 6L)
+    val d101 = out(1)
+    assert(d101.getAs[Boolean]("keep_before") && d101.getAs[Boolean]("keep_after"))
+    assert(!d101.getAs[Boolean]("damaged"))
+    assert(d101.getAs[Long]("n_removed") === 6L)
+  }
+
+  test("q140: every repaired-train doc lands in exactly one shard; moved-in lineage adds up") {
+    val d = Catalog.table(spark, sf, "documents")
+    val repair = Dedup.leakRepair(d).cache()
+    val packs = Dedup.q140.fn(spark, sf).cache()
+    // total moved-in across shards equals the docs repair moved INTO train
+    val movedIn = repair
+      .filter(col("split") =!= "train" && col("final_split") === "train").count()
+    assert(packs.agg(sum(col("n_moved_in"))).head().getLong(0) === movedIn)
+    assert(movedIn > 0L, "the fixture must exercise a real move into train")
+    // shard doc count covers the repaired train set exactly once
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    val finTrain = splits.join(
+        repair.select(col("doc_id"), col("final_split")), Seq("doc_id"), "left")
+      .filter(coalesce(col("final_split"), col("split")) === "train")
+    assert(packs.agg(sum(col("n_docs"))).head().getLong(0) === finTrain.count())
+    // and the token mass is conserved shard-by-shard
+    val totalToks = d.join(finTrain.select("doc_id"), Seq("doc_id"))
+      .agg(sum(size(TextOps.tokens(col("text")))).cast("long")).head().getLong(0)
+    assert(packs.agg(sum(col("pack_tokens"))).head().getLong(0) === totalToks)
+    repair.unpersist(); packs.unpersist()
+  }
+
   test("q136: span-level containment agrees with q39's doc-level contamination flags") {
     val d = Catalog.table(spark, sf, "documents")
     val spanDocs = Dedup.contaminationSpans(
