@@ -1124,10 +1124,19 @@ object Dedup {
     * array_join, so the oracle COALESCEs before hashing (a
     * fully-scrubbed doc must fingerprint as md5('') in both engines).
     */
-  /** The scrub kernel's inner frame: (doc_id, n_tokens, st = scrubbed
-    * token array) — q137 projects stats off it, q139 re-gates it.
+  /** The distinct benchmark shingle-hash set of a (doc_id, text) frame —
+    * what `ScrubStream.buildBenchArtifact` materializes so the scrub
+    * family can serve off an artifact instead of re-deriving it per run.
     */
-  def scrubbedTokens(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+  def benchShingleHashes(benchmark: DataFrame): DataFrame = {
+    ShingleHashes.register(benchmark.sparkSession)
+    benchmark.select(explode(shingleHashes(col("text"))).as("h")).distinct()
+  }
+
+  /** The scrub kernel's inner frame against a PREBUILT hash set: the
+    * streamed path hands in the artifact's hashes directly.
+    */
+  def scrubbedTokensByHashes(corpus: DataFrame, benchHashes: DataFrame): DataFrame = {
     ShingleHashes.register(corpus.sparkSession)
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val pos = toks.filter(size(col("t")) >= 3)
@@ -1138,9 +1147,7 @@ object Dedup {
             |  'h', CAST(conv(substring(md5(array_join(slice(t, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
           .as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
-    val bench = benchmark
-      .select(explode(shingleHashes(col("text"))).as("h")).distinct()
-    val hitPos = pos.join(broadcast(bench), Seq("h"))
+    val hitPos = pos.join(broadcast(benchHashes.select(col("h"))), Seq("h"))
       .groupBy("doc_id").agg(collect_list(col("pos")).as("hp"))
     toks.join(hitPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("t"),
@@ -1149,14 +1156,28 @@ object Dedup {
         expr("filter(t, (x, i) -> NOT exists(hp, p -> i + 1 >= p AND i + 1 <= p + 2))").as("st"))
   }
 
-  /** Scrub kernel behind q137, callable on any (doc_id, text) frames. */
-  def scrubSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame =
-    scrubbedTokens(corpus, benchmark)
+  /** The scrub kernel's inner frame: (doc_id, n_tokens, st = scrubbed
+    * token array) — q137 projects stats off it, q139 re-gates it.
+    */
+  def scrubbedTokens(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    scrubbedTokensByHashes(corpus, benchShingleHashes(benchmark))
+
+  /** The per-doc scrub stats projection over a scrubbed-tokens frame. */
+  def scrubStats(scrubbed: DataFrame): DataFrame =
+    scrubbed
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("st"))).as("n_removed"),
         size(col("st")).cast("long").as("n_after"),
         md5(array_join(col("st"), " ")).as("scrubbed_fp"),
         (col("n_tokens") > size(col("st"))).as("was_contaminated"))
+
+  /** Scrub kernel behind q137, callable on any (doc_id, text) frames. */
+  def scrubSpans(corpus: DataFrame, benchmark: DataFrame): DataFrame =
+    scrubStats(scrubbedTokens(corpus, benchmark))
+
+  /** The artifact-served scrub — the streamed path's kernel. */
+  def scrubSpansByHashes(corpus: DataFrame, benchHashes: DataFrame): DataFrame =
+    scrubStats(scrubbedTokensByHashes(corpus, benchHashes))
 
   val q137 = Q("q137_span_scrub", q137OracleSql) { (s, dir) =>
     val d = docs(s, dir)
@@ -1406,6 +1427,51 @@ object Dedup {
       .orderBy("pack_id")
   }
 
+  private def q141OracleSql: String =
+    s"""WITH $scrubCtesSql, srcd AS (
+       |  SELECT s.doc_id, d.source, s.n_tokens,
+       |    s.n_tokens - CAST(len(s.st) AS BIGINT) AS n_removed
+       |  FROM scrub s JOIN documents d ON s.doc_id = d.doc_id
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       |    CAST(SUM(n_removed) AS BIGINT) AS tokens_removed
+       |  FROM srcd GROUP BY source
+       |)
+       |SELECT source, n_docs, n_contaminated,
+       |  (n_contaminated * 10000) // n_docs AS contaminated_bp,
+       |  tokens_before, tokens_removed
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** q141 — scrub report OFF THE STORE: per-source contamination rates
+    * (docs hit, exact basis points, token mass before/removed) computed
+    * by reading ONLY the scrub store the streaming sink maintains
+    * (`ScrubStream.buildScrubStore` runs the sink's batch path over the
+    * corpus once, marker-committed) — the dashboard a decontamination
+    * pipeline serves without re-touching corpus text OR the benchmark.
+    * The oracle recomputes every number from raw documents through the
+    * scrub chain, so a row match proves the store carries exactly the
+    * batch q137 verdicts. PlanSpec pins zero `documents` scans. Scale
+    * shape: the store has one row per corpus doc with fixed-width
+    * columns; the report is one source-keyed hash aggregate over it.
+    */
+  val q141 = Q("q141_scrub_report", q141OracleSql) { (s, dir) =>
+    val root = graft.streaming.ScrubStream.buildScrubStore(s, dir)
+    s.read.parquet(s"$root/rows")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("was_contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_tokens")).cast("long").as("tokens_before"),
+        sum(col("n_removed")).cast("long").as("tokens_removed"))
+      .withColumn("contaminated_bp", expr("(n_contaminated * 10000) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("contaminated_bp"), col("tokens_before"), col("tokens_removed"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140)
+    q135, q136, q137, q138, q139, q140, q141)
 }

@@ -60,6 +60,16 @@ class PlanSpec extends AnyFunSuite {
       s"scrub must stay hash-join blocked:\n$p")
   }
 
+  test("q141: scrub report reads ONLY the scrub store — zero document scans") {
+    val p = plan("q141_scrub_report")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.nonEmpty, s"the store must be scanned:\n$p")
+    assert(located.forall(_.contains("graft_scrub_store")),
+      s"every scan must hit the scrub store, not corpus text:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet"),
+      s"the report must never re-read documents:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

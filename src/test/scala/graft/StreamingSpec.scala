@@ -1816,4 +1816,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(EmbeddingStream.occupancyPairFromDeltas(spark, deltas2, 0L, 1L)) === expected,
       "reversed arrival must serve the identical occupancy statistic")
   }
+
+  test("scrub stream: artifact-served verdicts equal batch q137; re-delivered files are a no-op") {
+    import graft.streaming.ScrubStream
+    import graft.ops.Dedup
+    val landing = tmpDir("graft-scrub-landing")
+    val store = tmpDir("graft-scrub-store") + "/rows"
+    val checkpoint = tmpDir("graft-scrub-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val benchRoot = ScrubStream.buildBenchArtifact(spark, sf)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-scrub-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(corpus.filter(col("doc_id") < cut), "f1.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchRoot, store, checkpoint).awaitTermination()
+    land(corpus.filter(col("doc_id") >= cut), "f2.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchRoot, store, checkpoint).awaitTermination()
+
+    // the streamed store must carry EXACTLY the batch q137 verdicts
+    // (kernel shared verbatim; the artifact hash set == the inline set)
+    def vMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String, Boolean)] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("scrubbed_fp"), r.getAs[Boolean]("was_contaminated")))).toMap
+    val expected = vMap(Dedup.q137.fn(spark, sf))
+    assert(vMap(spark.read.parquet(store)) === expected,
+      "streamed scrub store must equal the one-shot q137 run")
+    // and every row kept its source column for the store-served report
+    assert(spark.read.parquet(store).filter(col("source").isNull).count() === 0L)
+
+    // re-deliver the same content under a new name: first-seen wins, store unchanged
+    land(corpus.filter(col("doc_id") >= cut), "f3.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchRoot, store, checkpoint).awaitTermination()
+    assert(spark.read.parquet(store).count() === expected.size.toLong,
+      "re-delivered documents must not grow the scrub store")
+  }
 }
