@@ -1067,33 +1067,47 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
-  /** Oracle CTE chain ending in `scrub` (doc_id, n_tokens, st = scrubbed
-    * token list) — shared by q137 and the requalification pass q139.
+  /** Oracle fragment: corpus-side positional shingles — `tk` (tokens),
+    * `ps`/`ce` (positional 3-shingle h60s), independent of any benchmark
+    * release, so two-release oracles (q142) emit it once.
     */
-  private def scrubCtesSql: String =
+  private def corpusPosCtesSql: String =
     """tk AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-      |), bsh AS (
-      |  SELECT list_distinct(CASE WHEN len(t) >= 3
-      |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
-      |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk WHERE doc_id < 50
-      |), ba AS (
-      |  SELECT DISTINCT unnest(list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS h FROM bsh
       |), ps AS (
       |  SELECT doc_id,
       |    [struct_pack(pos := i, h := CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT)) for i in range(1, len(t) - 1)] AS ph
       |  FROM tk WHERE len(t) >= 3 AND doc_id >= 50
       |), ce AS (
       |  SELECT doc_id, unnest(ph, recursive := true) FROM ps
-      |), hp AS (
-      |  SELECT ce.doc_id, list(ce.pos) AS hp
-      |  FROM ce JOIN ba ON ce.h = ba.h GROUP BY ce.doc_id
-      |), scrub AS (
-      |  SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS n_tokens,
-      |    [c.t[i] for i in range(1, len(c.t) + 1)
-      |      if len(list_filter(COALESCE(hp.hp, CAST([] AS BIGINT[])), p -> i >= p AND i <= p + 2)) = 0] AS st
-      |  FROM tk c LEFT JOIN hp ON c.doc_id = hp.doc_id WHERE c.doc_id >= 50
       |)""".stripMargin
+
+  /** Oracle fragment: one benchmark release's scrub — hash set, hit
+    * positions, scrubbed token list — with CTE names prefixed so two
+    * releases coexist in one WITH chain. `${p}scrub` is the result.
+    */
+  private def benchScrubCtesSql(benchPred: String, p: String): String =
+    s"""${p}bsh AS (
+       |  SELECT list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+       |    ELSE [array_to_string(t, ' ')] END) AS ss FROM tk WHERE $benchPred
+       |), ${p}ba AS (
+       |  SELECT DISTINCT unnest(list_transform(ss, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS h FROM ${p}bsh
+       |), ${p}hp AS (
+       |  SELECT ce.doc_id, list(ce.pos) AS hp
+       |  FROM ce JOIN ${p}ba ON ce.h = ${p}ba.h GROUP BY ce.doc_id
+       |), ${p}scrub AS (
+       |  SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS n_tokens,
+       |    [c.t[i] for i in range(1, len(c.t) + 1)
+       |      if len(list_filter(COALESCE(${p}hp.hp, CAST([] AS BIGINT[])), p -> i >= p AND i <= p + 2)) = 0] AS st
+       |  FROM tk c LEFT JOIN ${p}hp ON c.doc_id = ${p}hp.doc_id WHERE c.doc_id >= 50
+       |)""".stripMargin
+
+  /** Oracle CTE chain ending in `scrub` (doc_id, n_tokens, st = scrubbed
+    * token list) — shared by q137 and the requalification pass q139.
+    */
+  private def scrubCtesSql: String =
+    s"$corpusPosCtesSql, ${benchScrubCtesSql("doc_id < 50", "")}"
 
   private def q137OracleSql: String =
     s"""WITH $scrubCtesSql
@@ -1133,13 +1147,12 @@ object Dedup {
     benchmark.select(explode(shingleHashes(col("text"))).as("h")).distinct()
   }
 
-  /** The scrub kernel's inner frame against a PREBUILT hash set: the
-    * streamed path hands in the artifact's hashes directly.
+  /** Positional 3-shingles of a (doc_id, text) frame: (doc_id, pos, h) —
+    * the corpus side of every span operation (q136/q137/q139/q142).
     */
-  def scrubbedTokensByHashes(corpus: DataFrame, benchHashes: DataFrame): DataFrame = {
-    ShingleHashes.register(corpus.sparkSession)
-    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-    val pos = toks.filter(size(col("t")) >= 3)
+  def positionalShingles(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           """transform(sequence(1, size(t) - 2), i -> named_struct(
@@ -1147,7 +1160,15 @@ object Dedup {
             |  'h', CAST(conv(substring(md5(array_join(slice(t, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT)))""".stripMargin))
           .as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"))
-    val hitPos = pos.join(broadcast(benchHashes.select(col("h"))), Seq("h"))
+
+  /** The scrub kernel's inner frame against a PREBUILT hash set: the
+    * streamed path hands in the artifact's hashes directly.
+    */
+  def scrubbedTokensByHashes(corpus: DataFrame, benchHashes: DataFrame): DataFrame = {
+    ShingleHashes.register(corpus.sparkSession)
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val hitPos = positionalShingles(corpus)
+      .join(broadcast(benchHashes.select(col("h"))), Seq("h"))
       .groupBy("doc_id").agg(collect_list(col("pos")).as("hp"))
     toks.join(hitPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("t"),
@@ -1178,6 +1199,27 @@ object Dedup {
   /** The artifact-served scrub — the streamed path's kernel. */
   def scrubSpansByHashes(corpus: DataFrame, benchHashes: DataFrame): DataFrame =
     scrubStats(scrubbedTokensByHashes(corpus, benchHashes))
+
+  /** Incremental re-scrub under a GROWN benchmark (h2 ⊇ h1): a doc's
+    * verdict changes only if it has a positional hit in the DELTA
+    * h2 ∖ h1, so only delta-touched docs are re-scrubbed (under the FULL
+    * h2 — old and new hits both cover tokens) and every other doc keeps
+    * its v1 row verbatim. Work scales with the benchmark delta's hit
+    * density, never the corpus — the maintenance law a growing benchmark
+    * suite needs; the spec pins this union bit-equal to a full h2 scrub.
+    * `v1Rows` is the existing verdict store (scrubSpansByHashes(·, h1)
+    * shaped); in production it is read, not recomputed.
+    */
+  def incrementalRescrub(corpus: DataFrame, v1Rows: DataFrame,
+      h1: DataFrame, h2: DataFrame): DataFrame = {
+    val delta = h2.join(h1, Seq("h"), "left_anti")
+    val touched = positionalShingles(corpus)
+      .join(broadcast(delta), Seq("h"))
+      .select("doc_id").distinct()
+    val rescrubbed = scrubSpansByHashes(
+      corpus.join(touched, Seq("doc_id"), "left_semi"), h2)
+    v1Rows.join(touched, Seq("doc_id"), "left_anti").unionByName(rescrubbed)
+  }
 
   val q137 = Q("q137_span_scrub", q137OracleSql) { (s, dir) =>
     val d = docs(s, dir)
@@ -1472,6 +1514,65 @@ object Dedup {
       .orderBy("source")
   }
 
+  private def q142OracleSql: String =
+    s"""WITH $corpusPosCtesSql,
+       |${benchScrubCtesSql("doc_id < 25", "v1")},
+       |${benchScrubCtesSql("doc_id < 50", "v2")},
+       |per AS (
+       |  SELECT d.source,
+       |    a.n_tokens - CAST(len(a.st) AS BIGINT) AS nr1,
+       |    b.n_tokens - CAST(len(b.st) AS BIGINT) AS nr2
+       |  FROM v1scrub a
+       |  JOIN v2scrub b ON a.doc_id = b.doc_id
+       |  JOIN documents d ON a.doc_id = d.doc_id
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN nr1 = 0 AND nr2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_newly_contaminated,
+       |    CAST(SUM(nr2 - nr1) AS BIGINT) AS delta_tokens_removed,
+       |    CAST(SUM(nr2) AS BIGINT) AS tokens_removed_v2
+       |  FROM per GROUP BY source
+       |)
+       |SELECT source, n_docs, n_newly_contaminated, delta_tokens_removed, tokens_removed_v2
+       |FROM agg ORDER BY source""".stripMargin
+
+  /** q142 — benchmark RELEASE rotation: what changes when the benchmark
+    * grows from release v1 (doc_id < 25) to v2 (doc_id < 50)? Per
+    * source: docs newly contaminated, extra tokens the scrub now
+    * removes, and the total v2 removal mass. The v2 verdicts are built
+    * INCREMENTALLY (`incrementalRescrub`): only docs with a positional
+    * hit in the hash-set DELTA h2 ∖ h1 are re-scrubbed (under full h2),
+    * everyone else keeps their v1 row — so rotating a benchmark release
+    * costs work proportional to the delta's hit density, not a corpus
+    * re-scan of verdict-identical docs. OpsSpec pins the incremental
+    * union bit-equal to a full v2 scrub AND a planted v2-only benchmark
+    * item flipping exactly its target doc to newly-contaminated. The
+    * oracle computes BOTH releases from scratch, so the report's parity
+    * also re-proves the incremental law end-to-end.
+    */
+  val q142 = Q("q142_bench_release_delta", q142OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+    val h1 = benchShingleHashes(d.filter(col("doc_id") < 25)).localCheckpoint()
+    val h2 = benchShingleHashes(d.filter(col("doc_id") < 50)).localCheckpoint()
+    // v1 is "the existing store": materialize once — it feeds both the
+    // carry-over anti-join and the delta report
+    val v1 = scrubSpansByHashes(corpus, h1).localCheckpoint()
+    val v2 = incrementalRescrub(corpus, v1, h1, h2)
+    val per = v1.select(col("doc_id"), col("n_removed").as("nr1"))
+      .join(v2.select(col("doc_id"), col("n_removed").as("nr2")), Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    per.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nr1") === 0 && col("nr2") > 0, 1L).otherwise(0L))
+          .as("n_newly_contaminated"),
+        sum(col("nr2") - col("nr1")).cast("long").as("delta_tokens_removed"),
+        sum(col("nr2")).cast("long").as("tokens_removed_v2"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141)
+    q135, q136, q137, q138, q139, q140, q141, q142)
 }

@@ -1111,6 +1111,50 @@ class OpsSpec extends AnyFunSuite {
     repair.unpersist(); packs.unpersist()
   }
 
+  test("q142: incremental delta re-scrub is bit-equal to a full scrub under the grown benchmark") {
+    val d = Catalog.table(spark, sf, "documents")
+    val corpus = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+    val h1 = Dedup.benchShingleHashes(d.filter(col("doc_id") < 25)).localCheckpoint()
+    val h2 = Dedup.benchShingleHashes(d.filter(col("doc_id") < 50)).localCheckpoint()
+    val v1 = Dedup.scrubSpansByHashes(corpus, h1).localCheckpoint()
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String, Boolean)] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("scrubbed_fp"), r.getAs[Boolean]("was_contaminated")))).toMap
+    val incremental = m(Dedup.incrementalRescrub(corpus, v1, h1, h2))
+    val full = m(Dedup.scrubSpansByHashes(corpus, h2))
+    assert(incremental === full,
+      "delta-touched rescrub + v1 carry-over must equal the full v2 scrub")
+    // the law is non-vacuous: some docs were touched by the delta AND some carried over
+    val v1Map = m(v1)
+    val changed = full.count { case (id, row) => v1Map(id) != row }
+    assert(changed > 0, "the grown benchmark must actually change verdicts")
+    assert(changed < full.size, "some verdicts must carry over untouched")
+  }
+
+  test("q142: a v2-only benchmark item flips exactly its target doc to newly contaminated") {
+    import spark.implicits._
+    val benchV1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val benchV2 = benchV1.unionByName(
+      Seq((2L, "omega psi chi phi upsilon")).toDF("doc_id", "text"))
+    def fillers(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"${fillers(10, "fa")} alpha beta gamma delta epsilon zeta ${fillers(5, "fb")}"),
+      (101L, s"${fillers(10, "fc")} omega psi chi phi upsilon ${fillers(5, "fd")}"),
+      (102L, s"${fillers(20, "fe")}")).toDF("doc_id", "text")
+    val h1 = Dedup.benchShingleHashes(benchV1).localCheckpoint()
+    val h2 = Dedup.benchShingleHashes(benchV2).localCheckpoint()
+    val v1 = Dedup.scrubSpansByHashes(corpus, h1).localCheckpoint()
+    val v2 = Dedup.incrementalRescrub(corpus, v1, h1, h2)
+    val before = v1.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("was_contaminated")).toMap
+    val after = v2.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("was_contaminated")).toMap
+    assert(before === Map(100L -> true, 101L -> false, 102L -> false))
+    assert(after === Map(100L -> true, 101L -> true, 102L -> false),
+      "only the doc carrying the v2-only item may flip")
+  }
+
   test("q136: span-level containment agrees with q39's doc-level contamination flags") {
     val d = Catalog.table(spark, sf, "documents")
     val spanDocs = Dedup.contaminationSpans(
