@@ -1499,10 +1499,11 @@ object Dedup {
     * shape: the store has one row per corpus doc with fixed-width
     * columns; the report is one source-keyed hash aggregate over it.
     */
-  val q141 = Q("q141_scrub_report", q141OracleSql) { (s, dir) =>
-    val root = graft.streaming.ScrubStream.buildScrubStore(s, dir)
-    s.read.parquet(s"$root/rows")
-      .groupBy("source")
+  /** The report kernel shared by q141 and the streaming retention spec:
+    * per-source contamination rates over scrub-store rows.
+    */
+  def scrubReport(rows: DataFrame): DataFrame =
+    rows.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("was_contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
@@ -1512,6 +1513,10 @@ object Dedup {
       .select(col("source"), col("n_docs"), col("n_contaminated"),
         col("contaminated_bp"), col("tokens_before"), col("tokens_removed"))
       .orderBy("source")
+
+  val q141 = Q("q141_scrub_report", q141OracleSql) { (s, dir) =>
+    val root = graft.streaming.ScrubStream.buildScrubStore(s, dir)
+    scrubReport(s.read.parquet(s"$root/rows"))
   }
 
   private def q142OracleSql: String =

@@ -1863,5 +1863,29 @@ class StreamingSpec extends AnyFunSuite {
       benchRoot, store, checkpoint).awaitTermination()
     assert(spark.read.parquet(store).count() === expected.size.toLong,
       "re-delivered documents must not grow the scrub store")
+
+    // RETENTION: the store accretes per-batchId partitions; the O(delta)
+    // minor fold moves them into the base (batch_id=-1) without reading
+    // it — and NOTHING served off the store may change: rows, the q141
+    // report kernel, or the first-seen probe (base id -1 stays inside
+    // every `batch_id < batchId` history filter).
+    def reportRows(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.scrubReport(df).collect().map(_.toSeq).toSeq
+    val reportBefore = reportRows(spark.read.parquet(store))
+    graft.streaming.StoreCompaction.appendInto(
+      spark, store, upto = Long.MaxValue, bucketCols = Seq("doc_id"))
+    val partsAfter = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(partsAfter === Set("batch_id=-1"), s"all deltas must fold into the base: $partsAfter")
+    assert(vMap(spark.read.parquet(store)) === expected,
+      "folded store must serve the identical verdicts")
+    assert(reportRows(spark.read.parquet(store)) === reportBefore,
+      "the report kernel must not see the fold")
+    // the probe still dedups re-deliveries against the folded base
+    land(corpus.filter(col("doc_id") < cut), "f4.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchRoot, store, checkpoint).awaitTermination()
+    assert(spark.read.parquet(store).count() === expected.size.toLong,
+      "re-delivery after the fold must still be a no-op")
   }
 }
