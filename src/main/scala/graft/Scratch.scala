@@ -366,6 +366,55 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "scrubprobe") {
+      // The scrub family's cost laws at Nx corpus volume (default 8x):
+      // (a) a full scrub is linear in corpus positions (broadcast hash
+      // join + per-doc collect — no corpus2 term anywhere), and (b)
+      // rotating a benchmark release incrementally costs DELTA hit
+      // density, flat in how much of the corpus the delta never touches.
+      // First 1x is warmup.
+      import graft.ops.Dedup
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val d = Catalog.table(spark, sfDir, "documents")
+      val corpus1 = d.filter(col("doc_id") >= 50).select("doc_id", "text")
+      def at(m: Int) = (0 until m).map(k =>
+          corpus1.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      val h1 = Dedup.benchShingleHashes(
+        d.filter(col("doc_id") < 25).select("doc_id", "text")).localCheckpoint()
+      // tiny-delta release: one new benchmark item
+      val h1t = Dedup.benchShingleHashes(
+        d.filter(col("doc_id") < 49).select("doc_id", "text")).localCheckpoint()
+      val h2 = Dedup.benchShingleHashes(
+        d.filter(col("doc_id") < 50).select("doc_id", "text")).localCheckpoint()
+      // force through an aggregate of the computed column — a bare
+      // count() lets Catalyst eliminate the unique-key scrub join and
+      // measure only the corpus scan (the q124-probe lesson)
+      def force(df: org.apache.spark.sql.DataFrame): Long = {
+        df.agg(sum(col("n_removed"))).head(); df.count()
+      }
+      Seq(1, 1, mult).foreach { m =>
+        val c = at(m)
+        time(s"scrub.full_${m}x")(force(Dedup.scrubSpansByHashes(c, h2)))
+        val v1 = Dedup.scrubSpansByHashes(c, h1).localCheckpoint()
+        val v1t = Dedup.scrubSpansByHashes(c, h1t).localCheckpoint()
+        // the amortized inverted index (built once per corpus, outside
+        // the rotation timer — the point of the indexed path)
+        val index = Dedup.positionalShingles(c)
+          .select(col("h"), col("doc_id")).distinct().localCheckpoint()
+        // half-the-benchmark delta (25 new items) vs one-new-item delta,
+        // text-scan detection vs index-served detection
+        time(s"scrub.rot_incr_big_${m}x")(
+          force(Dedup.incrementalRescrub(c, v1, h1, h2)))
+        time(s"scrub.rot_incr_tiny_${m}x")(
+          force(Dedup.incrementalRescrub(c, v1t, h1t, h2)))
+        time(s"scrub.rot_idx_tiny_${m}x")(
+          force(Dedup.incrementalRescrubIndexed(c, v1t, index, h1t, h2)))
+        time(s"scrub.rot_full_${m}x")(force(Dedup.scrubSpansByHashes(c, h2)))
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without

@@ -1211,11 +1211,31 @@ object Dedup {
     * shaped); in production it is read, not recomputed.
     */
   def incrementalRescrub(corpus: DataFrame, v1Rows: DataFrame,
-      h1: DataFrame, h2: DataFrame): DataFrame = {
-    val delta = h2.join(h1, Seq("h"), "left_anti")
-    val touched = positionalShingles(corpus)
-      .join(broadcast(delta), Seq("h"))
-      .select("doc_id").distinct()
+      h1: DataFrame, h2: DataFrame): DataFrame =
+    rescrubTouched(corpus, v1Rows,
+      positionalShingles(corpus)
+        .join(broadcast(h2.join(h1, Seq("h"), "left_anti")), Seq("h"))
+        .select("doc_id").distinct(),
+      h2)
+
+  /** The indexed rotation — `incrementalRescrub` with touched-doc
+    * detection served from an inverted (h, doc_id) shingle INDEX instead
+    * of re-unrolling corpus text: the `scrubprobe` measured that
+    * text-scan detection makes rotation cost a full corpus scan at every
+    * delta size (the scrub itself is so cheap that detecting what to
+    * re-scrub was the whole bill), so the index is what actually makes
+    * rotation delta-keyed — the tiny delta broadcasts against the index
+    * scan, text is touched only for re-scrubbed docs.
+    */
+  def incrementalRescrubIndexed(corpus: DataFrame, v1Rows: DataFrame,
+      index: DataFrame, h1: DataFrame, h2: DataFrame): DataFrame =
+    rescrubTouched(corpus, v1Rows,
+      index.join(broadcast(h2.join(h1, Seq("h"), "left_anti")), Seq("h"))
+        .select("doc_id").distinct(),
+      h2)
+
+  private def rescrubTouched(corpus: DataFrame, v1Rows: DataFrame,
+      touched: DataFrame, h2: DataFrame): DataFrame = {
     val rescrubbed = scrubSpansByHashes(
       corpus.join(touched, Seq("doc_id"), "left_semi"), h2)
     v1Rows.join(touched, Seq("doc_id"), "left_anti").unionByName(rescrubbed)
@@ -1578,6 +1598,36 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** q143 — the release rotation SERVED off stores: each benchmark
+    * release owns a frozen, content-addressed verdict store
+    * (`ScrubStream.buildReleaseScrubStore`; v2's store is built
+    * INCREMENTALLY off v1's via `incrementalRescrub`, so the rotation
+    * itself already ran at delta cost), and the delta report joins the
+    * two stores on doc_id — zero corpus or benchmark scans
+    * (PlanSpec-pinned), q142's exact numbers (oracle shared verbatim, so
+    * parity PROVES the incrementally-built store carries full-scrub
+    * verdicts). This is q133's store-serving discipline applied to
+    * decontamination: rotation becomes a pure store operation.
+    */
+  val q143 = Q("q143_release_delta_served", q142OracleSql) { (s, dir) =>
+    val v1Root = graft.streaming.ScrubStream.buildReleaseScrubStore(s, dir, 25L, None)
+    val v2Root = graft.streaming.ScrubStream.buildReleaseScrubStore(
+      s, dir, 50L, Some((v1Root, 25L)))
+    val v1 = s.read.parquet(s"$v1Root/rows")
+      .select(col("doc_id"), col("n_removed").as("nr1"))
+    val v2 = s.read.parquet(s"$v2Root/rows")
+      .select(col("doc_id"), col("source"), col("n_removed").as("nr2"))
+    v1.join(v2, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nr1") === 0 && col("nr2") > 0, 1L).otherwise(0L))
+          .as("n_newly_contaminated"),
+        sum(col("nr2") - col("nr1")).cast("long").as("delta_tokens_removed"),
+        sum(col("nr2")).cast("long").as("tokens_removed_v2"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }

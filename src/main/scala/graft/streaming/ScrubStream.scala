@@ -127,4 +127,82 @@ object ScrubStream {
     }
     root
   }
+
+  /** Where the inverted (h, doc_id) shingle index for a corpus lives. */
+  def shingleIndexPath(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_shingle_index_v1_$key"
+  }
+
+  /** Build (or reuse) the inverted shingle index: DISTINCT (h, doc_id)
+    * pairs over the corpus's positional 3-shingles. Built once per
+    * corpus and amortized across every benchmark-release rotation —
+    * touched-doc detection becomes a broadcast join of the (tiny) hash
+    * delta against this index, with no corpus text unroll at all.
+    */
+  def buildShingleIndex(s: SparkSession, dir: String): String = {
+    val root = shingleIndexPath(dir)
+    val marker = new java.io.File(root, "_INDEX_COMMITTED")
+    if (!marker.exists()) {
+      val corpus = graft.Catalog.table(s, dir, "documents")
+        .filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+      Dedup.positionalShingles(corpus).select(col("h"), col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(s"$root/pairs")
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** Where a RELEASE-keyed scrub store lives: corpus identity × the
+    * benchmark release's id bound — each benchmark release gets its own
+    * frozen verdict store.
+    */
+  def releaseScrubStorePath(dir: String, benchMaxId: Long): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}:r$benchMaxId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_scrub_release_v1_$key"
+  }
+
+  /** Build a release's scrub store. With `prev` (an earlier release's
+    * committed store and its id bound), the build is INCREMENTAL —
+    * `Dedup.incrementalRescrub` re-scrubs only the docs the release
+    * delta touches and carries every other row over from the previous
+    * store verbatim, so rotating a benchmark release costs delta hit
+    * density, not a corpus re-scan. Without `prev`, a full scrub.
+    */
+  def buildReleaseScrubStore(s: SparkSession, dir: String, benchMaxId: Long,
+      prev: Option[(String, Long)] = None): String = {
+    val root = releaseScrubStorePath(dir, benchMaxId)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = graft.Catalog.table(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"), col("source"))
+      val h2 = Dedup.benchShingleHashes(
+        d.filter(col("doc_id") < benchMaxId).select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val rows = prev match {
+        case Some((prevRoot, prevMaxId)) =>
+          val h1 = Dedup.benchShingleHashes(
+            d.filter(col("doc_id") < prevMaxId).select(col("doc_id"), col("text")))
+            .localCheckpoint()
+          val v1 = s.read.parquet(s"$prevRoot/rows")
+          val index = s.read.parquet(s"${buildShingleIndex(s, dir)}/pairs")
+          Dedup.incrementalRescrubIndexed(
+              corpus.select(col("doc_id"), col("text")),
+              v1.drop("source", "batch_id"), index, h1, h2)
+            .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+        case None =>
+          batchScrub(corpus, h2)
+      }
+      rows.write.mode("overwrite").parquet(s"$root/rows/batch_id=0")
+      marker.createNewFile()
+    }
+    root
+  }
 }

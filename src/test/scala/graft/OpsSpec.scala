@@ -1125,6 +1125,11 @@ class OpsSpec extends AnyFunSuite {
     val full = m(Dedup.scrubSpansByHashes(corpus, h2))
     assert(incremental === full,
       "delta-touched rescrub + v1 carry-over must equal the full v2 scrub")
+    // and the index-served detection path lands on the identical rows
+    val index = Dedup.positionalShingles(corpus)
+      .select(col("h"), col("doc_id")).distinct().localCheckpoint()
+    assert(m(Dedup.incrementalRescrubIndexed(corpus, v1, index, h1, h2)) === full,
+      "index-served rotation must equal the full v2 scrub")
     // the law is non-vacuous: some docs were touched by the delta AND some carried over
     val v1Map = m(v1)
     val changed = full.count { case (id, row) => v1Map(id) != row }

@@ -70,6 +70,16 @@ class PlanSpec extends AnyFunSuite {
       s"the report must never re-read documents:\n$p")
   }
 
+  test("q143: release delta report reads ONLY the two release stores") {
+    val p = plan("q143_release_delta_served")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.nonEmpty, s"the stores must be scanned:\n$p")
+    assert(located.forall(_.contains("graft_scrub_release")),
+      s"every scan must hit a release store:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet"),
+      s"rotation must be a pure store operation:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
