@@ -73,7 +73,7 @@ object ScrubStream {
     * rest against the artifact, overwrite the per-batchId partition.
     */
   def scrubSink(stream: DataFrame, benchArtifactRoot: String, storeDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, indexDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .queryName("scrub_stream")
       .option("checkpointLocation", checkpointDir)
@@ -91,9 +91,23 @@ object ScrubStream {
               .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_semi")
             batch.join(broadcast(known), Seq("doc_id"), "left_anti")
           } else batch
+        // the batch is unrolled into positional shingles once anyway —
+        // materialize one localCheckpoint so the verdict write and the
+        // index delta don't re-tokenize
+        val freshMat = fresh.localCheckpoint()
         val bench = spark.read.parquet(s"$benchArtifactRoot/hashes")
-        batchScrub(fresh, bench)
+        batchScrub(freshMat, bench)
           .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+        // maintain the inverted shingle index alongside the verdicts:
+        // per-batch (h, doc_id) delta partitions, overwrite-idempotent
+        // like the store itself. Docs are first-seen-unique across
+        // batches, so the union of deltas IS the distinct corpus index
+        // and rotation reads it via partition discovery.
+        indexDir.foreach { idx =>
+          Dedup.positionalShingles(freshMat.select(col("doc_id"), col("text")))
+            .select(col("h"), col("doc_id")).distinct()
+            .write.mode("overwrite").parquet(s"$idx/batch_id=$batchId")
+        }
         ()
       }
       .start()

@@ -1822,6 +1822,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ops.Dedup
     val landing = tmpDir("graft-scrub-landing")
     val store = tmpDir("graft-scrub-store") + "/rows"
+    val index = tmpDir("graft-scrub-index") + "/pairs"
     val checkpoint = tmpDir("graft-scrub-ckpt")
     val sf = "/root/testdata/sf0.001"
     val docs = Catalog.table(spark, sf, "documents")
@@ -1840,10 +1841,10 @@ class StreamingSpec extends AnyFunSuite {
 
     land(corpus.filter(col("doc_id") < cut), "f1.parquet")
     ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
-      benchRoot, store, checkpoint).awaitTermination()
+      benchRoot, store, checkpoint, Some(index)).awaitTermination()
     land(corpus.filter(col("doc_id") >= cut), "f2.parquet")
     ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
-      benchRoot, store, checkpoint).awaitTermination()
+      benchRoot, store, checkpoint, Some(index)).awaitTermination()
 
     // the streamed store must carry EXACTLY the batch q137 verdicts
     // (kernel shared verbatim; the artifact hash set == the inline set)
@@ -1860,7 +1861,7 @@ class StreamingSpec extends AnyFunSuite {
     // re-deliver the same content under a new name: first-seen wins, store unchanged
     land(corpus.filter(col("doc_id") >= cut), "f3.parquet")
     ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
-      benchRoot, store, checkpoint).awaitTermination()
+      benchRoot, store, checkpoint, Some(index)).awaitTermination()
     assert(spark.read.parquet(store).count() === expected.size.toLong,
       "re-delivered documents must not grow the scrub store")
 
@@ -1884,8 +1885,36 @@ class StreamingSpec extends AnyFunSuite {
     // the probe still dedups re-deliveries against the folded base
     land(corpus.filter(col("doc_id") < cut), "f4.parquet")
     ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
-      benchRoot, store, checkpoint).awaitTermination()
+      benchRoot, store, checkpoint, Some(index)).awaitTermination()
     assert(spark.read.parquet(store).count() === expected.size.toLong,
       "re-delivery after the fold must still be a no-op")
+
+    // SINK-MAINTAINED SHINGLE INDEX: the union of per-batch deltas must
+    // be exactly the one-shot corpus index (docs are first-seen-unique
+    // across batches, so no cross-batch dedup is needed)...
+    import graft.ops.Dedup
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("h", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = pairSet(Dedup.positionalShingles(
+      corpus.select(col("doc_id"), col("text"))).select("h", "doc_id").distinct())
+    assert(pairSet(spark.read.parquet(index)) === oneShot,
+      "sink-maintained index must equal the one-shot corpus index")
+    // ...rotation served off the sink-built index equals a full re-scrub...
+    val h1 = Dedup.benchShingleHashes(docs.filter(col("doc_id") < 25)).localCheckpoint()
+    val h2 = Dedup.benchShingleHashes(docs.filter(col("doc_id") < 50)).localCheckpoint()
+    val v1 = Dedup.scrubSpansByHashes(
+      corpus.select(col("doc_id"), col("text")), h1).localCheckpoint()
+    def rot() = vMap(Dedup.incrementalRescrubIndexed(
+      corpus.select(col("doc_id"), col("text")), v1,
+      spark.read.parquet(index).drop("batch_id"), h1, h2))
+    val fullV2 = vMap(Dedup.scrubSpansByHashes(corpus.select(col("doc_id"), col("text")), h2))
+    assert(rot() === fullV2, "rotation off the sink-built index must equal the full scrub")
+    // ...and folding the index deltas into the base changes nothing
+    graft.streaming.StoreCompaction.appendInto(
+      spark, index, upto = Long.MaxValue, bucketCols = Seq("h"))
+    assert(pairSet(spark.read.parquet(index)) === oneShot,
+      "folded index must carry the identical pairs")
+    assert(rot() === fullV2, "rotation off the folded index must be unchanged")
   }
 }
