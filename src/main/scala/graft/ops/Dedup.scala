@@ -1628,6 +1628,57 @@ object Dedup {
       .orderBy("source")
   }
 
+  private def q144OracleSql: String =
+    s"""WITH $corpusPosCtesSql,
+       |${benchScrubCtesSql("doc_id < 50", "")},
+       |corpus_n AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id >= 50
+       |)
+       |SELECT kind, n_rows FROM (
+       |  SELECT 'bench_hashes' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows FROM ba
+       |  UNION ALL
+       |  SELECT 'index_pairs', CAST(COUNT(*) AS BIGINT)
+       |  FROM (SELECT DISTINCT h, doc_id FROM ce)
+       |  UNION ALL SELECT 'release_v1', n FROM corpus_n
+       |  UNION ALL SELECT 'release_v2', n FROM corpus_n
+       |  UNION ALL SELECT 'scrub_rows', n FROM corpus_n
+       |)
+       |ORDER BY kind""".stripMargin
+
+  /** q144 — the scrub family's ARTIFACT MANIFEST as one oracled row set:
+    * every serving artifact (benchmark hash set, verdict store, both
+    * release stores, inverted shingle index) reports its row count, and
+    * the oracle re-derives what each count MUST be from raw documents —
+    * so a green row proves the corresponding artifact is complete (every
+    * bench shingle present, one verdict row per corpus doc in the store
+    * and in BOTH release stores including the incrementally-built one,
+    * the full distinct (h, doc_id) index). This is the "is the whole
+    * serving surface current" call the sidecar protocol answers for the
+    * vector indexes, promoted to a cross-artifact oracled query; the
+    * build calls are marker-amortized, and the manifest itself scans
+    * only artifacts (PlanSpec pins zero `documents` scans).
+    */
+  val q144 = Q("q144_artifact_manifest", q144OracleSql) { (s, dir) =>
+    import graft.streaming.ScrubStream
+    val benchRoot = ScrubStream.buildBenchArtifact(s, dir)
+    val storeRoot = ScrubStream.buildScrubStore(s, dir)
+    val idxRoot = ScrubStream.buildShingleIndex(s, dir)
+    val v1Root = ScrubStream.buildReleaseScrubStore(s, dir, 25L, None)
+    val v2Root = ScrubStream.buildReleaseScrubStore(s, dir, 50L, Some((v1Root, 25L)))
+    Seq(
+      "bench_hashes" -> s"$benchRoot/hashes",
+      "index_pairs" -> s"$idxRoot/pairs",
+      "release_v1" -> s"$v1Root/rows",
+      "release_v2" -> s"$v2Root/rows",
+      "scrub_rows" -> s"$storeRoot/rows")
+      .map { case (kind, path) =>
+        s.read.parquet(path).agg(count(lit(1)).as("n_rows"))
+          .select(lit(kind).as("kind"), col("n_rows"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy("kind")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
 }

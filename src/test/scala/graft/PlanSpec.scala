@@ -80,6 +80,18 @@ class PlanSpec extends AnyFunSuite {
       s"rotation must be a pure store operation:\n$p")
   }
 
+  test("q144: artifact manifest scans only artifacts, never documents") {
+    val p = plan("q144_artifact_manifest")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.nonEmpty, s"the artifacts must be scanned:\n$p")
+    assert(located.forall(l => l.contains("graft_bench_shingles") ||
+      l.contains("graft_scrub_store") || l.contains("graft_scrub_release") ||
+      l.contains("graft_shingle_index")),
+      s"every scan must hit a scrub-family artifact:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet"),
+      s"the manifest must never re-read documents:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
