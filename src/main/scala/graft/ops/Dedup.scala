@@ -1628,22 +1628,34 @@ object Dedup {
       .orderBy("source")
   }
 
-  private def q144OracleSql: String =
+  private def q144OracleSql: String = {
+    // order-free, engine-reproducible content fingerprint: bit_xor of
+    // h60 over each artifact's canonical row key (NOT xxhash — DuckDB
+    // lacks it; NOT an integer SUM — DuckDB raises on BIGINT overflow
+    // where Spark wraps)
+    val scrubRowFp = h60Sql("CAST(doc_id AS VARCHAR) || ':' || " +
+      "md5(COALESCE(array_to_string(st, ' '), ''))")
     s"""WITH $corpusPosCtesSql,
        |${benchScrubCtesSql("doc_id < 50", "")},
-       |corpus_n AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id >= 50
+       |${benchScrubCtesSql("doc_id < 25", "v1")},
+       |scrub_agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, bit_xor($scrubRowFp) AS fp FROM scrub
+       |), v1_agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, bit_xor($scrubRowFp) AS fp FROM v1scrub
        |)
-       |SELECT kind, n_rows FROM (
-       |  SELECT 'bench_hashes' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows FROM ba
+       |SELECT kind, n_rows, content_fp FROM (
+       |  SELECT 'bench_hashes' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    bit_xor(h) AS content_fp FROM ba
        |  UNION ALL
-       |  SELECT 'index_pairs', CAST(COUNT(*) AS BIGINT)
+       |  SELECT 'index_pairs', CAST(COUNT(*) AS BIGINT),
+       |    bit_xor(${h60Sql("CAST(h AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")})
        |  FROM (SELECT DISTINCT h, doc_id FROM ce)
-       |  UNION ALL SELECT 'release_v1', n FROM corpus_n
-       |  UNION ALL SELECT 'release_v2', n FROM corpus_n
-       |  UNION ALL SELECT 'scrub_rows', n FROM corpus_n
+       |  UNION ALL SELECT 'release_v1', n, fp FROM v1_agg
+       |  UNION ALL SELECT 'release_v2', n, fp FROM scrub_agg
+       |  UNION ALL SELECT 'scrub_rows', n, fp FROM scrub_agg
        |)
        |ORDER BY kind""".stripMargin
+  }
 
   /** q144 — the scrub family's ARTIFACT MANIFEST as one oracled row set:
     * every serving artifact (benchmark hash set, verdict store, both
@@ -1665,15 +1677,20 @@ object Dedup {
     val idxRoot = ScrubStream.buildShingleIndex(s, dir)
     val v1Root = ScrubStream.buildReleaseScrubStore(s, dir, 25L, None)
     val v2Root = ScrubStream.buildReleaseScrubStore(s, dir, 50L, Some((v1Root, 25L)))
+    // canonical row key per artifact kind; fingerprint = bit_xor of its
+    // h60 — order-free and identical to the oracle's algebra
+    val scrubKey = h60Col(concat(col("doc_id").cast("string"), lit(":"), col("scrubbed_fp")))
+    val pairKey = h60Col(concat(col("h").cast("string"), lit(":"), col("doc_id").cast("string")))
     Seq(
-      "bench_hashes" -> s"$benchRoot/hashes",
-      "index_pairs" -> s"$idxRoot/pairs",
-      "release_v1" -> s"$v1Root/rows",
-      "release_v2" -> s"$v2Root/rows",
-      "scrub_rows" -> s"$storeRoot/rows")
-      .map { case (kind, path) =>
-        s.read.parquet(path).agg(count(lit(1)).as("n_rows"))
-          .select(lit(kind).as("kind"), col("n_rows"))
+      ("bench_hashes", s"$benchRoot/hashes", col("h")),
+      ("index_pairs", s"$idxRoot/pairs", pairKey),
+      ("release_v1", s"$v1Root/rows", scrubKey),
+      ("release_v2", s"$v2Root/rows", scrubKey),
+      ("scrub_rows", s"$storeRoot/rows", scrubKey))
+      .map { case (kind, path, key) =>
+        s.read.parquet(path).select(key.as("__fp"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__fp)").as("content_fp"))
+          .select(lit(kind).as("kind"), col("n_rows"), col("content_fp"))
       }
       .reduce(_.unionByName(_))
       .orderBy("kind")
