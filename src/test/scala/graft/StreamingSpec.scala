@@ -1917,4 +1917,74 @@ class StreamingSpec extends AnyFunSuite {
       "folded index must carry the identical pairs")
     assert(rot() === fullV2, "rotation off the folded index must be unchanged")
   }
+
+  test("scrub stream: a release rotates WHILE the corpus grows — final store equals the full v2 scrub") {
+    import graft.streaming.ScrubStream
+    import graft.ops.Dedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val h1 = Dedup.benchShingleHashes(docs.filter(col("doc_id") < 25)).localCheckpoint()
+    val h2 = Dedup.benchShingleHashes(docs.filter(col("doc_id") < 50)).localCheckpoint()
+    // two release artifacts (bench hash parquet is the whole artifact shape)
+    val benchV1 = tmpDir("graft-rot-bv1"); val benchV2 = tmpDir("graft-rot-bv2")
+    h1.write.mode("overwrite").parquet(s"$benchV1/hashes")
+    h2.write.mode("overwrite").parquet(s"$benchV2/hashes")
+
+    val landing = tmpDir("graft-rot-landing")
+    val index = tmpDir("graft-rot-index") + "/pairs"
+    val storeV1 = tmpDir("graft-rot-s1") + "/rows"
+    val storeV2 = tmpDir("graft-rot-s2") + "/rows"
+    val ckpt1 = tmpDir("graft-rot-ck1"); val ckpt2 = tmpDir("graft-rot-ck2")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-rot-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // phase 1: chunk A lands under release v1 (verdicts + index maintained)
+    val chunkA = corpus.filter(col("doc_id") < cut)
+    land(chunkA, "a.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchV1, storeV1, ckpt1, Some(index)).awaitTermination()
+
+    // phase 2: the release ROTATES mid-stream — v2 store seeded as the
+    // indexed rotation of the v1 store over the corpus-so-far, written
+    // to the BASE partition so the sink's history probe sees it
+    val rotated = Dedup.incrementalRescrubIndexed(
+        chunkA.select(col("doc_id"), col("text")),
+        spark.read.parquet(storeV1).drop("source", "batch_id"),
+        spark.read.parquet(index).drop("batch_id"), h1, h2)
+      .join(chunkA.select(col("doc_id"), col("source")), Seq("doc_id"))
+    rotated.write.mode("overwrite").parquet(s"$storeV2/batch_id=-1")
+    // rotation maintenance also folds the index deltas into the base:
+    // the v2 stream restarts batch ids at 0 (its own checkpoint), and
+    // without the fold its first delta would overwrite chunk A's
+    graft.streaming.StoreCompaction.appendInto(
+      spark, index, upto = Long.MaxValue, bucketCols = Seq("h"))
+
+    // phase 3: chunk B lands AFTER rotation, scrubbed against v2
+    land(corpus.filter(col("doc_id") >= cut), "b.parquet")
+    ScrubStream.scrubSink(ScrubStream.readDocStream(spark, landing),
+      benchV2, storeV2, ckpt2, Some(index)).awaitTermination()
+
+    // the composed store must equal a one-shot full-corpus v2 scrub
+    def vMap2(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String, Boolean)] =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("scrubbed_fp"), r.getAs[Boolean]("was_contaminated")))).toMap
+    val expected = vMap2(Dedup.scrubSpansByHashes(
+      corpus.select(col("doc_id"), col("text")), h2))
+    assert(vMap2(spark.read.parquet(storeV2)) === expected,
+      "rotation-mid-stream store must equal the full v2 scrub of the grown corpus")
+    // and the index kept growing across the rotation: it covers BOTH chunks
+    val idxDocs = spark.read.parquet(index).select("doc_id").distinct().count()
+    val posDocs = Dedup.positionalShingles(corpus.select(col("doc_id"), col("text")))
+      .select("doc_id").distinct().count()
+    assert(idxDocs === posDocs, "index must cover the whole grown corpus")
+  }
 }
