@@ -2378,5 +2378,86 @@ object Similarity {
         maxDelta >= 500).as("rebuild"))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132)
+  private def q145OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id, b.vec_id AS b_id,
+       |    ${dotSql.format("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS sim
+       |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+       |), strong AS (
+       |  SELECT vec_id, b_id, sim FROM p WHERE sim >= $SemDupThreshold
+       |), splits AS (
+       |  ${graft.ops.TextOps.splitAssignmentSql}
+       |), tagged AS (
+       |  SELECT least(s1.split, s2.split) AS split_a, greatest(s1.split, s2.split) AS split_b,
+       |    p.vec_id, p.b_id, p.sim
+       |  FROM strong p
+       |  JOIN splits s1 ON p.vec_id = s1.doc_id
+       |  JOIN splits s2 ON p.b_id = s2.doc_id
+       |), docsides AS (
+       |  SELECT split_a, split_b, vec_id AS d FROM tagged
+       |  UNION
+       |  SELECT split_a, split_b, b_id AS d FROM tagged
+       |), dcount AS (
+       |  SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM docsides GROUP BY 1, 2
+       |)
+       |SELECT t.split_a, t.split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MAX(dc.n_docs) AS n_docs,
+       |  FLOOR(MAX(t.sim) * 10000.0 + 0.5) / 10000.0 AS max_sim,
+       |  (t.split_a <> t.split_b) AS is_leak
+       |FROM tagged t JOIN dcount dc ON t.split_a = dc.split_a AND t.split_b = dc.split_b
+       |GROUP BY t.split_a, t.split_b
+       |ORDER BY t.split_a, t.split_b""".stripMargin
+
+  /** q145 — SEMANTIC split-leakage audit, the embedding twin of the
+    * lexical q135: content-hash splitting cannot see that a val/test
+    * document is a paraphrase of a train document, so the residual
+    * eval-integrity risk after lexical auditing is exactly the
+    * semantically-near cross-split pairs. Pairs are q100's SemDeDup
+    * candidates (cluster-blocked cosine, Σ cluster² never corpus²; label
+    * clusters here, the learned-kmeans key at 100 TB per q104), kept at
+    * the SemDeDup threshold, tagged with both sides' q55 split
+    * (vec_id ↔ doc_id) and rolled into the same split×split leak matrix
+    * as q135 — so the lexical and semantic audits read identically side
+    * by side. Scale shape: q100's pair join + two doc-keyed split joins
+    * + a 6-group rollup.
+    */
+  val q145 = Q("q145_semantic_leakage", q145OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nn", norm(col("v")))
+    val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("bv"), col("nn").as("bn"))
+    val strong = e.join(b2, col("label") === col("b_label") && col("b_id") < col("vec_id"))
+      .select(col("vec_id"), col("b_id"),
+        (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"))
+      .filter(col("sim") >= SemDupThreshold)
+    val splits = Catalog.table(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.TextOps.splitAssignment(col("text")).as("split"))
+    val tagged = strong
+      .join(splits.select(col("doc_id").as("vec_id"), col("split").as("_sa")), Seq("vec_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("_sb")), Seq("b_id"))
+      .select(
+        least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"),
+        col("vec_id"), col("b_id"), col("sim"))
+    val dcount = tagged
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("vec_id"), col("b_id"))).as("d"))
+      .distinct()
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_docs"))
+    tagged.groupBy("split_a", "split_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        graft.queries.Det.dround(max(col("sim")), 4).as("max_sim"))
+      .join(dcount, Seq("split_a", "split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"),
+        col("max_sim"), (col("split_a") =!= col("split_b")).as("is_leak"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145)
 }

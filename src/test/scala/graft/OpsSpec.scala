@@ -1160,6 +1160,25 @@ class OpsSpec extends AnyFunSuite {
       "only the doc carrying the v2-only item may flip")
   }
 
+  test("q145: semantic leakage audit finds cross-split near-pairs the lexical audit cannot") {
+    val out = Similarity.q145.fn(spark, sf).cache()
+    val rows = out.collect()
+    // matrix invariants: is_leak iff split boundaries differ; n_docs
+    // bounded by 2 docs per pair
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_leak") ===
+        (r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+      assert(r.getAs[Long]("n_docs") <= 2 * r.getAs[Long]("n_pairs"))
+    }
+    // the audit is non-vacuous on this corpus: semantic pairs exist and
+    // at least one crosses a split boundary (a LEXICAL audit cannot see
+    // it — these pairs share embedding space, not 3-shingles)
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Boolean]("is_leak")),
+      "the fixture must exhibit real cross-split semantic leakage")
+    out.unpersist()
+  }
+
   test("q136: span-level containment agrees with q39's doc-level contamination flags") {
     val d = Catalog.table(spark, sf, "documents")
     val spanDocs = Dedup.contaminationSpans(

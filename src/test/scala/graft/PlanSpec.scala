@@ -92,6 +92,12 @@ class PlanSpec extends AnyFunSuite {
       s"the manifest must never re-read documents:\n$p")
   }
 
+  test("q145: semantic leak pairs stay cluster-blocked — equi-joins only") {
+    val p = plan("q145_semantic_leakage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semantic audit must stay cluster-blocked:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
