@@ -1247,31 +1247,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Oracle CTE chain (recursive) ending in `members` (clustered doc,
-    * cluster_id, current split) and `rep` (cluster_id, final_split) —
-    * shared by q138 and the repaired-packing pass q140.
+  /** Oracle fragment: components → splits → majority, generic over any
+    * (doc_id, doc_b) pair relation — q138/q140 run it on the lexical
+    * strong pairs, q146 on the lexical ∪ semantic union.
     */
-  private def leakRepairCtesSql: String =
-    s"""WITH RECURSIVE ${shingleCtesBody("documents")}, sigs AS (
-       |  SELECT doc_id,
-       |$sigDefsSql
-       |  FROM hs
-       |), bands AS (
-       |$bandSelectsSql
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |), jac AS (
-       |  SELECT c.doc_id, c.doc_b,
-       |    CAST(len(list_filter(ha.hh, h -> list_contains(hb.hh, h))) AS DOUBLE)
-       |      / (len(ha.hh) + len(hb.hh) - len(list_filter(ha.hh, h -> list_contains(hb.hh, h)))) AS j
-       |  FROM cand c JOIN hs ha ON c.doc_id = ha.doc_id JOIN hs hb ON c.doc_b = hb.doc_id
-       |), strong AS (
-       |  SELECT doc_id, doc_b FROM jac WHERE j >= 0.5
-       |), edges AS (
-       |  SELECT doc_id AS src, doc_b AS dst FROM strong
-       |  UNION ALL SELECT doc_b AS src, doc_id AS dst FROM strong
+  private[ops] def repairTailCtesSql(pairsRel: String): String =
+    s"""edges AS (
+       |  SELECT doc_id AS src, doc_b AS dst FROM $pairsRel
+       |  UNION ALL SELECT doc_b AS src, doc_id AS dst FROM $pairsRel
        |), verts AS (
        |  SELECT DISTINCT src AS v FROM edges
        |), reach AS (
@@ -1294,6 +1277,36 @@ object Dedup {
        |), rep AS (
        |  SELECT cluster_id, final_split FROM maj WHERE rn = 1
        |)""".stripMargin
+
+  /** Oracle CTE chain (recursive) ending in `members` (clustered doc,
+    * cluster_id, current split) and `rep` (cluster_id, final_split) —
+    * shared by q138 and the repaired-packing pass q140.
+    */
+  /** Oracle fragment: the lexical strong-pair chain ending in `strong`
+    * (doc_id, doc_b with exact Jaccard ≥ 0.5) — no WITH prefix.
+    */
+  private[ops] def lexStrongCtesSql: String =
+    s"""${shingleCtesBody("documents")}, sigs AS (
+       |  SELECT doc_id,
+       |$sigDefsSql
+       |  FROM hs
+       |), bands AS (
+       |$bandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), jac AS (
+       |  SELECT c.doc_id, c.doc_b,
+       |    CAST(len(list_filter(ha.hh, h -> list_contains(hb.hh, h))) AS DOUBLE)
+       |      / (len(ha.hh) + len(hb.hh) - len(list_filter(ha.hh, h -> list_contains(hb.hh, h)))) AS j
+       |  FROM cand c JOIN hs ha ON c.doc_id = ha.doc_id JOIN hs hb ON c.doc_b = hb.doc_id
+       |), strong AS (
+       |  SELECT doc_id, doc_b FROM jac WHERE j >= 0.5
+       |)""".stripMargin
+
+  private def leakRepairCtesSql: String =
+    s"WITH RECURSIVE $lexStrongCtesSql, ${repairTailCtesSql("strong")}"
 
   private def q138OracleSql: String =
     s"""$leakRepairCtesSql
@@ -1696,6 +1709,81 @@ object Dedup {
       .orderBy("kind")
   }
 
+  private def q146OracleSql: String =
+    s"""WITH RECURSIVE $lexStrongCtesSql,
+       |${Similarity.semStrongCtesSql},
+       |allpairs AS (
+       |  -- DISTINCT over UNION ALL, not bare UNION: inside WITH RECURSIVE
+       |  -- DuckDB treats a CTE's top-level UNION as the (non-deduplicating)
+       |  -- anchor/step form even when the CTE never self-references
+       |  SELECT DISTINCT doc_id, doc_b FROM (
+       |    SELECT doc_id, doc_b FROM strong
+       |    UNION ALL SELECT doc_id, doc_b FROM semstrong)
+       |), ${repairTailCtesSql("allpairs")},
+       |lexdocs AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id FROM strong UNION ALL SELECT doc_b FROM strong)
+       |), semdocs AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id FROM semstrong UNION ALL SELECT doc_b FROM semstrong)
+       |)
+       |SELECT m.doc_id, m.cluster_id, m.split, j.final_split,
+       |  (m.split <> j.final_split) AS moved,
+       |  (ld.doc_id IS NOT NULL) AS in_lexical,
+       |  (sd.doc_id IS NOT NULL) AS in_semantic
+       |FROM members m
+       |JOIN rep j ON m.cluster_id = j.cluster_id
+       |LEFT JOIN lexdocs ld ON m.doc_id = ld.doc_id
+       |LEFT JOIN semdocs sd ON m.doc_id = sd.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+
+  /** q146 — UNIFIED leak repair: one assignment closing BOTH audits.
+    * The lexical (q135) and semantic (q145) pair graphs are unioned and
+    * repaired as one component structure — necessary because the graphs
+    * CHAIN THROUGH each other (doc A lexically near B, B semantically
+    * near C: repairing either graph alone can leave the other leaking
+    * through the shared doc), so the repair unit must be the component
+    * of the UNION. Same majority rule as q138; each doc also reports
+    * which graph(s) pulled it in (`in_lexical`/`in_semantic`) — the
+    * docs with only `in_semantic` are exactly the repairs a
+    * lexical-only pipeline would have missed. The spec re-audits both
+    * pair sets under the final assignment to zero.
+    */
+  val q146 = Q("q146_unified_leak_repair", q146OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    // each pair pipeline feeds the union AND its provenance flag —
+    // evaluate once
+    val lex = jaccardLshPairs(d, 0.5).select("doc_id", "doc_b").localCheckpoint()
+    val sem = Similarity.semanticStrongPairs(s, dir).localCheckpoint()
+    val pairs = lex.unionByName(sem).distinct()
+      .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint() // feeds edges, vertices, the CC loop, and both flags
+    val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
+    val verts = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct()
+    val members = Cluster.connectedComponents(pairs, verts)
+      .join(splits, col("id") === col("doc_id"))
+      .select(col("doc_id"), col("component").as("cluster_id"), col("split"))
+    val majority = members.groupBy("cluster_id", "split").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("cnt").desc, col("split").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("split").as("final_split"))
+    val lexDocs = lex.select(col("doc_id")).union(lex.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("in_lexical", lit(true))
+    val semDocs = sem.select(col("doc_id")).union(sem.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("in_semantic", lit(true))
+    members.join(majority, Seq("cluster_id"))
+      .join(lexDocs, Seq("doc_id"), "left")
+      .join(semDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("final_split"),
+        (col("split") =!= col("final_split")).as("moved"),
+        coalesce(col("in_lexical"), lit(false)).as("in_lexical"),
+        coalesce(col("in_semantic"), lit(false)).as("in_semantic"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146)
 }

@@ -2378,6 +2378,38 @@ object Similarity {
         maxDelta >= 500).as("rebuild"))
   }
 
+  /** (doc_id, doc_b) semantic strong pairs — q145's candidates exported
+    * for the unified repair (q146): label-blocked cosine ≥ the SemDeDup
+    * threshold, vec_id ↔ doc_id.
+    */
+  def semanticStrongPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecDot.register(s)
+    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nn", norm(col("v")))
+    val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("v").as("bv"), col("nn").as("bn"))
+    e.join(b2, col("label") === col("b_label") && col("b_id") < col("vec_id"))
+      .select(col("vec_id"), col("b_id"),
+        (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"))
+      .filter(col("sim") >= SemDupThreshold)
+      .select(col("vec_id").as("doc_id"), col("b_id").as("doc_b"))
+  }
+
+  /** Oracle fragment: the semantic strong-pair chain ending in
+    * `semstrong` (doc_id, doc_b) — CTE names chosen to coexist with the
+    * lexical chain in one WITH.
+    */
+  def semStrongCtesSql: String =
+    s"""se AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+       |), sp AS (
+       |  SELECT a.vec_id, b.vec_id AS b_id,
+       |    ${dotSql.format("a.v", "b.v")} / (${normSql("a.v")} * ${normSql("b.v")}) AS sim
+       |  FROM se a JOIN se b ON a.label = b.label AND b.vec_id < a.vec_id
+       |), semstrong AS (
+       |  SELECT vec_id AS doc_id, b_id AS doc_b FROM sp WHERE sim >= $SemDupThreshold
+       |)""".stripMargin
+
   private def q145OracleSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -1179,6 +1179,24 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q146: the unified repair closes BOTH the lexical and the semantic audit") {
+    val d = Catalog.table(spark, sf, "documents")
+    val repair = Dedup.q146.fn(spark, sf).cache()
+    val fin = repair.select(col("doc_id"), col("final_split"))
+    def crossAfter(pairs: DataFrame): Long = pairs
+      .join(fin.withColumnRenamed("final_split", "sa"), Seq("doc_id"))
+      .join(fin.select(col("doc_id").as("doc_b"), col("final_split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossAfter(Dedup.jaccardLshPairs(d, 0.5).select("doc_id", "doc_b")) === 0L,
+      "unified repair must close every lexical cross-split pair")
+    assert(crossAfter(Similarity.semanticStrongPairs(spark, sf)) === 0L,
+      "unified repair must close every semantic cross-split pair")
+    // the union's added value is non-vacuous: docs pulled in ONLY by the
+    // semantic graph exist (a lexical-only repair would not govern them)
+    assert(repair.filter(col("in_semantic") && !col("in_lexical")).count() > 0L)
+    repair.unpersist()
+  }
+
   test("q136: span-level containment agrees with q39's doc-level contamination flags") {
     val d = Catalog.table(spark, sf, "documents")
     val spanDocs = Dedup.contaminationSpans(
