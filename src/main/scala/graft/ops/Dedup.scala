@@ -1437,7 +1437,7 @@ object Dedup {
   }
 
   private def q140OracleSql: String =
-    s"""$leakRepairCtesSql, fin AS (
+    s"""$unifiedRepairCtesSql, fin AS (
        |  SELECT s.doc_id,
        |    COALESCE(j.final_split, s.split) AS split,
        |    COALESCE(m.split <> 'train' AND j.final_split = 'train', FALSE) AS moved_in
@@ -1465,20 +1465,22 @@ object Dedup {
        |ORDER BY pack_id""".stripMargin
 
   /** q140 — repair-aware packing: the audit chain consumed end to end.
-    * The training split is q55's assignment WITH q138's cluster repairs
-    * applied (near-dup components live wholly inside one split), then
-    * the repaired train set packs into 2048-token shards exactly as q56
-    * does — `exec.PrefixSum.runningTotal`, never a single-partition
-    * global window — with each shard reporting how many of its docs were
-    * MOVED IN by repair (the lineage a training job audits when a shard's
-    * content changes between corpus versions). Scale shape: q138's
-    * density-bounded graph work + one broadcast-joined split override +
-    * the two-pass distributed prefix sum.
+    * The training split is q55's assignment WITH the UNIFIED (lexical ∪
+    * semantic, q146) cluster repairs applied — packing on the
+    * lexical-only repair would ship shards that still leak through the
+    * semantic graph — then the repaired train set packs into 2048-token
+    * shards exactly as q56 does (`exec.PrefixSum.runningTotal`, never a
+    * single-partition global window), each shard reporting how many of
+    * its docs were MOVED IN by repair (the lineage a training job audits
+    * when a shard's content changes between corpus versions). Scale
+    * shape: the union graph's density-bounded component work + one
+    * broadcast-joined split override + the two-pass distributed prefix
+    * sum.
     */
   val q140 = Q("q140_repaired_packing", q140OracleSql) { (s, dir) =>
     val d = docs(s, dir)
     val splits = d.select(col("doc_id"), TextOps.splitAssignment(col("text")).as("split"))
-    val repair = leakRepair(d)
+    val repair = unifiedRepair(s, dir)
       .select(col("doc_id"), col("split").as("old_split"), col("final_split"))
     val fin = splits.join(broadcast(repair), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1709,7 +1711,11 @@ object Dedup {
       .orderBy("kind")
   }
 
-  private def q146OracleSql: String =
+  /** Oracle CTE chain (recursive) for the UNIFIED repair: lexical ∪
+    * semantic pairs → components → majority — `members`/`rep` ready,
+    * shared by q146 and the unified packing q140.
+    */
+  private def unifiedRepairCtesSql: String =
     s"""WITH RECURSIVE $lexStrongCtesSql,
        |${Similarity.semStrongCtesSql},
        |allpairs AS (
@@ -1719,7 +1725,10 @@ object Dedup {
        |  SELECT DISTINCT doc_id, doc_b FROM (
        |    SELECT doc_id, doc_b FROM strong
        |    UNION ALL SELECT doc_id, doc_b FROM semstrong)
-       |), ${repairTailCtesSql("allpairs")},
+       |), ${repairTailCtesSql("allpairs")}""".stripMargin
+
+  private def q146OracleSql: String =
+    s"""$unifiedRepairCtesSql,
        |lexdocs AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_id FROM strong UNION ALL SELECT doc_b FROM strong)
@@ -1749,7 +1758,12 @@ object Dedup {
     * lexical-only pipeline would have missed. The spec re-audits both
     * pair sets under the final assignment to zero.
     */
-  val q146 = Q("q146_unified_leak_repair", q146OracleSql) { (s, dir) =>
+  /** The unified-repair kernel: one row per doc in a component of the
+    * lexical ∪ semantic pair graph — (doc_id, cluster_id, split,
+    * final_split, in_lexical, in_semantic). Shared by q146 and the
+    * unified packing q140.
+    */
+  def unifiedRepair(s: SparkSession, dir: String): DataFrame = {
     ShingleHashes.register(s)
     val d = docs(s, dir)
     // each pair pipeline feeds the union AND its provenance flag —
@@ -1778,9 +1792,15 @@ object Dedup {
       .join(lexDocs, Seq("doc_id"), "left")
       .join(semDocs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster_id"), col("split"), col("final_split"),
-        (col("split") =!= col("final_split")).as("moved"),
         coalesce(col("in_lexical"), lit(false)).as("in_lexical"),
         coalesce(col("in_semantic"), lit(false)).as("in_semantic"))
+  }
+
+  val q146 = Q("q146_unified_leak_repair", q146OracleSql) { (s, dir) =>
+    unifiedRepair(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("final_split"),
+        (col("split") =!= col("final_split")).as("moved"),
+        col("in_lexical"), col("in_semantic"))
       .orderBy("doc_id")
   }
 

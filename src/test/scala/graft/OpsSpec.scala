@@ -1091,7 +1091,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("q140: every repaired-train doc lands in exactly one shard; moved-in lineage adds up") {
     val d = Catalog.table(spark, sf, "documents")
-    val repair = Dedup.leakRepair(d).cache()
+    val repair = Dedup.unifiedRepair(spark, sf).cache()
     val packs = Dedup.q140.fn(spark, sf).cache()
     // total moved-in across shards equals the docs repair moved INTO train
     val movedIn = repair
