@@ -2457,9 +2457,14 @@ object Similarity {
     * by side. Scale shape: q100's pair join + two doc-keyed split joins
     * + a 6-group rollup.
     */
-  val q145 = Q("q145_semantic_leakage", q145OracleSql) { (s, dir) =>
-    graft.functions.VecDot.register(s)
-    val e = emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+  /** The q145 audit matrix over ANY (vec_id, label, v) frame and a
+    * (doc_id, split) frame — the batch query feeds it the embeddings
+    * table; `EmbeddingStream.semanticAuditFromHistory` feeds it the
+    * sink-written history store (zero embeddings scans).
+    */
+  def semanticLeakMatrix(e0: DataFrame, splits: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(e0.sparkSession)
+    val e = e0.select(col("vec_id"), col("label"), col("v"))
       .withColumn("nn", norm(col("v")))
     val b2 = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("v").as("bv"), col("nn").as("bn"))
@@ -2467,8 +2472,6 @@ object Similarity {
       .select(col("vec_id"), col("b_id"),
         (dot(col("v"), col("bv")) / (col("nn") * col("bn"))).as("sim"))
       .filter(col("sim") >= SemDupThreshold)
-    val splits = Catalog.table(s, dir, "documents")
-      .select(col("doc_id"), graft.ops.TextOps.splitAssignment(col("text")).as("split"))
     val tagged = strong
       .join(splits.select(col("doc_id").as("vec_id"), col("split").as("_sa")), Seq("vec_id"))
       .join(splits.select(col("doc_id").as("b_id"), col("split").as("_sb")), Seq("b_id"))
@@ -2488,6 +2491,14 @@ object Similarity {
       .join(dcount, Seq("split_a", "split_b"))
       .select(col("split_a"), col("split_b"), col("n_pairs"), col("n_docs"),
         col("max_sim"), (col("split_a") =!= col("split_b")).as("is_leak"))
+  }
+
+  val q145 = Q("q145_semantic_leakage", q145OracleSql) { (s, dir) =>
+    val splits = Catalog.table(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.TextOps.splitAssignment(col("text")).as("split"))
+    semanticLeakMatrix(
+      emb(s, dir).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")),
+      splits)
       .orderBy("split_a", "split_b")
   }
 

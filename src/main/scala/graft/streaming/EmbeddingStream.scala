@@ -238,7 +238,10 @@ object EmbeddingStream {
       else asg.filter(lit(false))
     val decisions = scoreBatch(asg, history).localCheckpoint()
     decisions.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
-    asg.write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+    // history rows carry the label so the semantic-leakage audit
+    // (semanticAuditFromHistory) can serve off this store alone
+    asg.join(batch.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
     // expectations split: accepted vectors vs semantic-dup quarantine
     if (acceptedDir.isDefined || quarantineDir.isDefined) {
       val verdicts = batch.join(
@@ -296,8 +299,25 @@ object EmbeddingStream {
           else asg.filter(lit(false))
         scoreBatch(asg, history)
           .write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$batchId")
-        asg.write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
+        // label rides along for the audit serving path (see
+        // semanticAuditFromHistory)
+        asg.join(batch.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .write.mode("overwrite").parquet(s"$historyDir/batch_id=$batchId")
         ()
       }
       .start()
+
+  /** q145's semantic split-leakage audit SERVED off the sink-written
+    * history store: history carries every ingested vector with its
+    * label and double-cast embedding, so the label-blocked strong pairs
+    * — and therefore the whole audit matrix — compute with ZERO
+    * embeddings-table scans (the q133/q141 store-serving discipline for
+    * the semantic audit). `splits` is the (doc_id, split) projection of
+    * the corpus (vec_id ↔ doc_id).
+    */
+  def semanticAuditFromHistory(spark: SparkSession, historyDir: String,
+      splits: DataFrame): DataFrame =
+    Similarity.semanticLeakMatrix(
+      spark.read.parquet(historyDir).select(col("vec_id"), col("label"), col("v")),
+      splits)
 }

@@ -160,6 +160,21 @@ class StreamingSpec extends AnyFunSuite {
     // history carries every vector (dups included) so future batches see
     // the same prior set a batch run would
     assert(spark.read.parquet(history).count() === ids.length)
+
+    // SEMANTIC AUDIT SERVED OFF THE STORE: the history rows carry label
+    // and the double-cast vector, so q145's leak matrix computed from the
+    // store alone must equal the batch query — zero embeddings scans
+    val splits = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), graft.ops.TextOps.splitAssignment(col("text")).as("split"))
+    def mRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("split_a", "split_b").collect().map(_.toSeq).toSeq
+    val served = EmbeddingStream.semanticAuditFromHistory(spark, history, splits)
+    assert(mRows(served) === mRows(ops.Similarity.q145.fn(spark, sf)),
+      "the audit off the sink-written history must equal batch q145")
+    val servedPlan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!servedPlan.contains("embeddings.parquet"),
+      s"the served audit must never re-read embeddings:\n$servedPlan")
   }
 
   test("embedding SemDeDup under OUT-OF-ORDER arrival: first-seen wins, the late lower-id twin is the dup") {
