@@ -1804,6 +1804,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private def q147OracleSql: String =
+    s"""WITH $scrubCtesSql, scrubdocs AS (
+       |  SELECT doc_id, COALESCE(array_to_string(st, ' '), '') AS text FROM scrub
+       |), ${gateKeepCtes("scrubdocs", "g2")},
+       |keep AS (
+       |  SELECT s.doc_id, CAST(len(s.st) AS BIGINT) AS n_tokens,
+       |    (s.n_tokens > CAST(len(s.st) AS BIGINT)) AS was_scrubbed
+       |  FROM scrub s JOIN g2keep g ON s.doc_id = g.doc_id
+       |  WHERE g.keep
+       |), packed AS (
+       |  SELECT doc_id, n_tokens, was_scrubbed,
+       |    CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |      - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+       |  FROM keep
+       |)
+       |SELECT pack_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  CAST(SUM(CASE WHEN was_scrubbed THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed_docs,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM packed
+       |GROUP BY pack_id
+       |ORDER BY pack_id""".stripMargin
+
+  /** q147 — the decontaminate → requalify → pack loop closed as one
+    * oracled chain: q137 cuts the benchmark spans, q139's gate re-admits
+    * the survivors, and the KEEPERS pack into 2048-token training shards
+    * on their POST-scrub token counts (packing on pre-scrub counts would
+    * misbudget every scrubbed doc) — q56's `exec.PrefixSum` shape, with
+    * each shard reporting how many of its docs were surgically scrubbed
+    * (the lineage distinguishing "clean by origin" from "clean by
+    * scalpel"). Scale shape: the scrub kernel + one per-row gate + the
+    * two-pass distributed prefix sum; no single-partition window
+    * (PlanSpec-pinned).
+    */
+  val q147 = Q("q147_scrubbed_packing", q147OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val keep = scrubRequalify(d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50))
+      .filter(col("keep_after"))
+      .select(col("doc_id"),
+        (col("n_tokens_before") - col("n_removed")).as("n_tokens"),
+        (col("n_removed") > 0).as("was_scrubbed"))
+    graft.exec.PrefixSum.runningTotal(
+        keep.select(col("doc_id"), col("n_tokens"), col("was_scrubbed")),
+        "doc_id", "n_tokens", "cum_tokens")
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048.0).cast("long"))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        sum(when(col("was_scrubbed"), 1L).otherwise(0L)).as("n_scrubbed_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147)
 }

@@ -98,6 +98,12 @@ class PlanSpec extends AnyFunSuite {
       s"semantic audit must stay cluster-blocked:\n$p")
   }
 
+  test("q147: scrubbed packing keeps the distributed prefix sum — no single-partition exchange") {
+    val p = plan("q147_scrubbed_packing")
+    assert(!p.contains("SinglePartition"),
+      s"global-window exchange crept into the scrubbed packing:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
