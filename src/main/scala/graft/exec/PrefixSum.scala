@@ -70,4 +70,85 @@ object PrefixSum {
           coalesce(element_at(typedLit(offsets), col("_bucket")), lit(0L)))
       .drop("_bucket")
   }
+
+  /** Grouped running total: `runningTotal` partitioned by `partCol` —
+    * each group gets its own independent prefix sum over `orderCol`,
+    * without ever planning a whole-group window (`Window.partitionBy(
+    * partCol)` alone makes each GROUP one task — with a handful of
+    * sources over 100 TB that is the SinglePartition problem wearing a
+    * different hat). Same two-pass scheme: buckets are cut globally on
+    * the order key, per-(group, bucket) totals come back to the driver
+    * (bounded by |groups| × nBuckets — callers must have bounded group
+    * cardinality, e.g. corpus sources), and the window partitions by
+    * (group, bucket) so every task sorts one group-slice of one bucket.
+    * With `valueCol` = 1 this is a distributed per-group rank.
+    */
+  def runningTotalBy(df0: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, cumCol: String, nBuckets: Int = 32): DataFrame = {
+    val df =
+      if (df0.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") df0
+      else df0.localCheckpoint()
+    val bounds = df.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return df.withColumn(cumCol, col(valueCol).cast("long"))
+    val mn = bounds.getLong(0)
+    val mx = bounds.getLong(1)
+    val step = math.max(1L, (mx - mn) / nBuckets + 1)
+    val bucket = floor((col(orderCol).cast("long") - lit(mn)) / lit(step)).cast("int")
+
+    val totals = df.groupBy(col(partCol).cast("string").as("_g"), bucket.as("_bucket"))
+      .agg(sum(col(valueCol)).cast("long").as("_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // exclusive prefix over bucket totals WITHIN each group, keyed
+    // "group#bucket" (element_at has no composite-key form)
+    val offsets: Map[String, Long] = {
+      val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      totals.map { case (g, b, t) =>
+        val o = s"$g#$b" -> acc(g); acc(g) += t; o
+      }.toMap
+    }
+
+    val w = Window.partitionBy(partCol, "_bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_bucket", bucket)
+      .withColumn(cumCol,
+        sum(col(valueCol)).over(w).cast("long") +
+          coalesce(
+            element_at(typedLit(offsets),
+              concat(col(partCol).cast("string"), lit("#"), col("_bucket").cast("string"))),
+            lit(0L)))
+      .drop("_bucket")
+  }
+
+  /** Distributed GLOBAL total-order rank (1-based): the position of every
+    * row in the total order (bucketCol asc, orderCols asc) — without the
+    * `Window.orderBy` global sort that plans `Exchange SinglePartition`.
+    * The caller provides an integral `bucketCol` whose ascending numeric
+    * order IS the leading consumption order (e.g. phase·nShards + shard);
+    * per-bucket counts come back to the driver (bounded by bucket
+    * cardinality — callers must keep buckets bounded, like shard counts),
+    * turn into exclusive offsets, and each row's global position is its
+    * bucket offset plus its rank WITHIN the bucket (a window partitioned
+    * by bucket — every task sorts one bucket, never the corpus).
+    */
+  def globalRank(df0: DataFrame, bucketCol: String, orderCols: Seq[String],
+      outCol: String): DataFrame = {
+    val df =
+      if (df0.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") df0
+      else df0.localCheckpoint()
+    val counts = df.groupBy(col(bucketCol).cast("long").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      counts.map { case (b, n) => val o = b -> acc; acc += n; o }.toMap
+    }
+    val w = Window.partitionBy(bucketCol).orderBy(orderCols.map(col): _*)
+    df.withColumn(outCol,
+      row_number().over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), col(bucketCol).cast("long")), lit(0L)))
+  }
 }

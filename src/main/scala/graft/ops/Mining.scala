@@ -765,5 +765,222 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125)
+  // ── q148: seeded epoch shuffle (deterministic training order) ─────────
+
+  /** Shard fan-out of the epoch order. At 100 TB this is the number of
+    * independently-consumable order files per epoch (thousands on a real
+    * cluster); each shard's internal order is a bounded local sort.
+    */
+  val EpochShards = 16
+
+  private def q148OracleSql: String =
+    s"""WITH epochs AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+       |keyed AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    ${Dedup.h60Sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS k
+       |  FROM documents d CROSS JOIN epochs e
+       |), ranked AS (
+       |  SELECT epoch, doc_id, k, k % $EpochShards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, k % $EpochShards ORDER BY k, doc_id) AS pos
+       |  FROM keyed
+       |)
+       |SELECT epoch, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(pos * doc_id) AS BIGINT) AS ord_dot,
+       |  MIN(k) AS first_key
+       |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
+  /** q148 — seeded epoch shuffle: the deterministic global training
+    * order a pretraining run consumes each epoch. Every (epoch, doc)
+    * gets a shuffle key h60(md5(epoch:doc_id)); the key's low bits pick
+    * one of [[EpochShards]] shards and the key orders docs WITHIN the
+    * shard — so "shuffle 100 TB" is one hash shuffle plus per-shard
+    * local sorts (each window partition is one shard of one epoch,
+    * bounded by corpus/shards), never a global sort and never an
+    * `Exchange SinglePartition`. Different epochs = different keys =
+    * independent permutations, reproducible across runs and engines.
+    * The per-shard positional checksum Σ pos·doc_id pins the ENTIRE
+    * permutation (any swap of two docs changes it), so the oracle
+    * verifies the order itself, not just membership.
+    */
+  /** The per-doc (epoch, doc_id, k, shard, pos) order frame — shared by
+    * the q148 rollup and the MiningSpec permutation-property checks.
+    */
+  private[graft] def epochOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs(s, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(1), lit(2))))
+      .withColumn("k", Dedup.h60Col(
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("k") % EpochShards)
+    val w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    keyed.withColumn("pos", row_number().over(w))
+  }
+
+  val q148 = Q("q148_epoch_shuffle", q148OracleSql) { (s, dir) =>
+    epochOrder(s, dir)
+      .groupBy("epoch", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).cast("long").as("ord_dot"),
+        min(col("k")).as("first_key"))
+      .orderBy("epoch", "shard")
+  }
+
+  // ── q149: weighted mixture interleave schedule ────────────────────────
+
+  /** q149 — deterministic weighted round-robin interleave: the SCHEDULE
+    * twin of the q62/q111 mixture SAMPLERS. Each source s gets an
+    * integer weight w_s (parsed from the source name so both engines
+    * derive it identically); one cycle of the schedule is the sources in
+    * lexicographic order, w_s consecutive slots each (cycle length
+    * L = Σ w_s). The r-th document of source s (0-based, ordered by
+    * doc_id) lands at slot (r div w_s)·L + off_s + (r mod w_s) — pure
+    * arithmetic on the within-source rank, so the whole epoch schedule
+    * needs ONE distributed grouped rank ([[graft.exec.PrefixSum
+    * .runningTotalBy]]: windows partitioned by (source, range-bucket),
+    * never one task per source) and zero further shuffles. Slots are
+    * globally unique by construction; when a source exhausts, its later
+    * slots simply go unfilled (real samplers re-normalize — the schedule
+    * keeps the gap so consumers can detect exhaustion). Driver state is
+    * one row per source (weights/offsets), bounded by source cardinality
+    * like every broadcast dim. Σ slot·doc_id pins each source's full
+    * slot assignment.
+    */
+  private def q149OracleSql: String =
+    """WITH wt AS (
+      |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |), off AS (
+      |  SELECT source, w,
+      |    CAST(COALESCE(SUM(w) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o,
+      |    CAST(SUM(w) OVER () AS BIGINT) AS cyc
+      |  FROM wt
+      |), ranked AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r0
+      |  FROM documents
+      |), slotted AS (
+      |  SELECT r.source, r.doc_id, o.w,
+      |    (r.r0 // o.w) * o.cyc + o.o + (r.r0 % o.w) AS slot
+      |  FROM ranked r JOIN off o ON r.source = o.source
+      |)
+      |SELECT source, MAX(w) AS w, COUNT(*) AS n_docs,
+      |  MIN(slot) AS first_slot, MAX(slot) AS last_slot,
+      |  CAST(SUM(slot * doc_id) AS BIGINT) AS slot_dot
+      |FROM slotted GROUP BY source ORDER BY source""".stripMargin
+
+  /** The per-doc (source, doc_id, w, slot) frame — shared by the q149
+    * rollup and the MiningSpec interleave-property checks.
+    */
+  private[graft] def interleaveSlots(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"), col("doc_id"))
+      .withColumn("w", (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+    // weights/offsets: one row per source — the broadcast-dim bound
+    val srcW = d.select("source", "w").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val cyc = srcW.map(_._2).sum
+    val offsets: Map[String, Long] = {
+      var acc = 0L
+      srcW.map { case (src, w0) => val o = src -> acc; acc += w0; o }.toMap
+    }
+    graft.exec.PrefixSum
+      .runningTotalBy(d.withColumn("one", lit(1L)), "source", "doc_id", "one", "r1")
+      .withColumn("r0", col("r1") - 1)
+      .withColumn("slot",
+        expr("r0 DIV w") * lit(cyc) +
+          coalesce(element_at(typedLit(offsets), col("source")), lit(0L)) +
+          col("r0") % col("w"))
+  }
+
+  val q149 = Q("q149_mixture_interleave", q149OracleSql) { (s, dir) =>
+    interleaveSlots(s, dir)
+      .groupBy("source")
+      .agg(
+        max(col("w")).as("w"),
+        count(lit(1)).as("n_docs"),
+        min(col("slot")).as("first_slot"),
+        max(col("slot")).as("last_slot"),
+        sum(col("slot") * col("doc_id")).cast("long").as("slot_dot"))
+      .orderBy("source")
+  }
+
+  // ── q150: curriculum order (global total-order rank) ──────────────────
+
+  /** Curriculum phase thresholds on q92's integer classifier score —
+    * highest-quality docs first. Integer comparisons, so both engines
+    * phase identically with zero float risk.
+    */
+  private val CurriculumCuts = Seq(10L, 0L, -10L)
+
+  private def q150OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), sc AS (
+       |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+       |    list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)),
+       |    h -> list_extract($w, CAST(h % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM tk
+       |), keyed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score >= ${CurriculumCuts(0)} THEN 0
+       |         WHEN score >= ${CurriculumCuts(1)} THEN 1
+       |         WHEN score >= ${CurriculumCuts(2)} THEN 2 ELSE 3 END AS phase,
+       |    ${Dedup.h60Sql("'cur:' || CAST(doc_id AS VARCHAR)")} AS k
+       |  FROM sc
+       |), ranked AS (
+       |  SELECT doc_id, phase, k % $EpochShards AS shard,
+       |    ROW_NUMBER() OVER (ORDER BY phase, k % $EpochShards, k, doc_id) AS gpos
+       |  FROM keyed
+       |)
+       |SELECT phase, COUNT(*) AS n_docs,
+       |  MIN(gpos) AS first_pos, MAX(gpos) AS last_pos,
+       |  CAST(SUM(gpos * doc_id) AS BIGINT) AS ord_dot
+       |FROM ranked GROUP BY phase ORDER BY phase""".stripMargin
+  }
+
+  /** The per-doc curriculum frame (doc_id, phase, shard, gpos) — shared
+    * by the q150 rollup and the MiningSpec permutation checks.
+    */
+  private[graft] def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
+    val keyed = docs(s, dir)
+      .select(col("doc_id"),
+        element_at(call_function("linear_score", col("text")), 2).as("score"))
+      .withColumn("phase",
+        when(col("score") >= CurriculumCuts(0), 0)
+          .when(col("score") >= CurriculumCuts(1), 1)
+          .when(col("score") >= CurriculumCuts(2), 2).otherwise(3))
+      .withColumn("k", Dedup.h60Col(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("k") % EpochShards)
+      .withColumn("_b", col("phase").cast("long") * EpochShards + col("shard"))
+    graft.exec.PrefixSum
+      .globalRank(keyed, "_b", Seq("k", "doc_id"), "gpos")
+      .drop("_b")
+  }
+
+  /** q150 — curriculum training order: the GLOBAL consumption order a
+    * quality-phased run reads — all phase-0 (highest classifier score)
+    * docs first, then phase 1, …, seeded-shuffled WITHIN each phase
+    * (q148's key), every doc tagged with its 1-based position in the
+    * total order. The global rank is [[graft.exec.PrefixSum.globalRank]]:
+    * per-(phase, shard) counts → broadcast exclusive offsets → rank
+    * within bucket — a total order over 100 TB with no global sort and
+    * no `Exchange SinglePartition` (PlanSpec-pinned; the oracle's
+    * ROW_NUMBER() OVER (ORDER BY …) is exactly the plan this avoids).
+    * Σ gpos·doc_id per phase pins every doc's global position.
+    */
+  val q150 = Q("q150_curriculum_order", q150OracleSql) { (s, dir) =>
+    curriculumOrder(s, dir)
+      .groupBy("phase")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("gpos")).as("first_pos"),
+        max(col("gpos")).as("last_pos"),
+        sum(col("gpos") * col("doc_id")).cast("long").as("ord_dot"))
+      .orderBy("phase")
+  }
+
+  val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
+    q148, q149, q150)
 }

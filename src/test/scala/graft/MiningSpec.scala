@@ -242,4 +242,123 @@ class MiningSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(writeOnce("a"), writeOnce("b")),
       "re-running the resharder on the same corpus must be byte-identical")
   }
+
+  // ── q148 epoch shuffle ──────────────────────────────────────────────
+
+  test("q148: each (epoch, shard) order is a contiguous 1..n ranking and epochs cover every doc") {
+    val ord = ops.Mining.epochOrder(spark, sf).cache()
+    try {
+      val perShard = ord.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+          countDistinct("pos").as("nd"))
+        .collect()
+      perShard.foreach { r =>
+        assert(r.getAs[Int]("mn") === 1 && r.getAs[Int]("mx").toLong === r.getAs[Long]("n")
+          && r.getAs[Long]("nd") === r.getAs[Long]("n"),
+          s"positions must be contiguous 1..n in $r")
+      }
+      // every doc appears exactly once per epoch
+      val nDocs = Catalog.table(spark, sf, "documents").count()
+      val perEpoch = ord.groupBy("epoch")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd")).collect()
+      assert(perEpoch.length === 2)
+      perEpoch.foreach { r =>
+        assert(r.getAs[Long]("n") === nDocs && r.getAs[Long]("nd") === nDocs)
+      }
+    } finally ord.unpersist()
+  }
+
+  test("q148: different epochs produce genuinely different permutations") {
+    val out = ops.Mining.q148.fn(spark, sf)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ord_dot"))).toMap
+    val shards = out.keys.filter(_._1 == 1).map(_._2)
+    // the per-shard membership AND order checksums must differ for most
+    // shards between seeds (independent permutations)
+    val differing = shards.count(sh =>
+      out.get((1, sh)) != out.get((2, sh)))
+    assert(differing * 2 > shards.size,
+      s"epoch permutations look identical: only $differing/${shards.size} shards differ")
+  }
+
+  // ── q149 mixture interleave ─────────────────────────────────────────
+
+  test("q149: slots are globally unique and each full cycle holds exactly w_s docs of source s") {
+    val slots = ops.Mining.interleaveSlots(spark, sf).cache()
+    try {
+      val n = slots.count()
+      assert(slots.agg(countDistinct("slot")).head().getLong(0) === n,
+        "interleave slots must be globally unique")
+      // cycle length from the weights (one row per source)
+      val wBySrc = slots.select("source", "w").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cyc = wBySrc.values.sum
+      // while every source is still active (first 5 cycles: every source
+      // has >= 5*w docs at sf0.001), cycle c must hold exactly w_s docs
+      // of source s — the proportional-interleave property
+      val perCycle = slots.withColumn("cycle", expr(s"slot DIV $cyc"))
+        .filter(col("cycle") < 5)
+        .groupBy("cycle", "source").agg(count(lit(1)).as("n"))
+        .collect()
+      assert(perCycle.length === 5 * wBySrc.size)
+      perCycle.foreach { r =>
+        assert(r.getAs[Long]("n") === wBySrc(r.getAs[String]("source")),
+          s"cycle ${r.getAs[Long]("cycle")} has wrong share for ${r.getAs[String]("source")}")
+      }
+    } finally slots.unpersist()
+  }
+
+  // ── q150 curriculum order ───────────────────────────────────────────
+
+  test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
+    val ord = ops.Mining.curriculumOrder(spark, sf).cache()
+    try {
+      val n = ord.count()
+      val agg = ord.agg(min("gpos"), max("gpos"), countDistinct("gpos")).head()
+      assert(agg.getLong(0) === 1L && agg.getLong(1) === n && agg.getLong(2) === n,
+        "curriculum order must be a dense global permutation")
+      // phase p's whole block precedes phase p+1's: ranges must not overlap
+      val ranges = ord.groupBy("phase")
+        .agg(min("gpos").as("lo"), max("gpos").as("hi"), count(lit(1)).as("cnt"))
+        .orderBy("phase").collect()
+      ranges.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+            s"phase blocks overlap: $a vs $b")
+        case _ => ()
+      }
+      // each block is dense: hi - lo + 1 == count
+      ranges.foreach { r =>
+        assert(r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1 === r.getAs[Long]("cnt"))
+      }
+    } finally ord.unpersist()
+  }
+
+  test("globalRank matches the naive global window on a bounded frame") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Catalog.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b", col("doc_id") % 5)
+    val naive = d.withColumn("r",
+      row_number().over(Window.orderBy("b", "n_chars", "doc_id")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    val dist = exec.PrefixSum.globalRank(d, "b", Seq("n_chars", "doc_id"), "r")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("r")).toMap
+    assert(dist === naive)
+  }
+
+  test("runningTotalBy matches the naive per-group window on a bounded frame") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Catalog.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val naive = d.withColumn("cum",
+      sum(col("n_chars")).over(Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("source", "doc_id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dist = exec.PrefixSum.runningTotalBy(d, "source", "doc_id", "n_chars", "cum", nBuckets = 7)
+      .select("source", "doc_id", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dist === naive)
+  }
 }

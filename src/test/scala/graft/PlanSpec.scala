@@ -104,6 +104,30 @@ class PlanSpec extends AnyFunSuite {
       s"global-window exchange crept into the scrubbed packing:\n$p")
   }
 
+  test("q148: epoch order windows stay shard-partitioned — no single-partition exchange") {
+    val p = plan("q148_epoch_shuffle")
+    assert(!p.contains("SinglePartition"),
+      s"epoch shuffle must never globally sort through one task:\n$p")
+    assert(p.contains("row_number"), s"per-shard ranking must stay a window:\n$p")
+  }
+
+  test("q149: grouped rank runs bucket-partitioned — no per-source single task") {
+    val p = plan("q149_mixture_interleave")
+    assert(!p.contains("SinglePartition"),
+      s"interleave rank must never serialize through one task:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"running count must partition by (source, _bucket):\n$p")
+    assert(p.contains("_bucket"),
+      s"grouped prefix must keep the range-bucket split:\n$p")
+  }
+
+  test("q150: the global total-order rank never plans a single-partition sort") {
+    val p = plan("q150_curriculum_order")
+    assert(!p.contains("SinglePartition"),
+      s"globalRank must replace the ROW_NUMBER-over-everything plan:\n$p")
+    assert(p.contains("row_number"), s"per-bucket ranking must stay a window:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
