@@ -789,19 +789,6 @@ object Mining {
        |  MIN(k) AS first_key
        |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
 
-  /** q148 — seeded epoch shuffle: the deterministic global training
-    * order a pretraining run consumes each epoch. Every (epoch, doc)
-    * gets a shuffle key h60(md5(epoch:doc_id)); the key's low bits pick
-    * one of [[EpochShards]] shards and the key orders docs WITHIN the
-    * shard — so "shuffle 100 TB" is one hash shuffle plus per-shard
-    * local sorts (each window partition is one shard of one epoch,
-    * bounded by corpus/shards), never a global sort and never an
-    * `Exchange SinglePartition`. Different epochs = different keys =
-    * independent permutations, reproducible across runs and engines.
-    * The per-shard positional checksum Σ pos·doc_id pins the ENTIRE
-    * permutation (any swap of two docs changes it), so the oracle
-    * verifies the order itself, not just membership.
-    */
   /** The per-doc (epoch, doc_id, k, shard, pos) order frame — shared by
     * the q148 rollup and the MiningSpec permutation-property checks.
     */
@@ -816,6 +803,19 @@ object Mining {
     keyed.withColumn("pos", row_number().over(w))
   }
 
+  /** q148 — seeded epoch shuffle: the deterministic global training
+    * order a pretraining run consumes each epoch. Every (epoch, doc)
+    * gets a shuffle key h60(md5(epoch:doc_id)); the key's low bits pick
+    * one of [[EpochShards]] shards and the key orders docs WITHIN the
+    * shard — so "shuffle 100 TB" is one hash shuffle plus per-shard
+    * local sorts (each window partition is one shard of one epoch,
+    * bounded by corpus/shards), never a global sort and never an
+    * `Exchange SinglePartition`. Different epochs = different keys =
+    * independent permutations, reproducible across runs and engines.
+    * The per-shard positional checksum Σ pos·doc_id pins the ENTIRE
+    * permutation (any swap of two docs changes it), so the oracle
+    * verifies the order itself, not just membership.
+    */
   val q148 = Q("q148_epoch_shuffle", q148OracleSql) { (s, dir) =>
     epochOrder(s, dir)
       .groupBy("epoch", "shard")
@@ -939,20 +939,29 @@ object Mining {
        |FROM ranked GROUP BY phase ORDER BY phase""".stripMargin
   }
 
-  /** The per-doc curriculum frame (doc_id, phase, shard, gpos) — shared
-    * by the q150 rollup and the MiningSpec permutation checks.
+  /** Per-doc curriculum keying (doc_id, n_tokens, phase, k, shard) —
+    * every column a pure per-row function, shared by the q150 rank, the
+    * q151 cells, and the streaming fold so they can never phase a doc
+    * differently.
     */
-  private[graft] def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
-    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
-    val keyed = docs(s, dir)
-      .select(col("doc_id"),
-        element_at(call_function("linear_score", col("text")), 2).as("score"))
+  private[graft] def curriculumKeyed(d: DataFrame): DataFrame = {
+    ShingleHashes.registerLinearScore(d.sparkSession, "linear_score", classifierWeights)
+    d.select(col("doc_id"), call_function("linear_score", col("text")).as("_ls"))
+      .select(col("doc_id"), element_at(col("_ls"), 1).as("n_tokens"),
+        element_at(col("_ls"), 2).as("score"))
       .withColumn("phase",
         when(col("score") >= CurriculumCuts(0), 0)
           .when(col("score") >= CurriculumCuts(1), 1)
           .when(col("score") >= CurriculumCuts(2), 2).otherwise(3))
       .withColumn("k", Dedup.h60Col(concat(lit("cur:"), col("doc_id").cast("string"))))
       .withColumn("shard", col("k") % EpochShards)
+  }
+
+  /** The per-doc curriculum frame (doc_id, phase, shard, gpos) — shared
+    * by the q150 rollup and the MiningSpec permutation checks.
+    */
+  private[graft] def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val keyed = curriculumKeyed(docs(s, dir))
       .withColumn("_b", col("phase").cast("long") * EpochShards + col("shard"))
     graft.exec.PrefixSum
       .globalRank(keyed, "_b", Seq("k", "doc_id"), "gpos")
@@ -981,6 +990,94 @@ object Mining {
       .orderBy("phase")
   }
 
+  // ── q151: curriculum plan manifest (add-mergeable cells + offsets) ────
+
+  /** (phase, shard, n_docs, n_tokens) cells — the ADD-MERGEABLE state of
+    * the curriculum order: phase and shard are pure per-row functions
+    * ([[curriculumKeyed]]), so cells computed over ANY partition of the
+    * corpus SUM to the whole-corpus cells — which is what lets a
+    * streaming sink (OrderStream) maintain them as per-batch deltas.
+    * ≤ phases × [[EpochShards]] rows.
+    */
+  private[graft] def curriculumCells(d: DataFrame): DataFrame =
+    curriculumKeyed(d)
+      .groupBy("phase", "shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+
+  /** Cells → the plan manifest: each (phase, shard) block's global
+    * position range [first_pos, last_pos] in q150's total order — the
+    * exclusive prefix over cells in consumption order, i.e. exactly the
+    * driver-side offset state `PrefixSum.globalRank` derives, served as
+    * a table. Re-folds its input first so per-batch PARTIAL cells from
+    * the delta store serve identically to one-shot cells.
+    */
+  private[graft] def curriculumManifest(cells: DataFrame): DataFrame = {
+    val folded = cells.groupBy("phase", "shard")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .localCheckpoint() // bounded: phases × shards rows; computed once
+    val counts = folded
+      .select((col("phase").cast("long") * EpochShards + col("shard")).as("b"),
+        col("n_docs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      counts.map { case (b, n) => val o = b -> acc; acc += n; o }.toMap
+    }
+    folded
+      .withColumn("first_pos",
+        element_at(typedLit(offsets),
+          col("phase").cast("long") * EpochShards + col("shard")) + lit(1L))
+      .withColumn("last_pos", col("first_pos") + col("n_docs") - lit(1L))
+      .orderBy("phase", "shard")
+  }
+
+  private def q151OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), sc AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(list_sum(list_transform(
+       |    list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)),
+       |    h -> list_extract($w, CAST(h % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM tk
+       |), keyed AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN score >= ${CurriculumCuts(0)} THEN 0
+       |         WHEN score >= ${CurriculumCuts(1)} THEN 1
+       |         WHEN score >= ${CurriculumCuts(2)} THEN 2 ELSE 3 END AS phase,
+       |    ${Dedup.h60Sql("'cur:' || CAST(doc_id AS VARCHAR)")} % $EpochShards AS shard
+       |  FROM sc
+       |), cells AS (
+       |  SELECT phase, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM keyed GROUP BY phase, shard
+       |)
+       |SELECT phase, shard, n_docs, n_tokens,
+       |  CAST(SUM(n_docs) OVER (ORDER BY phase, shard ROWS UNBOUNDED PRECEDING)
+       |    - n_docs + 1 AS BIGINT) AS first_pos,
+       |  CAST(SUM(n_docs) OVER (ORDER BY phase, shard ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS last_pos
+       |FROM cells ORDER BY phase, shard""".stripMargin
+  }
+
+  /** q151 — curriculum PLAN manifest: per (phase, shard), the block's
+    * doc/token mass and its global position range in q150's total order.
+    * This is the driver-side offset state of `globalRank` served as a
+    * queryable table — the "where does my block start" lookup a training
+    * job does before reading a single document — and, because the cells
+    * are add-mergeable, the one piece of the curriculum that can be
+    * maintained INCREMENTALLY as the corpus grows (OrderStream's sink;
+    * manifest off the delta store ≡ this query, StreamingSpec-pinned).
+    * q150 re-sorts the corpus per run; q151 answers the planning
+    * questions from phases × shards rows.
+    */
+  val q151 = Q("q151_curriculum_manifest", q151OracleSql) { (s, dir) =>
+    curriculumManifest(curriculumCells(docs(s, dir)))
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150)
+    q148, q149, q150, q151)
 }

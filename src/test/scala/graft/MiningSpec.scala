@@ -334,6 +334,21 @@ class MiningSpec extends AnyFunSuite {
     } finally ord.unpersist()
   }
 
+  test("q151: the plan manifest's block ranges are exactly q150's per-block gpos ranges") {
+    val ord = ops.Mining.curriculumOrder(spark, sf)
+      .groupBy("phase", "shard")
+      .agg(min("gpos").as("lo"), max("gpos").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n")))).toMap
+    val mani = ops.Mining.q151.fn(spark, sf).collect()
+      .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("first_pos"), r.getAs[Long]("last_pos"),
+          r.getAs[Long]("n_docs")))).toMap
+    assert(mani === ord,
+      "manifest offsets must be the exact block structure the global rank produces")
+  }
+
   test("globalRank matches the naive global window on a bounded frame") {
     import org.apache.spark.sql.expressions.Window
     val d = Catalog.table(spark, sf, "documents")

@@ -866,6 +866,67 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served manifest")
   }
 
+  test("curriculum cell stream: folded deltas serve the exact batch q151 manifest; replay and compaction are no-ops") {
+    import graft.streaming.OrderStream
+    val landing = tmpDir("graft-order-landing")
+    val deltas = tmpDir("graft-order-art") + "/deltas"
+    val checkpoint = tmpDir("graft-order-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-order-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    OrderStream.cellSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    OrderStream.cellSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    OrderStream.cellSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def maniMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("phase"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("first_pos"), r.getAs[Long]("last_pos"))))
+      .toMap
+    val batch = maniMap(ops.Mining.q151.fn(spark, sf))
+    assert(maniMap(OrderStream.manifestFromDeltas(spark, deltas)) === batch,
+      "served manifest must equal batch q151 over the landed corpus")
+
+    // serving reads the delta store only — never corpus text
+    val servedPlan = OrderStream.manifestFromDeltas(spark, deltas)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("documents.parquet"),
+      s"manifest serving must not rescan documents:\n$servedPlan")
+
+    // replay pin: SUM cells are not idempotent — the per-batchId
+    // overwrite is what makes a re-delivered batch a no-op
+    val replay = docs.filter(col("doc_id") < cut1)
+    OrderStream.writeDelta(replay, deltas, 0L)
+    OrderStream.writeDelta(replay, deltas, 0L)
+    assert(maniMap(OrderStream.manifestFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served manifest")
+
+    // retention pin: folding old deltas into the base reassociates the
+    // same SUM algebra — the served manifest must not move
+    OrderStream.compactDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(maniMap(OrderStream.manifestFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served manifest")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
