@@ -415,6 +415,48 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "orderprobe") {
+      // The training-order primitives (q148-q151) vs their naive
+      // single/few-task window twins at synthetic row counts — the
+      // measured law behind using globalRank / runningTotalBy instead of
+      // ROW_NUMBER() OVER (ORDER BY ...) and Window.partitionBy(source):
+      // the naive forms serialize the corpus through 1 (resp. |groups|)
+      // tasks, the two-pass forms keep every task bucket-bounded.
+      import org.apache.spark.sql.expressions.Window
+      Seq(2000000L, 8000000L).foreach { n =>
+        val m = n / 1000000
+        // 64 buckets in consumption order, 4 groups (a realistic source
+        // count — i.e. the per-group window's ENTIRE task parallelism),
+        // uniform keys, small values
+        val base = spark.range(n).select(
+          col("id"),
+          pmod(xxhash64(col("id")), lit(64L)).as("b"),
+          pmod(col("id"), lit(4L)).as("g"),
+          xxhash64(col("id") + lit(7L)).as("k"),
+          (col("id") % 1000L).as("v")).localCheckpoint()
+        time(s"order${m}m.rank_global_window") {
+          base.withColumn("r",
+              row_number().over(Window.orderBy("b", "k", "id")).cast("long"))
+            .agg(max("r")).head().getLong(0)
+        }
+        time(s"order${m}m.rank_globalRank") {
+          graft.exec.PrefixSum.globalRank(base, "b", Seq("k", "id"), "r")
+            .agg(max("r")).head().getLong(0)
+        }
+        time(s"order${m}m.cum_pergroup_window") {
+          val w = Window.partitionBy("g").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          base.withColumn("c", sum("v").over(w).cast("long"))
+            .agg(max("c")).head().getLong(0)
+        }
+        time(s"order${m}m.cum_runningTotalBy") {
+          graft.exec.PrefixSum.runningTotalBy(base, "g", "id", "v", "c")
+            .agg(max("c")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
