@@ -934,7 +934,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── q152: wrap-packing (contiguous token-stream packs) ───────────────
+
+  /** q152 — token-stream wrap packing: q56 assigns WHOLE documents to
+    * the pack their cumulative range starts in (short packs, no split
+    * docs); pretraining data loaders instead concatenate the token
+    * stream and cut EXACTLY every 2048 tokens, wrapping documents across
+    * pack boundaries. Each doc owns the half-open global token range
+    * [cum − n, cum) (the same `exec.PrefixSum` running total — no
+    * single-partition window) and explodes IN-ROW into the packs that
+    * range touches (⌈n/2048⌉+1 rows max per doc — bounded by doc
+    * length, never corpus size); per pack: docs touched, docs starting,
+    * docs wrapped in from the previous pack, and the exact token fill —
+    * 2048 everywhere but the tail by construction (spec-pinned, plus
+    * token-mass conservation vs q56's totals). All integer arithmetic,
+    * oracled exactly.
+    */
+  val q152 = Q("q152_wrap_packing",
+    """WITH toks AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM toks
+      |), sp AS (
+      |  SELECT doc_id, cum - n_tokens AS st, cum AS en
+      |  FROM c WHERE n_tokens > 0
+      |), ex AS (
+      |  SELECT doc_id, st, en,
+      |    unnest(range(st // 2048, (en - 1) // 2048 + 1)) AS pack_id
+      |  FROM sp
+      |)
+      |SELECT pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN st >= pack_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+      |  CAST(SUM(CASE WHEN st < pack_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrapped_in,
+      |  CAST(SUM(LEAST(en, (pack_id + 1) * 2048) - GREATEST(st, pack_id * 2048)) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin) { (s, dir) =>
+    wrapSpans(s, dir)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Det.countIf(col("st") >= col("pack_id") * 2048L).as("n_starting"),
+        Det.countIf(col("st") < col("pack_id") * 2048L).as("n_wrapped_in"),
+        sum(least(col("en"), (col("pack_id") + 1) * 2048L) -
+          greatest(col("st"), col("pack_id") * 2048L)).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  /** The per-(doc, pack) span frame behind q152 — shared with the spec's
+    * conservation/fill checks. One running total + an in-row explode.
+    */
+  private[graft] def wrapSpans(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.exec.PrefixSum.runningTotal(toks, "doc_id", "n_tokens", "cum")
+      .filter(col("n_tokens") > 0L)
+      .withColumn("st", col("cum") - col("n_tokens"))
+      .withColumn("en", col("cum"))
+      .withColumn("pack_id",
+        explode(sequence(expr("st div 2048"), expr("(en - 1) div 2048"))))
+  }
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121)
+      q121, q152)
 }

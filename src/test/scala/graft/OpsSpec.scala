@@ -1208,4 +1208,37 @@ class OpsSpec extends AnyFunSuite {
     assert(spanDocs.exceptAll(q39Docs).count() === 0L)
     assert(q39Docs.count() > 0L)
   }
+
+  test("q152: wrap packs fill to exactly 2048 except the tail, conserve token mass, and wrapping chains") {
+    val packs = ops.TextOps.q152.fn(spark, sf).collect()
+    val nPacks = packs.length
+    assert(packs.map(_.getAs[Long]("pack_id")).toSeq ===
+      (0L until nPacks).toSeq, "pack ids must be dense from 0")
+    // every pack except the last holds exactly the budget
+    packs.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("pack_tokens") === 2048L,
+        s"non-tail pack underfilled: $r")
+    }
+    assert(packs.last.getAs[Long]("pack_tokens") <= 2048L)
+    // conservation: pack fills sum to the corpus token mass (q56's input)
+    val totalToks = Catalog.table(spark, sf, "documents")
+      .select(ops.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum === totalToks)
+    // wrapping chains: exactly one doc covers any pack boundary token,
+    // so a pack can wrap in AT MOST one doc (at any doc length), and
+    // when it does, that doc is the previous pack's tail doc
+    packs.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("n_starting") + r.getAs[Long]("n_wrapped_in"))
+      assert(r.getAs[Long]("n_wrapped_in") <= 1L,
+        "only the boundary-covering doc can wrap into a pack")
+    }
+    packs.sliding(2).foreach {
+      case Array(a, b) if b.getAs[Long]("n_wrapped_in") === 1L =>
+        assert(b.getAs[Long]("first_doc") === a.getAs[Long]("last_doc"),
+          "the wrapped-in doc must be the previous pack's tail doc")
+      case _ => ()
+    }
+  }
 }

@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"per-bucket ranking must stay a window:\n$p")
   }
 
+  test("q152: wrap packing keeps the distributed prefix sum and in-row span explode") {
+    val p = plan("q152_wrap_packing")
+    assert(!p.contains("SinglePartition"),
+      s"global-window exchange crept into the wrap packing:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"span fan-out must stay an in-row explode, not a join:\n$p")
+  }
+
   test("q33: shingle blocking plans as equi-join, never a nested loop") {
     val p = plan("q33_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
