@@ -1078,6 +1078,53 @@ object Mining {
     curriculumManifest(curriculumCells(docs(s, dir)))
   }
 
+  // ── q153: per-epoch pack read order ───────────────────────────────────
+
+  private def q153OracleSql: String =
+    s"""${TextOps.wrapPackCtesSql},
+       |epochs AS (SELECT 1 AS epoch UNION ALL SELECT 2),
+       |keyed AS (
+       |  SELECT e.epoch, p.pack_id, p.pack_tokens,
+       |    ${Dedup.h60Sql("'pk:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(p.pack_id AS VARCHAR)")} AS k
+       |  FROM packs p CROSS JOIN epochs e
+       |), ranked AS (
+       |  SELECT epoch, pack_id, pack_tokens, k, k % $EpochShards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, k % $EpochShards ORDER BY k, pack_id) AS pos
+       |  FROM keyed
+       |)
+       |SELECT epoch, shard, COUNT(*) AS n_packs,
+       |  CAST(SUM(pos * pack_id) AS BIGINT) AS ord_dot,
+       |  CAST(SUM(pack_tokens) AS BIGINT) AS shard_tokens
+       |FROM ranked GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
+  /** q153 — the epoch shuffle at the unit a data loader actually READS:
+    * q148 permutes documents, but a run over q152's wrap layout consumes
+    * whole 2048-token packs (sequential I/O inside a pack, shuffle
+    * ACROSS packs — the standard shard-shuffle compromise that keeps
+    * randomization without random reads). Same machinery as q148 —
+    * seeded key h60(pk:epoch:pack_id), shard from the low bits, rank
+    * within (epoch, shard) — applied to the pack table, with per-shard
+    * token mass showing the read work spreads evenly across shards. The
+    * composition docs → wrap packs → per-epoch read order is the
+    * pipeline a training job runs end to end.
+    */
+  val q153 = Q("q153_pack_epoch_order", q153OracleSql) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = TextOps.wrapPacks(s, dir)
+      .withColumn("epoch", explode(array(lit(1), lit(2))))
+      .withColumn("k", Dedup.h60Col(concat(lit("pk:"),
+        col("epoch").cast("string"), lit(":"), col("pack_id").cast("string"))))
+      .withColumn("shard", col("k") % EpochShards)
+    val w = Window.partitionBy("epoch", "shard").orderBy("k", "pack_id")
+    keyed.withColumn("pos", row_number().over(w))
+      .groupBy("epoch", "shard")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("pos") * col("pack_id")).cast("long").as("ord_dot"),
+        sum(col("pack_tokens")).cast("long").as("shard_tokens"))
+      .orderBy("epoch", "shard")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151)
+    q148, q149, q150, q151, q153)
 }

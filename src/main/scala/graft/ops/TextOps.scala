@@ -979,8 +979,7 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         Det.countIf(col("st") >= col("pack_id") * 2048L).as("n_starting"),
         Det.countIf(col("st") < col("pack_id") * 2048L).as("n_wrapped_in"),
-        sum(least(col("en"), (col("pack_id") + 1) * 2048L) -
-          greatest(col("st"), col("pack_id") * 2048L)).cast("long").as("pack_tokens"),
+        sum(packFill).cast("long").as("pack_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy("pack_id")
@@ -999,6 +998,47 @@ object TextOps {
       .withColumn("pack_id",
         explode(sequence(expr("st div 2048"), expr("(en - 1) div 2048"))))
   }
+
+  /** This doc's token contribution to `pack_id` — the span-intersection
+    * fill shared by q152's rollup and the pack table below.
+    */
+  private def packFill: Column =
+    least(col("en"), (col("pack_id") + 1) * 2048L) -
+      greatest(col("st"), col("pack_id") * 2048L)
+
+  /** The (pack_id, pack_tokens) table of the wrap layout — what a data
+    * loader's read plan is made of; shared with Mining's q153 epoch
+    * read order.
+    */
+  private[graft] def wrapPacks(s: SparkSession, dir: String): DataFrame =
+    wrapSpans(s, dir)
+      .groupBy("pack_id")
+      .agg(sum(packFill).cast("long").as("pack_tokens"))
+
+  /** Oracle fragment: the q152 CTE chain (toks → c → sp → ex) plus a
+    * `packs(pack_id, pack_tokens)` CTE — shared verbatim with q153's
+    * oracle so both engines derive the identical pack table.
+    */
+  private[graft] def wrapPackCtesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM toks
+      |), sp AS (
+      |  SELECT doc_id, cum - n_tokens AS st, cum AS en
+      |  FROM c WHERE n_tokens > 0
+      |), ex AS (
+      |  SELECT doc_id, st, en,
+      |    unnest(range(st // 2048, (en - 1) // 2048 + 1)) AS pack_id
+      |  FROM sp
+      |), packs AS (
+      |  SELECT pack_id,
+      |    CAST(SUM(LEAST(en, (pack_id + 1) * 2048) - GREATEST(st, pack_id * 2048)) AS BIGINT) AS pack_tokens
+      |  FROM ex GROUP BY pack_id
+      |)""".stripMargin
 
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,

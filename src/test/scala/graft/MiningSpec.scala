@@ -334,6 +334,31 @@ class MiningSpec extends AnyFunSuite {
     } finally ord.unpersist()
   }
 
+  test("q153: pack epoch order covers every pack once per epoch and conserves token mass") {
+    val out = ops.Mining.q153.fn(spark, sf).collect()
+    val packs = ops.TextOps.wrapPacks(spark, sf).cache()
+    try {
+      val (nPacks, totalToks) = {
+        val r = packs.agg(count(lit(1)), sum("pack_tokens")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      Seq(1, 2).foreach { e =>
+        val rows = out.filter(_.getAs[Int]("epoch") == e)
+        assert(rows.map(_.getAs[Long]("n_packs")).sum === nPacks,
+          s"epoch $e must schedule every pack exactly once")
+        assert(rows.map(_.getAs[Long]("shard_tokens")).sum === totalToks,
+          s"epoch $e must conserve the corpus token mass")
+      }
+      // the two epochs' per-shard checksums must mostly differ
+      val byKey = out.map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_packs"), r.getAs[Long]("ord_dot"))).toMap
+      val shards = byKey.keys.filter(_._1 == 1).map(_._2)
+      val differing = shards.count(sh => byKey.get((1, sh)) != byKey.get((2, sh)))
+      assert(differing * 2 > shards.size,
+        s"pack epoch permutations look identical: $differing/${shards.size}")
+    } finally packs.unpersist()
+  }
+
   test("q151: the plan manifest's block ranges are exactly q150's per-block gpos ranges") {
     val ord = ops.Mining.curriculumOrder(spark, sf)
       .groupBy("phase", "shard")
