@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"per-bucket ranking must stay a window:\n$p")
   }
 
+  test("q151/q153: plan-manifest and pack-order plans never serialize through one task") {
+    Seq("q151_curriculum_manifest", "q153_pack_epoch_order").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("SinglePartition"),
+        s"$n must keep every stage bucket/shard-partitioned:\n$p")
+    }
+  }
+
   test("q152: wrap packing keeps the distributed prefix sum and in-row span explode") {
     val p = plan("q152_wrap_packing")
     assert(!p.contains("SinglePartition"),
