@@ -109,4 +109,48 @@ class ScaleKernelPropSpec extends AnyFunSuite {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("PrefixSum.runningTotalBy equals the sequential per-group scan for random inputs") {
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(2000)
+      val nBuckets = 1 + rnd.nextInt(300)
+      val groups = 1 + rnd.nextInt(6)
+      // unique integral keys per row (the contract), possibly negative;
+      // group sizes wildly uneven (group 0 takes half)
+      val keys = rnd.shuffle((0 until n).map(i => i.toLong * 3 - n))
+      val rows = keys.map { k =>
+        val g = if (rnd.nextBoolean()) "g0" else s"g${rnd.nextInt(groups)}"
+        (g, k, rnd.nextInt(2001).toLong - 1000L)
+      }
+      val expected = rows.groupBy(_._1).flatMap { case (g, grp) =>
+        grp.sortBy(_._2).scanLeft((g, 0L, 0L)) { case ((_, _, acc), (_, k, v)) =>
+          (g, k, acc + v)
+        }.tail.map { case (_, k, cum) => (g, k) -> cum }
+      }
+      val got = graft.exec.PrefixSum
+        .runningTotalBy(rows.toDF("g", "k", "v"), "g", "k", "v", "cum", nBuckets)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("cum")).toMap
+      assert(got === expected, s"seed=$seed n=$n buckets=$nBuckets groups=$groups")
+    }
+  }
+
+  test("PrefixSum.globalRank equals the sequential total-order rank for random inputs") {
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(2000)
+      val nBucketVals = 1 + rnd.nextInt(40)
+      // bucket ids sparse and possibly negative; order keys duplicate-heavy
+      // with the unique id as final tie-break
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(nBucketVals).toLong * 7 - 50, rnd.nextInt(20).toLong, i.toLong)
+      }
+      val expected = rows.sortBy(t => (t._1, t._2, t._3)).zipWithIndex
+        .map { case ((_, _, id), idx) => id -> (idx + 1).toLong }.toMap
+      val got = graft.exec.PrefixSum
+        .globalRank(rows.toDF("b", "k", "id"), "b", Seq("k", "id"), "r")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r")).toMap
+      assert(got === expected, s"seed=$seed n=$n buckets=$nBucketVals")
+    }
+  }
 }
