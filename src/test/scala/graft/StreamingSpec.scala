@@ -925,6 +925,32 @@ class StreamingSpec extends AnyFunSuite {
       Seq("batch_id=-1", "batch_id=2"))
     assert(maniMap(OrderStream.manifestFromDeltas(spark, deltas)) === batch,
       "compaction must not move the served manifest")
+
+    // arrival-order invariance: cells are commutative SUMs with no
+    // first-seen semantics, so REVERSED chunk delivery must serve the
+    // identical manifest (no reconciliation pass needed — unlike the
+    // fp/band stores, where ownership depends on arrival order)
+    val landing2 = tmpDir("graft-order-landing2")
+    val deltas2 = tmpDir("graft-order-art2") + "/deltas"
+    val checkpoint2 = tmpDir("graft-order-ckpt2")
+    def land2(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-order-stage2")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing2, name))
+    }
+    Seq(
+      docs.filter(col("doc_id") >= cut2) -> "r1.parquet",
+      docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2) -> "r2.parquet",
+      docs.filter(col("doc_id") < cut1) -> "r3.parquet"
+    ).foreach { case (chunk, name) =>
+      land2(chunk, name)
+      OrderStream.cellSink(OrderStream.readDocStream(spark, landing2),
+        deltas2, checkpoint2).awaitTermination()
+    }
+    assert(maniMap(OrderStream.manifestFromDeltas(spark, deltas2)) === batch,
+      "reversed arrival order must serve the identical manifest")
   }
 
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
