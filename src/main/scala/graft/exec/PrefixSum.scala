@@ -84,16 +84,31 @@ object PrefixSum {
     * With `valueCol` = 1 this is a distributed per-group rank.
     */
   def runningTotalBy(df0: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, cumCol: String, nBuckets: Int): DataFrame =
+    runningTotalBy(df0, partCol, Seq(orderCol), valueCol, cumCol, nBuckets)
+
+  def runningTotalBy(df0: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, cumCol: String): DataFrame =
+    runningTotalBy(df0, partCol, Seq(orderCol), valueCol, cumCol)
+
+  /** Multi-key form: the running order is (orderCols.head, tail…) —
+    * buckets are cut from the HEAD column's value range (it must be
+    * integral; ties on it stay inside one bucket, so bucket boundaries
+    * always respect the order prefix), the tail columns only break ties
+    * inside the window sort.
+    */
+  def runningTotalBy(df0: DataFrame, partCol: String, orderCols: Seq[String],
       valueCol: String, cumCol: String, nBuckets: Int = 32): DataFrame = {
+    val headCol = orderCols.head
     val df =
       if (df0.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") df0
       else df0.localCheckpoint()
-    val bounds = df.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
+    val bounds = df.agg(min(col(headCol)).cast("long"), max(col(headCol)).cast("long")).head()
     if (bounds.isNullAt(0)) return df.withColumn(cumCol, col(valueCol).cast("long"))
     val mn = bounds.getLong(0)
     val mx = bounds.getLong(1)
     val step = math.max(1L, (mx - mn) / nBuckets + 1)
-    val bucket = floor((col(orderCol).cast("long") - lit(mn)) / lit(step)).cast("int")
+    val bucket = floor((col(headCol).cast("long") - lit(mn)) / lit(step)).cast("int")
 
     val totals = df.groupBy(col(partCol).cast("string").as("_g"), bucket.as("_bucket"))
       .agg(sum(col(valueCol)).cast("long").as("_t"))
@@ -109,7 +124,7 @@ object PrefixSum {
       }.toMap
     }
 
-    val w = Window.partitionBy(partCol, "_bucket").orderBy(orderCol)
+    val w = Window.partitionBy(partCol, "_bucket").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_bucket", bucket)
       .withColumn(cumCol,

@@ -459,7 +459,6 @@ object Mining {
     * source falls back to the PrefixSum kernel (q56's shape).
     */
   val q95 = Q("q95_token_budget", q95OracleSql) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
     val mean = when(col("n_tokens") === 0L, lit(0.0))
       .otherwise(Det.dround(col("score").cast("double") / col("n_tokens"), 4))
@@ -468,15 +467,23 @@ object Mining {
       .select(col("doc_id"), col("source"),
         element_at(col("_ls"), 1).as("n_tokens"), element_at(col("_ls"), 2).as("score"))
       .select(col("doc_id"), col("source"), col("n_tokens"), mean.as("quality_score"))
-    val byQuality = Window.partitionBy("source")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy("source")
+      // the quality order (score desc, doc_id) as ONE integral head key:
+      // quality_score is 4-decimal fixed point, so −round(q·10⁴) orders
+      // exactly like q desc — which lets the per-source running total run
+      // as runningTotalBy's bucket-partitioned two-pass instead of a
+      // per-source window (one task per source: at 100 TB a handful of
+      // sources means a handful of tasks — the SinglePartition problem
+      // × |sources|, measured in §8's orderprobe)
+      .withColumn("_negq", -round(col("quality_score") * lit(10000.0)).cast("long"))
+      .localCheckpoint() // scoring runs once; totals + both prefix passes share it
+    // per-source totals: a hash aggregate + broadcast join back, never a
+    // whole-source window
+    val totals = scored.groupBy("source")
+      .agg(sum(col("n_tokens")).cast("long").as("tokens_total"))
     val quota = floor(col("tokens_total") * BudgetFraction).cast("long")
-    scored
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"),
-        sum(col("n_tokens")).over(byQuality).as("cum_tokens"),
-        sum(col("n_tokens")).over(whole).as("tokens_total"))
+    graft.exec.PrefixSum
+      .runningTotalBy(scored, "source", Seq("_negq", "doc_id"), "n_tokens", "cum_tokens")
+      .join(broadcast(totals), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality_score"),
         col("cum_tokens"), quota.as("quota"),
         (col("cum_tokens") <= quota).as("selected"))

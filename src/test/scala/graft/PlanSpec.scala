@@ -128,6 +128,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("row_number"), s"per-bucket ranking must stay a window:\n$p")
   }
 
+  test("q95: the budget prefix runs bucket-partitioned, never one window task per source") {
+    val p = plan("q95_token_budget")
+    assert(p.contains("_bucket"),
+      s"per-source running total must ride the grouped two-pass prefix:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"source totals must broadcast back, not window over whole sources:\n$p")
+  }
+
   test("q151/q153: plan-manifest and pack-order plans never serialize through one task") {
     Seq("q151_curriculum_manifest", "q153_pack_epoch_order").foreach { n =>
       val p = plan(n)
