@@ -6,17 +6,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
-  * metadata, batched partition-wise decode, and stubbed feature
+  * metadata, batched partition-wise decode, and per-format feature
   * extraction.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — but the Spark-side contract is
-  * real: binary column + metadata struct schema, a `mapPartitions`
-  * batch-decode (the Scala analog of `mapInPandas` — per-partition
-  * batching so a real decoder would amortize model/codec init across a
-  * batch, exactly how a GPU decode stage is driven), and fixed-width
-  * feature output. Swapping `decodeStub` for a JNI/codec call changes no
-  * plan shape.
+  * Four formats decode for REAL with zero added dependencies — BMP and
+  * WAV/PCM by hand-written fixed-layout parsers, JPEG and PNG through
+  * the JDK's own `javax.imageio` readers — each reporting the same
+  * fixed-width statistics record. Only mp3/video (no decoder anywhere in
+  * the bare JVM) fall back to a clearly-marked deterministic STUB. The
+  * Spark-side contract is uniform across all of them: binary column +
+  * metadata struct schema, a `mapPartitions` batch-decode (the Scala
+  * analog of `mapInPandas` — per-partition batching so decoder init
+  * amortizes across a batch, exactly how a GPU decode stage is driven),
+  * and fixed-width feature output. Swapping any codec for a JNI call
+  * changes no plan shape.
   *
   * The stub derives every pseudo-feature from the md5 hex digest of the
   * payload bytes, which a DuckDB oracle reproduces from md5(text) — so
@@ -52,12 +55,17 @@ object Multimodal {
     def decode(a: Asset): AssetFeatures
   }
 
-  /** MIME-type dispatch table: real parsers for the two pure-JVM formats,
-    * the md5 stub for everything else (the container ships no jpeg/mp3
-    * codecs — that seam stays a stub, clearly marked).
+  /** MIME-type dispatch table: real decoders for the four formats the
+    * bare JVM can parse — BMP and WAV/PCM by hand (fixed-width layouts),
+    * JPEG and PNG through the JDK's own `javax.imageio` readers
+    * (java.desktop ships them; no codec jars, headless-safe). mp3/video
+    * stay on the md5 stub — the one seam the container genuinely cannot
+    * decode — clearly marked.
     */
   def codecFor(mime: String): Codec = mime match {
     case "image/bmp" => BmpCodec
+    case "image/jpeg" | "image/jpg" => JpegCodec
+    case "image/png" => PngCodec
     case "audio/wav" | "audio/x-wav" => WavCodec
     case _ => Md5StubCodec
   }
@@ -164,6 +172,72 @@ object Multimodal {
           (sumLuma / n).toFloat, minLuma.toFloat, maxLuma.toFloat,
           (sumEdge / nEdges).toFloat, nBright.toFloat / n))
     }
+  }
+
+  /** The SAME 8-statistic battery BmpCodec computes from raw bytes,
+    * evaluated over any decoded raster (row-major top-down; BMP's
+    * bottom-up storage only reorders commutative sums and per-row edge
+    * terms, so the statistics agree to float precision on identical
+    * pixels — OpsSpec pins PNG-vs-BMP equality on a shared image).
+    */
+  private def rasterFeatures(docId: Long, bytes: Array[Byte],
+      img: java.awt.image.BufferedImage): AssetFeatures = {
+    val width = img.getWidth
+    val height = img.getHeight
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    var sumB, sumG, sumR, sumLuma, sumEdge = 0.0
+    var minLuma = Double.MaxValue
+    var maxLuma = Double.MinValue
+    var nBright = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      var prevLuma = 0.0
+      while (x < width) {
+        val rgb = img.getRGB(x, y)
+        val red = ((rgb >> 16) & 0xff) / 255.0
+        val green = ((rgb >> 8) & 0xff) / 255.0
+        val blue = (rgb & 0xff) / 255.0
+        val luma = 0.2126 * red + 0.7152 * green + 0.0722 * blue
+        sumB += blue; sumG += green; sumR += red; sumLuma += luma
+        if (luma < minLuma) minLuma = luma
+        if (luma > maxLuma) maxLuma = luma
+        if (luma > 0.5) nBright += 1
+        if (x > 0) sumEdge += math.abs(luma - prevLuma)
+        prevLuma = luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    val nEdges = math.max(1L, (width - 1).toLong * height)
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 0, bytes.length)
+    AssetFeatures(docId, bytes.length, crc.getValue, width, height, n_frames = 1,
+      feature = Array(
+        (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
+        (sumLuma / n).toFloat, minLuma.toFloat, maxLuma.toFloat,
+        (sumEdge / nEdges).toFloat, nBright.toFloat / n))
+  }
+
+  /** Real JPEG/PNG decode through the JDK's bundled `javax.imageio`
+    * readers — an actual entropy-coded image decode on executor tasks
+    * with zero added dependencies. `ImageIO.read` returns null (rather
+    * than throwing) on an unrecognizable payload, so the null is turned
+    * into the require-failure the quarantine path expects.
+    */
+  private def imageIoDecode(a: Asset): AssetFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload))
+    require(img != null, s"undecodable ${a.mime} payload")
+    rasterFeatures(a.doc_id, a.payload, img)
+  }
+
+  object JpegCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = imageIoDecode(a)
+  }
+
+  object PngCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = imageIoDecode(a)
   }
 
   /** Real WAV/PCM decoder — pure JVM RIFF parse: 'RIFF'…'WAVE' magic, then
