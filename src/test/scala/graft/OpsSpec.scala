@@ -482,6 +482,37 @@ class OpsSpec extends AnyFunSuite {
     assert(f.feature(7) === lumas.count(_ > 0.5).toFloat / lumas.size, "bright fraction")
   }
 
+  test("GifCodec: real animated GIF decodes frame count and frame-averaged statistics") {
+    // three uniform-gray frames (one palette color each -> lossless):
+    // lumas 40/255, 128/255, 216/255
+    val levels = Seq(40, 128, 216)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    levels.foreach { lv =>
+      val img = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 10) img.setRGB(x, y, (lv << 16) | (lv << 8) | lv)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val f = Multimodal.GifCodec.decode(Multimodal.Asset(14L, "image/gif", bos.toByteArray))
+    assert(f.width === 10 && f.height === 8)
+    assert(f.n_frames === 3, "multi-frame count must be real")
+    val expMean = levels.map(_ / 255.0).sum / 3
+    assert(math.abs(f.feature(3) - expMean) < 1e-5, "frame-averaged mean luma")
+    assert(math.abs(f.feature(4) - 40 / 255.0) < 1e-5, "min luma composes as min across frames")
+    assert(math.abs(f.feature(5) - 216 / 255.0) < 1e-5, "max luma composes as max across frames")
+    assert(f.feature(6) === 0.0f, "uniform frames have zero edge energy")
+    assert(math.abs(f.feature(7) - 2.0 / 3) < 1e-5, "two of three frames exceed 0.5 luma")
+    // dispatch path: the asset table route decodes it too
+    val out = Multimodal.decodeFeatures(
+      Seq((15L, "image/gif", bos.toByteArray)).toDF("doc_id", "mime", "payload"))
+      .collect()
+    assert(out(0).getAs[Int]("n_frames") === 3)
+  }
+
   test("JpegCodec: real JPEG decode recovers dimensions exactly and statistics approximately") {
     val jpg = encodeImage("jpeg")
     // sanity: it really is an entropy-coded JPEG, not a renamed raster
