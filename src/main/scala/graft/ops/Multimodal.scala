@@ -68,6 +68,7 @@ object Multimodal {
     case "image/png" => PngCodec
     case "image/gif" => GifCodec
     case "audio/wav" | "audio/x-wav" => WavCodec
+    case "audio/aiff" | "audio/x-aiff" | "audio/basic" => AiffAuCodec
     case _ => Md5StubCodec
   }
 
@@ -321,45 +322,93 @@ object Multimodal {
       val bytesPerSample = bitsPerSample / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
-      var sumAbs, sumSq, sumRaw = 0.0
-      var peak = 0.0
-      var nZeroCross, nSilent, nClipped = 0L
-      var prevSign = 0
-      var f = 0
-      while (f < nFrames) {
+      val samples = (0 until nFrames).iterator.map { f =>
         var c = 0
         var acc = 0.0
         while (c < channels) {
           val p = dataOff + f * frameBytes + c * bytesPerSample
-          val s = bitsPerSample match {
+          acc += (bitsPerSample match {
             case 8 => ((b(p) & 0xff) - 128) / 128.0 // 8-bit WAV is unsigned
             case 16 => ((b(p) & 0xff) | (b(p + 1) << 8)).toShort / 32768.0
             case 32 => java.lang.Float.intBitsToFloat(i32(p)).toDouble
-          }
-          acc += s
+          })
           c += 1
         }
-        val s = acc / channels
-        val abs = math.abs(s)
-        sumAbs += abs; sumSq += s * s; sumRaw += s
-        if (abs > peak) peak = abs
-        if (abs < 0.01) nSilent += 1
-        if (abs > 0.99) nClipped += 1
-        val sign = java.lang.Double.compare(s, 0.0)
-        if (f > 0 && sign != 0 && prevSign != 0 && sign != prevSign) nZeroCross += 1
-        if (sign != 0) prevSign = sign
-        f += 1
+        acc / channels
       }
-      val n = math.max(1L, nFrames.toLong)
-      val rms = math.sqrt(sumSq / n)
-      val crc = new java.util.zip.CRC32
-      crc.update(b, 0, b.length)
-      AssetFeatures(a.doc_id, b.length, crc.getValue,
-        width = sampleRate, height = channels, n_frames = nFrames,
-        feature = Array(
-          (sumAbs / n).toFloat, rms.toFloat, peak.toFloat,
-          nZeroCross.toFloat / n, (sumRaw / n).toFloat,
-          (peak - rms).toFloat, nSilent.toFloat / n, nClipped.toFloat / n))
+      audioBattery(a.doc_id, b, sampleRate, channels, samples)
+    }
+  }
+
+  /** The 8-statistic audio battery over channel-averaged frame samples —
+    * shared verbatim by WavCodec's byte-level parse and AiffAuCodec's
+    * AudioSystem-decoded stream, so every audio format reports
+    * identically.
+    */
+  private def audioBattery(docId: Long, bytes: Array[Byte], sampleRate: Int,
+      channels: Int, samples: Iterator[Double]): AssetFeatures = {
+    var sumAbs, sumSq, sumRaw = 0.0
+    var peak = 0.0
+    var nZeroCross, nSilent, nClipped = 0L
+    var prevSign = 0
+    var f = 0
+    while (samples.hasNext) {
+      val s = samples.next()
+      val abs = math.abs(s)
+      sumAbs += abs; sumSq += s * s; sumRaw += s
+      if (abs > peak) peak = abs
+      if (abs < 0.01) nSilent += 1
+      if (abs > 0.99) nClipped += 1
+      val sign = java.lang.Double.compare(s, 0.0)
+      if (f > 0 && sign != 0 && prevSign != 0 && sign != prevSign) nZeroCross += 1
+      if (sign != 0) prevSign = sign
+      f += 1
+    }
+    val n = math.max(1L, f.toLong)
+    val rms = math.sqrt(sumSq / n)
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 0, bytes.length)
+    AssetFeatures(docId, bytes.length, crc.getValue,
+      width = sampleRate, height = channels, n_frames = f,
+      feature = Array(
+        (sumAbs / n).toFloat, rms.toFloat, peak.toFloat,
+        nZeroCross.toFloat / n, (sumRaw / n).toFloat,
+        (peak - rms).toFloat, nSilent.toFloat / n, nClipped.toFloat / n))
+  }
+
+  /** Real AIFF/AU decode through the JDK's `javax.sound.sampled` —
+    * the big-endian and μ-law families WavCodec's RIFF parser cannot
+    * read, converted by AudioSystem to 16-bit signed little-endian PCM
+    * and run through the SAME `audioBattery` (OpsSpec pins an AIFF of
+    * WavCodec's golden samples to the identical statistics). Zero added
+    * dependencies.
+    */
+  object AiffAuCodec extends Codec {
+    def decode(a: Asset): AssetFeatures = {
+      import javax.sound.sampled._
+      val ais0 = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      try {
+        val src = ais0.getFormat
+        val channels = src.getChannels
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, channels, 2 * channels, src.getSampleRate, false)
+        val ais = AudioSystem.getAudioInputStream(target, ais0)
+        val data = ais.readAllBytes()
+        val frameBytes = 2 * channels
+        val nFrames = data.length / frameBytes
+        val samples = (0 until nFrames).iterator.map { f =>
+          var c = 0
+          var acc = 0.0
+          while (c < channels) {
+            val p = f * frameBytes + c * 2
+            acc += ((data(p) & 0xff) | (data(p + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          acc / channels
+        }
+        audioBattery(a.doc_id, a.payload, src.getSampleRate.toInt, channels, samples)
+      } finally ais0.close()
     }
   }
 

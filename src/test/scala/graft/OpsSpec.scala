@@ -482,6 +482,35 @@ class OpsSpec extends AnyFunSuite {
     assert(f.feature(7) === lumas.count(_ > 0.5).toFloat / lumas.size, "bright fraction")
   }
 
+  test("AiffAuCodec: big-endian AIFF and AU decode to WavCodec's exact golden statistics") {
+    import javax.sound.sampled._
+    // the SAME 4 samples as wavPcm16 (±0.5 at 8 kHz mono), written as
+    // big-endian AIFF and as AU — formats the RIFF parser cannot read
+    val pcmBE = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(16384, -16384, 16384, -16384).foreach(s => pcmBE.putShort(s.toShort))
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    def fileBytes(t: AudioFileFormat.Type): Array[Byte] = {
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBE.array()), fmt, 4)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, t, bos)
+      bos.toByteArray
+    }
+    val wavGold = Multimodal.WavCodec.decode(Multimodal.Asset(8L, "audio/wav", wavPcm16))
+    Seq(AudioFileFormat.Type.AIFF -> "audio/aiff",
+        AudioFileFormat.Type.AU -> "audio/basic").foreach { case (t, mime) =>
+      val f = Multimodal.AiffAuCodec.decode(Multimodal.Asset(9L, mime, fileBytes(t)))
+      assert(f.width === 8000 && f.height === 1 && f.n_frames === 4, s"$mime header")
+      assert(f.feature.toSeq === wavGold.feature.toSeq,
+        s"$mime must report the identical battery as the WAV golden")
+    }
+    // corrupt payload quarantines through the standard path
+    val out = Multimodal.decodeFeatures(
+      Seq((16L, "audio/aiff", "notaiff".getBytes("UTF-8"))).toDF("doc_id", "mime", "payload"))
+      .collect()
+    assert(out(0).getAs[Int]("width") === -1)
+  }
+
   test("GifCodec: real animated GIF decodes frame count and frame-averaged statistics") {
     // three uniform-gray frames (one palette color each -> lossless):
     // lumas 40/255, 128/255, 216/255
