@@ -51,6 +51,37 @@ object Catalog {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Format-agnostic source scan — the same table landed as ORC, JSON
+    * lines, or CSV instead of parquet (lakehouse ingest rarely controls
+    * the producer's format). The schema is always ENFORCED, never
+    * inferred: inference samples the data (nondeterministic at scale,
+    * a second pass over 100 TB) and widens types under dirty rows,
+    * silently changing downstream plans. CSV cannot carry arrays/structs
+    * — callers landing `embeddings` there get an AnalysisException, by
+    * design. Text formats carry timestamps at MICROSECOND precision
+    * ([[TextTimestampFormat]] — the default ISO pattern writes millis
+    * and silently truncates; SourcesSpec caught exactly that). SourcesSpec
+    * pins byte-identical row sets across all formats for
+    * documents/events/embeddings.
+    */
+  def tableFrom(spark: SparkSession, path: String, format: String,
+      schema: StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    format match {
+      case "parquet" => r.parquet(path)
+      case "orc" => r.orc(path)
+      case "json" => r.option("timestampFormat", TextTimestampFormat).json(path)
+      case "csv" => r.option("header", "true")
+        .option("timestampFormat", TextTimestampFormat).csv(path)
+      case other => throw new IllegalArgumentException(s"unsupported source format $other")
+    }
+  }
+
+  /** Timestamp pattern for text landings (JSON/CSV): full microseconds,
+    * matching parquet's TIMESTAMP(MICROS) losslessly.
+    */
+  val TextTimestampFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   // ── Reference seed schemas (seeds/schema.yml) ────────────────────────────
 
   /** raw_sensor_readings — seeds/schema.yml:4-13. */

@@ -57,11 +57,18 @@ object TextOps {
        |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 20) AS passes_length_filter
        |FROM documents
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    textStats(docs(s, dir)).orderBy("doc_id")
+  }
+
+  /** q50's per-doc projection as a pure function of any documents-shaped
+    * frame — shared with SourcesSpec's format-independence pin.
+    */
+  private[graft] def textStats(d: DataFrame): DataFrame = {
     val t = col("text")
     val nTokens = tokenCount(t)
     val nPunct = length(regexp_replace(t, "[^.!?,;:]", ""))
     val nStop = wordHits(t, allStop)
-    docs(s, dir).select(
+    d.select(
       col("doc_id"), col("n_chars"),
       length(t).as("text_len"),
       nTokens.as("n_tokens"),
@@ -72,7 +79,6 @@ object TextOps {
         .otherwise(0.0).as("stopword_ratio"),
       (length(t) >= 100 && length(t) <= 20000 && nTokens >= 20)
         .as("passes_length_filter"))
-      .orderBy("doc_id")
   }
 
   /** q51 — language-ID heuristic: stopword-hit votes per language with a
