@@ -322,7 +322,7 @@ object Multimodal {
       val bytesPerSample = bitsPerSample / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
-      val samples = (0 until nFrames).iterator.map { f =>
+      val sampleAt: Int => Double = { f =>
         var c = 0
         var acc = 0.0
         while (c < channels) {
@@ -336,7 +336,7 @@ object Multimodal {
         }
         acc / channels
       }
-      audioBattery(a.doc_id, b, sampleRate, channels, samples)
+      audioBattery(a.doc_id, b, sampleRate, channels, nFrames, sampleAt)
     }
   }
 
@@ -346,14 +346,16 @@ object Multimodal {
     * identically.
     */
   private def audioBattery(docId: Long, bytes: Array[Byte], sampleRate: Int,
-      channels: Int, samples: Iterator[Double]): AssetFeatures = {
+      channels: Int, nFrames: Int, sampleAt: Int => Double): AssetFeatures = {
+    // Int => Double is @specialized, so the per-sample call stays unboxed
+    // — a long recording must not allocate per frame
     var sumAbs, sumSq, sumRaw = 0.0
     var peak = 0.0
     var nZeroCross, nSilent, nClipped = 0L
     var prevSign = 0
     var f = 0
-    while (samples.hasNext) {
-      val s = samples.next()
+    while (f < nFrames) {
+      val s = sampleAt(f)
       val abs = math.abs(s)
       sumAbs += abs; sumSq += s * s; sumRaw += s
       if (abs > peak) peak = abs
@@ -397,7 +399,7 @@ object Multimodal {
         val data = ais.readAllBytes()
         val frameBytes = 2 * channels
         val nFrames = data.length / frameBytes
-        val samples = (0 until nFrames).iterator.map { f =>
+        val sampleAt: Int => Double = { f =>
           var c = 0
           var acc = 0.0
           while (c < channels) {
@@ -407,7 +409,7 @@ object Multimodal {
           }
           acc / channels
         }
-        audioBattery(a.doc_id, a.payload, src.getSampleRate.toInt, channels, samples)
+        audioBattery(a.doc_id, a.payload, src.getSampleRate.toInt, channels, nFrames, sampleAt)
       } finally ais0.close()
     }
   }
