@@ -415,6 +415,62 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "codecprobe") {
+      // Real-decode throughput through the mapPartitions batch path:
+      // per-format assets synthesized in-memory (deterministic rasters /
+      // PCM), decoded twice (second run = steady state, codecs warm).
+      import graft.ops.Multimodal
+      import spark.implicits._
+      val n = if (args.length > 2) args(2).toInt else 2000
+      def raster(seed: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(64, 48,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 48) {
+          var x = 0
+          while (x < 64) {
+            img.setRGB(x, y, ((x * seed) % 256 << 16) | ((y * 7) % 256 << 8) | ((x + y + seed) % 256))
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      def imgBytes(fmt: String, seed: Int): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(raster(seed), fmt, bos)
+        bos.toByteArray
+      }
+      def wavBytes(seed: Int): Array[Byte] = {
+        val frames = 8000
+        val buf = java.nio.ByteBuffer.allocate(44 + frames * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes).putInt(36 + frames * 2).put("WAVE".getBytes)
+        buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        buf.putInt(8000).putInt(16000).putShort(2).putShort(16)
+        buf.put("data".getBytes).putInt(frames * 2)
+        var i = 0
+        while (i < frames) { buf.putShort(((i * seed * 131) % 32768).toShort); i += 1 }
+        buf.array()
+      }
+      Seq(
+        "image/jpeg" -> ((s: Int) => imgBytes("jpeg", s)),
+        "image/png" -> ((s: Int) => imgBytes("png", s)),
+        "audio/wav" -> ((s: Int) => wavBytes(s))
+      ).foreach { case (mime, gen) =>
+        val assets = (0 until n).map(i => (i.toLong, mime, gen(i + 1)))
+          .toDF("doc_id", "mime", "payload").repartition(32).localCheckpoint()
+        (1 to 2).foreach { rep =>
+          val t0 = System.nanoTime()
+          val cnt = Multimodal.decodeFeatures(assets)
+            .filter(col("width") > 0).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"CODEC $mime%-12s rep$rep $n decodes ${dt}%6.2f s  (${n / dt}%8.0f/s)  ok=$cnt")
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "orderprobe") {
       // The training-order primitives (q148-q151) vs their naive
       // single/few-task window twins at synthetic row counts — the
