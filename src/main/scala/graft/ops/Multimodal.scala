@@ -510,5 +510,84 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q37)
+  /** A real 2×1 24-bit BMP whose six channel bytes come from the first
+    * twelve hex chars of md5(doc_id) — a payload BOTH engines can reason
+    * about: Spark parses it with the real [[BmpCodec]], DuckDB recomputes
+    * the expected statistics from the same md5 arithmetic.
+    */
+  private[graft] def synthBmp2x1(id: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(id.toString.getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(62).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+    buf.putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // one row: [b1 g1 r1 b2 g2 r2] + 2 pad — channel k = md5 byte k
+    var k = 0
+    while (k < 6) { buf.put(d(k)); k += 1 }
+    buf.put(0.toByte).put(0.toByte)
+    buf.array()
+  }
+
+  private val q154OracleSql: String = {
+    // every literal double-cast (bare decimals are DECIMAL in DuckDB);
+    // CAST(double AS REAL) rounds to nearest float32 — exactly the JVM's
+    // .toFloat of the identical IEEE expression tree, so the comparison
+    // is bit-exact with no tolerance
+    def ch(i: Int) =
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), ${2 * i + 1}, 2) AS INT) / CAST(255.0 AS DOUBLE)"
+    def luma(r: String, g: String, b: String) =
+      s"CAST(0.2126 AS DOUBLE) * $r + CAST(0.7152 AS DOUBLE) * $g + CAST(0.0722 AS DOUBLE) * $b"
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |    ${ch(0)} AS b1, ${ch(1)} AS g1, ${ch(2)} AS r1,
+       |    ${ch(3)} AS b2, ${ch(4)} AS g2, ${ch(5)} AS r2
+       |  FROM documents
+       |), lum AS (
+       |  SELECT *, ${luma("r1", "g1", "b1")} AS l1, ${luma("r2", "g2", "b2")} AS l2 FROM px
+       |)
+       |SELECT doc_id, 62 AS byte_len, 2 AS width, 1 AS height,
+       |  CAST((b1 + b2) / CAST(2.0 AS DOUBLE) AS REAL) AS mean_b,
+       |  CAST((g1 + g2) / CAST(2.0 AS DOUBLE) AS REAL) AS mean_g,
+       |  CAST((r1 + r2) / CAST(2.0 AS DOUBLE) AS REAL) AS mean_r,
+       |  CAST((l1 + l2) / CAST(2.0 AS DOUBLE) AS REAL) AS mean_luma,
+       |  CAST(LEAST(l1, l2) AS REAL) AS min_luma,
+       |  CAST(GREATEST(l1, l2) AS REAL) AS max_luma,
+       |  CAST(ABS(l2 - l1) AS REAL) AS edge_energy,
+       |  CAST((CASE WHEN l1 > CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN l2 > CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) / CAST(2.0 AS DOUBLE) AS REAL) AS bright_frac
+       |FROM lum ORDER BY doc_id""".stripMargin
+  }
+
+  /** q154 — the REAL image parse oracled end to end: a genuine BMP is
+    * synthesized per document (pixels = md5 bytes), pushed through the
+    * standard asset pipeline (`decodeFeatures` → [[BmpCodec]]'s actual
+    * header/stride/pixel parse), and every emitted statistic is matched
+    * bit-for-bit against DuckDB recomputing it from the same md5
+    * arithmetic — q37 hash-checks the stub seam; this hash-checks a real
+    * decoder. Float parity trick worth recording: both engines build the
+    * identical IEEE DOUBLE tree, then Spark's `.toFloat` and DuckDB's
+    * `CAST(… AS REAL)` perform the same round-to-nearest-even, so float
+    * output columns compare exactly with zero tolerance.
+    */
+  val q154 = Q("q154_real_decode", q154OracleSql) { (s, dir) =>
+    import s.implicits._
+    val assets = Catalog.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => Asset(id, "image/bmp", synthBmp2x1(id)))
+      .toDF()
+    decodeFeatures(assets)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        element_at(col("feature"), 1).as("mean_b"),
+        element_at(col("feature"), 2).as("mean_g"),
+        element_at(col("feature"), 3).as("mean_r"),
+        element_at(col("feature"), 4).as("mean_luma"),
+        element_at(col("feature"), 5).as("min_luma"),
+        element_at(col("feature"), 6).as("max_luma"),
+        element_at(col("feature"), 7).as("edge_energy"),
+        element_at(col("feature"), 8).as("bright_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q37, q154)
 }
