@@ -589,5 +589,103 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q37, q154)
+  /** A real 4-sample PCM16 mono WAV whose samples come from the first
+    * sixteen hex chars of md5(doc_id) — the audio twin of
+    * [[synthBmp2x1]]: v_k = hex[4k..4k+4) as uint16, sign-folded to
+    * int16, written little-endian after a standard 44-byte RIFF header.
+    */
+  private[graft] def synthWav4(id: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(id.toString.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"${b & 0xff}%02x").mkString
+    val buf = java.nio.ByteBuffer.allocate(52).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    buf.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(8)
+    var k = 0
+    while (k < 4) {
+      buf.putShort(Integer.parseInt(hex.substring(4 * k, 4 * k + 4), 16).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  private val q155OracleSql: String = {
+    // int16 sign fold + /32768 in DOUBLE, battery replicated in the
+    // battery's own accumulation order; REAL casts at the end (the q154
+    // float32 identity); sqrt is IEEE-exact so rms oracles too
+    def sm(k: Int) =
+      s"""(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), ${4 * k + 1}, 4) AS INT) >= 32768
+         |    THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), ${4 * k + 1}, 4) AS INT) - 65536
+         |    ELSE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), ${4 * k + 1}, 4) AS INT) END
+         |  / CAST(32768.0 AS DOUBLE))""".stripMargin.replace("\n", " ")
+    s"""WITH sm AS (
+       |  SELECT doc_id, ${sm(0)} AS s1, ${sm(1)} AS s2, ${sm(2)} AS s3, ${sm(3)} AS s4
+       |  FROM documents
+       |), sg AS (
+       |  SELECT *, CAST(SIGN(s1) AS INT) AS g1, CAST(SIGN(s2) AS INT) AS g2,
+       |    CAST(SIGN(s3) AS INT) AS g3, CAST(SIGN(s4) AS INT) AS g4,
+       |    ABS(s1) AS a1, ABS(s2) AS a2, ABS(s3) AS a3, ABS(s4) AS a4
+       |  FROM sm
+       |), pv AS (
+       |  -- prevSign carries across zero samples exactly as the battery does
+       |  SELECT *, CASE WHEN g2 <> 0 THEN g2 ELSE g1 END AS p2,
+       |    CASE WHEN g3 <> 0 THEN g3 WHEN g2 <> 0 THEN g2 ELSE g1 END AS p3
+       |  FROM sg
+       |), zc AS (
+       |  SELECT *,
+       |    (CASE WHEN g2 <> 0 AND g1 <> 0 AND g2 <> g1 THEN 1 ELSE 0 END
+       |   + CASE WHEN g3 <> 0 AND p2 <> 0 AND g3 <> p2 THEN 1 ELSE 0 END
+       |   + CASE WHEN g4 <> 0 AND p3 <> 0 AND g4 <> p3 THEN 1 ELSE 0 END) AS ncross,
+       |    GREATEST(a1, a2, a3, a4) AS peak,
+       |    SQRT((((s1*s1 + s2*s2) + s3*s3) + s4*s4) / CAST(4.0 AS DOUBLE)) AS rms
+       |  FROM pv
+       |)
+       |SELECT doc_id, 52 AS byte_len, 8000 AS width, 1 AS height, 4 AS n_frames,
+       |  CAST((((a1 + a2) + a3) + a4) / CAST(4.0 AS DOUBLE) AS REAL) AS mean_abs,
+       |  CAST(rms AS REAL) AS rms,
+       |  CAST(peak AS REAL) AS peak,
+       |  CAST(CAST(ncross AS REAL) / 4 AS REAL) AS zcr,
+       |  CAST((((s1 + s2) + s3) + s4) / CAST(4.0 AS DOUBLE) AS REAL) AS dc_offset,
+       |  CAST(peak - rms AS REAL) AS dyn_range,
+       |  CAST(CAST(CASE WHEN a1 < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a2 < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a3 < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a4 < CAST(0.01 AS DOUBLE) THEN 1 ELSE 0 END AS REAL) / 4 AS REAL) AS silent_frac,
+       |  CAST(CAST(CASE WHEN a1 > CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a2 > CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a3 > CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END
+       |      + CASE WHEN a4 > CAST(0.99 AS DOUBLE) THEN 1 ELSE 0 END AS REAL) / 4 AS REAL) AS clipped_frac
+       |FROM zc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q155 — the real AUDIO parser oracled end to end (q154's twin):
+    * genuine PCM16 WAVs with md5-derived samples run through the
+    * standard pipeline into [[WavCodec]]'s actual RIFF/fmt/data parse,
+    * every battery statistic matched bit-for-bit against DuckDB —
+    * including the zero-crossing counter's carry-across-silence
+    * semantics and the sqrt-based RMS (IEEE-exact in both engines).
+    */
+  val q155 = Q("q155_real_audio_decode", q155OracleSql) { (s, dir) =>
+    import s.implicits._
+    val assets = Catalog.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map(id => Asset(id, "audio/wav", synthWav4(id)))
+      .toDF()
+    decodeFeatures(assets)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"),
+        element_at(col("feature"), 1).as("mean_abs"),
+        element_at(col("feature"), 2).as("rms"),
+        element_at(col("feature"), 3).as("peak"),
+        element_at(col("feature"), 4).as("zcr"),
+        element_at(col("feature"), 5).as("dc_offset"),
+        element_at(col("feature"), 6).as("dyn_range"),
+        element_at(col("feature"), 7).as("silent_frac"),
+        element_at(col("feature"), 8).as("clipped_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q37, q154, q155)
 }
