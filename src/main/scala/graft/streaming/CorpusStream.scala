@@ -36,6 +36,17 @@ object CorpusStream {
   def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(landingDir)
 
+  /** File-source stream over a JSON-lines landing directory — the text
+    * landing producers actually emit (log shippers, crawl exporters).
+    * Same enforced schema and sink compatibility as the parquet stream;
+    * timestamps ride `Catalog.TextTimestampFormat` (text formats
+    * truncate to millis under the ISO default).
+    */
+  def readDocStreamJson(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("timestampFormat", graft.Catalog.TextTimestampFormat)
+      .json(landingDir)
+
   /** Gate + fingerprint a (micro-)batch: returns (doc_id, source, fp)
     * for gate-keepers only — the shared projection of the batch and
     * streaming paths.

@@ -55,6 +55,34 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("a JSON-lines landing streams through a sink identically to parquet landings") {
+    import graft.streaming.{CorpusStream, OrderStream}
+    val landing = tmp("graft-src-stream-landing")
+    new java.io.File(landing).mkdirs()
+    val deltas = tmp("graft-src-stream-art") + "/deltas"
+    val checkpoint = tmp("graft-src-stream-ckpt")
+    val docs = Catalog.table(spark, sf, "documents")
+    val mid = 250L
+    // two JSON-lines chunk files land; the sink drains after each
+    Seq(docs.filter(col("doc_id") < mid) -> "c1",
+        docs.filter(col("doc_id") >= mid) -> "c2").foreach { case (chunk, name) =>
+      val stage = tmp(s"graft-src-stream-$name")
+      chunk.coalesce(1).write.format("json").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, s"$name.json"))
+      OrderStream.cellSink(CorpusStream.readDocStreamJson(spark, landing),
+        deltas, checkpoint).awaitTermination()
+    }
+    // the manifest served off the JSON-landed store equals batch q151
+    // over the parquet source — the landing format must be invisible
+    val got = OrderStream.manifestFromDeltas(spark, deltas).collect()
+      .map(_.toString).toSeq
+    val expect = ops.Mining.q151.fn(spark, sf).collect().map(_.toString).toSeq
+    assert(got === expect)
+  }
+
   test("a format-landed source feeds an oracled query identically to parquet") {
     // the whole point of the enforced schema: downstream plans must not
     // notice the landing format — q50's text stats off a JSON landing
