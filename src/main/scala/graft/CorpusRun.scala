@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Dedup, Mining}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI entry for the TRAINING-DATA pipeline — the curation lifecycle a
+  * corpus team runs as one command (the LLM-data analog of `graft.Run`'s
+  * medallion lifecycle):
+  *
+  *   runMain graft.CorpusRun <sfDir> <outDir>
+  *
+  * Stages, each reusing the oracled family it belongs to and writing its
+  * artifact under `outDir`:
+  *   1. curation stores (gate → exact dedup → keep-earliest LSH; the
+  *      CurationStream fold as one batch) + the q133 outcome-rate report
+  *   2. decontamination scrub store + the q141 per-source report
+  *   3. unified lexical+semantic leak repair (q146's assignment)
+  *   4. training-shard packing OFF the accepted store (q134)
+  *   5. curriculum plan manifest (q151) + per-epoch pack read order (q153)
+  *
+  * Cross-stage invariants are CHECKED, not assumed — a failed invariant
+  * exits nonzero like a failed dbt test:
+  *   - accepted ∪ quarantine partitions the corpus exactly (stage 1)
+  *   - the packed shards conserve the accepted store's doc count (4 vs 1)
+  *   - the curriculum total order is a dense cover of the corpus (5)
+  *   - every epoch schedules every wrap pack exactly once (5)
+  */
+object CorpusRun {
+
+  case class Stage(name: String, rows: Long, ok: Boolean, detail: String)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[Stage] = {
+    new java.io.File(outDir).mkdirs()
+    def save(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val out = df.localCheckpoint()
+      out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      out.count()
+    }
+    val nDocs = Catalog.table(spark, sfDir, "documents").count()
+
+    // 1. curation stores + outcome rates
+    val storesRoot = Dedup.buildCurationStores(spark, sfDir)
+    val nAccepted = spark.read.parquet(s"$storesRoot/accepted").count()
+    val nQuarantine = spark.read.parquet(s"$storesRoot/quarantine").count()
+    val rates = save("curation_rates", Dedup.q133.fn(spark, sfDir))
+    val s1 = Stage("curation", rates, nAccepted + nQuarantine == nDocs,
+      s"accepted=$nAccepted quarantine=$nQuarantine of $nDocs docs")
+
+    // 2. decontamination store + report
+    val scrub = save("scrub_report", Dedup.q141.fn(spark, sfDir))
+    val s2 = Stage("decontamination", scrub, scrub > 0, s"$scrub source rows")
+
+    // 3. unified leak repair
+    val repair = Dedup.unifiedRepair(spark, sfDir).localCheckpoint()
+    repair.coalesce(1).write.mode("overwrite").parquet(s"$outDir/leak_repair")
+    val nClustered = repair.count()
+    val nMoved = repair.filter(col("split") =!= col("final_split")).count()
+    val s3 = Stage("leak_repair", nClustered, nMoved <= nClustered,
+      s"$nMoved of $nClustered clustered docs reassigned")
+
+    // 4. pack the accepted store into training shards
+    val packs = Dedup.q134.fn(spark, sfDir).localCheckpoint()
+    packs.coalesce(1).write.mode("overwrite").parquet(s"$outDir/training_shards")
+    val nShards = packs.count()
+    val packedDocs = packs.agg(sum(col("n_docs"))).head().getLong(0)
+    val s4 = Stage("packing", nShards, packedDocs == nAccepted,
+      s"$packedDocs docs into $nShards shards (accepted=$nAccepted)")
+
+    // 5. consumption order: curriculum manifest + per-epoch pack order
+    val mani = Mining.q151.fn(spark, sfDir).localCheckpoint()
+    mani.coalesce(1).write.mode("overwrite").parquet(s"$outDir/curriculum_manifest")
+    val lastPos = mani.agg(max(col("last_pos"))).head().getLong(0)
+    val order = Mining.q153.fn(spark, sfDir).localCheckpoint()
+    order.coalesce(1).write.mode("overwrite").parquet(s"$outDir/epoch_pack_order")
+    val nWrapPacks = ops.TextOps.wrapPacks(spark, sfDir).count()
+    val perEpochOk = order.groupBy("epoch").agg(sum(col("n_packs")).as("n"))
+      .collect().forall(_.getAs[Long]("n") == nWrapPacks)
+    val s5 = Stage("ordering", mani.count(), lastPos == nDocs && perEpochOk,
+      s"total order covers $lastPos/$nDocs docs; $nWrapPacks packs per epoch")
+
+    Seq(s1, s2, s3, s4, s5)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.CorpusRun <sfDir> <outDir>")
+    val (sfDir, outDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = run(spark, sfDir, outDir)
+    stages.foreach { st =>
+      val mark = if (st.ok) "ok  " else "FAIL"
+      println(f"[corpus] $mark ${st.name}%-16s rows=${st.rows}%-8d ${st.detail}")
+    }
+    println(s"[corpus] artifacts at $outDir")
+    spark.stop()
+    if (!stages.forall(_.ok)) sys.exit(1)
+  }
+}

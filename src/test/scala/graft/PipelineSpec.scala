@@ -192,4 +192,20 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(boom.getMessage === "model failed")
   }
+
+  test("CorpusRun: the one-command curation lifecycle passes every cross-stage invariant") {
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus-run").toString
+    val stages = CorpusRun.run(spark, "/root/testdata/sf0.001", out)
+    assert(stages.map(_.name) ===
+      Seq("curation", "decontamination", "leak_repair", "packing", "ordering"))
+    stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
+    // every stage left its artifact behind, readable
+    Seq("curation_rates", "scrub_report", "leak_repair",
+        "training_shards", "curriculum_manifest", "epoch_pack_order").foreach { a =>
+      assert(spark.read.parquet(s"$out/$a").count() > 0, s"artifact $a missing/empty")
+    }
+    // re-running is idempotent: marker-committed stores are reused and
+    // the stage summaries are identical
+    assert(CorpusRun.run(spark, "/root/testdata/sf0.001", out) === stages)
+  }
 }
