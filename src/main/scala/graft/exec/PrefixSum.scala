@@ -166,4 +166,32 @@ object PrefixSum {
       row_number().over(w).cast("long") +
         coalesce(element_at(typedLit(offsets), col(bucketCol).cast("long")), lit(0L)))
   }
+
+  /** `globalRank`'s SUM sibling: the running total of `valueCol` in the
+    * global total order (bucketCol asc, orderCols asc) — per-bucket SUM
+    * offsets to the driver (bounded by bucket cardinality), within-bucket
+    * window sums in parallel. The cumulative-consumption primitive: "how
+    * much mass precedes this row in consumption order" without a global
+    * sort.
+    */
+  def globalRunningTotal(df0: DataFrame, bucketCol: String,
+      orderCols: Seq[String], valueCol: String, outCol: String): DataFrame = {
+    val df =
+      if (df0.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") df0
+      else df0.localCheckpoint()
+    val totals = df.groupBy(col(bucketCol).cast("long").as("_b"))
+      .agg(sum(col(valueCol)).cast("long").as("_t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      totals.map { case (b, t) => val o = b -> acc; acc += t; o }.toMap
+    }
+    val w = Window.partitionBy(bucketCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outCol,
+      sum(col(valueCol)).over(w).cast("long") +
+        coalesce(element_at(typedLit(offsets), col(bucketCol).cast("long")), lit(0L)))
+  }
 }

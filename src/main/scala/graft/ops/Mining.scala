@@ -1132,6 +1132,66 @@ object Mining {
       .orderBy("epoch", "shard")
   }
 
+  // ── q156: budget-cut resume points over the epoch order ───────────────
+
+  private def q156OracleSql: String =
+    s"""${TextOps.wrapPackCtesSql},
+       |keyed AS (
+       |  SELECT pack_id, pack_tokens,
+       |    ${Dedup.h60Sql("'pk:1:' || CAST(pack_id AS VARCHAR)")} AS k
+       |  FROM packs
+       |), ranked AS (
+       |  SELECT pack_id, pack_tokens, k, k % $EpochShards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY k % $EpochShards ORDER BY k, pack_id) AS pos,
+       |    CAST(SUM(pack_tokens) OVER (ORDER BY k % $EpochShards, k, pack_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(pack_tokens) OVER () AS BIGINT) AS total
+       |  FROM keyed
+       |), cut AS (
+       |  SELECT *, cum_tokens <= (total * 6) // 10 AS consumed FROM ranked
+       |)
+       |SELECT shard, COUNT(*) AS n_packs,
+       |  CAST(SUM(CASE WHEN consumed THEN 1 ELSE 0 END) AS BIGINT) AS n_consumed,
+       |  CAST(SUM(CASE WHEN consumed THEN pack_tokens ELSE 0 END) AS BIGINT) AS tokens_consumed,
+       |  CAST(COALESCE(MAX(CASE WHEN consumed THEN pos END), 0) AS BIGINT) AS last_consumed_pos
+       |FROM cut GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** q156 — WHERE a budget-cut run stops and resumes: epoch 1 of q153's
+    * pack order is consumed shard by shard, pack by pack, until a token
+    * budget (60 % of the corpus, exact integer arithmetic) is exhausted;
+    * per shard, how many packs were consumed and the resume position.
+    * The global cumulative consumption is the new
+    * [[graft.exec.PrefixSum.globalRunningTotal]] — per-shard token sums
+    * broadcast as offsets, within-shard window sums, never a global-sort
+    * window. Because the consumed set is a PREFIX of the total order,
+    * each shard's consumed packs are a prefix of ITS order —
+    * last_consumed_pos = n_consumed, the invariant the spec pins and a
+    * resuming loader relies on (seek to one position per shard, no
+    * per-pack bookkeeping).
+    */
+  val q156 = Q("q156_budget_resume", q156OracleSql) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = TextOps.wrapPacks(s, dir)
+      .withColumn("k", Dedup.h60Col(concat(lit("pk:1:"), col("pack_id").cast("string"))))
+      .withColumn("shard", col("k") % EpochShards)
+    val cum = graft.exec.PrefixSum
+      .globalRunningTotal(keyed, "shard", Seq("k", "pack_id"), "pack_tokens", "cum_tokens")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("k", "pack_id")))
+    val total = cum.agg(sum(col("pack_tokens"))).head().getLong(0)
+    val budget = total * 6 / 10
+    cum.withColumn("consumed", col("cum_tokens") <= budget)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        Det.countIf(col("consumed")).as("n_consumed"),
+        sum(when(col("consumed"), col("pack_tokens")).otherwise(0L))
+          .cast("long").as("tokens_consumed"),
+        coalesce(max(when(col("consumed"), col("pos"))), lit(0))
+          .cast("long").as("last_consumed_pos"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151, q153)
+    q148, q149, q150, q151, q153, q156)
 }

@@ -359,6 +359,27 @@ class MiningSpec extends AnyFunSuite {
     } finally packs.unpersist()
   }
 
+  test("q156: consumed packs are a per-shard prefix and the budget cut is tight") {
+    val out = ops.Mining.q156.fn(spark, sf).collect()
+    // prefix invariant: the consumed set within each shard is exactly
+    // positions 1..n_consumed — one resume position per shard suffices
+    out.foreach { r =>
+      assert(r.getAs[Long]("last_consumed_pos") === r.getAs[Long]("n_consumed"),
+        s"consumed set must be a prefix of the shard order: $r")
+      assert(r.getAs[Long]("n_consumed") <= r.getAs[Long]("n_packs"))
+    }
+    // tightness: the consumed mass is within one pack of the budget —
+    // nothing more fits, nothing consumed was over budget
+    val packs = ops.TextOps.wrapPacks(spark, sf).collect()
+      .map(_.getAs[Long]("pack_tokens"))
+    val total = packs.sum
+    val budget = total * 6 / 10
+    val consumed = out.map(_.getAs[Long]("tokens_consumed")).sum
+    assert(consumed <= budget, "consumption must never exceed the budget")
+    assert(consumed + packs.max > budget,
+      "the cut must be tight: one more pack would cross the budget")
+  }
+
   test("q151: the plan manifest's block ranges are exactly q150's per-block gpos ranges") {
     val ord = ops.Mining.curriculumOrder(spark, sf)
       .groupBy("phase", "shard")

@@ -137,7 +137,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q151/q153: plan-manifest and pack-order plans never serialize through one task") {
-    Seq("q151_curriculum_manifest", "q153_pack_epoch_order").foreach { n =>
+    Seq("q151_curriculum_manifest", "q153_pack_epoch_order",
+        "q156_budget_resume").foreach { n =>
       val p = plan(n)
       assert(!p.contains("SinglePartition"),
         s"$n must keep every stage bucket/shard-partitioned:\n$p")
