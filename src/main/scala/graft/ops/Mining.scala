@@ -1192,6 +1192,303 @@ object Mining {
       .orderBy("shard")
   }
 
+  // ── q157: renormalizing weighted interleave ───────────────────────────
+
+  /** q157 — the RENORMALIZING twin of q149: when a source exhausts, the
+    * schedule compacts instead of leaving its slots as gaps, so the
+    * output is a dense total order 0..N-1 (what a loader that cannot
+    * skip gaps consumes). The whole schedule is still pure arithmetic on
+    * the within-source rank, via a SEGMENT TABLE derived from per-source
+    * masses alone: between two consecutive exhaustion breakpoints every
+    * active source emits exactly w_s docs per cycle, so cycle length and
+    * per-source offsets are constant inside a segment. Breakpoints are
+    * {0} ∪ {n_s div w_s} ∪ {ceil(n_s/w_s)} — at most 2|S|+1 segments, a
+    * broadcast dim like q149's weight table. Every remainder cycle
+    * (source s emits n_s mod w_s < w_s docs) is a singleton segment by
+    * construction, so the per-segment emit counts are exact everywhere.
+    * Per-doc work: ONE distributed grouped rank
+    * ([[graft.exec.PrefixSum.runningTotalBy]] — bucket-partitioned,
+    * never one task per source) plus one broadcast join against the
+    * (segment × source) table; slot = base + (c - b)·L + off + (r mod w).
+    * MiningSpec pins the order dense, per-source-monotone, equal to
+    * q149's slots before the first breakpoint, and bit-equal to a
+    * sequential weighted round-robin with removal.
+    */
+  private def q157OracleSql: String =
+    """WITH wt AS (
+      |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source
+      |), cmax AS (
+      |  SELECT MAX((n + w - 1) // w) AS c FROM wt
+      |), bp AS (
+      |  SELECT DISTINCT b FROM (
+      |    SELECT CAST(0 AS BIGINT) AS b
+      |    UNION ALL SELECT n // w FROM wt
+      |    UNION ALL SELECT (n + w - 1) // w FROM wt
+      |  ) WHERE b < (SELECT c FROM cmax)
+      |), seg AS (
+      |  SELECT b,
+      |    COALESCE(LEAD(b) OVER (ORDER BY b), (SELECT c FROM cmax)) AS e,
+      |    ROW_NUMBER() OVER (ORDER BY b) AS seg_idx
+      |  FROM bp
+      |), segsrc AS (
+      |  SELECT s.seg_idx, s.b, s.e, w.source, w.w,
+      |    LEAST(w.w, GREATEST(w.n - s.b * w.w, CAST(0 AS BIGINT))) AS em
+      |  FROM seg s CROSS JOIN wt w
+      |), segl AS (
+      |  SELECT seg_idx, b, e, CAST(SUM(em) AS BIGINT) AS len_cycle
+      |  FROM segsrc GROUP BY seg_idx, b, e
+      |), segbase AS (
+      |  SELECT seg_idx, b, e, len_cycle,
+      |    CAST(COALESCE(SUM((e - b) * len_cycle) OVER (ORDER BY seg_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      |  FROM segl
+      |), soff AS (
+      |  SELECT seg_idx, source,
+      |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM segsrc
+      |), ranked AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r0
+      |  FROM documents
+      |), slotted AS (
+      |  SELECT r.source, r.doc_id, w.w,
+      |    sb.base + (r.r0 // w.w - sb.b) * sb.len_cycle + so.off + (r.r0 % w.w) AS slot
+      |  FROM ranked r
+      |  JOIN wt w ON r.source = w.source
+      |  JOIN segbase sb ON (r.r0 // w.w) >= sb.b AND (r.r0 // w.w) < sb.e
+      |  JOIN soff so ON so.seg_idx = sb.seg_idx AND so.source = r.source
+      |)
+      |SELECT source, MAX(w) AS w, COUNT(*) AS n_docs,
+      |  MIN(slot) AS first_slot, MAX(slot) AS last_slot,
+      |  CAST(SUM(slot * doc_id) AS BIGINT) AS slot_dot
+      |FROM slotted GROUP BY source ORDER BY source""".stripMargin
+
+  /** One segment of the renormalizing schedule: cycles [b, e) over which
+    * every active source emits a constant per-cycle count. `off` maps
+    * each source to its slot offset within one cycle of this segment.
+    */
+  private[graft] final case class RenormSeg(idx: Int, b: Long, e: Long,
+      lenCycle: Long, nActive: Long, base: Long, off: Seq[(String, Long)])
+
+  /** The segment table, derived from per-source masses ALONE — pure
+    * driver arithmetic on one row per source (the broadcast-dim bound).
+    * Breakpoints are {0} ∪ {n div w} ∪ {ceil(n/w)} per source, so every
+    * remainder cycle is a singleton segment and the per-segment emit
+    * counts clamp(n - b·w, 0, w) hold for every cycle inside.
+    * ≤ 2|S|+1 segments. Shared by q157 (slot assignment), q158 (the
+    * manifest), and OrderStream's streamed serving (masses off cells).
+    */
+  private[graft] def renormSegments(srcWN: Seq[(String, Long, Long)]): Seq[RenormSeg] = {
+    val sorted = srcWN.sortBy(_._1)
+    val cMax = sorted.map { case (_, w0, n0) => (n0 + w0 - 1) / w0 }.max
+    val bps = (Seq(0L) ++ sorted.flatMap { case (_, w0, n0) =>
+      Seq(n0 / w0, (n0 + w0 - 1) / w0) }).filter(_ < cMax).distinct.sorted
+    var base = 0L
+    bps.zipWithIndex.map { case (b, i) =>
+      val e = if (i + 1 < bps.length) bps(i + 1) else cMax
+      val em = sorted.map { case (src, w0, n0) =>
+        src -> math.min(w0, math.max(n0 - b * w0, 0L)) }
+      val lenCycle = em.map(_._2).sum
+      var acc = 0L
+      val off = em.map { case (src, x) => val o = src -> acc; acc += x; o }
+      val sg = RenormSeg(i, b, e, lenCycle, em.count(_._2 > 0L), base, off)
+      base += (e - b) * lenCycle
+      sg
+    }
+  }
+
+  /** The per-source masses (source, w, n) — ONE bounded collect. */
+  private def renormMasses(d: DataFrame): Seq[(String, Long, Long)] =
+    d.groupBy("source", "w").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+  private def withRenormWeight(d: DataFrame): DataFrame =
+    d.withColumn("w", (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+
+  /** The per-doc (source, doc_id, w, c, slot) frame for the renormalizing
+    * schedule — shared by the q157 rollup, q159's budget cut, and the
+    * MiningSpec property / differential checks. Driver state: one row
+    * per source (masses) and ≤ 2|S|+1 segments — both bounded by source
+    * cardinality. Per-doc work: one grouped rank + one broadcast join.
+    */
+  private[graft] def renormSlots(s: SparkSession, dir: String): DataFrame = {
+    val d = withRenormWeight(docs(s, dir).select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
+    renormSlotsOf(s, d)
+  }
+
+  private[graft] def renormSlotsOf(s: SparkSession, d0: DataFrame): DataFrame = {
+    val d = d0.localCheckpoint()
+    val segs = renormSegments(renormMasses(d))
+    val segRows = segs.flatMap { sg =>
+      sg.off.map { case (src, o) =>
+        (sg.idx, sg.b, sg.e, sg.lenCycle, sg.base, src, o) } }
+    val segDf = s.createDataFrame(segRows)
+      .toDF("seg_idx", "b", "e", "len_cycle", "base", "src", "off")
+    val ranked = graft.exec.PrefixSum
+      .runningTotalBy(d.withColumn("one", lit(1L)), "source", "doc_id", "one", "r1")
+      .withColumn("r0", col("r1") - 1)
+      .withColumn("c", expr("r0 DIV w"))
+    ranked.join(broadcast(segDf),
+        ranked("source") === segDf("src") &&
+          col("c") >= col("b") && col("c") < col("e"))
+      .withColumn("slot",
+        col("base") + (col("c") - col("b")) * col("len_cycle") +
+          col("off") + col("r0") % col("w"))
+      .drop("src", "one", "r1")
+  }
+
+  val q157 = Q("q157_renorm_interleave", q157OracleSql) { (s, dir) =>
+    renormSlots(s, dir)
+      .groupBy("source")
+      .agg(
+        max(col("w")).as("w"),
+        count(lit(1)).as("n_docs"),
+        min(col("slot")).as("first_slot"),
+        max(col("slot")).as("last_slot"),
+        sum(col("slot") * col("doc_id")).cast("long").as("slot_dot"))
+      .orderBy("source")
+  }
+
+  // ── q158: renormalizing-schedule segment manifest ─────────────────────
+
+  /** The SQL prefix shared by q158/q159: per-source masses → breakpoints
+    * → segment table with cycle lengths and exclusive slot bases.
+    */
+  private val renormSegCtesSql: String =
+    """WITH wt AS (
+      |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source
+      |), cmax AS (
+      |  SELECT MAX((n + w - 1) // w) AS c FROM wt
+      |), bp AS (
+      |  SELECT DISTINCT b FROM (
+      |    SELECT CAST(0 AS BIGINT) AS b
+      |    UNION ALL SELECT n // w FROM wt
+      |    UNION ALL SELECT (n + w - 1) // w FROM wt
+      |  ) WHERE b < (SELECT c FROM cmax)
+      |), seg AS (
+      |  SELECT b,
+      |    COALESCE(LEAD(b) OVER (ORDER BY b), (SELECT c FROM cmax)) AS e,
+      |    ROW_NUMBER() OVER (ORDER BY b) AS seg_idx
+      |  FROM bp
+      |), segsrc AS (
+      |  SELECT s.seg_idx, s.b, s.e, w.source, w.w,
+      |    LEAST(w.w, GREATEST(w.n - s.b * w.w, CAST(0 AS BIGINT))) AS em
+      |  FROM seg s CROSS JOIN wt w
+      |), segl AS (
+      |  SELECT seg_idx, b, e, CAST(SUM(em) AS BIGINT) AS len_cycle,
+      |    CAST(SUM(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+      |  FROM segsrc GROUP BY seg_idx, b, e
+      |), segbase AS (
+      |  SELECT seg_idx, b, e, len_cycle, n_active,
+      |    CAST(COALESCE(SUM((e - b) * len_cycle) OVER (ORDER BY seg_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      |  FROM segl
+      |)""".stripMargin
+
+  private def q158OracleSql: String =
+    s"""$renormSegCtesSql
+       |SELECT CAST(seg_idx AS BIGINT) AS seg_idx, b AS first_cycle, e AS end_cycle,
+       |  len_cycle, n_active, base AS first_slot,
+       |  (e - b) * len_cycle AS n_slots
+       |FROM segbase ORDER BY seg_idx""".stripMargin
+
+  /** The segment table AS a table — [[renormSegments]] served as rows.
+    * A loader uses exactly this to map a resume slot back to (cycle,
+    * source) without scanning documents; the streamed twin
+    * (OrderStream.segmentManifestFromDeltas) derives the same rows from
+    * folded per-source mass cells with zero document rescans.
+    */
+  private[graft] def renormManifestDf(s: SparkSession,
+      srcWN: Seq[(String, Long, Long)]): DataFrame = {
+    val rows = renormSegments(srcWN).map { sg =>
+      (sg.idx.toLong + 1L, sg.b, sg.e, sg.lenCycle, sg.nActive, sg.base,
+        (sg.e - sg.b) * sg.lenCycle) }
+    s.createDataFrame(rows).toDF("seg_idx", "first_cycle", "end_cycle",
+      "len_cycle", "n_active", "first_slot", "n_slots")
+  }
+
+  val q158 = Q("q158_renorm_manifest", q158OracleSql) { (s, dir) =>
+    val d = withRenormWeight(docs(s, dir).select("source", "doc_id"))
+    renormManifestDf(s, renormMasses(d)).orderBy("seg_idx")
+  }
+
+  // ── q159: budget-cut resume over the renormalized order ───────────────
+
+  private def q159OracleSql: String =
+    s"""$renormSegCtesSql, soff AS (
+       |  SELECT seg_idx, source,
+       |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM segsrc
+       |), ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r0
+       |  FROM documents
+       |), slotted AS (
+       |  SELECT r.source, r.doc_id, r.n_tokens, w.w,
+       |    sb.base + (r.r0 // w.w - sb.b) * sb.len_cycle + so.off + (r.r0 % w.w) AS slot
+       |  FROM ranked r
+       |  JOIN wt w ON r.source = w.source
+       |  JOIN segbase sb ON (r.r0 // w.w) >= sb.b AND (r.r0 // w.w) < sb.e
+       |  JOIN soff so ON so.seg_idx = sb.seg_idx AND so.source = r.source
+       |), cum AS (
+       |  SELECT *,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY slot ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM slotted
+       |), cut AS (
+       |  SELECT *, cum_tokens <= (total * 6) // 10 AS consumed FROM cum
+       |)
+       |SELECT source, MAX(w) AS w, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN consumed THEN 1 ELSE 0 END) AS BIGINT) AS n_consumed,
+       |  CAST(SUM(CASE WHEN consumed THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_consumed,
+       |  CAST(COALESCE(MAX(CASE WHEN consumed THEN slot END), -1) AS BIGINT) AS last_slot
+       |FROM cut GROUP BY source ORDER BY source""".stripMargin
+
+  /** q159 — q156's budget cut applied to the RENORMALIZED mixture order:
+    * consume q157's dense schedule slot by slot until a 60 %-of-corpus
+    * token budget (exact integer arithmetic) exhausts; per source, the
+    * consumed count/tokens and the resume point. Because per-source
+    * slots ascend with doc_id, the consumed docs of every source are a
+    * PREFIX of its order — one resume rank per source (spec-pinned, the
+    * q156 invariant transplanted to the mixture schedule), and because
+    * the schedule renormalizes, the cut preserves the intended mixture:
+    * non-exhausted sources' consumed-per-weight counts differ by at most
+    * one cycle (spec-pinned). Cumulative consumption rides
+    * [[graft.exec.PrefixSum.globalRunningTotal]] bucketed on dense slot
+    * ranges — balanced buckets, never a global-sort window.
+    */
+  val q159 = Q("q159_renorm_budget_resume", q159OracleSql) { (s, dir) =>
+    val slotted = renormSlots(s, dir).localCheckpoint()
+    val stats = slotted.agg(count(lit(1)), sum(col("n_tokens")).cast("long")).head()
+    val n = stats.getLong(0)
+    val budget = stats.getLong(1) * 6 / 10
+    val step = n / 32 + 1
+    val cum = graft.exec.PrefixSum.globalRunningTotal(
+      slotted.withColumn("_slotb", expr(s"slot DIV $step")),
+      "_slotb", Seq("slot"), "n_tokens", "cum_tokens")
+    cum.withColumn("consumed", col("cum_tokens") <= budget)
+      .groupBy("source")
+      .agg(
+        max(col("w")).as("w"),
+        count(lit(1)).as("n_docs"),
+        Det.countIf(col("consumed")).as("n_consumed"),
+        sum(when(col("consumed"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("tokens_consumed"),
+        coalesce(max(when(col("consumed"), col("slot"))), lit(-1L))
+          .cast("long").as("last_slot"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151, q153, q156)
+    q148, q149, q150, q151, q153, q156, q157, q158, q159)
 }

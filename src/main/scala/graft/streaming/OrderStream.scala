@@ -77,4 +77,56 @@ object OrderStream {
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_tokens")).cast("long").as("n_tokens"))
     }
+
+  // ── renormalizing-schedule mass cells (q157/q158 serving) ───────────
+
+  /** One micro-batch's per-source mass cells (source, w, n_docs) — the
+    * add-mergeable input the renormalizing segment table (q158) derives
+    * from. ≤ |sources| rows per batch.
+    */
+  def massCells(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("w",
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+
+  def writeMassDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    massCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Mass-cell maintenance sink — the q158 twin of [[cellSink]]. */
+  def massSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("renorm_mass_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMassDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** Serve q158's segment manifest off the folded mass cells alone —
+    * [[graft.ops.Mining.renormSegments]] is pure driver arithmetic on
+    * per-source masses, so the streamed manifest is bit-equal to batch
+    * q158 over the union of all landed documents, with zero document
+    * rescans (StreamingSpec-pinned).
+    */
+  def segmentManifestFromDeltas(spark: SparkSession, deltaDir: String): DataFrame = {
+    val masses = spark.read.parquet(deltaDir)
+      .groupBy("source", "w").agg(sum(col("n_docs")).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy((t: (String, Long, Long)) => t._1)
+    Mining.renormManifestDf(spark, masses).orderBy("seg_idx")
+  }
+
+  /** Mass-store retention: same fold algebra as serving. */
+  def compactMassDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("source", "w")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+    }
 }

@@ -308,6 +308,110 @@ class MiningSpec extends AnyFunSuite {
     } finally slots.unpersist()
   }
 
+  // ── q157 renormalizing interleave ───────────────────────────────────
+
+  test("q157: renormalized slots are a dense 0..N-1 order, per-source monotone, and equal to q149 before the first exhaustion breakpoint") {
+    val slots = ops.Mining.renormSlots(spark, sf).cache()
+    try {
+      val n = slots.count()
+      val agg = slots.agg(min("slot"), max("slot"), countDistinct("slot")).head()
+      assert(agg.getLong(0) === 0L && agg.getLong(1) === n - 1 &&
+        agg.getLong(2) === n,
+        "renormalized schedule must be a dense total order 0..N-1")
+      // within a source, slot order preserves doc_id order
+      val inversions = slots.as("a").join(slots.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id") && col("a.slot") > col("b.slot"))
+        .count()
+      assert(inversions === 0L, "per-source consumption order must follow doc_id")
+      // before ANY source exhausts (cycles < first breakpoint b1), the
+      // renormalizing schedule IS q149's gap-free prefix: slots agree
+      val q149Slots = ops.Mining.interleaveSlots(spark, sf)
+        .select(col("source"), col("doc_id"), col("slot").as("slot149"))
+      val b1 = slots.agg(min(when(col("b") > 0, col("b")))).head().getLong(0)
+      val disagree = slots.filter(col("c") < b1)
+        .join(q149Slots, Seq("source", "doc_id"))
+        .filter(col("slot") =!= col("slot149")).count()
+      assert(disagree === 0L,
+        s"pre-exhaustion prefix (cycles < $b1) must match q149's schedule")
+    } finally slots.unpersist()
+  }
+
+  test("q157: slot assignment is bit-equal to a sequential weighted round-robin with removal") {
+    val got = ops.Mining.renormSlots(spark, sf)
+      .select("source", "doc_id", "slot").collect()
+      .map(r => r.getLong(2) -> (r.getString(0), r.getLong(1))).toMap
+    // ground truth: walk sources lexicographically, w_s docs per cycle,
+    // drop a source when it empties — the schedule a single-threaded
+    // loader would produce
+    val perSrc = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.Queue[Long]]()
+    Catalog.table(spark, sf, "documents").select("source", "doc_id")
+      .orderBy("source", "doc_id").collect()
+      .foreach { r =>
+        perSrc.getOrElseUpdate(r.getString(0), scala.collection.mutable.Queue.empty) += r.getLong(1)
+      }
+    val w = perSrc.keys.map(src => src -> ((src.drop(3).toInt % 4) + 1)).toMap
+    val order = Seq.newBuilder[(String, Long)]
+    var active = perSrc.keys.toSeq.sorted
+    while (active.nonEmpty) {
+      active.foreach { src =>
+        (0 until w(src)).foreach { _ =>
+          if (perSrc(src).nonEmpty) order += (src -> perSrc(src).dequeue()) }
+      }
+      active = active.filter(perSrc(_).nonEmpty)
+    }
+    val expected = order.result().zipWithIndex.map { case (sd, i) => i.toLong -> sd }.toMap
+    assert(got.size === expected.size)
+    assert(got === expected, "distributed schedule must equal the sequential round-robin")
+  }
+
+  test("q158: segment manifest is contiguous in cycles and slots and covers exactly the corpus") {
+    val segs = ops.Mining.q158.fn(spark, sf).orderBy("seg_idx").collect()
+    val n = Catalog.table(spark, sf, "documents").count()
+    // cycles tile [0, cMax): each segment starts where the previous ended
+    segs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("end_cycle") === b.getAs[Long]("first_cycle"),
+          "segments must tile the cycle axis")
+        assert(a.getAs[Long]("first_slot") + a.getAs[Long]("n_slots") ===
+          b.getAs[Long]("first_slot"), "slot bases must chain exactly")
+        assert(a.getAs[Long]("n_active") >= b.getAs[Long]("n_active"),
+          "active-source count can only shrink as sources exhaust")
+      case _ => ()
+    }
+    assert(segs.head.getAs[Long]("first_cycle") === 0L)
+    assert(segs.head.getAs[Long]("first_slot") === 0L)
+    assert(segs.map(_.getAs[Long]("n_slots")).sum === n,
+      "total slot mass must equal the corpus size — the dense-order invariant")
+  }
+
+  test("q159: the consumed set is a slot-prefix, per-source prefixes, and the cut preserves the mixture") {
+    val out = ops.Mining.q159.fn(spark, sf).collect()
+    val slots = ops.Mining.renormSlots(spark, sf)
+      .select("source", "doc_id", "slot").cache()
+    try {
+      val k = out.map(_.getAs[Long]("n_consumed")).sum
+      // globally: consumed slots are exactly 0..K-1 (a prefix of the order)
+      val maxConsumed = out.map(_.getAs[Long]("last_slot")).max
+      assert(maxConsumed === k - 1,
+        s"consumed set must be the slot-prefix 0..${k - 1}, got max slot $maxConsumed")
+      // per source: consumed count = docs with slot < K (prefix of its order)
+      val perSrc = slots.filter(col("slot") < k).groupBy("source")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.foreach { r =>
+        assert(perSrc.getOrElse(r.getAs[String]("source"), 0L) ===
+          r.getAs[Long]("n_consumed"))
+      }
+      // mixture preservation: among sources NOT exhausted by the cut,
+      // consumed-per-weight differs by at most one cycle
+      val live = out.filter(r => r.getAs[Long]("n_consumed") < r.getAs[Long]("n_docs"))
+        .map(r => r.getAs[Long]("n_consumed") / r.getAs[Long]("w"))
+      assert(live.nonEmpty && live.max - live.min <= 1L,
+        s"budget cut must not skew the mixture: per-weight consumption ${live.toSeq}")
+    } finally slots.unpersist()
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {

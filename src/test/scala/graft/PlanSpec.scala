@@ -121,6 +121,22 @@ class PlanSpec extends AnyFunSuite {
       s"grouped prefix must keep the range-bucket split:\n$p")
   }
 
+  test("q157: renormalized interleave keeps the grouped rank bucket-partitioned and broadcasts the segment table") {
+    val p = plan("q157_renorm_interleave")
+    assert(!p.contains("SinglePartition"),
+      s"renormalizing schedule must never serialize through one task:\n$p")
+    assert(p.contains("_bucket"),
+      s"grouped prefix must keep the range-bucket split:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the (segment x source) table must broadcast, never shuffle the corpus:\n$p")
+  }
+
+  test("q159: budget cut over the renormalized order keeps balanced slot-range buckets — no global-sort window") {
+    val p = plan("q159_renorm_budget_resume")
+    assert(!p.contains("SinglePartition"),
+      s"cumulative consumption must ride bucketed running totals:\n$p")
+  }
+
   test("q150: the global total-order rank never plans a single-partition sort") {
     val p = plan("q150_curriculum_order")
     assert(!p.contains("SinglePartition"),

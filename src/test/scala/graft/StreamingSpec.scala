@@ -953,6 +953,66 @@ class StreamingSpec extends AnyFunSuite {
       "reversed arrival order must serve the identical manifest")
   }
 
+  test("renorm mass-cell stream: folded per-source masses serve the exact batch q158 segment manifest; replay and compaction are no-ops") {
+    import graft.streaming.OrderStream
+    val landing = tmpDir("graft-mass-landing")
+    val deltas = tmpDir("graft-mass-art") + "/deltas"
+    val checkpoint = tmpDir("graft-mass-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-mass-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    OrderStream.massSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    OrderStream.massSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    OrderStream.massSink(OrderStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def segMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("seg_idx") ->
+        ((r.getAs[Long]("first_cycle"), r.getAs[Long]("end_cycle"),
+          r.getAs[Long]("len_cycle"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("first_slot"), r.getAs[Long]("n_slots"))))
+      .toMap
+    val batch = segMap(ops.Mining.q158.fn(spark, sf))
+    assert(segMap(OrderStream.segmentManifestFromDeltas(spark, deltas)) === batch,
+      "served segment manifest must equal batch q158 over the landed corpus")
+
+    // serving folds ≤|sources| cell rows — never corpus text
+    val servedPlan = OrderStream.segmentManifestFromDeltas(spark, deltas)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("documents.parquet"),
+      s"segment-manifest serving must not rescan documents:\n$servedPlan")
+
+    // replay: per-batchId overwrite keeps SUM cells idempotent
+    val replay = docs.filter(col("doc_id") < cut1)
+    OrderStream.writeMassDelta(replay, deltas, 0L)
+    OrderStream.writeMassDelta(replay, deltas, 0L)
+    assert(segMap(OrderStream.segmentManifestFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served manifest")
+
+    // retention: the fold algebra is the serving algebra
+    OrderStream.compactMassDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(segMap(OrderStream.segmentManifestFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served manifest")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
