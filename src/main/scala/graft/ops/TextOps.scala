@@ -708,6 +708,110 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ── q160: data-recipe materialization (repeat-factor upsampling) ──────
+
+  /** q160 — APPLY q111's temperature recipe: each source's oversample
+    * ratio x splits into an integer repeat factor floor(x) and a
+    * fractional remainder in basis points; every document materializes
+    * floor(x) copies plus one more iff a deterministic per-doc hash
+    * lands under the remainder — the standard integer+fractional
+    * upsampling a mixture loader performs, and the same rule covers
+    * DOWNSAMPLING (x < 1 → zero whole copies, keep with probability x).
+    * The materialization is in-row (`explode(sequence(1, copies))`, no
+    * shuffle until the rollup), and the oracle pins not just the row
+    * counts but the COPY INDICES: Σ copy_idx must equal the closed-form
+    * Σ c(c+1)/2, so a wrong explode (off-by-one, dropped copy) cannot
+    * hash-match. The float tree (sqrt temperature, share division)
+    * reuses q111's proven-identical expression shape in both engines.
+    * At 100 TB the explode is the proof of plan shape — a production
+    * loader applies `copies` lazily per shard rather than writing the
+    * multiplied corpus, which is why the rollup, not the exploded frame,
+    * is the query output.
+    */
+  val q160 = Q("q160_recipe_upsample",
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), sw AS (
+      |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wr FROM s
+      |), t AS (
+      |  SELECT list_reduce(
+      |    list_transform(list_sort(list(struct_pack(source := source, wr := wr))), x -> x.wr),
+      |    (a, b) -> a + b) AS total
+      |  FROM sw
+      |), fac AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(FLOOR(wr / total * 1000000.0) AS BIGINT) AS target_tokens,
+      |    CAST(FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS repeat_x,
+      |    CAST(FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE) * 10000.0) AS BIGINT)
+      |      - CAST(FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) * 10000 AS frac_bp
+      |  FROM sw, t
+      |), perdoc AS (
+      |  SELECT d.source,
+      |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS toks,
+      |    f.repeat_x + CASE WHEN
+      |      (CAST('0x' || substr(md5('up:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000)
+      |        < f.frac_bp THEN 1 ELSE 0 END AS copies
+      |  FROM documents d JOIN fac f ON d.source = f.source
+      |)
+      |SELECT f.source, f.n_docs, f.n_tokens, f.target_tokens, f.repeat_x, f.frac_bp,
+      |  CAST(COALESCE(SUM(p.copies), 0) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(SUM(p.copies * p.toks), 0) AS BIGINT) AS up_tokens,
+      |  CAST(COALESCE(SUM(p.copies * (p.copies + 1) // 2), 0) AS BIGINT) AS copy_checksum,
+      |  FLOOR(CAST(COALESCE(SUM(p.copies * p.toks), 0) AS DOUBLE)
+      |    / f.target_tokens * 10000.0 + 0.5) / 10000.0 AS hit_ratio
+      |FROM fac f LEFT JOIN perdoc p ON f.source = p.source
+      |GROUP BY f.source, f.n_docs, f.n_tokens, f.target_tokens, f.repeat_x, f.frac_bp
+      |ORDER BY f.source""".stripMargin) { (s, dir) =>
+    val fac = recipeFactors(s, dir)
+    val perDoc = docs(s, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).cast("long").as("toks"))
+      .join(broadcast(fac.select("source", "repeat_x", "frac_bp")), "source")
+      .withColumn("copies", col("repeat_x") +
+        when(Dedup.h60Col(concat(lit("up:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) % 10000 < col("frac_bp"), 1L).otherwise(0L))
+    val exploded = perDoc.filter(col("copies") > 0)
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+    val agg = exploded.groupBy("source").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("toks")).cast("long").as("up_tokens"),
+      sum(col("copy_idx")).cast("long").as("copy_checksum"))
+    fac.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        col("repeat_x"), col("frac_bp"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("up_tokens"), lit(0L)).as("up_tokens"),
+        coalesce(col("copy_checksum"), lit(0L)).as("copy_checksum"),
+        Det.dround(coalesce(col("up_tokens"), lit(0L)).cast("double")
+          / col("target_tokens"), 4).as("hit_ratio"))
+      .orderBy("source")
+  }
+
+  /** Per-source recipe factors off q111's temperature shares — one
+    * bounded aggregate + broadcast total; |sources| rows.
+    */
+  private[graft] def recipeFactors(s: SparkSession, dir: String): DataFrame = {
+    val stats = docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("wr", sqrt(col("n_tokens").cast("double")))
+    val tot = stats.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("wr")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wr")).as("total"))
+    val x = col("wr") / col("total") * lit(1000000.0) / col("n_tokens").cast("double")
+    stats.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(col("wr") / col("total") * lit(1000000.0)).cast("long"))
+      .withColumn("repeat_x", floor(x).cast("long"))
+      .withColumn("frac_bp",
+        floor(x * lit(10000.0)).cast("long") - floor(x).cast("long") * 10000)
+      .select("source", "n_docs", "n_tokens", "target_tokens", "repeat_x", "frac_bp")
+  }
+
   // ── q120: corpus-frequency boilerplate span scrubbing ─────────────────
 
   /** Shingle width (tokens) and the document-frequency threshold above
@@ -1048,5 +1152,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152)
+      q121, q152, q160)
 }

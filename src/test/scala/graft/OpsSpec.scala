@@ -262,6 +262,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q160: materialized copies bracket the repeat factor and land the token target") {
+    val rows = TextOps.q160.fn(spark, sf).collect()
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val rep = r.getAs[Long]("repeat_x")
+      val nRows = r.getAs[Long]("n_rows")
+      val src = r.getAs[String]("source")
+      // every doc gets floor(x) copies; the fractional rule adds at most one
+      assert(nRows >= nDocs * rep && nRows <= nDocs * (rep + 1),
+        s"$src: $nRows rows outside [${nDocs * rep}, ${nDocs * (rep + 1)}]")
+      assert(r.getAs[Long]("frac_bp") >= 0L && r.getAs[Long]("frac_bp") < 10000L)
+      // the recipe hits its token target up to per-doc hash noise: with
+      // ~25 docs/source the fractional-sampling error stays well inside
+      // ±40 % of one source's share
+      val hit = r.getAs[Double]("hit_ratio")
+      assert(hit > 0.6 && hit < 1.4, s"$src achieved $hit of its token target")
+    }
+    // the mixture as a whole lands much tighter than any single source:
+    // total materialized tokens within 10 % of the 1M-token budget
+    val total = rows.map(_.getAs[Long]("up_tokens")).sum
+    assert(math.abs(total - 1000000L) < 100000L,
+      s"materialized corpus is $total tokens against a 1M budget")
+  }
+
   test("bigram LM: scores are mean conditional probabilities in [0,1]") {
     val rows = TextOps.q101.fn(spark, sf).collect()
     val nDocs = Catalog.table(spark, sf, "documents").count()
