@@ -33,6 +33,72 @@ class ScaleKernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Mining.renormSegments tiles cycles/slots exactly for random masses") {
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 1 + rnd.nextInt(12)
+      val masses = (0 until nSrc).map { i =>
+        (f"s${rnd.nextInt(1000)}%03d_$i", 1L + rnd.nextInt(9), 1L + rnd.nextInt(200)) }
+      val segs = graft.ops.Mining.renormSegments(masses)
+      val cMax = masses.map { case (_, w, n) => (n + w - 1) / w }.max
+      // segments tile [0, cMax) and slot bases chain
+      assert(segs.head.b === 0L && segs.last.e === cMax, s"seed=$seed")
+      segs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.e === b.b, s"seed=$seed: cycle gap between segments")
+          assert(a.base + (a.e - a.b) * a.lenCycle === b.base,
+            s"seed=$seed: slot base mismatch")
+          assert(a.nActive >= b.nActive, s"seed=$seed: active count grew")
+        case _ => ()
+      }
+      // total slot mass = total docs (the dense-cover invariant)
+      val totalSlots = segs.map(sg => (sg.e - sg.b) * sg.lenCycle).sum
+      assert(totalSlots === masses.map(_._3).sum, s"seed=$seed")
+      // inside each segment, offsets are the exclusive prefix of the
+      // per-cycle emit counts clamp(n - b*w, 0, w) in source order
+      segs.foreach { sg =>
+        var acc = 0L
+        masses.sortBy(_._1).zip(sg.off).foreach { case ((src, w, n), (osrc, o)) =>
+          assert(src === osrc && o === acc, s"seed=$seed seg=${sg.idx}")
+          acc += math.min(w, math.max(n - sg.b * w, 0L))
+        }
+        assert(acc === sg.lenCycle, s"seed=$seed seg=${sg.idx}")
+      }
+    }
+  }
+
+  test("Mining.renormSlotsOf equals the sequential round-robin for random uneven corpora") {
+    seeds.take(3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 2 + rnd.nextInt(6)
+      val masses = (0 until nSrc).map { i =>
+        (f"s$i%02d", 1L + rnd.nextInt(4), 1L + rnd.nextInt(60)) }
+      val rows = masses.flatMap { case (src, w, n) =>
+        (0 until n.toInt).map(j => (src, (j * 7 + 1).toLong, w)) }
+      val got = graft.ops.Mining
+        .renormSlotsOf(spark, rows.toDF("source", "doc_id", "w"))
+        .select("source", "doc_id", "slot").collect()
+        .map(r => r.getLong(2) -> ((r.getString(0), r.getLong(1)))).toMap
+      // sequential weighted round-robin with removal
+      val qs = scala.collection.mutable.LinkedHashMap(
+        masses.sortBy(_._1).map { case (src, _, n) =>
+          src -> scala.collection.mutable.Queue((0 until n.toInt).map(j => (j * 7 + 1).toLong): _*)
+        }: _*)
+      val wOf = masses.map { case (src, w, _) => src -> w }.toMap
+      val order = Seq.newBuilder[(String, Long)]
+      var active = qs.keys.toSeq.sorted
+      while (active.nonEmpty) {
+        active.foreach { src =>
+          (0L until wOf(src)).foreach { _ =>
+            if (qs(src).nonEmpty) order += (src -> qs(src).dequeue()) }
+        }
+        active = active.filter(qs(_).nonEmpty)
+      }
+      val expected = order.result().zipWithIndex.map { case (sd, i) => i.toLong -> sd }.toMap
+      assert(got === expected, s"seed=$seed masses=$masses")
+    }
+  }
+
   test("RankSelect.groupQuantiles equals the sorted-element pick for random inputs") {
     val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
     seeds.foreach { seed =>
