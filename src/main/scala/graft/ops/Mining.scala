@@ -1322,7 +1322,8 @@ object Mining {
     renormSlotsOf(s, d)
   }
 
-  private[graft] def renormSlotsOf(s: SparkSession, d0: DataFrame): DataFrame = {
+  private[graft] def renormSlotsOf(s: SparkSession, d0: DataFrame,
+      orderCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val d = d0.localCheckpoint()
     val segs = renormSegments(renormMasses(d))
     val segRows = segs.flatMap { sg =>
@@ -1331,7 +1332,7 @@ object Mining {
     val segDf = s.createDataFrame(segRows)
       .toDF("seg_idx", "b", "e", "len_cycle", "base", "src", "off")
     val ranked = graft.exec.PrefixSum
-      .runningTotalBy(d.withColumn("one", lit(1L)), "source", "doc_id", "one", "r1")
+      .runningTotalBy(d.withColumn("one", lit(1L)), "source", orderCols, "one", "r1")
       .withColumn("r0", col("r1") - 1)
       .withColumn("c", expr("r0 DIV w"))
     ranked.join(broadcast(segDf),
@@ -1357,14 +1358,17 @@ object Mining {
 
   // ── q158: renormalizing-schedule segment manifest ─────────────────────
 
-  /** The SQL prefix shared by q158/q159: per-source masses → breakpoints
-    * → segment table with cycle lengths and exclusive slot bases.
+  /** The SQL body shared by q158/q159/q161: per-source masses (over any
+    * relation with a `source` column) → breakpoints → segment table with
+    * cycle lengths and exclusive slot bases. Returned WITHOUT a leading
+    * `WITH` so callers can prepend their own CTEs (q161 feeds the
+    * upsampled row stream instead of raw documents).
     */
-  private val renormSegCtesSql: String =
-    """WITH wt AS (
+  private[graft] def renormSegCtesBody(rel: String): String =
+    s"""wt AS (
       |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
       |         CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM documents GROUP BY source
+      |  FROM $rel GROUP BY source
       |), cmax AS (
       |  SELECT MAX((n + w - 1) // w) AS c FROM wt
       |), bp AS (
@@ -1394,7 +1398,7 @@ object Mining {
       |)""".stripMargin
 
   private def q158OracleSql: String =
-    s"""$renormSegCtesSql
+    s"""WITH ${renormSegCtesBody("documents")}
        |SELECT CAST(seg_idx AS BIGINT) AS seg_idx, b AS first_cycle, e AS end_cycle,
        |  len_cycle, n_active, base AS first_slot,
        |  (e - b) * len_cycle AS n_slots
@@ -1423,7 +1427,7 @@ object Mining {
   // ── q159: budget-cut resume over the renormalized order ───────────────
 
   private def q159OracleSql: String =
-    s"""$renormSegCtesSql, soff AS (
+    s"""WITH ${renormSegCtesBody("documents")}, soff AS (
        |  SELECT seg_idx, source,
        |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
@@ -1489,6 +1493,103 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q161: the loader chain end to end ─────────────────────────────────
+
+  private def q161OracleSql: String =
+    s"""${TextOps.recipeCtesSql}, rows_ AS (
+       |  SELECT source, doc_id, unnest(range(1, copies + 1)) AS copy_idx, toks
+       |  FROM perdoc WHERE copies > 0
+       |), ${renormSegCtesBody("rows_")}, soff AS (
+       |  SELECT seg_idx, source,
+       |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM segsrc
+       |), ranked AS (
+       |  SELECT source, doc_id, copy_idx, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id, copy_idx) - 1 AS r0
+       |  FROM rows_
+       |), slotted AS (
+       |  SELECT r.source, r.doc_id, r.copy_idx, r.toks,
+       |    sb.base + (r.r0 // w.w - sb.b) * sb.len_cycle + so.off + (r.r0 % w.w) AS slot
+       |  FROM ranked r
+       |  JOIN wt w ON r.source = w.source
+       |  JOIN segbase sb ON (r.r0 // w.w) >= sb.b AND (r.r0 // w.w) < sb.e
+       |  JOIN soff so ON so.seg_idx = sb.seg_idx AND so.source = r.source
+       |), cum AS (
+       |  SELECT *,
+       |    CAST(SUM(toks) OVER (ORDER BY slot ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+       |  FROM slotted
+       |), sp AS (
+       |  SELECT source, doc_id, copy_idx, slot, c - toks AS st, c AS en
+       |  FROM cum WHERE toks > 0
+       |), ex AS (
+       |  SELECT source, doc_id, copy_idx, slot, st, en,
+       |    unnest(range(st // 2048, (en - 1) // 2048 + 1)) AS pack_id
+       |  FROM sp
+       |)
+       |SELECT pack_id,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN st >= pack_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+       |  CAST(SUM(CASE WHEN st < pack_id * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrapped_in,
+       |  CAST(SUM(LEAST(en, (pack_id + 1) * 2048) - GREATEST(st, pack_id * 2048)) AS BIGINT) AS pack_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(SUM(CASE WHEN copy_idx > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_upsampled,
+       |  MIN(slot) AS first_slot, MAX(slot) AS last_slot
+       |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  /** q161 — the LOADER CHAIN as one checked operator: temperature recipe
+    * (q111) → materialized copies (q160's integer+fractional rule) →
+    * renormalized mixture interleave over the UPSAMPLED stream (q157's
+    * segment table, per-source order (doc_id, copy_idx)) → 2048-token
+    * wrap packs over the schedule's token stream (q152's span explode).
+    * This is literally what a pretraining job reads: pack p holds the
+    * tokens of schedule slots around p·2048, sources interleaved per the
+    * recipe, upsampled copies of one doc landing cycles apart. Per pack:
+    * rows touched/started/wrapped, exact fill, distinct sources (the
+    * mixture realized at pack granularity), upsampled-copy count, slot
+    * span. Every stage keeps its scale shape: broadcast recipe, in-row
+    * copy explode, grouped rank + broadcast segment join, slot-bucketed
+    * running total, in-row pack explode — the stream shuffles only for
+    * the rank windows and the final rollup.
+    */
+  val q161 = Q("q161_recipe_loader_chain", q161OracleSql) { (s, dir) =>
+    val fac = TextOps.recipeFactors(s, dir)
+    val perDoc = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      .join(broadcast(fac.select("source", "repeat_x", "frac_bp")), "source")
+      .withColumn("copies", col("repeat_x") +
+        when(Dedup.h60Col(concat(lit("up:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) % 10000 < col("frac_bp"), 1L).otherwise(0L))
+    val rows = perDoc.filter(col("copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_idx"), col("toks"))
+    val slotted = renormSlotsOf(s, withRenormWeight(rows), Seq("doc_id", "copy_idx"))
+      .select("source", "doc_id", "copy_idx", "toks", "slot")
+    val n = slotted.count()
+    val step = n / 32 + 1
+    val cum = graft.exec.PrefixSum.globalRunningTotal(
+      slotted.withColumn("_slotb", expr(s"slot DIV $step")),
+      "_slotb", Seq("slot"), "toks", "c")
+    cum.filter(col("toks") > 0L)
+      .withColumn("st", col("c") - col("toks"))
+      .withColumn("en", col("c"))
+      .withColumn("pack_id",
+        explode(sequence(expr("st div 2048"), expr("(en - 1) div 2048"))))
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Det.countIf(col("st") >= col("pack_id") * 2048L).as("n_starting"),
+        Det.countIf(col("st") < col("pack_id") * 2048L).as("n_wrapped_in"),
+        sum(least(col("en"), (col("pack_id") + 1) * 2048L) -
+          greatest(col("st"), col("pack_id") * 2048L)).cast("long").as("pack_tokens"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        Det.countIf(col("copy_idx") > 1L).as("n_upsampled"),
+        min(col("slot")).as("first_slot"),
+        max(col("slot")).as("last_slot"))
+      .orderBy("pack_id")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151, q153, q156, q157, q158, q159)
+    q148, q149, q150, q151, q153, q156, q157, q158, q159, q161)
 }

@@ -728,7 +728,11 @@ object TextOps {
     * multiplied corpus, which is why the rollup, not the exploded frame,
     * is the query output.
     */
-  val q160 = Q("q160_recipe_upsample",
+  /** Oracle fragment shared by q160 and Mining's q161: the temperature
+    * recipe factors (q111's proven float tree) and the per-doc copy
+    * counts. Ends with `perdoc(source, doc_id, toks, copies)`.
+    */
+  private[graft] def recipeCtesSql: String =
     """WITH s AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
@@ -748,13 +752,16 @@ object TextOps {
       |      - CAST(FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) * 10000 AS frac_bp
       |  FROM sw, t
       |), perdoc AS (
-      |  SELECT d.source,
+      |  SELECT d.source, d.doc_id,
       |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS toks,
       |    f.repeat_x + CASE WHEN
       |      (CAST('0x' || substr(md5('up:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000)
       |        < f.frac_bp THEN 1 ELSE 0 END AS copies
       |  FROM documents d JOIN fac f ON d.source = f.source
-      |)
+      |)""".stripMargin
+
+  val q160 = Q("q160_recipe_upsample",
+    s"""$recipeCtesSql
       |SELECT f.source, f.n_docs, f.n_tokens, f.target_tokens, f.repeat_x, f.frac_bp,
       |  CAST(COALESCE(SUM(p.copies), 0) AS BIGINT) AS n_rows,
       |  CAST(COALESCE(SUM(p.copies * p.toks), 0) AS BIGINT) AS up_tokens,

@@ -412,6 +412,37 @@ class MiningSpec extends AnyFunSuite {
     } finally slots.unpersist()
   }
 
+  test("q161: loader chain conserves the upsampled token mass, fills packs exactly, and realizes the mixture per pack") {
+    val packs = ops.Mining.q161.fn(spark, sf).orderBy("pack_id").collect()
+    // conservation: sum of pack fills == q160's materialized token mass
+    val upTokens = ops.TextOps.q160.fn(spark, sf).collect()
+      .map(_.getAs[Long]("up_tokens")).sum
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum === upTokens,
+      "wrap packs must conserve the materialized token mass")
+    // exact fill everywhere but the tail
+    packs.init.foreach { p =>
+      assert(p.getAs[Long]("pack_tokens") === 2048L,
+        s"pack ${p.getAs[Long]("pack_id")} not exactly full")
+    }
+    // the interleave realizes the mixture at pack granularity: every
+    // full pack spans many sources (a per-source-sequential layout
+    // would put one source per pack)
+    val multiSource = packs.init.count(_.getAs[Long]("n_sources") >= 2L)
+    assert(multiSource === packs.length - 1,
+      s"only $multiSource/${packs.length - 1} full packs mix sources")
+    // upsampling is materialized in the stream: copies beyond the first
+    // appear across packs
+    assert(packs.map(_.getAs[Long]("n_upsampled")).sum > 0L,
+      "upsampled copies must appear in the packed stream")
+    // slot spans are monotone: pack p+1 starts at or after pack p's span
+    packs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("first_slot") <= b.getAs[Long]("first_slot"),
+          "pack slot spans must follow the schedule order")
+      case _ => ()
+    }
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {

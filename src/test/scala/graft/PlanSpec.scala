@@ -137,6 +137,14 @@ class PlanSpec extends AnyFunSuite {
       s"cumulative consumption must ride bucketed running totals:\n$p")
   }
 
+  test("q161: the loader chain never plans a single-partition exchange end to end") {
+    val p = plan("q161_recipe_loader_chain")
+    assert(!p.contains("SinglePartition"),
+      s"recipe -> schedule -> packs must stay distributed at every stage:\n$p")
+    assert(p.contains("Generate"),
+      s"copy and pack materialization must be in-row explodes:\n$p")
+  }
+
   test("q150: the global total-order rank never plans a single-partition sort") {
     val p = plan("q150_curriculum_order")
     assert(!p.contains("SinglePartition"),
