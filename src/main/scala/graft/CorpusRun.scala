@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *   3. unified lexical+semantic leak repair (q146's assignment)
   *   4. training-shard packing OFF the accepted store (q134)
   *   5. curriculum plan manifest (q151) + per-epoch pack read order (q153)
+  *   6. renormalized mixture schedule (q158's segment manifest) derived
+  *      from the ACCEPTED store's per-source masses alone
   *
   * Cross-stage invariants are CHECKED, not assumed — a failed invariant
   * exits nonzero like a failed dbt test:
@@ -25,6 +27,8 @@ import org.apache.spark.sql.functions._
   *   - the packed shards conserve the accepted store's doc count (4 vs 1)
   *   - the curriculum total order is a dense cover of the corpus (5)
   *   - every epoch schedules every wrap pack exactly once (5)
+  *   - the renormalized schedule's slot mass equals the accepted count
+  *     (6 vs 1 — the dense order covers exactly what curation shipped)
   */
 object CorpusRun {
 
@@ -79,7 +83,25 @@ object CorpusRun {
     val s5 = Stage("ordering", mani.count(), lastPos == nDocs && perEpochOk,
       s"total order covers $lastPos/$nDocs docs; $nWrapPacks packs per epoch")
 
-    Seq(s1, s2, s3, s4, s5)
+    // 6. renormalized consumption schedule OVER the accepted store: the
+    // q158 segment manifest derived from store masses alone (zero
+    // document scans) — the mixture schedule a loader runs on exactly
+    // what curation shipped
+    val acceptedMasses = Mining.withRenormWeight(
+        spark.read.parquet(s"$storesRoot/accepted").select("source"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy((t: (String, Long, Long)) => t._1)
+    val sched = Mining.renormManifestDf(spark, acceptedMasses).orderBy("seg_idx")
+      .localCheckpoint()
+    sched.coalesce(1).write.mode("overwrite").parquet(s"$outDir/renorm_schedule")
+    val slotMass = sched.agg(sum(col("n_slots"))).head().getLong(0)
+    val nSegs = sched.count()
+    val s6 = Stage("schedule", nSegs, slotMass == nAccepted,
+      s"$nSegs segments scheduling $slotMass slots (accepted=$nAccepted)")
+
+    Seq(s1, s2, s3, s4, s5, s6)
   }
 
   def main(args: Array[String]): Unit = {

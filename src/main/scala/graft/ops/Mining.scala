@@ -1307,7 +1307,7 @@ object Mining {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
 
-  private def withRenormWeight(d: DataFrame): DataFrame =
+  private[graft] def withRenormWeight(d: DataFrame): DataFrame =
     d.withColumn("w", (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long"))
 
   /** The per-doc (source, doc_id, w, c, slot) frame for the renormalizing
