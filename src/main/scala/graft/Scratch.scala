@@ -513,6 +513,54 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "renormprobe") {
+      // The renormalizing-schedule kernels at synthetic row counts, with
+      // the ADVERSARIAL mass skew a real mixture has: one giant source
+      // that survives every other source's exhaustion, so the tail
+      // segment holds most of the corpus. Two laws measured:
+      //   1. slot assignment (renormSlotsOf) scales linearly — the
+      //      segment table is driver arithmetic, per-row work is one
+      //      grouped rank + a broadcast join, regardless of skew;
+      //   2. the q159/q161 cumulative pass MUST bucket on dense slot
+      //      ranges: bucketing on seg_idx puts the giant tail segment
+      //      through ONE window task (the skew q159's Scaladoc warns
+      //      about), while slot-range buckets stay balanced.
+      import graft.ops.Mining
+      Seq(2000000L, 8000000L).foreach { n =>
+        val m = n / 1000000
+        // source 's00' owns 70% of the mass; 15 small sources share the
+        // rest. Weights 1..4 from the row id so exhaustion staggers.
+        val base = spark.range(n).select(
+          when(col("id") % 10L < 7L, lit("s00"))
+            .otherwise(concat(lit("s"), lpad((pmod(col("id"), lit(15L)) + 1L).cast("string"), 2, "0")))
+            .as("source"),
+          col("id").as("doc_id"),
+          (col("id") % 1000L).as("toks"))
+          .withColumn("w", (pmod(xxhash64(col("source")), lit(4L)) + 1L))
+          .localCheckpoint()
+        var slotted: org.apache.spark.sql.DataFrame = null
+        time(s"renorm${m}m.slots") {
+          slotted = Mining.renormSlotsOf(spark, base)
+            .select("source", "doc_id", "toks", "slot", "seg_idx")
+            .localCheckpoint()
+          slotted.count()
+        }
+        val step = n / 32 + 1
+        time(s"renorm${m}m.cum_slot_buckets") {
+          graft.exec.PrefixSum.globalRunningTotal(
+              slotted.withColumn("_slotb", expr(s"slot DIV $step")),
+              "_slotb", Seq("slot"), "toks", "c")
+            .agg(max("c")).head().getLong(0)
+        }
+        time(s"renorm${m}m.cum_seg_buckets") {
+          graft.exec.PrefixSum.globalRunningTotal(
+              slotted, "seg_idx", Seq("slot"), "toks", "c")
+            .agg(max("c")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
