@@ -1553,10 +1553,17 @@ object Mining {
     * the rank windows and the final rollup.
     */
   val q161 = Q("q161_recipe_loader_chain", q161OracleSql) { (s, dir) =>
-    val fac = TextOps.recipeFactors(s, dir)
-    val perDoc = docs(s, dir)
-      .select(col("source"), col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+    loaderChainPacks(s, docs(s, dir).select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("toks")))
+  }
+
+  /** The full loader chain over any (source, doc_id, toks) frame —
+    * shared by q161 and the ScaleKernelPropSpec differential fuzz (the
+    * whole chain vs a sequential simulation on random corpora).
+    */
+  private[graft] def loaderChainPacks(s: SparkSession, tok: DataFrame): DataFrame = {
+    val fac = TextOps.recipeFactorsOf(tok)
+    val perDoc = tok
       .join(broadcast(fac.select("source", "repeat_x", "frac_bp")), "source")
       .withColumn("copies", col("repeat_x") +
         when(Dedup.h60Col(concat(lit("up:"), col("source"), lit(":"),

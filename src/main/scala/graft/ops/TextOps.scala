@@ -799,10 +799,17 @@ object TextOps {
   /** Per-source recipe factors off q111's temperature shares — one
     * bounded aggregate + broadcast total; |sources| rows.
     */
-  private[graft] def recipeFactors(s: SparkSession, dir: String): DataFrame = {
-    val stats = docs(s, dir).groupBy("source")
+  private[graft] def recipeFactors(s: SparkSession, dir: String): DataFrame =
+    recipeFactorsOf(docs(s, dir)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).cast("long").as("toks")))
+
+  /** Factor computation over any (source, doc_id, toks) frame — shared
+    * by the dir-reading entry points and the chain fuzz.
+    */
+  private[graft] def recipeFactorsOf(tok: DataFrame): DataFrame = {
+    val stats = tok.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col("text"))).cast("long").as("n_tokens"))
+        sum(col("toks")).cast("long").as("n_tokens"))
       .withColumn("wr", sqrt(col("n_tokens").cast("double")))
     val tot = stats.agg(
       aggregate(

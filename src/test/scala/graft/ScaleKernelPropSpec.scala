@@ -99,6 +99,90 @@ class ScaleKernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Mining.loaderChainPacks equals a sequential end-to-end simulation on random corpora") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    seeds.take(3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 2 + rnd.nextInt(6)
+      val corpus = (0 until nSrc).flatMap { i =>
+        val src = s"src$i"
+        (0 until (5 + rnd.nextInt(40))).map { j =>
+          (src, (j * 3 + 11).toLong, (1 + rnd.nextInt(300)).toLong) }
+      }
+      def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_starting"),
+          r.getAs[Long]("n_wrapped_in"), r.getAs[Long]("pack_tokens"),
+          r.getAs[Long]("n_sources"), r.getAs[Long]("n_upsampled"),
+          r.getAs[Long]("first_slot"), r.getAs[Long]("last_slot")))
+      val got = graft.ops.Mining
+        .loaderChainPacks(spark, corpus.toDF("source", "doc_id", "toks"))
+        .collect().map(key).toMap
+
+      // ── sequential simulation, same IEEE float tree ──
+      val stats = corpus.groupBy(_._1).view.mapValues(g =>
+        (g.size.toLong, g.map(_._3).sum)).toMap
+      val sortedSrc = stats.keys.toSeq.sorted
+      val total = sortedSrc.foldLeft(0.0)((acc, s) =>
+        acc + math.sqrt(stats(s)._2.toDouble))
+      val copiesOf: Map[(String, Long), Long] = corpus.map { case (src, id, _) =>
+        val m = stats(src)._2
+        val x = math.sqrt(m.toDouble) / total * 1000000.0 / m.toDouble
+        val rep = math.floor(x).toLong
+        val fracBp = math.floor(x * 10000.0).toLong - rep * 10000L
+        (src, id) -> (rep + (if (h60(s"up:$src:$id") % 10000 < fracBp) 1L else 0L))
+      }.toMap
+      // per-source queues of (doc_id, copy_idx, toks), round-robin with removal
+      val queues = scala.collection.mutable.LinkedHashMap(sortedSrc.map { src =>
+        src -> scala.collection.mutable.Queue(
+          corpus.filter(_._1 == src).sortBy(_._2).flatMap { case (_, id, t) =>
+            (1L to copiesOf((src, id))).map(ci => (id, ci, t)) }: _*)
+      }: _*)
+      val wOf = sortedSrc.map(s => s -> (s.drop(3).toInt % 4 + 1)).toMap
+      val order = Seq.newBuilder[(String, Long, Long, Long)]
+      var active = sortedSrc.filter(queues(_).nonEmpty)
+      while (active.nonEmpty) {
+        active.foreach { src =>
+          (0 until wOf(src)).foreach { _ =>
+            if (queues(src).nonEmpty) {
+              val (id, ci, t) = queues(src).dequeue()
+              order += ((src, id, ci, t))
+            } }
+        }
+        active = active.filter(queues(_).nonEmpty)
+      }
+      // packs over the ordered token stream
+      case class Acc(var nRows: Long = 0, var nStart: Long = 0, var nWrap: Long = 0,
+        var tokens: Long = 0, val srcs: scala.collection.mutable.Set[String] = scala.collection.mutable.Set(),
+        var nUp: Long = 0, var firstSlot: Long = Long.MaxValue, var lastSlot: Long = Long.MinValue)
+      val packs = scala.collection.mutable.Map[Long, Acc]()
+      var cum = 0L
+      order.result().zipWithIndex.foreach { case ((src, _, ci, t), slot) =>
+        if (t > 0) {
+          val (st, en) = (cum, cum + t)
+          (st / 2048 to (en - 1) / 2048).foreach { p =>
+            val a = packs.getOrElseUpdate(p, Acc())
+            a.nRows += 1
+            if (st >= p * 2048) a.nStart += 1 else a.nWrap += 1
+            a.tokens += math.min(en, (p + 1) * 2048) - math.max(st, p * 2048)
+            a.srcs += src
+            if (ci > 1) a.nUp += 1
+            a.firstSlot = math.min(a.firstSlot, slot.toLong)
+            a.lastSlot = math.max(a.lastSlot, slot.toLong)
+          }
+        }
+        cum += t
+      }
+      val expected = packs.map { case (p, a) =>
+        p -> ((a.nRows, a.nStart, a.nWrap, a.tokens, a.srcs.size.toLong,
+          a.nUp, a.firstSlot, a.lastSlot)) }.toMap
+      assert(got === expected, s"seed=$seed nSrc=$nSrc rows=${order.result().size}")
+    }
+  }
+
   test("RankSelect.groupQuantiles equals the sorted-element pick for random inputs") {
     val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
     seeds.foreach { seed =>
