@@ -1597,6 +1597,157 @@ object Mining {
       .orderBy("pack_id")
   }
 
+  // ── q162: epoch-seeded renormalized schedules ─────────────────────────
+
+  private def q162OracleSql: String =
+    s"""WITH ${renormSegCtesBody("documents")}, soff AS (
+       |  SELECT seg_idx, source,
+       |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM segsrc
+       |), eps AS (
+       |  SELECT CAST(1 AS BIGINT) AS epoch UNION ALL SELECT CAST(2 AS BIGINT)
+       |), ranked AS (
+       |  SELECT e.epoch, d.doc_id, d.source,
+       |    ROW_NUMBER() OVER (PARTITION BY e.epoch, d.source
+       |      ORDER BY ${Dedup.h60Sql("'rs:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}, d.doc_id) - 1 AS r0
+       |  FROM documents d CROSS JOIN eps e
+       |), slotted AS (
+       |  SELECT r.epoch, r.source, r.doc_id, w.w,
+       |    sb.base + (r.r0 // w.w - sb.b) * sb.len_cycle + so.off + (r.r0 % w.w) AS slot
+       |  FROM ranked r
+       |  JOIN wt w ON r.source = w.source
+       |  JOIN segbase sb ON (r.r0 // w.w) >= sb.b AND (r.r0 // w.w) < sb.e
+       |  JOIN soff so ON so.seg_idx = sb.seg_idx AND so.source = r.source
+       |)
+       |SELECT epoch, source, MAX(w) AS w, COUNT(*) AS n_docs,
+       |  MIN(slot) AS first_slot, MAX(slot) AS last_slot,
+       |  CAST(SUM(slot * doc_id) AS BIGINT) AS slot_dot
+       |FROM slotted GROUP BY epoch, source ORDER BY epoch, source""".stripMargin
+
+  /** One epoch's renormalized schedule with a seeded WITHIN-source
+    * shuffle: per-source order is h60('rs:epoch:doc_id') instead of
+    * doc_id, so each epoch consumes an independent permutation — but the
+    * schedule SKELETON is frozen: slot assignment depends only on
+    * (source, rank) and the per-source masses, so source s occupies the
+    * IDENTICAL slot positions every epoch (MiningSpec-pinned), and the
+    * q158 segment manifest never needs re-deriving between epochs. That
+    * is the property a mixture loader wants from an epoch reshuffle:
+    * new order, same plan.
+    */
+  private[graft] def renormEpochSlots(s: SparkSession, dir: String, epoch: Int): DataFrame = {
+    val d = withRenormWeight(docs(s, dir).select("source", "doc_id"))
+      .withColumn("ek", Dedup.h60Col(concat(lit(s"rs:$epoch:"), col("doc_id").cast("string"))))
+    renormSlotsOf(s, d, Seq("ek", "doc_id")).withColumn("epoch", lit(epoch.toLong))
+  }
+
+  val q162 = Q("q162_renorm_epochs", q162OracleSql) { (s, dir) =>
+    (1 to 2).map(renormEpochSlots(s, dir, _))
+      .reduce(_.unionByName(_))
+      .groupBy("epoch", "source")
+      .agg(
+        max(col("w")).as("w"),
+        count(lit(1)).as("n_docs"),
+        min(col("slot")).as("first_slot"),
+        max(col("slot")).as("last_slot"),
+        sum(col("slot") * col("doc_id")).cast("long").as("slot_dot"))
+      .orderBy("epoch", "source")
+  }
+
+  // ── q163: classifier-vs-gate evaluation ───────────────────────────────
+
+  /** Score-band cuts for the eval table (same integer-comparison style
+    * as CurriculumCuts; bands ordered best-first).
+    */
+  private val EvalBandCuts = Seq(20L, 10L, 0L, -10L, -20L)
+
+  private def q163OracleSql: String = {
+    val w = classifierWeights.mkString("[", ", ", "]")
+    val band = ("CASE " + EvalBandCuts.zipWithIndex.map { case (c, i) =>
+      s"WHEN score >= $c THEN ${EvalBandCuts.length - i}" }.mkString(" ") +
+      " ELSE 0 END")
+    s"""WITH st AS (
+       |  SELECT doc_id,
+       |    length(text) AS text_len,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text_len, len(t) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS alpha_chars,
+       |    n_punct,
+       |    len(list_filter(t, x -> list_contains([${TextOps.allStop.map("'" + _ + "'").mkString(",")}], x))) AS n_stop
+       |  FROM st
+       |), gate AS (
+       |  SELECT doc_id,
+       |    (n_tokens BETWEEN 50 AND 100000
+       |      AND 3 * n_tokens <= alpha_chars AND alpha_chars <= 10 * n_tokens
+       |      AND 10 * n_punct <= text_len AND n_stop >= 2) AS keep
+       |  FROM m
+       |), sc AS (
+       |  SELECT doc_id, CAST(COALESCE(list_sum(list_transform(
+       |    list_transform(t, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)),
+       |    h -> list_extract($w, CAST(h % $ClassifierBuckets AS BIGINT) + 1))), 0) AS BIGINT) AS score
+       |  FROM st
+       |), b AS (
+       |  SELECT CAST($band AS BIGINT) AS band,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM sc s JOIN gate g USING (doc_id) GROUP BY 1
+       |), c AS (
+       |  SELECT band, n_docs, n_keep,
+       |    CAST(SUM(n_docs) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       |    CAST(SUM(n_keep) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_keep,
+       |    CAST(SUM(n_keep) OVER () AS BIGINT) AS total_keep
+       |  FROM b
+       |)
+       |SELECT band, n_docs, n_keep,
+       |  n_keep * 10000 // n_docs AS keep_rate_bp,
+       |  cum_docs, cum_keep,
+       |  cum_keep * 10000 // cum_docs AS cum_precision_bp,
+       |  cum_keep * 10000 // total_keep AS cum_recall_bp
+       |FROM c ORDER BY band DESC""".stripMargin
+  }
+
+  /** q163 — the evaluation a pipeline runs BEFORE swapping the expensive
+    * rule gate (q69, Gopher family) for the cheap hashed classifier
+    * (q92) at 100 TB: per classifier score band (best first), how many
+    * docs the gate would keep, and the cumulative precision/recall of
+    * "keep everything scoring at least this band" — all exact basis
+    * points (pure integer division, zero float risk). Two per-row
+    * projections (score, gate metrics) + one doc-keyed join — the q139
+    * shape; bands are a bounded CASE, so the cumulative pass is a
+    * driver-side fold over ≤ |bands|+1 rows (the curriculumManifest
+    * offset discipline — no single-partition window ever plans).
+    */
+  val q163 = Q("q163_classifier_gate_eval", q163OracleSql) { (s, dir) =>
+    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        element_at(call_function("linear_score", col("text")), 2).as("score"))
+    val withGate = Corpus.gateFrame(scored)
+      .select(col("doc_id"), col("keep"))
+      .join(scored.select("doc_id", "score"), "doc_id")
+    val band = EvalBandCuts.zipWithIndex.foldRight(lit(0L)) { case ((c, i), e) =>
+      when(col("score") >= c, lit((EvalBandCuts.length - i).toLong)).otherwise(e) }
+    val bands = withGate
+      .groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n_docs"), Det.countIf(col("keep")).as("n_keep"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val totalKeep = bands.map(_._3).sum
+    var (cumDocs, cumKeep) = (0L, 0L)
+    val rows = bands.map { case (bnd, nd, nk) =>
+      cumDocs += nd; cumKeep += nk
+      (bnd, nd, nk, nk * 10000 / nd, cumDocs, cumKeep,
+        cumKeep * 10000 / cumDocs, cumKeep * 10000 / totalKeep)
+    }
+    s.createDataFrame(rows.toSeq).toDF("band", "n_docs", "n_keep", "keep_rate_bp",
+      "cum_docs", "cum_keep", "cum_precision_bp", "cum_recall_bp")
+      .orderBy(col("band").desc)
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151, q153, q156, q157, q158, q159, q161)
+    q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163)
 }

@@ -443,6 +443,48 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q162: epoch reshuffles permute within sources while the slot skeleton stays frozen") {
+    def slotsOf(e: Int) = ops.Mining.renormEpochSlots(spark, sf, e)
+      .select("source", "doc_id", "slot").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (e1, e2) = (slotsOf(1), slotsOf(2))
+    // the skeleton: per source, the SET of slots is identical every
+    // epoch (slot assignment depends only on masses and rank) — the
+    // q158 manifest never needs re-deriving between epochs
+    def skeleton(rows: Array[(String, Long, Long)]) =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(skeleton(e1) === skeleton(e2),
+      "per-source slot positions must be epoch-invariant")
+    // the permutation: which doc occupies which slot must actually
+    // change for every multi-doc source
+    val m1 = e1.map(r => (r._1, r._2) -> r._3).toMap
+    val changedBySrc = e2.groupBy(_._1).view.mapValues(
+      _.count(r => m1((r._1, r._2)) != r._3)).toMap
+    changedBySrc.foreach { case (src, changed) =>
+      assert(changed > 0, s"$src: epoch 2 produced the identical permutation")
+    }
+  }
+
+  test("q163: eval table partitions the corpus and its cumulative columns are consistent") {
+    val rows = ops.Mining.q163.fn(spark, sf).orderBy(col("band").desc).collect()
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    val nKeep = ops.Corpus.q69.fn(spark, sf).filter(col("keep")).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "bands must partition the corpus")
+    assert(rows.map(_.getAs[Long]("n_keep")).sum === nKeep,
+      "band keeps must sum to the gate's keep count")
+    // cumulative columns re-derive from the per-band columns exactly
+    var (cd, ck) = (0L, 0L)
+    rows.foreach { r =>
+      cd += r.getAs[Long]("n_docs"); ck += r.getAs[Long]("n_keep")
+      assert(r.getAs[Long]("cum_docs") === cd && r.getAs[Long]("cum_keep") === ck)
+      assert(r.getAs[Long]("cum_precision_bp") === ck * 10000 / cd)
+      assert(r.getAs[Long]("cum_recall_bp") === ck * 10000 / nKeep)
+    }
+    assert(rows.last.getAs[Long]("cum_recall_bp") === 10000L,
+      "keeping every band must recall every gate keeper")
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
