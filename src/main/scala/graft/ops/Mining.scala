@@ -1720,19 +1720,32 @@ object Mining {
     * driver-side fold over ≤ |bands|+1 rows (the curriculumManifest
     * offset discipline — no single-partition window ever plans).
     */
-  val q163 = Q("q163_classifier_gate_eval", q163OracleSql) { (s, dir) =>
-    ShingleHashes.registerLinearScore(s, "linear_score", classifierWeights)
-    val scored = docs(s, dir)
-      .select(col("doc_id"), col("text"),
-        element_at(call_function("linear_score", col("text")), 2).as("score"))
+  /** One batch's (band, n_docs, n_keep) eval cells — add-mergeable SUM
+    * counts (band and keep are pure per-row functions), so a streaming
+    * sink maintains them per batch and the served eval table equals the
+    * batch q163 over the union of landings. ≤ |bands|+1 rows per batch.
+    */
+  private[graft] def evalCells(d: DataFrame): DataFrame = {
+    ShingleHashes.registerLinearScore(d.sparkSession, "linear_score", classifierWeights)
+    val scored = d.select(col("doc_id"), col("text"),
+      element_at(call_function("linear_score", col("text")), 2).as("score"))
     val withGate = Corpus.gateFrame(scored)
       .select(col("doc_id"), col("keep"))
       .join(scored.select("doc_id", "score"), "doc_id")
     val band = EvalBandCuts.zipWithIndex.foldRight(lit(0L)) { case ((c, i), e) =>
       when(col("score") >= c, lit((EvalBandCuts.length - i).toLong)).otherwise(e) }
-    val bands = withGate
-      .groupBy(band.as("band"))
-      .agg(count(lit(1)).as("n_docs"), Det.countIf(col("keep")).as("n_keep"))
+    withGate.groupBy(band.as("band"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), Det.countIf(col("keep")).as("n_keep"))
+  }
+
+  /** Cells → the eval table: re-fold (so per-batch PARTIAL cells serve
+    * identically to one-shot cells), then the bounded driver-side
+    * cumulative pass.
+    */
+  private[graft] def evalTableFromCells(s: SparkSession, cells: DataFrame): DataFrame = {
+    val bands = cells.groupBy("band")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_keep")).cast("long").as("n_keep"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
@@ -1746,6 +1759,10 @@ object Mining {
     s.createDataFrame(rows.toSeq).toDF("band", "n_docs", "n_keep", "keep_rate_bp",
       "cum_docs", "cum_keep", "cum_precision_bp", "cum_recall_bp")
       .orderBy(col("band").desc)
+  }
+
+  val q163 = Q("q163_classifier_gate_eval", q163OracleSql) { (s, dir) =>
+    evalTableFromCells(s, evalCells(docs(s, dir).select("doc_id", "text")))
   }
 
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,

@@ -98,4 +98,46 @@ object CorpusStream {
         ()
       }
       .start()
+
+  // ── classifier-vs-gate eval cells (q163 serving) ────────────────────
+
+  /** Idempotent per-batch eval-cell delta — Mining.evalCells verbatim,
+    * so the streamed fold can never band or gate a doc differently from
+    * batch q163. ≤ |bands|+1 SUM rows per batch, per-batchId OVERWRITE.
+    */
+  def writeEvalDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    graft.ops.Mining.evalCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Eval-cell maintenance sink: the evaluation dashboard a curation
+    * team watches (is the cheap classifier still tracking the gate?)
+    * kept current as documents land, with zero corpus rescans at
+    * serving time.
+    */
+  def evalCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("classifier_eval_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEvalDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** Serve the q163 eval table off the folded cells alone — bit-equal
+    * to batch q163 over the union of landings (StreamingSpec-pinned).
+    */
+  def evalTableFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
+    graft.ops.Mining.evalTableFromCells(spark,
+      spark.read.parquet(deltaDir).select("band", "n_docs", "n_keep"))
+
+  /** Eval-store retention: the fold algebra is the serving algebra. */
+  def compactEvalDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("band")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_keep")).cast("long").as("n_keep"))
+    }
 }

@@ -1013,6 +1013,67 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served manifest")
   }
 
+  test("classifier-eval cell stream: folded cells serve the exact batch q163 table; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-eval-landing")
+    val deltas = tmpDir("graft-eval-art") + "/deltas"
+    val checkpoint = tmpDir("graft-eval-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-eval-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.evalCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.evalCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.evalCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+          r.getAs[Long]("keep_rate_bp"), r.getAs[Long]("cum_docs"),
+          r.getAs[Long]("cum_keep"), r.getAs[Long]("cum_precision_bp"),
+          r.getAs[Long]("cum_recall_bp"))))
+      .toMap
+    val batch = tblMap(ops.Mining.q163.fn(spark, sf))
+    assert(tblMap(CorpusStream.evalTableFromDeltas(spark, deltas)) === batch,
+      "served eval table must equal batch q163 over the landed corpus")
+
+    // serving folds <=|bands|+1 cell rows — never corpus text
+    val servedPlan = CorpusStream.evalTableFromDeltas(spark, deltas)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("documents.parquet"),
+      s"eval-table serving must not rescan documents:\n$servedPlan")
+
+    // replay: per-batchId overwrite keeps SUM cells idempotent
+    val replay = docs.filter(col("doc_id") < cut1)
+    CorpusStream.writeEvalDelta(replay, deltas, 0L)
+    CorpusStream.writeEvalDelta(replay, deltas, 0L)
+    assert(tblMap(CorpusStream.evalTableFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served table")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactEvalDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(tblMap(CorpusStream.evalTableFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served table")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
