@@ -1765,6 +1765,163 @@ object Mining {
     evalTableFromCells(s, evalCells(docs(s, dir).select("doc_id", "text")))
   }
 
+  // ── q164: benchmark-targeted importance selection ─────────────────────
+
+  /** Hashed-bigram feature buckets for the importance ratio table —
+    * bounded feature space, so the "trained" table is a broadcast dim.
+    */
+  val SelectionBuckets = 1024L
+
+  private def q164OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+       |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT) % $SelectionBuckets)) AS f
+       |  FROM tk WHERE len(t) >= 2
+       |), tgt AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id < 50 GROUP BY f
+       |), rawc AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id >= 50 GROUP BY f
+       |), allf AS (
+       |  SELECT unnest(range(0, $SelectionBuckets)) AS f
+       |), ratio AS (
+       |  SELECT a.f,
+       |    (COALESCE(t.n, 0) + 1) * 10000 // (COALESCE(r.n, 0) + 1) AS rt
+       |  FROM allf a
+       |  LEFT JOIN tgt t ON a.f = t.f
+       |  LEFT JOIN rawc r ON a.f = r.f
+       |), sc AS (
+       |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(rt) AS BIGINT) AS score_sum
+       |  FROM bg b JOIN ratio ON b.f = ratio.f
+       |  WHERE b.doc_id >= 50
+       |  GROUP BY b.doc_id
+       |)
+       |SELECT doc_id, n_bigrams, score_sum,
+       |  score_sum // n_bigrams AS score_mean_fp
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q164 — DSIR-shaped targeted data selection (Xie et al. 2023's
+    * hashed-n-gram importance resampling, made exactly checkable):
+    * score every candidate doc (doc_id ≥ 50) by how much its hashed
+    * BIGRAM distribution resembles the benchmark/target set (doc_id <
+    * 50, q39's convention) relative to the raw pool — per feature
+    * bucket, the add-one ratio (tgt+1)/(raw+1) in exact fixed point
+    * (integer division, zero float risk), per doc the sum over its
+    * bigram occurrences. The "training" pass is two hash aggregations
+    * bounded by [[SelectionBuckets]]; the APPLY pass is zero-shuffle:
+    * the complete 1024-entry ratio table rides a typedLit map and each
+    * doc folds its in-row bigram bucket array — the q92 classifier
+    * shape with LEARNED weights instead of seeded ones. At 100 TB the
+    * ratio table trains on a sample and the apply still touches each
+    * doc once, map-side.
+    */
+  val q164 = Q("q164_targeted_selection", q164OracleSql) { (s, dir) =>
+    targetedScores(s, dir)
+      .select("doc_id", "n_bigrams", "score_sum", "score_mean_fp")
+      .orderBy("doc_id")
+  }
+
+  /** The per-candidate importance frame behind q164/q165 — trains the
+    * bounded ratio table (two hash aggregations + one bounded collect)
+    * and applies it joinless in-row.
+    */
+  private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        transform(sequence(lit(1), size(col("t")) - 1), i =>
+          Dedup.h60Col(concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1))) % SelectionBuckets).as("bg"))
+      .localCheckpoint()
+    val ex = base.select(col("doc_id"), explode(col("bg")).as("f"))
+    def counts(cond: Column): Map[Long, Long] =
+      ex.filter(cond).groupBy("f").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgt = counts(col("doc_id") < 50)
+    val raw = counts(col("doc_id") >= 50)
+    val ratio: Map[Long, Long] = (0L until SelectionBuckets).map { f =>
+      f -> (tgt.getOrElse(f, 0L) + 1L) * 10000L / (raw.getOrElse(f, 0L) + 1L)
+    }.toMap
+    base.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("source"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        aggregate(col("bg"), lit(0L),
+          (acc, b) => acc + element_at(typedLit(ratio), b)).as("score_sum"))
+      .withColumn("score_mean_fp", expr("score_sum div n_bigrams"))
+  }
+
+  // ── q165: what the selection does to the mixture ──────────────────────
+
+  /** Importance thresholds for the q165 sweep — fixed integer cuts
+    * spanning the observed fixed-point score range.
+    */
+  private val SelectionCuts = Seq(1200L, 1300L, 1400L)
+
+  private def q165OracleSql: String = {
+    val passCols = SelectionCuts.map(c =>
+      s"CAST(SUM(CASE WHEN ss // n >= $c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_$c").mkString(",\n       |  ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(t)), i ->
+       |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT) % $SelectionBuckets)) AS f
+       |  FROM tk WHERE len(t) >= 2
+       |), tgt AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id < 50 GROUP BY f
+       |), rawc AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id >= 50 GROUP BY f
+       |), allf AS (
+       |  SELECT unnest(range(0, $SelectionBuckets)) AS f
+       |), ratio AS (
+       |  SELECT a.f,
+       |    (COALESCE(t.n, 0) + 1) * 10000 // (COALESCE(r.n, 0) + 1) AS rt
+       |  FROM allf a
+       |  LEFT JOIN tgt t ON a.f = t.f
+       |  LEFT JOIN rawc r ON a.f = r.f
+       |), sc AS (
+       |  SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(rt) AS BIGINT) AS ss
+       |  FROM bg b JOIN ratio ON b.f = ratio.f
+       |  WHERE b.doc_id >= 50
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, COUNT(*) AS n_candidates,
+       |  CAST(SUM(ss) AS BIGINT) AS score_sum,
+       |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(ss) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS mean_fp,
+       |  $passCols
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q165 — the question a targeted-selection user actually asks before
+    * shipping: what does thresholding q164's scores DO to the source
+    * mixture? Per source: candidate count, exact aggregate score mass,
+    * and survivor counts at each fixed cut — importance selection skews
+    * the mixture toward benchmark-like sources, and this table measures
+    * the skew exactly (all integer arithmetic) so it can be fed back
+    * into the q111 recipe. One rollup over the q164 frame.
+    */
+  val q165 = Q("q165_selection_mixture", q165OracleSql) { (s, dir) =>
+    val aggCols = Seq(
+      sum(col("score_sum")).cast("long").as("score_sum"),
+      sum(col("n_bigrams")).cast("long").as("n_bigrams")) ++
+      SelectionCuts.map(c =>
+        Det.countIf(col("score_mean_fp") >= c).as(s"n_pass_$c"))
+    targetedScores(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"), aggCols: _*)
+      // integer division on the aggregated longs — a double-division
+      // cast could truncate differently from the oracle's exact `//`
+      .withColumn("mean_fp", expr("score_sum div n_bigrams"))
+      .select((Seq("source", "n_candidates", "score_sum", "n_bigrams", "mean_fp") ++
+        SelectionCuts.map(c => s"n_pass_$c")).map(col): _*)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
-    q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163)
+    q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
+    q164, q165)
 }

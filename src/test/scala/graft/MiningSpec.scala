@@ -485,6 +485,46 @@ class MiningSpec extends AnyFunSuite {
       "keeping every band must recall every gate keeper")
   }
 
+  test("q164: importance scores cover every multi-token candidate with exact per-doc arithmetic") {
+    val rows = ops.Mining.q164.fn(spark, sf).collect()
+    val expected = Catalog.table(spark, sf, "documents")
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"), ops.TextOps.tokenCount(col("text")).as("n"))
+      .filter(col("n") >= 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(rows.length === expected.size,
+      "every candidate doc with at least one bigram must be scored")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === expected(id) - 1L,
+        s"doc $id: one feature per adjacent token pair")
+      assert(r.getAs[Long]("score_sum") > 0L, "add-one smoothing keeps every ratio positive")
+      assert(r.getAs[Long]("score_mean_fp") ===
+        r.getAs[Long]("score_sum") / r.getAs[Long]("n_bigrams"))
+    }
+  }
+
+  test("q165: mixture impact is consistent with the per-doc scores and monotone across cuts") {
+    val perDoc = ops.Mining.q164.fn(spark, sf).count()
+    val rows = ops.Mining.q165.fn(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_candidates")).sum === perDoc,
+      "per-source candidates must partition the scored set")
+    rows.foreach { r =>
+      val passes = Seq("n_pass_1200", "n_pass_1300", "n_pass_1400")
+        .map(r.getAs[Long](_))
+      assert(passes === passes.sorted.reverse,
+        s"${r.getAs[String]("source")}: survivor counts must shrink as the cut rises")
+      assert(passes.head <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("mean_fp") ===
+        r.getAs[Long]("score_sum") / r.getAs[Long]("n_bigrams"))
+    }
+    // the selection genuinely discriminates: some source loses docs at
+    // the top cut while another keeps some
+    val top = rows.map(_.getAs[Long]("n_pass_1400"))
+    assert(top.max > 0L && top.exists(t => t < rows.head.getAs[Long]("n_candidates")),
+      "the cut sweep must actually separate the corpus")
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {

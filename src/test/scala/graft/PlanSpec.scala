@@ -145,6 +145,12 @@ class PlanSpec extends AnyFunSuite {
       s"copy and pack materialization must be in-row explodes:\n$p")
   }
 
+  test("q164: the importance-apply pass is joinless — the ratio table is a literal map") {
+    val p = plan("q164_targeted_selection")
+    assert(!p.contains("Join"),
+      s"scoring must fold in-row against the broadcast-free literal table:\n$p")
+  }
+
   test("q150: the global total-order rank never plans a single-partition sort") {
     val p = plan("q150_curriculum_order")
     assert(!p.contains("SinglePartition"),
