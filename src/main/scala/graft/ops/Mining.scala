@@ -1823,34 +1823,48 @@ object Mining {
       .orderBy("doc_id")
   }
 
-  /** The per-candidate importance frame behind q164/q165 — trains the
-    * bounded ratio table (two hash aggregations + one bounded collect)
-    * and applies it joinless in-row.
+  /** Per-doc in-row bigram bucket arrays — the feature projection shared
+    * by the batch trainer/scorer and CorpusStream's cell sink.
     */
-  private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
-      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
+  private[graft] def bigramBuckets(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("source"),
         transform(sequence(lit(1), size(col("t")) - 1), i =>
           Dedup.h60Col(concat(element_at(col("t"), i), lit(" "),
             element_at(col("t"), i + 1))) % SelectionBuckets).as("bg"))
-      .localCheckpoint()
-    val ex = base.select(col("doc_id"), explode(col("bg")).as("f"))
-    def counts(cond: Column): Map[Long, Long] =
-      ex.filter(cond).groupBy("f").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tgt = counts(col("doc_id") < 50)
-    val raw = counts(col("doc_id") >= 50)
-    val ratio: Map[Long, Long] = (0L until SelectionBuckets).map { f =>
+
+  /** Counts → the COMPLETE add-one ratio table (every bucket present, so
+    * the in-row fold never hits a missing key).
+    */
+  private[graft] def ratioFromCounts(tgt: Map[Long, Long], raw: Map[Long, Long]): Map[Long, Long] =
+    (0L until SelectionBuckets).map { f =>
       f -> (tgt.getOrElse(f, 0L) + 1L) * 10000L / (raw.getOrElse(f, 0L) + 1L)
     }.toMap
+
+  /** Joinless apply: fold each candidate's in-row bucket array against
+    * the literal ratio table.
+    */
+  private[graft] def applyRatio(base: DataFrame, ratio: Map[Long, Long]): DataFrame =
     base.filter(col("doc_id") >= 50)
       .select(col("doc_id"), col("source"),
         size(col("bg")).cast("long").as("n_bigrams"),
         aggregate(col("bg"), lit(0L),
           (acc, b) => acc + element_at(typedLit(ratio), b)).as("score_sum"))
       .withColumn("score_mean_fp", expr("score_sum div n_bigrams"))
+
+  /** The per-candidate importance frame behind q164/q165 — trains the
+    * bounded ratio table (two hash aggregations + one bounded collect)
+    * and applies it joinless in-row.
+    */
+  private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame = {
+    val base = bigramBuckets(docs(s, dir)).localCheckpoint()
+    val ex = base.select(col("doc_id"), explode(col("bg")).as("f"))
+    def counts(cond: Column): Map[Long, Long] =
+      ex.filter(cond).groupBy("f").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    applyRatio(base,
+      ratioFromCounts(counts(col("doc_id") < 50), counts(col("doc_id") >= 50)))
   }
 
   // ── q165: what the selection does to the mixture ──────────────────────

@@ -140,4 +140,61 @@ object CorpusStream {
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_keep")).cast("long").as("n_keep"))
     }
+
+  // ── targeted-selection feature cells (q164 serving) ─────────────────
+
+  /** One micro-batch's hashed-bigram feature counts, split target vs
+    * raw by q164's rule — add-mergeable SUM cells (≤ SelectionBuckets
+    * rows per batch), so the importance ratio table stays trainable off
+    * the store as documents land.
+    */
+  def featureCells(batch: DataFrame): DataFrame =
+    graft.ops.Mining.bigramBuckets(batch)
+      .select(col("doc_id"), explode(col("bg")).as("f"))
+      .groupBy("f")
+      .agg(
+        graft.queries.Det.countIf(col("doc_id") < 50).as("tgt_n"),
+        graft.queries.Det.countIf(col("doc_id") >= 50).as("raw_n"))
+
+  def writeFeatureDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    featureCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Feature-cell maintenance sink — q164's trainer kept current. */
+  def featureCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("selection_feature_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeFeatureDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The importance ratio table off the folded cells alone — bit-equal
+    * to the batch-trained table over the union of landings, so scoring
+    * any frame against it reproduces batch q164 exactly
+    * (StreamingSpec-pinned).
+    */
+  def ratioFromDeltas(spark: SparkSession, deltaDir: String): Map[Long, Long] = {
+    val folded = spark.read.parquet(deltaDir)
+      .groupBy("f")
+      .agg(sum(col("tgt_n")).cast("long").as("tgt_n"),
+        sum(col("raw_n")).cast("long").as("raw_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Mining.ratioFromCounts(
+      folded.map(t => t._1 -> t._2).toMap.filter(_._2 > 0),
+      folded.map(t => t._1 -> t._3).toMap.filter(_._2 > 0))
+  }
+
+  /** Feature-store retention: the fold algebra is the serving algebra. */
+  def compactFeatureDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("f")
+        .agg(sum(col("tgt_n")).cast("long").as("tgt_n"),
+          sum(col("raw_n")).cast("long").as("raw_n"))
+    }
 }

@@ -1074,6 +1074,62 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("selection feature-cell stream: the ratio table off folded cells scores exactly like batch q164; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-feat-landing")
+    val deltas = tmpDir("graft-feat-art") + "/deltas"
+    val checkpoint = tmpDir("graft-feat-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-feat-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.featureCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.featureCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.featureCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def scoreMap(ratio: Map[Long, Long]) = ops.Mining
+      .applyRatio(ops.Mining.bigramBuckets(docs), ratio)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_sum"),
+          r.getAs[Long]("score_mean_fp")))).toMap
+    val batch = ops.Mining.q164.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_sum"),
+          r.getAs[Long]("score_mean_fp")))).toMap
+    assert(scoreMap(CorpusStream.ratioFromDeltas(spark, deltas)) === batch,
+      "scoring with the streamed-trained ratio table must equal batch q164")
+
+    // replay: per-batchId overwrite keeps SUM cells idempotent
+    val replay = docs.filter(col("doc_id") < cut1)
+    CorpusStream.writeFeatureDelta(replay, deltas, 0L)
+    CorpusStream.writeFeatureDelta(replay, deltas, 0L)
+    assert(scoreMap(CorpusStream.ratioFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the trained table")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactFeatureDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(scoreMap(CorpusStream.ratioFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the trained table")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
