@@ -1636,7 +1636,8 @@ object Mining {
     * new order, same plan.
     */
   private[graft] def renormEpochSlots(s: SparkSession, dir: String, epoch: Int): DataFrame = {
-    val d = withRenormWeight(docs(s, dir).select("source", "doc_id"))
+    val d = withRenormWeight(docs(s, dir).select(col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")))
       .withColumn("ek", Dedup.h60Col(concat(lit(s"rs:$epoch:"), col("doc_id").cast("string"))))
     renormSlotsOf(s, d, Seq("ek", "doc_id")).withColumn("epoch", lit(epoch.toLong))
   }
@@ -1651,6 +1652,79 @@ object Mining {
         min(col("slot")).as("first_slot"),
         max(col("slot")).as("last_slot"),
         sum(col("slot") * col("doc_id")).cast("long").as("slot_dot"))
+      .orderBy("epoch", "source")
+  }
+
+  // ── q166: budget consumption across epoch boundaries ──────────────────
+
+  private def q166OracleSql: String =
+    s"""WITH ${renormSegCtesBody("documents")}, soff AS (
+       |  SELECT seg_idx, source,
+       |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM segsrc
+       |), eps AS (
+       |  SELECT CAST(1 AS BIGINT) AS epoch UNION ALL SELECT CAST(2 AS BIGINT)
+       |), ranked AS (
+       |  SELECT e.epoch, d.doc_id, d.source,
+       |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY e.epoch, d.source
+       |      ORDER BY ${Dedup.h60Sql("'rs:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")}, d.doc_id) - 1 AS r0
+       |  FROM documents d CROSS JOIN eps e
+       |), slotted AS (
+       |  SELECT r.epoch, r.source, r.doc_id, r.n_tokens, w.w,
+       |    sb.base + (r.r0 // w.w - sb.b) * sb.len_cycle + so.off + (r.r0 % w.w) AS slot
+       |  FROM ranked r
+       |  JOIN wt w ON r.source = w.source
+       |  JOIN segbase sb ON (r.r0 // w.w) >= sb.b AND (r.r0 // w.w) < sb.e
+       |  JOIN soff so ON so.seg_idx = sb.seg_idx AND so.source = r.source
+       |), cum AS (
+       |  SELECT *,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY epoch, slot ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM slotted
+       |), cut AS (
+       |  SELECT *, c <= (total * 3) // 4 AS consumed FROM cum
+       |)
+       |SELECT epoch, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN consumed THEN 1 ELSE 0 END) AS BIGINT) AS n_consumed,
+       |  CAST(SUM(CASE WHEN consumed THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_consumed,
+       |  CAST(COALESCE(MAX(CASE WHEN consumed THEN slot END), -1) AS BIGINT) AS last_slot
+       |FROM cut GROUP BY epoch, source ORDER BY epoch, source""".stripMargin
+
+  /** q166 — q159's budget cut when the budget SPANS epochs: a
+    * 1.5-epoch token budget (exact: 3/4 of the two-epoch total) runs
+    * through q162's seeded schedules in (epoch, slot) order — epoch 1
+    * consumes completely, epoch 2 gets the prefix cut under ITS OWN
+    * permutation. Cumulative consumption rides `globalRunningTotal`
+    * bucketed epoch-major on dense slot ranges (bucket = (epoch-1)·33 +
+    * slot div step — integral, ascending in consumption order, balanced
+    * within each epoch). The spec pins the two invariants a resuming
+    * multi-epoch loader relies on: every epoch-1 source fully consumed,
+    * and epoch 2's consumed set a slot-prefix with per-source prefixes
+    * under the epoch-2 permutation.
+    */
+  val q166 = Q("q166_epoch_budget_resume", q166OracleSql) { (s, dir) =>
+    val slots = (1 to 2).map(renormEpochSlots(s, dir, _))
+      .reduce(_.unionByName(_))
+      .select("epoch", "source", "doc_id", "n_tokens", "slot")
+      .localCheckpoint()
+    val stats = slots.agg(count(lit(1)), sum(col("n_tokens")).cast("long")).head()
+    val perEpoch = stats.getLong(0) / 2
+    val budget = stats.getLong(1) * 3 / 4
+    val step = perEpoch / 32 + 1
+    val cum = graft.exec.PrefixSum.globalRunningTotal(
+      slots.withColumn("_b", (col("epoch") - 1L) * 33L + expr(s"slot DIV $step")),
+      "_b", Seq("epoch", "slot"), "n_tokens", "c")
+    cum.withColumn("consumed", col("c") <= budget)
+      .groupBy("epoch", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Det.countIf(col("consumed")).as("n_consumed"),
+        sum(when(col("consumed"), col("n_tokens")).otherwise(0L))
+          .cast("long").as("tokens_consumed"),
+        coalesce(max(when(col("consumed"), col("slot"))), lit(-1L))
+          .cast("long").as("last_slot"))
       .orderBy("epoch", "source")
   }
 
@@ -1859,12 +1933,17 @@ object Mining {
     */
   private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame = {
     val base = bigramBuckets(docs(s, dir)).localCheckpoint()
-    val ex = base.select(col("doc_id"), explode(col("bg")).as("f"))
-    def counts(cond: Column): Map[Long, Long] =
-      ex.filter(cond).groupBy("f").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    applyRatio(base,
-      ratioFromCounts(counts(col("doc_id") < 50), counts(col("doc_id") >= 50)))
+    // one pass trains both sides: countIf splits target/raw in the same
+    // bounded hash aggregate (the featureCells shape)
+    val counts = base.select(col("doc_id"), explode(col("bg")).as("f"))
+      .groupBy("f")
+      .agg(Det.countIf(col("doc_id") < 50).as("tgt_n"),
+        Det.countIf(col("doc_id") >= 50).as("raw_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    applyRatio(base, ratioFromCounts(
+      counts.map(t => t._1 -> t._2).toMap,
+      counts.map(t => t._1 -> t._3).toMap))
   }
 
   // ── q165: what the selection does to the mixture ──────────────────────
@@ -1937,5 +2016,5 @@ object Mining {
 
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165)
+    q164, q165, q166)
 }

@@ -525,6 +525,32 @@ class MiningSpec extends AnyFunSuite {
       "the cut sweep must actually separate the corpus")
   }
 
+  test("q166: a 1.5-epoch budget consumes epoch 1 completely and cuts epoch 2 as a slot-prefix") {
+    val rows = ops.Mining.q166.fn(spark, sf).collect()
+    val (e1, e2) = rows.partition(_.getAs[Long]("epoch") == 1L)
+    // epoch 1: every source fully consumed
+    e1.foreach { r =>
+      assert(r.getAs[Long]("n_consumed") === r.getAs[Long]("n_docs"),
+        s"epoch 1 ${r.getAs[String]("source")} must be fully consumed")
+    }
+    // epoch 2: the consumed set is the slot-prefix 0..K-1 of ITS schedule
+    val k2 = e2.map(_.getAs[Long]("n_consumed")).sum
+    assert(k2 > 0L && k2 < e2.map(_.getAs[Long]("n_docs")).sum,
+      "the 1.5-epoch budget must land strictly inside epoch 2")
+    assert(e2.map(_.getAs[Long]("last_slot")).max === k2 - 1,
+      "epoch 2's consumed set must be a prefix of its slot order")
+    // per-source: epoch-2 consumption = docs with slot < K under the
+    // epoch-2 permutation
+    val perSrc = ops.Mining.renormEpochSlots(spark, sf, 2)
+      .filter(col("slot") < k2).groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    e2.foreach { r =>
+      assert(perSrc.getOrElse(r.getAs[String]("source"), 0L) ===
+        r.getAs[Long]("n_consumed"))
+    }
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
