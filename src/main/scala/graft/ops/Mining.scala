@@ -1282,6 +1282,7 @@ object Mining {
     * manifest), and OrderStream's streamed serving (masses off cells).
     */
   private[graft] def renormSegments(srcWN: Seq[(String, Long, Long)]): Seq[RenormSeg] = {
+    if (srcWN.isEmpty) return Seq.empty // an empty store serves an empty schedule
     val sorted = srcWN.sortBy(_._1)
     val cMax = sorted.map { case (_, w0, n0) => (n0 + w0 - 1) / w0 }.max
     val bps = (Seq(0L) ++ sorted.flatMap { case (_, w0, n0) =>

@@ -67,6 +67,11 @@ class ScaleKernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Mining.renormSegments/renormManifestDf serve an empty schedule for an empty store") {
+    assert(graft.ops.Mining.renormSegments(Seq.empty) === Seq.empty)
+    assert(graft.ops.Mining.renormManifestDf(spark, Seq.empty).count() === 0L)
+  }
+
   test("Mining.renormSlotsOf equals the sequential round-robin for random uneven corpora") {
     seeds.take(3).foreach { seed =>
       val rnd = new scala.util.Random(seed)
