@@ -1215,36 +1215,7 @@ object Mining {
     * sequential weighted round-robin with removal.
     */
   private def q157OracleSql: String =
-    """WITH wt AS (
-      |  SELECT source, CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
-      |         CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM documents GROUP BY source
-      |), cmax AS (
-      |  SELECT MAX((n + w - 1) // w) AS c FROM wt
-      |), bp AS (
-      |  SELECT DISTINCT b FROM (
-      |    SELECT CAST(0 AS BIGINT) AS b
-      |    UNION ALL SELECT n // w FROM wt
-      |    UNION ALL SELECT (n + w - 1) // w FROM wt
-      |  ) WHERE b < (SELECT c FROM cmax)
-      |), seg AS (
-      |  SELECT b,
-      |    COALESCE(LEAD(b) OVER (ORDER BY b), (SELECT c FROM cmax)) AS e,
-      |    ROW_NUMBER() OVER (ORDER BY b) AS seg_idx
-      |  FROM bp
-      |), segsrc AS (
-      |  SELECT s.seg_idx, s.b, s.e, w.source, w.w,
-      |    LEAST(w.w, GREATEST(w.n - s.b * w.w, CAST(0 AS BIGINT))) AS em
-      |  FROM seg s CROSS JOIN wt w
-      |), segl AS (
-      |  SELECT seg_idx, b, e, CAST(SUM(em) AS BIGINT) AS len_cycle
-      |  FROM segsrc GROUP BY seg_idx, b, e
-      |), segbase AS (
-      |  SELECT seg_idx, b, e, len_cycle,
-      |    CAST(COALESCE(SUM((e - b) * len_cycle) OVER (ORDER BY seg_idx
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
-      |  FROM segl
-      |), soff AS (
+    s"""WITH ${renormSegCtesBody("documents")}, soff AS (
       |  SELECT seg_idx, source,
       |    CAST(COALESCE(SUM(em) OVER (PARTITION BY seg_idx ORDER BY source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
