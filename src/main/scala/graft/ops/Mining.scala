@@ -1925,10 +1925,14 @@ object Mining {
     */
   private val SelectionCuts = Seq(1200L, 1300L, 1400L)
 
-  private def q165OracleSql: String = {
-    val passCols = SelectionCuts.map(c =>
-      s"CAST(SUM(CASE WHEN ss // n >= $c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_$c").mkString(",\n       |  ")
-    s"""WITH tk AS (
+  /** The SQL chain shared by q165/q167: tokens → hashed bigram buckets →
+    * add-one ratio table → per-candidate scores. Ends with
+    * `sc(doc_id, source, n, ss)` where n = bigram count, ss = fixed-point
+    * score sum (ss // n mirrors score_mean_fp). Returned WITHOUT a
+    * leading `WITH`.
+    */
+  private def selectionScoredCtes: String =
+    s"""tk AS (
        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
        |), bg AS (
        |  SELECT doc_id, source, unnest(list_transform(range(1, len(t)), i ->
@@ -1952,7 +1956,12 @@ object Mining {
        |  FROM bg b JOIN ratio ON b.f = ratio.f
        |  WHERE b.doc_id >= 50
        |  GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  private def q165OracleSql: String = {
+    val passCols = SelectionCuts.map(c =>
+      s"CAST(SUM(CASE WHEN ss // n >= $c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_$c").mkString(",\n       |  ")
+    s"""WITH $selectionScoredCtes
        |SELECT source, COUNT(*) AS n_candidates,
        |  CAST(SUM(ss) AS BIGINT) AS score_sum,
        |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
@@ -1986,7 +1995,99 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q167: the post-selection temperature recipe ───────────────────────
+
+  /** The q167 cut — the middle of [[SelectionCuts]], so MiningSpec can
+    * pin q167's survivor counts against q165's n_pass column.
+    */
+  private val SelectionRecipeCut = 1300L
+
+  private def q167OracleSql: String =
+    s"""WITH $selectionScoredCtes, cand AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(n + 1) AS BIGINT) AS cand_tokens
+       |  FROM sc GROUP BY source
+       |), sel AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+       |    CAST(SUM(n + 1) AS BIGINT) AS sel_tokens
+       |  FROM sc WHERE ss // n >= $SelectionRecipeCut GROUP BY source
+       |), m AS (
+       |  SELECT c.source, c.n_cand, c.cand_tokens,
+       |    COALESCE(s2.n_sel, 0) AS n_sel, COALESCE(s2.sel_tokens, 0) AS sel_tokens
+       |  FROM cand c LEFT JOIN sel s2 ON c.source = s2.source
+       |), w AS (
+       |  SELECT source, n_cand, cand_tokens, n_sel, sel_tokens,
+       |    sqrt(CAST(cand_tokens AS DOUBLE)) AS wc,
+       |    sqrt(CAST(sel_tokens AS DOUBLE)) AS ws
+       |  FROM m
+       |), tc AS (
+       |  SELECT
+       |    list_reduce(list_transform(list_sort(list(struct_pack(source := source, wr := wc))),
+       |      x -> x.wr), (a, b) -> a + b) AS total_c,
+       |    list_reduce(list_transform(list_sort(list(struct_pack(source := source, wr := ws))),
+       |      x -> x.wr), (a, b) -> a + b) AS total_s
+       |  FROM w
+       |)
+       |SELECT source, n_cand, n_sel, cand_tokens, sel_tokens,
+       |  CAST(FLOOR(wc / total_c * 1000000.0 + 0.5) AS BIGINT) AS mix_cand_ppm,
+       |  CAST(FLOOR(ws / total_s * 1000000.0 + 0.5) AS BIGINT) AS mix_sel_ppm,
+       |  CAST(FLOOR(ws / total_s * 1000000.0 + 0.5) AS BIGINT)
+       |    - CAST(FLOOR(wc / total_c * 1000000.0 + 0.5) AS BIGINT) AS shift_ppm,
+       |  CAST(FLOOR(ws / total_s * 1000000.0) AS BIGINT) AS sel_target_tokens,
+       |  CASE WHEN sel_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE FLOOR(ws / total_s * 1000000.0 / CAST(sel_tokens AS DOUBLE) * 10000.0 + 0.5)
+       |      / 10000.0 END AS sel_oversample_x
+       |FROM w, tc ORDER BY source""".stripMargin
+
+  /** q167 — the selection→recipe COMPOSITION the round-9 handoff named:
+    * after q164's importance cut decides WHICH candidates survive, the
+    * q111 temperature recipe decides how the survivors MIX — n^0.5
+    * reweighting over the post-selection token masses. Per source:
+    * candidate vs survivor counts/token mass, the sqrt-temperature
+    * mixture share of both corpora in exact ppm (floor(x·1e6 + 0.5) on
+    * the q111-proven float tree: IEEE sqrt, one sequentially-folded
+    * normalizer per corpus, one division), the SHIFT the selection
+    * imposes on the mixture, and the survivors' 1M-token quota +
+    * oversample factor (q111's output contract, now on the selected
+    * corpus). Token mass needs no second corpus scan: a candidate's
+    * tokens = n_bigrams + 1 by construction, so the whole query is one
+    * rollup of the q164 frame plus arithmetic on a |sources|-row frame.
+    * At 100 TB: the scoring pass is the only per-doc work (map-side
+    * fold, see q164); everything downstream is broadcast-sized.
+    */
+  val q167 = Q("q167_selected_recipe", q167OracleSql) { (s, dir) =>
+    val m = targetedScores(s, dir)
+      .select(col("source"), (col("n_bigrams") + 1L).as("toks"), col("score_mean_fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("toks")).cast("long").as("cand_tokens"),
+        Det.countIf(col("score_mean_fp") >= SelectionRecipeCut).as("n_sel"),
+        sum(when(col("score_mean_fp") >= SelectionRecipeCut, col("toks"))
+          .otherwise(0L)).cast("long").as("sel_tokens"))
+      .withColumn("wc", sqrt(col("cand_tokens").cast("double")))
+      .withColumn("ws", sqrt(col("sel_tokens").cast("double")))
+    val tot = m.agg(
+      aggregate(array_sort(collect_list(struct(col("source"), col("wc").as("wr")))),
+        lit(0.0), (a, x) => a + x.getField("wr")).as("total_c"),
+      aggregate(array_sort(collect_list(struct(col("source"), col("ws").as("wr")))),
+        lit(0.0), (a, x) => a + x.getField("wr")).as("total_s"))
+    val shareC = col("wc") / col("total_c")
+    val shareS = col("ws") / col("total_s")
+    val ppmC = floor(shareC * lit(1000000.0) + lit(0.5)).cast("long")
+    val ppmS = floor(shareS * lit(1000000.0) + lit(0.5)).cast("long")
+    m.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_cand"), col("n_sel"),
+        col("cand_tokens"), col("sel_tokens"),
+        ppmC.as("mix_cand_ppm"), ppmS.as("mix_sel_ppm"),
+        (ppmS - ppmC).as("shift_ppm"),
+        floor(shareS * lit(1000000.0)).cast("long").as("sel_target_tokens"),
+        when(col("sel_tokens") === 0L, lit(0.0))
+          .otherwise(Det.dround(shareS * lit(1000000.0)
+            / col("sel_tokens").cast("double"), 4)).as("sel_oversample_x"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166)
+    q164, q165, q166, q167)
 }

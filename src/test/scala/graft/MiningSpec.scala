@@ -551,6 +551,46 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q167: the selected recipe reweights exactly q165's cut survivors and shares sum to one") {
+    val rows = ops.Mining.q167.fn(spark, sf).collect()
+    val m165 = ops.Mining.q165.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet === m165.keySet,
+      "q167 covers every source with a scored candidate")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_cand") === m165(src).getAs[Long]("n_candidates"),
+        s"$src: candidate base must be the q165 frame")
+      assert(r.getAs[Long]("n_sel") === m165(src).getAs[Long]("n_pass_1300"),
+        s"$src: survivors at the recipe cut must equal q165's n_pass_1300")
+      assert(r.getAs[Long]("sel_tokens") <= r.getAs[Long]("cand_tokens"))
+      assert(r.getAs[Long]("shift_ppm") ===
+        r.getAs[Long]("mix_sel_ppm") - r.getAs[Long]("mix_cand_ppm"))
+      // the 1M-token quota and oversample factor follow q111's contract
+      assert(r.getAs[Long]("sel_target_tokens") <= r.getAs[Long]("mix_sel_ppm"),
+        "floor(share*1e6) <= round(share*1e6)")
+      if (r.getAs[Long]("n_sel") == 0L) {
+        assert(r.getAs[Long]("mix_sel_ppm") === 0L)
+        assert(r.getAs[Double]("sel_oversample_x") === 0.0)
+      }
+    }
+    // both recipes are probability mixtures: ppm shares sum to 1e6 up to
+    // one ulp-of-rounding per source, and shifts are exactly their gap
+    val sumSel = rows.map(_.getAs[Long]("mix_sel_ppm")).sum
+    val sumCand = rows.map(_.getAs[Long]("mix_cand_ppm")).sum
+    assert(math.abs(sumSel - 1000000L) <= rows.length.toLong)
+    assert(math.abs(sumCand - 1000000L) <= rows.length.toLong)
+    assert(rows.map(_.getAs[Long]("shift_ppm")).sum === sumSel - sumCand)
+    // the selection genuinely moves the mixture
+    assert(rows.exists(_.getAs[Long]("shift_ppm") != 0L),
+      "importance selection must shift at least one source's share")
+    // temperature law on the selected corpus: shares order by token mass
+    val bySel = rows.sortBy(_.getAs[Long]("sel_tokens"))
+    assert(bySel.map(_.getAs[Long]("mix_sel_ppm")) ===
+      bySel.map(_.getAs[Long]("mix_sel_ppm")).sorted,
+      "sqrt reweighting preserves the token-mass order")
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
