@@ -1467,8 +1467,13 @@ object Mining {
 
   // ── q161: the loader chain end to end ─────────────────────────────────
 
-  private def q161OracleSql: String =
-    s"""${TextOps.recipeCtesSql}, rows_ AS (
+  /** The chain tail shared by q161/q168: upsampled copy rows → renorm
+    * segment schedule → 2048-token wrap packs. Expects
+    * `perdoc(source, doc_id, toks, copies)` in scope; begins with a
+    * leading comma so callers append it to their recipe CTEs.
+    */
+  private def loaderChainTailSql: String =
+    s""", rows_ AS (
        |  SELECT source, doc_id, unnest(range(1, copies + 1)) AS copy_idx, toks
        |  FROM perdoc WHERE copies > 0
        |), ${renormSegCtesBody("rows_")}, soff AS (
@@ -1508,6 +1513,9 @@ object Mining {
        |  CAST(SUM(CASE WHEN copy_idx > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_upsampled,
        |  MIN(slot) AS first_slot, MAX(slot) AS last_slot
        |FROM ex GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
+  private def q161OracleSql: String =
+    s"${TextOps.recipeCtesSql}$loaderChainTailSql"
 
   /** q161 — the LOADER CHAIN as one checked operator: temperature recipe
     * (q111) → materialized copies (q160's integer+fractional rule) →
@@ -2087,7 +2095,36 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q168: the loader chain over the selected corpus ───────────────────
+
+  private def q168OracleSql: String =
+    s"""WITH $selectionScoredCtes, seltok AS (
+       |  SELECT source, doc_id, CAST(n + 1 AS BIGINT) AS toks
+       |  FROM sc WHERE ss // n >= $SelectionRecipeCut
+       |), ${TextOps.recipeCtesBody("seltok")}$loaderChainTailSql"""
+      .stripMargin
+
+  /** q168 — the PRODUCTION composition of the whole selection family:
+    * importance-cut survivors (q164's scores at q167's cut) fed through
+    * the complete loader chain (q161's recipe → copies → renormalized
+    * schedule → 2048-token wrap packs). This is the path a targeted
+    * pretraining run actually executes: select benchmark-like data,
+    * re-temper the survivor mixture, materialize repeat factors, and
+    * emit the packed token stream. Per pack, q161's output contract.
+    * The survivor frame carries its own token mass (toks = n_bigrams +
+    * 1), so selection adds ZERO extra corpus scans — the scoring pass
+    * is the only per-doc work before the chain's grouped rank. Every
+    * stage keeps its 100 TB shape: broadcast ratio table, map-side
+    * fold, broadcast recipe + segment dims, slot-bucketed running
+    * total, in-row explodes.
+    */
+  val q168 = Q("q168_selected_loader_chain", q168OracleSql) { (s, dir) =>
+    loaderChainPacks(s, targetedScores(s, dir)
+      .filter(col("score_mean_fp") >= SelectionRecipeCut)
+      .select(col("source"), col("doc_id"), (col("n_bigrams") + 1L).as("toks")))
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167)
+    q164, q165, q166, q167, q168)
 }

@@ -728,15 +728,18 @@ object TextOps {
     * multiplied corpus, which is why the rollup, not the exploded frame,
     * is the query output.
     */
-  /** Oracle fragment shared by q160 and Mining's q161: the temperature
-    * recipe factors (q111's proven float tree) and the per-doc copy
-    * counts. Ends with `perdoc(source, doc_id, toks, copies)`.
+  /** The recipe CTE chain parameterized over ANY `rel(source, doc_id,
+    * toks)` relation: q111's temperature factors (the proven float
+    * tree) and the per-doc copy counts. Ends with
+    * `perdoc(source, doc_id, toks, copies)`; returned WITHOUT a leading
+    * `WITH`. q160/q161 feed the raw per-doc token counts; Mining's q168
+    * feeds the importance-cut survivors.
     */
-  private[graft] def recipeCtesSql: String =
-    """WITH s AS (
+  private[graft] def recipeCtesBody(rel: String): String =
+    s"""s AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source
+      |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |  FROM $rel GROUP BY source
       |), sw AS (
       |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS wr FROM s
       |), t AS (
@@ -752,13 +755,22 @@ object TextOps {
       |      - CAST(FLOOR(wr / total * 1000000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT) * 10000 AS frac_bp
       |  FROM sw, t
       |), perdoc AS (
-      |  SELECT d.source, d.doc_id,
-      |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS toks,
+      |  SELECT d.source, d.doc_id, d.toks,
       |    f.repeat_x + CASE WHEN
       |      (CAST('0x' || substr(md5('up:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000)
       |        < f.frac_bp THEN 1 ELSE 0 END AS copies
-      |  FROM documents d JOIN fac f ON d.source = f.source
+      |  FROM $rel d JOIN fac f ON d.source = f.source
       |)""".stripMargin
+
+  /** The [[recipeCtesBody]] chain applied to the raw corpus token
+    * counts — the oracle fragment shared by q160 and Mining's q161.
+    */
+  private[graft] def recipeCtesSql: String =
+    s"""WITH tok0 AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS toks
+      |  FROM documents
+      |), ${recipeCtesBody("tok0")}""".stripMargin
 
   val q160 = Q("q160_recipe_upsample",
     s"""$recipeCtesSql

@@ -591,6 +591,49 @@ class MiningSpec extends AnyFunSuite {
       "sqrt reweighting preserves the token-mass order")
   }
 
+  test("q168: the selected loader chain packs exactly the survivors' upsampled mass") {
+    val packs = ops.Mining.q168.fn(spark, sf).orderBy("pack_id").collect()
+    assert(packs.nonEmpty, "the cut must leave a non-empty selected corpus")
+    assert(packs.map(_.getAs[Long]("pack_id")).toSeq === (0L until packs.length.toLong),
+      "pack ids are a dense prefix")
+    packs.init.foreach(p => assert(p.getAs[Long]("pack_tokens") === 2048L,
+      s"pack ${p.getAs[Long]("pack_id")} not exactly full"))
+    assert(packs.last.getAs[Long]("pack_tokens") <= 2048L)
+    packs.foreach(p => assert(p.getAs[Long]("n_rows") ===
+      p.getAs[Long]("n_starting") + p.getAs[Long]("n_wrapped_in")))
+    // the chain's input frame is exactly q167's accounting: per-source
+    // survivor token mass == sel_tokens
+    val selTok = ops.Mining.targetedScores(spark, sf)
+      .filter(col("score_mean_fp") >= 1300L)
+      .select(col("source"), col("doc_id"), (col("n_bigrams") + 1L).as("toks"))
+    val massBySrc = selTok.groupBy("source").agg(sum("toks").as("m")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("m")).toMap
+    ops.Mining.q167.fn(spark, sf).collect().foreach { r =>
+      assert(massBySrc.getOrElse(r.getAs[String]("source"), 0L) ===
+        r.getAs[Long]("sel_tokens"),
+        s"${r.getAs[String]("source")}: chain input must match q167's survivor mass")
+    }
+    // conservation: pack fills sum to the survivors' materialized
+    // (recipe-upsampled) token mass, recomputed off the shared kernels
+    val fac = ops.TextOps.recipeFactorsOf(selTok)
+    val up = selTok
+      .join(broadcast(fac.select("source", "repeat_x", "frac_bp")), "source")
+      .withColumn("copies", col("repeat_x") +
+        when(Dedup.h60Col(concat(lit("up:"), col("source"), lit(":"),
+          col("doc_id").cast("string"))) % 10000 < col("frac_bp"), 1L).otherwise(0L))
+      .agg(sum(col("copies") * col("toks"))).head().getLong(0)
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum === up,
+      "wrap packs must conserve the selected corpus's upsampled mass")
+    // the sub-1M survivor corpus upsamples: copies beyond the first land
+    assert(packs.map(_.getAs[Long]("n_upsampled")).sum > 0L)
+    // slot spans follow the schedule order
+    packs.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("first_slot") <= b.getAs[Long]("first_slot"))
+      case _ => ()
+    }
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
