@@ -1939,14 +1939,21 @@ object Mining {
     * score sum (ss // n mirrors score_mean_fp). Returned WITHOUT a
     * leading `WITH`.
     */
-  private def selectionScoredCtes: String =
+  /** Just the tokens → hashed-bigram-occurrence CTEs (`tk`, `bg`) —
+    * shared by the single-ratio chain below and q169's two-release
+    * variant.
+    */
+  private def selectionBgCtes: String =
     s"""tk AS (
        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
        |), bg AS (
        |  SELECT doc_id, source, unnest(list_transform(range(1, len(t)), i ->
        |    CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15) AS BIGINT) % $SelectionBuckets)) AS f
        |  FROM tk WHERE len(t) >= 2
-       |), tgt AS (
+       |)""".stripMargin
+
+  private def selectionScoredCtes: String =
+    s"""$selectionBgCtes, tgt AS (
        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id < 50 GROUP BY f
        |), rawc AS (
        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id >= 50 GROUP BY f
@@ -2124,7 +2131,115 @@ object Mining {
       .select(col("source"), col("doc_id"), (col("n_bigrams") + 1L).as("toks")))
   }
 
+  // ── q169: benchmark rotation — incremental selection rescore ──────────
+
+  /** The v1 target release: doc_id < 25 (q142's release convention);
+    * v2 = doc_id < 50, i.e. exactly q164's target set.
+    */
+  private val ReleaseV1Max = 25L
+
+  private def q169OracleSql: String =
+    s"""WITH $selectionBgCtes, tgt1 AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id < $ReleaseV1Max GROUP BY f
+       |), tgt2 AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id < 50 GROUP BY f
+       |), rawc AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id >= 50 GROUP BY f
+       |), allf AS (
+       |  SELECT unnest(range(0, $SelectionBuckets)) AS f
+       |), ratio AS (
+       |  SELECT a.f,
+       |    (COALESCE(t1.n, 0) + 1) * 10000 // (COALESCE(r.n, 0) + 1) AS rt1,
+       |    (COALESCE(t2.n, 0) + 1) * 10000 // (COALESCE(r.n, 0) + 1) AS rt2
+       |  FROM allf a
+       |  LEFT JOIN tgt1 t1 ON a.f = t1.f
+       |  LEFT JOIN tgt2 t2 ON a.f = t2.f
+       |  LEFT JOIN rawc r ON a.f = r.f
+       |), sc AS (
+       |  SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(rt1) AS BIGINT) AS s1, CAST(SUM(rt2) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN rt1 <> rt2 THEN 1 ELSE 0 END) AS BIGINT) AS touch
+       |  FROM bg b JOIN ratio ON b.f = ratio.f
+       |  WHERE b.doc_id >= 50 GROUP BY 1, 2
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN touch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       |  CAST(SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(SUM(s1) AS BIGINT) AS score_v1,
+       |  CAST(SUM(s2) AS BIGINT) AS score_v2,
+       |  CAST(SUM(CASE WHEN s1 // n >= $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v1,
+       |  CAST(SUM(CASE WHEN s2 // n >= $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v2,
+       |  CAST(SUM(CASE WHEN s2 // n >= $SelectionRecipeCut
+       |    AND s1 // n < $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+       |  CAST(SUM(CASE WHEN s1 // n >= $SelectionRecipeCut
+       |    AND s2 // n < $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_lost
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-candidate two-release score frame behind q169 — v1 scores by a
+    * full fold, v2 scores INCREMENTALLY as s1 + a fold over the ratio
+    * DELTA map (rt2 − rt1), exactly how a production system rescopes a
+    * benchmark rotation: only docs touching a changed bucket (`touched`,
+    * a bounded-set membership test on the in-row array) can move, so a
+    * stored-score table re-folds just those. The oracle computes s2
+    * FROM SCRATCH off rt2 — DuckDB parity is therefore itself the proof
+    * that incremental ≡ full rescore, the q142 law transplanted to
+    * targeted selection.
+    */
+  private[graft] def releaseDeltaScores(s: SparkSession, dir: String): DataFrame = {
+    val base = bigramBuckets(docs(s, dir)).localCheckpoint()
+    val counts = base.select(col("doc_id"), explode(col("bg")).as("f"))
+      .groupBy("f")
+      .agg(Det.countIf(col("doc_id") < ReleaseV1Max).as("t1"),
+        Det.countIf(col("doc_id") >= ReleaseV1Max && col("doc_id") < 50).as("td"),
+        Det.countIf(col("doc_id") >= 50).as("raw"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val raw = counts.map(t => t._1 -> t._4).toMap
+    val rt1 = ratioFromCounts(counts.map(t => t._1 -> t._2).toMap, raw)
+    val rt2 = ratioFromCounts(counts.map(t => t._1 -> (t._2 + t._3)).toMap, raw)
+    val dm = rt1.map { case (f, v) => f -> (rt2(f) - v) }
+    base.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("source"),
+        size(col("bg")).cast("long").as("n"),
+        aggregate(col("bg"), lit(0L),
+          (a, b) => a + element_at(typedLit(rt1), b)).as("s1"),
+        aggregate(col("bg"), lit(0L),
+          (a, b) => a + element_at(typedLit(dm), b)).as("ds"),
+        exists(col("bg"),
+          b => element_at(typedLit(dm), b) =!= 0L).as("touched"))
+      .withColumn("s2", col("s1") + col("ds"))
+  }
+
+  /** q169 — what a benchmark RELEASE ROTATION does to targeted
+    * selection: the target set grows (v1 = doc_id < 25 → v2 = < 50,
+    * q142's release convention; v2 is exactly q164's target), the
+    * add-one ratio table retrains, and every candidate's score moves by
+    * its fold over the bounded delta table alone. Per source: how many
+    * candidates touch a changed bucket, how many scores actually move,
+    * both releases' exact score mass, and the selection-set churn at
+    * the q167 cut (pass counts, gained, lost). Scale shape: one
+    * bounded three-way count aggregate trains BOTH releases; the apply
+    * stays joinless/map-side; rotation cost is delta-density, never a
+    * second corpus scan.
+    */
+  val q169 = Q("q169_selection_release_delta", q169OracleSql) { (s, dir) =>
+    val cut = SelectionRecipeCut
+    releaseDeltaScores(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        Det.countIf(col("touched")).as("n_touched"),
+        Det.countIf(col("s1") =!= col("s2")).as("n_changed"),
+        sum("s1").cast("long").as("score_v1"),
+        sum("s2").cast("long").as("score_v2"),
+        Det.countIf(expr("s1 div n") >= cut).as("n_pass_v1"),
+        Det.countIf(expr("s2 div n") >= cut).as("n_pass_v2"),
+        Det.countIf(expr("s2 div n") >= cut && expr("s1 div n") < cut).as("n_gained"),
+        Det.countIf(expr("s1 div n") >= cut && expr("s2 div n") < cut).as("n_lost"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168)
+    q164, q165, q166, q167, q168, q169)
 }

@@ -634,6 +634,42 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q169: incremental rescore under benchmark rotation equals the from-scratch v2 scores") {
+    val perDoc = ops.Mining.releaseDeltaScores(spark, sf).cache()
+    try {
+      // untouched docs cannot move — the production skip-set law
+      perDoc.filter(!col("touched")).collect().foreach { r =>
+        assert(r.getAs[Long]("ds") === 0L,
+          s"doc ${r.getAs[Long]("doc_id")}: no changed bucket but a score delta")
+      }
+      // incremental v2 == q164's from-scratch scores, bit-equal per doc
+      val v2 = perDoc.select(col("doc_id"), col("s2")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("s2")).toMap
+      ops.Mining.q164.fn(spark, sf).collect().foreach { r =>
+        assert(v2(r.getAs[Long]("doc_id")) === r.getAs[Long]("score_sum"),
+          s"doc ${r.getAs[Long]("doc_id")}: incremental != from-scratch")
+      }
+      assert(v2.size === ops.Mining.q164.fn(spark, sf).count())
+      // the rollup's churn accounting is internally consistent and the
+      // v2 pass column matches q165's sweep at the shared cut
+      val rows = ops.Mining.q169.fn(spark, sf).collect()
+      val m165 = ops.Mining.q165.fn(spark, sf).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_pass_1300")).toMap
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_changed") <= r.getAs[Long]("n_touched"))
+        assert(r.getAs[Long]("n_touched") <= r.getAs[Long]("n_candidates"))
+        assert(r.getAs[Long]("n_pass_v2") - r.getAs[Long]("n_pass_v1") ===
+          r.getAs[Long]("n_gained") - r.getAs[Long]("n_lost"),
+          s"${r.getAs[String]("source")}: churn must reconcile the pass delta")
+        assert(r.getAs[Long]("n_pass_v2") === m165(r.getAs[String]("source")),
+          s"${r.getAs[String]("source")}: v2 selection must be q165's cut")
+      }
+      // the rotation genuinely moves scores somewhere
+      assert(rows.map(_.getAs[Long]("n_changed")).sum > 0L,
+        "growing the target set must change at least one candidate's score")
+    } finally { perDoc.unpersist(); () }
+  }
+
   // ── q150 curriculum order ───────────────────────────────────────────
 
   test("q150: global positions are a permutation of 1..n and phases are contiguous blocks") {
