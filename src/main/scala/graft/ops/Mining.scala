@@ -2136,7 +2136,7 @@ object Mining {
   /** The v1 target release: doc_id < 25 (q142's release convention);
     * v2 = doc_id < 50, i.e. exactly q164's target set.
     */
-  private val ReleaseV1Max = 25L
+  private[graft] val ReleaseV1Max = 25L
 
   private def q169OracleSql: String =
     s"""WITH $selectionBgCtes, tgt1 AS (

@@ -143,16 +143,19 @@ object CorpusStream {
 
   // ── targeted-selection feature cells (q164 serving) ─────────────────
 
-  /** One micro-batch's hashed-bigram feature counts, split target vs
-    * raw by q164's rule — add-mergeable SUM cells (≤ SelectionBuckets
-    * rows per batch), so the importance ratio table stays trainable off
-    * the store as documents land.
+  /** One micro-batch's hashed-bigram feature counts, split three ways —
+    * v1 target (doc_id < ReleaseV1Max), full v2 target (< 50, q164's
+    * rule; a superset of v1), raw pool — all add-mergeable SUM cells
+    * (≤ SelectionBuckets rows per batch). One store therefore trains
+    * the CURRENT ratio table (q164 serving) and both sides of the q169
+    * release rotation.
     */
   def featureCells(batch: DataFrame): DataFrame =
     graft.ops.Mining.bigramBuckets(batch)
       .select(col("doc_id"), explode(col("bg")).as("f"))
       .groupBy("f")
       .agg(
+        graft.queries.Det.countIf(col("doc_id") < graft.ops.Mining.ReleaseV1Max).as("tgt1_n"),
         graft.queries.Det.countIf(col("doc_id") < 50).as("tgt_n"),
         graft.queries.Det.countIf(col("doc_id") >= 50).as("raw_n"))
 
@@ -190,11 +193,33 @@ object CorpusStream {
       folded.map(t => t._1 -> t._3).toMap.filter(_._2 > 0))
   }
 
+  /** BOTH release ratio tables off the folded cells — v1 trains on the
+    * tgt1 counts alone, v2 on the full target counts over the SAME raw
+    * pool. The q169 rotation needs no second store or corpus pass; the
+    * three-way split cell carries both releases.
+    */
+  def releaseRatiosFromDeltas(spark: SparkSession,
+      deltaDir: String): (Map[Long, Long], Map[Long, Long]) = {
+    val folded = spark.read.parquet(deltaDir)
+      .groupBy("f")
+      .agg(sum(col("tgt1_n")).cast("long").as("tgt1_n"),
+        sum(col("tgt_n")).cast("long").as("tgt_n"),
+        sum(col("raw_n")).cast("long").as("raw_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val raw = folded.map(t => t._1 -> t._4).toMap.filter(_._2 > 0)
+    (graft.ops.Mining.ratioFromCounts(
+        folded.map(t => t._1 -> t._2).toMap.filter(_._2 > 0), raw),
+      graft.ops.Mining.ratioFromCounts(
+        folded.map(t => t._1 -> t._3).toMap.filter(_._2 > 0), raw))
+  }
+
   /** Feature-store retention: the fold algebra is the serving algebra. */
   def compactFeatureDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
     StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
       cells.groupBy("f")
-        .agg(sum(col("tgt_n")).cast("long").as("tgt_n"),
+        .agg(sum(col("tgt1_n")).cast("long").as("tgt1_n"),
+          sum(col("tgt_n")).cast("long").as("tgt_n"),
           sum(col("raw_n")).cast("long").as("raw_n"))
     }
 }

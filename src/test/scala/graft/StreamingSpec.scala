@@ -1128,6 +1128,21 @@ class StreamingSpec extends AnyFunSuite {
       Seq("batch_id=-1", "batch_id=2"))
     assert(scoreMap(CorpusStream.ratioFromDeltas(spark, deltas)) === batch,
       "compaction must not move the trained table")
+
+    // the SAME (compacted) store serves both q169 release tables:
+    // scoring with them reproduces the batch rotation frame per doc
+    val (rt1, rt2) = CorpusStream.releaseRatiosFromDeltas(spark, deltas)
+    def served(rt: Map[Long, Long]) = ops.Mining
+      .applyRatio(ops.Mining.bigramBuckets(docs), rt)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_sum")).toMap
+    val (s1Served, s2Served) = (served(rt1), served(rt2))
+    ops.Mining.releaseDeltaScores(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(s1Served(id) === r.getAs[Long]("s1"),
+        s"doc $id: served v1 table must reproduce the batch rotation frame")
+      assert(s2Served(id) === r.getAs[Long]("s2"),
+        s"doc $id: served v2 table must reproduce the batch rotation frame")
+    }
   }
 
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
