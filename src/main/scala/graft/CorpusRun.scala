@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   5. curriculum plan manifest (q151) + per-epoch pack read order (q153)
   *   6. renormalized mixture schedule (q158's segment manifest) derived
   *      from the ACCEPTED store's per-source masses alone
+  *   7. targeted selection over the accepted store + the post-selection
+  *      temperature recipe (q164's scorer restricted to curated docs,
+  *      q167's rollup)
   *
   * Cross-stage invariants are CHECKED, not assumed — a failed invariant
   * exits nonzero like a failed dbt test:
@@ -29,6 +32,9 @@ import org.apache.spark.sql.functions._
   *   - every epoch schedules every wrap pack exactly once (5)
   *   - the renormalized schedule's slot mass equals the accepted count
   *     (6 vs 1 — the dense order covers exactly what curation shipped)
+  *   - selection candidates never exceed the accepted store, survivors
+  *     never exceed candidates, and the recipe's ppm shares sum to one
+  *     within rounding (7 vs 1)
   */
 object CorpusRun {
 
@@ -101,7 +107,27 @@ object CorpusRun {
     val s6 = Stage("schedule", nSegs, slotMass == nAccepted,
       s"$nSegs segments scheduling $slotMass slots (accepted=$nAccepted)")
 
-    Seq(s1, s2, s3, s4, s5, s6)
+    // 7. targeted selection OVER the accepted store + the post-selection
+    // temperature recipe (q164 scoring restricted to what curation
+    // shipped, q167's rollup) — the mixture a benchmark-targeted run
+    // would actually train on
+    val acceptedDocs = Catalog.table(spark, sfDir, "documents")
+      .join(spark.read.parquet(s"$storesRoot/accepted").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val recipe = Mining.selectedRecipeOf(
+        Mining.targetedScoresOf(Mining.bigramBuckets(acceptedDocs)))
+      .localCheckpoint()
+    recipe.coalesce(1).write.mode("overwrite").parquet(s"$outDir/selection_recipe")
+    val recAgg = recipe.agg(sum(col("n_sel")), sum(col("n_cand")),
+      sum(col("mix_sel_ppm"))).head()
+    val (nSel, nCand, ppmSum) = (recAgg.getLong(0), recAgg.getLong(1), recAgg.getLong(2))
+    val nSrc = recipe.count()
+    val s7 = Stage("selection", nSrc,
+      nSel <= nCand && nCand <= nAccepted && nSel > 0 &&
+        math.abs(ppmSum - 1000000L) <= nSrc,
+      s"$nSel of $nCand accepted candidates survive the cut; recipe ppm sum=$ppmSum")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7)
   }
 
   def main(args: Array[String]): Unit = {

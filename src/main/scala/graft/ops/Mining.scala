@@ -1911,8 +1911,14 @@ object Mining {
     * bounded ratio table (two hash aggregations + one bounded collect)
     * and applies it joinless in-row.
     */
-  private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame = {
-    val base = bigramBuckets(docs(s, dir)).localCheckpoint()
+  private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame =
+    targetedScoresOf(bigramBuckets(docs(s, dir)))
+
+  /** The trainer+apply over any pre-projected bucket frame — shared by
+    * the dir-reading entry point and CorpusRun's accepted-store stage.
+    */
+  private[graft] def targetedScoresOf(base0: DataFrame): DataFrame = {
+    val base = base0.localCheckpoint()
     // one pass trains both sides: countIf splits target/raw in the same
     // bounded hash aggregate (the featureCells shape)
     val counts = base.select(col("doc_id"), explode(col("bg")).as("f"))
@@ -1928,10 +1934,30 @@ object Mining {
 
   // ── q165: what the selection does to the mixture ──────────────────────
 
-  /** Importance thresholds for the q165 sweep — fixed integer cuts
-    * spanning the observed fixed-point score range.
+  /** Importance thresholds for the q165 sweep, as TENTHS of the global
+    * mean score — relative cuts, because the absolute fixed-point score
+    * level shrinks as the raw pool grows (add-one ratios are
+    * (tgt+1)·1e4/(raw+1) with a FIXED 50-doc target): any constant cut
+    * that discriminates at sf0.001 selects nothing at sf0.1. Cutting at
+    * r/10 of the global level is scale-free, and the exact arithmetic
+    * (g = Σss div Σn; cut = g·r div 10, all BIGINT) keeps the oracle
+    * bit-checkable. The r = 10 cut always keeps ≥ 1 doc: the max
+    * per-doc mean is ≥ the global mean.
     */
-  private val SelectionCuts = Seq(1200L, 1300L, 1400L)
+  private val SelectionCutTenths = Seq(9L, 10L, 11L)
+
+  private def passColName(t: Long): String = f"n_pass_r$t%02d"
+
+  /** The global score level g = Σ score_sum div Σ n_bigrams over a
+    * scored frame — 0 on an empty frame. Driver-side exact integer
+    * arithmetic on one bounded aggregate.
+    */
+  private[graft] def globalLevel(scored: DataFrame): Long = {
+    val r = scored.agg(
+      coalesce(sum("score_sum"), lit(0L)).cast("long"),
+      coalesce(sum("n_bigrams"), lit(0L)).cast("long")).head()
+    if (r.getLong(1) == 0L) 0L else r.getLong(0) / r.getLong(1)
+  }
 
   /** The SQL chain shared by q165/q167: tokens → hashed bigram buckets →
     * add-one ratio table → per-candidate scores. Ends with
@@ -1973,59 +1999,68 @@ object Mining {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
+  /** The global-level CTE over `sc` — the scale-free cut base shared by
+    * q165/q167/q168.
+    */
+  private def globCte: String =
+    """lvl AS (
+      |  SELECT CAST(SUM(ss) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS g FROM sc
+      |)""".stripMargin
+
   private def q165OracleSql: String = {
-    val passCols = SelectionCuts.map(c =>
-      s"CAST(SUM(CASE WHEN ss // n >= $c THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_$c").mkString(",\n       |  ")
-    s"""WITH $selectionScoredCtes
+    val passCols = SelectionCutTenths.map(t =>
+      s"CAST(SUM(CASE WHEN ss // n >= (g * $t) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS ${passColName(t)}")
+      .mkString(",\n       |  ")
+    s"""WITH $selectionScoredCtes, $globCte
        |SELECT source, COUNT(*) AS n_candidates,
        |  CAST(SUM(ss) AS BIGINT) AS score_sum,
        |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(ss) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS mean_fp,
        |  $passCols
-       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+       |FROM sc, lvl GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q165 — the question a targeted-selection user actually asks before
     * shipping: what does thresholding q164's scores DO to the source
     * mixture? Per source: candidate count, exact aggregate score mass,
-    * and survivor counts at each fixed cut — importance selection skews
-    * the mixture toward benchmark-like sources, and this table measures
-    * the skew exactly (all integer arithmetic) so it can be fed back
-    * into the q111 recipe. One rollup over the q164 frame.
+    * and survivor counts at each RELATIVE cut (9/10/11 tenths of the
+    * global score level — see [[SelectionCutTenths]] for why absolute
+    * cuts are scale-brittle) — importance selection skews the corpus
+    * toward benchmark-like sources, and this table measures the skew
+    * exactly (all integer arithmetic) so it can be fed back into the
+    * q111 recipe. One rollup over the q164 frame plus one bounded
+    * aggregate for the level.
     */
   val q165 = Q("q165_selection_mixture", q165OracleSql) { (s, dir) =>
+    val scored = targetedScores(s, dir).localCheckpoint()
+    val g = globalLevel(scored)
     val aggCols = Seq(
       sum(col("score_sum")).cast("long").as("score_sum"),
       sum(col("n_bigrams")).cast("long").as("n_bigrams")) ++
-      SelectionCuts.map(c =>
-        Det.countIf(col("score_mean_fp") >= c).as(s"n_pass_$c"))
-    targetedScores(s, dir)
+      SelectionCutTenths.map(t =>
+        Det.countIf(col("score_mean_fp") >= g * t / 10L).as(passColName(t)))
+    scored
       .groupBy("source")
       .agg(count(lit(1)).as("n_candidates"), aggCols: _*)
       // integer division on the aggregated longs — a double-division
       // cast could truncate differently from the oracle's exact `//`
       .withColumn("mean_fp", expr("score_sum div n_bigrams"))
       .select((Seq("source", "n_candidates", "score_sum", "n_bigrams", "mean_fp") ++
-        SelectionCuts.map(c => s"n_pass_$c")).map(col): _*)
+        SelectionCutTenths.map(passColName)).map(col): _*)
       .orderBy("source")
   }
 
   // ── q167: the post-selection temperature recipe ───────────────────────
 
-  /** The q167 cut — the middle of [[SelectionCuts]], so MiningSpec can
-    * pin q167's survivor counts against q165's n_pass column.
-    */
-  private val SelectionRecipeCut = 1300L
-
   private def q167OracleSql: String =
-    s"""WITH $selectionScoredCtes, cand AS (
+    s"""WITH $selectionScoredCtes, $globCte, cand AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cand,
        |    CAST(SUM(n + 1) AS BIGINT) AS cand_tokens
        |  FROM sc GROUP BY source
        |), sel AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
        |    CAST(SUM(n + 1) AS BIGINT) AS sel_tokens
-       |  FROM sc WHERE ss // n >= $SelectionRecipeCut GROUP BY source
+       |  FROM sc, lvl WHERE ss // n >= g GROUP BY source
        |), m AS (
        |  SELECT c.source, c.n_cand, c.cand_tokens,
        |    COALESCE(s2.n_sel, 0) AS n_sel, COALESCE(s2.sel_tokens, 0) AS sel_tokens
@@ -2055,9 +2090,12 @@ object Mining {
        |FROM w, tc ORDER BY source""".stripMargin
 
   /** q167 — the selection→recipe COMPOSITION the round-9 handoff named:
-    * after q164's importance cut decides WHICH candidates survive, the
-    * q111 temperature recipe decides how the survivors MIX — n^0.5
-    * reweighting over the post-selection token masses. Per source:
+    * after q164's importance cut decides WHICH candidates survive (at
+    * the scale-free global-mean level — see [[SelectionCutTenths]], the
+    * r = 10 point of q165's sweep, so the spec can pin n_sel against
+    * n_pass_r10), the q111 temperature recipe decides how the survivors
+    * MIX — n^0.5 reweighting over the post-selection token masses. Per
+    * source:
     * candidate vs survivor counts/token mass, the sqrt-temperature
     * mixture share of both corpora in exact ppm (floor(x·1e6 + 0.5) on
     * the q111-proven float tree: IEEE sqrt, one sequentially-folded
@@ -2071,13 +2109,25 @@ object Mining {
     * fold, see q164); everything downstream is broadcast-sized.
     */
   val q167 = Q("q167_selected_recipe", q167OracleSql) { (s, dir) =>
-    val m = targetedScores(s, dir)
+    selectedRecipeOf(targetedScores(s, dir))
+  }
+
+  /** q167's rollup over any scored frame (doc_id, source, n_bigrams,
+    * score_mean_fp) — shared with CorpusRun's accepted-store stage.
+    */
+  private[graft] def selectedRecipeOf(scored0: DataFrame): DataFrame = {
+    val scored = scored0.localCheckpoint()
+    // the scale-free survivor cut: the global mean score level (always
+    // keeps >= 1 doc — the max per-doc mean is >= the global mean, so
+    // the selected normalizer below never degenerates to zero)
+    val cut = globalLevel(scored)
+    val m = scored
       .select(col("source"), (col("n_bigrams") + 1L).as("toks"), col("score_mean_fp"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_cand"),
         sum(col("toks")).cast("long").as("cand_tokens"),
-        Det.countIf(col("score_mean_fp") >= SelectionRecipeCut).as("n_sel"),
-        sum(when(col("score_mean_fp") >= SelectionRecipeCut, col("toks"))
+        Det.countIf(col("score_mean_fp") >= cut).as("n_sel"),
+        sum(when(col("score_mean_fp") >= cut, col("toks"))
           .otherwise(0L)).cast("long").as("sel_tokens"))
       .withColumn("wc", sqrt(col("cand_tokens").cast("double")))
       .withColumn("ws", sqrt(col("sel_tokens").cast("double")))
@@ -2105,9 +2155,9 @@ object Mining {
   // ── q168: the loader chain over the selected corpus ───────────────────
 
   private def q168OracleSql: String =
-    s"""WITH $selectionScoredCtes, seltok AS (
+    s"""WITH $selectionScoredCtes, $globCte, seltok AS (
        |  SELECT source, doc_id, CAST(n + 1 AS BIGINT) AS toks
-       |  FROM sc WHERE ss // n >= $SelectionRecipeCut
+       |  FROM sc, lvl WHERE ss // n >= g
        |), ${TextOps.recipeCtesBody("seltok")}$loaderChainTailSql"""
       .stripMargin
 
@@ -2126,8 +2176,9 @@ object Mining {
     * total, in-row explodes.
     */
   val q168 = Q("q168_selected_loader_chain", q168OracleSql) { (s, dir) =>
-    loaderChainPacks(s, targetedScores(s, dir)
-      .filter(col("score_mean_fp") >= SelectionRecipeCut)
+    val scored = targetedScores(s, dir).localCheckpoint()
+    loaderChainPacks(s, scored
+      .filter(col("score_mean_fp") >= globalLevel(scored))
       .select(col("source"), col("doc_id"), (col("n_bigrams") + 1L).as("toks")))
   }
 
@@ -2161,6 +2212,10 @@ object Mining {
        |    CAST(SUM(CASE WHEN rt1 <> rt2 THEN 1 ELSE 0 END) AS BIGINT) AS touch
        |  FROM bg b JOIN ratio ON b.f = ratio.f
        |  WHERE b.doc_id >= 50 GROUP BY 1, 2
+       |), lvl AS (
+       |  SELECT CAST(SUM(s1) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS g1,
+       |    CAST(SUM(s2) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS g2
+       |  FROM sc
        |)
        |SELECT source,
        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
@@ -2168,13 +2223,13 @@ object Mining {
        |  CAST(SUM(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
        |  CAST(SUM(s1) AS BIGINT) AS score_v1,
        |  CAST(SUM(s2) AS BIGINT) AS score_v2,
-       |  CAST(SUM(CASE WHEN s1 // n >= $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v1,
-       |  CAST(SUM(CASE WHEN s2 // n >= $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v2,
-       |  CAST(SUM(CASE WHEN s2 // n >= $SelectionRecipeCut
-       |    AND s1 // n < $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
-       |  CAST(SUM(CASE WHEN s1 // n >= $SelectionRecipeCut
-       |    AND s2 // n < $SelectionRecipeCut THEN 1 ELSE 0 END) AS BIGINT) AS n_lost
-       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+       |  CAST(SUM(CASE WHEN s1 // n >= g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v1,
+       |  CAST(SUM(CASE WHEN s2 // n >= g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_v2,
+       |  CAST(SUM(CASE WHEN s2 // n >= g2
+       |    AND s1 // n < g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+       |  CAST(SUM(CASE WHEN s1 // n >= g1
+       |    AND s2 // n < g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost
+       |FROM sc, lvl GROUP BY source ORDER BY source""".stripMargin
 
   /** Per-candidate two-release score frame behind q169 — v1 scores by a
     * full fold, v2 scores INCREMENTALLY as s1 + a fold over the ratio
@@ -2217,25 +2272,32 @@ object Mining {
     * add-one ratio table retrains, and every candidate's score moves by
     * its fold over the bounded delta table alone. Per source: how many
     * candidates touch a changed bucket, how many scores actually move,
-    * both releases' exact score mass, and the selection-set churn at
-    * the q167 cut (pass counts, gained, lost). Scale shape: one
+    * both releases' exact score mass, and the selection-set churn
+    * between the two shipped selections — each release cut at ITS OWN
+    * global mean level (pass counts, gained, lost). Scale shape: one
     * bounded three-way count aggregate trains BOTH releases; the apply
     * stays joinless/map-side; rotation cost is delta-density, never a
     * second corpus scan.
     */
   val q169 = Q("q169_selection_release_delta", q169OracleSql) { (s, dir) =>
-    val cut = SelectionRecipeCut
-    releaseDeltaScores(s, dir)
+    val perDoc = releaseDeltaScores(s, dir).localCheckpoint()
+    // per-release scale-free cuts: each release selects at ITS OWN
+    // global mean level, so the churn table compares the two selections
+    // a production run would actually ship
+    val gr = perDoc.agg(
+      sum("s1").cast("long"), sum("s2").cast("long"), sum("n").cast("long")).head()
+    val (g1, g2) = (gr.getLong(0) / gr.getLong(2), gr.getLong(1) / gr.getLong(2))
+    perDoc
       .groupBy("source")
       .agg(count(lit(1)).as("n_candidates"),
         Det.countIf(col("touched")).as("n_touched"),
         Det.countIf(col("s1") =!= col("s2")).as("n_changed"),
         sum("s1").cast("long").as("score_v1"),
         sum("s2").cast("long").as("score_v2"),
-        Det.countIf(expr("s1 div n") >= cut).as("n_pass_v1"),
-        Det.countIf(expr("s2 div n") >= cut).as("n_pass_v2"),
-        Det.countIf(expr("s2 div n") >= cut && expr("s1 div n") < cut).as("n_gained"),
-        Det.countIf(expr("s1 div n") >= cut && expr("s2 div n") < cut).as("n_lost"))
+        Det.countIf(expr("s1 div n") >= g1).as("n_pass_v1"),
+        Det.countIf(expr("s2 div n") >= g2).as("n_pass_v2"),
+        Det.countIf(expr("s2 div n") >= g2 && expr("s1 div n") < g1).as("n_gained"),
+        Det.countIf(expr("s1 div n") >= g1 && expr("s2 div n") < g2).as("n_lost"))
       .orderBy("source")
   }
 

@@ -510,7 +510,7 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_candidates")).sum === perDoc,
       "per-source candidates must partition the scored set")
     rows.foreach { r =>
-      val passes = Seq("n_pass_1200", "n_pass_1300", "n_pass_1400")
+      val passes = Seq("n_pass_r09", "n_pass_r10", "n_pass_r11")
         .map(r.getAs[Long](_))
       assert(passes === passes.sorted.reverse,
         s"${r.getAs[String]("source")}: survivor counts must shrink as the cut rises")
@@ -518,9 +518,12 @@ class MiningSpec extends AnyFunSuite {
       assert(r.getAs[Long]("mean_fp") ===
         r.getAs[Long]("score_sum") / r.getAs[Long]("n_bigrams"))
     }
-    // the selection genuinely discriminates: some source loses docs at
-    // the top cut while another keeps some
-    val top = rows.map(_.getAs[Long]("n_pass_1400"))
+    // relative cuts keep the sweep discriminating AT EVERY SCALE: the
+    // global-mean cut always keeps at least one doc, and the top cut
+    // must drop docs somewhere
+    assert(rows.map(_.getAs[Long]("n_pass_r10")).sum > 0L,
+      "the global-mean cut can never select an empty corpus")
+    val top = rows.map(_.getAs[Long]("n_pass_r11"))
     assert(top.max > 0L && top.exists(t => t < rows.head.getAs[Long]("n_candidates")),
       "the cut sweep must actually separate the corpus")
   }
@@ -561,8 +564,8 @@ class MiningSpec extends AnyFunSuite {
       val src = r.getAs[String]("source")
       assert(r.getAs[Long]("n_cand") === m165(src).getAs[Long]("n_candidates"),
         s"$src: candidate base must be the q165 frame")
-      assert(r.getAs[Long]("n_sel") === m165(src).getAs[Long]("n_pass_1300"),
-        s"$src: survivors at the recipe cut must equal q165's n_pass_1300")
+      assert(r.getAs[Long]("n_sel") === m165(src).getAs[Long]("n_pass_r10"),
+        s"$src: survivors at the recipe cut must equal q165's n_pass_r10")
       assert(r.getAs[Long]("sel_tokens") <= r.getAs[Long]("cand_tokens"))
       assert(r.getAs[Long]("shift_ppm") ===
         r.getAs[Long]("mix_sel_ppm") - r.getAs[Long]("mix_cand_ppm"))
@@ -603,8 +606,9 @@ class MiningSpec extends AnyFunSuite {
       p.getAs[Long]("n_starting") + p.getAs[Long]("n_wrapped_in")))
     // the chain's input frame is exactly q167's accounting: per-source
     // survivor token mass == sel_tokens
-    val selTok = ops.Mining.targetedScores(spark, sf)
-      .filter(col("score_mean_fp") >= 1300L)
+    val scored = ops.Mining.targetedScores(spark, sf).localCheckpoint()
+    val selTok = scored
+      .filter(col("score_mean_fp") >= ops.Mining.globalLevel(scored))
       .select(col("source"), col("doc_id"), (col("n_bigrams") + 1L).as("toks"))
     val massBySrc = selTok.groupBy("source").agg(sum("toks").as("m")).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("m")).toMap
@@ -654,7 +658,7 @@ class MiningSpec extends AnyFunSuite {
       // v2 pass column matches q165's sweep at the shared cut
       val rows = ops.Mining.q169.fn(spark, sf).collect()
       val m165 = ops.Mining.q165.fn(spark, sf).collect()
-        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_pass_1300")).toMap
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_pass_r10")).toMap
       rows.foreach { r =>
         assert(r.getAs[Long]("n_changed") <= r.getAs[Long]("n_touched"))
         assert(r.getAs[Long]("n_touched") <= r.getAs[Long]("n_candidates"))

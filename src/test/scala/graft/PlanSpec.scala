@@ -151,6 +151,26 @@ class PlanSpec extends AnyFunSuite {
       s"scoring must fold in-row against the broadcast-free literal table:\n$p")
   }
 
+  test("q167: the post-selection recipe never shuffles a join — folds and one bounded broadcast only") {
+    val p = plan("q167_selected_recipe")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"scored rollup + |sources|-row recipe must not shuffle any join:\n$p")
+  }
+
+  test("q168: the selected loader chain stays distributed — no single-partition exchange, in-row explodes") {
+    val p = plan("q168_selected_loader_chain")
+    assert(!p.contains("SinglePartition"),
+      s"select -> recipe -> schedule -> packs must stay distributed:\n$p")
+    assert(p.contains("Generate"),
+      s"copy and pack materialization must be in-row explodes:\n$p")
+  }
+
+  test("q169: both release scores fold joinless against literal tables") {
+    val p = plan("q169_selection_release_delta")
+    assert(!p.contains("Join"),
+      s"rotation rescoring must stay a map-side fold:\n$p")
+  }
+
   test("q150: the global total-order rank never plans a single-partition sort") {
     val p = plan("q150_curriculum_order")
     assert(!p.contains("SinglePartition"),
