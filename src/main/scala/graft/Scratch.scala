@@ -561,6 +561,64 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "selprobe") {
+      // Selection-apply cost law (q164): the ratio table trains ONCE on a
+      // bounded sample and the APPLY pass sets the scan law. The joinless
+      // fold (ratio rides a literal map, each doc folds its in-row bucket
+      // array) touches every doc exactly once, map-side — no exchange at
+      // any multiple. The naive alternative explodes every bigram
+      // occurrence, broadcast-joins the ratio table and re-aggregates per
+      // doc. MEASURED law (sf0.1, 1x/8x/64x): both paths are linear with
+      // EQUAL slopes — Spark's map-side partial aggregation collapses the
+      // re-agg's shuffle to one row per doc (each doc's bigrams are
+      // partition-local post-explode), so the naive path is NOT
+      // asymptotically worse here. The fold is kept for its plan shape:
+      // scores stay in-row with source attached, so q165/q167's rollup
+      // needs exactly one exchange (on source) and q169's rotation
+      // rescore plans zero joins (PlanSpec-pinned) — versus the join
+      // path's doc_id exchange plus a second join to recover source.
+      // Candidate copies are id-shifted past the doc_id < 50 target set,
+      // so the target stays fixed while the raw pool multiplies — the
+      // 100 TB shape.
+      import graft.ops.Mining
+      import graft.queries.Det
+      import spark.implicits._
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val docsT = Catalog.table(spark, sfDir, "documents")
+      def bucketsAt(m: Int) = Mining.bigramBuckets(
+        (0 until m).map(k =>
+            docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+          .reduce(_.unionByName(_))).localCheckpoint()
+      val base1 = bucketsAt(1)
+      val counts = base1.select(col("doc_id"), explode(col("bg")).as("f"))
+        .groupBy("f")
+        .agg(Det.countIf(col("doc_id") < 50).as("t"),
+          Det.countIf(col("doc_id") >= 50).as("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ratio = Mining.ratioFromCounts(
+        counts.map(t => t._1 -> t._2).toMap,
+        counts.map(t => t._1 -> t._3).toMap)
+      val ratioDf = ratio.toSeq.toDF("f", "rt").localCheckpoint()
+      def joinless(b: org.apache.spark.sql.DataFrame): Long =
+        Mining.applyRatio(b, ratio).agg(sum("score_sum")).head().getLong(0)
+      def joined(b: org.apache.spark.sql.DataFrame): Long =
+        b.filter(col("doc_id") >= 50)
+          .select(col("doc_id"), explode(col("bg")).as("f"))
+          .join(ratioDf, "f")
+          .groupBy("doc_id").agg(sum("rt").as("ss"))
+          .agg(sum("ss")).head().getLong(0)
+      require(joinless(base1) == joined(base1),
+        "apply paths must produce the same score mass")
+      println("selprobe: apply paths agree at 1x")
+      // first pass doubles as JIT/codegen warmup; read the later rows
+      Seq(1, 1, mult).foreach { m =>
+        val b = if (m == 1) base1 else bucketsAt(m)
+        time(s"sel${m}x.joinless_fold") { joinless(b) }
+        time(s"sel${m}x.explode_join_reagg") { joined(b) }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
