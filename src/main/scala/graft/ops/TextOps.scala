@@ -621,6 +621,19 @@ object TextOps {
       |    ELSE CAST(s.sum_fp AS DOUBLE) / (s.n_bigrams * 1000000.0) END AS fluency_score
       |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    fluencyScored(s, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
+  /** The trainer+scorer shared by q101/q170: per-doc bigram-LM fluency in
+    * exact fixed point — (doc_id, source, n_bigrams, sum_fp), one row per
+    * document (bigram-less docs carry n_bigrams = 0, sum_fp = 0).
+    */
+  private[graft] def fluencyScored(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     // bg feeds THREE consumers (the bigram counts, the prefix counts, and
     // the per-doc scoring join) — materialize the one tokenization pass
@@ -643,12 +656,86 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr("(c12 * 1000000L) div c1")).cast("long").as("sum_fp"))
-    docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        when(col("n_bigrams").isNull, lit(0.0))
-          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
-          .as("fluency_score"))
+        coalesce(col("sum_fp"), lit(0L)).as("sum_fp"))
+  }
+
+  private def q170OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+      |    unnest(list_slice(t, 2, len(t))) AS w2
+      |  FROM tk WHERE len(t) >= 2
+      |), big AS (
+      |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+      |), uni AS (
+      |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+      |), sc AS (
+      |  SELECT bg.doc_id,
+      |    COUNT(*) AS n_bigrams,
+      |    CAST(SUM((big.c12 * 1000000) // uni.c1) AS BIGINT) AS sum_fp
+      |  FROM bg
+      |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |  JOIN uni ON bg.w1 = uni.w1
+      |  GROUP BY bg.doc_id
+      |), scored AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(CASE WHEN s.n_bigrams IS NULL THEN 0
+      |      ELSE s.sum_fp // s.n_bigrams END AS BIGINT) AS score_mean_fp
+      |  FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+      |), ranked AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score_mean_fp DESC, doc_id) AS BIGINT) AS src_rank,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      |  FROM scored
+      |)
+      |SELECT doc_id, source, n_bigrams, score_mean_fp, src_rank,
+      |  CASE ((src_rank - 1) * 3) // n_src WHEN 0 THEN 'head'
+      |    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  ((src_rank - 1) * 3) // n_src < 2 AS kept
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** q170 — CCNet-style per-source perplexity bucketing (Wenzek et al.
+    * 2020): rank every document within its source by the q101 bigram-LM
+    * fluency score (the KenLM-perplexity stand-in, already exact fixed
+    * point) and cut each source into equal thirds — head / middle / tail
+    * — keeping head+middle, which is exactly CCNet's per-language
+    * retention rule. Relative (rank-based) cuts rather than absolute
+    * score cuts for the same reason q165's levels are scale-free: the
+    * score distribution moves with the corpus, the tertile boundary
+    * moves with it. The per-source rank deliberately does NOT use
+    * `Window.partitionBy(source)` — with a handful of sources over
+    * 100 TB each source-group would become ONE sort task; it rides
+    * [[graft.exec.PrefixSum.runningTotalBy]] (buckets cut on the
+    * integral score axis, per-(source, bucket) totals broadcast back),
+    * so every task sorts one score-slice of one source. Bucket index =
+    * ((rank−1)·3) div n_src in exact BIGINT — no percentile float risk.
+    */
+  val q170 = Q("q170_fluency_buckets", q170OracleSql) { (s, dir) =>
+    val sc = fluencyScored(s, dir)
+      .withColumn("score_mean_fp",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("sum_fp div n_bigrams")))
+    val ranked = graft.exec.PrefixSum.runningTotalBy(
+      sc.withColumn("neg_score", -col("score_mean_fp"))
+        .withColumn("one", lit(1L)),
+      "source", Seq("neg_score", "doc_id"), "one", "src_rank")
+    // per-source doc counts: a bounded (|sources|-row) broadcast side
+    val counts = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .withColumn("b3", expr("((src_rank - 1) * 3) div n_src"))
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        col("score_mean_fp"), col("src_rank"),
+        when(col("b3") === 0, "head").when(col("b3") === 1, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("b3") < 2).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -1178,5 +1265,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160)
+      q121, q152, q160, q170)
 }

@@ -306,6 +306,40 @@ class OpsSpec extends AnyFunSuite {
       "a templated corpus cannot be uniformly surprising")
   }
 
+  test("q170: per-source fluency tertiles are balanced, rank-consistent, and keep head+middle") {
+    val rows = TextOps.q170.fn(spark, sf).collect()
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    assert(rows.length === nDocs, "one bucket verdict per document")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+      val n = g.length
+      // src_rank is a 1..n permutation ordered by (score desc, doc_id)
+      assert(g.map(_.getAs[Long]("src_rank")).sorted.toSeq === (1L to n).toSeq,
+        s"$src: ranks must be a permutation of 1..$n")
+      val byRank = g.sortBy(_.getAs[Long]("src_rank"))
+      byRank.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          val (a, b) = (w(0), w(1))
+          val (sa, sb) = (a.getAs[Long]("score_mean_fp"), b.getAs[Long]("score_mean_fp"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")),
+            s"$src: rank order must be (score desc, doc_id asc)")
+        }
+      }
+      // equal thirds: tertile sizes differ by at most one, in rank order
+      val sizes = Seq("head", "middle", "tail")
+        .map(lbl => g.count(_.getAs[String]("bucket") == lbl))
+      assert(sizes.sum === n)
+      assert(sizes.max - sizes.min <= 1,
+        s"$src: tertiles must be balanced, got $sizes")
+      val labelsByRank = byRank.map(_.getAs[String]("bucket")).distinct
+      assert(labelsByRank === labelsByRank.sortBy(Seq("head", "middle", "tail").indexOf(_)),
+        s"$src: bucket label must be monotone in rank")
+      // CCNet retention: head+middle kept, tail dropped
+      g.foreach(r => assert(
+        r.getAs[Boolean]("kept") === (r.getAs[String]("bucket") != "tail")))
+    }
+  }
+
   test("kmeans loop: separable clusters recovered from a bad init, then fixpoint") {
     // 3 well-separated axis clusters, 8 vectors each, 12-dim; initial
     // assignment deliberately wrong (round-robin)

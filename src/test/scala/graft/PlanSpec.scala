@@ -318,6 +318,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"no re-tokenization in the final plan:\n$p")
   }
 
+  test("q170: the per-source tertile rank runs bucket-partitioned — no per-source single task") {
+    val p = plan("q170_fluency_buckets")
+    assert(!p.contains("SinglePartition"),
+      s"fluency bucketing must never serialize a source through one task:\n$p")
+    assert(p.contains("_bucket"),
+      s"grouped rank must keep the score-axis bucket split:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast back:\n$p")
+  }
+
   test("q97: PQ codebook broadcasts; encoding has no cartesian or nested loop") {
     val p = plan("q97_pq_encode")
     assert(p.contains("BroadcastHashJoin"), s"the M x K codebook must broadcast:\n$p")
