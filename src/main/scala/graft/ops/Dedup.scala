@@ -1861,6 +1861,109 @@ object Dedup {
       .orderBy("pack_id")
   }
 
+  // ── q171: content-defined chunking dedup ──────────────────────────────
+
+  /** Expected chunk length in tokens: a cut lands after token i when the
+    * token's h60 is ≡ 0 (mod this), so boundaries move with CONTENT, not
+    * position — an insertion shifts at most its own chunk, unlike q48's
+    * fixed windows where one inserted token re-keys every window after it.
+    */
+  val CdcDivisor = 16L
+
+  private def q171OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id, source, t,
+       |    list_transform(t, s -> ${h60Sql("s")}) AS hh
+       |  FROM tk WHERE len(t) > 0
+       |), cu AS (
+       |  SELECT doc_id, source, t,
+       |    list_sort(list_distinct(list_concat(
+       |      list_filter(range(1, len(t) + 1), i -> hh[i] % $CdcDivisor = 0),
+       |      [len(t)]))) AS cuts
+       |  FROM hs
+       |), ch AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(cuts) + 1), j -> struct_pack(
+       |      fp := ${h60Sql("array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END):(cuts[j])], ' ')")},
+       |      ln := cuts[j] - (CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END) + 1))) AS c
+       |  FROM cu
+       |), ex AS (
+       |  SELECT source, c.fp AS fp, CAST(c.ln AS BIGINT) AS ln FROM ch
+       |), cnt AS (
+       |  SELECT fp, COUNT(*) AS n_inst FROM ex GROUP BY fp
+       |), nd AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM hs GROUP BY source
+       |)
+       |SELECT e.source, MAX(nd.n_docs) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(e.ln) AS BIGINT) AS sum_chunk_tokens,
+       |  CAST(SUM(CASE WHEN c.n_inst >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_instances,
+       |  CAST(SUM(CASE WHEN c.n_inst >= 2 THEN e.ln ELSE 0 END) * 10000
+       |    // SUM(e.ln) AS BIGINT) AS dup_token_share_bp
+       |FROM ex e JOIN cnt c ON e.fp = c.fp JOIN nd ON e.source = nd.source
+       |GROUP BY e.source ORDER BY e.source""".stripMargin
+
+  /** q171 — content-defined chunking (CDC) dedup, the FastCDC/rsync idea
+    * applied to corpus text: cut each document after every token whose
+    * hash is ≡ 0 mod [[CdcDivisor]] (expected chunk ≈ 16 tokens), so the
+    * chunking is a COMPLETE partition of the document with
+    * content-defined boundaries — an edit reshapes only the chunk it
+    * touches, where q48's fixed windows re-key everything downstream of
+    * an insertion and q96's winnowing SAMPLES fingerprints rather than
+    * partitioning. Each chunk's h60 fingerprint dedups across the whole
+    * corpus; the report is per-source duplicated-chunk instances and the
+    * duplicated-token share in exact basis points — the sub-document
+    * duplication mass that whole-doc fingerprints (q30) cannot see.
+    * Scale shape: chunking is in-row HOF work (no shuffle), then one
+    * hash aggregate on chunk_fp and one bounded per-source rollup —
+    * q48's two-shuffle law with a ~CdcDivisor× smaller fingerprint
+    * table than per-token indexes.
+    */
+  /** The CDC partition of every tokenized document: one row per chunk —
+    * (doc_id, source, fp, ln). In-row HOF work only, no shuffle.
+    */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
+    d.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("t"),
+        ShingleHashes.tokens(col("text")).as("hh"))
+      .filter(size(col("t")) > 0)
+      .withColumn("cuts", array_union(
+        filter(sequence(lit(1), size(col("t"))),
+          i => element_at(col("hh"), i) % CdcDivisor === 0),
+        array(size(col("t")))))
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(1), size(col("cuts"))), j => {
+          val st = when(j === 1, lit(1))
+            .otherwise(element_at(col("cuts"), j - 1) + 1)
+          val en = element_at(col("cuts"), j)
+          struct(
+            h60Col(array_join(slice(col("t"), st, en - st + 1), " ")).as("fp"),
+            (en - st + 1).cast("long").as("ln"))
+        })).as("c"))
+      .select(col("doc_id"), col("source"), col("c.fp").as("fp"), col("c.ln").as("ln"))
+  }
+
+  val q171 = Q("q171_cdc_chunks", q171OracleSql) { (s, dir) =>
+    val ex = cdcChunks(docs(s, dir)).localCheckpoint()
+    val cnt = ex.groupBy("fp").agg(count(lit(1)).as("n_inst"))
+    val nd = ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    ex.join(cnt, Seq("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("ln")).cast("long").as("sum_chunk_tokens"),
+        Det.countIf(col("n_inst") >= 2).as("n_dup_instances"),
+        sum(when(col("n_inst") >= 2, col("ln")).otherwise(0L)).cast("long").as("dup_ln"))
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chunks"), col("sum_chunk_tokens"),
+        col("n_dup_instances"),
+        expr("(dup_ln * 10000) div sum_chunk_tokens").as("dup_token_share_bp"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171)
 }

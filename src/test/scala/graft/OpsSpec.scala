@@ -340,6 +340,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q171: CDC chunks partition each doc exactly and dup shares stay in range") {
+    val rows = ops.Dedup.q171.fn(spark, sf).collect()
+    val tokTotals = Catalog.table(spark, sf, "documents")
+      .groupBy("source").agg(sum(TextOps.tokenCount(col("text"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // completeness: the chunks are a partition — token mass is conserved
+      assert(r.getAs[Long]("sum_chunk_tokens") === tokTotals(src),
+        s"$src: chunk tokens must equal corpus tokens")
+      assert(r.getAs[Long]("n_dup_instances") <= r.getAs[Long]("n_chunks"))
+      val bp = r.getAs[Long]("dup_token_share_bp")
+      assert(bp >= 0 && bp <= 10000, s"$src: share in basis points, got $bp")
+    }
+  }
+
+  test("CDC chunking: an insertion perturbs only the chunk it lands in") {
+    import spark.implicits._
+    val words = (1 to 400).map(i => s"tok${i * 7919 % 1000}")
+    val a = words.mkString(" ")
+    val b = (words.take(200) ++ Seq("inserted") ++ words.drop(200)).mkString(" ")
+    val d = Seq((0L, "s", a), (1L, "s", b)).toDF("doc_id", "source", "text")
+    val ch = ops.Dedup.cdcChunks(d).collect()
+    def multiset(id: Long) = ch.filter(_.getAs[Long]("doc_id") == id)
+      .groupBy(_.getAs[Long]("fp")).map { case (fp, g) => fp -> g.length }
+    val (ma, mb) = (multiset(0L), multiset(1L))
+    def minus(x: Map[Long, Int], y: Map[Long, Int]) =
+      x.map { case (fp, n) => math.max(0, n - y.getOrElse(fp, 0)) }.sum
+    // content-defined boundaries: the edit replaces exactly the chunk it
+    // lands in (possibly splitting it in two) — every other chunk's
+    // fingerprint survives. A fixed-window scheme would re-key every
+    // window downstream of the insertion.
+    assert(minus(ma.toMap, mb.toMap) <= 1, "at most the edited chunk vanishes from A")
+    assert(minus(mb.toMap, ma.toMap) <= 2, "at most the edited chunk (split once) appears in B")
+  }
+
   test("kmeans loop: separable clusters recovered from a bad init, then fixpoint") {
     // 3 well-separated axis clusters, 8 vectors each, 12-dim; initial
     // assignment deliberately wrong (round-robin)

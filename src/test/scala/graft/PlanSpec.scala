@@ -328,6 +328,15 @@ class PlanSpec extends AnyFunSuite {
       s"per-source counts must broadcast back:\n$p")
   }
 
+  test("q171: CDC chunking shuffles only the chunk table — never the corpus per window") {
+    val p = plan("q171_cdc_chunks")
+    assert(!p.contains("SinglePartition"),
+      s"chunk dedup must never serialize through one task:\n$p")
+    assert(p.contains("hashpartitioning(fp"),
+      s"the dup count must be one hash aggregate on chunk fp:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q97: PQ codebook broadcasts; encoding has no cartesian or nested loop") {
     val p = plan("q97_pq_encode")
     assert(p.contains("BroadcastHashJoin"), s"the M x K codebook must broadcast:\n$p")
