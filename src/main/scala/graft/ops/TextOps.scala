@@ -629,26 +629,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** The trainer+scorer shared by q101/q170: per-doc bigram-LM fluency in
-    * exact fixed point — (doc_id, source, n_bigrams, sum_fp), one row per
-    * document (bigram-less docs carry n_bigrams = 0, sum_fp = 0).
+  /** The exploded (doc_id, w1, w2) bigram-occurrence rows — the shared
+    * projection of the batch trainer and the streamed LM cell sink.
     */
-  private[graft] def fluencyScored(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    // bg feeds THREE consumers (the bigram counts, the prefix counts, and
-    // the per-doc scoring join) — materialize the one tokenization pass
-    // instead of re-exploding the corpus per consumer (the q56 lesson)
-    val bg = docs(s, dir)
-      .select(col("doc_id"), t.as("t"))
+  private[graft] def bigramRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(arrays_zip(
           slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
           slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint()
-    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+
+  /** Score a corpus against a bigram count table `big(w1, w2, c12)` —
+    * `None` trains the table from the corpus itself (batch q101/q170),
+    * `Some` scores against externally-served counts (the streamed LM cell
+    * store). The prefix counts are Σ c12 over w2 — every bigram row feeds
+    * both counts, so this equals counting bg rows per w1 and ONE table
+    * carries the whole LM. Then the q101 exact-fixed-point per-doc fold.
+    */
+  private[graft] def fluencyScoredFromCounts(d: DataFrame,
+      bigOpt: Option[DataFrame]): DataFrame = {
+    // bg feeds the scoring join (and, in the batch path, the count
+    // aggregate) — materialize the one tokenization pass instead of
+    // re-exploding the corpus per consumer (the q56 lesson)
+    val bg = bigramRows(d).localCheckpoint()
+    val big = bigOpt.getOrElse(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12")))
+    val uni = big.groupBy("w1").agg(sum(col("c12")).cast("long").as("c1"))
       .select(col("w1").as("u1"), col("c1"))
     val scored = bg
       .join(big, Seq("w1", "w2"))
@@ -656,12 +664,19 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr("(c12 * 1000000L) div c1")).cast("long").as("sum_fp"))
-    docs(s, dir).select(col("doc_id"), col("source"))
+    d.select(col("doc_id"), col("source"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_fp"), lit(0L)).as("sum_fp"))
   }
+
+  /** The trainer+scorer shared by q101/q170: per-doc bigram-LM fluency in
+    * exact fixed point — (doc_id, source, n_bigrams, sum_fp), one row per
+    * document (bigram-less docs carry n_bigrams = 0, sum_fp = 0).
+    */
+  private[graft] def fluencyScored(s: SparkSession, dir: String): DataFrame =
+    fluencyScoredFromCounts(docs(s, dir), None)
 
   private def q170OracleSql: String =
     """WITH tk AS (
@@ -719,7 +734,15 @@ object TextOps {
     * ((rank−1)·3) div n_src in exact BIGINT — no percentile float risk.
     */
   val q170 = Q("q170_fluency_buckets", q170OracleSql) { (s, dir) =>
-    val sc = fluencyScored(s, dir)
+    tertileBuckets(fluencyScored(s, dir))
+  }
+
+  /** The per-source tertile cut over any (doc_id, source, n_bigrams,
+    * sum_fp) scored frame — shared by batch q170 and the streamed-LM
+    * serving path.
+    */
+  private[graft] def tertileBuckets(scoredRaw: DataFrame): DataFrame = {
+    val sc = scoredRaw
       .withColumn("score_mean_fp",
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("sum_fp div n_bigrams")))

@@ -222,4 +222,53 @@ object CorpusStream {
           sum(col("tgt_n")).cast("long").as("tgt_n"),
           sum(col("raw_n")).cast("long").as("raw_n"))
     }
+
+  // ── bigram-LM count cells (q101/q170 serving) ───────────────────────
+
+  /** One micro-batch's bigram counts — add-mergeable SUM cells, Zipf-
+    * bounded by the batch's vocabulary². The prefix (unigram) counts are
+    * NOT stored: Σ c12 over w2 reconstructs them exactly, so one cell
+    * schema carries the whole KenLM-style count model.
+    */
+  def lmCells(batch: DataFrame): DataFrame =
+    TextOps.bigramRows(batch)
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+
+  def writeLmDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    lmCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** LM-cell maintenance sink — the q101 fluency trainer kept current as
+    * documents land, zero corpus rescans at serving time.
+    */
+  def lmCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("bigram_lm_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeLmDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The folded count table off the store alone — scoring any frame with
+    * it reproduces batch q101/q170 bit-for-bit over the union of landings
+    * (StreamingSpec-pinned).
+    */
+  def lmCountsFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
+
+  /** Per-doc fluency scores for `d` served off the streamed LM store. */
+  def fluencyFromDeltas(spark: SparkSession, deltaDir: String,
+      d: DataFrame): DataFrame =
+    TextOps.fluencyScoredFromCounts(d, Some(lmCountsFromDeltas(spark, deltaDir)))
+
+  /** LM-store retention: the fold algebra is the serving algebra. */
+  def compactLmDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
+    }
 }

@@ -1145,6 +1145,71 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram-LM cell stream: served fluency and tertile buckets equal batch q101/q170; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    import graft.ops.TextOps
+    val landing = tmpDir("graft-lm-landing")
+    val deltas = tmpDir("graft-lm-art") + "/deltas"
+    val checkpoint = tmpDir("graft-lm-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-lm-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.lmCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.lmCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.lmCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def servedMap() = CorpusStream.fluencyFromDeltas(spark, deltas, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_fp")))).toMap
+    val batch = TextOps.fluencyScored(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_fp")))).toMap
+    assert(servedMap() === batch,
+      "scores off the streamed-trained count table must equal batch q101 exactly")
+
+    // the downstream tertile cut is a pure function of the scored frame:
+    // served scores reproduce the whole q170 bucket table
+    val servedBuckets = TextOps.tertileBuckets(
+        CorpusStream.fluencyFromDeltas(spark, deltas, docs))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"),
+        r.getAs[Long]("src_rank"), r.getAs[Boolean]("kept"))).toSeq
+    val batchBuckets = TextOps.q170.fn(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"),
+        r.getAs[Long]("src_rank"), r.getAs[Boolean]("kept"))).toSeq
+    assert(servedBuckets === batchBuckets,
+      "tertile buckets off served scores must equal batch q170")
+
+    // replay: per-batchId overwrite keeps SUM cells idempotent
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cut1), deltas, 0L)
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cut1), deltas, 0L)
+    assert(servedMap() === batch,
+      "a replayed delta write must not move the count table")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactLmDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(servedMap() === batch,
+      "compaction must not move the count table")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
