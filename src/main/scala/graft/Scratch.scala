@@ -619,6 +619,40 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "cdcprobe") {
+      // CDC chunking cost law (q171): chunking is in-row HOF work, so the
+      // chunk scan must be linear in corpus size at any multiple; the
+      // dedup rollup adds one hash aggregate on chunk fp + the join back.
+      // Copies are id-shifted, so chunk fingerprints repeat ACROSS copies
+      // (doc text identical) — the distinct-fp table stays at its 1x size
+      // while instances multiply, which is exactly the storage-dedup
+      // compression the operator exists to measure.
+      import graft.ops.Dedup
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val docsT = Catalog.table(spark, sfDir, "documents")
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      def chunkMass(m: Int): Long =
+        Dedup.cdcChunks(docsAt(m)).agg(sum("ln")).head().getLong(0)
+      def dupMass(m: Int): Long = {
+        val ex = Dedup.cdcChunks(docsAt(m)).localCheckpoint()
+        val cnt = ex.groupBy("fp").agg(count(lit(1)).as("n_inst"))
+        ex.join(cnt, Seq("fp"))
+          .agg(sum(when(col("n_inst") >= 2, col("ln")).otherwise(0L)))
+          .head().getLong(0)
+      }
+      // first pass doubles as JIT/codegen warmup; read the later rows
+      Seq(1, 1, mult).foreach { m =>
+        time(s"cdc${m}x.chunk_scan") { chunkMass(m) }
+        time(s"cdc${m}x.dedup_rollup") { dupMass(m) }
+      }
+      val ex = Dedup.cdcChunks(docsAt(mult)).localCheckpoint()
+      println(s"cdc${mult}x: instances=${ex.count()} " +
+        s"distinct_fps=${ex.select("fp").distinct().count()}")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
