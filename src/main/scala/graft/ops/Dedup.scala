@@ -1945,23 +1945,43 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("c.fp").as("fp"), col("c.ln").as("ln"))
   }
 
-  val q171 = Q("q171_cdc_chunks", q171OracleSql) { (s, dir) =>
-    val ex = cdcChunks(docs(s, dir)).localCheckpoint()
-    val cnt = ex.groupBy("fp").agg(count(lit(1)).as("n_inst"))
-    val nd = ex.select("source", "doc_id").distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-    ex.join(cnt, Seq("fp"))
+  /** (fp, source) chunk cells off a chunk frame: instance count (SUM-
+    * mergeable across batches) and the chunk's token length (a constant
+    * attribute of the fp — MIN is the associative carrier). The streamed
+    * store's schema.
+    */
+  private[graft] def cdcCellsOf(chunks: DataFrame): DataFrame =
+    chunks.groupBy("fp", "source")
+      .agg(count(lit(1)).cast("long").as("n"), min(col("ln")).cast("long").as("ln"))
+
+  /** The q171 report off (fp, source, n, ln) cells + per-source doc
+    * counts — shared by batch q171 and the streamed chunk-cell serving
+    * path. Dup verdicts re-derive from the cells (global n_inst = Σ n
+    * over sources), so the report is exact off any fold of the cells.
+    */
+  private[graft] def cdcReportFromCells(cells: DataFrame, nd: DataFrame): DataFrame = {
+    val glob = cells.groupBy("fp").agg(sum(col("n")).cast("long").as("n_inst"))
+    cells.join(glob, Seq("fp"))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("ln")).cast("long").as("sum_chunk_tokens"),
-        Det.countIf(col("n_inst") >= 2).as("n_dup_instances"),
-        sum(when(col("n_inst") >= 2, col("ln")).otherwise(0L)).cast("long").as("dup_ln"))
+        sum(col("n")).cast("long").as("n_chunks"),
+        sum(col("n") * col("ln")).cast("long").as("sum_chunk_tokens"),
+        sum(when(col("n_inst") >= 2, col("n")).otherwise(0L)).cast("long")
+          .as("n_dup_instances"),
+        sum(when(col("n_inst") >= 2, col("n") * col("ln")).otherwise(0L)).cast("long")
+          .as("dup_ln"))
       .join(broadcast(nd), Seq("source"))
       .select(col("source"), col("n_docs"), col("n_chunks"), col("sum_chunk_tokens"),
         col("n_dup_instances"),
         expr("(dup_ln * 10000) div sum_chunk_tokens").as("dup_token_share_bp"))
       .orderBy("source")
+  }
+
+  val q171 = Q("q171_cdc_chunks", q171OracleSql) { (s, dir) =>
+    val ex = cdcChunks(docs(s, dir)).localCheckpoint()
+    val nd = ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    cdcReportFromCells(cdcCellsOf(ex), nd)
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,

@@ -271,4 +271,65 @@ object CorpusStream {
     StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
       cells.groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
     }
+
+  // ── CDC chunk cells (q171 serving) ──────────────────────────────────
+
+  /** One micro-batch's CDC chunk cells and per-source doc counts — the
+    * batch is chunked ONCE (checkpointed) and fans into both stores.
+    * Chunk cells (fp, source, n, ln) SUM-merge on n (ln is an fp
+    * attribute, MIN-carried); doc counts SUM-merge because every doc
+    * lands in exactly one batch. Both per-batchId OVERWRITE partitions.
+    */
+  def writeCdcDelta(batch: DataFrame, chunkDir: String, docDir: String,
+      batchId: Long): Unit = {
+    val ex = graft.ops.Dedup.cdcChunks(batch).localCheckpoint()
+    graft.ops.Dedup.cdcCellsOf(ex).coalesce(1)
+      .write.mode("overwrite").parquet(s"$chunkDir/batch_id=$batchId")
+    ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$docDir/batch_id=$batchId")
+    ()
+  }
+
+  /** Chunk-cell maintenance sink — sub-document duplication monitoring
+    * (q171) kept current as documents land, zero corpus rescans at
+    * serving time.
+    */
+  def cdcCellSink(stream: DataFrame, chunkDir: String, docDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("cdc_chunk_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCdcDelta(batch, chunkDir, docDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The q171 report off the folded stores alone — bit-equal to batch
+    * q171 over the union of landings (StreamingSpec-pinned).
+    */
+  def cdcReportFromDeltas(spark: SparkSession, chunkDir: String,
+      docDir: String): DataFrame = {
+    val cells = spark.read.parquet(chunkDir)
+      .groupBy("fp", "source")
+      .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln"))
+    val nd = spark.read.parquet(docDir)
+      .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs"))
+    graft.ops.Dedup.cdcReportFromCells(cells, nd)
+  }
+
+  /** CDC-store retention: the fold algebra is the serving algebra. */
+  def compactCdcDeltas(spark: SparkSession, chunkDir: String, docDir: String,
+      upto: Long): Unit = {
+    StoreCompaction.foldInto(spark, chunkDir, upto) { cells =>
+      cells.groupBy("fp", "source")
+        .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln"))
+    }
+    StoreCompaction.foldInto(spark, docDir, upto) { cells =>
+      cells.groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs"))
+    }
+  }
 }

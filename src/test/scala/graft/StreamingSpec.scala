@@ -1210,6 +1210,61 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the count table")
   }
 
+  test("CDC chunk-cell stream: the dup report off folded cells equals batch q171; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-cdc-landing")
+    val chunks = tmpDir("graft-cdc-art") + "/chunks"
+    val dcount = tmpDir("graft-cdc-art2") + "/docs"
+    val checkpoint = tmpDir("graft-cdc-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-cdc-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.cdcCellSink(CorpusStream.readDocStream(spark, landing),
+      chunks, dcount, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.cdcCellSink(CorpusStream.readDocStream(spark, landing),
+      chunks, dcount, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.cdcCellSink(CorpusStream.readDocStream(spark, landing),
+      chunks, dcount, checkpoint).awaitTermination()
+
+    def servedRows() = CorpusStream.cdcReportFromDeltas(spark, chunks, dcount)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("sum_chunk_tokens"),
+        r.getAs[Long]("n_dup_instances"), r.getAs[Long]("dup_token_share_bp"))).toSeq
+    val batch = ops.Dedup.q171.fn(spark, sf)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("sum_chunk_tokens"),
+        r.getAs[Long]("n_dup_instances"), r.getAs[Long]("dup_token_share_bp"))).toSeq
+    assert(servedRows() === batch,
+      "the dup report off the streamed chunk cells must equal batch q171 exactly")
+
+    // replay: per-batchId overwrite keeps both stores idempotent
+    CorpusStream.writeCdcDelta(docs.filter(col("doc_id") < cut1), chunks, dcount, 0L)
+    CorpusStream.writeCdcDelta(docs.filter(col("doc_id") < cut1), chunks, dcount, 0L)
+    assert(servedRows() === batch, "a replayed delta write must not move the report")
+
+    // retention: the fold algebra is the serving algebra, on both stores
+    CorpusStream.compactCdcDeltas(spark, chunks, dcount, upto = 1L)
+    Seq(chunks, dcount).foreach { d =>
+      assert(new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+        Seq("batch_id=-1", "batch_id=2"), s"$d must fold to base + live tail")
+    }
+    assert(servedRows() === batch, "compaction must not move the report")
+  }
+
   test("LSH band-index stream: streamed keep-earliest decisions equal batch q124; batch replay is a no-op") {
     import graft.streaming.LshStream
     val landing = tmpDir("graft-lsh-landing")
