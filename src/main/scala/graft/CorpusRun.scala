@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   7. targeted selection over the accepted store + the post-selection
   *      temperature recipe (q164's scorer restricted to curated docs,
   *      q167's rollup)
+  *   8. CCNet fluency retention over the accepted store (q170's
+  *      per-source tertile cut, LM trained on the curated corpus)
   *
   * Cross-stage invariants are CHECKED, not assumed — a failed invariant
   * exits nonzero like a failed dbt test:
@@ -35,6 +37,8 @@ import org.apache.spark.sql.functions._
   *   - selection candidates never exceed the accepted store, survivors
   *     never exceed candidates, and the recipe's ppm shares sum to one
   *     within rounding (7 vs 1)
+  *   - the fluency cut buckets every accepted doc exactly once, keeps a
+  *     majority, and tertiles stay balanced within one doc (8 vs 1)
   */
 object CorpusRun {
 
@@ -127,7 +131,23 @@ object CorpusRun {
         math.abs(ppmSum - 1000000L) <= nSrc,
       s"$nSel of $nCand accepted candidates survive the cut; recipe ppm sum=$ppmSum")
 
-    Seq(s1, s2, s3, s4, s5, s6, s7)
+    // 8. CCNet fluency retention OVER the accepted store: the q170
+    // per-source tertile cut trained on exactly what curation shipped —
+    // the quality-retention verdict a loader applies beside the mixture
+    val buckets = ops.TextOps.tertileBuckets(
+        ops.TextOps.fluencyScoredFromCounts(acceptedDocs, None))
+      .localCheckpoint()
+    buckets.coalesce(1).write.mode("overwrite").parquet(s"$outDir/fluency_buckets")
+    val nBucketed = buckets.count()
+    val nKept = buckets.filter(col("kept")).count()
+    val balanced = buckets.groupBy("source", "bucket").count()
+      .groupBy("source").agg((max(col("count")) - min(col("count"))).as("d"))
+      .collect().forall(_.getAs[Long]("d") <= 1L)
+    val s8 = Stage("fluency", nBucketed,
+      nBucketed == nAccepted && balanced && 2L * nKept >= nBucketed,
+      s"$nKept of $nBucketed accepted docs kept (head+middle); tertiles balanced")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8)
   }
 
   def main(args: Array[String]): Unit = {
