@@ -1984,6 +1984,83 @@ object Dedup {
     cdcReportFromCells(cdcCellsOf(ex), nd)
   }
 
+  // ── q172: dedup-signal agreement matrix ───────────────────────────────
+
+  private def q172OracleSql: String =
+    s"""WITH $lexStrongCtesSql, simtk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), simhs AS (
+       |  SELECT doc_id, list_transform(t, s -> ${h60Sql("s")}) AS hh
+       |  FROM simtk WHERE len(t) > 0
+       |), simsig AS (
+       |  SELECT doc_id,
+       |$simhashSumSql AS simhash
+       |  FROM simhs
+       |), simbands AS (
+       |${(0 until 4).map(k =>
+            s"  SELECT doc_id, simhash, $k AS band_idx, (simhash >> ${k * SimBandBits}) & ${(1 << SimBandBits) - 1} AS band_val FROM simsig")
+          .mkString("\n  UNION ALL\n")}
+       |), simnear AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM simbands a JOIN simbands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHammingMax
+       |), ${Similarity.semStrongCtesSql}, semnorm AS (
+       |  SELECT least(doc_id, doc_b) AS doc_id, greatest(doc_id, doc_b) AS doc_b FROM semstrong
+       |), u AS (
+       |  SELECT doc_id, doc_b, 1 AS m FROM strong
+       |  UNION ALL SELECT doc_id, doc_b, 2 AS m FROM simnear
+       |  UNION ALL SELECT doc_id, doc_b, 4 AS m FROM semnorm
+       |), masks AS (
+       |  SELECT doc_id, doc_b, CAST(SUM(m) AS BIGINT) AS mask FROM u GROUP BY 1, 2
+       |)
+       |SELECT mask,
+       |  concat_ws(',',
+       |    CASE WHEN mask & 1 = 1 THEN 'lex' END,
+       |    CASE WHEN mask & 2 = 2 THEN 'sim' END,
+       |    CASE WHEN mask & 4 = 4 THEN 'sem' END) AS methods,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM masks GROUP BY mask ORDER BY mask""".stripMargin
+
+  /** q172 — dedup-signal agreement matrix: the threshold-tuning question
+    * a curation team asks before trusting any one near-dup method —
+    * which pairs do MinHash-verified Jaccard (≥ 0.5), SimHash (Hamming ≤
+    * 8), and embedding cosine (≥ the SemDeDup threshold) each find, and
+    * where do they agree? Every method's verified pair set (each already
+    * bucket-blocked, never all-pairs) unions into one (a, b) frame with
+    * a method bit; the report is the 7-row mask histogram — mask 7 =
+    * found by all three, masks 1/2/4 = the pairs only one signal sees
+    * (lexical paraphrases SimHash misses, semantic pairs no lexical
+    * method can see, …). Scale shape: three candidate-bounded pair
+    * pipelines + one hash aggregate on (a, b) + a 7-row rollup; the
+    * output is method-count-bounded, never corpus-sized.
+    */
+  val q172 = Q("q172_dedup_signal_agreement", q172OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val lex = jaccardLshPairs(d, 0.5)
+      .select(col("doc_id"), col("doc_b")).withColumn("m", lit(1L))
+    val sim = simhashCandidates(simhash(d))
+      .filter(col("hamming") <= SimHammingMax)
+      .select(col("doc_id"), col("doc_b")).withColumn("m", lit(2L))
+    val sem = Similarity.semanticStrongPairs(s, dir)
+      .select(least(col("doc_id"), col("doc_b")).as("doc_id"),
+        greatest(col("doc_id"), col("doc_b")).as("doc_b"))
+      .withColumn("m", lit(4L))
+    lex.unionByName(sim).unionByName(sem)
+      .groupBy("doc_id", "doc_b").agg(sum(col("m")).cast("long").as("mask"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("mask"),
+        concat_ws(",",
+          when(col("mask").bitwiseAND(1) === 1, "lex"),
+          when(col("mask").bitwiseAND(2) === 2, "sim"),
+          when(col("mask").bitwiseAND(4) === 4, "sem")).as("methods"),
+        col("n_pairs"))
+      .orderBy("mask")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
+    q172)
 }

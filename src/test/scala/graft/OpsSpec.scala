@@ -377,6 +377,29 @@ class OpsSpec extends AnyFunSuite {
     assert(minus(mb.toMap, ma.toMap) <= 2, "at most the edited chunk (split once) appears in B")
   }
 
+  test("q172: the agreement matrix reconciles exactly with each method's own pair count") {
+    val rows = ops.Dedup.q172.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("mask"), r.getAs[String]("methods"),
+        r.getAs[Long]("n_pairs")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (mask, methods, n) =>
+      assert(mask >= 1 && mask <= 7, s"mask $mask out of range")
+      assert(n > 0, "empty masks must not appear")
+      val expected = Seq(1L -> "lex", 2L -> "sim", 4L -> "sem")
+        .collect { case (bit, lbl) if (mask & bit) == bit => lbl }.mkString(",")
+      assert(methods === expected, s"mask $mask labeled $methods")
+    }
+    def methodTotal(bit: Long) = rows.collect { case (m, _, n) if (m & bit) == bit => n }.sum
+    val d = Catalog.table(spark, sf, "documents")
+    assert(methodTotal(1L) === ops.Dedup.jaccardLshPairs(d, 0.5).count(),
+      "lex bit mass must equal the verified-Jaccard pair count")
+    assert(methodTotal(2L) === ops.Dedup.simhashCandidates(ops.Dedup.simhash(d))
+      .filter(col("hamming") <= ops.Dedup.SimHammingMax).count(),
+      "sim bit mass must equal the SimHash near-dup pair count")
+    assert(methodTotal(4L) === ops.Similarity.semanticStrongPairs(spark, sf).count(),
+      "sem bit mass must equal the semantic strong-pair count")
+  }
+
   test("kmeans loop: separable clusters recovered from a bad init, then fixpoint") {
     // 3 well-separated axis clusters, 8 vectors each, 12-dim; initial
     // assignment deliberately wrong (round-robin)
