@@ -619,6 +619,29 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "lmprobe") {
+      // Bigram-LM scoring cost law (q101/q170): the one shuffle-heavy op
+      // of the fluency family is the score join — the exploded bigram
+      // occurrences against the (w1,w2) count table, with classic Zipf
+      // heavy hitters on frequent bigrams. Copies are id-shifted so the
+      // text (and therefore the count table and its skew) is IDENTICAL
+      // per copy while occurrences multiply — the join must stay linear
+      // if AQE's skew handling and hash partial aggregation do their job.
+      import graft.ops.TextOps
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val docsT = Catalog.table(spark, sfDir, "documents")
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      def scoreMass(m: Int): Long =
+        TextOps.fluencyScoredFromCounts(docsAt(m), None)
+          .agg(sum("sum_fp")).head().getLong(0)
+      Seq(1, 1, mult).foreach { m =>
+        time(s"lm${m}x.train_and_score") { scoreMass(m) }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "cdcprobe") {
       // CDC chunking cost law (q171): chunking is in-row HOF work, so the
       // chunk scan must be linear in corpus size at any multiple; the
