@@ -737,6 +737,95 @@ object TextOps {
     tertileBuckets(fluencyScored(s, dir))
   }
 
+  /** Oracle fragment for q173: one model's score→rank→bucket chain with
+    * CTE names suffixed `$v`. `modelFrom` is the bigram-count source
+    * relation body (the model the docs are scored AGAINST); prefix
+    * counts derive as Σ c12 like the Spark tree. Ends in
+    * `ranked$v(doc_id, source, b3)`.
+    */
+  private def fluencyChainSql(v: String, modelWhere: String): String =
+    s"""big$v AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg $modelWhere GROUP BY 1, 2
+       |), uni$v AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big$v GROUP BY 1
+       |), sc$v AS (
+       |  SELECT bg.doc_id,
+       |    COUNT(*) AS n_bigrams,
+       |    CAST(SUM((big$v.c12 * 1000000) // uni$v.c1) AS BIGINT) AS sum_fp
+       |  FROM bg
+       |  JOIN big$v ON bg.w1 = big$v.w1 AND bg.w2 = big$v.w2
+       |  JOIN uni$v ON bg.w1 = uni$v.w1
+       |  GROUP BY bg.doc_id
+       |), scored$v AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(CASE WHEN s.n_bigrams IS NULL THEN 0
+       |      ELSE s.sum_fp // s.n_bigrams END AS BIGINT) AS score_mean_fp
+       |  FROM documents d LEFT JOIN sc$v s ON d.doc_id = s.doc_id
+       |), ranked$v AS (
+       |  SELECT doc_id, source,
+       |    ((CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY score_mean_fp DESC, doc_id) AS BIGINT) - 1) * 3)
+       |      // CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS b3
+       |  FROM scored$v
+       |)""".stripMargin
+
+  private def q173OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+       |    unnest(list_slice(t, 2, len(t))) AS w2
+       |  FROM tk WHERE len(t) >= 2
+       |), ${fluencyChainSql("1",
+              "WHERE bg.doc_id < (SELECT MAX(doc_id) // 2 FROM documents)")},
+       |${fluencyChainSql("2", "")}
+       |SELECT r1.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN r1.b3 <> r2.b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bucket_changed,
+       |  CAST(SUM(CASE WHEN r1.b3 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_v1,
+       |  CAST(SUM(CASE WHEN r2.b3 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_v2,
+       |  CAST(SUM(CASE WHEN r1.b3 = 2 AND r2.b3 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+       |  CAST(SUM(CASE WHEN r1.b3 < 2 AND r2.b3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost
+       |FROM ranked1 r1 JOIN ranked2 r2 ON r1.doc_id = r2.doc_id
+       |GROUP BY r1.source ORDER BY r1.source""".stripMargin
+
+  /** q173 — fluency-bucket churn under an LM release rotation: retrain
+    * the q101 count model on the corpus's FIRST HALF (doc_id < max/2 —
+    * the earlier-snapshot model, a scale-free boundary) vs the full
+    * corpus, tertile-bucket every document under BOTH models, and report
+    * per source how many verdicts moved — the filter-stability question
+    * a curation team asks before swapping in a retrained quality model
+    * (verdict churn means shipped data changes without any document
+    * changing). Bigrams unseen by the v1 model drop out of that model's
+    * scoring join (score over known bigrams — the defined KenLM-style
+    * OOV behavior here), which is exactly why churn is worth measuring.
+    * Spec reconciles Δkept = gained − lost per source. One bg
+    * materialization feeds both model chains; everything downstream is
+    * the q170 machinery twice plus one doc-keyed join.
+    */
+  val q173 = Q("q173_fluency_release_churn", q173OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val v1Model = bigramRows(d.filter(col("doc_id") < cut))
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
+    val v1 = tertileBuckets(fluencyScoredFromCounts(d, Some(v1Model)))
+      .select(col("doc_id"), col("source"),
+        col("bucket").as("bucket_v1"), col("kept").as("kept_v1"))
+    val v2 = tertileBuckets(fluencyScored(s, dir))
+      .select(col("doc_id"), col("bucket").as("bucket_v2"), col("kept").as("kept_v2"))
+    v1.join(v2, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Det.countIf(col("bucket_v1") =!= col("bucket_v2")).as("n_bucket_changed"),
+        Det.countIf(col("kept_v1")).as("n_kept_v1"),
+        Det.countIf(col("kept_v2")).as("n_kept_v2"),
+        Det.countIf(!col("kept_v1") && col("kept_v2")).as("n_gained"),
+        Det.countIf(col("kept_v1") && !col("kept_v2")).as("n_lost"))
+      .orderBy("source")
+  }
+
   /** The per-source tertile cut over any (doc_id, source, n_bigrams,
     * sum_fp) scored frame — shared by batch q170 and the streamed-LM
     * serving path.
@@ -1288,5 +1377,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170)
+      q121, q152, q160, q170, q173)
 }

@@ -255,16 +255,25 @@ object CorpusStream {
 
   /** The folded count table off the store alone — scoring any frame with
     * it reproduces batch q101/q170 bit-for-bit over the union of landings
-    * (StreamingSpec-pinned).
+    * (StreamingSpec-pinned). `upto` pins a MODEL RELEASE: only batches
+    * ≤ upto fold in, so one store serves every historical model (q173's
+    * rotation without a second training pass). Release pins require the
+    * release boundary to stay ahead of compaction — `compactLmDeltas`
+    * folds batches into the base partition (batch_id = −1, which always
+    * qualifies), so compact only past the oldest release still served.
     */
-  def lmCountsFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
+  def lmCountsFromDeltas(spark: SparkSession, deltaDir: String,
+      upto: Long = Long.MaxValue): DataFrame =
     spark.read.parquet(deltaDir)
+      .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
       .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
 
-  /** Per-doc fluency scores for `d` served off the streamed LM store. */
+  /** Per-doc fluency scores for `d` served off the streamed LM store —
+    * `upto` scores against a pinned model release.
+    */
   def fluencyFromDeltas(spark: SparkSession, deltaDir: String,
-      d: DataFrame): DataFrame =
-    TextOps.fluencyScoredFromCounts(d, Some(lmCountsFromDeltas(spark, deltaDir)))
+      d: DataFrame, upto: Long = Long.MaxValue): DataFrame =
+    TextOps.fluencyScoredFromCounts(d, Some(lmCountsFromDeltas(spark, deltaDir, upto)))
 
   /** LM-store retention: the fold algebra is the serving algebra. */
   def compactLmDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =

@@ -400,6 +400,28 @@ class OpsSpec extends AnyFunSuite {
       "sem bit mass must equal the semantic strong-pair count")
   }
 
+  test("q173: release churn is boundary exchange — kept mass is rank-structural, movement is real") {
+    val rows = ops.TextOps.q173.fn(spark, sf).collect()
+    val nDocs = Catalog.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs, "every doc judged under both models")
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // tertile sizes are a pure function of n_src, so the kept COUNT
+      // cannot move between models — only WHICH docs fill it can
+      assert(r.getAs[Long]("n_kept_v1") === r.getAs[Long]("n_kept_v2"),
+        s"$src: kept mass is rank-structural")
+      assert(r.getAs[Long]("n_gained") === r.getAs[Long]("n_lost"),
+        s"$src: boundary churn must exchange one-for-one")
+      assert(r.getAs[Long]("n_gained") <= r.getAs[Long]("n_bucket_changed"),
+        s"$src: a gained doc changed bucket by definition")
+      assert(r.getAs[Long]("n_bucket_changed") <= r.getAs[Long]("n_docs"))
+    }
+    // the half-corpus model must genuinely disagree somewhere — if not,
+    // the rotation question itself would be vacuous on this corpus
+    assert(rows.map(_.getAs[Long]("n_bucket_changed")).sum > 0,
+      "retraining the LM must move at least one verdict")
+  }
+
   test("kmeans loop: separable clusters recovered from a bad init, then fixpoint") {
     // 3 well-separated axis clusters, 8 vectors each, 12-dim; initial
     // assignment deliberately wrong (round-robin)

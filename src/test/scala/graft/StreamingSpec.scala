@@ -1195,6 +1195,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedBuckets === batchBuckets,
       "tertile buckets off served scores must equal batch q170")
 
+    // release pinning: batches <= 1 are the docs below cut2, so the
+    // pinned table must score exactly like a batch model trained on them
+    val pinned = CorpusStream.fluencyFromDeltas(spark, deltas, docs,
+        upto = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_fp")))).toMap
+    val v1Batch = TextOps.fluencyScoredFromCounts(docs,
+        Some(TextOps.bigramRows(docs.filter(col("doc_id") < cut2))
+          .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_fp")))).toMap
+    assert(pinned === v1Batch,
+      "a release-pinned table must equal the batch model trained on those landings")
+
     // replay: per-batchId overwrite keeps SUM cells idempotent
     CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cut1), deltas, 0L)
     CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cut1), deltas, 0L)
