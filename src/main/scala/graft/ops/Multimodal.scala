@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Catalog
-import graft.queries.Q
+import graft.queries.{Det, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -687,5 +687,193 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q37, q154, q155)
+  /** 9×8 grayscale BMP (24-bit BI_RGB, top-down via negative height) for
+    * the perceptual-hash dedup fixture: docs `4k..4k+3` share one base
+    * image (row r's nine pixels = first nine md5 bytes of `"<k>_<r>"`,
+    * masked to 0..127), and each variant `v = doc_id % 4` brightens ONE
+    * pixel (row `v % 3`, col `doc_id % 9`) by `41·v` — a genuine
+    * near-duplicate family: the dHash of any two variants differs in at
+    * most 4 bits, all inside rows 0–2, while unrelated images sit ~30
+    * bits apart. The payload is a real file a real decoder must parse.
+    */
+  private[graft] def synthBmpGrid(id: Long, groupOf: Int = 4): Array[Byte] = {
+    val group = id / groupOf
+    val variant = (id % groupOf).toInt
+    val prow = variant % 3
+    val pcol = (id % 9).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = 9; val h = 8
+    val stride = ((w * 3 + 3) / 4) * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(-h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val d = md.digest(s"${group}_$r".getBytes("UTF-8"))
+      var c = 0
+      while (c < w) {
+        val v = (d(c) & 0xff) % 128 + (if (r == prow && c == pcol) 41 * variant else 0)
+        buf.put(v.toByte).put(v.toByte).put(v.toByte)
+        c += 1
+      }
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Real-parse a BI_RGB BMP into its blue-channel pixel grid, row-major
+    * in IMAGE order (top-down) — the pixel-level sibling of
+    * [[BmpCodec.decode]] with the identical header validation; positive
+    * heights (bottom-up files) are flipped into image order.
+    */
+  private[graft] def parseBmpGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte, "not a BMP")
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val pixelOff = i32(10)
+    val hdrSize = i32(14)
+    val width = i32(18)
+    val rawHeight = i32(22)
+    val height = math.abs(rawHeight)
+    val bpp = i16(28)
+    require(hdrSize >= 40, s"unsupported DIB header size $hdrSize")
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    require(bpp == 24 || bpp == 32, s"unsupported bpp $bpp")
+    require(i32(30) == 0, "unsupported compression")
+    val bytesPerPx = bpp / 8
+    val rowStride = ((width * bytesPerPx + 3) / 4) * 4
+    require(b.length >= pixelOff + rowStride.toLong * height, "truncated pixel array")
+    val g = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val imgRow = if (rawHeight < 0) y else height - 1 - y
+      val row = pixelOff + y * rowStride
+      var x = 0
+      while (x < width) {
+        g(imgRow * width + x) = b(row + x * bytesPerPx) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, g)
+  }
+
+  /** 60-bit dHash over a gray grid: bit `r·(w−1)+c` is set iff pixel
+    * (r, c+1) is brighter than (r, c) — the classic
+    * difference-hash gradient signature, truncated to the repo's 60-bit
+    * signature convention (keeps every band arithmetic positive-BIGINT
+    * in both engines).
+    */
+  private[graft] def dhash60(w: Int, h: Int, g: Array[Int]): Long = {
+    var sig = 0L
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w - 1) {
+        val bit = r * (w - 1) + c
+        if (bit < 60 && g(r * w + c + 1) > g(r * w + c)) sig |= 1L << bit
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  private val PhashHammingMax = 6
+  private val PhashBandBits = 15
+
+  private def q174OracleSql: String = {
+    val bandSelects = (0 until 4).map { k =>
+      s"  SELECT doc_id, phash, $k AS band_idx, (phash >> ${k * PhashBandBits}) & ${(1 << PhashBandBits) - 1} AS band_val FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH px AS (
+       |  SELECT doc_id, g.r AS r,
+       |    list_transform(generate_series(0, 8), c ->
+       |      CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(g.r AS VARCHAR)), 2*c + 1, 2) AS INT) % 128
+       |      + CASE WHEN g.r = (doc_id % 4) % 3 AND c = doc_id % 9 THEN CAST(41 * (doc_id % 4) AS INT) ELSE 0 END) AS v
+       |  FROM documents, generate_series(0, 7) AS g(r)
+       |), hb AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 7), c ->
+       |    CASE WHEN r*8 + c < 60 AND v[c+2] > v[c+1] THEN CAST(1 AS BIGINT) << CAST(r*8 + c AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS rowbits
+       |  FROM px
+       |), sigs AS (
+       |  SELECT doc_id, CAST(SUM(rowbits) AS BIGINT) AS phash FROM hb GROUP BY doc_id
+       |), bands AS (
+       |$bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, a.phash AS ph_a, b.doc_id AS doc_b, b.phash AS ph_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id <> b.doc_id
+       |), near AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN bit_count(xor(ph_a, ph_b)) <= $PhashHammingMax THEN 1 ELSE 0 END) AS n_near_dups,
+       |    MIN(bit_count(xor(ph_a, ph_b))) AS min_hamming,
+       |    SUM(CASE WHEN bit_count(xor(ph_a, ph_b)) <= $PhashHammingMax AND doc_b < doc_id THEN 1 ELSE 0 END) AS n_earlier
+       |  FROM pairs GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.phash,
+       |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(n.min_hamming AS INTEGER) AS min_hamming,
+       |  COALESCE(n.n_earlier, 0) = 0 AS keep
+       |FROM sigs s LEFT JOIN near n ON s.doc_id = n.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** q174 — perceptual-hash IMAGE dedup, end to end through a real
+    * decoder: per-doc synthetic BMPs with PLANTED near-duplicate families
+    * (see [[synthBmpGrid]]) are parsed by the actual BMP pixel parser,
+    * dHash'd ([[dhash60]]), banded 4×15 bits (the q32 SimHash machinery
+    * applied to image gradients), and Hamming ≤ 6 within a band bucket is
+    * a near-duplicate; `keep` is the keep-first dedup verdict (no
+    * near-dup with a smaller doc_id). The oracle recomputes pixels, hash,
+    * banding, and verdicts from the same md5 arithmetic — exact-integer
+    * end to end. At 100 TB this is one shuffle on (band_idx, band_val)
+    * with ~1-row buckets at 15-bit bands; candidates, never all pairs.
+    */
+  val q174 = Q("q174_image_phash_dedup", q174OracleSql) { (s, dir) =>
+    import s.implicits._
+    val sigs = Catalog.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, g) = parseBmpGray(synthBmpGrid(id))
+        (id, dhash60(w, h, g))
+      })
+      .toDF("doc_id", "phash")
+    val mask = (1L << PhashBandBits) - 1
+    val bands = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_idx"),
+          shiftright(col("phash"), k * PhashBandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
+    val other = bands.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
+      col("band_idx").as("bi"), col("band_val").as("bv"))
+    val near = bands
+      .join(other, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id"), col("doc_b"),
+        bit_count(col("phash").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        Det.countIf(col("hamming") <= PhashHammingMax).as("n_near_dups"),
+        min(col("hamming")).as("min_hamming"),
+        Det.countIf(col("hamming") <= PhashHammingMax && col("doc_b") < col("doc_id"))
+          .as("n_earlier"))
+    sigs.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("min_hamming"),
+        (coalesce(col("n_earlier"), lit(0L)) === 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q37, q154, q155, q174)
 }

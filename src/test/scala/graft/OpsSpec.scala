@@ -586,6 +586,48 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeStub(Multimodal.Asset(4L, "text/plain", "hello".getBytes("UTF-8"))).checksum)
   }
 
+  test("q174: dHash through the real BMP parse finds exactly the planted image families") {
+    // the grid parse + dHash round-trips the synthesizer: recompute the
+    // expected hash straight from the md5 bytes, no BMP in the middle
+    def expected(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val g = Array.tabulate(8, 9) { (r, c) =>
+        val d = md.digest(s"${id / 4}_$r".getBytes("UTF-8"))
+        (d(c) & 0xff) % 128 +
+          (if (r == (id % 4) % 3 && c == (id % 9).toInt) 41 * (id % 4).toInt else 0)
+      }
+      var sig = 0L
+      for (r <- 0 until 8; c <- 0 until 7 + 1; if r * 8 + c < 60)
+        if (g(r)(c + 1) > g(r)(c)) sig |= 1L << (r * 8 + c)
+      sig
+    }
+    (0L until 16L).foreach { id =>
+      val (w, h, g) = Multimodal.parseBmpGray(Multimodal.synthBmpGrid(id))
+      assert((w, h) === ((9, 8)))
+      assert(Multimodal.dhash60(w, h, g) === expected(id), s"doc $id")
+    }
+    val out = Multimodal.q174.fn(spark, sf).collect()
+    val nDocs = out.length
+    val phash = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted families: any two variants of a group differ in ≤4 bits,
+    // all inside rows 0–2 (bits < 24), so bands 2–3 are identical and the
+    // banding join can NEVER miss a within-group pair
+    for (g <- 0L until (nDocs / 4L); a <- 0 until 4; b <- (a + 1) until 4) {
+      val x = phash(g * 4 + a) ^ phash(g * 4 + b)
+      assert(java.lang.Long.bitCount(x) <= 4, s"group $g variants $a,$b")
+      assert((x >>> 24) === 0L, s"group $g perturbation leaked past row 2")
+    }
+    // every doc in a complete group sees its 3 siblings as near-dups and
+    // exactly one keeper survives per group
+    out.filter(_.getLong(0) < (nDocs / 4) * 4).foreach { r =>
+      assert(r.getLong(3) >= 3, s"doc ${r.getLong(0)} near-dups")
+      assert(r.getInt(4) <= 4, s"doc ${r.getLong(0)} min_hamming")
+    }
+    val keepers = out.filter(_.getBoolean(5)).map(_.getLong(0))
+    assert(keepers.length === (nDocs + 3) / 4)
+    assert(keepers.forall(_ % 4 == 0), "keep-first: the variant-0 doc is the group representative")
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
