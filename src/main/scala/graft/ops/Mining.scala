@@ -2301,7 +2301,112 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q175: multiplicative-weights domain reweighting (DoReMi-shaped) ───
+
+  /** MW learning rate and round count — small enough that the unrolled
+    * oracle stays readable, large enough that weights visibly separate.
+    */
+  private val MwEta = 0.5
+  private val MwRounds = 4
+
+  private def q175OracleSql: String = {
+    val M = "CAST(1000000.0 AS DOUBLE)"
+    val eta = s"CAST($MwEta AS DOUBLE)"
+    val rounds = (1 to MwRounds).map { t =>
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      val carried = (1 until t).map(i => s"w$i").mkString("", ", ", if (t > 1) "," else "")
+      s"""u$t AS (
+         |  SELECT *, $prev * (CAST(1.0 AS DOUBLE) + $eta * ex) AS wp FROM r${t - 1}
+         |), z$t AS (
+         |  SELECT list_reduce(list_transform(list_sort(list(struct_pack(source := source, wr := wp))),
+         |    x -> x.wr), (a, b) -> a + b) AS z FROM u$t
+         |), r$t AS (
+         |  SELECT source, n_docs, loss_sum, ex, $carried wp / z AS w$t FROM u$t, z$t
+         |)"""
+    }.mkString(",\n")
+    val ppmCols = (1 to MwRounds)
+      .map(t => s"  CAST(FLOOR(w$t * $M) AS BIGINT) AS w${t}_ppm,").mkString("\n")
+    s"""WITH d AS (
+       |  SELECT source, (10000 * n_chars) // len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cpt
+       |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+       |), st AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(cpt) AS BIGINT) AS loss_sum
+       |  FROM d GROUP BY source
+       |), base AS (
+       |  SELECT source, n_docs, loss_sum,
+       |    CAST(loss_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS loss
+       |  FROM st
+       |), mm AS (
+       |  SELECT MIN(loss) AS mn, MAX(loss) AS mx, CAST(COUNT(*) AS BIGINT) AS k FROM base
+       |), r0 AS (
+       |  SELECT source, n_docs, loss_sum,
+       |    CASE WHEN mx > mn THEN (loss - mn) / (mx - mn) ELSE CAST(0.0 AS DOUBLE) END AS ex,
+       |    CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE) AS w0
+       |  FROM base, mm
+       |),
+       |$rounds,
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM st)
+       |SELECT source, n_docs, loss_sum // n_docs AS mean_cpt_fp,
+       |  CAST(FLOOR(ex * CAST(10000.0 AS DOUBLE)) AS BIGINT) AS excess_bp,
+       |$ppmCols
+       |  (CAST(FLOOR(w$MwRounds * $M) AS BIGINT) * total_docs) // 1000000 AS docs_alloc
+       |FROM r$MwRounds, tot ORDER BY source""".stripMargin
+  }
+
+  /** q175 — DoReMi-shaped domain reweighting: multiplicative-weights
+    * over per-source EXCESS loss. The proxy loss is chars-per-token in
+    * fixed point (an exact-integer stand-in for the proxy-model
+    * perplexity DoReMi trains — verbose, low-density sources score
+    * high); each source's excess over the best source, normalized to
+    * [0,1] by the worst, drives `w ← w·(1 + η·excess)` for 4 rounds
+    * with renormalization after every round — upweighting the domains
+    * the proxy finds hardest, exactly the published update shape. Per
+    * source: exact mean loss, excess (basis points), the weight
+    * trajectory w1..w4 (ppm — floor of an IEEE tree both engines build
+    * identically: one division per round off a sequentially-folded
+    * normalizer), and the final doc allocation under the corpus budget.
+    * At 100 TB: one map-side-combined rollup is the only per-doc work;
+    * the optimizer loop runs on a |sources|-row frame (localCheckpointed
+    * so the corpus is scanned exactly once), broadcast z each round.
+    */
+  val q175 = Q("q175_domain_reweighting", q175OracleSql) { (s, dir) =>
+    val stats = Catalog.table(s, dir, "documents")
+      .select(col("source"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), expr("(10000 * n_chars) div n_tokens").as("cpt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("cpt").cast("long").as("loss_sum"))
+      .localCheckpoint()
+    val loss = col("loss_sum").cast("double") / col("n_docs").cast("double")
+    val mm = stats.agg(min(loss).as("mn"), max(loss).as("mx"),
+      count(lit(1)).cast("long").as("k"))
+    var f = stats.crossJoin(broadcast(mm))
+      .withColumn("ex", when(col("mx") > col("mn"),
+        (loss - col("mn")) / (col("mx") - col("mn"))).otherwise(lit(0.0)))
+      .withColumn("w", lit(1.0) / col("k").cast("double"))
+      .drop("mn", "mx", "k")
+    (1 to MwRounds).foreach { t =>
+      val u = f.withColumn("wp", col("w") * (lit(1.0) + lit(MwEta) * col("ex")))
+      val z = u.agg(aggregate(
+        array_sort(collect_list(struct(col("source"), col("wp").as("wr")))),
+        lit(0.0), (a, x) => a + x.getField("wr")).as("z"))
+      f = u.crossJoin(broadcast(z))
+        .withColumn("w", col("wp") / col("z"))
+        .withColumn(s"w${t}_ppm", floor(col("w") * lit(1000000.0)).cast("long"))
+        .drop("wp", "z")
+    }
+    val tot = stats.agg(sum("n_docs").cast("long").as("total_docs"))
+    f.crossJoin(broadcast(tot))
+      .select(Seq(col("source"), col("n_docs"),
+        expr("loss_sum div n_docs").as("mean_cpt_fp"),
+        floor(col("ex") * lit(10000.0)).cast("long").as("excess_bp")) ++
+        (1 to MwRounds).map(t => col(s"w${t}_ppm")) :+
+        expr(s"(w${MwRounds}_ppm * total_docs) div 1000000").as("docs_alloc"): _*)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169)
+    q164, q165, q166, q167, q168, q169, q175)
 }

@@ -788,4 +788,45 @@ class MiningSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(dist === naive)
   }
+
+  test("q175: the MW weight trajectory matches a sequential simulation and orders by excess") {
+    val out = Mining.q175.fn(spark, sf).collect()
+    // sequential simulation of the exact update off the per-source stats
+    val stats = Catalog.table(spark, sf, "documents")
+      .select(col("source"), col("n_chars"),
+        size(graft.ops.TextOps.tokens(col("text"))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), expr("(10000 * n_chars) div n_tokens").as("cpt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("cpt").cast("long").as("loss_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val loss = stats.map { case (_, n, s) => s.toDouble / n.toDouble }
+    val (mn, mx) = (loss.min, loss.max)
+    val ex = loss.map(l => if (mx > mn) (l - mn) / (mx - mn) else 0.0)
+    var w = Array.fill(stats.length)(1.0 / stats.length)
+    val traj = (1 to 4).map { _ =>
+      val wp = w.indices.map(i => w(i) * (1.0 + 0.5 * ex(i))).toArray
+      val z = wp.foldLeft(0.0)(_ + _) // sources already sorted: same association
+      w = wp.map(_ / z)
+      w.map(v => math.floor(v * 1000000.0).toLong)
+    }
+    val bySource = out.map(r => r.getString(0) -> r).toMap
+    stats.map(_._1).zipWithIndex.foreach { case (src, i) =>
+      val r = bySource(src)
+      (1 to 4).foreach(t => assert(r.getAs[Long](s"w${t}_ppm") === traj(t - 1)(i),
+        s"$src round $t"))
+      assert(r.getAs[Long]("excess_bp") === math.floor(ex(i) * 10000.0).toLong)
+    }
+    // MW semantics: weights order by excess, the worst source strictly
+    // gains over uniform, the best strictly loses (when losses differ)
+    val sorted = out.sortBy(_.getAs[Long]("excess_bp"))
+    val w4 = sorted.map(_.getAs[Long]("w4_ppm"))
+    assert(w4.zip(w4.tail).forall { case (a, b) => a <= b }, "monotone in excess")
+    val uniform = 1000000L / out.length
+    assert(w4.last > uniform && w4.head < uniform)
+    // allocations never exceed the corpus budget
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(out.map(_.getAs[Long]("docs_alloc")).sum <= total)
+  }
 }
