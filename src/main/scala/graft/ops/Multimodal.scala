@@ -875,5 +875,177 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q37, q154, q155, q174)
+  /** 64-sample PCM16 mono WAV for the audio-fingerprint dedup fixture:
+    * docs `4k..4k+3` share one base recording (sample block j's eight
+    * int16s come from md5 of `"<k>_<j>"`, folded into ±15000), and each
+    * variant `v = doc_id % 4` nudges ONE sample (index `doc_id % 32`,
+    * i.e. always in the FIRST half) by `256·v` — an audio near-duplicate
+    * family whose second-half energy envelope is bit-identical across
+    * variants while unrelated recordings differ everywhere.
+    */
+  private[graft] def synthWav64(id: Long, groupOf: Int = 4): Array[Byte] = {
+    val group = id / groupOf
+    val variant = (id % groupOf).toInt
+    val pos = (id % 32).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(44 + 128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 128).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+    buf.putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(128)
+    var j = 0
+    while (j < 8) {
+      val d = md.digest(s"${group}_$j".getBytes("UTF-8"))
+      var i = 0
+      while (i < 8) {
+        val hv = ((d(2 * i) & 0xff) << 8) | (d(2 * i + 1) & 0xff)
+        val s = hv % 30000 - 15000 + (if (8 * j + i == pos) 256 * variant else 0)
+        buf.putShort(s.toShort)
+        i += 1
+      }
+      j += 1
+    }
+    buf.array()
+  }
+
+  /** Real-parse a PCM16 mono WAV into its raw int16 samples — the
+    * sample-level sibling of [[WavCodec.decode]] with the identical
+    * RIFF/fmt/data chunk walk, kept in exact integers (no /32768) so the
+    * downstream fingerprint arithmetic is integer-exact end to end.
+    */
+  private[graft] def parseWavPcm16(b: Array[Byte]): Array[Int] = {
+    require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+      && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E', "not a WAV")
+    def i32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def i16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = i32(off + 4)
+      require(sz >= 0, s"bad chunk size $sz")
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff) }
+      off += 8 + sz + (sz & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(i16(fmtOff) == 1 && i16(fmtOff + 2) == 1 && i16(fmtOff + 14) == 16,
+      "only PCM16 mono")
+    Array.tabulate(dataLen / 2)(f =>
+      ((b(dataOff + 2 * f) & 0xff) | (b(dataOff + 2 * f + 1) << 8)).toShort.toInt)
+  }
+
+  /** L1 tolerance for the envelope verify: each variant perturbs one
+    * window by ≤ 3·256, so a within-family pair sits ≤ 1536 apart while
+    * unrelated envelopes differ by ~10⁵.
+    */
+  private val AudioL1Max = 1600L
+
+  private def q176OracleSql: String =
+    s"""WITH blk AS (
+       |  SELECT doc_id, g.j AS j,
+       |    list_transform(generate_series(0, 7), i ->
+       |      CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(g.j AS VARCHAR)), 4*i + 1, 4) AS INT) % 30000 - 15000
+       |      + CASE WHEN 8*g.j + i = doc_id % 32 THEN CAST(256 * (doc_id % 4) AS INT) ELSE 0 END) AS sl
+       |  FROM documents, generate_series(0, 7) AS g(j)
+       |), smp AS (
+       |  SELECT doc_id, flatten(list(sl ORDER BY j)) AS u FROM blk GROUP BY doc_id
+       |), env AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 15), k ->
+       |    CAST(abs(u[4*k+1]) + abs(u[4*k+2]) + abs(u[4*k+3]) + abs(u[4*k+4]) AS BIGINT)) AS env
+       |  FROM smp
+       |), codes AS (
+       |  SELECT doc_id, env,
+       |    CAST(list_sum(list_transform(generate_series(0, 7), k -> (env[k+1] >> 10) << (6*k))) AS BIGINT) AS code1,
+       |    CAST(list_sum(list_transform(generate_series(0, 7), k -> (env[k+9] >> 10) << (6*k))) AS BIGINT) AS code2
+       |  FROM env
+       |), probes AS (
+       |  SELECT doc_id, env, 0 AS probe, code1 AS code FROM codes
+       |  UNION ALL
+       |  SELECT doc_id, env, 1 AS probe, code2 AS code FROM codes
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b, a.env AS ea, b.env AS eb
+       |  FROM probes a JOIN probes b
+       |    ON a.probe = b.probe AND a.code = b.code AND a.doc_id <> b.doc_id
+       |), dist AS (
+       |  SELECT doc_id, doc_b,
+       |    CAST(list_sum(list_transform(generate_series(1, 16), k -> abs(ea[k] - eb[k]))) AS BIGINT) AS l1
+       |  FROM pairs
+       |), near AS (
+       |  SELECT doc_id, COUNT(*) AS n_candidates,
+       |    SUM(CASE WHEN l1 <= $AudioL1Max THEN 1 ELSE 0 END) AS n_near_dups,
+       |    MIN(l1) AS min_l1,
+       |    SUM(CASE WHEN l1 <= $AudioL1Max AND doc_b < doc_id THEN 1 ELSE 0 END) AS n_earlier
+       |  FROM dist GROUP BY doc_id
+       |)
+       |SELECT c.doc_id, c.code1, c.code2,
+       |  CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       |  CAST(n.min_l1 AS BIGINT) AS min_l1,
+       |  COALESCE(n.n_earlier, 0) = 0 AS keep
+       |FROM codes c LEFT JOIN near n ON c.doc_id = n.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** q176 — audio-fingerprint dedup, end to end through the real WAV
+    * parse: per-doc synthetic PCM16 recordings with planted families
+    * ([[synthWav64]]) are sample-parsed ([[parseWavPcm16]]), reduced to a
+    * 16-window |amplitude| energy envelope, quantized (>>10) into two
+    * 48-bit half-codes, and near-dups are found the way production audio
+    * fingerprinting works: exact inverted-index probes on either
+    * half-code propose candidates, an integer L1 distance over the full
+    * envelope verifies them (≤ [[AudioL1Max]]), keep-first wins. A
+    * DIFFERENT dedup mechanism from q174's banded Hamming — quantize →
+    * probe → verify — and integer-exact in both engines. At 100 TB: two
+    * probe rows per recording, one shuffle on (probe, code), candidate
+    * verification only within code buckets, never all pairs.
+    */
+  val q176 = Q("q176_audio_fingerprint_dedup", q176OracleSql) { (s, dir) =>
+    import s.implicits._
+    val codes = Catalog.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val smp = parseWavPcm16(synthWav64(id))
+        val env = Array.tabulate(16)(k =>
+          (math.abs(smp(4 * k)) + math.abs(smp(4 * k + 1)) +
+            math.abs(smp(4 * k + 2)) + math.abs(smp(4 * k + 3))).toLong)
+        def half(h: Int): Long =
+          (0 until 8).map(k => (env(8 * h + k) >> 10) << (6 * k)).sum
+        (id, half(0), half(1), env.toSeq)
+      })
+      .toDF("doc_id", "code1", "code2", "env")
+    val probes = codes.select(col("doc_id"), col("env"),
+      explode(array(
+        struct(lit(0).as("probe"), col("code1").as("code")),
+        struct(lit(1).as("probe"), col("code2").as("code")))).as("p"))
+      .select(col("doc_id"), col("env"), col("p.probe"), col("p.code"))
+    val other = probes.select(col("doc_id").as("doc_b"), col("env").as("eb"),
+      col("probe").as("pb"), col("code").as("cb"))
+    val near = probes
+      .join(other, col("probe") === col("pb") && col("code") === col("cb") &&
+        col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id"), col("doc_b"), col("env").as("ea"), col("eb"))
+      .distinct()
+      .select(col("doc_id"), col("doc_b"),
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => abs(x - y)),
+          lit(0L), (a, x) => a + x).as("l1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        Det.countIf(col("l1") <= AudioL1Max).as("n_near_dups"),
+        min(col("l1")).as("min_l1"),
+        Det.countIf(col("l1") <= AudioL1Max && col("doc_b") < col("doc_id"))
+          .as("n_earlier"))
+    codes.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("code1"), col("code2"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("min_l1"),
+        (coalesce(col("n_earlier"), lit(0L)) === 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q37, q154, q155, q174, q176)
 }

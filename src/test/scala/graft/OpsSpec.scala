@@ -628,6 +628,39 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers.forall(_ % 4 == 0), "keep-first: the variant-0 doc is the group representative")
   }
 
+  test("q176: envelope fingerprints through the real WAV parse find exactly the planted families") {
+    // parse round-trip: samples out of the RIFF parse equal the direct
+    // md5 recompute, no WAV in the middle
+    def expectedSamples(id: Long): Array[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 8).flatMap { j =>
+        val d = md.digest(s"${id / 4}_$j".getBytes("UTF-8"))
+        (0 until 8).map { i =>
+          ((d(2 * i) & 0xff) << 8 | (d(2 * i + 1) & 0xff)) % 30000 - 15000 +
+            (if (8 * j + i == (id % 32).toInt) 256 * (id % 4).toInt else 0)
+        }
+      }.toArray
+    }
+    (0L until 16L).foreach { id =>
+      assert(Multimodal.parseWavPcm16(Multimodal.synthWav64(id)).toSeq ===
+        expectedSamples(id).toSeq, s"doc $id")
+    }
+    val out = Multimodal.q176.fn(spark, sf).collect()
+    val nDocs = out.length
+    // the perturbation lives in the FIRST half, so code2 is identical
+    // across a family — the second probe can never miss a within-group pair
+    val code2 = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (g <- 0L until (nDocs / 4L); v <- 1 until 4)
+      assert(code2(g * 4) === code2(g * 4 + v), s"group $g variant $v code2")
+    out.filter(_.getLong(0) < (nDocs / 4) * 4).foreach { r =>
+      assert(r.getLong(4) >= 3, s"doc ${r.getLong(0)} near-dups")
+      assert(r.getLong(5) <= 1536L, s"doc ${r.getLong(0)} min_l1")
+    }
+    val keepers = out.filter(_.getBoolean(6)).map(_.getLong(0))
+    assert(keepers.length === (nDocs + 3) / 4)
+    assert(keepers.forall(_ % 4 == 0), "keep-first: the variant-0 doc is the family representative")
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
