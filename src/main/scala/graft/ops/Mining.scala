@@ -2370,13 +2370,31 @@ object Mining {
     * so the corpus is scanned exactly once), broadcast z each round.
     */
   val q175 = Q("q175_domain_reweighting", q175OracleSql) { (s, dir) =>
-    val stats = Catalog.table(s, dir, "documents")
+    mwTableFromCells(mwCells(Catalog.table(s, dir, "documents")))
+  }
+
+  /** One batch's per-source proxy-loss cells — add-mergeable SUM pairs
+    * (n_docs, loss_sum), ≤ |sources| rows, so a streaming sink can
+    * maintain the reweighting input as documents land.
+    */
+  private[graft] def mwCells(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("n_chars"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col("source"), expr("(10000 * n_chars) div n_tokens").as("cpt"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("cpt").cast("long").as("loss_sum"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("cpt").cast("long").as("loss_sum"))
+
+  /** The q175 MW optimizer over (possibly unfolded) loss cells — the
+    * fold is the first aggregation, so serving off a delta store is the
+    * same code path as batch.
+    */
+  private[graft] def mwTableFromCells(cells: DataFrame): DataFrame = {
+    val stats = cells.groupBy("source")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("loss_sum").cast("long").as("loss_sum"))
       .localCheckpoint()
     val loss = col("loss_sum").cast("double") / col("n_docs").cast("double")
     val mm = stats.agg(min(loss).as("mn"), max(loss).as("mx"),

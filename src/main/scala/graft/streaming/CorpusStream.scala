@@ -281,6 +281,51 @@ object CorpusStream {
       cells.groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
     }
 
+  // ── MW loss cells (q175 serving) ────────────────────────────────────
+
+  /** One micro-batch's per-source proxy-loss cells — Mining.mwCells
+    * verbatim, so the streamed fold can never score a doc differently
+    * from batch q175. ≤ |sources| SUM rows per batch, per-batchId
+    * OVERWRITE.
+    */
+  def writeMwDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    graft.ops.Mining.mwCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Loss-cell maintenance sink — the domain-reweighting optimizer's
+    * input kept current as documents land, zero corpus rescans when the
+    * weights are recomputed.
+    */
+  def mwCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("domain_reweighting_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMwDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The q175 reweighting table off the folded cells alone — bit-equal
+    * to batch q175 over the union of landings (StreamingSpec-pinned):
+    * the optimizer's input is exactly the per-source (n_docs, loss_sum)
+    * fold, so a streamed store and a batch scan feed it identical
+    * numbers.
+    */
+  def reweightingFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
+    graft.ops.Mining.mwTableFromCells(
+      spark.read.parquet(deltaDir).select("source", "n_docs", "loss_sum"))
+
+  /** MW-store retention: the fold algebra is the serving algebra. */
+  def compactMwDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("source")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("loss_sum")).cast("long").as("loss_sum"))
+    }
+
   // ── CDC chunk cells (q171 serving) ──────────────────────────────────
 
   /** One micro-batch's CDC chunk cells and per-source doc counts — the

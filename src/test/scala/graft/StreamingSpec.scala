@@ -1074,6 +1074,67 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("MW loss-cell stream: the reweighting table off folded cells equals batch q175; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-mw-landing")
+    val deltas = tmpDir("graft-mw-art") + "/deltas"
+    val checkpoint = tmpDir("graft-mw-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-mw-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.mwCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.mwCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.mwCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("mean_cpt_fp"),
+          r.getAs[Long]("excess_bp"), r.getAs[Long]("w1_ppm"),
+          r.getAs[Long]("w2_ppm"), r.getAs[Long]("w3_ppm"),
+          r.getAs[Long]("w4_ppm"), r.getAs[Long]("docs_alloc"))))
+      .toMap
+    val batch = tblMap(ops.Mining.q175.fn(spark, sf))
+    assert(tblMap(CorpusStream.reweightingFromDeltas(spark, deltas)) === batch,
+      "served reweighting table must equal batch q175 over the landed corpus")
+
+    // serving folds <=|sources| cell rows per batch — never corpus text
+    val servedPlan = CorpusStream.reweightingFromDeltas(spark, deltas)
+      .queryExecution.executedPlan.toString
+    assert(!servedPlan.contains("documents.parquet"),
+      s"reweighting serving must not rescan documents:\n$servedPlan")
+
+    // replay: per-batchId overwrite keeps SUM cells idempotent
+    val replay = docs.filter(col("doc_id") < cut1)
+    CorpusStream.writeMwDelta(replay, deltas, 0L)
+    CorpusStream.writeMwDelta(replay, deltas, 0L)
+    assert(tblMap(CorpusStream.reweightingFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served table")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactMwDeltas(spark, deltas, upto = 1L)
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=2"))
+    assert(tblMap(CorpusStream.reweightingFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served table")
+  }
+
   test("selection feature-cell stream: the ratio table off folded cells scores exactly like batch q164; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-feat-landing")
