@@ -676,6 +676,49 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "mmprobe") {
+      // Multimodal dedup cost laws (q174/q176). Id-shifted copies create
+      // NEW families (payloads derive from doc_id), so Nx corpus = Nx
+      // distinct images/recordings — the adversarial direction for the
+      // banding/probe joins: bucket occupancy grows with corpus size, not
+      // duplication. The signature scans (synth + real parse + hash) must
+      // be embarrassingly linear; the joins stay near-linear while
+      // 15-bit band / 48-bit code buckets hold ~1 doc.
+      import graft.ops.Multimodal
+      val mult = if (args.length > 2) args(2).toInt else 16
+      val docsT = Catalog.table(spark, sfDir, "documents").select("doc_id")
+      def idsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      // first pass doubles as JIT/codegen warmup; read the later rows
+      Seq(1, 1, mult).foreach { m =>
+        time(s"phash${m}x.sig_scan") {
+          Multimodal.phashSigs(idsAt(m))
+            .agg(sum(col("phash").bitwiseAND(lit(0xffffL)))).head().getLong(0)
+        }
+        time(s"phash${m}x.dedup_report") {
+          Multimodal.phashReport(Multimodal.phashSigs(idsAt(m)))
+            .agg(sum("n_candidates")).head().getLong(0)
+        }
+        time(s"audio${m}x.code_scan") {
+          Multimodal.audioCodes(idsAt(m))
+            .agg(sum(col("code1").bitwiseAND(lit(0xffffL)))).head().getLong(0)
+        }
+        time(s"audio${m}x.dedup_report") {
+          Multimodal.audioReport(Multimodal.audioCodes(idsAt(m)))
+            .agg(sum("n_candidates")).head().getLong(0)
+        }
+      }
+      // the occupancy mitigation: 20-bit bands (3 of them) at the same
+      // multiple — recall for <=2-bit-apart pairs stays structural,
+      // bucket collisions shrink 32x
+      time(s"phash${mult}x.report_20bit") {
+        Multimodal.phashReport(Multimodal.phashSigs(idsAt(mult)), bandBits = 20)
+          .agg(sum("n_candidates")).head().getLong(0)
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without

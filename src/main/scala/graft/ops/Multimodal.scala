@@ -837,19 +837,36 @@ object Multimodal {
     * with ~1-row buckets at 15-bit bands; candidates, never all pairs.
     */
   val q174 = Q("q174_image_phash_dedup", q174OracleSql) { (s, dir) =>
-    import s.implicits._
-    val sigs = Catalog.table(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    phashReport(phashSigs(Catalog.table(s, dir, "documents")))
+  }
+
+  /** Synthesize + REAL-parse + dHash the fixture image of every doc_id
+    * in `docs` — the signature scan of the image-dedup pipeline.
+    */
+  private[graft] def phashSigs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (w, h, g) = parseBmpGray(synthBmpGrid(id))
         (id, dhash60(w, h, g))
       })
       .toDF("doc_id", "phash")
-    val mask = (1L << PhashBandBits) - 1
+  }
+
+  /** q174's banding + Hamming verify + keep-first report over any
+    * (doc_id, phash) frame. `bandBits` widens the bands for larger
+    * corpora (the occupancy mitigation — see `Scratch mmprobe`): recall
+    * for ≤(60/bandBits − 1)-bit-apart pairs stays structural, bucket
+    * collisions shrink 2^Δ-fold.
+    */
+  private[graft] def phashReport(sigs: DataFrame,
+      bandBits: Int = PhashBandBits): DataFrame = {
+    val nBands = 60 / bandBits
+    val mask = (1L << bandBits) - 1
     val bands = sigs.select(col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(k =>
+      explode(array((0 until nBands).map(k =>
         struct(lit(k).as("band_idx"),
-          shiftright(col("phash"), k * PhashBandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
+          shiftright(col("phash"), k * bandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("phash"), col("b.band_idx"), col("b.band_val"))
     val other = bands.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"),
       col("band_idx").as("bi"), col("band_val").as("bv"))
@@ -1003,9 +1020,16 @@ object Multimodal {
     * verification only within code buckets, never all pairs.
     */
   val q176 = Q("q176_audio_fingerprint_dedup", q176OracleSql) { (s, dir) =>
-    import s.implicits._
-    val codes = Catalog.table(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
+    audioReport(audioCodes(Catalog.table(s, dir, "documents")))
+  }
+
+  /** Synthesize + REAL-parse + envelope-code the fixture recording of
+    * every doc_id in `docs` — the fingerprint scan of the audio-dedup
+    * pipeline.
+    */
+  private[graft] def audioCodes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val smp = parseWavPcm16(synthWav64(id))
         val env = Array.tabulate(16)(k =>
@@ -1016,6 +1040,12 @@ object Multimodal {
         (id, half(0), half(1), env.toSeq)
       })
       .toDF("doc_id", "code1", "code2", "env")
+  }
+
+  /** q176's probe + L1-verify + keep-first report over any
+    * (doc_id, code1, code2, env) frame.
+    */
+  private[graft] def audioReport(codes: DataFrame): DataFrame = {
     val probes = codes.select(col("doc_id"), col("env"),
       explode(array(
         struct(lit(0).as("probe"), col("code1").as("code")),
