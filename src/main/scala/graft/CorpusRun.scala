@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *      q167's rollup)
   *   8. CCNet fluency retention over the accepted store (q170's
   *      per-source tertile cut, LM trained on the curated corpus)
+  *   9. domain reweighting over the accepted store (q175's
+  *      multiplicative-weights optimizer on the curated loss cells)
   *
   * Cross-stage invariants are CHECKED, not assumed — a failed invariant
   * exits nonzero like a failed dbt test:
@@ -39,6 +41,8 @@ import org.apache.spark.sql.functions._
   *     within rounding (7 vs 1)
   *   - the fluency cut buckets every accepted doc exactly once, keeps a
   *     majority, and tertiles stay balanced within one doc (8 vs 1)
+  *   - the reweighting's final ppm weights sum to one within floor
+  *     rounding and never allocate more docs than it scored (9 vs 1)
   */
 object CorpusRun {
 
@@ -147,7 +151,21 @@ object CorpusRun {
       nBucketed == nAccepted && balanced && 2L * nKept >= nBucketed,
       s"$nKept of $nBucketed accepted docs kept (head+middle); tertiles balanced")
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8)
+    // 9. domain reweighting OVER the accepted store: q175's MW optimizer
+    // fed by the curated corpus's loss cells — the mixture-correction
+    // weights a run applies beside the temperature recipe, computed on
+    // exactly what curation shipped
+    val mw = Mining.mwTableFromCells(Mining.mwCells(acceptedDocs)).localCheckpoint()
+    mw.coalesce(1).write.mode("overwrite").parquet(s"$outDir/domain_weights")
+    val nMwSrc = mw.count()
+    val mwAgg = mw.agg(sum(col("w4_ppm")), sum(col("docs_alloc")),
+      sum(col("n_docs"))).head()
+    val (wSum, alloc, mwDocs) = (mwAgg.getLong(0), mwAgg.getLong(1), mwAgg.getLong(2))
+    val s9 = Stage("reweighting", nMwSrc,
+      math.abs(wSum - 1000000L) <= nMwSrc && alloc <= mwDocs && mwDocs <= nAccepted,
+      s"w4 ppm sum=$wSum; $alloc docs allocated of $mwDocs scored")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
   }
 
   def main(args: Array[String]): Unit = {
