@@ -2502,5 +2502,85 @@ object Similarity {
       .orderBy("split_a", "split_b")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145)
+  // ── q177: train-free hashed embeddings (the hashing trick) ────────────
+
+  /** Feature-hashing dimensionality. 64 matches the `embeddings` table's
+    * width, so hashed vectors ride every downstream op (brute/IVF/PQ)
+    * unchanged.
+    */
+  val HashDim = 64
+
+  /** The hashing trick (Weinberger et al. 2009): token t contributes
+    * ±1 to dimension h60(t) mod [[HashDim]], sign from bit 6 of the
+    * hash — a train-free signed-count embedding built ENTIRELY in-row
+    * (HOFs over the token array, zero shuffles, no vocabulary state),
+    * which is what makes it the 100 TB bootstrap embedding: no model,
+    * no codebook, no second pass.
+    */
+  private[graft] def hashedVec(d: DataFrame): DataFrame = {
+    val hs = transform(TextOps.tokens(col("text")), t => Dedup.h60Col(t))
+    d.select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("v", transform(sequence(lit(0), lit(HashDim - 1)), dd =>
+        (size(filter(col("hs"), h =>
+          h % HashDim === dd && shiftright(h, 6).bitwiseAND(lit(1L)) === 1L)) -
+          size(filter(col("hs"), h =>
+            h % HashDim === dd && shiftright(h, 6).bitwiseAND(lit(1L)) === 0L)))
+          .cast("double")))
+      .drop("hs")
+  }
+
+  private def q177OracleSql: String = {
+    val vecExpr =
+      """list_transform(generate_series(0, 63), d ->
+        |      CAST(len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 1))
+        |         - len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 0)) AS DOUBLE))"""
+        .stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), hsx AS (
+       |  SELECT doc_id, list_transform(t, s -> ${Dedup.h60Sql("s")}) AS hs
+       |  FROM tk WHERE len(t) > 0
+       |), vec AS (
+       |  SELECT doc_id, $vecExpr AS v FROM hsx
+       |), nz AS (
+       |  SELECT doc_id, v FROM vec WHERE ${dotSql.format("v", "v")} > 0
+       |)
+       |SELECT b.doc_id,
+       |  ${dotSql.format("a.v", "b.v")}
+       |    / (${normSql("a.v")} * ${normSql("b.v")}) AS cosine_sim
+       |FROM nz a, nz b
+       |WHERE a.doc_id = 0 AND b.doc_id <> 0
+       |ORDER BY cosine_sim DESC, b.doc_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** q177 — hashed-embedding kNN: q35's brute-force cosine top-k run over
+    * embeddings DERIVED from text by feature hashing instead of read from
+    * the embeddings table — the engine now generates its own vectors.
+    * Exactness survives the whole chain: integer signed counts → one IEEE
+    * double tree for cosine (VecDot ≡ list_sum fold), so the ranking
+    * oracles bit-for-bit. Zero-vectors (token-free or fully sign-cancelled
+    * docs) are filtered on dot(v,v) > 0 in both engines. At 100 TB the
+    * generation adds NOTHING to the data motion bill — it is a per-row
+    * projection fused into the scan; the search side keeps whatever
+    * index (brute/LSH/IVF/PQ) the workload already uses, at [[HashDim]] =
+    * the table embeddings' width.
+    */
+  val q177 = Q("q177_hashed_embedding_knn", q177OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = hashedVec(Catalog.table(s, dir, "documents"))
+      .withColumn("nn", dot(col("v"), col("v")))
+      .filter(col("nn") > 0)
+      .withColumn("nn", sqrt(col("nn")))
+    val q = e.filter(col("doc_id") === 0).select(col("v").as("qv"), col("nn").as("qn"))
+    e.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nn"))).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177)
 }

@@ -661,6 +661,41 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers.forall(_ % 4 == 0), "keep-first: the variant-0 doc is the family representative")
   }
 
+  test("q177: hashed embeddings equal a plain-Scala recompute and rank near-copies first") {
+    // the in-row HOF vector build matches a direct implementation
+    def refVec(text: String): Array[Double] = {
+      val v = new Array[Double](64)
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).take(8)
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        v((h % 64).toInt) += (if (((h >> 6) & 1L) == 1L) 1.0 else -1.0)
+      }
+      v
+    }
+    val docs = Catalog.table(spark, sf, "documents").limit(20)
+    val got = Similarity.hashedVec(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expected = refVec(r.getString(1))
+      if (expected.exists(_ != 0.0))
+        assert(got(r.getLong(0)).toSeq === expected.toSeq, s"doc ${r.getLong(0)}")
+    }
+    // a near-copy (one word changed) outranks every unrelated doc
+    val vecs = Similarity.hashedVec(planted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val simToCopy = cos(vecs(1L), vecs(9001L))
+    val others = vecs.keys.filter(k => k != 1L && k != 9001L)
+      .map(k => cos(vecs(1L), vecs(k))).max
+    assert(simToCopy > 0.9, s"near-copy cosine $simToCopy")
+    assert(simToCopy > others, s"near-copy $simToCopy must beat best unrelated $others")
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
