@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("token_hashes"),
       info("token_hashes", "token_hashes(text) - all token h60 hashes"),
       exprs => TokenHashes(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("feature_hash_vec"),
+      info("feature_hash_vec", "feature_hash_vec(text, dim) - signed-count hashing-trick embedding"),
+      exprs => FeatureHashVec(exprs.head, exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("double_bits"),
       info("double_bits", "double_bits(x) - raw IEEE-754 bits of a double as BIGINT"),
       exprs => DoubleBits.withCast(exprs.head)))

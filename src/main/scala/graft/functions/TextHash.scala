@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-engine 60-bit string hash + one-pass shingle extraction.
@@ -174,6 +174,25 @@ object TextHash {
     out
   }
 
+  /** Signed-count feature-hash vector (the hashing trick, Weinberger et
+    * al. 2009): token t adds ±1 (sign = hash bit 6) to dimension
+    * h60(t) mod dim. One pass: tokenize → hash → scatter. Counts are
+    * small integers, so the double entries are exact and any downstream
+    * IEEE tree (cosine via VecDot) oracles bit-for-bit.
+    */
+  def featureHashVec(s: String, dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    val toks = tokenize(s)
+    var i = 0
+    while (i < toks.length) {
+      val h = h60(toks(i))
+      val d = (h % dim).toInt
+      if (((h >> 6) & 1L) == 1L) v(d) += 1.0 else v(d) -= 1.0
+      i += 1
+    }
+    v
+  }
+
   /** Fused MinHash signature: tokenize → shingle → h60 → per-lane affine
     * min, one pass per row with no shingle materialization beyond the
     * hash array. Returns [n_shingles, sig_0, …, sig_{L-1}]. Arithmetic is
@@ -315,6 +334,35 @@ case class WinnowSketch(child: Expression, k: Int, w: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Signed-count feature-hash embedding of a text column (the hashing
+  * trick): one fused tokenize → h60 → scatter pass per row. The
+  * Column-path twin of the `transform`/`filter` HOF tree — bit-identical
+  * values (integer counts in doubles), but ONE kernel call instead of
+  * 2·dim array scans, and immune to CollapseProject re-inlining the
+  * token-hash array into every lambda.
+  */
+case class FeatureHashVec(child: Expression, dim: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "feature_hash_vec"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.featureHashVec(input.asInstanceOf[UTF8String].toString, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |double[] $arr = graft.functions.TextHash.featureHashVec($c.toString(), $dim);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashVec =
+    copy(child = newChild)
+}
+
 /** ALL token h60 hashes (with repeats) — simhash term-frequency input. */
 case class TokenHashes(child: Expression) extends UnaryExpression {
 
@@ -435,6 +483,10 @@ object ShingleHashes {
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_hashes", exprs => TokenHashes(exprs.head), "scala_udf")
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "feature_hash_vec",
+      exprs => FeatureHashVec(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes_all",
       exprs => ShingleHashesAll(exprs.head,

@@ -787,6 +787,24 @@ object Multimodal {
   private val PhashHammingMax = 6
   private val PhashBandBits = 15
 
+  /** One batch's image band rows in the LSH band-store schema
+    * (doc_id, band_idx, band_hash) — the q174 signature scan feeding the
+    * SAME streaming dedup store the text minhash bands use
+    * (`LshStream.processBatch(bandsOf = Multimodal.phashBands)`): the
+    * store machinery is signature-agnostic, so image dedup gets
+    * keep-earliest streaming maintenance, replay safety, and bucketed
+    * compaction without new state code.
+    */
+  private[graft] def phashBands(batch: DataFrame): DataFrame = {
+    val mask = (1L << PhashBandBits) - 1
+    phashSigs(batch).select(col("doc_id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band_idx"),
+          shiftright(col("phash"), k * PhashBandBits).bitwiseAND(lit(mask))
+            .as("band_hash"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+  }
+
   private def q174OracleSql: String = {
     val bandSelects = (0 until 4).map { k =>
       s"  SELECT doc_id, phash, $k AS band_idx, (phash >> ${k * PhashBandBits}) & ${(1 << PhashBandBits) - 1} AS band_val FROM sigs"

@@ -2518,16 +2518,14 @@ object Similarity {
     * no codebook, no second pass.
     */
   private[graft] def hashedVec(d: DataFrame): DataFrame = {
-    val hs = transform(TextOps.tokens(col("text")), t => Dedup.h60Col(t))
-    d.select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-      .withColumn("v", transform(sequence(lit(0), lit(HashDim - 1)), dd =>
-        (size(filter(col("hs"), h =>
-          h % HashDim === dd && shiftright(h, 6).bitwiseAND(lit(1L)) === 1L)) -
-          size(filter(col("hs"), h =>
-            h % HashDim === dd && shiftright(h, 6).bitwiseAND(lit(1L)) === 0L)))
-          .cast("double")))
-      .drop("hs")
+    graft.functions.ShingleHashes.register(d.sparkSession)
+    // the fused FeatureHashVec kernel, not a transform/filter HOF tree:
+    // CollapseProject would inline the token-hash array into every one of
+    // the 2·dim lambdas and recompute md5 per token ~128× (measured 96 s
+    // at sf0.1 vs sub-second fused)
+    d.filter(size(TextOps.tokens(col("text"))) > 0)
+      .select(col("doc_id"),
+        call_function("feature_hash_vec", col("text"), lit(HashDim)).as("v"))
   }
 
   private def q177OracleSql: String = {

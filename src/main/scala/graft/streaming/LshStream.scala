@@ -58,9 +58,10 @@ object LshStream {
     * REPLAY (same batchId re-run) as a no-op for both stores.
     */
   def processBatch(batch: DataFrame, indexDir: String, decisionsDir: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      bandsOf: DataFrame => DataFrame = batchBands): Unit = {
     val spark = batch.sparkSession
-    val bands = batchBands(batch).localCheckpoint()
+    val bands = bandsOf(batch).localCheckpoint()
     val idx = new java.io.File(indexDir)
     val history =
       if (idx.exists() && idx.listFiles() != null &&
@@ -80,14 +81,21 @@ object LshStream {
     bands.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
   }
 
+  /** `bandsOf` swaps the signature family while keeping every store
+    * semantic: the default is the text minhash banding; pass
+    * `Multimodal.phashBands` for keep-earliest IMAGE dedup over the same
+    * (doc_id, band_idx, band_hash) index — separate dirs per family, the
+    * machinery is shared.
+    */
   def dedupSink(stream: DataFrame, indexDir: String, decisionsDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      bandsOf: DataFrame => DataFrame = batchBands): StreamingQuery =
     stream.writeStream
       .queryName("lsh_band_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, indexDir, decisionsDir, batchId)
+        processBatch(batch, indexDir, decisionsDir, batchId, bandsOf)
         ()
       }
       .start()

@@ -1285,6 +1285,71 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the count table")
   }
 
+  test("image band stream: phash signatures ride the text band store unchanged; streamed keep-earliest equals batch") {
+    import graft.streaming.LshStream
+    import graft.ops.Multimodal
+    val landing = tmpDir("graft-phash-landing")
+    val index = tmpDir("graft-phash-art") + "/index"
+    val decisions = tmpDir("graft-phash-art2") + "/decisions"
+    val checkpoint = tmpDir("graft-phash-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-phash-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+
+    def decMap() = LshStream.decisions(spark, decisions).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    // batch anchor: the same keep-earliest rule over the full corpus's
+    // image bands in one pass
+    val allBands = Multimodal.phashBands(docs)
+    val batch = graft.ops.Dedup.keepEarliestVerdicts(docs.select("doc_id"),
+        graft.ops.Dedup.firstSeenBandPartners(allBands, allBands.filter(lit(false))))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    assert(decMap() === batch,
+      "streamed image keep-earliest must equal the batch computation")
+    // the planted families surface through the store: every non-first
+    // family variant is flagged with an earlier partner (bands 2-3 are
+    // family-invariant, so recall is structural; variant-0 docs may still
+    // collide across families — 15-bit buckets at this corpus size — so
+    // only the batch equality above constrains them)
+    val nDocs = ids.length
+    decMap().foreach { case (id, (_, dupOf, isDup)) =>
+      if (id < (nDocs / 4) * 4 && id % 4 != 0) {
+        assert(isDup, s"doc $id is a planted image near-dup")
+        assert(dupOf.exists(_ < id), s"doc $id must point at an earlier doc, got $dupOf")
+      }
+    }
+    // replay: per-batchId overwrite keeps both stores idempotent
+    LshStream.processBatch(docs.filter(col("doc_id") < cut1), index, decisions, 0L,
+      Multimodal.phashBands)
+    assert(decMap() === batch, "a replayed batch must not move the decisions")
+  }
+
   test("CDC chunk-cell stream: the dup report off folded cells equals batch q171; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-cdc-landing")
