@@ -2517,15 +2517,15 @@ object Similarity {
     * which is what makes it the 100 TB bootstrap embedding: no model,
     * no codebook, no second pass.
     */
-  private[graft] def hashedVec(d: DataFrame): DataFrame = {
+  private[graft] def hashedVec(d: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     graft.functions.ShingleHashes.register(d.sparkSession)
     // the fused FeatureHashVec kernel, not a transform/filter HOF tree:
     // CollapseProject would inline the token-hash array into every one of
     // the 2·dim lambdas and recompute md5 per token ~128× (measured 96 s
     // at sf0.1 vs sub-second fused)
     d.filter(size(TextOps.tokens(col("text"))) > 0)
-      .select(col("doc_id"),
-        call_function("feature_hash_vec", col("text"), lit(HashDim)).as("v"))
+      .select(col("doc_id") +: keep.map(col) :+
+        call_function("feature_hash_vec", col("text"), lit(HashDim)).as("v"): _*)
   }
 
   private def q177OracleSql: String = {
@@ -2580,5 +2580,74 @@ object Similarity {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177)
+  // ── q178: per-source embedding-space diversity (centroid identity) ────
+
+  private def q178OracleSql: String = {
+    val vecExpr =
+      """list_transform(generate_series(0, 63), d ->
+        |      CAST(len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 1))
+        |         - len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 0)) AS BIGINT))"""
+        .stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), hsx AS (
+       |  SELECT doc_id, source, list_transform(t, s -> ${Dedup.h60Sql("s")}) AS hs
+       |  FROM tk WHERE len(t) > 0
+       |), vec AS (
+       |  SELECT doc_id, source, $vecExpr AS v FROM hsx
+       |), norms AS (
+       |  SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sq
+       |  FROM vec
+       |), dimsum AS (
+       |  SELECT source, g.d AS d, CAST(SUM(v[g.d + 1]) AS BIGINT) AS s_d
+       |  FROM vec, generate_series(0, 63) AS g(d)
+       |  GROUP BY source, g.d
+       |), agg AS (
+       |  SELECT n.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n.sq) AS BIGINT) AS sum_sq
+       |  FROM norms n GROUP BY n.source
+       |), dims AS (
+       |  SELECT source, CAST(SUM(s_d * s_d) AS BIGINT) AS cent_sq
+       |  FROM dimsum GROUP BY source
+       |)
+       |SELECT a.source, a.n_docs, a.sum_sq, d.cent_sq,
+       |  (10000 * (a.n_docs * a.sum_sq - d.cent_sq)) // (a.n_docs * a.n_docs) AS diversity_fp,
+       |  (10000 * d.cent_sq) // (a.n_docs * a.n_docs) AS centroid_sq_fp
+       |FROM agg a JOIN dims d ON a.source = d.source
+       |ORDER BY a.source""".stripMargin
+  }
+
+  /** q178 — embedding-space DIVERSITY per source, the metric a
+    * diversity-aware sampler cuts on, computed by the centroid identity:
+    * mean squared distance to the centroid = E‖x‖² − ‖μ‖² =
+    * (n·Σ‖x‖² − Σ_d S_d²)/n², where S_d is the per-dimension coordinate
+    * sum — ONE corpus pass and a 64-row-per-source aggregate instead of
+    * the naive O(n²) pairwise sweep (mean pairwise squared distance is
+    * exactly 2× this). Runs on q177's hashed embeddings, whose entries
+    * are small integers, so every term is exact BIGINT and the whole
+    * metric oracles in fixed point — no float anywhere. At 100 TB:
+    * posexplode → (source, dim) partial sums is map-side combinable with
+    * |sources|·64 rows of state; the norms rollup rides the same scan.
+    */
+  val q178 = Q("q178_embedding_diversity", q178OracleSql) { (s, dir) =>
+    val withSrc = hashedVec(Catalog.table(s, dir, "documents"), keep = Seq("source"))
+    val norms = withSrc.select(col("source"),
+      aggregate(col("v"), lit(0.0), (a, x) => a + x * x).cast("long").as("sq"))
+    val agg = norms.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum("sq").cast("long").as("sum_sq"))
+    val dims = withSrc
+      .select(col("source"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("source", "d").agg(sum(col("x").cast("long")).cast("long").as("s_d"))
+      .groupBy("source").agg(sum(col("s_d") * col("s_d")).cast("long").as("cent_sq"))
+    agg.join(dims, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sum_sq"), col("cent_sq"),
+        expr("(10000 * (n_docs * sum_sq - cent_sq)) div (n_docs * n_docs)")
+          .as("diversity_fp"),
+        expr("(10000 * cent_sq) div (n_docs * n_docs)").as("centroid_sq_fp"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177, q178)
 }

@@ -696,6 +696,30 @@ class OpsSpec extends AnyFunSuite {
     assert(simToCopy > others, s"near-copy $simToCopy must beat best unrelated $others")
   }
 
+  test("q178: the one-pass centroid identity equals the naive pairwise diversity exactly") {
+    val out = Similarity.q178.fn(spark, sf).collect()
+    val vecs = Similarity.hashedVec(
+        Catalog.table(spark, sf, "documents"), keep = Seq("source"))
+      .collect().map(r => (r.getString(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vs = vecs(r.getString(0)).map(_._2)
+      val n = vs.length.toLong
+      assert(r.getLong(1) === n)
+      // Σ over ALL ordered pairs of ‖a−b‖² = 2·(n·Σ‖x‖² − ‖Σx‖²), so the
+      // one-pass fixed-point diversity must equal the O(n²) sweep exactly
+      var acc = 0L
+      for (a <- vs; b <- vs) {
+        var i = 0
+        while (i < 64) { val d = (a(i) - b(i)).toLong; acc += d * d; i += 1 }
+      }
+      assert(r.getAs[Long]("diversity_fp") === (10000L * acc) / (2L * n * n),
+        s"source ${r.getString(0)}")
+      assert(r.getAs[Long]("diversity_fp") >= 0L)
+    }
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
