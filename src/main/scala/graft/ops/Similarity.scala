@@ -2528,13 +2528,17 @@ object Similarity {
         call_function("feature_hash_vec", col("text"), lit(HashDim)).as("v"): _*)
   }
 
-  private def q177OracleSql: String = {
+  /** Shared oracle fragment: the hashed-embedding build (tk → hsx → vec →
+    * nz, DOUBLE entries, zero-vectors dropped) — one definition for the
+    * q177/q179 CTE chains.
+    */
+  private def hashedVecCtes: String = {
     val vecExpr =
       """list_transform(generate_series(0, 63), d ->
         |      CAST(len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 1))
         |         - len(list_filter(hs, h -> h % 64 = d AND ((h >> 6) & 1) = 0)) AS DOUBLE))"""
         .stripMargin
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
        |), hsx AS (
        |  SELECT doc_id, list_transform(t, s -> ${Dedup.h60Sql("s")}) AS hs
@@ -2543,7 +2547,11 @@ object Similarity {
        |  SELECT doc_id, $vecExpr AS v FROM hsx
        |), nz AS (
        |  SELECT doc_id, v FROM vec WHERE ${dotSql.format("v", "v")} > 0
-       |)
+       |)""".stripMargin
+  }
+
+  private def q177OracleSql: String = {
+    s"""WITH $hashedVecCtes
        |SELECT b.doc_id,
        |  ${dotSql.format("a.v", "b.v")}
        |    / (${normSql("a.v")} * ${normSql("b.v")}) AS cosine_sim
@@ -2649,5 +2657,74 @@ object Similarity {
       .orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177, q178)
+  // ── q179: hashed embeddings through the LSH index, recall measured ────
+
+  private def q179OracleSql: String = {
+    val bucketSum = (0 until NumPlanes).map { i =>
+      val planeLit = planes(i).map(_.toString).mkString("[", ", ", "]")
+      s"    (CASE WHEN ${dotSql.format("b.v", planeLit)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" +\n")
+    val probeList = probeMasks.map(m => s"xor(q.qb, $m)").mkString(", ")
+    s"""WITH $hashedVecCtes, bk AS (
+       |  SELECT b.doc_id, b.v,
+       |$bucketSum AS bucket
+       |  FROM nz b
+       |), q AS (
+       |  SELECT v AS qv, bucket AS qb FROM bk WHERE doc_id = 0
+       |), bf AS (
+       |  SELECT b.doc_id
+       |  FROM nz a, nz b WHERE a.doc_id = 0 AND b.doc_id <> 0
+       |  ORDER BY ${dotSql.format("a.v", "b.v")}
+       |    / (${normSql("a.v")} * ${normSql("b.v")}) DESC, b.doc_id
+       |  LIMIT 10
+       |), lsh AS (
+       |  SELECT b.doc_id
+       |  FROM bk b, q WHERE b.doc_id <> 0 AND b.bucket IN ($probeList)
+       |  ORDER BY ${dotSql.format("q.qv", "b.v")}
+       |    / (${normSql("q.qv")} * ${normSql("b.v")}) DESC, b.doc_id
+       |  LIMIT 10
+       |), overlap AS (
+       |  SELECT COUNT(*) AS n FROM (
+       |    SELECT doc_id FROM bf INTERSECT SELECT doc_id FROM lsh)
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_overlap,
+       |  CAST(n * 1000 AS BIGINT) AS recall_bp
+       |FROM overlap""".stripMargin
+  }
+
+  /** q179 — the composition claim of q177 MEASURED: hashed embeddings
+    * flow through the q36 LSH-multiprobe index (same seeded hyperplanes,
+    * same 1- and 2-bit-flip probe masks) and the top-10 is compared
+    * against q177's brute-force baseline, q88's recall contract — one
+    * row, recall in thousandth-points of the 10-NN set. The generated
+    * vectors need no special treatment anywhere in the index path:
+    * bucket assignment, multiprobe, cosine rerank all run unchanged,
+    * which is the point — a corpus can bootstrap its similarity surface
+    * before any trained embedding exists. At 100 TB the LSH side scans
+    * only the ≤22 probed buckets of the corpus, not all pairs.
+    */
+  val q179 = Q("q179_hashed_lsh_recall", q179OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    val e = hashedVec(Catalog.table(s, dir, "documents"))
+      .withColumn("nn", dot(col("v"), col("v")))
+      .filter(col("nn") > 0)
+      .withColumn("bucket", lshBucket(col("v")))
+    val qRow = e.filter(col("doc_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qb"))
+    val lsh = e.filter(col("doc_id") =!= 0)
+      .crossJoin(broadcast(qRow))
+      .filter(exists(array(probeMasks.map(lit(_)): _*),
+        m => col("bucket") === col("qb").bitwiseXOR(m)))
+      .select(col("doc_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cs"))
+      .orderBy(col("cs").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id")
+    val bf = q177.fn(s, dir).select("doc_id")
+    bf.intersect(lsh)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("n_overlap"), (col("n_overlap") * 1000).as("recall_bp"))
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177, q178, q179)
 }

@@ -720,6 +720,12 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q179: the LSH index over hashed embeddings keeps high 10-NN recall") {
+    val r = Similarity.q179.fn(spark, sf).head()
+    assert(r.getAs[Long]("n_overlap") >= 8L,
+      s"multiprobe recall degenerated: ${r.getAs[Long]("n_overlap")}/10")
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
