@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   *      per-source tertile cut, LM trained on the curated corpus)
   *   9. domain reweighting over the accepted store (q175's
   *      multiplicative-weights optimizer on the curated loss cells)
+  *  10. embedding-space diversity over the accepted store (q178's
+  *      centroid-identity metric on the curated hashed embeddings)
   *
   * Cross-stage invariants are CHECKED, not assumed — a failed invariant
   * exits nonzero like a failed dbt test:
@@ -43,6 +45,8 @@ import org.apache.spark.sql.functions._
   *     majority, and tertiles stay balanced within one doc (8 vs 1)
   *   - the reweighting's final ppm weights sum to one within floor
   *     rounding and never allocate more docs than it scored (9 vs 1)
+  *   - every source's diversity is non-negative (Cauchy-Schwarz must
+  *     hold in exact arithmetic) over at most the accepted docs (10 vs 1)
   */
 object CorpusRun {
 
@@ -165,7 +169,19 @@ object CorpusRun {
       math.abs(wSum - 1000000L) <= nMwSrc && alloc <= mwDocs && mwDocs <= nAccepted,
       s"w4 ppm sum=$wSum; $alloc docs allocated of $mwDocs scored")
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+    // 10. embedding-space diversity OVER the accepted store: the q178
+    // per-source metric a diversity-aware sampling policy reads, computed
+    // on the curated corpus's hashed embeddings
+    val div = ops.Similarity.diversityOf(acceptedDocs).localCheckpoint()
+    div.coalesce(1).write.mode("overwrite").parquet(s"$outDir/diversity")
+    val nDivSrc = div.count()
+    val divAgg = div.agg(sum(col("n_docs")), min(col("diversity_fp"))).head()
+    val (divDocs, minDiv) = (divAgg.getLong(0), divAgg.getLong(1))
+    val s10 = Stage("diversity", nDivSrc,
+      minDiv >= 0L && divDocs <= nAccepted && nDivSrc > 0,
+      s"$nDivSrc sources over $divDocs accepted docs; min diversity_fp=$minDiv")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
   }
 
   def main(args: Array[String]): Unit = {

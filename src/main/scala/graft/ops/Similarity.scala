@@ -2640,16 +2640,44 @@ object Similarity {
     * |sources|·64 rows of state; the norms rollup rides the same scan.
     */
   val q178 = Q("q178_embedding_diversity", q178OracleSql) { (s, dir) =>
-    val withSrc = hashedVec(Catalog.table(s, dir, "documents"), keep = Seq("source"))
-    val norms = withSrc.select(col("source"),
-      aggregate(col("v"), lit(0.0), (a, x) => a + x * x).cast("long").as("sq"))
-    val agg = norms.groupBy("source")
+    diversityOf(Catalog.table(s, dir, "documents"))
+  }
+
+  /** q178 over any documents frame — shared with CorpusRun's
+    * accepted-store stage.
+    */
+  private[graft] def diversityOf(docs: DataFrame): DataFrame = {
+    val w = hashedVec(docs, keep = Seq("source"))
+    diversityFromCells(divDimCells(w), divStatCells(w))
+  }
+
+  /** Per-(source, dimension) coordinate sums — add-mergeable SUM cells
+    * (|sources|·64 rows), the dimension half of the diversity state a
+    * streaming sink maintains.
+    */
+  private[graft] def divDimCells(withSrc: DataFrame): DataFrame =
+    withSrc.select(col("source"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("source", "d")
+      .agg(sum(col("x").cast("long")).cast("long").as("s_d"))
+
+  /** Per-source (n_docs, Σ‖x‖²) — the scalar half, also SUM cells. */
+  private[graft] def divStatCells(withSrc: DataFrame): DataFrame =
+    withSrc.select(col("source"),
+        aggregate(col("v"), lit(0.0), (a, x) => a + x * x).cast("long").as("sq"))
+      .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_docs"), sum("sq").cast("long").as("sum_sq"))
-    val dims = withSrc
-      .select(col("source"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy("source", "d").agg(sum(col("x").cast("long")).cast("long").as("s_d"))
+
+  /** The q178 table from (possibly unfolded) cells — the fold is the
+    * first aggregation, so batch and store-served paths share this code.
+    */
+  private[graft] def diversityFromCells(dims: DataFrame, stats: DataFrame): DataFrame = {
+    val agg = stats.groupBy("source")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_sq").cast("long").as("sum_sq"))
+    val cent = dims.groupBy("source", "d")
+      .agg(sum("s_d").cast("long").as("s_d"))
       .groupBy("source").agg(sum(col("s_d") * col("s_d")).cast("long").as("cent_sq"))
-    agg.join(dims, Seq("source"))
+    agg.join(cent, Seq("source"))
       .select(col("source"), col("n_docs"), col("sum_sq"), col("cent_sq"),
         expr("(10000 * (n_docs * sum_sq - cent_sq)) div (n_docs * n_docs)")
           .as("diversity_fp"),

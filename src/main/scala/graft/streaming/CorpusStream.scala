@@ -326,6 +326,62 @@ object CorpusStream {
           sum(col("loss_sum")).cast("long").as("loss_sum"))
     }
 
+  // ── embedding diversity cells (q178 serving) ────────────────────────
+
+  /** One micro-batch's diversity cells — the batch is hashed-embedded
+    * ONCE (checkpointed) and fans into both stores: per-(source, dim)
+    * coordinate sums and per-source (n_docs, Σ‖x‖²). All SUM-mergeable,
+    * per-batchId OVERWRITE.
+    */
+  def writeDivDelta(batch: DataFrame, dimDir: String, statDir: String,
+      batchId: Long): Unit = {
+    val w = graft.ops.Similarity.hashedVec(batch, keep = Seq("source")).localCheckpoint()
+    graft.ops.Similarity.divDimCells(w).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dimDir/batch_id=$batchId")
+    graft.ops.Similarity.divStatCells(w).coalesce(1)
+      .write.mode("overwrite").parquet(s"$statDir/batch_id=$batchId")
+    ()
+  }
+
+  /** Diversity-cell maintenance sink — the per-source diversity metric a
+    * sampling policy reads, kept current as documents land with zero
+    * corpus rescans at serving time.
+    */
+  def divCellSink(stream: DataFrame, dimDir: String, statDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("embedding_diversity_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeDivDelta(batch, dimDir, statDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The q178 diversity table off the folded stores alone — bit-equal to
+    * batch q178 over the union of landings (StreamingSpec-pinned): the
+    * centroid identity is linear in exactly the sums the cells carry.
+    */
+  def diversityFromDeltas(spark: SparkSession, dimDir: String,
+      statDir: String): DataFrame =
+    graft.ops.Similarity.diversityFromCells(
+      spark.read.parquet(dimDir).select("source", "d", "s_d"),
+      spark.read.parquet(statDir).select("source", "n_docs", "sum_sq"))
+
+  /** Diversity-store retention: the fold algebra is the serving algebra. */
+  def compactDivDeltas(spark: SparkSession, dimDir: String, statDir: String,
+      upto: Long): Unit = {
+    StoreCompaction.foldInto(spark, dimDir, upto) { cells =>
+      cells.groupBy("source", "d").agg(sum(col("s_d")).cast("long").as("s_d"))
+    }
+    StoreCompaction.foldInto(spark, statDir, upto) { cells =>
+      cells.groupBy("source")
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_sq")).cast("long").as("sum_sq"))
+    }
+  }
+
   // ── CDC chunk cells (q171 serving) ──────────────────────────────────
 
   /** One micro-batch's CDC chunk cells and per-source doc counts — the

@@ -1350,6 +1350,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(decMap() === batch, "a replayed batch must not move the decisions")
   }
 
+  test("diversity cell stream: the q178 table off folded cells equals batch; replay and compaction are no-ops") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-div-landing")
+    val dims = tmpDir("graft-div-art") + "/dims"
+    val stats = tmpDir("graft-div-art2") + "/stats"
+    val checkpoint = tmpDir("graft-div-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-div-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut1), "f1.parquet")
+    CorpusStream.divCellSink(CorpusStream.readDocStream(spark, landing),
+      dims, stats, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.divCellSink(CorpusStream.readDocStream(spark, landing),
+      dims, stats, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
+    CorpusStream.divCellSink(CorpusStream.readDocStream(spark, landing),
+      dims, stats, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_sq"),
+          r.getAs[Long]("cent_sq"), r.getAs[Long]("diversity_fp"),
+          r.getAs[Long]("centroid_sq_fp"))))
+      .toMap
+    val batch = tblMap(ops.Similarity.q178.fn(spark, sf))
+    assert(tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === batch,
+      "served diversity table must equal batch q178 over the landed corpus")
+
+    // replay: per-batchId overwrite keeps both stores idempotent
+    CorpusStream.writeDivDelta(docs.filter(col("doc_id") < cut1), dims, stats, 0L)
+    CorpusStream.writeDivDelta(docs.filter(col("doc_id") < cut1), dims, stats, 0L)
+    assert(tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === batch,
+      "a replayed delta write must not move the served table")
+
+    // retention: the fold algebra is the serving algebra, on both stores
+    CorpusStream.compactDivDeltas(spark, dims, stats, upto = 1L)
+    assert(tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === batch,
+      "compaction must not move the served table")
+  }
+
   test("CDC chunk-cell stream: the dup report off folded cells equals batch q171; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-cdc-landing")
