@@ -85,4 +85,20 @@ class TextHashPropSpec extends AnyFunSuite {
     assert(TextHash.tokenHashes("A b a").toSeq ===
       Seq(TextHash.h60("a"), TextHash.h60("b"), TextHash.h60("a")), "non-distinct")
   }
+
+  test("featureHashVec matches the per-dimension count-difference reference on arbitrary text") {
+    def ref(s: String, dim: Int): Seq[Double] = {
+      val hs = refTokens(s).map(TextHash.h60)
+      (0 until dim).map(d =>
+        (hs.count(h => h % dim == d && ((h >> 6) & 1L) == 1L) -
+          hs.count(h => h % dim == d && ((h >> 6) & 1L) == 0L)).toDouble)
+    }
+    forAll(asciiGen) { s => TextHash.featureHashVec(s, 64).toSeq == ref(s, 64) }
+    forAll(unicodeGen) { s => TextHash.featureHashVec(s, 64).toSeq == ref(s, 64) }
+    // sanity anchors: sign and dimension routing per h60 definition
+    assert(TextHash.featureHashVec("", 64).forall(_ == 0.0))
+    val h = TextHash.h60("token")
+    val v = TextHash.featureHashVec("token", 64)
+    assert(v((h % 64).toInt) === (if (((h >> 6) & 1L) == 1L) 1.0 else -1.0))
+  }
 }
