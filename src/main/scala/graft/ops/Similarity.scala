@@ -2687,11 +2687,15 @@ object Similarity {
 
   // ── q179: hashed embeddings through the LSH index, recall measured ────
 
-  private def q179OracleSql: String = {
-    val bucketSum = (0 until NumPlanes).map { i =>
+  /** Inlined-plane LSH bucket sum over a vector SQL expression. */
+  private def bucketSumSql(vExpr: String): String =
+    (0 until NumPlanes).map { i =>
       val planeLit = planes(i).map(_.toString).mkString("[", ", ", "]")
-      s"    (CASE WHEN ${dotSql.format("b.v", planeLit)} > 0 THEN ${1 << i} ELSE 0 END)"
+      s"    (CASE WHEN ${dotSql.format(vExpr, planeLit)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" +\n")
+
+  private def q179OracleSql: String = {
+    val bucketSum = bucketSumSql("b.v")
     val probeList = probeMasks.map(m => s"xor(q.qb, $m)").mkString(", ")
     s"""WITH $hashedVecCtes, bk AS (
        |  SELECT b.doc_id, b.v,
@@ -2754,5 +2758,83 @@ object Similarity {
       .select(col("n_overlap"), (col("n_overlap") * 1000).as("recall_bp"))
   }
 
-  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177, q178, q179)
+  // ── q180: bootstrap semantic dedup (no model anywhere) ────────────────
+
+  /** Cosine threshold for the bootstrap near-dup verdict — measured on
+    * this corpus family: in-bucket pairs p99 ≈ 0.895, so 0.9 keeps the
+    * genuinely-near tail (~0.8 % of in-bucket candidates at sf0.01).
+    */
+  val BootstrapSemTau = 0.9
+
+  /** Per-doc bootstrap semantic-dedup verdicts: hashed embeddings, LSH
+    * bucket blocking (pairs only within a bucket — never all pairs),
+    * cosine ≥ [[BootstrapSemTau]], keep-first (a doc is the dup iff it
+    * has an EARLIER near neighbor). Returns (doc_id, source, is_dup).
+    */
+  private[graft] def bootstrapVerdicts(docs: DataFrame): DataFrame = {
+    val e = hashedVec(docs, keep = Seq("source"))
+      .withColumn("nn", dot(col("v"), col("v")))
+      .filter(col("nn") > 0)
+      .withColumn("nn", sqrt(col("nn")))
+      .withColumn("bucket", lshBucket(col("v")))
+    val other = e.select(col("doc_id").as("doc_b"), col("v").as("vb"),
+      col("nn").as("nb"), col("bucket").as("bb"))
+    val dups = e.join(other, col("bucket") === col("bb") && col("doc_id") < col("doc_b"))
+      .filter(dot(col("v"), col("vb")) / (col("nn") * col("nb")) >= lit(BootstrapSemTau))
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    e.select(col("doc_id"), col("source"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
+  private def q180OracleSql: String = {
+    val bucketSum = bucketSumSql("b.v")
+    s"""WITH $hashedVecCtes, bk AS (
+       |  SELECT b.doc_id, b.v,
+       |$bucketSum AS bucket
+       |  FROM nz b
+       |), prs AS (
+       |  SELECT b2.doc_id AS doc_b
+       |  FROM bk b1 JOIN bk b2 ON b1.bucket = b2.bucket AND b1.doc_id < b2.doc_id
+       |  WHERE ${dotSql.format("b1.v", "b2.v")}
+       |    / (${normSql("b1.v")} * ${normSql("b2.v")}) >= CAST($BootstrapSemTau AS DOUBLE)
+       |), dups AS (
+       |  SELECT DISTINCT doc_b FROM prs
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN du.doc_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dups,
+       |  (10000 * CAST(SUM(CASE WHEN du.doc_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(COUNT(*) AS BIGINT) AS dup_bp
+       |FROM nz n
+       |JOIN documents d ON n.doc_id = d.doc_id
+       |LEFT JOIN dups du ON n.doc_id = du.doc_b
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
+
+  /** q180 — SemDeDup with NO model anywhere: q100's semantics (cosine ≥
+    * threshold within a blocking partition, keep-first) over q177's
+    * train-free hashed embeddings, blocked by the q36 LSH buckets instead
+    * of labels or learned clusters — the semantic dedup a corpus team can
+    * run on day one, before any embedding model exists. Per source:
+    * nonzero-vector docs, semantic dups, and the dup rate in exact basis
+    * points. The bucket join keeps candidate pairs at Σ bucket² (~n²/2^planes
+    * with balanced buckets), never corpus²; at 100 TB the plane count
+    * grows with log(n) exactly as the q36 comment prescribes.
+    */
+  val q180 = Q("q180_bootstrap_semdedup", q180OracleSql) { (s, dir) =>
+    graft.functions.VecDot.register(s)
+    bootstrapVerdicts(Catalog.table(s, dir, "documents"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        Det.countIf(col("is_dup")).as("n_sem_dups"))
+      .select(col("source"), col("n_docs"), col("n_sem_dups"),
+        expr("(10000 * n_sem_dups) div n_docs").as("dup_bp"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q34, q35, q36, q38, q70, q88, q94, q97, q98, q99, q100, q103, q104, q106, q107, q112, q114, q117, q122, q130, q132, q145, q177, q178, q179, q180)
 }

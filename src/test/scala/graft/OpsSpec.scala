@@ -728,6 +728,21 @@ class OpsSpec extends AnyFunSuite {
       s"multiprobe recall degenerated: ${r.getAs[Long]("n_overlap")}/10")
   }
 
+  test("q180: bootstrap semantic dedup flags the planted copies with keep-first verdicts") {
+    val plantedWithSrc = planted.withColumn("source", lit("probe"))
+    val verdicts = Similarity.bootstrapVerdicts(plantedWithSrc)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // the exact copy (9003 = doc 3) has the identical vector: same
+    // bucket by construction, cosine exactly 1.0 — it can never be missed
+    assert(verdicts(9003L), "exact copy must be the dup")
+    // the report is consistent with the verdicts
+    val rep = Similarity.q180.fn(spark, sf).collect()
+    rep.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getAs[Long]("dup_bp") === 10000L * r.getLong(2) / r.getLong(1))
+    }
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
