@@ -107,6 +107,107 @@ object Mining {
       .orderBy("doc_id")
   }
 
+  // ── q181: maximal duplicated-span extraction ──────────────────────────
+
+  private def q181OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), ph AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= $SubstringWindow
+       |    THEN [struct_pack(pos := i - 1, h := ${Dedup.h60Sql(s"array_to_string(t[i:i+${SubstringWindow - 1}], ' ')")}) for i in range(1, len(t) - ${SubstringWindow - 2})]
+       |    ELSE [struct_pack(pos := 0, h := ${Dedup.h60Sql("array_to_string(t, ' ')")})] END AS ps
+       |  FROM tk
+       |), ex AS (
+       |  SELECT doc_id, unnest(ps, recursive := true) FROM ph
+       |), freq AS (
+       |  SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2
+       |), wc AS (
+       |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+       |  FROM ex LEFT JOIN freq f ON ex.h = f.h GROUP BY ex.doc_id
+       |), d AS (
+       |  SELECT e.doc_id, e.pos FROM ex e JOIN freq f ON e.h = f.h
+       |), lagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |      OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= $SubstringWindow
+       |      THEN 1 ELSE 0 END AS is_start
+       |  FROM d
+       |), isl AS (
+       |  SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM lagged
+       |), spans AS (
+       |  SELECT doc_id, island, MAX(pos) - MIN(pos) + $SubstringWindow AS span_tokens
+       |  FROM isl GROUP BY doc_id, island
+       |), rep AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       |    CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT w.doc_id, w.n_windows, w.n_dup_windows,
+       |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(r.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(r.max_span_tokens, 0) AS BIGINT) AS max_span_tokens
+       |FROM wc w LEFT JOIN rep r ON w.doc_id = r.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  /** q181's span extraction over any documents frame (doc_id, text). */
+  private[graft] def duplicatedSpansOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ShingleHashes.register(d.sparkSession)
+    val ex = d.select(col("doc_id"),
+      posexplode(call_function("shingle_hashes_all", col("text"),
+        lit(SubstringWindow))).as(Seq("pos", "h")))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val wc = ex.join(freq.withColumn("dup", lit(true)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), Det.countIf(col("dup")).as("n_dup_windows"))
+    // gaps-and-islands over the duplicated positions: windows are
+    // per-doc partitions (bounded by document length), never global
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val lagged = ex.join(freq, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("is_start",
+        (col("prev").isNull || (col("pos") - col("prev")) >= SubstringWindow).cast("int"))
+    val spans = lagged
+      .withColumn("island", sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max("pos") - min("pos") + SubstringWindow).as("span_tokens"))
+    val rep = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_tokens").cast("long").as("dup_tokens"),
+        max("span_tokens").cast("long").as("max_span_tokens"))
+    wc.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q181 — MAXIMAL duplicated-span extraction (the span form of exact
+    * substring dedup, Lee et al. 2022): q48 says WHETHER a document is
+    * duplicative; this says WHERE — per document, the maximal token
+    * spans every one of whose $SubstringWindow-token windows occurs at
+    * least twice in the corpus (within-document repeats included).
+    * Consecutive duplicated window positions merge while their token
+    * intervals overlap (gap < window), so span token masses are the
+    * exact size of the covered-token UNION — what a surgical cut
+    * removes, the q136/q137 scalpel pointed at self-duplication instead
+    * of benchmark contamination. Short-document fallback windows count
+    * as one window of w tokens (both engines, by convention). At 100 TB:
+    * one hash aggregate decides duplication; the islands pass runs in
+    * per-document window partitions, never a global sort.
+    */
+  val q181 = Q("q181_duplicated_spans", q181OracleSql) { (s, dir) =>
+    duplicatedSpansOf(docs(s, dir))
+  }
+
   // ── q49: blocked record linkage ───────────────────────────────────────
 
   val LinkageMaxDistance = 2
@@ -2426,5 +2527,5 @@ object Mining {
 
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q175)
+    q164, q165, q166, q167, q168, q169, q175, q181)
 }

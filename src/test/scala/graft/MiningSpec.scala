@@ -789,6 +789,34 @@ class MiningSpec extends AnyFunSuite {
     assert(dist === naive)
   }
 
+  test("q181: the planted exact copy collapses to one whole-document span") {
+    val out = Mining.duplicatedSpansOf(planted.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // 9003 is an exact copy of doc 3: every window duplicated, positions
+    // contiguous, so exactly ONE span covering the whole document
+    // (n_windows + w - 1 tokens) on BOTH sides of the copy
+    Seq(3L, 9003L).foreach { id =>
+      val (nw, ndw, nspans, dupTokens, maxSpan) = out(id)
+      assert(ndw === nw, s"doc $id: all windows duplicated")
+      assert(nspans === 1L, s"doc $id: one maximal span")
+      assert(dupTokens === nw + 8 - 1, s"doc $id: span covers the whole doc")
+      assert(maxSpan === dupTokens)
+    }
+    // 9001 changed doc 1's first word: the windows overlapping position 0
+    // are unique to it, so its duplicated mass is a strict suffix
+    val (nw1, ndw1, _, dup1, _) = out(9001L)
+    assert(ndw1 < nw1 && dup1 < nw1 + 8 - 1, "the edited head must stay unduplicated")
+    // span accounting is internally consistent everywhere
+    out.values.foreach { case (nw, ndw, nspans, dupTokens, maxSpan) =>
+      assert(ndw <= nw)
+      assert((nspans == 0L) == (ndw == 0L))
+      assert(maxSpan <= dupTokens)
+      assert(dupTokens <= ndw * 8, "a span never covers more than w tokens per window")
+    }
+  }
+
   test("q175: the MW weight trajectory matches a sequential simulation and orders by excess") {
     val out = Mining.q175.fn(spark, sf).collect()
     // sequential simulation of the exact update off the per-source stats
