@@ -153,9 +153,27 @@ object Mining {
        |FROM wc w LEFT JOIN rep r ON w.doc_id = r.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
+  /** Gaps-and-islands over (doc_id, pos) window positions: merge
+    * consecutive positions while token intervals overlap (gap <
+    * window), emit one row per maximal span with its exact token mass.
+    * Windows are per-document partitions — bounded by document length,
+    * never a global sort.
+    */
+  private[graft] def spanIslands(positions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    positions
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("is_start",
+        (col("prev").isNull || (col("pos") - col("prev")) >= SubstringWindow).cast("int"))
+      .withColumn("island", sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg((max("pos") - min("pos") + SubstringWindow).as("span_tokens"))
+  }
+
   /** q181's span extraction over any documents frame (doc_id, text). */
   private[graft] def duplicatedSpansOf(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ShingleHashes.register(d.sparkSession)
     val ex = d.select(col("doc_id"),
       posexplode(call_function("shingle_hashes_all", col("text"),
@@ -165,19 +183,7 @@ object Mining {
     val wc = ex.join(freq.withColumn("dup", lit(true)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"), Det.countIf(col("dup")).as("n_dup_windows"))
-    // gaps-and-islands over the duplicated positions: windows are
-    // per-doc partitions (bounded by document length), never global
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val lagged = ex.join(freq, Seq("h"), "left_semi")
-      .select("doc_id", "pos")
-      .withColumn("prev", lag("pos", 1).over(w))
-      .withColumn("is_start",
-        (col("prev").isNull || (col("pos") - col("prev")) >= SubstringWindow).cast("int"))
-    val spans = lagged
-      .withColumn("island", sum("is_start")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "island")
-      .agg((max("pos") - min("pos") + SubstringWindow).as("span_tokens"))
+    val spans = spanIslands(ex.join(freq, Seq("h"), "left_semi").select("doc_id", "pos"))
     val rep = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum("span_tokens").cast("long").as("dup_tokens"),
@@ -206,6 +212,107 @@ object Mining {
     */
   val q181 = Q("q181_duplicated_spans", q181OracleSql) { (s, dir) =>
     duplicatedSpansOf(docs(s, dir))
+  }
+
+  // ── q182: keep-first span scrub plan ──────────────────────────────────
+
+  /** Position-key packing for first-occurrence attribution: positions
+    * are < 10⁵ per document (the corpus tops out around 10² tokens), so
+    * doc_id·10⁵ + pos orders (doc_id, pos) pairs exactly in one BIGINT.
+    */
+  private val SpanPosKey = 100000L
+
+  private def q182OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), tt AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM tk
+       |  WHERE len(t) >= $SubstringWindow
+       |), ph AS (
+       |  SELECT doc_id, n_tokens,
+       |    [struct_pack(pos := i - 1, h := ${Dedup.h60Sql(s"array_to_string(t[i:i+${SubstringWindow - 1}], ' ')")}) for i in range(1, len(t) - ${SubstringWindow - 2})] AS ps
+       |  FROM tt
+       |), ex AS (
+       |  SELECT doc_id, n_tokens, unnest(ps, recursive := true) FROM ph
+       |), fq AS (
+       |  SELECT h, COUNT(*) AS n, MIN(doc_id * $SpanPosKey + pos) AS first_key
+       |  FROM ex GROUP BY h
+       |), cut AS (
+       |  SELECT e.doc_id, e.pos FROM ex e JOIN fq ON e.h = fq.h
+       |  WHERE fq.n >= 2 AND e.doc_id * $SpanPosKey + e.pos > fq.first_key
+       |), lagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |      OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= $SubstringWindow
+       |      THEN 1 ELSE 0 END AS is_start
+       |  FROM cut
+       |), isl AS (
+       |  SELECT doc_id, pos, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM lagged
+       |), spans AS (
+       |  SELECT doc_id, island, MAX(pos) - MIN(pos) + $SubstringWindow AS span_tokens
+       |  FROM isl GROUP BY doc_id, island
+       |), rep AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cut_spans,
+       |    CAST(SUM(span_tokens) AS BIGINT) AS cut_tokens
+       |  FROM spans GROUP BY doc_id
+       |), base AS (
+       |  SELECT DISTINCT doc_id, n_tokens FROM tt
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(COALESCE(r.cut_spans, 0) AS BIGINT) AS cut_spans,
+       |  CAST(COALESCE(r.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+       |  b.n_tokens - CAST(COALESCE(r.cut_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  b.n_tokens = CAST(COALESCE(r.cut_tokens, 0) AS BIGINT) AS fully_cut
+       |FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** q182's scrub plan over any documents frame (doc_id, text). */
+  private[graft] def spanScrubPlanOf(d: DataFrame): DataFrame = {
+    ShingleHashes.register(d.sparkSession)
+    val toks = d.select(col("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"), col("text"))
+      .filter(col("n_tokens") >= SubstringWindow)
+    val ex = toks.select(col("doc_id"),
+      posexplode(call_function("shingle_hashes_all", col("text"),
+        lit(SubstringWindow))).as(Seq("pos", "h")))
+    val fq = ex.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id") * SpanPosKey + col("pos")).as("first_key"))
+    val cut = ex.join(fq, Seq("h"))
+      .filter(col("n") >= 2 &&
+        col("doc_id") * SpanPosKey + col("pos") > col("first_key"))
+      .select("doc_id", "pos")
+    val rep = spanIslands(cut).groupBy("doc_id")
+      .agg(count(lit(1)).as("cut_spans"),
+        sum("span_tokens").cast("long").as("cut_tokens"))
+    toks.select("doc_id", "n_tokens")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cut_spans"), lit(0L)).as("cut_spans"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).as("kept_tokens"),
+        (col("n_tokens") === coalesce(col("cut_tokens"), lit(0L))).as("fully_cut"))
+      .orderBy("doc_id")
+  }
+
+  /** q182 — the keep-first SPAN SCRUB PLAN: q181 located the duplicated
+    * spans; this applies production dedup semantics to them — every
+    * duplicated window keeps its FIRST corpus occurrence (min (doc_id,
+    * pos), packed into one BIGINT key) and is cut everywhere else, so
+    * exactly one copy of every duplicated substring survives (Lee et
+    * al. 2022's removal rule). Cut positions merge into maximal spans
+    * (token-interval overlap), and the per-doc plan reports spans to
+    * cut, exact cut/kept token masses, and the fully-cut flag a
+    * whole-doc dedup pass consumes. Documents shorter than the window
+    * are excluded — they are whole-doc dedup's job (q30), not span
+    * surgery's. Scale shape: one hash aggregate carries both the
+    * duplication verdict AND the argmin first-occurrence key; islands
+    * ride per-document window partitions.
+    */
+  val q182 = Q("q182_span_scrub_plan", q182OracleSql) { (s, dir) =>
+    spanScrubPlanOf(docs(s, dir))
   }
 
   // ── q49: blocked record linkage ───────────────────────────────────────
@@ -2527,5 +2634,5 @@ object Mining {
 
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q175, q181)
+    q164, q165, q166, q167, q168, q169, q175, q181, q182)
 }

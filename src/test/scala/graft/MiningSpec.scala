@@ -817,6 +817,28 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q182: keep-first span scrub cuts the copy, keeps the original, conserves tokens") {
+    val out = Mining.spanScrubPlanOf(planted.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // the exact copy loses everything: every window's first occurrence
+    // sits in doc 3 (or earlier), so 9003 is fully cut
+    val (n9, _, cut9, kept9, full9) = out(9003L)
+    assert(full9 && kept9 === 0L && cut9 === n9, "exact copy must be fully cut")
+    // the original keeps the mass its copy lost (first occurrence wins)
+    val (n3, _, cut3, kept3, _) = out(3L)
+    assert(kept3 > 0L, "the first occurrence must survive")
+    assert(cut3 < n3)
+    // exact accounting everywhere: kept + cut = tokens, never negative
+    out.values.foreach { case (n, spans, cutT, keptT, full) =>
+      assert(keptT + cutT === n)
+      assert(keptT >= 0L && cutT >= 0L)
+      assert((spans == 0L) == (cutT == 0L))
+      assert(full == (keptT == 0L))
+    }
+  }
+
   test("q175: the MW weight trajectory matches a sequential simulation and orders by excess") {
     val out = Mining.q175.fn(spark, sf).collect()
     // sequential simulation of the exact update off the per-source stats
