@@ -268,8 +268,8 @@ object Mining {
        |FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
-  /** q182's scrub plan over any documents frame (doc_id, text). */
-  private[graft] def spanScrubPlanOf(d: DataFrame): DataFrame = {
+  /** Span-eligible docs with their positional window hashes. */
+  private def spanWindows(d: DataFrame): (DataFrame, DataFrame) = {
     ShingleHashes.register(d.sparkSession)
     val toks = d.select(col("doc_id"),
       size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tokens"), col("text"))
@@ -277,9 +277,33 @@ object Mining {
     val ex = toks.select(col("doc_id"),
       posexplode(call_function("shingle_hashes_all", col("text"),
         lit(SubstringWindow))).as(Seq("pos", "h")))
-    val fq = ex.groupBy("h")
-      .agg(count(lit(1)).as("n"),
+    (toks, ex)
+  }
+
+  /** One batch's window cells — (h, n, first_key) with SUM-mergeable n
+    * and MIN-mergeable first_key, so a streaming sink can maintain the
+    * whole first-occurrence duplication state as documents land.
+    */
+  private[graft] def spanWindowCells(d: DataFrame): DataFrame = {
+    val (_, ex) = spanWindows(d)
+    ex.groupBy("h")
+      .agg(count(lit(1)).cast("long").as("n"),
         min(col("doc_id") * SpanPosKey + col("pos")).as("first_key"))
+  }
+
+  /** q182's plan for `d` against (possibly unfolded) window cells — the
+    * fold is the first aggregation, so batch and store-served paths
+    * share this code.
+    */
+  private[graft] def spanScrubFromCells(d: DataFrame, cells: DataFrame): DataFrame = {
+    val (toks, ex) = spanWindows(d)
+    scrubFromParts(toks, ex, cells)
+  }
+
+  private def scrubFromParts(toks: DataFrame, ex: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val fq = cells.groupBy("h")
+      .agg(sum("n").cast("long").as("n"), min("first_key").as("first_key"))
     val cut = ex.join(fq, Seq("h"))
       .filter(col("n") >= 2 &&
         col("doc_id") * SpanPosKey + col("pos") > col("first_key"))
@@ -295,6 +319,18 @@ object Mining {
         (col("n_tokens") - coalesce(col("cut_tokens"), lit(0L))).as("kept_tokens"),
         (col("n_tokens") === coalesce(col("cut_tokens"), lit(0L))).as("fully_cut"))
       .orderBy("doc_id")
+  }
+
+  /** q182's scrub plan over any documents frame (doc_id, text) — the
+    * windows are built once and feed both the cell aggregate and the
+    * cut join.
+    */
+  private[graft] def spanScrubPlanOf(d: DataFrame): DataFrame = {
+    val (toks, ex) = spanWindows(d)
+    val cells = ex.groupBy("h")
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("doc_id") * SpanPosKey + col("pos")).as("first_key"))
+    scrubFromParts(toks, ex, cells)
   }
 
   /** q182 — the keep-first SPAN SCRUB PLAN: q181 located the duplicated

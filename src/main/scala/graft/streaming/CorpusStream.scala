@@ -382,6 +382,53 @@ object CorpusStream {
     }
   }
 
+  // ── span window cells (q182 serving) ────────────────────────────────
+
+  /** One micro-batch's window cells — Mining.spanWindowCells verbatim:
+    * (h, n, first_key) with SUM-mergeable n and MIN-mergeable first_key.
+    * The first-occurrence attribution is therefore arrival-order
+    * INVARIANT: whichever batch lands first, the fold's MIN recovers the
+    * global argmin (doc_id, pos). Per-batchId OVERWRITE; the store grows
+    * with unique window content, like the CDC chunk store.
+    */
+  def writeSpanDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    graft.ops.Mining.spanWindowCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Window-cell maintenance sink — the exact-substring duplication
+    * state kept current as documents land.
+    */
+  def spanCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("span_window_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSpanDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The q182 scrub plan for `d` served off the folded window store —
+    * bit-equal to batch q182 when `d` is the union of landings
+    * (StreamingSpec-pinned), and the path an incremental pipeline runs:
+    * plan NEW documents against the accumulated first-occurrence state
+    * without rescanning history.
+    */
+  def spanScrubFromDeltas(spark: SparkSession, deltaDir: String,
+      d: DataFrame): DataFrame =
+    graft.ops.Mining.spanScrubFromCells(d,
+      spark.read.parquet(deltaDir).select("h", "n", "first_key"))
+
+  /** Span-store retention: the fold algebra is the serving algebra. */
+  def compactSpanDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("h")
+        .agg(sum(col("n")).cast("long").as("n"),
+          min(col("first_key")).as("first_key"))
+    }
+
   // ── CDC chunk cells (q171 serving) ──────────────────────────────────
 
   /** One micro-batch's CDC chunk cells and per-source doc counts — the

@@ -1401,6 +1401,56 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("span window-cell stream: the scrub plan off folded cells equals batch q182 under any arrival order") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-span-landing")
+    val deltas = tmpDir("graft-span-art") + "/deltas"
+    val checkpoint = tmpDir("graft-span-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-span-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // REVERSED arrival order: the highest-id chunk lands first — the MIN
+    // fold must still recover the global first-occurrence attribution
+    land(docs.filter(col("doc_id") >= cut2), "f1.parquet")
+    CorpusStream.spanCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
+    CorpusStream.spanCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") < cut1), "f3.parquet")
+    CorpusStream.spanCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    val batch = tblMap(ops.Mining.q182.fn(spark, sf))
+    assert(tblMap(CorpusStream.spanScrubFromDeltas(spark, deltas, docs)) === batch,
+      "served scrub plan must equal batch q182 despite reversed arrival")
+
+    // replay: per-batchId overwrite keeps SUM/MIN cells idempotent
+    CorpusStream.writeSpanDelta(docs.filter(col("doc_id") >= cut2), deltas, 0L)
+    CorpusStream.writeSpanDelta(docs.filter(col("doc_id") >= cut2), deltas, 0L)
+    assert(tblMap(CorpusStream.spanScrubFromDeltas(spark, deltas, docs)) === batch,
+      "a replayed delta write must not move the served plan")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactSpanDeltas(spark, deltas, upto = 1L)
+    assert(tblMap(CorpusStream.spanScrubFromDeltas(spark, deltas, docs)) === batch,
+      "compaction must not move the served plan")
+  }
+
   test("CDC chunk-cell stream: the dup report off folded cells equals batch q171; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-cdc-landing")
