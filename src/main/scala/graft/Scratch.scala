@@ -719,6 +719,34 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "spanprobe") {
+      // Span-scrub cost law (q181/q182): the hash aggregate is the only
+      // corpus-sized exchange and the islands pass rides per-doc window
+      // partitions, so the plan must stay linear. Id-shifted copies
+      // duplicate every window: at Nx the keep-first plan must cut
+      // ~(N-1)/N of the token mass while the window-cell store stays at
+      // its 1x size (state grows with unique content, the CDC law).
+      import graft.ops.Mining
+      val mult = if (args.length > 2) args(2).toInt else 16
+      val docsT = Catalog.table(spark, sfDir, "documents").select("doc_id", "text")
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      Seq(1, 1, mult).foreach { m =>
+        time(s"span${m}x.plan") {
+          Mining.spanScrubPlanOf(docsAt(m)).agg(sum("cut_tokens")).head().getLong(0)
+        }
+        time(s"span${m}x.cells") {
+          Mining.spanWindowCells(docsAt(m)).count()
+        }
+      }
+      val plan = Mining.spanScrubPlanOf(docsAt(mult))
+        .agg(sum("cut_tokens"), sum("n_tokens")).head()
+      println(s"span${mult}x: cut=${plan.getLong(0)} of ${plan.getLong(1)} tokens " +
+        f"(${plan.getLong(0) * 100.0 / plan.getLong(1)}%.1f%%)")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
