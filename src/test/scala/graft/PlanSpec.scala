@@ -544,4 +544,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"every join (df filter, coverage anti-join, per-doc rollups) is a hash equi-join:\n$p")
   }
+
+  test("q174/q176: multimodal dedup candidates are band/code equi-joins, never all pairs") {
+    Seq("q174_image_phash_dedup", "q176_audio_fingerprint_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation must stay a (band/probe, hash) equi-join:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never serialize into one partition:\n$p")
+    }
+  }
+
+  test("q177/q179: hashed-embedding top-k is TakeOrdered, never a global sort") {
+    Seq("q177_hashed_embedding_knn", "q179_hashed_lsh_recall").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q's LIMIT must fuse into the sort (per-partition top-k + driver merge):\n$q\n$p")
+    }
+  }
+
+  test("q178: diversity is two hash-aggregate rollups — no Expand, no single partition") {
+    val p = plan("q178_embedding_diversity")
+    assert(!p.contains("Expand"), s"per-dim sums must not expand:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the (source, dim) rollup must stay partitioned:\n$p")
+  }
+
+  test("q180: bootstrap semantic dedup blocks on the LSH bucket — equi-join only") {
+    val p = plan("q180_bootstrap_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay bucket-blocked:\n$p")
+  }
+
+  test("q181/q182: span islands ride per-document window partitions, never a global sort") {
+    Seq("q181_duplicated_spans", "q182_span_scrub_plan").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q's gaps-and-islands must stay doc-partitioned:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q's duplication joins are hash equi-joins:\n$p")
+    }
+  }
 }
