@@ -1375,7 +1375,92 @@ object TextOps {
       |  FROM ex GROUP BY pack_id
       |)""".stripMargin
 
+  // ── q183: bigram novelty between releases ─────────────────────────────
+
+  private def q183OracleSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), cutv AS (
+       |  SELECT MAX(doc_id) // 2 AS cut FROM documents
+       |), bg AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+       |    unnest(list_slice(t, 2, len(t))) AS w2
+       |  FROM tk WHERE len(t) >= 2
+       |), v1 AS (
+       |  SELECT DISTINCT w1, w2 FROM bg, cutv WHERE doc_id < cut
+       |), post AS (
+       |  SELECT b.source, b.w1, b.w2 FROM bg b, cutv WHERE b.doc_id >= cut
+       |), nw AS (
+       |  SELECT p.source, p.w1, p.w2, v.w1 IS NOT NULL AS known
+       |  FROM post p LEFT JOIN v1 v ON p.w1 = v.w1 AND p.w2 = v.w2
+       |), inst AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_instances,
+       |    CAST(SUM(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT) AS n_new_instances
+       |  FROM nw GROUP BY source
+       |), typ AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_types FROM (
+       |    SELECT DISTINCT source, w1, w2 FROM nw WHERE NOT known)
+       |  GROUP BY source
+       |)
+       |SELECT i.source, i.n_instances, i.n_new_instances,
+       |  (10000 * i.n_new_instances) // i.n_instances AS novelty_bp,
+       |  CAST(COALESCE(t2.n_new_types, 0) AS BIGINT) AS n_new_types
+       |FROM inst i LEFT JOIN typ t2 ON i.source = t2.source
+       |ORDER BY i.source""".stripMargin
+
+  /** The novelty rollup for the post-cut slice of `d`, against an
+    * optional externally-served v1 vocabulary (the streamed LM store at
+    * a release pin); `None` derives v1 from the pre-cut slice itself.
+    */
+  private[graft] def bigramNovelty(d: DataFrame, cut: Long,
+      v1Opt: Option[DataFrame]): DataFrame = {
+    val bg = d
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val v1 = v1Opt.getOrElse(bg.filter(col("doc_id") < cut).select("w1", "w2"))
+      .select("w1", "w2").distinct().withColumn("known", lit(true))
+    val nw = bg.filter(col("doc_id") >= cut).join(v1, Seq("w1", "w2"), "left")
+    val inst = nw.groupBy("source")
+      .agg(count(lit(1)).as("n_instances"),
+        Det.countIf(col("known").isNull).as("n_new_instances"))
+    // distinct-then-count, never COUNT(DISTINCT)'s Expand
+    val typ = nw.filter(col("known").isNull)
+      .select("source", "w1", "w2").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_new_types"))
+    inst.join(typ, Seq("source"), "left")
+      .select(col("source"), col("n_instances"), col("n_new_instances"),
+        expr("(10000 * n_new_instances) div n_instances").as("novelty_bp"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .orderBy("source")
+  }
+
+  /** q183 — bigram NOVELTY between releases: how much of the newly
+    * landed half's bigram mass the previous release's model has never
+    * seen — the vocabulary-growth statistic that decides whether q173's
+    * churn is noise or a genuinely shifted corpus (high novelty means
+    * the old model scores the new data blind). Release boundary = q173's
+    * scale-free doc_id < max/2 convention. Per source: post-cut bigram
+    * instances, never-seen instances, novelty in exact basis points, and
+    * the distinct new types the source introduces. At 100 TB: one
+    * tokenize pass (checkpointed) feeds both sides; the vocabulary probe
+    * is a hash left-join on (w1, w2); new-type counting is
+    * distinct-then-count, never an Expand.
+    */
+  val q183 = Q("q183_bigram_novelty", q183OracleSql) { (s, dir) =>
+    val d = docs(s, dir)
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    bigramNovelty(d, cut, None)
+  }
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170, q173)
+      q121, q152, q160, q170, q173, q183)
 }

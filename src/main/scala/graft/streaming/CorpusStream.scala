@@ -275,6 +275,17 @@ object CorpusStream {
       d: DataFrame, upto: Long = Long.MaxValue): DataFrame =
     TextOps.fluencyScoredFromCounts(d, Some(lmCountsFromDeltas(spark, deltaDir, upto)))
 
+  /** q183's bigram-novelty table served off the streamed LM store: the
+    * previous release's vocabulary is the release-pinned fold (batches ≤
+    * `upto`), so the novelty of newly landed documents costs one scan of
+    * the NEW frame and zero history rescans — the store that already
+    * powers q101/q170/q173 serves the vocabulary-growth statistic too.
+    */
+  def noveltyFromDeltas(spark: SparkSession, deltaDir: String,
+      d: DataFrame, cut: Long, upto: Long = Long.MaxValue): DataFrame =
+    TextOps.bigramNovelty(d, cut,
+      Some(lmCountsFromDeltas(spark, deltaDir, upto).select("w1", "w2")))
+
   /** LM-store retention: the fold algebra is the serving algebra. */
   def compactLmDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
     StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>

@@ -1206,6 +1206,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram novelty served off the release-pinned LM store equals batch q183") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-nov-landing")
+    val deltas = tmpDir("graft-nov-art") + "/deltas"
+    val checkpoint = tmpDir("graft-nov-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    // q183's release boundary: the v1 model is everything below max/2
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-nov-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // batch 0 = the v1 release, batch 1 = the new half
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    CorpusStream.lmCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    CorpusStream.lmCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val batch = tblMap(ops.TextOps.q183.fn(spark, sf))
+    // the v1 vocabulary is the release pin upto = 0: batch 1 never folds
+    assert(tblMap(CorpusStream.noveltyFromDeltas(spark, deltas, docs, cut, upto = 0L))
+      === batch,
+      "novelty off the release-pinned store must equal batch q183")
+    // pinning at the full store instead makes every post-cut bigram known
+    val full = CorpusStream.noveltyFromDeltas(spark, deltas, docs, cut)
+      .agg(sum(col("n_new_instances"))).head().getLong(0)
+    assert(full === 0L, "against its own release, nothing is novel")
+  }
+
   test("bigram-LM cell stream: served fluency and tertile buckets equal batch q101/q170; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     import graft.ops.TextOps
