@@ -2060,7 +2060,91 @@ object Dedup {
       .orderBy("mask")
   }
 
+  // ── q184: asymmetric containment detection ────────────────────────────
+
+  private def q184OracleSql: String =
+    s"""$shingleCtes, ex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs
+       |), sizes AS (
+       |  SELECT doc_id, len(hh) AS sz FROM hs
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT s.doc_id, s.doc_b, s.n_shared, sa.sz AS sa, sb.sz AS sb,
+       |    CAST(s.n_shared AS DOUBLE) / (sa.sz + sb.sz - s.n_shared) AS j
+       |  FROM shared s
+       |  JOIN sizes sa ON s.doc_id = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |), sym AS (
+       |  SELECT doc_id, doc_b, CAST(n_shared AS DOUBLE) / sa AS c, j FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_id AS doc_b, CAST(n_shared AS DOUBLE) / sb AS c, j
+       |  FROM pairs
+       |), best AS (
+       |  SELECT doc_id, doc_b, c, j,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, doc_b) AS rn
+       |  FROM sym
+       |)
+       |SELECT d.doc_id, b.doc_b AS contained_in,
+       |  COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) AS containment,
+       |  COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) AS jaccard_at_best,
+       |  (COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) >= 0.9) AS is_contained,
+       |  (COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) >= 0.9
+       |    AND COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) < 0.5) AS missed_by_jaccard
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, doc_b, c, j FROM best WHERE rn = 1) b
+       |  ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q184's per-doc containment rollup over any documents frame. */
+  private[graft] def containmentOf(d: DataFrame): DataFrame = {
+    val pairs = jaccardPairs(d)
+    // symmetrize with the DIRECTION-specific normalizer: c(A→B) = |A∩B|/|A|
+    // — a short doc fully embedded in a long one scores 1.0 here while
+    // its Jaccard is tiny, which is exactly the pair Jaccard dedup misses
+    val sym = pairs.select(explode(array(
+        struct(col("doc_id"), col("doc_b"),
+          (col("n_shared").cast("double") / col("size_a")).as("c"), col("jaccard")),
+        struct(col("doc_b").as("doc_id"), col("doc_id").as("doc_b"),
+          (col("n_shared").cast("double") / col("size_b")).as("c"), col("jaccard")))).as("p"))
+      .select(col("p.doc_id"), col("p.doc_b"), col("p.c"), col("p.jaccard"))
+    val best = sym
+      .groupBy("doc_id")
+      .agg(max(struct(col("c"), (-col("doc_b")).as("neg_b"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_b")).as("contained_in"),
+        Det.dround(col("m.c"), 4).as("containment"),
+        Det.dround(col("m.jaccard"), 4).as("jaccard_at_best"))
+    d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contained_in"),
+        coalesce(col("containment"), lit(0.0)).as("containment"),
+        coalesce(col("jaccard_at_best"), lit(0.0)).as("jaccard_at_best"),
+        (coalesce(col("containment"), lit(0.0)) >= 0.9).as("is_contained"),
+        (coalesce(col("containment"), lit(0.0)) >= 0.9 &&
+          coalesce(col("jaccard_at_best"), lit(0.0)) < 0.5).as("missed_by_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** q184 — asymmetric CONTAINMENT detection: for every doc, its best
+    * containment c(A→B) = |A∩B|/|A| over shingle sets — the metric that
+    * catches a short document EMBEDDED in a long one (quotation,
+    * excerpt, page-with-boilerplate), where symmetric Jaccard stays
+    * tiny and BOTH the q31 MinHash-LSH bands and q33's Jaccard verdicts
+    * structurally miss it (banding recall is a function of J, and J → 0
+    * as the host grows). `missed_by_jaccard` isolates exactly those
+    * pairs. Candidates ride the same shingle inverted index as q33 —
+    * the honest path for containment, because no symmetric sketch can
+    * block for an asymmetric measure; at 100 TB the df-capped index
+    * (q48's discipline) bounds the join. One argmax hash aggregate per
+    * direction, tie-broken like q33.
+    */
+  val q184 = Q("q184_containment_dedup", q184OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    containmentOf(docs(s, dir))
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172)
+    q172, q184)
 }

@@ -743,6 +743,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q184: containment catches the short excerpt that Jaccard structurally misses") {
+    // 9005 = the first 15 tokens of a long doc: every shingle of the
+    // excerpt lives in the host, so containment(9005 -> host) = 1.0
+    // while Jaccard is tiny
+    val host = Catalog.table(spark, sf, "documents")
+      .filter(col("doc_id") === 5L).select("doc_id", "text").head()
+    val hostTokens = host.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    assert(hostTokens.length >= 40, "fixture host doc must be long")
+    val excerpt = hostTokens.take(15).mkString(" ")
+    val corpus = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").limit(50)
+      .unionByName(Seq((9005L, excerpt)).toDF("doc_id", "text"))
+    val out = Dedup.containmentOf(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    val (containedIn, c, j, isContained, missed) = out(9005L)
+    assert(containedIn === Some(5L), "the excerpt's best container is its host")
+    assert(c === 1.0, s"full containment, got $c")
+    assert(j < 0.5, s"Jaccard must stay small on the asymmetric pair, got $j")
+    assert(isContained && missed, "exactly the pair Jaccard-based dedup misses")
+    // containment >= Jaccard always (the denominator can only shrink)
+    out.values.foreach { case (_, cc, jj, _, _) => assert(cc >= jj) }
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
