@@ -373,12 +373,19 @@ object CorpusStream {
   /** The q178 diversity table off the folded stores alone — bit-equal to
     * batch q178 over the union of landings (StreamingSpec-pinned): the
     * centroid identity is linear in exactly the sums the cells carry.
+    * `upto` pins a SNAPSHOT (only batches ≤ upto fold), so one store
+    * serves diversity-over-time — how each source's spread moved as
+    * landings accumulated — with the same compact-past-the-oldest-pin
+    * rule as the LM store's release pins.
     */
   def diversityFromDeltas(spark: SparkSession, dimDir: String,
-      statDir: String): DataFrame =
+      statDir: String, upto: Long = Long.MaxValue): DataFrame = {
+    def pinned(dir: String) = spark.read.parquet(dir)
+      .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
     graft.ops.Similarity.diversityFromCells(
-      spark.read.parquet(dimDir).select("source", "d", "s_d"),
-      spark.read.parquet(statDir).select("source", "n_docs", "sum_sq"))
+      pinned(dimDir).select("source", "d", "s_d"),
+      pinned(statDir).select("source", "n_docs", "sum_sq"))
+  }
 
   /** Diversity-store retention: the fold algebra is the serving algebra. */
   def compactDivDeltas(spark: SparkSession, dimDir: String, statDir: String,

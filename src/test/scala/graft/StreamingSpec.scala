@@ -1436,6 +1436,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === batch,
       "a replayed delta write must not move the served table")
 
+    // a snapshot pin serves diversity AS OF an earlier landing: the
+    // upto = 0 fold must equal the batch metric over chunk 1 alone
+    val pinned = tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats, upto = 0L))
+    val chunk1 = tblMap(ops.Similarity.diversityOf(docs.filter(col("doc_id") < cut1)))
+    assert(pinned === chunk1, "the snapshot pin must replay the first landing's metric")
+
     // retention: the fold algebra is the serving algebra, on both stores
     CorpusStream.compactDivDeltas(spark, dims, stats, upto = 1L)
     assert(tblMap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === batch,
