@@ -731,7 +731,17 @@ object Dedup {
     */
   def jaccardPairs(d: DataFrame, minShared: Int = 1): DataFrame = {
     ShingleHashes.register(d.sparkSession)
-    val sh = d.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+    jaccardPairsFromExploded(
+      d.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h")), minShared)
+  }
+
+  /** The pair computation of [[jaccardPairs]] over an ALREADY-exploded
+    * (doc_id, h) distinct-shingle frame — shared with the store-served
+    * path (q185), whose rows come from the inverted-index artifact
+    * instead of a corpus unroll.
+    */
+  private[graft] def jaccardPairsFromExploded(sh: DataFrame,
+      minShared: Int = 1): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val other = sh.select(col("doc_id").as("doc_b"), col("h").as("h2"))
     val shared = sh.join(other, col("h") === col("h2") && col("doc_id") < col("doc_b"))
@@ -2098,9 +2108,11 @@ object Dedup {
        |  ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  /** q184's per-doc containment rollup over any documents frame. */
-  private[graft] def containmentOf(d: DataFrame): DataFrame = {
-    val pairs = jaccardPairs(d)
+  /** The containment rollup over a (doc_id, doc_b, n_shared, size_a,
+    * size_b, jaccard) undirected-pair frame + a doc_id spine: shared by
+    * q184 (pairs computed inline) and q185 (pairs off the index store).
+    */
+  private[graft] def containmentBest(pairs: DataFrame, spine: DataFrame): DataFrame = {
     // symmetrize with the DIRECTION-specific normalizer: c(A→B) = |A∩B|/|A|
     // — a short doc fully embedded in a long one scores 1.0 here while
     // its Jaccard is tiny, which is exactly the pair Jaccard dedup misses
@@ -2116,7 +2128,7 @@ object Dedup {
       .select(col("doc_id"), (-col("m.neg_b")).as("contained_in"),
         Det.dround(col("m.c"), 4).as("containment"),
         Det.dround(col("m.jaccard"), 4).as("jaccard_at_best"))
-    d.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+    spine.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("contained_in"),
         coalesce(col("containment"), lit(0.0)).as("containment"),
         coalesce(col("jaccard_at_best"), lit(0.0)).as("jaccard_at_best"),
@@ -2125,6 +2137,10 @@ object Dedup {
           coalesce(col("jaccard_at_best"), lit(0.0)) < 0.5).as("missed_by_jaccard"))
       .orderBy("doc_id")
   }
+
+  /** q184's per-doc containment rollup over any documents frame. */
+  private[graft] def containmentOf(d: DataFrame): DataFrame =
+    containmentBest(jaccardPairs(d), d)
 
   /** q184 — asymmetric CONTAINMENT detection: for every doc, its best
     * containment c(A→B) = |A∩B|/|A| over shingle sets — the metric that
@@ -2144,7 +2160,77 @@ object Dedup {
     containmentOf(docs(s, dir))
   }
 
+  // ── q185: containment served off the shingle-index store ──────────────
+
+  private def q185OracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+       |), tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS ss
+       |  FROM tk WHERE len(t) >= 3
+       |), hs AS (
+       |  SELECT doc_id, list_transform(ss, s -> ${h60Sql("s")}) AS hh FROM sh
+       |), ex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs
+       |), sizes AS (
+       |  SELECT doc_id, len(hh) AS sz FROM hs
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT s.doc_id, s.doc_b, s.n_shared, sa.sz AS sa, sb.sz AS sb,
+       |    CAST(s.n_shared AS DOUBLE) / (sa.sz + sb.sz - s.n_shared) AS j
+       |  FROM shared s
+       |  JOIN sizes sa ON s.doc_id = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |), sym AS (
+       |  SELECT doc_id, doc_b, CAST(n_shared AS DOUBLE) / sa AS c, j FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_id AS doc_b, CAST(n_shared AS DOUBLE) / sb AS c, j
+       |  FROM pairs
+       |), best AS (
+       |  SELECT doc_id, doc_b, c, j,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, doc_b) AS rn
+       |  FROM sym
+       |)
+       |SELECT d.doc_id, b.doc_b AS contained_in,
+       |  COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) AS containment,
+       |  COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) AS jaccard_at_best,
+       |  (COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) >= 0.9) AS is_contained,
+       |  (COALESCE(FLOOR(b.c * 10000.0 + 0.5) / 10000.0, 0.0) >= 0.9
+       |    AND COALESCE(FLOOR(b.j * 10000.0 + 0.5) / 10000.0, 0.0) < 0.5) AS missed_by_jaccard
+       |FROM corpus d
+       |LEFT JOIN (SELECT doc_id, doc_b, c, j FROM best WHERE rn = 1) b
+       |  ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q185 — q184's containment SERVED off the shingle-index STORE: the
+    * (h, doc_id) inverted index `ScrubStream.buildShingleIndex` already
+    * maintains for benchmark-release rotation carries everything
+    * containment needs — |A| is the per-doc row count, |A∩B| the pair
+    * count of the h self-join — so the verdicts come from the artifact
+    * alone, with NO corpus text unroll at query time (the documents scan
+    * contributes only the doc_id spine). The store's corpus is
+    * doc_id ≥ 50 (benchmark rows excluded) with < 3-token docs absent
+    * (positional shingles need a full window; they surface as
+    * containment 0 on the spine, exactly like docs with no candidates).
+    * Same rollup code as q184 ([[containmentBest]]). At 100 TB the index
+    * is the already-paid scrub-rotation artifact, so containment
+    * monitoring costs one self-join on it — df-capping (q48's
+    * discipline) bounds the join on low-entropy corpora.
+    */
+  val q185 = Q("q185_containment_served", q185OracleSql) { (s, dir) =>
+    val root = graft.streaming.ScrubStream.buildShingleIndex(s, dir)
+    val idx = s.read.parquet(s"$root/pairs").select("doc_id", "h")
+    containmentBest(jaccardPairsFromExploded(idx),
+      docs(s, dir).filter(col("doc_id") >= 50))
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172, q184)
+    q172, q184, q185)
 }

@@ -2668,7 +2668,105 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q187: dedup-aware mixture (1/cluster-size sampling weights) ───────
+
+  private def q187OracleSql: String =
+    s"""WITH RECURSIVE ttk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), tsh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+       |    ELSE [array_to_string(t, ' ')] END) AS ss FROM ttk
+       |), ths AS (
+       |  SELECT doc_id, list_transform(ss, s -> ${Dedup.h60Sql("s")}) AS hh FROM tsh
+       |), tex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM ths
+       |), tsz AS (
+       |  SELECT doc_id, len(hh) AS sz FROM ths
+       |), tshared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM tex a JOIN tex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), dupe AS (
+       |  SELECT s.doc_id AS src, s.doc_b AS dst
+       |  FROM tshared s
+       |  JOIN tsz sa ON s.doc_id = sa.doc_id
+       |  JOIN tsz sb ON s.doc_b = sb.doc_id
+       |  WHERE 5 * s.n_shared >= 4 * (sa.sz + sb.sz - s.n_shared)
+       |), edges AS (
+       |  SELECT src, dst FROM dupe UNION ALL SELECT dst AS src, src AS dst FROM dupe
+       |), reach AS (
+       |  SELECT doc_id AS v, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.v = e.dst
+       |), comp AS (
+       |  SELECT v AS doc_id, MIN(lab) AS component FROM reach GROUP BY v
+       |), csz AS (
+       |  SELECT component, COUNT(*) AS csz FROM comp GROUP BY component
+       |), w AS (
+       |  SELECT c.doc_id, 1000000 // s.csz AS w_fp
+       |  FROM comp c JOIN csz s ON c.component = s.component
+       |), bysrc AS (
+       |  SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(w.w_fp) AS BIGINT) AS eff_fp
+       |  FROM documents d JOIN w ON d.doc_id = w.doc_id
+       |  GROUP BY d.source
+       |), tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(eff_fp) AS BIGINT) AS te
+       |  FROM bysrc
+       |)
+       |SELECT source, n_docs, eff_fp,
+       |  (n_docs * 1000000) // td AS raw_share_ppm,
+       |  (eff_fp * 1000000) // te AS eff_share_ppm,
+       |  ((eff_fp * 1000000) // te) - ((n_docs * 1000000) // td) AS shift_ppm
+       |FROM bysrc, tot
+       |ORDER BY source""".stripMargin
+
+  /** q187 — DEDUP-AWARE sampling mixture: each document weighted
+    * 1/|its near-dup cluster| (clusters = connected components over
+    * exact-Jaccard ≥ 0.8 edges, the SlimPajama/Dolma convention that
+    * makes every piece of CONTENT count once no matter how many copies
+    * landed), then the per-source mixture recomputed over the weighted
+    * mass — raw vs effective share in exact ppm, and the shift
+    * duplication was silently imposing on the mixture. The J ≥ 0.8 test
+    * is exact-integer (5·|A∩B| ≥ 4·|A∪B|), weights are exact
+    * fixed-point (1e6 div cluster size), every share is BIGINT floor
+    * division — bit-checkable end to end. At 100 TB: candidates ride
+    * the shingle inverted index (df-capped), the closure is
+    * [[Cluster.connectedComponents]] (union-find below 8M edges,
+    * O(log d) min-label rounds above), and everything after is a
+    * |sources|-row rollup.
+    */
+  val q187 = Q("q187_dupweighted_mixture", q187OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    dupWeightedMixture(docs(s, dir).select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** q187 over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def dupWeightedMixture(d: DataFrame): DataFrame = {
+    val edges = Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
+      .filter(lit(5) * col("n_shared") >=
+        lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+      .select(col("doc_id").as("src"), col("doc_b").as("dst"))
+    val comp = Cluster.connectedComponents(edges, d.select(col("doc_id").as("id")))
+    val csz = comp.groupBy("component").agg(count(lit(1)).as("csz"))
+    val weighted = comp.join(csz, Seq("component"))
+      .select(col("id").as("doc_id"), expr("1000000 div csz").as("w_fp"))
+    val bySrc = d.select(col("doc_id"), col("source"))
+      .join(weighted, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w_fp").cast("long").as("eff_fp"))
+    val tot = bySrc.agg(sum("n_docs").cast("long").as("td"),
+      sum("eff_fp").cast("long").as("te"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("eff_fp"),
+        expr("(n_docs * 1000000) div td").as("raw_share_ppm"),
+        expr("(eff_fp * 1000000) div te").as("eff_share_ppm"),
+        (expr("(eff_fp * 1000000) div te") - expr("(n_docs * 1000000) div td"))
+          .as("shift_ppm"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q175, q181, q182)
+    q164, q165, q166, q167, q168, q169, q175, q181, q182, q187)
 }

@@ -860,16 +860,43 @@ object Multimodal {
 
   /** Synthesize + REAL-parse + dHash the fixture image of every doc_id
     * in `docs` — the signature scan of the image-dedup pipeline.
+    * `fixtureId` remaps the doc to its fixture identity: q174 uses the
+    * dense default (every quad a family); q186 passes [[sparseImgId]]
+    * so only every 5th quad is a family and everything else is unique.
     */
-  private[graft] def phashSigs(docs: DataFrame): DataFrame = {
+  private[graft] def phashSigs(docs: DataFrame,
+      fixtureId: Long => Long = identity): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val (w, h, g) = parseBmpGray(synthBmpGrid(id))
+        val (w, h, g) = parseBmpGray(synthBmpGrid(fixtureId(id)))
         (id, dhash60(w, h, g))
       })
       .toDF("doc_id", "phash")
   }
+
+  /** Disjoint fixture-group namespace base for the sparse mappings: a
+    * non-family doc's group becomes doc_id + k·10⁹, which can never
+    * collide with a family group (≤ corpus/4) or another doc's.
+    */
+  private val SparseNs = 1000000000L
+
+  /** SPARSE image-family mapping: docs in every 5th quad keep their
+    * dense family identity (group doc_id/4, variant doc_id%4); every
+    * other doc maps to a unique group at variant 0 — ~20 % of the corpus
+    * in planted near-dup families, the rest genuinely unique, so a
+    * cross-modal composition over this fixture is non-degenerate.
+    */
+  private[graft] def sparseImgId(d: Long): Long =
+    if ((d / 4) % 5 == 0) d else (d + SparseNs) * 4
+
+  /** SPARSE audio-family mapping — same construction at a DIFFERENT
+    * phase ((d/4) % 5 == 1), so the image-dup and audio-dup doc sets are
+    * disjoint by construction and the cross-modal verdict actually has
+    * to consult all three modalities.
+    */
+  private[graft] def sparseAudId(d: Long): Long =
+    if ((d / 4) % 5 == 1) d else (d + 2 * SparseNs) * 4
 
   /** q174's banding + Hamming verify + keep-first report over any
     * (doc_id, phash) frame. `bandBits` widens the bands for larger
@@ -878,6 +905,13 @@ object Multimodal {
     * collisions shrink 2^Δ-fold.
     */
   private[graft] def phashReport(sigs: DataFrame,
+      bandBits: Int = PhashBandBits): DataFrame =
+    phashVerdicts(sigs, bandBits).orderBy("doc_id")
+
+  /** [[phashReport]] without the presentation sort — the composable
+    * verdict frame q186 joins on.
+    */
+  private[graft] def phashVerdicts(sigs: DataFrame,
       bandBits: Int = PhashBandBits): DataFrame = {
     val nBands = 60 / bandBits
     val mask = (1L << bandBits) - 1
@@ -907,7 +941,6 @@ object Multimodal {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         col("min_hamming"),
         (coalesce(col("n_earlier"), lit(0L)) === 0L).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** 64-sample PCM16 mono WAV for the audio-fingerprint dedup fixture:
@@ -1045,11 +1078,12 @@ object Multimodal {
     * every doc_id in `docs` — the fingerprint scan of the audio-dedup
     * pipeline.
     */
-  private[graft] def audioCodes(docs: DataFrame): DataFrame = {
+  private[graft] def audioCodes(docs: DataFrame,
+      fixtureId: Long => Long = identity): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
-        val smp = parseWavPcm16(synthWav64(id))
+        val smp = parseWavPcm16(synthWav64(fixtureId(id)))
         val env = Array.tabulate(16)(k =>
           (math.abs(smp(4 * k)) + math.abs(smp(4 * k + 1)) +
             math.abs(smp(4 * k + 2)) + math.abs(smp(4 * k + 3))).toLong)
@@ -1063,7 +1097,13 @@ object Multimodal {
   /** q176's probe + L1-verify + keep-first report over any
     * (doc_id, code1, code2, env) frame.
     */
-  private[graft] def audioReport(codes: DataFrame): DataFrame = {
+  private[graft] def audioReport(codes: DataFrame): DataFrame =
+    audioVerdicts(codes).orderBy("doc_id")
+
+  /** [[audioReport]] without the presentation sort — the composable
+    * verdict frame q186 joins on.
+    */
+  private[graft] def audioVerdicts(codes: DataFrame): DataFrame = {
     val probes = codes.select(col("doc_id"), col("env"),
       explode(array(
         struct(lit(0).as("probe"), col("code1").as("code")),
@@ -1092,8 +1132,154 @@ object Multimodal {
         coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
         col("min_l1"),
         (coalesce(col("n_earlier"), lit(0L)) === 0L).as("keep"))
+  }
+
+  // ── q186: cross-modal consolidated curation ────────────────────────────
+
+  private def q186OracleSql: String = {
+    val imgGroup =
+      "CASE WHEN (doc_id // 4) % 5 = 0 THEN CAST(doc_id // 4 AS VARCHAR) ELSE CAST(doc_id + 1000000000 AS VARCHAR) END"
+    val imgBump =
+      "CASE WHEN (doc_id // 4) % 5 = 0 AND g.r = (doc_id % 4) % 3 AND c = doc_id % 9 THEN CAST(41 * (doc_id % 4) AS INT) ELSE 0 END"
+    val audGroup =
+      "CASE WHEN (doc_id // 4) % 5 = 1 THEN CAST(doc_id // 4 AS VARCHAR) ELSE CAST(doc_id + 2000000000 AS VARCHAR) END"
+    val audNudge =
+      "CASE WHEN (doc_id // 4) % 5 = 1 AND 8*g.j + i = doc_id % 32 THEN CAST(256 * (doc_id % 4) AS INT) ELSE 0 END"
+    val bandSelects = (0 until 4).map { k =>
+      s"  SELECT doc_id, phash, $k AS band_idx, (phash >> ${k * PhashBandBits}) & ${(1 << PhashBandBits) - 1} AS band_val FROM isigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ttk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), tsh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+       |    ELSE [array_to_string(t, ' ')] END) AS ss FROM ttk
+       |), ths AS (
+       |  SELECT doc_id, list_transform(ss, s -> ${graft.ops.Dedup.h60Sql("s")}) AS hh FROM tsh
+       |), tex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM ths
+       |), tsz AS (
+       |  SELECT doc_id, len(hh) AS sz FROM ths
+       |), tshared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM tex a JOIN tex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), tdup AS (
+       |  SELECT DISTINCT s.doc_b AS doc_id
+       |  FROM tshared s
+       |  JOIN tsz sa ON s.doc_id = sa.doc_id
+       |  JOIN tsz sb ON s.doc_b = sb.doc_id
+       |  WHERE 5 * s.n_shared >= 4 * (sa.sz + sb.sz - s.n_shared)
+       |), px AS (
+       |  SELECT doc_id, g.r AS r,
+       |    list_transform(generate_series(0, 8), c ->
+       |      CAST('0x' || substr(md5($imgGroup || '_' || CAST(g.r AS VARCHAR)), 2*c + 1, 2) AS INT) % 128
+       |      + $imgBump) AS v
+       |  FROM documents, generate_series(0, 7) AS g(r)
+       |), hb AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 7), c ->
+       |    CASE WHEN r*8 + c < 60 AND v[c+2] > v[c+1] THEN CAST(1 AS BIGINT) << CAST(r*8 + c AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS rowbits
+       |  FROM px
+       |), isigs AS (
+       |  SELECT doc_id, CAST(SUM(rowbits) AS BIGINT) AS phash FROM hb GROUP BY doc_id
+       |), ibands AS (
+       |$bandSelects
+       |), idup AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id
+       |  FROM ibands a JOIN ibands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND b.doc_id < a.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+       |), blk AS (
+       |  SELECT doc_id, g.j AS j,
+       |    list_transform(generate_series(0, 7), i ->
+       |      CAST('0x' || substr(md5($audGroup || '_' || CAST(g.j AS VARCHAR)), 4*i + 1, 4) AS INT) % 30000 - 15000
+       |      + $audNudge) AS sl
+       |  FROM documents, generate_series(0, 7) AS g(j)
+       |), smp AS (
+       |  SELECT doc_id, flatten(list(sl ORDER BY j)) AS u FROM blk GROUP BY doc_id
+       |), env AS (
+       |  SELECT doc_id, list_transform(generate_series(0, 15), k ->
+       |    CAST(abs(u[4*k+1]) + abs(u[4*k+2]) + abs(u[4*k+3]) + abs(u[4*k+4]) AS BIGINT)) AS env
+       |  FROM smp
+       |), acodes AS (
+       |  SELECT doc_id, env,
+       |    CAST(list_sum(list_transform(generate_series(0, 7), k -> (env[k+1] >> 10) << (6*k))) AS BIGINT) AS code1,
+       |    CAST(list_sum(list_transform(generate_series(0, 7), k -> (env[k+9] >> 10) << (6*k))) AS BIGINT) AS code2
+       |  FROM env
+       |), aprobes AS (
+       |  SELECT doc_id, env, 0 AS probe, code1 AS code FROM acodes
+       |  UNION ALL
+       |  SELECT doc_id, env, 1 AS probe, code2 AS code FROM acodes
+       |), apairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b, a.env AS ea, b.env AS eb
+       |  FROM aprobes a JOIN aprobes b
+       |    ON a.probe = b.probe AND a.code = b.code AND b.doc_id < a.doc_id
+       |), adup AS (
+       |  SELECT DISTINCT doc_id FROM apairs
+       |  WHERE CAST(list_sum(list_transform(generate_series(1, 16), k -> abs(ea[k] - eb[k]))) AS BIGINT) <= $AudioL1Max
+       |)
+       |SELECT d.doc_id, d.source,
+       |  t.doc_id IS NULL AS text_keep,
+       |  i.doc_id IS NULL AS img_keep,
+       |  a.doc_id IS NULL AS audio_keep,
+       |  (t.doc_id IS NULL AND i.doc_id IS NULL AND a.doc_id IS NULL) AS accepted,
+       |  CASE WHEN t.doc_id IS NOT NULL THEN 'text_near'
+       |       WHEN i.doc_id IS NOT NULL THEN 'image_near'
+       |       WHEN a.doc_id IS NOT NULL THEN 'audio_near'
+       |       ELSE NULL END AS reason
+       |FROM documents d
+       |LEFT JOIN tdup t ON d.doc_id = t.doc_id
+       |LEFT JOIN idup i ON d.doc_id = i.doc_id
+       |LEFT JOIN adup a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q186 — CROSS-MODAL consolidated curation: one keep/quarantine
+    * verdict per document from all three modalities at once — text
+    * near-dup (exact Jaccard ≥ 0.8 over shared-shingle candidates,
+    * tested in EXACT integers as 5·|A∩B| ≥ 4·|A∪B| so the threshold
+    * never rides a float), image near-dup (q174's dHash banding +
+    * Hamming verify over the SPARSE fixture [[sparseImgId]]), and audio
+    * near-dup (q176's envelope probe + L1 verify over [[sparseAudId]]).
+    * Keep-first within each modality; `reason` is the first failing
+    * modality in text → image → audio order, q127's
+    * first-failing-stage convention extended across modalities. The
+    * sparse fixtures put ~20 % of docs in image families and a disjoint
+    * ~20 % in audio families while the corpus's own text near-dups land
+    * where they land — all three verdict columns carry information, so
+    * the composition is non-degenerate. At 100 TB each modality is the
+    * already-measured candidate-bounded join (shingle index / 15-bit
+    * band buckets / exact code probes), and the composition itself is
+    * three broadcast-sized left joins on doc_id.
+    */
+  val q186 = Q("q186_crossmodal_curation", q186OracleSql) { (s, dir) =>
+    graft.functions.ShingleHashes.register(s)
+    val d = Catalog.table(s, dir, "documents")
+    val tp = graft.ops.Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
+    val tdup = tp
+      .filter(lit(5) * col("n_shared") >=
+        lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("t_dup", lit(true))
+    val idup = phashVerdicts(phashSigs(d, sparseImgId))
+      .select(col("doc_id"), col("keep").as("img_keep"))
+    val adup = audioVerdicts(audioCodes(d, sparseAudId))
+      .select(col("doc_id"), col("keep").as("audio_keep"))
+    d.select(col("doc_id"), col("source"))
+      .join(tdup, Seq("doc_id"), "left")
+      .join(idup, Seq("doc_id"))
+      .join(adup, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        (!coalesce(col("t_dup"), lit(false))).as("text_keep"),
+        col("img_keep"), col("audio_keep"))
+      .withColumn("accepted",
+        col("text_keep") && col("img_keep") && col("audio_keep"))
+      .withColumn("reason",
+        when(!col("text_keep"), lit("text_near"))
+          .when(!col("img_keep"), lit("image_near"))
+          .when(!col("audio_keep"), lit("audio_near")))
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q37, q154, q155, q174, q176)
+  val all: Seq[Q] = Seq(q37, q154, q155, q174, q176, q186)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Mining, Multimodal, Similarity, TextOps}
 import graft.functions.RollingHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -767,6 +767,77 @@ class OpsSpec extends AnyFunSuite {
     assert(isContained && missed, "exactly the pair Jaccard-based dedup misses")
     // containment >= Jaccard always (the denominator can only shrink)
     out.values.foreach { case (_, cc, jj, _, _) => assert(cc >= jj) }
+  }
+
+  test("q185: containment served off the shingle-index store equals the inline compute") {
+    val served = Dedup.q185.fn(spark, sf).collect()
+    // the inline twin over the store's domain: corpus docs (>= 50) with
+    // >= 3 tokens contribute pairs; the full corpus is the spine
+    val corpus = Catalog.table(spark, sf, "documents")
+      .filter(col("doc_id") >= 50).select("doc_id", "text")
+    val indexed = corpus.filter(size(TextOps.tokens(col("text"))) >= 3)
+    val inline = Dedup.containmentBest(Dedup.jaccardPairs(indexed), corpus).collect()
+    assert(served.length === inline.length)
+    served.zip(inline).foreach { case (a, b) => assert(a === b) }
+    // and the verdicts are not vacuous on this corpus
+    assert(served.exists(_.getAs[Boolean]("is_contained")))
+  }
+
+  test("q186: cross-modal verdicts compose three modalities with first-failing reason") {
+    val out = Multimodal.q186.fn(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val tK = r.getAs[Boolean]("text_keep")
+      val iK = r.getAs[Boolean]("img_keep")
+      val aK = r.getAs[Boolean]("audio_keep")
+      // sparse fixture structure: image families live at (id/4) % 5 == 0,
+      // audio families at == 1, keep-first inside each family
+      assert(iK === ((id / 4) % 5 != 0 || id % 4 == 0), s"img_keep doc $id")
+      assert(aK === ((id / 4) % 5 != 1 || id % 4 == 0), s"audio_keep doc $id")
+      assert(r.getAs[Boolean]("accepted") === (tK && iK && aK))
+      val expectReason =
+        if (!tK) Some("text_near")
+        else if (!iK) Some("image_near")
+        else if (!aK) Some("audio_near")
+        else None
+      assert(Option(r.getAs[String]("reason")) === expectReason, s"reason doc $id")
+    }
+    // non-degenerate: every failure mode occurs, and acceptance occurs
+    assert(out.exists(r => !r.getAs[Boolean]("text_keep")), "no text near-dups")
+    assert(out.exists(r =>
+      r.getAs[Boolean]("text_keep") && !r.getAs[Boolean]("img_keep")))
+    assert(out.exists(r => r.getAs[Boolean]("text_keep") &&
+      r.getAs[Boolean]("img_keep") && !r.getAs[Boolean]("audio_keep")))
+    assert(out.count(_.getAs[Boolean]("accepted")) > out.length / 2)
+  }
+
+  test("q187: dup-weighted mixture weights each cluster's content exactly once") {
+    // tiny corpus with a known cluster structure: {0,1} (exact copy),
+    // {2}, {3} — src_a holds the duplicated content
+    val tiny = Seq(
+      (0L, "src_a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "src_a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "src_b", "completely different words one two three four five six"),
+      (3L, "src_b", "another unrelated document with its own vocabulary here now"))
+      .toDF("doc_id", "source", "text")
+    val rows = Mining.dupWeightedMixture(tiny).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("src_a").getAs[Long]("n_docs") === 2L)
+    assert(rows("src_a").getAs[Long]("eff_fp") === 1000000L) // 2 × 1/2
+    assert(rows("src_b").getAs[Long]("eff_fp") === 2000000L) // 2 × 1
+    assert(rows("src_a").getAs[Long]("raw_share_ppm") === 500000L)
+    assert(rows("src_a").getAs[Long]("eff_share_ppm") === 333333L)
+    assert(rows("src_b").getAs[Long]("eff_share_ppm") === 666666L)
+    assert(rows("src_a").getAs[Long]("shift_ppm") === -166667L)
+    // on the real corpus: mass conservation + share algebra
+    val out = Mining.q187.fn(spark, sf).collect()
+    val totRaw = out.map(_.getAs[Long]("n_docs")).sum
+    val totEff = out.map(_.getAs[Long]("eff_fp")).sum
+    assert(totEff < totRaw * 1000000L, "corpus has near-dups, so eff < raw")
+    val effShares = out.map(_.getAs[Long]("eff_share_ppm")).sum
+    assert(effShares <= 1000000L && effShares > 1000000L - out.length)
+    out.foreach(r => assert(r.getAs[Long]("shift_ppm") ===
+      r.getAs[Long]("eff_share_ppm") - r.getAs[Long]("raw_share_ppm")))
   }
 
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */

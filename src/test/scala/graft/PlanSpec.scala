@@ -92,6 +92,22 @@ class PlanSpec extends AnyFunSuite {
       s"the manifest must never re-read documents:\n$p")
   }
 
+  test("q185: containment verdicts are served off the shingle-index artifact") {
+    val p = plan("q185_containment_served")
+    assert(p.contains("graft_shingle_index"),
+      s"pairs must come from the index store:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"serving must not unroll corpus text — only the doc_id spine may be read:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment must stay index-blocked:\n$p")
+  }
+
+  test("q186: cross-modal composition stays equi-join blocked in all three modalities") {
+    val p = plan("q186_crossmodal_curation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"every modality must candidate-block:\n$p")
+  }
+
   test("q145: semantic leak pairs stay cluster-blocked — equi-joins only") {
     val p = plan("q145_semantic_leakage")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
