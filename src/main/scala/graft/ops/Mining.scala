@@ -2670,7 +2670,10 @@ object Mining {
 
   // ── q187: dedup-aware mixture (1/cluster-size sampling weights) ───────
 
-  private def q187OracleSql: String =
+  /** Oracle CTEs shared by q187/q188: shingle sets → J ≥ 0.8 edges →
+    * recursive min-label closure → (doc_id, component).
+    */
+  private def nearDupCompCtes: String =
     s"""WITH RECURSIVE ttk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
        |), tsh AS (
@@ -2701,7 +2704,10 @@ object Mining {
        |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.v = e.dst
        |), comp AS (
        |  SELECT v AS doc_id, MIN(lab) AS component FROM reach GROUP BY v
-       |), csz AS (
+       |)""".stripMargin
+
+  private def q187OracleSql: String =
+    s"""$nearDupCompCtes, csz AS (
        |  SELECT component, COUNT(*) AS csz FROM comp GROUP BY component
        |), w AS (
        |  SELECT c.doc_id, 1000000 // s.csz AS w_fp
@@ -2741,16 +2747,26 @@ object Mining {
     dupWeightedMixture(docs(s, dir).select(col("doc_id"), col("source"), col("text")))
   }
 
-  /** q187 over any (doc_id, source, text) frame — spec entry. */
-  private[graft] def dupWeightedMixture(d: DataFrame): DataFrame = {
+  /** Near-dup clusters over any (doc_id, text) frame: connected
+    * components of the exact-Jaccard ≥ 0.8 graph (integer-tested as
+    * 5·|A∩B| ≥ 4·|A∪B|), component = min doc_id reachable. Shared by the
+    * dedup-aware mixture (q187) and the cluster-aware split (q188).
+    */
+  private[graft] def nearDupComponents(d: DataFrame): DataFrame = {
     val edges = Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
       .filter(lit(5) * col("n_shared") >=
         lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
       .select(col("doc_id").as("src"), col("doc_b").as("dst"))
-    val comp = Cluster.connectedComponents(edges, d.select(col("doc_id").as("id")))
+    Cluster.connectedComponents(edges, d.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** q187 over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def dupWeightedMixture(d: DataFrame): DataFrame = {
+    val comp = nearDupComponents(d)
     val csz = comp.groupBy("component").agg(count(lit(1)).as("csz"))
     val weighted = comp.join(csz, Seq("component"))
-      .select(col("id").as("doc_id"), expr("1000000 div csz").as("w_fp"))
+      .select(col("doc_id"), expr("1000000 div csz").as("w_fp"))
     val bySrc = d.select(col("doc_id"), col("source"))
       .join(weighted, Seq("doc_id"))
       .groupBy("source")
@@ -2766,7 +2782,64 @@ object Mining {
       .orderBy("source")
   }
 
+  // ── q188: cluster-aware holdout split (leakage-free by construction) ──
+
+  private def q188OracleSql: String =
+    s"""$nearDupCompCtes, asg AS (
+       |  SELECT doc_id, component,
+       |    ${Dedup.h60Sql("CAST(component AS VARCHAR)")} % 100 < 5 AS is_eval
+       |  FROM comp
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN a.is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+       |  (CAST(SUM(CASE WHEN a.is_eval THEN 1 ELSE 0 END) AS BIGINT) * 10000) // COUNT(*) AS eval_bp,
+       |  CAST(COUNT(DISTINCT a.component) AS BIGINT) AS n_clusters
+       |FROM documents d JOIN asg a ON d.doc_id = a.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  /** q188 — CLUSTER-AWARE holdout split: carve a ~5 % eval set by
+    * hashing the near-dup CLUSTER id (h60 of the component's decimal
+    * string, mod 100), never the document id — every member of a
+    * near-dup cluster lands on the same side, so train→eval leakage
+    * through duplicated content is ZERO BY CONSTRUCTION rather than
+    * something q135 has to measure after the fact. Per source: docs,
+    * eval docs, the achieved rate in exact basis points, and how many
+    * clusters the source touches. Deterministic end to end (content
+    * hash → closure → split hash), so the split is reproducible across
+    * runs and engines — the property an eval-holdout pipeline actually
+    * needs. At 100 TB: the closure is the q187 component pass; the
+    * assignment is one hash projection; the rollup is |sources| rows.
+    */
+  val q188 = Q("q188_clusteraware_split", q188OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    clusterAwareSplit(docs(s, dir).select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** q188 over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def clusterAwareSplit(d: DataFrame): DataFrame = {
+    val asg = splitAssignment(d)
+    d.select(col("doc_id"), col("source"))
+      .join(asg, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.countIf(col("is_eval")).as("n_eval"),
+        countDistinct(col("component")).as("n_clusters"))
+      .select(col("source"), col("n_docs"), col("n_eval"),
+        expr("(n_eval * 10000) div n_docs").as("eval_bp"), col("n_clusters"))
+      .orderBy("source")
+  }
+
+  /** The per-doc (doc_id, component, is_eval) assignment — the split a
+    * downstream writer applies; q188 reports its per-source shape.
+    */
+  private[graft] def splitAssignment(d: DataFrame): DataFrame =
+    nearDupComponents(d)
+      .withColumn("is_eval",
+        Dedup.h60Col(col("component").cast("string")) % 100 < lit(5L))
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q175, q181, q182, q187)
+    q164, q165, q166, q167, q168, q169, q175, q181, q182, q187, q188)
 }

@@ -1134,6 +1134,23 @@ object Multimodal {
         (coalesce(col("n_earlier"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** One batch's audio probe rows in the LSH band-store schema
+    * (doc_id, band_idx, band_hash) — the q176 fingerprint scan feeding
+    * the SAME streaming dedup store text minhash bands and image phash
+    * bands use (`LshStream.processBatch(bandsOf = Multimodal.audioBands)`):
+    * probe index is the band index, the 48-bit half-code the band hash.
+    * At 48-bit exact codes a band match IS the near-dup verdict whenever
+    * cross-family code collisions are absent (structural for the
+    * fixture, and 2⁻⁴⁸-rare in general — production audio fp would add
+    * the L1 verify at serving time, reading envelopes by doc_id).
+    */
+  private[graft] def audioBands(batch: DataFrame): DataFrame =
+    audioCodes(batch).select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band_idx"), col("code1").as("band_hash")),
+        struct(lit(1).as("band_idx"), col("code2").as("band_hash")))).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+
   // ── q186: cross-modal consolidated curation ────────────────────────────
 
   private def q186OracleSql: String = {

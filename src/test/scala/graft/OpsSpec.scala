@@ -840,6 +840,31 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("eff_share_ppm") - r.getAs[Long]("raw_share_ppm")))
   }
 
+  test("q188: cluster-aware split has zero near-dup leakage across the carve") {
+    val d = Catalog.table(spark, sf, "documents").select("doc_id", "source", "text")
+    val asg = Mining.splitAssignment(d).select(col("doc_id"), col("is_eval"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every J >= 0.8 pair stays on one side of the split — by construction
+    val pairs = Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
+      .filter(lit(5) * col("n_shared") >=
+        lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+      .select("doc_id", "doc_b").collect()
+    assert(pairs.nonEmpty, "corpus must have near-dup pairs for the test to bite")
+    pairs.foreach { r =>
+      assert(asg(r.getLong(0)) === asg(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses the split")
+    }
+    // both sides populated, global rate in a sane band around the 5 % target
+    val out = Mining.q188.fn(spark, sf).collect()
+    val tot = out.map(_.getAs[Long]("n_docs")).sum
+    val te = out.map(_.getAs[Long]("n_eval")).sum
+    assert(te > 0 && te < tot)
+    val bp = te * 10000 / tot
+    assert(bp >= 100 && bp <= 1500, s"global eval rate $bp bp strays from the 5% target")
+    out.foreach(r => assert(r.getAs[Long]("eval_bp") ===
+      r.getAs[Long]("n_eval") * 10000 / r.getAs[Long]("n_docs")))
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)

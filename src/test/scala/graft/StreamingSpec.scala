@@ -1391,6 +1391,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(decMap() === batch, "a replayed batch must not move the decisions")
   }
 
+  test("audio probe stream: envelope codes ride the band store; streamed keep-earliest equals batch and q176") {
+    import graft.streaming.LshStream
+    import graft.ops.Multimodal
+    val landing = tmpDir("graft-audio-landing")
+    val index = tmpDir("graft-audio-art") + "/index"
+    val decisions = tmpDir("graft-audio-art2") + "/decisions"
+    val checkpoint = tmpDir("graft-audio-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-audio-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint, Multimodal.audioBands).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+      index, decisions, checkpoint, Multimodal.audioBands).awaitTermination()
+
+    def decMap() = LshStream.decisions(spark, decisions).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    val allBands = Multimodal.audioBands(docs)
+    val batch = graft.ops.Dedup.keepEarliestVerdicts(docs.select("doc_id"),
+        graft.ops.Dedup.firstSeenBandPartners(allBands, allBands.filter(lit(false))))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    assert(decMap() === batch,
+      "streamed audio keep-earliest must equal the batch computation")
+    // on this fixture a 48-bit code match is the verified verdict: the
+    // band store's dup flag must agree with q176's L1-verified keep
+    val verified = Multimodal.audioReport(Multimodal.audioCodes(docs)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    decMap().foreach { case (id, (_, _, isDup)) =>
+      assert(isDup === !verified(id),
+        s"doc $id: band verdict must match the verified q176 verdict")
+    }
+  }
+
   test("diversity cell stream: the q178 table off folded cells equals batch; replay and compaction are no-ops") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-div-landing")
