@@ -2230,7 +2230,127 @@ object Dedup {
       docs(s, dir).filter(col("doc_id") >= 50))
   }
 
+  // ── q190: contamination blast radius over the near-dup graph ──────────
+
+  private def q190OracleSql: String =
+    s"""$shingleCtes, bench AS (
+       |  SELECT doc_id AS bench_id, hh FROM hs WHERE doc_id < 50
+       |), corpus AS (
+       |  SELECT doc_id, hh FROM hs WHERE doc_id >= 50
+       |), ce AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM corpus
+       |), be AS (
+       |  SELECT bench_id, unnest(hh) AS h FROM bench
+       |), shared AS (
+       |  SELECT ce.doc_id, be.bench_id, COUNT(*) AS n_shared
+       |  FROM ce JOIN be ON ce.h = be.h
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT s.doc_id, MAX(CAST(s.n_shared AS DOUBLE) / len(b.hh)) AS containment
+       |  FROM shared s JOIN bench b ON s.bench_id = b.bench_id
+       |  GROUP BY s.doc_id
+       |), hits0 AS (
+       |  SELECT doc_id FROM scored
+       |  WHERE FLOOR(containment * 10000.0 + 0.5) / 10000.0 >= 0.3
+       |), csz AS (
+       |  SELECT doc_id, len(hh) AS sz FROM corpus
+       |), cshared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ce a JOIN ce b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), dup AS (
+       |  SELECT s.doc_id, s.doc_b
+       |  FROM cshared s
+       |  JOIN csz sa ON s.doc_id = sa.doc_id
+       |  JOIN csz sb ON s.doc_b = sb.doc_id
+       |  WHERE 5 * s.n_shared >= 4 * (sa.sz + sb.sz - s.n_shared)
+       |), sym AS (
+       |  SELECT doc_id AS src, doc_b AS dst FROM dup
+       |  UNION ALL SELECT doc_b AS src, doc_id AS dst FROM dup
+       |), hop1 AS (
+       |  SELECT DISTINCT s.dst AS doc_id FROM sym s JOIN hits0 h ON s.src = h.doc_id
+       |  WHERE s.dst NOT IN (SELECT doc_id FROM hits0)
+       |), hop2 AS (
+       |  SELECT DISTINCT s.dst AS doc_id FROM sym s JOIN hop1 h ON s.src = h.doc_id
+       |  WHERE s.dst NOT IN (SELECT doc_id FROM hits0)
+       |    AND s.dst NOT IN (SELECT doc_id FROM hop1)
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN h0.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit0,
+       |  CAST(SUM(CASE WHEN h1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+       |  CAST(SUM(CASE WHEN h2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+       |  CAST(SUM(CASE WHEN h0.doc_id IS NOT NULL OR h1.doc_id IS NOT NULL
+       |    OR h2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       |  (CAST(SUM(CASE WHEN h0.doc_id IS NOT NULL OR h1.doc_id IS NOT NULL
+       |    OR h2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+       |    // COUNT(*) AS risk_bp
+       |FROM documents d
+       |LEFT JOIN hits0 h0 ON d.doc_id = h0.doc_id
+       |LEFT JOIN hop1 h1 ON d.doc_id = h1.doc_id
+       |LEFT JOIN hop2 h2 ON d.doc_id = h2.doc_id
+       |WHERE d.doc_id >= 50
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  /** q190 — contamination BLAST RADIUS: q39 flags the corpus docs that
+    * directly overlap the benchmark slice (containment ≥ 0.3); this
+    * walks the J ≥ 0.8 near-dup graph TWO hops out from those hits,
+    * because a near-duplicate of a contaminated document is itself a
+    * contamination vector (a paraphrased copy of a leaked benchmark item
+    * scores low against the benchmark but high against the leaked copy).
+    * Hop sets are disjoint by construction (each excludes the earlier
+    * ones); per source: docs, hop-0/1/2 counts, the union, and the
+    * at-risk rate in exact basis points. Two bounded join rounds — no
+    * recursion, no closure — because decontamination hardening wants a
+    * fixed, auditable radius, not the full component (q187's CC gives
+    * that when wanted). At 100 TB: hop frames are contamination-sized
+    * (tiny), so both hop joins broadcast against the symmetric edge set.
+    */
+  val q190 = Q("q190_contamination_radius", q190OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    contaminationBlastRadius(docs(s, dir))
+  }
+
+  /** q190 over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def contaminationBlastRadius(d: DataFrame): DataFrame = {
+    val corpus = d.filter(col("doc_id") >= 50)
+    val bench = d.filter(col("doc_id") < 50)
+    val hits0 = contaminationPairs(
+        corpus.select(col("doc_id"), col("text")),
+        bench.select(col("doc_id"), col("text")))
+      .groupBy("doc_id").agg(max(col("containment")).as("c"))
+      .filter(Det.dround(col("c"), 4) >= 0.3)
+      .select("doc_id").localCheckpoint()
+    val dup = jaccardPairs(corpus.select(col("doc_id"), col("text")))
+      .filter(lit(5) * col("n_shared") >=
+        lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+    val sym = dup.select(col("doc_id").as("src"), col("doc_b").as("dst"))
+      .unionByName(dup.select(col("doc_b").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
+    val hop1 = sym.join(hits0.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .select(col("dst").as("doc_id")).distinct()
+      .join(hits0, Seq("doc_id"), "left_anti").localCheckpoint()
+    val hop2 = sym.join(hop1.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .select(col("dst").as("doc_id")).distinct()
+      .join(hits0, Seq("doc_id"), "left_anti")
+      .join(hop1, Seq("doc_id"), "left_anti")
+    corpus.select(col("doc_id"), col("source"))
+      .join(hits0.withColumn("h0", lit(true)), Seq("doc_id"), "left")
+      .join(hop1.withColumn("h1", lit(true)), Seq("doc_id"), "left")
+      .join(hop2.withColumn("h2", lit(true)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.countIf(col("h0").isNotNull).as("n_hit0"),
+        Det.countIf(col("h1").isNotNull).as("n_hit1"),
+        Det.countIf(col("h2").isNotNull).as("n_hit2"),
+        Det.countIf(col("h0").isNotNull || col("h1").isNotNull ||
+          col("h2").isNotNull).as("n_at_risk"))
+      .withColumn("risk_bp", expr("(n_at_risk * 10000) div n_docs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172, q184, q185)
+    q172, q184, q185, q190)
 }

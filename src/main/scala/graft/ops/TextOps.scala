@@ -1460,7 +1460,57 @@ object TextOps {
     bigramNovelty(d, cut, None)
   }
 
+  // ── q189: k-anonymity audit over quasi-identifiers ─────────────────────
+
+  private val KAnonK = 5
+  private val KAnonBucket = 256L
+
+  private def q189OracleSql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, n_chars // $KAnonBucket AS len_bucket, COUNT(*) AS gsz
+       |  FROM documents GROUP BY 1, 2, 3
+       |)
+       |SELECT source,
+       |  CAST(SUM(gsz) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_groups,
+       |  CAST(SUM(CASE WHEN gsz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       |  CAST(SUM(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT) AS n_suppressed,
+       |  (CAST(SUM(CASE WHEN gsz < $KAnonK THEN gsz ELSE 0 END) AS BIGINT) * 10000)
+       |    // CAST(SUM(gsz) AS BIGINT) AS suppressed_bp
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** q189 — K-ANONYMITY audit: bucket every document by its
+    * quasi-identifier tuple (source, lang, length-bucket of
+    * [[KAnonBucket]] chars) and flag the docs whose bucket holds fewer
+    * than k = [[KAnonK]] members — the re-identification-risk set a
+    * privacy pass must suppress or generalize before release (q59
+    * scrubs PII *inside* text; this catches the docs whose mere
+    * METADATA combination is identifying). Per source: docs, QI groups,
+    * small groups, suppressed docs, and the suppression rate in exact
+    * basis points. Pure integer arithmetic. At 100 TB: one map-side-
+    * combinable (source, lang, bucket) aggregate — group count is
+    * bounded by the QI domain, not the corpus — then a |sources| rollup.
+    */
+  val q189 = Q("q189_kanonymity_audit", q189OracleSql) { (s, dir) =>
+    kAnonymityAudit(docs(s, dir))
+  }
+
+  /** q189 over any (source, lang, n_chars) frame — spec entry. */
+  private[graft] def kAnonymityAudit(d: DataFrame): DataFrame =
+    d.groupBy(col("source"), col("lang"),
+        expr(s"n_chars div $KAnonBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("gsz"))
+      .groupBy("source")
+      .agg(
+        sum("gsz").cast("long").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        Det.countIf(col("gsz") < KAnonK).as("n_small_groups"),
+        sum(when(col("gsz") < KAnonK, col("gsz")).otherwise(lit(0L)))
+          .cast("long").as("n_suppressed"))
+      .withColumn("suppressed_bp", expr("(n_suppressed * 10000) div n_docs"))
+      .orderBy("source")
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170, q173, q183)
+      q121, q152, q160, q170, q173, q183, q189)
 }

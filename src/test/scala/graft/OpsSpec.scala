@@ -865,6 +865,58 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_eval") * 10000 / r.getAs[Long]("n_docs")))
   }
 
+  test("q189: k-anonymity audit flags exactly the small QI groups") {
+    // s1: one bucket of 6 (safe) + one bucket of 2 (suppressed);
+    // s2: one bucket of 6 (safe). Bucket width is 256 chars.
+    val rows = (0 until 6).map(i => (i.toLong, "s1", "en", 100L)) ++
+      Seq((6L, "s1", "en", 3000L), (7L, "s1", "en", 3010L)) ++
+      (8 until 14).map(i => (i.toLong, "s2", "de", 500L))
+    val out = TextOps.kAnonymityAudit(
+        rows.toDF("doc_id", "source", "lang", "n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getAs[Long]("n_docs") === 8L)
+    assert(out("s1").getAs[Long]("n_groups") === 2L)
+    assert(out("s1").getAs[Long]("n_small_groups") === 1L)
+    assert(out("s1").getAs[Long]("n_suppressed") === 2L)
+    assert(out("s1").getAs[Long]("suppressed_bp") === 2500L)
+    assert(out("s2").getAs[Long]("n_suppressed") === 0L)
+    assert(out("s2").getAs[Long]("suppressed_bp") === 0L)
+  }
+
+  test("q190: blast radius walks exactly two hops out from the contaminated set") {
+    def toks(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val w = toks("w", 400)
+    val benchText = toks("b", 10).mkString(" ")
+    // X embeds the whole benchmark item; Y is X with its first 30 tokens
+    // rewritten (kills the bench overlap, keeps J(X,Y) ~ 0.86); Z is Y
+    // with the next 30 rewritten (J(Y,Z) ~ 0.86, J(X,Z) ~ 0.74 < 0.8)
+    val x = (toks("b", 10) ++ w).mkString(" ")
+    val y = (toks("y", 30) ++ w.drop(20)).mkString(" ")
+    val z = (toks("y", 30) ++ toks("z", 30) ++ w.drop(50)).mkString(" ")
+    val frame = Seq(
+      (0L, "bench", benchText),
+      (100L, "s1", x), (101L, "s1", y), (102L, "s1", z),
+      (103L, "s2", toks("u", 10).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.contaminationBlastRadius(frame)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getAs[Long]("n_hit0") === 1L, "X is directly contaminated")
+    assert(out("s1").getAs[Long]("n_hit1") === 1L, "Y is one hop out")
+    assert(out("s1").getAs[Long]("n_hit2") === 1L, "Z is two hops out")
+    assert(out("s1").getAs[Long]("n_at_risk") === 3L)
+    assert(out("s1").getAs[Long]("risk_bp") === 10000L)
+    assert(out("s2").getAs[Long]("n_at_risk") === 0L)
+    // on the real corpus: hop sets are disjoint and the rollup is consistent
+    val real = Dedup.q190.fn(spark, sf).collect()
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_at_risk") === r.getAs[Long]("n_hit0") +
+        r.getAs[Long]("n_hit1") + r.getAs[Long]("n_hit2"))
+      assert(r.getAs[Long]("risk_bp") ===
+        r.getAs[Long]("n_at_risk") * 10000 / r.getAs[Long]("n_docs"))
+    }
+    assert(real.map(_.getAs[Long]("n_hit0")).sum > 0, "corpus has direct hits")
+  }
+
   /** Deterministic 16×12 RGB test raster (seeded gradient + checker). */
   private def testRaster: java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
