@@ -181,7 +181,38 @@ object CorpusRun {
       minDiv >= 0L && divDocs <= nAccepted && nDivSrc > 0,
       s"$nDivSrc sources over $divDocs accepted docs; min diversity_fp=$minDiv")
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+    // 11. dedup-aware mixture OVER the accepted store: q187's
+    // 1/cluster-size weighting on exactly what curation shipped — the
+    // duplication-corrected shares a sampler reads beside the
+    // temperature recipe (curation already removed exact+banded dups, so
+    // the residual shift here measures what the J >= 0.8 closure still
+    // sees past those stages)
+    val dupMix = Mining.dupWeightedMixture(acceptedDocs
+        .select(col("doc_id"), col("source"), col("text")))
+      .localCheckpoint()
+    dupMix.coalesce(1).write.mode("overwrite").parquet(s"$outDir/dup_weighted_mixture")
+    val dmAgg = dupMix.agg(sum(col("n_docs")), sum(col("eff_fp")),
+      sum(col("eff_share_ppm"))).head()
+    val (dmDocs, dmEff, dmPpm) = (dmAgg.getLong(0), dmAgg.getLong(1), dmAgg.getLong(2))
+    val s11 = Stage("dedup_weighting", dupMix.count(),
+      dmDocs == nAccepted && dmEff <= dmDocs * 1000000L &&
+        math.abs(dmPpm - 1000000L) <= dupMix.count(),
+      s"eff mass $dmEff of ${dmDocs}e6; eff ppm sum=$dmPpm")
+
+    // 12. cluster-aware eval holdout OVER the accepted store: q188's
+    // carve-by-component split on what curation shipped — leakage-free
+    // by construction, reported per source
+    val holdout = Mining.clusterAwareSplit(acceptedDocs
+        .select(col("doc_id"), col("source"), col("text")))
+      .localCheckpoint()
+    holdout.coalesce(1).write.mode("overwrite").parquet(s"$outDir/eval_holdout")
+    val hoAgg = holdout.agg(sum(col("n_docs")), sum(col("n_eval"))).head()
+    val (hoDocs, hoEval) = (hoAgg.getLong(0), hoAgg.getLong(1))
+    val s12 = Stage("holdout", holdout.count(),
+      hoDocs == nAccepted && hoEval > 0 && hoEval < hoDocs,
+      s"$hoEval of $hoDocs accepted docs carved for eval")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
   }
 
   def main(args: Array[String]): Unit = {

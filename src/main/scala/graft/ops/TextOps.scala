@@ -1497,9 +1497,25 @@ object TextOps {
 
   /** q189 over any (source, lang, n_chars) frame — spec entry. */
   private[graft] def kAnonymityAudit(d: DataFrame): DataFrame =
+    kAnonymityFromCells(kAnonCells(d))
+
+  /** (source, lang, len_bucket, gsz) QI-group cells — add-mergeable SUM
+    * state (bounded by the QI domain, not the corpus), so a streaming
+    * sink can maintain them per batch and the audit serves off the fold.
+    */
+  private[graft] def kAnonCells(d: DataFrame): DataFrame =
     d.groupBy(col("source"), col("lang"),
         expr(s"n_chars div $KAnonBucket").as("len_bucket"))
-      .agg(count(lit(1)).as("gsz"))
+      .agg(count(lit(1)).cast("long").as("gsz"))
+
+  /** The q189 table from (possibly unfolded) cells — the fold is the
+    * first aggregation, so batch and store-served paths share this code.
+    * The k test runs on the FOLDED group size: a group small in every
+    * batch but large in union is correctly safe.
+    */
+  private[graft] def kAnonymityFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy("source", "lang", "len_bucket")
+      .agg(sum("gsz").cast("long").as("gsz"))
       .groupBy("source")
       .agg(
         sum("gsz").cast("long").as("n_docs"),

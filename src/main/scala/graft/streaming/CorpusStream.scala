@@ -400,6 +400,48 @@ object CorpusStream {
     }
   }
 
+  // ── k-anonymity QI cells (q189 serving) ─────────────────────────────
+
+  /** One micro-batch's quasi-identifier group cells —
+    * TextOps.kAnonCells verbatim: (source, lang, len_bucket, gsz) with
+    * SUM-mergeable gsz. Per-batchId OVERWRITE; state is bounded by the
+    * QI domain, not the corpus. The k test runs at SERVE time on the
+    * folded size, so a group that is small in every batch but large in
+    * union is correctly safe — the audit is arrival-order invariant.
+    */
+  def writeKAnonDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    graft.ops.TextOps.kAnonCells(batch).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** QI-cell maintenance sink — the privacy audit's input kept current
+    * as documents land, zero corpus rescans at audit time.
+    */
+  def kAnonCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("kanonymity_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKAnonDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** The q189 audit off the folded cells alone — bit-equal to batch q189
+    * over the union of landings (StreamingSpec-pinned).
+    */
+  def kAnonymityFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
+    graft.ops.TextOps.kAnonymityFromCells(
+      spark.read.parquet(deltaDir).select("source", "lang", "len_bucket", "gsz"))
+
+  /** QI-store retention: the fold algebra is the serving algebra. */
+  def compactKAnonDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
+    StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>
+      cells.groupBy("source", "lang", "len_bucket")
+        .agg(sum(col("gsz")).cast("long").as("gsz"))
+    }
+
   // ── span window cells (q182 serving) ────────────────────────────────
 
   /** One micro-batch's window cells — Mining.spanWindowCells verbatim:

@@ -1500,6 +1500,67 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("k-anonymity cell stream: the audit off folded cells equals batch q189, with the k test on the union") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-kanon-landing")
+    val deltas = tmpDir("graft-kanon-art") + "/deltas"
+    val checkpoint = tmpDir("graft-kanon-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-kanon-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // split by PARITY, not by range: every QI group straddles both
+    // batches, so a per-batch k test would misflag large groups — only
+    // the folded sizes give the right audit
+    land(docs.filter(col("doc_id") % 2 === 0), "f1.parquet")
+    CorpusStream.kAnonCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") % 2 === 1), "f2.parquet")
+    CorpusStream.kAnonCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def tblMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups"),
+          r.getAs[Long]("n_small_groups"), r.getAs[Long]("n_suppressed"),
+          r.getAs[Long]("suppressed_bp"))))
+      .toMap
+    val batch = tblMap(ops.TextOps.q189.fn(spark, sf))
+    assert(tblMap(CorpusStream.kAnonymityFromDeltas(spark, deltas)) === batch,
+      "served audit must equal batch q189 over the landed corpus")
+    // the parity split actually bit: some QI group is under k in the
+    // first batch alone but at/over k once folded — a per-batch k test
+    // would have misflagged it
+    val evenSizes = ops.TextOps.kAnonCells(docs.filter(col("doc_id") % 2 === 0))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val foldedSizes = spark.read.parquet(deltas)
+      .groupBy("source", "lang", "len_bucket")
+      .agg(org.apache.spark.sql.functions.sum("gsz").cast("long").as("gsz"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(foldedSizes.exists { case (k, n) =>
+      n >= 5L && evenSizes.getOrElse(k, 0L) < 5L },
+      "the split must produce a group that only the folded sizes clear")
+
+    // replay: per-batchId overwrite keeps the store idempotent
+    CorpusStream.writeKAnonDelta(docs.filter(col("doc_id") % 2 === 0), deltas, 0L)
+    assert(tblMap(CorpusStream.kAnonymityFromDeltas(spark, deltas)) === batch,
+      "a replayed delta write must not move the served audit")
+
+    // retention: the fold algebra is the serving algebra
+    CorpusStream.compactKAnonDeltas(spark, deltas, upto = 1L)
+    assert(tblMap(CorpusStream.kAnonymityFromDeltas(spark, deltas)) === batch,
+      "compaction must not move the served audit")
+  }
+
   test("span window-cell stream: the scrub plan off folded cells equals batch q182 under any arrival order") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-span-landing")
