@@ -747,6 +747,47 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "ccprobe") {
+      // Near-dup-graph family cost laws (q187/q188): id-shifted copies
+      // keep the TEXT identical, so every doc gains m-1 exact near-dups —
+      // the adversarial direction for the shared-shingle join (pair count
+      // grows m² like q33's documented quadratic; the LSH-banded path is
+      // the 100 TB candidate generator, this probe measures the exact
+      // twin). Two invariants must hold under duplication: (a) the
+      // dup-weighted EFFECTIVE mass is flat (clusters of size c·m at
+      // weight 1/(c·m) ≈ the 1x mass — content counts once no matter how
+      // many copies land); (b) the cluster-aware split CANNOT move
+      // (component = min label = the 1x doc id, so the carve hash sees
+      // identical cluster ids).
+      import graft.ops.Mining
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+        .reduce(_.unionByName(_))
+      def effMass(m: Int): Long =
+        Mining.dupWeightedMixture(docsAt(m)).agg(sum("eff_fp")).head().getLong(0)
+      def evalBp(m: Int): Long = {
+        val r = Mining.clusterAwareSplit(docsAt(m))
+          .agg(sum("n_eval"), sum("n_docs")).head()
+        r.getLong(0) * 10000 / r.getLong(1)
+      }
+      Seq(1, 1, mult).foreach { m =>
+        time(s"cc${m}x.components") {
+          Mining.nearDupComponents(docsAt(m)).agg(count(lit(1))).head().getLong(0)
+        }
+        time(s"cc${m}x.dup_mixture") { effMass(m) }
+        time(s"cc${m}x.split") { evalBp(m) }
+      }
+      val (e1, eM) = (effMass(1), effMass(mult))
+      println(f"ccprobe: eff mass 1x=$e1 ${mult}x=$eM " +
+        f"(ratio ${eM.toDouble / e1}%.4f — must stay ~1.0 under duplication)")
+      println(s"ccprobe: eval_bp 1x=${evalBp(1)} ${mult}x=${evalBp(mult)} " +
+        "(must be identical — duplication cannot move the carve)")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
