@@ -795,9 +795,18 @@ object Multimodal {
     * keep-earliest streaming maintenance, replay safety, and bucketed
     * compaction without new state code.
     */
-  private[graft] def phashBands(batch: DataFrame): DataFrame = {
+  private[graft] def phashBands(batch: DataFrame): DataFrame =
+    phashBandsOf(phashSigs(batch))
+
+  /** [[phashBands]] over the SPARSE fixture ([[sparseImgId]]) — the
+    * image half of the streamed cross-modal composition.
+    */
+  private[graft] def phashBandsSparse(batch: DataFrame): DataFrame =
+    phashBandsOf(phashSigs(batch, sparseImgId))
+
+  private def phashBandsOf(sigs: DataFrame): DataFrame = {
     val mask = (1L << PhashBandBits) - 1
-    phashSigs(batch).select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band_idx"),
           shiftright(col("phash"), k * PhashBandBits).bitwiseAND(lit(mask))
@@ -1145,7 +1154,16 @@ object Multimodal {
     * the L1 verify at serving time, reading envelopes by doc_id).
     */
   private[graft] def audioBands(batch: DataFrame): DataFrame =
-    audioCodes(batch).select(col("doc_id"),
+    audioBandsOf(audioCodes(batch))
+
+  /** [[audioBands]] over the SPARSE fixture ([[sparseAudId]]) — the
+    * audio half of the streamed cross-modal composition.
+    */
+  private[graft] def audioBandsSparse(batch: DataFrame): DataFrame =
+    audioBandsOf(audioCodes(batch, sparseAudId))
+
+  private def audioBandsOf(codes: DataFrame): DataFrame =
+    codes.select(col("doc_id"),
       explode(array(
         struct(lit(0).as("band_idx"), col("code1").as("band_hash")),
         struct(lit(1).as("band_idx"), col("code2").as("band_hash")))).as("b"))

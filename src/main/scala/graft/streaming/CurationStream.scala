@@ -202,6 +202,41 @@ object CurationStream {
         col("d.n_earlier"), col("d.dup_of"), col("d.is_band_dup"))
       .orderBy("doc_id")
 
+  /** CROSS-MODAL verdict service: compose the text curation decisions
+    * (gate → exact fp → text band) with the image-phash and audio-code
+    * keep-earliest stores into ONE verdict per document — q127's
+    * first-failing-stage reason convention extended across modalities
+    * (gate → text_exact → text_near → image_near → audio_near), q186's
+    * composition served off the three STREAMED stores with zero corpus
+    * rescans. The image store is the doc spine (every landed doc has an
+    * image row); a doc absent from the text store was gate-failed. All
+    * three inputs are first-verdict-wins audits, so the composition
+    * inherits their replay safety. At 100 TB this is three
+    * decision-store scans and two doc_id joins — no text, pixels, or
+    * samples are touched at serving time.
+    */
+  def crossModalDecisions(spark: SparkSession, textDecisionsDir: String,
+      imgDecisionsDir: String, audDecisionsDir: String): DataFrame = {
+    val t = decisions(spark, textDecisionsDir)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_band_dup"),
+        lit(true).as("in_text"))
+    val i = LshStream.decisions(spark, imgDecisionsDir)
+      .select(col("doc_id"), col("is_band_dup").as("img_dup"))
+    val a = LshStream.decisions(spark, audDecisionsDir)
+      .select(col("doc_id"), col("is_band_dup").as("aud_dup"))
+    i.join(a, Seq("doc_id"))
+      .join(t, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in_text").isNull, lit("gate"))
+          .when(col("is_exact_dup"), lit("text_exact"))
+          .when(coalesce(col("is_band_dup"), lit(false)), lit("text_near"))
+          .when(col("img_dup"), lit("image_near"))
+          .when(col("aud_dup"), lit("audio_near"))
+          .as("reason"))
+      .withColumn("accepted", col("reason").isNull)
+      .orderBy("doc_id")
+  }
+
   // ── store maintenance: retention for the accreting partition stores ──
 
   /** Fold fingerprint-history delta partitions with `batch_id <= upto`

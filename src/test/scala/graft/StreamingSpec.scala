@@ -1500,6 +1500,82 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("cross-modal decisions off the three streamed stores equal the batch composition") {
+    import graft.streaming.{CurationStream, LshStream}
+    import graft.ops.{Dedup, Multimodal}
+    val landing = tmpDir("graft-xm-landing")
+    val fps = tmpDir("graft-xm-fps") + "/fps"
+    val tIndex = tmpDir("graft-xm-tidx") + "/bands"
+    val tDec = tmpDir("graft-xm-tdec") + "/rows"
+    val iIndex = tmpDir("graft-xm-iidx") + "/bands"
+    val iDec = tmpDir("graft-xm-idec") + "/rows"
+    val aIndex = tmpDir("graft-xm-aidx") + "/bands"
+    val aDec = tmpDir("graft-xm-adec") + "/rows"
+    val (ck1, ck2, ck3) = (tmpDir("graft-xm-ck1"), tmpDir("graft-xm-ck2"),
+      tmpDir("graft-xm-ck3"))
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-xm-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    Seq(docs.filter(col("doc_id") < cut) -> "f1.parquet",
+        docs.filter(col("doc_id") >= cut) -> "f2.parquet").foreach { case (df, f) =>
+      land(df, f)
+      CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
+        fps, tIndex, tDec, ck1).awaitTermination()
+      LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+        iIndex, iDec, ck2, Multimodal.phashBandsSparse).awaitTermination()
+      LshStream.dedupSink(LshStream.readDocStream(spark, landing),
+        aIndex, aDec, ck3, Multimodal.audioBandsSparse).awaitTermination()
+    }
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("reason")), r.getAs[Boolean]("accepted"))))
+      .toMap
+    val got = toMap(CurationStream.crossModalDecisions(spark, tDec, iDec, aDec))
+
+    // batch anchor: the identical first-failing composition from the
+    // oracled text verdicts (q127) + batch keep-earliest image/audio bands
+    val textB = Dedup.q127.fn(spark, sf)
+      .select(col("doc_id"), col("is_exact_dup"), col("is_band_dup"),
+        lit(true).as("in_text"))
+    val iBands = Multimodal.phashBandsSparse(docs)
+    val imgB = Dedup.keepEarliestVerdicts(docs.select("doc_id"),
+        Dedup.firstSeenBandPartners(iBands, iBands.filter(lit(false))))
+      .select(col("doc_id"), col("is_band_dup").as("img_dup"))
+    val aBands = Multimodal.audioBandsSparse(docs)
+    val audB = Dedup.keepEarliestVerdicts(docs.select("doc_id"),
+        Dedup.firstSeenBandPartners(aBands, aBands.filter(lit(false))))
+      .select(col("doc_id"), col("is_band_dup").as("aud_dup"))
+    val expected = toMap(imgB.join(audB, Seq("doc_id"))
+      .join(textB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in_text").isNull, lit("gate"))
+          .when(col("is_exact_dup"), lit("text_exact"))
+          .when(coalesce(col("is_band_dup"), lit(false)), lit("text_near"))
+          .when(col("img_dup"), lit("image_near"))
+          .when(col("aud_dup"), lit("audio_near"))
+          .as("reason"))
+      .withColumn("accepted", col("reason").isNull))
+    assert(got === expected,
+      "cross-modal verdicts off the streamed stores must equal the batch composition")
+    // the composition is not vacuous: image and audio stages both fire,
+    // and most docs are accepted
+    val reasons = got.values.flatMap(_._1).toSet
+    assert(reasons.contains("image_near") && reasons.contains("audio_near"),
+      s"multimodal stages must contribute reasons, got $reasons")
+    assert(got.values.count(_._2) > got.size / 4, "acceptance must be non-trivial")
+  }
+
   test("k-anonymity cell stream: the audit off folded cells equals batch q189, with the k test on the union") {
     import graft.streaming.CorpusStream
     val landing = tmpDir("graft-kanon-landing")
