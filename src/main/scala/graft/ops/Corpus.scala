@@ -501,7 +501,11 @@ object Corpus {
 
   private val BpeEncodeRounds = 3
 
-  private def q118OracleSql: String = {
+  /** Shared oracle prefix for q118/q191: pretokens + the
+    * [[BpeEncodeRounds]] unrolled train-and-rewrite rounds, ending at
+    * [[bpeFinalTk]].
+    */
+  private def bpeEncodeCtes: String = {
     val pat = TextOps.bpePattern.replace("'", "''")
     def round(r: Int, in: String): String =
       s"""c$r AS (
@@ -538,11 +542,17 @@ object Corpus {
          |)""".stripMargin
     val rounds = (1 to BpeEncodeRounds)
       .map(r => round(r, if (r == 1) "tk0" else s"tk${r - 1}")).mkString(",\n")
-    val fin = s"tk$BpeEncodeRounds"
     s"""WITH tk0 AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$pat') AS t FROM documents
        |),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def bpeFinalTk: String = s"tk$BpeEncodeRounds"
+
+  private def q118OracleSql: String = {
+    val fin = bpeFinalTk
+    s"""$bpeEncodeCtes,
        |vocab AS (
        |  SELECT token, ROW_NUMBER() OVER (ORDER BY token) AS id
        |  FROM (SELECT DISTINCT unnest(t) AS token FROM $fin)
@@ -603,6 +613,74 @@ object Corpus {
           .as("compression_bp"),
         coalesce(col("token_ids"), lit("")).as("token_ids"))
       .orderBy("doc_id")
+  }
+
+  // ── q191: tokenizer fertility per source under the trained vocab ─────
+
+  private def q191OracleSql: String = {
+    val fin = bpeFinalTk
+    s"""$bpeEncodeCtes,
+       |pre AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_pre,
+       |    CAST(COALESCE(list_sum(list_transform(t, s -> len(s))), 0) AS BIGINT) AS n_chars_tok
+       |  FROM tk0
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM $fin
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(p.n_pre) AS BIGINT) AS pretokens,
+       |  CAST(SUM(COALESCE(k.n_tok, 0)) AS BIGINT) AS tokens,
+       |  CAST(SUM(p.n_chars_tok) AS BIGINT) AS chars,
+       |  CASE WHEN CAST(SUM(COALESCE(k.n_tok, 0)) AS BIGINT) = 0 THEN 0
+       |    ELSE (CAST(SUM(p.n_chars_tok) AS BIGINT) * 10000)
+       |      // CAST(SUM(COALESCE(k.n_tok, 0)) AS BIGINT) END AS chars_per_token_fp,
+       |  CASE WHEN CAST(SUM(p.n_pre) AS BIGINT) = 0 THEN 0
+       |    ELSE ((CAST(SUM(p.n_pre) AS BIGINT) - CAST(SUM(COALESCE(k.n_tok, 0)) AS BIGINT)) * 10000)
+       |      // CAST(SUM(p.n_pre) AS BIGINT) END AS compression_bp
+       |FROM documents d
+       |JOIN pre p ON d.doc_id = p.doc_id
+       |LEFT JOIN toks k ON d.doc_id = k.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+  }
+
+  /** q191 — tokenizer FERTILITY per source under the TRAINED vocabulary:
+    * train q118's merge table once, encode the corpus, and report per
+    * source the chars-per-token rate (fertility, ×10⁴ fixed point) and
+    * compression vs the pretokenizer — the table a mixture planner reads
+    * to see which sources inflate the token budget under a given
+    * tokenizer (the q175 reweighting's loss signal, now derived from the
+    * trained vocab instead of the whitespace proxy). Chars are counted
+    * over the token stream itself (merges conserve them), so every
+    * number is an exact BIGINT and the rates are exact floor divisions.
+    * Scale shape: training is k corpus-linear rounds with a 1-row
+    * collect each; the encode is kernel map passes; the rollup is
+    * |sources| rows.
+    */
+  val q191 = Q("q191_tokenizer_fertility", q191OracleSql) { (s, dir) =>
+    graft.functions.BpeMerge.register(s)
+    val d = docs(s, dir)
+    val tk0 = pretokens(d).localCheckpoint()
+    val merges = trainMerges(tk0, BpeEncodeRounds)
+    val enc = bpeEncode(tk0, merges)
+    val pre = tk0.select(col("doc_id"), size(col("t")).cast("long").as("n_pre"),
+      expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))").as("n_chars_tok"))
+    val tok = enc.select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+    d.select(col("doc_id"), col("source"))
+      .join(pre, Seq("doc_id"))
+      .join(tok, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_pre").cast("long").as("pretokens"),
+        sum(coalesce(col("n_tok"), lit(0L))).cast("long").as("tokens"),
+        sum("n_chars_tok").cast("long").as("chars"))
+      .withColumn("chars_per_token_fp",
+        expr("CASE WHEN tokens = 0 THEN 0 ELSE (chars * 10000) div tokens END"))
+      .withColumn("compression_bp",
+        expr("CASE WHEN pretokens = 0 THEN 0 " +
+          "ELSE ((pretokens - tokens) * 10000) div pretokens END"))
+      .orderBy("source")
   }
 
   // ── q126: per-source distribution drift (chi-square vs rest) ─────────
@@ -1080,5 +1158,6 @@ object Corpus {
   }
 
   val all: Seq[Q] =
-    Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129, q131)
+    Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129, q131,
+      q191)
 }

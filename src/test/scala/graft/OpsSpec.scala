@@ -865,6 +865,22 @@ class OpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_eval") * 10000 / r.getAs[Long]("n_docs")))
   }
 
+  test("q191: fertility rates are exact and bounded by construction") {
+    val out = graft.ops.Corpus.q191.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens") <= r.getAs[Long]("pretokens"),
+        "merges can only shrink the stream")
+      assert(r.getAs[Long]("chars") >= r.getAs[Long]("tokens"),
+        "every token carries at least one char")
+      assert(r.getAs[Long]("chars_per_token_fp") >= 10000L)
+      val cb = r.getAs[Long]("compression_bp")
+      assert(cb >= 0L && cb < 10000L)
+    }
+    assert(out.exists(_.getAs[Long]("compression_bp") > 0L),
+      "the trained merges must actually compress some source")
+  }
+
   test("q189: k-anonymity audit flags exactly the small QI groups") {
     // s1: one bucket of 6 (safe) + one bucket of 2 (suppressed);
     // s2: one bucket of 6 (safe). Bucket width is 256 chars.
