@@ -170,6 +170,46 @@ object ScrubStream {
     root
   }
 
+  /** One micro-batch's inverted-index delta: the corpus slice's
+    * (doc_id ≥ 50, the batch-build's convention) DISTINCT positional-
+    * shingle (h, doc_id) pairs. The index is ADD-ONLY state — a new doc
+    * contributes only its own rows and never modifies another's — so a
+    * per-batchId OVERWRITE partition is the whole replay story and the
+    * "fold" is a plain union. Containment (q185) served off the deltas
+    * is therefore exact over whatever has landed, with zero rebuilds.
+    */
+  def writeShingleDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    Dedup.positionalShingles(
+        batch.filter(col("doc_id") >= 50).select(col("doc_id"), col("text")))
+      .select(col("h"), col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Inverted-index maintenance sink — q185's serving artifact kept
+    * current as documents land.
+    */
+  def shingleIndexSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("shingle_index_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeShingleDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  /** q185's containment table off the index deltas alone — bit-equal to
+    * the batch query over the union of landings (StreamingSpec-pinned).
+    * `spine` is the (doc_id)-bearing frame of the docs to report on.
+    */
+  def containmentFromDeltas(spark: SparkSession, deltaDir: String,
+      spine: DataFrame): DataFrame =
+    Dedup.containmentBest(
+      Dedup.jaccardPairsFromExploded(
+        spark.read.parquet(deltaDir).select("doc_id", "h")),
+      spine)
+
   /** Where a RELEASE-keyed scrub store lives: corpus identity × the
     * benchmark release's id bound — each benchmark release gets its own
     * frozen verdict store.

@@ -1500,6 +1500,49 @@ class StreamingSpec extends AnyFunSuite {
       "compaction must not move the served table")
   }
 
+  test("shingle-index stream: containment served off landed deltas equals batch q185") {
+    import graft.streaming.ScrubStream
+    import graft.ops.Dedup
+    val landing = tmpDir("graft-shidx-landing")
+    val deltas = tmpDir("graft-shidx-art") + "/deltas"
+    val checkpoint = tmpDir("graft-shidx-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-shidx-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    ScrubStream.shingleIndexSink(ScrubStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    ScrubStream.shingleIndexSink(ScrubStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    val spine = docs.filter(col("doc_id") >= 50)
+    val served = toMap(ScrubStream.containmentFromDeltas(spark, deltas, spine))
+    val batch = toMap(Dedup.q185.fn(spark, sf))
+    assert(served === batch,
+      "containment off the streamed index must equal the store-served batch query")
+
+    // replay: the index is add-only state, per-batchId overwrite absorbs it
+    ScrubStream.writeShingleDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
+    assert(toMap(ScrubStream.containmentFromDeltas(spark, deltas, spine)) === batch,
+      "a replayed delta must not move a single verdict")
+  }
+
   test("cross-modal decisions off the three streamed stores equal the batch composition") {
     import graft.streaming.{CurationStream, LshStream}
     import graft.ops.{Dedup, Multimodal}
