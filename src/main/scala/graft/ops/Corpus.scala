@@ -683,6 +683,48 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ── q192: fertility-driven domain reweighting ────────────────────────
+
+  private def q192OracleSql: String = Mining.mwOracleSql(
+    s"""$bpeEncodeCtes,
+       |d AS (
+       |  SELECT doc.source,
+       |    (10000 * CAST(list_sum(list_transform(f.t, s -> len(s))) AS BIGINT))
+       |      // CAST(len(f.t) AS BIGINT) AS cpt
+       |  FROM $bpeFinalTk f JOIN documents doc ON f.doc_id = doc.doc_id
+       |  WHERE len(f.t) > 0
+       |)""".stripMargin)
+
+  /** q192 — q175's DoReMi-shaped multiplicative-weights optimizer driven
+    * by the TRAINED tokenizer's fertility instead of the whitespace
+    * proxy: per-doc loss = chars-per-token over the q118-encoded stream
+    * (exact fixed point — verbose sources that resist the learned merges
+    * score high), then the identical excess → 4 MW rounds →
+    * renormalized ppm trajectory and doc allocation. This is the
+    * composition a real pipeline runs — the tokenizer you will train
+    * WITH decides which domains get upweighted — and it shares the
+    * optimizer code (`Mining.mwTableFromCells`) and the oracle's MW body
+    * with q175, so the only new surface is the loss projection. Scale:
+    * the encode is q118's kernel passes; the optimizer runs on
+    * |sources| rows.
+    */
+  val q192 = Q("q192_fertility_reweighting", q192OracleSql) { (s, dir) =>
+    graft.functions.BpeMerge.register(s)
+    val d = docs(s, dir)
+    val tk0 = pretokens(d).localCheckpoint()
+    val merges = trainMerges(tk0, BpeEncodeRounds)
+    val cells = bpeEncode(tk0, merges)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+        expr("aggregate(t, CAST(0 AS BIGINT), (a, x) -> a + length(x))").as("n_ch"))
+      .filter(col("n_tok") > 0)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), expr("(10000 * n_ch) div n_tok").as("cpt"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("cpt").cast("long").as("loss_sum"))
+    Mining.mwTableFromCells(cells)
+  }
+
   // ── q126: per-source distribution drift (chi-square vs rest) ─────────
 
   val DriftBinWidth = 64L              // token-count histogram bin width
@@ -1159,5 +1201,5 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(q67, q68, q69, q72, q77, q79, q83, q89, q105, q118, q126, q128, q129, q131,
-      q191)
+      q191, q192)
 }

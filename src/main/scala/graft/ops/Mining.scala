@@ -2553,7 +2553,15 @@ object Mining {
   private val MwEta = 0.5
   private val MwRounds = 4
 
-  private def q175OracleSql: String = {
+  /** The q175 MW-optimizer oracle parameterized by the per-doc loss
+    * source: `prefix` must be a WITH-chain ending in a CTE `d` with
+    * columns (source, cpt). Shared by q175 (whitespace-proxy loss) and
+    * q192 (trained-vocab fertility loss). `st` is MATERIALIZED: each MW
+    * round's r$t reads u$t twice, so an inlining planner would otherwise
+    * re-evaluate the whole loss prefix ~2^rounds times — invisible for
+    * q175's cheap scan, an OOM for q192's unrolled BPE encode (measured).
+    */
+  private[graft] def mwOracleSql(prefix: String): String = {
     val M = "CAST(1000000.0 AS DOUBLE)"
     val eta = s"CAST($MwEta AS DOUBLE)"
     val rounds = (1 to MwRounds).map { t =>
@@ -2570,10 +2578,7 @@ object Mining {
     }.mkString(",\n")
     val ppmCols = (1 to MwRounds)
       .map(t => s"  CAST(FLOOR(w$t * $M) AS BIGINT) AS w${t}_ppm,").mkString("\n")
-    s"""WITH d AS (
-       |  SELECT source, (10000 * n_chars) // len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cpt
-       |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
-       |), st AS (
+    s"""$prefix, st AS MATERIALIZED (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(cpt) AS BIGINT) AS loss_sum
        |  FROM d GROUP BY source
        |), base AS (
@@ -2596,6 +2601,12 @@ object Mining {
        |  (CAST(FLOOR(w$MwRounds * $M) AS BIGINT) * total_docs) // 1000000 AS docs_alloc
        |FROM r$MwRounds, tot ORDER BY source""".stripMargin
   }
+
+  private def q175OracleSql: String = mwOracleSql(
+    s"""WITH d AS (
+       |  SELECT source, (10000 * n_chars) // len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS cpt
+       |  FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+       |)""".stripMargin)
 
   /** q175 — DoReMi-shaped domain reweighting: multiplicative-weights
     * over per-source EXCESS loss. The proxy loss is chars-per-token in

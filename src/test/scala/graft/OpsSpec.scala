@@ -881,6 +881,24 @@ class OpsSpec extends AnyFunSuite {
       "the trained merges must actually compress some source")
   }
 
+  test("q192: fertility reweighting keeps the MW invariants on the trained-vocab loss") {
+    val out = graft.ops.Corpus.q192.fn(spark, sf).collect()
+    val ppm = out.map(_.getAs[Long]("w4_ppm")).sum
+    assert(math.abs(ppm - 1000000L) <= out.length, s"weights must renormalize, got $ppm")
+    out.foreach { r =>
+      assert(r.getAs[Long]("mean_cpt_fp") >= 10000L,
+        "every token carries at least one char, so fertility >= 1.0")
+      val eb = r.getAs[Long]("excess_bp")
+      assert(eb >= 0L && eb <= 10000L)
+    }
+    // the trained-vocab loss is a different signal than q175's
+    // whitespace proxy — the composition adds information
+    val proxy = Mining.q175.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("mean_cpt_fp")).toMap
+    assert(out.exists(r => proxy(r.getString(0)) != r.getAs[Long]("mean_cpt_fp")),
+      "trained fertility must not collapse to the whitespace proxy")
+  }
+
   test("q189: k-anonymity audit flags exactly the small QI groups") {
     // s1: one bucket of 6 (safe) + one bucket of 2 (suppressed);
     // s2: one bucket of 6 (safe). Bucket width is 256 chars.
