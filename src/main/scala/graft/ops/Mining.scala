@@ -2850,7 +2850,61 @@ object Mining {
       .withColumn("is_eval",
         Dedup.h60Col(col("component").cast("string")) % 100 < lit(5L))
 
+  // ── q193: per-source duplication profile (cluster-size histogram) ─────
+
+  private def q193OracleSql: String =
+    s"""$nearDupCompCtes, csz AS (
+       |  SELECT component, COUNT(*) AS csz FROM comp GROUP BY component
+       |), attributed AS (
+       |  SELECT d.source, s.csz,
+       |    CAST(length(bin(s.csz)) - 1 AS BIGINT) AS size_bucket
+       |  FROM csz s JOIN documents d ON s.component = d.doc_id
+       |), bucketed AS (
+       |  SELECT source, size_bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(SUM(csz) AS BIGINT) AS n_docs
+       |  FROM attributed GROUP BY source, size_bucket
+       |), srctot AS (
+       |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+       |  FROM bucketed GROUP BY source
+       |)
+       |SELECT b.source, b.size_bucket, b.n_clusters, b.n_docs,
+       |  (b.n_docs * 10000) // t.src_docs AS docs_bp
+       |FROM bucketed b JOIN srctot t ON b.source = t.source
+       |ORDER BY b.source, b.size_bucket""".stripMargin
+
+  /** q193 — per-source DUPLICATION PROFILE: the histogram of near-dup
+    * cluster sizes (log₂ buckets — singletons in bucket 0, pairs in 1,
+    * 4..7 in 2, …) with each cluster attributed to its FIRST document's
+    * source (component = min doc id, so attribution is deterministic and
+    * cross-source clusters count once). q187 says how much effective
+    * mass duplication costs; this says WHERE it lives — a long tail of
+    * pairs is near-dup noise, a few giant clusters are boilerplate or a
+    * crawler loop, and the remediation differs. The log₂ bucket is the
+    * transcendental-free `length(bin(n)) − 1` identity (bit-identical in
+    * both engines). Per (source, bucket): clusters, docs, and the doc
+    * share of the source in exact basis points. Scale: one closure
+    * (shared with q187/q188) + two bounded rollups.
+    */
+  val q193 = Q("q193_duplication_profile", q193OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val csz = nearDupComponents(d)
+      .groupBy("component").agg(count(lit(1)).as("csz"))
+    val attributed = csz
+      .join(d.select(col("doc_id").as("component"), col("source")), Seq("component"))
+      .withColumn("size_bucket", (length(bin(col("csz"))) - 1).cast("long"))
+    val bucketed = attributed.groupBy("source", "size_bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum("csz").cast("long").as("n_docs"))
+    val srctot = bucketed.groupBy("source")
+      .agg(sum("n_docs").cast("long").as("src_docs"))
+    bucketed.join(srctot, Seq("source"))
+      .select(col("source"), col("size_bucket"), col("n_clusters"), col("n_docs"),
+        expr("(n_docs * 10000) div src_docs").as("docs_bp"))
+      .orderBy("source", "size_bucket")
+  }
+
   val all: Seq[Q] = Seq(q48, q49, q92, q93, q95, q96, q102, q119, q123, q125,
     q148, q149, q150, q151, q153, q156, q157, q158, q159, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q175, q181, q182, q187, q188)
+    q164, q165, q166, q167, q168, q169, q175, q181, q182, q187, q188, q193)
 }

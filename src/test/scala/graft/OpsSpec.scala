@@ -881,6 +881,24 @@ class OpsSpec extends AnyFunSuite {
       "the trained merges must actually compress some source")
   }
 
+  test("q193: the duplication profile buckets cluster sizes and attributes them to the first doc's source") {
+    val out = Mining.q193.fn(spark, sf).collect()
+    // bucket algebra: per source the doc shares sum to ~10000 bp
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val bp = rows.map(_.getAs[Long]("docs_bp")).sum
+      assert(bp <= 10000L && bp > 10000L - rows.length, s"source $src shares: $bp")
+      rows.foreach { r =>
+        val b = r.getAs[Long]("size_bucket")
+        // a bucket-b cluster holds in [2^b, 2^(b+1)) docs
+        assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters") * (1L << b))
+        assert(r.getAs[Long]("n_docs") < r.getAs[Long]("n_clusters") * (2L << b))
+      }
+    }
+    // the corpus has non-singleton clusters somewhere
+    assert(out.exists(_.getAs[Long]("size_bucket") > 0L))
+    assert(out.exists(_.getAs[Long]("size_bucket") === 0L))
+  }
+
   test("q192: fertility reweighting keeps the MW invariants on the trained-vocab loss") {
     val out = graft.ops.Corpus.q192.fn(spark, sf).collect()
     val ppm = out.map(_.getAs[Long]("w4_ppm")).sum
