@@ -2350,7 +2350,112 @@ object Dedup {
       .orderBy("source")
   }
 
+  // ── q194: LSH index health — recall/precision vs the exact pair set ──
+
+  private def q194OracleSql: String =
+    s"""$shingleCtes, ex AS (
+       |  SELECT doc_id, unnest(hh) AS h FROM hs
+       |), sizes AS (
+       |  SELECT doc_id, len(hh) AS sz FROM hs
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_id, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), truep AS (
+       |  SELECT s.doc_id, s.doc_b
+       |  FROM shared s
+       |  JOIN sizes sa ON s.doc_id = sa.doc_id
+       |  JOIN sizes sb ON s.doc_b = sb.doc_id
+       |  WHERE 5 * s.n_shared >= 4 * (sa.sz + sb.sz - s.n_shared)
+       |), sigs AS (
+       |  SELECT doc_id,
+       |$sigDefsSql
+       |  FROM hs
+       |), bands AS (
+       |$bandSelectsSql
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), caught AS (
+       |  SELECT t.doc_id, t.doc_b FROM truep t
+       |  JOIN cand c ON t.doc_id = c.doc_id AND t.doc_b = c.doc_b
+       |), byt AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_true
+       |  FROM truep t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.source
+       |), byg AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_caught
+       |  FROM caught t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.source
+       |), byc AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_candidates
+       |  FROM cand t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.source
+       |)
+       |SELECT s.source,
+       |  COALESCE(t.n_true, 0) AS n_true,
+       |  COALESCE(g.n_caught, 0) AS n_caught,
+       |  CASE WHEN COALESCE(t.n_true, 0) = 0 THEN 0
+       |    ELSE (COALESCE(g.n_caught, 0) * 10000) // t.n_true END AS recall_bp,
+       |  COALESCE(c.n_candidates, 0) AS n_candidates,
+       |  CASE WHEN COALESCE(c.n_candidates, 0) = 0 THEN 0
+       |    ELSE (COALESCE(g.n_caught, 0) * 10000) // c.n_candidates END AS precision_bp
+       |FROM (SELECT DISTINCT source FROM documents) s
+       |LEFT JOIN byt t ON s.source = t.source
+       |LEFT JOIN byg g ON s.source = g.source
+       |LEFT JOIN byc c ON s.source = c.source
+       |ORDER BY s.source""".stripMargin
+
+  /** q194 — LSH INDEX HEALTH monitor: per source, the banded minhash
+    * index's recall and precision against the EXACT J ≥ 0.8 pair set
+    * (integer-tested ground truth off the shingle inverted index), pairs
+    * attributed to their first doc's source. Recall below the banding
+    * curve's promise (1−(1−J^r)^b) means the signature family degraded
+    * on this corpus (shingle distribution shift, hash skew); precision
+    * says how much the verify stage pays per true pair. This is the
+    * metric an operator watches before trusting q31/q124's verdicts at a
+    * new corpus mix — the dedup twin of q88/q179's ANN recall probes.
+    * Exact integers end to end. At 100 TB the ground-truth side is the
+    * deliberately-exact twin: run it on a SAMPLED slice (the monitor's
+    * own blocking is df-capped like q48); the candidate side is the
+    * production band join.
+    */
+  val q194 = Q("q194_lsh_recall_monitor", q194OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val d = docs(s, dir)
+    val truePairs = jaccardPairs(d)
+      .filter(lit(5) * col("n_shared") >=
+        lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+      .select(col("doc_id"), col("doc_b")).localCheckpoint()
+    val bands = lshBands(minhashSignatures(d))
+    val other = bands.select(col("doc_id").as("doc_b"),
+      col("band_idx").as("bi"), col("band_hash").as("bh"))
+    val cand = bands
+      .join(other, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("doc_id") < col("doc_b"))
+      .select("doc_id", "doc_b").distinct().localCheckpoint()
+    val caught = truePairs.join(cand, Seq("doc_id", "doc_b"), "left_semi")
+    val src = d.select(col("doc_id"), col("source"))
+    def bySrc(pairs: DataFrame, name: String) =
+      pairs.join(src, Seq("doc_id")).groupBy("source")
+        .agg(count(lit(1)).as(name))
+    d.select("source").distinct()
+      .join(bySrc(truePairs, "n_true"), Seq("source"), "left")
+      .join(bySrc(caught, "n_caught"), Seq("source"), "left")
+      .join(bySrc(cand, "n_candidates"), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .withColumn("recall_bp",
+        expr("CASE WHEN n_true = 0 THEN 0 ELSE (n_caught * 10000) div n_true END"))
+      .withColumn("precision_bp",
+        expr("CASE WHEN n_candidates = 0 THEN 0 " +
+          "ELSE (n_caught * 10000) div n_candidates END"))
+      .select(col("source"), col("n_true"), col("n_caught"), col("recall_bp"),
+        col("n_candidates"), col("precision_bp"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172, q184, q185, q190)
+    q172, q184, q185, q190, q194)
 }

@@ -881,6 +881,22 @@ class OpsSpec extends AnyFunSuite {
       "the trained merges must actually compress some source")
   }
 
+  test("q194: the banded index holds the banding curve's recall on the exact pair set") {
+    val out = Dedup.q194.fn(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Long]("recall_bp") <= 10000L)
+      assert(r.getAs[Long]("precision_bp") <= 10000L)
+    }
+    val nTrue = out.map(_.getAs[Long]("n_true")).sum
+    val nCaught = out.map(_.getAs[Long]("n_caught")).sum
+    assert(nTrue > 0, "corpus must have true near-dup pairs")
+    // banding promise at J >= 0.8 with 16 bands of 4: 1-(1-J^4)^16 > 0.999
+    assert(nCaught * 10000 / nTrue >= 9000L,
+      s"index recall degraded: $nCaught/$nTrue")
+  }
+
   test("q193: the duplication profile buckets cluster sizes and attributes them to the first doc's source") {
     val out = Mining.q193.fn(spark, sf).collect()
     // bucket algebra: per source the doc shares sum to ~10000 bp
