@@ -1526,7 +1526,117 @@ object TextOps {
       .withColumn("suppressed_bp", expr("(n_suppressed * 10000) div n_docs"))
       .orderBy("source")
 
+  // ── q195: code-switching segmentation (windowed lang-id) ──────────────
+
+  private val CsWindow = 32
+
+  private def q195OracleSql: String = {
+    def hits(stop: Seq[String]) =
+      s"SUM(CASE WHEN list_contains([${stop.map("'" + _ + "'").mkString(",")}], tok) THEN 1 ELSE 0 END)"
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       |), pos AS (
+       |  SELECT doc_id, (generate_subscripts(t, 1) - 1) // $CsWindow AS w, unnest(t) AS tok
+       |  FROM tk
+       |), tags AS (
+       |  SELECT doc_id, w,
+       |    ${hits(enStop)} AS en, ${hits(esStop)} AS es,
+       |    ${hits(deStop)} AS de, ${hits(frStop)} AS fr
+       |  FROM pos GROUP BY doc_id, w
+       |), maj AS (
+       |  SELECT doc_id, w, CASE
+       |    WHEN en >= GREATEST(es, de, fr, 1) THEN 'en'
+       |    WHEN es >= GREATEST(de, fr, 1) THEN 'es'
+       |    WHEN de >= GREATEST(fr, 1) THEN 'de'
+       |    WHEN fr >= 1 THEN 'fr'
+       |    ELSE 'unknown' END AS lang
+       |  FROM tags
+       |), seg AS (
+       |  SELECT doc_id, w, lang,
+       |    CASE WHEN lang = LAG(lang) OVER (PARTITION BY doc_id ORDER BY w)
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM maj
+       |), per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(brk) AS BIGINT) AS n_segments,
+       |    CAST(COUNT(DISTINCT CASE WHEN lang <> 'unknown' THEN lang END) AS BIGINT) AS n_langs
+       |  FROM seg GROUP BY doc_id
+       |), dom AS (
+       |  SELECT doc_id, lang AS dominant_lang FROM (
+       |    SELECT doc_id, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM maj GROUP BY doc_id, lang)
+       |  WHERE rn = 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_windows, 0) AS n_windows,
+       |  COALESCE(p.n_segments, 0) AS n_segments,
+       |  COALESCE(p.n_langs, 0) AS n_langs,
+       |  COALESCE(m.dominant_lang, 'unknown') AS dominant_lang,
+       |  COALESCE(p.n_langs, 0) >= 2 AS mixed
+       |FROM documents d
+       |LEFT JOIN per p ON d.doc_id = p.doc_id
+       |LEFT JOIN dom m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q195 — CODE-SWITCHING segmentation: q51's stopword lang-id run per
+    * [[CsWindow]]-token WINDOW instead of per document, then
+    * gaps-and-islands over the window sequence — per doc: windows,
+    * language segments, distinct identified languages, dominant language
+    * (by window count, alphabetic tie-break), and the `mixed` flag a
+    * CCNet-style gate uses to route multi-language documents (a doc-level
+    * lang-id mislabels them; segment structure says whether to split or
+    * drop). Latin-token windows only (CJK routes through q51's doc-level
+    * branch); integer counts and string compares end to end. Scale: one
+    * posexplode → (doc, window) hash aggregate, islands ride per-doc
+    * window partitions (never a global sort), rollup is per-doc.
+    */
+  val q195 = Q("q195_code_switching", q195OracleSql) { (s, dir) =>
+    codeSwitchOf(docs(s, dir))
+  }
+
+  /** q195 over any (doc_id, text) frame — spec entry. */
+  private[graft] def codeSwitchOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hits(stop: Seq[String]) =
+      Det.countIf(col("tok").isInCollection(stop))
+    val pos = d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
+      .select(col("doc_id"), expr(s"i div $CsWindow").as("w"), col("tok"))
+    val tags = pos.groupBy("doc_id", "w")
+      .agg(hits(enStop).as("en"), hits(esStop).as("es"),
+        hits(deStop).as("de"), hits(frStop).as("fr"))
+    val maj = tags.select(col("doc_id"), col("w"),
+      when(col("en") >= greatest(col("es"), col("de"), col("fr"), lit(1L)), "en")
+        .when(col("es") >= greatest(col("de"), col("fr"), lit(1L)), "es")
+        .when(col("de") >= greatest(col("fr"), lit(1L)), "de")
+        .when(col("fr") >= 1L, "fr")
+        .otherwise("unknown").as("lang"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("w")
+    val seg = maj.withColumn("brk",
+      when(col("lang") === lag(col("lang"), 1).over(byDoc), lit(0L)).otherwise(lit(1L)))
+    val per = seg.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum("brk").cast("long").as("n_segments"),
+        countDistinct(when(col("lang") =!= "unknown", col("lang"))).as("n_langs"))
+    val dom = maj.groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("dominant_lang"))
+    d.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .join(dom, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("dominant_lang"), lit("unknown")).as("dominant_lang"),
+        (coalesce(col("n_langs"), lit(0L)) >= 2L).as("mixed"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170, q173, q183, q189)
+      q121, q152, q160, q170, q173, q183, q189, q195)
 }

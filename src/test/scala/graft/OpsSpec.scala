@@ -881,6 +881,28 @@ class OpsSpec extends AnyFunSuite {
       "the trained merges must actually compress some source")
   }
 
+  test("q195: code-switching segmentation splits a planted bilingual doc at the language boundary") {
+    val en = Seq.fill(8)(TextOps.enStop).flatten.mkString(" ")   // 64 en tokens
+    val es = Seq.fill(10)(TextOps.esStop).flatten.mkString(" ")  // 70 es tokens
+    val frame = Seq(
+      (1L, en + " " + es),   // 2 en windows then 3 es windows
+      (2L, en),              // monolingual
+      (3L, "zz9 qq8 xx7"))   // no stopwords at all
+      .toDF("doc_id", "text")
+    val out = TextOps.codeSwitchOf(frame).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val mixed = out(1L)
+    assert(mixed.getAs[Long]("n_windows") === 5L)
+    assert(mixed.getAs[Long]("n_segments") === 2L, "one switch, two segments")
+    assert(mixed.getAs[Long]("n_langs") === 2L)
+    assert(mixed.getAs[String]("dominant_lang") === "es", "3 of 5 windows are es")
+    assert(mixed.getAs[Boolean]("mixed"))
+    assert(out(2L).getAs[Long]("n_segments") === 1L)
+    assert(!out(2L).getAs[Boolean]("mixed"))
+    assert(out(3L).getAs[String]("dominant_lang") === "unknown")
+    assert(!out(3L).getAs[Boolean]("mixed"))
+  }
+
   test("q194: the banded index holds the banding curve's recall on the exact pair set") {
     val out = Dedup.q194.fn(spark, sf).collect()
     out.foreach { r =>
