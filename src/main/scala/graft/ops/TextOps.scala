@@ -1530,7 +1530,10 @@ object TextOps {
 
   private val CsWindow = 32
 
-  private def q195OracleSql: String = {
+  /** Shared oracle prefix for q195/q196: tokens → 32-token windows →
+    * per-window stopword hits + token counts → window language majority.
+    */
+  private def csMajCtes: String = {
     def hits(stop: Seq[String]) =
       s"SUM(CASE WHEN list_contains([${stop.map("'" + _ + "'").mkString(",")}], tok) THEN 1 ELSE 0 END)"
     s"""WITH tk AS (
@@ -1539,19 +1542,23 @@ object TextOps {
        |  SELECT doc_id, (generate_subscripts(t, 1) - 1) // $CsWindow AS w, unnest(t) AS tok
        |  FROM tk
        |), tags AS (
-       |  SELECT doc_id, w,
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n_toks,
        |    ${hits(enStop)} AS en, ${hits(esStop)} AS es,
        |    ${hits(deStop)} AS de, ${hits(frStop)} AS fr
        |  FROM pos GROUP BY doc_id, w
        |), maj AS (
-       |  SELECT doc_id, w, CASE
+       |  SELECT doc_id, w, n_toks, CASE
        |    WHEN en >= GREATEST(es, de, fr, 1) THEN 'en'
        |    WHEN es >= GREATEST(de, fr, 1) THEN 'es'
        |    WHEN de >= GREATEST(fr, 1) THEN 'de'
        |    WHEN fr >= 1 THEN 'fr'
        |    ELSE 'unknown' END AS lang
        |  FROM tags
-       |), seg AS (
+       |)""".stripMargin
+  }
+
+  private def q195OracleSql: String =
+    s"""$csMajCtes, seg AS (
        |  SELECT doc_id, w, lang,
        |    CASE WHEN lang = LAG(lang) OVER (PARTITION BY doc_id ORDER BY w)
        |      THEN 0 ELSE 1 END AS brk
@@ -1578,7 +1585,6 @@ object TextOps {
        |LEFT JOIN per p ON d.doc_id = p.doc_id
        |LEFT JOIN dom m ON d.doc_id = m.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** q195 — CODE-SWITCHING segmentation: q51's stopword lang-id run per
     * [[CsWindow]]-token WINDOW instead of per document, then
@@ -1596,22 +1602,30 @@ object TextOps {
     codeSwitchOf(docs(s, dir))
   }
 
-  /** q195 over any (doc_id, text) frame — spec entry. */
-  private[graft] def codeSwitchOf(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-(doc, window) language majorities with window token counts —
+    * the shared projection of q195 (segmentation) and q196 (salvage).
+    */
+  private[graft] def windowMajorities(d: DataFrame): DataFrame = {
     def hits(stop: Seq[String]) =
       Det.countIf(col("tok").isInCollection(stop))
     val pos = d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "tok")))
       .select(col("doc_id"), expr(s"i div $CsWindow").as("w"), col("tok"))
-    val tags = pos.groupBy("doc_id", "w")
-      .agg(hits(enStop).as("en"), hits(esStop).as("es"),
+    pos.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("n_toks"),
+        hits(enStop).as("en"), hits(esStop).as("es"),
         hits(deStop).as("de"), hits(frStop).as("fr"))
-    val maj = tags.select(col("doc_id"), col("w"),
-      when(col("en") >= greatest(col("es"), col("de"), col("fr"), lit(1L)), "en")
-        .when(col("es") >= greatest(col("de"), col("fr"), lit(1L)), "es")
-        .when(col("de") >= greatest(col("fr"), lit(1L)), "de")
-        .when(col("fr") >= 1L, "fr")
-        .otherwise("unknown").as("lang"))
+      .select(col("doc_id"), col("w"), col("n_toks"),
+        when(col("en") >= greatest(col("es"), col("de"), col("fr"), lit(1L)), "en")
+          .when(col("es") >= greatest(col("de"), col("fr"), lit(1L)), "es")
+          .when(col("de") >= greatest(col("fr"), lit(1L)), "de")
+          .when(col("fr") >= 1L, "fr")
+          .otherwise("unknown").as("lang"))
+  }
+
+  /** q195 over any (doc_id, text) frame — spec entry. */
+  private[graft] def codeSwitchOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maj = windowMajorities(d)
     val byDoc = Window.partitionBy("doc_id").orderBy("w")
     val seg = maj.withColumn("brk",
       when(col("lang") === lag(col("lang"), 1).over(byDoc), lit(0L)).otherwise(lit(1L)))
@@ -1636,7 +1650,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ── q196: mixed-document salvage analysis ──────────────────────────────
+
+  private def q196OracleSql: String =
+    s"""$csMajCtes, dom AS (
+       |  SELECT doc_id, lang AS dominant FROM (
+       |    SELECT doc_id, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM maj GROUP BY doc_id, lang)
+       |  WHERE rn = 1
+       |), lng AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(DISTINCT CASE WHEN lang <> 'unknown' THEN lang END) AS BIGINT) AS n_langs
+       |  FROM maj GROUP BY doc_id
+       |), perdoc AS (
+       |  SELECT m.doc_id, MAX(l.n_langs) AS n_langs,
+       |    CAST(SUM(m.n_toks) AS BIGINT) AS doc_toks,
+       |    CAST(SUM(CASE WHEN m.lang = d2.dominant AND d2.dominant <> 'unknown'
+       |      THEN m.n_toks ELSE 0 END) AS BIGINT) AS dom_toks
+       |  FROM maj m
+       |  JOIN dom d2 ON m.doc_id = d2.doc_id
+       |  JOIN lng l ON m.doc_id = l.doc_id
+       |  GROUP BY m.doc_id
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN p.n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       |  CAST(SUM(CASE WHEN p.n_langs >= 2 THEN p.doc_toks ELSE 0 END) AS BIGINT) AS mixed_tokens,
+       |  CAST(SUM(CASE WHEN p.n_langs >= 2 THEN p.dom_toks ELSE 0 END) AS BIGINT) AS salvaged_tokens,
+       |  CASE WHEN CAST(SUM(CASE WHEN p.n_langs >= 2 THEN p.doc_toks ELSE 0 END) AS BIGINT) = 0 THEN 0
+       |    ELSE (CAST(SUM(CASE WHEN p.n_langs >= 2 THEN p.dom_toks ELSE 0 END) AS BIGINT) * 10000)
+       |      // CAST(SUM(CASE WHEN p.n_langs >= 2 THEN p.doc_toks ELSE 0 END) AS BIGINT) END AS salvage_bp
+       |FROM documents d
+       |LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
+  /** q196 — mixed-document SALVAGE analysis: for the docs q195 flags as
+    * code-switched, how many tokens survive the standard remediation
+    * (keep only the dominant-language segments, drop the rest)? Per
+    * source: docs, mixed docs, their token mass, the salvageable share
+    * in exact basis points — the number that decides between
+    * split-and-keep and drop-entirely for each source's mixed tail.
+    * Window token counts ride the same (doc, window) aggregate as q195
+    * ([[windowMajorities]]), so the composition adds no corpus scans.
+    */
+  val q196 = Q("q196_mixed_doc_salvage", q196OracleSql) { (s, dir) =>
+    mixedSalvageOf(docs(s, dir))
+  }
+
+  /** q196 over any (doc_id, source, text) frame — spec entry. */
+  private[graft] def mixedSalvageOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maj = windowMajorities(d.select(col("doc_id"), col("text"))).localCheckpoint()
+    val dom = maj.groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("dominant"))
+    val lng = maj.groupBy("doc_id")
+      .agg(countDistinct(when(col("lang") =!= "unknown", col("lang"))).as("n_langs"))
+    val perDoc = maj.join(dom, Seq("doc_id")).join(lng, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max("n_langs").as("n_langs"),
+        sum("n_toks").cast("long").as("doc_toks"),
+        sum(when(col("lang") === col("dominant") && col("dominant") =!= "unknown",
+          col("n_toks")).otherwise(lit(0L))).cast("long").as("dom_toks"))
+    d.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.countIf(coalesce(col("n_langs"), lit(0L)) >= 2L).as("n_mixed"),
+        sum(when(col("n_langs") >= 2L, col("doc_toks")).otherwise(lit(0L)))
+          .cast("long").as("mixed_tokens"),
+        sum(when(col("n_langs") >= 2L, col("dom_toks")).otherwise(lit(0L)))
+          .cast("long").as("salvaged_tokens"))
+      .withColumn("salvage_bp",
+        expr("CASE WHEN mixed_tokens = 0 THEN 0 " +
+          "ELSE (salvaged_tokens * 10000) div mixed_tokens END"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170, q173, q183, q189, q195)
+      q121, q152, q160, q170, q173, q183, q189, q195, q196)
 }

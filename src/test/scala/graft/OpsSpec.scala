@@ -903,6 +903,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!out(3L).getAs[Boolean]("mixed"))
   }
 
+  test("q196: salvage keeps exactly the dominant-language windows of the planted bilingual doc") {
+    val en = Seq.fill(8)(TextOps.enStop).flatten.mkString(" ")   // 64 en tokens
+    val es = Seq.fill(10)(TextOps.esStop).flatten.mkString(" ")  // 70 es tokens
+    val frame = Seq(
+      (1L, "mix", en + " " + es),
+      (2L, "mix", en),
+      (3L, "pure", es))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.mixedSalvageOf(frame).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val mix = out("mix")
+    assert(mix.getAs[Long]("n_docs") === 2L)
+    assert(mix.getAs[Long]("n_mixed") === 1L, "only the bilingual doc is mixed")
+    assert(mix.getAs[Long]("mixed_tokens") === 134L)
+    // dominant is es (3 of 5 windows): 70 es tokens survive of 134
+    assert(mix.getAs[Long]("salvaged_tokens") === 70L)
+    assert(mix.getAs[Long]("salvage_bp") === 70L * 10000L / 134L)
+    assert(out("pure").getAs[Long]("n_mixed") === 0L)
+    assert(out("pure").getAs[Long]("salvage_bp") === 0L)
+  }
+
   test("q194: the banded index holds the banding curve's recall on the exact pair set") {
     val out = Dedup.q194.fn(spark, sf).collect()
     out.foreach { r =>

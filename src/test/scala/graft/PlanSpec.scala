@@ -108,6 +108,20 @@ class PlanSpec extends AnyFunSuite {
       s"every modality must candidate-block:\n$p")
   }
 
+  test("q187-q195: the graph/privacy/tokenizer family stays candidate-blocked — no cartesian products") {
+    Seq("q187_dupweighted_mixture", "q188_clusteraware_split",
+        "q190_contamination_radius", "q191_tokenizer_fertility",
+        "q193_duplication_profile", "q195_code_switching").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join:\n$p")
+    }
+    // q194's ground-truth and candidate joins are pure equi-joins
+    val p194 = plan("q194_lsh_recall_monitor")
+    assert(!p194.contains("CartesianProduct") &&
+      !p194.contains("BroadcastNestedLoopJoin"),
+      s"q194 must stay hash-blocked:\n$p194")
+  }
+
   test("q145: semantic leak pairs stay cluster-blocked — equi-joins only") {
     val p = plan("q145_semantic_leakage")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
