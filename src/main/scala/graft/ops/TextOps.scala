@@ -1623,9 +1623,14 @@ object TextOps {
   }
 
   /** q195 over any (doc_id, text) frame — spec entry. */
-  private[graft] def codeSwitchOf(d: DataFrame): DataFrame = {
+  private[graft] def codeSwitchOf(d: DataFrame): DataFrame =
+    codeSwitchFromMaj(windowMajorities(d), d.select("doc_id"))
+
+  /** q195's rollup from a (doc_id, w, n_toks, lang) majority frame — the
+    * fold half shared by the batch query and the store-served path.
+    */
+  private[graft] def codeSwitchFromMaj(maj: DataFrame, spine: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maj = windowMajorities(d)
     val byDoc = Window.partitionBy("doc_id").orderBy("w")
     val seg = maj.withColumn("brk",
       when(col("lang") === lag(col("lang"), 1).over(byDoc), lit(0L)).otherwise(lit(1L)))
@@ -1638,7 +1643,7 @@ object TextOps {
         Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("dominant_lang"))
-    d.select("doc_id")
+    spine.select("doc_id")
       .join(per, Seq("doc_id"), "left")
       .join(dom, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1700,9 +1705,14 @@ object TextOps {
   }
 
   /** q196 over any (doc_id, source, text) frame — spec entry. */
-  private[graft] def mixedSalvageOf(d: DataFrame): DataFrame = {
+  private[graft] def mixedSalvageOf(d: DataFrame): DataFrame =
+    mixedSalvageFromMaj(
+      windowMajorities(d.select(col("doc_id"), col("text"))).localCheckpoint(),
+      d.select(col("doc_id"), col("source")))
+
+  /** q196's rollup from a majority frame + a (doc_id, source) spine. */
+  private[graft] def mixedSalvageFromMaj(maj: DataFrame, spine: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maj = windowMajorities(d.select(col("doc_id"), col("text"))).localCheckpoint()
     val dom = maj.groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("n").desc, col("lang"))))
@@ -1716,7 +1726,7 @@ object TextOps {
         sum("n_toks").cast("long").as("doc_toks"),
         sum(when(col("lang") === col("dominant") && col("dominant") =!= "unknown",
           col("n_toks")).otherwise(lit(0L))).cast("long").as("dom_toks"))
-    d.select(col("doc_id"), col("source"))
+    spine.select(col("doc_id"), col("source"))
       .join(perDoc, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -442,6 +442,47 @@ object CorpusStream {
         .agg(sum(col("gsz")).cast("long").as("gsz"))
     }
 
+  // ── language-majority window cells (q195/q196 serving) ──────────────
+
+  /** One micro-batch's window-majority cells — TextOps.windowMajorities
+    * verbatim: (doc_id, w, n_toks, lang). Like the shingle index this is
+    * ADD-ONLY state (a doc's windows are fixed at landing, never revised
+    * by later docs), so the per-batchId OVERWRITE partition is the whole
+    * replay story and serving reads the plain union.
+    */
+  def writeCsDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+    graft.ops.TextOps.windowMajorities(batch.select(col("doc_id"), col("text")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** Window-majority maintenance sink — the code-switching state kept
+    * current as documents land.
+    */
+  def csCellSink(stream: DataFrame, deltaDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("code_switching_maintenance")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeCsDelta(batch, deltaDir, batchId)
+        ()
+      }
+      .start()
+
+  private def csCells(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir).select("doc_id", "w", "n_toks", "lang")
+
+  /** Batch q195 off the landed cells alone (spine = the docs to report). */
+  def codeSwitchFromDeltas(spark: SparkSession, deltaDir: String,
+      spine: DataFrame): DataFrame =
+    graft.ops.TextOps.codeSwitchFromMaj(csCells(spark, deltaDir), spine)
+
+  /** Batch q196 off the landed cells alone (spine carries source). */
+  def salvageFromDeltas(spark: SparkSession, deltaDir: String,
+      spine: DataFrame): DataFrame =
+    graft.ops.TextOps.mixedSalvageFromMaj(csCells(spark, deltaDir), spine)
+
   // ── span window cells (q182 serving) ────────────────────────────────
 
   /** One micro-batch's window cells — Mining.spanWindowCells verbatim:

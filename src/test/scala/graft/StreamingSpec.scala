@@ -1543,6 +1543,47 @@ class StreamingSpec extends AnyFunSuite {
       "a replayed delta must not move a single verdict")
   }
 
+  test("window-majority cell stream: q195 and q196 served off landed cells equal batch") {
+    import graft.streaming.CorpusStream
+    val landing = tmpDir("graft-cs-landing")
+    val deltas = tmpDir("graft-cs-art") + "/deltas"
+    val checkpoint = tmpDir("graft-cs-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-cs-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    land(docs.filter(col("doc_id") < cut), "f1.parquet")
+    CorpusStream.csCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+    land(docs.filter(col("doc_id") >= cut), "f2.parquet")
+    CorpusStream.csCellSink(CorpusStream.readDocStream(spark, landing),
+      deltas, checkpoint).awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(CorpusStream.codeSwitchFromDeltas(spark, deltas, docs.select("doc_id")))
+      === rows(ops.TextOps.q195.fn(spark, sf)),
+      "q195 off the landed cells must equal batch")
+    assert(rows(CorpusStream.salvageFromDeltas(spark, deltas,
+        docs.select(col("doc_id"), col("source"))))
+      === rows(ops.TextOps.q196.fn(spark, sf)),
+      "q196 off the landed cells must equal batch")
+
+    // replay: add-only state, per-batchId overwrite absorbs it
+    CorpusStream.writeCsDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
+    assert(rows(CorpusStream.codeSwitchFromDeltas(spark, deltas, docs.select("doc_id")))
+      === rows(ops.TextOps.q195.fn(spark, sf)),
+      "a replayed delta must not move the served table")
+  }
+
   test("cross-modal decisions off the three streamed stores equal the batch composition") {
     import graft.streaming.{CurationStream, LshStream}
     import graft.ops.{Dedup, Multimodal}
