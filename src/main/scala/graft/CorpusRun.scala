@@ -212,7 +212,24 @@ object CorpusRun {
       hoDocs == nAccepted && hoEval > 0 && hoEval < hoDocs,
       s"$hoEval of $hoDocs accepted docs carved for eval")
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12)
+    // 13. cross-modal audit OVER the accepted store: text curation
+    // (stage 1) only looked at text — q186's image/audio keep-first
+    // verdicts over the survivors say what a multimodal pass would still
+    // quarantine; text near-dup among the accepted is structurally rare
+    // (curation banded those out) but the exact-J test can still catch
+    // pairs the bands missed
+    val xm = ops.Multimodal.q186.fn(spark, sfDir)
+      .join(spark.read.parquet(s"$storesRoot/accepted").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    xm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/crossmodal_audit")
+    val nXm = xm.count()
+    val nXmQuar = xm.filter(!col("accepted")).count()
+    val s13 = Stage("crossmodal", nXm,
+      nXm == nAccepted && nXmQuar < nXm,
+      s"$nXmQuar of $nXm accepted docs would quarantine under the multimodal pass")
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
   }
 
   def main(args: Array[String]): Unit = {

@@ -199,14 +199,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages.map(_.name) ===
       Seq("curation", "decontamination", "leak_repair", "packing", "ordering",
         "schedule", "selection", "fluency", "reweighting", "diversity",
-        "dedup_weighting", "holdout"))
+        "dedup_weighting", "holdout", "crossmodal"))
     stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
     // every stage left its artifact behind, readable
     Seq("curation_rates", "scrub_report", "leak_repair",
         "training_shards", "curriculum_manifest", "epoch_pack_order",
         "renorm_schedule", "selection_recipe", "fluency_buckets",
         "domain_weights", "diversity", "dup_weighted_mixture",
-        "eval_holdout").foreach { a =>
+        "eval_holdout", "crossmodal_audit").foreach { a =>
       assert(spark.read.parquet(s"$out/$a").count() > 0, s"artifact $a missing/empty")
     }
     // re-running is idempotent: marker-committed stores are reused and
