@@ -788,6 +788,40 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "lshsweep") {
+      // The banding tradeoff MEASURED against exact ground truth (q194's
+      // machinery): recall/precision/candidate volume of the 64-hash
+      // minhash index at band sizes 2/4/8 (32/16/8 bands). The standard
+      // curve 1-(1-J^r)^b says narrower bands buy recall with candidate
+      // blowup; this prints the corpus's actual numbers so the 16x4
+      // production choice is a measured decision, not a default.
+      import graft.ops.Dedup
+      val d = Catalog.table(spark, sfDir, "documents")
+      val truePairs = Dedup.jaccardPairs(d)
+        .filter(lit(5) * col("n_shared") >=
+          lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
+        .select(col("doc_id"), col("doc_b")).localCheckpoint()
+      val nTrue = truePairs.count()
+      val sigs = Dedup.minhashSignatures(d).localCheckpoint()
+      Seq(2, 4, 8).foreach { bs =>
+        val bands = Dedup.lshBands(sigs, bandSize = bs)
+        val other = bands.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("band_hash").as("bh"))
+        val t0 = System.nanoTime()
+        val cand = bands.join(other,
+            col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+              col("doc_id") < col("doc_b"))
+          .select("doc_id", "doc_b").distinct().localCheckpoint()
+        val nCand = cand.count()
+        val nCaught = truePairs.join(cand, Seq("doc_id", "doc_b"), "left_semi").count()
+        println(f"LSHSWEEP bands=${64 / bs}x$bs candidates=$nCand%-8d " +
+          f"recall=${if (nTrue == 0) 0 else nCaught * 10000 / nTrue}%5d bp " +
+          f"precision=${if (nCand == 0) 0 else nCaught * 10000 / nCand}%5d bp " +
+          f"join=${(System.nanoTime() - t0) / 1e9}%6.2f s (true=$nTrue)")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without

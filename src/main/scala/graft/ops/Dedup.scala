@@ -124,10 +124,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), sigCols: _*)
   }
 
-  /** (doc_id, band_idx, band_hash) — LSH bucketing of the signature. */
-  def lshBands(sigs: DataFrame): DataFrame = {
-    val bands = (0 until NumHashes / BandSize).map { j =>
-      val parts = (0 until BandSize).map(k => col(s"sig_${j * BandSize + k}"))
+  /** (doc_id, band_idx, band_hash) — LSH bucketing of the signature.
+    * `bandSize` widens/narrows the bands over the same 64 hashes (the
+    * recall/precision knob `Scratch lshsweep` measures); the default is
+    * the production 16×4 configuration every query uses.
+    */
+  def lshBands(sigs: DataFrame, bandSize: Int = BandSize): DataFrame = {
+    val bands = (0 until NumHashes / bandSize).map { j =>
+      val parts = (0 until bandSize).map(k => col(s"sig_${j * bandSize + k}"))
       struct(lit(j).as("band_idx"), h60Col(concat_ws(",", parts: _*)).as("band_hash"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
