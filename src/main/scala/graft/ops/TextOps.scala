@@ -1741,7 +1741,79 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ── q197: segment split (the transform q196's salvage plans) ──────────
+
+  private def q197OracleSql: String =
+    s"""$csMajCtes, brkt AS (
+       |  SELECT doc_id, w, n_toks, lang,
+       |    CASE WHEN lang = LAG(lang) OVER (PARTITION BY doc_id ORDER BY w)
+       |      THEN 0 ELSE 1 END AS brk
+       |  FROM maj
+       |), seg AS (
+       |  SELECT doc_id, w, n_toks, lang,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY w) AS seg_idx
+       |  FROM brkt
+       |), segs AS (
+       |  SELECT doc_id, seg_idx, MIN(lang) AS lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(MIN(w) AS BIGINT) AS w0,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM seg GROUP BY doc_id, seg_idx
+       |), multi AS (
+       |  SELECT doc_id FROM segs GROUP BY doc_id HAVING COUNT(*) >= 2
+       |)
+       |SELECT s.doc_id, CAST(s.seg_idx AS BIGINT) AS seg_idx, s.lang,
+       |  s.n_windows, s.n_tokens,
+       |  array_to_string(t[CAST($CsWindow * s.w0 + 1 AS BIGINT)
+       |    : CAST($CsWindow * s.w0 + s.n_tokens AS BIGINT)], ' ') AS seg_text
+       |FROM segs s
+       |JOIN multi m ON s.doc_id = m.doc_id
+       |JOIN tk ON s.doc_id = tk.doc_id
+       |ORDER BY s.doc_id, s.seg_idx""".stripMargin
+
+  /** q197 — the SPLIT transform q196's salvage analysis plans: every
+    * multi-segment document (language switch OR an unknown-window break)
+    * is emitted as one row per segment with its language, window/token
+    * span, and the segment TEXT reconstructed exactly (windows tile the
+    * token array, so a segment is one contiguous token slice — both
+    * engines rebuild the identical string). Downstream, the
+    * dominant-language segments re-enter the corpus as standalone docs
+    * and the rest is dropped — the split-and-keep remediation realized
+    * as data, like q137's scrubbed-token output for decontamination.
+    * Single-segment docs pass through unchanged and are not emitted.
+    * Scale: the same (doc, window) aggregate as q195, islands on per-doc
+    * partitions, one join back to the token arrays for the slice.
+    */
+  val q197 = Q("q197_segment_split", q197OracleSql) { (s, dir) =>
+    segmentSplitOf(docs(s, dir))
+  }
+
+  /** q197 over any (doc_id, text) frame — spec entry. */
+  private[graft] def segmentSplitOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("w")
+    val seg = windowMajorities(d)
+      .withColumn("brk",
+        when(col("lang") === lag(col("lang"), 1).over(byDoc), lit(0L)).otherwise(lit(1L)))
+      .withColumn("seg_idx", sum("brk").over(byDoc))
+    val segs = seg.groupBy("doc_id", "seg_idx")
+      .agg(min("lang").as("lang"),
+        count(lit(1)).as("n_windows"),
+        min("w").cast("long").as("w0"),
+        sum("n_toks").cast("long").as("n_tokens"))
+    val multi = segs.groupBy("doc_id").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2).select("doc_id")
+    segs.join(multi, Seq("doc_id"), "left_semi")
+      .join(d.select(col("doc_id"), tokens(col("text")).as("t")), Seq("doc_id"))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"), col("lang"),
+        col("n_windows"), col("n_tokens"),
+        array_join(slice(col("t"),
+          (col("w0") * CsWindow + 1).cast("int"), col("n_tokens").cast("int")), " ")
+          .as("seg_text"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
   val all: Seq[Q] =
     Seq(q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q62, q63, q64, q66, q101, q111, q120,
-      q121, q152, q160, q170, q173, q183, q189, q195, q196)
+      q121, q152, q160, q170, q173, q183, q189, q195, q196, q197)
 }

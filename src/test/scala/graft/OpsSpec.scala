@@ -924,6 +924,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out("pure").getAs[Long]("salvage_bp") === 0L)
   }
 
+  test("q197: the segment split reconstructs each segment's text exactly") {
+    val en = Seq.fill(8)(TextOps.enStop).flatten.mkString(" ")   // 64 en tokens
+    val es = Seq.fill(10)(TextOps.esStop).flatten.mkString(" ")  // 70 es tokens
+    val frame = Seq(
+      (1L, en + " " + es),
+      (2L, en))
+      .toDF("doc_id", "text")
+    val out = TextOps.segmentSplitOf(frame).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L), "only the multi-segment doc splits")
+    assert(out.length === 2)
+    val Seq(s1, s2) = out.sortBy(_.getLong(1)).toSeq
+    assert(s1.getAs[String]("lang") === "en" && s1.getAs[Long]("n_tokens") === 64L)
+    assert(s1.getAs[String]("seg_text") === en, "segment 1 is the en text verbatim")
+    assert(s2.getAs[String]("lang") === "es" && s2.getAs[Long]("n_tokens") === 70L)
+    assert(s2.getAs[String]("seg_text") === es, "segment 2 is the es text verbatim")
+    // token conservation: the segments tile the document
+    assert(out.map(_.getAs[Long]("n_tokens")).sum === 134L)
+  }
+
   test("q194: the banded index holds the banding curve's recall on the exact pair set") {
     val out = Dedup.q194.fn(spark, sf).collect()
     out.foreach { r =>
