@@ -2166,9 +2166,14 @@ object Dedup {
 
   // ── q185: containment served off the shingle-index store ──────────────
 
-  private def q185OracleSql: String =
+  private def q185OracleSql: String = containmentOracleSql("doc_id >= 50")
+
+  /** q185's oracle parameterized by the corpus bound — q198 reuses it at
+    * the release boundary.
+    */
+  private def containmentOracleSql(corpusWhere: String): String =
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+       |  SELECT doc_id, text FROM documents WHERE $corpusWhere
        |), tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus
        |), sh AS (
@@ -2232,6 +2237,29 @@ object Dedup {
     val idx = s.read.parquet(s"$root/pairs").select("doc_id", "h")
     containmentBest(jaccardPairsFromExploded(idx),
       docs(s, dir).filter(col("doc_id") >= 50))
+  }
+
+  // ── q198: containment at a release pin (served off the delta store) ───
+
+  private def q198OracleSql: String = containmentOracleSql(
+    "doc_id >= 50 AND doc_id < (SELECT MAX(doc_id) // 2 FROM documents)")
+
+  /** q198 — q185's containment AS OF a RELEASE: the delta-structured
+    * shingle-index store (one partition per landing, q183's max/2
+    * release convention) served at pin `upto = 0` reproduces the first
+    * release's containment table exactly — the LM and diversity stores'
+    * release-pin mechanism extended to the dedup surface, so "what did
+    * containment look like before this ingest" is a store read, not a
+    * recompute against a historical corpus snapshot. Oracle: the q185
+    * SQL with the corpus bounded at the release boundary. At 100 TB the
+    * pin is partition pruning on batch_id — the serving cost is the
+    * pinned slice, not the history.
+    */
+  val q198 = Q("q198_containment_release", q198OracleSql) { (s, dir) =>
+    val (deltaDir, cut) = graft.streaming.ScrubStream.buildShingleDeltaStore(s, dir)
+    graft.streaming.ScrubStream.containmentFromDeltas(s, deltaDir,
+      docs(s, dir).filter(col("doc_id") >= 50 && col("doc_id") < cut),
+      upto = 0L)
   }
 
   // ── q190: contamination blast radius over the near-dup graph ──────────
@@ -2461,5 +2489,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172, q184, q185, q190, q194)
+    q172, q184, q185, q190, q194, q198)
 }

@@ -202,13 +202,50 @@ object ScrubStream {
   /** q185's containment table off the index deltas alone — bit-equal to
     * the batch query over the union of landings (StreamingSpec-pinned).
     * `spine` is the (doc_id)-bearing frame of the docs to report on.
+    * `upto` pins a RELEASE (only batches ≤ upto fold), so one store
+    * serves containment AS OF any earlier landing — the LM/diversity
+    * stores' pin mechanism applied to the dedup surface (q198 rides it).
     */
   def containmentFromDeltas(spark: SparkSession, deltaDir: String,
-      spine: DataFrame): DataFrame =
+      spine: DataFrame, upto: Long = Long.MaxValue): DataFrame =
     Dedup.containmentBest(
       Dedup.jaccardPairsFromExploded(
-        spark.read.parquet(deltaDir).select("doc_id", "h")),
+        spark.read.parquet(deltaDir)
+          .filter(col("batch_id") <= upto ||
+            col("batch_id") === StoreCompaction.BasePartition)
+          .select("doc_id", "h")),
       spine)
+
+  /** Where the release-DELTA-structured shingle-index store for a corpus
+    * lives (two committed partitions: batch 0 = the first release's
+    * corpus half, batch 1 = the rest — q183's max/2 release convention).
+    */
+  def shingleDeltaStorePath(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}:deltas".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_shingle_deltas_v1_$key"
+  }
+
+  /** Build (or reuse) the release-delta shingle-index store: the corpus
+    * split at the q183 release boundary (max doc_id / 2), each half one
+    * per-batchId partition — exactly what `shingleIndexSink` would have
+    * produced had the two releases landed as separate micro-batches.
+    */
+  def buildShingleDeltaStore(s: SparkSession, dir: String): (String, Long) = {
+    val d = graft.Catalog.table(s, dir, "documents")
+    val cut = d.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) / 2
+    val root = shingleDeltaStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      writeShingleDelta(d.filter(col("doc_id") < cut), s"$root/deltas", 0L)
+      writeShingleDelta(d.filter(col("doc_id") >= cut), s"$root/deltas", 1L)
+      marker.createNewFile()
+    }
+    (s"$root/deltas", cut)
+  }
 
   /** Where a RELEASE-keyed scrub store lives: corpus identity × the
     * benchmark release's id bound — each benchmark release gets its own

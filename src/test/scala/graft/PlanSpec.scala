@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
       s"containment must stay index-blocked:\n$p")
   }
 
+  test("q198: release-pinned containment reads only the delta store and the doc_id spine") {
+    val p = plan("q198_containment_release")
+    assert(p.contains("graft_shingle_deltas"),
+      s"pairs must come from the release-delta store:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"serving must not unroll corpus text:\n$p")
+  }
+
   test("q186: cross-modal composition stays equi-join blocked in all three modalities") {
     val p = plan("q186_crossmodal_curation")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

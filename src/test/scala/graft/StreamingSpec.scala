@@ -1537,6 +1537,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(served === batch,
       "containment off the streamed index must equal the store-served batch query")
 
+    // a release pin serves containment AS OF the first landing: the
+    // upto = 0 fold must equal the batch rollup over chunk 1 alone
+    val spine1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < cut)
+    val pinned = toMap(ScrubStream.containmentFromDeltas(spark, deltas, spine1, upto = 0L))
+    val chunk1 = toMap(Dedup.containmentBest(
+      Dedup.jaccardPairs(spine1.filter(
+        org.apache.spark.sql.functions.size(graft.ops.TextOps.tokens(col("text"))) >= 3)
+        .select("doc_id", "text")),
+      spine1))
+    assert(pinned === chunk1, "the release pin must replay the first landing's table")
+
     // replay: the index is add-only state, per-batchId overwrite absorbs it
     ScrubStream.writeShingleDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
     assert(toMap(ScrubStream.containmentFromDeltas(spark, deltas, spine)) === batch,
