@@ -822,6 +822,30 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "pinprobe") {
+      // Release-pin serving law (q198): the pin is partition pruning on
+      // batch_id, so serving cost follows the PINNED slice, not the
+      // store history — and the containment self-join shrinks
+      // quadratically with the slice. 8 landings; serve at pin 0 (1/8 of
+      // rows), pin 3 (half), pin 7 (all).
+      import graft.streaming.ScrubStream
+      val d = Catalog.table(spark, sfDir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft-pinprobe")
+        .toString + "/deltas"
+      (0 until 8).foreach { k =>
+        ScrubStream.writeShingleDelta(d.filter(col("doc_id") % 8 === k), root, k.toLong)
+      }
+      val spine = d.filter(col("doc_id") >= 50).select("doc_id").localCheckpoint()
+      // first pass doubles as JIT/codegen warmup; read the later rows
+      Seq(0L, 0L, 3L, 7L).foreach { pin =>
+        time(s"pin$pin.containment_serve") {
+          ScrubStream.containmentFromDeltas(spark, root, spine, upto = pin)
+            .agg(sum(when(col("is_contained"), 1L).otherwise(0L))).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "scale") {
       // Nx scale probe (default 10x): union id-shifted copies of the sf0.1
       // tables so the heavy operators run against ~sf1+ volumes without
