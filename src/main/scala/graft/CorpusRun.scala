@@ -214,13 +214,14 @@ object CorpusRun {
 
     // 13. cross-modal audit OVER the accepted store: text curation
     // (stage 1) only looked at text — q186's image/audio keep-first
-    // verdicts over the survivors say what a multimodal pass would still
-    // quarantine; text near-dup among the accepted is structurally rare
+    // verdicts AMONG the survivors say what a multimodal pass would
+    // still quarantine (verdicts are computed on the accepted frame
+    // itself: a quarantined doc is gone and cannot be anyone's earlier
+    // duplicate); text near-dup among the accepted is structurally rare
     // (curation banded those out) but the exact-J test can still catch
     // pairs the bands missed
-    val xm = ops.Multimodal.q186.fn(spark, sfDir)
-      .join(spark.read.parquet(s"$storesRoot/accepted").select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    val xm = ops.Multimodal.crossModalOf(
+        acceptedDocs.select(col("doc_id"), col("source"), col("text")))
       .localCheckpoint()
     xm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/crossmodal_audit")
     val nXm = xm.count()

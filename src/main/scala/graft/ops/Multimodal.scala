@@ -1289,7 +1289,16 @@ object Multimodal {
     */
   val q186 = Q("q186_crossmodal_curation", q186OracleSql) { (s, dir) =>
     graft.functions.ShingleHashes.register(s)
-    val d = Catalog.table(s, dir, "documents")
+    crossModalOf(Catalog.table(s, dir, "documents"))
+  }
+
+  /** q186 over any (doc_id, source, text) frame — keep-first verdicts
+    * among the FRAME's docs only, so CorpusRun's stage 13 audits the
+    * accepted store against itself (a quarantined doc is gone; it cannot
+    * be anyone's earlier duplicate).
+    */
+  private[graft] def crossModalOf(d: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(d.sparkSession)
     val tp = graft.ops.Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
     val tdup = tp
       .filter(lit(5) * col("n_shared") >=
