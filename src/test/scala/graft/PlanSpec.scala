@@ -108,6 +108,11 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must come from the release-delta store:\n$p")
     assert(!p.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
       s"serving must not unroll corpus text:\n$p")
+    // the pin is PARTITION PRUNING, not a post-scan filter — the
+    // serving-cost-follows-the-slice law depends on it
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("batch_id")),
+      s"the release pin must prune batch_id partitions at the scan:\n$p")
   }
 
   test("q186: cross-modal composition stays equi-join blocked in all three modalities") {
