@@ -50,10 +50,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusRun {
 
-  case class Stage(name: String, rows: Long, ok: Boolean, detail: String)
+  case class Stage(name: String, rows: Long, ok: Boolean, detail: String,
+      secs: Double = 0.0)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[Stage] = {
     new java.io.File(outDir).mkdirs()
+    // per-stage wall clock: stages run strictly sequentially, so each
+    // Stage(...) constructor's tick() closes the interval its stage opened
+    var tickAt = System.nanoTime()
+    def tick(): Double = {
+      val t = System.nanoTime(); val s = (t - tickAt) / 1e9; tickAt = t; s
+    }
     def save(name: String, df: org.apache.spark.sql.DataFrame): Long = {
       val out = df.localCheckpoint()
       out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -67,11 +74,11 @@ object CorpusRun {
     val nQuarantine = spark.read.parquet(s"$storesRoot/quarantine").count()
     val rates = save("curation_rates", Dedup.q133.fn(spark, sfDir))
     val s1 = Stage("curation", rates, nAccepted + nQuarantine == nDocs,
-      s"accepted=$nAccepted quarantine=$nQuarantine of $nDocs docs")
+      s"accepted=$nAccepted quarantine=$nQuarantine of $nDocs docs", secs = tick())
 
     // 2. decontamination store + report
     val scrub = save("scrub_report", Dedup.q141.fn(spark, sfDir))
-    val s2 = Stage("decontamination", scrub, scrub > 0, s"$scrub source rows")
+    val s2 = Stage("decontamination", scrub, scrub > 0, s"$scrub source rows", secs = tick())
 
     // 3. unified leak repair
     val repair = Dedup.unifiedRepair(spark, sfDir).localCheckpoint()
@@ -79,7 +86,7 @@ object CorpusRun {
     val nClustered = repair.count()
     val nMoved = repair.filter(col("split") =!= col("final_split")).count()
     val s3 = Stage("leak_repair", nClustered, nMoved <= nClustered,
-      s"$nMoved of $nClustered clustered docs reassigned")
+      s"$nMoved of $nClustered clustered docs reassigned", secs = tick())
 
     // 4. pack the accepted store into training shards
     val packs = Dedup.q134.fn(spark, sfDir).localCheckpoint()
@@ -87,7 +94,7 @@ object CorpusRun {
     val nShards = packs.count()
     val packedDocs = packs.agg(sum(col("n_docs"))).head().getLong(0)
     val s4 = Stage("packing", nShards, packedDocs == nAccepted,
-      s"$packedDocs docs into $nShards shards (accepted=$nAccepted)")
+      s"$packedDocs docs into $nShards shards (accepted=$nAccepted)", secs = tick())
 
     // 5. consumption order: curriculum manifest + per-epoch pack order
     val mani = Mining.q151.fn(spark, sfDir).localCheckpoint()
@@ -99,7 +106,7 @@ object CorpusRun {
     val perEpochOk = order.groupBy("epoch").agg(sum(col("n_packs")).as("n"))
       .collect().forall(_.getAs[Long]("n") == nWrapPacks)
     val s5 = Stage("ordering", mani.count(), lastPos == nDocs && perEpochOk,
-      s"total order covers $lastPos/$nDocs docs; $nWrapPacks packs per epoch")
+      s"total order covers $lastPos/$nDocs docs; $nWrapPacks packs per epoch", secs = tick())
 
     // 6. renormalized consumption schedule OVER the accepted store: the
     // q158 segment manifest derived from store masses alone (zero
@@ -117,7 +124,7 @@ object CorpusRun {
     val slotMass = sched.agg(sum(col("n_slots"))).head().getLong(0)
     val nSegs = sched.count()
     val s6 = Stage("schedule", nSegs, slotMass == nAccepted,
-      s"$nSegs segments scheduling $slotMass slots (accepted=$nAccepted)")
+      s"$nSegs segments scheduling $slotMass slots (accepted=$nAccepted)", secs = tick())
 
     // 7. targeted selection OVER the accepted store + the post-selection
     // temperature recipe (q164 scoring restricted to what curation
@@ -137,7 +144,7 @@ object CorpusRun {
     val s7 = Stage("selection", nSrc,
       nSel <= nCand && nCand <= nAccepted && nSel > 0 &&
         math.abs(ppmSum - 1000000L) <= nSrc,
-      s"$nSel of $nCand accepted candidates survive the cut; recipe ppm sum=$ppmSum")
+      s"$nSel of $nCand accepted candidates survive the cut; recipe ppm sum=$ppmSum", secs = tick())
 
     // 8. CCNet fluency retention OVER the accepted store: the q170
     // per-source tertile cut trained on exactly what curation shipped —
@@ -153,7 +160,7 @@ object CorpusRun {
       .collect().forall(_.getAs[Long]("d") <= 1L)
     val s8 = Stage("fluency", nBucketed,
       nBucketed == nAccepted && balanced && 2L * nKept >= nBucketed,
-      s"$nKept of $nBucketed accepted docs kept (head+middle); tertiles balanced")
+      s"$nKept of $nBucketed accepted docs kept (head+middle); tertiles balanced", secs = tick())
 
     // 9. domain reweighting OVER the accepted store: q175's MW optimizer
     // fed by the curated corpus's loss cells — the mixture-correction
@@ -167,7 +174,7 @@ object CorpusRun {
     val (wSum, alloc, mwDocs) = (mwAgg.getLong(0), mwAgg.getLong(1), mwAgg.getLong(2))
     val s9 = Stage("reweighting", nMwSrc,
       math.abs(wSum - 1000000L) <= nMwSrc && alloc <= mwDocs && mwDocs <= nAccepted,
-      s"w4 ppm sum=$wSum; $alloc docs allocated of $mwDocs scored")
+      s"w4 ppm sum=$wSum; $alloc docs allocated of $mwDocs scored", secs = tick())
 
     // 10. embedding-space diversity OVER the accepted store: the q178
     // per-source metric a diversity-aware sampling policy reads, computed
@@ -179,7 +186,7 @@ object CorpusRun {
     val (divDocs, minDiv) = (divAgg.getLong(0), divAgg.getLong(1))
     val s10 = Stage("diversity", nDivSrc,
       minDiv >= 0L && divDocs <= nAccepted && nDivSrc > 0,
-      s"$nDivSrc sources over $divDocs accepted docs; min diversity_fp=$minDiv")
+      s"$nDivSrc sources over $divDocs accepted docs; min diversity_fp=$minDiv", secs = tick())
 
     // 11. dedup-aware mixture OVER the accepted store: q187's
     // 1/cluster-size weighting on exactly what curation shipped — the
@@ -197,7 +204,7 @@ object CorpusRun {
     val s11 = Stage("dedup_weighting", dupMix.count(),
       dmDocs == nAccepted && dmEff <= dmDocs * 1000000L &&
         math.abs(dmPpm - 1000000L) <= dupMix.count(),
-      s"eff mass $dmEff of ${dmDocs}e6; eff ppm sum=$dmPpm")
+      s"eff mass $dmEff of ${dmDocs}e6; eff ppm sum=$dmPpm", secs = tick())
 
     // 12. cluster-aware eval holdout OVER the accepted store: q188's
     // carve-by-component split on what curation shipped — leakage-free
@@ -210,7 +217,7 @@ object CorpusRun {
     val (hoDocs, hoEval) = (hoAgg.getLong(0), hoAgg.getLong(1))
     val s12 = Stage("holdout", holdout.count(),
       hoDocs == nAccepted && hoEval > 0 && hoEval < hoDocs,
-      s"$hoEval of $hoDocs accepted docs carved for eval")
+      s"$hoEval of $hoDocs accepted docs carved for eval", secs = tick())
 
     // 13. cross-modal audit OVER the accepted store: text curation
     // (stage 1) only looked at text — q186's image/audio keep-first
@@ -221,16 +228,53 @@ object CorpusRun {
     // (curation banded those out) but the exact-J test can still catch
     // pairs the bands missed
     val xm = ops.Multimodal.crossModalOf(
-        acceptedDocs.select(col("doc_id"), col("source"), col("text")))
+        acceptedDocs.select(col("doc_id"), col("source"), col("text")),
+        assets = Some(spark.read.parquet(
+          ops.Multimodal.buildAssetStore(spark, sfDir))))
       .localCheckpoint()
     xm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/crossmodal_audit")
     val nXm = xm.count()
     val nXmQuar = xm.filter(!col("accepted")).count()
     val s13 = Stage("crossmodal", nXm,
       nXm == nAccepted && nXmQuar < nXm,
-      s"$nXmQuar of $nXm accepted docs would quarantine under the multimodal pass")
+      s"$nXmQuar of $nXm accepted docs would quarantine under the multimodal pass", secs = tick())
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13)
+    // 14. store MAINTENANCE under the threshold policy: the LSM levels
+    // run because the stores' own state says so (StoreCompaction.maintain
+    // reads delta counts / bucket file counts), clamped by live release
+    // pins — never hand-sequenced. The curation fp/index stores get a
+    // steady-state pass (single landing → policy correctly no-ops), and
+    // the pinned containment-trend store proves the pin contract inside
+    // the lifecycle: its fold CLAMPS to the live history pin and served
+    // trend rows are bit-identical before and after the pass.
+    import graft.streaming.{ScrubStream, StoreCompaction}
+    val pol = StoreCompaction.MaintenancePolicy(
+      minorAtDeltas = 2, keepLatestDeltas = 1, maxFilesPerBucket = 4, nBuckets = 8)
+    val (trendDir, trendBounds) = ScrubStream.buildShingleTrendStore(spark, sfDir)
+    // the trend is |landings| rows — snapshot it whole (a SUM of
+    // full-range xxhash64 values would overflow int64 under ANSI)
+    def trendSnap(): Seq[Seq[Any]] = ScrubStream
+      .containmentTrend(spark, trendDir, Catalog.table(spark, sfDir, "documents"),
+        trendBounds)
+      .collect().toSeq.map(_.toSeq)
+    val hBefore = trendSnap()
+    val fpRep = StoreCompaction.maintain(spark, s"$storesRoot/fp", Seq("fp"), pol)
+    val idxRep = StoreCompaction.maintain(spark, s"$storesRoot/index",
+      Seq("band_idx", "band_hash"), pol)
+    val trendRep = StoreCompaction.maintain(spark, trendDir, Seq("h"), pol)
+    val hAfter = trendSnap()
+    trendRep.minorUpto.foreach { u =>
+      require(u <= 0L, s"trend fold crossed the live history pin: upto=$u")
+    }
+    val s14 = Stage("maintenance",
+      fpRep.nDeltas + idxRep.nDeltas + trendRep.nDeltas,
+      hBefore == hAfter && trendRep.clampedByPins &&
+        fpRep.minorUpto.isEmpty && idxRep.minorUpto.isEmpty,
+      s"fp/index no-op at ${fpRep.nDeltas}/${idxRep.nDeltas} deltas; trend " +
+        s"fold clamped to pin (upto=${trendRep.minorUpto}); served trend " +
+        "bit-identical", secs = tick())
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
   }
 
   def main(args: Array[String]): Unit = {
@@ -249,8 +293,9 @@ object CorpusRun {
     val stages = run(spark, sfDir, outDir)
     stages.foreach { st =>
       val mark = if (st.ok) "ok  " else "FAIL"
-      println(f"[corpus] $mark ${st.name}%-16s rows=${st.rows}%-8d ${st.detail}")
+      println(f"[corpus] $mark ${st.name}%-16s ${st.secs}%7.1f s rows=${st.rows}%-8d ${st.detail}")
     }
+    println(f"[corpus] total ${stages.map(_.secs).sum}%.1f s over ${stages.size} stages")
     println(s"[corpus] artifacts at $outDir")
     spark.stop()
     if (!stages.forall(_.ok)) sys.exit(1)

@@ -716,6 +716,16 @@ object Scratch {
         Multimodal.phashReport(Multimodal.phashSigs(idsAt(mult)), bandBits = 20)
           .agg(sum("n_candidates")).head().getLong(0)
       }
+      // the AUTO rule (what q174 now defaults to): width from the doc
+      // count — at 16x this must pick 20 bits and land on the bounded
+      // candidate set above, not the 15-bit explosion
+      val nAuto = idsAt(mult).count()
+      println(s"phash${mult}x.auto_band_bits: ${Multimodal.autoBandBits(nAuto)} (n=$nAuto)")
+      time(s"phash${mult}x.report_auto") {
+        Multimodal.phashReport(Multimodal.phashSigs(idsAt(mult)),
+            Multimodal.autoBandBits(nAuto))
+          .agg(sum("n_candidates")).head().getLong(0)
+      }
       spark.stop(); return
     }
 
@@ -763,8 +773,12 @@ object Scratch {
       val mult = if (args.length > 2) args(2).toInt else 4
       val docsT = Catalog.table(spark, sfDir, "documents")
         .select("doc_id", "source", "text")
+      // shift stride derived from the data, not hardcoded: copies must be
+      // id-disjoint by construction or the probe's invariants (flat
+      // effective mass, immovable carve) are measured on a corrupted frame
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
       def docsAt(m: Int) = (0 until m).map(k =>
-          docsT.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
         .reduce(_.unionByName(_))
       def effMass(m: Int): Long =
         Mining.dupWeightedMixture(docsAt(m)).agg(sum("eff_fp")).head().getLong(0)
@@ -842,6 +856,81 @@ object Scratch {
           ScrubStream.containmentFromDeltas(spark, root, spine, upto = pin)
             .agg(sum(when(col("is_contained"), 1L).otherwise(0L))).head().getLong(0)
         }
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "dimprobe") {
+      // Realistic-dimension vector kernels: the fixture embeds at dim 64,
+      // but production embedding models ship 768/1536-dim rows. Verify on
+      // SYNTHETIC wide vectors that (a) VecDot/VecSqDist scans stay
+      // linear in dim (no JIT cliff — a fused while-loop per row either
+      // whole-stage-compiles or doesn't; report which), (b) the q112/q114
+      // truncated scan costs ~dim_t/dim of the full scan when the prefix
+      // is MATERIALIZED (the serving shape), and what the in-scan slice
+      // alternative really costs (per-row array copy), and (c) the q117
+      // PQ encode (M=dim/8 subspaces x K=16 codewords of VecSqDist probes
+      // in ONE projection) survives the 192-subspace codegen blowup.
+      // Vectors are deterministic (xxhash64(vec_id, j) fixed-point), so
+      // reruns measure the same frame.
+      import graft.ops.Similarity
+      graft.functions.VecDot.register(spark)
+      val n = if (args.length > 2) args(2).toLong else 500000L
+      val nQ = 8
+      Seq(64, 768, 1536).foreach { dim =>
+        val gen = spark.range(n).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+            "CAST(pmod(xxhash64(id, j), 2000) - 1000 AS DOUBLE) / 1000.0)")
+            .as("v"))
+        // materialize generation (HOF lambdas, deliberately excluded from
+        // the timed kernels) + the 64-dim Matryoshka prefix serving column
+        val base = gen.select(col("vec_id"), col("v"),
+          slice(col("v"), 1, 64).as("vt")).localCheckpoint()
+        base.count()
+        val qdf = base.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"))
+        def scan(name: String, c: org.apache.spark.sql.Column): Unit = {
+          val df = base.crossJoin(broadcast(qdf)).agg(sum(c).as("s"))
+          val wsc = df.queryExecution.executedPlan.toString
+            .contains("WholeStageCodegen")
+          time(s"dim$dim.$name${if (wsc) "" else " [NO-CODEGEN]"}") {
+            df.head(); n * nQ
+          }
+        }
+        // warmup then measure (second run of each kernel is the number)
+        (1 to 2).foreach { _ =>
+          scan("vecdot_scan", graft.functions.VecDot(col("v"), col("qv")))
+          scan("vecsqdist_scan", graft.functions.VecSqDist(col("v"), col("qv")))
+          scan("trunc64_mat", graft.functions.VecDot(col("vt"), col("qvt")))
+          scan("trunc64_slice", graft.functions.VecDot(
+            slice(col("v"), 1, 64), col("qvt")))
+        }
+        // PQ encode at M=dim/8, K=16: codebook = first 16 vectors' slices
+        // (driver state, typedlit'd into the projection like encodeLit)
+        val pqM = dim / 8
+        val cbRows = base.filter(col("vec_id") < 16).select("vec_id", "v")
+          .collect().map(r => r.getLong(0) ->
+            r.getAs[scala.collection.Seq[Double]]("v").toSeq).sortBy(_._1)
+        val codes = array((0 until pqM).map { m =>
+          val sv = slice(col("v"), m * 8 + 1, 8)
+          array_min(array(cbRows.map { case (k, cw) =>
+            struct(graft.functions.VecSqDist(sv,
+              typedlit(cw.slice(m * 8, m * 8 + 8))).as("dist"),
+              lit(k).as("k"))
+          }.toIndexedSeq: _*))
+        }: _*)
+        val enc = base.select(
+          aggregate(transform(codes, r => r.getField("dist")),
+            lit(0.0), _ + _).as("err"))
+          .agg(sum(col("err")))
+        val wscE = enc.queryExecution.executedPlan.toString
+          .contains("WholeStageCodegen")
+        (1 to 2).foreach { _ =>
+          time(s"dim$dim.pq_encode_m$pqM${if (wscE) "" else " [NO-CODEGEN]"}") {
+            enc.head(); n
+          }
+        }
+        base.unpersist(blocking = true)
       }
       spark.stop(); return
     }

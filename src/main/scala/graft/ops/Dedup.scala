@@ -130,6 +130,9 @@ object Dedup {
     * the production 16×4 configuration every query uses.
     */
   def lshBands(sigs: DataFrame, bandSize: Int = BandSize): DataFrame = {
+    require(NumHashes % bandSize == 0,
+      s"bandSize $bandSize must divide the $NumHashes-hash signature — a " +
+        "non-divisor would silently drop trailing hashes and skew any sweep")
     val bands = (0 until NumHashes / bandSize).map { j =>
       val parts = (0 until bandSize).map(k => col(s"sig_${j * bandSize + k}"))
       struct(lit(j).as("band_idx"), h60Col(concat_ws(",", parts: _*)).as("band_hash"))
@@ -2262,6 +2265,50 @@ object Dedup {
       upto = 0L)
   }
 
+  // ── q199: containment-over-time trend off the landing registry ────────
+
+  private def q199OracleSql: String = {
+    def landing(p: Int, where: String) =
+      s"""SELECT $p AS batch_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_contained THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+         |  CAST(SUM(CAST(FLOOR(containment * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mass_fp
+         |FROM (${containmentOracleSql(where)})""".stripMargin
+    val q = "(SELECT MAX(doc_id) // 4 FROM documents)"
+    val wheres = Seq(
+      s"doc_id >= 50 AND doc_id < 1 * $q",
+      s"doc_id >= 50 AND doc_id < 2 * $q",
+      s"doc_id >= 50 AND doc_id < 3 * $q",
+      "doc_id >= 50")
+    s"""WITH per AS (
+       |${wheres.zipWithIndex.map { case (w, p) => landing(p, w) }.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT a.batch_id, a.n_docs, a.n_contained, a.mass_fp,
+       |  a.n_docs - COALESCE(b.n_docs, 0) AS new_docs,
+       |  a.n_contained - COALESCE(b.n_contained, 0) AS new_contained,
+       |  a.mass_fp - COALESCE(b.mass_fp, 0) AS new_mass_fp
+       |FROM per a LEFT JOIN per b ON b.batch_id = a.batch_id - 1
+       |ORDER BY a.batch_id""".stripMargin
+  }
+
+  /** q199 — containment-over-TIME: q198 serves ONE pin; this composes
+    * the store's landing registry with per-pin containment into the
+    * trend table an operator actually reads after each ingest — per
+    * landing, the corpus-as-of size, how many docs are contained, the
+    * exact-integer containment mass, and the `new_*` deltas against the
+    * previous landing (new containment mass per landing). Four quartile
+    * landings ([[graft.streaming.ScrubStream.buildShingleTrendStore]]);
+    * every evaluation is store-served at its pin (partition-pruned,
+    * zero text scans — PlanSpec-pinned), and the deltas come from a
+    * |landings|-row self-join, never a single-partition window. Oracle:
+    * the q185 containment SQL evaluated at each boundary, aggregated
+    * and lag-joined identically.
+    */
+  val q199 = Q("q199_containment_trend", q199OracleSql) { (s, dir) =>
+    val (deltaDir, bounds) =
+      graft.streaming.ScrubStream.buildShingleTrendStore(s, dir)
+    graft.streaming.ScrubStream.containmentTrend(s, deltaDir, docs(s, dir), bounds)
+  }
+
   // ── q190: contamination blast radius over the near-dup graph ──────────
 
   private def q190OracleSql: String =
@@ -2489,5 +2536,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q39, q124, q127, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q146, q147, q171,
-    q172, q184, q185, q190, q194, q198)
+    q172, q184, q185, q190, q194, q198, q199)
 }

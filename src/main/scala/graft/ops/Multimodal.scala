@@ -474,6 +474,88 @@ object Multimodal {
         ceil(col("n_frames").cast("double") / stride).cast("int"))
   }
 
+  // ── the stored-asset artifact: payloads as a real binary column ───────
+
+  /** Where the materialized asset store for a source dir lives —
+    * content-addressed by the documents table's path + mtime/size (the
+    * `ivfIndexPath` convention) so a regenerated corpus invalidates the
+    * payloads instead of silently reusing stale bytes.
+    */
+  def assetStorePath(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_assets_v1_$key"
+  }
+
+  /** Materialize every fixture payload ONCE into a parquet asset table
+    * (doc_id, mime, payload binary), partitioned by payload family
+    * (`kind`) — after this build the multimodal queries read REAL stored
+    * bytes off parquet pages (binary column pruning, partition-pruned
+    * family scans, decode-off-storage), and the synth mapping survives
+    * only here as the generator. Idempotent: `_SUCCESS`-gated like the
+    * ANN index builds. Kinds: `bmp2x1`/`wav4` (the q154/q155 decode
+    * batteries), `grid_bmp`/`wav64` (the dense q174/q176 dedup
+    * fixtures), `grid_bmp_sparse`/`wav64_sparse` (q186's disjoint-family
+    * cross-modal fixtures). At 100 TB this table IS the corpus — the
+    * payloads arrive stored; everything downstream of this artifact is
+    * exactly the production read path.
+    */
+  def buildAssetStore(s: SparkSession, dir: String): String = {
+    val path = assetStorePath(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import s.implicits._
+      Catalog.table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          Iterator(
+            (id, "image/bmp", synthBmp2x1(id), "bmp2x1"),
+            (id, "audio/wav", synthWav4(id), "wav4"),
+            (id, "image/bmp", synthBmpGrid(id), "grid_bmp"),
+            (id, "image/bmp", synthBmpGrid(sparseImgId(id)), "grid_bmp_sparse"),
+            (id, "audio/wav", synthWav64(id), "wav64"),
+            (id, "audio/wav", synthWav64(sparseAudId(id)), "wav64_sparse"))
+        })
+        .toDF("doc_id", "mime", "payload", "kind")
+        .repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One payload family of the asset store — the `kind` predicate is
+    * partition pruning (one directory scanned, PlanSpec-pinned), and a
+    * reader that doesn't select `payload` never touches the binary pages
+    * (parquet column pruning — the property that makes metadata audits
+    * over a 100 TB asset table cheap).
+    */
+  def assetStore(s: SparkSession, dir: String, kind: String): DataFrame =
+    s.read.parquet(buildAssetStore(s, dir)).filter(col("kind") === kind)
+
+  /** dHash signatures off STORED payloads — [[phashSigs]]' production
+    * twin: same real BMP parse, but the bytes come from the asset
+    * table's binary column instead of an in-task synthesizer.
+    */
+  private[graft] def phashSigsFromAssets(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (w, h, g) = parseBmpGray(b)
+        (id, dhash60(w, h, g))
+      })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Envelope codes off STORED payloads — [[audioCodes]]' production
+    * twin over the asset table's binary column.
+    */
+  private[graft] def audioCodesFromAssets(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => envCodeRow(id, parseWavPcm16(b)) })
+      .toDF("doc_id", "code1", "code2", "env")
+  }
+
   private val q37OracleSql =
     """WITH d AS (
       |  SELECT doc_id, 'text/plain' AS mime, source,
@@ -571,12 +653,10 @@ object Multimodal {
     * output columns compare exactly with zero tolerance.
     */
   val q154 = Q("q154_real_decode", q154OracleSql) { (s, dir) =>
-    import s.implicits._
-    val assets = Catalog.table(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .map(id => Asset(id, "image/bmp", synthBmp2x1(id)))
-      .toDF()
-    decodeFeatures(assets)
+    // bytes come from the STORED binary column (one pruned partition of
+    // the asset table), not an in-task synthesizer — the production
+    // decode-off-parquet path
+    decodeFeatures(assetStore(s, dir, "bmp2x1"))
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
         element_at(col("feature"), 1).as("mean_b"),
         element_at(col("feature"), 2).as("mean_g"),
@@ -668,12 +748,7 @@ object Multimodal {
     * semantics and the sqrt-based RMS (IEEE-exact in both engines).
     */
   val q155 = Q("q155_real_audio_decode", q155OracleSql) { (s, dir) =>
-    import s.implicits._
-    val assets = Catalog.table(s, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .map(id => Asset(id, "audio/wav", synthWav4(id)))
-      .toDF()
-    decodeFeatures(assets)
+    decodeFeatures(assetStore(s, dir, "wav4"))
       .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
         col("n_frames"),
         element_at(col("feature"), 1).as("mean_abs"),
@@ -864,7 +939,13 @@ object Multimodal {
     * with ~1-row buckets at 15-bit bands; candidates, never all pairs.
     */
   val q174 = Q("q174_image_phash_dedup", q174OracleSql) { (s, dir) =>
-    phashReport(phashSigs(Catalog.table(s, dir, "documents")))
+    val assets = assetStore(s, dir, "grid_bmp")
+    // the default band width follows the corpus size ([[autoBandBits]]):
+    // every fixture scale resolves to the 15-bit oracle configuration,
+    // and a corpus past ~131 k docs widens automatically instead of
+    // hitting the measured 110× candidate explosion by default. The
+    // count never touches the binary pages (payload column pruned).
+    phashReport(phashSigsFromAssets(assets), autoBandBits(assets.count()))
   }
 
   /** Synthesize + REAL-parse + dHash the fixture image of every doc_id
@@ -913,6 +994,21 @@ object Multimodal {
     * for ≤(60/bandBits − 1)-bit-apart pairs stays structural, bucket
     * collisions shrink 2^Δ-fold.
     */
+  /** Corpus-size-driven band width — the `mmprobe`-measured operating
+    * rule made the DEFAULT instead of a manual knob: 15-bit band buckets
+    * collect candidates in proportion to occupancy n·bands/2^bits (at
+    * 16× corpus the probe measured 110× the candidates, 2.88 M vs 26 k),
+    * and widening to 20 bits collapsed that 8.6×. So pick the narrowest
+    * divisor-of-60 width whose buckets stay at ≤ 4 expected docs —
+    * +5 bits per 32× growth, exactly the probe's rule. Recall stays
+    * STRUCTURAL while within-family bit flips fit inside all-but-one
+    * band (≤ 60 − bandBits·(nBands−1) flipped bits: 15 @ 4×15, 20 @
+    * 3×20, 30 @ 2×30) — the fixture's flips sit in bits < 24, so one
+    * high band is always clean at every width (spec-pinned).
+    */
+  private[graft] def autoBandBits(nDocs: Long): Int =
+    Seq(15, 20, 30).find(b => nDocs <= (4L << b)).getOrElse(30)
+
   private[graft] def phashReport(sigs: DataFrame,
       bandBits: Int = PhashBandBits): DataFrame =
     phashVerdicts(sigs, bandBits).orderBy("doc_id")
@@ -1080,7 +1176,7 @@ object Multimodal {
     * verification only within code buckets, never all pairs.
     */
   val q176 = Q("q176_audio_fingerprint_dedup", q176OracleSql) { (s, dir) =>
-    audioReport(audioCodes(Catalog.table(s, dir, "documents")))
+    audioReport(audioCodesFromAssets(assetStore(s, dir, "wav64")))
   }
 
   /** Synthesize + REAL-parse + envelope-code the fixture recording of
@@ -1091,16 +1187,22 @@ object Multimodal {
       fixtureId: Long => Long = identity): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val smp = parseWavPcm16(synthWav64(fixtureId(id)))
-        val env = Array.tabulate(16)(k =>
-          (math.abs(smp(4 * k)) + math.abs(smp(4 * k + 1)) +
-            math.abs(smp(4 * k + 2)) + math.abs(smp(4 * k + 3))).toLong)
-        def half(h: Int): Long =
-          (0 until 8).map(k => (env(8 * h + k) >> 10) << (6 * k)).sum
-        (id, half(0), half(1), env.toSeq)
-      })
+      .mapPartitions(_.map(id =>
+        envCodeRow(id, parseWavPcm16(synthWav64(fixtureId(id))))))
       .toDF("doc_id", "code1", "code2", "env")
+  }
+
+  /** Samples → (doc_id, code1, code2, env) fingerprint row — the shared
+    * kernel of [[audioCodes]] (synth path) and [[audioCodesFromAssets]]
+    * (stored-payload path); one definition keeps the two bit-identical.
+    */
+  private def envCodeRow(id: Long, smp: Array[Int]): (Long, Long, Long, Seq[Long]) = {
+    val env = Array.tabulate(16)(k =>
+      (math.abs(smp(4 * k)) + math.abs(smp(4 * k + 1)) +
+        math.abs(smp(4 * k + 2)) + math.abs(smp(4 * k + 3))).toLong)
+    def half(h: Int): Long =
+      (0 until 8).map(k => (env(8 * h + k) >> 10) << (6 * k)).sum
+    (id, half(0), half(1), env.toSeq)
   }
 
   /** q176's probe + L1-verify + keep-first report over any
@@ -1168,6 +1270,42 @@ object Multimodal {
         struct(lit(0).as("band_idx"), col("code1").as("band_hash")),
         struct(lit(1).as("band_idx"), col("code2").as("band_hash")))).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+
+  /** Audio-store decisions with the integer-L1 envelope verify applied
+    * at DECISION-SERVING time — the layer the band store alone omits: a
+    * 48-bit half-code match PROPOSES (cross-family collisions are
+    * 2⁻⁴⁸-rare, structurally absent on the fixture), and this read
+    * re-decodes the envelopes of the IMPLICATED docs only (each flagged
+    * doc and its recorded partner — never the corpus) and clears any
+    * verdict whose pair fails the same L1 ≤ [[AudioL1Max]] gate batch
+    * q176 applies. Serving cost: one decision-store scan + O(dup set)
+    * decodes + two doc_id hash joins.
+    */
+  private[graft] def audioDecisionsVerified(spark: SparkSession,
+      decisionsDir: String, docs: DataFrame,
+      fixtureId: Long => Long = identity): DataFrame = {
+    val d = graft.streaming.LshStream.decisions(spark, decisionsDir)
+    val flagged = d.filter(col("is_band_dup")).select("doc_id", "dup_of")
+    val implicated = flagged.select(col("doc_id"))
+      .union(flagged.select(col("dup_of").as("doc_id"))).distinct()
+    val envs = audioCodes(docs.join(implicated, Seq("doc_id"), "left_semi"),
+        fixtureId)
+      .select(col("doc_id"), col("env"))
+    val l1 = flagged
+      .join(envs, Seq("doc_id"))
+      .join(envs.select(col("doc_id").as("dup_of"), col("env").as("env_b")),
+        Seq("dup_of"))
+      .select(col("doc_id"),
+        aggregate(zip_with(col("env"), col("env_b"), (x, y) => abs(x - y)),
+          lit(0L), (a, x) => a + x).as("l1"))
+    d.join(l1, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_earlier"),
+        when(col("l1") > AudioL1Max, lit(null)).otherwise(col("dup_of"))
+          .as("dup_of"),
+        when(col("l1") > AudioL1Max, lit(false)).otherwise(col("is_band_dup"))
+          .as("is_band_dup"))
+      .orderBy("doc_id")
+  }
 
   // ── q186: cross-modal consolidated curation ────────────────────────────
 
@@ -1289,15 +1427,20 @@ object Multimodal {
     */
   val q186 = Q("q186_crossmodal_curation", q186OracleSql) { (s, dir) =>
     graft.functions.ShingleHashes.register(s)
-    crossModalOf(Catalog.table(s, dir, "documents"))
+    crossModalOf(Catalog.table(s, dir, "documents"),
+      assets = Some(s.read.parquet(buildAssetStore(s, dir))))
   }
 
   /** q186 over any (doc_id, source, text) frame — keep-first verdicts
     * among the FRAME's docs only, so CorpusRun's stage 13 audits the
     * accepted store against itself (a quarantined doc is gone; it cannot
-    * be anyone's earlier duplicate).
+    * be anyone's earlier duplicate). With `assets` the image/audio
+    * signatures come off the STORED payload columns (semi-joined to the
+    * frame's docs, so subset semantics are preserved); without it the
+    * synth generator runs in-task.
     */
-  private[graft] def crossModalOf(d: DataFrame): DataFrame = {
+  private[graft] def crossModalOf(d: DataFrame,
+      assets: Option[DataFrame] = None): DataFrame = {
     graft.functions.ShingleHashes.register(d.sparkSession)
     val tp = graft.ops.Dedup.jaccardPairs(d.select(col("doc_id"), col("text")))
     val tdup = tp
@@ -1305,9 +1448,16 @@ object Multimodal {
         lit(4) * (col("size_a") + col("size_b") - col("n_shared")))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("t_dup", lit(true))
-    val idup = phashVerdicts(phashSigs(d, sparseImgId))
+    def stored(kind: String) = assets.map(_
+      .filter(col("kind") === kind)
+      .join(d.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val isigs = stored("grid_bmp_sparse").map(phashSigsFromAssets)
+      .getOrElse(phashSigs(d, sparseImgId))
+    val asigs = stored("wav64_sparse").map(audioCodesFromAssets)
+      .getOrElse(audioCodes(d, sparseAudId))
+    val idup = phashVerdicts(isigs)
       .select(col("doc_id"), col("keep").as("img_keep"))
-    val adup = audioVerdicts(audioCodes(d, sparseAudId))
+    val adup = audioVerdicts(asigs)
       .select(col("doc_id"), col("keep").as("audio_keep"))
     d.select(col("doc_id"), col("source"))
       .join(tdup, Seq("doc_id"), "left")

@@ -257,16 +257,21 @@ object CorpusStream {
     * it reproduces batch q101/q170 bit-for-bit over the union of landings
     * (StreamingSpec-pinned). `upto` pins a MODEL RELEASE: only batches
     * ≤ upto fold in, so one store serves every historical model (q173's
-    * rotation without a second training pass). Release pins require the
-    * release boundary to stay ahead of compaction — `compactLmDeltas`
-    * folds batches into the base partition (batch_id = −1, which always
-    * qualifies), so compact only past the oldest release still served.
+    * rotation without a second training pass). The pin-ahead-of-
+    * compaction rule is ENFORCED, not documented: register the release
+    * via [[StoreCompaction.registerPin]] and `compactLmDeltas` (like
+    * every fold) refuses to cross it; this read itself asserts
+    * [[StoreCompaction.requireServableAt]] so a pin behind the
+    * compaction horizon fails loudly instead of silently including
+    * post-pin rows folded into the base.
     */
   def lmCountsFromDeltas(spark: SparkSession, deltaDir: String,
-      upto: Long = Long.MaxValue): DataFrame =
+      upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireServableAt(deltaDir, upto)
     spark.read.parquet(deltaDir)
       .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
       .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
+  }
 
   /** Per-doc fluency scores for `d` served off the streamed LM store —
     * `upto` scores against a pinned model release.
@@ -380,8 +385,11 @@ object CorpusStream {
     */
   def diversityFromDeltas(spark: SparkSession, dimDir: String,
       statDir: String, upto: Long = Long.MaxValue): DataFrame = {
-    def pinned(dir: String) = spark.read.parquet(dir)
-      .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
+    def pinned(dir: String) = {
+      StoreCompaction.requireServableAt(dir, upto)
+      spark.read.parquet(dir)
+        .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
+    }
     graft.ops.Similarity.diversityFromCells(
       pinned(dimDir).select("source", "d", "s_d"),
       pinned(statDir).select("source", "n_docs", "sum_sq"))

@@ -224,10 +224,14 @@ object CurationStream {
       .select(col("doc_id"), col("is_band_dup").as("img_dup"))
     val a = LshStream.decisions(spark, audDecisionsDir)
       .select(col("doc_id"), col("is_band_dup").as("aud_dup"))
-    i.join(a, Seq("doc_id"))
+    // LEFT join from the image spine, never inner: a doc whose audio
+    // sink lags a landing must SURFACE as an explicit missing_modality
+    // row (accepted = false), not silently vanish from the verdict set
+    i.join(a, Seq("doc_id"), "left")
       .join(t, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("in_text").isNull, lit("gate"))
+        when(col("aud_dup").isNull, lit("missing_modality"))
+          .when(col("in_text").isNull, lit("gate"))
           .when(col("is_exact_dup"), lit("text_exact"))
           .when(coalesce(col("is_band_dup"), lit(false)), lit("text_near"))
           .when(col("img_dup"), lit("image_near"))

@@ -207,7 +207,8 @@ object ScrubStream {
     * stores' pin mechanism applied to the dedup surface (q198 rides it).
     */
   def containmentFromDeltas(spark: SparkSession, deltaDir: String,
-      spine: DataFrame, upto: Long = Long.MaxValue): DataFrame =
+      spine: DataFrame, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireServableAt(deltaDir, upto)
     Dedup.containmentBest(
       Dedup.jaccardPairsFromExploded(
         spark.read.parquet(deltaDir)
@@ -215,6 +216,7 @@ object ScrubStream {
             col("batch_id") === StoreCompaction.BasePartition)
           .select("doc_id", "h")),
       spine)
+  }
 
   /** Where the release-DELTA-structured shingle-index store for a corpus
     * lives (two committed partitions: batch 0 = the first release's
@@ -244,7 +246,94 @@ object ScrubStream {
       writeShingleDelta(d.filter(col("doc_id") >= cut), s"$root/deltas", 1L)
       marker.createNewFile()
     }
+    // q198 serves release 0 off this store — write the pin through the
+    // registry (idempotent) so any maintenance fold past batch 0 refuses
+    // instead of silently folding the second release into the base.
+    StoreCompaction.registerPin(s"$root/deltas", "release_0", 0L)
     (s"$root/deltas", cut)
+  }
+
+  /** Where the four-landing trend store lives — q199's finer-grained
+    * sibling of [[shingleDeltaStorePath]] (quartile landings instead of
+    * the single release split).
+    */
+  def shingleTrendStorePath(dir: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}:deltas4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_shingle_deltas4_v1_$key"
+  }
+
+  /** Build (or reuse) the FOUR-landing shingle-index delta store: the
+    * corpus cut at multiples of max(doc_id)/4 (integer division first,
+    * so the oracle reproduces the boundaries exactly), one per-batchId
+    * partition per landing — the registry a containment-over-time sweep
+    * (q199) reads. The earliest landing is pinned through the registry:
+    * every pinned read below the newest landing must stay servable, so
+    * any maintenance fold past batch 0 refuses rather than silently
+    * merging history the trend still serves. Returns (deltaDir,
+    * per-landing EXCLUSIVE upper doc_id bounds — last = Long.MaxValue).
+    */
+  def buildShingleTrendStore(s: SparkSession, dir: String): (String, Seq[Long]) = {
+    val d = graft.Catalog.table(s, dir, "documents")
+    val q = d.agg(org.apache.spark.sql.functions.max(col("doc_id")))
+      .head().getLong(0) / 4
+    val bounds = Seq(q, 2 * q, 3 * q, Long.MaxValue)
+    val root = shingleTrendStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      bounds.zipWithIndex.foreach { case (hi, k) =>
+        val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+        writeShingleDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          s"$root/deltas", k.toLong)
+      }
+      marker.createNewFile()
+    }
+    StoreCompaction.registerPin(s"$root/deltas", "trend_history", 0L)
+    (s"$root/deltas", bounds)
+  }
+
+  /** Containment-over-TIME: one trend row per landing of the delta
+    * store — the monitoring view an operator reads after each ingest
+    * ("how much new containment did this landing introduce"). Landing
+    * p's row aggregates the full per-doc containment table served AT
+    * pin p ([[containmentFromDeltas]] — partition-pruned to the pinned
+    * slice, zero text scans) over the corpus as of that landing;
+    * `new_*` columns are deltas against the previous landing (computed
+    * by a batch_id self-join on the |landings|-row aggregate, never a
+    * single-partition window). Containment mass sums in EXACT integer
+    * fixed-point (the per-doc table's 4-dp values ×10⁴), so the trend
+    * is reproducible bit-for-bit. At 100 TB each pinned evaluation
+    * costs the pinned prefix (the `pinprobe` serving law), and the
+    * sweep shares the store scan across pins within one job.
+    */
+  def containmentTrend(spark: SparkSession, deltaDir: String,
+      docs: DataFrame, bounds: Seq[Long]): DataFrame = {
+    val perLanding = bounds.zipWithIndex.map { case (hi, p) =>
+      val spine = docs
+        .filter(col("doc_id") >= 50 && col("doc_id") < hi)
+        .select("doc_id")
+      containmentFromDeltas(spark, deltaDir, spine, upto = p.toLong)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          graft.queries.Det.countIf(col("is_contained")).as("n_contained"),
+          sum(floor(col("containment") * 10000.0 + 0.5).cast("long"))
+            .cast("long").as("mass_fp"))
+        .select(lit(p.toLong).as("batch_id"), col("n_docs"),
+          col("n_contained"), col("mass_fp"))
+    }.reduce(_.unionByName(_))
+    val prev = perLanding.select((col("batch_id") + 1L).as("batch_id"),
+      col("n_docs").as("p_docs"), col("n_contained").as("p_contained"),
+      col("mass_fp").as("p_mass"))
+    perLanding.join(prev, Seq("batch_id"), "left")
+      .select(col("batch_id"), col("n_docs"), col("n_contained"), col("mass_fp"),
+        (col("n_docs") - coalesce(col("p_docs"), lit(0L))).as("new_docs"),
+        (col("n_contained") - coalesce(col("p_contained"), lit(0L)))
+          .as("new_contained"),
+        (col("mass_fp") - coalesce(col("p_mass"), lit(0L))).as("new_mass_fp"))
+      .orderBy("batch_id")
   }
 
   /** Where a RELEASE-keyed scrub store lives: corpus identity × the

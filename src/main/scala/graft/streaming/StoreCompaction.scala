@@ -26,12 +26,130 @@ import scala.jdk.CollectionConverters._
   * O(folded state rows), never documents; run at maintenance cadence,
   * not per batch. Pass `upto <= lastCommittedBatch - 1` so the one
   * batch the checkpoint may still replay keeps its own partition.
+  *
+  * RELEASE PINS are enforced, not documented: a pinned reader (an LM
+  * release, q198's containment-as-of) registers its boundary via
+  * [[registerPin]], every fold REFUSES to cross a live pin, readers
+  * assert [[requireServableAt]], and the `_compaction_horizon` marker
+  * makes a retroactive pin behind past compaction impossible.
   */
 object StoreCompaction {
 
   val BasePartition = -1L
   private val StagingName = ".compact_tmp"
   private val LeaseName = "_maintenance_lease"
+  private val PinsDirName = "_pins"
+  private val HorizonName = "_compaction_horizon"
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  // ── live release pins: compaction must never fold past one ───────────
+  //
+  // A release pin at boundary P promises that serving `batch_id <= P OR
+  // batch_id = BasePartition` stays bit-identical until the pin is
+  // released. A fold with fold-upto U is legal for P iff U <= P: batches
+  // at or below the pin are included in the pinned read either way, so
+  // folding them into the base cannot change pinned serving — but one
+  // batch PAST the pin folded into the base silently adds post-pin rows
+  // to every pinned read (the base always qualifies). foldInto/appendInto
+  // therefore REFUSE any fold past a live pin instead of documenting the
+  // hazard; maintenance that wants "as far as legal" clamps with
+  // [[maxFoldableUpto]]. Pins are tiny `_pins/<name>` sidecar files
+  // (underscore-prefixed → invisible to parquet partition discovery).
+
+  /** Register (or move) live pin `name` at boundary `upto` on a store.
+    * Refuses a pin already behind the store's compaction horizon — such
+    * a pin could not be served faithfully, because the base partition
+    * already holds rows from batches beyond it.
+    */
+  def registerPin(storeDir: String, name: String, upto: Long): Unit = {
+    require(name.nonEmpty && !name.startsWith(".") && !name.startsWith("_") &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"pin name must be a plain token, got '$name'")
+    compactionHorizon(storeDir).filter(_ > upto).foreach { h =>
+      throw new IllegalStateException(
+        s"cannot pin $storeDir at batch $upto: compaction already folded " +
+          s"batches up to $h into the base, so a pin at $upto would serve " +
+          "post-pin rows; pins must be registered ahead of compaction")
+    }
+    val pins = new java.io.File(storeDir, PinsDirName)
+    pins.mkdirs()
+    val tmp = new java.io.File(pins, s".$name.tmp")
+    java.nio.file.Files.write(tmp.toPath, upto.toString.getBytes(Utf8))
+    val target = new java.io.File(pins, name)
+    target.delete()
+    require(tmp.renameTo(target), s"pin write $target failed")
+  }
+
+  /** Drop live pin `name` (idempotent) — folds past its boundary become
+    * legal again.
+    */
+  def releasePin(storeDir: String, name: String): Unit = {
+    new java.io.File(new java.io.File(storeDir, PinsDirName), name).delete()
+    ()
+  }
+
+  /** All live pins on a store, name → boundary. */
+  def livePins(storeDir: String): Map[String, Long] =
+    Option(new java.io.File(storeDir, PinsDirName).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(f => f.getName ->
+        new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+      .toMap
+
+  /** The largest legal fold boundary ≤ `requested` given live pins —
+    * what a maintenance policy passes to foldInto/appendInto to compact
+    * as far as it legally can without touching any pinned release.
+    */
+  def maxFoldableUpto(storeDir: String, requested: Long): Long =
+    livePins(storeDir).values.foldLeft(requested)(math.min)
+
+  /** Highest delta batch ever folded into this store's base partition
+    * (None if never compacted) — the boundary below which per-batch
+    * identity is gone.
+    */
+  def compactionHorizon(storeDir: String): Option[Long] = {
+    val f = new java.io.File(storeDir, HorizonName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+    else None
+  }
+
+  private def advanceHorizon(root: java.io.File, foldedIds: Seq[Long]): Unit = {
+    val folded = foldedIds.filter(_ != BasePartition)
+    if (folded.nonEmpty) {
+      val h = math.max(folded.max,
+        compactionHorizon(root.getPath).getOrElse(Long.MinValue))
+      java.nio.file.Files.write(new java.io.File(root, HorizonName).toPath,
+        h.toString.getBytes(Utf8))
+      ()
+    }
+  }
+
+  /** Assert that serving `batch_id <= upto OR base` off this store is
+    * faithful: refuses when compaction has already folded a batch beyond
+    * `upto` into the base (the base always qualifies in pinned reads, so
+    * such a read would silently include post-pin rows). Pinned readers
+    * call this instead of trusting the keep-pins-ahead-of-compaction
+    * convention by documentation alone.
+    */
+  def requireServableAt(storeDir: String, upto: Long): Unit =
+    if (upto != Long.MaxValue)
+      compactionHorizon(storeDir).filter(_ > upto).foreach { h =>
+        throw new IllegalStateException(
+          s"store $storeDir cannot serve a pin at batch $upto: compaction " +
+            s"already folded batches up to $h into the base partition, so the " +
+            "pinned slice no longer exists as per-batch partitions")
+      }
+
+  private def requirePinsAhead(storeDir: String, upto: Long): Unit = {
+    val violated = livePins(storeDir).filter(_._2 < upto)
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to fold $storeDir up to batch $upto: live release pin(s) " +
+          violated.toSeq.sorted.map { case (n, p) => s"$n@$p" }.mkString(", ") +
+          " would silently start serving post-pin rows folded into the base; " +
+          "release the pin or clamp the fold with maxFoldableUpto")
+  }
 
   /** Make the single-maintenance-writer assumption CHECKABLE: every
     * fold/compaction body runs under a store-level lease file, created
@@ -114,6 +232,7 @@ object StoreCompaction {
     def finishFold(ids: Seq[Long]): Unit = {
       ids.foreach(id => deleteRecursively(new java.io.File(root, s"batch_id=$id")))
       require(staging.renameTo(base), s"rename $staging -> $base failed")
+      advanceHorizon(root, ids)
     }
     if (staging.exists()) {
       if (new java.io.File(staging, "_SUCCESS").exists() && manifest.exists())
@@ -121,6 +240,7 @@ object StoreCompaction {
           .asScala.toSeq.filter(_.nonEmpty).map(_.toLong))
       else deleteRecursively(staging)
     }
+    requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root).filter(id => id == BasePartition || id <= upto)
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     merge(spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
@@ -179,6 +299,7 @@ object StoreCompaction {
         1L
       }.sum
       deleteRecursively(staging)
+      advanceHorizon(root, ids)
       moved
     }
     if (staging.exists()) {
@@ -187,6 +308,7 @@ object StoreCompaction {
           .asScala.toSeq.filter(_.nonEmpty).map(_.toLong))
       else deleteRecursively(staging)
     }
+    requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root).filter(id => id != BasePartition && id <= upto)
     if (ids.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
@@ -198,6 +320,69 @@ object StoreCompaction {
       ids.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finishAppend(ids)
   }
+
+  // ── the maintenance POLICY: thresholds decide WHEN, pins bound HOW FAR ──
+
+  /** Threshold policy for automatic store maintenance. `minorAtDeltas`:
+    * run the O(delta) minor fold once at least this many delta
+    * partitions are eligible (below it, the partition-discovery overhead
+    * of a handful of deltas is cheaper than a fold). `keepLatestDeltas`:
+    * the newest K deltas never fold — the replay-safety margin for the
+    * one batch a streaming checkpoint may still re-deliver.
+    * `maxFilesPerBucket`/`nBuckets`: the per-bucket major threshold and
+    * the bucket fan-out (bounds base file count at nBuckets ×
+    * maxFilesPerBucket in steady state).
+    */
+  case class MaintenancePolicy(
+      minorAtDeltas: Int = 8,
+      keepLatestDeltas: Int = 1,
+      maxFilesPerBucket: Int = 4,
+      nBuckets: Int = 32)
+
+  /** What one maintenance pass did — the registry-statistics view an
+    * operator (or a probe) reads.
+    */
+  case class MaintenanceReport(
+      nDeltas: Int,
+      minorUpto: Option[Long],
+      clampedByPins: Boolean,
+      filesAppended: Long,
+      bucketsRewritten: Long)
+
+  /** ONE pin-aware maintenance pass driven by the store's own state —
+    * the piece that decides WHEN the LSM levels run, so a deployment
+    * schedules `maintain` on a cadence instead of hand-sequencing
+    * appendInto/compactBaseBuckets per store. Reads the delta-partition
+    * count from partition discovery; if enough deltas are eligible
+    * (all but the newest `keepLatestDeltas`), runs the O(delta) minor
+    * fold up to the highest boundary the live release pins allow
+    * ([[maxFoldableUpto]] — a pin CLAMPS the fold, never fails it, so
+    * scheduled maintenance keeps running while a release is being
+    * served); then rewrites any over-threshold base buckets. Serving is
+    * bit-identical across every pass by the fold algebra; steady-state
+    * cost is O(newly landed deltas + over-threshold buckets), never
+    * O(base). Idempotent: a pass over a store with nothing eligible is
+    * a no-op report.
+    */
+  def maintain(spark: SparkSession, storeDir: String, bucketCols: Seq[String],
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport =
+    withLease(storeDir) {
+      val deltas = partitionIds(new java.io.File(storeDir))
+        .filter(_ != BasePartition).sorted
+      val eligible = deltas.dropRight(policy.keepLatestDeltas)
+      val (upto, clamped, appended) =
+        if (eligible.size >= policy.minorAtDeltas) {
+          val want = eligible.max
+          val legal = maxFoldableUpto(storeDir, want)
+          val n =
+            if (eligible.exists(_ <= legal))
+              appendInto(spark, storeDir, legal, bucketCols, policy.nBuckets)
+            else 0L
+          (Some(legal), legal < want, n)
+        } else (None, false, 0L)
+      val rewritten = compactBaseBuckets(spark, storeDir, policy.maxFilesPerBucket)
+      MaintenanceReport(deltas.size, upto, clamped, appended, rewritten)
+    }
 
   /** MAJOR fold, per bucket — rewrite only the buckets of the base
     * partition whose bucket-tagged file count exceeds the threshold,

@@ -628,6 +628,120 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers.forall(_ % 4 == 0), "keep-first: the variant-0 doc is the group representative")
   }
 
+  test("chi2Pair: billion-count cells stay exact — reverting the all-DOUBLE term tree to int64 would overflow and fail this") {
+    import graft.ops.Corpus
+    // counts sized so oa·n ≈ 3.6e19 > Long.MaxValue: an int64 product
+    // anywhere in the term tree wraps negative and moves chi2_fp
+    val aCells = Seq(("web", 0L, 3000000000L), ("web", 1L, 2500000000L),
+      ("web", 2L, 1000000000L), ("books", 0L, 4000000000L),
+      ("books", 1L, 100000000L)).toDF("source", "bin", "o")
+    val bCells = Seq(("web", 0L, 2800000000L), ("web", 1L, 2700000000L),
+      ("web", 2L, 900000000L), ("books", 0L, 3900000000L),
+      ("books", 2L, 250000000L)).toDF("source", "bin", "o")
+    // the fixture genuinely exercises overflow territory
+    val raWeb = 3000000000L + 2500000000L + 1000000000L
+    val rbWeb = 2800000000L + 2700000000L + 900000000L
+    assert(3000000000.0 * (raWeb + rbWeb).toDouble > Long.MaxValue.toDouble,
+      "fixture must put oa*n past int64")
+    // replicate the DOUBLE tree bit-for-bit in driver Scala
+    def expected(cells: Map[String, Seq[(Long, Long, Long)]]) = cells.map {
+      case (src, rows) =>
+        val ra = rows.map(_._2).sum
+        val rb = rows.map(_._3).sum
+        def term(o: Long, r: Long, c: Long, n: Long): Long =
+          if (ra > 0 && rb > 0) {
+            val diff = o.toDouble * n.toDouble - r.toDouble * c.toDouble
+            math.floor(diff * diff / (n.toDouble * r.toDouble * c.toDouble)
+              * 1000000.0).toLong
+          } else 0L
+        val n = ra + rb
+        val raw = rows.map { case (_, oa, ob) =>
+          term(oa, ra, oa + ob, n) + term(ob, rb, oa + ob, n)
+        }.sum
+        val df = rows.size - 1L
+        val fp = if (ra > 0 && rb > 0) Some(raw) else None
+        src -> ((ra, rb, fp, df, fp.forall(_ > 2000000L * df)))
+    }
+    val joined = Map(
+      "web" -> Seq((0L, 3000000000L, 2800000000L), (1L, 2500000000L, 2700000000L),
+        (2L, 1000000000L, 900000000L)),
+      "books" -> Seq((0L, 4000000000L, 3900000000L), (1L, 100000000L, 0L),
+        (2L, 0L, 250000000L)))
+    val got = Corpus.chi2Pair(aCells, bCells).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("chi2_fp")).map(_.toLong),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === expected(joined))
+  }
+
+  test("asset store: stored payloads are byte-identical to the generator, and stored-path signatures match the synth path bit-for-bit") {
+    val store = spark.read.parquet(Multimodal.buildAssetStore(spark, sf))
+    val docs = Catalog.table(spark, sf, "documents")
+    val n = docs.count()
+    // six payload families, one row per doc each
+    assert(store.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("bmp2x1" -> n, "wav4" -> n, "grid_bmp" -> n,
+        "grid_bmp_sparse" -> n, "wav64" -> n, "wav64_sparse" -> n))
+    // stored bytes ARE the generator's bytes (md5 spot-check per kind)
+    val byKind = store.select(col("kind"), col("doc_id"), md5(col("payload")).as("m"))
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    def hx(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    (0L until 20L).foreach { id =>
+      assert(byKind(("bmp2x1", id)) === hx(Multimodal.synthBmp2x1(id)))
+      assert(byKind(("wav4", id)) === hx(Multimodal.synthWav4(id)))
+      assert(byKind(("grid_bmp", id)) === hx(Multimodal.synthBmpGrid(id)))
+      assert(byKind(("grid_bmp_sparse", id)) ===
+        hx(Multimodal.synthBmpGrid(Multimodal.sparseImgId(id))))
+      assert(byKind(("wav64", id)) === hx(Multimodal.synthWav64(id)))
+      assert(byKind(("wav64_sparse", id)) ===
+        hx(Multimodal.synthWav64(Multimodal.sparseAudId(id))))
+    }
+    // the stored-path signature scans reproduce the synth path exactly
+    val phStored = Multimodal.phashSigsFromAssets(
+      store.filter(col("kind") === "grid_bmp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phSynth = Multimodal.phashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phStored === phSynth)
+    val auStored = Multimodal.audioCodesFromAssets(
+      store.filter(col("kind") === "wav64")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSet
+    val auSynth = Multimodal.audioCodes(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3))).toSet
+    assert(auStored === auSynth)
+  }
+
+  test("autoBandBits: the mmprobe operating rule is the default, and planted-family recall is width-structural") {
+    // the +5-bits-per-32×-growth rule at ≤ 4 expected docs per bucket
+    assert(Multimodal.autoBandBits(1000L) === 15)
+    assert(Multimodal.autoBandBits(4L << 15) === 15)
+    assert(Multimodal.autoBandBits((4L << 15) + 1) === 20)
+    assert(Multimodal.autoBandBits(1000000L) === 20) // the probe's 16× explosion case
+    assert(Multimodal.autoBandBits(4L << 20) === 20)
+    assert(Multimodal.autoBandBits(10000000L) === 30)
+    assert(Multimodal.autoBandBits(Long.MaxValue) === 30)
+    // every fixture scale resolves to q174's 15-bit oracle configuration
+    val docs = Catalog.table(spark, sf, "documents")
+    assert(Multimodal.autoBandBits(docs.count()) === 15)
+
+    // widening changes the CANDIDATE set, never the planted-family
+    // verdicts: within-family flips sit in bits < 24, so one high band
+    // is clean at every divisor width (15 @ 4 bands, 20 @ 3, 30 @ 2) —
+    // the auto-widened path keeps the manual path's dedup semantics
+    val sigs = Multimodal.phashSigs(docs).localCheckpoint()
+    def dupMap(bits: Int) = Multimodal.phashReport(sigs, bits).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_near_dups"), r.getAs[Boolean]("keep")))).toMap
+    val at15 = dupMap(15)
+    Seq(20, 30).foreach { bits =>
+      assert(dupMap(bits) === at15,
+        s"$bits-bit bands must preserve every near-dup verdict on the fixture")
+    }
+  }
+
   test("q176: envelope fingerprints through the real WAV parse find exactly the planted families") {
     // parse round-trip: samples out of the RIFF parse equal the direct
     // md5 recompute, no WAV in the middle

@@ -199,7 +199,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages.map(_.name) ===
       Seq("curation", "decontamination", "leak_repair", "packing", "ordering",
         "schedule", "selection", "fluency", "reweighting", "diversity",
-        "dedup_weighting", "holdout", "crossmodal"))
+        "dedup_weighting", "holdout", "crossmodal", "maintenance"))
+    // every stage carries its measured wall time
+    stages.foreach(st => assert(st.secs > 0.0, s"stage ${st.name} missing wall time"))
     stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
     // every stage left its artifact behind, readable
     Seq("curation_rates", "scrub_report", "leak_repair",
@@ -210,7 +212,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$out/$a").count() > 0, s"artifact $a missing/empty")
     }
     // re-running is idempotent: marker-committed stores are reused and
-    // the stage summaries are identical
-    assert(CorpusRun.run(spark, "/root/testdata/sf0.001", out) === stages)
+    // the stage summaries are identical (wall times vary, outcomes don't).
+    // The maintenance stage's delta counts legitimately differ — the
+    // first pass folds the trend store's history batch into the base —
+    // but its invariants (pin-clamped fold, served trend bit-identical)
+    // must hold on EVERY pass.
+    val again = CorpusRun.run(spark, "/root/testdata/sf0.001", out)
+    assert(again.map(_.copy(secs = 0.0)).filterNot(_.name == "maintenance") ===
+      stages.map(_.copy(secs = 0.0)).filterNot(_.name == "maintenance"))
+    assert(again.last.name === "maintenance" && again.last.ok,
+      s"maintenance re-pass failed: ${again.last.detail}")
   }
 }

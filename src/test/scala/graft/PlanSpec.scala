@@ -628,4 +628,33 @@ class PlanSpec extends AnyFunSuite {
         s"$q's duplication joins are hash equi-joins:\n$p")
     }
   }
+
+  test("asset store: kind lands in PartitionFilters and payload pages are pruned off metadata reads") {
+    graft.ops.Multimodal.buildAssetStore(spark, sf)
+    // the decode queries scan ONE pruned kind partition, payload in schema
+    Seq("q154_real_decode" -> "bmp2x1", "q155_real_audio_decode" -> "wav4")
+      .foreach { case (q, kind) =>
+        val p = plan(q)
+        assert(p.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains(kind)),
+          s"$q must prune the asset store to its kind partition:\n$p")
+        assert(p.linesIterator.exists(l =>
+          l.contains("ReadSchema") && l.contains("payload")),
+          s"$q's decode stage must read the binary column:\n$p")
+      }
+    // q174's corpus-size count is a metadata read: its scan must NOT
+    // carry the binary column (parquet column pruning — what keeps a
+    // 100 TB asset table's audits from touching payload pages)
+    val store = spark.read.parquet(
+      graft.ops.Multimodal.assetStorePath(sf))
+    val countPlan = store.filter(org.apache.spark.sql.functions.col("kind") === "grid_bmp")
+      .groupBy("kind").count()
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!countPlan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("payload")),
+      s"metadata reads must never deserialize payload pages:\n$countPlan")
+    assert(countPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("grid_bmp")),
+      s"kind predicates must be partition pruning:\n$countPlan")
+  }
 }

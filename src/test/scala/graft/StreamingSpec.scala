@@ -1441,6 +1441,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(isDup === !verified(id),
         s"doc $id: band verdict must match the verified q176 verdict")
     }
+
+    // the serving-time L1 verify is a no-op on the collision-free
+    // fixture (every band match is a true near-dup)...
+    def vMap(dir: String) = Multimodal.audioDecisionsVerified(spark, dir, docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    assert(vMap(decisions) === batch,
+      "the L1 verify must not move a single verdict on the collision-free fixture")
+
+    // ...and CLEARS a planted cross-family code collision: fabricate a
+    // decision row marking two unrelated docs as band-dups — exactly what
+    // a 2⁻⁴⁸ collision would write — and the verified read must flip it
+    val nonDups = batch.filter(!_._2._3).keys.toSeq.sorted
+    val (aId, bId) = (nonDups.head, nonDups.last)
+    val forged = tmpDir("graft-audio-forged") + "/decisions"
+    LshStream.decisions(spark, decisions)
+      .withColumn("n_earlier",
+        when(col("doc_id") === bId, lit(1L)).otherwise(col("n_earlier")))
+      .withColumn("dup_of",
+        when(col("doc_id") === bId, lit(aId)).otherwise(col("dup_of")))
+      .withColumn("is_band_dup",
+        when(col("doc_id") === bId, lit(true)).otherwise(col("is_band_dup")))
+      .write.mode("overwrite").parquet(s"$forged/batch_id=0")
+    val cleared = vMap(forged)
+    assert(!cleared(bId)._3 && cleared(bId)._2.isEmpty,
+      "a forged collision pair failing the L1 gate must be cleared at serving")
+    assert(cleared - bId === batch - bId,
+      "clearing a collision must not disturb any other verdict")
   }
 
   test("diversity cell stream: the q178 table off folded cells equals batch; replay and compaction are no-ops") {
@@ -1552,6 +1583,176 @@ class StreamingSpec extends AnyFunSuite {
     ScrubStream.writeShingleDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
     assert(toMap(ScrubStream.containmentFromDeltas(spark, deltas, spine)) === batch,
       "a replayed delta must not move a single verdict")
+  }
+
+  test("release pins are ENFORCED: folds past a live pin refuse, legal compaction keeps pinned serving bit-identical, retroactive pins refuse") {
+    import graft.streaming.{CorpusStream, StoreCompaction}
+    val deltas = tmpDir("graft-pinlaw-art") + "/deltas"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    // four landings, batch ids 0..3
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cuts(0)), deltas, 0L)
+    CorpusStream.writeLmDelta(
+      docs.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)), deltas, 1L)
+    CorpusStream.writeLmDelta(
+      docs.filter(col("doc_id") >= cuts(1) && col("doc_id") < cuts(2)), deltas, 2L)
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") >= cuts(2)), deltas, 3L)
+
+    def counts(upto: Long) = CorpusStream.lmCountsFromDeltas(spark, deltas, upto)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def partitions() = new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+
+    // a live release at batch 1 — written through the registry
+    StoreCompaction.registerPin(deltas, "release_v1", 1L)
+    assert(StoreCompaction.livePins(deltas) === Map("release_v1" -> 1L))
+    val pinnedBefore = counts(1L)
+    val fullBefore = counts(Long.MaxValue)
+
+    // an illegal fold (past the pin) REFUSES and leaves the store untouched
+    val ex1 = intercept[IllegalStateException] {
+      CorpusStream.compactLmDeltas(spark, deltas, upto = 2L)
+    }
+    assert(ex1.getMessage.contains("release_v1"))
+    assert(partitions() ===
+      Seq("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"))
+    val ex2 = intercept[IllegalStateException] {
+      StoreCompaction.appendInto(spark, deltas, 3L, Seq("w1", "w2"))
+    }
+    assert(ex2.getMessage.contains("release_v1"))
+    assert(partitions() ===
+      Seq("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"))
+
+    // the clamp a maintenance policy uses: as far as legal, never past a pin
+    assert(StoreCompaction.maxFoldableUpto(deltas, 3L) === 1L)
+    assert(StoreCompaction.maxFoldableUpto(deltas, 0L) === 0L)
+
+    // a legal fold AT the pin: pinned serving bit-identical across it
+    CorpusStream.compactLmDeltas(spark, deltas,
+      StoreCompaction.maxFoldableUpto(deltas, 3L))
+    assert(partitions() === Seq("batch_id=-1", "batch_id=2", "batch_id=3"))
+    assert(counts(1L) === pinnedBefore,
+      "pinned serving must be bit-identical across a legal compaction")
+    assert(counts(Long.MaxValue) === fullBefore)
+
+    // horizon recorded; a retroactive pin BEHIND it refuses, and a
+    // pinned read behind it fails loudly instead of over-including base rows
+    assert(StoreCompaction.compactionHorizon(deltas) === Some(1L))
+    intercept[IllegalStateException] {
+      StoreCompaction.registerPin(deltas, "late_pin", 0L)
+    }
+    intercept[IllegalStateException] {
+      CorpusStream.lmCountsFromDeltas(spark, deltas, upto = 0L)
+    }
+    // re-pinning AT the horizon is fine (the fold stopped exactly there)
+    StoreCompaction.registerPin(deltas, "release_v1", 1L)
+
+    // releasing the pin makes the fold legal; full serving never moves
+    StoreCompaction.releasePin(deltas, "release_v1")
+    assert(StoreCompaction.livePins(deltas) === Map.empty)
+    CorpusStream.compactLmDeltas(spark, deltas, upto = 2L)
+    assert(partitions() === Seq("batch_id=-1", "batch_id=3"))
+    assert(counts(Long.MaxValue) === fullBefore,
+      "unpinned serving must be bit-identical across the released fold")
+    // and the horizon advanced with it
+    assert(StoreCompaction.compactionHorizon(deltas) === Some(2L))
+  }
+
+  test("maintenance policy: threshold-driven passes converge a long landing sequence with serving bit-identical, pin-clamped, bounded base files") {
+    import graft.streaming.{CorpusStream, StoreCompaction}
+    import StoreCompaction.{MaintenancePolicy, maintain}
+    val deltas = tmpDir("graft-maint-art") + "/deltas"
+    val raw = tmpDir("graft-maint-raw") + "/deltas"
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 16
+    val policy = MaintenancePolicy(minorAtDeltas = 4, keepLatestDeltas = 1,
+      maxFilesPerBucket = 2, nBuckets = 4)
+    def slice(k: Int) = {
+      val lo = ids(k * ids.length / nLandings)
+      val hi = if (k == nLandings - 1) Long.MaxValue
+        else ids((k + 1) * ids.length / nLandings)
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    def counts(dir: String) = CorpusStream.lmCountsFromDeltas(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def deltaPartitions() = new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName)
+      .filterNot(_ == "batch_id=-1").length
+
+    // a release pin goes live at landing 5 and is dropped after landing 11
+    var reports = Vector.empty[StoreCompaction.MaintenanceReport]
+    (0 until nLandings).foreach { k =>
+      CorpusStream.writeLmDelta(slice(k), deltas, k.toLong)
+      CorpusStream.writeLmDelta(slice(k), raw, k.toLong)
+      if (k == 5) StoreCompaction.registerPin(deltas, "rel", 5L)
+      if (k == 11) StoreCompaction.releasePin(deltas, "rel")
+      reports :+= maintain(spark, deltas, Seq("w1", "w2"), policy)
+    }
+    // while the pin was live, folds clamped AT it (partitions 6..k stayed)
+    assert(reports.slice(8, 11).exists(_.clampedByPins),
+      "a fold wanting to cross the live pin must report the clamp")
+    assert(reports.forall(r => r.minorUpto.forall(_ >= 0L)),
+      "clamped folds never go negative")
+    // converged layout: base + a small tail (below the minor threshold +
+    // replay margin), never one-partition-per-landing
+    assert(deltaPartitions() < policy.minorAtDeltas + policy.keepLatestDeltas,
+      s"the policy must keep the delta tail bounded, got ${deltaPartitions()}")
+    // serving is bit-identical to the never-maintained twin store
+    assert(counts(deltas) === counts(raw),
+      "maintained serving must equal the raw union of all landings")
+    // base file count is bounded by the bucket layout
+    val baseFiles = Option(new java.io.File(deltas, "batch_id=-1").listFiles())
+      .toSeq.flatten.count(f => f.getName.endsWith(".parquet"))
+    assert(baseFiles <= policy.nBuckets * policy.maxFilesPerBucket,
+      s"per-bucket major must bound base files, got $baseFiles")
+    // and a pass with nothing eligible is a no-op
+    val idle = maintain(spark, deltas, Seq("w1", "w2"), policy)
+    assert(idle.filesAppended === 0L && idle.bucketsRewritten === 0L)
+    assert(counts(deltas) === counts(raw))
+  }
+
+  test("q198 through a compact-then-serve cycle: the registered store pin refuses the fold that would break the release") {
+    import graft.streaming.{ScrubStream, StoreCompaction}
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // a private copy of q198's release-delta store, pinned like the real one
+    val deltas = tmpDir("graft-pin198-art") + "/deltas"
+    ScrubStream.writeShingleDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
+    ScrubStream.writeShingleDelta(docs.filter(col("doc_id") >= cut), deltas, 1L)
+    StoreCompaction.registerPin(deltas, "release_0", 0L)
+
+    val spine = docs.filter(col("doc_id") >= 50 && col("doc_id") < cut)
+    def served() = ScrubStream.containmentFromDeltas(spark, deltas, spine, upto = 0L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    val before = served()
+    // the q198 surface itself agrees with this store (its own pin is
+    // registered by buildShingleDeltaStore — written through the registry)
+    val q198Rows = graft.ops.Dedup.q198.fn(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(before === q198Rows)
+
+    // the fold that would silently break the release REFUSES
+    intercept[IllegalStateException] {
+      StoreCompaction.foldInto(spark, deltas, 1L)(_.distinct())
+    }
+    // a legal fold (at the pin) keeps q198's pinned table bit-identical
+    StoreCompaction.foldInto(spark, deltas, 0L)(_.distinct())
+    assert(new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq ===
+      Seq("batch_id=-1", "batch_id=1"))
+    assert(served() === before,
+      "q198's release table must be bit-identical through a legal compaction")
   }
 
   test("window-majority cell stream: q195 and q196 served off landed cells equal batch") {
@@ -1669,6 +1870,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(reasons.contains("image_near") && reasons.contains("audio_near"),
       s"multimodal stages must contribute reasons, got $reasons")
     assert(got.values.count(_._2) > got.size / 4, "acceptance must be non-trivial")
+
+    // a lagging modality SURFACES, never vanishes: serve with an audio
+    // store that missed the second landing — every doc the audio sink
+    // hasn't covered must come back as an explicit missing_modality row
+    val aDecLag = tmpDir("graft-xm-adeclag") + "/rows"
+    spark.read.parquet(aDec).filter(col("doc_id") < cut)
+      .write.partitionBy("batch_id").mode("overwrite").parquet(aDecLag)
+    val lagged = toMap(CurationStream.crossModalDecisions(spark, tDec, iDec, aDecLag))
+    assert(lagged.keySet === got.keySet,
+      "the verdict spine must not shrink when a modality store lags")
+    val laggedIds = lagged.filter(_._2._1.contains("missing_modality")).keySet
+    assert(laggedIds === got.keySet.filter(_ >= cut),
+      "exactly the uncovered docs must surface as missing_modality")
+    assert(laggedIds.forall(id => !lagged(id)._2),
+      "missing_modality rows must not be accepted")
+    assert(lagged.filter(_._1 < cut) === got.filter(_._1 < cut),
+      "covered docs' verdicts must be unchanged by the lag")
   }
 
   test("k-anonymity cell stream: the audit off folded cells equals batch q189, with the k test on the union") {
