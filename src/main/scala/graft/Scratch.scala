@@ -889,13 +889,16 @@ object Scratch {
         base.count()
         val qdf = base.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"))
+        // codegen check AFTER execution — under AQE the pre-execution
+        // executedPlan is the un-finalized AdaptiveSparkPlan whose
+        // toString hides the WholeStageCodegen spans
+        def codegenTag(df: org.apache.spark.sql.DataFrame): String =
+          if (df.queryExecution.executedPlan.toString.contains("WholeStageCodegen")) ""
+          else " [NO-CODEGEN]"
         def scan(name: String, c: org.apache.spark.sql.Column): Unit = {
           val df = base.crossJoin(broadcast(qdf)).agg(sum(c).as("s"))
-          val wsc = df.queryExecution.executedPlan.toString
-            .contains("WholeStageCodegen")
-          time(s"dim$dim.$name${if (wsc) "" else " [NO-CODEGEN]"}") {
-            df.head(); n * nQ
-          }
+          time(s"dim$dim.$name") { df.head(); n * nQ }
+          println(s"dim$dim.$name codegen:${codegenTag(df).isEmpty}")
         }
         // warmup then measure (second run of each kernel is the number)
         (1 to 2).foreach { _ =>
@@ -919,17 +922,40 @@ object Scratch {
               lit(k).as("k"))
           }.toIndexedSeq: _*))
         }: _*)
-        val enc = base.select(
-          aggregate(transform(codes, r => r.getField("dist")),
+        def encErr(codesCol: org.apache.spark.sql.Column) = base.select(
+          aggregate(transform(codesCol, r => r.getField("dist")),
             lit(0.0), _ + _).as("err"))
           .agg(sum(col("err")))
-        val wscE = enc.queryExecution.executedPlan.toString
-          .contains("WholeStageCodegen")
-        (1 to 2).foreach { _ =>
-          time(s"dim$dim.pq_encode_m$pqM${if (wscE) "" else " [NO-CODEGEN]"}") {
-            enc.head(); n
-          }
+        val encTree = encErr(codes)
+        // the fused kernel (graft.functions.PqEncode) over the SAME
+        // codebook — the wide-dim fix the tree baseline motivated; the
+        // summed distances must agree bit-for-bit
+        val cbMap = (0 until pqM).map(m => m -> cbRows.toSeq.map { case (k, cw) =>
+          k -> cw.slice(m * 8, m * 8 + 8) }).toMap
+        val encKernel = encErr(graft.functions.PqEncode(col("v"), cbMap))
+        // tree baseline timed at dim ≤ 768 only (one pass at 768 is
+        // already ~220 s; at 1536 the measured-linear law prices it at
+        // ~double — not worth re-paying); the kernel gets the two timed
+        // passes everywhere, and tree ≡ kernel is asserted bit-for-bit
+        // on a 1000-row slice at every width
+        val treeRuns = dim match { case 64 => 2; case 768 => 1; case _ => 0 }
+        (1 to treeRuns).foreach { _ =>
+          time(s"dim$dim.pq_encode_tree_m$pqM") { encTree.head(); n }
         }
+        (1 to 2).foreach { _ =>
+          time(s"dim$dim.pq_encode_kernel_m$pqM") { encKernel.head(); n }
+        }
+        println(s"dim$dim.pq_encode_kernel_m$pqM codegen:${codegenTag(encKernel).isEmpty}")
+        val sliceDf = base.filter(col("vec_id") < 1000).localCheckpoint()
+        def sliceErr(codesCol: org.apache.spark.sql.Column) = sliceDf.select(
+          aggregate(transform(codesCol, r => r.getField("dist")),
+            lit(0.0), _ + _).as("err"))
+          .agg(sum(col("err"))).head().getDouble(0)
+        val (tErr, kErr) =
+          (sliceErr(codes), sliceErr(graft.functions.PqEncode(col("v"), cbMap)))
+        require(tErr == kErr,
+          s"kernel/tree encode disagree at dim $dim: $tErr vs $kErr")
+        println(s"dim$dim.pq_encode_err_sum_1k: $kErr (tree == kernel)")
         base.unpersist(blocking = true)
       }
       spark.stop(); return

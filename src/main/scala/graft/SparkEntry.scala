@@ -15,7 +15,7 @@ object SparkEntry {
       graft.ops.TextOps.all ++ graft.ops.Dedup.all ++ graft.ops.Cluster.all ++
       graft.ops.Corpus.all ++ graft.ops.Mining.all ++
       graft.ops.Similarity.all ++ graft.ops.Multimodal.all ++ graft.ops.Sketches.all ++
-      graft.ops.AsOf.all ++ graft.ops.RangeJoin.all
+      graft.ops.AsOf.all ++ graft.ops.RangeJoin.all ++ graft.ops.ForgetOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -37,7 +37,7 @@ object Dedup {
   /** Shared oracle CTEs: tokens → distinct 3-shingle strings → h60 list
     * (mirrors ShingleHashes(text, 3) exactly), from any (doc_id, text)
     * relation — q127 runs it over gate-keeper representatives. */
-  private def shingleCtesBody(base: String): String =
+  private[ops] def shingleCtesBody(base: String): String =
     s"""tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $base
        |), sh AS (
@@ -144,12 +144,12 @@ object Dedup {
   /** Oracle fragment: the 64 affine min-hash signature columns off an `hh`
     * shingle-hash list (shared by every LSH oracle below).
     */
-  private def sigDefsSql: String = (0 until NumHashes).map(i =>
+  private[ops] def sigDefsSql: String = (0 until NumHashes).map(i =>
     s"  list_min(list_transform(hh, h -> ((h % $MinhashPrime) * ${hashA(i)} + ${hashB(i)}) % $MinhashPrime)) AS sig_$i")
     .mkString(",\n")
 
   /** Oracle fragment: the 16-band h60 bucket rows off a `sigs` relation. */
-  private def bandSelectsSql: String = (0 until NumHashes / BandSize).map { j =>
+  private[ops] def bandSelectsSql: String = (0 until NumHashes / BandSize).map { j =>
     val parts = (0 until BandSize).map(k => s"sig_${j * BandSize + k}").mkString(", ")
     s"  SELECT doc_id, $j AS band_idx, ${h60Sql(s"concat_ws(',', $parts)")} AS band_hash FROM sigs"
   }.mkString("\n  UNION ALL\n")

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Catalog
+import graft.queries.Q
+import graft.functions.ShingleHashes
+import graft.streaming.{CorpusStream, Forget, LshStream}
+
+/** q200-q202 — right-to-be-forgotten over the artifact stores, end to
+  * end: a deterministic forget set (doc_id % 17 = 3, ~6 % of the corpus)
+  * is erased from a two-landing LM cell store (negative-delta landing)
+  * and a two-landing keep-earliest band store (surgical delete +
+  * keeper re-election), and the served results must equal a RETRAIN /
+  * RE-DEDUP on the surviving corpus — the oracle literally recomputes
+  * everything `WHERE doc_id % 17 <> 3`. The audit query proves absence
+  * and pins the O(affected) cost surface (rows removed, rows
+  * re-elected) against SQL-derived ground truth.
+  *
+  * Mechanics in [[graft.streaming.Forget]]; scale story there too
+  * (negative cells are an O(|forgotten|) append; identity-store erasure
+  * rewrites only partitions holding a forgotten row; re-election work is
+  * bounded by the forgotten docs' bucket occupancy, never a corpus
+  * re-dedup).
+  */
+object ForgetOps {
+
+  private def docs(s: SparkSession, dir: String) =
+    Catalog.table(s, dir, "documents")
+
+  /** The deterministic forget set: doc_id ≡ 3 (mod 17). */
+  val ForgetMod = 17L
+  val ForgetRes = 3L
+  private def forgottenPred =
+    pmod(col("doc_id"), lit(ForgetMod)) === lit(ForgetRes)
+  private val survivorsSql =
+    s"(SELECT * FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes)"
+
+  private def storeKey(dir: String, tag: String): String = {
+    val src = new java.io.File(dir, "documents.parquet")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}:$tag".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  // ── the LM store with a forget landing ────────────────────────────────
+
+  def lmForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lm_forget_v1_${storeKey(dir, "lmforget")}"
+
+  /** Two id-ordered LM cell landings (split at max(doc_id)/2), then the
+    * forget landing: batch 2 = the forgotten docs' cells NEGATED.
+    * Idempotent (marker-committed).
+    */
+  def buildLmForgetStore(s: SparkSession, dir: String): String = {
+    val root = lmForgetStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeLmDelta(d.filter(col("doc_id") < cut), root, 0L)
+      CorpusStream.writeLmDelta(d.filter(col("doc_id") >= cut), root, 1L)
+      Forget.forgetLmDocs(d.filter(forgottenPred), root, 2L)
+      marker.createNewFile()
+    }
+    root
+  }
+
+  private def q200OracleSql: String =
+    s"""WITH d0 AS (SELECT * FROM $survivorsSql t), tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM d0
+       |), bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+       |    unnest(list_slice(t, 2, len(t))) AS w2
+       |  FROM tk WHERE len(t) >= 2
+       |), big AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+       |), uni AS (
+       |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+       |), scored AS (
+       |  SELECT bg.doc_id,
+       |    COUNT(*) AS n_bigrams,
+       |    CAST(SUM((big.c12 * 1000000) // uni.c1) AS BIGINT) AS sum_fp
+       |  FROM bg
+       |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+       |  JOIN uni ON bg.w1 = uni.w1
+       |  GROUP BY bg.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CASE WHEN s.n_bigrams IS NULL THEN 0.0
+       |    ELSE CAST(s.sum_fp AS DOUBLE) / (s.n_bigrams * 1000000.0) END AS fluency_score
+       |FROM d0 d LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q200 — fluency AFTER FORGETTING: the LM store erases the forget set
+    * by landing ONE negative cell delta (no rewrite — the fold algebra
+    * absorbs it), and scoring the survivors against the folded counts
+    * must equal batch q101 retrained from scratch on the surviving
+    * corpus. The oracle IS that retrain. Erasure cost: O(|forgotten|)
+    * cells appended, zero store rewrites — the additive-store property
+    * that makes per-request GDPR erasure affordable on a 100 TB corpus's
+    * count models.
+    */
+  val q200 = Q("q200_lm_forget", q200OracleSql) { (s, dir) =>
+    val store = buildLmForgetStore(s, dir)
+    val survivors = docs(s, dir).filter(!forgottenPred)
+    graft.ops.TextOps.fluencyScoredFromCounts(survivors,
+        Some(Forget.lmCountsAfterForget(s, store)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
+  // ── the band store with forget + re-election ──────────────────────────
+
+  def lshForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lsh_forget_v1_${storeKey(dir, "lshforget")}"
+
+  /** Two id-ordered band-store landings, then the forget pass
+    * ([[Forget.reelectBandStores]]); the forget report is persisted
+    * beside the stores for q202. Idempotent (marker-committed).
+    * Returns (indexDir, decisionsDir, reportDir).
+    */
+  def buildLshForgetStore(s: SparkSession, dir: String): (String, String, String) = {
+    val root = lshForgetStorePath(dir)
+    val (idx, dec, rep) = (s"$root/index", s"$root/decisions", s"$root/report")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      LshStream.processBatch(d.filter(col("doc_id") < cut), idx, dec, 0L)
+      LshStream.processBatch(d.filter(col("doc_id") >= cut), idx, dec, 1L)
+      val fIds = d.filter(forgottenPred).select("doc_id")
+      val r = Forget.reelectBandStores(s, idx, dec, fIds)
+      import s.implicits._
+      Seq((fIds.count(), r.index.rowsRemoved, r.decisions.rowsRemoved,
+          r.nReelected, r.index.nRewritten.toLong, r.decisions.nRewritten.toLong))
+        .toDF("n_forgotten", "idx_rows_removed", "dec_rows_removed",
+          "n_reelected", "idx_parts_rewritten", "dec_parts_rewritten")
+        .coalesce(1).write.mode("overwrite").parquet(rep)
+      marker.createNewFile()
+    }
+    (idx, dec, rep)
+  }
+
+  private def q201OracleSql: String = {
+    val sigDefs = Dedup.sigDefsSql
+    val bandSelects = Dedup.bandSelectsSql
+    s"""WITH ${Dedup.shingleCtesBody(survivorsSql)}, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_earlier, MIN(doc_b) AS dup_of
+       |  FROM cand GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_earlier, 0) AS BIGINT) AS n_earlier,
+       |  a.dup_of,
+       |  a.dup_of IS NOT NULL AS is_band_dup
+       |FROM $survivorsSql d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q201 — keep-earliest dedup AFTER FORGETTING, with keeper
+    * RE-ELECTION: erasing the forget set from the band index + decision
+    * stores and re-electing among survivors must reproduce q124 run from
+    * scratch on the surviving corpus — a forgotten keeper's duplicates
+    * re-point at the earliest surviving family member, which becomes a
+    * keeper itself. Served straight off the mutated decision store
+    * (first-verdict-wins reader, zero text scans — the corrective
+    * landing is an ordinary batch partition). Re-election work is
+    * bounded by the forgotten docs' band-bucket occupancy.
+    */
+  val q201 = Q("q201_forget_reelect", q201OracleSql) { (s, dir) =>
+    val (_, dec, _) = buildLshForgetStore(s, dir)
+    LshStream.decisions(s, dec)
+  }
+
+  private def q202OracleSql: String = {
+    val sigDefs = Dedup.sigDefsSql
+    val bandSelects = Dedup.bandSelectsSql
+    s"""WITH ${Dedup.shingleCtesBody("documents")}, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), fban AS (
+       |  SELECT DISTINCT band_idx, band_hash FROM bands
+       |  WHERE doc_id % $ForgetMod = $ForgetRes
+       |), aff AS (
+       |  SELECT DISTINCT b.doc_id FROM bands b
+       |  JOIN fban f ON b.band_idx = f.band_idx AND b.band_hash = f.band_hash
+       |  WHERE b.doc_id % $ForgetMod <> $ForgetRes
+       |)
+       |SELECT
+       |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS n_forgotten,
+       |  CAST(16 * (SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS idx_rows_removed,
+       |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS dec_rows_removed,
+       |  CAST((SELECT COUNT(*) FROM aff) AS BIGINT) AS n_reelected,
+       |  CAST(0 AS BIGINT) AS idx_forgotten_left,
+       |  CAST(0 AS BIGINT) AS dec_forgotten_left""".stripMargin
+  }
+
+  /** q202 — the forget AUDIT: absence proof + cost surface. The store's
+    * persisted forget report (rows removed per store, docs re-elected)
+    * must match SQL-derived ground truth (16 band rows and 1 decision row
+    * per forgotten doc; re-elected = survivors sharing a band bucket
+    * with a forgotten doc), and a recount of forgotten ids across both
+    * mutated stores must be ZERO — the compliance check that the erasure
+    * actually erased.
+    */
+  val q202 = Q("q202_forget_audit", q202OracleSql) { (s, dir) =>
+    val (idx, dec, rep) = buildLshForgetStore(s, dir)
+    val fIds = docs(s, dir).filter(forgottenPred).select("doc_id")
+    val idxLeft = s.read.parquet(idx).join(fIds, Seq("doc_id"), "left_semi").count()
+    val decLeft = s.read.parquet(dec).join(fIds, Seq("doc_id"), "left_semi").count()
+    s.read.parquet(rep)
+      .select(col("n_forgotten"), col("idx_rows_removed"),
+        col("dec_rows_removed"), col("n_reelected"),
+        lit(idxLeft).as("idx_forgotten_left"),
+        lit(decLeft).as("dec_forgotten_left"))
+  }
+
+  val all: Seq[Q] = Seq(q200, q201, q202)
+}

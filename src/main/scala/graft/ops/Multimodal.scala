@@ -996,18 +996,22 @@ object Multimodal {
     */
   /** Corpus-size-driven band width — the `mmprobe`-measured operating
     * rule made the DEFAULT instead of a manual knob: 15-bit band buckets
-    * collect candidates in proportion to occupancy n·bands/2^bits (at
-    * 16× corpus the probe measured 110× the candidates, 2.88 M vs 26 k),
-    * and widening to 20 bits collapsed that 8.6×. So pick the narrowest
-    * divisor-of-60 width whose buckets stay at ≤ 4 expected docs —
-    * +5 bits per 32× growth, exactly the probe's rule. Recall stays
-    * STRUCTURAL while within-family bit flips fit inside all-but-one
-    * band (≤ 60 − bandBits·(nBands−1) flipped bits: 15 @ 4×15, 20 @
-    * 3×20, 30 @ 2×30) — the fixture's flips sit in bits < 24, so one
-    * high band is always clean at every width (spec-pinned).
+    * collect candidates in proportion to occupancy (n·(n−1)/2 pairs per
+    * band spread over 2^bits buckets, INFLATED ~7× by correlated
+    * adjacent dHash bits — at the probe's 16×/80 k-doc corpus that was
+    * 110× the candidates, 2.88 M vs 26 k, and widening to 20 bits
+    * collapsed it 8.6×). So pick the narrowest divisor-of-60 width that
+    * keeps expected per-band bucket occupancy at ≤ ½ doc (n ≤ 2^(bits−1)):
+    * 15 bits to 16 k docs, 20 bits to 524 k, then 30 — the probe's bad
+    * point (80 k docs) lands on 20 bits, its good 1× point (5 k) stays on
+    * the 15-bit oracle configuration. Recall stays STRUCTURAL while
+    * within-family bit flips fit inside all-but-one band (≤ 60 −
+    * bandBits·(nBands−1) flipped bits: 15 @ 4×15, 20 @ 3×20, 30 @ 2×30) —
+    * the fixture's flips sit in bits < 24, so one high band is always
+    * clean at every width (spec-pinned).
     */
   private[graft] def autoBandBits(nDocs: Long): Int =
-    Seq(15, 20, 30).find(b => nDocs <= (4L << b)).getOrElse(30)
+    Seq(15, 20, 30).find(b => nDocs <= (1L << (b - 1))).getOrElse(30)
 
   private[graft] def phashReport(sigs: DataFrame,
       bandBits: Int = PhashBandBits): DataFrame =

@@ -799,8 +799,20 @@ object Similarity {
     */
   private def encodeLit(v: Column,
       cb: Map[Int, Seq[(Long, Seq[Double])]]): Column =
-    array((0 until PqM).map { m =>
-      val sv = slice(v, m * PqSubDim + 1, PqSubDim)
+    graft.functions.PqEncode(v, cb)
+
+  /** The pre-kernel literal-struct tree form of [[encodeLit]] — M·K
+    * VecSqDist probes + array_min per subspace. Kept as the spec anchor
+    * the fused [[graft.functions.PqEncode]] kernel is pinned bit-equal
+    * to (OpsSpec), and as the measured negative baseline: `dimprobe`
+    * timed this tree at 219 s / 500k vectors at dim 768 (M=96) vs the
+    * kernel's single fused loop nest.
+    */
+  private[graft] def encodeLitTree(v: Column,
+      cb: Map[Int, Seq[(Long, Seq[Double])]], mCount: Int = PqM,
+      subDim: Int = PqSubDim): Column =
+    array((0 until mCount).map { m =>
+      val sv = slice(v, m * subDim + 1, subDim)
       val best = array_min(array(cb(m).map { case (k, cw) =>
         struct(sqDist(sv, typedlit(cw)).as("dist"), lit(k).as("k"))
       }: _*))

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Right-to-be-forgotten over the artifact stores — deletion as a
+  * FIRST-CLASS store operation, not a rebuild. Two mechanics, chosen by
+  * store algebra:
+  *
+  *  - SUM-cell stores (LM counts, mass/feature/loss cells): forgetting
+  *    docs is landing ONE NEGATIVE delta — the cells of the forgotten
+  *    docs with every additive measure negated. The fold algebra does
+  *    the rest: `Σ cells = Σ survivors' cells` exactly, so every served
+  *    model/table equals a retrain on the surviving corpus with zero
+  *    store rewrites (an O(|forgotten|) append, the same write path as
+  *    an ingest landing). Rows whose folded count reaches 0 are
+  *    tombstones — serving filters them (`c12 > 0`).
+  *  - IDENTITY stores (band index, decisions, fp history): forgetting is
+  *    a SURGICAL partition rewrite — only the per-batchId partitions
+  *    (base included) that actually hold a forgotten row are rewritten,
+  *    via staged write + swap under the maintenance lease. Cost is
+  *    O(affected partitions), never O(store).
+  *
+  * Dedup decisions need a third step: a forgotten doc may have been the
+  * KEEPER its duplicates point at. [[reelectBandStores]] recomputes
+  * verdicts for exactly the surviving docs that shared a band bucket
+  * with a forgotten doc (their partner sets are the only ones that can
+  * change) and lands them as a corrective decision partition — the
+  * streamed first-verdict-wins reader then serves them because the
+  * affected docs' old rows were deleted in the same pass. Work is
+  * O(affected buckets' occupancy), never a corpus re-dedup.
+  *
+  * Release pins: forgetting MUTATES pinned history by design — legal
+  * erasure outranks bit-identical time travel, the same trade Delta
+  * Lake's VACUUM-after-DELETE makes against time travel. Pins and the
+  * compaction horizon are untouched (forget never folds batches), so
+  * pinned reads stay servable; their VALUES change exactly where the
+  * forgotten docs contributed.
+  */
+object Forget {
+
+  /** One store's forget outcome — the audit row a compliance check reads. */
+  case class ForgetReport(nPartitions: Int, nRewritten: Int, rowsRemoved: Long)
+
+  /** Land the negative LM-cell delta for `forgotten` docs as batch
+    * `batchId`: the exact cells [[CorpusStream.lmCells]] would emit for
+    * them, with `c12` negated. After the fold, every bigram count equals
+    * the survivor-trained count; counts that reach zero are tombstones
+    * ([[lmCountsAfterForget]] drops them). Returns cells landed.
+    */
+  def forgetLmDocs(forgotten: DataFrame, deltaDir: String, batchId: Long): Long = {
+    val neg = CorpusStream.lmCells(forgotten)
+      .select(col("w1"), col("w2"), (-col("c12")).as("c12"))
+      .localCheckpoint()
+    neg.coalesce(1).write.mode("overwrite")
+      .parquet(s"$deltaDir/batch_id=$batchId")
+    neg.count()
+  }
+
+  /** The folded LM count table with forget tombstones dropped — bigram
+    * counts exactly as a retrain on the surviving corpus would produce
+    * them. A NEGATIVE folded count means a forget delta was landed for
+    * docs the store never counted; refuse loudly instead of serving an
+    * impossible model.
+    */
+  def lmCountsAfterForget(spark: SparkSession, deltaDir: String,
+      upto: Long = Long.MaxValue): DataFrame =
+    CorpusStream.lmCountsFromDeltas(spark, deltaDir, upto)
+      .withColumn("c12",
+        when(col("c12") < 0, raise_error(concat(lit(
+          s"store $deltaDir folded a NEGATIVE bigram count — a forget " +
+            "delta was landed for docs this store never counted: "),
+          col("w1"), lit(" "), col("w2")))).otherwise(col("c12")))
+      .filter(col("c12") > 0)
+
+  /** Surgically delete every row whose `keyCol` is in `ids` from a
+    * per-batchId store: ONE column-pruned detection pass finds the
+    * affected partitions (base partition included), then only those are
+    * rewritten, each via staged write + swap under the store lease.
+    * Partitions without a forgotten row are never touched — the property
+    * that makes erasure affordable on a store with years of landings.
+    */
+  def surgicalDelete(spark: SparkSession, storeDir: String, ids: DataFrame,
+      keyCol: String = "doc_id"): ForgetReport =
+    StoreCompaction.withLease(storeDir) {
+      val root = new java.io.File(storeDir)
+      val parts = StoreCompaction.partitionIds(root)
+      if (parts.isEmpty) ForgetReport(0, 0, 0L)
+      else {
+        val keys = ids.select(col(ids.columns.head).as(keyCol))
+        // detection: key column only (parquet prunes the rest)
+        val affected = spark.read.parquet(storeDir)
+          .select(col(keyCol), col("batch_id").cast("long").as("batch_id"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .groupBy("batch_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        affected.keys.toSeq.sorted.foreach { id =>
+          val part = new java.io.File(root, s"batch_id=$id")
+          val tmp = new java.io.File(root, s".forget_tmp_$id")
+          StoreCompaction.deleteRecursively(tmp)
+          spark.read.parquet(part.getPath)
+            .join(keys, Seq(keyCol), "left_anti")
+            .write.mode("overwrite").parquet(tmp.getPath)
+          StoreCompaction.deleteRecursively(part)
+          require(tmp.renameTo(part), s"forget swap $tmp -> $part failed")
+        }
+        ForgetReport(parts.size, affected.size, affected.values.sum)
+      }
+    }
+
+  /** What one band-store forget did — the q202 audit surface. */
+  case class BandForgetReport(index: ForgetReport, decisions: ForgetReport,
+      nReelected: Long, reelectBatchId: Long)
+
+  /** Forget `forgotten` docs from a keep-earliest band store
+    * (index + decisions) and re-elect keepers among the survivors:
+    *
+    *  1. capture the AFFECTED BUCKETS — the (band_idx, band_hash) keys
+    *     holding a forgotten doc's band rows — before anything is
+    *     deleted;
+    *  2. surgically delete the forgotten docs from both stores;
+    *  3. recompute verdicts for exactly the surviving docs with a band
+    *     row in an affected bucket (only their partner sets can change:
+    *     a partner shares a bucket by definition), against the full
+    *     post-delete index, and delete those docs' old decision rows;
+    *  4. land the recomputed verdicts as a corrective decision partition
+    *     (max batch + 1) — the ordinary landing shape, so replay
+    *     semantics and the first-verdict-wins reader need no new cases.
+    *
+    * After this, [[LshStream.decisions]] equals the keep-earliest batch
+    * computation over the surviving corpus (spec-pinned): a forgotten
+    * keeper's duplicates re-point at the earliest SURVIVING family
+    * member, and the earliest becomes a keeper. Uses the lower-id
+    * partner rule, which equals first-seen under the stores' id-ordered
+    * landing convention.
+    */
+  def reelectBandStores(spark: SparkSession, indexDir: String,
+      decisionsDir: String, forgotten: DataFrame): BandForgetReport = {
+    val keys = forgotten.select(col(forgotten.columns.head).as("doc_id"))
+      .localCheckpoint()
+    val buckets = spark.read.parquet(indexDir)
+      .join(keys, Seq("doc_id"), "left_semi")
+      .select("band_idx", "band_hash").distinct().localCheckpoint()
+
+    val idxRep = surgicalDelete(spark, indexDir, keys)
+    val decRep = surgicalDelete(spark, decisionsDir, keys)
+
+    val idx = spark.read.parquet(indexDir)
+      .select("doc_id", "band_idx", "band_hash")
+    val affectedDocs = idx.join(buckets, Seq("band_idx", "band_hash"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint()
+    val affBands = idx.join(affectedDocs, Seq("doc_id"), "left_semi")
+    val verdicts = Dedup.keepEarliestVerdicts(affectedDocs,
+      Dedup.earlierBandPartners(affBands, idx)).localCheckpoint()
+
+    surgicalDelete(spark, decisionsDir, affectedDocs)
+    val nextId = StoreCompaction.partitionIds(new java.io.File(decisionsDir))
+      .filter(_ != StoreCompaction.BasePartition)
+      .foldLeft(-1L)(math.max) + 1L
+    verdicts.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$nextId")
+    BandForgetReport(idxRep, decRep, verdicts.count(), nextId)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusStream, Forget, LshStream, StoreCompaction}
+
+/** Right-to-be-forgotten laws (q200-q202's machinery):
+  * negative-cell erasure ≡ retrain-on-survivors on the additive stores,
+  * surgical deletion touches only partitions holding a forgotten row,
+  * and keeper re-election reproduces from-scratch dedup on the
+  * survivors — including through compaction (forgetting rows already
+  * folded into the base partition).
+  */
+class ForgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Catalog.table(spark, sf, "documents")
+    .select("doc_id", "source", "text")
+  private val forgetPred = pmod(col("doc_id"), lit(17L)) === lit(3L)
+
+  private def lmMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("LM forget: one negative delta makes the folded counts equal a retrain on the survivors — including when history is already folded into the base") {
+    val deltas = tmpDir("graft-forget-lm") + "/deltas"
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") < cut), deltas, 0L)
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") >= cut), deltas, 1L)
+    Forget.forgetLmDocs(docs.filter(forgetPred), deltas, 2L)
+
+    val served = lmMap(Forget.lmCountsAfterForget(spark, deltas))
+    val retrained = lmMap(CorpusStream.lmCells(docs.filter(!forgetPred)))
+    assert(served === retrained,
+      "negative-delta fold must equal the survivor-trained count table")
+
+    // the same law through compaction: fold EVERYTHING (forget delta
+    // included) into the base partition — the additive algebra carries
+    // the negation into the base and serving is unchanged
+    CorpusStream.compactLmDeltas(spark, deltas, upto = 2L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, deltas)) === retrained,
+      "folding the forget delta into the base must not move a count")
+
+    // and forgetting docs already IN the base (a second forget wave
+    // against fully-compacted history) still equals the retrain
+    val wave2 = col("doc_id") % 17 === 5
+    Forget.forgetLmDocs(docs.filter(wave2), deltas, 3L)
+    val retrained2 = lmMap(CorpusStream.lmCells(docs.filter(!forgetPred && !wave2)))
+    assert(lmMap(Forget.lmCountsAfterForget(spark, deltas)) === retrained2,
+      "erasing rows folded into the base must equal the two-wave retrain")
+  }
+
+  test("LM forget: erasing docs the store never counted fails loudly instead of serving an impossible model") {
+    val deltas = tmpDir("graft-forget-lm-neg") + "/deltas"
+    CorpusStream.writeLmDelta(docs.filter(col("doc_id") < 50), deltas, 0L)
+    Forget.forgetLmDocs(docs.filter(col("doc_id") >= 400), deltas, 1L)
+    val ex = intercept[Exception] {
+      Forget.lmCountsAfterForget(spark, deltas).collect()
+    }
+    assert(ex.getMessage.contains("NEGATIVE bigram count"))
+  }
+
+  test("surgicalDelete: only partitions holding a forgotten row are rewritten; absence is total; a second pass is a no-op") {
+    val store = tmpDir("graft-forget-surgical") + "/store"
+    // four partitions; forgotten ids live in partitions 0 and 2 only
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .write.parquet(s"$store/batch_id=0")
+    Seq((10L, "c")).toDF("doc_id", "v").write.parquet(s"$store/batch_id=1")
+    Seq((2L, "d"), (20L, "e")).toDF("doc_id", "v")
+      .write.parquet(s"$store/batch_id=2")
+    Seq((30L, "f")).toDF("doc_id", "v").write.parquet(s"$store/batch_id=3")
+    val before1 = new java.io.File(s"$store/batch_id=1").lastModified()
+    val before3 = new java.io.File(s"$store/batch_id=3").lastModified()
+
+    val rep = Forget.surgicalDelete(spark, store,
+      Seq(2L).toDF("doc_id"))
+    assert(rep === Forget.ForgetReport(4, 2, 2L))
+    assert(new java.io.File(s"$store/batch_id=1").lastModified() === before1 &&
+      new java.io.File(s"$store/batch_id=3").lastModified() === before3,
+      "partitions without a forgotten row must not be touched")
+    val left = spark.read.parquet(store).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(left.toSeq === Seq((1L, "a"), (10L, "c"), (20L, "e"), (30L, "f")))
+
+    val rep2 = Forget.surgicalDelete(spark, store, Seq(2L).toDF("doc_id"))
+    assert(rep2 === Forget.ForgetReport(4, 0, 0L), "second pass must be a no-op")
+  }
+
+  test("re-election: forgetting a keeper promotes the earliest survivor; decisions equal from-scratch dedup on the surviving corpus") {
+    graft.functions.ShingleHashes.register(spark)
+    val root = tmpDir("graft-forget-reelect")
+    val (idx, dec) = (s"$root/index", s"$root/decisions")
+    val d = docs
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    LshStream.processBatch(d.filter(col("doc_id") < cut), idx, dec, 0L)
+    LshStream.processBatch(d.filter(col("doc_id") >= cut), idx, dec, 1L)
+
+    // choose the forget set so it includes at least one KEEPER with
+    // later duplicates — the hardest case: its family must re-elect
+    val batch = LshStream.decisions(spark, dec).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+    val keepers = batch.collect { case (id, Some(dupOf)) => dupOf }.toSet
+    assert(keepers.nonEmpty, "fixture must contain dup families")
+    val forgotten = keepers.take(2) ++
+      batch.collect { case (id, Some(_)) => id }.take(1)
+    val fDf = forgotten.toSeq.toDF("doc_id")
+
+    val rep = Forget.reelectBandStores(spark, idx, dec, fDf)
+    assert(rep.index.rowsRemoved === 16L * forgotten.size,
+      "each forgotten doc owns 16 band rows (the 16x4 banding)")
+    assert(rep.decisions.rowsRemoved === forgotten.size.toLong)
+
+    // absence: no forgotten id anywhere in either store
+    assert(spark.read.parquet(idx).filter(col("doc_id").isin(forgotten.toSeq: _*))
+      .count() === 0L)
+    val after = LshStream.decisions(spark, dec)
+    assert(after.filter(col("doc_id").isin(forgotten.toSeq: _*)).count() === 0L)
+
+    // equivalence: the mutated store serves EXACTLY what a from-scratch
+    // keep-earliest run over the survivors computes
+    val survivors = d.filter(!col("doc_id").isin(forgotten.toSeq: _*))
+    val bands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignatures(survivors))
+    val fresh = graft.ops.Dedup.keepEarliestVerdicts(
+        survivors.select("doc_id"),
+        graft.ops.Dedup.earlierBandPartners(bands, bands))
+      .orderBy("doc_id")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSeq
+    assert(snap(after) === snap(fresh),
+      "post-forget decisions must equal from-scratch dedup on survivors")
+
+    // a forgotten keeper's family re-pointed at the earliest survivor
+    val changed = fresh.filter(col("dup_of").isin(forgotten.toSeq: _*)).count()
+    assert(changed === 0L, "no survivor may still point at a forgotten doc")
+  }
+}

@@ -714,13 +714,45 @@ class OpsSpec extends AnyFunSuite {
     assert(auStored === auSynth)
   }
 
+  test("PqEncode kernel: bit-identical to the M x K literal-struct argmin tree at fixture and production widths") {
+    graft.functions.VecDot.register(spark)
+    import spark.implicits._
+    // deterministic vectors, including ties (vec 0 duplicated as vec 50 —
+    // identical distances everywhere, argmin must break ties identically)
+    def vecs(dim: Int) = spark.range(60).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+        "CAST(pmod(xxhash64(pmod(id, 50), j), 2000) - 1000 AS DOUBLE) / 1000.0)")
+        .as("v")).localCheckpoint()
+    Seq(64, 768).foreach { dim =>
+      val base = vecs(dim)
+      val m = dim / 8
+      val cbRows = base.filter(col("vec_id") < 16).select("vec_id", "v")
+        .collect().map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Double]]("v").toSeq).sortBy(_._1)
+      val cb = (0 until m).map(mm => mm -> cbRows.toSeq.map { case (k, cw) =>
+        k -> cw.slice(mm * 8, mm * 8 + 8) }).toMap
+      def snap(c: org.apache.spark.sql.Column) = base
+        .select(col("vec_id"), c.as("codes"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(cr => (cr.getInt(0),
+            cr.getLong(1),
+            java.lang.Double.doubleToRawLongBits(cr.getDouble(2))))).toMap
+      val tree = snap(graft.ops.Similarity.encodeLitTree(col("v"), cb, m, 8))
+      val kernel = snap(graft.functions.PqEncode(col("v"), cb))
+      assert(kernel === tree, s"kernel must equal the tree form at dim $dim")
+    }
+  }
+
   test("autoBandBits: the mmprobe operating rule is the default, and planted-family recall is width-structural") {
-    // the +5-bits-per-32×-growth rule at ≤ 4 expected docs per bucket
+    // the occupancy rule: narrowest divisor-of-60 width with ≤ ½ doc per
+    // band bucket (n ≤ 2^(bits−1))
     assert(Multimodal.autoBandBits(1000L) === 15)
-    assert(Multimodal.autoBandBits(4L << 15) === 15)
-    assert(Multimodal.autoBandBits((4L << 15) + 1) === 20)
-    assert(Multimodal.autoBandBits(1000000L) === 20) // the probe's 16× explosion case
-    assert(Multimodal.autoBandBits(4L << 20) === 20)
+    assert(Multimodal.autoBandBits(5000L) === 15) // the probe's good 1× point
+    assert(Multimodal.autoBandBits(1L << 14) === 15)
+    assert(Multimodal.autoBandBits((1L << 14) + 1) === 20)
+    assert(Multimodal.autoBandBits(80000L) === 20) // the probe's 16× explosion case
+    assert(Multimodal.autoBandBits(1L << 19) === 20)
+    assert(Multimodal.autoBandBits((1L << 19) + 1) === 30)
     assert(Multimodal.autoBandBits(10000000L) === 30)
     assert(Multimodal.autoBandBits(Long.MaxValue) === 30)
     // every fixture scale resolves to q174's 15-bit oracle configuration
