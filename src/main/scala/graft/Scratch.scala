@@ -889,11 +889,14 @@ object Scratch {
         base.count()
         val qdf = base.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"))
-        // codegen check AFTER execution — under AQE the pre-execution
-        // executedPlan is the un-finalized AdaptiveSparkPlan whose
-        // toString hides the WholeStageCodegen spans
+        // codegen check AFTER execution (pre-execution the AQE plan is
+        // unfinalized) and via FORMATTED explain (the simple treeString
+        // renders WholeStageCodegen spans as `*(n)` prefixes, never the
+        // literal node name)
         def codegenTag(df: org.apache.spark.sql.DataFrame): String =
-          if (df.queryExecution.executedPlan.toString.contains("WholeStageCodegen")) ""
+          if (df.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode)
+              .contains("WholeStageCodegen")) ""
           else " [NO-CODEGEN]"
         def scan(name: String, c: org.apache.spark.sql.Column): Unit = {
           val df = base.crossJoin(broadcast(qdf)).agg(sum(c).as("s"))
@@ -958,6 +961,101 @@ object Scratch {
         println(s"dim$dim.pq_encode_err_sum_1k: $kErr (tree == kernel)")
         base.unpersist(blocking = true)
       }
+      spark.stop(); return
+    }
+
+
+    if (args.length > 1 && args(1) == "forgetprobe") {
+      // The erasure cost law: |forget set| is FIXED (GDPR requests don't
+      // scale with the corpus) while the corpus multiplies — the pitch is
+      // that forget+re-elect costs O(affected buckets), so it should stay
+      // near-flat as the store grows, while the naive alternative (full
+      // re-dedup of the survivors) grows with the corpus. Stores are
+      // rebuilt per multiple (two id-ordered landings), then both paths
+      // run over the same forget set (planted in the 1x id range only).
+      import graft.streaming.{Forget, LshStream}
+      graft.functions.ShingleHashes.register(spark)
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+        .reduce(_.unionByName(_))
+      Seq(1, mult).foreach { m =>
+        val d = docsAt(m).localCheckpoint()
+        val n = d.count()
+        val cut = m * idStride / 2
+        val root = java.nio.file.Files.createTempDirectory(s"graft-forgetprobe-$m").toString
+        val (idx, dec) = (s"$root/index", s"$root/decisions")
+        time(s"forget${m}x.build_store") {
+          LshStream.processBatch(d.filter(col("doc_id") < cut), idx, dec, 0L)
+          LshStream.processBatch(d.filter(col("doc_id") >= cut), idx, dec, 1L)
+          n
+        }
+        val fPred = col("doc_id") < idStride &&
+          pmod(col("doc_id"), lit(17L)) === lit(3L)
+        val fIds = d.filter(fPred).select("doc_id").localCheckpoint()
+        val nF = fIds.count()
+        var rep: Forget.BandForgetReport = null
+        time(s"forget${m}x.forget_reelect(nF=$nF)") {
+          rep = Forget.reelectBandStores(spark, idx, dec, fIds)
+          rep.nReelected
+        }
+        println(s"forget${m}x: corpus=$n affected_reelected=${rep.nReelected} " +
+          s"idx_removed=${rep.index.rowsRemoved} " +
+          s"idx_parts=${rep.index.nRewritten}/${rep.index.nPartitions}")
+        // the naive alternative: full from-scratch dedup of the survivors
+        val survivors = d.join(fIds, Seq("doc_id"), "left_anti")
+        time(s"forget${m}x.full_rededup") {
+          val bands = graft.ops.Dedup.lshBands(
+            graft.ops.Dedup.minhashSignatures(survivors))
+          graft.ops.Dedup.keepEarliestVerdicts(survivors.select("doc_id"),
+              graft.ops.Dedup.earlierBandPartners(bands, bands))
+            .agg(sum("n_earlier")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "maintprobe") {
+      // Steady-state maintenance cost: land L deltas one at a time and run
+      // the threshold policy after EVERY landing — the per-pass cost must
+      // track the eligible delta tail (O(delta)), never the accumulated
+      // base, and the layout must converge to base + small tail. Cells are
+      // LM bigram counts over rotating corpus slices (real cell shapes).
+      import graft.streaming.{CorpusStream, StoreCompaction}
+      val landings = if (args.length > 2) args(2).toInt else 24
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text").localCheckpoint()
+      val nDocs = docsT.count()
+      val store = java.nio.file.Files.createTempDirectory("graft-maintprobe").toString + "/deltas"
+      val pol = StoreCompaction.MaintenancePolicy(
+        minorAtDeltas = 8, keepLatestDeltas = 1, maxFilesPerBucket = 4,
+        nBuckets = 8)
+      (0 until landings).foreach { b =>
+        CorpusStream.writeLmDelta(
+          docsT.filter(pmod(col("doc_id"), lit(landings.toLong)) === lit(b.toLong)),
+          store, b.toLong)
+        val t0 = System.nanoTime()
+        val rep = StoreCompaction.maintain(spark, store, Seq("w1"), pol)
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (b % 4 == 3 || rep.minorUpto.nonEmpty)
+          println(f"maint[$b%02d] $secs%5.2f s deltas=${rep.nDeltas} " +
+            f"fold=${rep.minorUpto} appended=${rep.filesAppended} " +
+            f"buckets=${rep.bucketsRewritten}")
+      }
+      val parts = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+      println(s"maintprobe final layout: ${parts.mkString(", ")}")
+      // serving correctness after the whole sequence: folded counts equal
+      // the one-shot batch train
+      val served = CorpusStream.lmCountsFromDeltas(spark, store)
+        .agg(sum("c12"), count(lit(1))).head()
+      val batch = CorpusStream.lmCells(docsT)
+        .agg(sum("c12"), count(lit(1))).head()
+      require(served == batch, s"maintained serving diverged: $served vs $batch")
+      println(s"maintprobe serving == batch: $served")
       spark.stop(); return
     }
 

@@ -473,7 +473,7 @@ object Dedup {
     * keep-earliest band verdicts. Ends with the `exact` and `verdicts`
     * relations ready for a final SELECT.
     */
-  private def curationVerdictCtes: String = {
+  private[ops] def curationVerdictCtes(base: String = "documents"): String = {
     val sigDefs = sigDefsSql
     val bandSelects = bandSelectsSql
     val stop = TextOps.allStop.map("'" + _ + "'").mkString(",")
@@ -482,7 +482,7 @@ object Dedup {
        |    length(text) AS text_len,
        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
        |    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
-       |  FROM documents
+       |  FROM $base
        |), gm AS (
        |  SELECT doc_id, text_len, len(t) AS n_tokens,
        |    CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS alpha_chars,
@@ -497,7 +497,7 @@ object Dedup {
        |), keepers AS (
        |  SELECT d.doc_id, d.text,
        |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
-       |  FROM documents d JOIN keep_ids k ON d.doc_id = k.doc_id
+       |  FROM $base d JOIN keep_ids k ON d.doc_id = k.doc_id
        |), firstown AS (
        |  SELECT fp, MIN(doc_id) AS first FROM keepers GROUP BY fp
        |), exact AS (
@@ -529,7 +529,7 @@ object Dedup {
   }
 
   private def q127OracleSql: String =
-    s"""$curationVerdictCtes
+    s"""${curationVerdictCtes()}
        |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
        |  v.n_earlier, v.dup_of, v.is_band_dup
        |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
@@ -607,7 +607,7 @@ object Dedup {
   }
 
   private def q133OracleSql: String =
-    s"""$curationVerdictCtes, reasons AS (
+    s"""${curationVerdictCtes()}, reasons AS (
        |  SELECT d.doc_id, d.source,
        |    CASE WHEN e.doc_id IS NULL THEN 'gate'
        |         WHEN e.is_exact_dup THEN 'exact_dup'
@@ -665,7 +665,7 @@ object Dedup {
   }
 
   private def q134OracleSql: String =
-    s"""$curationVerdictCtes, acc AS (
+    s"""${curationVerdictCtes()}, acc AS (
        |  SELECT d.doc_id, d.text
        |  FROM documents d
        |  JOIN exact e ON d.doc_id = e.doc_id

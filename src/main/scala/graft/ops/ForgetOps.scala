@@ -235,5 +235,122 @@ object ForgetOps {
         lit(decLeft).as("dec_forgotten_left"))
   }
 
-  val all: Seq[Q] = Seq(q200, q201, q202)
+  // ── the diversity store with a forget landing ─────────────────────────
+
+  def divForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_div_forget_v1_${storeKey(dir, "divforget")}"
+
+  /** Two diversity-cell landings, then the negative forget landing on
+    * both stores. Idempotent (marker-committed). Returns (dimDir, statDir).
+    */
+  def buildDivForgetStore(s: SparkSession, dir: String): (String, String) = {
+    val root = divForgetStorePath(dir)
+    val (dims, stats) = (s"$root/dims", s"$root/stats")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeDivDelta(d.filter(col("doc_id") < cut), dims, stats, 0L)
+      CorpusStream.writeDivDelta(d.filter(col("doc_id") >= cut), dims, stats, 1L)
+      Forget.forgetDivDocs(d.filter(forgottenPred), dims, stats, 2L)
+      marker.createNewFile()
+    }
+    (dims, stats)
+  }
+
+  private def q203OracleSql: String =
+    graft.ops.Similarity.q178.oracle.get.replace(
+      "FROM documents", s"FROM $survivorsSql t")
+
+  /** q203 — diversity AFTER FORGETTING: the negative-cell erasure law
+    * ([[graft.streaming.Forget.forgetDivDocs]]) on a TWO-store family —
+    * one negated landing on the dimension-sum and stat stores makes the
+    * served per-source diversity equal q178 recomputed on the surviving
+    * corpus (the centroid identity is linear in exactly the sums the
+    * cells carry, so erasure distributes through it). Oracle = q178's SQL
+    * over the survivors. With q200 this pins the law across store
+    * families: any SUM-cell store in the system is erasable by one
+    * O(|forgotten|) append.
+    */
+  val q203 = Q("q203_diversity_forget", q203OracleSql) { (s, dir) =>
+    val (dims, stats) = buildDivForgetStore(s, dir)
+    CorpusStream.diversityFromDeltas(s, dims, stats)
+  }
+
+  // ── curation amnesia: forget + replay through the full store family ──
+
+  /** Replayed copies land at doc_id + ReplayOffset (far above any
+    * fixture id, SQL-expressible on both sides).
+    */
+  val ReplayOffset = 1000000L
+
+  def curationForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cur_forget_v1_${storeKey(dir, "curforget")}"
+
+  /** Batch 0 = the full corpus through `CurationStream.processBatch`;
+    * then the forget set is erased from all five stores with two-level
+    * re-election (corrective partition 1); then batch 2 REPLAYS exact
+    * copies of the forgotten docs' content under new ids — the amnesia
+    * probe: the family must decide them from scratch. Idempotent
+    * (marker-committed). Returns the family root.
+    */
+  def buildCurationForgetStore(s: SparkSession, dir: String): String = {
+    val root = curationForgetStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      graft.streaming.CurationStream.processBatch(
+        d, s"$root/fp", s"$root/index", s"$root/decisions", 0L,
+        Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      Forget.forgetFromCurationStores(s, root,
+        d.filter(forgottenPred).select("doc_id"), correctiveId = 1L)
+      val replay = d.filter(forgottenPred)
+        .select((col("doc_id") + lit(ReplayOffset)).as("doc_id"),
+          col("text"), col("source"))
+      graft.streaming.CurationStream.processBatch(
+        replay, s"$root/fp", s"$root/index", s"$root/decisions", 2L,
+        Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  private def q204OracleSql: String = {
+    val modified =
+      s"""(SELECT doc_id, text, source FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes
+         |   UNION ALL
+         |   SELECT doc_id + $ReplayOffset AS doc_id, text, source FROM documents
+         |   WHERE doc_id % $ForgetMod = $ForgetRes)""".stripMargin
+    s"""${Dedup.curationVerdictCtes(modified)}
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
+  /** q204 — CURATION AMNESIA end to end: after erasing the forget set
+    * from the full curation family (fp history, band index, decisions,
+    * accepted/quarantine — with exact-ownership AND band-keeper
+    * re-election, [[graft.streaming.Forget.forgetFromCurationStores]]),
+    * exact copies of the forgotten content are REPLAYED under new ids,
+    * and the family's complete decision table must equal q127 computed
+    * from scratch over (survivors ∪ replayed copies). That one equality
+    * carries the whole legal-erasure contract: the store keeps no memory
+    * of erased content (replayed unique docs are accepted, not flagged
+    * as duplicates of ghosts), orphaned fingerprints transfer to the
+    * earliest surviving duplicate (which q127 now shows as an OWNER —
+    * formerly-quarantined content re-admitted), remaining duplicates
+    * re-point, and band families that lost or gained a keeper re-rank
+    * in both directions. Serving is a pure decisions-store read.
+    */
+  val q204 = Q("q204_curation_amnesia", q204OracleSql) { (s, dir) =>
+    val root = buildCurationForgetStore(s, dir)
+    s.read.parquet(s"$root/decisions")
+      .select("doc_id", "is_exact_dup", "exact_dup_of",
+        "n_earlier", "dup_of", "is_band_dup")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204)
 }

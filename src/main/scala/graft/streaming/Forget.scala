@@ -75,6 +75,26 @@ object Forget {
           col("w1"), lit(" "), col("w2")))).otherwise(col("c12")))
       .filter(col("c12") > 0)
 
+  /** Land the negative diversity-cell deltas for `forgotten` docs as
+    * batch `batchId` on BOTH diversity stores — [[forgetLmDocs]]'s law on
+    * a two-store family: every additive measure (per-(source, dim)
+    * coordinate sums; per-source doc counts and Σ‖x‖²) negates, and the
+    * folded centroid identity then equals a recompute on the survivors.
+    */
+  def forgetDivDocs(forgotten: DataFrame, dimDir: String, statDir: String,
+      batchId: Long): Unit = {
+    val w = graft.ops.Similarity.hashedVec(forgotten, keep = Seq("source"))
+      .localCheckpoint()
+    graft.ops.Similarity.divDimCells(w)
+      .select(col("source"), col("d"), (-col("s_d")).as("s_d"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dimDir/batch_id=$batchId")
+    graft.ops.Similarity.divStatCells(w)
+      .select(col("source"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_sq")).as("sum_sq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$statDir/batch_id=$batchId")
+    ()
+  }
+
   /** Surgically delete every row whose `keyCol` is in `ids` from a
     * per-batchId store: ONE column-pruned detection pass finds the
     * affected partitions (base partition included), then only those are
@@ -109,6 +129,130 @@ object Forget {
         ForgetReport(parts.size, affected.size, affected.values.sum)
       }
     }
+
+  /** What a curation-family forget did. */
+  case class CurationForgetReport(deleted: Map[String, ForgetReport],
+      nOrphanFps: Long, nNewOwners: Long, nReelected: Long, nRemDups: Long)
+
+  /** Forget `forgotten` docs from a FULL curation store family
+    * (fp / index / decisions / accepted / quarantine — the
+    * `CurationStream.processBatch` output shape) and re-elect at BOTH
+    * dedup levels, landing every correction as partition `correctiveId`:
+    *
+    *  1. capture the forgotten docs' owned fingerprints and band
+    *     buckets, then surgically delete them from all five stores;
+    *  2. EXACT re-election: each orphaned fingerprint's new owner is the
+    *     earliest surviving exact-duplicate (recovered from the
+    *     quarantine store's text — fp is recomputable, so no extra state
+    *     was ever needed); the new owner becomes a REP: its fp row and
+    *     its band rows land correctively, and the remaining duplicates
+    *     of that fp re-point their `exact_dup_of` at it;
+    *  3. BAND re-election over the union of the forgotten reps' buckets
+    *     and the new reps' buckets — the only docs whose partner sets
+    *     can change in either direction (losing a forgotten partner OR
+    *     gaining a newly-promoted lower-id one);
+    *  4. the accepted/quarantine split is REPAIRED for every touched
+    *     doc: re-elected owners and reps that came band-clean move to
+    *     accepted (content quarantined only because of ERASED content is
+    *     re-admitted — the user-visible half of legal amnesia), reps
+    *     that gained an earlier partner move to quarantine
+    *     (`near_dup`), re-pointed duplicates stay quarantined
+    *     (`exact_dup`).
+    *
+    * After this the family is indistinguishable from one built over the
+    * surviving corpus (q204 proves it through a replay landing: the
+    * store has genuinely FORGOTTEN the content, so re-submitted copies
+    * are decided from scratch). Cost: detection scans + affected
+    * partitions + affected buckets — never a corpus re-run.
+    */
+  def forgetFromCurationStores(spark: SparkSession, root: String,
+      forgotten: DataFrame, correctiveId: Long): CurationForgetReport = {
+    import org.apache.spark.sql.functions.broadcast
+    val fIds = forgotten.select(col(forgotten.columns.head).as("doc_id"))
+      .localCheckpoint()
+    val (fpDir, idxDir, decDir, accDir, quarDir) =
+      (s"$root/fp", s"$root/index", s"$root/decisions",
+        s"$root/accepted", s"$root/quarantine")
+
+    // 1. captures, then deletes
+    val orphanFps = spark.read.parquet(fpDir)
+      .join(fIds, Seq("doc_id"), "left_semi")
+      .select("fp").distinct().localCheckpoint()
+    val bucketsF = spark.read.parquet(idxDir)
+      .join(fIds, Seq("doc_id"), "left_semi")
+      .select("band_idx", "band_hash").distinct().localCheckpoint()
+    val deleted = Seq("fp" -> fpDir, "index" -> idxDir, "decisions" -> decDir,
+      "accepted" -> accDir, "quarantine" -> quarDir)
+      .map { case (n, d) => n -> surgicalDelete(spark, d, fIds) }.toMap
+
+    // 2. exact re-election off the quarantine store's recomputable fps
+    val quarDups = spark.read.parquet(quarDir)
+      .filter(col("reason") === "exact_dup")
+      .withColumn("fp", md5(graft.ops.TextOps.normalized(col("text"))))
+      .join(broadcast(orphanFps), Seq("fp"), "left_semi")
+      .select("fp", "doc_id", "text", "source").localCheckpoint()
+    val newOwners = quarDups
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .join(quarDups, Seq("fp", "doc_id"))
+      .localCheckpoint()
+    newOwners.select("fp", "doc_id", "source")
+      .write.mode("overwrite").parquet(s"$fpDir/batch_id=$correctiveId")
+    val newBands = LshStream.batchBands(
+      newOwners.select("doc_id", "text")).localCheckpoint()
+    newBands.write.mode("overwrite").parquet(s"$idxDir/batch_id=$correctiveId")
+    val remDups = quarDups.join(
+        newOwners.select(col("fp"), col("doc_id").as("owner")), Seq("fp"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "owner", "text", "source").localCheckpoint()
+
+    // 3. band re-election over every bucket that changed membership
+    val buckets = bucketsF
+      .unionByName(newBands.select("band_idx", "band_hash")).distinct()
+    val idx2 = spark.read.parquet(idxDir)
+      .select("doc_id", "band_idx", "band_hash")
+    val affectedDocs = idx2.join(buckets, Seq("band_idx", "band_hash"), "left_semi")
+      .select("doc_id").distinct().localCheckpoint()
+    val affBands = idx2.join(affectedDocs, Seq("doc_id"), "left_semi")
+    val verdicts = graft.ops.Dedup.keepEarliestVerdicts(affectedDocs,
+      graft.ops.Dedup.earlierBandPartners(affBands, idx2)).localCheckpoint()
+
+    // decisions: replace every touched doc's row with its recomputed one
+    val touched = affectedDocs.unionByName(remDups.select("doc_id")).distinct()
+      .localCheckpoint()
+    surgicalDelete(spark, decDir, touched)
+    val decRows = verdicts
+      .select(col("doc_id"), lit(false).as("is_exact_dup"),
+        lit(null).cast("long").as("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup"))
+      .unionByName(remDups.select(col("doc_id"), lit(true).as("is_exact_dup"),
+        col("owner").as("exact_dup_of"), lit(null).cast("long").as("n_earlier"),
+        lit(null).cast("long").as("dup_of"),
+        lit(null).cast("boolean").as("is_band_dup")))
+      .localCheckpoint()
+    decRows.write.mode("overwrite").parquet(s"$decDir/batch_id=$correctiveId")
+
+    // 4. repair the accepted/quarantine split for the touched docs
+    val docRows = spark.read.parquet(accDir)
+      .select("doc_id", "text", "source")
+      .unionByName(spark.read.parquet(quarDir).select("doc_id", "text", "source"))
+      .join(touched, Seq("doc_id"), "left_semi").localCheckpoint()
+    surgicalDelete(spark, accDir, touched)
+    surgicalDelete(spark, quarDir, touched)
+    val withVerdict = docRows.join(decRows, Seq("doc_id"))
+    withVerdict
+      .filter(!col("is_exact_dup") && !coalesce(col("is_band_dup"), lit(false)))
+      .select("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$accDir/batch_id=$correctiveId")
+    withVerdict
+      .filter(col("is_exact_dup") || coalesce(col("is_band_dup"), lit(false)))
+      .select(col("doc_id"), col("text"), col("source"),
+        when(col("is_exact_dup"), lit("exact_dup")).otherwise(lit("near_dup"))
+          .as("reason"))
+      .write.mode("overwrite").parquet(s"$quarDir/batch_id=$correctiveId")
+
+    CurationForgetReport(deleted, orphanFps.count(), newOwners.count(),
+      verdicts.count(), remDups.count())
+  }
 
   /** What one band-store forget did — the q202 audit surface. */
   case class BandForgetReport(index: ForgetReport, decisions: ForgetReport,

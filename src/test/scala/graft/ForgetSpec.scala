@@ -59,6 +59,26 @@ class ForgetSpec extends AnyFunSuite {
       "erasing rows folded into the base must equal the two-wave retrain")
   }
 
+  test("diversity forget: negative cells on both stores make the served metric equal a recompute on the survivors, through compaction") {
+    val root = tmpDir("graft-forget-div")
+    val (dims, stats) = (s"$root/dims", s"$root/stats")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    CorpusStream.writeDivDelta(docs.filter(col("doc_id") < cut), dims, stats, 0L)
+    CorpusStream.writeDivDelta(docs.filter(col("doc_id") >= cut), dims, stats, 1L)
+    Forget.forgetDivDocs(docs.filter(forgetPred), dims, stats, 2L)
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val expected = snap(graft.ops.Similarity.diversityOf(docs.filter(!forgetPred)))
+    assert(snap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === expected,
+      "negative-cell fold must equal the survivor-recomputed diversity table")
+
+    CorpusStream.compactDivDeltas(spark, dims, stats, upto = 2L)
+    assert(snap(CorpusStream.diversityFromDeltas(spark, dims, stats)) === expected,
+      "folding the forget delta into the base must not move the metric")
+  }
+
   test("LM forget: erasing docs the store never counted fails loudly instead of serving an impossible model") {
     val deltas = tmpDir("graft-forget-lm-neg") + "/deltas"
     CorpusStream.writeLmDelta(docs.filter(col("doc_id") < 50), deltas, 0L)
@@ -93,6 +113,77 @@ class ForgetSpec extends AnyFunSuite {
 
     val rep2 = Forget.surgicalDelete(spark, store, Seq(2L).toDF("doc_id"))
     assert(rep2 === Forget.ForgetReport(4, 0, 0L), "second pass must be a no-op")
+  }
+
+  test("curation amnesia: forgetting an exact-dup owner re-admits the earliest surviving duplicate, and the accepted/quarantine split stays an exact partition of the gate") {
+    import graft.streaming.CurationStream
+    graft.functions.ShingleHashes.register(spark)
+    val root = tmpDir("graft-forget-curation")
+    // the sf0.001 corpus has no natural exact duplicates — PLANT two
+    // families: copies of two gate-passing docs under higher ids, so the
+    // originals are the exact owners the test will forget
+    val base = docs
+    val gateKeep = graft.ops.Corpus.gateFrame(base)
+      .filter(col("keep")).select("doc_id").orderBy("doc_id")
+      .limit(2).collect().map(_.getLong(0))
+    val copies = base.filter(col("doc_id").isin(gateKeep: _*))
+      .select(explode(array(lit(10000L), lit(20000L))).as("off"),
+        col("doc_id"), col("source"), col("text"))
+      .select((col("doc_id") + col("off")).as("doc_id"), col("source"), col("text"))
+    val d = base.unionByName(copies).localCheckpoint()
+    CurationStream.processBatch(d, s"$root/fp", s"$root/index",
+      s"$root/decisions", 0L, Some(s"$root/accepted"), Some(s"$root/quarantine"))
+
+    // pick a forgotten set = the OWNERS of the two largest exact-dup
+    // families — the hardest amnesia case
+    val owners = spark.read.parquet(s"$root/decisions")
+      .filter(col("is_exact_dup")).groupBy("exact_dup_of").count()
+      .orderBy(col("count").desc, col("exact_dup_of"))
+      .limit(2).collect().map(_.getLong(0))
+    assert(owners.nonEmpty, "fixture must contain exact-dup families")
+    val expectedHeirs = owners.map { o =>
+      o -> spark.read.parquet(s"$root/decisions")
+        .filter(col("exact_dup_of") === o).agg(min(col("doc_id")))
+        .head().getLong(0)
+    }.toMap
+
+    val rep = Forget.forgetFromCurationStores(spark, root,
+      owners.toSeq.toDF("doc_id"), correctiveId = 1L)
+    assert(rep.nOrphanFps === owners.length.toLong)
+    assert(rep.nNewOwners === owners.length.toLong)
+
+    // the heirs own their fingerprints now and are no longer exact dups
+    val fpOwners = spark.read.parquet(s"$root/fp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    expectedHeirs.values.foreach(h => assert(fpOwners.contains(h),
+      s"heir $h must own its fingerprint"))
+    val decs = spark.read.parquet(s"$root/decisions")
+    expectedHeirs.values.foreach { h =>
+      val r = decs.filter(col("doc_id") === h).head()
+      assert(!r.getBoolean(1), s"heir $h must not be an exact dup anymore")
+    }
+    // band-clean heirs are RE-ADMITTED: formerly quarantined, now accepted
+    val accepted = spark.read.parquet(s"$root/accepted").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    expectedHeirs.values.foreach { h =>
+      val clean = !decs.filter(col("doc_id") === h)
+        .head().getAs[Boolean]("is_band_dup")
+      assert(accepted.contains(h) === clean,
+        s"heir $h must be accepted iff band-clean (clean=$clean)")
+    }
+    // the split is still an exact partition of the gated corpus minus F
+    val quarantined = spark.read.parquet(s"$root/quarantine").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((accepted & quarantined).isEmpty, "split must stay disjoint")
+    val all = d.select("doc_id").collect().map(_.getLong(0)).toSet -- owners
+    assert((accepted | quarantined) === all,
+      "accepted ∪ quarantine must cover exactly the surviving corpus")
+    // absence everywhere
+    Seq("fp", "index", "decisions", "accepted", "quarantine").foreach { st =>
+      assert(spark.read.parquet(s"$root/$st")
+        .filter(col("doc_id").isin(owners.toSeq: _*)).count() === 0L,
+        s"store $st must hold no forgotten id")
+    }
   }
 
   test("re-election: forgetting a keeper promotes the earliest survivor; decisions equal from-scratch dedup on the surviving corpus") {
