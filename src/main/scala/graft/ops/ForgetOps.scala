@@ -352,5 +352,49 @@ object ForgetOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204)
+  // ── k-anonymity after erasure ──────────────────────────────────────
+
+  def kAnonForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_kanon_forget_v1_${storeKey(dir, "kanonforget")}"
+
+  /** Two QI-cell landings, then the negative forget landing.
+    * Idempotent (marker-committed). Returns the delta dir.
+    */
+  def buildKAnonForgetStore(s: SparkSession, dir: String): String = {
+    val root = kAnonForgetStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeKAnonDelta(d.filter(col("doc_id") < cut), root, 0L)
+      CorpusStream.writeKAnonDelta(d.filter(col("doc_id") >= cut), root, 1L)
+      Forget.forgetKAnonDocs(d.filter(forgottenPred), root, 2L)
+      marker.createNewFile()
+    }
+    root
+  }
+
+  private def q205OracleSql: String =
+    graft.ops.TextOps.q189.oracle.get.replace(
+      "FROM documents", s"FROM $survivorsSql t")
+
+  /** q205 — k-anonymity AFTER FORGETTING: erasure SHRINKS
+    * quasi-identifier groups, so a privacy pass that trusted its
+    * pre-erasure audit under-suppresses — a group at exactly k members
+    * drops below k when one member is erased, and its remaining docs
+    * become re-identification risks. One negative QI-cell landing
+    * ([[graft.streaming.Forget.forgetKAnonDocs]]) re-serves the q189
+    * audit at survivor-exact group sizes (groups folded to zero
+    * disappear; negative folds refuse); oracle = q189's SQL over the
+    * survivors. The third store family under the negative-cell erasure
+    * law — and the one where erasure makes a SAFETY verdict stricter,
+    * not just smaller.
+    */
+  val q205 = Q("q205_kanon_after_forget", q205OracleSql) { (s, dir) =>
+    val store = buildKAnonForgetStore(s, dir)
+    graft.ops.TextOps.kAnonymityFromCells(
+      Forget.kAnonCellsAfterForget(s, store))
+  }
+
+  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205)
 }

@@ -1462,8 +1462,8 @@ object TextOps {
 
   // ── q189: k-anonymity audit over quasi-identifiers ─────────────────────
 
-  private val KAnonK = 5
-  private val KAnonBucket = 256L
+  private[graft] val KAnonK = 5
+  private[graft] val KAnonBucket = 256L
 
   private def q189OracleSql: String =
     s"""WITH g AS (

@@ -95,6 +95,43 @@ object Forget {
     ()
   }
 
+  /** Land the negative k-anonymity QI-group cells for `forgotten` docs
+    * as batch `batchId` — erasure SHRINKS quasi-identifier groups, so it
+    * can flip a group from safe (≥ k) to suppressed (< k): the audit
+    * must re-run on the folded post-forget sizes (q205 proves the flip
+    * against a survivor recompute). Groups folded to zero are dropped by
+    * [[kAnonCellsAfterForget]]; negative folds refuse.
+    */
+  def forgetKAnonDocs(forgotten: DataFrame, deltaDir: String,
+      batchId: Long): Unit = {
+    graft.ops.TextOps.kAnonCells(forgotten)
+      .select(col("source"), col("lang"), col("len_bucket"),
+        (-col("gsz")).as("gsz"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$deltaDir/batch_id=$batchId")
+    ()
+  }
+
+  /** The folded QI-group cells with forget tombstones dropped — group
+    * sizes exactly as a recount over the surviving corpus. Negative
+    * folds (forgetting docs never counted) refuse loudly.
+    */
+  def kAnonCellsAfterForget(spark: SparkSession, deltaDir: String,
+      upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireServableAt(deltaDir, upto)
+    spark.read.parquet(deltaDir)
+      .filter(col("batch_id") <= upto ||
+        col("batch_id") === StoreCompaction.BasePartition)
+      .groupBy("source", "lang", "len_bucket")
+      .agg(sum(col("gsz")).cast("long").as("gsz"))
+      .withColumn("gsz",
+        when(col("gsz") < 0, raise_error(concat(lit(
+          s"store $deltaDir folded a NEGATIVE QI-group size — a forget " +
+            "delta was landed for docs this store never counted: "),
+          col("source"), lit("/"), col("lang")))).otherwise(col("gsz")))
+      .filter(col("gsz") > 0)
+  }
+
   /** Surgically delete every row whose `keyCol` is in `ids` from a
     * per-batchId store: ONE column-pruned detection pass finds the
     * affected partitions (base partition included), then only those are

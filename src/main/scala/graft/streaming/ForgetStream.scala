@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming right-to-be-forgotten: erasure REQUESTS land as files
+  * (rows of doc_id) and each micro-batch applies the store-appropriate
+  * [[Forget]] mechanics — the batch machinery made continuous, like
+  * every other maintenance sink.
+  *
+  * ORDERING CONSTRAINT the API makes explicit: additive-store erasure
+  * (LM / diversity cells) lands the forgotten docs' cells NEGATED, so
+  * the content must still be resolvable when the request is processed —
+  * `content` is the archive frame (corpus table, or the curation
+  * accepted ∪ quarantine stores) the requested ids are looked up in.
+  * Erase the derived stores FIRST, the content archive LAST (the
+  * DELETE-before-VACUUM ordering, same reason).
+  *
+  * Store-partition convention: negative deltas land under
+  * `batch_id = ForgetBase − requestBatchId` — a reserved NEGATIVE id
+  * range far below [[StoreCompaction.BasePartition]], so forget
+  * landings never collide with the ingest stream's id space, every
+  * pinned read still folds them (`batch_id <= upto` admits negatives:
+  * erasure is retroactive BY LAW — a release pin must not resurrect
+  * forgotten content), and compaction folds them into the base like any
+  * other delta (the negation survives the fold, ForgetSpec's law).
+  *
+  * Idempotence: identity-store forgets append corrective partitions, so
+  * a replayed foreachBatch must not re-run them — each request batch
+  * commits a `_forget_<id>` marker and replays skip on it (additive
+  * forgets are naturally replay-safe — same partition, same rows,
+  * overwrite — but share the marker for uniformity).
+  */
+object ForgetStream {
+
+  /** Reserved partition-id base for forget landings on additive stores. */
+  val ForgetBase = -1000L
+
+  /** Which stores a forget request stream erases from — any subset of:
+    * an LM cell store, a diversity cell-store pair (dims, stats), a
+    * keep-earliest band-store pair (index, decisions), a full curation
+    * family root.
+    */
+  case class ForgetTargets(
+      lmDeltaDir: Option[String] = None,
+      divStores: Option[(String, String)] = None,
+      bandStores: Option[(String, String)] = None,
+      curationRoot: Option[String] = None)
+
+  /** File-source forget-request stream: parquet rows with a `doc_id`
+    * column landing in `requestDir`.
+    */
+  def readRequestStream(spark: SparkSession, requestDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG")
+      .parquet(requestDir)
+
+  /** One request batch's full fold — exposed so specs can pin replay
+    * (same batchId re-run) as a no-op across every target store.
+    */
+  def processBatch(batch: DataFrame, content: DataFrame,
+      targets: ForgetTargets, markerRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    new java.io.File(markerRoot).mkdirs()
+    val marker = new java.io.File(markerRoot, s"_forget_$batchId")
+    if (marker.exists()) return
+    val ids = batch.select("doc_id").distinct().localCheckpoint()
+    val docs = content.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
+    val part = ForgetBase - batchId
+    targets.lmDeltaDir.foreach { dir =>
+      Forget.forgetLmDocs(docs, dir, part)
+      ()
+    }
+    targets.divStores.foreach { case (dims, stats) =>
+      Forget.forgetDivDocs(docs, dims, stats, part)
+    }
+    targets.bandStores.foreach { case (idx, dec) =>
+      Forget.reelectBandStores(spark, idx, dec, ids)
+      ()
+    }
+    targets.curationRoot.foreach { root =>
+      val next = StoreCompaction.partitionIds(
+          new java.io.File(s"$root/decisions"))
+        .filter(_ != StoreCompaction.BasePartition)
+        .foldLeft(-1L)(math.max) + 1L
+      Forget.forgetFromCurationStores(spark, root, ids, correctiveId = next)
+      ()
+    }
+    marker.createNewFile()
+    ()
+  }
+
+  /** The forget sink: Trigger.AvailableNow + checkpoint like every
+    * ingest twin. `markerRoot` should live beside the checkpoint (one
+    * marker space per sink).
+    */
+  def forgetSink(stream: DataFrame, content: DataFrame,
+      targets: ForgetTargets, markerRoot: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .queryName("forget_requests")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, content, targets, markerRoot, batchId)
+        ()
+      }
+      .start()
+}

@@ -115,6 +115,118 @@ class ForgetSpec extends AnyFunSuite {
     assert(rep2 === Forget.ForgetReport(4, 0, 0L), "second pass must be a no-op")
   }
 
+  test("k-anonymity forget: erasing members of a safe QI group flips it to suppressed, and the served audit equals the survivor recompute") {
+    import graft.ops.TextOps
+    val deltas = tmpDir("graft-forget-kanon") + "/deltas"
+    val full = Catalog.table(spark, sf, "documents")
+    val ids = full.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    CorpusStream.writeKAnonDelta(full.filter(col("doc_id") < cut), deltas, 0L)
+    CorpusStream.writeKAnonDelta(full.filter(col("doc_id") >= cut), deltas, 1L)
+
+    // pick the smallest SAFE group (size >= k) and erase just enough of
+    // its members to push it below k — the under-suppression hazard
+    val qi = full.select(col("doc_id"), col("source"), col("lang"),
+      expr(s"n_chars div ${TextOps.KAnonBucket}").as("len_bucket"))
+    val grp = qi.groupBy("source", "lang", "len_bucket")
+      .agg(count(lit(1)).as("gsz"))
+      .filter(col("gsz") >= TextOps.KAnonK)
+      .orderBy(col("gsz"), col("source"), col("lang"), col("len_bucket"))
+      .head()
+    val (gSrc, gLang, gBucket, gSz) =
+      (grp.getString(0), grp.getString(1), grp.getLong(2), grp.getLong(3))
+    val members = qi.filter(col("source") === gSrc && col("lang") === gLang &&
+        col("len_bucket") === gBucket)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val forgotten = members.take((gSz - TextOps.KAnonK + 1).toInt)
+    val fDf = full.filter(col("doc_id").isin(forgotten: _*))
+    Forget.forgetKAnonDocs(fDf, deltas, 2L)
+
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val before = audit(TextOps.kAnonymityAudit(full))
+    val after = audit(TextOps.kAnonymityFromCells(
+      Forget.kAnonCellsAfterForget(spark, deltas)))
+    val survivors = full.filter(!col("doc_id").isin(forgotten: _*))
+    assert(after === audit(TextOps.kAnonymityAudit(survivors)),
+      "served post-forget audit must equal the survivor recompute")
+    // the flip: exactly one more small group in the touched source, and
+    // its k-1 remaining members are newly suppressed
+    val (b, a) = (before(gSrc), after(gSrc))
+    assert(a(2) === b(2).asInstanceOf[Long] + 1L,
+      s"group ($gSrc,$gLang,$gBucket) must flip small: $b -> $a")
+    assert(a(3) === b(3).asInstanceOf[Long] + (TextOps.KAnonK - 1).toLong,
+      "the remaining members must be newly suppressed")
+  }
+
+  test("streamed forget: request waves through the sink equal batch erasure of their union on every store family; a replayed batch is a no-op") {
+    import graft.streaming.{CorpusStream, ForgetStream, LshStream}
+    import graft.streaming.ForgetStream.ForgetTargets
+    graft.functions.ShingleHashes.register(spark)
+    val d = docs.localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+
+    // stores under erasure: LM cells, diversity cells, band index+decisions
+    val root = tmpDir("graft-forget-stream")
+    val lm = s"$root/lm"
+    val (dims, stats) = (s"$root/dims", s"$root/stats")
+    val (idx, dec) = (s"$root/index", s"$root/decisions")
+    Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+      case (p, b) =>
+        CorpusStream.writeLmDelta(d.filter(p), lm, b.toLong)
+        CorpusStream.writeDivDelta(d.filter(p), dims, stats, b.toLong)
+        LshStream.processBatch(d.filter(p), idx, dec, b.toLong)
+    }
+
+    // forget requests land as files: wave 1 then wave 2
+    val landing = tmpDir("graft-forget-req")
+    val (checkpoint, markers) = (tmpDir("graft-forget-ck"), tmpDir("graft-forget-mk"))
+    def land(idsDf: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-req-stage")
+      idsDf.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    val targets = ForgetTargets(lmDeltaDir = Some(lm),
+      divStores = Some((dims, stats)), bandStores = Some((idx, dec)))
+    val w1 = pmod(col("doc_id"), lit(17L)) === lit(3L)
+    val w2 = pmod(col("doc_id"), lit(17L)) === lit(5L)
+    land(d.filter(w1).select("doc_id"), "w1.parquet")
+    ForgetStream.forgetSink(ForgetStream.readRequestStream(spark, landing),
+      d, targets, markers, checkpoint).awaitTermination()
+    land(d.filter(w2).select("doc_id"), "w2.parquet")
+    ForgetStream.forgetSink(ForgetStream.readRequestStream(spark, landing),
+      d, targets, markers, checkpoint).awaitTermination()
+
+    // every store now equals batch erasure of the UNION of waves
+    val survivors = d.filter(!w1 && !w2).localCheckpoint()
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) ===
+      lmMap(CorpusStream.lmCells(survivors)),
+      "streamed LM erasure must equal the survivor retrain")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(CorpusStream.diversityFromDeltas(spark, dims, stats)) ===
+      rows(graft.ops.Similarity.diversityOf(survivors)),
+      "streamed diversity erasure must equal the survivor recompute")
+    val bands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minhashSignatures(survivors))
+    assert(rows(LshStream.decisions(spark, dec)) ===
+      rows(graft.ops.Dedup.keepEarliestVerdicts(survivors.select("doc_id"),
+        graft.ops.Dedup.earlierBandPartners(bands, bands)).orderBy("doc_id")),
+      "streamed band erasure + re-election must equal from-scratch dedup on survivors")
+
+    // a replayed request batch (same batchId) is a marker-gated no-op
+    def partsOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    val snap = (partsOf(lm), partsOf(dec),
+      rows(LshStream.decisions(spark, dec)))
+    ForgetStream.processBatch(d.filter(w2).select("doc_id"), d, targets,
+      markers, batchId = 1L)
+    assert((partsOf(lm), partsOf(dec), rows(LshStream.decisions(spark, dec))) === snap,
+      "a replayed forget batch must not move a single row or partition")
+  }
+
   test("curation amnesia: forgetting an exact-dup owner re-admits the earliest surviving duplicate, and the accepted/quarantine split stays an exact partition of the gate") {
     import graft.streaming.CurationStream
     graft.functions.ShingleHashes.register(spark)
