@@ -36,6 +36,14 @@ object CorpusStream {
   def readDocStream(spark: SparkSession, landingDir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(landingDir)
 
+  /** [[readDocStream]] capped at one file per micro-batch — the pacing a
+    * maintenance-hooked sink is exercised under (each landing = one
+    * batch, so the per-batch hook sees every threshold crossing).
+    */
+  def readDocStreamPaced(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landingDir)
+
   /** File-source stream over a JSON-lines landing directory — the text
     * landing producers actually emit (log shippers, crawl exporters).
     * Same enforced schema and sink compatibility as the parquet stream;
@@ -242,13 +250,25 @@ object CorpusStream {
     * documents land, zero corpus rescans at serving time.
     */
   def lmCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("bigram_lm_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeLmDelta(batch, deltaDir, batchId)
+        // sink-side maintenance hook: the threshold policy runs after
+        // every landing and decides for itself (below-threshold passes
+        // are listing-only no-ops — the maintprobe law — and live
+        // release pins CLAMP the fold), so the store maintains itself
+        // continuously instead of waiting for an external driver.
+        // Replay-safe: the fold algebra is serving-invariant, so a
+        // re-delivered batch re-running the pass changes nothing.
+        maintain.foreach { p =>
+          StoreCompaction.maintain(batch.sparkSession, deltaDir, Seq("w1"), p)
+          ()
+        }
         ()
       }
       .start()

@@ -629,6 +629,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("forget family serving plans: store reads only — no corpus text anywhere, the trend pinned by partition pruning") {
+    // q201/q204: pure decision-store reads after the one-time build
+    Seq("q201_forget_reelect", "q204_curation_amnesia").foreach { q =>
+      val p = plan(q)
+      assert(!p.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+        s"$q must serve off the mutated decision store, never corpus text:\n$p")
+    }
+    // q205: folded QI cells only
+    val p205 = plan("q205_kanon_after_forget")
+    assert(p205.contains("graft_kanon_forget"),
+      s"q205 must fold the QI cell store:\n$p205")
+    assert(!p205.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"q205 must not rescan the corpus:\n$p205")
+    // q199: every landing evaluation is a partition-pruned store read +
+    // the doc_id spine — no text unroll at any pin
+    val p199 = plan("q199_containment_trend")
+    assert(p199.contains("graft_shingle_deltas4"),
+      s"q199 must serve off the trend delta store:\n$p199")
+    assert(!p199.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"q199 must not unroll corpus text:\n$p199")
+    assert(p199.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("batch_id")),
+      s"q199's pins must prune batch_id partitions at the scan:\n$p199")
+  }
+
   test("asset store: kind lands in PartitionFilters and payload pages are pruned off metadata reads") {
     graft.ops.Multimodal.buildAssetStore(spark, sf)
     // the decode queries scan ONE pruned kind partition, payload in schema

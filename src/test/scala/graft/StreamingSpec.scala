@@ -3191,4 +3191,58 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").distinct().count()
     assert(idxDocs === posDocs, "index must cover the whole grown corpus")
   }
+
+  test("self-maintaining LM sink: the hook folds at thresholds, clamps at a live pin, and serving stays bit-identical at head and pin") {
+    import graft.streaming.{CorpusStream, StoreCompaction}
+    val landing = tmpDir("graft-selfmaint-landing")
+    val deltas = tmpDir("graft-selfmaint-art") + "/deltas"
+    val checkpoint = tmpDir("graft-selfmaint-ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-selfmaint-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+
+    // a model release pinned at landing 3, registered BEFORE any
+    // maintenance can run — the hook must clamp to it forever after
+    StoreCompaction.registerPin(deltas, "release_3", 3L)
+
+    // 12 one-file landings drained as 12 micro-batches by ONE paced
+    // sink run; the hook runs the threshold policy after every batch
+    val nLand = 12
+    (0 until nLand).foreach { i =>
+      land(docs.filter(pmod(col("doc_id"), lit(nLand.toLong)) === lit(i.toLong)),
+        f"f$i%02d.parquet")
+    }
+    val pol = StoreCompaction.MaintenancePolicy(
+      minorAtDeltas = 4, keepLatestDeltas = 1, maxFilesPerBucket = 4, nBuckets = 4)
+    CorpusStream.lmCellSink(CorpusStream.readDocStreamPaced(spark, landing),
+      deltas, checkpoint, maintain = Some(pol)).awaitTermination()
+
+    // the hook folded (a base exists) but never crossed the live pin
+    val horizon = StoreCompaction.compactionHorizon(deltas)
+    assert(horizon.nonEmpty && horizon.get <= 3L,
+      s"the sink's folds must clamp at the live pin: horizon=$horizon")
+    val parts = new java.io.File(deltas).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    assert(parts.head === "batch_id=-1" &&
+      parts.tail.forall(_.stripPrefix("batch_id=").toLong > 3L),
+      s"pinned history must live in the base, post-pin landings as deltas: $parts")
+
+    def tbl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // head serving == the batch train over every landing
+    assert(tbl(CorpusStream.lmCountsFromDeltas(spark, deltas)) ===
+      tbl(CorpusStream.lmCells(docs)),
+      "self-maintained head serving must equal the batch train")
+    // pinned serving == the batch train over landings 0..3 only
+    assert(tbl(CorpusStream.lmCountsFromDeltas(spark, deltas, upto = 3L)) ===
+      tbl(CorpusStream.lmCells(docs.filter(pmod(col("doc_id"), lit(nLand.toLong)) <= 3L))),
+      "pinned serving must survive every hook-driven fold bit-identically")
+  }
 }
