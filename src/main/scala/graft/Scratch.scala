@@ -860,6 +860,24 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "wscdebug") {
+      // one-shot: what does the EXECUTED plan of the dimprobe scan shape
+      // actually contain?
+      graft.functions.VecDot.register(spark)
+      val base = spark.range(100000).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST(pmod(xxhash64(id, j), 2000) - 1000 AS DOUBLE) / 1000.0)").as("v"))
+        .localCheckpoint()
+      val qdf = base.filter(col("vec_id") < 8)
+        .select(col("v").as("qv"))
+      val df = base.crossJoin(broadcast(qdf))
+        .agg(sum(graft.functions.VecDot(col("v"), col("qv"))).as("s"))
+      df.head()
+      println("== executedPlan tree ==")
+      println(df.queryExecution.executedPlan.treeString)
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "dimprobe") {
       // Realistic-dimension vector kernels: the fixture embeds at dim 64,
       // but production embedding models ship 768/1536-dim rows. Verify on
@@ -889,18 +907,29 @@ object Scratch {
         base.count()
         val qdf = base.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"))
-        // codegen check AFTER execution (pre-execution the AQE plan is
-        // unfinalized) and via FORMATTED explain (the simple treeString
-        // renders WholeStageCodegen spans as `*(n)` prefixes, never the
-        // literal node name)
+        // codegen check AFTER execution, by walking the executed plan
+        // tree for actual WholeStageCodegenExec nodes — under AQE the
+        // explain strings (simple AND formatted) render the UNFINALIZED
+        // plan without codegen annotations even after the action ran,
+        // so string matching always reads NO-CODEGEN (the round-9
+        // false-alarm); the tree walk unwraps AdaptiveSparkPlanExec and
+        // the query-stage wrappers to the plan that really executed
+        def hasWsc(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            hasWsc(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            hasWsc(s.plan)
+          case _: org.apache.spark.sql.execution.WholeStageCodegenExec => true
+          case other => other.children.exists(hasWsc)
+        }
         def codegenTag(df: org.apache.spark.sql.DataFrame): String =
-          if (df.queryExecution
-              .explainString(org.apache.spark.sql.execution.FormattedMode)
-              .contains("WholeStageCodegen")) ""
-          else " [NO-CODEGEN]"
+          if (hasWsc(df.queryExecution.executedPlan)) "" else " [NO-CODEGEN]"
         def scan(name: String, c: org.apache.spark.sql.Column): Unit = {
+          // collect(), not head(): head() spawns a SEPARATE limited
+          // QueryExecution, so THIS df's AQE plan would never finalize
+          // and the codegen check would read the pre-collapse tree
           val df = base.crossJoin(broadcast(qdf)).agg(sum(c).as("s"))
-          time(s"dim$dim.$name") { df.head(); n * nQ }
+          time(s"dim$dim.$name") { df.collect(); n * nQ }
           println(s"dim$dim.$name codegen:${codegenTag(df).isEmpty}")
         }
         // warmup then measure (second run of each kernel is the number)
@@ -929,26 +958,30 @@ object Scratch {
           aggregate(transform(codesCol, r => r.getField("dist")),
             lit(0.0), _ + _).as("err"))
           .agg(sum(col("err")))
-        val encTree = encErr(codes)
         // the fused kernel (graft.functions.PqEncode) over the SAME
         // codebook — the wide-dim fix the tree baseline motivated; the
         // summed distances must agree bit-for-bit
         val cbMap = (0 until pqM).map(m => m -> cbRows.toSeq.map { case (k, cw) =>
           k -> cw.slice(m * 8, m * 8 + 8) }).toMap
-        val encKernel = encErr(graft.functions.PqEncode(col("v"), cbMap))
         // tree baseline timed at dim ≤ 768 only (one pass at 768 is
         // already ~220 s; at 1536 the measured-linear law prices it at
         // ~double — not worth re-paying); the kernel gets the two timed
         // passes everywhere, and tree ≡ kernel is asserted bit-for-bit
         // on a 1000-row slice at every width
         val treeRuns = dim match { case 64 => 2; case 768 => 1; case _ => 0 }
+        // a FRESH df per timed run: re-collecting one finalized AQE df
+        // reuses its cached exchange outputs (measured 0.04 s "reruns"),
+        // so each run gets its own QueryExecution like scan() does
         (1 to treeRuns).foreach { _ =>
-          time(s"dim$dim.pq_encode_tree_m$pqM") { encTree.head(); n }
+          time(s"dim$dim.pq_encode_tree_m$pqM") { encErr(codes).collect(); n }
         }
+        def kernelDf() = encErr(graft.functions.PqEncode(col("v"), cbMap))
         (1 to 2).foreach { _ =>
-          time(s"dim$dim.pq_encode_kernel_m$pqM") { encKernel.head(); n }
+          time(s"dim$dim.pq_encode_kernel_m$pqM") { kernelDf().collect(); n }
         }
-        println(s"dim$dim.pq_encode_kernel_m$pqM codegen:${codegenTag(encKernel).isEmpty}")
+        val tagged = kernelDf()
+        tagged.collect()
+        println(s"dim$dim.pq_encode_kernel_m$pqM codegen:${codegenTag(tagged).isEmpty}")
         val sliceDf = base.filter(col("vec_id") < 1000).localCheckpoint()
         def sliceErr(codesCol: org.apache.spark.sql.Column) = sliceDf.select(
           aggregate(transform(codesCol, r => r.getField("dist")),
