@@ -143,6 +143,20 @@ object Forget {
       keyCol: String = "doc_id"): ForgetReport =
     StoreCompaction.withLease(storeDir) {
       val root = new java.io.File(storeDir)
+      // crash recovery FIRST: a previous run that died between deleting
+      // the target partition and renaming its staged replacement leaves
+      // the only copy of the data in a dot-prefixed tmp dir that parquet
+      // discovery ignores — finish the interrupted swap (the staged
+      // write is complete iff _SUCCESS exists) or discard the partial
+      Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(".forget_tmp_"))
+        .foreach { tmp =>
+          val id = tmp.getName.stripPrefix(".forget_tmp_")
+          val part = new java.io.File(root, s"batch_id=$id")
+          if (!part.exists() && new java.io.File(tmp, "_SUCCESS").exists())
+            require(tmp.renameTo(part), s"forget recovery $tmp -> $part failed")
+          else StoreCompaction.deleteRecursively(tmp)
+        }
       val parts = StoreCompaction.partitionIds(root)
       if (parts.isEmpty) ForgetReport(0, 0, 0L)
       else {

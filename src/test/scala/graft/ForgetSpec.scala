@@ -113,6 +113,26 @@ class ForgetSpec extends AnyFunSuite {
 
     val rep2 = Forget.surgicalDelete(spark, store, Seq(2L).toDF("doc_id"))
     assert(rep2 === Forget.ForgetReport(4, 0, 0L), "second pass must be a no-op")
+
+    // crash recovery: a swap interrupted AFTER the target delete leaves
+    // the only copy staged — the next pass must finish the rename before
+    // doing anything else; an interrupted STAGING write (no _SUCCESS)
+    // must be discarded instead
+    val part1 = new java.io.File(s"$store/batch_id=1")
+    val tmp1 = new java.io.File(s"$store/.forget_tmp_1")
+    assert(part1.renameTo(tmp1), "simulate the crash window")
+    val rep3 = Forget.surgicalDelete(spark, store, Seq(999L).toDF("doc_id"))
+    assert(rep3 === Forget.ForgetReport(4, 0, 0L))
+    assert(part1.exists() && !tmp1.exists(),
+      "recovery must complete the interrupted swap")
+    assert(spark.read.parquet(store).count() === 4L)
+    val partial = new java.io.File(s"$store/.forget_tmp_9")
+    partial.mkdirs()
+    java.nio.file.Files.write(new java.io.File(partial, "part-x.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    Forget.surgicalDelete(spark, store, Seq(999L).toDF("doc_id"))
+    assert(!partial.exists() && !new java.io.File(s"$store/batch_id=9").exists(),
+      "an unfinished staging dir (no _SUCCESS) must be discarded")
   }
 
   test("k-anonymity forget: erasing members of a safe QI group flips it to suppressed, and the served audit equals the survivor recompute") {
