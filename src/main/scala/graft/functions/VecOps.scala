@@ -141,8 +141,10 @@ object VecSqDist {
   * codewords of the EXACT VecSqDist fold (index-order `acc += d*d`),
   * strict `<` with ascending codeword ids so ties keep the smallest id —
   * bit-identical to `array_min(array(struct(dist, k)...))` lexicographic
-  * semantics (distances are sums of squares, so -0.0 never occurs; an
-  * all-NaN subspace keeps id 0, as Spark's total order does).
+  * semantics (distances are sums of squares, so -0.0 never occurs; NaN
+  * follows Spark's total order — NaN sorts GREATEST, so a NaN running
+  * best is replaced by any later non-NaN distance, and only an all-NaN
+  * subspace keeps id 0).
   *
   * Children: the vector (array<double>), the flat codebook
   * (array<double>, laid out [m][k][subDim]), and the K ascending
@@ -187,7 +189,14 @@ case class PqEncode(vec: Expression, cb: Expression, kIds: Expression,
           acc += d * d
           i += 1
         }
-        if (k == 0 || acc < best) { best = acc; bestIdx = k }
+        // a NaN best is REPLACEABLE by any non-NaN distance: Spark's
+        // array_min struct order puts NaN greatest, so the tree form
+        // picks a later finite distance over a NaN at id 0 — `acc < best`
+        // alone would keep the NaN (NaN comparisons are false)
+        if (k == 0 || acc < best ||
+          (java.lang.Double.isNaN(best) && !java.lang.Double.isNaN(acc))) {
+          best = acc; bestIdx = k
+        }
         k += 1
       }
       out(m) = new GenericInternalRow(
@@ -227,7 +236,10 @@ case class PqEncode(vec: Expression, cb: Expression, kIds: Expression,
          |      double $d = $v.getDouble($m * $subDim + $i) - $c.getDouble($base + $i);
          |      $acc += $d * $d;
          |    }
-         |    if ($k == 0 || $acc < $best) { $best = $acc; $bestIdx = $k; }
+         |    if ($k == 0 || $acc < $best ||
+         |        (java.lang.Double.isNaN($best) && !java.lang.Double.isNaN($acc))) {
+         |      $best = $acc; $bestIdx = $k;
+         |    }
          |  }
          |  $out[$m] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{$m, $ks.getLong($bestIdx), $best});

@@ -208,7 +208,10 @@ object ForgetOps {
        |)
        |SELECT
        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS n_forgotten,
-       |  CAST(16 * (SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS idx_rows_removed,
+       |  -- derived from the bands CTE, not a 16x constant: a forgotten doc
+       |  -- with <3 shingles owns no band rows, and the report counts truth
+       |  CAST((SELECT COUNT(*) FROM bands WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS idx_rows_removed,
+       |  -- every landed doc gets exactly one decision row (disjoint landings)
        |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % $ForgetMod = $ForgetRes) AS BIGINT) AS dec_rows_removed,
        |  CAST((SELECT COUNT(*) FROM aff) AS BIGINT) AS n_reelected,
        |  CAST(0 AS BIGINT) AS idx_forgotten_left,

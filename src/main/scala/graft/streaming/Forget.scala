@@ -143,19 +143,26 @@ object Forget {
       keyCol: String = "doc_id"): ForgetReport =
     StoreCompaction.withLease(storeDir) {
       val root = new java.io.File(storeDir)
-      // crash recovery FIRST: a previous run that died between deleting
-      // the target partition and renaming its staged replacement leaves
-      // the only copy of the data in a dot-prefixed tmp dir that parquet
-      // discovery ignores — finish the interrupted swap (the staged
-      // write is complete iff _SUCCESS exists) or discard the partial
+      // crash recovery FIRST: a previous run that died mid-swap leaves
+      // the staged replacement in a dot-prefixed tmp dir that parquet
+      // discovery ignores. When the staged write is complete (_SUCCESS
+      // exists) ALWAYS finish the swap — deleting the target partition
+      // is not atomic, so a crash mid-delete leaves a PARTIAL partition
+      // beside a complete staged copy, and preferring the partition
+      // there would permanently lose the survivor rows its deleted
+      // files held. The staged copy is a complete valid replacement in
+      // every crash ordering (even pre-delete: swapping early just
+      // completes that partition's forget). No _SUCCESS → the staging
+      // write itself crashed; discard it, the partition is untouched.
       Option(root.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith(".forget_tmp_"))
         .foreach { tmp =>
           val id = tmp.getName.stripPrefix(".forget_tmp_")
           val part = new java.io.File(root, s"batch_id=$id")
-          if (!part.exists() && new java.io.File(tmp, "_SUCCESS").exists())
+          if (new java.io.File(tmp, "_SUCCESS").exists()) {
+            StoreCompaction.deleteRecursively(part)
             require(tmp.renameTo(part), s"forget recovery $tmp -> $part failed")
-          else StoreCompaction.deleteRecursively(tmp)
+          } else StoreCompaction.deleteRecursively(tmp)
         }
       val parts = StoreCompaction.partitionIds(root)
       if (parts.isEmpty) ForgetReport(0, 0, 0L)

@@ -58,16 +58,51 @@ object ForgetStream {
 
   /** One request batch's full fold — exposed so specs can pin replay
     * (same batchId re-run) as a no-op across every target store.
+    *
+    * Two commit protocols guard the crash windows:
+    *  - the ORDERING CONSTRAINT is enforced, not documented: every
+    *    requested id must resolve in `content` — an unresolvable id
+    *    means the content archive was erased FIRST (or the request is
+    *    bogus), additive negation is then impossible, and silently
+    *    landing nothing would under-erase forever. Fails loudly instead.
+    *  - negative delta partitions are stamped
+    *    [[StoreCompaction.ForgetCommittedName]] only AFTER the request
+    *    marker commits; maintenance folds skip unstamped negative
+    *    partitions, so a crash-before-marker + fold + checkpoint replay
+    *    can never double-subtract (the replay overwrites the still-
+    *    unfolded partition instead of re-landing beside folded rows).
+    *    A replay that finds the marker re-stamps (idempotent) to close
+    *    the crash window between marker and stamp.
     */
   def processBatch(batch: DataFrame, content: DataFrame,
       targets: ForgetTargets, markerRoot: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     new java.io.File(markerRoot).mkdirs()
     val marker = new java.io.File(markerRoot, s"_forget_$batchId")
-    if (marker.exists()) return
-    val ids = batch.select("doc_id").distinct().localCheckpoint()
-    val docs = content.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
     val part = ForgetBase - batchId
+    def stampCommitted(): Unit =
+      (targets.lmDeltaDir.toSeq ++
+        targets.divStores.toSeq.flatMap(t => Seq(t._1, t._2)))
+        .foreach { d =>
+          val p = new java.io.File(d, s"batch_id=$part")
+          if (p.isDirectory) {
+            new java.io.File(p, StoreCompaction.ForgetCommittedName).createNewFile()
+            ()
+          }
+        }
+    if (marker.exists()) { stampCommitted(); return }
+    val ids = batch.select("doc_id").distinct().localCheckpoint()
+    val missing = ids
+      .join(content.select("doc_id"), Seq("doc_id"), "left_anti")
+      .limit(6).collect().map(_.getLong(0))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"forget batch $batchId: requested doc_id(s) ${missing.mkString(", ")} " +
+          "do not resolve in the content archive — the archive must outlive " +
+          "every derived store (erase derived stores FIRST, content LAST); " +
+          "processing this request would silently under-erase the additive " +
+          "stores, so it refuses instead")
+    val docs = content.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
     targets.lmDeltaDir.foreach { dir =>
       Forget.forgetLmDocs(docs, dir, part)
       ()
@@ -88,6 +123,7 @@ object ForgetStream {
       ()
     }
     marker.createNewFile()
+    stampCommitted()
     ()
   }
 

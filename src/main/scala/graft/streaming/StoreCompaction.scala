@@ -213,6 +213,24 @@ object StoreCompaction {
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
       .map(_.getName.stripPrefix("batch_id=").toLong)
 
+  /** Sentinel a forget landing writes INSIDE its negative delta
+    * partition once its request marker has committed (see
+    * [[ForgetStream.processBatch]]). Underscore-prefixed → invisible to
+    * parquet readers, so serving is unaffected either way.
+    */
+  private[streaming] val ForgetCommittedName = "_FORGET_COMMITTED"
+
+  /** Folds must not touch a NEGATIVE-range forget delta whose request
+    * marker has not committed: the streamed forget replays on crash
+    * (overwriting its partition — idempotent), but a fold that already
+    * MOVED the uncommitted rows into the base would turn the replay's
+    * re-landing into a double-subtraction. Ordinary (≥ base) partitions
+    * are always foldable.
+    */
+  private def foldable(root: java.io.File, id: Long): Boolean =
+    id >= BasePartition ||
+      new java.io.File(root, s"batch_id=$id/$ForgetCommittedName").exists()
+
   private[streaming] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()
@@ -241,7 +259,8 @@ object StoreCompaction {
       else deleteRecursively(staging)
     }
     requirePinsAhead(storeDir, upto)
-    val ids = partitionIds(root).filter(id => id == BasePartition || id <= upto)
+    val ids = partitionIds(root)
+      .filter(id => (id == BasePartition || id <= upto) && foldable(root, id))
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     merge(spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
       .write.mode("overwrite").parquet(staging.getPath)
@@ -309,7 +328,8 @@ object StoreCompaction {
       else deleteRecursively(staging)
     }
     requirePinsAhead(storeDir, upto)
-    val ids = partitionIds(root).filter(id => id != BasePartition && id <= upto)
+    val ids = partitionIds(root)
+      .filter(id => id != BasePartition && id <= upto && foldable(root, id))
     if (ids.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*)
@@ -374,11 +394,15 @@ object StoreCompaction {
         if (eligible.size >= policy.minorAtDeltas) {
           val want = eligible.max
           val legal = maxFoldableUpto(storeDir, want)
-          val n =
-            if (eligible.exists(_ <= legal))
-              appendInto(spark, storeDir, legal, bucketCols, policy.nBuckets)
-            else 0L
-          (Some(legal), legal < want, n)
+          // minorUpto reports a fold that RAN: when pins clamp `legal`
+          // below every eligible delta no appendInto executes, and
+          // reporting Some(legal) would mislead an operator reading it
+          // as "folded up to batch N" — report None, clamp flag still set
+          if (eligible.exists(_ <= legal))
+            (Some(legal),
+              legal < want,
+              appendInto(spark, storeDir, legal, bucketCols, policy.nBuckets))
+          else (None, legal < want, 0L)
         } else (None, false, 0L)
       val rewritten = compactBaseBuckets(spark, storeDir, policy.maxFilesPerBucket)
       MaintenanceReport(deltas.size, upto, clamped, appended, rewritten)

@@ -367,4 +367,92 @@ class ForgetSpec extends AnyFunSuite {
     val changed = fresh.filter(col("dup_of").isin(forgotten.toSeq: _*)).count()
     assert(changed === 0L, "no survivor may still point at a forgotten doc")
   }
+
+  test("surgicalDelete recovery: a crash MID-partition-delete (partial partition beside a complete staged copy) restores the staged copy, losing no survivor rows") {
+    val store = tmpDir("graft-forget-middelete") + "/store"
+    // the partition holds two files; the staged replacement (post-forget:
+    // doc 2 removed) is complete with _SUCCESS
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v").repartition(2)
+      .write.parquet(s"$store/batch_id=0")
+    Seq((1L, "a"), (3L, "c")).toDF("doc_id", "v").coalesce(1)
+      .write.parquet(s"$store/.forget_tmp_0")
+    assert(new java.io.File(s"$store/.forget_tmp_0/_SUCCESS").exists(),
+      "fixture: the staged write must be complete")
+    // simulate the crash landing mid-delete: ONE of the partition's data
+    // files is already gone, the other (and the dir) remain
+    val part = new java.io.File(s"$store/batch_id=0")
+    val dataFiles = part.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length === 2, "fixture needs a multi-file partition")
+    assert(dataFiles.head.delete())
+
+    Forget.surgicalDelete(spark, store, Seq(999L).toDF("doc_id"))
+    val left = spark.read.parquet(store).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(left === Seq((1L, "a"), (3L, "c")),
+      "recovery must prefer the complete staged copy over the partial partition")
+    assert(!new java.io.File(s"$store/.forget_tmp_0").exists())
+  }
+
+  test("maintenance folds skip a negative forget partition until its request marker commit is stamped — the double-subtraction crash window is closed") {
+    val lm = tmpDir("graft-forget-uncommitted") + "/lm"
+    val d = docs.localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    CorpusStream.writeLmDelta(d.filter(col("doc_id") < cut), lm, 0L)
+    CorpusStream.writeLmDelta(d.filter(col("doc_id") >= cut), lm, 1L)
+    // a forget landing whose request marker has NOT committed (crash
+    // window): the negative partition exists, no sentinel stamped
+    val forgotten = d.filter(forgetPred)
+    Forget.forgetLmDocs(forgotten, lm, -1001L)
+    val expected = lmMap(CorpusStream.lmCells(d.filter(!forgetPred)))
+
+    StoreCompaction.appendInto(spark, lm, upto = 1L, bucketCols = Seq("w1"))
+    assert(new java.io.File(s"$lm/batch_id=-1001").isDirectory,
+      "an uncommitted negative partition must survive the fold")
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) === expected,
+      "serving still folds the uncommitted delta (readers are unaffected)")
+    // the crash replay: re-land the SAME negative partition (overwrite) —
+    // because the fold skipped it, this is idempotent, not a double-subtract
+    Forget.forgetLmDocs(forgotten, lm, -1001L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) === expected,
+      "a replayed uncommitted forget landing must not double-subtract")
+    // marker commits -> the stamp makes the partition foldable
+    new java.io.File(s"$lm/batch_id=-1001/" +
+      "_FORGET_COMMITTED").createNewFile()
+    StoreCompaction.appendInto(spark, lm, upto = 1L, bucketCols = Seq("w1"))
+    assert(!new java.io.File(s"$lm/batch_id=-1001").exists(),
+      "a stamped forget partition folds like any other delta")
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) === expected,
+      "the negation survives the fold")
+  }
+
+  test("forget ordering is enforced: ids that do not resolve in the content archive fail loudly instead of silently under-erasing") {
+    import graft.streaming.ForgetStream
+    import graft.streaming.ForgetStream.ForgetTargets
+    val root = tmpDir("graft-forget-ordering")
+    val lm = s"$root/lm"
+    val d = docs.localCheckpoint()
+    CorpusStream.writeLmDelta(d, lm, 0L)
+    // the erase-archive-FIRST mistake: the content frame no longer holds
+    // the requested ids (they were already deleted from the archive)
+    val archiveErased = d.filter(!forgetPred)
+    val ex = intercept[IllegalStateException] {
+      ForgetStream.processBatch(d.filter(forgetPred).select("doc_id"),
+        archiveErased, ForgetTargets(lmDeltaDir = Some(lm)),
+        s"$root/markers", batchId = 0L)
+    }
+    assert(ex.getMessage.contains("content archive"),
+      s"the refusal must name the ordering constraint, got: ${ex.getMessage}")
+    assert(!new java.io.File(s"$root/markers/_forget_0").exists(),
+      "a refused request must not commit its marker")
+    assert(!new java.io.File(s"$lm/batch_id=-1000").exists(),
+      "a refused request must land nothing")
+    // the correct ordering still works and serves the survivor retrain
+    ForgetStream.processBatch(d.filter(forgetPred).select("doc_id"), d,
+      ForgetTargets(lmDeltaDir = Some(lm)), s"$root/markers", batchId = 0L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) ===
+      lmMap(CorpusStream.lmCells(d.filter(!forgetPred))))
+    assert(new java.io.File(s"$lm/batch_id=-1000/_FORGET_COMMITTED").exists(),
+      "the commit stamp must land with the marker")
+  }
 }

@@ -743,6 +743,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode kernel: NaN distances follow Spark's total order — a NaN running best is replaced by a later finite distance; all-NaN keeps id 0") {
+    graft.functions.VecDot.register(spark)
+    import spark.implicits._
+    // codeword id 0 carries a NaN coordinate, so its distance is NaN for
+    // every finite vector — the argmin must NOT keep it (`acc < best` is
+    // false against NaN); and a NaN vector makes every distance NaN, where
+    // the smallest id wins like array_min's struct order
+    val cb = Map(0 -> Seq(
+      0L -> Seq(Double.NaN, 0.0),
+      1L -> Seq(100.0, 100.0),
+      2L -> Seq(0.5, 0.5)))
+    val df = Seq(
+      (0L, Seq(0.5, 0.5)),
+      (1L, Seq(Double.NaN, 1.0))).toDF("vec_id", "v").localCheckpoint()
+    def snap(c: org.apache.spark.sql.Column) = df
+      .select(col("vec_id"), c.as("codes"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(cr => (cr.getInt(0),
+          cr.getLong(1),
+          java.lang.Double.doubleToRawLongBits(cr.getDouble(2))))).toMap
+    val tree = snap(graft.ops.Similarity.encodeLitTree(col("v"), cb, 1, 2))
+    val kernel = snap(graft.functions.PqEncode(col("v"), cb))
+    assert(kernel === tree, "NaN semantics must match the pinned tree form")
+    assert(kernel(0L).head._2 === 2L, "finite vector must skip the NaN codeword")
+    assert(kernel(1L).head._2 === 0L, "all-NaN keeps the smallest codeword id")
+  }
+
   test("autoBandBits: the mmprobe operating rule is the default, and planted-family recall is width-structural") {
     // the occupancy rule: narrowest divisor-of-60 width with ≤ ½ doc per
     // band bucket (n ≤ 2^(bits−1))

@@ -1660,6 +1660,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(StoreCompaction.compactionHorizon(deltas) === Some(2L))
   }
 
+  test("maintenance report honesty: a pin clamping below every eligible delta folds nothing and reports minorUpto=None (clamp flag still set)") {
+    import graft.streaming.{CorpusStream, StoreCompaction}
+    import StoreCompaction.{MaintenancePolicy, maintain}
+    val deltas = tmpDir("graft-maint-honest") + "/deltas"
+    val docs = Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    // four landings 10..13, pin at 5 — every eligible delta is past the pin
+    (10 to 13).foreach(k => CorpusStream.writeLmDelta(
+      docs.filter(pmod(col("doc_id"), lit(4L)) === lit((k - 10).toLong)),
+      deltas, k.toLong))
+    StoreCompaction.registerPin(deltas, "rel", 5L)
+    val before = new java.io.File(deltas).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    val rep = maintain(spark, deltas,
+      Seq("w1"), MaintenancePolicy(minorAtDeltas = 2, keepLatestDeltas = 1))
+    assert(rep.minorUpto === None,
+      "no appendInto ran, so the report must not claim a fold boundary")
+    assert(rep.clampedByPins, "the wanted fold WAS clamped — flag stays")
+    assert(rep.filesAppended === 0L)
+    assert(new java.io.File(deltas).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq === before,
+      "a fully-clamped pass must not move a partition")
+  }
+
   test("maintenance policy: threshold-driven passes converge a long landing sequence with serving bit-identical, pin-clamped, bounded base files") {
     import graft.streaming.{CorpusStream, StoreCompaction}
     import StoreCompaction.{MaintenancePolicy, maintain}
