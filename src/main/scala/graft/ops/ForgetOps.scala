@@ -399,5 +399,376 @@ object ForgetOps {
       Forget.kAnonCellsAfterForget(s, store))
   }
 
-  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205)
+  // ── round 10: the erasure loop closed over EVERY content-bearing store ──
+
+  private val survivorAnd = s"AND doc_id % $ForgetMod <> $ForgetRes"
+
+  // ── q206: containment trend AFTER forgetting (shingle-index family) ──
+
+  def trendForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_trend_forget_v1_${storeKey(dir, "trendforget")}"
+
+  /** Four quartile landings of the shingle-index trend store (q199's
+    * exact build), the trend-history pin registered, then the forget
+    * set surgically deleted from every landing — erasure MUTATES pinned
+    * history by design (legal erasure outranks bit-identical time
+    * travel; the pin keeps the slices servable, their VALUES change
+    * where the forgotten docs contributed). Idempotent
+    * (marker-committed). Returns (deltaDir, bounds).
+    */
+  def buildTrendForgetStore(s: SparkSession, dir: String): (String, Seq[Long]) = {
+    val root = trendForgetStorePath(dir)
+    val deltas = s"$root/deltas"
+    val d = docs(s, dir)
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val bounds = Seq(q, 2 * q, 3 * q, Long.MaxValue)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      bounds.zipWithIndex.foreach { case (hi, k) =>
+        val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+        graft.streaming.ScrubStream.writeShingleDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      graft.streaming.StoreCompaction.registerPin(deltas, "trend_history", 0L)
+      Forget.surgicalDelete(s, deltas, d.filter(forgottenPred).select("doc_id"))
+      marker.createNewFile()
+    }
+    (deltas, bounds)
+  }
+
+  /** q206 — containment trend AFTER FORGETTING: the q199 trend store is
+    * "pinned history" and therefore erasure-hostile BY DESIGN — this
+    * query proves the resolution: a surgical delete removes the
+    * forgotten docs' (h, doc_id) rows from every landing (only
+    * partitions holding one are rewritten), the history pin stays live
+    * and servable, and the full containment-over-time trend re-serves
+    * at survivor-exact values at EVERY pin. Oracle: q199's four-landing
+    * SQL over the surviving corpus. The identity-store erasure law on
+    * the shingle-index family — the same mechanics cover the q185
+    * serving index and the q198 release-delta store (one row shape).
+    */
+  val q206 = Q("q206_trend_forget",
+    Dedup.q199.oracle.get.replace(
+      "doc_id >= 50", s"doc_id >= 50 $survivorAnd")) { (s, dir) =>
+    val (deltas, bounds) = buildTrendForgetStore(s, dir)
+    graft.streaming.ScrubStream.containmentTrend(
+      s, deltas, docs(s, dir).filter(!forgottenPred), bounds)
+  }
+
+  // ── q207: scrub verdict store AFTER forgetting ────────────────────────
+
+  def scrubForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_scrub_forget_v1_${storeKey(dir, "scrubforget")}"
+
+  /** Two id-ordered scrub-store landings (the streaming sink's batch
+    * path), then the forget set surgically deleted. Idempotent.
+    */
+  def buildScrubForgetStore(s: SparkSession, dir: String): String = {
+    val root = scrubForgetStorePath(dir)
+    val rows = s"$root/rows"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      val benchRoot = graft.streaming.ScrubStream.buildBenchArtifact(s, dir)
+      val bench = s.read.parquet(s"$benchRoot/hashes").localCheckpoint()
+      val corpus = docs(s, dir).filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("text"), col("source"))
+      val cut = corpus.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+        case (p, b) =>
+          graft.streaming.ScrubStream.batchScrub(corpus.filter(p), bench)
+            .write.mode("overwrite").parquet(s"$rows/batch_id=$b")
+      }
+      Forget.surgicalDelete(s, rows,
+        docs(s, dir).filter(forgottenPred).select("doc_id"))
+      marker.createNewFile()
+    }
+    rows
+  }
+
+  /** q207 — the decontamination dashboard AFTER FORGETTING: the scrub
+    * verdict store (per-doc rows q141 serves off) erases by surgical
+    * partition delete, and the per-source contamination report then
+    * equals the batch scrub chain run on the surviving corpus — the
+    * GDPR path for the q136-q143 family (verdict rows are doc-derived
+    * content: token counts, scrubbed fingerprints). Zero corpus or
+    * benchmark rescans: erasure cost is the affected verdict partitions.
+    */
+  val q207 = Q("q207_scrub_forget",
+    Dedup.q141.oracle.get
+      .replace("AND doc_id >= 50", s"AND doc_id >= 50 $survivorAnd")
+      // the scrub CTE's doc spine has its own corpus bound
+      .replace("WHERE c.doc_id >= 50",
+        s"WHERE c.doc_id >= 50 AND c.doc_id % $ForgetMod <> $ForgetRes")) {
+    (s, dir) =>
+      val rows = buildScrubForgetStore(s, dir)
+      Dedup.scrubReport(s.read.parquet(rows))
+  }
+
+  // ── q208: embedding history + semantic decisions AFTER forgetting ─────
+
+  def semanticForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_sem_forget_v1_${storeKey(dir, "semforget")}"
+
+  /** Two id-ordered landings of the streamed SemDeDup store pair
+    * (history vectors + scoreBatch decisions, clusters assigned by the
+    * q104 learned quantizer treated as FROZEN), then the forget pass
+    * ([[graft.streaming.Forget.reelectSemanticStores]]). Idempotent.
+    * Returns (historyDir, decisionsDir).
+    */
+  def buildSemanticForgetStore(s: SparkSession, dir: String): (String, String) = {
+    val root = semanticForgetStorePath(dir)
+    val (hist, dec) = (s"$root/history", s"$root/decisions")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val e = Catalog.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("v"))
+        .localCheckpoint()
+      val asg = graft.ops.Similarity
+        .semanticDedup(e, k = graft.ops.Similarity.SemK, maxIters = 2)
+        .select("vec_id", "cluster")
+      val m = e.join(asg, Seq("vec_id"))
+        .select("vec_id", "cluster", "v").localCheckpoint()
+      val cut = m.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val b0 = m.filter(col("vec_id") < cut).localCheckpoint()
+      val b1 = m.filter(col("vec_id") >= cut).localCheckpoint()
+      b0.write.mode("overwrite").parquet(s"$hist/batch_id=0")
+      b1.write.mode("overwrite").parquet(s"$hist/batch_id=1")
+      graft.streaming.EmbeddingStream.scoreBatch(b0, b0.filter(lit(false)))
+        .write.mode("overwrite").parquet(s"$dec/batch_id=0")
+      graft.streaming.EmbeddingStream.scoreBatch(b1, b0)
+        .write.mode("overwrite").parquet(s"$dec/batch_id=1")
+      Forget.reelectSemanticStores(s, hist, dec,
+        m.filter(forgottenVecPred).select("vec_id"))
+      marker.createNewFile()
+    }
+    (hist, dec)
+  }
+
+  private def forgottenVecPred =
+    pmod(col("vec_id"), lit(ForgetMod)) === lit(ForgetRes)
+
+  /** q208 — SEMANTIC DEDUP AFTER FORGETTING: erasing vectors from the
+    * streamed SemDeDup stores (the literal embeddings leave disk —
+    * derived content is as identifying as the text) with
+    * cluster-bounded keeper re-election must reproduce q104's learned-
+    * cluster dedup computed from scratch on the surviving vectors —
+    * a forgotten semantic keeper's near-duplicates re-point at the
+    * earliest surviving cluster member. The quantizer stays FROZEN
+    * (erasure governs serving stores; its k aggregate centroids retain
+    * no per-vector content, and retraining is q132's rebuild trigger's
+    * job), so the oracle assigns clusters over the full table and
+    * re-elects among survivors. Work is bounded by the affected
+    * clusters' occupancy — never a corpus re-embed.
+    */
+  val q208 = Q("q208_semantic_forget",
+    graft.ops.Similarity.q104.oracle.get.replace(
+      "FROM asg2 a JOIN e ON a.vec_id = e.vec_id",
+      s"FROM asg2 a JOIN e ON a.vec_id = e.vec_id " +
+        s"WHERE a.vec_id % $ForgetMod <> $ForgetRes")) { (s, dir) =>
+    val (_, dec) = buildSemanticForgetStore(s, dir)
+    s.read.parquet(dec)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("max_prior_sim"), col("dup_of"), col("is_semantic_dup"))
+      .orderBy("vec_id")
+  }
+
+  // ── q209: span window store AFTER forgetting (MIN re-election) ────────
+
+  def spanForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_span_forget_v1_${storeKey(dir, "spanforget")}"
+
+  /** Two id-ordered span-cell landings, then the first-occurrence
+    * re-election forget pass. Idempotent. Returns the delta dir.
+    */
+  def buildSpanForgetStore(s: SparkSession, dir: String): String = {
+    val root = spanForgetStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "text")
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeSpanDelta(d.filter(col("doc_id") < cut), deltas, 0L)
+      CorpusStream.writeSpanDelta(d.filter(col("doc_id") >= cut), deltas, 1L)
+      Forget.forgetSpanCells(s, deltas, d.filter(forgottenPred),
+        d.filter(!forgottenPred), correctiveId = 2L)
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q209 — SPAN SCRUB AFTER FORGETTING: the window store's `first_key`
+    * is a MIN over occurrences, NOT sum-negatable — a forgotten doc that
+    * held a window's first occurrence must hand the attribution to the
+    * earliest SURVIVING occurrence, or every survivor's scrub plan cuts
+    * against a ghost. [[graft.streaming.Forget.forgetSpanCells]]
+    * surgically deletes the affected hashes' rows and lands survivor-
+    * recomputed cells for exactly those hashes; the served q182 plan for
+    * the survivors then equals the batch plan over the surviving corpus
+    * — keep-first dedup with the ghosts genuinely gone (a span that was
+    * only duplicated against forgotten content is no longer cut).
+    */
+  val q209 = Q("q209_span_forget",
+    graft.ops.Mining.q182.oracle.get.replace(
+      "FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes)")) {
+    (s, dir) =>
+      val deltas = buildSpanForgetStore(s, dir)
+      CorpusStream.spanScrubFromDeltas(s, deltas,
+        docs(s, dir).filter(!forgottenPred).select("doc_id", "text"))
+  }
+
+  // ── q210: CDC chunk store AFTER forgetting (negative cells) ───────────
+
+  def cdcForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cdc_forget_v1_${storeKey(dir, "cdcforget")}"
+
+  /** Two id-ordered CDC landings on both stores, then the negative
+    * forget landing. Idempotent. Returns (chunkDir, docDir).
+    */
+  def buildCdcForgetStore(s: SparkSession, dir: String): (String, String) = {
+    val root = cdcForgetStorePath(dir)
+    val (chunks, nd) = (s"$root/chunks", s"$root/docs")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeCdcDelta(d.filter(col("doc_id") < cut), chunks, nd, 0L)
+      CorpusStream.writeCdcDelta(d.filter(col("doc_id") >= cut), chunks, nd, 1L)
+      Forget.forgetCdcDocs(d.filter(forgottenPred), chunks, nd, 2L)
+      marker.createNewFile()
+    }
+    (chunks, nd)
+  }
+
+  /** q210 — CDC DUPLICATION AFTER FORGETTING: chunk instance counts are
+    * SUM cells and the chunk length `ln` is a constant attribute of the
+    * fp (same content → same chunk), so CDC erasure is ONE negative
+    * landing per store — no re-election, the insight that keeps this
+    * family additive. Chunks whose count folds to zero are tombstones
+    * the serve path drops (and negative folds refuse); the per-source
+    * duplication report then equals a re-chunk of the surviving corpus.
+    * A doc whose chunks were only duplicated against forgotten content
+    * correctly stops counting as duplicated.
+    */
+  val q210 = Q("q210_cdc_forget",
+    Dedup.q171.oracle.get.replace(
+      "FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes)")) {
+    (s, dir) =>
+      val (chunks, nd) = buildCdcForgetStore(s, dir)
+      CorpusStream.cdcReportFromDeltas(s, chunks, nd)
+  }
+
+  // ── q211: window-majority (code-switch) store AFTER forgetting ────────
+
+  def csForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cs_forget_v1_${storeKey(dir, "csforget")}"
+
+  /** Two id-ordered window-majority landings, then the surgical delete.
+    * Idempotent. Returns the delta dir.
+    */
+  def buildCsForgetStore(s: SparkSession, dir: String): String = {
+    val root = csForgetStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text")
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      CorpusStream.writeCsDelta(d.filter(col("doc_id") < cut), deltas, 0L)
+      CorpusStream.writeCsDelta(d.filter(col("doc_id") >= cut), deltas, 1L)
+      Forget.surgicalDelete(s, deltas,
+        d.filter(forgottenPred).select("doc_id"))
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q211 — CODE-SWITCH SEGMENTATION AFTER FORGETTING: the window-
+    * majority store's rows are pure per-doc derived content ((doc, w,
+    * lang) — a doc's windows never depend on other docs), so erasure is
+    * the plain identity surgical delete and the served q195 segmentation
+    * over the survivors equals the batch recompute exactly. The simplest
+    * store family in the erasure taxonomy — pinned so the wiring exists
+    * and stays covered, not because the math is deep.
+    */
+  val q211 = Q("q211_cs_forget",
+    graft.ops.TextOps.q195.oracle.get.replace(
+      "FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes)")) {
+    (s, dir) =>
+      val deltas = buildCsForgetStore(s, dir)
+      CorpusStream.codeSwitchFromDeltas(s, deltas,
+        docs(s, dir).filter(!forgottenPred).select("doc_id"))
+  }
+
+  // ── q212: asset store AFTER forgetting (the payload bytes leave) ──────
+
+  def assetForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_asset_forget_v1_${storeKey(dir, "assetforget")}"
+
+  /** A private copy of the multimodal asset store (kind-partitioned
+    * payload binaries), then the forget set's payload rows surgically
+    * deleted — `partCol = "kind"`, proving the surgical mechanics on a
+    * non-batchId partitioning. Idempotent. Returns the store path.
+    */
+  def buildAssetForgetStore(s: SparkSession, dir: String): String = {
+    val root = assetForgetStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      s.read.parquet(graft.ops.Multimodal.buildAssetStore(s, dir))
+        .repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite").parquet(root)
+      Forget.surgicalDelete(s, root,
+        docs(s, dir).filter(forgottenPred).select("doc_id"),
+        partCol = "kind")
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** q212 — ASSET-STORE ERASURE AUDIT: the round-9 verdict's sharpest
+    * compliance gap — "nothing ever deletes the payload bytes" — closed
+    * and audited: after the surgical delete, every payload family holds
+    * exactly the surviving docs' rows (count + id mass) and a recount of
+    * forgotten ids is ZERO across all six kinds. The literal bytes are
+    * gone from disk (partition rewrite, not a mask); the spec pins that
+    * surviving payloads are bit-identical to a rebuild on survivors. At
+    * 100 TB the store would partition by (kind, batch) so the rewrite
+    * touches only affected batches; the kind-level fixture proves the
+    * generalized partCol mechanics.
+    */
+  val q212 = Q("q212_asset_forget_audit",
+    s"""WITH s AS (SELECT doc_id FROM documents WHERE doc_id % $ForgetMod <> $ForgetRes),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |  FROM s
+       |)
+       |SELECT k.kind, a.n_rows, a.sum_doc_id,
+       |  CAST(0 AS BIGINT) AS n_forgotten_left
+       |FROM (VALUES ('bmp2x1'), ('grid_bmp'), ('grid_bmp_sparse'),
+       |  ('wav4'), ('wav64'), ('wav64_sparse')) k(kind)
+       |CROSS JOIN agg a
+       |ORDER BY k.kind""".stripMargin) { (s, dir) =>
+    val store = buildAssetForgetStore(s, dir)
+    val fIds = docs(s, dir).filter(forgottenPred).select("doc_id")
+    val assets = s.read.parquet(store)
+    val left = assets.join(broadcast(fIds), Seq("doc_id"), "left_semi")
+      .groupBy("kind").agg(count(lit(1)).as("n_left"))
+    assets.groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("sum_doc_id"))
+      .join(left, Seq("kind"), "left")
+      .select(col("kind"), col("n_rows"), col("sum_doc_id"),
+        coalesce(col("n_left"), lit(0L)).as("n_forgotten_left"))
+      .orderBy("kind")
+  }
+
+  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205,
+    q206, q207, q208, q209, q210, q211, q212)
 }

@@ -136,10 +136,28 @@ object CorpusStream {
 
   /** Serve the q163 eval table off the folded cells alone — bit-equal
     * to batch q163 over the union of landings (StreamingSpec-pinned).
+    * Bands folded to zero docs are forget tombstones
+    * ([[Forget.forgetSumCells]]) and are dropped; negative folds refuse.
     */
   def evalTableFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
     graft.ops.Mining.evalTableFromCells(spark,
-      spark.read.parquet(deltaDir).select("band", "n_docs", "n_keep"))
+      guardedFold(spark.read.parquet(deltaDir), Seq("band"),
+        Seq("n_docs", "n_keep"), "n_docs"))
+
+  /** Shared tombstone discipline for SUM-cell stores under erasure:
+    * fold the cells, REFUSE a negative count (a forget delta landed for
+    * docs the store never counted), drop zero-count tombstones.
+    */
+  private def guardedFold(cells: DataFrame, keys: Seq[String],
+      sums: Seq[String], countCol: String): DataFrame =
+    cells.groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head)).cast("long").as(sums.head),
+        sums.tail.map(c => sum(col(c)).cast("long").as(c)): _*)
+      .withColumn(countCol,
+        when(col(countCol) < 0, raise_error(lit(
+          s"store folded a NEGATIVE $countCol — a forget delta was landed " +
+            "for docs this store never counted"))).otherwise(col(countCol)))
+      .filter(col(countCol) > 0)
 
   /** Eval-store retention: the fold algebra is the serving algebra. */
   def compactEvalDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
@@ -352,7 +370,8 @@ object CorpusStream {
     */
   def reweightingFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
     graft.ops.Mining.mwTableFromCells(
-      spark.read.parquet(deltaDir).select("source", "n_docs", "loss_sum"))
+      guardedFold(spark.read.parquet(deltaDir), Seq("source"),
+        Seq("n_docs", "loss_sum"), "n_docs"))
 
   /** MW-store retention: the fold algebra is the serving algebra. */
   def compactMwDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
@@ -595,15 +614,27 @@ object CorpusStream {
       .start()
 
   /** The q171 report off the folded stores alone — bit-equal to batch
-    * q171 over the union of landings (StreamingSpec-pinned).
+    * q171 over the union of landings (StreamingSpec-pinned). Chunks
+    * whose instance count folds to ZERO are forget tombstones
+    * ([[Forget.forgetCdcDocs]]' negative landings) and are dropped;
+    * a NEGATIVE fold means a forget delta was landed for docs the store
+    * never chunked — refuse loudly (the LM-store law).
     */
   def cdcReportFromDeltas(spark: SparkSession, chunkDir: String,
       docDir: String): DataFrame = {
-    val cells = spark.read.parquet(chunkDir)
+    def guarded(df: DataFrame, c: String) = df
+      .withColumn(c, when(col(c) < 0, raise_error(concat(lit(
+        s"store folded a NEGATIVE $c — a forget delta was landed for " +
+          "docs this store never counted"), lit(" "), col("source"))))
+        .otherwise(col(c)))
+      .filter(col(c) > 0)
+    val cells = guarded(spark.read.parquet(chunkDir)
       .groupBy("fp", "source")
-      .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln"))
-    val nd = spark.read.parquet(docDir)
-      .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs"))
+      .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln")),
+      "n")
+    val nd = guarded(spark.read.parquet(docDir)
+      .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs")),
+      "n_docs")
     graft.ops.Dedup.cdcReportFromCells(cells, nd)
   }
 

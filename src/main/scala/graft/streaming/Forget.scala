@@ -133,14 +133,17 @@ object Forget {
   }
 
   /** Surgically delete every row whose `keyCol` is in `ids` from a
-    * per-batchId store: ONE column-pruned detection pass finds the
+    * partitioned store: ONE column-pruned detection pass finds the
     * affected partitions (base partition included), then only those are
     * rewritten, each via staged write + swap under the store lease.
     * Partitions without a forgotten row are never touched — the property
     * that makes erasure affordable on a store with years of landings.
+    * `partCol` generalizes beyond per-batchId stores (the asset store
+    * partitions by payload `kind`); values are handled as their directory
+    * string form, so long and string partition columns both work.
     */
   def surgicalDelete(spark: SparkSession, storeDir: String, ids: DataFrame,
-      keyCol: String = "doc_id"): ForgetReport =
+      keyCol: String = "doc_id", partCol: String = "batch_id"): ForgetReport =
     StoreCompaction.withLease(storeDir) {
       val root = new java.io.File(storeDir)
       // crash recovery FIRST: a previous run that died mid-swap leaves
@@ -158,24 +161,26 @@ object Forget {
         .filter(f => f.isDirectory && f.getName.startsWith(".forget_tmp_"))
         .foreach { tmp =>
           val id = tmp.getName.stripPrefix(".forget_tmp_")
-          val part = new java.io.File(root, s"batch_id=$id")
+          val part = new java.io.File(root, s"$partCol=$id")
           if (new java.io.File(tmp, "_SUCCESS").exists()) {
             StoreCompaction.deleteRecursively(part)
             require(tmp.renameTo(part), s"forget recovery $tmp -> $part failed")
           } else StoreCompaction.deleteRecursively(tmp)
         }
-      val parts = StoreCompaction.partitionIds(root)
+      val parts = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+        .map(_.getName.stripPrefix(s"$partCol="))
       if (parts.isEmpty) ForgetReport(0, 0, 0L)
       else {
         val keys = ids.select(col(ids.columns.head).as(keyCol))
         // detection: key column only (parquet prunes the rest)
         val affected = spark.read.parquet(storeDir)
-          .select(col(keyCol), col("batch_id").cast("long").as("batch_id"))
+          .select(col(keyCol), col(partCol).cast("string").as("__part"))
           .join(keys, Seq(keyCol), "left_semi")
-          .groupBy("batch_id").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .groupBy("__part").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         affected.keys.toSeq.sorted.foreach { id =>
-          val part = new java.io.File(root, s"batch_id=$id")
+          val part = new java.io.File(root, s"$partCol=$id")
           val tmp = new java.io.File(root, s".forget_tmp_$id")
           StoreCompaction.deleteRecursively(tmp)
           spark.read.parquet(part.getPath)
@@ -363,5 +368,183 @@ object Forget {
       .foldLeft(-1L)(math.max) + 1L
     verdicts.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$nextId")
     BandForgetReport(idxRep, decRep, verdicts.count(), nextId)
+  }
+
+  // ── generic SUM-cell erasure: any add-mergeable store negates ─────────
+
+  /** One add-mergeable cell store's erasure wiring: `cells` is the
+    * store's own per-batch cell kernel (the EXACT function its sink
+    * writes with — eval/feature/MW/occupancy cells), `negCols` the
+    * additive measures to negate. Forgetting lands `cells(forgotten)`
+    * with every measure negated — the q200/q203/q205 law generalized to
+    * the whole SUM-cell family: the fold algebra makes every served
+    * table equal a recompute on the survivors, at O(|forgotten-cells|)
+    * append cost, zero store rewrites.
+    */
+  case class SumCellTarget(deltaDir: String, negCols: Seq[String],
+      cells: DataFrame => DataFrame)
+
+  /** The three corpus cell stores beyond LM/diversity/k-anonymity whose
+    * sinks [[CorpusStream]] maintains — ready-made erasure targets.
+    */
+  def evalCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("n_docs", "n_keep"), graft.ops.Mining.evalCells)
+  def featureCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("tgt1_n", "tgt_n", "raw_n"), CorpusStream.featureCells)
+  def mwCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("n_docs", "loss_sum"), graft.ops.Mining.mwCells)
+
+  /** Land the negative cell delta for `forgotten` docs on a generic
+    * SUM-cell store. Serving reads need no change (negatives fold);
+    * families whose semantics require dropping zero cells add the
+    * tombstone filter at their serve path (the LM/k-anon pattern).
+    */
+  def forgetSumCells(forgotten: DataFrame, t: SumCellTarget,
+      batchId: Long): Unit = {
+    val c = t.cells(forgotten)
+    c.select(c.columns.map(n =>
+        if (t.negCols.contains(n)) (-col(n)).as(n) else col(n)): _*)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${t.deltaDir}/batch_id=$batchId")
+    ()
+  }
+
+  // ── CDC chunk stores: negative cells + zero-count tombstones ──────────
+
+  /** Forget `forgotten` docs from the CDC chunk-cell + doc-count store
+    * pair: both measures are SUM cells (`ln` is a constant attribute of
+    * the chunk fp — the same content hashes to the same chunk — so the
+    * negative delta carries the identical `ln` and the MIN fold is
+    * untouched), making CDC erasure ONE negative landing per store.
+    * Chunks whose instance count folds to zero are tombstones;
+    * [[CorpusStream.cdcReportFromDeltas]] drops them and refuses
+    * negative folds, so the served report equals a re-chunk of the
+    * surviving corpus exactly.
+    */
+  def forgetCdcDocs(forgotten: DataFrame, chunkDir: String, docDir: String,
+      batchId: Long): Unit = {
+    val ex = graft.ops.Dedup.cdcChunks(forgotten).localCheckpoint()
+    graft.ops.Dedup.cdcCellsOf(ex)
+      .select(col("fp"), col("source"), (-col("n")).as("n"), col("ln"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$chunkDir/batch_id=$batchId")
+    ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg((-count(lit(1))).cast("long").as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$docDir/batch_id=$batchId")
+    ()
+  }
+
+  /** What a span-store forget did. */
+  case class SpanForgetReport(deleted: ForgetReport, nAffectedWindows: Long,
+      nReelected: Long)
+
+  // ── span window store: first-occurrence RE-ELECTION ───────────────────
+
+  /** Forget `forgotten` docs from the span window-cell store
+    * ((h, n, first_key) — q182's first-occurrence duplication state).
+    * The count `n` is SUM-negatable, but `first_key` is a MIN over
+    * (doc_id, pos) OCCURRENCES — erasing a doc that held a window's
+    * first occurrence must re-elect the earliest SURVIVING occurrence,
+    * and the store keeps only the min, so re-election reads the
+    * surviving content for exactly the affected window hashes:
+    *
+    *  1. affected h = the forgotten docs' own window hashes (computed
+    *     from their text — the archive-last ordering guarantees it is
+    *     still resolvable);
+    *  2. surgically delete the affected hashes' rows from EVERY
+    *     partition (only partitions holding one are rewritten);
+    *  3. recompute those hashes' cells over the surviving corpus — one
+    *     content pass whose aggregate is bounded by |affected h| — and
+    *     land them as a corrective partition.
+    *
+    * Unaffected hashes are untouched (a forgotten doc contributed
+    * nothing to them by definition), so the folded store now equals
+    * `spanWindowCells(survivors)` exactly, through any compaction. At
+    * 100 TB the content pass is the price of not keeping a positional
+    * inverted index; a deployment with frequent erasure would maintain
+    * one (the shingle-index pattern) to make step 3 index-bounded.
+    */
+  def forgetSpanCells(spark: SparkSession, deltaDir: String,
+      forgotten: DataFrame, survivors: DataFrame,
+      correctiveId: Long): SpanForgetReport = {
+    val affected = graft.ops.Mining.spanWindowCells(forgotten)
+      .select("h").distinct().localCheckpoint()
+    val rep = surgicalDelete(spark, deltaDir, affected, keyCol = "h")
+    val corrective = graft.ops.Mining.spanWindowCells(survivors)
+      .join(affected, Seq("h"), "left_semi").localCheckpoint()
+    corrective.coalesce(1).write.mode("overwrite")
+      .parquet(s"$deltaDir/batch_id=$correctiveId")
+    SpanForgetReport(rep, affected.count(), corrective.count())
+  }
+
+  // ── embedding history + semantic-dup decisions: cluster re-election ───
+
+  /** Forget `forgotten` vectors from the streamed SemDeDup store pair
+    * (history: (vec_id, cluster, v[, label]) per batch; decisions:
+    * scoreBatch's verdict rows) and re-elect semantic keepers:
+    *
+    *  1. capture the forgotten vectors' clusters — the only candidate
+    *     pools a verdict can change in;
+    *  2. surgically delete the forgotten vec_ids from both stores
+    *     (the literal embedding VECTORS leave disk — the embedding is
+    *     derived content, as identifying as the text);
+    *  3. recompute verdicts for every surviving vector in an affected
+    *     cluster against the post-delete history under the stores'
+    *     priority order — earlier batch first, lower vec_id within a
+    *     batch (first-seen, ≡ pure id order under id-ordered landings) —
+    *     with scoreBatch's exact sim tree (dot / (‖a‖·‖b‖));
+    *  4. land the recomputed verdicts as a corrective decision
+    *     partition after deleting those docs' old rows.
+    *
+    * The quantizer (frozen centroid artifact) is NOT retrained: cluster
+    * assignments are a trained model, erasure governs the serving
+    * stores; k aggregate centroids retain no per-document content (the
+    * q132 rebuild trigger owns retraining). Work is bounded by the
+    * affected clusters' occupancy — never a corpus re-embed.
+    */
+  def reelectSemanticStores(spark: SparkSession, historyDir: String,
+      decisionsDir: String, forgotten: DataFrame): BandForgetReport = {
+    val keys = forgotten.select(col(forgotten.columns.head).as("vec_id"))
+      .localCheckpoint()
+    val affectedClusters = spark.read.parquet(historyDir)
+      .join(keys, Seq("vec_id"), "left_semi")
+      .select("cluster").distinct().localCheckpoint()
+
+    val histRep = surgicalDelete(spark, historyDir, keys, keyCol = "vec_id")
+    val decRep = surgicalDelete(spark, decisionsDir, keys, keyCol = "vec_id")
+
+    val hist = spark.read.parquet(historyDir)
+      .select(col("vec_id"), col("cluster"), col("v"),
+        col("batch_id").cast("long").as("batch_id"))
+      .join(affectedClusters, Seq("cluster"), "left_semi")
+      .withColumn("nn", sqrt(graft.ops.Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint()
+    val cand = hist.select(col("vec_id").as("b_id"), col("cluster").as("bc"),
+      col("v").as("bv"), col("nn").as("bn"), col("batch_id").as("b_batch"))
+    val best = hist.join(cand,
+        col("cluster") === col("bc") &&
+          (col("b_batch") < col("batch_id") ||
+            (col("b_batch") === col("batch_id") && col("b_id") < col("vec_id"))))
+      .select(col("vec_id"),
+        (graft.ops.Similarity.dot(col("v"), col("bv")) / (col("nn") * col("bn")))
+          .as("sim"),
+        col("b_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("m.sim").as("sim"), (-col("m.nb")).as("b_id"))
+    val verdicts = hist.select(col("vec_id"), col("cluster"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("sim"), lit(0.0)).as("max_prior_sim"),
+        col("b_id").as("dup_of"),
+        (coalesce(col("sim"), lit(0.0)) >=
+          graft.ops.Similarity.SemDupThreshold).as("is_semantic_dup"))
+      .localCheckpoint()
+
+    surgicalDelete(spark, decisionsDir, hist.select("vec_id"), keyCol = "vec_id")
+    val nextId = StoreCompaction.partitionIds(new java.io.File(decisionsDir))
+      .filter(_ != StoreCompaction.BasePartition)
+      .foldLeft(-1L)(math.max) + 1L
+    verdicts.write.mode("overwrite").parquet(s"$decisionsDir/batch_id=$nextId")
+    BandForgetReport(histRep, decRep, verdicts.count(), nextId)
   }
 }

@@ -37,16 +37,40 @@ object ForgetStream {
   /** Reserved partition-id base for forget landings on additive stores. */
   val ForgetBase = -1000L
 
-  /** Which stores a forget request stream erases from — any subset of:
-    * an LM cell store, a diversity cell-store pair (dims, stats), a
-    * keep-earliest band-store pair (index, decisions), a full curation
-    * family root.
+  /** Which stores a forget request stream erases from — any subset of
+    * EVERY content-bearing store family in the system:
+    *
+    *  - additive negative landings: LM cells, diversity cell pair,
+    *    k-anonymity QI cells, CDC chunk+doc pair, and any generic
+    *    [[Forget.SumCellTarget]] (eval/feature/MW/occupancy cells);
+    *  - identity surgical deletes: shingle inverted indexes (the q185
+    *    serving index, the q198 release-delta store, the q199 trend
+    *    store — same row shape), scrub verdict stores, window-majority
+    *    (code-switch) cells, and the asset store's payload bytes
+    *    (`(dir, partCol)` — kind- or batch-partitioned);
+    *  - re-elections: band-store pair, full curation family root, span
+    *    window store (first-occurrence re-election vs the surviving
+    *    archive), embedding history+decisions pair (cluster-bounded
+    *    semantic re-election; ids are vec_ids for that pair).
+    *
+    * The asset store is erased LAST within a batch — payload bytes are
+    * the content archive's closest relative, and every other store may
+    * need the content resolvable first (the archive-last rule).
     */
   case class ForgetTargets(
       lmDeltaDir: Option[String] = None,
       divStores: Option[(String, String)] = None,
       bandStores: Option[(String, String)] = None,
-      curationRoot: Option[String] = None)
+      curationRoot: Option[String] = None,
+      kAnonDeltaDir: Option[String] = None,
+      shingleIndexDirs: Seq[String] = Nil,
+      scrubStoreDirs: Seq[String] = Nil,
+      csDeltaDir: Option[String] = None,
+      spanDeltaDir: Option[String] = None,
+      cdcStores: Option[(String, String)] = None,
+      semanticStores: Option[(String, String)] = None,
+      assetStore: Option[(String, String)] = None,
+      sumCellStores: Seq[Forget.SumCellTarget] = Nil)
 
   /** File-source forget-request stream: parquet rows with a `doc_id`
     * column landing in `requestDir`.
@@ -82,7 +106,10 @@ object ForgetStream {
     val part = ForgetBase - batchId
     def stampCommitted(): Unit =
       (targets.lmDeltaDir.toSeq ++
-        targets.divStores.toSeq.flatMap(t => Seq(t._1, t._2)))
+        targets.divStores.toSeq.flatMap(t => Seq(t._1, t._2)) ++
+        targets.kAnonDeltaDir.toSeq ++
+        targets.cdcStores.toSeq.flatMap(t => Seq(t._1, t._2)) ++
+        targets.sumCellStores.map(_.deltaDir))
         .foreach { d =>
           val p = new java.io.File(d, s"batch_id=$part")
           if (p.isDirectory) {
@@ -120,6 +147,44 @@ object ForgetStream {
         .filter(_ != StoreCompaction.BasePartition)
         .foldLeft(-1L)(math.max) + 1L
       Forget.forgetFromCurationStores(spark, root, ids, correctiveId = next)
+      ()
+    }
+    targets.kAnonDeltaDir.foreach { dir =>
+      Forget.forgetKAnonDocs(docs, dir, part)
+    }
+    targets.cdcStores.foreach { case (chunks, nd) =>
+      Forget.forgetCdcDocs(docs, chunks, nd, part)
+    }
+    targets.sumCellStores.foreach { t =>
+      Forget.forgetSumCells(docs, t, part)
+    }
+    targets.shingleIndexDirs.foreach { dir =>
+      Forget.surgicalDelete(spark, dir, ids)
+      ()
+    }
+    targets.scrubStoreDirs.foreach { dir =>
+      Forget.surgicalDelete(spark, dir, ids)
+      ()
+    }
+    targets.csDeltaDir.foreach { dir =>
+      Forget.surgicalDelete(spark, dir, ids)
+      ()
+    }
+    targets.spanDeltaDir.foreach { dir =>
+      val survivors = content.join(ids, Seq("doc_id"), "left_anti")
+      val next = StoreCompaction.partitionIds(new java.io.File(dir))
+        .filter(_ != StoreCompaction.BasePartition)
+        .foldLeft(-1L)(math.max) + 1L
+      Forget.forgetSpanCells(spark, dir, docs, survivors, correctiveId = next)
+      ()
+    }
+    targets.semanticStores.foreach { case (hist, dec) =>
+      Forget.reelectSemanticStores(spark, hist, dec, ids)
+      ()
+    }
+    // archive-last: payload bytes leave AFTER every derived store
+    targets.assetStore.foreach { case (dir, partCol) =>
+      Forget.surgicalDelete(spark, dir, ids, partCol = partCol)
       ()
     }
     marker.createNewFile()

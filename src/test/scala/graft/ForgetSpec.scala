@@ -368,6 +368,285 @@ class ForgetSpec extends AnyFunSuite {
     assert(changed === 0L, "no survivor may still point at a forgotten doc")
   }
 
+  test("span forget: first-occurrence re-election hands attribution to the earliest survivor; served plans equal batch q182 on the survivors, through compaction") {
+    import graft.ops.Mining
+    graft.functions.ShingleHashes.register(spark)
+    val deltas = tmpDir("graft-forget-span") + "/deltas"
+    val w = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val uniq = "unique uno dos tres cuatro cinco seis siete ocho nueve diez once"
+    // doc 3 is forgotten (3 % 17 = 3) and holds every first occurrence of w;
+    // survivors 21 (% 17 = 4) and 22 (% 17 = 5) duplicate it
+    val d = Seq((3L, w), (21L, w), (22L, w), (5L, uniq))
+      .toDF("doc_id", "text").localCheckpoint()
+    CorpusStream.writeSpanDelta(d.filter(col("doc_id") < 21), deltas, 0L)
+    CorpusStream.writeSpanDelta(d.filter(col("doc_id") >= 21), deltas, 1L)
+    val survivors = d.filter(!forgetPred).localCheckpoint()
+    def served() = CorpusStream.spanScrubFromDeltas(spark, deltas, survivors)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val pre = served()
+    assert(pre.find(_._1 == 21L).get._6,
+      "before forgetting, doc 21 is fully cut against the ghost's first occurrence")
+
+    val rep = Forget.forgetSpanCells(spark, deltas, d.filter(forgetPred),
+      survivors, correctiveId = 2L)
+    assert(rep.nAffectedWindows > 0 && rep.nReelected > 0)
+
+    val fresh = Mining.spanScrubPlanOf(survivors)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val after = served()
+    assert(after === fresh,
+      "post-forget serving must equal the batch plan over survivors")
+    val d21 = after.find(_._1 == 21L).get
+    assert(d21._4 === 0L && !d21._6,
+      "the earliest survivor inherits the first occurrence and keeps its text")
+    assert(after.find(_._1 == 22L).get._6,
+      "later duplicates still cut against the re-elected owner")
+
+    CorpusStream.compactSpanDeltas(spark, deltas, upto = 2L)
+    assert(served() === fresh, "the re-election must survive the fold")
+  }
+
+  test("CDC forget: one negative landing per store equals a re-chunk of the survivors (tombstones drop), through compaction; double-forgets refuse loudly") {
+    import graft.ops.Dedup
+    graft.functions.ShingleHashes.register(spark)
+    val root = tmpDir("graft-forget-cdc")
+    val (chunks, nd) = (s"$root/chunks", s"$root/docs")
+    val d = docs.localCheckpoint()
+    val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+    CorpusStream.writeCdcDelta(d.filter(col("doc_id") < cut), chunks, nd, 0L)
+    CorpusStream.writeCdcDelta(d.filter(col("doc_id") >= cut), chunks, nd, 1L)
+    Forget.forgetCdcDocs(d.filter(forgetPred), chunks, nd, 2L)
+
+    val survivors = d.filter(!forgetPred).localCheckpoint()
+    val ex = Dedup.cdcChunks(survivors).localCheckpoint()
+    val nd2 = ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val fresh = rows(Dedup.cdcReportFromCells(Dedup.cdcCellsOf(ex), nd2))
+    assert(rows(CorpusStream.cdcReportFromDeltas(spark, chunks, nd)) === fresh,
+      "negative cells + tombstones must equal the survivor re-chunk")
+
+    CorpusStream.compactCdcDeltas(spark, chunks, nd, upto = 2L)
+    assert(rows(CorpusStream.cdcReportFromDeltas(spark, chunks, nd)) === fresh,
+      "the negation must survive the fold")
+
+    // a second forget for the SAME docs drives forgotten-only chunks negative
+    Forget.forgetCdcDocs(d.filter(forgetPred), chunks, nd, 3L)
+    val ex2 = intercept[Exception] {
+      CorpusStream.cdcReportFromDeltas(spark, chunks, nd).collect()
+    }
+    assert(ex2.getMessage.contains("NEGATIVE"),
+      s"double-subtraction must refuse, got: ${ex2.getMessage}")
+  }
+
+  test("semantic forget: cluster-bounded re-election equals from-scratch semantic dedup on the surviving vectors; no survivor points at a ghost") {
+    import graft.ops.Similarity
+    import graft.streaming.EmbeddingStream
+    val root = tmpDir("graft-forget-sem")
+    val (hist, dec) = (s"$root/history", s"$root/decisions")
+    val e = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val asg = Similarity.semanticDedup(e, k = Similarity.SemK, maxIters = 2)
+      .select("vec_id", "cluster")
+    val m = e.join(asg, Seq("vec_id")).select("vec_id", "cluster", "v")
+      .localCheckpoint()
+    val cut = m.agg(max(col("vec_id"))).head().getLong(0) / 2
+    val b0 = m.filter(col("vec_id") < cut).localCheckpoint()
+    val b1 = m.filter(col("vec_id") >= cut).localCheckpoint()
+    b0.write.mode("overwrite").parquet(s"$hist/batch_id=0")
+    b1.write.mode("overwrite").parquet(s"$hist/batch_id=1")
+    EmbeddingStream.scoreBatch(b0, b0.filter(lit(false)))
+      .write.mode("overwrite").parquet(s"$dec/batch_id=0")
+    EmbeddingStream.scoreBatch(b1, b0)
+      .write.mode("overwrite").parquet(s"$dec/batch_id=1")
+
+    val vForget = pmod(col("vec_id"), lit(17L)) === lit(3L)
+    val fIds = m.filter(vForget).select("vec_id").localCheckpoint()
+    // fixture strength: some pre-forget argmax prior IS a forgotten vector
+    assert(spark.read.parquet(dec)
+      .join(fIds.select(col("vec_id").as("dup_of")), Seq("dup_of"), "left_semi")
+      .count() > 0, "fixture must contain verdicts pointing at forgotten vectors")
+
+    val rep = Forget.reelectSemanticStores(spark, hist, dec, fIds)
+    assert(rep.nReelected > 0)
+    assert(spark.read.parquet(hist).join(fIds, Seq("vec_id"), "left_semi")
+      .count() === 0L, "the vectors themselves must leave the history store")
+    assert(spark.read.parquet(dec).join(fIds, Seq("vec_id"), "left_semi")
+      .count() === 0L)
+
+    // from-scratch twin: all survivors as ONE batch with empty history is
+    // exactly the lower-id-within-cluster batch rule
+    val sm = m.filter(!vForget).localCheckpoint()
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster").cast("long"),
+        col("max_prior_sim"), col("dup_of"), col("is_semantic_dup"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(snap(spark.read.parquet(dec)) ===
+      snap(EmbeddingStream.scoreBatch(sm, sm.filter(lit(false)))),
+      "post-forget decisions must equal from-scratch semantic dedup on survivors")
+    assert(spark.read.parquet(dec)
+      .join(fIds.select(col("vec_id").as("dup_of")), Seq("dup_of"), "left_semi")
+      .count() === 0L, "no survivor may point at a forgotten vector")
+  }
+
+  test("generic SUM-cell erasure: eval/feature/MW stores negate with one landing; served tables equal the survivor recompute, through compaction") {
+    import graft.ops.Mining
+    val root = tmpDir("graft-forget-cells")
+    val (ev, ft, mw) = (s"$root/eval", s"$root/feature", s"$root/mw")
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val cut = full.agg(max(col("doc_id"))).head().getLong(0) / 2
+    Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+      case (p, b) =>
+        CorpusStream.writeEvalDelta(full.filter(p), ev, b.toLong)
+        CorpusStream.writeFeatureDelta(full.filter(p), ft, b.toLong)
+        CorpusStream.writeMwDelta(full.filter(p), mw, b.toLong)
+    }
+    val f = full.filter(forgetPred)
+    Forget.forgetSumCells(f, Forget.evalCellTarget(ev), 2L)
+    Forget.forgetSumCells(f, Forget.featureCellTarget(ft), 2L)
+    Forget.forgetSumCells(f, Forget.mwCellTarget(mw), 2L)
+
+    val survivors = full.filter(!forgetPred).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val evFresh = rows(Mining.evalTableFromCells(spark, Mining.evalCells(survivors)))
+    val mwFresh = rows(Mining.mwTableFromCells(Mining.mwCells(survivors)))
+    val sc = CorpusStream.featureCells(survivors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ftFresh = Mining.ratioFromCounts(
+      sc.map(t => t._1 -> t._3).toMap.filter(_._2 > 0),
+      sc.map(t => t._1 -> t._4).toMap.filter(_._2 > 0))
+    def check(tag: String): Unit = {
+      assert(rows(CorpusStream.evalTableFromDeltas(spark, ev)) === evFresh,
+        s"eval store must equal survivor recompute ($tag)")
+      assert(CorpusStream.ratioFromDeltas(spark, ft) === ftFresh,
+        s"feature store must equal survivor recompute ($tag)")
+      assert(rows(CorpusStream.reweightingFromDeltas(spark, mw)) === mwFresh,
+        s"MW store must equal survivor recompute ($tag)")
+    }
+    check("unfolded")
+    CorpusStream.compactEvalDeltas(spark, ev, 2L)
+    CorpusStream.compactFeatureDeltas(spark, ft, 2L)
+    CorpusStream.compactMwDeltas(spark, mw, 2L)
+    check("folded")
+  }
+
+  test("asset-store erasure: the forgotten payload bytes leave disk (kind-partitioned surgical delete); surviving payloads bit-identical to a rebuild") {
+    val src = graft.ops.Multimodal.buildAssetStore(spark, sf)
+    val store = tmpDir("graft-forget-assets") + "/assets"
+    spark.read.parquet(src).repartition(col("kind"))
+      .write.partitionBy("kind").mode("overwrite").parquet(store)
+    val fIds = docs.filter(forgetPred).select("doc_id").localCheckpoint()
+
+    val rep = Forget.surgicalDelete(spark, store, fIds, partCol = "kind")
+    assert(rep.nPartitions === 6 && rep.nRewritten === 6,
+      "every payload family holds every doc — all six kinds rewrite")
+    val left = spark.read.parquet(store)
+    assert(left.join(fIds, Seq("doc_id"), "left_semi").count() === 0L,
+      "no forgotten payload row may remain")
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kind"), md5(col("payload")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(sig(left) === sig(
+      spark.read.parquet(src).join(fIds, Seq("doc_id"), "left_anti")),
+      "surviving payloads must be bit-identical to a rebuild on survivors")
+  }
+
+  test("identity-store forget survives compaction: the shingle index serves survivor containment bit-identically across a fold") {
+    import graft.ops.Dedup
+    import graft.streaming.ScrubStream
+    graft.functions.ShingleHashes.register(spark)
+    val deltas = tmpDir("graft-forget-shingle") + "/deltas"
+    val d = docs.localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    ScrubStream.writeShingleDelta(d.filter(col("doc_id") < cut), deltas, 0L)
+    ScrubStream.writeShingleDelta(d.filter(col("doc_id") >= cut), deltas, 1L)
+    Forget.surgicalDelete(spark, deltas, d.filter(forgetPred).select("doc_id"))
+
+    val survivors = d.filter(!forgetPred)
+    val spine = survivors.filter(col("doc_id") >= 50).select("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    def served() = rows(ScrubStream.containmentFromDeltas(spark, deltas, spine))
+    val fresh = rows(Dedup.containmentBest(
+      Dedup.jaccardPairsFromExploded(
+        Dedup.positionalShingles(
+            survivors.filter(col("doc_id") >= 50).select("doc_id", "text"))
+          .select(col("h"), col("doc_id")).distinct()),
+      spine))
+    assert(served() === fresh,
+      "post-forget containment must equal the survivor-built index")
+    StoreCompaction.appendInto(spark, deltas, upto = 1L, bucketCols = Seq("h"))
+    assert(served() === fresh, "the deletion must survive the minor fold")
+  }
+
+  test("streamed forget reaches the extended families: one request wave erases kanon/cdc/span/cs/shingle/sum-cell/asset stores with commit stamps") {
+    import graft.streaming.ForgetStream
+    import graft.streaming.ForgetStream.ForgetTargets
+    graft.functions.ShingleHashes.register(spark)
+    val root = tmpDir("graft-forget-ext")
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val cut = full.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val (kan, chunks, nd, span, cs, shingle, ev) = (s"$root/kanon",
+      s"$root/cdc_chunks", s"$root/cdc_docs", s"$root/span", s"$root/cs",
+      s"$root/shingle", s"$root/eval")
+    Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+      case (p, b) =>
+        val sl = full.filter(p)
+        CorpusStream.writeKAnonDelta(sl, kan, b.toLong)
+        CorpusStream.writeCdcDelta(sl, chunks, nd, b.toLong)
+        CorpusStream.writeSpanDelta(sl, span, b.toLong)
+        CorpusStream.writeCsDelta(sl, cs, b.toLong)
+        graft.streaming.ScrubStream.writeShingleDelta(sl, shingle, b.toLong)
+        CorpusStream.writeEvalDelta(sl, ev, b.toLong)
+    }
+    val assets = s"$root/assets"
+    spark.read.parquet(graft.ops.Multimodal.buildAssetStore(spark, sf))
+      .repartition(col("kind"))
+      .write.partitionBy("kind").mode("overwrite").parquet(assets)
+
+    val targets = ForgetTargets(
+      kAnonDeltaDir = Some(kan),
+      cdcStores = Some((chunks, nd)),
+      spanDeltaDir = Some(span),
+      csDeltaDir = Some(cs),
+      shingleIndexDirs = Seq(shingle),
+      sumCellStores = Seq(Forget.evalCellTarget(ev)),
+      assetStore = Some((assets, "kind")))
+    ForgetStream.processBatch(full.filter(forgetPred).select("doc_id"),
+      full, targets, s"$root/markers", batchId = 0L)
+
+    val survivors = full.filter(!forgetPred).localCheckpoint()
+    val fIds = full.filter(forgetPred).select("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // additive families serve the survivor recompute
+    assert(rows(graft.ops.TextOps.kAnonymityFromCells(
+        Forget.kAnonCellsAfterForget(spark, kan))) ===
+      rows(graft.ops.TextOps.kAnonymityAudit(survivors)))
+    assert(rows(CorpusStream.evalTableFromDeltas(spark, ev)) ===
+      rows(graft.ops.Mining.evalTableFromCells(spark,
+        graft.ops.Mining.evalCells(survivors))))
+    // identity + re-election families hold zero forgotten rows
+    Seq(cs, shingle).foreach { dir =>
+      assert(spark.read.parquet(dir).join(fIds, Seq("doc_id"), "left_semi")
+        .count() === 0L, s"$dir must hold no forgotten row")
+    }
+    assert(spark.read.parquet(assets).join(fIds, Seq("doc_id"), "left_semi")
+      .count() === 0L, "the payload bytes must be gone")
+    // span serving equals the survivor batch plan
+    assert(rows(CorpusStream.spanScrubFromDeltas(spark, span,
+        survivors.select("doc_id", "text"))) ===
+      rows(graft.ops.Mining.spanScrubPlanOf(survivors.select("doc_id", "text"))))
+    // commit protocol: marker + stamps on every negative landing
+    assert(new java.io.File(s"$root/markers/_forget_0").exists())
+    Seq(kan, chunks, nd, ev).foreach { dir =>
+      assert(new java.io.File(s"$dir/batch_id=-1000/_FORGET_COMMITTED").exists(),
+        s"$dir negative landing must carry the commit stamp")
+    }
+  }
+
   test("surgicalDelete recovery: a crash MID-partition-delete (partial partition beside a complete staged copy) restores the staged copy, losing no survivor rows") {
     val store = tmpDir("graft-forget-middelete") + "/store"
     // the partition holds two files; the staged replacement (post-forget:
