@@ -123,14 +123,16 @@ object CorpusStream {
     * serving time.
     */
   def evalCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("classifier_eval_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeEvalDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("band")), maintain)
       }
       .start()
 
@@ -191,14 +193,16 @@ object CorpusStream {
 
   /** Feature-cell maintenance sink — q164's trainer kept current. */
   def featureCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("selection_feature_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeFeatureDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("f")), maintain)
       }
       .start()
 
@@ -276,18 +280,10 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeLmDelta(batch, deltaDir, batchId)
-        // sink-side maintenance hook: the threshold policy runs after
-        // every landing and decides for itself (below-threshold passes
-        // are listing-only no-ops — the maintprobe law — and live
-        // release pins CLAMP the fold), so the store maintains itself
-        // continuously instead of waiting for an external driver.
-        // Replay-safe: the fold algebra is serving-invariant, so a
-        // re-delivered batch re-running the pass changes nothing.
-        maintain.foreach { p =>
-          StoreCompaction.maintain(batch.sparkSession, deltaDir, Seq("w1"), p)
-          ()
-        }
-        ()
+        // sink-side maintenance hook (see StoreCompaction.sinkMaintain —
+        // this sink was the template, now shared by every delta sink)
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("w1")), maintain)
       }
       .start()
 
@@ -351,14 +347,16 @@ object CorpusStream {
     * weights are recomputed.
     */
   def mwCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("domain_reweighting_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeMwDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("source")), maintain)
       }
       .start()
 
@@ -403,14 +401,16 @@ object CorpusStream {
     * corpus rescans at serving time.
     */
   def divCellSink(stream: DataFrame, dimDir: String, statDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("embedding_diversity_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeDivDelta(batch, dimDir, statDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(dimDir -> Seq("source", "d"), statDir -> Seq("source")), maintain)
       }
       .start()
 
@@ -464,14 +464,16 @@ object CorpusStream {
     * as documents land, zero corpus rescans at audit time.
     */
   def kAnonCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("kanonymity_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeKAnonDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("source", "lang", "len_bucket")), maintain)
       }
       .start()
 
@@ -506,14 +508,16 @@ object CorpusStream {
     * current as documents land.
     */
   def csCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("code_switching_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeCsDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("doc_id")), maintain)
       }
       .start()
 
@@ -547,14 +551,16 @@ object CorpusStream {
     * state kept current as documents land.
     */
   def spanCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("span_window_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeSpanDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("h")), maintain)
       }
       .start()
 
@@ -602,14 +608,16 @@ object CorpusStream {
     * serving time.
     */
   def cdcCellSink(stream: DataFrame, chunkDir: String, docDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("cdc_chunk_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeCdcDelta(batch, chunkDir, docDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(chunkDir -> Seq("fp"), docDir -> Seq("source")), maintain)
       }
       .start()
 

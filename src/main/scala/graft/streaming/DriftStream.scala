@@ -33,14 +33,16 @@ object DriftStream {
     * into this batch's delta partition.
     */
   def cellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("drift_cell_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("source", "bin")), maintain)
       }
       .start()
 
@@ -84,14 +86,16 @@ object DriftStream {
     * the unkeyed sink.
     */
   def snapshotCellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("snapshot_drift_cell_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeSnapshotDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("snapshot_id", "source", "bin")), maintain)
       }
       .start()
 

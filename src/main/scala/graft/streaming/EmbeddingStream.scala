@@ -142,14 +142,16 @@ object EmbeddingStream {
     * replays no-ops; the artifact is cells, never vectors.
     */
   def occupancySink(stream: DataFrame, centroidPath: String, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("embedding_occupancy_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeOccupancyDelta(batch, centroidPath, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("snapshot_id", "cluster")), maintain)
       }
       .start()
 

@@ -46,14 +46,16 @@ object OrderStream {
     * the corpus/shard/drift twins.
     */
   def cellSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("curriculum_cell_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("phase", "shard")), maintain)
       }
       .start()
 
@@ -97,14 +99,16 @@ object OrderStream {
 
   /** Mass-cell maintenance sink — the q158 twin of [[cellSink]]. */
   def massSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("renorm_mass_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeMassDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("source", "w")), maintain)
       }
       .start()
 

@@ -188,14 +188,16 @@ object ScrubStream {
     * current as documents land.
     */
   def shingleIndexSink(stream: DataFrame, deltaDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .queryName("shingle_index_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeShingleDelta(batch, deltaDir, batchId)
-        ()
+        StoreCompaction.sinkMaintain(batch.sparkSession,
+          Seq(deltaDir -> Seq("h")), maintain)
       }
       .start()
 

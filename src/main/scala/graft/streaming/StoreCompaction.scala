@@ -408,6 +408,26 @@ object StoreCompaction {
       MaintenanceReport(deltas.size, upto, clamped, appended, rewritten)
     }
 
+  /** Sink-side maintenance hook shared by every delta sink (the
+    * lmCellSink pattern generalized): when a policy is given, run one
+    * threshold-driven [[maintain]] pass per landing on each
+    * (storeDir, bucketCols) pair. Below-threshold passes are
+    * listing-only no-ops (the maintprobe law), live release pins CLAMP
+    * the fold, and the fold algebra is serving-invariant — so a
+    * re-delivered batch re-running the pass changes nothing, and the
+    * stores maintain themselves continuously instead of waiting for an
+    * external driver.
+    */
+  def sinkMaintain(spark: SparkSession,
+      stores: Seq[(String, Seq[String])],
+      policy: Option[MaintenancePolicy]): Unit =
+    policy.foreach { p =>
+      stores.foreach { case (dir, bucketCols) =>
+        maintain(spark, dir, bucketCols, p)
+        ()
+      }
+    }
+
   /** MAJOR fold, per bucket — rewrite only the buckets of the base
     * partition whose bucket-tagged file count exceeds the threshold,
     * each into one file; files from a legacy whole-base `foldInto`

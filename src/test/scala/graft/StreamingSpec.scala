@@ -1660,6 +1660,119 @@ class StreamingSpec extends AnyFunSuite {
     assert(StoreCompaction.compactionHorizon(deltas) === Some(2L))
   }
 
+  test("sink maintenance generalized: every delta-sink family converges under the threshold policy with serving bit-identical to the raw twin store") {
+    import graft.streaming.{CorpusStream, DriftStream, OrderStream,
+      ScrubStream, ShardStream, StoreCompaction}
+    import StoreCompaction.MaintenancePolicy
+    graft.functions.ShingleHashes.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val ids = full.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 8
+    val policy = MaintenancePolicy(minorAtDeltas = 3, keepLatestDeltas = 1,
+      maxFilesPerBucket = 2, nBuckets = 4)
+    def slice(k: Int) = {
+      val lo = ids(k * ids.length / nLandings)
+      val hi = if (k == nLandings - 1) Long.MaxValue
+        else ids((k + 1) * ids.length / nLandings)
+      full.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame): Any =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString())
+
+    // each family: (name, writeDelta into root, maintained (dir, buckets)
+    // pairs, serve off root) — the writeDelta + sinkMaintain sequence is
+    // LITERALLY the sink's foreachBatch body, so this harness pins the
+    // maintained sinks without spinning 13 streaming queries
+    type W = (org.apache.spark.sql.DataFrame, String, Long) => Unit
+    val families: Seq[(String, W, String => Seq[(String, Seq[String])],
+        String => Any)] = Seq(
+      ("eval",
+        (b, r, i) => CorpusStream.writeEvalDelta(b, r, i),
+        r => Seq(r -> Seq("band")),
+        r => snap(CorpusStream.evalTableFromDeltas(spark, r))),
+      ("feature",
+        (b, r, i) => CorpusStream.writeFeatureDelta(b, r, i),
+        r => Seq(r -> Seq("f")),
+        r => CorpusStream.ratioFromDeltas(spark, r)),
+      ("mw",
+        (b, r, i) => CorpusStream.writeMwDelta(b, r, i),
+        r => Seq(r -> Seq("source")),
+        r => snap(CorpusStream.reweightingFromDeltas(spark, r))),
+      ("div",
+        (b, r, i) => CorpusStream.writeDivDelta(b, s"$r/dims", s"$r/stats", i),
+        r => Seq(s"$r/dims" -> Seq("source", "d"), s"$r/stats" -> Seq("source")),
+        r => snap(CorpusStream.diversityFromDeltas(spark, s"$r/dims", s"$r/stats"))),
+      ("kanon",
+        (b, r, i) => CorpusStream.writeKAnonDelta(b, r, i),
+        r => Seq(r -> Seq("source", "lang", "len_bucket")),
+        r => snap(CorpusStream.kAnonymityFromDeltas(spark, r))),
+      ("cs",
+        (b, r, i) => CorpusStream.writeCsDelta(b, r, i),
+        r => Seq(r -> Seq("doc_id")),
+        r => snap(CorpusStream.codeSwitchFromDeltas(spark, r, full.select("doc_id")))),
+      ("span",
+        (b, r, i) => CorpusStream.writeSpanDelta(b, r, i),
+        r => Seq(r -> Seq("h")),
+        r => snap(CorpusStream.spanScrubFromDeltas(spark, r,
+          full.select("doc_id", "text")))),
+      ("cdc",
+        (b, r, i) => CorpusStream.writeCdcDelta(b, s"$r/chunks", s"$r/docs", i),
+        r => Seq(s"$r/chunks" -> Seq("fp"), s"$r/docs" -> Seq("source")),
+        r => snap(CorpusStream.cdcReportFromDeltas(spark, s"$r/chunks", s"$r/docs"))),
+      ("shingle",
+        (b, r, i) => ScrubStream.writeShingleDelta(b, r, i),
+        r => Seq(r -> Seq("h")),
+        r => snap(ScrubStream.containmentFromDeltas(spark, r,
+          full.filter(col("doc_id") >= 50).select("doc_id")))),
+      ("drift",
+        (b, r, i) => DriftStream.writeDelta(b, r, i),
+        r => Seq(r -> Seq("source", "bin")),
+        r => snap(DriftStream.driftFromDeltas(spark, r))),
+      ("snapdrift",
+        (b, r, i) => DriftStream.writeSnapshotDelta(
+          b.withColumn("snapshot_id", lit(i % 2)), r, i),
+        r => Seq(r -> Seq("snapshot_id", "source", "bin")),
+        r => snap(spark.read.parquet(r).groupBy("snapshot_id", "source", "bin")
+          .agg(sum(col("o")).cast("long").as("o")))),
+      ("curriculum",
+        (b, r, i) => OrderStream.writeDelta(b, r, i),
+        r => Seq(r -> Seq("phase", "shard")),
+        r => snap(OrderStream.manifestFromDeltas(spark, r))),
+      ("mass",
+        (b, r, i) => OrderStream.writeMassDelta(b, r, i),
+        r => Seq(r -> Seq("source", "w")),
+        r => snap(OrderStream.segmentManifestFromDeltas(spark, r))),
+      ("shard",
+        (b, r, i) => ShardStream.writeDelta(b, r, i),
+        r => Seq(r -> Seq("shard_id")),
+        r => snap(ShardStream.manifestFromDeltas(spark, r))))
+
+    val base = tmpDir("graft-sink-maint")
+    families.foreach { case (name, write, stores, serve) =>
+      val (mRoot, rRoot) = (s"$base/$name/maintained", s"$base/$name/raw")
+      (0 until nLandings).foreach { k =>
+        write(slice(k), mRoot, k.toLong)
+        write(slice(k), rRoot, k.toLong)
+        // the sink's own hook, verbatim
+        StoreCompaction.sinkMaintain(spark, stores(mRoot), Some(policy))
+      }
+      stores(mRoot).map(_._1).foreach { dir =>
+        val tail = new java.io.File(dir).listFiles()
+          .map(_.getName).count(n => n.startsWith("batch_id=") &&
+            n != "batch_id=-1")
+        assert(tail < policy.minorAtDeltas + policy.keepLatestDeltas,
+          s"$name($dir): the policy must bound the delta tail, got $tail")
+        val baseFiles = Option(new java.io.File(dir, "batch_id=-1").listFiles())
+          .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+        assert(baseFiles <= policy.nBuckets * policy.maxFilesPerBucket,
+          s"$name($dir): per-bucket major must bound base files, got $baseFiles")
+      }
+      assert(serve(mRoot) === serve(rRoot),
+        s"$name: maintained serving must equal the raw union of all landings")
+    }
+  }
+
   test("maintenance report honesty: a pin clamping below every eligible delta folds nothing and reports minorUpto=None (clamp flag still set)") {
     import graft.streaming.{CorpusStream, StoreCompaction}
     import StoreCompaction.{MaintenancePolicy, maintain}
