@@ -274,7 +274,74 @@ object CorpusRun {
         s"fold clamped to pin (upto=${trendRep.minorUpto}); served trend " +
         "bit-identical", secs = tick())
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14)
+    // 15. FORGET as a lifecycle stage: an erasure request wave lands
+    // through the streamed forget sink against a COPY of the stage-1
+    // curation family (the shared store is content-addressed and serves
+    // other queries; a deployment would run this against the live one),
+    // then the q202-style audit runs as a cross-stage invariant:
+    // ABSENCE (no forgotten id in any of the five stores) and EQUALITY
+    // (the mutated family's decisions equal a from-scratch curation run
+    // over the survivors — the q204 law inside the lifecycle).
+    import graft.streaming.ForgetStream
+    graft.functions.ShingleHashes.register(spark)
+    // the stage is self-contained per run: a fresh copy plus fresh
+    // checkpoint/markers/landing, so re-running the lifecycle replays
+    // the erasure deterministically instead of the checkpoint skipping
+    // it against a freshly re-copied (unerased) store
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(); ()
+    }
+    val fRoot = s"$outDir/forget_stores"
+    Seq(fRoot, s"$outDir/forget_requests", s"$outDir/forget_req_stage",
+      s"$outDir/forget_markers", s"$outDir/forget_ck", s"$outDir/forget_fresh")
+      .foreach(p => rmTree(new java.io.File(p)))
+    Seq("fp", "index", "decisions", "accepted", "quarantine").foreach { st =>
+      spark.read.parquet(s"$storesRoot/$st")
+        .write.partitionBy("batch_id").mode("overwrite").parquet(s"$fRoot/$st")
+    }
+    val (fm, fr) = (ops.ForgetOps.ForgetMod, ops.ForgetOps.ForgetRes)
+    val archive = spark.read.parquet(s"$fRoot/accepted")
+      .select("doc_id", "text", "source")
+      .unionByName(spark.read.parquet(s"$fRoot/quarantine")
+        .select("doc_id", "text", "source"))
+      .localCheckpoint()
+    val fIds = archive.filter(pmod(col("doc_id"), lit(fm)) === lit(fr))
+      .select("doc_id").localCheckpoint()
+    val landing = new java.io.File(s"$outDir/forget_requests")
+    landing.mkdirs()
+    val stage = s"$outDir/forget_req_stage"
+    fIds.coalesce(1).write.mode("overwrite").parquet(stage)
+    new java.io.File(stage).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(landing, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    ForgetStream.forgetSink(
+      ForgetStream.readRequestStream(spark, landing.getPath), archive,
+      ForgetStream.ForgetTargets(curationRoot = Some(fRoot)),
+      s"$outDir/forget_markers", s"$outDir/forget_ck").awaitTermination()
+    val nForgotten = fIds.count()
+    val leftAcross = Seq("fp", "index", "decisions", "accepted", "quarantine")
+      .map(st => spark.read.parquet(s"$fRoot/$st")
+        .join(fIds, Seq("doc_id"), "left_semi").count()).sum
+    val freshRoot = s"$outDir/forget_fresh"
+    graft.streaming.CurationStream.processBatch(
+      archive.filter(pmod(col("doc_id"), lit(fm)) =!= lit(fr)),
+      s"$freshRoot/fp", s"$freshRoot/index", s"$freshRoot/decisions", 0L,
+      None, None)
+    def decSnap(dir: String) = graft.streaming.CurationStream
+      .decisions(spark, dir).collect().map(_.toSeq).toSeq
+    val forgetEqual =
+      decSnap(s"$fRoot/decisions") == decSnap(s"$freshRoot/decisions")
+    val s15 = Stage("forget", nForgotten,
+      leftAcross == 0L && forgetEqual,
+      s"erased $nForgotten docs across 5 stores ($leftAcross rows left); " +
+        s"decisions ≡ survivor rerun: $forgetEqual", secs = tick())
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15)
   }
 
   def main(args: Array[String]): Unit = {

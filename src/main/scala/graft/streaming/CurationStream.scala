@@ -213,16 +213,34 @@ object CurationStream {
     * three inputs are first-verdict-wins audits, so the composition
     * inherits their replay safety. At 100 TB this is three
     * decision-store scans and two doc_id joins — no text, pixels, or
-    * samples are touched at serving time.
+    * samples are touched at serving time, EXCEPT the bounded audio L1
+    * verify below.
+    *
+    * Audio L1 VERIFY: the streamed audio band store trusts exact
+    * half-code matches — a 2⁻⁴⁸ collision between unrelated docs would
+    * ship a wrong verdict that the batch path (q176, which always L1-
+    * verifies) clears. Pass `audioContent` (the doc frame the audio
+    * envelopes derive from, with `audioFixtureId` mapping ids the way
+    * the band store's fixture did) and the audio leg reads
+    * [[graft.ops.Multimodal.audioDecisionsVerified]] instead of the raw
+    * band decisions: every FLAGGED pair's envelopes are recomputed and
+    * the verdict is cleared when the L1 distance refutes it. Cost is
+    * bounded by the flagged docs (never the corpus), which is why the
+    * serving path can afford to verify every positive.
     */
   def crossModalDecisions(spark: SparkSession, textDecisionsDir: String,
-      imgDecisionsDir: String, audDecisionsDir: String): DataFrame = {
+      imgDecisionsDir: String, audDecisionsDir: String,
+      audioContent: Option[DataFrame] = None,
+      audioFixtureId: Long => Long = identity): DataFrame = {
     val t = decisions(spark, textDecisionsDir)
       .select(col("doc_id"), col("is_exact_dup"), col("is_band_dup"),
         lit(true).as("in_text"))
     val i = LshStream.decisions(spark, imgDecisionsDir)
       .select(col("doc_id"), col("is_band_dup").as("img_dup"))
-    val a = LshStream.decisions(spark, audDecisionsDir)
+    val a = audioContent
+      .map(c => graft.ops.Multimodal.audioDecisionsVerified(
+        spark, audDecisionsDir, c, audioFixtureId))
+      .getOrElse(LshStream.decisions(spark, audDecisionsDir))
       .select(col("doc_id"), col("is_band_dup").as("aud_dup"))
     // LEFT join from the image spine, never inner: a doc whose audio
     // sink lags a landing must SURFACE as an explicit missing_modality

@@ -199,7 +199,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages.map(_.name) ===
       Seq("curation", "decontamination", "leak_repair", "packing", "ordering",
         "schedule", "selection", "fluency", "reweighting", "diversity",
-        "dedup_weighting", "holdout", "crossmodal", "maintenance"))
+        "dedup_weighting", "holdout", "crossmodal", "maintenance", "forget"))
     // every stage carries its measured wall time
     stages.foreach(st => assert(st.secs > 0.0, s"stage ${st.name} missing wall time"))
     stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
@@ -220,7 +220,9 @@ class PipelineSpec extends AnyFunSuite {
     val again = CorpusRun.run(spark, "/root/testdata/sf0.001", out)
     assert(again.map(_.copy(secs = 0.0)).filterNot(_.name == "maintenance") ===
       stages.map(_.copy(secs = 0.0)).filterNot(_.name == "maintenance"))
-    assert(again.last.name === "maintenance" && again.last.ok,
-      s"maintenance re-pass failed: ${again.last.detail}")
+    assert(again.find(_.name == "maintenance").get.ok,
+      s"maintenance re-pass failed: ${again.find(_.name == "maintenance").get.detail}")
+    assert(again.last.name === "forget" && again.last.ok,
+      s"forget re-pass failed: ${again.last.detail}")
   }
 }

@@ -1974,6 +1974,13 @@ class StreamingSpec extends AnyFunSuite {
         ((Option(r.getAs[String]("reason")), r.getAs[Boolean]("accepted"))))
       .toMap
     val got = toMap(CurationStream.crossModalDecisions(spark, tDec, iDec, aDec))
+    // the DEFAULT serving path: audio leg L1-VERIFIED against content —
+    // on an honest fixture (no half-code collisions) the verify changes
+    // nothing, so band-only and verified serving agree exactly
+    assert(toMap(CurationStream.crossModalDecisions(spark, tDec, iDec, aDec,
+        audioContent = Some(docs), audioFixtureId = Multimodal.sparseAudId))
+      === got,
+      "L1-verified audio serving must equal band serving on an honest fixture")
 
     // batch anchor: the identical first-failing composition from the
     // oracled text verdicts (q127) + batch keep-earliest image/audio bands
@@ -2023,6 +2030,55 @@ class StreamingSpec extends AnyFunSuite {
       "missing_modality rows must not be accepted")
     assert(lagged.filter(_._1 < cut) === got.filter(_._1 < cut),
       "covered docs' verdicts must be unchanged by the lag")
+    // the lag surfaces identically through the VERIFIED leg (the verify
+    // only touches flagged pairs, never the spine)
+    assert(toMap(CurationStream.crossModalDecisions(spark, tDec, iDec, aDecLag,
+        audioContent = Some(docs), audioFixtureId = Multimodal.sparseAudId))
+      === lagged,
+      "missing_modality semantics must survive the L1-verified leg")
+  }
+
+  test("cross-modal serving clears a forged audio half-code collision: the L1 verify refutes the band verdict the raw store would ship") {
+    import graft.streaming.CurationStream
+    import graft.ops.Multimodal
+    val sf = "/root/testdata/sf0.001"
+    val docs = Catalog.table(spark, sf, "documents")
+    // two UNRELATED docs (different synth envelopes): forge the band
+    // store's conclusion that 53 duplicates 51 — the 2^-48 half-code
+    // collision materialized as a decisions row
+    val (x, y) = (51L, 53L)
+    val root = tmpDir("graft-xm-forged")
+    val (tDec, iDec, aDec) = (s"$root/tdec", s"$root/idec", s"$root/adec")
+    val two = Seq(x, y)
+    Seq((x, false, Option.empty[Long], 0L, Option.empty[Long], false),
+        (y, false, Option.empty[Long], 0L, Option.empty[Long], false))
+      .toDF("doc_id", "is_exact_dup", "exact_dup_of", "n_earlier", "dup_of",
+        "is_band_dup")
+      .write.mode("overwrite").parquet(s"$tDec/batch_id=0")
+    Seq((x, 0L, Option.empty[Long], false), (y, 0L, Option.empty[Long], false))
+      .toDF("doc_id", "n_earlier", "dup_of", "is_band_dup")
+      .write.mode("overwrite").parquet(s"$iDec/batch_id=0")
+    Seq((x, 0L, Option.empty[Long], false), (y, 1L, Some(x), true))
+      .toDF("doc_id", "n_earlier", "dup_of", "is_band_dup")
+      .write.mode("overwrite").parquet(s"$aDec/batch_id=0")
+    val content = docs.filter(col("doc_id").isin(two: _*))
+
+    def reasonOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("reason")), r.getAs[Boolean]("accepted"))))
+      .toMap
+    // the raw band path ships the forged verdict
+    val raw = reasonOf(CurationStream.crossModalDecisions(spark, tDec, iDec, aDec))
+    assert(raw(y) === ((Some("audio_near"), false)),
+      "the unverified path must ship the collision (that is the hazard)")
+    // the verified path recomputes the pair's envelopes, the L1 refutes
+    // the match, and the doc is accepted — batch q176 semantics streamed
+    val verified = reasonOf(CurationStream.crossModalDecisions(spark,
+      tDec, iDec, aDec,
+      audioContent = Some(content), audioFixtureId = Multimodal.sparseAudId))
+    assert(verified(y) === ((None, true)),
+      "the L1 verify must clear the forged collision")
+    assert(verified(x) === raw(x), "unflagged docs are untouched by the verify")
   }
 
   test("k-anonymity cell stream: the audit off folded cells equals batch q189, with the k test on the union") {
