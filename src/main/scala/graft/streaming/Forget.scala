@@ -34,10 +34,16 @@ import graft.ops.Dedup
   *
   * Release pins: forgetting MUTATES pinned history by design — legal
   * erasure outranks bit-identical time travel, the same trade Delta
-  * Lake's VACUUM-after-DELETE makes against time travel. Pins and the
-  * compaction horizon are untouched (forget never folds batches), so
-  * pinned reads stay servable; their VALUES change exactly where the
-  * forgotten docs contributed.
+  * Lake's VACUUM-after-DELETE makes against time travel. On IDENTITY
+  * stores (surgical per-row deletes) every pinned read stays exactly
+  * servable, values changed where the forgotten docs contributed. On
+  * ADDITIVE stores the negative-cell delta is an aggregate correction,
+  * faithful only for reads that include every forgotten doc's POSITIVE
+  * cells — so each negative landing seals a FORGET HORIZON at the
+  * store's current frontier ([[StoreCompaction.advanceForgetHorizon]]):
+  * pins at/above it keep serving with changed values, pins below it
+  * refuse loudly (serving them would either resurrect erased content or
+  * over-subtract — wrong in both legal directions).
   */
 object Forget {
 
@@ -51,6 +57,7 @@ object Forget {
     * ([[lmCountsAfterForget]] drops them). Returns cells landed.
     */
   def forgetLmDocs(forgotten: DataFrame, deltaDir: String, batchId: Long): Long = {
+    StoreCompaction.advanceForgetHorizon(deltaDir)
     val neg = CorpusStream.lmCells(forgotten)
       .select(col("w1"), col("w2"), (-col("c12")).as("c12"))
       .localCheckpoint()
@@ -83,6 +90,8 @@ object Forget {
     */
   def forgetDivDocs(forgotten: DataFrame, dimDir: String, statDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.advanceForgetHorizon(dimDir)
+    StoreCompaction.advanceForgetHorizon(statDir)
     val w = graft.ops.Similarity.hashedVec(forgotten, keep = Seq("source"))
       .localCheckpoint()
     graft.ops.Similarity.divDimCells(w)
@@ -104,6 +113,7 @@ object Forget {
     */
   def forgetKAnonDocs(forgotten: DataFrame, deltaDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.advanceForgetHorizon(deltaDir)
     graft.ops.TextOps.kAnonCells(forgotten)
       .select(col("source"), col("lang"), col("len_bucket"),
         (-col("gsz")).as("gsz"))
@@ -401,6 +411,7 @@ object Forget {
     */
   def forgetSumCells(forgotten: DataFrame, t: SumCellTarget,
       batchId: Long): Unit = {
+    StoreCompaction.advanceForgetHorizon(t.deltaDir)
     val c = t.cells(forgotten)
     c.select(c.columns.map(n =>
         if (t.negCols.contains(n)) (-col(n)).as(n) else col(n)): _*)
@@ -423,6 +434,8 @@ object Forget {
     */
   def forgetCdcDocs(forgotten: DataFrame, chunkDir: String, docDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.advanceForgetHorizon(chunkDir)
+    StoreCompaction.advanceForgetHorizon(docDir)
     val ex = graft.ops.Dedup.cdcChunks(forgotten).localCheckpoint()
     graft.ops.Dedup.cdcCellsOf(ex)
       .select(col("fp"), col("source"), (-col("n")).as("n"), col("ln"))

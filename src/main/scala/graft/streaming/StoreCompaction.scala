@@ -71,6 +71,12 @@ object StoreCompaction {
           s"batches up to $h into the base, so a pin at $upto would serve " +
           "post-pin rows; pins must be registered ahead of compaction")
     }
+    forgetHorizon(storeDir).filter(_ > upto).foreach { h =>
+      throw new IllegalStateException(
+        s"cannot pin $storeDir at batch $upto: a forget wave sealed this " +
+          s"additive store's history up to frontier $h — a pin below it " +
+          "could not be served faithfully (see requireServableAt)")
+    }
     val pins = new java.io.File(storeDir, PinsDirName)
     pins.mkdirs()
     val tmp = new java.io.File(pins, s".$name.tmp")
@@ -128,18 +134,62 @@ object StoreCompaction {
   /** Assert that serving `batch_id <= upto OR base` off this store is
     * faithful: refuses when compaction has already folded a batch beyond
     * `upto` into the base (the base always qualifies in pinned reads, so
-    * such a read would silently include post-pin rows). Pinned readers
-    * call this instead of trusting the keep-pins-ahead-of-compaction
-    * convention by documentation alone.
+    * such a read would silently include post-pin rows), and refuses when
+    * an ADDITIVE-store forget has sealed history past `upto` (see
+    * [[advanceForgetHorizon]] — a pinned read below the forget frontier
+    * would subtract cells of forgotten docs whose positive cells landed
+    * beyond the pin, serving counts that are wrong in both legal
+    * directions). Pinned readers call this instead of trusting the
+    * conventions by documentation alone.
     */
   def requireServableAt(storeDir: String, upto: Long): Unit =
-    if (upto != Long.MaxValue)
+    if (upto != Long.MaxValue) {
       compactionHorizon(storeDir).filter(_ > upto).foreach { h =>
         throw new IllegalStateException(
           s"store $storeDir cannot serve a pin at batch $upto: compaction " +
             s"already folded batches up to $h into the base partition, so the " +
             "pinned slice no longer exists as per-batch partitions")
       }
+      forgetHorizon(storeDir).filter(_ > upto).foreach { h =>
+        throw new IllegalStateException(
+          s"store $storeDir cannot serve a pin at batch $upto: a forget " +
+            s"wave sealed history up to its landing frontier $h — the " +
+            "negative cells subtract docs whose positive cells lie beyond " +
+            "the pin, so the pinned slice would either resurrect or " +
+            "over-subtract erased content; re-pin at or above the frontier")
+      }
+    }
+
+  private val ForgetHorizonName = "_forget_horizon"
+
+  /** Highest positive landing present when the newest forget wave landed
+    * on this ADDITIVE store (None if never forgotten) — the boundary
+    * below which pinned reads are no longer faithful: a negative cell
+    * delta is an aggregate correction, valid only for reads that include
+    * every forgotten doc's positive cells. Identity-store erasure
+    * (surgical per-row deletes) never advances this — those pinned reads
+    * stay exact.
+    */
+  def forgetHorizon(storeDir: String): Option[Long] = {
+    val f = new java.io.File(storeDir, ForgetHorizonName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+    else None
+  }
+
+  /** Seal an additive store's history at its current landing frontier —
+    * called by every negative-cell forget landing. Monotone; a store
+    * with no positive landings yet seals at -1 (nothing to mis-serve).
+    */
+  def advanceForgetHorizon(storeDir: String): Unit = {
+    val ids = partitionIds(new java.io.File(storeDir)).filter(_ >= 0)
+    val frontier = (ids ++ compactionHorizon(storeDir).toSeq ++
+      forgetHorizon(storeDir).toSeq).foldLeft(-1L)(math.max)
+    java.nio.file.Files.write(
+      new java.io.File(storeDir, ForgetHorizonName).toPath,
+      frontier.toString.getBytes(Utf8))
+    ()
+  }
 
   private def requirePinsAhead(storeDir: String, upto: Long): Unit = {
     val violated = livePins(storeDir).filter(_._2 < upto)

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusStream, Forget, ForgetStream, StoreCompaction}
+
+/** The SYSTEM soak: one store family (the LM cell store — SUM cells,
+  * release pins, threshold maintenance, streamed forget) driven through
+  * the full interleaving a deployment actually runs — ingest landings,
+  * forget request waves, pin registration and release rotation, and
+  * threshold-driven maintenance after every step — asserting after EVERY
+  * step that serving is EXACTLY the batch retrain on the logical corpus
+  * (landed ∪ … minus forgotten), both unpinned and at each live release
+  * pin. The per-family specs each pin two-way compositions; this pins
+  * the n-way interleaving.
+  *
+  * Runs at sf0.01 (the correctness-gate scale) so the vocabulary is
+  * non-toy; every equality is exact (integer bigram counts).
+  */
+class SoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private def lmMap(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+    df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("soak: ingest landings, forget waves, pins, release rotation, and threshold maintenance interleave with serving exactly equal to the logical-corpus retrain at every step") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 10
+    def sliceBound(k: Int): Long =
+      if (k >= nLandings) Long.MaxValue else ids(k * ids.length / nLandings)
+    def slice(k: Int) = docs.filter(
+      col("doc_id") >= sliceBound(k) && col("doc_id") < sliceBound(k + 1))
+
+    val store = tmpDir("graft-soak") + "/lm"
+    val markers = tmpDir("graft-soak-mk")
+    val policy = StoreCompaction.MaintenancePolicy(
+      minorAtDeltas = 2, keepLatestDeltas = 1, maxFilesPerBucket = 2, nBuckets = 4)
+
+    // the logical state the store must always serve
+    var landedUpto = -1                   // highest landed slice index
+    var forgotten: Seq[org.apache.spark.sql.Column] = Nil
+    def corpusOf(upToSlice: Int) = {
+      val base = docs.filter(col("doc_id") < sliceBound(upToSlice + 1))
+      forgotten.foldLeft(base)((d, p) => d.filter(!p))
+    }
+    def checkUnpinned(step: String): Unit =
+      assert(lmMap(Forget.lmCountsAfterForget(spark, store)) ===
+        lmMap(CorpusStream.lmCells(corpusOf(landedUpto))),
+        s"[$step] unpinned serving must equal the logical-corpus retrain")
+    def checkPinned(step: String, pinBatch: Int): Unit =
+      assert(lmMap(Forget.lmCountsAfterForget(spark, store, upto = pinBatch.toLong)) ===
+        lmMap(CorpusStream.lmCells(corpusOf(pinBatch))),
+        s"[$step] pinned($pinBatch) serving must equal the pinned logical corpus " +
+          "minus every forget so far (erasure is retroactive by law)")
+
+    def land(k: Int): Unit = {
+      CorpusStream.writeLmDelta(slice(k), store, k.toLong)
+      landedUpto = k
+    }
+    def maintainPass(): Unit = {
+      StoreCompaction.maintain(spark, store, Seq("w1"), policy)
+      ()
+    }
+    def forgetWave(batchId: Long, pred: org.apache.spark.sql.Column): Unit = {
+      // a wave may only name docs whose slices have LANDED (the store
+      // never counted the rest — negating them would be an error, and
+      // the serve-path guard proves it elsewhere)
+      val wavePred = pred && col("doc_id") < sliceBound(landedUpto + 1)
+      ForgetStream.processBatch(
+        docs.filter(wavePred).select("doc_id"), docs,
+        ForgetStream.ForgetTargets(lmDeltaDir = Some(store)),
+        markers, batchId)
+      forgotten = forgotten :+ wavePred
+    }
+
+    // ── the interleaving ──────────────────────────────────────────────
+    land(0); land(1); land(2)
+    checkUnpinned("after landings 0-2")
+    maintainPass()
+    checkUnpinned("after first maintenance fold")
+
+    land(3); land(4)
+    StoreCompaction.registerPin(store, "rel_v1", 4L)
+    checkUnpinned("after landings 3-4")
+    checkPinned("rel_v1 registered", 4)
+
+    forgetWave(0L, pmod(col("doc_id"), lit(17L)) === lit(3L))
+    checkUnpinned("after forget wave A")
+    checkPinned("wave A is retroactive through rel_v1", 4)
+
+    maintainPass() // wants to fold past the pin — must clamp, not break
+    checkUnpinned("after pin-clamped maintenance")
+    checkPinned("pin survives maintenance", 4)
+
+    land(5); land(6)
+    checkUnpinned("after landings 5-6")
+    checkPinned("rel_v1 unchanged by new landings", 4)
+
+    forgetWave(1L, pmod(col("doc_id"), lit(17L)) === lit(5L))
+    checkUnpinned("after forget wave B")
+    // wave B's docs span landings 5-6 — BEYOND rel_v1's slice. The
+    // negative delta can no longer be faithful at pin 4 (it would
+    // subtract bigrams whose positive cells lie past the pin), so the
+    // forget horizon seals history and the pinned read refuses loudly
+    // instead of serving counts wrong in either legal direction.
+    val exStale = intercept[IllegalStateException] {
+      Forget.lmCountsAfterForget(spark, store, upto = 4L).collect()
+    }
+    assert(exStale.getMessage.contains("forget"),
+      s"a pin below the forget frontier must refuse, got: ${exStale.getMessage}")
+
+    maintainPass()
+    checkUnpinned("after second maintenance")
+
+    // release rotation: v1 retires (sealed by wave B anyway), v2 pins at
+    // landing 8 — at/above the forget frontier, so it serves
+    land(7); land(8)
+    StoreCompaction.releasePin(store, "rel_v1")
+    StoreCompaction.registerPin(store, "rel_v2", 8L)
+    checkUnpinned("after landings 7-8 and rotation")
+    checkPinned("rel_v2 serves its pinned corpus", 8)
+
+    maintainPass() // may now legally fold up to 8 (clamped there)
+    checkUnpinned("after post-rotation maintenance")
+    checkPinned("rel_v2 survives the fold", 8)
+
+    land(9)
+    maintainPass()
+    checkUnpinned("final state")
+    checkPinned("rel_v2 at final state", 8)
+
+    // a replayed forget wave (same batchId) through the full history is
+    // still a marker-gated no-op
+    val before = lmMap(Forget.lmCountsAfterForget(spark, store))
+    ForgetStream.processBatch(
+      docs.filter(pmod(col("doc_id"), lit(17L)) === lit(5L)).select("doc_id"),
+      docs, ForgetStream.ForgetTargets(lmDeltaDir = Some(store)), markers, 1L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, store)) === before,
+      "a replayed wave must not move a single count")
+  }
+}
