@@ -998,6 +998,137 @@ object Scratch {
     }
 
 
+    if (args.length > 1 && args(1) == "lenprobe") {
+      // The dims lesson (dimprobe found the 81x interpreted PQ-encode
+      // cliff) applied to the document-LENGTH axis: fixture docs are
+      // ~100-400 tokens, real corpora carry 10-100x longer ones, and a
+      // per-token kernel with superlinear per-row cost or an interpreted
+      // fallback shows up as wall clock growing with L under a CONSTANT
+      // total-token budget: at multiplier L, min(L,10)/L of the docs
+      // carry L concatenated copies of their text, so every L >= 10 pass
+      // works the same ~10x-base token budget and flat seconds = flat
+      // per-token law (L=1 runs the 1x baseline for the rate itself).
+      import graft.ops.{Corpus, Dedup, Mining}
+      graft.functions.ShingleHashes.register(spark)
+      graft.functions.BpeMerge.register(spark)
+      val ls = if (args.length > 2) args.drop(2).map(_.toInt).toSeq
+        else Seq(1, 10, 50, 100)
+      val base = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text").localCheckpoint()
+      val merges = Corpus.trainMerges(Corpus.pretokens(base), 3)
+      ls.foreach { l =>
+        val d = base
+          .filter(pmod(col("doc_id"), lit(l.toLong)) < lit(math.min(l, 10).toLong))
+          .withColumn("text", concat_ws(" ", array_repeat(col("text"), l)))
+          .localCheckpoint()
+        val nD = d.count()
+        val nToks = d.agg(sum(size(graft.ops.TextOps.tokens(col("text")))))
+          .head().getLong(0)
+        println(s"len${l}x: docs=$nD total_tokens=$nToks")
+        val dt = d.select(col("doc_id"), col("text"))
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.positional_shingles") {
+            Dedup.positionalShingles(dt).agg(count(lit(1))).head().getLong(0)
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.minhash_sig") {
+            Dedup.minhashSignatures(d).agg(sum(col("sig_0"))).head(); nD
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.winnow_sketch") {
+            d.select(explode(graft.functions.ShingleHashes.winnow(col("text"),
+                Mining.WinnowK, Mining.WinnowWindow)).as("h"))
+              .agg(count(lit(1))).head().getLong(0)
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.cdc_chunks") {
+            Dedup.cdcChunks(d).agg(sum(col("ln"))).head(); nD
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.span_cells") {
+            Mining.spanWindowCells(dt).agg(sum(col("n"))).head(); nD
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.span_scrub_plan") {
+            Mining.spanScrubPlanOf(dt).agg(sum(col("cut_tokens"))).head(); nD
+          }
+        }
+        (1 to 2).foreach { _ =>
+          time(s"len${l}x.bpe_encode3") {
+            Corpus.bpeEncode(Corpus.pretokens(d), merges)
+              .agg(sum(size(col("t")))).head(); nD
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "curforgetprobe") {
+      // forgetprobe's missing row: q204's FIVE-store curation erasure
+      // (exact-ownership re-election off quarantine text + band keeper
+      // re-election + accepted/quarantine repair), whose cost law —
+      // bounded by orphaned fps x duplicate density + affected buckets —
+      // was asserted, not measured. Same honest framing as forgetprobe:
+      // the forget set is FIXED (planted in the 1x id range) while the
+      // corpus multiplies; the naive twin is a full curation re-run over
+      // the survivors, which is corpus-linear by construction.
+      import graft.streaming.{CurationStream, Forget}
+      graft.functions.ShingleHashes.register(spark)
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "text", "source")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+        .reduce(_.unionByName(_))
+      Seq(1, mult).foreach { m =>
+        val d = docsAt(m).localCheckpoint()
+        val n = d.count()
+        val cut = m * idStride / 2
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-curforgetprobe-$m").toString
+        time(s"curforget${m}x.build_store") {
+          CurationStream.processBatch(d.filter(col("doc_id") < cut),
+            s"$root/fp", s"$root/index", s"$root/decisions", 0L,
+            Some(s"$root/accepted"), Some(s"$root/quarantine"))
+          CurationStream.processBatch(d.filter(col("doc_id") >= cut),
+            s"$root/fp", s"$root/index", s"$root/decisions", 1L,
+            Some(s"$root/accepted"), Some(s"$root/quarantine"))
+          n
+        }
+        val fIds = d.filter(col("doc_id") < idStride &&
+            pmod(col("doc_id"), lit(17L)) === lit(3L))
+          .select("doc_id").localCheckpoint()
+        val nF = fIds.count()
+        var rep: Forget.CurationForgetReport = null
+        time(s"curforget${m}x.forget_5stores(nF=$nF)") {
+          rep = Forget.forgetFromCurationStores(spark, root, fIds,
+            correctiveId = 2L)
+          rep.nReelected
+        }
+        println(s"curforget${m}x: corpus=$n orphan_fps=${rep.nOrphanFps} " +
+          s"new_owners=${rep.nNewOwners} reelected=${rep.nReelected} " +
+          s"rem_dups=${rep.nRemDups} " +
+          s"dec_parts=${rep.deleted("decisions").nRewritten}/${rep.deleted("decisions").nPartitions}")
+        val survivors = d.join(fIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val root2 = java.nio.file.Files
+          .createTempDirectory(s"graft-curforgetprobe-fresh-$m").toString
+        time(s"curforget${m}x.full_recuration") {
+          CurationStream.processBatch(survivors,
+            s"$root2/fp", s"$root2/index", s"$root2/decisions", 0L,
+            Some(s"$root2/accepted"), Some(s"$root2/quarantine"))
+          survivors.count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "forgetprobe") {
       // The erasure cost law: |forget set| is FIXED (GDPR requests don't
       // scale with the corpus) while the corpus multiplies — the pitch is
