@@ -682,4 +682,35 @@ class PlanSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("grid_bmp")),
       s"kind predicates must be partition pruning:\n$countPlan")
   }
+
+  test("round-10 erasure family serving plans: store/artifact reads only — no content re-scan beyond each query's declared contract") {
+    // q206: every pinned trend evaluation reads the mutated index store +
+    // the doc_id spine — no text unroll at any pin, same as q199
+    val p206 = plan("q206_trend_forget")
+    assert(p206.contains("graft_trend_forget"),
+      s"q206 must serve off the forget-mutated trend store:\n$p206")
+    assert(!p206.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"q206 must never unroll corpus text:\n$p206")
+    // q207: a pure scrub-store read — no corpus text, no benchmark rebuild
+    val p207 = plan("q207_scrub_forget")
+    assert(!p207.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"q207 must serve off the mutated verdict store alone:\n$p207")
+    // q208: a pure decisions-store read — the embeddings table is never
+    // rescanned at serving time
+    val p208 = plan("q208_semantic_forget")
+    assert(!p208.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("embedding:")),
+      s"q208 must serve off the mutated decision store, never raw vectors:\n$p208")
+    // q211: store + doc_id spine only
+    val p211 = plan("q211_cs_forget")
+    assert(!p211.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"q211 must serve off the window-majority store alone:\n$p211")
+    // q212: the absence audit is metadata-only — the payload binary
+    // column must never appear in any ReadSchema (parquet column pruning
+    // is what makes auditing a 100 TB asset table cheap)
+    val p212 = plan("q212_asset_forget_audit")
+    assert(!p212.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("payload")),
+      s"q212's audit must never touch payload pages:\n$p212")
+  }
 }
