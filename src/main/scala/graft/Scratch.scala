@@ -1068,6 +1068,55 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "spanforgetprobe") {
+      // The span re-election's content-pass cost, with and without the
+      // positional inverted index: the forget set is FIXED (1x id range)
+      // while the corpus multiplies with id-shifted copies. WITHOUT the
+      // index, step 3 tokenizes every survivor (corpus-linear); WITH it,
+      // only the implicated docs (the copies sharing the forgotten
+      // docs' windows — duplication-bounded, not corpus-bounded).
+      import graft.streaming.{CorpusStream, Forget}
+      graft.functions.ShingleHashes.register(spark)
+      val mult = if (args.length > 2) args(2).toInt else 16
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+        .reduce(_.unionByName(_))
+      Seq(1, mult).foreach { m =>
+        val d = docsAt(m).localCheckpoint()
+        val n = d.count()
+        val cut = m * idStride / 2
+        val fPred = col("doc_id") < idStride &&
+          pmod(col("doc_id"), lit(17L)) === lit(3L)
+        val forgotten = d.filter(fPred).localCheckpoint()
+        val survivors = d.filter(!fPred).localCheckpoint()
+        Seq(false, true).foreach { indexed =>
+          val tag = if (indexed) "indexed" else "fullpass"
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-spanforget-$m-$tag").toString
+          val (deltas, idx) = (s"$root/deltas", s"$root/index")
+          Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+            case (p, b) =>
+              CorpusStream.writeSpanDelta(d.filter(p), deltas, b.toLong)
+              if (indexed)
+                CorpusStream.writeSpanIndexDelta(d.filter(p), idx, b.toLong)
+          }
+          var rep: Forget.SpanForgetReport = null
+          time(s"spanforget${m}x.$tag(nF=${forgotten.count()})") {
+            rep = Forget.forgetSpanCells(spark, deltas, forgotten, survivors,
+              correctiveId = 2L,
+              windowIndexDir = if (indexed) Some(idx) else None)
+            rep.nReelected
+          }
+          println(s"spanforget${m}x.$tag: corpus=$n " +
+            s"affected_h=${rep.nAffectedWindows} reelected=${rep.nReelected}")
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "curforgetprobe") {
       // forgetprobe's missing row: q204's FIVE-store curation erasure
       // (exact-ownership re-election off quarantine text + band keeper

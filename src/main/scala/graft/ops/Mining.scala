@@ -291,6 +291,15 @@ object Mining {
         min(col("doc_id") * SpanPosKey + col("pos")).as("first_key"))
   }
 
+  /** The positional-window inverted index of a batch: DISTINCT
+    * (h, doc_id) pairs — the erasure accelerator beside the cell store
+    * (see [[graft.streaming.CorpusStream.writeSpanIndexDelta]]).
+    */
+  private[graft] def spanWindowIndex(d: DataFrame): DataFrame = {
+    val (_, ex) = spanWindows(d)
+    ex.select(col("h"), col("doc_id")).distinct()
+  }
+
   /** q182's plan for `d` against (possibly unfolded) window cells — the
     * fold is the first aggregation, so batch and store-served paths
     * share this code.

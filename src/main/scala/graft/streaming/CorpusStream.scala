@@ -547,20 +547,37 @@ object CorpusStream {
     graft.ops.Mining.spanWindowCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
 
+  /** One micro-batch's positional-window INVERTED-INDEX delta: DISTINCT
+    * (h, doc_id) pairs over the batch's span windows — the add-only
+    * identity sibling of the cell store (a doc's windows are fixed at
+    * landing), maintained so span-store erasure can re-elect
+    * first-occurrence attribution by tokenizing ONLY the implicated
+    * docs ([[Forget.forgetSpanCells]]' `windowIndexDir` path) instead
+    * of a full survivor content pass.
+    */
+  def writeSpanIndexDelta(batch: DataFrame, indexDir: String,
+      batchId: Long): Unit =
+    graft.ops.Mining.spanWindowIndex(batch)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+
   /** Window-cell maintenance sink — the exact-substring duplication
-    * state kept current as documents land.
+    * state kept current as documents land. With `indexDir` the sink
+    * also maintains the positional inverted index (the erasure
+    * accelerator) from the same batch.
     */
   def spanCellSink(stream: DataFrame, deltaDir: String,
       checkpointDir: String,
-      maintain: Option[StoreCompaction.MaintenancePolicy] = None): StreamingQuery =
+      maintain: Option[StoreCompaction.MaintenancePolicy] = None,
+      indexDir: Option[String] = None): StreamingQuery =
     stream.writeStream
       .queryName("span_window_maintenance")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeSpanDelta(batch, deltaDir, batchId)
+        indexDir.foreach(idx => writeSpanIndexDelta(batch, idx, batchId))
         StoreCompaction.sinkMaintain(batch.sparkSession,
-          Seq(deltaDir -> Seq("h")), maintain)
+          Seq(deltaDir -> Seq("h")) ++ indexDir.map(_ -> Seq("h")), maintain)
       }
       .start()
 

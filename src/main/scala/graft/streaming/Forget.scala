@@ -471,18 +471,47 @@ object Forget {
     *
     * Unaffected hashes are untouched (a forgotten doc contributed
     * nothing to them by definition), so the folded store now equals
-    * `spanWindowCells(survivors)` exactly, through any compaction. At
-    * 100 TB the content pass is the price of not keeping a positional
-    * inverted index; a deployment with frequent erasure would maintain
-    * one (the shingle-index pattern) to make step 3 index-bounded.
+    * `spanWindowCells(survivors)` exactly, through any compaction.
+    *
+    * WITHOUT `windowIndexDir` the re-election pays one full survivor
+    * content pass (the price of keeping only MIN state). WITH it — a
+    * (h, doc_id) positional-window inverted index maintained beside the
+    * cell store ([[CorpusStream.writeSpanIndexDelta]]) — step 3
+    * tokenizes only the docs the index implicates for the affected
+    * hashes, and the index erases its own forgotten rows in the same
+    * pass. Both paths are bit-equal (ForgetSpec). MEASURED CAVEAT
+    * (`spanforgetprobe`, SURVEY §8): on text corpora the index does NOT
+    * pay — the (h, doc_id) store is itself corpus-sized (≈3× the text
+    * bytes: one 16-byte row per token), scanning it costs as much as
+    * re-tokenizing, and a realistic forget set's windows spread across
+    * every hash bucket so no pruning can save the scan. Default to the
+    * full pass; the index variant exists for pipelines whose
+    * tokenization is far more expensive than IO (heavy normalization,
+    * learned segmentation).
     */
   def forgetSpanCells(spark: SparkSession, deltaDir: String,
       forgotten: DataFrame, survivors: DataFrame,
-      correctiveId: Long): SpanForgetReport = {
+      correctiveId: Long,
+      windowIndexDir: Option[String] = None): SpanForgetReport = {
+    val fIds = forgotten.select(col("doc_id")).localCheckpoint()
     val affected = graft.ops.Mining.spanWindowCells(forgotten)
       .select("h").distinct().localCheckpoint()
     val rep = surgicalDelete(spark, deltaDir, affected, keyCol = "h")
-    val corrective = graft.ops.Mining.spanWindowCells(survivors)
+    val candidates = windowIndexDir match {
+      case Some(idx) =>
+        // implicated survivors only: docs the index holds for an
+        // affected hash, minus the forgotten set — then erase the
+        // forgotten docs' own index rows (identity store)
+        val implicated = spark.read.parquet(idx)
+          .join(affected, Seq("h"), "left_semi")
+          .select("doc_id").distinct()
+          .join(fIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        surgicalDelete(spark, idx, fIds)
+        survivors.join(implicated, Seq("doc_id"), "left_semi")
+      case None => survivors
+    }
+    val corrective = graft.ops.Mining.spanWindowCells(candidates)
       .join(affected, Seq("h"), "left_semi").localCheckpoint()
     corrective.coalesce(1).write.mode("overwrite")
       .parquet(s"$deltaDir/batch_id=$correctiveId")

@@ -67,6 +67,7 @@ object ForgetStream {
       scrubStoreDirs: Seq[String] = Nil,
       csDeltaDir: Option[String] = None,
       spanDeltaDir: Option[String] = None,
+      spanIndexDir: Option[String] = None,
       cdcStores: Option[(String, String)] = None,
       semanticStores: Option[(String, String)] = None,
       assetStore: Option[(String, String)] = None,
@@ -175,7 +176,8 @@ object ForgetStream {
       val next = StoreCompaction.partitionIds(new java.io.File(dir))
         .filter(_ != StoreCompaction.BasePartition)
         .foldLeft(-1L)(math.max) + 1L
-      Forget.forgetSpanCells(spark, dir, docs, survivors, correctiveId = next)
+      Forget.forgetSpanCells(spark, dir, docs, survivors, correctiveId = next,
+        windowIndexDir = targets.spanIndexDir)
       ()
     }
     targets.semanticStores.foreach { case (hist, dec) =>

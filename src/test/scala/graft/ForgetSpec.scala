@@ -406,6 +406,27 @@ class ForgetSpec extends AnyFunSuite {
 
     CorpusStream.compactSpanDeltas(spark, deltas, upto = 2L)
     assert(served() === fresh, "the re-election must survive the fold")
+
+    // the INDEXED path: a positional inverted index narrows the
+    // re-election's content pass to the implicated docs only — bit-equal
+    // to the full-pass path, and the index erases its own forgotten rows
+    val root2 = tmpDir("graft-forget-span-idx")
+    val (deltas2, idx2) = (s"$root2/deltas", s"$root2/index")
+    Seq(col("doc_id") < 21, col("doc_id") >= 21).zipWithIndex.foreach {
+      case (p, b) =>
+        CorpusStream.writeSpanDelta(d.filter(p), deltas2, b.toLong)
+        CorpusStream.writeSpanIndexDelta(d.filter(p), idx2, b.toLong)
+    }
+    Forget.forgetSpanCells(spark, deltas2, d.filter(forgetPred), survivors,
+      correctiveId = 2L, windowIndexDir = Some(idx2))
+    def rows2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(rows2(CorpusStream.spanScrubFromDeltas(spark, deltas2, survivors))
+      === fresh, "the index-narrowed re-election must equal the full pass")
+    assert(spark.read.parquet(idx2)
+      .join(d.filter(forgetPred).select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() === 0L, "the index must erase its own forgotten rows")
   }
 
   test("CDC forget: one negative landing per store equals a re-chunk of the survivors (tombstones drop), through compaction; double-forgets refuse loudly") {
