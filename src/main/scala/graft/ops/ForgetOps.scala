@@ -67,8 +67,12 @@ object ForgetOps {
     root
   }
 
-  private def q200OracleSql: String =
-    s"""WITH d0 AS (SELECT * FROM $survivorsSql t), tk AS (
+  /** The LM-forget fluency oracle over an arbitrary corpus expression —
+    * a from-scratch bigram retrain on `corpus` scoring `corpus` itself
+    * (q200 passes the survivors; q214 the survivors of a pinned slice).
+    */
+  private def lmForgetFluencyOracle(corpus: String): String =
+    s"""WITH d0 AS (SELECT * FROM $corpus t), tk AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM d0
        |), bg AS (
        |  SELECT doc_id,
@@ -94,6 +98,8 @@ object ForgetOps {
        |    ELSE CAST(s.sum_fp AS DOUBLE) / (s.n_bigrams * 1000000.0) END AS fluency_score
        |FROM d0 d LEFT JOIN scored s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  private def q200OracleSql: String = lmForgetFluencyOracle(survivorsSql)
 
   /** q200 — fluency AFTER FORGETTING: the LM store erases the forget set
     * by landing ONE negative cell delta (no rewrite — the fold algebra
@@ -769,6 +775,165 @@ object ForgetOps {
       .orderBy("kind")
   }
 
+  // ── q213: embedding-occupancy cells AFTER forgetting (SumCellTarget) ──
+
+  def occForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_occ_forget_v1_${storeKey(dir, "occforget")}"
+
+  /** The frozen quantizer (the round-1 fixed-point centroids whose
+    * cosine argmax IS the q104/q130 `asg2` assignment), two snapshot-
+    * tagged occupancy landings split at max(vec_id)/2 (snapshots =
+    * vec_id parity), then the negative forget landing through the
+    * GENERIC [[graft.streaming.Forget.SumCellTarget]] wiring — the same
+    * entry every eval/feature/MW cell store uses, so this build is the
+    * symmetry proof that any add-mergeable store in the system erases
+    * with one negated landing. Idempotent (marker-committed). Returns
+    * (deltaDir, centroidPath).
+    */
+  def buildOccForgetStore(s: SparkSession, dir: String): (String, String) = {
+    val root = occForgetStorePath(dir)
+    val (deltas, cents) = (s"$root/deltas", s"$root/centroids")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.VecDot.register(s)
+      val e = Catalog.table(s, dir, "embeddings")
+      val ed = e.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val init = ed.select(col("vec_id"), col("v"),
+        pmod(Dedup.h60Col(concat(lit("sem:"), col("vec_id").cast("string"))),
+          lit(Similarity.SemK.toLong)).cast("int").as("init"))
+      val asg1 = Similarity.kmeans(init, "init", maxIters = 1)._1
+      Similarity.fixedPointCentroids(
+          ed.join(asg1, "vec_id").select(col("cluster"), col("v")), "cluster")
+        .select(col("cluster").cast("int").as("label"), col("c").as("centroid"))
+        .coalesce(1).write.mode("overwrite").parquet(cents)
+      val snap = e.select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(2L)).as("snapshot_id"))
+      val cut = snap.agg(max(col("vec_id"))).head().getLong(0) / 2
+      graft.streaming.EmbeddingStream.writeOccupancyDelta(
+        snap.filter(col("vec_id") < cut), cents, deltas, 0L)
+      graft.streaming.EmbeddingStream.writeOccupancyDelta(
+        snap.filter(col("vec_id") >= cut), cents, deltas, 1L)
+      Forget.forgetSumCells(snap.filter(forgottenVecPred),
+        Forget.occupancyCellTarget(deltas, cents), 2L)
+      marker.createNewFile()
+    }
+    (deltas, cents)
+  }
+
+  private def q213OracleSql: String =
+    s"""WITH ${Similarity.frozenAsgChainSql},
+       |asg AS (
+       |  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg2
+       |  WHERE vec_id % $ForgetMod <> $ForgetRes
+       |), tagged AS (
+       |  SELECT vec_id, cluster, vec_id % 2 AS snap FROM asg
+       |), ca AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS na FROM tagged WHERE snap = 0 GROUP BY 1
+       |), cb AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nb FROM tagged WHERE snap = 1 GROUP BY 1
+       |), ${Similarity.occupancyChi2TailSql}
+       |ORDER BY cluster""".stripMargin
+
+  /** q213 — OCCUPANCY DRIFT AFTER FORGETTING: the last cell-store family
+    * without an erasure audit (the round-10 handoff's symmetry gap).
+    * Forgetting vectors lands their (snapshot, cluster) counts negated
+    * through the generic SumCellTarget wiring — the forgotten vectors
+    * re-assigned against the SAME frozen quantizer the sink uses, so the
+    * folded occupancy equals a recount over the survivors and the served
+    * q130 pair-χ² statistic (snapshot A vs B) is survivor-exact: the
+    * drift dashboard stops counting erased vectors the moment the forget
+    * lands, with zero vector rescans and zero store rewrites. Cells
+    * folded to zero are tombstones the serve path drops (and negative
+    * folds refuse). Oracle: the unrolled frozen-assign chain filtered to
+    * survivors, recounted per (parity-snapshot, cluster), through the
+    * exact χ² tail.
+    */
+  val q213 = Q("q213_occupancy_forget", q213OracleSql) { (s, dir) =>
+    val (deltas, _) = buildOccForgetStore(s, dir)
+    Similarity.occupancyPairChi2(
+      Forget.occupancyAfterForget(s, deltas, 0L, "na"),
+      Forget.occupancyAfterForget(s, deltas, 1L, "nb"))
+  }
+
+  // ── q214: a release pin SURVIVES erasure (pin-preserving split forget) ──
+
+  def lmPinForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lmpin_forget_v1_${storeKey(dir, "lmpinforget")}"
+
+  /** Four quartile LM landings (batches 0-3 by doc_id), the release pin
+    * registered at batch 1 — and THEN the forget wave, landed
+    * PIN-PRESERVINGLY ([[graft.streaming.Forget.forgetSumCellsSplit]]):
+    * one negative delta per source batch the forgotten docs span, ids
+    * encoding the source batch, NO forget horizon sealed. The pin stays
+    * registered and legal throughout. Idempotent (marker-committed).
+    * Returns (deltaDir, the pin slice's doc_id bound).
+    */
+  def buildLmPinForgetStore(s: SparkSession, dir: String): (String, Long) = {
+    val root = lmPinForgetStorePath(dir)
+    val d = docs(s, dir)
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), root, k.toLong)
+      }
+      graft.streaming.StoreCompaction.registerPin(root, "release_b1", 1L)
+      val forgotten = d.filter(forgottenPred)
+        .withColumn("src_batch",
+          when(col("doc_id") < q, 0L).when(col("doc_id") < 2 * q, 1L)
+            .when(col("doc_id") < 3 * q, 2L).otherwise(3L))
+      Forget.forgetSumCellsSplit(forgotten, Forget.lmCellTarget(root),
+        requestId = 0L)
+      marker.createNewFile()
+    }
+    (root, 2 * q)
+  }
+
+  private val pinnedSurvivorsSql =
+    s"""(SELECT * FROM documents
+       | WHERE doc_id % $ForgetMod <> $ForgetRes
+       |   AND doc_id < (SELECT (MAX(doc_id) // 4) * 2 FROM documents))""".stripMargin
+
+  /** q214 — a RELEASE PIN SURVIVES ERASURE: the refinement the round-10
+    * soak demanded. A whole-wave negative landing is an aggregate
+    * correction, so it seals the store's forget horizon and a release
+    * pinned BELOW a later wave's frontier refuses to serve. When the
+    * content archive records each doc's original landing batch, the wave
+    * can land ONE NEGATIVE DELTA PER SOURCE BATCH instead
+    * ([[graft.streaming.Forget.forgetSumCellsSplit]]), each under an id
+    * encoding the batch it negates — and every pinned read then folds
+    * exactly the negatives inside its slice
+    * ([[graft.streaming.StoreCompaction.pinnedReadFilter]], all
+    * partition-pruned). This query serves the batch-1 release pinned
+    * BEFORE the wave: fluency of the pin slice's survivors against the
+    * pinned post-forget counts must equal a retrain on (docs landed in
+    * batches 0-1) minus (their forgotten members) — the release still
+    * serves, the erased docs are gone from it retroactively, and no
+    * horizon refusal fires. Cost: k = |landings the forgotten docs span|
+    * small appends instead of one, still zero store rewrites.
+    */
+  val q214 = Q("q214_pinned_forget",
+    lmForgetFluencyOracle(pinnedSurvivorsSql)) { (s, dir) =>
+    val (store, cut2) = buildLmPinForgetStore(s, dir)
+    // the law under test: the pin registered before the wave is STILL
+    // servable (a whole-wave forget would have sealed the horizon at 3
+    // and made this raise)
+    graft.streaming.StoreCompaction.requireServableAt(store, 1L)
+    val pinnedSurvivors = docs(s, dir)
+      .filter(!forgottenPred && col("doc_id") < cut2)
+    graft.ops.TextOps.fluencyScoredFromCounts(pinnedSurvivors,
+        Some(Forget.lmCountsAfterForget(s, store, upto = 1L)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210, q211, q212)
+    q206, q207, q208, q209, q210, q211, q212, q213, q214)
 }

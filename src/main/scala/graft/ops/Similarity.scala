@@ -2204,12 +2204,14 @@ object Similarity {
     retrievalChain(s, dir, ids)
   }
 
-  /** q130's oracle body up to (but excluding) the final ORDER BY —
-    * shared with q132, which aggregates the same drift table.
+  /** The frozen-quantizer assignment chain as DuckDB CTEs — `e` (double-
+    * cast embeddings), the h60 hash-bucket init `a0`, and two unrolled
+    * Lloyd rounds ending in `asg2` (the q104/q130 assignment). Shared
+    * with the occupancy-forget audit (q213), whose store assigns new and
+    * forgotten vectors against exactly this frozen quantizer.
     */
-  private def q130OracleBody: String = {
-    val parity = s"${Dedup.h60Sql("'snap:' || CAST(vec_id AS VARCHAR)")} % 2"
-    s"""WITH e AS (
+  private[ops] def frozenAsgChainSql: String =
+    s"""e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
        |), a0 AS (
        |  SELECT vec_id,
@@ -2218,7 +2220,14 @@ object Similarity {
        |), ${centroidCtes("a0", "0")},
        |${assignCtes("c0", "1")},
        |${centroidCtes("asg1", "1")},
-       |${assignCtes("c1", "2")},
+       |${assignCtes("c1", "2")}""".stripMargin
+
+  /** q130's oracle body up to (but excluding) the final ORDER BY —
+    * shared with q132, which aggregates the same drift table.
+    */
+  private def q130OracleBody: String = {
+    val parity = s"${Dedup.h60Sql("'snap:' || CAST(vec_id AS VARCHAR)")} % 2"
+    s"""WITH $frozenAsgChainSql,
        |asg AS (
        |  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM asg2
        |), tagged AS (
@@ -2230,7 +2239,16 @@ object Similarity {
        |), cb AS (
        |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS nb
        |  FROM tagged, mn WHERE par = 1 AND cluster <> mn.mc GROUP BY 1
-       |), cells AS (
+       |), $occupancyChi2TailSql""".stripMargin
+  }
+
+  /** The χ² statistic tail over CTEs `ca(cluster, na)` / `cb(cluster,
+    * nb)` — the SQL twin of [[occupancyPairChi2]], shared by q130's
+    * oracle and the occupancy-forget audit's (q213). Ends with the final
+    * (un-ordered) SELECT producing the kernel's exact column set.
+    */
+  private[ops] def occupancyChi2TailSql: String =
+    s"""cells AS (
        |  SELECT COALESCE(a.cluster, b.cluster) AS cluster,
        |    COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
        |  FROM ca a FULL JOIN cb b ON a.cluster = b.cluster
@@ -2264,7 +2282,6 @@ object Similarity {
        |  t.contrib_fp, gl.chi2_fp, gl.df,
        |  gl.chi2_fp > 2000000 * gl.df AS shifted
        |FROM t, gl""".stripMargin
-  }
 
   private def q130OracleSql: String = s"$q130OracleBody ORDER BY cluster"
 

@@ -303,7 +303,11 @@ object CorpusStream {
       upto: Long = Long.MaxValue): DataFrame = {
     StoreCompaction.requireServableAt(deltaDir, upto)
     spark.read.parquet(deltaDir)
-      .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
+      // pinnedReadFilter extends `batch_id <= upto OR base` to the
+      // split-forget range: a pin registered BEFORE a pin-preserving
+      // forget wave keeps serving, with the wave's erasure applied
+      // inside the pinned slice (Forget.forgetSumCellsSplit's law)
+      .filter(StoreCompaction.pinnedReadFilter(upto))
       .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
   }
 
@@ -427,7 +431,7 @@ object CorpusStream {
     def pinned(dir: String) = {
       StoreCompaction.requireServableAt(dir, upto)
       spark.read.parquet(dir)
-        .filter(col("batch_id") <= upto || col("batch_id") === StoreCompaction.BasePartition)
+        .filter(StoreCompaction.pinnedReadFilter(upto))
     }
     graft.ops.Similarity.diversityFromCells(
       pinned(dimDir).select("source", "d", "s_d"),

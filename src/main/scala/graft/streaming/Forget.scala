@@ -130,8 +130,7 @@ object Forget {
       upto: Long = Long.MaxValue): DataFrame = {
     StoreCompaction.requireServableAt(deltaDir, upto)
     spark.read.parquet(deltaDir)
-      .filter(col("batch_id") <= upto ||
-        col("batch_id") === StoreCompaction.BasePartition)
+      .filter(StoreCompaction.pinnedReadFilter(upto))
       .groupBy("source", "lang", "len_bucket")
       .agg(sum(col("gsz")).cast("long").as("gsz"))
       .withColumn("gsz",
@@ -403,6 +402,115 @@ object Forget {
     SumCellTarget(dir, Seq("tgt1_n", "tgt_n", "raw_n"), CorpusStream.featureCells)
   def mwCellTarget(dir: String): SumCellTarget =
     SumCellTarget(dir, Seq("n_docs", "loss_sum"), graft.ops.Mining.mwCells)
+
+  /** The embedding-occupancy cell store ([[EmbeddingStream.occupancySink]])
+    * as an erasure target: forgetting vectors re-assigns THEM against the
+    * same FROZEN quantizer the sink uses (the artifact at `centroidPath`)
+    * and lands their (snapshot, cluster) counts negated — the exact sink
+    * kernel ([[EmbeddingStream.writeOccupancyDelta]]'s), so the folded
+    * occupancy equals a recount over the surviving vectors and every
+    * drift statistic served off it (q130's pair χ²) is survivor-exact.
+    * The quantizer itself is NOT retrained (k aggregate centroids retain
+    * no per-vector content; retraining is the q132 rebuild trigger's
+    * job). Cells folded to zero are tombstones —
+    * [[occupancyAfterForget]] drops them and refuses negative folds.
+    */
+  def occupancyCellTarget(dir: String, centroidPath: String): SumCellTarget =
+    SumCellTarget(dir, Seq("o"), { b =>
+      val cents = b.sparkSession.read.parquet(centroidPath)
+      EmbeddingStream.assignFrozen(b, cents)
+        .join(b.select(col("vec_id"), col("snapshot_id")), Seq("vec_id"))
+        .groupBy("snapshot_id", "cluster")
+        .agg(count(lit(1)).as("o"))
+    })
+
+  /** One snapshot's folded per-cluster occupancy with forget tombstones
+    * dropped — counts exactly as a recount over the surviving vectors
+    * ([[EmbeddingStream.occupancyForSnapshot]] with the erasure guards:
+    * a NEGATIVE folded count means a forget delta was landed for vectors
+    * the store never counted, and refuses loudly).
+    */
+  def occupancyAfterForget(spark: SparkSession, deltaDir: String,
+      snapshotId: Long, as: String): DataFrame =
+    spark.read.parquet(deltaDir)
+      .filter(col("snapshot_id") === snapshotId)
+      .groupBy("cluster")
+      .agg(sum(col("o")).cast("long").as(as))
+      .withColumn(as,
+        when(col(as) < 0, raise_error(concat(lit(
+          s"store $deltaDir folded a NEGATIVE occupancy count — a forget " +
+            "delta was landed for vectors this store never counted: cluster "),
+          col("cluster")))).otherwise(col(as)))
+      .filter(col(as) > 0)
+
+  /** The LM / k-anonymity / diversity / CDC cell stores as generic
+    * [[SumCellTarget]]s — the family-specific forget entry points above
+    * predate the generic wiring; these let the SAME stores take the
+    * pin-preserving split path ([[forgetSumCellsSplit]]).
+    */
+  def lmCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("c12"), CorpusStream.lmCells)
+  def kAnonCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("gsz"), graft.ops.TextOps.kAnonCells)
+  def divDimCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("s_d"), d => graft.ops.Similarity.divDimCells(
+      graft.ops.Similarity.hashedVec(d, keep = Seq("source"))))
+  def divStatCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("n_docs", "sum_sq"), d => graft.ops.Similarity
+      .divStatCells(graft.ops.Similarity.hashedVec(d, keep = Seq("source"))))
+  def cdcChunkCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("n"),
+      d => graft.ops.Dedup.cdcCellsOf(graft.ops.Dedup.cdcChunks(d)))
+  def cdcDocCellTarget(dir: String): SumCellTarget =
+    SumCellTarget(dir, Seq("n_docs"), d => graft.ops.Dedup.cdcChunks(d)
+      .select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs")))
+
+  /** PIN-PRESERVING erasure on a SUM-cell store: land ONE negative
+    * delta per ORIGINAL landing batch instead of one per wave. A
+    * whole-wave negation ([[forgetSumCells]]) is an aggregate
+    * correction — faithful only for reads folding EVERY forgotten doc's
+    * positive cells — so it seals the store's forget horizon and pins
+    * below the frontier refuse. When the content archive records each
+    * doc's landing batch (`srcBatchCol`), the wave can split: the delta
+    * for source batch b is the negation of exactly what batch b added
+    * for the forgotten docs, landed under
+    * [[StoreCompaction.splitForgetId]] so every pinned read at P folds
+    * it iff b ≤ P ([[StoreCompaction.pinnedReadFilter]]). A pin at P
+    * then serves the cells of (docs landed ≤ P) minus (their forgotten
+    * members) — the survivor recompute of the pinned slice — so NO
+    * horizon is sealed and release pins registered before the wave keep
+    * serving, with the erased docs gone from their slice too (erasure
+    * stays retroactive by law). Cost: k = |landings the forgotten docs
+    * span| small landings, bounded by the store's landing count.
+    *
+    * Replay-idempotent (same request → same ids, overwrite). `stamp`
+    * marks the partitions fold-eligible ([[StoreCompaction
+    * .ForgetCommittedName]]) immediately — right for batch callers; the
+    * streamed sink passes false and stamps after its request marker
+    * commits (the double-subtraction crash window). Returns landed
+    * partition ids.
+    */
+  def forgetSumCellsSplit(forgotten: DataFrame, t: SumCellTarget,
+      requestId: Long, srcBatchCol: String = "src_batch",
+      stamp: Boolean = true): Seq[Long] = {
+    val srcBatches = forgotten.select(col(srcBatchCol).cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    srcBatches.map { b =>
+      val id = StoreCompaction.splitForgetId(requestId, b)
+      val c = t.cells(forgotten.filter(col(srcBatchCol) === b))
+      c.select(c.columns.map(n =>
+          if (t.negCols.contains(n)) (-col(n)).as(n) else col(n)): _*)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${t.deltaDir}/batch_id=$id")
+      if (stamp) {
+        new java.io.File(s"${t.deltaDir}/batch_id=$id",
+          StoreCompaction.ForgetCommittedName).createNewFile()
+        ()
+      }
+      id
+    }
+  }
 
   /** Land the negative cell delta for `forgotten` docs on a generic
     * SUM-cell store. Serving reads need no change (negatives fold);

@@ -56,6 +56,16 @@ object ForgetStream {
     * The asset store is erased LAST within a batch — payload bytes are
     * the content archive's closest relative, and every other store may
     * need the content resolvable first (the archive-last rule).
+    *
+    * `splitBySrcBatch` switches the ADDITIVE families to PIN-PRESERVING
+    * erasure ([[Forget.forgetSumCellsSplit]]): the content archive must
+    * then carry each doc's original landing batch in a `src_batch`
+    * column, the wave lands one negative delta per source batch instead
+    * of one per wave, and NO forget horizon is sealed — release pins
+    * registered before the wave keep serving, erasure applied inside
+    * each pinned slice. Identity and re-election stores are unaffected
+    * either way (surgical deletes keep pinned reads exact by
+    * construction).
     */
   case class ForgetTargets(
       lmDeltaDir: Option[String] = None,
@@ -71,7 +81,23 @@ object ForgetStream {
       cdcStores: Option[(String, String)] = None,
       semanticStores: Option[(String, String)] = None,
       assetStore: Option[(String, String)] = None,
-      sumCellStores: Seq[Forget.SumCellTarget] = Nil)
+      sumCellStores: Seq[Forget.SumCellTarget] = Nil,
+      splitBySrcBatch: Boolean = false) {
+
+    /** Every additive family as its generic SumCellTarget — the one
+      * list both erasure modes (whole-wave vs batch-split) fan over.
+      */
+    private[streaming] def additiveTargets: Seq[Forget.SumCellTarget] =
+      lmDeltaDir.map(Forget.lmCellTarget).toSeq ++
+        divStores.toSeq.flatMap { case (dims, stats) =>
+          Seq(Forget.divDimCellTarget(dims), Forget.divStatCellTarget(stats))
+        } ++
+        kAnonDeltaDir.map(Forget.kAnonCellTarget).toSeq ++
+        cdcStores.toSeq.flatMap { case (chunks, nd) =>
+          Seq(Forget.cdcChunkCellTarget(chunks), Forget.cdcDocCellTarget(nd))
+        } ++
+        sumCellStores
+  }
 
   /** File-source forget-request stream: parquet rows with a `doc_id`
     * column landing in `requestDir`.
@@ -105,19 +131,24 @@ object ForgetStream {
     new java.io.File(markerRoot).mkdirs()
     val marker = new java.io.File(markerRoot, s"_forget_$batchId")
     val part = ForgetBase - batchId
+    // stamps every negative partition THIS request landed: the legacy
+    // whole-wave partition and/or this request's split-forget partitions
+    // (decodable from their ids), whichever mode landed them
     def stampCommitted(): Unit =
-      (targets.lmDeltaDir.toSeq ++
-        targets.divStores.toSeq.flatMap(t => Seq(t._1, t._2)) ++
-        targets.kAnonDeltaDir.toSeq ++
-        targets.cdcStores.toSeq.flatMap(t => Seq(t._1, t._2)) ++
-        targets.sumCellStores.map(_.deltaDir))
-        .foreach { d =>
-          val p = new java.io.File(d, s"batch_id=$part")
+      targets.additiveTargets.map(_.deltaDir).distinct.foreach { d =>
+        val root = new java.io.File(d)
+        val landed = StoreCompaction.partitionIds(root).filter(id =>
+          id == part ||
+            (id <= StoreCompaction.SplitForgetBase &&
+              StoreCompaction.splitRequestId(id) == batchId))
+        landed.foreach { id =>
+          val p = new java.io.File(root, s"batch_id=$id")
           if (p.isDirectory) {
             new java.io.File(p, StoreCompaction.ForgetCommittedName).createNewFile()
             ()
           }
         }
+      }
     if (marker.exists()) { stampCommitted(); return }
     val ids = batch.select("doc_id").distinct().localCheckpoint()
     val missing = ids
@@ -131,12 +162,36 @@ object ForgetStream {
           "processing this request would silently under-erase the additive " +
           "stores, so it refuses instead")
     val docs = content.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
-    targets.lmDeltaDir.foreach { dir =>
-      Forget.forgetLmDocs(docs, dir, part)
-      ()
-    }
-    targets.divStores.foreach { case (dims, stats) =>
-      Forget.forgetDivDocs(docs, dims, stats, part)
+    if (targets.splitBySrcBatch) {
+      // pin-preserving mode: one negative delta per ORIGINAL landing
+      // batch on every additive family; no forget horizon is sealed, so
+      // live release pins keep serving (erasure applied inside each
+      // pinned slice). Stamping waits for the request marker, same as
+      // the whole-wave path.
+      require(docs.columns.contains("src_batch"),
+        s"forget batch $batchId: splitBySrcBatch needs the content archive " +
+          "to carry each doc's original landing batch in a src_batch column")
+      targets.additiveTargets.foreach { t =>
+        Forget.forgetSumCellsSplit(docs, t, batchId, stamp = false)
+        ()
+      }
+    } else {
+      targets.lmDeltaDir.foreach { dir =>
+        Forget.forgetLmDocs(docs, dir, part)
+        ()
+      }
+      targets.divStores.foreach { case (dims, stats) =>
+        Forget.forgetDivDocs(docs, dims, stats, part)
+      }
+      targets.kAnonDeltaDir.foreach { dir =>
+        Forget.forgetKAnonDocs(docs, dir, part)
+      }
+      targets.cdcStores.foreach { case (chunks, nd) =>
+        Forget.forgetCdcDocs(docs, chunks, nd, part)
+      }
+      targets.sumCellStores.foreach { t =>
+        Forget.forgetSumCells(docs, t, part)
+      }
     }
     targets.bandStores.foreach { case (idx, dec) =>
       Forget.reelectBandStores(spark, idx, dec, ids)
@@ -149,15 +204,6 @@ object ForgetStream {
         .foldLeft(-1L)(math.max) + 1L
       Forget.forgetFromCurationStores(spark, root, ids, correctiveId = next)
       ()
-    }
-    targets.kAnonDeltaDir.foreach { dir =>
-      Forget.forgetKAnonDocs(docs, dir, part)
-    }
-    targets.cdcStores.foreach { case (chunks, nd) =>
-      Forget.forgetCdcDocs(docs, chunks, nd, part)
-    }
-    targets.sumCellStores.foreach { t =>
-      Forget.forgetSumCells(docs, t, part)
     }
     targets.shingleIndexDirs.foreach { dir =>
       Forget.surgicalDelete(spark, dir, ids)

@@ -121,7 +121,10 @@ object StoreCompaction {
   }
 
   private def advanceHorizon(root: java.io.File, foldedIds: Seq[Long]): Unit = {
-    val folded = foldedIds.filter(_ != BasePartition)
+    // a folded split-forget partition advances the horizon to the SOURCE
+    // batch it negates: its rows are in the base now, so a pin below that
+    // boundary could no longer exclude them and must refuse at registration
+    val folded = foldedIds.filter(_ != BasePartition).map(effectiveBatch)
     if (folded.nonEmpty) {
       val h = math.max(folded.max,
         compactionHorizon(root.getPath).getOrElse(Long.MinValue))
@@ -159,6 +162,87 @@ object StoreCompaction {
             "over-subtract erased content; re-pin at or above the frontier")
       }
     }
+
+  // ── pin-preserving (batch-SPLIT) forget landings ──────────────────────
+  //
+  // A whole-wave negative landing is an aggregate correction: it is
+  // faithful only for reads that include EVERY forgotten doc's positive
+  // cells, which is why it seals the store's forget horizon and pins
+  // below the frontier refuse. When the content archive knows each doc's
+  // ORIGINAL landing batch, the wave can instead land ONE negative delta
+  // per source batch — the negation of exactly what batch b added for
+  // the forgotten docs — under an id that ENCODES b. A pinned read at P
+  // then folds positives of batches ≤ P plus negatives whose SOURCE
+  // batch ≤ P, i.e. exactly the cells of (docs landed ≤ P) minus (their
+  // forgotten members): every release pin stays servable, erasure still
+  // retroactive inside each pinned slice, and NO horizon is sealed.
+  // Cost: k small landings instead of one, k = landings the forgotten
+  // docs span (bounded by the store's landing count, never corpus).
+
+  /** Id base for batch-split forget landings — far below the legacy
+    * whole-wave range (`ForgetStream.ForgetBase` = −1000 − requestId),
+    * so the two conventions can never collide for any realistic request
+    * count. Ids are `SplitForgetBase − requestId·SplitStride − srcBatch`.
+    */
+  val SplitForgetBase = -1000000000000L
+
+  /** Source-batch stride inside a split id — positive landing batch ids
+    * must stay below it (one million landings per store).
+    */
+  val SplitStride = 1000000L
+
+  /** The delta-partition id for request `requestId`'s negation of what
+    * source batch `srcBatch` added.
+    */
+  def splitForgetId(requestId: Long, srcBatch: Long): Long = {
+    require(requestId >= 0 && srcBatch >= 0 && srcBatch < SplitStride,
+      s"split forget id needs requestId >= 0 and 0 <= srcBatch < $SplitStride, " +
+        s"got request $requestId / source $srcBatch")
+    SplitForgetBase - requestId * SplitStride - srcBatch
+  }
+
+  /** The source batch a split-forget partition negates. */
+  def splitSourceBatch(id: Long): Long = {
+    require(id <= SplitForgetBase, s"$id is not a split-forget partition id")
+    (SplitForgetBase - id) % SplitStride
+  }
+
+  /** The request batch that landed a split-forget partition. */
+  def splitRequestId(id: Long): Long = {
+    require(id <= SplitForgetBase, s"$id is not a split-forget partition id")
+    (SplitForgetBase - id) / SplitStride
+  }
+
+  /** The batch boundary a partition id COUNTS AS for pinned reads and
+    * fold legality: a split-forget partition belongs to the slice of the
+    * source batch it negates; every other id (positive ingest deltas,
+    * the base, legacy whole-wave negatives) is its own boundary.
+    */
+  private def effectiveBatch(id: Long): Long =
+    if (id <= SplitForgetBase) splitSourceBatch(id) else id
+
+  /** The serving filter for a read pinned at `upto` — the
+    * `batch_id <= upto OR base` convention extended to the split-forget
+    * range, shared by every additive store's pinned read path:
+    * positive deltas fold in up to the pin; the base always qualifies;
+    * legacy whole-wave forget negatives always qualify (erasure is
+    * retroactive by law — their faithfulness below the forget horizon is
+    * [[requireServableAt]]'s job); split-forget negatives qualify iff
+    * the SOURCE batch they negate is inside the pin. Every disjunct is a
+    * pure function of `batch_id`, so the whole predicate lands in
+    * PartitionFilters (partition pruning, zero row scans to exclude a
+    * partition).
+    */
+  def pinnedReadFilter(upto: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    if (upto == Long.MaxValue) lit(true)
+    else
+      (col("batch_id") >= 0L && col("batch_id") <= upto) ||
+        col("batch_id") === BasePartition ||
+        (col("batch_id") < BasePartition && col("batch_id") > SplitForgetBase) ||
+        (col("batch_id") <= SplitForgetBase &&
+          pmod(lit(SplitForgetBase) - col("batch_id"), lit(SplitStride)) <= upto)
+  }
 
   private val ForgetHorizonName = "_forget_horizon"
 
@@ -310,7 +394,8 @@ object StoreCompaction {
     }
     requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root)
-      .filter(id => (id == BasePartition || id <= upto) && foldable(root, id))
+      .filter(id =>
+        (id == BasePartition || effectiveBatch(id) <= upto) && foldable(root, id))
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     merge(spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
       .write.mode("overwrite").parquet(staging.getPath)
@@ -379,7 +464,8 @@ object StoreCompaction {
     }
     requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root)
-      .filter(id => id != BasePartition && id <= upto && foldable(root, id))
+      .filter(id =>
+        id != BasePartition && effectiveBatch(id) <= upto && foldable(root, id))
     if (ids.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*)
@@ -448,7 +534,7 @@ object StoreCompaction {
           // below every eligible delta no appendInto executes, and
           // reporting Some(legal) would mislead an operator reading it
           // as "folded up to batch N" — report None, clamp flag still set
-          if (eligible.exists(_ <= legal))
+          if (eligible.exists(effectiveBatch(_) <= legal))
             (Some(legal),
               legal < want,
               appendInto(spark, storeDir, legal, bucketCols, policy.nBuckets))

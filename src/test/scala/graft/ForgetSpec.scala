@@ -755,4 +755,155 @@ class ForgetSpec extends AnyFunSuite {
     assert(new java.io.File(s"$lm/batch_id=-1000/_FORGET_COMMITTED").exists(),
       "the commit stamp must land with the marker")
   }
+
+  // ── pin-preserving (batch-split) forget: q214's machinery ─────────────
+
+  private def batchIdsOf(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+
+  /** Four quartile LM landings over `d`; returns (deltaDir, bounds)
+    * where batch k holds doc_id in [bounds(k-1), bounds(k)).
+    */
+  private def landQuartiles(d: org.apache.spark.sql.DataFrame,
+      deltas: String): Seq[Long] = {
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      CorpusStream.writeLmDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+    }
+    bounds
+  }
+
+  private def srcBatchCol(bounds: Seq[Long]) =
+    when(col("doc_id") < bounds(0), 0L)
+      .when(col("doc_id") < bounds(1), 1L)
+      .when(col("doc_id") < bounds(2), 2L)
+      .otherwise(3L)
+
+  test("split forget: every pinned read equals its slice's survivor retrain; a pin registered before the wave stays servable (whole-wave sealing refuses the same pin)") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-split-forget") + "/deltas"
+    val bounds = landQuartiles(d, deltas)
+    StoreCompaction.registerPin(deltas, "rel1", 1L)
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L)
+
+    // no horizon sealed: the pre-wave pin is still legal
+    StoreCompaction.requireServableAt(deltas, 1L)
+    assert(StoreCompaction.forgetHorizon(deltas).isEmpty,
+      "a split wave must not seal a forget horizon")
+
+    // EVERY pin boundary serves the survivor retrain of exactly its slice
+    (0 to 3).foreach { p =>
+      val slice = d.filter(col("doc_id") < bounds(p) && !forgetPred)
+      assert(lmMap(Forget.lmCountsAfterForget(spark, deltas, upto = p.toLong)) ===
+        lmMap(CorpusStream.lmCells(slice)),
+        s"pin at batch $p must equal the retrain on its slice's survivors")
+    }
+
+    // contrast: the whole-wave landing on a twin store seals the horizon
+    // and the SAME pre-registered pin refuses loudly at read
+    val sealedStore = tmpDir("graft-split-forget-sealed") + "/deltas"
+    landQuartiles(d, sealedStore)
+    StoreCompaction.registerPin(sealedStore, "rel1", 1L)
+    Forget.forgetLmDocs(d.filter(forgetPred), sealedStore,
+      graft.streaming.ForgetStream.ForgetBase - 0L)
+    val ex = intercept[IllegalStateException] {
+      Forget.lmCountsAfterForget(spark, sealedStore, upto = 1L)
+    }
+    assert(ex.getMessage.contains("forget"),
+      s"the sealed store must refuse the pinned read, got: ${ex.getMessage}")
+  }
+
+  test("split forget through maintenance: folds absorb split negatives up to the pin clamp; pinned and full reads unchanged; a pin below a folded source batch refuses") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-split-maint") + "/deltas"
+    val bounds = landQuartiles(d, deltas)
+    StoreCompaction.registerPin(deltas, "rel2", 2L)
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L)
+    val full = lmMap(Forget.lmCountsAfterForget(spark, deltas))
+    val pinned2 = lmMap(Forget.lmCountsAfterForget(spark, deltas, upto = 2L))
+
+    // maintenance folds as far as the pin allows: batches 0-2 plus the
+    // split negatives for source batches 0-2 land in the base
+    val rep = StoreCompaction.maintain(spark, deltas, Seq("w1"),
+      StoreCompaction.MaintenancePolicy(minorAtDeltas = 1, keepLatestDeltas = 0))
+    assert(rep.minorUpto === Some(2L) && rep.clampedByPins,
+      s"the fold must clamp at the live pin, got $rep")
+    val leftIds = batchIdsOf(deltas).sorted
+    assert(leftIds.count(_ <= StoreCompaction.SplitForgetBase) === 1,
+      s"only the source-batch-3 split negative may survive the fold, got $leftIds")
+
+    assert(lmMap(Forget.lmCountsAfterForget(spark, deltas)) === full,
+      "the full read must not move across the fold")
+    assert(lmMap(Forget.lmCountsAfterForget(spark, deltas, upto = 2L)) === pinned2,
+      "the pinned read must not move across the fold")
+    // a pin below a folded SPLIT source batch is refused at registration:
+    // the negative's rows are in the base now, so the slice is gone
+    val ex = intercept[IllegalStateException] {
+      StoreCompaction.registerPin(deltas, "late", 1L)
+    }
+    assert(ex.getMessage.contains("compaction"),
+      s"folding a split negative must advance the horizon to its source batch: ${ex.getMessage}")
+  }
+
+  test("streamed split forget: a request wave in splitBySrcBatch mode preserves a live release pin, stamps its split partitions, and replays as a no-op") {
+    import graft.streaming.ForgetStream
+    import graft.streaming.ForgetStream.ForgetTargets
+    val d = docs.localCheckpoint()
+    val root = tmpDir("graft-split-stream")
+    val (lm, landing) = (s"$root/lm", s"$root/requests")
+    new java.io.File(landing).mkdirs()
+    val bounds = landQuartiles(d, lm)
+    StoreCompaction.registerPin(lm, "rel1", 1L)
+    // the content archive carries each doc's original landing batch
+    val content = d.withColumn("src_batch", srcBatchCol(bounds))
+      .localCheckpoint()
+    val stage = tmpDir("graft-split-req-stage")
+    d.filter(forgetPred).select("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(landing, "w1.parquet"))
+    val targets = ForgetTargets(lmDeltaDir = Some(lm), splitBySrcBatch = true)
+    ForgetStream.forgetSink(ForgetStream.readRequestStream(spark, landing),
+      content, targets, s"$root/markers", s"$root/ck").awaitTermination()
+
+    // the pre-wave pin survived and serves its slice's survivor retrain
+    StoreCompaction.requireServableAt(lm, 1L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm, upto = 1L)) ===
+      lmMap(CorpusStream.lmCells(
+        d.filter(col("doc_id") < bounds(1) && !forgetPred))),
+      "the pinned release must serve erasure-aware survivor counts")
+    assert(lmMap(Forget.lmCountsAfterForget(spark, lm)) ===
+      lmMap(CorpusStream.lmCells(d.filter(!forgetPred))),
+      "the full read must equal the survivor retrain")
+
+    // every split partition this request landed carries the commit stamp
+    val splitIds = batchIdsOf(lm)
+      .filter(_ <= StoreCompaction.SplitForgetBase)
+    assert(splitIds.size === 4, s"four source batches → four landings: $splitIds")
+    splitIds.foreach { id =>
+      assert(new java.io.File(s"$lm/batch_id=$id/_FORGET_COMMITTED").exists(),
+        s"split partition $id must be stamped after the marker commits")
+    }
+
+    // a replayed request batch is a marker-gated no-op
+    def partsOf(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted.toSeq
+    val snap = (partsOf(lm), lmMap(Forget.lmCountsAfterForget(spark, lm)))
+    ForgetStream.processBatch(d.filter(forgetPred).select("doc_id"), content,
+      targets, s"$root/markers", batchId = 0L)
+    assert((partsOf(lm), lmMap(Forget.lmCountsAfterForget(spark, lm))) === snap,
+      "a replayed split wave must not move a single row or partition")
+  }
 }

@@ -712,5 +712,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p212.linesIterator.exists(l =>
         l.contains("ReadSchema") && l.contains("payload")),
       s"q212's audit must never touch payload pages:\n$p212")
+    // q213: the drift statistic is cell-store algebra — the erasure
+    // landing pays the one assignment of the FORGOTTEN vectors, but
+    // serving never rescans the embeddings table (the χ² kernel
+    // checkpoints its cells, so pin the store read's own plan)
+    val p213 = plan("q213_occupancy_forget")
+    assert(!p213.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("embedding:")),
+      s"q213 must serve off occupancy cells, never raw vectors:\n$p213")
+    val (occDeltas, _) = graft.ops.ForgetOps.buildOccForgetStore(spark, sf)
+    val pOcc = graft.streaming.Forget.occupancyAfterForget(spark, occDeltas, 0L, "na")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pOcc.contains("graft_occ_forget"),
+      s"the occupancy serve must read the forget-mutated cell store:\n$pOcc")
+    assert(pOcc.linesIterator.exists(l => l.contains("ReadSchema") &&
+        l.contains("cluster") && !l.contains("embedding")),
+      s"the occupancy serve reads (cluster, o) cells only:\n$pOcc")
+  }
+
+  test("q214: the pinned post-forget read is pure partition pruning — the split-range disjunction lands in PartitionFilters, no text, no post-scan batch_id filter") {
+    val p = plan("q214_pinned_forget")
+    assert(p.contains("graft_lmpin_forget"),
+      s"q214 must serve off the split-forget LM store:\n$p")
+    // the pin filter (positives <= pin, base, legacy range, split range
+    // by decoded source batch) is a pure function of batch_id, so ALL of
+    // it must prune partitions at the scan instead of filtering rows
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("batch_id") && l.contains("pmod")),
+      s"the split-range decode must prune at the scan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("batch_id")),
+      s"batch_id is a partition column — it must never demote to a row filter:\n$p")
+    // serving scores the pinned survivors: the corpus text read is the
+    // SCORING frame's contract, but the store side reads cells only
+    val store = p.linesIterator.filter(_.contains("graft_lmpin_forget")).mkString
+    assert(!store.contains("text"),
+      s"the LM store scan must read (w1, w2, c12) cells only:\n$p")
   }
 }
