@@ -1231,6 +1231,70 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "ttlprobe") {
+      // The retention cost law: expiry is partition DROPS — its cost must
+      // be O(dropped landings) file deletes (ms, corpus-FLAT), never a
+      // store or corpus pass, while the naive alternative (rebuild the
+      // store from the retained window's documents) is O(window corpus).
+      // A split-forget wave lands mid-history to prove the composition
+      // rides along: per-source negatives expire WITH their batches, and
+      // the windowed serve stays O(retained cells). Corpus multiplies via
+      // id-shifted unions; landings fixed at 8, retention drops the
+      // oldest 4.
+      import graft.streaming.{CorpusStream, Forget, StoreCompaction}
+      val mult = if (args.length > 2) args(2).toInt else 4
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      def docsAt(m: Int) = (0 until m).map(k =>
+          docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+        .reduce(_.unionByName(_))
+      val nLandings = 8
+      Seq(1, mult).foreach { m =>
+        val d = docsAt(m).localCheckpoint()
+        val n = d.count()
+        val hi = m * idStride
+        def bound(k: Int): Long = if (k >= nLandings) Long.MaxValue
+          else k * hi / nLandings
+        val store = java.nio.file.Files
+          .createTempDirectory(s"graft-ttlprobe-$m").toString + "/lm"
+        time(s"ttl${m}x.build_${nLandings}_landings") {
+          (0 until nLandings).foreach { k =>
+            CorpusStream.writeLmDelta(
+              d.filter(col("doc_id") >= bound(k) && col("doc_id") < bound(k + 1)),
+              store, k.toLong)
+          }
+          n
+        }
+        val srcCol = (1 until nLandings - 1)
+          .foldLeft(when(col("doc_id") < bound(1), 0L)) { (w, k) =>
+            w.when(col("doc_id") < bound(k + 1), k.toLong)
+          }.otherwise((nLandings - 1).toLong)
+        val fPred = pmod(col("doc_id"), lit(17L)) === lit(3L)
+        time(s"ttl${m}x.split_forget_wave") {
+          Forget.forgetSumCellsSplit(
+            d.filter(fPred).withColumn("src_batch", srcCol),
+            Forget.lmCellTarget(store), requestId = 0L).size.toLong
+        }
+        time(s"ttl${m}x.expire_oldest_half") {
+          StoreCompaction.expireBefore(store, nLandings / 2L)
+            .droppedBatches.size.toLong
+        }
+        time(s"ttl${m}x.windowed_serve") {
+          Forget.lmCountsAfterForgetWindow(spark, store, lo = nLandings / 2L)
+            .agg(sum("c12")).head().getLong(0)
+        }
+        // the naive alternative expiry AVOIDS: rebuild the store from the
+        // retained window's surviving documents (O(window corpus))
+        time(s"ttl${m}x.naive_window_retrain") {
+          CorpusStream.lmCells(
+              d.filter(col("doc_id") >= bound(nLandings / 2) && !fPred))
+            .agg(sum("c12")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "maintprobe") {
       // Steady-state maintenance cost: land L deltas one at a time and run
       // the threshold policy after EVERY landing — the per-pass cost must

@@ -934,6 +934,78 @@ object ForgetOps {
       .orderBy("doc_id")
   }
 
+  // ── q215: retention expiry + windowed serving + split forget compose ──
+
+  def lmTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lmttl_v1_${storeKey(dir, "lmttl")}"
+
+  /** Four quartile LM landings, a pin-preserving (split) forget wave,
+    * then RETENTION EXPIRY of the two oldest landings
+    * ([[graft.streaming.StoreCompaction.expireBefore]]): batches 0-1
+    * leave disk as pure partition drops — and the split negatives for
+    * source batches 0-1 leave WITH them, because an erasure correction
+    * for expired content is itself expired. Idempotent
+    * (marker-committed). Returns (deltaDir, the window's doc_id floor).
+    */
+  def buildLmTtlStore(s: SparkSession, dir: String): (String, Long) = {
+    val root = lmTtlStorePath(dir)
+    val d = docs(s, dir)
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), root, k.toLong)
+      }
+      val forgotten = d.filter(forgottenPred)
+        .withColumn("src_batch",
+          when(col("doc_id") < q, 0L).when(col("doc_id") < 2 * q, 1L)
+            .when(col("doc_id") < 3 * q, 2L).otherwise(3L))
+      Forget.forgetSumCellsSplit(forgotten, Forget.lmCellTarget(root),
+        requestId = 0L)
+      graft.streaming.StoreCompaction.expireBefore(root, lo = 2L)
+      marker.createNewFile()
+    }
+    (root, 2 * q)
+  }
+
+  private val windowSurvivorsSql =
+    s"""(SELECT * FROM documents
+       | WHERE doc_id % $ForgetMod <> $ForgetRes
+       |   AND doc_id >= (SELECT (MAX(doc_id) // 4) * 2 FROM documents))""".stripMargin
+
+  /** q215 — RETENTION EXPIRY: the age-based dual of doc-level forget. A
+    * 100 TB corpus under licensing windows or privacy retention limits
+    * expires whole LANDINGS, and on a per-batchId delta store that is
+    * pure partition drops — O(dropped landings) file deletes, zero
+    * rewrites, zero jobs ([[graft.streaming.StoreCompaction
+    * .expireBefore]], with the wrong shapes refused loudly: live pins,
+    * folded bases, whole-wave negatives, in-flight forgets). Serving
+    * switches to WINDOWED reads: this query scores the retained window's
+    * survivors against the windowed post-forget counts, which must equal
+    * a retrain on (docs of the two retained landings) minus (their
+    * forgotten members) — retention, erasure, and serving composing on
+    * one store. The split-forget design is what makes the composition
+    * work: each negative belongs to the source batch it negates, so it
+    * windows correctly AND expires with its batch (a whole-wave negative
+    * can do neither).
+    */
+  val q215 = Q("q215_retention_window",
+    lmForgetFluencyOracle(windowSurvivorsSql)) { (s, dir) =>
+    val (store, cut2) = buildLmTtlStore(s, dir)
+    val windowSurvivors = docs(s, dir)
+      .filter(!forgottenPred && col("doc_id") >= cut2)
+    graft.ops.TextOps.fluencyScoredFromCounts(windowSurvivors,
+        Some(Forget.lmCountsAfterForgetWindow(s, store, lo = 2L)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }

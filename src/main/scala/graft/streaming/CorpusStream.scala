@@ -329,6 +329,26 @@ object CorpusStream {
     TextOps.bigramNovelty(d, cut,
       Some(lmCountsFromDeltas(spark, deltaDir, upto).select("w1", "w2")))
 
+  /** The folded count table of a WINDOW of landings [lo, upto] — the
+    * serving shape of an LM store under RETENTION (licensing windows,
+    * privacy retention limits): expiry drops whole landings below the
+    * moving floor ([[StoreCompaction.expireBefore]] — O(dropped) file
+    * deletes, zero rewrites), and this read folds exactly the surviving
+    * window. Split-forget negatives inside the window fold too (each
+    * belongs to the source batch it negates and expires with it), so a
+    * windowed model equals a retrain on (window docs) minus (their
+    * forgotten members). The servability guards refuse the shapes a
+    * window cannot express: a base partition, whole-wave negatives, a
+    * window floor below the retention floor.
+    */
+  def lmCountsWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireWindowServableAt(deltaDir, lo, upto)
+    spark.read.parquet(deltaDir)
+      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
+  }
+
   /** LM-store retention: the fold algebra is the serving algebra. */
   def compactLmDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
     StoreCompaction.foldInto(spark, deltaDir, upto) { cells =>

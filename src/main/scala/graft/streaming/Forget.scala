@@ -72,15 +72,29 @@ object Forget {
     * docs the store never counted; refuse loudly instead of serving an
     * impossible model.
     */
-  def lmCountsAfterForget(spark: SparkSession, deltaDir: String,
-      upto: Long = Long.MaxValue): DataFrame =
-    CorpusStream.lmCountsFromDeltas(spark, deltaDir, upto)
+  private def guardLmNegatives(counts: DataFrame, deltaDir: String): DataFrame =
+    counts
       .withColumn("c12",
         when(col("c12") < 0, raise_error(concat(lit(
           s"store $deltaDir folded a NEGATIVE bigram count — a forget " +
             "delta was landed for docs this store never counted: "),
           col("w1"), lit(" "), col("w2")))).otherwise(col("c12")))
       .filter(col("c12") > 0)
+
+  def lmCountsAfterForget(spark: SparkSession, deltaDir: String,
+      upto: Long = Long.MaxValue): DataFrame =
+    guardLmNegatives(
+      CorpusStream.lmCountsFromDeltas(spark, deltaDir, upto), deltaDir)
+
+  /** The windowed twin ([[CorpusStream.lmCountsWindowed]]) with the same
+    * tombstone drop and negative-fold refusal — the serving read of an
+    * LM store under RETENTION, where expiry drops whole landings and
+    * split-forget negatives expire with their source batches.
+    */
+  def lmCountsAfterForgetWindow(spark: SparkSession, deltaDir: String,
+      lo: Long, upto: Long = Long.MaxValue): DataFrame =
+    guardLmNegatives(
+      CorpusStream.lmCountsWindowed(spark, deltaDir, lo, upto), deltaDir)
 
   /** Land the negative diversity-cell deltas for `forgotten` docs as
     * batch `batchId` on BOTH diversity stores — [[forgetLmDocs]]'s law on
@@ -494,8 +508,13 @@ object Forget {
   def forgetSumCellsSplit(forgotten: DataFrame, t: SumCellTarget,
       requestId: Long, srcBatchCol: String = "src_batch",
       stamp: Boolean = true): Seq[Long] = {
+    // content whose landing already EXPIRED needs no negation — its
+    // positive cells left disk with the batch (retention floor); landing
+    // one anyway would fold negative and refuse at serve
+    val floor = StoreCompaction.retentionFloor(t.deltaDir)
+      .getOrElse(Long.MinValue)
     val srcBatches = forgotten.select(col(srcBatchCol).cast("long").as("b"))
-      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      .distinct().collect().map(_.getLong(0)).filter(_ >= floor).sorted.toSeq
     srcBatches.map { b =>
       val id = StoreCompaction.splitForgetId(requestId, b)
       val c = t.cells(forgotten.filter(col(srcBatchCol) === b))

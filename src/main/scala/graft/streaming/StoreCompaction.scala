@@ -77,6 +77,12 @@ object StoreCompaction {
           s"additive store's history up to frontier $h — a pin below it " +
           "could not be served faithfully (see requireServableAt)")
     }
+    retentionFloor(storeDir).foreach { f =>
+      throw new IllegalStateException(
+        s"cannot pin $storeDir at batch $upto: retention expired every " +
+          s"landing below $f, so no pin's from-the-beginning slice exists — " +
+          "windowed reads are this store's serving shape")
+    }
     val pins = new java.io.File(storeDir, PinsDirName)
     pins.mkdirs()
     val tmp = new java.io.File(pins, s".$name.tmp")
@@ -147,6 +153,13 @@ object StoreCompaction {
     */
   def requireServableAt(storeDir: String, upto: Long): Unit =
     if (upto != Long.MaxValue) {
+      retentionFloor(storeDir).foreach { f =>
+        throw new IllegalStateException(
+          s"store $storeDir cannot serve a pin at batch $upto: retention " +
+            s"expired every landing below $f, so the from-the-beginning " +
+            "slice a pin promises no longer exists — use a windowed read " +
+            "(requireWindowServableAt) instead")
+      }
       compactionHorizon(storeDir).filter(_ > upto).foreach { h =>
         throw new IllegalStateException(
           s"store $storeDir cannot serve a pin at batch $upto: compaction " +
@@ -244,6 +257,153 @@ object StoreCompaction {
           pmod(lit(SplitForgetBase) - col("batch_id"), lit(SplitStride)) <= upto)
   }
 
+  // ── retention expiry: the AGE-based dual of doc-level forget ──────────
+  //
+  // A corpus under licensing windows or privacy retention limits expires
+  // by LANDING AGE: every row of batches below a moving floor must leave
+  // disk. On a per-batchId delta store that is pure partition drops —
+  // O(dropped landings) file deletes, zero rewrites, zero Spark jobs —
+  // but ONLY while the expired batches still exist as partitions. Hence
+  // the enforced contract: a store under retention never folds across
+  // batches (a base partition merges batch identity away, and the oldest
+  // rows — the ones that expire next — are exactly the ones folds absorb
+  // first). Partition count stays bounded by the RETENTION WINDOW
+  // (landings per window), which is what made per-batch folds attractive
+  // in the first place. Windowed reads [lo, hi] replace pinned reads;
+  // split-forget negatives window correctly by construction (each
+  // belongs to the source batch it negates, and expires WITH it) —
+  // whole-wave negatives cannot window and block expiry.
+
+  private val RetentionFloorName = "_retention_floor"
+
+  /** The store's retention floor — batches below it have been expired
+    * (None if never expired). Reads must not claim slices below it.
+    */
+  def retentionFloor(storeDir: String): Option[Long] = {
+    val f = new java.io.File(storeDir, RetentionFloorName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+    else None
+  }
+
+  /** What one expiry pass did. */
+  case class ExpiryReport(floor: Long, droppedBatches: Seq[Long],
+      droppedBase: Boolean)
+
+  /** Expire every landing below `lo`: drop the delta partitions whose
+    * effective batch (split-forget negatives count as the source batch
+    * they negate — an erasure correction for expired content is itself
+    * expired) is < lo, and advance the retention floor. Refuses when the
+    * drop would be silently WRONG rather than doing it half-way:
+    *
+    *  - live release pins: a pin's read starts at batch 0, so any expiry
+    *    breaks every live pin — release them first (when retention is
+    *    legally mandated it outranks the release, and the refusal names
+    *    the pins to force that decision into the open);
+    *  - a base partition holding batches ≥ lo (compaction horizon ≥ lo):
+    *    those rows merged their batch identity away and cannot be
+    *    selectively dropped — TTL stores must not cross-batch fold. A
+    *    base whose horizon is entirely below lo IS droppable whole (the
+    *    fold-an-epoch-then-expire-it pattern) and resets the horizon;
+    *  - legacy whole-wave forget negatives: they subtract across ALL
+    *    batches, so dropping (or keeping) them against a partial history
+    *    mis-serves either way — TTL stores take split forgets only;
+    *  - an UNSTAMPED negative partition (in-flight forget request): its
+    *    replay would re-land negations for batches this expiry is about
+    *    to drop — let the request commit first.
+    *
+    * Idempotent and monotone (a lower `lo` than the floor is a no-op).
+    */
+  def expireBefore(storeDir: String, lo: Long): ExpiryReport =
+    withLease(storeDir) {
+      val root = new java.io.File(storeDir)
+      val floor = math.max(lo, retentionFloor(storeDir).getOrElse(Long.MinValue))
+      val ids = partitionIds(root)
+      val pins = livePins(storeDir)
+      if (pins.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot expire $storeDir below batch $lo: live release pin(s) " +
+            pins.toSeq.sorted.map { case (n, p) => s"$n@$p" }.mkString(", ") +
+            " read from batch 0 and would lose their slice; release them first " +
+            "(legally-mandated retention outranks a release — decide explicitly)")
+      if (forgetHorizon(storeDir).nonEmpty ||
+          ids.exists(id => id < BasePartition && id > SplitForgetBase))
+        throw new IllegalStateException(
+          s"cannot expire $storeDir: it carries whole-wave forget landings, " +
+            "which subtract across every batch and cannot expire per-batch — " +
+            "stores under retention take split (per-source-batch) forgets only")
+      ids.filter(id => id < BasePartition &&
+          !new java.io.File(root, s"batch_id=$id/$ForgetCommittedName").exists())
+        .foreach { id =>
+          throw new IllegalStateException(
+            s"cannot expire $storeDir: negative partition batch_id=$id is an " +
+              "in-flight forget request (no commit stamp); its replay would " +
+              "re-land negations for batches this expiry drops — let it commit")
+        }
+      val horizon = compactionHorizon(storeDir)
+      horizon.filter(_ >= lo).foreach { h =>
+        throw new IllegalStateException(
+          s"cannot expire $storeDir below batch $lo: compaction folded batches " +
+            s"up to $h into the base, which merged their batch identity away — " +
+            "a store under retention must not cross-batch fold (expiry would " +
+            "silently retain the folded rows)")
+      }
+      val dropBase = horizon.isDefined // horizon < lo: the whole base expired
+      val dropped = ids
+        .filter(id => id != BasePartition && effectiveBatch(id) < lo)
+        .sorted
+      dropped.foreach(id =>
+        deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+      if (dropBase) {
+        deleteRecursively(new java.io.File(root, s"batch_id=$BasePartition"))
+        new java.io.File(root, HorizonName).delete()
+        ()
+      }
+      java.nio.file.Files.write(
+        new java.io.File(root, RetentionFloorName).toPath,
+        floor.toString.getBytes(Utf8))
+      ExpiryReport(floor, dropped, dropBase)
+    }
+
+  /** The serving filter for a WINDOWED read [lo, upto] — the read shape
+    * of a store under retention: positive deltas inside the window, and
+    * split-forget negatives whose SOURCE batch is inside it (each
+    * expires with its source, so the window stays internally
+    * consistent). The base and legacy negatives never qualify —
+    * [[requireWindowServableAt]] refuses stores that have them.
+    */
+  def windowedReadFilter(lo: Long, upto: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val src = pmod(lit(SplitForgetBase) - col("batch_id"), lit(SplitStride))
+    (col("batch_id") >= lo && col("batch_id") <= upto) ||
+      (col("batch_id") <= SplitForgetBase && src >= lo && src <= upto)
+  }
+
+  /** Assert that a windowed read [lo, upto] off this store is faithful:
+    * refuses below the retention floor (those landings left disk), when
+    * a base partition exists (folded rows cannot window), or when
+    * whole-wave forget landings exist (they cannot window either — see
+    * [[expireBefore]]).
+    */
+  def requireWindowServableAt(storeDir: String, lo: Long, upto: Long): Unit = {
+    retentionFloor(storeDir).filter(_ > lo).foreach { f =>
+      throw new IllegalStateException(
+        s"store $storeDir cannot serve a window from batch $lo: retention " +
+          s"expired everything below $f — raise the window floor")
+    }
+    compactionHorizon(storeDir).foreach { h =>
+      throw new IllegalStateException(
+        s"store $storeDir cannot serve windowed reads: compaction folded " +
+          s"batches up to $h into the base, which a window cannot exclude — " +
+          "stores meant for windowed serving must not cross-batch fold")
+    }
+    if (forgetHorizon(storeDir).nonEmpty)
+      throw new IllegalStateException(
+        s"store $storeDir cannot serve windowed reads: it carries whole-wave " +
+          "forget landings, which subtract across every batch — windowed " +
+          "stores take split forgets only")
+  }
+
   private val ForgetHorizonName = "_forget_horizon"
 
   /** Highest positive landing present when the newest forget wave landed
@@ -283,6 +443,13 @@ object StoreCompaction {
           violated.toSeq.sorted.map { case (n, p) => s"$n@$p" }.mkString(", ") +
           " would silently start serving post-pin rows folded into the base; " +
           "release the pin or clamp the fold with maxFoldableUpto")
+    retentionFloor(storeDir).foreach { f =>
+      throw new IllegalStateException(
+        s"refusing to fold $storeDir: retention floor $f is set — a store " +
+          "under retention never folds across batches (folded rows lose the " +
+          "batch identity expiry drops by); its file count is bounded by the " +
+          "retention window instead")
+    }
   }
 
   /** Make the single-maintenance-writer assumption CHECKABLE: every
@@ -527,7 +694,10 @@ object StoreCompaction {
         .filter(_ != BasePartition).sorted
       val eligible = deltas.dropRight(policy.keepLatestDeltas)
       val (upto, clamped, appended) =
-        if (eligible.size >= policy.minorAtDeltas) {
+        // a store under retention never folds (see requirePinsAhead) —
+        // its partition count is bounded by the retention window
+        if (retentionFloor(storeDir).isEmpty &&
+            eligible.size >= policy.minorAtDeltas) {
           val want = eligible.max
           val legal = maxFoldableUpto(storeDir, want)
           // minorUpto reports a fold that RAN: when pins clamp `legal`

@@ -906,4 +906,125 @@ class ForgetSpec extends AnyFunSuite {
     assert((partsOf(lm), lmMap(Forget.lmCountsAfterForget(spark, lm))) === snap,
       "a replayed split wave must not move a single row or partition")
   }
+
+  // ── retention expiry: the age-based dual of forget (q215's machinery) ──
+
+  test("retention expiry: landings drop as partitions with their split negatives; windowed serves equal window retrains; expired erasure is a no-op") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-ttl") + "/deltas"
+    val bounds = landQuartiles(d, deltas)
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L)
+
+    val rep = StoreCompaction.expireBefore(deltas, lo = 2L)
+    assert(rep.floor === 2L && !rep.droppedBase &&
+      rep.droppedBatches.map(b =>
+        if (b <= StoreCompaction.SplitForgetBase)
+          StoreCompaction.splitSourceBatch(b) else b).sorted === Seq(0L, 0L, 1L, 1L),
+      s"batches 0-1 and exactly their split negatives must drop: $rep")
+    val leftEff = batchIdsOf(deltas).map(b =>
+      if (b <= StoreCompaction.SplitForgetBase)
+        StoreCompaction.splitSourceBatch(b) else b).sorted
+    assert(leftEff === Seq(2L, 2L, 3L, 3L),
+      s"only the retained window's partitions may remain: $leftEff")
+
+    // windowed serves equal retrains on exactly their window's survivors
+    def windowRetrain(lo: Long, hi: Long) = lmMap(CorpusStream.lmCells(
+      d.filter(col("doc_id") >= (if (lo == 2) bounds(1) else bounds(2)) &&
+        col("doc_id") < bounds(hi.toInt) && !forgetPred)))
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 2L)) ===
+      windowRetrain(2, 3),
+      "the full retained window must equal its survivor retrain")
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 2L, upto = 2L)) ===
+      windowRetrain(2, 2),
+      "a sub-window must equal its own survivor retrain")
+
+    // monotone + idempotent: a lower or equal floor is a no-op
+    assert(StoreCompaction.expireBefore(deltas, 1L).droppedBatches.isEmpty &&
+      StoreCompaction.retentionFloor(deltas) === Some(2L))
+
+    // a later wave forgetting docs whose landings EXPIRED lands nothing
+    // for them (their positives left disk) — and the serve stays exact
+    val wave2 = col("doc_id") % 17 === 5
+    val landed = Forget.forgetSumCellsSplit(
+      d.filter(wave2).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 1L)
+    assert(landed.map(StoreCompaction.splitSourceBatch).sorted === Seq(2L, 3L),
+      s"expired source batches must not re-land: $landed")
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 2L)) ===
+      lmMap(CorpusStream.lmCells(
+        d.filter(col("doc_id") >= bounds(1) && !forgetPred && !wave2))),
+      "the two-wave windowed serve must equal the two-wave window retrain")
+  }
+
+  test("retention refusals: live pins, folded bases, whole-wave negatives, and in-flight forgets block expiry; expired stores refuse pins and folds") {
+    val d = docs.localCheckpoint()
+    // live pin blocks expiry by name
+    val pinned = tmpDir("graft-ttl-pin") + "/deltas"
+    landQuartiles(d, pinned)
+    StoreCompaction.registerPin(pinned, "rel", 1L)
+    val exPin = intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(pinned, 2L)
+    }
+    assert(exPin.getMessage.contains("rel@1"), exPin.getMessage)
+
+    // a base folded PAST the floor blocks expiry; one folded entirely
+    // BELOW it drops whole (the fold-an-epoch-then-expire-it pattern)
+    val folded = tmpDir("graft-ttl-fold") + "/deltas"
+    val bounds = landQuartiles(d, folded)
+    StoreCompaction.appendInto(spark, folded, upto = 2L, Seq("w1"))
+    val exFold = intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(folded, 2L)
+    }
+    assert(exFold.getMessage.contains("compaction folded"), exFold.getMessage)
+    val epoch = tmpDir("graft-ttl-epoch") + "/deltas"
+    landQuartiles(d, epoch)
+    StoreCompaction.appendInto(spark, epoch, upto = 1L, Seq("w1"))
+    val repE = StoreCompaction.expireBefore(epoch, 2L)
+    assert(repE.droppedBase && StoreCompaction.compactionHorizon(epoch).isEmpty,
+      s"a base entirely below the floor must drop whole: $repE")
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, epoch, lo = 2L)) ===
+      lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))),
+      "after the epoch drop the window must serve its retrain")
+
+    // whole-wave negatives cannot expire per-batch
+    val waved = tmpDir("graft-ttl-wave") + "/deltas"
+    landQuartiles(d, waved)
+    Forget.forgetLmDocs(d.filter(forgetPred), waved, -1000L)
+    val exWave = intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(waved, 2L)
+    }
+    assert(exWave.getMessage.contains("whole-wave"), exWave.getMessage)
+
+    // an unstamped (in-flight) split negative blocks expiry
+    val inflight = tmpDir("graft-ttl-inflight") + "/deltas"
+    val b2 = landQuartiles(d, inflight)
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(b2)),
+      Forget.lmCellTarget(inflight), requestId = 0L, stamp = false)
+    val exFlight = intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(inflight, 2L)
+    }
+    assert(exFlight.getMessage.contains("in-flight"), exFlight.getMessage)
+
+    // an expired store refuses pinned reads, pin registration, and folds
+    val ttl = tmpDir("graft-ttl-refuse") + "/deltas"
+    landQuartiles(d, ttl)
+    StoreCompaction.expireBefore(ttl, 2L)
+    assert(intercept[IllegalStateException] {
+      Forget.lmCountsAfterForget(spark, ttl, upto = 3L)
+    }.getMessage.contains("retention"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.registerPin(ttl, "late", 3L)
+    }.getMessage.contains("retention"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.appendInto(spark, ttl, upto = 3L, Seq("w1"))
+    }.getMessage.contains("retention"))
+    // and maintain() reports the fold skipped instead of running it
+    val mrep = StoreCompaction.maintain(spark, ttl, Seq("w1"),
+      StoreCompaction.MaintenancePolicy(minorAtDeltas = 1, keepLatestDeltas = 0))
+    assert(mrep.minorUpto.isEmpty && mrep.filesAppended === 0L,
+      s"a store under retention must never fold: $mrep")
+  }
 }

@@ -749,4 +749,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!store.contains("text"),
       s"the LM store scan must read (w1, w2, c12) cells only:\n$p")
   }
+
+  test("q215: the retention window read is pure partition pruning — the window bounds and split-source decode land in PartitionFilters") {
+    val p = plan("q215_retention_window")
+    assert(p.contains("graft_lmttl"),
+      s"q215 must serve off the retention-managed LM store:\n$p")
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("batch_id") && l.contains("pmod")),
+      s"the windowed filter must prune partitions at the scan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("batch_id")),
+      s"batch_id is a partition column — never a row filter:\n$p")
+  }
 }

@@ -148,4 +148,151 @@ class SoakSpec extends AnyFunSuite {
     assert(lmMap(Forget.lmCountsAfterForget(spark, store)) === before,
       "a replayed wave must not move a single count")
   }
+
+  test("soak (pin-preserving mode): a forget wave spanning landings BEYOND a live release no longer seals it — the split landing keeps every pin serving its slice retrain through maintenance") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 10
+    def sliceBound(k: Int): Long =
+      if (k >= nLandings) Long.MaxValue else ids(k * ids.length / nLandings)
+    def slice(k: Int) = docs.filter(
+      col("doc_id") >= sliceBound(k) && col("doc_id") < sliceBound(k + 1))
+    val srcCol = (1 until nLandings - 1)
+      .foldLeft(when(col("doc_id") < sliceBound(1), 0L)) { (w, k) =>
+        w.when(col("doc_id") < sliceBound(k + 1), k.toLong)
+      }.otherwise((nLandings - 1).toLong)
+    val content = docs.withColumn("src_batch", srcCol).localCheckpoint()
+
+    val store = tmpDir("graft-soak-split") + "/lm"
+    val markers = tmpDir("graft-soak-split-mk")
+    val policy = StoreCompaction.MaintenancePolicy(
+      minorAtDeltas = 2, keepLatestDeltas = 1, maxFilesPerBucket = 2, nBuckets = 4)
+    val targets = ForgetStream.ForgetTargets(
+      lmDeltaDir = Some(store), splitBySrcBatch = true)
+
+    var landedUpto = -1
+    var forgotten: Seq[org.apache.spark.sql.Column] = Nil
+    def corpusOf(upToSlice: Int) = {
+      val base = docs.filter(col("doc_id") < sliceBound(upToSlice + 1))
+      forgotten.foldLeft(base)((d, p) => d.filter(!p))
+    }
+    def land(k: Int): Unit = {
+      CorpusStream.writeLmDelta(slice(k), store, k.toLong); landedUpto = k
+    }
+    def waveSplit(batchId: Long, pred: org.apache.spark.sql.Column): Unit = {
+      val wavePred = pred && col("doc_id") < sliceBound(landedUpto + 1)
+      ForgetStream.processBatch(
+        docs.filter(wavePred).select("doc_id"), content, targets,
+        markers, batchId)
+      forgotten = forgotten :+ wavePred
+    }
+    def check(step: String): Unit = {
+      assert(lmMap(Forget.lmCountsAfterForget(spark, store)) ===
+        lmMap(CorpusStream.lmCells(corpusOf(landedUpto))),
+        s"[$step] unpinned serving must equal the logical-corpus retrain")
+      StoreCompaction.livePins(store).foreach { case (name, p) =>
+        assert(lmMap(Forget.lmCountsAfterForget(spark, store, upto = p)) ===
+          lmMap(CorpusStream.lmCells(corpusOf(p.toInt))),
+          s"[$step] $name@$p must serve its slice retrain minus every wave so far")
+      }
+    }
+
+    land(0); land(1); land(2); land(3); land(4)
+    StoreCompaction.registerPin(store, "rel_v1", 4L)
+    check("after landings 0-4 and rel_v1")
+    waveSplit(0L, pmod(col("doc_id"), lit(17L)) === lit(3L))
+    check("after wave A (inside the pin)")
+    StoreCompaction.maintain(spark, store, Seq("w1"), policy)
+    check("after pin-clamped maintenance")
+
+    land(5); land(6)
+    // THE scenario that sealed rel_v1 in whole-wave mode: wave B's docs
+    // span landings 5-6, beyond the live pin. Split landings negate per
+    // source batch, so rel_v1 keeps serving — with wave B's slice-4
+    // members erased from it retroactively.
+    waveSplit(1L, pmod(col("doc_id"), lit(17L)) === lit(5L))
+    StoreCompaction.requireServableAt(store, 4L)
+    check("after wave B beyond the pin — rel_v1 still serves")
+    assert(StoreCompaction.forgetHorizon(store).isEmpty,
+      "split mode must never seal a forget horizon")
+
+    StoreCompaction.maintain(spark, store, Seq("w1"), policy)
+    check("after maintenance under the live pin")
+    land(7); land(8)
+    StoreCompaction.registerPin(store, "rel_v2", 8L)
+    check("two live releases, both erasure-aware")
+    StoreCompaction.releasePin(store, "rel_v1")
+    StoreCompaction.maintain(spark, store, Seq("w1"), policy)
+    land(9)
+    check("final state after rotation and fold")
+
+    // replay of wave B is a marker-gated no-op
+    val before = lmMap(Forget.lmCountsAfterForget(spark, store))
+    ForgetStream.processBatch(
+      docs.filter(pmod(col("doc_id"), lit(17L)) === lit(5L) &&
+        col("doc_id") < sliceBound(7)).select("doc_id"),
+      content, targets, markers, 1L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, store)) === before,
+      "a replayed split wave must not move a single count")
+  }
+
+  test("soak (retention mode): landings, split forget waves, and expiries interleave with windowed serving exactly equal to the retained-window retrain at every step") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 6
+    def sliceBound(k: Int): Long =
+      if (k >= nLandings) Long.MaxValue else ids(k * ids.length / nLandings)
+    def slice(k: Int) = docs.filter(
+      col("doc_id") >= sliceBound(k) && col("doc_id") < sliceBound(k + 1))
+    val srcCol = (1 until nLandings - 1)
+      .foldLeft(when(col("doc_id") < sliceBound(1), 0L)) { (w, k) =>
+        w.when(col("doc_id") < sliceBound(k + 1), k.toLong)
+      }.otherwise((nLandings - 1).toLong)
+
+    val store = tmpDir("graft-soak-ttl") + "/lm"
+    var landedUpto = -1
+    var floor = 0L
+    var forgotten: Seq[org.apache.spark.sql.Column] = Nil
+    def land(k: Int): Unit = {
+      CorpusStream.writeLmDelta(slice(k), store, k.toLong); landedUpto = k
+    }
+    def wave(reqId: Long, pred: org.apache.spark.sql.Column): Unit = {
+      val wavePred = pred && col("doc_id") < sliceBound(landedUpto + 1)
+      Forget.forgetSumCellsSplit(
+        docs.filter(wavePred).withColumn("src_batch", srcCol),
+        Forget.lmCellTarget(store), requestId = reqId)
+      forgotten = forgotten :+ wavePred
+    }
+    def check(step: String): Unit = {
+      val window = docs.filter(col("doc_id") >= sliceBound(floor.toInt) &&
+        col("doc_id") < sliceBound(landedUpto + 1))
+      val logical = forgotten.foldLeft(window)((d, p) => d.filter(!p))
+      assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, store, lo = floor)) ===
+        lmMap(CorpusStream.lmCells(logical)),
+        s"[$step] the windowed serve must equal the retained-window retrain")
+    }
+
+    land(0); land(1); land(2)
+    check("after landings 0-2")
+    wave(0L, pmod(col("doc_id"), lit(17L)) === lit(3L))
+    check("after wave A")
+    StoreCompaction.expireBefore(store, 1L); floor = 1L
+    check("after expiring landing 0 (wave A's slice-0 negatives left with it)")
+    land(3); land(4)
+    check("after landings 3-4")
+    wave(1L, pmod(col("doc_id"), lit(17L)) === lit(5L))
+    check("after wave B across the window")
+    StoreCompaction.expireBefore(store, 3L); floor = 3L
+    check("after expiring landings 1-2 under two waves")
+    land(5)
+    // a wave naming docs whose landings EXPIRED lands nothing for them
+    wave(2L, pmod(col("doc_id"), lit(17L)) === lit(7L))
+    check("final: expired-source members of wave C were no-ops")
+    assert(StoreCompaction.retentionFloor(store) === Some(3L),
+      "the floor is monotone across the interleaving")
+  }
 }
