@@ -341,7 +341,72 @@ object CorpusRun {
       s"erased $nForgotten docs across 5 stores ($leftAcross rows left); " +
         s"decisions ≡ survivor rerun: $forgetEqual", secs = tick())
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15)
+    // 16. RETENTION as a lifecycle stage: the LM family driven through
+    // the full pin → split-forget-wave → release → expire sequence a
+    // deployment under retention limits actually runs. The invariants
+    // are q214's and q215's laws as cross-stage checks: (a) the release
+    // pinned BEFORE the wave keeps serving its slice retrain minus the
+    // wave (split landings never seal a horizon); (b) after the pin is
+    // explicitly released (expiry refuses under live pins — retention
+    // outranking a release is a decision, not an accident) and the
+    // oldest two landings expire as pure partition drops, the windowed
+    // serve equals the retained-window retrain minus the wave.
+    val ttlStore = s"$outDir/retention_lm"
+    val (rLanding, rStage2, rMarkers, rCk) = (s"$outDir/retention_requests",
+      s"$outDir/retention_req_stage", s"$outDir/retention_markers",
+      s"$outDir/retention_ck")
+    Seq(ttlStore, rLanding, rStage2, rMarkers, rCk)
+      .foreach(p => rmTree(new java.io.File(p)))
+    val rdocs = Catalog.table(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val rq = rdocs.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val rBounds = Seq(rq, 2 * rq, 3 * rq, Long.MaxValue)
+    rBounds.zipWithIndex.foreach { case (hiB, k) =>
+      val loB = if (k == 0) Long.MinValue else rBounds(k - 1)
+      graft.streaming.CorpusStream.writeLmDelta(
+        rdocs.filter(col("doc_id") >= loB && col("doc_id") < hiB),
+        ttlStore, k.toLong)
+    }
+    StoreCompaction.registerPin(ttlStore, "rel_v1", 1L)
+    val rContent = rdocs.withColumn("src_batch",
+      when(col("doc_id") < rq, 0L).when(col("doc_id") < 2 * rq, 1L)
+        .when(col("doc_id") < 3 * rq, 2L).otherwise(3L)).localCheckpoint()
+    val rIds = rdocs.filter(pmod(col("doc_id"), lit(fm)) === lit(fr))
+      .select("doc_id")
+    rIds.coalesce(1).write.mode("overwrite").parquet(rStage2)
+    new java.io.File(rLanding).mkdirs()
+    new java.io.File(rStage2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(rLanding, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    ForgetStream.forgetSink(
+      ForgetStream.readRequestStream(spark, rLanding), rContent,
+      ForgetStream.ForgetTargets(lmDeltaDir = Some(ttlStore),
+        splitBySrcBatch = true),
+      rMarkers, rCk).awaitTermination()
+    def lmSnap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val rSurv = pmod(col("doc_id"), lit(fm)) =!= lit(fr)
+    val pinServedOk =
+      lmSnap(graft.streaming.Forget.lmCountsAfterForget(spark, ttlStore, upto = 1L)) ==
+        lmSnap(graft.streaming.CorpusStream.lmCells(
+          rdocs.filter(col("doc_id") < 2 * rq && rSurv)))
+    StoreCompaction.releasePin(ttlStore, "rel_v1")
+    val exp = StoreCompaction.expireBefore(ttlStore, 2L)
+    val windowOk =
+      lmSnap(graft.streaming.Forget.lmCountsAfterForgetWindow(spark, ttlStore, lo = 2L)) ==
+        lmSnap(graft.streaming.CorpusStream.lmCells(
+          rdocs.filter(col("doc_id") >= 2 * rq && rSurv)))
+    val s16 = Stage("retention", exp.droppedBatches.size.toLong,
+      pinServedOk && windowOk && exp.floor == 2L && !exp.droppedBase,
+      s"release served through the split wave: $pinServedOk; expired " +
+        s"${exp.droppedBatches.size} partitions to floor ${exp.floor}; " +
+        s"windowed serve ≡ retained-window retrain: $windowOk", secs = tick())
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1006,6 +1006,105 @@ object ForgetOps {
       .orderBy("doc_id")
   }
 
+  // ── q216: ANN retrieval AFTER erasure (file-level surgical delete) ────
+
+  def pqForgetStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_pq_forget_v1_${storeKey(dir, "pqforget")}"
+
+  /** A private copy of the q97/q99 PQ code artifact laid out as an
+    * append-per-landing store is on disk — plain part-FILES whose rows
+    * cluster by vec_id range (`repartitionByRange`), no batch_id dirs —
+    * then the forget set's code rows erased FILE-surgically
+    * ([[graft.streaming.Forget.surgicalDeleteFiles]]: one column-pruned
+    * detection pass, only files holding a forgotten row rewritten).
+    * Idempotent (marker-committed). Returns the store path.
+    */
+  def buildPqForgetStore(s: SparkSession, dir: String): String = {
+    val root = pqForgetStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      s.read.parquet(Similarity.buildPqIndex(s, dir))
+        .repartitionByRange(8, col("vec_id"))
+        .write.mode("overwrite").parquet(root)
+      Forget.surgicalDeleteFiles(s, root,
+        Catalog.table(s, dir, "embeddings")
+          .filter(forgottenVecPred).select("vec_id"),
+        keyCol = "vec_id")
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** q216 — RETRIEVAL AFTER ERASURE: the compliance question for the
+    * serving surface — an erased vector must stop being RETRIEVABLE,
+    * even while the raw embeddings table (the content archive, erased
+    * last) still holds it. The PQ code artifact is an UNPARTITIONED
+    * parquet store (plain files appended per landing), so erasure is the
+    * file-granular surgical delete: detection via `input_file_name`,
+    * only files holding a forgotten row rewritten — O(affected files)
+    * on a range-clustered store. The q99 IVF-PQ search then runs
+    * unchanged off the mutated artifact: candidates join THROUGH the
+    * codes store, so forgotten vectors simply no longer exist to score,
+    * and the served top-10 (+ the candidate count, which proves the
+    * index shrank) equals the search over a survivor-built index. The
+    * coarse centroids and seed codebook stay frozen (q97's convention,
+    * mirrored by the oracle; a production deployment uses the TRAINED
+    * codebook — q107's Lloyd aggregates, which retain no per-vector
+    * content — and this erasure applies to its code store unchanged;
+    * codebook retraining is q132's rebuild trigger's job).
+    */
+  val q216 = Q("q216_retrieval_after_forget",
+    Similarity.q99OracleSql
+      .replace("SELECT vec_id, m, k FROM bestc WHERE rn = 1",
+        s"SELECT vec_id, m, k FROM bestc WHERE rn = 1 AND vec_id % $ForgetMod <> $ForgetRes")
+      .replace("SELECT s.vec_id, s.label, s.adc_dist,",
+        "SELECT s.vec_id, s.label, s.adc_dist,\n" +
+          "  (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM adc) AS n_candidates,")) {
+    (s, dir) =>
+      graft.functions.VecDot.register(s)
+      import graft.ops.Similarity.{PqM, PqSubDim, PqK, NProbe, asDouble, dot, norm, sqDist}
+      val store = buildPqForgetStore(s, dir)
+      val e = Catalog.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      val codes = s.read.parquet(store)
+      val cents = s.read.parquet(Similarity.buildIvfIndex(s, dir))
+      val qrow = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val qsub = qrow.select(explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
+        .select(col("p.m").as("qm"), col("p.sv").as("qs"))
+      val cb = e.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("cw"))): _*)).as("p"))
+        .select(col("k"), col("p.m").as("cm"), col("p.cw").as("cw"))
+      val lut = qsub.join(cb, col("qm") === col("cm"))
+        .select(col("cm").as("lm"), col("k").as("lk"), sqDist(col("qs"), col("cw")).as("ld"))
+      val probes = cents.crossJoin(broadcast(qrow))
+        .select(col("label").as("probe_label"),
+          (dot(col("qv"), col("centroid")) / (norm(col("qv")) * norm(col("centroid")))).as("c_sim"))
+        .orderBy(col("c_sim").desc, col("probe_label"))
+        .limit(NProbe)
+      val adc = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes.select("probe_label")),
+          col("label") === col("probe_label"), "left_semi")
+        .select("vec_id", "label")
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lut), col("m") === col("lm") && col("k") === col("lk"))
+        .groupBy("vec_id", "label")
+        .agg(sum(floor(col("ld") * lit(1000000.0)).cast("long")).as("adc_fp"))
+        .localCheckpoint()
+      val nCand = adc.agg(count(lit(1)).cast("long").as("n_candidates"))
+      val shortlist = adc.orderBy("adc_fp", "vec_id").limit(10)
+        .select(col("vec_id"), col("label"),
+          (col("adc_fp").cast("double") / lit(1000000.0)).as("adc_dist"))
+      shortlist
+        .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .crossJoin(broadcast(qrow))
+        .crossJoin(broadcast(nCand))
+        .select(col("vec_id"), col("label"), col("adc_dist"), col("n_candidates"),
+          (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine_sim"))
+        .orderBy("adc_dist", "vec_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }

@@ -645,7 +645,7 @@ object Similarity {
     * fold it replaced; the interpreted HOF was the measured bottleneck
     * of the M·K-per-vector encode rounds. Requires VecDot.register.
     */
-  private def sqDist(a: Column, b: Column): Column =
+  private[ops] def sqDist(a: Column, b: Column): Column =
     graft.functions.VecSqDist(a, b)
 
   private def q97OracleSql: String =
@@ -1032,7 +1032,7 @@ object Similarity {
     verdict
   }
 
-  private def q99OracleSql: String = {
+  private[ops] def q99OracleSql: String = {
     val davg6 = "SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) / 1000000.0 / COUNT(x)"
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings

@@ -670,7 +670,9 @@ object CorpusStream {
     * never chunked — refuse loudly (the LM-store law).
     */
   def cdcReportFromDeltas(spark: SparkSession, chunkDir: String,
-      docDir: String): DataFrame = {
+      docDir: String, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireServableAt(chunkDir, upto)
+    StoreCompaction.requireServableAt(docDir, upto)
     def guarded(df: DataFrame, c: String) = df
       .withColumn(c, when(col(c) < 0, raise_error(concat(lit(
         s"store folded a NEGATIVE $c — a forget delta was landed for " +
@@ -678,10 +680,12 @@ object CorpusStream {
         .otherwise(col(c)))
       .filter(col(c) > 0)
     val cells = guarded(spark.read.parquet(chunkDir)
+      .filter(StoreCompaction.pinnedReadFilter(upto))
       .groupBy("fp", "source")
       .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln")),
       "n")
     val nd = guarded(spark.read.parquet(docDir)
+      .filter(StoreCompaction.pinnedReadFilter(upto))
       .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs")),
       "n_docs")
     graft.ops.Dedup.cdcReportFromCells(cells, nd)

@@ -216,6 +216,86 @@ object Forget {
       }
     }
 
+  /** [[surgicalDelete]] for an UNPARTITIONED parquet store (the ANN code
+    * artifacts: plain part-files, appended per landing, no `batch_id=`
+    * directories): the same only-rewrite-what-holds-a-forgotten-row
+    * property at FILE granularity. One column-pruned detection pass
+    * (`input_file_name`) finds the affected files; each is rewritten
+    * alone via staged write + swap under the store lease — files without
+    * a forgotten row are never touched, so a store whose files cluster
+    * by key range (range-partitioned writes, append-per-landing) pays
+    * O(affected files). A file whose rows are ALL forgotten is replaced
+    * by an empty (schema-only) parquet file — still valid to readers.
+    *
+    * Crash-safe like the partition variant: each staged rewrite lands in
+    * a dot-prefixed dir (invisible to parquet discovery) with a
+    * `_TARGET` marker naming the file it replaces; recovery ALWAYS
+    * finishes a `_SUCCESS`-complete swap (the staged copy is a complete
+    * valid replacement in every crash ordering) and discards incomplete
+    * staging.
+    */
+  def surgicalDeleteFiles(spark: SparkSession, storeDir: String,
+      ids: DataFrame, keyCol: String = "vec_id"): ForgetReport =
+    StoreCompaction.withLease(storeDir) {
+      val root = new java.io.File(storeDir)
+      // the local ChecksumFileSystem keeps hidden `.{name}.crc` sidecars;
+      // swapping new CONTENT under an old NAME must swap the sidecar too
+      // or reads fail checksum verification against the stale one
+      def crcOf(f: java.io.File) =
+        new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      def swapIn(part: java.io.File, target: java.io.File, what: String): Unit = {
+        val srcCrc = crcOf(part)
+        target.delete()
+        crcOf(target).delete()
+        require(part.renameTo(target), s"forget $what $part -> $target failed")
+        if (srcCrc.exists()) { srcCrc.renameTo(crcOf(target)); () }
+      }
+      Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith(".forgetf_tmp_"))
+        .foreach { tmp =>
+          val tgt = new java.io.File(tmp, "_TARGET")
+          if (new java.io.File(tmp, "_SUCCESS").exists() && tgt.exists()) {
+            val target = new java.io.File(root,
+              new String(java.nio.file.Files.readAllBytes(tgt.toPath), "UTF-8").trim)
+            val part = Option(tmp.listFiles()).toSeq.flatten
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet"))
+            part.foreach(p => swapIn(p, target, "recovery"))
+          }
+          StoreCompaction.deleteRecursively(tmp)
+        }
+      val files = Option(root.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      if (files.isEmpty) ForgetReport(0, 0, 0L)
+      else {
+        val keys = ids.select(col(ids.columns.head).as(keyCol))
+        val affected = spark.read.parquet(storeDir)
+          .select(col(keyCol),
+            org.apache.spark.sql.functions.input_file_name().as("__f"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .groupBy("__f").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        affected.keys.toSeq.sorted.zipWithIndex.foreach { case (uri, i) =>
+          val target = new java.io.File(new java.net.URI(uri).getPath)
+          val tmp = new java.io.File(root, s".forgetf_tmp_$i")
+          StoreCompaction.deleteRecursively(tmp)
+          spark.read.parquet(target.getPath)
+            .join(keys, Seq(keyCol), "left_anti")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.getPath)
+          java.nio.file.Files.write(new java.io.File(tmp, "_TARGET").toPath,
+            target.getName.getBytes("UTF-8"))
+          val part = Option(tmp.listFiles()).toSeq.flatten
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          swapIn(part, target, "swap")
+          StoreCompaction.deleteRecursively(tmp)
+        }
+        ForgetReport(files.size, affected.size, affected.values.sum)
+      }
+    }
+
   /** What a curation-family forget did. */
   case class CurationForgetReport(deleted: Map[String, ForgetReport],
       nOrphanFps: Long, nNewOwners: Long, nReelected: Long, nRemDups: Long)

@@ -84,19 +84,22 @@ object ForgetStream {
       sumCellStores: Seq[Forget.SumCellTarget] = Nil,
       splitBySrcBatch: Boolean = false) {
 
-    /** Every additive family as its generic SumCellTarget — the one
-      * list both erasure modes (whole-wave vs batch-split) fan over.
+    /** Every additive family as its generic SumCellTarget (tagged with
+      * its family name for the erasure certificate) — the one list both
+      * erasure modes (whole-wave vs batch-split) fan over.
       */
-    private[streaming] def additiveTargets: Seq[Forget.SumCellTarget] =
-      lmDeltaDir.map(Forget.lmCellTarget).toSeq ++
+    private[streaming] def additiveTargets: Seq[(String, Forget.SumCellTarget)] =
+      lmDeltaDir.map(d => "lm" -> Forget.lmCellTarget(d)).toSeq ++
         divStores.toSeq.flatMap { case (dims, stats) =>
-          Seq(Forget.divDimCellTarget(dims), Forget.divStatCellTarget(stats))
+          Seq("diversity_dims" -> Forget.divDimCellTarget(dims),
+            "diversity_stats" -> Forget.divStatCellTarget(stats))
         } ++
-        kAnonDeltaDir.map(Forget.kAnonCellTarget).toSeq ++
+        kAnonDeltaDir.map(d => "k_anonymity" -> Forget.kAnonCellTarget(d)).toSeq ++
         cdcStores.toSeq.flatMap { case (chunks, nd) =>
-          Seq(Forget.cdcChunkCellTarget(chunks), Forget.cdcDocCellTarget(nd))
+          Seq("cdc_chunks" -> Forget.cdcChunkCellTarget(chunks),
+            "cdc_docs" -> Forget.cdcDocCellTarget(nd))
         } ++
-        sumCellStores
+        sumCellStores.map("sum_cells" -> _)
   }
 
   /** File-source forget-request stream: parquet rows with a `doc_id`
@@ -106,6 +109,19 @@ object ForgetStream {
     spark.readStream
       .schema("doc_id LONG")
       .parquet(requestDir)
+
+  /** The ERASURE CERTIFICATE — what a GDPR/right-to-be-forgotten audit
+    * actually wants from a pipeline: per request batch, one persisted
+    * row per store ACTION taken (rows removed by surgical deletes,
+    * negative landings and their split count, re-elections and their
+    * corrective sizes), written by [[processBatch]] BEFORE the request
+    * marker commits (a replayed batch overwrites the same report —
+    * idempotent like every landing here). `n`'s meaning is per-action
+    * and named by `detail`; q202's external ground-truthing pattern
+    * applies to any row.
+    */
+  def erasureCertificate(spark: SparkSession, markerRoot: String): DataFrame =
+    spark.read.parquet(s"$markerRoot/reports")
 
   /** One request batch's full fold — exposed so specs can pin replay
     * (same batchId re-run) as a no-op across every target store.
@@ -135,7 +151,7 @@ object ForgetStream {
     // whole-wave partition and/or this request's split-forget partitions
     // (decodable from their ids), whichever mode landed them
     def stampCommitted(): Unit =
-      targets.additiveTargets.map(_.deltaDir).distinct.foreach { d =>
+      targets.additiveTargets.map(_._2.deltaDir).distinct.foreach { d =>
         val root = new java.io.File(d)
         val landed = StoreCompaction.partitionIds(root).filter(id =>
           id == part ||
@@ -162,6 +178,19 @@ object ForgetStream {
           "processing this request would silently under-erase the additive " +
           "stores, so it refuses instead")
     val docs = content.join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
+    // the erasure certificate: one row per store ACTION, persisted under
+    // the marker root before the marker commits (see erasureCertificate)
+    val cert = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, String, Long, String)]
+    def record(family: String, store: String, action: String, n: Long,
+        detail: String): Unit = {
+      cert += ((family, store, action, n, detail))
+      ()
+    }
+    def recordSurgical(family: String, store: String,
+        rep: Forget.ForgetReport): Unit =
+      record(family, store, "surgical_delete", rep.rowsRemoved,
+        s"rows removed; ${rep.nRewritten}/${rep.nPartitions} partitions rewritten")
     if (targets.splitBySrcBatch) {
       // pin-preserving mode: one negative delta per ORIGINAL landing
       // batch on every additive family; no forget horizon is sealed, so
@@ -171,70 +200,95 @@ object ForgetStream {
       require(docs.columns.contains("src_batch"),
         s"forget batch $batchId: splitBySrcBatch needs the content archive " +
           "to carry each doc's original landing batch in a src_batch column")
-      targets.additiveTargets.foreach { t =>
-        Forget.forgetSumCellsSplit(docs, t, batchId, stamp = false)
-        ()
+      targets.additiveTargets.foreach { case (family, t) =>
+        val landed = Forget.forgetSumCellsSplit(docs, t, batchId, stamp = false)
+        record(family, t.deltaDir, "negative_split_landing", landed.size.toLong,
+          "negative deltas landed, one per source batch the forgotten docs span")
       }
     } else {
       targets.lmDeltaDir.foreach { dir =>
-        Forget.forgetLmDocs(docs, dir, part)
-        ()
+        val n = Forget.forgetLmDocs(docs, dir, part)
+        record("lm", dir, "negative_landing", n, "negated bigram cells landed")
       }
       targets.divStores.foreach { case (dims, stats) =>
         Forget.forgetDivDocs(docs, dims, stats, part)
+        record("diversity_dims", dims, "negative_landing", 1L, "negated cell delta landed")
+        record("diversity_stats", stats, "negative_landing", 1L, "negated cell delta landed")
       }
       targets.kAnonDeltaDir.foreach { dir =>
         Forget.forgetKAnonDocs(docs, dir, part)
+        record("k_anonymity", dir, "negative_landing", 1L, "negated cell delta landed")
       }
       targets.cdcStores.foreach { case (chunks, nd) =>
         Forget.forgetCdcDocs(docs, chunks, nd, part)
+        record("cdc_chunks", chunks, "negative_landing", 1L, "negated cell delta landed")
+        record("cdc_docs", nd, "negative_landing", 1L, "negated cell delta landed")
       }
       targets.sumCellStores.foreach { t =>
         Forget.forgetSumCells(docs, t, part)
+        record("sum_cells", t.deltaDir, "negative_landing", 1L, "negated cell delta landed")
       }
     }
     targets.bandStores.foreach { case (idx, dec) =>
-      Forget.reelectBandStores(spark, idx, dec, ids)
-      ()
+      val rep = Forget.reelectBandStores(spark, idx, dec, ids)
+      recordSurgical("band_index", idx, rep.index)
+      recordSurgical("band_decisions", dec, rep.decisions)
+      record("band_decisions", dec, "reelection", rep.nReelected,
+        s"surviving docs re-verdicted as corrective partition ${rep.reelectBatchId}")
     }
     targets.curationRoot.foreach { root =>
       val next = StoreCompaction.partitionIds(
           new java.io.File(s"$root/decisions"))
         .filter(_ != StoreCompaction.BasePartition)
         .foldLeft(-1L)(math.max) + 1L
-      Forget.forgetFromCurationStores(spark, root, ids, correctiveId = next)
-      ()
+      val rep = Forget.forgetFromCurationStores(spark, root, ids,
+        correctiveId = next)
+      rep.deleted.foreach { case (n, r) =>
+        recordSurgical(s"curation_$n", s"$root/$n", r)
+      }
+      record("curation", root, "exact_reelection", rep.nNewOwners,
+        s"orphaned fps re-owned (${rep.nOrphanFps} orphans, " +
+          s"${rep.nRemDups} duplicates re-pointed)")
+      record("curation", root, "band_reelection", rep.nReelected,
+        s"affected docs re-verdicted as corrective partition $next")
     }
     targets.shingleIndexDirs.foreach { dir =>
-      Forget.surgicalDelete(spark, dir, ids)
-      ()
+      recordSurgical("shingle_index", dir, Forget.surgicalDelete(spark, dir, ids))
     }
     targets.scrubStoreDirs.foreach { dir =>
-      Forget.surgicalDelete(spark, dir, ids)
-      ()
+      recordSurgical("scrub_verdicts", dir, Forget.surgicalDelete(spark, dir, ids))
     }
     targets.csDeltaDir.foreach { dir =>
-      Forget.surgicalDelete(spark, dir, ids)
-      ()
+      recordSurgical("code_switch", dir, Forget.surgicalDelete(spark, dir, ids))
     }
     targets.spanDeltaDir.foreach { dir =>
       val survivors = content.join(ids, Seq("doc_id"), "left_anti")
       val next = StoreCompaction.partitionIds(new java.io.File(dir))
         .filter(_ != StoreCompaction.BasePartition)
         .foldLeft(-1L)(math.max) + 1L
-      Forget.forgetSpanCells(spark, dir, docs, survivors, correctiveId = next,
-        windowIndexDir = targets.spanIndexDir)
-      ()
+      val rep = Forget.forgetSpanCells(spark, dir, docs, survivors,
+        correctiveId = next, windowIndexDir = targets.spanIndexDir)
+      recordSurgical("span_windows", dir, rep.deleted)
+      record("span_windows", dir, "first_key_reelection", rep.nReelected,
+        s"survivor-recomputed cells for ${rep.nAffectedWindows} affected " +
+          s"window hashes landed as corrective partition $next")
     }
     targets.semanticStores.foreach { case (hist, dec) =>
-      Forget.reelectSemanticStores(spark, hist, dec, ids)
-      ()
+      val rep = Forget.reelectSemanticStores(spark, hist, dec, ids)
+      recordSurgical("embedding_history", hist, rep.index)
+      recordSurgical("semantic_decisions", dec, rep.decisions)
+      record("semantic_decisions", dec, "reelection", rep.nReelected,
+        s"cluster-bounded re-verdicts as corrective partition ${rep.reelectBatchId}")
     }
     // archive-last: payload bytes leave AFTER every derived store
     targets.assetStore.foreach { case (dir, partCol) =>
-      Forget.surgicalDelete(spark, dir, ids, partCol = partCol)
-      ()
+      recordSurgical("asset_payloads", dir,
+        Forget.surgicalDelete(spark, dir, ids, partCol = partCol))
     }
+    spark.createDataFrame(cert.toSeq)
+      .toDF("family", "store", "action", "n", "detail")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$markerRoot/reports/batch_id=$batchId")
     marker.createNewFile()
     stampCommitted()
     ()

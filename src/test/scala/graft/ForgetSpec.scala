@@ -666,6 +666,22 @@ class ForgetSpec extends AnyFunSuite {
       assert(new java.io.File(s"$dir/batch_id=-1000/_FORGET_COMMITTED").exists(),
         s"$dir negative landing must carry the commit stamp")
     }
+    // the ERASURE CERTIFICATE: one persisted action row per store, the
+    // surgical rows carrying exact removed-row counts
+    val cert = ForgetStream.erasureCertificate(spark, s"$root/markers")
+      .filter(col("batch_id") === 0)
+    val families = cert.select("family").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(families === Set("k_anonymity", "cdc_chunks", "cdc_docs",
+      "span_windows", "code_switch", "shingle_index", "sum_cells",
+      "asset_payloads"),
+      s"every configured family must certify its action, got $families")
+    val csRemoved = cert.filter(col("family") === "code_switch" &&
+        col("action") === "surgical_delete")
+      .head().getAs[Long]("n")
+    assert(csRemoved > 0L, "the certificate must carry exact removed-row counts")
+    val spanReelect = cert.filter(col("action") === "first_key_reelection").count()
+    assert(spanReelect === 1L, "the span re-election must certify")
   }
 
   test("surgicalDelete recovery: a crash MID-partition-delete (partial partition beside a complete staged copy) restores the staged copy, losing no survivor rows") {
@@ -892,6 +908,12 @@ class ForgetSpec extends AnyFunSuite {
     val splitIds = batchIdsOf(lm)
       .filter(_ <= StoreCompaction.SplitForgetBase)
     assert(splitIds.size === 4, s"four source batches → four landings: $splitIds")
+    // and the certificate records the split landing count
+    val certRow = ForgetStream.erasureCertificate(spark, s"$root/markers")
+      .filter(col("family") === "lm").head()
+    assert(certRow.getAs[String]("action") === "negative_split_landing" &&
+      certRow.getAs[Long]("n") === 4L,
+      s"the certificate must record the split landing: $certRow")
     splitIds.foreach { id =>
       assert(new java.io.File(s"$lm/batch_id=$id/_FORGET_COMMITTED").exists(),
         s"split partition $id must be stamped after the marker commits")
@@ -905,6 +927,105 @@ class ForgetSpec extends AnyFunSuite {
       targets, s"$root/markers", batchId = 0L)
     assert((partsOf(lm), lmMap(Forget.lmCountsAfterForget(spark, lm))) === snap,
       "a replayed split wave must not move a single row or partition")
+  }
+
+  test("split forget generalizes across the additive families: k-anon, diversity, and CDC pinned serves equal their slice recomputes with no horizon sealed anywhere") {
+    graft.functions.ShingleHashes.register(spark)
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val cut = full.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val srcB = when(col("doc_id") < cut, 0L).otherwise(1L)
+    val root = tmpDir("graft-split-fams")
+    val (kanon, dims, stats, chunks, nd) = (s"$root/kanon", s"$root/dims",
+      s"$root/stats", s"$root/chunks", s"$root/nd")
+    Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+      case (p, b) =>
+        CorpusStream.writeKAnonDelta(full.filter(p), kanon, b.toLong)
+        CorpusStream.writeDivDelta(full.filter(p), dims, stats, b.toLong)
+        CorpusStream.writeCdcDelta(full.filter(p), chunks, nd, b.toLong)
+    }
+    val forgotten = full.filter(forgetPred).withColumn("src_batch", srcB)
+    Seq(Forget.kAnonCellTarget(kanon),
+      Forget.divDimCellTarget(dims), Forget.divStatCellTarget(stats),
+      Forget.cdcChunkCellTarget(chunks), Forget.cdcDocCellTarget(nd))
+      .foreach { t =>
+        Forget.forgetSumCellsSplit(forgotten, t, requestId = 0L)
+        assert(StoreCompaction.forgetHorizon(t.deltaDir).isEmpty,
+          s"split mode must not seal ${t.deltaDir}")
+      }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    Seq(0L, Long.MaxValue).foreach { p =>
+      val slice = full.filter(!forgetPred &&
+        (if (p == 0L) col("doc_id") < cut else lit(true)))
+      assert(rows(Forget.kAnonCellsAfterForget(spark, kanon, upto = p)
+          .orderBy("source", "lang", "len_bucket")) ===
+        rows(graft.ops.TextOps.kAnonCells(slice)
+          .orderBy("source", "lang", "len_bucket")),
+        s"k-anon pinned($p) must equal its slice recount")
+      assert(rows(CorpusStream.diversityFromDeltas(spark, dims, stats, upto = p)) ===
+        rows(graft.ops.Similarity.diversityOf(slice)),
+        s"diversity pinned($p) must equal its slice recompute")
+      val ex = graft.ops.Dedup.cdcChunks(slice).localCheckpoint()
+      val ndS = ex.select("source", "doc_id").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      assert(rows(CorpusStream.cdcReportFromDeltas(spark, chunks, nd, upto = p)) ===
+        rows(graft.ops.Dedup.cdcReportFromCells(graft.ops.Dedup.cdcCellsOf(ex), ndS)),
+        s"CDC pinned($p) must equal its slice re-chunk")
+    }
+  }
+
+  test("surgicalDeleteFiles: only FILES holding a forgotten row are rewritten on an unpartitioned store; absence is total; recovery completes an interrupted swap") {
+    val store = tmpDir("graft-forgetf") + "/codes"
+    Seq.range(0L, 40L).toDF("vec_id").withColumn("payload", col("vec_id") * 2)
+      .repartitionByRange(4, col("vec_id"))
+      .write.parquet(store)
+    def partFiles() = new java.io.File(store).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val mtimes0 = partFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    val rep = Forget.surgicalDeleteFiles(spark, store, Seq(7L).toDF("vec_id"))
+    assert(rep.nPartitions === 4 && rep.nRewritten === 1 && rep.rowsRemoved === 1L,
+      s"a single range-local id must rewrite exactly one file: $rep")
+    val untouched = partFiles().count(f => mtimes0.get(f.getName).contains(f.lastModified()))
+    assert(untouched === 3, "files without a forgotten row must not be touched")
+    val left = spark.read.parquet(store).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(left.length === 39 && !left.contains(7L), "absence must be total")
+
+    val rep2 = Forget.surgicalDeleteFiles(spark, store, Seq(7L).toDF("vec_id"))
+    assert(rep2.nRewritten === 0 && rep2.rowsRemoved === 0L,
+      "a second pass must be a no-op")
+
+    // a file whose rows are ALL forgotten becomes empty but stays valid
+    val rep3 = Forget.surgicalDeleteFiles(spark, store,
+      Seq.range(0L, 12L).toDF("vec_id"))
+    assert(rep3.rowsRemoved === 11L, s"ids 0-11 minus the erased 7: $rep3")
+    assert(spark.read.parquet(store).count() === 28L)
+
+    // crash recovery: swap interrupted AFTER the target delete — the only
+    // copy is staged; the next pass must restore it before anything else
+    val victim = partFiles().last
+    val tmp = new java.io.File(store, ".forgetf_tmp_sim")
+    tmp.mkdirs()
+    java.nio.file.Files.move(victim.toPath,
+      new java.io.File(tmp, "part-sim.parquet").toPath)
+    java.nio.file.Files.write(new java.io.File(tmp, "_SUCCESS").toPath, Array[Byte]())
+    java.nio.file.Files.write(new java.io.File(tmp, "_TARGET").toPath,
+      victim.getName.getBytes("UTF-8"))
+    Forget.surgicalDeleteFiles(spark, store, Seq(999L).toDF("vec_id"))
+    assert(victim.exists() && !tmp.exists(),
+      "recovery must complete the interrupted swap")
+    assert(spark.read.parquet(store).count() === 28L,
+      "no row may be lost across the crash window")
+    // an unfinished staging dir (no _SUCCESS) is discarded
+    val partial = new java.io.File(store, ".forgetf_tmp_bad")
+    partial.mkdirs()
+    java.nio.file.Files.write(new java.io.File(partial, "part-x.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    Forget.surgicalDeleteFiles(spark, store, Seq(999L).toDF("vec_id"))
+    assert(!partial.exists(), "incomplete staging must be discarded")
+    assert(spark.read.parquet(store).count() === 28L)
   }
 
   // ── retention expiry: the age-based dual of forget (q215's machinery) ──

@@ -199,7 +199,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages.map(_.name) ===
       Seq("curation", "decontamination", "leak_repair", "packing", "ordering",
         "schedule", "selection", "fluency", "reweighting", "diversity",
-        "dedup_weighting", "holdout", "crossmodal", "maintenance", "forget"))
+        "dedup_weighting", "holdout", "crossmodal", "maintenance", "forget",
+        "retention"))
     // every stage carries its measured wall time
     stages.foreach(st => assert(st.secs > 0.0, s"stage ${st.name} missing wall time"))
     stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
@@ -222,7 +223,9 @@ class PipelineSpec extends AnyFunSuite {
       stages.map(_.copy(secs = 0.0)).filterNot(_.name == "maintenance"))
     assert(again.find(_.name == "maintenance").get.ok,
       s"maintenance re-pass failed: ${again.find(_.name == "maintenance").get.detail}")
-    assert(again.last.name === "forget" && again.last.ok,
-      s"forget re-pass failed: ${again.last.detail}")
+    Seq("forget", "retention").foreach { n =>
+      val st = again.find(_.name == n).get
+      assert(st.ok, s"$n re-pass failed: ${st.detail}")
+    }
   }
 }
