@@ -1105,6 +1105,102 @@ object ForgetOps {
         .orderBy("adc_dist", "vec_id")
   }
 
-  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205,
-    q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+  // ── q217: the erasure certificate, ground-truthed ─────────────────────
+
+  def certStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cert_v1_${storeKey(dir, "cert")}"
+
+  /** Six store families (LM, k-anonymity, CDC pair, shingle index,
+    * asset payloads) built with their own sink writers (two id-ordered
+    * landings each; assets copied kind-partitioned), then ONE streamed
+    * forget wave in pin-preserving mode erases the forget set from all
+    * of them — and the certificate the sink persists is what q217
+    * serves. Idempotent (marker-committed). Returns the marker root.
+    */
+  def buildCertStores(s: SparkSession, dir: String): String = {
+    val root = certStorePath(dir)
+    val markers = s"$root/markers"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      val d = Catalog.table(s, dir, "documents").localCheckpoint()
+      val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val (lm, kanon, chunks, nd, shingle, assets) = (s"$root/lm",
+        s"$root/kanon", s"$root/chunks", s"$root/nd", s"$root/shingle",
+        s"$root/assets")
+      Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+        case (p, b) =>
+          val sl = d.filter(p)
+          CorpusStream.writeLmDelta(sl, lm, b.toLong)
+          CorpusStream.writeKAnonDelta(sl, kanon, b.toLong)
+          CorpusStream.writeCdcDelta(sl, chunks, nd, b.toLong)
+          graft.streaming.ScrubStream.writeShingleDelta(sl, shingle, b.toLong)
+      }
+      s.read.parquet(graft.ops.Multimodal.buildAssetStore(s, dir))
+        .repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite").parquet(assets)
+      val content = d.withColumn("src_batch",
+        when(col("doc_id") < cut, 0L).otherwise(1L))
+      graft.streaming.ForgetStream.processBatch(
+        d.filter(forgottenPred).select("doc_id"), content,
+        graft.streaming.ForgetStream.ForgetTargets(
+          lmDeltaDir = Some(lm), kAnonDeltaDir = Some(kanon),
+          cdcStores = Some((chunks, nd)), shingleIndexDirs = Seq(shingle),
+          assetStore = Some((assets, "kind")), splitBySrcBatch = true),
+        markers, batchId = 0L)
+      marker.createNewFile()
+    }
+    markers
+  }
+
+  /** q217 — the ERASURE CERTIFICATE, ground-truthed: the audit table
+    * [[graft.streaming.ForgetStream.processBatch]] persists (one row
+    * per store action, written before the request marker) must match
+    * counts derived from the DATA alone — split landings equal the
+    * distinct source batches the forgotten docs span, the shingle
+    * index's removed rows equal the forgotten docs' distinct trigram
+    * count (the store's exact row shape), and the asset store's removed
+    * rows equal six payload kinds per forgotten doc. q202 proved the
+    * band family's external report; this proves the sink's OWN
+    * certificate across six families in one wave — the
+    * proof-of-erasure a GDPR audit files, with the numbers it files
+    * independently recomputable.
+    */
+  val q217 = Q("q217_erasure_certificate",
+    s"""WITH f AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $ForgetMod = $ForgetRes
+       |), srcs AS (
+       |  SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id <
+       |    (SELECT MAX(doc_id) // 2 FROM documents) THEN 0 ELSE 1 END) AS BIGINT) AS k
+       |  FROM f
+       |), nf AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f
+       |), tk AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM f WHERE doc_id >= 50
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 3
+       |    THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       |    ELSE [] END AS ss FROM tk
+       |), shn AS (
+       |  SELECT CAST(COALESCE(SUM(len(ss)), 0) AS BIGINT) AS n FROM sh
+       |)
+       |SELECT * FROM (
+       |  VALUES
+       |    ('lm', 'negative_split_landing', (SELECT k FROM srcs)),
+       |    ('k_anonymity', 'negative_split_landing', (SELECT k FROM srcs)),
+       |    ('cdc_chunks', 'negative_split_landing', (SELECT k FROM srcs)),
+       |    ('cdc_docs', 'negative_split_landing', (SELECT k FROM srcs)),
+       |    ('shingle_index', 'surgical_delete', (SELECT n FROM shn)),
+       |    ('asset_payloads', 'surgical_delete', (SELECT n FROM nf) * CAST(6 AS BIGINT))
+       |) AS t(family, action, n)
+       |ORDER BY family, action""".stripMargin) { (s, dir) =>
+    val markers = buildCertStores(s, dir)
+    graft.streaming.ForgetStream.erasureCertificate(s, markers)
+      .select(col("family"), col("action"), col("n"))
+      .orderBy("family", "action")
+  }
+
+  val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

@@ -458,6 +458,25 @@ object CorpusStream {
       pinned(statDir).select("source", "n_docs", "sum_sq"))
   }
 
+  /** The q178 diversity table over a retention WINDOW [lo, upto] — the
+    * LM family's windowed serve ([[lmCountsWindowed]]) on the two-store
+    * diversity family: expiry drops whole landings, split-forget
+    * negatives expire with their source batches, and the windowed
+    * centroid identity equals a recompute on (window docs) minus (their
+    * forgotten members).
+    */
+  def diversityWindowed(spark: SparkSession, dimDir: String,
+      statDir: String, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    def windowed(dir: String) = {
+      StoreCompaction.requireWindowServableAt(dir, lo, upto)
+      spark.read.parquet(dir)
+        .filter(StoreCompaction.windowedReadFilter(lo, upto))
+    }
+    graft.ops.Similarity.diversityFromCells(
+      windowed(dimDir).select("source", "d", "s_d"),
+      windowed(statDir).select("source", "n_docs", "sum_sq"))
+  }
+
   /** Diversity-store retention: the fold algebra is the serving algebra. */
   def compactDivDeltas(spark: SparkSession, dimDir: String, statDir: String,
       upto: Long): Unit = {
@@ -686,6 +705,34 @@ object CorpusStream {
       "n")
     val nd = guarded(spark.read.parquet(docDir)
       .filter(StoreCompaction.pinnedReadFilter(upto))
+      .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs")),
+      "n_docs")
+    graft.ops.Dedup.cdcReportFromCells(cells, nd)
+  }
+
+  /** The q171 report over a retention WINDOW [lo, upto] — windowed twin
+    * of [[cdcReportFromDeltas]]: chunk instance counts and doc counts
+    * fold over exactly the retained landings (split-forget negatives
+    * inside the window included), so the duplication report describes
+    * the data still on disk.
+    */
+  def cdcReportWindowed(spark: SparkSession, chunkDir: String,
+      docDir: String, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireWindowServableAt(chunkDir, lo, upto)
+    StoreCompaction.requireWindowServableAt(docDir, lo, upto)
+    def guarded(df: DataFrame, c: String) = df
+      .withColumn(c, when(col(c) < 0, raise_error(concat(lit(
+        s"store folded a NEGATIVE $c — a forget delta was landed for " +
+          "docs this store never counted"), lit(" "), col("source"))))
+        .otherwise(col(c)))
+      .filter(col(c) > 0)
+    val cells = guarded(spark.read.parquet(chunkDir)
+      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .groupBy("fp", "source")
+      .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln")),
+      "n")
+    val nd = guarded(spark.read.parquet(docDir)
+      .filter(StoreCompaction.windowedReadFilter(lo, upto))
       .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs")),
       "n_docs")
     graft.ops.Dedup.cdcReportFromCells(cells, nd)

@@ -155,6 +155,28 @@ object Forget {
       .filter(col("gsz") > 0)
   }
 
+  /** The folded QI-group cells over a retention WINDOW [lo, upto] —
+    * [[kAnonCellsAfterForget]]'s windowed twin, with the same tombstone
+    * drop and negative-fold refusal. Erasure makes the k-anonymity
+    * verdict stricter (q205); retention makes it WINDOW-scoped: group
+    * sizes count only the retained landings' survivors, which is what a
+    * re-identification audit over the data actually still on disk means.
+    */
+  def kAnonCellsAfterForgetWindow(spark: SparkSession, deltaDir: String,
+      lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireWindowServableAt(deltaDir, lo, upto)
+    spark.read.parquet(deltaDir)
+      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .groupBy("source", "lang", "len_bucket")
+      .agg(sum(col("gsz")).cast("long").as("gsz"))
+      .withColumn("gsz",
+        when(col("gsz") < 0, raise_error(concat(lit(
+          s"store $deltaDir folded a NEGATIVE QI-group size — a forget " +
+            "delta was landed for docs this store never counted: "),
+          col("source"), lit("/"), col("lang")))).otherwise(col("gsz")))
+      .filter(col("gsz") > 0)
+  }
+
   /** Surgically delete every row whose `keyCol` is in `ids` from a
     * partitioned store: ONE column-pruned detection pass finds the
     * affected partitions (base partition included), then only those are

@@ -1079,6 +1079,49 @@ class ForgetSpec extends AnyFunSuite {
       "the two-wave windowed serve must equal the two-wave window retrain")
   }
 
+  test("retention windows generalize across the additive families: diversity, k-anon, and CDC windowed serves equal their retained-window survivor recomputes") {
+    graft.functions.ShingleHashes.register(spark)
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val ids = full.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    val root = tmpDir("graft-ttl-fams")
+    val (kanon, dims, stats, chunks, nd) = (s"$root/kanon", s"$root/dims",
+      s"$root/stats", s"$root/chunks", s"$root/nd")
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      val sl = full.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      CorpusStream.writeKAnonDelta(sl, kanon, k.toLong)
+      CorpusStream.writeDivDelta(sl, dims, stats, k.toLong)
+      CorpusStream.writeCdcDelta(sl, chunks, nd, k.toLong)
+    }
+    val forgotten = full.filter(forgetPred)
+      .withColumn("src_batch", srcBatchCol(bounds))
+    val stores = Seq(Forget.kAnonCellTarget(kanon),
+      Forget.divDimCellTarget(dims), Forget.divStatCellTarget(stats),
+      Forget.cdcChunkCellTarget(chunks), Forget.cdcDocCellTarget(nd))
+    stores.foreach(t => Forget.forgetSumCellsSplit(forgotten, t, requestId = 0L))
+    stores.foreach(t => StoreCompaction.expireBefore(t.deltaDir, 2L))
+
+    val windowSurv = full
+      .filter(col("doc_id") >= bounds(1) && !forgetPred).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(Forget.kAnonCellsAfterForgetWindow(spark, kanon, lo = 2L)
+        .orderBy("source", "lang", "len_bucket")) ===
+      rows(graft.ops.TextOps.kAnonCells(windowSurv)
+        .orderBy("source", "lang", "len_bucket")),
+      "k-anon windowed serve must equal the retained-window recount")
+    assert(rows(CorpusStream.diversityWindowed(spark, dims, stats, lo = 2L)) ===
+      rows(graft.ops.Similarity.diversityOf(windowSurv)),
+      "diversity windowed serve must equal the retained-window recompute")
+    val ex = graft.ops.Dedup.cdcChunks(windowSurv).localCheckpoint()
+    val ndW = ex.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    assert(rows(CorpusStream.cdcReportWindowed(spark, chunks, nd, lo = 2L)) ===
+      rows(graft.ops.Dedup.cdcReportFromCells(graft.ops.Dedup.cdcCellsOf(ex), ndW)),
+      "CDC windowed serve must equal the retained-window re-chunk")
+  }
+
   test("retention refusals: live pins, folded bases, whole-wave negatives, and in-flight forgets block expiry; expired stores refuse pins and folds") {
     val d = docs.localCheckpoint()
     // live pin blocks expiry by name
