@@ -2172,9 +2172,9 @@ object Dedup {
   private def q185OracleSql: String = containmentOracleSql("doc_id >= 50")
 
   /** q185's oracle parameterized by the corpus bound — q198 reuses it at
-    * the release boundary.
+    * the release boundary, q218 at a retention window over survivors.
     */
-  private def containmentOracleSql(corpusWhere: String): String =
+  private[ops] def containmentOracleSql(corpusWhere: String): String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents WHERE $corpusWhere
        |), tk AS (

@@ -1201,6 +1201,60 @@ object ForgetOps {
       .orderBy("family", "action")
   }
 
+  // ── q218: containment over a retention window (identity-store TTL) ────
+
+  def shingleTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_shingle_ttl_v1_${storeKey(dir, "shingle_ttl")}"
+
+  /** Four quartile landings of the shingle inverted index, the forget
+    * set surgically deleted from every landing (identity erasure), then
+    * the two oldest landings EXPIRED — the retention lifecycle on an
+    * identity store, where expiry needs no negative reconciliation at
+    * all (the window is a pure partition slice). Idempotent. Returns
+    * (deltaDir, the window's doc_id floor).
+    */
+  def buildShingleTtlStore(s: SparkSession, dir: String): (String, Long) = {
+    val root = shingleTtlStorePath(dir)
+    val deltas = s"$root/deltas"
+    val d = docs(s, dir)
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      graft.functions.ShingleHashes.register(s)
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.ScrubStream.writeShingleDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      Forget.surgicalDelete(s, deltas, d.filter(forgottenPred).select("doc_id"))
+      graft.streaming.StoreCompaction.expireBefore(deltas, 2L)
+      marker.createNewFile()
+    }
+    (deltas, 2 * q)
+  }
+
+  /** q218 — CONTAINMENT over a retention window: the identity-store
+    * side of q215. The shingle index under retention expires whole
+    * landings as partition drops with NO negative-cell reconciliation
+    * (its erasure is surgical, so windows are pure partition slices),
+    * and the served containment table equals q184 computed over exactly
+    * the retained window's surviving corpus — erasure, expiry, and
+    * windowed serving composing on the dedup surface. Oracle: the
+    * q185/q198 containment SQL with the corpus bounded to the retained
+    * window's survivors.
+    */
+  val q218 = Q("q218_containment_window",
+    Dedup.containmentOracleSql(
+      s"doc_id >= 50 AND doc_id >= (SELECT (MAX(doc_id) // 4) * 2 FROM documents) " +
+        s"AND doc_id % $ForgetMod <> $ForgetRes")) { (s, dir) =>
+    graft.functions.ShingleHashes.register(s)
+    val (deltas, cut2) = buildShingleTtlStore(s, dir)
+    val spine = docs(s, dir).filter(col("doc_id") >= 50 &&
+      col("doc_id") >= cut2 && !forgottenPred)
+    graft.streaming.ScrubStream.containmentWindowed(s, deltas, spine, lo = 2L)
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }

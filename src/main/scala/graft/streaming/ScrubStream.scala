@@ -220,6 +220,25 @@ object ScrubStream {
       spine)
   }
 
+  /** Containment over a retention WINDOW [lo, upto] — the identity-store
+    * windowed serve: the shingle index is per-row (h, doc_id) state, so a
+    * window is a pure partition-pruned slice (no negatives to reconcile —
+    * erasure on this family is surgical), and the served table equals
+    * q184/q185 computed over exactly the retained window's corpus.
+    * `spine` should be the window's doc frame (the caller knows which
+    * docs the retained landings carried).
+    */
+  def containmentWindowed(spark: SparkSession, deltaDir: String,
+      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireWindowServableAt(deltaDir, lo, upto)
+    Dedup.containmentBest(
+      Dedup.jaccardPairsFromExploded(
+        spark.read.parquet(deltaDir)
+          .filter(StoreCompaction.windowedReadFilter(lo, upto))
+          .select("doc_id", "h")),
+      spine)
+  }
+
   /** Where the release-DELTA-structured shingle-index store for a corpus
     * lives (two committed partitions: batch 0 = the first release's
     * corpus half, batch 1 = the rest — q183's max/2 release convention).

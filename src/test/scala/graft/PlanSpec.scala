@@ -750,6 +750,18 @@ class PlanSpec extends AnyFunSuite {
       s"the LM store scan must read (w1, w2, c12) cells only:\n$p")
   }
 
+  test("q218: the windowed containment serve is a store read — window bounds prune partitions, no corpus text beyond the doc_id spine") {
+    val p = plan("q218_containment_window")
+    assert(p.contains("graft_shingle_ttl"),
+      s"q218 must serve off the retention-managed shingle index:\n$p")
+    val store = p.linesIterator.filter(_.contains("graft_shingle_ttl")).mkString
+    assert(!store.contains("text"),
+      s"the index scan reads (h, doc_id) rows only:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("batch_id")),
+      s"the window must prune batch_id partitions at the scan:\n$p")
+  }
+
   test("q215: the retention window read is pure partition pruning — the window bounds and split-source decode land in PartitionFilters") {
     val p = plan("q215_retention_window")
     assert(p.contains("graft_lmttl"),
