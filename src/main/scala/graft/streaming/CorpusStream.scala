@@ -345,7 +345,7 @@ object CorpusStream {
       upto: Long = Long.MaxValue): DataFrame = {
     StoreCompaction.requireWindowServableAt(deltaDir, lo, upto)
     spark.read.parquet(deltaDir)
-      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .filter(StoreCompaction.windowedReadFilter(deltaDir, lo, upto))
       .groupBy("w1", "w2").agg(sum(col("c12")).cast("long").as("c12"))
   }
 
@@ -470,7 +470,7 @@ object CorpusStream {
     def windowed(dir: String) = {
       StoreCompaction.requireWindowServableAt(dir, lo, upto)
       spark.read.parquet(dir)
-        .filter(StoreCompaction.windowedReadFilter(lo, upto))
+        .filter(StoreCompaction.windowedReadFilter(dir, lo, upto))
     }
     graft.ops.Similarity.diversityFromCells(
       windowed(dimDir).select("source", "d", "s_d"),
@@ -727,12 +727,12 @@ object CorpusStream {
         .otherwise(col(c)))
       .filter(col(c) > 0)
     val cells = guarded(spark.read.parquet(chunkDir)
-      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .filter(StoreCompaction.windowedReadFilter(chunkDir, lo, upto))
       .groupBy("fp", "source")
       .agg(sum(col("n")).cast("long").as("n"), min(col("ln")).cast("long").as("ln")),
       "n")
     val nd = guarded(spark.read.parquet(docDir)
-      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .filter(StoreCompaction.windowedReadFilter(docDir, lo, upto))
       .groupBy("source").agg(sum(col("n_docs")).cast("long").as("n_docs")),
       "n_docs")
     graft.ops.Dedup.cdcReportFromCells(cells, nd)

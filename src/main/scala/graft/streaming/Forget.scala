@@ -166,7 +166,7 @@ object Forget {
       lo: Long, upto: Long = Long.MaxValue): DataFrame = {
     StoreCompaction.requireWindowServableAt(deltaDir, lo, upto)
     spark.read.parquet(deltaDir)
-      .filter(StoreCompaction.windowedReadFilter(lo, upto))
+      .filter(StoreCompaction.windowedReadFilter(deltaDir, lo, upto))
       .groupBy("source", "lang", "len_bucket")
       .agg(sum(col("gsz")).cast("long").as("gsz"))
       .withColumn("gsz",

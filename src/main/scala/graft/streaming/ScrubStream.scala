@@ -234,7 +234,7 @@ object ScrubStream {
     Dedup.containmentBest(
       Dedup.jaccardPairsFromExploded(
         spark.read.parquet(deltaDir)
-          .filter(StoreCompaction.windowedReadFilter(lo, upto))
+          .filter(StoreCompaction.windowedReadFilter(deltaDir, lo, upto))
           .select("doc_id", "h")),
       spine)
   }

@@ -153,6 +153,12 @@ object StoreCompaction {
     */
   def requireServableAt(storeDir: String, upto: Long): Unit =
     if (upto != Long.MaxValue) {
+      epochSizeOf(storeDir).foreach { es =>
+        throw new IllegalStateException(
+          s"store $storeDir cannot serve a pin at batch $upto: it is " +
+            s"epoch-folded (size $es) and serves WINDOWS — use " +
+            "requireWindowServableAt / the windowed read path")
+      }
       retentionFloor(storeDir).foreach { f =>
         throw new IllegalStateException(
           s"store $storeDir cannot serve a pin at batch $upto: retention " +
@@ -195,9 +201,20 @@ object StoreCompaction {
   /** Id base for batch-split forget landings — far below the legacy
     * whole-wave range (`ForgetStream.ForgetBase` = −1000 − requestId),
     * so the two conventions can never collide for any realistic request
-    * count. Ids are `SplitForgetBase − requestId·SplitStride − srcBatch`.
+    * count. Ids are `SplitForgetBase − requestId·SplitStride − srcBatch`,
+    * bounded below by [[EpochFoldBase]] (the third reserved range).
     */
   val SplitForgetBase = -1000000000000L
+
+  /** Id base for EPOCH base partitions (age-banded folds on stores
+    * under retention) — a third reserved range below the split-forget
+    * one. Epoch e's fold lands at `EpochFoldBase − e`.
+    */
+  val EpochFoldBase = -2000000000000L
+
+  /** Is `id` a split-forget partition id (vs epoch-fold or ordinary)? */
+  private def isSplitId(id: Long): Boolean =
+    id <= SplitForgetBase && id > EpochFoldBase
 
   /** Source-batch stride inside a split id — positive landing batch ids
     * must stay below it (one million landings per store).
@@ -216,13 +233,13 @@ object StoreCompaction {
 
   /** The source batch a split-forget partition negates. */
   def splitSourceBatch(id: Long): Long = {
-    require(id <= SplitForgetBase, s"$id is not a split-forget partition id")
+    require(isSplitId(id), s"$id is not a split-forget partition id")
     (SplitForgetBase - id) % SplitStride
   }
 
   /** The request batch that landed a split-forget partition. */
   def splitRequestId(id: Long): Long = {
-    require(id <= SplitForgetBase, s"$id is not a split-forget partition id")
+    require(isSplitId(id), s"$id is not a split-forget partition id")
     (SplitForgetBase - id) / SplitStride
   }
 
@@ -232,7 +249,7 @@ object StoreCompaction {
     * the base, legacy whole-wave negatives) is its own boundary.
     */
   private def effectiveBatch(id: Long): Long =
-    if (id <= SplitForgetBase) splitSourceBatch(id) else id
+    if (isSplitId(id)) splitSourceBatch(id) else id
 
   /** The serving filter for a read pinned at `upto` — the
     * `batch_id <= upto OR base` convention extended to the split-forget
@@ -253,7 +270,7 @@ object StoreCompaction {
       (col("batch_id") >= 0L && col("batch_id") <= upto) ||
         col("batch_id") === BasePartition ||
         (col("batch_id") < BasePartition && col("batch_id") > SplitForgetBase) ||
-        (col("batch_id") <= SplitForgetBase &&
+        (col("batch_id") <= SplitForgetBase && col("batch_id") > EpochFoldBase &&
           pmod(lit(SplitForgetBase) - col("batch_id"), lit(SplitStride)) <= upto)
   }
 
@@ -275,6 +292,116 @@ object StoreCompaction {
   // whole-wave negatives cannot window and block expiry.
 
   private val RetentionFloorName = "_retention_floor"
+  private val EpochSizeName = "_epoch_size"
+
+  /** The store's epoch size (None if never epoch-folded) — a store-level
+    * constant: every fold, read, and expiry aligns to it once set.
+    */
+  def epochSizeOf(storeDir: String): Option[Long] = {
+    val f = new java.io.File(storeDir, EpochSizeName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+    else None
+  }
+
+  /** Fold the COMPLETE epochs of a store into per-EPOCH base partitions
+    * (`batch_id = EpochFoldBase − e` for epoch e = batch div E) — the
+    * age-banded answer to "a store under retention never cross-batch
+    * folds": partition count drops from O(window) to O(window / E)
+    * while whole-epoch expiry stays ONE directory drop. The fold is a
+    * pure ROW UNION (serving re-aggregates every cell family here, so
+    * moving rows between partitions cannot change a served value), it
+    * moves the epoch's positive batches AND the split-forget negatives
+    * whose SOURCE batch lies inside the epoch (late negatives for an
+    * already-folded epoch stay as their own partitions and still window
+    * correctly — both landings carry the same effective slice), and it
+    * folds only epochs whose END is ≤ `uptoBatch` (keep the replay
+    * margin out, like every fold here).
+    *
+    * Pins and epoch folds don't mix (a pin strictly inside a folded
+    * epoch could not be served): refuses while any live pin exists —
+    * epoch stores serve WINDOWS. Unstamped (in-flight) forget negatives
+    * in a foldable epoch refuse like every other fold. Crash-safe per
+    * epoch: merged rows stage in a hidden `.epoch_tmp_<e>` dir with a
+    * `_folded_ids` manifest; recovery finishes a `_SUCCESS`-complete
+    * fold (delete listed sources, rename staging in) and discards
+    * incomplete staging. Returns the epochs folded this pass.
+    */
+  def foldEpochs(spark: SparkSession, storeDir: String, epochSize: Long,
+      uptoBatch: Long): Seq[Long] = withLease(storeDir) {
+    require(epochSize > 0, s"epoch size must be positive, got $epochSize")
+    val root = new java.io.File(storeDir)
+    epochSizeOf(storeDir).foreach { e =>
+      require(e == epochSize,
+        s"store $storeDir is epoch-folded at size $e; refusing size $epochSize")
+    }
+    val pins = livePins(storeDir)
+    if (pins.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot epoch-fold $storeDir: live release pin(s) " +
+          pins.toSeq.sorted.map { case (n, p) => s"$n@$p" }.mkString(", ") +
+          " — a pin strictly inside a folded epoch could not be served; " +
+          "epoch stores serve windows, release the pins first")
+    if (compactionHorizon(storeDir).nonEmpty)
+      throw new IllegalStateException(
+        s"cannot epoch-fold $storeDir: a whole-base fold already ran " +
+          "(compaction horizon set) — the two base layouts don't compose")
+    // crash recovery: finish complete folds, discard incomplete staging
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".epoch_tmp_"))
+      .foreach { tmp =>
+        val e = tmp.getName.stripPrefix(".epoch_tmp_").toLong
+        val manifest = new java.io.File(tmp, "_folded_ids")
+        if (new java.io.File(tmp, "_SUCCESS").exists() && manifest.exists()) {
+          java.nio.file.Files.readAllLines(manifest.toPath).asScala
+            .filter(_.nonEmpty).map(_.toLong).foreach { id =>
+              deleteRecursively(new java.io.File(root, s"batch_id=$id"))
+            }
+          val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
+          deleteRecursively(target)
+          // the manifest rides INSIDE the rename (underscore-prefixed →
+          // invisible to parquet) and is dropped only once the swap is
+          // durable — a crash at any point here replays safely
+          require(tmp.renameTo(target), s"epoch recovery $tmp -> $target failed")
+          new java.io.File(target, "_folded_ids").delete()
+          ()
+        } else deleteRecursively(tmp)
+      }
+    val foldableIds = partitionIds(root)
+      .filter(id => id != BasePartition && id > EpochFoldBase &&
+        effectiveBatch(id) >= 0)
+    val byEpoch = foldableIds.groupBy(id => effectiveBatch(id) / epochSize)
+      .filter { case (e, _) => (e + 1) * epochSize - 1 <= uptoBatch }
+    val folded = byEpoch.toSeq.sortBy(_._1).map { case (e, ids) =>
+      ids.filterNot(foldable(root, _)).foreach { id =>
+        throw new IllegalStateException(
+          s"cannot epoch-fold $storeDir epoch $e: partition batch_id=$id " +
+            "is an in-flight forget negative (no commit stamp) — let the " +
+            "request commit first")
+      }
+      val tmp = new java.io.File(root, s".epoch_tmp_$e")
+      deleteRecursively(tmp)
+      val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
+      val sources = ids ++
+        (if (target.exists()) Seq(EpochFoldBase - e) else Nil)
+      spark.read.parquet(sources.map(id => s"$storeDir/batch_id=$id"): _*)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      java.nio.file.Files.write(new java.io.File(tmp, "_folded_ids").toPath,
+        sources.mkString("\n").getBytes(Utf8))
+      sources.foreach(id =>
+        deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+      // rename WITH the manifest inside (invisible to readers), drop it
+      // after — a crash between source deletes and the rename must leave
+      // the manifest for recovery or the staged rows would be discarded
+      require(tmp.renameTo(target), s"epoch fold $tmp -> $target failed")
+      new java.io.File(target, "_folded_ids").delete()
+      e
+    }
+    if (folded.nonEmpty && epochSizeOf(storeDir).isEmpty)
+      java.nio.file.Files.write(new java.io.File(root, EpochSizeName).toPath,
+        epochSize.toString.getBytes(Utf8))
+    folded
+  }
 
   /** The store's retention floor — batches below it have been expired
     * (None if never expired). Reads must not claim slices below it.
@@ -332,7 +459,7 @@ object StoreCompaction {
           s"cannot expire $storeDir: it carries whole-wave forget landings, " +
             "which subtract across every batch and cannot expire per-batch — " +
             "stores under retention take split (per-source-batch) forgets only")
-      ids.filter(id => id < BasePartition &&
+      ids.filter(id => id < BasePartition && id > EpochFoldBase &&
           !new java.io.File(root, s"batch_id=$id/$ForgetCommittedName").exists())
         .foreach { id =>
           throw new IllegalStateException(
@@ -349,8 +476,23 @@ object StoreCompaction {
             "silently retain the folded rows)")
       }
       val dropBase = horizon.isDefined // horizon < lo: the whole base expired
-      val dropped = ids
-        .filter(id => id != BasePartition && effectiveBatch(id) < lo)
+      epochSizeOf(storeDir).foreach { es =>
+        ids.filter(_ <= EpochFoldBase).map(EpochFoldBase - _).foreach { e =>
+          if (e * es < lo && lo < (e + 1) * es)
+            throw new IllegalStateException(
+              s"cannot expire $storeDir below batch $lo: folded epoch $e " +
+                s"covers batches [${e * es}, ${(e + 1) * es - 1}] and the " +
+                "floor falls inside it — expiry on an epoch-folded store " +
+                s"must align to the epoch size $es")
+        }
+      }
+      val droppedEpochs = epochSizeOf(storeDir).toSeq.flatMap { es =>
+        ids.filter(id => id <= EpochFoldBase &&
+          (EpochFoldBase - id + 1) * es <= lo)
+      }
+      val dropped = (ids
+        .filter(id => id != BasePartition && id > EpochFoldBase &&
+          effectiveBatch(id) < lo) ++ droppedEpochs)
         .sorted
       dropped.foreach(id =>
         deleteRecursively(new java.io.File(root, s"batch_id=$id")))
@@ -366,24 +508,38 @@ object StoreCompaction {
     }
 
   /** The serving filter for a WINDOWED read [lo, upto] — the read shape
-    * of a store under retention: positive deltas inside the window, and
+    * of a store under retention: positive deltas inside the window,
     * split-forget negatives whose SOURCE batch is inside it (each
     * expires with its source, so the window stays internally
-    * consistent). The base and legacy negatives never qualify —
-    * [[requireWindowServableAt]] refuses stores that have them.
+    * consistent), and — on an epoch-folded store — epoch partitions
+    * that lie WHOLLY inside the window ([[requireWindowServableAt]]
+    * refuses partial overlaps before this filter runs). The base and
+    * legacy negatives never qualify.
     */
-  def windowedReadFilter(lo: Long, upto: Long): org.apache.spark.sql.Column = {
+  def windowedReadFilter(storeDir: String, lo: Long,
+      upto: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val src = pmod(lit(SplitForgetBase) - col("batch_id"), lit(SplitStride))
-    (col("batch_id") >= lo && col("batch_id") <= upto) ||
-      (col("batch_id") <= SplitForgetBase && src >= lo && src <= upto)
+    val base =
+      (col("batch_id") >= lo && col("batch_id") <= upto) ||
+        (col("batch_id") <= SplitForgetBase && col("batch_id") > EpochFoldBase &&
+          src >= lo && src <= upto)
+    epochSizeOf(storeDir) match {
+      case None => base
+      case Some(es) =>
+        // epoch e covers [e·es, (e+1)·es): include iff wholly inside
+        val e = lit(EpochFoldBase) - col("batch_id")
+        base || (col("batch_id") <= EpochFoldBase &&
+          e * es >= lo && (e + 1L) * es - 1L <= upto)
+    }
   }
 
   /** Assert that a windowed read [lo, upto] off this store is faithful:
     * refuses below the retention floor (those landings left disk), when
-    * a base partition exists (folded rows cannot window), or when
+    * a base partition exists (folded rows cannot window), when
     * whole-wave forget landings exist (they cannot window either — see
-    * [[expireBefore]]).
+    * [[expireBefore]]), or when a folded EPOCH partially overlaps the
+    * window (its per-batch identity is gone; windows must epoch-align).
     */
   def requireWindowServableAt(storeDir: String, lo: Long, upto: Long): Unit = {
     retentionFloor(storeDir).filter(_ > lo).foreach { f =>
@@ -402,6 +558,21 @@ object StoreCompaction {
         s"store $storeDir cannot serve windowed reads: it carries whole-wave " +
           "forget landings, which subtract across every batch — windowed " +
           "stores take split forgets only")
+    epochSizeOf(storeDir).foreach { es =>
+      partitionIds(new java.io.File(storeDir))
+        .filter(_ <= EpochFoldBase)
+        .map(EpochFoldBase - _).foreach { e =>
+          val (s0, s1) = (e * es, (e + 1) * es - 1)
+          val inside = s0 >= lo && s1 <= upto
+          val outside = s1 < lo || s0 > upto
+          if (!inside && !outside)
+            throw new IllegalStateException(
+              s"store $storeDir cannot serve window [$lo, $upto]: folded " +
+                s"epoch $e covers batches [$s0, $s1] and only partially " +
+                "overlaps it — windows on an epoch-folded store must " +
+                s"align to the epoch size $es")
+        }
+    }
   }
 
   private val ForgetHorizonName = "_forget_horizon"
@@ -561,7 +732,7 @@ object StoreCompaction {
     }
     requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root)
-      .filter(id =>
+      .filter(id => id > EpochFoldBase &&
         (id == BasePartition || effectiveBatch(id) <= upto) && foldable(root, id))
     if (ids.isEmpty || ids == Seq(BasePartition)) return
     merge(spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
@@ -631,7 +802,7 @@ object StoreCompaction {
     }
     requirePinsAhead(storeDir, upto)
     val ids = partitionIds(root)
-      .filter(id =>
+      .filter(id => id > EpochFoldBase &&
         id != BasePartition && effectiveBatch(id) <= upto && foldable(root, id))
     if (ids.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
@@ -704,7 +875,7 @@ object StoreCompaction {
           // below every eligible delta no appendInto executes, and
           // reporting Some(legal) would mislead an operator reading it
           // as "folded up to batch N" — report None, clamp flag still set
-          if (eligible.exists(effectiveBatch(_) <= legal))
+          if (eligible.exists(id => id > EpochFoldBase && effectiveBatch(id) <= legal))
             (Some(legal),
               legal < want,
               appendInto(spark, storeDir, legal, bucketCols, policy.nBuckets))

@@ -1122,6 +1122,60 @@ class ForgetSpec extends AnyFunSuite {
       "CDC windowed serve must equal the retained-window re-chunk")
   }
 
+  test("epoch folds: complete epochs band into per-epoch bases with every windowed serve unchanged; whole-epoch expiry is ONE directory drop; partial overlaps refuse everywhere") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-epoch") + "/deltas"
+    val bounds = landQuartiles(d, deltas) // 4 landings; epoch size 2 → 2 epochs
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L)
+    def win(lo: Long, hi: Long = Long.MaxValue) =
+      lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo, hi))
+    val (w01, w0m, w2m) = (win(0, 1), win(0), win(2))
+
+    // fold ONLY the complete epoch 0 (batches 0-1 + split negatives for
+    // source batches 0-1 band into one partition)
+    assert(StoreCompaction.foldEpochs(spark, deltas, epochSize = 2L,
+      uptoBatch = 1L) === Seq(0L))
+    val ids1 = batchIdsOf(deltas)
+    assert(ids1.count(_ <= StoreCompaction.EpochFoldBase) === 1 &&
+      ids1.count(id => id >= 0) === 2 &&
+      ids1.count(id => id <= StoreCompaction.SplitForgetBase &&
+        id > StoreCompaction.EpochFoldBase) === 2,
+      s"epoch 0 must band its batches AND its split negatives: $ids1")
+    assert((win(0, 1), win(0), win(2)) === ((w01, w0m, w2m)),
+      "every aligned window must serve unchanged across the epoch fold")
+
+    // partial overlaps refuse: a window cutting into the folded epoch,
+    // and any pinned read (epoch stores serve windows)
+    assert(intercept[IllegalStateException](win(1, 3))
+      .getMessage.contains("partially"), "mid-epoch windows must refuse")
+    assert(intercept[IllegalStateException] {
+      Forget.lmCountsAfterForget(spark, deltas, upto = 3L)
+    }.getMessage.contains("epoch-folded"), "pinned reads must refuse")
+
+    // fold epoch 1, expire epoch 0 — ONE directory drop
+    StoreCompaction.foldEpochs(spark, deltas, 2L, uptoBatch = 3L)
+    val rep = StoreCompaction.expireBefore(deltas, 2L)
+    assert(rep.droppedBatches === Seq(StoreCompaction.EpochFoldBase),
+      s"whole-epoch expiry must be the epoch partition drop: $rep")
+    assert(win(2) === w2m, "the retained epoch must serve unchanged")
+    // misaligned expiry refuses (the floor would fall inside epoch 1)
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(deltas, 3L)
+    }.getMessage.contains("align"), "mid-epoch expiry must refuse")
+
+    // a later split wave on the epoch-folded store lands beside the
+    // epoch partitions and windows correctly
+    val wave2 = col("doc_id") % 17 === 5
+    Forget.forgetSumCellsSplit(
+      d.filter(wave2).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 1L)
+    assert(win(2) === lmMap(CorpusStream.lmCells(
+        d.filter(col("doc_id") >= bounds(1) && !forgetPred && !wave2))),
+      "the windowed serve must equal the retained-epoch two-wave retrain")
+  }
+
   test("retention refusals: live pins, folded bases, whole-wave negatives, and in-flight forgets block expiry; expired stores refuse pins and folds") {
     val d = docs.localCheckpoint()
     // live pin blocks expiry by name
