@@ -153,9 +153,13 @@ object ForgetStream {
     def stampCommitted(): Unit =
       targets.additiveTargets.map(_._2.deltaDir).distinct.foreach { d =>
         val root = new java.io.File(d)
+        // bound the decode to the split range: epoch-fold partitions
+        // (id <= EpochFoldBase) also satisfy `<= SplitForgetBase`, and
+        // splitRequestId THROWS on them — an unbounded filter would wedge
+        // every replay of a split wave against an epoch-folded store
         val landed = StoreCompaction.partitionIds(root).filter(id =>
           id == part ||
-            (id <= StoreCompaction.SplitForgetBase &&
+            (StoreCompaction.isSplitId(id) &&
               StoreCompaction.splitRequestId(id) == batchId))
         landed.foreach { id =>
           val p = new java.io.File(root, s"batch_id=$id")

@@ -213,13 +213,22 @@ object StoreCompaction {
   val EpochFoldBase = -2000000000000L
 
   /** Is `id` a split-forget partition id (vs epoch-fold or ordinary)? */
-  private def isSplitId(id: Long): Boolean =
+  private[streaming] def isSplitId(id: Long): Boolean =
     id <= SplitForgetBase && id > EpochFoldBase
 
   /** Source-batch stride inside a split id — positive landing batch ids
     * must stay below it (one million landings per store).
     */
   val SplitStride = 1000000L
+
+  /** Maximum split-forget request batches per store: the split id range
+    * is (EpochFoldBase, SplitForgetBase], so a requestId at or above
+    * this would land an id inside the reserved epoch-fold range, where
+    * `isSplitId` is false and every read path would misclassify the
+    * negative as an epoch base. [[splitForgetId]] refuses loudly at the
+    * boundary instead of corrupting the id space.
+    */
+  val MaxSplitRequests: Long = (SplitForgetBase - EpochFoldBase) / SplitStride
 
   /** The delta-partition id for request `requestId`'s negation of what
     * source batch `srcBatch` added.
@@ -228,6 +237,10 @@ object StoreCompaction {
     require(requestId >= 0 && srcBatch >= 0 && srcBatch < SplitStride,
       s"split forget id needs requestId >= 0 and 0 <= srcBatch < $SplitStride, " +
         s"got request $requestId / source $srcBatch")
+    require(requestId < MaxSplitRequests,
+      s"split forget id for request $requestId would cross EpochFoldBase " +
+        s"(the reserved epoch range) — at most $MaxSplitRequests forget " +
+        "request batches per store")
     SplitForgetBase - requestId * SplitStride - srcBatch
   }
 
@@ -372,13 +385,29 @@ object StoreCompaction {
         effectiveBatch(id) >= 0)
     val byEpoch = foldableIds.groupBy(id => effectiveBatch(id) / epochSize)
       .filter { case (e, _) => (e + 1) * epochSize - 1 <= uptoBatch }
-    val folded = byEpoch.toSeq.sortBy(_._1).map { case (e, ids) =>
+    // pre-validate EVERY candidate epoch before folding ANY: a refusal
+    // thrown mid-loop would leave some epochs folded with the _epoch_size
+    // marker not yet written, and windowedReadFilter's no-marker branch
+    // would silently exclude the folded rows — the one way this store
+    // could under-serve without refusing. Same reason the marker commits
+    // BEFORE the first rename below.
+    byEpoch.toSeq.sortBy(_._1).foreach { case (e, ids) =>
       ids.filterNot(foldable(root, _)).foreach { id =>
         throw new IllegalStateException(
           s"cannot epoch-fold $storeDir epoch $e: partition batch_id=$id " +
             "is an in-flight forget negative (no commit stamp) — let the " +
             "request commit first")
       }
+    }
+    // the marker is the store's "reads must use the epoch-aware filter"
+    // switch: written before the first rename so a crash mid-loop leaves
+    // every already-folded epoch VISIBLE to windowed reads (a marker with
+    // zero epoch partitions is benign — the store just serves windows
+    // with nothing banded yet)
+    if (byEpoch.nonEmpty && epochSizeOf(storeDir).isEmpty)
+      java.nio.file.Files.write(new java.io.File(root, EpochSizeName).toPath,
+        epochSize.toString.getBytes(Utf8))
+    val folded = byEpoch.toSeq.sortBy(_._1).map { case (e, ids) =>
       val tmp = new java.io.File(root, s".epoch_tmp_$e")
       deleteRecursively(tmp)
       val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
@@ -397,9 +426,6 @@ object StoreCompaction {
       new java.io.File(target, "_folded_ids").delete()
       e
     }
-    if (folded.nonEmpty && epochSizeOf(storeDir).isEmpty)
-      java.nio.file.Files.write(new java.io.File(root, EpochSizeName).toPath,
-        epochSize.toString.getBytes(Utf8))
     folded
   }
 
@@ -620,6 +646,14 @@ object StoreCompaction {
           "under retention never folds across batches (folded rows lose the " +
           "batch identity expiry drops by); its file count is bounded by the " +
           "retention window instead")
+    }
+    epochSizeOf(storeDir).foreach { es =>
+      throw new IllegalStateException(
+        s"refusing to fold $storeDir: it is epoch-folded (size $es) and the " +
+          "two base layouts don't compose — a whole-base fold would set a " +
+          "compaction horizon that makes windowed reads refuse while pinned " +
+          "reads already refuse on the epoch marker, leaving the store " +
+          "unservable by every path; fold epochs (foldEpochs) instead")
     }
   }
 
@@ -865,9 +899,12 @@ object StoreCompaction {
         .filter(_ != BasePartition).sorted
       val eligible = deltas.dropRight(policy.keepLatestDeltas)
       val (upto, clamped, appended) =
-        // a store under retention never folds (see requirePinsAhead) —
-        // its partition count is bounded by the retention window
+        // a store under retention never whole-base folds, and neither
+        // does an epoch-folded one (see requirePinsAhead) — their
+        // partition counts are bounded by the retention window / the
+        // epoch banding respectively
         if (retentionFloor(storeDir).isEmpty &&
+            epochSizeOf(storeDir).isEmpty &&
             eligible.size >= policy.minorAtDeltas) {
           val want = eligible.max
           val legal = maxFoldableUpto(storeDir, want)

@@ -1245,4 +1245,76 @@ class ForgetSpec extends AnyFunSuite {
     assert(mrep.minorUpto.isEmpty && mrep.filesAppended === 0L,
       s"a store under retention must never fold: $mrep")
   }
+
+  test("epoch-fold boundary seams: pre-validation refuses before ANY epoch folds; whole-base folds and maintain refuse on an epoch store; split waves stamp on one; the split id space is bounded") {
+    val d = docs.localCheckpoint()
+
+    // (1) an in-flight negative in a LATER epoch must refuse BEFORE the
+    // earlier epoch folds — a mid-loop refusal that had already folded
+    // epoch 0 without the _epoch_size marker would leave the folded rows
+    // invisible to every windowed read (the silent-under-count seam)
+    val pre = tmpDir("graft-epoch-preval") + "/deltas"
+    val bounds = landQuartiles(d, pre)
+    // the unstamped negatives touch ONLY epoch 1 (source batches 2-3):
+    // epoch 0 is cleanly foldable, so only whole-pass pre-validation —
+    // not the per-epoch check the fold loop used to run — can stop
+    // epoch 0 from folding before the refusal
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred && col("doc_id") >= bounds(1))
+        .withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(pre), requestId = 0L, stamp = false)
+    val exPre = intercept[IllegalStateException] {
+      StoreCompaction.foldEpochs(spark, pre, epochSize = 2L, uptoBatch = 3L)
+    }
+    assert(exPre.getMessage.contains("in-flight"), exPre.getMessage)
+    assert(batchIdsOf(pre).forall(_ > StoreCompaction.EpochFoldBase) &&
+      StoreCompaction.epochSizeOf(pre).isEmpty,
+      "the refusal must pre-validate: no epoch may fold and no marker land " +
+        s"when any candidate epoch holds an unstamped negative: ${batchIdsOf(pre)}")
+
+    // (2) an epoch-folded store refuses whole-base folds (the two base
+    // layouts don't compose) and maintain skips it as a listing no-op
+    val ep = tmpDir("graft-epoch-seams") + "/deltas"
+    landQuartiles(d, ep)
+    StoreCompaction.foldEpochs(spark, ep, epochSize = 2L, uptoBatch = 1L)
+    assert(StoreCompaction.epochSizeOf(ep) === Some(2L))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.appendInto(spark, ep, upto = 3L, Seq("w1"))
+    }.getMessage.contains("epoch-folded"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.foldInto(spark, ep, upto = 3L)(identity)
+    }.getMessage.contains("epoch-folded"))
+    val mrep = StoreCompaction.maintain(spark, ep, Seq("w1"),
+      StoreCompaction.MaintenancePolicy(minorAtDeltas = 1, keepLatestDeltas = 0))
+    assert(mrep.minorUpto.isEmpty && mrep.filesAppended === 0L,
+      s"maintain must never whole-base fold an epoch store: $mrep")
+
+    // (3) a streamed split wave against the epoch-folded store completes
+    // and stamps its negatives (the unbounded stampCommitted decode used
+    // to throw on epoch ids, wedging the request after its marker landed)
+    val markers = tmpDir("graft-epoch-markers")
+    val content = d.withColumn("src_batch", srcBatchCol(bounds))
+    graft.streaming.ForgetStream.processBatch(
+      d.filter(forgetPred).select("doc_id"), content,
+      graft.streaming.ForgetStream.ForgetTargets(
+        sumCellStores = Seq(Forget.lmCellTarget(ep)), splitBySrcBatch = true),
+      markers, batchId = 0L)
+    val negIds = batchIdsOf(ep).filter(id =>
+      id <= StoreCompaction.SplitForgetBase && id > StoreCompaction.EpochFoldBase)
+    assert(negIds.nonEmpty && negIds.forall(id =>
+      new java.io.File(s"$ep/batch_id=$id/_FORGET_COMMITTED").exists()),
+      s"the wave's negatives must land AND stamp on an epoch store: $negIds")
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, ep, lo = 0L)) ===
+      lmMap(CorpusStream.lmCells(d.filter(!forgetPred))),
+      "the full-window serve must equal the survivor retrain across the fold")
+
+    // (4) the split id space refuses at the epoch boundary instead of
+    // silently landing a negative inside the reserved epoch range
+    assert(intercept[IllegalArgumentException] {
+      StoreCompaction.splitForgetId(StoreCompaction.MaxSplitRequests, 0L)
+    }.getMessage.contains("EpochFoldBase"))
+    assert(StoreCompaction.splitForgetId(
+      StoreCompaction.MaxSplitRequests - 1, 0L) > StoreCompaction.EpochFoldBase,
+      "the last legal request id must still land inside the split range")
+  }
 }
