@@ -1295,6 +1295,75 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "epochprobe") {
+      // The epoch-banding cost law: a store under retention never
+      // whole-base folds, so without banding its partition count is
+      // O(retention window) — at a landing-per-hour cadence a 90-day
+      // window is ~2200 partitions PER STORE, and the windowed serve
+      // pays partition discovery + a task per tiny file. foldEpochs
+      // bands complete epochs into one partition each (O(window / E)),
+      // with whole-epoch expiry still a single directory drop. Sweep
+      // E over the same L landings and measure what banding buys:
+      // layout (partitions/files after maintenance), windowed-serve
+      // wall-clock, maintenance cost, and expiry cost. E=0 is the
+      // unbanded baseline (q215's layout).
+      import graft.streaming.{CorpusStream, Forget, StoreCompaction}
+      val landings = if (args.length > 2) args(2).toInt else 64
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text").localCheckpoint()
+      docsT.count()
+      Seq(0L, 4L, 16L).foreach { e =>
+        val store = java.nio.file.Files
+          .createTempDirectory(s"graft-epochprobe-$e").toString + "/deltas"
+        val pol = StoreCompaction.MaintenancePolicy(
+          keepLatestDeltas = 1, epochSize = if (e > 0) Some(e) else None)
+        // land L rotating slices; under retention the unbanded store
+        // never folds, so only the epoch policy changes the layout
+        time(s"epoch_E${e}.build_${landings}_landings") {
+          (0 until landings).foreach { b =>
+            CorpusStream.writeLmDelta(
+              docsT.filter(pmod(col("doc_id"), lit(landings.toLong)) === lit(b.toLong)),
+              store, b.toLong)
+          }
+          landings.toLong
+        }
+        time(s"epoch_E${e}.maintain_pass") {
+          if (e > 0)
+            StoreCompaction.maintain(spark, store, Seq("w1", "w2"), pol)
+              .epochsFolded
+          else 0L
+        }
+        def layout(): (Long, Long) = {
+          val parts = Option(new java.io.File(store).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+          val files = parts.map(p => Option(p.listFiles()).toSeq.flatten
+            .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong).sum
+          (parts.size.toLong, files)
+        }
+        val (nParts, nFiles) = layout()
+        println(s"epoch_E$e layout: $nParts partitions, $nFiles data files")
+        // the serving read a retention deployment runs: full retained
+        // window fold (fresh df per run — no AQE reuse)
+        time(s"epoch_E${e}.windowed_serve") {
+          Forget.lmCountsAfterForgetWindow(spark, store, lo = 0L)
+            .agg(sum("c12")).head().getLong(0)
+        }
+        // expire the oldest aligned half: banded epochs drop as single
+        // directories, the unbanded store drops one dir per landing
+        time(s"epoch_E${e}.expire_oldest_half") {
+          StoreCompaction.expireBefore(store, landings / 2L)
+            .droppedBatches.size.toLong
+        }
+        val (nParts2, nFiles2) = layout()
+        println(s"epoch_E$e layout after expiry: $nParts2 partitions, $nFiles2 data files")
+        time(s"epoch_E${e}.windowed_serve_after") {
+          Forget.lmCountsAfterForgetWindow(spark, store, lo = landings / 2L)
+            .agg(sum("c12")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "maintprobe") {
       // Steady-state maintenance cost: land L deltas one at a time and run
       // the threshold policy after EVERY landing — the per-pass cost must

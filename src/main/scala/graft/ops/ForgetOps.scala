@@ -1255,6 +1255,118 @@ object ForgetOps {
     graft.streaming.ScrubStream.containmentWindowed(s, deltas, spine, lo = 2L)
   }
 
+  // ── q219/q220: policy-driven epoch folds + the expiry certificate ────
+
+  def lmEpochStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lmepoch_v1_${storeKey(dir, "lmepoch")}"
+
+  /** Eight octile LM landings, a pin-preserving (split) forget wave,
+    * then the RETENTION LIFECYCLE as a deployment actually runs it:
+    * scheduled maintenance with an epoch-banding policy
+    * ([[graft.streaming.StoreCompaction.MaintenancePolicy]] `epochSize
+    * = 2`, replay margin 3) folds the complete, margin-clear epochs
+    * 0-1 into per-epoch base partitions — taking their split negatives
+    * with them — and a CERTIFIED expiry
+    * ([[graft.streaming.StoreCompaction.expireBeforeCertified]]) then
+    * drops everything below batch 6: two whole epochs as single
+    * directory drops, two raw landings, and the split negatives that
+    * expire with their source batches, with one persisted audit row per
+    * action. Idempotent (marker-committed). Returns
+    * (deltaDir, auditRoot, the window's doc_id floor).
+    */
+  def buildLmEpochStore(s: SparkSession, dir: String): (String, String, Long) = {
+    val root = lmEpochStorePath(dir)
+    val deltas = s"$root/deltas"
+    val audit = s"$root/expiry_audit"
+    val d = docs(s, dir)
+    val o = d.agg(max(col("doc_id"))).head().getLong(0) / 8
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      (0 until 8).foreach { k =>
+        val lo = if (k == 0) Long.MinValue else k * o
+        val hi = if (k == 7) Long.MaxValue else (k + 1) * o
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      val forgotten = d.filter(forgottenPred)
+        .withColumn("src_batch", least(expr(s"doc_id div $o"), lit(7L)).cast("long"))
+      Forget.forgetSumCellsSplit(forgotten, Forget.lmCellTarget(deltas),
+        requestId = 0L)
+      val rep = graft.streaming.StoreCompaction.maintain(s, deltas,
+        Seq("w1", "w2"), graft.streaming.StoreCompaction.MaintenancePolicy(
+          keepLatestDeltas = 3, epochSize = Some(2L)))
+      require(rep.epochsFolded == 2L,
+        s"the banding policy must fold epochs 0-1 (ends 1, 3 <= margin 4): $rep")
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, deltas,
+        lo = 6L, audit, storeName = "lm")
+      marker.createNewFile()
+    }
+    (deltas, audit, 6 * o)
+  }
+
+  private val epochWindowSurvivorsSql =
+    s"""(SELECT * FROM documents
+       | WHERE doc_id % $ForgetMod <> $ForgetRes
+       |   AND doc_id >= (SELECT (MAX(doc_id) // 8) * 6 FROM documents))""".stripMargin
+
+  /** q219 — EPOCH-BANDED retention, policy-driven: q215 proved expiry
+    * as partition drops when the store never folds, leaving partition
+    * count O(retention window); this query runs the layout a 100 TB
+    * deployment wants — scheduled maintenance bands complete epochs
+    * into per-epoch bases (O(window / epochSize) partitions, the
+    * listing cost `epochprobe` measures), whole-epoch expiry stays ONE
+    * directory drop, and the windowed serve off the mixed layout (raw
+    * tail + folded epochs + split negatives riding inside both) must
+    * equal a retrain on the retained window's survivors. The oracle IS
+    * that retrain.
+    */
+  val q219 = Q("q219_epoch_window",
+    lmForgetFluencyOracle(epochWindowSurvivorsSql)) { (s, dir) =>
+    val (store, _, cut6) = buildLmEpochStore(s, dir)
+    val windowSurvivors = docs(s, dir)
+      .filter(!forgottenPred && col("doc_id") >= cut6)
+    graft.ops.TextOps.fluencyScoredFromCounts(windowSurvivors,
+        Some(Forget.lmCountsAfterForgetWindow(s, store, lo = 6L)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
+  /** q220 — the EXPIRY CERTIFICATE, ground-truthed: q217's
+    * proof-of-erasure discipline extended to age-based deletion. The
+    * audit rows [[graft.streaming.StoreCompaction.expireBeforeCertified]]
+    * persists for q219's expiry pass must match counts derived from the
+    * data alone: two whole epochs dropped (epochs 0-1, banded by the
+    * maintenance policy before the floor reached them), two raw
+    * landings dropped (batches 4-5), and one expired split negative per
+    * source batch in {4, 5} the forgotten docs actually span — the
+    * numbers a retention/licensing audit files, independently
+    * recomputable.
+    */
+  val q220 = Q("q220_expiry_certificate",
+    s"""WITH o AS (SELECT MAX(doc_id) // 8 AS o FROM documents),
+       |sb AS (
+       |  SELECT DISTINCT LEAST(doc_id // (SELECT o FROM o), 7) AS b
+       |  FROM documents WHERE doc_id % $ForgetMod = $ForgetRes
+       |)
+       |SELECT store, floor, action, n FROM (
+       |  VALUES
+       |    ('lm', CAST(6 AS BIGINT), 'epoch_drop', CAST(2 AS BIGINT)),
+       |    ('lm', CAST(6 AS BIGINT), 'landing_drop', CAST(2 AS BIGINT)),
+       |    ('lm', CAST(6 AS BIGINT), 'split_negative_drop',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM sb WHERE b IN (4, 5)))
+       |) AS t(store, floor, action, n)
+       |WHERE n > 0
+       |ORDER BY action""".stripMargin) { (s, dir) =>
+    val (_, audit, _) = buildLmEpochStore(s, dir)
+    graft.streaming.StoreCompaction.expiryCertificate(s, audit)
+      .select(col("store"), col("floor"), col("action"), col("n"))
+      .orderBy("action")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
+    q219, q220)
 }

@@ -341,7 +341,8 @@ object StoreCompaction {
     * incomplete staging. Returns the epochs folded this pass.
     */
   def foldEpochs(spark: SparkSession, storeDir: String, epochSize: Long,
-      uptoBatch: Long): Seq[Long] = withLease(storeDir) {
+      uptoBatch: Long, skipUnstamped: Boolean = false): Seq[Long] =
+      withLease(storeDir) {
     require(epochSize > 0, s"epoch size must be positive, got $epochSize")
     val root = new java.io.File(storeDir)
     epochSizeOf(storeDir).foreach { e =>
@@ -383,22 +384,31 @@ object StoreCompaction {
     val foldableIds = partitionIds(root)
       .filter(id => id != BasePartition && id > EpochFoldBase &&
         effectiveBatch(id) >= 0)
-    val byEpoch = foldableIds.groupBy(id => effectiveBatch(id) / epochSize)
+    val candidates = foldableIds.groupBy(id => effectiveBatch(id) / epochSize)
       .filter { case (e, _) => (e + 1) * epochSize - 1 <= uptoBatch }
     // pre-validate EVERY candidate epoch before folding ANY: a refusal
     // thrown mid-loop would leave some epochs folded with the _epoch_size
     // marker not yet written, and windowedReadFilter's no-marker branch
     // would silently exclude the folded rows — the one way this store
     // could under-serve without refusing. Same reason the marker commits
-    // BEFORE the first rename below.
-    byEpoch.toSeq.sortBy(_._1).foreach { case (e, ids) =>
-      ids.filterNot(foldable(root, _)).foreach { id =>
-        throw new IllegalStateException(
-          s"cannot epoch-fold $storeDir epoch $e: partition batch_id=$id " +
-            "is an in-flight forget negative (no commit stamp) — let the " +
-            "request commit first")
+    // BEFORE the first rename below. `skipUnstamped` is the scheduled-
+    // maintenance mode: an epoch holding an in-flight forget negative is
+    // left raw (it folds on a later pass, once the request commits)
+    // instead of failing the whole pass.
+    val byEpoch =
+      if (skipUnstamped)
+        candidates.filter { case (_, ids) => ids.forall(foldable(root, _)) }
+      else {
+        candidates.toSeq.sortBy(_._1).foreach { case (e, ids) =>
+          ids.filterNot(foldable(root, _)).foreach { id =>
+            throw new IllegalStateException(
+              s"cannot epoch-fold $storeDir epoch $e: partition batch_id=$id " +
+                "is an in-flight forget negative (no commit stamp) — let the " +
+                "request commit first")
+          }
+        }
+        candidates
       }
-    }
     // the marker is the store's "reads must use the epoch-aware filter"
     // switch: written before the first rename so a crash mid-loop leaves
     // every already-folded epoch VISIBLE to windowed reads (a marker with
@@ -413,7 +423,14 @@ object StoreCompaction {
       val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
       val sources = ids ++
         (if (target.exists()) Seq(EpochFoldBase - e) else Nil)
+      // consolidate to ONE file per epoch: the banding win is fewer
+      // partitions AND fewer files (each delta landed coalesce(1), so an
+      // epoch re-reads E small files into one). Cell stores stay small
+      // (bounded by key cardinality, not corpus); a row-union identity
+      // store whose epochs outgrow a single file should band with a
+      // larger E-to-file ratio via the bucketed appendInto layout instead
       spark.read.parquet(sources.map(id => s"$storeDir/batch_id=$id"): _*)
+        .coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
       java.nio.file.Files.write(new java.io.File(tmp, "_folded_ids").toPath,
         sources.mkString("\n").getBytes(Utf8))
@@ -439,9 +456,12 @@ object StoreCompaction {
     else None
   }
 
-  /** What one expiry pass did. */
+  /** What one expiry pass did. `droppedFiles` counts the data files the
+    * dropped partitions held (the deletion-volume number a retention
+    * audit records).
+    */
   case class ExpiryReport(floor: Long, droppedBatches: Seq[Long],
-      droppedBase: Boolean)
+      droppedBase: Boolean, droppedFiles: Long = 0L)
 
   /** Expire every landing below `lo`: drop the delta partitions whose
     * effective batch (split-forget negatives count as the source batch
@@ -520,18 +540,78 @@ object StoreCompaction {
         .filter(id => id != BasePartition && id > EpochFoldBase &&
           effectiveBatch(id) < lo) ++ droppedEpochs)
         .sorted
+      def dataFiles(dir: java.io.File): Long =
+        Option(dir.listFiles()).toSeq.flatten
+          .count(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_")).toLong
+      val baseDir = new java.io.File(root, s"batch_id=$BasePartition")
+      val nFiles = dropped
+        .map(id => dataFiles(new java.io.File(root, s"batch_id=$id"))).sum +
+        (if (dropBase) dataFiles(baseDir) else 0L)
       dropped.foreach(id =>
         deleteRecursively(new java.io.File(root, s"batch_id=$id")))
       if (dropBase) {
-        deleteRecursively(new java.io.File(root, s"batch_id=$BasePartition"))
+        deleteRecursively(baseDir)
         new java.io.File(root, HorizonName).delete()
         ()
       }
       java.nio.file.Files.write(
         new java.io.File(root, RetentionFloorName).toPath,
         floor.toString.getBytes(Utf8))
-      ExpiryReport(floor, dropped, dropBase)
+      ExpiryReport(floor, dropped, dropBase, nFiles)
     }
+
+  /** [[expireBefore]] with a PERSISTED certificate — the retention dual
+    * of the erasure certificate ([[ForgetStream.processBatch]]'s audit
+    * rows): one row per expiry ACTION, written under
+    * `auditRoot/store=<storeName>/floor=<floor>` so a replayed pass
+    * overwrites idempotently. Actions: `landing_drop` (positive ingest
+    * landings expired), `split_negative_drop` (erasure corrections that
+    * expired WITH their source batches), `epoch_drop` (whole folded
+    * epochs), `base_drop` (a base whose horizon was entirely below the
+    * floor). Each row carries the partition and file counts a retention
+    * or licensing audit files — proof of age-based deletion with the
+    * same independently-recomputable shape the erasure certificate has
+    * (the q220 oracle ground-truths it against the data). A no-op pass
+    * (floor already at or above `lo`) certifies nothing new.
+    */
+  def expireBeforeCertified(spark: SparkSession, storeDir: String, lo: Long,
+      auditRoot: String, storeName: String): ExpiryReport = {
+    val rep = expireBefore(storeDir, lo)
+    if (rep.droppedBatches.nonEmpty || rep.droppedBase) {
+      val actions = Seq(
+        ("landing_drop", rep.droppedBatches.count(_ >= 0).toLong,
+          "positive ingest landings expired below the floor"),
+        ("split_negative_drop",
+          rep.droppedBatches.count(isSplitId).toLong,
+          "split-forget negatives expired with their source batches"),
+        ("epoch_drop", rep.droppedBatches.count(_ <= EpochFoldBase).toLong,
+          "whole folded epochs dropped as single directories"),
+        ("base_drop", if (rep.droppedBase) 1L else 0L,
+          "base partition folded entirely below the floor dropped whole")
+      ).filter(_._2 > 0L)
+      import spark.implicits._
+      actions.map { case (a, n, d) => (a, n, rep.droppedFiles, d) }
+        .toDF("action", "n", "files_dropped", "detail")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$auditRoot/store=$storeName/floor=${rep.floor}")
+    }
+    rep
+  }
+
+  /** The persisted retention certificate — every expiry action recorded
+    * by [[expireBeforeCertified]] under `auditRoot`; `store` and `floor`
+    * ride as partition columns of the audit layout.
+    */
+  def expiryCertificate(spark: SparkSession, auditRoot: String): DataFrame = {
+    val raw = spark.read.parquet(auditRoot)
+    raw.select(org.apache.spark.sql.functions.col("store").cast("string"),
+      org.apache.spark.sql.functions.col("floor").cast("long"),
+      org.apache.spark.sql.functions.col("action"),
+      org.apache.spark.sql.functions.col("n"),
+      org.apache.spark.sql.functions.col("files_dropped"),
+      org.apache.spark.sql.functions.col("detail"))
+  }
 
   /** The serving filter for a WINDOWED read [lo, upto] — the read shape
     * of a store under retention: positive deltas inside the window,
@@ -859,13 +939,22 @@ object StoreCompaction {
     * one batch a streaming checkpoint may still re-deliver.
     * `maxFilesPerBucket`/`nBuckets`: the per-bucket major threshold and
     * the bucket fan-out (bounds base file count at nBuckets ×
-    * maxFilesPerBucket in steady state).
+    * maxFilesPerBucket in steady state). `epochSize`: band complete
+    * epochs into per-epoch base partitions instead of whole-base folding
+    * — the layout for stores under RETENTION, where a whole-base fold is
+    * refused (folded rows lose the batch identity expiry drops by) but
+    * partition count would otherwise grow to O(retention window);
+    * banding bounds it at O(window / epochSize) while whole-epoch expiry
+    * stays ONE directory drop. A store already epoch-folded keeps
+    * banding at its own marker size even when the policy leaves this
+    * unset.
     */
   case class MaintenancePolicy(
       minorAtDeltas: Int = 8,
       keepLatestDeltas: Int = 1,
       maxFilesPerBucket: Int = 4,
-      nBuckets: Int = 32)
+      nBuckets: Int = 32,
+      epochSize: Option[Long] = None)
 
   /** What one maintenance pass did — the registry-statistics view an
     * operator (or a probe) reads.
@@ -875,7 +964,8 @@ object StoreCompaction {
       minorUpto: Option[Long],
       clampedByPins: Boolean,
       filesAppended: Long,
-      bucketsRewritten: Long)
+      bucketsRewritten: Long,
+      epochsFolded: Long = 0L)
 
   /** ONE pin-aware maintenance pass driven by the store's own state —
     * the piece that decides WHEN the LSM levels run, so a deployment
@@ -898,13 +988,33 @@ object StoreCompaction {
       val deltas = partitionIds(new java.io.File(storeDir))
         .filter(_ != BasePartition).sorted
       val eligible = deltas.dropRight(policy.keepLatestDeltas)
+      // EPOCH banding first (retention-layout stores): fold complete
+      // epochs whose end clears the replay margin, at the policy size or
+      // the store's own marker size. Skips quietly — not throws — when
+      // folding would be illegal right now (live pins on a not-yet-epoch
+      // store, a legacy whole-base layout) or an epoch holds an
+      // in-flight forget negative (skipUnstamped): scheduled maintenance
+      // keeps running and the epoch folds on a later pass.
+      val epochsFolded =
+        policy.epochSize.orElse(epochSizeOf(storeDir)) match {
+          case Some(es) if livePins(storeDir).isEmpty &&
+              compactionHorizon(storeDir).isEmpty =>
+            val posEligible = deltas.filter(_ >= 0)
+              .dropRight(policy.keepLatestDeltas)
+            if (posEligible.nonEmpty)
+              foldEpochs(spark, storeDir, es, uptoBatch = posEligible.max,
+                skipUnstamped = true).size.toLong
+            else 0L
+          case _ => 0L
+        }
       val (upto, clamped, appended) =
         // a store under retention never whole-base folds, and neither
-        // does an epoch-folded one (see requirePinsAhead) — their
-        // partition counts are bounded by the retention window / the
-        // epoch banding respectively
+        // does an epoch-folded (or epoch-policied) one (see
+        // requirePinsAhead) — their partition counts are bounded by the
+        // retention window / the epoch banding respectively
         if (retentionFloor(storeDir).isEmpty &&
             epochSizeOf(storeDir).isEmpty &&
+            policy.epochSize.isEmpty &&
             eligible.size >= policy.minorAtDeltas) {
           val want = eligible.max
           val legal = maxFoldableUpto(storeDir, want)
@@ -919,7 +1029,8 @@ object StoreCompaction {
           else (None, legal < want, 0L)
         } else (None, false, 0L)
       val rewritten = compactBaseBuckets(spark, storeDir, policy.maxFilesPerBucket)
-      MaintenanceReport(deltas.size, upto, clamped, appended, rewritten)
+      MaintenanceReport(deltas.size, upto, clamped, appended, rewritten,
+        epochsFolded)
     }
 
   /** Sink-side maintenance hook shared by every delta sink (the

@@ -1317,4 +1317,56 @@ class ForgetSpec extends AnyFunSuite {
       StoreCompaction.MaxSplitRequests - 1, 0L) > StoreCompaction.EpochFoldBase,
       "the last legal request id must still land inside the split range")
   }
+
+  test("policy-driven epoch folds: maintain bands complete margin-clear epochs, skips epochs holding in-flight negatives until they commit, and keeps serving window-exact") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-epoch-policy") + "/deltas"
+    val bounds = landQuartiles(d, deltas)
+    val pol = StoreCompaction.MaintenancePolicy(
+      keepLatestDeltas = 1, epochSize = Some(2L))
+
+    // an UNSTAMPED wave against epoch 0 holds the banding back — maintain
+    // must skip the epoch (not throw, not fold) and keep running
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred && col("doc_id") < bounds(1))
+        .withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L, stamp = false)
+    val r1 = StoreCompaction.maintain(spark, deltas, Seq("w1", "w2"), pol)
+    assert(r1.epochsFolded === 0L && r1.minorUpto.isEmpty,
+      s"an in-flight negative must hold its epoch raw (and no whole-base " +
+        s"fold may run under an epoch policy): $r1")
+    assert(StoreCompaction.epochSizeOf(deltas).isEmpty,
+      "a pass that banded nothing must not mark the store epoch-folded")
+
+    // the request commits → the next scheduled pass bands epoch 0
+    // (epoch 1 stays inside the replay margin: eligible batches 0-2)
+    batchIdsOf(deltas)
+      .filter(id => id <= StoreCompaction.SplitForgetBase &&
+        id > StoreCompaction.EpochFoldBase)
+      .foreach { id =>
+        new java.io.File(s"$deltas/batch_id=$id",
+          "_FORGET_COMMITTED").createNewFile()
+      }
+    val r2 = StoreCompaction.maintain(spark, deltas, Seq("w1", "w2"), pol)
+    assert(r2.epochsFolded === 1L, s"epoch 0 must band once stamped: $r2")
+    assert(StoreCompaction.epochSizeOf(deltas) === Some(2L))
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 0L)) ===
+      lmMap(CorpusStream.lmCells(d.filter(
+        !(forgetPred && col("doc_id") < bounds(1))))),
+      "the full-window serve must equal the survivor retrain after banding")
+
+    // idempotent steady state: nothing new to band, nothing rewritten
+    val r3 = StoreCompaction.maintain(spark, deltas, Seq("w1", "w2"), pol)
+    assert(r3.epochsFolded === 0L && r3.filesAppended === 0L &&
+      r3.bucketsRewritten === 0L, s"an idle pass must be a no-op: $r3")
+
+    // a store already epoch-folded keeps banding at its MARKER size even
+    // when the policy leaves epochSize unset
+    CorpusStream.writeLmDelta(d.limit(0), deltas, 4L)
+    CorpusStream.writeLmDelta(d.limit(0), deltas, 5L)
+    val r4 = StoreCompaction.maintain(spark, deltas, Seq("w1", "w2"),
+      StoreCompaction.MaintenancePolicy(keepLatestDeltas = 1))
+    assert(r4.epochsFolded === 1L && r4.minorUpto.isEmpty,
+      s"the marker size must drive banding when the policy is silent: $r4")
+  }
 }
