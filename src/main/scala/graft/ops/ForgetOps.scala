@@ -1366,7 +1366,102 @@ object ForgetOps {
       .orderBy("action")
   }
 
+  // ── q221: the LANDED asset store — payload bytes expiring by age ─────
+
+  def assetTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_asset_ttl_v1_${storeKey(dir, "assetttl")}"
+
+  /** The asset store re-laid as a LANDED table — `batch_id=N/kind=K`,
+    * landing batch OUTER so age-based expiry has an axis to drop, payload
+    * family INNER so kind scans stay partition-pruned (the layout q212's
+    * own scale note prescribes). Four quartile landings of the payload
+    * binaries, the forget set's payloads surgically deleted at landing
+    * granularity (the rewrite preserves the kind directories —
+    * `subPartBy`), then the two oldest landings EXPIRED with a
+    * certificate: under a licensing retention window the payload bytes
+    * are the FIRST thing that must leave disk, and on this layout they
+    * leave as whole directory drops. Idempotent. Returns
+    * (storeDir, auditRoot, the window's doc_id floor).
+    */
+  def buildAssetTtlStore(s: SparkSession, dir: String): (String, String, Long) = {
+    val root = assetTtlStorePath(dir)
+    val store = s"$root/assets"
+    val audit = s"$root/expiry_audit"
+    val d = docs(s, dir)
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val assets = s.read.parquet(Multimodal.buildAssetStore(s, dir))
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        assets.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(col("kind"))
+          .write.partitionBy("kind").mode("overwrite")
+          .parquet(s"$store/batch_id=$k")
+      }
+      Forget.surgicalDelete(s, store,
+        d.filter(forgottenPred).select("doc_id"),
+        partCol = "batch_id", subPartBy = Seq("kind"))
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, store,
+        lo = 2L, audit, storeName = "assets")
+      marker.createNewFile()
+    }
+    (store, audit, 2 * q)
+  }
+
+  /** q221 — ASSET PAYLOADS EXPIRING BY AGE: the round-10 verdict's most
+    * user-visible gap — the asset store partitioned by `kind` alone, so
+    * retention had no axis to drop and only doc-level forget ever
+    * reached the media bytes. The landed `batch_id/kind` layout fixes
+    * that: expiry drops whole landing directories (payload bytes
+    * included — zero jobs, zero rewrites), erasure targets only the
+    * landings a forgotten doc's payloads live in, and this query audits
+    * the retained window per payload family — row count + id mass over
+    * a windowed, metadata-only read (the binary column never leaves the
+    * parquet pages) with a recount of forgotten AND expired ids pinned
+    * at zero. Equals the q212 audit computed over the retained window's
+    * survivors; kind pruning and payload pruning are PlanSpec-pinned on
+    * this store.
+    */
+  val q221 = Q("q221_asset_retention",
+    s"""WITH s AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % $ForgetMod <> $ForgetRes
+       |    AND doc_id >= (SELECT (MAX(doc_id) // 4) * 2 FROM documents)
+       |), agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |  FROM s
+       |)
+       |SELECT k.kind, a.n_rows, a.sum_doc_id,
+       |  CAST(0 AS BIGINT) AS n_gone_left
+       |FROM (VALUES ('bmp2x1'), ('grid_bmp'), ('grid_bmp_sparse'),
+       |  ('wav4'), ('wav64'), ('wav64_sparse')) k(kind)
+       |CROSS JOIN agg a
+       |ORDER BY k.kind""".stripMargin) { (s, dir) =>
+    val (store, _, cut2) = buildAssetTtlStore(s, dir)
+    graft.streaming.StoreCompaction.requireWindowServableAt(store, 2L,
+      Long.MaxValue)
+    val assets = s.read.parquet(store)
+      .filter(graft.streaming.StoreCompaction.windowedReadFilter(store, 2L,
+        Long.MaxValue))
+    // rows that must be GONE from the window: forgotten (erased) or
+    // landed below the retention floor (expired)
+    val gone = docs(s, dir)
+      .filter(forgottenPred || col("doc_id") < cut2).select("doc_id")
+    val left = assets.join(broadcast(gone), Seq("doc_id"), "left_semi")
+      .groupBy("kind").agg(count(lit(1)).as("n_left"))
+    assets.groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).cast("long").as("sum_doc_id"))
+      .join(left, Seq("kind"), "left")
+      .select(col("kind"), col("n_rows"), col("sum_doc_id"),
+        coalesce(col("n_left"), lit(0L)).as("n_gone_left"))
+      .orderBy("kind")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220)
+    q219, q220, q221)
 }

@@ -186,9 +186,14 @@ object Forget {
     * `partCol` generalizes beyond per-batchId stores (the asset store
     * partitions by payload `kind`); values are handled as their directory
     * string form, so long and string partition columns both work.
+    * `subPartBy` preserves a NESTED partition axis through the rewrite
+    * (the landed asset store is `batch_id=N/kind=K`: erasure targets the
+    * landing, the rewrite keeps the kind directories so family scans
+    * stay partition-pruned).
     */
   def surgicalDelete(spark: SparkSession, storeDir: String, ids: DataFrame,
-      keyCol: String = "doc_id", partCol: String = "batch_id"): ForgetReport =
+      keyCol: String = "doc_id", partCol: String = "batch_id",
+      subPartBy: Seq[String] = Nil): ForgetReport =
     StoreCompaction.withLease(storeDir) {
       val root = new java.io.File(storeDir)
       // crash recovery FIRST: a previous run that died mid-swap leaves
@@ -228,9 +233,11 @@ object Forget {
           val part = new java.io.File(root, s"$partCol=$id")
           val tmp = new java.io.File(root, s".forget_tmp_$id")
           StoreCompaction.deleteRecursively(tmp)
-          spark.read.parquet(part.getPath)
+          val w = spark.read.parquet(part.getPath)
             .join(keys, Seq(keyCol), "left_anti")
-            .write.mode("overwrite").parquet(tmp.getPath)
+            .write.mode("overwrite")
+          (if (subPartBy.nonEmpty) w.partitionBy(subPartBy: _*) else w)
+            .parquet(tmp.getPath)
           StoreCompaction.deleteRecursively(part)
           require(tmp.renameTo(part), s"forget swap $tmp -> $part failed")
         }

@@ -541,9 +541,12 @@ object StoreCompaction {
           effectiveBatch(id) < lo) ++ droppedEpochs)
         .sorted
       def dataFiles(dir: java.io.File): Long =
-        Option(dir.listFiles()).toSeq.flatten
-          .count(f => f.isFile && !f.getName.startsWith(".") &&
-            !f.getName.startsWith("_")).toLong
+        Option(dir.listFiles()).toSeq.flatten.map { f =>
+          if (f.isDirectory && !f.getName.startsWith(".")) dataFiles(f)
+          else if (f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_")) 1L
+          else 0L
+        }.sum
       val baseDir = new java.io.File(root, s"batch_id=$BasePartition")
       val nFiles = dropped
         .map(id => dataFiles(new java.io.File(root, s"batch_id=$id"))).sum +

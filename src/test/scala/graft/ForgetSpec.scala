@@ -1369,4 +1369,72 @@ class ForgetSpec extends AnyFunSuite {
     assert(r4.epochsFolded === 1L && r4.minorUpto.isEmpty,
       s"the marker size must drive banding when the policy is silent: $r4")
   }
+
+  test("landed asset store: erasure rewrites only affected landings (kind dirs preserved), age expiry drops payload directories whole, and the windowed bytes equal a survivor rebuild") {
+    val d = docs.localCheckpoint()
+    val store = tmpDir("graft-asset-ttl") + "/assets"
+    val sfAssets = spark.read
+      .parquet(graft.ops.Multimodal.buildAssetStore(spark, sf))
+      .localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      sfAssets.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite")
+        .parquet(s"$store/batch_id=$k")
+    }
+    def mtimes() = batchIdsOf(store).map(id =>
+      id -> new java.io.File(s"$store/batch_id=$id").lastModified()).toMap
+
+    // a wave whose docs land ONLY in batches 0-1: the rewrite must touch
+    // exactly those landings and preserve the kind directories inside
+    val before = mtimes()
+    val wave = forgetPred && col("doc_id") < bounds(1)
+    val rep = Forget.surgicalDelete(spark, store,
+      d.filter(wave).select("doc_id"),
+      partCol = "batch_id", subPartBy = Seq("kind"))
+    assert(rep.nRewritten === 2 && rep.rowsRemoved ===
+      d.filter(wave).count() * 6,
+      s"six payload rows per forgotten doc across two landings: $rep")
+    val after = mtimes()
+    assert(Seq(2L, 3L).forall(id => before(id) == after(id)),
+      "landings without a forgotten payload must never be touched")
+    Seq(0L, 1L).foreach { id =>
+      val kinds = Option(new java.io.File(s"$store/batch_id=$id").listFiles())
+        .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("kind="))
+      assert(kinds.size === 6,
+        s"the rewrite must preserve the kind axis in batch_id=$id: " +
+          kinds.map(_.getName).sorted)
+    }
+
+    // age expiry: the two oldest landings' payload bytes leave disk as
+    // whole directory drops, certified
+    val audit = tmpDir("graft-asset-ttl-audit")
+    val exp = StoreCompaction.expireBeforeCertified(spark, store, 2L, audit,
+      storeName = "assets")
+    assert(exp.droppedBatches === Seq(0L, 1L) && exp.droppedFiles >= 12L,
+      s"expiry must drop both landings with their nested payload files: $exp")
+    assert(!new java.io.File(s"$store/batch_id=0").exists() &&
+      !new java.io.File(s"$store/batch_id=1").exists())
+    val cert = StoreCompaction.expiryCertificate(spark, audit)
+      .select("store", "floor", "action", "n").collect().map(_.toSeq)
+    assert(cert.toSeq === Seq(Seq("assets", 2L, "landing_drop", 2L)),
+      s"one certified landing_drop action: ${cert.toSeq}")
+
+    // windowed serving: (doc_id, kind, payload) over the retained window
+    // equals a rebuild from the retained window's documents (no forgotten
+    // member survives; every payload byte identical)
+    StoreCompaction.requireWindowServableAt(store, 2L, Long.MaxValue)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kind"), md5(col("payload")).as("h"))
+      .orderBy("doc_id", "kind").collect().map(_.toSeq).toSeq
+    val served = sig(spark.read.parquet(store)
+      .filter(StoreCompaction.windowedReadFilter(store, 2L, Long.MaxValue)))
+    val rebuilt = sig(sfAssets.filter(col("doc_id") >= bounds(1)))
+    assert(served === rebuilt,
+      "the windowed payload bytes must equal the survivor rebuild")
+  }
 }

@@ -773,4 +773,45 @@ class PlanSpec extends AnyFunSuite {
         l.contains("PushedFilters") && l.contains("batch_id")),
       s"batch_id is a partition column — never a row filter:\n$p")
   }
+
+  test("q219: the epoch-banded window read is pure partition pruning — window bounds, split decode, and the epoch clause all land in PartitionFilters") {
+    val p = plan("q219_epoch_window")
+    assert(p.contains("graft_lmepoch"),
+      s"q219 must serve off the epoch-banded LM store:\n$p")
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("batch_id") && l.contains("pmod")),
+      s"the windowed filter (split decode included) must prune at the scan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("batch_id")),
+      s"batch_id is a partition column — never a row filter:\n$p")
+    val store = p.linesIterator.filter(_.contains("graft_lmepoch")).mkString
+    assert(!store.contains("text"),
+      s"the LM store scan must read (w1, w2, c12) cells only:\n$p")
+  }
+
+  test("q221: the landed asset store serves windowed metadata audits with batch pruning and zero payload pages; kind scans stay partition-pruned") {
+    val p = plan("q221_asset_retention")
+    assert(p.contains("graft_asset_ttl"),
+      s"q221 must serve off the landed asset store:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("batch_id")),
+      s"the retention window must prune landing partitions at the scan:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("payload")),
+      s"the windowed audit must never deserialize payload pages:\n$p")
+    // the dual axis keeps kind scans partition-pruned (the q212 scale
+    // note's layout, realized): one family over the retained window
+    // touches exactly (retained landings) x (one kind directory)
+    val (store, _, _) = graft.ops.ForgetOps.buildAssetTtlStore(spark, sf)
+    val kindPlan = spark.read.parquet(store)
+      .filter(org.apache.spark.sql.functions.col("kind") === "wav4")
+      .groupBy("kind").count()
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(kindPlan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("wav4")),
+      s"kind predicates must stay partition pruning on the landed layout:\n$kindPlan")
+    assert(!kindPlan.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("payload")),
+      s"metadata reads must never deserialize payload pages:\n$kindPlan")
+  }
 }
