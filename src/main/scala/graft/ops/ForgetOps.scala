@@ -1461,7 +1461,141 @@ object ForgetOps {
       .orderBy("kind")
   }
 
+  // ── q222: the DSIR selector trained on a retention window ────────────
+
+  def featureTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_feat_ttl_v1_${storeKey(dir, "featttl")}"
+
+  /** Four feature-cell landings sliced by doc_id mod 4 (round-robin
+    * landing shards, so the benchmark/target docs spread across every
+    * landing instead of concentrating in the oldest), a pin-preserving
+    * forget wave, then landings 0-1 expired — the licensing scenario
+    * where two of four ingest shards lose their license. Idempotent.
+    */
+  def buildFeatureTtlStore(s: SparkSession, dir: String): String = {
+    val root = featureTtlStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      (0 until 4).foreach { k =>
+        CorpusStream.writeFeatureDelta(
+          d.filter(pmod(col("doc_id"), lit(4L)) === k.toLong), root, k.toLong)
+      }
+      val forgotten = d.filter(forgottenPred)
+        .withColumn("src_batch", pmod(col("doc_id"), lit(4L)))
+      Forget.forgetSumCellsSplit(forgotten, Forget.featureCellTarget(root),
+        requestId = 0L)
+      graft.streaming.StoreCompaction.expireBefore(root, lo = 2L)
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** q222 — the DSIR SELECTOR trained on a retention window: "train the
+    * selector only on licensed data", operationally. The feature-cell
+    * store expires two of its four landing shards; the importance ratio
+    * table then trains on the WINDOWED fold ([[graft.streaming
+    * .CorpusStream.ratioWindowed]] — split-forget negatives inside the
+    * window included) and the joinless in-row apply scores the window's
+    * surviving candidates. Must equal q164 run from scratch on exactly
+    * the retained landings' survivors — the oracle IS that run. At
+    * 100 TB this is the difference between retraining a selector on a
+    * re-filtered corpus and folding the cells of the landings still on
+    * disk: O(window cells) vs O(corpus).
+    */
+  val q222 = Q("q222_selector_window",
+    graft.ops.Mining.q164.oracle.get.replace("FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id % 4 >= 2 " +
+        s"AND doc_id % $ForgetMod <> $ForgetRes)")) { (s, dir) =>
+    val store = buildFeatureTtlStore(s, dir)
+    val ratio = CorpusStream.ratioWindowed(s, store, lo = 2L)
+    val windowSurv = docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) >= 2L && !forgottenPred)
+    graft.ops.Mining.applyRatio(
+        graft.ops.Mining.bigramBuckets(windowSurv), ratio)
+      .select("doc_id", "n_bigrams", "score_sum", "score_mean_fp")
+      .orderBy("doc_id")
+  }
+
+  // ── q223: keep-earliest dedup over a retention window ────────────────
+
+  def lshTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lsh_ttl_v1_${storeKey(dir, "lshttl")}"
+
+  /** Four id-ordered band-index + decision landings (the streamed dedup
+    * sink's exact batch path), the forget set surgically erased from
+    * both stores, then the two oldest landings expired on both.
+    * Idempotent. Returns (indexDir, the window's doc_id floor).
+    */
+  def buildLshTtlStore(s: SparkSession, dir: String): (String, Long) = {
+    val root = lshTtlStorePath(dir)
+    val (idx, dec) = (s"$root/index", s"$root/decisions")
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        LshStream.processBatch(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), idx, dec, k.toLong)
+      }
+      val fIds = d.filter(forgottenPred).select("doc_id")
+      Forget.surgicalDelete(s, idx, fIds)
+      Forget.surgicalDelete(s, dec, fIds)
+      graft.streaming.StoreCompaction.expireBefore(idx, 2L)
+      graft.streaming.StoreCompaction.expireBefore(dec, 2L)
+      marker.createNewFile()
+    }
+    (idx, 2 * q)
+  }
+
+  private def q223OracleSql: String = {
+    val sigDefs = Dedup.sigDefsSql
+    val bandSelects = Dedup.bandSelectsSql
+    s"""WITH ${Dedup.shingleCtesBody(windowSurvivorsSql)}, sigs AS (
+       |  SELECT doc_id, len(hh) AS n_shingles,
+       |$sigDefs
+       |  FROM hs
+       |), bands AS (
+       |$bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc_id < a.doc_id
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_earlier, MIN(doc_b) AS dup_of
+       |  FROM cand GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_earlier, 0) AS BIGINT) AS n_earlier,
+       |  a.dup_of,
+       |  a.dup_of IS NOT NULL AS is_band_dup
+       |FROM $windowSurvivorsSql d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q223 — KEEP-EARLIEST DEDUP over a retention window: stored verdicts
+    * cannot window (a doc deduped against an expired landing names an
+    * owner whose bytes left disk), so the windowed serve RE-ELECTS from
+    * the windowed band INDEX — per-doc identity state that slices by
+    * partition — and one in-window election reproduces q124 run from
+    * scratch on exactly the retained window's survivors (the oracle IS
+    * that run). Erasure composes: the index was surgically erased first,
+    * so forgotten docs neither appear nor own anything. Cost: one
+    * equi-join over the window's band rows, O(window index), zero corpus
+    * text — at 100 TB the alternative is re-sharding and re-deduping the
+    * retained corpus.
+    */
+  val q223 = Q("q223_dedup_window", q223OracleSql) { (s, dir) =>
+    ShingleHashes.register(s)
+    val (idx, cut2) = buildLshTtlStore(s, dir)
+    val spine = docs(s, dir).filter(!forgottenPred && col("doc_id") >= cut2)
+    LshStream.windowedDecisions(s, idx, spine, lo = 2L).orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221)
+    q219, q220, q221, q222, q223)
 }

@@ -146,6 +146,17 @@ object CorpusStream {
       guardedFold(spark.read.parquet(deltaDir), Seq("band"),
         Seq("n_docs", "n_keep"), "n_docs"))
 
+  /** The q163 eval table over a retention WINDOW [lo, upto] —
+    * [[evalTableFromDeltas]]'s windowed twin ([[lmCountsWindowed]]'s
+    * law on the eval family): classifier-vs-gate agreement measured
+    * over exactly the retained landings' survivors.
+    */
+  def evalTableWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    graft.ops.Mining.evalTableFromCells(spark,
+      guardedFold(StoreCompaction.readWindow(spark, deltaDir, lo, upto),
+        Seq("band"), Seq("n_docs", "n_keep"), "n_docs"))
+
   /** Shared tombstone discipline for SUM-cell stores under erasure:
     * fold the cells, REFUSE a negative count (a forget delta landed for
     * docs the store never counted), drop zero-count tombstones.
@@ -242,6 +253,27 @@ object CorpusStream {
         folded.map(t => t._1 -> t._2).toMap.filter(_._2 > 0), raw),
       graft.ops.Mining.ratioFromCounts(
         folded.map(t => t._1 -> t._3).toMap.filter(_._2 > 0), raw))
+  }
+
+  /** The importance ratio table over a retention WINDOW [lo, upto] —
+    * [[ratioFromDeltas]]'s windowed twin: the DSIR selector trained on
+    * exactly the cells of the landings still on disk, which is what
+    * "train the selector only on licensed data" means operationally.
+    * Split-forget negatives inside the window fold too, so the trained
+    * table equals a from-scratch train on (window docs) minus (their
+    * forgotten members).
+    */
+  def ratioWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): Map[Long, Long] = {
+    val folded = StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+      .groupBy("f")
+      .agg(sum(col("tgt_n")).cast("long").as("tgt_n"),
+        sum(col("raw_n")).cast("long").as("raw_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Mining.ratioFromCounts(
+      folded.map(t => t._1 -> t._2).toMap.filter(_._2 > 0),
+      folded.map(t => t._1 -> t._3).toMap.filter(_._2 > 0))
   }
 
   /** Feature-store retention: the fold algebra is the serving algebra. */
@@ -394,6 +426,17 @@ object CorpusStream {
     graft.ops.Mining.mwTableFromCells(
       guardedFold(spark.read.parquet(deltaDir), Seq("source"),
         Seq("n_docs", "loss_sum"), "n_docs"))
+
+  /** The q175 reweighting table over a retention WINDOW [lo, upto] —
+    * [[reweightingFromDeltas]]'s windowed twin: the optimizer's input
+    * (per-source doc counts and loss mass) measured over exactly the
+    * retained landings' survivors.
+    */
+  def reweightingWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    graft.ops.Mining.mwTableFromCells(
+      guardedFold(StoreCompaction.readWindow(spark, deltaDir, lo, upto),
+        Seq("source"), Seq("n_docs", "loss_sum"), "n_docs"))
 
   /** MW-store retention: the fold algebra is the serving algebra. */
   def compactMwDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =
@@ -577,6 +620,27 @@ object CorpusStream {
       spine: DataFrame): DataFrame =
     graft.ops.TextOps.mixedSalvageFromMaj(csCells(spark, deltaDir), spine)
 
+  /** q195 over a retention WINDOW [lo, upto] — the window-majority
+    * store is a pure per-doc identity store (every doc's window rows
+    * land in its landing batch; erasure is surgical), so its retention
+    * serve is a pure partition slice, q218's shingle-index law. The
+    * spine bounds the report to the window's docs.
+    */
+  def codeSwitchWindowed(spark: SparkSession, deltaDir: String,
+      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame =
+    graft.ops.TextOps.codeSwitchFromMaj(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .select("doc_id", "w", "n_toks", "lang"), spine)
+
+  /** q196 over a retention WINDOW [lo, upto] — [[codeSwitchWindowed]]'s
+    * salvage sibling.
+    */
+  def salvageWindowed(spark: SparkSession, deltaDir: String,
+      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame =
+    graft.ops.TextOps.mixedSalvageFromMaj(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .select("doc_id", "w", "n_toks", "lang"), spine)
+
   // ── span window cells (q182 serving) ────────────────────────────────
 
   /** One micro-batch's window cells — Mining.spanWindowCells verbatim:
@@ -634,6 +698,39 @@ object CorpusStream {
       d: DataFrame): DataFrame =
     graft.ops.Mining.spanScrubFromCells(d,
       spark.read.parquet(deltaDir).select("h", "n", "first_key"))
+
+  /** The q182 scrub plan for `d` over a retention WINDOW [lo, upto] —
+    * [[spanScrubFromDeltas]]'s windowed twin: window cells SUM `n` and
+    * MIN `first_key` over exactly the retained landings, so
+    * first-occurrence attribution is re-scoped to the window (the
+    * earliest RETAINED occurrence owns the span — the right semantics
+    * when the pre-window owner's landing left disk). Refuses when a
+    * forget RE-ELECTION corrective is present: a corrective partition
+    * recomputes cells across every batch, so it cannot window — under
+    * retention, erase the span store with window-scoped waves or expire
+    * the corrective's window first.
+    */
+  def spanScrubWindowed(spark: SparkSession, deltaDir: String,
+      d: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    val correctives = StoreCompaction.partitionIds(new java.io.File(deltaDir))
+      .filter(id => new java.io.File(
+        s"$deltaDir/batch_id=$id/$SpanCorrectiveName").exists())
+    if (correctives.nonEmpty)
+      throw new IllegalStateException(
+        s"store $deltaDir cannot serve windowed reads: forget re-election " +
+          s"corrective partition(s) batch_id=${correctives.sorted.mkString(", ")} " +
+          "recompute cells across every batch and cannot be scoped to a " +
+          "window — a span store under retention must not take re-elected " +
+          "forgets")
+    graft.ops.Mining.spanScrubFromCells(d,
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .select("h", "n", "first_key"))
+  }
+
+  /** Sentinel [[Forget.forgetSpanCells]] stamps inside its corrective
+    * partition — windowed reads refuse on it (see [[spanScrubWindowed]]).
+    */
+  private[streaming] val SpanCorrectiveName = "_SPAN_CORRECTIVE"
 
   /** Span-store retention: the fold algebra is the serving algebra. */
   def compactSpanDeltas(spark: SparkSession, deltaDir: String, upto: Long): Unit =

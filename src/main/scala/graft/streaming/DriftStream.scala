@@ -60,6 +60,18 @@ object DriftStream {
   def driftFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
     Corpus.chi2FromCells(cellsFromDeltas(spark, deltaDir))
 
+  /** q126's report over a retention WINDOW [lo, upto] —
+    * [[driftFromDeltas]]'s windowed twin: the histogram folds exactly
+    * the retained landings (split-forget negatives inside the window
+    * included), so the drift verdict describes the data still on disk.
+    */
+  def driftWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    Corpus.chi2FromCells(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .groupBy("source", "bin")
+        .agg(sum(col("o")).cast("long").as("o")))
+
   // ── snapshot-keyed cells: drift BETWEEN corpus states ────────────────
 
   /** Document stream whose rows carry a `snapshot_id` (ingest
@@ -119,6 +131,24 @@ object DriftStream {
       snapA: Long, snapB: Long): DataFrame =
     Corpus.chi2Pair(cellsForSnapshot(spark, deltaDir, snapA),
       cellsForSnapshot(spark, deltaDir, snapB))
+
+  /** Snapshot-pair drift over a retention WINDOW [lo, upto] —
+    * [[pairDriftFromDeltas]]'s windowed twin. The snapshot key rides in
+    * the DATA, the landing batch in the partition id, so a window
+    * restricts each snapshot's histogram to the cells of landings still
+    * on disk: what "did the licensed slice of ingest A shift against
+    * the licensed slice of ingest B" means.
+    */
+  def pairDriftWindowed(spark: SparkSession, deltaDir: String,
+      snapA: Long, snapB: Long, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame = {
+    val w = StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+      .localCheckpoint()
+    def cellsOf(snap: Long) = w.filter(col("snapshot_id") === snap)
+      .groupBy("source", "bin")
+      .agg(sum(col("o")).cast("long").as("o"))
+    Corpus.chi2Pair(cellsOf(snapA), cellsOf(snapB))
+  }
 
   /** Snapshot lifecycle registry, derived from the cell store itself (no
     * sidecar state to desync): which snapshot ids exist, their document

@@ -177,6 +177,24 @@ object EmbeddingStream {
       occupancyForSnapshot(spark, deltaDir, snapA, "na"),
       occupancyForSnapshot(spark, deltaDir, snapB, "nb"))
 
+  /** q130's statistic over a retention WINDOW [lo, upto] —
+    * [[occupancyPairFromDeltas]]'s windowed twin
+    * (DriftStream.pairDriftWindowed's law on the vector side): each
+    * snapshot's per-cluster occupancy folds only the cells of landings
+    * still on disk.
+    */
+  def occupancyPairWindowed(spark: SparkSession, deltaDir: String,
+      snapA: Long, snapB: Long, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame = {
+    val w = StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+      .localCheckpoint()
+    def occOf(snap: Long, as: String) = w
+      .filter(col("snapshot_id") === snap)
+      .groupBy("cluster")
+      .agg(sum(col("o")).cast("long").as(as))
+    Similarity.occupancyPairChi2(occOf(snapA, "na"), occOf(snapB, "nb"))
+  }
+
   /** Delta-store retention: cells fold by exact integer sums keyed by
     * snapshot, so pair drift for any snapshot pair serves identically
     * off the compacted base.
@@ -321,5 +339,18 @@ object EmbeddingStream {
       splits: DataFrame): DataFrame =
     Similarity.semanticLeakMatrix(
       spark.read.parquet(historyDir).select(col("vec_id"), col("label"), col("v")),
+      splits)
+
+  /** q145's audit over a retention WINDOW [lo, upto] — the history
+    * store is a pure per-vector identity store (one row per vec_id,
+    * landed in its ingest batch; erasure is surgical), so its retention
+    * serve is a pure partition slice: the leakage matrix of exactly the
+    * vectors still on disk.
+    */
+  def semanticAuditWindowed(spark: SparkSession, historyDir: String,
+      splits: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame =
+    Similarity.semanticLeakMatrix(
+      StoreCompaction.readWindow(spark, historyDir, lo, upto)
+        .select(col("vec_id"), col("label"), col("v")),
       splits)
 }

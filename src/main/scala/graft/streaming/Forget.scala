@@ -751,6 +751,11 @@ object Forget {
       .join(affected, Seq("h"), "left_semi").localCheckpoint()
     corrective.coalesce(1).write.mode("overwrite")
       .parquet(s"$deltaDir/batch_id=$correctiveId")
+    // correctives recompute cells across every batch — stamp them so
+    // windowed reads refuse instead of mis-scoping (CorpusStream
+    // .spanScrubWindowed)
+    new java.io.File(s"$deltaDir/batch_id=$correctiveId",
+      CorpusStream.SpanCorrectiveName).createNewFile()
     SpanForgetReport(rep, affected.count(), corrective.count())
   }
 

@@ -114,6 +114,26 @@ object LshStream {
         col("d.is_band_dup"))
       .orderBy("doc_id")
 
+  /** Keep-earliest verdicts over a retention WINDOW [lo, upto] — served
+    * by RE-ELECTING from the windowed band INDEX, not by slicing the
+    * decision store: a stored verdict can name an owner whose landing
+    * left disk (a doc deduped against an expired batch), so decision
+    * rows do not window — but the index is pure per-doc identity state
+    * (a doc's band rows land in its landing batch; erasure is surgical),
+    * and one in-window election over its slice reproduces a from-scratch
+    * keep-earliest dedup of exactly the retained window's survivors.
+    * Cost: one equi-join over the window's band rows — O(window index),
+    * never corpus text. `spine` is the window's doc frame (docs too
+    * short to band verdict as keeps, like the sink's own batches).
+    */
+  def windowedDecisions(spark: SparkSession, indexDir: String,
+      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    val idx = StoreCompaction.readWindow(spark, indexDir, lo, upto)
+      .select("doc_id", "band_idx", "band_hash")
+    Dedup.keepEarliestVerdicts(spine.select("doc_id"),
+      Dedup.firstSeenBandPartners(idx, idx.filter(lit(false))))
+  }
+
   /** Periodic index COMPACTION: rewrite the per-batchId delta partitions
     * as ONE table bucketed on the candidate-join keys. The delta layout
     * is write-optimal (each batch appends its own partition,

@@ -239,6 +239,17 @@ object ScrubStream {
       spine)
   }
 
+  /** The q141 contamination report over a retention WINDOW [lo, upto] —
+    * the scrub VERDICT store is a pure per-doc identity store (each
+    * doc's verdict row lands in its landing batch, first-seen; erasure
+    * is surgical), so its retention serve is a pure partition slice:
+    * the dashboard describes exactly the verdicts still on disk.
+    */
+  def scrubReportWindowed(spark: SparkSession, storeDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    graft.ops.Dedup.scrubReport(
+      StoreCompaction.readWindow(spark, storeDir, lo, upto))
+
   /** Where the release-DELTA-structured shingle-index store for a corpus
     * lives (two committed partitions: batch 0 = the first release's
     * corpus half, batch 1 = the rest — q183's max/2 release convention).

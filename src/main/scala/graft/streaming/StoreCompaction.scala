@@ -643,6 +643,21 @@ object StoreCompaction {
     }
   }
 
+  /** The raw windowed rows of a store under retention — the ONE read
+    * every family's windowed twin folds: refuse the unservable shapes
+    * ([[requireWindowServableAt]]), then filter with the pure
+    * partition-function window predicate ([[windowedReadFilter]] — the
+    * whole predicate lands in PartitionFilters). Identity stores serve
+    * this directly (windows are pure partition slices); SUM-cell stores
+    * re-aggregate it with their own fold algebra.
+    */
+  def readWindow(spark: SparkSession, storeDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame = {
+    requireWindowServableAt(storeDir, lo, upto)
+    spark.read.parquet(storeDir)
+      .filter(windowedReadFilter(storeDir, lo, upto))
+  }
+
   /** Assert that a windowed read [lo, upto] off this store is faithful:
     * refuses below the retention floor (those landings left disk), when
     * a base partition exists (folded rows cannot window), when

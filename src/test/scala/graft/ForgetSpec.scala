@@ -1122,6 +1122,220 @@ class ForgetSpec extends AnyFunSuite {
       "CDC windowed serve must equal the retained-window re-chunk")
   }
 
+  test("retention windows close over the remaining SUM-cell families: eval, feature-ratio, MW, drift, pair drift, and occupancy windowed serves equal their retained-window survivor recomputes") {
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val ids = full.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    val root = tmpDir("graft-ttl-sumfams")
+    val (evalD, featD, mwD, driftD) =
+      (s"$root/eval", s"$root/feat", s"$root/mw", s"$root/drift")
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      val sl = full.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      CorpusStream.writeEvalDelta(sl, evalD, k.toLong)
+      CorpusStream.writeFeatureDelta(sl, featD, k.toLong)
+      CorpusStream.writeMwDelta(sl, mwD, k.toLong)
+      graft.streaming.DriftStream.writeDelta(sl, driftD, k.toLong)
+    }
+    val forgotten = full.filter(forgetPred)
+      .withColumn("src_batch", srcBatchCol(bounds))
+    val targets = Seq(
+      Forget.evalCellTarget(evalD), Forget.featureCellTarget(featD),
+      Forget.mwCellTarget(mwD),
+      Forget.SumCellTarget(driftD, Seq("o"), graft.ops.Corpus.driftCells))
+    targets.foreach(t => Forget.forgetSumCellsSplit(forgotten, t, requestId = 0L))
+    targets.foreach(t => StoreCompaction.expireBefore(t.deltaDir, 2L))
+    val windowSurv = full
+      .filter(col("doc_id") >= bounds(1) && !forgetPred).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+    assert(rows(CorpusStream.evalTableWindowed(spark, evalD, lo = 2L)
+        .orderBy("band")) ===
+      rows(graft.ops.Mining.evalTableFromCells(spark,
+        graft.ops.Mining.evalCells(windowSurv)).orderBy("band")),
+      "eval windowed serve must equal the retained-window recompute")
+    val featSurv = CorpusStream.featureCells(windowSurv).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(CorpusStream.ratioWindowed(spark, featD, lo = 2L) ===
+      graft.ops.Mining.ratioFromCounts(
+        featSurv.map(t => t._1 -> t._2).toMap.filter(_._2 > 0),
+        featSurv.map(t => t._1 -> t._3).toMap.filter(_._2 > 0)),
+      "the windowed DSIR ratio table must equal a train on the window survivors")
+    assert(rows(CorpusStream.reweightingWindowed(spark, mwD, lo = 2L)
+        .orderBy("source")) ===
+      rows(graft.ops.Mining.mwTableFromCells(
+        graft.ops.Mining.mwCells(windowSurv)).orderBy("source")),
+      "MW windowed serve must equal the retained-window recompute")
+    assert(rows(graft.streaming.DriftStream.driftWindowed(spark, driftD, lo = 2L)
+        .orderBy("source")) ===
+      rows(graft.ops.Corpus.chi2FromCells(
+        graft.ops.Corpus.driftCells(windowSurv)).orderBy("source")),
+      "drift windowed serve must equal the retained-window recompute")
+
+    // keyed stores (snapshot in the DATA, landing in the partition id):
+    // synthetic cells make the fold law checkable without the embedding
+    // machinery — the windowed pair statistic must equal the same kernel
+    // over a survivor-only twin store
+    val (keyedD, keyedTwin) = (s"$root/keyed", s"$root/keyed_twin")
+    (0 until 4).foreach { k =>
+      val sl = full.filter(
+        col("doc_id") >= (if (k == 0) Long.MinValue else bounds(k - 1)) &&
+          col("doc_id") < bounds(k))
+      def cells(d: org.apache.spark.sql.DataFrame) = d
+        .select((col("doc_id") % 2).as("snapshot_id"),
+          pmod(col("doc_id"), lit(7L)).as("cluster"))
+        .groupBy("snapshot_id", "cluster").agg(count(lit(1)).as("o"))
+      cells(sl).coalesce(1).write.mode("overwrite")
+        .parquet(s"$keyedD/batch_id=$k")
+      if (k >= 2) cells(sl).coalesce(1).write.mode("overwrite")
+        .parquet(s"$keyedTwin/batch_id=$k")
+    }
+    StoreCompaction.expireBefore(keyedD, 2L)
+    assert(rows(graft.streaming.EmbeddingStream.occupancyPairWindowed(
+        spark, keyedD, 0L, 1L, lo = 2L).orderBy("cluster")) ===
+      rows(graft.streaming.EmbeddingStream.occupancyPairFromDeltas(
+        spark, keyedTwin, 0L, 1L).orderBy("cluster")),
+      "occupancy pair windowed must equal the survivor-twin statistic")
+    val (dkD, dkTwin) = (s"$root/driftkeyed", s"$root/driftkeyed_twin")
+    (0 until 4).foreach { k =>
+      val sl = full.filter(
+        col("doc_id") >= (if (k == 0) Long.MinValue else bounds(k - 1)) &&
+          col("doc_id") < bounds(k))
+        .withColumn("snapshot_id", col("doc_id") % 2)
+      graft.streaming.DriftStream.writeSnapshotDelta(sl, dkD, k.toLong)
+      if (k >= 2) graft.streaming.DriftStream.writeSnapshotDelta(sl, dkTwin, k.toLong)
+    }
+    StoreCompaction.expireBefore(dkD, 2L)
+    assert(rows(graft.streaming.DriftStream.pairDriftWindowed(
+        spark, dkD, 0L, 1L, lo = 2L).orderBy("source")) ===
+      rows(graft.streaming.DriftStream.pairDriftFromDeltas(
+        spark, dkTwin, 0L, 1L).orderBy("source")),
+      "pair drift windowed must equal the survivor-twin statistic")
+  }
+
+  test("retention windows close over the identity families: code-switch, scrub verdicts, semantic history, span cells, and band decisions re-elected from the windowed index") {
+    graft.functions.ShingleHashes.register(spark)
+    val full = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").localCheckpoint()
+    val ids = full.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    val root = tmpDir("graft-ttl-idfams")
+    val survivors = full.filter(!forgetPred)
+    val windowSurv = survivors.filter(col("doc_id") >= bounds(1)).localCheckpoint()
+    val fIds = full.filter(forgetPred).select("doc_id").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    def land(dir: String)(write: (org.apache.spark.sql.DataFrame, Long) => Unit): String = {
+      bounds.zipWithIndex.foreach { case (hi, k) =>
+        val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+        write(full.filter(col("doc_id") >= lo && col("doc_id") < hi), k.toLong)
+      }
+      Forget.surgicalDelete(spark, dir, fIds)
+      StoreCompaction.expireBefore(dir, 2L)
+      dir
+    }
+
+    // code-switch / salvage (per-doc window-majority rows)
+    val csD = land(s"$root/cs")(CorpusStream.writeCsDelta(_, s"$root/cs", _))
+    assert(rows(CorpusStream.codeSwitchWindowed(spark, csD, windowSurv, lo = 2L)) ===
+      rows(graft.ops.TextOps.codeSwitchFromMaj(
+        graft.ops.TextOps.windowMajorities(windowSurv), windowSurv)),
+      "code-switch windowed must equal the retained-window recompute")
+    assert(rows(CorpusStream.salvageWindowed(spark, csD, windowSurv, lo = 2L)) ===
+      rows(graft.ops.TextOps.mixedSalvageFromMaj(
+        graft.ops.TextOps.windowMajorities(windowSurv), windowSurv)),
+      "salvage windowed must equal the retained-window recompute")
+
+    // scrub verdict store
+    val benchRoot = graft.streaming.ScrubStream.buildBenchArtifact(spark, sf)
+    val bench = spark.read.parquet(s"$benchRoot/hashes").localCheckpoint()
+    val corpus = full.filter(col("doc_id") >= 50)
+    val scrubD = land(s"$root/scrub") { (sl, k) =>
+      graft.streaming.ScrubStream.batchScrub(
+          sl.filter(col("doc_id") >= 50), bench)
+        .write.mode("overwrite").parquet(s"$root/scrub/batch_id=$k")
+    }
+    assert(rows(graft.streaming.ScrubStream.scrubReportWindowed(spark, scrubD, lo = 2L)) ===
+      rows(graft.ops.Dedup.scrubReport(graft.streaming.ScrubStream.batchScrub(
+        corpus.filter(col("doc_id") >= bounds(1) && !forgetPred), bench))),
+      "scrub report windowed must equal the retained-window re-scrub")
+
+    // semantic history (vec_id identity rows)
+    val emb = Catalog.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.ops.Similarity.asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val vIds = emb.select(col("vec_id").as("doc_id"))
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val vBounds = Seq(vIds(vIds.length / 2), Long.MaxValue)
+    val histD = s"$root/hist"
+    vBounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else vBounds(k - 1)
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .write.mode("overwrite").parquet(s"$histD/batch_id=$k")
+    }
+    Forget.surgicalDelete(spark, histD,
+      emb.filter(pmod(col("vec_id"), lit(17L)) === 3L).select("vec_id"),
+      keyCol = "vec_id")
+    StoreCompaction.expireBefore(histD, 1L)
+    val splits = emb.select(col("vec_id").as("doc_id"),
+      (col("vec_id") % 3).cast("string").as("split"))
+    val survEmb = emb.filter(col("vec_id") >= vBounds(0) &&
+      pmod(col("vec_id"), lit(17L)) =!= 3L)
+    assert(rows(graft.streaming.EmbeddingStream.semanticAuditWindowed(
+        spark, histD, splits, lo = 1L).orderBy("split_a", "split_b")) ===
+      rows(graft.ops.Similarity.semanticLeakMatrix(survEmb, splits)
+        .orderBy("split_a", "split_b")),
+      "semantic audit windowed must equal the retained-window recompute")
+
+    // span cells: windowed first-occurrence re-scopes to the window; a
+    // forget re-election corrective REFUSES windowed serving
+    val spanD = s"$root/span"
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      CorpusStream.writeSpanDelta(
+        full.filter(col("doc_id") >= lo && col("doc_id") < hi), spanD, k.toLong)
+    }
+    StoreCompaction.expireBefore(spanD, 2L)
+    assert(rows(CorpusStream.spanScrubWindowed(spark, spanD,
+        full.filter(col("doc_id") >= bounds(1)), lo = 2L)) ===
+      rows(graft.ops.Mining.spanScrubFromCells(
+        full.filter(col("doc_id") >= bounds(1)),
+        graft.ops.Mining.spanWindowCells(
+          full.filter(col("doc_id") >= bounds(1))))),
+      "span windowed must equal the retained-window recompute")
+    val spanF = s"$root/spanf"
+    CorpusStream.writeSpanDelta(full.filter(col("doc_id") < bounds(0)), spanF, 0L)
+    CorpusStream.writeSpanDelta(full.filter(col("doc_id") >= bounds(0)), spanF, 1L)
+    Forget.forgetSpanCells(spark, spanF, full.filter(forgetPred),
+      survivors, correctiveId = 2L)
+    assert(intercept[IllegalStateException] {
+      CorpusStream.spanScrubWindowed(spark, spanF, full, lo = 0L)
+    }.getMessage.contains("re-election"),
+      "a span corrective must refuse windowed serving loudly")
+
+    // band decisions: stored verdicts can name expired owners, so the
+    // windowed serve RE-ELECTS from the windowed index — equal to a
+    // from-scratch keep-earliest dedup of the window survivors
+    val (idxD, decD) = (s"$root/bands", s"$root/decs")
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      graft.streaming.LshStream.processBatch(
+        full.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        idxD, decD, k.toLong)
+    }
+    Forget.surgicalDelete(spark, idxD, fIds)
+    StoreCompaction.expireBefore(idxD, 2L)
+    val fresh = graft.streaming.LshStream.batchBands(windowSurv)
+    assert(rows(graft.streaming.LshStream.windowedDecisions(
+        spark, idxD, windowSurv, lo = 2L).orderBy("doc_id")) ===
+      rows(graft.ops.Dedup.keepEarliestVerdicts(windowSurv.select("doc_id"),
+        graft.ops.Dedup.firstSeenBandPartners(fresh, fresh.filter(lit(false))))
+        .orderBy("doc_id")),
+      "windowed decisions must equal a from-scratch dedup of the window survivors")
+  }
+
   test("epoch folds: complete epochs band into per-epoch bases with every windowed serve unchanged; whole-epoch expiry is ONE directory drop; partial overlaps refuse everywhere") {
     val d = docs.localCheckpoint()
     val deltas = tmpDir("graft-epoch") + "/deltas"
