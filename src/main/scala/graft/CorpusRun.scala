@@ -406,7 +406,50 @@ object CorpusRun {
         s"${exp.droppedBatches.size} partitions to floor ${exp.floor}; " +
         s"windowed serve ≡ retained-window retrain: $windowOk", secs = tick())
 
-    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15, s16)
+    // 17. EPOCH BANDING as a lifecycle stage: the retained store from
+    // stage 16 keeps landing (batches 4-7), SCHEDULED maintenance with
+    // an epoch policy bands the complete margin-clear epochs — partition
+    // count bounded by O(window / epochSize) instead of O(window) — with
+    // the windowed serve bit-unchanged across the fold, and a CERTIFIED
+    // expiry then drops a whole epoch as ONE directory, persisting the
+    // audit row a licensing review files (q219/q220's laws as
+    // cross-stage checks). Self-contained per run: stage 16 rebuilds the
+    // store fresh, so this replays deterministically.
+    val rAudit = s"$outDir/retention_audit"
+    rmTree(new java.io.File(rAudit))
+    rBounds.zipWithIndex.foreach { case (hiB, k) =>
+      val loB = if (k == 0) Long.MinValue else rBounds(k - 1)
+      graft.streaming.CorpusStream.writeLmDelta(
+        rdocs.filter(col("doc_id") >= loB && col("doc_id") < hiB),
+        ttlStore, (4 + k).toLong)
+    }
+    val preFold = lmSnap(
+      graft.streaming.Forget.lmCountsAfterForgetWindow(spark, ttlStore, lo = 2L))
+    val mrep = StoreCompaction.maintain(spark, ttlStore, Seq("w1", "w2"),
+      StoreCompaction.MaintenancePolicy(keepLatestDeltas = 1,
+        epochSize = Some(2L)))
+    val foldUnchanged = lmSnap(
+      graft.streaming.Forget.lmCountsAfterForgetWindow(spark, ttlStore, lo = 2L)) == preFold
+    val expE = StoreCompaction.expireBeforeCertified(spark, ttlStore,
+      lo = 4L, rAudit, storeName = "retention_lm")
+    val certRows = StoreCompaction.expiryCertificate(spark, rAudit)
+      .select("store", "floor", "action", "n")
+      .collect().map(_.toSeq).toSet
+    val certOk = certRows ==
+      Set(Seq("retention_lm", 4L, "epoch_drop", 1L))
+    val windowOk4 = lmSnap(
+      graft.streaming.Forget.lmCountsAfterForgetWindow(spark, ttlStore, lo = 4L)) ==
+      lmSnap(graft.streaming.CorpusStream.lmCells(rdocs))
+    val s17 = Stage("epoch_banding", mrep.epochsFolded,
+      mrep.epochsFolded == 2L && foldUnchanged && certOk && windowOk4 &&
+        expE.floor == 4L,
+      s"policy banded ${mrep.epochsFolded} epochs (serve unchanged: " +
+        s"$foldUnchanged); certified one-directory epoch expiry to floor " +
+        s"${expE.floor} (certificate ground-true: $certOk); windowed serve " +
+        s"≡ window retrain: $windowOk4", secs = tick())
+
+    Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
+      s16, s17)
   }
 
   def main(args: Array[String]): Unit = {
