@@ -348,5 +348,72 @@ object Sketches {
       .withColumn("kmv_inter_est", col("kmv_jaccard") * col("kmv_union_est"))
   }
 
-  val all: Seq[Q] = Seq(q108, q109, q110)
+  // ── q224: the HLL dashboard under RETENTION ───────────────────────────
+
+  def hllTtlStorePath(dir: String): String = {
+    val src = new java.io.File(dir, "events.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir:${src.lastModified}:${src.length}:hllttl".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_hll_ttl_v1_$key"
+  }
+
+  /** Four arrival-ordered HLL register landings (event_id quartiles,
+    * p = 8 — q108's configuration), then the two oldest EXPIRED
+    * ([[graft.streaming.StoreCompaction.expireBefore]]). Registers
+    * max-merge but never subtract, so a since-the-beginning merged
+    * artifact cannot honor retention (and per-key erasure on a sketch is
+    * rebuild-only — a register keeps no per-key content); the retention
+    * layout keeps one tiny register delta PER LANDING and expiry is pure
+    * directory drops. Idempotent. Returns (deltaDir, the window's
+    * event_id floor).
+    */
+  def buildHllTtlStore(s: SparkSession, dir: String): (String, Long) = {
+    val root = hllTtlStorePath(dir)
+    val deltas = s"$root/deltas"
+    val e = ev(s, dir)
+    val q = e.agg(max(col("event_id"))).head().getLong(0) / 4
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.SketchStream.writeRegisterDelta(
+          e.filter(col("event_id") >= lo && col("event_id") < hi),
+          deltas, k.toLong, p = 8)
+      }
+      graft.streaming.StoreCompaction.expireBefore(deltas, 2L)
+      marker.createNewFile()
+    }
+    (deltas, 2 * q)
+  }
+
+  /** q224 — HLL DISTINCT over a retention window: the sketch family's
+    * retention story, where the usual negative-delta erasure algebra is
+    * structurally unavailable (registers max-merge, never subtract).
+    * Per-landing register deltas make expiry a directory drop and the
+    * windowed serve a register MAX over exactly the retained landings —
+    * associativity makes the estimate BIT-EQUAL to a sketch built from
+    * scratch on the retained events, which is what the oracle computes
+    * (exact distinct count over the window beside it, q108's shape).
+    * At 100 TB each landing's delta is ≤ groups × 256 rows — the
+    * retention layout costs nothing over the merged artifact and is the
+    * only one that can age.
+    */
+  val q224 = Q("q224_hll_window",
+    q108.oracle.get.replace("FROM events",
+      "FROM (SELECT * FROM events WHERE event_id >= " +
+        "(SELECT (MAX(event_id) // 4) * 2 FROM events))")) { (s, dir) =>
+    val (deltas, cut2) = buildHllTtlStore(s, dir)
+    val est = graft.streaming.SketchStream.estimatesWindowed(
+      s, deltas, lo = 2L, p = 8)
+    val exact = ev(s, dir).filter(col("event_id") >= cut2)
+      .groupBy("event_type").agg(countDistinct(userDayKeyCol).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_buckets"),
+        col("reg_denom"), col("hll_estimate"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q108, q109, q110, q224)
 }

@@ -69,6 +69,15 @@ object OrderStream {
       spark.read.parquet(deltaDir)
         .select("phase", "shard", "n_docs", "n_tokens"))
 
+  /** The curriculum manifest over a retention WINDOW [lo, upto] — the
+    * same lossless re-fold over exactly the retained landings' partials.
+    */
+  def manifestWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    Mining.curriculumManifest(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .select("phase", "shard", "n_docs", "n_tokens"))
+
   /** Delta-store retention: fold partitions `batch_id <= upto` into the
     * base partition with the same SUM algebra serving applies — served
     * manifest bit-identical before and after (StreamingSpec-pinned).
@@ -120,6 +129,21 @@ object OrderStream {
     */
   def segmentManifestFromDeltas(spark: SparkSession, deltaDir: String): DataFrame = {
     val masses = spark.read.parquet(deltaDir)
+      .groupBy("source", "w").agg(sum(col("n_docs")).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy((t: (String, Long, Long)) => t._1)
+    Mining.renormManifestDf(spark, masses).orderBy("seg_idx")
+  }
+
+  /** q158's segment manifest over a retention WINDOW [lo, upto] — the
+    * renormalizing schedule planned over exactly the retained landings'
+    * mass (split-forget negatives inside the window included, so the
+    * plan never schedules erased or expired documents).
+    */
+  def segmentManifestWindowed(spark: SparkSession, deltaDir: String,
+      lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    val masses = StoreCompaction.readWindow(spark, deltaDir, lo, upto)
       .groupBy("source", "w").agg(sum(col("n_docs")).cast("long").as("n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -73,6 +73,15 @@ object ShardStream {
   def manifestFromDeltas(spark: SparkSession, deltaDir: String): DataFrame =
     foldManifest(spark.read.parquet(deltaDir)).orderBy("shard_id")
 
+  /** The shard manifest over a retention WINDOW [lo, upto] — the same
+    * associative fold over exactly the retained landings' partials: the
+    * manifest of the documents still on disk.
+    */
+  def manifestWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame =
+    foldManifest(StoreCompaction.readWindow(spark, deltaDir, lo, upto))
+      .orderBy("shard_id")
+
   private def foldManifest(deltas: DataFrame): DataFrame =
     deltas
       .groupBy(col("shard_id"))

@@ -175,4 +175,61 @@ object SketchStream {
         ()
       }
       .start()
+
+  // ── sketch stores under RETENTION: per-landing register deltas ───────
+  //
+  // The merged artifacts above fold every landing into one table — the
+  // right layout when the sketch answers a since-the-beginning question,
+  // and the WRONG one under a retention window: registers max-merge but
+  // never subtract, so an expired landing cannot leave a merged artifact
+  // (the same reason per-key ERASURE on a sketch is rebuild-only — a
+  // register keeps no per-key content to remove; retention windows are
+  // the aging story sketches actually support). The retention layout
+  // keeps one register-delta partition PER LANDING (tiny: ≤ groups × m
+  // rows each), expiry drops whole landings (StoreCompaction.expireBefore,
+  // pure directory deletes), and serving max-merges exactly the retained
+  // window — associativity makes the windowed estimate bit-equal to a
+  // from-scratch sketch of the retained events.
+
+  /** One landing's HLL register partial as a per-batchId delta. */
+  def writeRegisterDelta(batch: DataFrame, deltaDir: String, batchId: Long,
+      p: Int = 6): Unit =
+    Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p).coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** HLL distinct estimates over a retention WINDOW [lo, upto] —
+    * register MAX over exactly the retained landings, then the shared
+    * estimator: equals [[Sketches.hllEstimate]] built from scratch on
+    * the window's events.
+    */
+  def estimatesWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue, p: Int = 6): DataFrame =
+    Sketches.hllEstimate(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .groupBy("event_type", "bucket").agg(max("r").as("r")),
+      Seq("event_type"), p)
+
+  /** One landing's KMV sketch partial as a per-batchId delta. */
+  def writeKmvDelta(batch: DataFrame, deltaDir: String, batchId: Long,
+      k: Int = 256): Unit =
+    batch
+      .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+
+  /** q110's overlap estimates over a retention WINDOW [lo, upto] — the
+    * k smallest distinct hashes of exactly the retained landings
+    * (KmvMin re-fold, associative), through the shared pair-estimate
+    * kernel.
+    */
+  def overlapWindowed(spark: SparkSession, deltaDir: String, lo: Long,
+      upto: Long = Long.MaxValue, k: Int = 256): DataFrame =
+    Sketches.kmvPairEstimates(
+      StoreCompaction.readWindow(spark, deltaDir, lo, upto)
+        .select(col("event_type"), explode(col("mins")).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins")),
+      k)
 }

@@ -1336,6 +1336,85 @@ class ForgetSpec extends AnyFunSuite {
       "windowed decisions must equal a from-scratch dedup of the window survivors")
   }
 
+  test("retention windows close over the sketch and manifest families: HLL/KMV windowed serves and shard/curriculum/segment manifests equal their retained-window recomputes") {
+    import graft.streaming.{OrderStream, ShardStream, SketchStream}
+    import graft.ops.Sketches
+    val root = tmpDir("graft-ttl-sketch")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+    // event-keyed sketches: quartile landings by event_id arrival order
+    val events = Catalog.table(spark, sf, "events").localCheckpoint()
+    val eq = events.agg(max(col("event_id"))).head().getLong(0) / 4
+    val eBounds = Seq(
+      Long.MinValue -> eq, eq -> 2 * eq, 2 * eq -> 3 * eq,
+      3 * eq -> Long.MaxValue)
+    val (hllD, kmvD) = (s"$root/hll", s"$root/kmv")
+    eBounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      val sl = events.filter(col("event_id") >= lo && col("event_id") < hi)
+      SketchStream.writeRegisterDelta(sl, hllD, k.toLong, p = 8)
+      SketchStream.writeKmvDelta(sl, kmvD, k.toLong, k = 64)
+    }
+    StoreCompaction.expireBefore(hllD, 2L)
+    StoreCompaction.expireBefore(kmvD, 2L)
+    val retained = events.filter(col("event_id") >= 2 * eq).localCheckpoint()
+    assert(rows(SketchStream.estimatesWindowed(spark, hllD, lo = 2L, p = 8)
+        .orderBy("event_type")) ===
+      rows(Sketches.hllEstimate(
+        Sketches.hllRegisters(retained, Seq("event_type"),
+          Sketches.userDayKeyCol, 8), Seq("event_type"), 8)
+        .orderBy("event_type")),
+      "windowed HLL estimates must be bit-equal to a from-scratch sketch " +
+        "of the retained events")
+    val kmvScratch = retained
+      .select(col("event_type"), graft.ops.Dedup.h60Col(
+        Sketches.userDayKeyCol).as("h"))
+      .groupBy("event_type")
+      .agg(graft.functions.KmvMin.kmvMin(64)(col("h")).as("mins"))
+    assert(rows(SketchStream.overlapWindowed(spark, kmvD, lo = 2L, k = 64)
+        .orderBy("type_a", "type_b")) ===
+      rows(Sketches.kmvPairEstimates(kmvScratch, 64)
+        .orderBy("type_a", "type_b")),
+      "windowed KMV overlaps must equal the retained-events sketch")
+
+    // manifest families: quartile doc landings, expire, windowed fold ≡
+    // a recompute over the retained docs
+    val d = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    val (shardD, currD, massD) = (s"$root/shard", s"$root/curr", s"$root/mass")
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      val sl = d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      ShardStream.writeDelta(sl, shardD, k.toLong)
+      OrderStream.writeDelta(sl, currD, k.toLong)
+      OrderStream.writeMassDelta(sl, massD, k.toLong)
+    }
+    Seq(shardD, currD, massD).foreach(StoreCompaction.expireBefore(_, 2L))
+    val winDocs = d.filter(col("doc_id") >= bounds(1)).localCheckpoint()
+    assert(rows(ShardStream.manifestWindowed(spark, shardD, lo = 2L)) ===
+      rows(graft.ops.Mining.shardManifest(graft.ops.Mining.shardStats(winDocs))
+        .orderBy("shard_id")),
+      "windowed shard manifest must equal the retained-docs manifest")
+    assert(rows(OrderStream.manifestWindowed(spark, currD, lo = 2L)) ===
+      rows(graft.ops.Mining.curriculumManifest(
+        graft.ops.Mining.curriculumCells(winDocs))),
+      "windowed curriculum manifest must equal the retained-docs manifest")
+    assert(rows(OrderStream.segmentManifestWindowed(spark, massD, lo = 2L)) ===
+      rows(OrderStream.segmentManifestFromDeltas(spark, massD)),
+      "after expiry the windowed segment manifest is the store's whole " +
+        "retained content")
+    // and the windowed segment manifest equals a plan over the retained
+    // docs' masses directly
+    val scratchMass = OrderStream.massCells(winDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy((t: (String, Long, Long)) => t._1)
+    assert(rows(OrderStream.segmentManifestWindowed(spark, massD, lo = 2L)) ===
+      rows(graft.ops.Mining.renormManifestDf(spark, scratchMass)
+        .orderBy("seg_idx")),
+      "windowed segment manifest must equal the retained-docs plan")
+  }
+
   test("epoch folds: complete epochs band into per-epoch bases with every windowed serve unchanged; whole-epoch expiry is ONE directory drop; partial overlaps refuse everywhere") {
     val d = docs.localCheckpoint()
     val deltas = tmpDir("graft-epoch") + "/deltas"
