@@ -1364,6 +1364,64 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "windowprobe") {
+      // The windowed re-election law (q223): keep-earliest decisions
+      // over a retention window are served by ONE election over the
+      // windowed band-index slice. Two claims to measure: (a) with the
+      // window FIXED while the corpus multiplies (old landings expire),
+      // the election cost is FLAT — the window filter is partition
+      // pruning, so the growing store costs nothing; (b) at any scale,
+      // electing from STORED band rows beats re-banding the window's
+      // text from scratch (the minhash/shingle pass is the avoidable
+      // cost — the election join is shared). Landings are quarter-corpus
+      // chunks; retention keeps the last 4 (one corpus-quarter's worth
+      // of docs regardless of multiplier).
+      import graft.streaming.{LshStream, StoreCompaction}
+      import graft.ops.Dedup
+      val mult = if (args.length > 2) args(2).toInt else 8
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      val q = idStride / 4 + 1
+      Seq(1, mult).foreach { m =>
+        val all = (0 until m).map(k =>
+            docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val landings = 4 * m
+        def chunk(k: Int) = all.filter(
+          col("doc_id") >= k * q && col("doc_id") < (k + 1) * q)
+        val idx = java.nio.file.Files
+          .createTempDirectory(s"graft-windowprobe-$m").toString + "/index"
+        time(s"win${m}x.build_${landings}_index_landings") {
+          (0 until landings).foreach { k =>
+            LshStream.batchBands(chunk(k)).coalesce(1)
+              .write.mode("overwrite").parquet(s"$idx/batch_id=$k")
+          }
+          landings.toLong
+        }
+        val lo = (landings - 4).toLong
+        time(s"win${m}x.expire_to_last_4") {
+          StoreCompaction.expireBefore(idx, lo).droppedBatches.size.toLong
+        }
+        val winDocs = all.filter(col("doc_id") >= lo * q).localCheckpoint()
+        winDocs.count()
+        // (a) the windowed election off the stored index slice
+        time(s"win${m}x.windowed_election") {
+          LshStream.windowedDecisions(spark, idx, winDocs, lo)
+            .agg(sum("n_earlier")).head().getLong(0)
+        }
+        // (b) the naive twin: re-band the window's text from scratch,
+        // then the same election join
+        time(s"win${m}x.naive_reband_election") {
+          val fresh = LshStream.batchBands(winDocs)
+          Dedup.keepEarliestVerdicts(winDocs.select("doc_id"),
+              Dedup.firstSeenBandPartners(fresh, fresh.filter(lit(false))))
+            .agg(sum("n_earlier")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "maintprobe") {
       // Steady-state maintenance cost: land L deltas one at a time and run
       // the threshold policy after EVERY landing — the per-pass cost must
