@@ -295,4 +295,97 @@ class SoakSpec extends AnyFunSuite {
     assert(StoreCompaction.retentionFloor(store) === Some(3L),
       "the floor is monotone across the interleaving")
   }
+
+  test("soak (epoch-banded retention): landings, split waves, policy banding, and certified epoch-aligned expiry interleave with the windowed serve equal to the retained-window retrain at every step") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 8
+    def sliceBound(k: Int): Long =
+      if (k >= nLandings) Long.MaxValue else ids(k * ids.length / nLandings)
+    def slice(k: Int) = docs.filter(
+      col("doc_id") >= sliceBound(k) && col("doc_id") < sliceBound(k + 1))
+    val srcCol = (1 until nLandings - 1)
+      .foldLeft(when(col("doc_id") < sliceBound(1), 0L)) { (w, k) =>
+        w.when(col("doc_id") < sliceBound(k + 1), k.toLong)
+      }.otherwise((nLandings - 1).toLong)
+
+    val root = tmpDir("graft-soak-epoch")
+    val (store, audit) = (s"$root/lm", s"$root/audit")
+    val pol = StoreCompaction.MaintenancePolicy(
+      keepLatestDeltas = 1, epochSize = Some(2L))
+    var landedUpto = -1
+    var floor = 0L
+    var forgotten: Seq[org.apache.spark.sql.Column] = Nil
+    def land(k: Int): Unit = {
+      CorpusStream.writeLmDelta(slice(k), store, k.toLong); landedUpto = k
+    }
+    def wave(reqId: Long, pred: org.apache.spark.sql.Column): Unit = {
+      val wavePred = pred && col("doc_id") < sliceBound(landedUpto + 1)
+      Forget.forgetSumCellsSplit(
+        docs.filter(wavePred).withColumn("src_batch", srcCol),
+        Forget.lmCellTarget(store), requestId = reqId)
+      forgotten = forgotten :+ wavePred
+    }
+    def check(step: String): Unit = {
+      val window = docs.filter(col("doc_id") >= sliceBound(floor.toInt) &&
+        col("doc_id") < sliceBound(landedUpto + 1))
+      val logical = forgotten.foldLeft(window)((d, p) => d.filter(!p))
+      assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, store, lo = floor)) ===
+        lmMap(CorpusStream.lmCells(logical)),
+        s"[$step] the windowed serve must equal the retained-window retrain")
+    }
+    def maintainPass(step: String): Long = {
+      val rep = StoreCompaction.maintain(spark, store, Seq("w1", "w2"), pol)
+      check(step)
+      rep.epochsFolded
+    }
+
+    land(0); land(1); land(2)
+    check("after landings 0-2")
+    assert(maintainPass("after banding epoch 0") === 1L)
+    wave(0L, pmod(col("doc_id"), lit(17L)) === lit(3L))
+    check("after wave A (late negatives for the folded epoch 0 still window)")
+    land(3); land(4)
+    // the pass refolds epoch 0 (absorbing wave A's late src-0/1
+    // negatives) and bands epoch 1 (batches 2-3 + the src-2/3 negatives)
+    assert(maintainPass("after banding epoch 1 + absorbing late negatives") === 2L)
+    StoreCompaction.expireBefore(store, 2L); floor = 2L
+    check("after one-directory expiry of epoch 0")
+    land(5); land(6)
+    wave(1L, pmod(col("doc_id"), lit(17L)) === lit(5L))
+    check("after wave B across the banded window")
+    assert(maintainPass("after banding epoch 2 under two waves") === 2L)
+    // mid-epoch expiry refuses on the banded store
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.expireBefore(store, 3L)
+    }.getMessage.contains("align"),
+      "a floor inside a folded epoch must refuse loudly")
+    // epoch-aligned CERTIFIED expiry: one directory drop, one audit row
+    val exp = StoreCompaction.expireBeforeCertified(spark, store, 4L, audit,
+      storeName = "soak_lm")
+    floor = 4L
+    assert(exp.droppedBatches === Seq(StoreCompaction.EpochFoldBase - 1L),
+      s"epoch 1 must drop as its single banded directory: $exp")
+    val cert = StoreCompaction.expiryCertificate(spark, audit)
+      .select("store", "floor", "action", "n").collect().map(_.toSeq).toSet
+    assert(cert === Set(Seq("soak_lm", 4L, "epoch_drop", 1L)),
+      s"the certificate records exactly the epoch drop: $cert")
+    check("after certified epoch expiry")
+    land(7)
+    check("after the final landing")
+    // the epoch store's contract holds at every point: windows only —
+    // pins and pinned reads refuse, the floor and epoch size are
+    // monotone store constants
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.registerPin(store, "late_rel", 6L)
+    }.getMessage.contains("retention"))
+    assert(intercept[IllegalStateException] {
+      Forget.lmCountsAfterForget(spark, store, upto = 6L)
+    }.getMessage.contains("epoch-folded"))
+    assert(StoreCompaction.retentionFloor(store) === Some(4L) &&
+      StoreCompaction.epochSizeOf(store) === Some(2L),
+      "floor and epoch size are monotone store constants")
+  }
 }
