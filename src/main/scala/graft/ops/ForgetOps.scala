@@ -1595,7 +1595,71 @@ object ForgetOps {
     LshStream.windowedDecisions(s, idx, spine, lo = 2L).orderBy("doc_id")
   }
 
+  // ── q225: the full curation verdict over a retention window ──────────
+
+  def curationTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cur_ttl_v1_${storeKey(dir, "curttl")}"
+
+  /** Four quartile landings of the WINDOW-MODE curation stores
+    * ([[graft.streaming.CurationStream.writeWindowDelta]] — per-doc fp
+    * rows and per-doc band rows, ownership never materialized), the
+    * forget set surgically erased from both (per-doc identity deletes,
+    * NO re-election correctives — the next election elects among
+    * whoever survives), then the two oldest landings expired.
+    * Idempotent. Returns (fpDir, idxDir).
+    */
+  def buildCurationTtlStore(s: SparkSession, dir: String): (String, String) = {
+    val root = curationTtlStorePath(dir)
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val q = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+      val bounds = Seq(
+        Long.MinValue -> q, q -> 2 * q, 2 * q -> 3 * q, 3 * q -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.CurationStream.writeWindowDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD,
+          k.toLong)
+      }
+      val fIds = d.filter(forgottenPred).select("doc_id")
+      Forget.surgicalDelete(s, fpD, fIds)
+      Forget.surgicalDelete(s, idxD, fIds)
+      graft.streaming.StoreCompaction.expireBefore(fpD, 2L)
+      graft.streaming.StoreCompaction.expireBefore(idxD, 2L)
+      marker.createNewFile()
+    }
+    (fpD, idxD)
+  }
+
+  /** q225 — the FULL CURATION VERDICT over a retention window: the
+    * round-11 analysis showed the streamed curation stores cannot
+    * window (first-seen-global fp ownership; bands for exact-survivors
+    * only — a window doc whose owner expired has no row in the slice),
+    * so this is the WINDOW-MODE layout that can: per-doc identity rows
+    * land per batch, and gate → exact-first-owner → rep-banding →
+    * keep-earliest is ONE serve-time election over the window slice
+    * ([[graft.streaming.CurationStream.windowedDecisions]]). Erasure
+    * needed no re-election correctives (ownership is never
+    * materialized) and expiry was pure partition drops — and the served
+    * table equals batch q127 run from scratch on the retained window's
+    * surviving corpus, which is what the oracle computes. Cost:
+    * O(window rows), zero text at serve time; `windowprobe` measured
+    * the election law.
+    */
+  val q225 = Q("q225_curation_window",
+    s"""${Dedup.curationVerdictCtes(windowSurvivorsSql)}
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+    ShingleHashes.register(s)
+    val (fpD, idxD) = buildCurationTtlStore(s, dir)
+    graft.streaming.CurationStream.windowedDecisions(s, fpD, idxD, lo = 2L)
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223)
+    q219, q220, q221, q222, q223, q225)
 }

@@ -202,6 +202,85 @@ object CurationStream {
         col("d.n_earlier"), col("d.dup_of"), col("d.is_band_dup"))
       .orderBy("doc_id")
 
+  // ── curation under RETENTION: the per-doc (window-mode) layout ────────
+  //
+  // The streamed stores above are FIRST-SEEN-GLOBAL by design: the fp
+  // history keeps ONE row per fingerprint ever (owned by the first batch
+  // that saw it) and the band index holds bands for exact-SURVIVORS
+  // only — the layout that makes per-batch serving O(batch). That same
+  // design means a retention WINDOW cannot slice them: a window doc
+  // whose fp owner (or band rep) landed in an expired batch has no row
+  // in the windowed slice at all. The window-mode layout trades the
+  // materialized ownership for PER-DOC identity rows — every gated doc
+  // lands its fp row and its band rows in ITS batch — and elects
+  // ownership AT SERVE TIME over the window slice (the q223 discipline
+  // applied to the whole curation verdict). What that buys:
+  //
+  //  - retention: expiry is pure partition drops; windows are pure
+  //    partition slices (both stores are per-doc identity state);
+  //  - erasure: surgical per-doc deletes, NO re-election correctives —
+  //    ownership is never materialized, so the next election just
+  //    elects among whoever survives;
+  //  - serving: one in-window election (fp min + rep banding), O(window
+  //    rows), zero text — `windowprobe` measured the election flat in
+  //    store size and ~1.5× cheaper than re-banding window text.
+  //
+  // Cost: the band store holds ALL gated docs' bands (exact-first
+  // pruning moves from write time to serve time), and serving pays the
+  // election join instead of a pure store read — the price of a layout
+  // that can age, and the reason both layouts exist.
+
+  /** One landing of the window-mode curation stores: the gated batch's
+    * per-doc fingerprint rows and per-doc band rows, each an
+    * OVERWRITE-idempotent per-batchId partition.
+    */
+  def writeWindowDelta(batch: DataFrame, fpDir: String, idxDir: String,
+      batchId: Long): Unit = {
+    val gated = batch
+      .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("source"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint()
+    gated.select("doc_id", "fp", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
+    LshStream.batchBands(gated).coalesce(1)
+      .write.mode("overwrite").parquet(s"$idxDir/batch_id=$batchId")
+  }
+
+  /** The q127 curation decision table over a retention WINDOW
+    * [lo, upto], served off the window-mode stores alone: exact
+    * first-owner-per-fp verdicts elected over the windowed fp slice,
+    * keep-earliest band verdicts among the window's fp REPRESENTATIVES
+    * (exact-first ordering applied at serve time), one row per gated
+    * window doc. Equals batch q127 run from scratch on the window's
+    * surviving corpus — gate verdicts are per-row (a doc absent from
+    * the fp slice was gate-failed or erased), and elections see exactly
+    * the rows that survived erasure and expiry.
+    */
+  def windowedDecisions(spark: SparkSession, fpDir: String, idxDir: String,
+      lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    val fps = StoreCompaction.readWindow(spark, fpDir, lo, upto)
+      .select("doc_id", "fp")
+    val firstOwner = fps.groupBy("fp").agg(min(col("doc_id")).as("first"))
+    val exact = fps.join(firstOwner, Seq("fp"))
+      .select(col("doc_id"),
+        (col("first") < col("doc_id")).as("is_exact_dup"),
+        when(col("first") < col("doc_id"), col("first")).as("exact_dup_of"))
+    val repIds = fps.join(firstOwner,
+        fps("doc_id") === firstOwner("first"), "left_semi")
+      .select("doc_id")
+    val bands = StoreCompaction.readWindow(spark, idxDir, lo, upto)
+      .select("doc_id", "band_idx", "band_hash")
+      .join(repIds, Seq("doc_id"), "left_semi")
+    val verdicts = Dedup.keepEarliestVerdicts(repIds,
+      Dedup.firstSeenBandPartners(bands, bands.filter(lit(false))))
+    exact.join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+        col("n_earlier"), col("dup_of"), col("is_band_dup"))
+      .orderBy("doc_id")
+  }
+
   /** CROSS-MODAL verdict service: compose the text curation decisions
     * (gate → exact fp → text band) with the image-phash and audio-code
     * keep-earliest stores into ONE verdict per document — q127's

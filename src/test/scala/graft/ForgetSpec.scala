@@ -1415,6 +1415,83 @@ class ForgetSpec extends AnyFunSuite {
       "windowed segment manifest must equal the retained-docs plan")
   }
 
+  test("window-mode curation stores: per-doc identity rows make erasure re-elect implicitly at serve time and expiry re-scope ownership to the window — serves equal the q127 kernel on the logical corpus at every step") {
+    import graft.streaming.{CurationStream, LshStream}
+    graft.functions.ShingleHashes.register(spark)
+    val d = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "source", "text").localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    val root = tmpDir("graft-cur-window")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      CurationStream.writeWindowDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD, k.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    // the q127 kernel on an arbitrary frame — the logical-corpus twin
+    def scratch(frame: org.apache.spark.sql.DataFrame) = {
+      val keepers = frame
+        .join(graft.ops.Corpus.gateFrame(frame).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("text"),
+          md5(graft.ops.TextOps.normalized(col("text"))).as("fp"))
+        .localCheckpoint()
+      val firstOwner = keepers.groupBy("fp").agg(min(col("doc_id")).as("first"))
+      val exact = keepers.join(firstOwner, Seq("fp"))
+        .select(col("doc_id"), (col("first") < col("doc_id")).as("is_exact_dup"),
+          when(col("first") < col("doc_id"), col("first")).as("exact_dup_of"))
+      val reps = keepers.join(firstOwner,
+        keepers("doc_id") === firstOwner("first"), "left_semi")
+      val bands = LshStream.batchBands(reps)
+      val verdicts = graft.ops.Dedup.keepEarliestVerdicts(reps.select("doc_id"),
+        graft.ops.Dedup.firstSeenBandPartners(bands, bands.filter(lit(false))))
+      exact.join(verdicts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"), col("exact_dup_of"),
+          col("n_earlier"), col("dup_of"), col("is_band_dup"))
+        .orderBy("doc_id")
+    }
+    assert(rows(CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)) ===
+      rows(scratch(d)),
+      "the full-window serve must equal the q127 kernel on the corpus")
+
+    // erase an OWNER a duplicate points at: no corrective is landed
+    // anywhere — the next serve-time election promotes the
+    // second-earliest copy implicitly. Prefer an exact-dup owner; the
+    // gate may leave none at this scale, in which case a band-dup owner
+    // exercises the same law through the banding stage.
+    val baseline = CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+      .localCheckpoint()
+    val owner = spark.read.parquet(fpD)
+      .groupBy("fp").agg(count(lit(1)).as("n"), min(col("doc_id")).as("owner"))
+      .filter(col("n") >= 2).orderBy("owner").limit(1)
+      .collect().headOption.map(_.getLong(2))
+      .orElse(baseline.filter(col("is_band_dup"))
+        .orderBy("dup_of").limit(1)
+        .collect().headOption.map(_.getAs[Long]("dup_of")))
+      .getOrElse(fail("the fixture corpus must contain a dup family"))
+    val ownerIds = Seq(owner).toDF("doc_id")
+    Forget.surgicalDelete(spark, fpD, ownerIds)
+    Forget.surgicalDelete(spark, idxD, ownerIds)
+    val postErase = CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+    assert(rows(postErase) === rows(scratch(d.filter(col("doc_id") =!= owner))),
+      "erasing an owner must re-elect implicitly — no corrective partitions")
+    assert(!batchIdsOf(fpD).exists(_ > 3L) && !batchIdsOf(idxD).exists(_ > 3L),
+      "no corrective partition may land: ownership is never materialized")
+
+    // expiry re-scopes ownership to the window: the earliest RETAINED
+    // copy owns each fp, and the serve equals the kernel on the window
+    StoreCompaction.expireBefore(fpD, 2L)
+    StoreCompaction.expireBefore(idxD, 2L)
+    assert(rows(CurationStream.windowedDecisions(spark, fpD, idxD, lo = 2L)) ===
+      rows(scratch(d.filter(col("doc_id") >= bounds(1) &&
+        col("doc_id") =!= owner))),
+      "the windowed serve must equal the kernel on the retained survivors")
+  }
+
   test("epoch folds: complete epochs band into per-epoch bases with every windowed serve unchanged; whole-epoch expiry is ONE directory drop; partial overlaps refuse everywhere") {
     val d = docs.localCheckpoint()
     val deltas = tmpDir("graft-epoch") + "/deltas"
