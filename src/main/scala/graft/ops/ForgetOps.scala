@@ -1280,6 +1280,10 @@ object ForgetOps {
     val audit = s"$root/expiry_audit"
     val d = docs(s, dir)
     val o = d.agg(max(col("doc_id"))).head().getLong(0) / 8
+    // the split wave below decodes src_batch with `doc_id div o`: o=0
+    // would null the div (non-ANSI) and silently land every negative
+    // under least(null, 7) = 7 — refuse loudly on a degenerate fixture
+    require(o > 0, s"lm epoch store needs max(doc_id) >= 8, got octile width $o")
     val marker = new java.io.File(root, "_STORE_COMMITTED")
     if (!marker.exists()) {
       (0 until 8).foreach { k =>

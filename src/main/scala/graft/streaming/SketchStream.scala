@@ -191,11 +191,42 @@ object SketchStream {
   // window — associativity makes the windowed estimate bit-equal to a
   // from-scratch sketch of the retained events.
 
-  /** One landing's HLL register partial as a per-batchId delta. */
+  // ── sketch-parameter markers: the store constant every landing and
+  // serve must agree on. Registers (and k-min arrays) of DIFFERENT
+  // parameters max-merge without any structural error and return a
+  // silently wrong estimate — the one failure mode every other store
+  // family here guards with a persisted marker (epoch size, retention
+  // floor, forget horizon). So the first delta persists the parameter
+  // and every later write or windowed serve refuses loudly on mismatch.
+
+  private def requireParamMarker(deltaDir: String, name: String, value: Int,
+      writeIfAbsent: Boolean, what: String): Unit = {
+    val f = new java.io.File(deltaDir, name)
+    if (f.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(stored == value,
+        s"sketch delta store $deltaDir was built with $what=$stored; " +
+          s"refusing $what=$value — merging sketch partials of different " +
+          "parameters returns a silently wrong estimate")
+    } else if (writeIfAbsent) {
+      new java.io.File(deltaDir).mkdirs()
+      java.nio.file.Files.write(f.toPath, value.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  /** One landing's HLL register partial as a per-batchId delta. The
+    * precision `p` persists as a `_hll_p` store marker on the first
+    * landing; later landings and windowed serves must match it.
+    */
   def writeRegisterDelta(batch: DataFrame, deltaDir: String, batchId: Long,
-      p: Int = 6): Unit =
+      p: Int = 6): Unit = {
+    requireParamMarker(deltaDir, "_hll_p", p, writeIfAbsent = true, "p")
     Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** HLL distinct estimates over a retention WINDOW [lo, upto] —
     * register MAX over exactly the retained landings, then the shared
@@ -203,21 +234,29 @@ object SketchStream {
     * the window's events.
     */
   def estimatesWindowed(spark: SparkSession, deltaDir: String, lo: Long,
-      upto: Long = Long.MaxValue, p: Int = 6): DataFrame =
+      upto: Long = Long.MaxValue, p: Int = 6): DataFrame = {
+    requireParamMarker(deltaDir, "_hll_p", p, writeIfAbsent = false, "p")
     Sketches.hllEstimate(
       StoreCompaction.readWindow(spark, deltaDir, lo, upto)
         .groupBy("event_type", "bucket").agg(max("r").as("r")),
       Seq("event_type"), p)
+  }
 
-  /** One landing's KMV sketch partial as a per-batchId delta. */
+  /** One landing's KMV sketch partial as a per-batchId delta. `k`
+    * persists as a `_kmv_k` store marker on the first landing (same
+    * rule as the HLL precision — a k-mismatch re-fold silently
+    * under-estimates).
+    */
   def writeKmvDelta(batch: DataFrame, deltaDir: String, batchId: Long,
-      k: Int = 256): Unit =
+      k: Int = 256): Unit = {
+    requireParamMarker(deltaDir, "_kmv_k", k, writeIfAbsent = true, "k")
     batch
       .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
       .groupBy("event_type")
       .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** q110's overlap estimates over a retention WINDOW [lo, upto] — the
     * k smallest distinct hashes of exactly the retained landings
@@ -225,11 +264,13 @@ object SketchStream {
     * kernel.
     */
   def overlapWindowed(spark: SparkSession, deltaDir: String, lo: Long,
-      upto: Long = Long.MaxValue, k: Int = 256): DataFrame =
+      upto: Long = Long.MaxValue, k: Int = 256): DataFrame = {
+    requireParamMarker(deltaDir, "_kmv_k", k, writeIfAbsent = false, "k")
     Sketches.kmvPairEstimates(
       StoreCompaction.readWindow(spark, deltaDir, lo, upto)
         .select(col("event_type"), explode(col("mins")).as("h"))
         .groupBy("event_type")
         .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins")),
       k)
+  }
 }

@@ -384,8 +384,19 @@ object StoreCompaction {
     val foldableIds = partitionIds(root)
       .filter(id => id != BasePartition && id > EpochFoldBase &&
         effectiveBatch(id) >= 0)
+    // an epoch whose range dips below the retention floor must stay raw:
+    // a floor mid-epoch (expireBefore already dropped batches [e·es,
+    // floor)) would fold the SURVIVING tail into an epoch partition that
+    // partially overlaps every legal window (windows start at the floor),
+    // so requireWindowServableAt would refuse every read that could serve
+    // the retained batches — the data would be unservable by all paths
+    // until the whole epoch expired. A floor aligned AT e·es keeps the
+    // epoch complete and foldable; a floor above the epoch leaves it no
+    // partitions to fold. `e*es >= floor` covers all three cases.
+    val floor = retentionFloor(storeDir).getOrElse(Long.MinValue)
     val candidates = foldableIds.groupBy(id => effectiveBatch(id) / epochSize)
-      .filter { case (e, _) => (e + 1) * epochSize - 1 <= uptoBatch }
+      .filter { case (e, _) =>
+        (e + 1) * epochSize - 1 <= uptoBatch && e * epochSize >= floor }
     // pre-validate EVERY candidate epoch before folding ANY: a refusal
     // thrown mid-loop would leave some epochs folded with the _epoch_size
     // marker not yet written, and windowedReadFilter's no-marker branch
@@ -463,6 +474,20 @@ object StoreCompaction {
   case class ExpiryReport(floor: Long, droppedBatches: Seq[Long],
       droppedBase: Boolean, droppedFiles: Long = 0L)
 
+  /** The validated, not-yet-executed listing of one expiry pass — the
+    * pre-drop state [[expireBeforeCertified]] stages its certificate
+    * from, so the proof of deletion exists BEFORE any byte is deleted.
+    * `filesById` is the per-partition data-file count (nested payload
+    * files included), which is what lets the certificate carry honest
+    * per-ACTION file counts instead of repeating the store total.
+    */
+  private[graft] case class ExpiryPlan(floor: Long, dropped: Seq[Long],
+      dropBase: Boolean, filesById: Map[Long, Long], baseFiles: Long) {
+    def isNoop: Boolean = dropped.isEmpty && !dropBase
+    def totalFiles: Long = filesById.values.sum + baseFiles
+    def report: ExpiryReport = ExpiryReport(floor, dropped, dropBase, totalFiles)
+  }
+
   /** Expire every landing below `lo`: drop the delta partitions whose
     * effective batch (split-forget negatives count as the source batch
     * they negate — an erasure correction for expired content is itself
@@ -489,6 +514,17 @@ object StoreCompaction {
     */
   def expireBefore(storeDir: String, lo: Long): ExpiryReport =
     withLease(storeDir) {
+      val plan = planExpiry(storeDir, lo)
+      executeExpiry(storeDir, plan)
+      plan.report
+    }
+
+  /** Validate an expiry pass and list exactly what it would drop —
+    * every refusal shape of [[expireBefore]], zero mutation. The split
+    * into plan/execute is what lets [[expireBeforeCertified]] commit its
+    * certificate from the pre-drop listing BEFORE the first delete.
+    */
+  private[graft] def planExpiry(storeDir: String, lo: Long): ExpiryPlan = {
       val root = new java.io.File(storeDir)
       val floor = math.max(lo, retentionFloor(storeDir).getOrElse(Long.MinValue))
       val ids = partitionIds(root)
@@ -548,21 +584,124 @@ object StoreCompaction {
           else 0L
         }.sum
       val baseDir = new java.io.File(root, s"batch_id=$BasePartition")
-      val nFiles = dropped
-        .map(id => dataFiles(new java.io.File(root, s"batch_id=$id"))).sum +
-        (if (dropBase) dataFiles(baseDir) else 0L)
-      dropped.foreach(id =>
-        deleteRecursively(new java.io.File(root, s"batch_id=$id")))
-      if (dropBase) {
-        deleteRecursively(baseDir)
-        new java.io.File(root, HorizonName).delete()
-        ()
-      }
-      java.nio.file.Files.write(
-        new java.io.File(root, RetentionFloorName).toPath,
-        floor.toString.getBytes(Utf8))
-      ExpiryReport(floor, dropped, dropBase, nFiles)
+      ExpiryPlan(floor, dropped, dropBase,
+        dropped.map(id =>
+          id -> dataFiles(new java.io.File(root, s"batch_id=$id"))).toMap,
+        if (dropBase) dataFiles(baseDir) else 0L)
+  }
+
+  /** Execute a validated [[ExpiryPlan]]: the drops, then the floor
+    * advance. Idempotent — partitions the plan lists that are already
+    * gone delete as no-ops, and the floor write is a monotone max.
+    */
+  private[graft] def executeExpiry(storeDir: String, plan: ExpiryPlan): Unit = {
+    val root = new java.io.File(storeDir)
+    plan.dropped.foreach(id =>
+      deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+    if (plan.dropBase) {
+      deleteRecursively(new java.io.File(root, s"batch_id=$BasePartition"))
+      new java.io.File(root, HorizonName).delete()
+      ()
     }
+    val floor = math.max(plan.floor,
+      retentionFloor(storeDir).getOrElse(Long.MinValue))
+    java.nio.file.Files.write(
+      new java.io.File(root, RetentionFloorName).toPath,
+      floor.toString.getBytes(Utf8))
+    ()
+  }
+
+  // ── the staged-expiry protocol: certify BEFORE deleting ──────────────
+  //
+  // expireBeforeCertified's whole point is persisted proof of age-based
+  // deletion, so the one unacceptable crash window is "bytes deleted,
+  // certificate lost": a pass that dropped partitions and advanced the
+  // floor before writing its audit rows can never re-derive them (the
+  // replay finds the floor already advanced and nothing left to list).
+  // The erasure dual already lands audit rows BEFORE its request marker
+  // commits; this is the same discipline for expiry. Order per pass:
+  //   (1) plan (pre-drop listing, all refusal shapes checked);
+  //   (2) stage the plan — one atomically-renamed `_expiry_staged` file
+  //       in the store, self-contained (audit root and store name ride
+  //       inside, so recovery needs no caller state);
+  //   (3) write the certificate rows from the STAGED listing;
+  //   (4) execute the drops and advance the floor;
+  //   (5) drop the staged file.
+  // A crash anywhere in (2)-(5) recovers on the next certified pass:
+  // the staged plan re-writes the certificate (idempotent overwrite of
+  // its own (store, floor) partition), re-executes the drops (deletes of
+  // already-gone partitions are no-ops, the floor write is a monotone
+  // max), and unstages. Deletion therefore never outruns its proof.
+
+  private val ExpiryStagedName = "_expiry_staged"
+
+  private[graft] def stageExpiry(storeDir: String, plan: ExpiryPlan,
+      auditRoot: String, storeName: String): Unit = {
+    val lines = Seq(
+      s"floor=${plan.floor}",
+      s"dropBase=${if (plan.dropBase) 1 else 0}",
+      s"baseFiles=${plan.baseFiles}",
+      s"audit=$auditRoot",
+      s"store=$storeName") ++
+      plan.dropped.map(id => s"drop=$id:${plan.filesById.getOrElse(id, 0L)}")
+    val tmp = new java.io.File(storeDir, s".$ExpiryStagedName.tmp")
+    java.nio.file.Files.write(tmp.toPath, lines.mkString("\n").getBytes(Utf8))
+    val target = new java.io.File(storeDir, ExpiryStagedName)
+    target.delete()
+    require(tmp.renameTo(target), s"staging expiry certificate $target failed")
+  }
+
+  /** Finish a certified expiry a crash interrupted: re-write the
+    * certificate from the staged listing, re-execute the drops, unstage.
+    * No-op when nothing is staged.
+    */
+  private[graft] def recoverStagedExpiry(spark: SparkSession, storeDir: String): Unit = {
+    val f = new java.io.File(storeDir, ExpiryStagedName)
+    if (f.exists()) {
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty)
+      def field(k: String): String = lines.find(_.startsWith(s"$k="))
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt staged expiry in $storeDir: missing $k")).drop(k.length + 1)
+      val drops = lines.filter(_.startsWith("drop=")).map { l =>
+        val Array(id, n) = l.stripPrefix("drop=").split(":")
+        id.toLong -> n.toLong
+      }
+      val plan = ExpiryPlan(field("floor").toLong, drops.map(_._1).toSeq,
+        field("dropBase") == "1", drops.toMap, field("baseFiles").toLong)
+      writeCertificate(spark, plan, field("audit"), field("store"))
+      executeExpiry(storeDir, plan)
+      f.delete()
+      ()
+    }
+  }
+
+  /** One certificate row per expiry ACTION, with per-action partition
+    * AND file counts from the staged pre-drop listing. Overwrites its
+    * own `(store, floor)` partition — replays are idempotent.
+    */
+  private[graft] def writeCertificate(spark: SparkSession, plan: ExpiryPlan,
+      auditRoot: String, storeName: String): Unit = {
+    def filesOf(p: Long => Boolean): Long =
+      plan.filesById.collect { case (id, n) if p(id) => n }.sum
+    val actions = Seq(
+      ("landing_drop", plan.dropped.count(_ >= 0).toLong,
+        filesOf(_ >= 0),
+        "positive ingest landings expired below the floor"),
+      ("split_negative_drop",
+        plan.dropped.count(isSplitId).toLong, filesOf(isSplitId),
+        "split-forget negatives expired with their source batches"),
+      ("epoch_drop", plan.dropped.count(_ <= EpochFoldBase).toLong,
+        filesOf(_ <= EpochFoldBase),
+        "whole folded epochs dropped as single directories"),
+      ("base_drop", if (plan.dropBase) 1L else 0L, plan.baseFiles,
+        "base partition folded entirely below the floor dropped whole")
+    ).filter(_._2 > 0L)
+    import spark.implicits._
+    actions.toDF("action", "n", "files_dropped", "detail")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$auditRoot/store=$storeName/floor=${plan.floor}")
+  }
 
   /** [[expireBefore]] with a PERSISTED certificate — the retention dual
     * of the erasure certificate ([[ForgetStream.processBatch]]'s audit
@@ -572,35 +711,30 @@ object StoreCompaction {
     * landings expired), `split_negative_drop` (erasure corrections that
     * expired WITH their source batches), `epoch_drop` (whole folded
     * epochs), `base_drop` (a base whose horizon was entirely below the
-    * floor). Each row carries the partition and file counts a retention
-    * or licensing audit files — proof of age-based deletion with the
-    * same independently-recomputable shape the erasure certificate has
-    * (the q220 oracle ground-truths it against the data). A no-op pass
-    * (floor already at or above `lo`) certifies nothing new.
+    * floor). Each row carries that action's OWN partition and file
+    * counts (nested payload files included) from the pre-drop listing —
+    * the numbers a retention or licensing audit files, independently
+    * recomputable (the q220 oracle ground-truths them against the data).
+    * The certificate is STAGED AND COMMITTED BEFORE THE FIRST DELETE
+    * (see the staged-expiry protocol above): a crash at any point leaves
+    * either an untouched store or a staged listing the next pass
+    * finishes from — never deleted data without persisted proof. A
+    * no-op pass (floor already at or above `lo`) certifies nothing new.
     */
   def expireBeforeCertified(spark: SparkSession, storeDir: String, lo: Long,
-      auditRoot: String, storeName: String): ExpiryReport = {
-    val rep = expireBefore(storeDir, lo)
-    if (rep.droppedBatches.nonEmpty || rep.droppedBase) {
-      val actions = Seq(
-        ("landing_drop", rep.droppedBatches.count(_ >= 0).toLong,
-          "positive ingest landings expired below the floor"),
-        ("split_negative_drop",
-          rep.droppedBatches.count(isSplitId).toLong,
-          "split-forget negatives expired with their source batches"),
-        ("epoch_drop", rep.droppedBatches.count(_ <= EpochFoldBase).toLong,
-          "whole folded epochs dropped as single directories"),
-        ("base_drop", if (rep.droppedBase) 1L else 0L,
-          "base partition folded entirely below the floor dropped whole")
-      ).filter(_._2 > 0L)
-      import spark.implicits._
-      actions.map { case (a, n, d) => (a, n, rep.droppedFiles, d) }
-        .toDF("action", "n", "files_dropped", "detail")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$auditRoot/store=$storeName/floor=${rep.floor}")
+      auditRoot: String, storeName: String): ExpiryReport =
+    withLease(storeDir) {
+      recoverStagedExpiry(spark, storeDir)
+      val plan = planExpiry(storeDir, lo)
+      if (!plan.isNoop) {
+        stageExpiry(storeDir, plan, auditRoot, storeName)
+        writeCertificate(spark, plan, auditRoot, storeName)
+      }
+      executeExpiry(storeDir, plan)
+      if (!plan.isNoop)
+        new java.io.File(storeDir, ExpiryStagedName).delete()
+      plan.report
     }
-    rep
-  }
 
   /** The persisted retention certificate — every expiry action recorded
     * by [[expireBeforeCertified]] under `auditRoot`; `store` and `floor`
@@ -835,7 +969,7 @@ object StoreCompaction {
     id >= BasePartition ||
       new java.io.File(root, s"batch_id=$id/$ForgetCommittedName").exists()
 
-  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(); ()
   }

@@ -1807,4 +1807,144 @@ class ForgetSpec extends AnyFunSuite {
     assert(served === rebuilt,
       "the windowed payload bytes must equal the survivor rebuild")
   }
+
+  test("certified expiry crash windows: the certificate commits BEFORE the drops, and a crash at either seam converges to dropped-AND-certified on the next pass") {
+    val d = docs.localCheckpoint()
+
+    def certRows(audit: String) = StoreCompaction.expiryCertificate(spark, audit)
+      .select("store", "floor", "action", "n", "files_dropped")
+      .collect().map(_.toSeq).toSet
+    def dataFilesIn(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten.map { f =>
+        if (f.isDirectory && !f.getName.startsWith(".")) dataFilesIn(f.getPath)
+        else if (f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) 1L
+        else 0L
+      }.sum
+
+    // ── crash window 1: staged, but neither certificate nor drops ran ──
+    val s1 = tmpDir("graft-cert-crash1") + "/deltas"
+    landQuartiles(d, s1)
+    val audit1 = tmpDir("graft-cert-crash1-audit")
+    val groundFiles1 = Seq(0L, 1L).map(id => dataFilesIn(s"$s1/batch_id=$id")).sum
+    val plan1 = StoreCompaction.planExpiry(s1, 2L)
+    StoreCompaction.stageExpiry(s1, plan1, audit1, "crash1")
+    // "crash": nothing dropped, no audit rows — data intact, proof staged
+    assert(batchIdsOf(s1).toSet === Set(0L, 1L, 2L, 3L) &&
+      !new java.io.File(audit1, "store=crash1").exists(),
+      "the simulated crash must leave the store untouched and no audit")
+    val rep1 = StoreCompaction.expireBeforeCertified(spark, s1, 2L, audit1, "crash1")
+    assert(batchIdsOf(s1).toSet === Set(2L, 3L) &&
+      StoreCompaction.retentionFloor(s1) === Some(2L),
+      s"recovery must finish the staged drops: ${batchIdsOf(s1)} / $rep1")
+    assert(certRows(audit1) ===
+      Set(Seq("crash1", 2L, "landing_drop", 2L, groundFiles1)),
+      s"recovery must certify from the staged pre-drop listing: ${certRows(audit1)}")
+    assert(!new java.io.File(s1, "_expiry_staged").exists(),
+      "the staged listing must be retired once certified and dropped")
+
+    // ── crash window 2: certificate written, drops ran, floor NOT advanced ──
+    val s2 = tmpDir("graft-cert-crash2") + "/deltas"
+    landQuartiles(d, s2)
+    val audit2 = tmpDir("graft-cert-crash2-audit")
+    val groundFiles2 = Seq(0L, 1L).map(id => dataFilesIn(s"$s2/batch_id=$id")).sum
+    val plan2 = StoreCompaction.planExpiry(s2, 2L)
+    StoreCompaction.stageExpiry(s2, plan2, audit2, "crash2")
+    StoreCompaction.writeCertificate(spark, plan2, audit2, "crash2")
+    plan2.dropped.foreach(id => StoreCompaction.deleteRecursively(
+      new java.io.File(s2, s"batch_id=$id")))
+    // "crash": partitions gone, floor marker missing — a pass that never
+    // certified first could no longer re-derive the certificate here
+    assert(StoreCompaction.retentionFloor(s2).isEmpty,
+      "the simulated crash must precede the floor advance")
+    StoreCompaction.expireBeforeCertified(spark, s2, 2L, audit2, "crash2")
+    assert(batchIdsOf(s2).toSet === Set(2L, 3L) &&
+      StoreCompaction.retentionFloor(s2) === Some(2L))
+    assert(certRows(audit2) ===
+      Set(Seq("crash2", 2L, "landing_drop", 2L, groundFiles2)),
+      s"the replay must keep the pre-drop certificate: ${certRows(audit2)}")
+    assert(!new java.io.File(s2, "_expiry_staged").exists())
+
+    // a further no-op pass (floor already at lo) certifies nothing new
+    // and clobbers nothing
+    StoreCompaction.expireBeforeCertified(spark, s2, 2L, audit2, "crash2")
+    assert(certRows(audit2).size === 1, "a no-op pass must not re-certify")
+  }
+
+  test("per-action certificate fidelity: landing and split-negative drops carry their OWN file counts, and their sum is the pass's deletion volume") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-cert-files") + "/deltas"
+    val bounds = landQuartiles(d, deltas)
+    Forget.forgetSumCellsSplit(
+      d.filter(forgetPred).withColumn("src_batch", srcBatchCol(bounds)),
+      Forget.lmCellTarget(deltas), requestId = 0L)
+    val audit = tmpDir("graft-cert-files-audit")
+    def dataFilesIn(dir: String): Long =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")).toLong
+    val landFiles = Seq(0L, 1L).map(id => dataFilesIn(s"$deltas/batch_id=$id")).sum
+    val negIds = batchIdsOf(deltas).filter(id =>
+      id <= StoreCompaction.SplitForgetBase &&
+        id > StoreCompaction.EpochFoldBase &&
+        StoreCompaction.splitSourceBatch(id) < 2L)
+    val negFiles = negIds.map(id => dataFilesIn(s"$deltas/batch_id=$id")).sum
+    val rep = StoreCompaction.expireBeforeCertified(spark, deltas, 2L, audit, "lmf")
+    val rows = StoreCompaction.expiryCertificate(spark, audit)
+      .select("action", "n", "files_dropped").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("landing_drop") === ((2L, landFiles)) &&
+      rows("split_negative_drop") === ((negIds.size.toLong, negFiles)),
+      s"each action must carry its own file count: $rows")
+    assert(rows.values.map(_._2).sum === rep.droppedFiles,
+      "per-action file counts must sum to the pass's deletion volume")
+  }
+
+  test("foldEpochs under a mid-epoch retention floor: the straddling epoch stays raw (its survivors keep serving), aligned epochs band, and an aligned floor keeps folding legal") {
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-epoch-floor") + "/deltas"
+    val bounds = landQuartiles(d, deltas) // batches 0-3; epoch size 2
+    // floor 1 falls MID-epoch-0: batch 0 expires, batch 1 survives raw
+    StoreCompaction.expireBefore(deltas, 1L)
+    assert(StoreCompaction.foldEpochs(spark, deltas, epochSize = 2L,
+      uptoBatch = 3L) === Seq(1L),
+      "only the floor-clear epoch 1 may band; epoch 0 straddles the floor")
+    assert(batchIdsOf(deltas).contains(1L),
+      "the straddling epoch's surviving batch must stay a raw partition")
+    // the survivors stay servable: window [1, ∞) = raw batch 1 + epoch 1
+    val served = lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 1L))
+    val retrained = lmMap(CorpusStream.lmCells(
+      d.filter(col("doc_id") >= bounds(0))))
+    assert(served === retrained,
+      "retained batches must serve through the mixed raw+epoch layout")
+    // once the floor ALIGNS at the epoch boundary the epoch is complete
+    // (nothing left of it) and later epochs keep banding
+    StoreCompaction.expireBefore(deltas, 2L)
+    assert(StoreCompaction.foldEpochs(spark, deltas, 2L, uptoBatch = 3L)
+      .isEmpty, "nothing new to band after the aligned expiry")
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 2L)) ===
+      lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))))
+  }
+
+  test("sketch stores refuse mismatched parameters: the first landing persists p (and k) and every later landing or windowed serve at another value fails loudly") {
+    val e = Catalog.table(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .localCheckpoint()
+    val hll = tmpDir("graft-hll-p") + "/deltas"
+    graft.streaming.SketchStream.writeRegisterDelta(e, hll, 0L, p = 8)
+    assert(intercept[IllegalArgumentException] {
+      graft.streaming.SketchStream.writeRegisterDelta(e, hll, 1L, p = 6)
+    }.getMessage.contains("p=8"), "a later landing at another p must refuse")
+    assert(intercept[IllegalArgumentException] {
+      graft.streaming.SketchStream.estimatesWindowed(spark, hll, lo = 0L, p = 6)
+    }.getMessage.contains("p=8"), "a windowed serve at another p must refuse")
+    val kmv = tmpDir("graft-kmv-k") + "/deltas"
+    graft.streaming.SketchStream.writeKmvDelta(e, kmv, 0L, k = 64)
+    assert(intercept[IllegalArgumentException] {
+      graft.streaming.SketchStream.writeKmvDelta(e, kmv, 1L, k = 256)
+    }.getMessage.contains("k=64"))
+    assert(intercept[IllegalArgumentException] {
+      graft.streaming.SketchStream.overlapWindowed(spark, kmv, lo = 0L, k = 256)
+    }.getMessage.contains("k=64"))
+  }
 }
