@@ -1663,7 +1663,216 @@ object ForgetOps {
     graft.streaming.CurationStream.windowedDecisions(s, fpD, idxD, lo = 2L)
   }
 
+  // ── q226-q228: corrected-content landings (amendments) ───────────────
+
+  /** The shared amendment fixture: batch 1 (the second doc_id quartile)
+    * is re-landed with CORRECTED content — the weekly 100 TB case (a
+    * re-crawled shard, a fixed parser), which is NOT a replay because
+    * the content changed. The correction, expressible identically in
+    * Spark and DuckDB: a parser fix DROPPED every doc_id % 3 = 2; docs
+    * with doc_id % 3 = 0 resolved to the text of doc_id + 2·width — a
+    * text that ALREADY EXISTS later in the corpus, so the corrected
+    * (lower-id) doc must STEAL exact ownership from the later copy; the
+    * remaining docs had their text corrected in place (e → a). Returns
+    * (correctedBatch, correctedCorpus, quartileWidth).
+    */
+  def amendFixture(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val d = docs(s, dir).select("doc_id", "text", "source")
+    val w = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+    val donor = d.select((col("doc_id") - lit(2 * w)).as("doc_id"),
+      col("text").as("donor_text"))
+    val batch = d
+      .filter(col("doc_id") >= w && col("doc_id") < 2 * w &&
+        pmod(col("doc_id"), lit(3L)) =!= lit(2L))
+      .join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3L)) === lit(0L),
+          coalesce(col("donor_text"), col("text")))
+          .otherwise(expr("replace(text, 'e', 'a')")).as("text"),
+        col("source"))
+    val corpus = d.filter(col("doc_id") < w || col("doc_id") >= 2 * w)
+      .unionByName(batch)
+    (batch, corpus, w)
+  }
+
+  /** The corrected corpus as a DuckDB relation — the amendment oracles'
+    * from-scratch input (quartiles 0/2/3 unchanged ∪ the corrected
+    * batch), mirroring [[amendFixture]] expression by expression.
+    */
+  private val correctedCorpusSql: String =
+    s"""(SELECT doc_id, text, source FROM documents
+       | WHERE doc_id < (SELECT MAX(doc_id) // 4 FROM documents)
+       |    OR doc_id >= 2 * (SELECT MAX(doc_id) // 4 FROM documents)
+       | UNION ALL
+       | SELECT b.doc_id,
+       |   CASE WHEN b.doc_id % 3 = 0 THEN COALESCE(d2.text, b.text)
+       |        ELSE REPLACE(b.text, 'e', 'a') END AS text,
+       |   b.source
+       | FROM documents b LEFT JOIN documents d2
+       |   ON d2.doc_id = b.doc_id + 2 * (SELECT MAX(doc_id) // 4 FROM documents)
+       | WHERE b.doc_id >= (SELECT MAX(doc_id) // 4 FROM documents)
+       |   AND b.doc_id < 2 * (SELECT MAX(doc_id) // 4 FROM documents)
+       |   AND b.doc_id % 3 <> 2)""".stripMargin
+
+  def lmAmendStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lm_amend_v1_${storeKey(dir, "lmamend")}"
+
+  /** Four quartile LM landings, then batch 1 AMENDED to the corrected
+    * content ([[graft.streaming.Amend.amendSumCells]] — one partition
+    * overwrite with the corrected cells, no negative delta, no old
+    * content needed). Idempotent. Returns the delta dir.
+    */
+  def buildLmAmendStore(s: SparkSession, dir: String): String = {
+    val root = lmAmendStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      val (batch, _, w) = amendFixture(s, dir)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      graft.streaming.Amend.amendSumCells(Forget.lmCellTarget(deltas), batch, 1L)
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q226 — AMENDING an additive store: batch 1's corrected content
+    * replaces its landing partition ([[graft.streaming.Amend
+    * .amendSumCells]]) and the served fluency model must equal a
+    * from-scratch retrain on the CORRECTED corpus — the oracle IS that
+    * retrain. On a SUM-cell store the amendment needs neither the old
+    * content nor a negative delta: the landing partition holds exactly
+    * the old content's cells, so one overwrite with the corrected cells
+    * makes every fold (pinned at P ≥ 1, windowed over the batch) serve
+    * the corrected-corpus recompute of its slice. Replay of the
+    * amendment rewrites identical bytes.
+    */
+  val q226 = Q("q226_amend_lm",
+    lmForgetFluencyOracle(correctedCorpusSql)) { (s, dir) =>
+    val deltas = buildLmAmendStore(s, dir)
+    val (_, corpus, _) = amendFixture(s, dir)
+    graft.ops.TextOps.fluencyScoredFromCounts(corpus,
+        Some(Forget.lmCountsAfterForget(s, deltas)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
+  def curationAmendTtlStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cur_amend_ttl_v1_${storeKey(dir, "curamendttl")}"
+
+  /** Four quartile landings of the WINDOW-MODE curation stores, then
+    * batch 1 amended in place ([[graft.streaming.Amend
+    * .amendWindowCuration]] — the corrected batch's per-doc fp and band
+    * rows overwrite the landing partitions). Idempotent. Returns
+    * (fpDir, idxDir).
+    */
+  def buildWindowAmendStore(s: SparkSession, dir: String): (String, String) = {
+    val root = curationAmendTtlStorePath(dir)
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val (batch, _, w) = amendFixture(s, dir)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.CurationStream.writeWindowDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD,
+          k.toLong)
+      }
+      graft.streaming.Amend.amendWindowCuration(batch, fpD, idxD, 1L)
+      marker.createNewFile()
+    }
+    (fpD, idxD)
+  }
+
+  /** q227 — AMENDING a per-doc identity store family: the window-mode
+    * curation layout amends by pure partition overwrite — ownership is
+    * never materialized, so the serve-time election sees the corrected
+    * rows and re-elects IMPLICITLY (no corrective machinery, the same
+    * property its erasure has), and the landing keeps its AGE (a later
+    * retention floor expires corrected content on the original batch's
+    * clock — the ForgetSpec pin). The served verdict table must equal
+    * the q127 kernel run from scratch on the corrected corpus.
+    */
+  val q227 = Q("q227_amend_curation_window",
+    s"""${Dedup.curationVerdictCtes(correctedCorpusSql)}
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+    ShingleHashes.register(s)
+    val (fpD, idxD) = buildWindowAmendStore(s, dir)
+    graft.streaming.CurationStream.windowedDecisions(s, fpD, idxD, lo = 0L)
+  }
+
+  def curationAmendStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cur_amend_v1_${storeKey(dir, "curamend")}"
+
+  /** Four quartile landings through the MATERIALIZED curation family
+    * ([[graft.streaming.CurationStream.processBatch]]), then batch 1
+    * amended ([[graft.streaming.Amend.amendCurationBatch]] — the old
+    * landing's docs forgotten with two-level re-election, the corrected
+    * batch landed through the id-ordered re-electing insert; forget
+    * correctives at partition 4, insert correctives at 5). Idempotent.
+    * Returns the family root.
+    */
+  def buildCurationAmendStore(s: SparkSession, dir: String): String = {
+    val root = curationAmendStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val (batch, _, w) = amendFixture(s, dir)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.CurationStream.processBatch(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          s"$root/fp", s"$root/index", s"$root/decisions", k.toLong,
+          Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      }
+      graft.streaming.Amend.amendCurationBatch(s, root, batch,
+        batchId = 1L, correctiveId = 4L)
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** q228 — AMENDING the materialized first-seen curation family: the
+    * case replay landings never face — corrected content must propagate
+    * through MATERIALIZED ownership. The composition: erase the old
+    * landing's docs (exact-ownership and band-keeper re-election, the
+    * q204 machinery), then land the corrected batch through an
+    * ID-ORDERED re-electing insert where a corrected doc that PRECEDES
+    * an existing owner of its fingerprint STEALS the ownership — the
+    * old owner demotes to exact dup, its duplicates re-point, its bands
+    * leave the index, and every band family that changed membership
+    * re-elects. The served decision table must equal the q127 kernel
+    * run from scratch on the corrected corpus — the oracle IS that
+    * from-scratch build (q204's shape with the corrected corpus).
+    */
+  val q228 = Q("q228_amend_curation",
+    s"""${Dedup.curationVerdictCtes(correctedCorpusSql)}
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationAmendStore(s, dir)
+    graft.streaming.CurationStream.decisions(s, s"$root/decisions")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q225)
+    q219, q220, q221, q222, q223, q225, q226, q227, q228)
 }

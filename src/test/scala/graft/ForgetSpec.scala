@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CorpusStream, Forget, LshStream, StoreCompaction}
+import graft.streaming.{CorpusStream, CurationStream, Forget, LshStream, StoreCompaction}
 
 /** Right-to-be-forgotten laws (q200-q202's machinery):
   * negative-cell erasure ≡ retrain-on-survivors on the additive stores,
@@ -1924,6 +1924,146 @@ class ForgetSpec extends AnyFunSuite {
       .isEmpty, "nothing new to band after the aligned expiry")
     assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, deltas, lo = 2L)) ===
       lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))))
+  }
+
+  test("amendment laws: amend ≡ forget+land on sum cells, replay is a no-op, the corrected landing keeps its age, and the refusal shapes hold") {
+    import graft.streaming.Amend
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val d = docs.localCheckpoint()
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    def landAll(deltas: String): Unit =
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+
+    // ── amend ≡ forget(old batch) + land(corrected) on a SUM-cell store ──
+    val sA = tmpDir("graft-amend-a") + "/deltas"
+    landAll(sA)
+    Amend.amendSumCells(Forget.lmCellTarget(sA), b, 1L)
+    val sB = tmpDir("graft-amend-b") + "/deltas"
+    landAll(sB)
+    Forget.forgetSumCellsSplit(
+      d.filter(col("doc_id") >= w && col("doc_id") < 2 * w)
+        .withColumn("src_batch", lit(1L)),
+      Forget.lmCellTarget(sB), requestId = 0L)
+    CorpusStream.writeLmDelta(b, sB, 4L)
+    val retrain = lmMap(CorpusStream.lmCells(c))
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sA)) === retrain &&
+      lmMap(Forget.lmCountsAfterForget(spark, sB)) === retrain,
+      "amend and forget+land must both equal the corrected-corpus retrain")
+
+    // replay of the amendment is a no-op (identical cells, serving fixed)
+    Amend.amendSumCells(Forget.lmCellTarget(sA), b, 1L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sA)) === retrain,
+      "a replayed amendment must rewrite identical state")
+
+    // ── refusal shapes ──
+    // split negatives at the amended source batch: stale negation
+    val exSplit = intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sB), b, 1L)
+    }
+    assert(exSplit.getMessage.contains("split-forget"), exSplit.getMessage)
+    // an expired landing cannot be amended
+    val sC = tmpDir("graft-amend-c") + "/deltas"
+    landAll(sC)
+    StoreCompaction.expireBefore(sC, 2L)
+    val exExp = intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sC), b, 1L)
+    }
+    assert(exExp.getMessage.contains("retention"), exExp.getMessage)
+    // an epoch-folded landing lost its partition
+    val sD = tmpDir("graft-amend-d") + "/deltas"
+    landAll(sD)
+    StoreCompaction.foldEpochs(spark, sD, epochSize = 2L, uptoBatch = 1L)
+    val exEp = intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sD), b, 1L)
+    }
+    assert(exEp.getMessage.contains("epoch"), exEp.getMessage)
+
+    // ── window-mode curation: the corrected landing keeps its AGE ──
+    val root = tmpDir("graft-amend-winttl")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CurationStream.writeWindowDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD, k.toLong)
+    }
+    Amend.amendWindowCuration(b, fpD, idxD, 1L)
+    StoreCompaction.expireBefore(fpD, 2L)
+    StoreCompaction.expireBefore(idxD, 2L)
+    // the corrected content expired on the ORIGINAL batch's clock: the
+    // served window equals the q127 kernel over the corrected corpus
+    // docs of quartiles 2-3 alone
+    val servedWin = CurationStream.windowedDecisions(spark, fpD, idxD, lo = 2L)
+      .collect().map(_.toSeq).toSeq
+    val scratchRoot = tmpDir("graft-amend-winscratch")
+    CurationStream.writeWindowDelta(
+      c.filter(col("doc_id") >= 2 * w), s"$scratchRoot/fps",
+      s"$scratchRoot/bands", 0L)
+    val scratchWin = CurationStream.windowedDecisions(spark,
+        s"$scratchRoot/fps", s"$scratchRoot/bands", lo = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(servedWin === scratchWin,
+      "amended content must expire with its landing's age, and the " +
+        "window election must equal the from-scratch kernel on the rest")
+  }
+
+  test("materialized curation amendment: ownership steals demote the later copy, the amended keeper's family re-elects, and a replayed amendment converges") {
+    import graft.streaming.Amend
+    graft.functions.ShingleHashes.register(spark)
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val d = docs.localCheckpoint()
+    val root = tmpDir("graft-amend-cur")
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CurationStream.processBatch(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        s"$root/fp", s"$root/index", s"$root/decisions", k.toLong,
+        Some(s"$root/accepted"), Some(s"$root/quarantine"))
+    }
+    val rep = Amend.amendCurationBatch(spark, root, b, batchId = 1L,
+      correctiveId = 4L)
+    assert(rep.nOldDocs > 0L && rep.nGated > 0L,
+      s"the fixture must amend a real landing: $rep")
+    assert(rep.nSteals > 0L,
+      s"the fixture must exercise ownership steals (corrected docs whose " +
+        s"text already exists later in the corpus): $rep")
+
+    // the family equals a from-scratch build on the corrected corpus
+    def decTable(decDir: String) =
+      CurationStream.decisions(spark, decDir).collect().map(_.toSeq).toSeq
+    val scratch = tmpDir("graft-amend-cur-scratch")
+    CurationStream.processBatch(c, s"$scratch/fp", s"$scratch/index",
+      s"$scratch/decisions", 0L,
+      Some(s"$scratch/accepted"), Some(s"$scratch/quarantine"))
+    assert(decTable(s"$root/decisions") === decTable(s"$scratch/decisions"),
+      "amended decisions must equal the from-scratch corrected-corpus build")
+    def contentSet(dir: String, cols: Seq[String]) =
+      spark.read.parquet(dir).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(contentSet(s"$root/accepted", Seq("doc_id", "text", "source")) ===
+      contentSet(s"$scratch/accepted", Seq("doc_id", "text", "source")),
+      "the accepted store must match the from-scratch corrected build")
+    assert(contentSet(s"$root/quarantine", Seq("doc_id", "reason")) ===
+      contentSet(s"$scratch/quarantine", Seq("doc_id", "reason")),
+      "the quarantine store must match the from-scratch corrected build")
+    // one fp row per fingerprint, owned by the family minimum
+    val fpDup = spark.read.parquet(s"$root/fp")
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    assert(fpDup === 0L, "the one-row-per-fp invariant must survive steals")
+
+    // replay of the whole amendment converges to the same served state
+    val before = decTable(s"$root/decisions")
+    val rep2 = Amend.amendCurationBatch(spark, root, b, batchId = 1L,
+      correctiveId = 4L)
+    assert(rep2.nOldDocs === 0L && rep2.nSteals === 0L,
+      s"a replayed amendment must find nothing left to forget or steal: $rep2")
+    assert(decTable(s"$root/decisions") === before,
+      "a replayed amendment must not move a single verdict")
   }
 
   test("sketch stores refuse mismatched parameters: the first landing persists p (and k) and every later landing or windowed serve at another value fails loudly") {
