@@ -1872,7 +1872,100 @@ object ForgetOps {
     graft.streaming.CurationStream.decisions(s, s"$root/decisions")
   }
 
+  // ── q229: the cumulative cross-family compliance ledger ──────────────
+
+  def complianceStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_compliance_v1_${storeKey(dir, "compliance")}"
+
+  /** Eight octile LM landings, TWO streamed pin-preserving erasure waves
+    * (doc_id % 17 ∈ {3, 5} — each lands one split negative per octile it
+    * spans and one erasure-certificate row), then TWO certified expiry
+    * floors (2 and 4 — each drops landings and the split negatives that
+    * expire with them, recording expiry-certificate rows). Idempotent.
+    * Returns (deltaDir, forgetMarkerRoot, expiryAuditRoot).
+    */
+  def buildComplianceStore(s: SparkSession, dir: String): (String, String, String) = {
+    val root = complianceStorePath(dir)
+    val (deltas, markers, audit) =
+      (s"$root/deltas", s"$root/forget_markers", s"$root/expiry_audit")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val o = d.agg(max(col("doc_id"))).head().getLong(0) / 8
+      require(o > 0, s"compliance store needs max(doc_id) >= 8, got width $o")
+      (0 until 8).foreach { k =>
+        val lo = if (k == 0) Long.MinValue else k * o
+        val hi = if (k == 7) Long.MaxValue else (k + 1) * o
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      val content = d.withColumn("src_batch",
+        least(expr(s"doc_id div $o"), lit(7L)).cast("long"))
+      val targets = graft.streaming.ForgetStream.ForgetTargets(
+        lmDeltaDir = Some(deltas), splitBySrcBatch = true)
+      Seq(3L -> 0L, 5L -> 1L).foreach { case (res, reqId) =>
+        graft.streaming.ForgetStream.processBatch(
+          d.filter(pmod(col("doc_id"), lit(ForgetMod)) === lit(res))
+            .select("doc_id"),
+          content, targets, markers, reqId)
+      }
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, deltas,
+        lo = 2L, audit, storeName = "lm")
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, deltas,
+        lo = 4L, audit, storeName = "lm")
+      marker.createNewFile()
+    }
+    (deltas, markers, audit)
+  }
+
+  /** q229 — the CUMULATIVE COMPLIANCE LEDGER, stores-served: the
+    * per-wave erasure certificate and per-floor expiry certificate
+    * accumulated into the one table a compliance review files — per
+    * store: requests processed, split negatives landed, floors
+    * certified, landings/negatives/files dropped, the current floor and
+    * live pins — computed from the persisted audit artifacts and the
+    * store's own markers alone, ZERO corpus or store-data scans
+    * (PlanSpec pins no documents scan in the plan). The oracle derives
+    * every number from the corpus: each wave lands one split negative
+    * per octile its residue class spans; the two floors drop landings
+    * 0-3 (one file each — `coalesce(1)` landings) and exactly the split
+    * negatives whose source batch lies below 4.
+    */
+  val q229 = Q("q229_compliance_ledger",
+    s"""WITH o AS (SELECT MAX(doc_id) // 8 AS o FROM documents),
+       |sbA AS (
+       |  SELECT DISTINCT LEAST(doc_id // (SELECT o FROM o), 7) AS b
+       |  FROM documents WHERE doc_id % $ForgetMod = 3
+       |), sbB AS (
+       |  SELECT DISTINCT LEAST(doc_id // (SELECT o FROM o), 7) AS b
+       |  FROM documents WHERE doc_id % $ForgetMod = 5
+       |)
+       |SELECT store, metric, CAST(value AS BIGINT) AS value FROM (
+       |  VALUES
+       |    ('lm', 'current_floor', CAST(4 AS BIGINT)),
+       |    ('lm', 'expiry_floors', CAST(2 AS BIGINT)),
+       |    ('lm', 'files_dropped',
+       |      4 + (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA WHERE b < 4)
+       |        + (SELECT CAST(COUNT(*) AS BIGINT) FROM sbB WHERE b < 4)),
+       |    ('lm', 'forget_requests', CAST(2 AS BIGINT)),
+       |    ('lm', 'landings_dropped', CAST(4 AS BIGINT)),
+       |    ('lm', 'live_pins', CAST(0 AS BIGINT)),
+       |    ('lm', 'negative_split_landings',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA)
+       |        + (SELECT CAST(COUNT(*) AS BIGINT) FROM sbB)),
+       |    ('lm', 'split_negatives_dropped',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA WHERE b < 4)
+       |        + (SELECT CAST(COUNT(*) AS BIGINT) FROM sbB WHERE b < 4))
+       |) AS t(store, metric, value)
+       |WHERE metric IN ('current_floor', 'expiry_floors', 'forget_requests',
+       |  'live_pins') OR value > 0
+       |ORDER BY store, metric""".stripMargin) { (s, dir) =>
+    val (deltas, markers, audit) = buildComplianceStore(s, dir)
+    graft.streaming.Compliance.ledger(s, Seq("lm" -> deltas),
+      forgetMarkerRoots = Seq(markers), expiryAuditRoots = Seq(audit))
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q225, q226, q227, q228)
+    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229)
 }

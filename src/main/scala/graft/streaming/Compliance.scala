@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The CUMULATIVE cross-family compliance ledger — what a privacy or
+  * licensing review actually reads: one row per (store, metric) over
+  * every erasure wave and every expiry floor the pipeline has ever run,
+  * served off the PERSISTED audit artifacts alone. The per-wave erasure
+  * certificate ([[ForgetStream.erasureCertificate]]) audits one
+  * request batch; the expiry certificate
+  * ([[StoreCompaction.expiryCertificate]]) one floor; this is their
+  * cumulative union plus the stores' live state markers — requests
+  * processed, rows and files removed, landings and epochs dropped, the
+  * current retention floor, live release pins — with ZERO corpus
+  * scans (the q133 stores-served discipline applied to the compliance
+  * surface; PlanSpec pins the no-corpus-scan property).
+  */
+object Compliance {
+
+  /** One cumulative (store, metric, value) row set.
+    *
+    * `stores` names each store and its directory — the name is the
+    * ledger's store key, and must match the `storeName` its expiry
+    * passes certified under. Metrics:
+    *
+    *  - `forget_requests`: distinct erasure request batches that touched
+    *    the store (from the erasure certificates);
+    *  - `rows_removed`: Σ surgical-delete rows across waves;
+    *  - `negative_landings`: whole-wave negative deltas landed (count);
+    *  - `negative_split_landings`: Σ pin-preserving split deltas landed;
+    *  - `reelections`: Σ corrective re-verdicts (band, exact, semantic,
+    *    first-key) across waves;
+    *  - `expiry_floors`: distinct certified retention floors;
+    *  - `landings_dropped` / `split_negatives_dropped` /
+    *    `epochs_dropped` / `bases_dropped`: Σ expired partitions per
+    *    action class; `files_dropped`: Σ data files deleted by expiry;
+    *  - `current_floor` (−1 when never expired) and `live_pins`: the
+    *    store's live state markers, always emitted.
+    *
+    * Certificate-derived metrics appear only when at least one
+    * certificate row feeds them (an empty ledger row would claim an
+    * audit that never ran).
+    */
+  def ledger(spark: SparkSession, stores: Seq[(String, String)],
+      forgetMarkerRoots: Seq[String] = Nil,
+      expiryAuditRoots: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val lookup = stores.toDF("__name", "__dir")
+
+    val fRoots = forgetMarkerRoots.map(r => s"$r/reports")
+      .filter(p => new java.io.File(p).exists())
+    val forgetRows = if (fRoots.isEmpty) Nil else {
+      val fr = spark.read.parquet(fRoots: _*)
+        .join(lookup, col("store") === col("__dir"))
+      val reqs = fr.groupBy(col("__name").as("store"))
+        .agg(countDistinct(col("batch_id")).as("value"))
+        .select(col("store"), lit("forget_requests").as("metric"), col("value"))
+      val whole = fr.filter(col("action") === "negative_landing")
+        .groupBy(col("__name").as("store"))
+        .agg(count(lit(1)).as("value"))
+        .select(col("store"), lit("negative_landings").as("metric"), col("value"))
+      val acts = fr.withColumn("metric",
+          when(col("action") === "surgical_delete", "rows_removed")
+            .when(col("action") === "negative_split_landing",
+              "negative_split_landings")
+            .when(col("action").endsWith("reelection"), "reelections"))
+        .filter(col("metric").isNotNull)
+        .groupBy(col("__name").as("store"), col("metric"))
+        .agg(sum(col("n")).cast("long").as("value"))
+        .select("store", "metric", "value")
+      Seq(reqs, whole, acts)
+    }
+
+    val eRoots = expiryAuditRoots.filter(p => new java.io.File(p).exists())
+    val expiryRows = if (eRoots.isEmpty) Nil else {
+      val er = spark.read.parquet(eRoots: _*)
+        .select(col("store").cast("string").as("store"),
+          col("floor").cast("long").as("floor"),
+          col("action"), col("n"), col("files_dropped"))
+      val floors = er.groupBy("store")
+        .agg(countDistinct(col("floor")).as("value"))
+        .select(col("store"), lit("expiry_floors").as("metric"), col("value"))
+      val acts = er.withColumn("metric",
+          when(col("action") === "landing_drop", "landings_dropped")
+            .when(col("action") === "split_negative_drop",
+              "split_negatives_dropped")
+            .when(col("action") === "epoch_drop", "epochs_dropped")
+            .when(col("action") === "base_drop", "bases_dropped"))
+        .filter(col("metric").isNotNull)
+        .groupBy("store", "metric")
+        .agg(sum(col("n")).cast("long").as("value"))
+        .select("store", "metric", "value")
+      val files = er.groupBy("store")
+        .agg(sum(col("files_dropped")).cast("long").as("value"))
+        .select(col("store"), lit("files_dropped").as("metric"), col("value"))
+      Seq(floors, acts, files)
+    }
+
+    // live state markers: |stores| tiny driver-side file reads, the
+    // registry-statistics pattern — never a data scan
+    val state = stores.flatMap { case (n, d) =>
+      Seq((n, "current_floor",
+        StoreCompaction.retentionFloor(d).getOrElse(-1L)),
+        (n, "live_pins", StoreCompaction.livePins(d).size.toLong))
+    }.toDF("store", "metric", "value")
+
+    (forgetRows ++ expiryRows :+ state)
+      .reduce(_ unionByName _)
+      .orderBy("store", "metric")
+  }
+}

@@ -1926,6 +1926,47 @@ class ForgetSpec extends AnyFunSuite {
       lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))))
   }
 
+  test("compliance ledger: cumulative rows across two waves accumulate surgical, re-election, and state metrics, ground-truthed per family") {
+    import graft.streaming.{Compliance, ForgetStream}
+    import graft.streaming.ForgetStream.ForgetTargets
+    graft.functions.ShingleHashes.register(spark)
+    val root = tmpDir("graft-ledger")
+    val full = Catalog.table(spark, sf, "documents").localCheckpoint()
+    val cut = full.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val (cs, idx, dec) = (s"$root/cs", s"$root/bandidx", s"$root/banddec")
+    Seq(col("doc_id") < cut, col("doc_id") >= cut).zipWithIndex.foreach {
+      case (p, b) =>
+        CorpusStream.writeCsDelta(full.filter(p), cs, b.toLong)
+        LshStream.processBatch(full.filter(p), idx, dec, b.toLong)
+    }
+    val targets = ForgetTargets(csDeltaDir = Some(cs),
+      bandStores = Some((idx, dec)))
+    val waves = Seq(0L -> forgetPred, 1L -> (col("doc_id") % 17 === 5))
+    val perWaveCs = waves.map { case (reqId, p) =>
+      val removed = spark.read.parquet(cs)
+        .join(full.filter(p).select("doc_id"), Seq("doc_id"), "left_semi")
+        .count() // ground truth captured BEFORE the wave deletes it
+      ForgetStream.processBatch(full.filter(p).select("doc_id"), full,
+        targets, s"$root/markers", reqId)
+      removed
+    }
+    val led = Compliance.ledger(spark,
+      Seq("code_switch" -> cs, "band_index" -> idx, "band_decisions" -> dec),
+      forgetMarkerRoots = Seq(s"$root/markers"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(led(("code_switch", "forget_requests")) === 2L &&
+      led(("band_index", "forget_requests")) === 2L,
+      s"both waves must count for every touched family: $led")
+    assert(led(("code_switch", "rows_removed")) === perWaveCs.sum,
+      s"surgical rows must accumulate across waves: $led")
+    assert(led(("band_decisions", "reelections")) > 0L,
+      s"corrective re-verdicts must accumulate: $led")
+    assert(led(("code_switch", "current_floor")) === -1L &&
+      led(("code_switch", "live_pins")) === 0L,
+      s"state metrics must always be present: $led")
+  }
+
   test("amendment laws: amend ≡ forget+land on sum cells, replay is a no-op, the corrected landing keeps its age, and the refusal shapes hold") {
     import graft.streaming.Amend
     val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)

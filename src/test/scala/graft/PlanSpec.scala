@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite {
       s"scrub must stay hash-join blocked:\n$p")
   }
 
+  test("q229: the compliance ledger reads ONLY the audit artifacts — zero corpus or store-data scans") {
+    val p = plan("q229_compliance_ledger")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.nonEmpty, s"the audit stores must be scanned:\n$p")
+    assert(located.forall(l => l.contains("forget_markers") ||
+      l.contains("expiry_audit")),
+      "every scan must hit an audit artifact, never corpus text or " +
+        s"store data:\n${located.mkString("\n")}")
+    assert(!p.contains("documents.parquet") && !p.contains("/deltas"),
+      s"the ledger must never re-read the corpus or the cell store:\n$p")
+  }
+
   test("q141: scrub report reads ONLY the scrub store — zero document scans") {
     val p = plan("q141_scrub_report")
     val located = p.linesIterator.filter(_.contains("Location:")).toSeq
