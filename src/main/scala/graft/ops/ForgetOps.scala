@@ -1965,7 +1965,97 @@ object ForgetOps {
       forgetMarkerRoots = Seq(markers), expiryAuditRoots = Seq(audit))
   }
 
+  // ── q230: cell-schema evolution (append_new_columns at store layer) ──
+
+  /** The evolving per-source token-stat cells: (source, n_docs,
+    * n_tokens) at schema v1; v2 APPENDS n_alpha (total alphanumeric
+    * chars). The v2 kernel is what later landings write; pre-add deltas
+    * null-fill the new column through the evolved windowed read.
+    */
+  def statCells(d: DataFrame, withAlpha: Boolean): DataFrame = {
+    val m = d.select(col("source"),
+        graft.ops.TextOps.tokens(col("text")).as("t"))
+      .select(col("source"), size(col("t")).cast("long").as("n_tok"),
+        expr("aggregate(transform(t, x -> CAST(length(x) AS BIGINT)), " +
+          "0L, (a, x) -> a + x)").as("alpha"))
+    if (withAlpha)
+      m.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("alpha")).cast("long").as("n_alpha"))
+    else
+      m.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  def schemaEvoStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_schema_evo_v1_${storeKey(dir, "schemaevo")}"
+
+  /** Four quartile landings of the token-stat store, the first two at
+    * cell schema v1 and the last two at v2 (n_alpha appended) — landed
+    * through [[graft.streaming.StoreCompaction.writeEvolvedDelta]], so
+    * the append registers and the marker versions the store. Idempotent.
+    * Returns the delta dir.
+    */
+  def buildSchemaEvoStore(s: SparkSession, dir: String): String = {
+    val root = schemaEvoStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val w = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.StoreCompaction.writeEvolvedDelta(
+          statCells(d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            withAlpha = k >= 2),
+          deltas, k.toLong)
+      }
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q230 — CELL-SCHEMA EVOLUTION served: the reference declares
+    * `on_schema_change='append_new_columns'` for its incremental models
+    * (`int_sensor_readings_cleaned.sql:15`) and the Materializer honors
+    * it for MODEL tables; this is the same contract at the DELTA-STORE
+    * layer, versioned and enforced — the first landing registers the
+    * cell schema, an appended column bumps the marker, and type changes
+    * or drops/renames refuse loudly (ForgetSpec). The evolved windowed
+    * read null-fills the appended n_alpha for pre-add landings, so the
+    * served totals equal a recompute where the new statistic counts
+    * exactly the docs landed since the append — which is what the
+    * oracle computes (n_alpha over the upper two quartiles only).
+    */
+  val q230 = Q("q230_schema_evolution",
+    s"""WITH tk AS (
+       |  SELECT source, doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT source, doc_id, len(t) AS n_tok,
+       |    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+       |      AS BIGINT) AS alpha
+       |  FROM tk
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(CASE WHEN doc_id >=
+       |      2 * (SELECT MAX(doc_id) // 4 FROM documents) THEN alpha END), 0)
+       |    AS BIGINT) AS n_alpha
+       |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val deltas = buildSchemaEvoStore(s, dir)
+    graft.streaming.StoreCompaction.readWindowEvolved(s, deltas, lo = 0L)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        coalesce(sum(col("n_alpha")), lit(0L)).cast("long").as("n_alpha"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229)
+    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230)
 }

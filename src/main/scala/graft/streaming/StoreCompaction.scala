@@ -440,7 +440,11 @@ object StoreCompaction {
       // (bounded by key cardinality, not corpus); a row-union identity
       // store whose epochs outgrow a single file should band with a
       // larger E-to-file ratio via the bucketed appendInto layout instead
-      spark.read.parquet(sources.map(id => s"$storeDir/batch_id=$id"): _*)
+      // footer merge: an evolved store's epochs consolidate under the
+      // UNION schema, pre-add deltas null-filling appended columns —
+      // serving re-aggregates, so the fold stays value-invariant
+      spark.read.option("mergeSchema", "true")
+        .parquet(sources.map(id => s"$storeDir/batch_id=$id"): _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.getPath)
       java.nio.file.Files.write(new java.io.File(tmp, "_folded_ids").toPath,
@@ -833,6 +837,128 @@ object StoreCompaction {
     }
   }
 
+  // ── cell-schema evolution: append_new_columns at the store layer ─────
+  //
+  // The reference's incremental models declare
+  // `on_schema_change='append_new_columns'` (reference
+  // `models/intermediate/int_sensor_readings_cleaned.sql:15`) and the
+  // Materializer honors it for MODEL tables; a streamed delta store
+  // whose cell schema grows a column (a new statistic, an extra band
+  // family) needs the same discipline or old deltas either fail the
+  // read or null-fill SILENTLY through an unpinned serve. The rule,
+  // versioned and enforced: the first landing registers the cell
+  // schema in a `_cell_schema` marker; a later landing may APPEND new
+  // columns (version bumps, marker rewrites atomically) but a TYPE
+  // change or a DROPPED/RENAMED column refuses loudly — exactly dbt's
+  // append_new_columns semantics. [[readWindowEvolved]] is the
+  // schema-aware windowed serve: parquet footer merge unions the
+  // versions, pre-add deltas null-fill the appended columns (the
+  // serving fold treats null as the additive zero), and the output is
+  // pinned to the REGISTERED column set in registered order.
+
+  private val CellSchemaName = "_cell_schema"
+
+  /** The store's registered cell schema as (name, typeSql) in
+    * registration order, with its version (None if never registered).
+    */
+  def cellSchemaOf(storeDir: String): Option[(Int, Seq[(String, String)])] = {
+    val f = new java.io.File(storeDir, CellSchemaName)
+    if (!f.exists()) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty)
+      val v = lines.head.stripPrefix("v=").toInt
+      Some((v, lines.tail.map { l =>
+        val i = l.lastIndexOf(':')
+        (l.substring(0, i), l.substring(i + 1))
+      }.toSeq))
+    }
+  }
+
+  /** Validate a landing's cell schema against the store's registered
+    * one and register the evolution when legal. Returns the (possibly
+    * bumped) schema version. ADD-only: appended columns register and
+    * bump the version; a type change or a missing registered column
+    * (a drop or a rename — indistinguishable, both break old deltas'
+    * meaning) refuses loudly.
+    */
+  def registerCellSchema(storeDir: String,
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    val cols = schema.fields.filterNot(_.name == "batch_id")
+      .map(f => f.name -> f.dataType.sql).toSeq
+    cellSchemaOf(storeDir) match {
+      case None =>
+        new java.io.File(storeDir).mkdirs()
+        writeCellSchema(storeDir, 1, cols)
+        1
+      case Some((v, reg)) =>
+        val byName = cols.toMap
+        reg.foreach { case (n, t) =>
+          byName.get(n) match {
+            case None => throw new IllegalStateException(
+              s"store $storeDir cell schema v$v: landing drops (or renames) " +
+                s"registered column '$n' — schema evolution here is " +
+                "append_new_columns ONLY; a drop/rename breaks the meaning " +
+                "of every delta already landed")
+            case Some(t2) if t2 != t => throw new IllegalStateException(
+              s"store $storeDir cell schema v$v: landing changes column " +
+                s"'$n' from $t to $t2 — type changes cannot null-fill and " +
+                "refuse (rebuild the store under the new schema instead)")
+            case _ => ()
+          }
+        }
+        val added = cols.filterNot { case (n, _) => reg.exists(_._1 == n) }
+        if (added.isEmpty) v
+        else {
+          writeCellSchema(storeDir, v + 1, reg ++ added)
+          v + 1
+        }
+    }
+  }
+
+  private def writeCellSchema(storeDir: String, v: Int,
+      cols: Seq[(String, String)]): Unit = {
+    val tmp = new java.io.File(storeDir, s".$CellSchemaName.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      (s"v=$v" +: cols.map { case (n, t) => s"$n:$t" })
+        .mkString("\n").getBytes(Utf8))
+    val target = new java.io.File(storeDir, CellSchemaName)
+    target.delete()
+    require(tmp.renameTo(target), s"cell schema write $target failed")
+  }
+
+  /** One schema-validated delta landing: register/validate the cell
+    * schema (append_new_columns rule), then write the partition — the
+    * write path every evolving sink should use.
+    */
+  def writeEvolvedDelta(rows: DataFrame, storeDir: String,
+      batchId: Long): Unit = {
+    registerCellSchema(storeDir, rows.schema)
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  /** The schema-aware windowed read: [[readWindow]] with parquet footer
+    * merge, output pinned to the REGISTERED column set in registered
+    * order — deltas landed before a column was appended null-fill it
+    * (the serving fold's additive zero). Refuses on an unregistered
+    * store: an evolved serve needs the marker that says which columns
+    * are law.
+    */
+  def readWindowEvolved(spark: SparkSession, storeDir: String, lo: Long,
+      upto: Long = Long.MaxValue): DataFrame = {
+    val (_, reg) = cellSchemaOf(storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"store $storeDir has no registered cell schema — land deltas " +
+          "through writeEvolvedDelta (or registerCellSchema) before " +
+          "serving the evolved read"))
+    requireWindowServableAt(storeDir, lo, upto)
+    import org.apache.spark.sql.functions.col
+    spark.read.option("mergeSchema", "true").parquet(storeDir)
+      .filter(windowedReadFilter(storeDir, lo, upto))
+      .select(reg.map { case (n, _) => col(n) }: _*)
+  }
+
   private val ForgetHorizonName = "_forget_horizon"
 
   /** Highest positive landing present when the newest forget wave landed
@@ -1001,7 +1127,8 @@ object StoreCompaction {
       .filter(id => id > EpochFoldBase &&
         (id == BasePartition || effectiveBatch(id) <= upto) && foldable(root, id))
     if (ids.isEmpty || ids == Seq(BasePartition)) return
-    merge(spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
+    merge(spark.read.option("mergeSchema", "true")
+      .parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*))
       .write.mode("overwrite").parquet(staging.getPath)
     java.nio.file.Files.write(manifest.toPath,
       ids.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1072,7 +1199,8 @@ object StoreCompaction {
         id != BasePartition && effectiveBatch(id) <= upto && foldable(root, id))
     if (ids.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-    spark.read.parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(ids.map(id => s"$storeDir/batch_id=$id"): _*)
       .withColumn("__b", pmod(xxhash64(bucketCols.map(col): _*), lit(nBuckets.toLong)))
       .repartition(col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(staging.getPath)

@@ -1926,6 +1926,58 @@ class ForgetSpec extends AnyFunSuite {
       lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))))
   }
 
+  test("cell-schema evolution: appends version the store, type changes and drops refuse, and the evolved serve survives epoch banding bit-unchanged") {
+    import graft.ops.ForgetOps
+    val d = docs.localCheckpoint()
+    val deltas = tmpDir("graft-schema-evo") + "/deltas"
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    StoreCompaction.writeEvolvedDelta(
+      ForgetOps.statCells(d.filter(col("doc_id") < cut), withAlpha = false),
+      deltas, 0L)
+    assert(StoreCompaction.cellSchemaOf(deltas).map(_._1) === Some(1))
+    // an appended column bumps the version and registers
+    StoreCompaction.writeEvolvedDelta(
+      ForgetOps.statCells(d.filter(col("doc_id") >= cut), withAlpha = true),
+      deltas, 1L)
+    assert(StoreCompaction.cellSchemaOf(deltas) ===
+      Some((2, Seq("source" -> "STRING", "n_docs" -> "BIGINT",
+        "n_tokens" -> "BIGINT", "n_alpha" -> "BIGINT"))),
+      s"the append must version the marker: ${StoreCompaction.cellSchemaOf(deltas)}")
+
+    // refusal shapes: a type change and a drop/rename both fail loudly
+    val typeChanged = ForgetOps.statCells(d, withAlpha = false)
+      .withColumn("n_tokens", col("n_tokens").cast("double"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.writeEvolvedDelta(typeChanged, deltas, 2L)
+    }.getMessage.contains("type changes"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.writeEvolvedDelta(
+        ForgetOps.statCells(d, withAlpha = false).drop("n_tokens"), deltas, 2L)
+    }.getMessage.contains("drops (or renames)"))
+    // an unregistered store refuses the evolved serve
+    val bare = tmpDir("graft-schema-bare") + "/deltas"
+    ForgetOps.statCells(d, withAlpha = false).coalesce(1)
+      .write.parquet(s"$bare/batch_id=0")
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.readWindowEvolved(spark, bare, lo = 0L)
+    }.getMessage.contains("no registered cell schema"))
+
+    // the evolved windowed serve: pre-add deltas null-fill n_alpha, and
+    // epoch banding (footer-merge fold) leaves it bit-unchanged
+    def serve() = StoreCompaction.readWindowEvolved(spark, deltas, lo = 0L)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        coalesce(sum(col("n_alpha")), lit(0L)).as("n_alpha"))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val before = serve()
+    StoreCompaction.writeEvolvedDelta(
+      ForgetOps.statCells(d.limit(0), withAlpha = true), deltas, 2L)
+    StoreCompaction.foldEpochs(spark, deltas, epochSize = 2L, uptoBatch = 1L)
+    assert(serve() === before,
+      "banding a mixed-schema epoch must not move a served value")
+  }
+
   test("compliance ledger: cumulative rows across two waves accumulate surgical, re-election, and state metrics, ground-truthed per family") {
     import graft.streaming.{Compliance, ForgetStream}
     import graft.streaming.ForgetStream.ForgetTargets
