@@ -113,9 +113,11 @@ object CorpusStream {
     * so the streamed fold can never band or gate a doc differently from
     * batch q163. ≤ |bands|+1 SUM rows per batch, per-batchId OVERWRITE.
     */
-  def writeEvalDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeEvalDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     graft.ops.Mining.evalCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Eval-cell maintenance sink: the evaluation dashboard a curation
     * team watches (is the cheap classifier still tracking the gate?)
@@ -198,9 +200,11 @@ object CorpusStream {
         graft.queries.Det.countIf(col("doc_id") < 50).as("tgt_n"),
         graft.queries.Det.countIf(col("doc_id") >= 50).as("raw_n"))
 
-  def writeFeatureDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeFeatureDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     featureCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Feature-cell maintenance sink — q164's trainer kept current. */
   def featureCellSink(stream: DataFrame, deltaDir: String,
@@ -296,9 +300,11 @@ object CorpusStream {
     TextOps.bigramRows(batch)
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
 
-  def writeLmDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeLmDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     lmCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** LM-cell maintenance sink — the q101 fluency trainer kept current as
     * documents land, zero corpus rescans at serving time.
@@ -394,9 +400,11 @@ object CorpusStream {
     * from batch q175. ≤ |sources| SUM rows per batch, per-batchId
     * OVERWRITE.
     */
-  def writeMwDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeMwDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     graft.ops.Mining.mwCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Loss-cell maintenance sink — the domain-reweighting optimizer's
     * input kept current as documents land, zero corpus rescans when the
@@ -455,6 +463,8 @@ object CorpusStream {
     */
   def writeDivDelta(batch: DataFrame, dimDir: String, statDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.requireLandable(dimDir, batchId)
+    StoreCompaction.requireLandable(statDir, batchId)
     val w = graft.ops.Similarity.hashedVec(batch, keep = Seq("source")).localCheckpoint()
     graft.ops.Similarity.divDimCells(w).coalesce(1)
       .write.mode("overwrite").parquet(s"$dimDir/batch_id=$batchId")
@@ -542,9 +552,11 @@ object CorpusStream {
     * folded size, so a group that is small in every batch but large in
     * union is correctly safe — the audit is arrival-order invariant.
     */
-  def writeKAnonDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeKAnonDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     graft.ops.TextOps.kAnonCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** QI-cell maintenance sink — the privacy audit's input kept current
     * as documents land, zero corpus rescans at audit time.
@@ -585,10 +597,12 @@ object CorpusStream {
     * by later docs), so the per-batchId OVERWRITE partition is the whole
     * replay story and serving reads the plain union.
     */
-  def writeCsDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeCsDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     graft.ops.TextOps.windowMajorities(batch.select(col("doc_id"), col("text")))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Window-majority maintenance sink — the code-switching state kept
     * current as documents land.
@@ -650,9 +664,11 @@ object CorpusStream {
     * global argmin (doc_id, pos). Per-batchId OVERWRITE; the store grows
     * with unique window content, like the CDC chunk store.
     */
-  def writeSpanDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeSpanDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     graft.ops.Mining.spanWindowCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** One micro-batch's positional-window INVERTED-INDEX delta: DISTINCT
     * (h, doc_id) pairs over the batch's span windows — the add-only
@@ -663,9 +679,11 @@ object CorpusStream {
     * of a full survivor content pass.
     */
   def writeSpanIndexDelta(batch: DataFrame, indexDir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    StoreCompaction.requireLandable(indexDir, batchId)
     graft.ops.Mining.spanWindowIndex(batch)
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+  }
 
   /** Window-cell maintenance sink — the exact-substring duplication
     * state kept current as documents land. With `indexDir` the sink
@@ -750,6 +768,8 @@ object CorpusStream {
     */
   def writeCdcDelta(batch: DataFrame, chunkDir: String, docDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.requireLandable(chunkDir, batchId)
+    StoreCompaction.requireLandable(docDir, batchId)
     val ex = graft.ops.Dedup.cdcChunks(batch).localCheckpoint()
     graft.ops.Dedup.cdcCellsOf(ex).coalesce(1)
       .write.mode("overwrite").parquet(s"$chunkDir/batch_id=$batchId")

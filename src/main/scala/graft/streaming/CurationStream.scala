@@ -236,6 +236,8 @@ object CurationStream {
     */
   def writeWindowDelta(batch: DataFrame, fpDir: String, idxDir: String,
       batchId: Long): Unit = {
+    StoreCompaction.requireLandable(fpDir, batchId)
+    StoreCompaction.requireLandable(idxDir, batchId)
     val gated = batch
       .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
       .filter(col("keep"))

@@ -25,9 +25,11 @@ object DriftStream {
     * can never diverge from batch q126's projection. Exposed for the
     * spec's replay pin.
     */
-  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     Corpus.driftCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Cell-maintenance sink: per micro-batch, one histogram aggregate
     * into this batch's delta partition.
@@ -88,9 +90,11 @@ object DriftStream {
     * fold assigns every cell to its snapshot regardless of which batch
     * carried it.
     */
-  def writeSnapshotDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeSnapshotDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     Corpus.driftCellsBySnapshot(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Cell-maintenance sink keyed by snapshot: state is
     * O(batches × snapshots × sources × bins) cell rows, never documents;

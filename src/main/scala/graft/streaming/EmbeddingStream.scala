@@ -127,6 +127,7 @@ object EmbeddingStream {
     */
   def writeOccupancyDelta(batch: DataFrame, centroidPath: String,
       deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     val spark = batch.sparkSession
     val cents = spark.read.parquet(centroidPath)
     assignFrozen(batch, cents)

@@ -37,9 +37,11 @@ object OrderStream {
   /** Idempotent delta write: OVERWRITE this batch's partition directory.
     * Exposed for the spec's replay pin.
     */
-  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     batchCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Cell-maintenance sink: per micro-batch, write the partial cells to
     * their batch_id partition. Trigger.AvailableNow + checkpoint as in
@@ -102,9 +104,11 @@ object OrderStream {
       .groupBy("source", "w")
       .agg(count(lit(1)).cast("long").as("n_docs"))
 
-  def writeMassDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeMassDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     massCells(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Mass-cell maintenance sink — the q158 twin of [[cellSink]]. */
   def massSink(stream: DataFrame, deltaDir: String,

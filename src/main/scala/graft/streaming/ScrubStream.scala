@@ -178,11 +178,13 @@ object ScrubStream {
     * "fold" is a plain union. Containment (q185) served off the deltas
     * is therefore exact over whatever has landed, with zero rebuilds.
     */
-  def writeShingleDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeShingleDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     Dedup.positionalShingles(
         batch.filter(col("doc_id") >= 50).select(col("doc_id"), col("text")))
       .select(col("h"), col("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Inverted-index maintenance sink — q185's serving artifact kept
     * current as documents land.

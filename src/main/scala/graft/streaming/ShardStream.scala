@@ -43,9 +43,11 @@ object ShardStream {
     * Exposed for the spec's replay pin (writing the same delta twice is
     * a no-op for the served manifest).
     */
-  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit =
+  def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     batchDelta(batch).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+  }
 
   /** Manifest-maintenance sink: per micro-batch, write the partial
     * manifest to its batch_id partition. Trigger.AvailableNow +

@@ -223,6 +223,7 @@ object SketchStream {
     */
   def writeRegisterDelta(batch: DataFrame, deltaDir: String, batchId: Long,
       p: Int = 6): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     requireParamMarker(deltaDir, "_hll_p", p, writeIfAbsent = true, "p")
     Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p).coalesce(1)
       .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
@@ -249,6 +250,7 @@ object SketchStream {
     */
   def writeKmvDelta(batch: DataFrame, deltaDir: String, batchId: Long,
       k: Int = 256): Unit = {
+    StoreCompaction.requireLandable(deltaDir, batchId)
     requireParamMarker(deltaDir, "_kmv_k", k, writeIfAbsent = true, "k")
     batch
       .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))

@@ -837,6 +837,66 @@ object StoreCompaction {
     }
   }
 
+  // ── the replay-vs-maintenance MARGIN CONTRACT, made checkable ─────────
+  //
+  // Streaming sinks re-deliver the last batch(es) after a crash, and a
+  // re-landed partition is a no-op by overwrite — UNLESS maintenance
+  // already folded that batch into the base, in which case the replayed
+  // write would re-create the partition BESIDE the folded rows and every
+  // serve would double-count it. `MaintenancePolicy.keepLatestDeltas` is
+  // the mitigation (the newest K deltas never fold), but nothing
+  // enforced K ≥ the stream's replay depth. This guard is the sink-side
+  // half of the contract: every delta landing asserts its batch is
+  // still landable — not folded (whole-base or epoch) and not expired —
+  // so a replay deeper than the margin REFUSES loudly instead of
+  // double-counting, and the fix is operational (raise keepLatestDeltas
+  // to at least the checkpoint's replay depth; 1 for AvailableNow
+  // foreachBatch sinks, which re-deliver at most the last batch).
+
+  /** Refuse a landing whose batch id maintenance has already folded
+    * (the replay-depth-exceeded-margin case) or retention has already
+    * expired. Negative ids (forget landings) are guarded by their own
+    * commit-stamp protocol and skip this.
+    */
+  def requireLandable(storeDir: String, batchId: Long): Unit =
+    if (batchId >= 0) {
+      compactionHorizon(storeDir).filter(_ >= batchId).foreach { h =>
+        throw new IllegalStateException(
+          s"cannot land batch $batchId on $storeDir: maintenance already " +
+            s"folded batches up to $h into the base — this is a replay " +
+            "deeper than the keepLatestDeltas margin, and landing it would " +
+            "double-count beside the folded rows; raise keepLatestDeltas " +
+            "to at least the stream's replay depth")
+      }
+      epochSizeOf(storeDir).foreach { es =>
+        val e = batchId / es
+        if (new java.io.File(storeDir,
+            s"batch_id=${EpochFoldBase - e}").exists())
+          throw new IllegalStateException(
+            s"cannot land batch $batchId on $storeDir: epoch $e is already " +
+              "folded — a replay deeper than the banding margin would " +
+              "double-count beside the epoch partition; raise " +
+              "keepLatestDeltas to at least the stream's replay depth")
+      }
+      retentionFloor(storeDir).filter(_ > batchId).foreach { f =>
+        throw new IllegalStateException(
+          s"cannot land batch $batchId on $storeDir: retention expired " +
+            s"every landing below $f — a replayed batch this old would " +
+            "resurrect content below the floor")
+      }
+    }
+
+  /** The guarded delta landing every sink should use: assert the batch
+    * is landable ([[requireLandable]] — the margin contract), then the
+    * usual one-file overwrite partition write (replay-idempotent for
+    * any batch still inside the margin).
+    */
+  def landDelta(rows: DataFrame, storeDir: String, batchId: Long): Unit = {
+    requireLandable(storeDir, batchId)
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/batch_id=$batchId")
+  }
+
   // ── cell-schema evolution: append_new_columns at the store layer ─────
   //
   // The reference's incremental models declare
@@ -933,6 +993,7 @@ object StoreCompaction {
     */
   def writeEvolvedDelta(rows: DataFrame, storeDir: String,
       batchId: Long): Unit = {
+    requireLandable(storeDir, batchId)
     registerCellSchema(storeDir, rows.schema)
     rows.coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/batch_id=$batchId")

@@ -388,4 +388,58 @@ class SoakSpec extends AnyFunSuite {
       StoreCompaction.epochSizeOf(store) === Some(2L),
       "floor and epoch size are monotone store constants")
   }
+
+  test("soak (replay-vs-maintenance margin): a replay inside the keepLatestDeltas margin re-lands as a no-op; a replay of a folded-away batch refuses instead of double-counting") {
+    val sf = "/root/testdata/sf0.01"
+    val docs = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val nLandings = 6
+    def slice(k: Int) = {
+      val lo = if (k == 0) Long.MinValue else ids(k * ids.length / nLandings)
+      val hi = if (k == nLandings - 1) Long.MaxValue
+        else ids((k + 1) * ids.length / nLandings)
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+    val store = tmpDir("graft-soak-margin") + "/deltas"
+    (0 until nLandings).foreach(k =>
+      CorpusStream.writeLmDelta(slice(k), store, k.toLong))
+    // threshold maintenance with a margin of 2: batches 0-3 fold into
+    // the base, 4-5 stay raw (the replay-safety margin)
+    val rep = StoreCompaction.maintain(spark, store, Seq("w1", "w2"),
+      StoreCompaction.MaintenancePolicy(minorAtDeltas = 1, keepLatestDeltas = 2))
+    assert(rep.minorUpto === Some(3L) &&
+      StoreCompaction.compactionHorizon(store) === Some(3L),
+      s"the margin must keep the newest two landings raw: $rep")
+    val served = lmMap(CorpusStream.lmCountsFromDeltas(spark, store))
+    assert(served === lmMap(CorpusStream.lmCells(docs)),
+      "serving must equal the full retrain after the fold")
+
+    // a replay INSIDE the margin (the checkpoint's real re-delivery
+    // depth for AvailableNow sinks is 1): overwrite, serving unchanged
+    CorpusStream.writeLmDelta(slice(5), store, 5L)
+    CorpusStream.writeLmDelta(slice(4), store, 4L)
+    assert(lmMap(CorpusStream.lmCountsFromDeltas(spark, store)) === served,
+      "an in-margin replay must re-land as a no-op")
+
+    // a replay DEEPER than the margin targets a folded batch: refuse
+    // loudly (landing it would double-count beside the folded rows)
+    val ex = intercept[IllegalStateException] {
+      CorpusStream.writeLmDelta(slice(2), store, 2L)
+    }
+    assert(ex.getMessage.contains("keepLatestDeltas"), ex.getMessage)
+    assert(lmMap(CorpusStream.lmCountsFromDeltas(spark, store)) === served,
+      "the refused replay must leave serving untouched")
+
+    // the epoch-banded dual: batches folded into an epoch refuse the
+    // same way (and the un-banded tail keeps accepting replays)
+    val eStore = tmpDir("graft-soak-margin-epoch") + "/deltas"
+    (0 until 4).foreach(k => CorpusStream.writeLmDelta(slice(k), eStore, k.toLong))
+    StoreCompaction.foldEpochs(spark, eStore, epochSize = 2L, uptoBatch = 1L)
+    val exE = intercept[IllegalStateException] {
+      CorpusStream.writeLmDelta(slice(0), eStore, 0L)
+    }
+    assert(exE.getMessage.contains("epoch"), exE.getMessage)
+    CorpusStream.writeLmDelta(slice(3), eStore, 3L) // raw tail still lands
+  }
 }
