@@ -448,8 +448,97 @@ object CorpusRun {
         s"${expE.floor} (certificate ground-true: $certOk); windowed serve " +
         s"≡ window retrain: $windowOk4", secs = tick())
 
+    // 18. RETENTION ACROSS THE REMAINING FAMILIES: the landed asset
+    // store (payload bytes under batch_id/kind — q221's layout) and the
+    // WINDOW-MODE curation stores (q225's layout) sweep through the
+    // lifecycle on the SAME landing clock as stage 16's LM store —
+    // erasure as surgical per-doc deletes, expiry as directory drops
+    // (CERTIFIED for the payload bytes: age-based deletion of media is
+    // exactly what a licensing audit asks proof of), then the
+    // cross-stage invariants: (a) the windowed curation verdict equals
+    // a from-scratch election on the retained survivors; (b) packing
+    // and the mixture manifest RE-DERIVED from the windowed accepted
+    // set conserve exactly that set (the stage-4/6 laws re-applied
+    // after retention); (c) every windowed-accepted doc still has its
+    // payload rows in the retained asset window — the two families
+    // expired on the same clock, so curation can never ship a doc whose
+    // media already left disk.
+    val (wfpD, widxD, aStore, aAudit, wScratch) = (s"$outDir/wincur_fps",
+      s"$outDir/wincur_bands", s"$outDir/asset_ttl", s"$outDir/asset_audit",
+      s"$outDir/wincur_scratch")
+    Seq(wfpD, widxD, aStore, aAudit, wScratch)
+      .foreach(p => rmTree(new java.io.File(p)))
+    val rdocsFull = Catalog.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "source").localCheckpoint()
+    val assetsAll = spark.read.parquet(ops.Multimodal.buildAssetStore(spark, sfDir))
+    rBounds.zipWithIndex.foreach { case (hiB, k) =>
+      val loB = if (k == 0) Long.MinValue else rBounds(k - 1)
+      val in = col("doc_id") >= loB && col("doc_id") < hiB
+      graft.streaming.CurationStream.writeWindowDelta(
+        rdocsFull.filter(in), wfpD, widxD, k.toLong)
+      assetsAll.filter(in).repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite")
+        .parquet(s"$aStore/batch_id=$k")
+    }
+    val wIds = rdocsFull.filter(pmod(col("doc_id"), lit(fm)) === lit(fr))
+      .select("doc_id").localCheckpoint()
+    graft.streaming.Forget.surgicalDelete(spark, wfpD, wIds)
+    graft.streaming.Forget.surgicalDelete(spark, widxD, wIds)
+    graft.streaming.Forget.surgicalDelete(spark, aStore, wIds,
+      partCol = "batch_id", subPartBy = Seq("kind"))
+    StoreCompaction.expireBefore(wfpD, 2L)
+    StoreCompaction.expireBefore(widxD, 2L)
+    val aExp = StoreCompaction.expireBeforeCertified(spark, aStore, 2L,
+      aAudit, storeName = "asset_ttl")
+    // (a) the served window election ≡ from-scratch on retained survivors
+    val winDec = graft.streaming.CurationStream
+      .windowedDecisions(spark, wfpD, widxD, lo = 2L).localCheckpoint()
+    winDec.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wincur_decisions")
+    val winSurvivors = rdocsFull.filter(col("doc_id") >= 2 * rq &&
+      pmod(col("doc_id"), lit(fm)) =!= lit(fr))
+    graft.streaming.CurationStream.writeWindowDelta(winSurvivors,
+      s"$wScratch/fps", s"$wScratch/bands", 0L)
+    val decEqual = winDec.collect().map(_.toSeq).toSeq ==
+      graft.streaming.CurationStream.windowedDecisions(spark,
+        s"$wScratch/fps", s"$wScratch/bands", lo = 0L)
+        .collect().map(_.toSeq).toSeq
+    // (b) downstream packing + mixture manifest over the WINDOWED
+    // accepted set conserve it exactly
+    val winAccepted = winDec
+      .filter(!col("is_exact_dup") && !coalesce(col("is_band_dup"), lit(false)))
+      .select("doc_id").join(rdocsFull, Seq("doc_id")).localCheckpoint()
+    val nWinAcc = winAccepted.count()
+    val packs18 = Dedup.packAccepted(winAccepted.select("doc_id", "text"))
+      .localCheckpoint()
+    packs18.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wincur_shards")
+    val packed18 = packs18.agg(sum(col("n_docs"))).head().getLong(0)
+    val masses18 = Mining.withRenormWeight(winAccepted.select("source"))
+      .groupBy("source", "w").agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy((t: (String, Long, Long)) => t._1)
+    val sched18 = Mining.renormManifestDf(spark, masses18).localCheckpoint()
+    sched18.coalesce(1).write.mode("overwrite").parquet(s"$outDir/wincur_schedule")
+    val slot18 = sched18.agg(sum(col("n_slots"))).head().getLong(0)
+    // (c) every windowed-accepted doc keeps its payload rows in the
+    // retained asset window (same expiry clock on both families)
+    val winAssets = spark.read.parquet(aStore)
+      .filter(StoreCompaction.windowedReadFilter(aStore, 2L, Long.MaxValue))
+    val missingAssets = winAccepted.select("doc_id")
+      .join(winAssets.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .count()
+    val aCertOk = StoreCompaction.expiryCertificate(spark, aAudit)
+      .filter(col("store") === "asset_ttl" && col("action") === "landing_drop" &&
+        col("n") === 2L).count() == 1L
+    val s18 = Stage("family_retention", nWinAcc,
+      decEqual && packed18 == nWinAcc && slot18 == nWinAcc &&
+        missingAssets == 0L && aExp.droppedBatches == Seq(0L, 1L) && aCertOk,
+      s"window election ≡ survivor rerun: $decEqual; re-packed $packed18 " +
+        s"and scheduled $slot18 of $nWinAcc windowed-accepted docs; " +
+        s"$missingAssets accepted docs missing payloads; certified " +
+        s"${aExp.droppedBatches.size} payload-landing drops", secs = tick())
+
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
-      s16, s17)
+      s16, s17, s18)
   }
 
   def main(args: Array[String]): Unit = {

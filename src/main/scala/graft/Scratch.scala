@@ -1422,6 +1422,70 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "curbandprobe") {
+      // WINDOW-MODE curation banding (q225 + epoch folds): the band
+      // store holds ALL gated docs' bands (write-time pruning moved to
+      // serve time), so its partition count grows with the landing
+      // count — the exact store shape MaintenancePolicy.epochSize
+      // exists for. Measured claims: (a) the serve-time election
+      // (windowedDecisions — fp min + rep banding + keep-earliest) over
+      // the epoch-banded layout matches the raw layout BIT-IDENTICALLY
+      // (checksummed here, row-equal in ForgetSpec); (b) banding keeps
+      // the election cost flat-or-better as landings multiply 4×/16×/64×
+      // (fewer partitions + one consolidated file per epoch vs one file
+      // per landing). Landings are quarter-corpus chunks of an m×
+      // replicated corpus, as in windowprobe.
+      import graft.streaming.{CurationStream, StoreCompaction}
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text")
+      val idStride = docsT.agg(max("doc_id")).head().getLong(0) + 1L
+      val q = idStride / 4 + 1
+      Seq(1, 4, 16).foreach { m =>
+        val all = (0 until m).map(k =>
+            docsT.withColumn("doc_id", col("doc_id") + lit(k * idStride)))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val landings = 4 * m
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft-curbandprobe-$m").toString
+        val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+        time(s"cur${m}x.build_${landings}_landings") {
+          (0 until landings).foreach { k =>
+            CurationStream.writeWindowDelta(
+              all.filter(col("doc_id") >= k * q && col("doc_id") < (k + 1) * q),
+              fpD, idxD, k.toLong)
+          }
+          landings.toLong
+        }
+        def checksum(): Long = {
+          val r = CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+            .agg(count(lit(1)),
+              sum(coalesce(col("n_earlier"), lit(0L))),
+              sum(when(col("is_exact_dup"), 1L).otherwise(0L)),
+              sum(when(coalesce(col("is_band_dup"), lit(false)), 1L).otherwise(0L)))
+            .head()
+          r.getLong(0) + 31L * r.getLong(1) + 1009L * r.getLong(2) +
+            7919L * r.getLong(3)
+        }
+        var rawSum = 0L
+        time(s"cur${m}x.raw_election_${landings}_parts") {
+          rawSum = checksum(); rawSum
+        }
+        time(s"cur${m}x.fold_epochs_e4") {
+          (StoreCompaction.foldEpochs(spark, fpD, 4L,
+            uptoBatch = landings - 1L).size +
+            StoreCompaction.foldEpochs(spark, idxD, 4L,
+              uptoBatch = landings - 1L).size).toLong
+        }
+        time(s"cur${m}x.banded_election_${landings / 4}_epochs") {
+          val s = checksum()
+          require(s == rawSum,
+            s"banded election diverged from raw: $s != $rawSum")
+          s
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "maintprobe") {
       // Steady-state maintenance cost: land L deltas one at a time and run
       // the threshold policy after EVERY landing — the per-pass cost must

@@ -1926,6 +1926,49 @@ class ForgetSpec extends AnyFunSuite {
       lmMap(CorpusStream.lmCells(d.filter(col("doc_id") >= bounds(1)))))
   }
 
+  test("window-mode curation banding: epoch folds on both stores leave the served election row-identical, and whole-epoch expiry re-scopes it to the retained window") {
+    graft.functions.ShingleHashes.register(spark)
+    val d = docs.localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val root = tmpDir("graft-wincur-band")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    val n = 8
+    def bound(k: Int): Long =
+      if (k >= n) Long.MaxValue else ids(k * ids.length / n)
+    (0 until n).foreach { k =>
+      val lo = if (k == 0) Long.MinValue else bound(k)
+      CurationStream.writeWindowDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < bound(k + 1)),
+        fpD, idxD, k.toLong)
+    }
+    def dec(lo: Long) = CurationStream.windowedDecisions(spark, fpD, idxD, lo)
+      .collect().map(_.toSeq).toSeq
+    val raw = dec(0L)
+    // band BOTH stores at epoch size 4: 8 landings → 2 epochs each
+    assert(StoreCompaction.foldEpochs(spark, fpD, 4L, uptoBatch = 7L) ===
+      Seq(0L, 1L))
+    assert(StoreCompaction.foldEpochs(spark, idxD, 4L, uptoBatch = 7L) ===
+      Seq(0L, 1L))
+    assert(dec(0L) === raw,
+      "the banded layout must serve the identical election row for row")
+    // a misaligned window refuses; the aligned one serves
+    assert(intercept[IllegalStateException](dec(2L))
+      .getMessage.contains("partially"))
+    // whole-epoch expiry: ONE directory drop per store, election
+    // re-scoped to the retained window ≡ from-scratch on its docs
+    assert(StoreCompaction.expireBefore(fpD, 4L).droppedBatches ===
+      Seq(StoreCompaction.EpochFoldBase))
+    assert(StoreCompaction.expireBefore(idxD, 4L).droppedBatches ===
+      Seq(StoreCompaction.EpochFoldBase))
+    val scratch = tmpDir("graft-wincur-band-scratch")
+    CurationStream.writeWindowDelta(d.filter(col("doc_id") >= bound(4)),
+      s"$scratch/fps", s"$scratch/bands", 0L)
+    assert(dec(4L) === CurationStream.windowedDecisions(spark,
+        s"$scratch/fps", s"$scratch/bands", lo = 0L)
+      .collect().map(_.toSeq).toSeq,
+      "the retained epoch must elect exactly the from-scratch window verdicts")
+  }
+
   test("cell-schema evolution: appends version the store, type changes and drops refuse, and the evolved serve survives epoch banding bit-unchanged") {
     import graft.ops.ForgetOps
     val d = docs.localCheckpoint()
