@@ -1816,7 +1816,7 @@ object ForgetOps {
   }
 
   def curationAmendStorePath(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_cur_amend_v1_${storeKey(dir, "curamend")}"
+    s"${sys.props("java.io.tmpdir")}/graft_cur_amend_v2_${storeKey(dir, "curamend")}"
 
   /** Four quartile landings through the MATERIALIZED curation family
     * ([[graft.streaming.CurationStream.processBatch]]), then batch 1
@@ -1842,7 +1842,8 @@ object ForgetOps {
           Some(s"$root/accepted"), Some(s"$root/quarantine"))
       }
       graft.streaming.Amend.amendCurationBatch(s, root, batch,
-        batchId = 1L, correctiveId = 4L)
+        batchId = 1L, correctiveId = 4L,
+        audit = Some((s"$root/amend_audit", "curation")))
       marker.createNewFile()
     }
     root
@@ -2055,7 +2056,39 @@ object ForgetOps {
       .orderBy("source")
   }
 
+  /** q231 — the AMENDMENT LEG of the compliance ledger: corrections are
+    * audited like erasure and expiry. q228's amendment writes its
+    * certificate BEFORE the mutation (the expiry-certificate discipline
+    * — proof never loses a race with the change it proves) and
+    * first-writer-wins (a replayed amendment must not overwrite the
+    * original record with its no-op numbers); the ledger accumulates
+    * distinct amendments and their erased/landed masses per store. The
+    * oracle derives both masses from the corpus alone: the old landing
+    * was the full second quartile, the corrected batch its docs with
+    * doc_id % 3 ≠ 2.
+    */
+  val q231 = Q("q231_amendment_ledger",
+    s"""SELECT store, metric, CAST(value AS BIGINT) AS value FROM (
+       |  VALUES
+       |    ('curation', 'amended_docs_erased',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |       WHERE doc_id >= (SELECT MAX(doc_id) // 4 FROM documents)
+       |         AND doc_id < 2 * (SELECT MAX(doc_id) // 4 FROM documents))),
+       |    ('curation', 'amended_rows_landed',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |       WHERE doc_id >= (SELECT MAX(doc_id) // 4 FROM documents)
+       |         AND doc_id < 2 * (SELECT MAX(doc_id) // 4 FROM documents)
+       |         AND doc_id % 3 <> 2)),
+       |    ('curation', 'amendments', CAST(1 AS BIGINT))
+       |) AS t(store, metric, value)
+       |ORDER BY store, metric""".stripMargin) { (s, dir) =>
+    graft.functions.ShingleHashes.register(s)
+    val root = buildCurationAmendStore(s, dir)
+    graft.streaming.Compliance.ledger(s, Nil,
+      amendAuditRoots = Seq(s"$root/amend_audit"))
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230)
+    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231)
 }

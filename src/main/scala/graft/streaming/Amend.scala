@@ -57,6 +57,40 @@ import graft.ops.{Corpus, Dedup, TextOps}
   */
 object Amend {
 
+  // ── the AMENDMENT CERTIFICATE: corrections audited like erasure ──────
+  //
+  // A licensing or provenance review asks the same question of a
+  // correction it asks of a deletion: WHAT was replaced, WHEN, and how
+  // much. Each amendment entry point takes an optional audit target and
+  // writes one certificate row set under
+  // `auditRoot/store=<name>/amend=<batchId>` with the PRE-COMPUTABLE
+  // numbers (old rows erased, corrected rows landed) — written BEFORE
+  // the mutation (the expiry-certificate lesson: proof must not be able
+  // to lose a race with the change it proves) and FIRST-WRITER-WINS (a
+  // replayed amendment sees the old landing already gone and must not
+  // overwrite the original record with its no-op numbers). The
+  // cumulative view is [[Compliance.ledger]]'s `amendAuditRoots` leg.
+
+  private[graft] def certifyAmendment(spark: SparkSession,
+      audit: Option[(String, String)], batchId: Long,
+      rows: Seq[(String, Long, String)]): Unit =
+    audit.foreach { case (root, name) =>
+      val dir = new java.io.File(s"$root/store=$name/amend=$batchId")
+      if (!dir.exists()) {
+        import spark.implicits._
+        rows.toDF("action", "n", "detail").coalesce(1)
+          .write.mode("overwrite").parquet(dir.getPath)
+      }
+    }
+
+  /** The persisted amendment certificates under `auditRoot`; `store`
+    * and `amend` (the amended batch id) ride as partition columns.
+    */
+  def amendmentCertificate(spark: SparkSession, auditRoot: String): DataFrame =
+    spark.read.parquet(auditRoot)
+      .select(col("store").cast("string"), col("amend").cast("long"),
+        col("action"), col("n"), col("detail"))
+
   /** Refusal shapes shared by every partition-overwrite amendment: the
     * landing must still exist as ITS OWN partition, and no cross-batch
     * correction computed against the OLD content may be in flight.
@@ -128,11 +162,18 @@ object Amend {
     * partition bytes).
     */
   def amendSumCells(t: Forget.SumCellTarget, corrected: DataFrame,
-      batchId: Long): Unit = StoreCompaction.withLease(t.deltaDir) {
-    requireAmendable(t.deltaDir, batchId)
-    t.cells(corrected).coalesce(1).write.mode("overwrite")
-      .parquet(s"${t.deltaDir}/batch_id=$batchId")
-  }
+      batchId: Long,
+      audit: Option[(String, String)] = None): Unit =
+    StoreCompaction.withLease(t.deltaDir) {
+      requireAmendable(t.deltaDir, batchId)
+      val cells = t.cells(corrected).localCheckpoint()
+      certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+        ("batch_amended", 1L, "sum-cell landing partition replaced"),
+        ("corrected_cells_landed", cells.count(),
+          "cells of the corrected content, replacing the old landing's")))
+      cells.coalesce(1).write.mode("overwrite")
+        .parquet(s"${t.deltaDir}/batch_id=$batchId")
+    }
 
   /** Amend a per-doc identity store's landing: `rows` is the store's
     * own per-batch row kernel applied to the corrected content (the
@@ -158,10 +199,15 @@ object Amend {
     * expires the corrected content on the original batch's clock.
     */
   def amendWindowCuration(corrected: DataFrame, fpDir: String,
-      idxDir: String, batchId: Long): Unit =
+      idxDir: String, batchId: Long,
+      audit: Option[(String, String)] = None): Unit =
     StoreCompaction.withLeases(Seq(fpDir, idxDir)) {
       requireAmendable(fpDir, batchId)
       requireAmendable(idxDir, batchId)
+      certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+        ("batch_amended", 1L, "window-mode landing partitions replaced"),
+        ("corrected_docs_landed", corrected.count(),
+          "corrected batch rows whose per-doc fp and band rows re-landed")))
       CurationStream.writeWindowDelta(corrected, fpDir, idxDir, batchId)
     }
 
@@ -391,7 +437,8 @@ object Amend {
     */
   def amendCurationBatch(spark: SparkSession, root: String,
       corrected: DataFrame, batchId: Long,
-      correctiveId: Long): CurationAmendReport = {
+      correctiveId: Long,
+      audit: Option[(String, String)] = None): CurationAmendReport = {
     def landingDocs(dir: String): Option[DataFrame] = {
       val part = new java.io.File(dir, s"batch_id=$batchId")
       if (part.exists()) Some(spark.read.parquet(part.getPath).select("doc_id"))
@@ -402,6 +449,12 @@ object Amend {
       .reduceOption(_ unionByName _)
       .map(_.distinct().localCheckpoint())
     val nOld = oldIds.map(_.count()).getOrElse(0L)
+    certifyAmendment(spark, audit, batchId, Seq(
+      ("batch_amended", 1L, "materialized curation landing re-elected"),
+      ("old_docs_erased", nOld,
+        "the original landing's docs forgotten with two-level re-election"),
+      ("corrected_docs_landed", corrected.count(),
+        "corrected batch rows landed through the id-ordered insert")))
     if (nOld > 0L)
       Forget.forgetFromCurationStores(spark, root, oldIds.get, correctiveId)
     landCurationReelected(spark, root, corrected, correctiveId + 1)

@@ -35,6 +35,9 @@ object Compliance {
     *  - `landings_dropped` / `split_negatives_dropped` /
     *    `epochs_dropped` / `bases_dropped`: Σ expired partitions per
     *    action class; `files_dropped`: Σ data files deleted by expiry;
+    *  - `amendments` / `amended_docs_erased` / `amended_rows_landed`:
+    *    distinct corrected-content landings and their certificate sums
+    *    ([[Amend.certifyAmendment]]'s audit store);
     *  - `current_floor` (−1 when never expired) and `live_pins`: the
     *    store's live state markers, always emitted.
     *
@@ -44,7 +47,8 @@ object Compliance {
     */
   def ledger(spark: SparkSession, stores: Seq[(String, String)],
       forgetMarkerRoots: Seq[String] = Nil,
-      expiryAuditRoots: Seq[String] = Nil): DataFrame = {
+      expiryAuditRoots: Seq[String] = Nil,
+      amendAuditRoots: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val lookup = stores.toDF("__name", "__dir")
 
@@ -97,6 +101,26 @@ object Compliance {
       Seq(floors, acts, files)
     }
 
+    val aRoots = amendAuditRoots.filter(p => new java.io.File(p).exists())
+    val amendRows = if (aRoots.isEmpty) Nil else {
+      val ar = spark.read.parquet(aRoots: _*)
+        .select(col("store").cast("string").as("store"),
+          col("amend").cast("long").as("amend"), col("action"), col("n"))
+      val counts = ar.groupBy("store")
+        .agg(countDistinct(col("amend")).as("value"))
+        .select(col("store"), lit("amendments").as("metric"), col("value"))
+      val acts = ar.withColumn("metric",
+          when(col("action") === "old_docs_erased", "amended_docs_erased")
+            .when(col("action") === "corrected_docs_landed" ||
+              col("action") === "corrected_cells_landed",
+              "amended_rows_landed"))
+        .filter(col("metric").isNotNull)
+        .groupBy("store", "metric")
+        .agg(sum(col("n")).cast("long").as("value"))
+        .select("store", "metric", "value")
+      Seq(counts, acts)
+    }
+
     // live state markers: |stores| tiny driver-side file reads, the
     // registry-statistics pattern — never a data scan
     val state = stores.flatMap { case (n, d) =>
@@ -105,7 +129,7 @@ object Compliance {
         (n, "live_pins", StoreCompaction.livePins(d).size.toLong))
     }.toDF("store", "metric", "value")
 
-    (forgetRows ++ expiryRows :+ state)
+    (forgetRows ++ expiryRows ++ amendRows :+ state)
       .reduce(_ unionByName _)
       .orderBy("store", "metric")
   }

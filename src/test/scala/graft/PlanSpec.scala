@@ -72,6 +72,21 @@ class PlanSpec extends AnyFunSuite {
       s"the ledger must never re-read the corpus or the cell store:\n$p")
   }
 
+  test("q227/q228: amended curation serves off the stores alone — the window election reads the two window stores, the materialized family reads its decisions store") {
+    val p227 = plan("q227_amend_curation_window")
+    val loc227 = p227.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(loc227.nonEmpty && loc227.forall(_.contains("graft_cur_amend_ttl")),
+      s"the window election must read only the window-mode stores:\n${loc227.mkString("\n")}")
+    assert(!p227.contains("documents.parquet"),
+      s"serving an amended window must never re-read the corpus:\n$p227")
+    val p228 = plan("q228_amend_curation")
+    val loc228 = p228.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(loc228.nonEmpty &&
+      loc228.forall(l => l.contains("graft_cur_amend_v") && l.contains("decisions")),
+      s"the amended family must serve as a pure decisions-store read:\n${loc228.mkString("\n")}")
+    assert(!p228.contains("documents.parquet"), p228)
+  }
+
   test("q141: scrub report reads ONLY the scrub store — zero document scans") {
     val p = plan("q141_scrub_report")
     val located = p.linesIterator.filter(_.contains("Location:")).toSeq
