@@ -183,11 +183,25 @@ object Amend {
     * asset payloads).
     */
   def amendIdentityLanding(storeDir: String, rows: DataFrame,
-      batchId: Long): Unit = StoreCompaction.withLease(storeDir) {
-    requireAmendable(storeDir, batchId)
-    rows.coalesce(1).write.mode("overwrite")
-      .parquet(s"$storeDir/batch_id=$batchId")
-  }
+      batchId: Long, subPartBy: Seq[String] = Nil,
+      audit: Option[(String, String)] = None): Unit =
+    StoreCompaction.withLease(storeDir) {
+      requireAmendable(storeDir, batchId)
+      certifyAmendment(rows.sparkSession, audit, batchId, Seq(
+        ("batch_amended", 1L, "identity landing partition replaced"),
+        ("corrected_docs_landed", rows.count(),
+          "corrected per-doc rows, replacing the old landing's")))
+      val w =
+        (if (subPartBy.nonEmpty) rows.repartition(subPartBy.map(col): _*)
+         else rows.coalesce(1)).write.mode("overwrite")
+      // `subPartBy` preserves a nested partition axis through the
+      // amendment (the landed asset store is batch_id=N/kind=K: a
+      // payload correction re-lands the batch with the kind directories
+      // intact, so family scans stay partition-pruned — the
+      // surgicalDelete contract applied to corrections)
+      (if (subPartBy.nonEmpty) w.partitionBy(subPartBy: _*) else w)
+        .parquet(s"$storeDir/batch_id=$batchId")
+    }
 
   /** Amend a WINDOW-MODE curation landing ([[CurationStream
     * .writeWindowDelta]]'s layout): overwrite the batch's per-doc fp
@@ -460,4 +474,76 @@ object Amend {
     landCurationReelected(spark, root, corrected, correctiveId + 1)
       .copy(nOldDocs = nOld)
   }
+
+  // ── STREAMED amendments: corrections as a request stream ─────────────
+  //
+  // The forgetSink discipline applied to corrections: amendment
+  // requests land as files — rows of (amend_batch, doc_id, text,
+  // source), one row per corrected doc, `amend_batch` naming the
+  // landing being corrected — and each micro-batch applies
+  // [[amendCurationBatch]] per targeted landing. Replay safety is the
+  // forget sink's: a `_amend_<requestBatch>` marker commits after the
+  // batch's amendments complete and replays skip on it (each
+  // amendCurationBatch pass is itself convergent, so the marker is an
+  // optimization AND the guard against re-running the forget leg with
+  // a drifted corrective id).
+
+  /** Reserved corrective-partition base for streamed amendments — far
+    * above any ingest landing id (landings stay below
+    * [[StoreCompaction.SplitStride]]), so the two id spaces never
+    * collide and the corrective ids are DETERMINISTIC under replay
+    * (request batch r, k-th targeted landing → base + 2·(16·r + k),
+    * two ids per amendment: forget correctives and insert correctives).
+    */
+  val AmendCorrectiveBase = 500000000L
+
+  /** File-source amendment-request stream. */
+  def readAmendStream(spark: SparkSession, requestDir: String): DataFrame =
+    spark.readStream
+      .schema("amend_batch LONG, doc_id LONG, text STRING, source STRING")
+      .parquet(requestDir)
+
+  /** One request batch's amendments over a materialized curation
+    * family — exposed for the replay pin. Landings amend in ascending
+    * order with deterministic corrective ids; the marker commits last.
+    */
+  def processAmendBatch(batch: DataFrame, root: String, markerRoot: String,
+      batchId: Long, audit: Option[(String, String)] = None): Unit = {
+    val spark = batch.sparkSession
+    new java.io.File(markerRoot).mkdirs()
+    val marker = new java.io.File(markerRoot, s"_amend_$batchId")
+    if (marker.exists()) return
+    val targets = batch.select(col("amend_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    require(targets.length <= 16,
+      s"amendment request batch $batchId targets ${targets.length} landings; " +
+        "the deterministic corrective-id window allows 16 per request batch")
+    targets.zipWithIndex.foreach { case (b, k) =>
+      amendCurationBatch(spark, root,
+        batch.filter(col("amend_batch") === b)
+          .select("doc_id", "text", "source"),
+        batchId = b,
+        correctiveId = AmendCorrectiveBase + 2L * (16L * batchId + k),
+        audit = audit)
+      ()
+    }
+    marker.createNewFile()
+    ()
+  }
+
+  /** The amendment sink: Trigger.AvailableNow + checkpoint like the
+    * forget twin. `markerRoot` should live beside the checkpoint.
+    */
+  def amendSink(stream: DataFrame, root: String, markerRoot: String,
+      checkpointDir: String,
+      audit: Option[(String, String)] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName("amendment_requests")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAmendBatch(batch, root, markerRoot, batchId, audit)
+        ()
+      }
+      .start()
 }

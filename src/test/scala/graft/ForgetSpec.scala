@@ -2146,6 +2146,58 @@ class ForgetSpec extends AnyFunSuite {
         "window election must equal the from-scratch kernel on the rest")
   }
 
+  test("asset-landing amendment: a payload correction re-lands one batch with the kind axis intact, untouched landings keep their bytes, and the windowed payloads equal a corrected rebuild") {
+    import graft.streaming.Amend
+    val d = docs.localCheckpoint()
+    val store = tmpDir("graft-asset-amend") + "/assets"
+    val sfAssets = spark.read
+      .parquet(graft.ops.Multimodal.buildAssetStore(spark, sf))
+      .localCheckpoint()
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val bounds = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4), Long.MaxValue)
+    bounds.zipWithIndex.foreach { case (hi, k) =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      sfAssets.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(col("kind"))
+        .write.partitionBy("kind").mode("overwrite")
+        .parquet(s"$store/batch_id=$k")
+    }
+    def mtimes() = batchIdsOf(store).map(id =>
+      id -> new java.io.File(s"$store/batch_id=$id").lastModified()).toMap
+    val before = mtimes()
+    // the correction: landing 1's re-encode dropped every odd doc's
+    // payloads (a decoder fix rejected them) — re-land the batch
+    val corrected = sfAssets
+      .filter(col("doc_id") >= bounds(0) && col("doc_id") < bounds(1) &&
+        pmod(col("doc_id"), lit(2L)) === lit(0L))
+      .localCheckpoint()
+    val audit = tmpDir("graft-asset-amend-audit")
+    Amend.amendIdentityLanding(store, corrected, 1L,
+      subPartBy = Seq("kind"), audit = Some((audit, "assets")))
+    val after = mtimes()
+    assert(Seq(0L, 2L, 3L).forall(id => before(id) == after(id)),
+      "landings the correction does not target must never be touched")
+    val kinds = Option(new java.io.File(s"$store/batch_id=1").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory && f.getName.startsWith("kind="))
+    assert(kinds.size === 6,
+      s"the amendment must preserve the kind axis: ${kinds.map(_.getName).sorted}")
+    // the full store now equals the corrected rebuild, byte for byte
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("kind"), md5(col("payload")).as("h"))
+      .orderBy("doc_id", "kind").collect().map(_.toSeq).toSeq
+    val rebuilt = sfAssets.filter(col("doc_id") < bounds(0) ||
+      col("doc_id") >= bounds(1) ||
+      pmod(col("doc_id"), lit(2L)) === lit(0L))
+    assert(sig(spark.read.parquet(store)) === sig(rebuilt),
+      "the amended store's payload bytes must equal the corrected rebuild")
+    // the certificate landed with the pre-computable mass
+    val cert = graft.streaming.Amend.amendmentCertificate(spark, audit)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(cert("corrected_docs_landed") === corrected.count(),
+      s"certificate must carry the corrected payload-row mass: $cert")
+  }
+
   test("materialized curation amendment: ownership steals demote the later copy, the amended keeper's family re-elects, and a replayed amendment converges") {
     import graft.streaming.Amend
     graft.functions.ShingleHashes.register(spark)

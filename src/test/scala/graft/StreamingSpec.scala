@@ -3437,4 +3437,63 @@ class StreamingSpec extends AnyFunSuite {
       tbl(CorpusStream.lmCells(docs.filter(pmod(col("doc_id"), lit(nLand.toLong)) <= 3L))),
       "pinned serving must survive every hook-driven fold bit-identically")
   }
+
+  test("amendment stream: corrections land as a request stream, the family re-elects per targeted landing, and a replayed request batch is a no-op") {
+    import graft.streaming.{Amend, CurationStream}
+    graft.functions.ShingleHashes.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val (corrected, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = corrected.localCheckpoint(); val c = corpus.localCheckpoint()
+    val d = Catalog.table(spark, sf, "documents")
+      .select("doc_id", "text", "source").localCheckpoint()
+    val root = tmpDir("graft-amend-stream")
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CurationStream.processBatch(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        s"$root/fp", s"$root/index", s"$root/decisions", k.toLong,
+        Some(s"$root/accepted"), Some(s"$root/quarantine"))
+    }
+    val (landing, markers, checkpoint, audit) = (tmpDir("graft-amend-req"),
+      tmpDir("graft-amend-markers"), tmpDir("graft-amend-ck"),
+      tmpDir("graft-amend-audit"))
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("graft-amend-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
+    }
+    land(b.select(lit(1L).as("amend_batch"), col("doc_id"), col("text"),
+      col("source")), "corrections.parquet")
+    Amend.amendSink(Amend.readAmendStream(spark, landing), root, markers,
+      checkpoint, audit = Some((audit, "curation"))).awaitTermination()
+
+    def decTable() = CurationStream.decisions(spark, s"$root/decisions")
+      .collect().map(_.toSeq).toSeq
+    val scratch = tmpDir("graft-amend-stream-scratch")
+    CurationStream.processBatch(c, s"$scratch/fp", s"$scratch/index",
+      s"$scratch/decisions", 0L, None, None)
+    val after = decTable()
+    assert(after === CurationStream.decisions(spark, s"$scratch/decisions")
+      .collect().map(_.toSeq).toSeq,
+      "the streamed amendment must equal the from-scratch corrected build")
+    assert(new java.io.File(markers, "_amend_0").exists(),
+      "the request marker must commit after the amendments")
+    // the certificate carries the pre-computable masses, first-writer-wins
+    val cert = Amend.amendmentCertificate(spark, audit)
+      .filter(col("store") === "curation" && col("amend") === 1L)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(cert("old_docs_erased") > 0L &&
+      cert("corrected_docs_landed") === b.count(), s"certificate: $cert")
+    // replay: a fresh checkpoint re-delivers the same file as batch 0 —
+    // the marker skips it and not a verdict moves
+    Amend.amendSink(Amend.readAmendStream(spark, landing), root, markers,
+      tmpDir("graft-amend-ck2"), audit = Some((audit, "curation")))
+      .awaitTermination()
+    assert(decTable() === after, "a replayed request batch must be a no-op")
+    assert(Amend.amendmentCertificate(spark, audit).count() === 3L,
+      "the replay must not re-certify")
+  }
 }
