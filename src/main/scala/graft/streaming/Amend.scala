@@ -497,35 +497,70 @@ object Amend {
     */
   val AmendCorrectiveBase = 500000000L
 
+  /** One per-doc identity store as a streamed-amendment target: `rows`
+    * is the store's own per-batch row kernel (the frame its sink
+    * writes), `subPartBy` a nested partition axis to preserve (the
+    * asset store's `kind`).
+    */
+  case class IdentityAmendTarget(name: String, storeDir: String,
+      rows: DataFrame => DataFrame, subPartBy: Seq[String] = Nil)
+
+  /** Which store families an amendment request stream corrects —
+    * [[ForgetStream.ForgetTargets]]' mirror for corrections: any subset
+    * of the materialized curation family (erase + id-ordered re-electing
+    * insert), the window-mode curation pair (overwrite, serve-time
+    * re-election), SUM-cell stores by their own cell kernels (one
+    * partition overwrite each), and per-doc identity stores.
+    */
+  case class AmendTargets(
+      curationRoot: Option[String] = None,
+      windowCuration: Option[(String, String)] = None,
+      sumCellStores: Seq[(String, Forget.SumCellTarget)] = Nil,
+      identityStores: Seq[IdentityAmendTarget] = Nil)
+
   /** File-source amendment-request stream. */
   def readAmendStream(spark: SparkSession, requestDir: String): DataFrame =
     spark.readStream
       .schema("amend_batch LONG, doc_id LONG, text STRING, source STRING")
       .parquet(requestDir)
 
-  /** One request batch's amendments over a materialized curation
-    * family — exposed for the replay pin. Landings amend in ascending
-    * order with deterministic corrective ids; the marker commits last.
+  /** One request batch's amendments across every target family —
+    * exposed for the replay pin. Landings amend in ascending order with
+    * deterministic corrective ids; the marker commits last, and each
+    * family certifies under its own name when `auditRoot` is given.
     */
-  def processAmendBatch(batch: DataFrame, root: String, markerRoot: String,
-      batchId: Long, audit: Option[(String, String)] = None): Unit = {
+  def processAmendBatch(batch: DataFrame, targets: AmendTargets,
+      markerRoot: String, batchId: Long,
+      auditRoot: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     new java.io.File(markerRoot).mkdirs()
     val marker = new java.io.File(markerRoot, s"_amend_$batchId")
     if (marker.exists()) return
-    val targets = batch.select(col("amend_batch").cast("long"))
+    val amended = batch.select(col("amend_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
-    require(targets.length <= 16,
-      s"amendment request batch $batchId targets ${targets.length} landings; " +
+    require(amended.length <= 16,
+      s"amendment request batch $batchId targets ${amended.length} landings; " +
         "the deterministic corrective-id window allows 16 per request batch")
-    targets.zipWithIndex.foreach { case (b, k) =>
-      amendCurationBatch(spark, root,
-        batch.filter(col("amend_batch") === b)
-          .select("doc_id", "text", "source"),
-        batchId = b,
-        correctiveId = AmendCorrectiveBase + 2L * (16L * batchId + k),
-        audit = audit)
-      ()
+    amended.zipWithIndex.foreach { case (b, k) =>
+      val slice = batch.filter(col("amend_batch") === b)
+        .select("doc_id", "text", "source").localCheckpoint()
+      targets.sumCellStores.foreach { case (n, t) =>
+        amendSumCells(t, slice, b, audit = auditRoot.map((_, n)))
+      }
+      targets.windowCuration.foreach { case (fp, idx) =>
+        amendWindowCuration(slice, fp, idx, b,
+          audit = auditRoot.map((_, "curation_window")))
+      }
+      targets.identityStores.foreach { it =>
+        amendIdentityLanding(it.storeDir, it.rows(slice), b,
+          subPartBy = it.subPartBy, audit = auditRoot.map((_, it.name)))
+      }
+      targets.curationRoot.foreach { root =>
+        amendCurationBatch(spark, root, slice, batchId = b,
+          correctiveId = AmendCorrectiveBase + 2L * (16L * batchId + k),
+          audit = auditRoot.map((_, "curation")))
+        ()
+      }
     }
     marker.createNewFile()
     ()
@@ -534,15 +569,15 @@ object Amend {
   /** The amendment sink: Trigger.AvailableNow + checkpoint like the
     * forget twin. `markerRoot` should live beside the checkpoint.
     */
-  def amendSink(stream: DataFrame, root: String, markerRoot: String,
+  def amendSink(stream: DataFrame, targets: AmendTargets, markerRoot: String,
       checkpointDir: String,
-      audit: Option[(String, String)] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      auditRoot: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .queryName("amendment_requests")
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processAmendBatch(batch, root, markerRoot, batchId, audit)
+        processAmendBatch(batch, targets, markerRoot, batchId, auditRoot)
         ()
       }
       .start()

@@ -2096,6 +2096,18 @@ class ForgetSpec extends AnyFunSuite {
     assert(lmMap(Forget.lmCountsAfterForget(spark, sA)) === retrain,
       "a replayed amendment must rewrite identical state")
 
+    // the fold algebra serves the corrected slice EVERYWHERE the batch
+    // qualifies: a pinned read at the amended batch equals the corrected
+    // corpus's prefix retrain, and after the batches below it expire the
+    // windowed serve equals the corrected window retrain
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sA, upto = 1L)) ===
+      lmMap(CorpusStream.lmCells(c.filter(col("doc_id") < 2 * w))),
+      "a pinned read covering the amendment must serve the corrected slice")
+    StoreCompaction.expireBefore(sA, 1L)
+    assert(lmMap(Forget.lmCountsAfterForgetWindow(spark, sA, lo = 1L)) ===
+      lmMap(CorpusStream.lmCells(c.filter(col("doc_id") >= w))),
+      "the corrected landing must window on its original age")
+
     // ── refusal shapes ──
     // split negatives at the amended source batch: stale negation
     val exSplit = intercept[IllegalStateException] {

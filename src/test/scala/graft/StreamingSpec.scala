@@ -3439,7 +3439,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("amendment stream: corrections land as a request stream, the family re-elects per targeted landing, and a replayed request batch is a no-op") {
-    import graft.streaming.{Amend, CurationStream}
+    import graft.streaming.{Amend, CorpusStream, CurationStream}
     graft.functions.ShingleHashes.register(spark)
     val sf = "/root/testdata/sf0.001"
     val (corrected, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
@@ -3465,10 +3465,22 @@ class StreamingSpec extends AnyFunSuite {
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
       Files.move(part.toPath, java.nio.file.Paths.get(landing, name))
     }
+    // a SUM-cell co-target: the LM store amends in the same wave
+    val lmStore = tmpDir("graft-amend-stream-lm") + "/deltas"
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CorpusStream.writeLmDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), lmStore, k.toLong)
+    }
+    val targets = Amend.AmendTargets(curationRoot = Some(root),
+      sumCellStores = Seq("lm" -> graft.streaming.Forget.lmCellTarget(lmStore)))
     land(b.select(lit(1L).as("amend_batch"), col("doc_id"), col("text"),
       col("source")), "corrections.parquet")
-    Amend.amendSink(Amend.readAmendStream(spark, landing), root, markers,
-      checkpoint, audit = Some((audit, "curation"))).awaitTermination()
+    Amend.amendSink(Amend.readAmendStream(spark, landing), targets, markers,
+      checkpoint, auditRoot = Some(audit)).awaitTermination()
+    assert(CorpusStream.lmCountsFromDeltas(spark, lmStore)
+        .collect().map(_.toSeq).toSet ===
+      CorpusStream.lmCells(c).collect().map(_.toSeq).toSet,
+      "the co-targeted SUM-cell store must serve the corrected retrain")
 
     def decTable() = CurationStream.decisions(spark, s"$root/decisions")
       .collect().map(_.toSeq).toSeq
@@ -3489,11 +3501,11 @@ class StreamingSpec extends AnyFunSuite {
       cert("corrected_docs_landed") === b.count(), s"certificate: $cert")
     // replay: a fresh checkpoint re-delivers the same file as batch 0 —
     // the marker skips it and not a verdict moves
-    Amend.amendSink(Amend.readAmendStream(spark, landing), root, markers,
-      tmpDir("graft-amend-ck2"), audit = Some((audit, "curation")))
+    Amend.amendSink(Amend.readAmendStream(spark, landing), targets, markers,
+      tmpDir("graft-amend-ck2"), auditRoot = Some(audit))
       .awaitTermination()
     assert(decTable() === after, "a replayed request batch must be a no-op")
-    assert(Amend.amendmentCertificate(spark, audit).count() === 3L,
-      "the replay must not re-certify")
+    assert(Amend.amendmentCertificate(spark, audit).count() === 5L,
+      "the replay must not re-certify (3 curation rows + 2 lm rows)")
   }
 }
