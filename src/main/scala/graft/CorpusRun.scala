@@ -537,8 +537,79 @@ object CorpusRun {
         s"$missingAssets accepted docs missing payloads; certified " +
         s"${aExp.droppedBatches.size} payload-landing drops", secs = tick())
 
+    // 19. AMENDMENT as a lifecycle stage: the weekly 100 TB event — a
+    // re-crawled/re-parsed batch whose CONTENT changed — swept through a
+    // curation family by the STREAMED amendment sink (requests land as
+    // files naming the corrected landing; the sink erases the old
+    // landing with two-level re-election and re-lands the corrected
+    // batch through the id-ordered insert, certifying BEFORE the
+    // mutation). Invariants: the amended family's decisions equal a
+    // from-scratch curation of the corrected corpus (the q228 law inside
+    // the lifecycle); the certificate's masses ground-true against the
+    // fixture; and the compliance ledger's amendment leg serves the
+    // cumulative record off the audit store alone. Self-contained per
+    // run (fresh stores/requests/checkpoint), so re-passes replay the
+    // amendment deterministically.
+    import graft.streaming.Amend
+    val aRootS = s"$outDir/amend_stores"
+    val (aLanding, aStage2, aMarkers, aCk, aScratch, aCert) =
+      (s"$outDir/amend_requests", s"$outDir/amend_req_stage",
+        s"$outDir/amend_markers", s"$outDir/amend_ck",
+        s"$outDir/amend_scratch", s"$outDir/amend_cert")
+    Seq(aRootS, aLanding, aStage2, aMarkers, aCk, aScratch, aCert)
+      .foreach(p => rmTree(new java.io.File(p)))
+    val (corrB0, corrCorpus0, aw) = ops.ForgetOps.amendFixture(spark, sfDir)
+    val corrB = corrB0.localCheckpoint()
+    val corrCorpus = corrCorpus0.localCheckpoint()
+    val aBounds = Seq(aw, 2 * aw, 3 * aw, Long.MaxValue)
+    aBounds.zipWithIndex.foreach { case (hiB, k) =>
+      val loB = if (k == 0) Long.MinValue else aBounds(k - 1)
+      graft.streaming.CurationStream.processBatch(
+        rdocsFull.filter(col("doc_id") >= loB && col("doc_id") < hiB),
+        s"$aRootS/fp", s"$aRootS/index", s"$aRootS/decisions", k.toLong,
+        Some(s"$aRootS/accepted"), Some(s"$aRootS/quarantine"))
+    }
+    corrB.select(lit(1L).as("amend_batch"), col("doc_id"), col("text"),
+        col("source"))
+      .coalesce(1).write.mode("overwrite").parquet(aStage2)
+    new java.io.File(aLanding).mkdirs()
+    new java.io.File(aStage2).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(aLanding, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    Amend.amendSink(Amend.readAmendStream(spark, aLanding),
+      Amend.AmendTargets(curationRoot = Some(aRootS)), aMarkers, aCk,
+      auditRoot = Some(aCert)).awaitTermination()
+    graft.streaming.CurationStream.processBatch(corrCorpus,
+      s"$aScratch/fp", s"$aScratch/index", s"$aScratch/decisions", 0L,
+      None, None)
+    val amendEqual = decSnap(s"$aRootS/decisions") ==
+      decSnap(s"$aScratch/decisions")
+    val nCorr = corrB.count()
+    val nOldLanding = rdocsFull
+      .filter(col("doc_id") >= aw && col("doc_id") < 2 * aw).count()
+    val certMap = Amend.amendmentCertificate(spark, aCert)
+      .filter(col("store") === "curation" && col("amend") === 1L)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    val certTrue = certMap.get("old_docs_erased").contains(nOldLanding) &&
+      certMap.get("corrected_docs_landed").contains(nCorr)
+    val aLedger = graft.streaming.Compliance.ledger(spark, Nil,
+      amendAuditRoots = Seq(aCert)).localCheckpoint()
+    aLedger.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/amendment_ledger")
+    val ledgerOk = aLedger.filter(col("metric") === "amendments" &&
+      col("value") === 1L).count() == 1L
+    val s19 = Stage("amendment", nCorr,
+      amendEqual && certTrue && ledgerOk,
+      s"corrected batch of $nCorr docs replaced a $nOldLanding-doc " +
+        s"landing; decisions ≡ corrected-corpus rerun: $amendEqual; " +
+        s"certificate ground-true: $certTrue", secs = tick())
+
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
-      s16, s17, s18)
+      s16, s17, s18, s19)
   }
 
   def main(args: Array[String]): Unit = {

@@ -87,6 +87,21 @@ object Dedup {
 
   val ShingleN = 3
 
+  /** Content fingerprint of the banding CONFIGURATION — shingle width,
+    * signature length, band size, prime, and both affine hash families.
+    * Persisted as a `_band_conf` marker on band-index stores so a
+    * redeployment with changed constants refuses to land into (or serve
+    * from) a store whose rows were banded under the old ones — bands
+    * from two configurations join without any structural error and
+    * silently miss every cross-configuration duplicate.
+    */
+  lazy val bandConfigFingerprint: String = {
+    val cfg = s"$ShingleN:$NumHashes:$BandSize:$MinhashPrime:" +
+      hashA.mkString(",") + ":" + hashB.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Distinct 3-word-shingle h60 set per document, one codegen pass/row. */
   def shingleHashes(text: Column): Column = ShingleHashes(text, ShingleN)
 

@@ -238,6 +238,9 @@ object CurationStream {
       batchId: Long): Unit = {
     StoreCompaction.requireLandable(fpDir, batchId)
     StoreCompaction.requireLandable(idxDir, batchId)
+    StoreCompaction.requireConfigMarker(idxDir, "_band_conf",
+      Dedup.bandConfigFingerprint, writeIfAbsent = true,
+      "banding configuration")
     val gated = batch
       .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
       .filter(col("keep"))
@@ -262,6 +265,9 @@ object CurationStream {
     */
   def windowedDecisions(spark: SparkSession, fpDir: String, idxDir: String,
       lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+    StoreCompaction.requireConfigMarker(idxDir, "_band_conf",
+      Dedup.bandConfigFingerprint, writeIfAbsent = false,
+      "banding configuration")
     val fps = StoreCompaction.readWindow(spark, fpDir, lo, upto)
       .select("doc_id", "fp")
     val firstOwner = fps.groupBy("fp").agg(min(col("doc_id")).as("first"))

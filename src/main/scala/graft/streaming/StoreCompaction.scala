@@ -853,6 +853,59 @@ object StoreCompaction {
   // to at least the checkpoint's replay depth; 1 for AvailableNow
   // foreachBatch sinks, which re-deliver at most the last batch).
 
+  private val ReplayDepthName = "_replay_depth"
+
+  /** Declare the stream's replay depth on a store — the policy half of
+    * the margin contract: [[maintain]] FLOORS its keepLatestDeltas
+    * margin at the declared depth, so a policy configured tighter than
+    * the checkpoint's re-delivery window cannot fold a batch the stream
+    * may still replay. AvailableNow foreachBatch sinks re-deliver at
+    * most the last batch (depth 1); declare higher for sinks with
+    * deeper redelivery. Monotone by intent but re-declarable (a
+    * checkpoint migration can lower it explicitly).
+    */
+  def declareReplayDepth(storeDir: String, depth: Int): Unit = {
+    require(depth >= 0, s"replay depth must be non-negative, got $depth")
+    new java.io.File(storeDir).mkdirs()
+    val tmp = new java.io.File(storeDir, s".$ReplayDepthName.tmp")
+    java.nio.file.Files.write(tmp.toPath, depth.toString.getBytes(Utf8))
+    val target = new java.io.File(storeDir, ReplayDepthName)
+    target.delete()
+    require(tmp.renameTo(target), s"replay depth write $target failed")
+  }
+
+  /** The store's declared replay depth (None if never declared). */
+  def replayDepthOf(storeDir: String): Option[Int] = {
+    val f = new java.io.File(storeDir, ReplayDepthName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toInt)
+    else None
+  }
+
+  /** A generic string-valued store-config marker: persist on first
+    * write, refuse on mismatch ever after — the `_hll_p` discipline for
+    * any configuration a store's rows silently depend on (banding
+    * constants, hash families). Mismatched configs usually merge
+    * without a structural error and serve silently wrong results, which
+    * is why the refusal is loud and at the store boundary.
+    */
+  def requireConfigMarker(storeDir: String, name: String, value: String,
+      writeIfAbsent: Boolean, what: String): Unit = {
+    val f = new java.io.File(storeDir, name)
+    if (f.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim
+      if (stored != value)
+        throw new IllegalStateException(
+          s"store $storeDir was built with $what=$stored; refusing $what=" +
+            s"$value — rows under different configurations merge without " +
+            "error and serve silently wrong results")
+    } else if (writeIfAbsent) {
+      new java.io.File(storeDir).mkdirs()
+      java.nio.file.Files.write(f.toPath, value.getBytes(Utf8))
+      ()
+    }
+  }
+
   /** Refuse a landing whose batch id maintenance has already folded
     * (the replay-depth-exceeded-margin case) or retention has already
     * expired. Negative ids (forget landings) are guarded by their own
@@ -1328,7 +1381,11 @@ object StoreCompaction {
     withLease(storeDir) {
       val deltas = partitionIds(new java.io.File(storeDir))
         .filter(_ != BasePartition).sorted
-      val eligible = deltas.dropRight(policy.keepLatestDeltas)
+      // the margin contract's policy half: a declared replay depth
+      // FLOORS the fold margin, whatever the policy says
+      val margin = math.max(policy.keepLatestDeltas,
+        replayDepthOf(storeDir).getOrElse(0))
+      val eligible = deltas.dropRight(margin)
       // EPOCH banding first (retention-layout stores): fold complete
       // epochs whose end clears the replay margin, at the policy size or
       // the store's own marker size. Skips quietly — not throws — when
@@ -1341,7 +1398,7 @@ object StoreCompaction {
           case Some(es) if livePins(storeDir).isEmpty &&
               compactionHorizon(storeDir).isEmpty =>
             val posEligible = deltas.filter(_ >= 0)
-              .dropRight(policy.keepLatestDeltas)
+              .dropRight(margin)
             if (posEligible.nonEmpty)
               foldEpochs(spark, storeDir, es, uptoBatch = posEligible.max,
                 skipUnstamped = true).size.toLong

@@ -2021,6 +2021,49 @@ class ForgetSpec extends AnyFunSuite {
       "banding a mixed-schema epoch must not move a served value")
   }
 
+  test("margin policy: a declared replay depth floors the maintenance margin, and the band-config marker refuses a store built under other constants") {
+    val d = docs.localCheckpoint()
+    // declared replay depth 3 overrides a tighter policy margin
+    val store = tmpDir("graft-replay-depth") + "/deltas"
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    def bound(k: Int): Long =
+      if (k >= 6) Long.MaxValue else ids(k * ids.length / 6)
+    def slice(k: Int) = d.filter(col("doc_id") >= (if (k == 0) Long.MinValue
+      else bound(k)) && col("doc_id") < bound(k + 1))
+    (0 until 6).foreach(k => CorpusStream.writeLmDelta(slice(k), store, k.toLong))
+    StoreCompaction.declareReplayDepth(store, 3)
+    val rep = StoreCompaction.maintain(spark, store, Seq("w1", "w2"),
+      StoreCompaction.MaintenancePolicy(minorAtDeltas = 1, keepLatestDeltas = 1))
+    assert(rep.minorUpto === Some(2L) &&
+      StoreCompaction.compactionHorizon(store) === Some(2L),
+      s"the declared depth must floor the margin at 3 landings: $rep")
+    CorpusStream.writeLmDelta(slice(3), store, 3L) // inside the floor: lands
+    assert(intercept[IllegalStateException] {
+      CorpusStream.writeLmDelta(slice(2), store, 2L)
+    }.getMessage.contains("keepLatestDeltas"),
+      "a replay below the floored margin must still refuse")
+    assert(lmMap(CorpusStream.lmCountsFromDeltas(spark, store)) ===
+      lmMap(CorpusStream.lmCells(d)),
+      "serving must equal the full retrain through the floored fold")
+
+    // the band-config marker: rows banded under other constants refuse
+    val root = tmpDir("graft-band-conf")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    CurationStream.writeWindowDelta(d, fpD, idxD, 0L)
+    val marker = new java.io.File(idxD, "_band_conf")
+    assert(marker.exists(), "the first landing must persist the config")
+    java.nio.file.Files.write(marker.toPath,
+      "0123456789abcdef0123456789abcdef".getBytes("UTF-8"))
+    assert(intercept[IllegalStateException] {
+      CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+    }.getMessage.contains("banding configuration"),
+      "a serve against a store banded under other constants must refuse")
+    assert(intercept[IllegalStateException] {
+      CurationStream.writeWindowDelta(d, fpD, idxD, 1L)
+    }.getMessage.contains("banding configuration"),
+      "a landing into a store banded under other constants must refuse")
+  }
+
   test("compliance ledger: cumulative rows across two waves accumulate surgical, re-election, and state metrics, ground-truthed per family") {
     import graft.streaming.{Compliance, ForgetStream}
     import graft.streaming.ForgetStream.ForgetTargets
