@@ -76,10 +76,22 @@ object Amend {
       rows: Seq[(String, Long, String)]): Unit =
     audit.foreach { case (root, name) =>
       val dir = new java.io.File(s"$root/store=$name/amend=$batchId")
-      if (!dir.exists()) {
+      // first-writer-wins keyed on a COMMITTED certificate (the write's
+      // `_SUCCESS`), not bare directory existence: a crash mid-write
+      // leaves the dir existing with only `_temporary` debris, and an
+      // exists() check would skip the rewrite FOREVER — the amendment's
+      // proof lost while the mutation proceeds. Staged like the expiry
+      // certificate: write a dot-tmp sibling (invisible to the audit
+      // readers), then one atomic rename commits it.
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
         import spark.implicits._
+        val tmp = new java.io.File(dir.getParentFile, s".amend_tmp_$batchId")
+        StoreCompaction.deleteRecursively(tmp)
         rows.toDF("action", "n", "detail").coalesce(1)
-          .write.mode("overwrite").parquet(dir.getPath)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        StoreCompaction.deleteRecursively(dir)
+        require(tmp.renameTo(dir),
+          s"amendment certificate commit $tmp -> $dir failed")
       }
     }
 
@@ -436,7 +448,38 @@ object Amend {
       repointed.count(), verdicts.count())
   }
 
-  /** Amend a MATERIALIZED curation landing: erase the old landing's
+  /** The per-landing CONTENT RECORD an amendment maintains: after
+    * amending landing b, the landing's current doc set no longer lives
+    * under `batch_id=b` (corrective rows land under the corrective
+    * partition, shared with re-elections of OTHER docs), so a SECOND
+    * amendment of the same landing could not find what to erase by
+    * partition listing alone — its forget leg would silently skip and
+    * leave the first correction's fp-owner and band rows stale. The
+    * record (one tiny parquet of doc_ids per amended landing, under the
+    * dot-prefixed `.amend_content` — invisible to every family scan) is
+    * what the next amendment erases by; it commits by atomic rename
+    * AFTER the mutation completes, so a crashed pass replays against
+    * the previous record and converges.
+    */
+  private def amendContentDir(root: String, batchId: Long) =
+    new java.io.File(s"$root/.amend_content/batch_id=$batchId")
+
+  private def contentKey(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id"), md5(col("text")).as("content_hash"),
+      col("source")).distinct()
+
+  private def recordAmendedContent(root: String, batchId: Long,
+      batch: DataFrame): Unit = {
+    val dir = amendContentDir(root, batchId)
+    val tmp = new java.io.File(dir.getParentFile, s".tmp_$batchId")
+    StoreCompaction.deleteRecursively(tmp)
+    contentKey(batch).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    StoreCompaction.deleteRecursively(dir)
+    require(tmp.renameTo(dir), s"amendment content record $dir failed")
+  }
+
+  /** Amend a MATERIALIZED curation landing: erase the landing's CURRENT
     * docs with the existing two-level re-election, then land the
     * corrected batch through the id-ordered re-electing insert. After
     * this the family's decision table equals the q127 kernel run from
@@ -445,34 +488,91 @@ object Amend {
     * re-elections when an amended doc WAS a keeper whose content
     * changed. `correctiveId` must be a fresh deterministic id (the
     * forget correctives land there; the insert correctives at
-    * `correctiveId + 1`). Replay converges: the forget leg skips when
-    * the old landing is already gone, and the insert leg upserts
-    * identical rows.
+    * `correctiveId + 1`).
+    *
+    * REPEATED amendments of the same landing are first-class: the
+    * landing's current docs come from the `.amend_content` record when
+    * one exists (the original `batch_id=b` partitions are gone after
+    * the first amendment — their corrective rows live in partitions
+    * shared with OTHER docs' re-elections), so the second correction
+    * erases exactly the first correction's docs — including docs the
+    * second correction DROPS — before re-landing. A REPLAY of a
+    * completed amendment (same landing, byte-identical content — the
+    * record carries per-doc content hashes) is detected and SKIPPED as
+    * an exact no-op: re-running the forget leg would overwrite its
+    * corrective partition and wipe first-pass corrective rows for docs
+    * the insert leg doesn't re-touch. The record commits by atomic
+    * rename AFTER the mutation completes, so a crashed pass never looks
+    * like a completed one and replays the full composition against the
+    * pre-pass record. The certificate is first-writer-wins, so neither
+    * a replay nor a crash recovery overwrites the original proof.
+    *
+    * The whole composite mutation (five stores) runs under a
+    * family-wide maintenance lease, so a concurrent fp-history
+    * compaction or maintenance pass cannot interleave between the
+    * surgical-delete and upsert steps of one amendment; each store also
+    * passes the [[requireAmendable]] refusal shapes (expired / folded /
+    * epoch-banded landings, in-flight split negatives) before anything
+    * mutates.
     */
   def amendCurationBatch(spark: SparkSession, root: String,
       corrected: DataFrame, batchId: Long,
       correctiveId: Long,
       audit: Option[(String, String)] = None): CurationAmendReport = {
-    def landingDocs(dir: String): Option[DataFrame] = {
-      val part = new java.io.File(dir, s"batch_id=$batchId")
-      if (part.exists()) Some(spark.read.parquet(part.getPath).select("doc_id"))
-      else None
+    val dirs = Seq(s"$root/fp", s"$root/index", s"$root/decisions",
+      s"$root/accepted", s"$root/quarantine")
+    StoreCompaction.withLeases(dirs) {
+      dirs.foreach(requireAmendable(_, batchId))
+      def landingDocs(dir: String): Option[DataFrame] = {
+        val part = new java.io.File(dir, s"batch_id=$batchId")
+        if (part.exists()) Some(spark.read.parquet(part.getPath).select("doc_id"))
+        else None
+      }
+      val recorded = {
+        val d = amendContentDir(root, batchId)
+        if (d.exists()) Some(spark.read.parquet(d.getPath)
+          .select("doc_id", "content_hash", "source").localCheckpoint())
+        else None
+      }
+      val key = contentKey(corrected).localCheckpoint()
+      val isReplay = recorded.exists { r =>
+        r.join(key, Seq("doc_id", "content_hash", "source"), "left_anti")
+          .head(1).isEmpty &&
+        key.join(r, Seq("doc_id", "content_hash", "source"), "left_anti")
+          .head(1).isEmpty
+      }
+      if (isReplay) {
+        // the record only commits after a COMPLETED pass, so the family
+        // already reflects exactly this content — certify (first-writer-
+        // wins makes it a no-op unless the crash hit the certificate
+        // itself) and touch nothing
+        certifyAmendment(spark, audit, batchId, Seq(
+          ("batch_amended", 1L, "materialized curation landing re-elected"),
+          ("old_docs_erased", 0L, "replay of a completed amendment"),
+          ("corrected_docs_landed", key.count(),
+            "corrected batch rows landed through the id-ordered insert")))
+        CurationAmendReport(0L, 0L, 0L, 0L, 0L)
+      } else {
+        val oldIds = (landingDocs(s"$root/accepted").toSeq ++
+          landingDocs(s"$root/quarantine").toSeq ++
+          recorded.map(_.select("doc_id")).toSeq)
+          .reduceOption(_ unionByName _)
+          .map(_.distinct().localCheckpoint())
+        val nOld = oldIds.map(_.count()).getOrElse(0L)
+        certifyAmendment(spark, audit, batchId, Seq(
+          ("batch_amended", 1L, "materialized curation landing re-elected"),
+          ("old_docs_erased", nOld,
+            "the landing's current docs forgotten with two-level re-election"),
+          ("corrected_docs_landed", corrected.count(),
+            "corrected batch rows landed through the id-ordered insert")))
+        if (nOld > 0L)
+          Forget.forgetFromCurationStores(spark, root, oldIds.get, correctiveId)
+        val report = landCurationReelected(spark, root, corrected, correctiveId + 1)
+          .copy(nOldDocs = nOld)
+        recordAmendedContent(root, batchId, corrected)
+        report
+      }
     }
-    val oldIds = (landingDocs(s"$root/accepted").toSeq ++
-      landingDocs(s"$root/quarantine").toSeq)
-      .reduceOption(_ unionByName _)
-      .map(_.distinct().localCheckpoint())
-    val nOld = oldIds.map(_.count()).getOrElse(0L)
-    certifyAmendment(spark, audit, batchId, Seq(
-      ("batch_amended", 1L, "materialized curation landing re-elected"),
-      ("old_docs_erased", nOld,
-        "the original landing's docs forgotten with two-level re-election"),
-      ("corrected_docs_landed", corrected.count(),
-        "corrected batch rows landed through the id-ordered insert")))
-    if (nOld > 0L)
-      Forget.forgetFromCurationStores(spark, root, oldIds.get, correctiveId)
-    landCurationReelected(spark, root, corrected, correctiveId + 1)
-      .copy(nOldDocs = nOld)
   }
 
   // ── STREAMED amendments: corrections as a request stream ─────────────

@@ -900,9 +900,14 @@ object StoreCompaction {
             s"$value — rows under different configurations merge without " +
             "error and serve silently wrong results")
     } else if (writeIfAbsent) {
+      // tmp + atomic rename (the writeCellSchema discipline): a plain
+      // Files.write crashed mid-way leaves a truncated marker whose
+      // mismatch then permanently refuses every later landing and serve
+      // on an otherwise healthy store
       new java.io.File(storeDir).mkdirs()
-      java.nio.file.Files.write(f.toPath, value.getBytes(Utf8))
-      ()
+      val tmp = new java.io.File(storeDir, s".$name.tmp")
+      java.nio.file.Files.write(tmp.toPath, value.getBytes(Utf8))
+      require(tmp.renameTo(f), s"config marker $name commit on $storeDir failed")
     }
   }
 
@@ -996,14 +1001,29 @@ object StoreCompaction {
     * meaning) refuses loudly.
     */
   def registerCellSchema(storeDir: String,
-      schema: org.apache.spark.sql.types.StructType): Int = {
+      schema: org.apache.spark.sql.types.StructType): Int =
+    planCellSchema(storeDir, schema) match {
+      case None => cellSchemaOf(storeDir).map(_._1).getOrElse(1)
+      case Some((v, cols)) =>
+        new java.io.File(storeDir).mkdirs()
+        writeCellSchema(storeDir, v, cols)
+        v
+    }
+
+  /** Validate a landing's cell schema against the registered one
+    * (append_new_columns rule) WITHOUT persisting anything: refusals
+    * throw here, BEFORE any delta write; the returned registration (the
+    * bumped version and full column list, None when the schema is
+    * unchanged) is what the caller persists AFTER its write commits —
+    * so a failed write can never leave the marker promising a column no
+    * landed delta carries.
+    */
+  private def planCellSchema(storeDir: String,
+      schema: org.apache.spark.sql.types.StructType): Option[(Int, Seq[(String, String)])] = {
     val cols = schema.fields.filterNot(_.name == "batch_id")
       .map(f => f.name -> f.dataType.sql).toSeq
     cellSchemaOf(storeDir) match {
-      case None =>
-        new java.io.File(storeDir).mkdirs()
-        writeCellSchema(storeDir, 1, cols)
-        1
+      case None => Some((1, cols))
       case Some((v, reg)) =>
         val byName = cols.toMap
         reg.foreach { case (n, t) =>
@@ -1021,11 +1041,7 @@ object StoreCompaction {
           }
         }
         val added = cols.filterNot { case (n, _) => reg.exists(_._1 == n) }
-        if (added.isEmpty) v
-        else {
-          writeCellSchema(storeDir, v + 1, reg ++ added)
-          v + 1
-        }
+        if (added.isEmpty) None else Some((v + 1, reg ++ added))
     }
   }
 
@@ -1040,24 +1056,40 @@ object StoreCompaction {
     require(tmp.renameTo(target), s"cell schema write $target failed")
   }
 
-  /** One schema-validated delta landing: register/validate the cell
-    * schema (append_new_columns rule), then write the partition — the
-    * write path every evolving sink should use.
+  /** One schema-validated delta landing: validate the cell schema
+    * (append_new_columns rule — refusals fire BEFORE any write), write
+    * the partition, and only then register the evolution — the write
+    * path every evolving sink should use. Registration ordering matters:
+    * a marker registering an appended column BEFORE the delta lands
+    * would, on a failed/crashed write, promise a column no landed delta
+    * carries. The inverse crash (delta landed, marker not bumped)
+    * converges: the registered-schema serve simply doesn't read the new
+    * column yet, and the next landing (or a replay of this one)
+    * registers it.
     */
   def writeEvolvedDelta(rows: DataFrame, storeDir: String,
       batchId: Long): Unit = {
     requireLandable(storeDir, batchId)
-    registerCellSchema(storeDir, rows.schema)
+    val evolved = planCellSchema(storeDir, rows.schema)
     rows.coalesce(1).write.mode("overwrite")
       .parquet(s"$storeDir/batch_id=$batchId")
+    evolved.foreach { case (v, cols) =>
+      new java.io.File(storeDir).mkdirs()
+      writeCellSchema(storeDir, v, cols)
+    }
   }
 
-  /** The schema-aware windowed read: [[readWindow]] with parquet footer
-    * merge, output pinned to the REGISTERED column set in registered
-    * order — deltas landed before a column was appended null-fill it
-    * (the serving fold's additive zero). Refuses on an unregistered
-    * store: an evolved serve needs the marker that says which columns
-    * are law.
+  /** The schema-aware windowed read: [[readWindow]] under the
+    * REGISTERED schema — the union schema the `_cell_schema` marker
+    * already persists name:type, handed to the scan as an explicit
+    * read schema, so deltas landed before a column was appended
+    * null-fill it natively (the serving fold's additive zero) and the
+    * serve pays ZERO footer merges. (A `mergeSchema` read here would
+    * re-derive from EVERY landing's footer what the marker already
+    * says — an O(store) listing tax per serve that grows with store
+    * size, not window size.) Output pinned to the registered column
+    * set in registered order. Refuses on an unregistered store: an
+    * evolved serve needs the marker that says which columns are law.
     */
   def readWindowEvolved(spark: SparkSession, storeDir: String, lo: Long,
       upto: Long = Long.MaxValue): DataFrame = {
@@ -1068,7 +1100,12 @@ object StoreCompaction {
           "serving the evolved read"))
     requireWindowServableAt(storeDir, lo, upto)
     import org.apache.spark.sql.functions.col
-    spark.read.option("mergeSchema", "true").parquet(storeDir)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val readSchema = StructType(
+      reg.map { case (n, t) =>
+        StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t)) } :+
+        StructField("batch_id", LongType)) // the partition axis the filter prunes on
+    spark.read.schema(readSchema).parquet(storeDir)
       .filter(windowedReadFilter(storeDir, lo, upto))
       .select(reg.map { case (n, _) => col(n) }: _*)
   }

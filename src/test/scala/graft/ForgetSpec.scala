@@ -1988,7 +1988,8 @@ class ForgetSpec extends AnyFunSuite {
         "n_tokens" -> "BIGINT", "n_alpha" -> "BIGINT"))),
       s"the append must version the marker: ${StoreCompaction.cellSchemaOf(deltas)}")
 
-    // refusal shapes: a type change and a drop/rename both fail loudly
+    // refusal shapes: a type change and a drop/rename both fail loudly —
+    // and BEFORE any write, so a refused landing leaves no partition
     val typeChanged = ForgetOps.statCells(d, withAlpha = false)
       .withColumn("n_tokens", col("n_tokens").cast("double"))
     assert(intercept[IllegalStateException] {
@@ -1998,6 +1999,8 @@ class ForgetSpec extends AnyFunSuite {
       StoreCompaction.writeEvolvedDelta(
         ForgetOps.statCells(d, withAlpha = false).drop("n_tokens"), deltas, 2L)
     }.getMessage.contains("drops (or renames)"))
+    assert(!new java.io.File(deltas, "batch_id=2").exists(),
+      "a refused evolution must not land a partition")
     // an unregistered store refuses the evolved serve
     val bare = tmpDir("graft-schema-bare") + "/deltas"
     ForgetOps.statCells(d, withAlpha = false).coalesce(1)
@@ -2019,6 +2022,22 @@ class ForgetSpec extends AnyFunSuite {
     StoreCompaction.foldEpochs(spark, deltas, epochSize = 2L, uptoBatch = 1L)
     assert(serve() === before,
       "banding a mixed-schema epoch must not move a served value")
+
+    // registration ordering: the marker commits AFTER the delta write,
+    // so the crash window (delta landed, marker not bumped) converges —
+    // the registered-schema serve simply doesn't read the unregistered
+    // column yet, and a replayed landing registers it
+    val extra = ForgetOps.statCells(d.limit(4), withAlpha = true)
+      .withColumn("n_extra", lit(7L))
+    extra.coalesce(1).write.mode("overwrite").parquet(s"$deltas/batch_id=3")
+    assert(StoreCompaction.readWindowEvolved(spark, deltas, lo = 0L)
+      .columns.toSeq === Seq("source", "n_docs", "n_tokens", "n_alpha"),
+      "an unregistered appended column must not leak into the serve")
+    StoreCompaction.writeEvolvedDelta(extra, deltas, 3L)
+    assert(StoreCompaction.cellSchemaOf(deltas).map(_._1) === Some(3) &&
+      StoreCompaction.readWindowEvolved(spark, deltas, lo = 0L)
+        .columns.contains("n_extra"),
+      "the replayed landing must register the append")
   }
 
   test("margin policy: a declared replay depth floors the maintenance margin, and the band-config marker refuses a store built under other constants") {
@@ -2299,14 +2318,86 @@ class ForgetSpec extends AnyFunSuite {
       .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
     assert(fpDup === 0L, "the one-row-per-fp invariant must survive steals")
 
-    // replay of the whole amendment converges to the same served state
+    // replay of the whole amendment is an exact no-op: the content
+    // record (committed after the first pass) carries per-doc content
+    // hashes, so a byte-identical re-delivery is DETECTED and skipped —
+    // re-running the forget leg would overwrite its corrective partition
+    // and wipe first-pass corrective rows for docs the insert leg
+    // doesn't re-touch
     val before = decTable(s"$root/decisions")
     val rep2 = Amend.amendCurationBatch(spark, root, b, batchId = 1L,
       correctiveId = 4L)
     assert(rep2.nOldDocs === 0L && rep2.nSteals === 0L,
-      s"a replayed amendment must find nothing left to forget or steal: $rep2")
+      s"a replayed amendment must be detected and skipped: $rep2")
     assert(decTable(s"$root/decisions") === before,
       "a replayed amendment must not move a single verdict")
+
+    // ── a SECOND amendment with DIFFERENT content (the correction of a
+    // correction): the first correction's docs — including docs the
+    // second correction DROPS — are erased via the content record (the
+    // batch_id=1 landing partitions are long gone), so the family equals
+    // a from-scratch build on the SECOND corrected corpus; stale
+    // fp-owner or band rows from the first correction would break it.
+    val batch2 = b.filter(pmod(col("doc_id"), lit(5L)) =!= lit(1L))
+      .withColumn("text", expr("replace(text, 'a', 'o')"))
+      .localCheckpoint()
+    val rep3 = Amend.amendCurationBatch(spark, root, batch2, batchId = 1L,
+      correctiveId = 6L)
+    assert(rep3.nOldDocs === b.count(),
+      s"the second amendment must erase the FIRST correction's docs: $rep3")
+    val corpus2 = c.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch2).localCheckpoint()
+    val scratch2 = tmpDir("graft-amend-cur-scratch2")
+    CurationStream.processBatch(corpus2, s"$scratch2/fp", s"$scratch2/index",
+      s"$scratch2/decisions", 0L,
+      Some(s"$scratch2/accepted"), Some(s"$scratch2/quarantine"))
+    assert(decTable(s"$root/decisions") === decTable(s"$scratch2/decisions"),
+      "a second amendment must equal the from-scratch build on the " +
+        "second corrected corpus — no stale rows from the first correction")
+    assert(contentSet(s"$root/accepted", Seq("doc_id", "text", "source")) ===
+      contentSet(s"$scratch2/accepted", Seq("doc_id", "text", "source")),
+      "the accepted store must match the second corrected build")
+    assert(spark.read.parquet(s"$root/fp")
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      === 0L, "one-row-per-fp must survive repeated amendments")
+  }
+
+  test("amendment certificate crash window: a half-written certificate dir is replayed and the certificate ends complete, first-writer-wins keyed on the committed marker") {
+    import graft.streaming.Amend
+    val d = docs.localCheckpoint()
+    val store = tmpDir("graft-amend-certcrash") + "/deltas"
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    CorpusStream.writeLmDelta(d.filter(col("doc_id") < cut), store, 0L)
+    CorpusStream.writeLmDelta(d.filter(col("doc_id") >= cut), store, 1L)
+    // simulate the crash: the certificate DIRECTORY exists (with write
+    // debris) but the write never committed — no _SUCCESS. A bare
+    // dir.exists() first-writer-wins would skip the rewrite forever and
+    // the amendment's proof would be lost.
+    val audit = tmpDir("graft-amend-certcrash-audit")
+    val crashed = new java.io.File(s"$audit/store=lm/amend=1")
+    new java.io.File(crashed, "_temporary").mkdirs()
+    val corrected = d.filter(col("doc_id") >= cut)
+      .withColumn("text", expr("replace(text, 'e', 'a')")).localCheckpoint()
+    Amend.amendSumCells(Forget.lmCellTarget(store), corrected, 1L,
+      audit = Some((audit, "lm")))
+    val cert = Amend.amendmentCertificate(spark, audit)
+      .filter(col("store") === "lm" && col("amend") === 1L)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(cert.get("batch_amended") === Some(1L) &&
+      cert.get("corrected_cells_landed").exists(_ > 0L),
+      s"the replay must rewrite the crashed certificate complete: $cert")
+    // first-writer-wins holds on the COMMITTED certificate: a replayed
+    // amendment must not overwrite the original record
+    val mtime = crashed.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).max
+    Thread.sleep(1100)
+    Amend.amendSumCells(Forget.lmCellTarget(store), corrected, 1L,
+      audit = Some((audit, "lm")))
+    val mtime2 = crashed.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.lastModified()).max
+    assert(mtime2 === mtime,
+      "a committed certificate must never be overwritten by a replay")
   }
 
   test("sketch stores refuse mismatched parameters: the first landing persists p (and k) and every later landing or windowed serve at another value fails loudly") {
