@@ -2088,7 +2088,66 @@ object ForgetOps {
       amendAuditRoots = Seq(s"$root/amend_audit"))
   }
 
+  def lmRebandStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lm_reband_v1_${storeKey(dir, "lmreband")}"
+
+  /** Four quartile LM landings on a store OPTED INTO the pre-fold
+    * archive ([[graft.streaming.StoreCompaction.declarePrefoldKeep]]),
+    * epoch-banded at size 2 (epochs 0 and 1 fold, sources archived under
+    * `.prefold/`), then batch 1 — now INSIDE folded epoch 0 — amended to
+    * the corrected content: [[graft.streaming.Amend.amendSumCells]]
+    * takes the RE-BAND path, replacing the archived delta and re-folding
+    * the epoch from the archive. Idempotent. Returns the delta dir.
+    */
+  def buildLmRebandStore(s: SparkSession, dir: String): String = {
+    val root = lmRebandStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir)
+      val (batch, _, w) = amendFixture(s, dir)
+      graft.streaming.StoreCompaction.declarePrefoldKeep(deltas)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      graft.streaming.StoreCompaction.foldEpochs(s, deltas,
+        epochSize = 2L, uptoBatch = 3L)
+      graft.streaming.Amend.amendSumCells(Forget.lmCellTarget(deltas), batch, 1L)
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q232 — AMENDING an EPOCH-BANDED landing via the re-band path:
+    * corrections arrive late by nature (takedown notices, re-licensing,
+    * parser-bug discoveries), which is exactly when banding has reached
+    * the landing — q226's amendment on the layout where it used to be a
+    * loud dead end. The store opted into keeping pre-fold deltas, so the
+    * amendment replaces the archived delta and RE-FOLDS the epoch from
+    * the archive (cost O(epoch), not O(store)); the windowed serve over
+    * the re-banded layout must equal a from-scratch retrain on the
+    * corrected corpus — the oracle IS that retrain (the reference's
+    * MERGE semantics, `notebooks/databricks_data_flow.sql:193-203`,
+    * don't stop applying because data got compacted).
+    */
+  val q232 = Q("q232_amend_rebanded_epoch",
+    lmForgetFluencyOracle(correctedCorpusSql)) { (s, dir) =>
+    val deltas = buildLmRebandStore(s, dir)
+    val (_, corpus, _) = amendFixture(s, dir)
+    graft.ops.TextOps.fluencyScoredFromCounts(corpus,
+        Some(Forget.lmCountsAfterForgetWindow(s, deltas, lo = 0L)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231)
+    q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231,
+    q232)
 }

@@ -143,7 +143,9 @@ object Amend {
         throw new IllegalStateException(
           s"cannot amend $storeDir batch $batchId: epoch $e is folded and " +
             "the landing's rows lost their batch identity — amend before " +
-            "banding reaches the batch")
+            "banding reaches the batch, or opt the store into " +
+            "declarePrefoldKeep (before folding) so late corrections " +
+            "re-band the epoch from its pre-fold archive")
     }
     StoreCompaction.forgetHorizon(storeDir).foreach { h =>
       throw new IllegalStateException(
@@ -166,25 +168,97 @@ object Amend {
           "wave against the corrected landing")
   }
 
+  /** Can `batchId` amend through the epoch RE-BAND path on this store —
+    * i.e. the landing is inside a folded epoch AND the store opted into
+    * keeping pre-fold deltas? (A folded epoch on a non-opted store still
+    * refuses through [[requireAmendable]] — the loud dead end the
+    * archive retires.)
+    */
+  private def rebandsEpoch(storeDir: String, batchId: Long): Boolean =
+    StoreCompaction.prefoldKeepDeclared(storeDir) &&
+      StoreCompaction.foldedEpochOf(storeDir, batchId).isDefined
+
+  /** [[requireAmendable]] minus the folded-epoch refusal — the refusal
+    * shapes that still apply when the amendment goes through the epoch
+    * re-band path: an expired landing stays unamendable (the correction
+    * would re-introduce content below the floor), whole-wave forget
+    * negations still block, and split negatives sourced at the batch —
+    * live OR archived with the epoch — still negate the OLD content and
+    * would mis-subtract from the corrected cells.
+    */
+  private def requireRebandable(storeDir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"amendments target ingest landings, got $batchId")
+    StoreCompaction.retentionFloor(storeDir).filter(_ > batchId).foreach { f =>
+      throw new IllegalStateException(
+        s"cannot amend $storeDir batch $batchId: retention expired every " +
+          s"landing below $f — the old content left disk on the retention " +
+          "clock and a correction would re-introduce data below the floor")
+    }
+    StoreCompaction.forgetHorizon(storeDir).foreach { h =>
+      throw new IllegalStateException(
+        s"cannot amend $storeDir batch $batchId: a whole-wave forget " +
+          s"(horizon $h) negated cells computed against the OLD content " +
+          "of every batch — replacing this batch's positives would leave " +
+          "the wave inconsistent; amend stores that take split forgets")
+    }
+    val staleNegs = (StoreCompaction
+      .partitionIds(new java.io.File(storeDir)) ++
+      StoreCompaction.archivedIds(storeDir))
+      .filter(id => id <= StoreCompaction.SplitForgetBase &&
+        id > StoreCompaction.EpochFoldBase &&
+        StoreCompaction.splitSourceBatch(id) == batchId)
+    if (staleNegs.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot amend $storeDir batch $batchId: split-forget negative(s) " +
+          staleNegs.distinct.sorted.mkString(", ") +
+          " negate what the OLD content added and would mis-subtract from " +
+          "the corrected cells — amend first, then re-issue the erasure " +
+          "wave against the corrected landing")
+  }
+
   /** Amend a SUM-cell store's landing `batchId` to `corrected` content:
     * overwrite the landing partition with the store's own cell kernel
     * applied to the corrected batch. O(|corrected cells|), zero other
     * partitions touched; serving folds the corrected cells everywhere
     * the batch's slice qualifies. Idempotent (same content → same
     * partition bytes).
+    *
+    * On a store that opted into [[StoreCompaction.declarePrefoldKeep]],
+    * a landing whose epoch has ALREADY BANDED amends through the
+    * RE-BAND path: the corrected cells replace the archived pre-fold
+    * delta and the epoch re-folds from the archive
+    * ([[StoreCompaction.rebandEpochWithAmendment]]) — corrections
+    * arrive late by nature, which is exactly when banding has reached
+    * the landing, and the opt-in is what keeps them from being a dead
+    * end. Cost: O(epoch), not O(store). Non-opted stores keep the loud
+    * [[requireAmendable]] refusal.
     */
   def amendSumCells(t: Forget.SumCellTarget, corrected: DataFrame,
       batchId: Long,
       audit: Option[(String, String)] = None): Unit =
     StoreCompaction.withLease(t.deltaDir) {
-      requireAmendable(t.deltaDir, batchId)
-      val cells = t.cells(corrected).localCheckpoint()
-      certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
-        ("batch_amended", 1L, "sum-cell landing partition replaced"),
-        ("corrected_cells_landed", cells.count(),
-          "cells of the corrected content, replacing the old landing's")))
-      cells.coalesce(1).write.mode("overwrite")
-        .parquet(s"${t.deltaDir}/batch_id=$batchId")
+      if (rebandsEpoch(t.deltaDir, batchId)) {
+        requireRebandable(t.deltaDir, batchId)
+        val cells = t.cells(corrected).localCheckpoint()
+        certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+          ("batch_amended", 1L, "sum-cell landing re-banded into its epoch"),
+          ("epoch_rebanded",
+            StoreCompaction.foldedEpochOf(t.deltaDir, batchId).get,
+            "folded epoch re-banded from the pre-fold archive"),
+          ("corrected_cells_landed", cells.count(),
+            "cells of the corrected content, replacing the old landing's")))
+        StoreCompaction.rebandEpochWithAmendment(
+          corrected.sparkSession, t.deltaDir, batchId, cells)
+      } else {
+        requireAmendable(t.deltaDir, batchId)
+        val cells = t.cells(corrected).localCheckpoint()
+        certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+          ("batch_amended", 1L, "sum-cell landing partition replaced"),
+          ("corrected_cells_landed", cells.count(),
+            "cells of the corrected content, replacing the old landing's")))
+        cells.coalesce(1).write.mode("overwrite")
+          .parquet(s"${t.deltaDir}/batch_id=$batchId")
+      }
     }
 
   /** Amend a per-doc identity store's landing: `rows` is the store's
@@ -228,13 +302,40 @@ object Amend {
       idxDir: String, batchId: Long,
       audit: Option[(String, String)] = None): Unit =
     StoreCompaction.withLeases(Seq(fpDir, idxDir)) {
-      requireAmendable(fpDir, batchId)
-      requireAmendable(idxDir, batchId)
-      certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
-        ("batch_amended", 1L, "window-mode landing partitions replaced"),
-        ("corrected_docs_landed", corrected.count(),
-          "corrected batch rows whose per-doc fp and band rows re-landed")))
-      CurationStream.writeWindowDelta(corrected, fpDir, idxDir, batchId)
+      if (rebandsEpoch(fpDir, batchId) || rebandsEpoch(idxDir, batchId)) {
+        // the pair bands together: a re-band of one store's epoch with
+        // the other's landing still raw would split the election's view
+        require(rebandsEpoch(fpDir, batchId) && rebandsEpoch(idxDir, batchId),
+          s"cannot amend window-mode batch $batchId: only one of the " +
+            s"fp/band stores is epoch-banded with a pre-fold archive — " +
+            "the pair must band (and opt in) together")
+        requireRebandable(fpDir, batchId)
+        requireRebandable(idxDir, batchId)
+        StoreCompaction.requireConfigMarker(idxDir, "_band_conf",
+          graft.ops.Dedup.bandConfigFingerprint, writeIfAbsent = false,
+          "banding configuration")
+        val (fpRows, bandRows) = CurationStream.windowDeltaFrames(corrected)
+        certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+          ("batch_amended", 1L, "window-mode landing re-banded into its epoch"),
+          ("epoch_rebanded",
+            StoreCompaction.foldedEpochOf(fpDir, batchId).get,
+            "folded fp+band epochs re-banded from the pre-fold archives"),
+          ("corrected_docs_landed", corrected.count(),
+            "corrected batch rows whose per-doc fp and band rows re-landed")))
+        val spark = corrected.sparkSession
+        StoreCompaction.rebandEpochWithAmendment(spark, fpDir, batchId,
+          fpRows.localCheckpoint())
+        StoreCompaction.rebandEpochWithAmendment(spark, idxDir, batchId,
+          bandRows.localCheckpoint())
+      } else {
+        requireAmendable(fpDir, batchId)
+        requireAmendable(idxDir, batchId)
+        certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
+          ("batch_amended", 1L, "window-mode landing partitions replaced"),
+          ("corrected_docs_landed", corrected.count(),
+            "corrected batch rows whose per-doc fp and band rows re-landed")))
+        CurationStream.writeWindowDelta(corrected, fpDir, idxDir, batchId)
+      }
     }
 
   /** What one materialized-curation amendment did. */

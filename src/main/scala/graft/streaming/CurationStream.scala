@@ -234,6 +234,21 @@ object CurationStream {
     * per-doc fingerprint rows and per-doc band rows, each an
     * OVERWRITE-idempotent per-batchId partition.
     */
+  /** The two per-batch frames one window-mode landing writes: the gated
+    * batch's per-doc fingerprint rows and per-doc band rows — shared by
+    * [[writeWindowDelta]] and the epoch re-band amendment path (which
+    * needs the same frames computed from a CORRECTED batch).
+    */
+  private[graft] def windowDeltaFrames(batch: DataFrame): (DataFrame, DataFrame) = {
+    val gated = batch
+      .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"), col("source"),
+        md5(TextOps.normalized(col("text"))).as("fp"))
+      .localCheckpoint()
+    (gated.select("doc_id", "fp", "source"), LshStream.batchBands(gated))
+  }
+
   def writeWindowDelta(batch: DataFrame, fpDir: String, idxDir: String,
       batchId: Long): Unit = {
     StoreCompaction.requireLandable(fpDir, batchId)
@@ -241,15 +256,10 @@ object CurationStream {
     StoreCompaction.requireConfigMarker(idxDir, "_band_conf",
       Dedup.bandConfigFingerprint, writeIfAbsent = true,
       "banding configuration")
-    val gated = batch
-      .join(Corpus.gateFrame(batch).select(col("doc_id"), col("keep")), Seq("doc_id"))
-      .filter(col("keep"))
-      .select(col("doc_id"), col("text"), col("source"),
-        md5(TextOps.normalized(col("text"))).as("fp"))
-      .localCheckpoint()
-    gated.select("doc_id", "fp", "source").coalesce(1)
+    val (fpRows, bandRows) = windowDeltaFrames(batch)
+    fpRows.coalesce(1)
       .write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
-    LshStream.batchBands(gated).coalesce(1)
+    bandRows.coalesce(1)
       .write.mode("overwrite").parquet(s"$idxDir/batch_id=$batchId")
   }
 

@@ -306,6 +306,119 @@ object StoreCompaction {
 
   private val RetentionFloorName = "_retention_floor"
   private val EpochSizeName = "_epoch_size"
+  private val PrefoldKeepName = "_prefold_keep"
+  private val PrefoldDirName = ".prefold"
+
+  // ── the PRE-FOLD ARCHIVE: what makes epoch-banded landings amendable ──
+  //
+  // Epoch folding consolidates per-batch deltas into one partition and
+  // deletes the sources — which is exactly what makes a late CORRECTION
+  // impossible: corrections arrive late by nature (takedown notices,
+  // re-licensing, parser-bug discoveries), and by then banding has
+  // reached the landing and its rows lost the batch identity an
+  // amendment overwrites. A store that opts in with [[declarePrefoldKeep]]
+  // has its folds ARCHIVE the source partitions into a hidden `.prefold/`
+  // directory (invisible to parquet discovery and to partitionIds)
+  // instead of deleting them; [[rebandEpochWithAmendment]] can then fold
+  // a correction in by overwriting the archived landing and re-banding
+  // the epoch from the archive — the reference's MERGE contract
+  // (`notebooks/databricks_data_flow.sql:193-203`: later corrected rows
+  // revise the table regardless of physical layout) extended to the
+  // banded layout. The archive is bounded by the retention window like
+  // the live partitions: certified expiry drops archived deltas below
+  // the floor in the same pass that drops their epoch, so opting in
+  // costs one retention window of small pre-fold files, not unbounded
+  // history.
+
+  /** Opt a store into keeping pre-fold deltas: folds archive their
+    * sources under `.prefold/` instead of deleting them, which is what
+    * makes [[rebandEpochWithAmendment]] (amendments on epoch-banded
+    * landings) possible. Declare BEFORE the first epoch fold — an epoch
+    * folded without its archive stays unamendable.
+    */
+  def declarePrefoldKeep(storeDir: String): Unit = {
+    new java.io.File(storeDir).mkdirs()
+    val tmp = new java.io.File(storeDir, s".$PrefoldKeepName.tmp")
+    java.nio.file.Files.write(tmp.toPath, "1".getBytes(Utf8))
+    val target = new java.io.File(storeDir, PrefoldKeepName)
+    target.delete()
+    require(tmp.renameTo(target), s"prefold-keep marker on $storeDir failed")
+  }
+
+  /** Whether the store keeps pre-fold deltas (the amend-horizon opt-in). */
+  def prefoldKeepDeclared(storeDir: String): Boolean =
+    new java.io.File(storeDir, PrefoldKeepName).exists()
+
+  /** Ids archived under the store's `.prefold/` directory. */
+  private[graft] def archivedIds(storeDir: String): Seq[Long] =
+    partitionIds(new java.io.File(storeDir, PrefoldDirName))
+
+  private def archiveManifestFile(root: java.io.File, e: Long) =
+    new java.io.File(new java.io.File(root, PrefoldDirName),
+      s"_epoch_${e}_sources")
+
+  /** The COMPLETE source-id list of folded epoch `e` per the archive
+    * manifest (None when the epoch folded without one — pre-opt-in
+    * history, unamendable). The manifest is what makes a re-band safe:
+    * archive-directory listing alone cannot distinguish "every source
+    * archived" from "opted in between two incremental folds of this
+    * epoch", and re-banding from a partial archive would silently drop
+    * the unarchived sources' rows.
+    */
+  private[graft] def epochArchiveManifest(storeDir: String,
+      e: Long): Option[Seq[Long]] = {
+    val f = archiveManifestFile(new java.io.File(storeDir), e)
+    if (!f.exists()) None
+    else Some(java.nio.file.Files.readAllLines(f.toPath).asScala
+      .filter(_.nonEmpty).map(_.toLong).toSeq)
+  }
+
+  /** Record (or extend) epoch `e`'s archive manifest from one fold's
+    * source list. An incremental fold that included the existing epoch
+    * partition extends the previous manifest; if the epoch has pre-
+    * opt-in folded history (epoch partition among the sources, no
+    * previous manifest), NO manifest is written — the epoch stays
+    * honestly unamendable. Idempotent (atomic rewrite of the merged,
+    * deduplicated list).
+    */
+  private def recordEpochArchive(root: java.io.File, e: Long,
+      foldSources: Seq[Long]): Unit = {
+    if (!prefoldKeepDeclared(root.getPath)) return
+    val nonEpoch = foldSources.filter(_ > EpochFoldBase)
+    val prev = epochArchiveManifest(root.getPath, e)
+    if (foldSources.exists(_ <= EpochFoldBase) && prev.isEmpty) return
+    val ids = (prev.getOrElse(Nil) ++ nonEpoch).distinct.sorted
+    val f = archiveManifestFile(root, e)
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      ids.mkString("\n").getBytes(Utf8))
+    f.delete()
+    require(tmp.renameTo(f), s"archive manifest $f failed")
+  }
+
+  /** Retire one folded source partition: archive it under `.prefold/`
+    * when the store opted in (epoch partitions being re-folded are
+    * derived data and always delete), delete otherwise. No-op when the
+    * live partition is already gone — recovery replays safely.
+    */
+  private def retireFoldedSource(root: java.io.File, id: Long): Unit = {
+    val src = new java.io.File(root, s"batch_id=$id")
+    if (!src.exists()) return
+    if (id <= EpochFoldBase || !prefoldKeepDeclared(root.getPath)) {
+      deleteRecursively(src)
+      return
+    }
+    val arch = new java.io.File(new java.io.File(root, PrefoldDirName),
+      s"batch_id=$id")
+    arch.getParentFile.mkdirs()
+    // a stale archive entry can only be an older fold's copy of a batch
+    // that was re-landed since (requireLandable refuses landings into
+    // folded epochs, so this is recovery-only); the live partition is
+    // current truth
+    if (arch.exists()) deleteRecursively(arch)
+    require(src.renameTo(arch), s"pre-fold archive $src -> $arch failed")
+  }
 
   /** The store's epoch size (None if never epoch-folded) — a store-level
     * constant: every fold, read, and expiry aligns to it once set.
@@ -360,27 +473,7 @@ object StoreCompaction {
       throw new IllegalStateException(
         s"cannot epoch-fold $storeDir: a whole-base fold already ran " +
           "(compaction horizon set) — the two base layouts don't compose")
-    // crash recovery: finish complete folds, discard incomplete staging
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(".epoch_tmp_"))
-      .foreach { tmp =>
-        val e = tmp.getName.stripPrefix(".epoch_tmp_").toLong
-        val manifest = new java.io.File(tmp, "_folded_ids")
-        if (new java.io.File(tmp, "_SUCCESS").exists() && manifest.exists()) {
-          java.nio.file.Files.readAllLines(manifest.toPath).asScala
-            .filter(_.nonEmpty).map(_.toLong).foreach { id =>
-              deleteRecursively(new java.io.File(root, s"batch_id=$id"))
-            }
-          val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
-          deleteRecursively(target)
-          // the manifest rides INSIDE the rename (underscore-prefixed →
-          // invisible to parquet) and is dropped only once the swap is
-          // durable — a crash at any point here replays safely
-          require(tmp.renameTo(target), s"epoch recovery $tmp -> $target failed")
-          new java.io.File(target, "_folded_ids").delete()
-          ()
-        } else deleteRecursively(tmp)
-      }
+    recoverEpochStaging(root)
     val foldableIds = partitionIds(root)
       .filter(id => id != BasePartition && id > EpochFoldBase &&
         effectiveBatch(id) >= 0)
@@ -449,16 +542,117 @@ object StoreCompaction {
         .write.mode("overwrite").parquet(tmp.getPath)
       java.nio.file.Files.write(new java.io.File(tmp, "_folded_ids").toPath,
         sources.mkString("\n").getBytes(Utf8))
-      sources.foreach(id =>
-        deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+      recordEpochArchive(root, e, sources)
+      sources.foreach(id => retireFoldedSource(root, id))
       // rename WITH the manifest inside (invisible to readers), drop it
-      // after — a crash between source deletes and the rename must leave
+      // after — a crash between source retires and the rename must leave
       // the manifest for recovery or the staged rows would be discarded
       require(tmp.renameTo(target), s"epoch fold $tmp -> $target failed")
       new java.io.File(target, "_folded_ids").delete()
       e
     }
     folded
+  }
+
+  /** Finish (or discard) interrupted epoch-fold/re-band staging: a
+    * `_SUCCESS`-complete staging retires its listed live sources
+    * (archive or delete per the store's opt-in; already-retired ids
+    * no-op) and renames in; incomplete staging is discarded. Shared by
+    * [[foldEpochs]] and [[rebandEpochWithAmendment]] — both protocols
+    * stage identically, so one recovery replays either.
+    */
+  private def recoverEpochStaging(root: java.io.File): Unit =
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(".epoch_tmp_"))
+      .foreach { tmp =>
+        val e = tmp.getName.stripPrefix(".epoch_tmp_").toLong
+        val manifest = new java.io.File(tmp, "_folded_ids")
+        if (new java.io.File(tmp, "_SUCCESS").exists() && manifest.exists()) {
+          val ids = java.nio.file.Files.readAllLines(manifest.toPath).asScala
+            .filter(_.nonEmpty).map(_.toLong).toSeq
+          recordEpochArchive(root, e, ids)
+          ids.foreach(id => retireFoldedSource(root, id))
+          val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
+          deleteRecursively(target)
+          // the manifest rides INSIDE the rename (underscore-prefixed →
+          // invisible to parquet) and is dropped only once the swap is
+          // durable — a crash at any point here replays safely
+          require(tmp.renameTo(target), s"epoch recovery $tmp -> $target failed")
+          new java.io.File(target, "_folded_ids").delete()
+          ()
+        } else deleteRecursively(tmp)
+      }
+
+  /** The folded epoch covering `batchId`, when one exists on the store. */
+  def foldedEpochOf(storeDir: String, batchId: Long): Option[Long] =
+    epochSizeOf(storeDir).map(es => batchId / es).filter(e =>
+      new java.io.File(storeDir,
+        s"batch_id=${EpochFoldBase - e}").exists())
+
+  /** Re-band one folded epoch with an AMENDED landing: overwrite the
+    * archived pre-fold delta for `batchId` with `correctedRows` (the
+    * store's own per-batch kernel applied to the corrected content),
+    * then re-fold the whole epoch from the archive through the staged
+    * epoch protocol — afterwards the epoch partition holds exactly the
+    * fold of the corrected deltas, so every windowed serve covering the
+    * epoch equals the corrected-corpus recompute of its slice. Requires
+    * the store to have opted in with [[declarePrefoldKeep]] BEFORE the
+    * epoch folded (the archive must hold every source of the epoch);
+    * refuses loudly otherwise — that landing needs a window rebuild.
+    * Idempotent: both steps (archived-partition overwrite, staged
+    * re-fold) rewrite deterministic state, and a crash mid-way is
+    * finished by [[recoverEpochStaging]] or a replay.
+    */
+  private[graft] def rebandEpochWithAmendment(spark: SparkSession,
+      storeDir: String, batchId: Long,
+      correctedRows: DataFrame): Unit = withLease(storeDir) {
+    val root = new java.io.File(storeDir)
+    recoverEpochStaging(root)
+    val es = epochSizeOf(storeDir).getOrElse(throw new IllegalStateException(
+      s"cannot re-band $storeDir batch $batchId: the store is not " +
+        "epoch-folded — amend the landing partition directly"))
+    val e = batchId / es
+    val target = new java.io.File(root, s"batch_id=${EpochFoldBase - e}")
+    require(target.exists(),
+      s"cannot re-band $storeDir epoch $e: it is not folded — amend the " +
+        "landing partition directly")
+    val arch = epochArchiveManifest(storeDir, e).getOrElse(
+      throw new IllegalStateException(
+        s"cannot re-band $storeDir epoch $e for batch $batchId: the epoch " +
+          "was folded without its pre-fold deltas (declarePrefoldKeep must " +
+          "precede the fold) — this landing's correction needs a window " +
+          "rebuild"))
+    arch.filterNot(_ == batchId).foreach { id =>
+      require(new java.io.File(root,
+          s"$PrefoldDirName/batch_id=$id").exists(),
+        s"cannot re-band $storeDir epoch $e: archived source batch_id=$id " +
+          "is missing from .prefold — the archive is incomplete")
+    }
+    if (!arch.contains(batchId))
+      throw new IllegalStateException(
+        s"cannot re-band $storeDir epoch $e for batch $batchId: the batch " +
+          "never landed in this epoch — an amendment replaces a landing, " +
+          "it does not add one")
+    // 1. the corrected landing replaces its archived pre-fold delta
+    //    (idempotent overwrite; the archive stays the epoch's source of
+    //    truth for any LATER amendment of another batch in the epoch)
+    correctedRows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/$PrefoldDirName/batch_id=$batchId")
+    // 2. re-fold the epoch from the archive through the staged protocol;
+    //    the manifest lists the archived ids — none live, so recovery's
+    //    retire pass no-ops and the swap is the only mutation
+    val tmp = new java.io.File(root, s".epoch_tmp_$e")
+    deleteRecursively(tmp)
+    spark.read.option("mergeSchema", "true")
+      .parquet(arch.map(id => s"$storeDir/$PrefoldDirName/batch_id=$id"): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    java.nio.file.Files.write(new java.io.File(tmp, "_folded_ids").toPath,
+      arch.mkString("\n").getBytes(Utf8))
+    deleteRecursively(target)
+    require(tmp.renameTo(target), s"epoch re-band $tmp -> $target failed")
+    new java.io.File(target, "_folded_ids").delete()
+    ()
   }
 
   /** The store's retention floor — batches below it have been expired
@@ -486,9 +680,12 @@ object StoreCompaction {
     * per-ACTION file counts instead of repeating the store total.
     */
   private[graft] case class ExpiryPlan(floor: Long, dropped: Seq[Long],
-      dropBase: Boolean, filesById: Map[Long, Long], baseFiles: Long) {
-    def isNoop: Boolean = dropped.isEmpty && !dropBase
-    def totalFiles: Long = filesById.values.sum + baseFiles
+      dropBase: Boolean, filesById: Map[Long, Long], baseFiles: Long,
+      archivedById: Map[Long, Long] = Map.empty) {
+    def isNoop: Boolean =
+      dropped.isEmpty && !dropBase && archivedById.isEmpty
+    def totalFiles: Long =
+      filesById.values.sum + baseFiles + archivedById.values.sum
     def report: ExpiryReport = ExpiryReport(floor, dropped, dropBase, totalFiles)
   }
 
@@ -588,10 +785,18 @@ object StoreCompaction {
           else 0L
         }.sum
       val baseDir = new java.io.File(root, s"batch_id=$BasePartition")
+      // pre-fold ARCHIVED deltas below the floor expire with their epoch:
+      // the retention contract is "content leaves disk", and the archive
+      // holds the expired landings' bytes as surely as the epoch did
+      val archDropped = archivedIds(storeDir)
+        .filter(id => effectiveBatch(id) < lo)
+        .map(id => id -> dataFiles(new java.io.File(root,
+          s"$PrefoldDirName/batch_id=$id"))).toMap
       ExpiryPlan(floor, dropped, dropBase,
         dropped.map(id =>
           id -> dataFiles(new java.io.File(root, s"batch_id=$id"))).toMap,
-        if (dropBase) dataFiles(baseDir) else 0L)
+        if (dropBase) dataFiles(baseDir) else 0L,
+        archDropped)
   }
 
   /** Execute a validated [[ExpiryPlan]]: the drops, then the floor
@@ -602,6 +807,14 @@ object StoreCompaction {
     val root = new java.io.File(storeDir)
     plan.dropped.foreach(id =>
       deleteRecursively(new java.io.File(root, s"batch_id=$id")))
+    plan.archivedById.keys.foreach { id =>
+      deleteRecursively(new java.io.File(root, s"$PrefoldDirName/batch_id=$id"))
+      // the epoch's archive manifest drops with its last archived source
+      // (the whole epoch is below the floor whenever any of it is —
+      // planExpiry refuses mid-epoch floors)
+      archiveManifestFile(root, effectiveBatch(id) /
+        epochSizeOf(storeDir).getOrElse(1L)).delete()
+    }
     if (plan.dropBase) {
       deleteRecursively(new java.io.File(root, s"batch_id=$BasePartition"))
       new java.io.File(root, HorizonName).delete()
@@ -647,7 +860,9 @@ object StoreCompaction {
       s"baseFiles=${plan.baseFiles}",
       s"audit=$auditRoot",
       s"store=$storeName") ++
-      plan.dropped.map(id => s"drop=$id:${plan.filesById.getOrElse(id, 0L)}")
+      plan.dropped.map(id => s"drop=$id:${plan.filesById.getOrElse(id, 0L)}") ++
+      plan.archivedById.toSeq.sortBy(_._1)
+        .map { case (id, n) => s"droparch=$id:$n" }
     val tmp = new java.io.File(storeDir, s".$ExpiryStagedName.tmp")
     java.nio.file.Files.write(tmp.toPath, lines.mkString("\n").getBytes(Utf8))
     val target = new java.io.File(storeDir, ExpiryStagedName)
@@ -671,8 +886,13 @@ object StoreCompaction {
         val Array(id, n) = l.stripPrefix("drop=").split(":")
         id.toLong -> n.toLong
       }
+      val archDrops = lines.filter(_.startsWith("droparch=")).map { l =>
+        val Array(id, n) = l.stripPrefix("droparch=").split(":")
+        id.toLong -> n.toLong
+      }
       val plan = ExpiryPlan(field("floor").toLong, drops.map(_._1).toSeq,
-        field("dropBase") == "1", drops.toMap, field("baseFiles").toLong)
+        field("dropBase") == "1", drops.toMap, field("baseFiles").toLong,
+        archDrops.toMap)
       writeCertificate(spark, plan, field("audit"), field("store"))
       executeExpiry(storeDir, plan)
       f.delete()
@@ -699,7 +919,10 @@ object StoreCompaction {
         filesOf(_ <= EpochFoldBase),
         "whole folded epochs dropped as single directories"),
       ("base_drop", if (plan.dropBase) 1L else 0L, plan.baseFiles,
-        "base partition folded entirely below the floor dropped whole")
+        "base partition folded entirely below the floor dropped whole"),
+      ("prefold_archive_drop", plan.archivedById.size.toLong,
+        plan.archivedById.values.sum,
+        "pre-fold archived deltas expired with their folded epochs")
     ).filter(_._2 > 0L)
     import spark.implicits._
     actions.toDF("action", "n", "files_dropped", "detail")

@@ -2362,6 +2362,103 @@ class ForgetSpec extends AnyFunSuite {
       === 0L, "one-row-per-fp must survive repeated amendments")
   }
 
+  test("epoch re-band amendments: band-then-amend equals amend-then-band, the archive serves repeated corrections, non-opted stores still refuse, and expiry drops the archive with its epoch") {
+    import graft.streaming.{Amend, StoreCompaction}
+    val d = docs.localCheckpoint()
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    def land4(store: String): Unit =
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), store, k.toLong)
+      }
+
+    // ── band-then-amend ≡ amend-then-band ≡ corrected retrain ──
+    val sA = tmpDir("graft-reband-a") + "/deltas"
+    StoreCompaction.declarePrefoldKeep(sA)
+    land4(sA)
+    assert(StoreCompaction.foldEpochs(spark, sA, 2L, uptoBatch = 3L) ===
+      Seq(0L, 1L), "both epochs must band, sources archived")
+    Amend.amendSumCells(Forget.lmCellTarget(sA), b, 1L) // re-band path
+    val sB = tmpDir("graft-reband-b") + "/deltas"
+    StoreCompaction.declarePrefoldKeep(sB)
+    land4(sB)
+    Amend.amendSumCells(Forget.lmCellTarget(sB), b, 1L) // raw overwrite path
+    StoreCompaction.foldEpochs(spark, sB, 2L, uptoBatch = 3L)
+    def served(store: String) =
+      lmMap(CorpusStream.lmCountsWindowed(spark, store, lo = 0L))
+    assert(served(sA) === served(sB),
+      "band-then-amend and amend-then-band must serve identical counts")
+    assert(served(sA) === lmMap(CorpusStream.lmCells(c)),
+      "the re-banded serve must equal the corrected-corpus retrain")
+
+    // the archive stays the source of truth: a SECOND correction in the
+    // same folded epoch (batch 0 this time) re-bands again
+    val batch0 = d.filter(col("doc_id") < w)
+      .withColumn("text", expr("replace(text, 'e', 'x')")).localCheckpoint()
+    Amend.amendSumCells(Forget.lmCellTarget(sA), batch0, 0L)
+    val corpus2 = c.filter(col("doc_id") >= w).unionByName(batch0)
+    assert(served(sA) === lmMap(CorpusStream.lmCells(corpus2)),
+      "a second re-band of the same epoch must serve the twice-corrected retrain")
+
+    // ── refusals: non-opted stores keep the dead end; late opt-in too ──
+    val sC = tmpDir("graft-reband-c") + "/deltas"
+    land4(sC)
+    StoreCompaction.foldEpochs(spark, sC, 2L, uptoBatch = 3L)
+    assert(intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sC), b, 1L)
+    }.getMessage.contains("declarePrefoldKeep"),
+      "a non-opted folded epoch must refuse and name the opt-in")
+    StoreCompaction.declarePrefoldKeep(sC) // too late: epochs folded without archive
+    assert(intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sC), b, 1L)
+    }.getMessage.contains("without its pre-fold deltas"),
+      "opting in after the fold must refuse — the archive is incomplete")
+
+    // ── the window-mode curation pair re-bands together ──
+    graft.functions.ShingleHashes.register(spark)
+    val wroot = tmpDir("graft-reband-win")
+    val (fpD, idxD) = (s"$wroot/fps", s"$wroot/bands")
+    StoreCompaction.declarePrefoldKeep(fpD)
+    StoreCompaction.declarePrefoldKeep(idxD)
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CurationStream.writeWindowDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD, k.toLong)
+    }
+    StoreCompaction.foldEpochs(spark, fpD, 2L, uptoBatch = 3L)
+    StoreCompaction.foldEpochs(spark, idxD, 2L, uptoBatch = 3L)
+    Amend.amendWindowCuration(b, fpD, idxD, 1L)
+    val scratch = tmpDir("graft-reband-win-scratch")
+    CurationStream.writeWindowDelta(c, s"$scratch/fps", s"$scratch/bands", 0L)
+    assert(CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+        .collect().map(_.toSeq).toSeq ===
+      CurationStream.windowedDecisions(spark,
+        s"$scratch/fps", s"$scratch/bands", lo = 0L)
+        .collect().map(_.toSeq).toSeq,
+      "the re-banded window election must equal the corrected from-scratch build")
+
+    // ── expiry drops the archive with its epoch, certified ──
+    val audit = tmpDir("graft-reband-audit")
+    StoreCompaction.expireBeforeCertified(spark, sA, lo = 2L, audit, "lm")
+    assert(!new java.io.File(sA, ".prefold/batch_id=0").exists() &&
+      !new java.io.File(sA, ".prefold/batch_id=1").exists(),
+      "archived pre-fold deltas below the floor must leave disk with their epoch")
+    assert(new java.io.File(sA, ".prefold/batch_id=2").exists(),
+      "archived deltas above the floor must survive")
+    val cert = StoreCompaction.expiryCertificate(spark, audit)
+      .filter(col("action") === "prefold_archive_drop")
+      .collect()
+    assert(cert.length === 1 && cert.head.getAs[Long]("n") === 2L,
+      s"the certificate must record the archive drop: ${cert.toSeq}")
+    // the dropped epoch can no longer re-band (manifest expired with it)
+    assert(intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sA), b, 1L)
+    }.getMessage.contains("retention expired"),
+      "an expired landing stays unamendable through the re-band path too")
+  }
+
   test("amendment certificate crash window: a half-written certificate dir is replayed and the certificate ends complete, first-writer-wins keyed on the committed marker") {
     import graft.streaming.Amend
     val d = docs.localCheckpoint()
