@@ -608,8 +608,66 @@ object CorpusRun {
         s"landing; decisions ≡ corrected-corpus rerun: $amendEqual; " +
         s"certificate ground-true: $certTrue", secs = tick())
 
+    // 20. SCHEMA EVOLUTION as a lifecycle stage: the reference declares
+    // `on_schema_change='append_new_columns'` for its incremental models
+    // (`int_sensor_readings_cleaned.sql:15`); here the same release
+    // event sweeps through a DELTA STORE inside the lifecycle — two
+    // pre-add landings at cell schema v1, two post-add at v2 (n_alpha
+    // appended, marker version bumps), the evolved windowed serve reads
+    // the union under the REGISTERED schema (pre-add deltas null-fill),
+    // and an in-stage type-change landing must REFUSE loudly. The served
+    // totals equal a recompute where the new statistic counts exactly
+    // the post-append landings. Self-contained per run.
+    val evoDir = s"$outDir/evo_store"
+    rmTree(new java.io.File(evoDir))
+    aBounds.zipWithIndex.foreach { case (hiB, k) =>
+      val loB = if (k == 0) Long.MinValue else aBounds(k - 1)
+      graft.streaming.StoreCompaction.writeEvolvedDelta(
+        ops.ForgetOps.statCells(
+          rdocsFull.filter(col("doc_id") >= loB && col("doc_id") < hiB),
+          withAlpha = k >= 2),
+        evoDir, k.toLong)
+    }
+    val evoVersion = graft.streaming.StoreCompaction.cellSchemaOf(evoDir)
+      .map(_._1)
+    val evoServed = graft.streaming.StoreCompaction
+      .readWindowEvolved(spark, evoDir, lo = 0L)
+      .groupBy("source")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        coalesce(sum(col("n_alpha")), lit(0L)).cast("long").as("n_alpha"))
+      .localCheckpoint()
+    save("evolved_stats", evoServed.orderBy("source"))
+    val evoExpected = ops.ForgetOps
+      .statCells(rdocsFull.filter(col("doc_id") < 2 * aw), withAlpha = false)
+      .withColumn("n_alpha", lit(null).cast("long"))
+      .unionByName(ops.ForgetOps.statCells(
+        rdocsFull.filter(col("doc_id") >= 2 * aw), withAlpha = true))
+      .groupBy("source")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        coalesce(sum(col("n_alpha")), lit(0L)).cast("long").as("n_alpha"))
+    val evoEqual = evoServed.orderBy("source").collect().toSeq ==
+      evoExpected.orderBy("source").collect().toSeq
+    val evoRefused =
+      try {
+        graft.streaming.StoreCompaction.writeEvolvedDelta(
+          ops.ForgetOps.statCells(rdocsFull, withAlpha = false)
+            .withColumn("n_tokens", col("n_tokens").cast("double")),
+          evoDir, 4L)
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("type changes") &&
+          !new java.io.File(evoDir, "batch_id=4").exists()
+      }
+    val s20 = Stage("schema_evolution", evoServed.count(),
+      evoVersion.contains(2) && evoEqual && evoRefused,
+      s"cell schema evolved to v${evoVersion.getOrElse(-1)}; evolved " +
+        s"windowed serve ≡ recompute: $evoEqual; in-stage type-change " +
+        s"landing refused before writing: $evoRefused", secs = tick())
+
     Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11, s12, s13, s14, s15,
-      s16, s17, s18, s19)
+      s16, s17, s18, s19, s20)
   }
 
   def main(args: Array[String]): Unit = {

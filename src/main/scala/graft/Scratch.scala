@@ -1486,6 +1486,87 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "amendprobe") {
+      // The AMENDMENT cost law at scale: amending ONE landing must cost
+      // O(|batch|) on the raw layout (one partition overwrite, zero
+      // other partitions touched — mtime-checked here past the fixture
+      // size) and O(epoch) on the banded layout (the re-band path reads
+      // the epoch's archived deltas, epoch size fixed), NEVER O(store).
+      // Landings are rotating corpus slices, so total data volume is
+      // CONSTANT as the landing count multiplies 16×/64× — growth in
+      // amend time with L would be a scale bug. Also measures the
+      // EVOLVED windowed serve (readWindowEvolved under the registered
+      // schema): flat in L at constant volume, because the `_cell_schema`
+      // marker replaced the per-serve O(store) footer merge.
+      import graft.streaming.{Amend, CorpusStream, Forget, StoreCompaction}
+      import graft.ops.ForgetOps
+      val docsT = Catalog.table(spark, sfDir, "documents")
+        .select("doc_id", "source", "text").localCheckpoint()
+      docsT.count()
+      Seq(16, 64).foreach { landings =>
+        val l = landings.toLong
+        def slice(b: Long) =
+          docsT.filter(pmod(col("doc_id"), lit(l)) === lit(b))
+        val corrected = slice(1L)
+          .withColumn("text", expr("replace(text, 'e', 'a')"))
+          .localCheckpoint()
+        // ── raw layout: one partition overwrite ──
+        val raw = java.nio.file.Files
+          .createTempDirectory(s"graft-amendprobe-raw-$landings")
+          .toString + "/deltas"
+        time(s"amend_L$landings.build") {
+          (0 until landings).foreach(b =>
+            CorpusStream.writeLmDelta(slice(b.toLong), raw, b.toLong))
+          l
+        }
+        val untouched = Option(new java.io.File(raw).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id=") &&
+            f.getName != "batch_id=1")
+        val mt0 = untouched.map(f => f.getName -> f.lastModified()).toMap
+        time(s"amend_L$landings.amend_one_raw") {
+          Amend.amendSumCells(Forget.lmCellTarget(raw), corrected, 1L); 1L
+        }
+        val stable = untouched.count(f => mt0(f.getName) == f.lastModified())
+        println(s"amend_L$landings untouched partitions mtime-stable: " +
+          s"$stable/${untouched.size}")
+        time(s"amend_L$landings.windowed_serve_after_amend") {
+          Forget.lmCountsAfterForgetWindow(spark, raw, lo = 0L)
+            .agg(sum("c12")).head().getLong(0)
+        }
+        // ── banded layout: the re-band path, O(epoch) ──
+        val banded = java.nio.file.Files
+          .createTempDirectory(s"graft-amendprobe-band-$landings")
+          .toString + "/deltas"
+        StoreCompaction.declarePrefoldKeep(banded)
+        (0 until landings).foreach(b =>
+          CorpusStream.writeLmDelta(slice(b.toLong), banded, b.toLong))
+        time(s"amend_L$landings.fold_epochs_e4") {
+          StoreCompaction.foldEpochs(spark, banded, 4L, uptoBatch = l - 1L)
+            .size.toLong
+        }
+        time(s"amend_L$landings.amend_one_banded_reband") {
+          Amend.amendSumCells(Forget.lmCellTarget(banded), corrected, 1L); 1L
+        }
+        time(s"amend_L$landings.banded_serve_after_amend") {
+          Forget.lmCountsAfterForgetWindow(spark, banded, lo = 0L)
+            .agg(sum("c12")).head().getLong(0)
+        }
+        // ── evolved serve: registered schema, zero footer merges ──
+        val evo = java.nio.file.Files
+          .createTempDirectory(s"graft-amendprobe-evo-$landings")
+          .toString + "/deltas"
+        (0 until landings).foreach(b =>
+          StoreCompaction.writeEvolvedDelta(
+            ForgetOps.statCells(slice(b.toLong), withAlpha = b >= landings / 2),
+            evo, b.toLong))
+        time(s"amend_L$landings.evolved_serve") {
+          StoreCompaction.readWindowEvolved(spark, evo, lo = 0L)
+            .agg(sum("n_tokens")).head().getLong(0)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "maintprobe") {
       // Steady-state maintenance cost: land L deltas one at a time and run
       // the threshold policy after EVERY landing — the per-pass cost must

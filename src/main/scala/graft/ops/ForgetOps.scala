@@ -2146,8 +2146,178 @@ object ForgetOps {
       .orderBy("doc_id")
   }
 
+  /** The evolving per-DOC stat rows — [[statCells]]' identity twin
+    * (one row per doc, no aggregation): (doc_id, source, n_tok) at
+    * schema v1; v2 APPENDS n_alpha. What an identity-store family's
+    * sink writes when a release adds a per-doc statistic.
+    */
+  def statRows(d: DataFrame, withAlpha: Boolean): DataFrame = {
+    val m = d.select(col("doc_id"), col("source"),
+        graft.ops.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tok"),
+        expr("aggregate(transform(t, x -> CAST(length(x) AS BIGINT)), " +
+          "0L, (a, x) -> a + x)").as("alpha"))
+    if (withAlpha)
+      m.select(col("doc_id"), col("source"), col("n_tok"),
+        col("alpha").as("n_alpha"))
+    else m.select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
+  def identityEvoStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_identity_evo_v1_${storeKey(dir, "identevo")}"
+
+  /** Four quartile landings of a per-doc IDENTITY store, the first two
+    * at schema v1 and the last two at v2 (n_alpha appended) — landed
+    * through the same [[graft.streaming.StoreCompaction
+    * .writeEvolvedDelta]] path every identity sink now uses, so the
+    * append registers on the `_cell_schema` marker. Idempotent. Returns
+    * the store dir.
+    */
+  def buildIdentityEvoStore(s: SparkSession, dir: String): String = {
+    val root = identityEvoStorePath(dir)
+    val store = s"$root/docstats"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val w = d.agg(max(col("doc_id"))).head().getLong(0) / 4
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.StoreCompaction.writeEvolvedDelta(
+          statRows(d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            withAlpha = k >= 2),
+          store, k.toLong)
+      }
+      marker.createNewFile()
+    }
+    store
+  }
+
+  /** q233 — SCHEMA EVOLUTION on an IDENTITY-store family: q230 proved
+    * the append_new_columns contract for SUM-cell stores; this is the
+    * same contract on per-doc identity rows, where the failure mode
+    * without it is nastier — a plain partitioned read samples ONE
+    * file's footer, so the served schema of a mixed-schema store
+    * depended on which file Spark picked (new columns silently absent,
+    * or reads failing). Every identity sink now lands through the
+    * registered-schema write path, and the windowed serve reads under
+    * the REGISTERED union schema: pre-append docs null-fill the new
+    * column deterministically — `on_schema_change='append_new_columns'`
+    * (`int_sensor_readings_cleaned.sql:15`) enforced store-wide. The
+    * oracle computes the per-doc rows with the new statistic NULL below
+    * the append boundary.
+    */
+  val q233 = Q("q233_identity_schema_evolution",
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok,
+       |  CASE WHEN doc_id >= 2 * (SELECT MAX(doc_id) // 4 FROM documents)
+       |    THEN CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+       |      AS BIGINT) END AS n_alpha
+       |FROM tk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val store = buildIdentityEvoStore(s, dir)
+    graft.streaming.StoreCompaction.readWindow(s, store, lo = 0L)
+      .select("doc_id", "source", "n_tok", "n_alpha")
+      .orderBy("doc_id")
+  }
+
+  def ledgerSnapStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ledger_snap_v1_${storeKey(dir, "ledgersnap")}"
+
+  /** The q229 compliance fixture with the lifecycle INTERLEAVED and a
+    * ledger SNAPSHOT landed after each audit event: eight octile LM
+    * landings, then wave A (doc_id % 17 = 3) → certified floor 2 →
+    * snapshot 0, then wave B (doc_id % 17 = 5) → certified floor 4 →
+    * snapshot 1. Idempotent. Returns (snapDir, deltaDir, markerRoot,
+    * auditRoot).
+    */
+  def buildLedgerSnapshotStore(s: SparkSession,
+      dir: String): (String, String, String, String) = {
+    val root = ledgerSnapStorePath(dir)
+    val (deltas, markers, audit, snaps) =
+      (s"$root/deltas", s"$root/forget_markers", s"$root/expiry_audit",
+        s"$root/snapshots")
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val o = d.agg(max(col("doc_id"))).head().getLong(0) / 8
+      require(o > 0, s"ledger snapshot store needs max(doc_id) >= 8, got width $o")
+      (0 until 8).foreach { k =>
+        val lo = if (k == 0) Long.MinValue else k * o
+        val hi = if (k == 7) Long.MaxValue else (k + 1) * o
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      val content = d.withColumn("src_batch",
+        least(expr(s"doc_id div $o"), lit(7L)).cast("long"))
+      val targets = graft.streaming.ForgetStream.ForgetTargets(
+        lmDeltaDir = Some(deltas), splitBySrcBatch = true)
+      def snapshot(id: Long): Unit = {
+        graft.streaming.Compliance.landLedgerSnapshot(s, snaps, id,
+          Seq("lm" -> deltas), forgetMarkerRoots = Seq(markers),
+          expiryAuditRoots = Seq(audit))
+        ()
+      }
+      graft.streaming.ForgetStream.processBatch(
+        d.filter(pmod(col("doc_id"), lit(ForgetMod)) === lit(3L))
+          .select("doc_id"), content, targets, markers, 0L)
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, deltas,
+        lo = 2L, audit, storeName = "lm")
+      snapshot(0L)
+      graft.streaming.ForgetStream.processBatch(
+        d.filter(pmod(col("doc_id"), lit(ForgetMod)) === lit(5L))
+          .select("doc_id"), content, targets, markers, 1L)
+      graft.streaming.StoreCompaction.expireBeforeCertified(s, deltas,
+        lo = 4L, audit, storeName = "lm")
+      snapshot(1L)
+      marker.createNewFile()
+    }
+    (snaps, deltas, markers, audit)
+  }
+
+  /** q234 — the compliance ledger as a SERVED STORE: q229 made the
+    * ledger a query over the audit roots; a review also asks
+    * POINT-IN-TIME questions — "what did the ledger say when we shipped
+    * release N" — which a recompute cannot answer once later waves land.
+    * Ledger snapshots land per batch like every other family (schema-
+    * registered, retention-capable), and the as-of serve reads ONE
+    * snapshot partition — zero audit-root scans, zero corpus scans
+    * (PlanSpec-pinned). The oracle derives snapshot 0's numbers (after
+    * wave A and floor 2, BEFORE wave B ran) from the corpus alone.
+    */
+  val q234 = Q("q234_ledger_snapshot",
+    s"""WITH o AS (SELECT MAX(doc_id) // 8 AS o FROM documents),
+       |sbA AS (
+       |  SELECT DISTINCT LEAST(doc_id // (SELECT o FROM o), 7) AS b
+       |  FROM documents WHERE doc_id % $ForgetMod = 3
+       |)
+       |SELECT store, metric, CAST(value AS BIGINT) AS value FROM (
+       |  VALUES
+       |    ('lm', 'current_floor', CAST(2 AS BIGINT)),
+       |    ('lm', 'expiry_floors', CAST(1 AS BIGINT)),
+       |    ('lm', 'files_dropped',
+       |      2 + (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA WHERE b < 2)),
+       |    ('lm', 'forget_requests', CAST(1 AS BIGINT)),
+       |    ('lm', 'landings_dropped', CAST(2 AS BIGINT)),
+       |    ('lm', 'live_pins', CAST(0 AS BIGINT)),
+       |    ('lm', 'negative_split_landings',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA)),
+       |    ('lm', 'split_negatives_dropped',
+       |      (SELECT CAST(COUNT(*) AS BIGINT) FROM sbA WHERE b < 2))
+       |) AS t(store, metric, value)
+       |WHERE metric IN ('current_floor', 'expiry_floors', 'forget_requests',
+       |  'live_pins') OR value > 0
+       |ORDER BY store, metric""".stripMargin) { (s, dir) =>
+    val (snaps, _, _, _) = buildLedgerSnapshotStore(s, dir)
+    graft.streaming.Compliance.ledgerAsOf(s, snaps, 0L)
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231,
-    q232)
+    q232, q233, q234)
 }

@@ -865,7 +865,7 @@ object Multimodal {
   /** One batch's image band rows in the LSH band-store schema
     * (doc_id, band_idx, band_hash) — the q174 signature scan feeding the
     * SAME streaming dedup store the text minhash bands use
-    * (`LshStream.processBatch(bandsOf = Multimodal.phashBands)`): the
+    * (`LshStream.processBatch(family = Multimodal.phashBandFamily)`): the
     * store machinery is signature-agnostic, so image dedup gets
     * keep-earliest streaming maintenance, replay safety, and bucketed
     * compaction without new state code.
@@ -878,6 +878,33 @@ object Multimodal {
     */
   private[graft] def phashBandsSparse(batch: DataFrame): DataFrame =
     phashBandsOf(phashSigs(batch, sparseImgId))
+
+  /** Banding-config identity of the IMAGE phash family: the dHash
+    * signature kernel name, the band count, and the bits-per-band —
+    * everything a phash band row's meaning depends on. A store banded
+    * under other constants (different band width, a new signature
+    * kernel) would join structurally fine and silently miss every
+    * cross-configuration duplicate — the class `_band_conf` closed for
+    * text, closed per modality here.
+    */
+  private[graft] lazy val phashBandConfigFingerprint: String = {
+    val cfg = s"image-phash:dhash64:bands=4:bits=$PhashBandBits"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The image phash banding family (kernel + config identity). */
+  private[graft] lazy val phashBandFamily =
+    graft.streaming.LshStream.BandFamily("image-phash", phashBands,
+      phashBandConfigFingerprint)
+
+  /** [[phashBandFamily]] over the sparse fixture — SAME config identity
+    * (the fixture id-mapping changes the input docs, not the banding
+    * constants).
+    */
+  private[graft] lazy val phashBandFamilySparse =
+    graft.streaming.LshStream.BandFamily("image-phash", phashBandsSparse,
+      phashBandConfigFingerprint)
 
   private def phashBandsOf(sigs: DataFrame): DataFrame = {
     val mask = (1L << PhashBandBits) - 1
@@ -1252,7 +1279,7 @@ object Multimodal {
   /** One batch's audio probe rows in the LSH band-store schema
     * (doc_id, band_idx, band_hash) — the q176 fingerprint scan feeding
     * the SAME streaming dedup store text minhash bands and image phash
-    * bands use (`LshStream.processBatch(bandsOf = Multimodal.audioBands)`):
+    * bands use (`LshStream.processBatch(family = Multimodal.audioBandFamily)`):
     * probe index is the band index, the 48-bit half-code the band hash.
     * At 48-bit exact codes a band match IS the near-dup verdict whenever
     * cross-family code collisions are absent (structural for the
@@ -1267,6 +1294,25 @@ object Multimodal {
     */
   private[graft] def audioBandsSparse(batch: DataFrame): DataFrame =
     audioBandsOf(audioCodes(batch, sparseAudId))
+
+  /** Banding-config identity of the AUDIO code family: the envelope
+    * fingerprint kernel and the two 48-bit half-code probes.
+    */
+  private[graft] lazy val audioBandConfigFingerprint: String = {
+    val cfg = "audio-env:halfcode48:bands=2"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The audio code banding family (kernel + config identity). */
+  private[graft] lazy val audioBandFamily =
+    graft.streaming.LshStream.BandFamily("audio-code", audioBands,
+      audioBandConfigFingerprint)
+
+  /** [[audioBandFamily]] over the sparse fixture — same config. */
+  private[graft] lazy val audioBandFamilySparse =
+    graft.streaming.LshStream.BandFamily("audio-code", audioBandsSparse,
+      audioBandConfigFingerprint)
 
   private def audioBandsOf(codes: DataFrame): DataFrame =
     codes.select(col("doc_id"),

@@ -133,4 +133,58 @@ object Compliance {
       .reduce(_ unionByName _)
       .orderBy("store", "metric")
   }
+
+  // ── the ledger as a SERVED STORE: point-in-time compliance ───────────
+  //
+  // [[ledger]] recomputes from the audit roots per call — correct, but a
+  // review asks point-in-time questions: "what did the ledger say when
+  // we shipped release N?" Recomputing can't answer that (the audit
+  // roots keep growing, and expired landings' certificates could
+  // themselves age out one day); a SNAPSHOT STORE can — ledger rows
+  // landed per batch like every other family, each snapshot a
+  // self-contained (store, metric, value) table, windowed by the same
+  // retention machinery. This is the q133 stores-served pattern applied
+  // to the ledger itself: the serve reads ONE snapshot partition, zero
+  // audit-root scans, zero corpus scans (PlanSpec-pinned).
+
+  /** Land one ledger snapshot as `batch_id = snapshotId` on the
+    * snapshot store — compute [[ledger]] over the given roots NOW and
+    * persist the rows. Snapshots are per-batch OVERWRITE partitions
+    * (replay-idempotent) landed through the schema-registered write
+    * path, so a later release can append a metric column and old
+    * snapshots null-fill through the evolved serve. Returns the row
+    * count landed.
+    */
+  def landLedgerSnapshot(spark: SparkSession, snapDir: String,
+      snapshotId: Long, stores: Seq[(String, String)],
+      forgetMarkerRoots: Seq[String] = Nil,
+      expiryAuditRoots: Seq[String] = Nil,
+      amendAuditRoots: Seq[String] = Nil): Long = {
+    val rows = ledger(spark, stores, forgetMarkerRoots, expiryAuditRoots,
+      amendAuditRoots).localCheckpoint()
+    StoreCompaction.writeEvolvedDelta(rows, snapDir, snapshotId)
+    rows.count()
+  }
+
+  /** The ledger AS OF snapshot `snapshotId` — one partition read off the
+    * snapshot store, nothing else. Refuses loudly when the snapshot was
+    * never landed or has expired (a silent empty ledger would read as
+    * "nothing ever happened" to a review).
+    */
+  def ledgerAsOf(spark: SparkSession, snapDir: String,
+      snapshotId: Long): DataFrame = {
+    StoreCompaction.retentionFloor(snapDir).filter(_ > snapshotId).foreach { f =>
+      throw new IllegalStateException(
+        s"ledger snapshot $snapshotId expired (snapshot retention floor $f) " +
+          "— point-in-time reads below the floor are gone by design")
+    }
+    val part = new java.io.File(snapDir, s"batch_id=$snapshotId")
+    if (!part.exists())
+      throw new IllegalStateException(
+        s"no ledger snapshot $snapshotId under $snapDir — land it with " +
+          "landLedgerSnapshot; an empty result would misread as a clean audit")
+    spark.read.parquet(part.getPath)
+      .select(col("store"), col("metric"), col("value"))
+      .orderBy("store", "metric")
+  }
 }

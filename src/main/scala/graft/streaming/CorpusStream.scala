@@ -114,9 +114,8 @@ object CorpusStream {
     * batch q163. ≤ |bands|+1 SUM rows per batch, per-batchId OVERWRITE.
     */
   def writeEvalDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    graft.ops.Mining.evalCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Mining.evalCells(batch), deltaDir, batchId)
   }
 
   /** Eval-cell maintenance sink: the evaluation dashboard a curation
@@ -201,9 +200,7 @@ object CorpusStream {
         graft.queries.Det.countIf(col("doc_id") >= 50).as("raw_n"))
 
   def writeFeatureDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    featureCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(featureCells(batch), deltaDir, batchId)
   }
 
   /** Feature-cell maintenance sink — q164's trainer kept current. */
@@ -301,9 +298,7 @@ object CorpusStream {
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
 
   def writeLmDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    lmCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(lmCells(batch), deltaDir, batchId)
   }
 
   /** LM-cell maintenance sink — the q101 fluency trainer kept current as
@@ -401,9 +396,8 @@ object CorpusStream {
     * OVERWRITE.
     */
   def writeMwDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    graft.ops.Mining.mwCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Mining.mwCells(batch), deltaDir, batchId)
   }
 
   /** Loss-cell maintenance sink — the domain-reweighting optimizer's
@@ -463,11 +457,9 @@ object CorpusStream {
     */
   def writeDivDelta(batch: DataFrame, dimDir: String, statDir: String,
       batchId: Long): Unit = {
-    StoreCompaction.requireLandable(dimDir, batchId)
-    StoreCompaction.requireLandable(statDir, batchId)
     val w = graft.ops.Similarity.hashedVec(batch, keep = Seq("source")).localCheckpoint()
-    graft.ops.Similarity.divDimCells(w).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dimDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Similarity.divDimCells(w), dimDir, batchId)
     graft.ops.Similarity.divStatCells(w).coalesce(1)
       .write.mode("overwrite").parquet(s"$statDir/batch_id=$batchId")
     ()
@@ -553,9 +545,8 @@ object CorpusStream {
     * union is correctly safe — the audit is arrival-order invariant.
     */
   def writeKAnonDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    graft.ops.TextOps.kAnonCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.TextOps.kAnonCells(batch), deltaDir, batchId)
   }
 
   /** QI-cell maintenance sink — the privacy audit's input kept current
@@ -598,10 +589,9 @@ object CorpusStream {
     * replay story and serving reads the plain union.
     */
   def writeCsDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    graft.ops.TextOps.windowMajorities(batch.select(col("doc_id"), col("text")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.TextOps.windowMajorities(
+        batch.select(col("doc_id"), col("text"))), deltaDir, batchId)
   }
 
   /** Window-majority maintenance sink — the code-switching state kept
@@ -665,9 +655,8 @@ object CorpusStream {
     * with unique window content, like the CDC chunk store.
     */
   def writeSpanDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    graft.ops.Mining.spanWindowCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Mining.spanWindowCells(batch), deltaDir, batchId)
   }
 
   /** One micro-batch's positional-window INVERTED-INDEX delta: DISTINCT
@@ -680,9 +669,9 @@ object CorpusStream {
     */
   def writeSpanIndexDelta(batch: DataFrame, indexDir: String,
       batchId: Long): Unit = {
-    StoreCompaction.requireLandable(indexDir, batchId)
-    graft.ops.Mining.spanWindowIndex(batch)
-      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Mining.spanWindowIndex(batch), indexDir, batchId,
+      coalesce1 = false)
   }
 
   /** Window-cell maintenance sink — the exact-substring duplication
@@ -768,16 +757,13 @@ object CorpusStream {
     */
   def writeCdcDelta(batch: DataFrame, chunkDir: String, docDir: String,
       batchId: Long): Unit = {
-    StoreCompaction.requireLandable(chunkDir, batchId)
-    StoreCompaction.requireLandable(docDir, batchId)
     val ex = graft.ops.Dedup.cdcChunks(batch).localCheckpoint()
-    graft.ops.Dedup.cdcCellsOf(ex).coalesce(1)
-      .write.mode("overwrite").parquet(s"$chunkDir/batch_id=$batchId")
-    ex.select("source", "doc_id").distinct()
-      .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$docDir/batch_id=$batchId")
-    ()
+    StoreCompaction.writeEvolvedDelta(
+      graft.ops.Dedup.cdcCellsOf(ex), chunkDir, batchId)
+    StoreCompaction.writeEvolvedDelta(
+      ex.select("source", "doc_id").distinct()
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_docs")),
+      docDir, batchId)
   }
 
   /** Chunk-cell maintenance sink — sub-document duplication monitoring

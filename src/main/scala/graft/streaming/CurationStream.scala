@@ -251,16 +251,12 @@ object CurationStream {
 
   def writeWindowDelta(batch: DataFrame, fpDir: String, idxDir: String,
       batchId: Long): Unit = {
-    StoreCompaction.requireLandable(fpDir, batchId)
-    StoreCompaction.requireLandable(idxDir, batchId)
     StoreCompaction.requireConfigMarker(idxDir, "_band_conf",
       Dedup.bandConfigFingerprint, writeIfAbsent = true,
       "banding configuration")
     val (fpRows, bandRows) = windowDeltaFrames(batch)
-    fpRows.coalesce(1)
-      .write.mode("overwrite").parquet(s"$fpDir/batch_id=$batchId")
-    bandRows.coalesce(1)
-      .write.mode("overwrite").parquet(s"$idxDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(fpRows, fpDir, batchId)
+    StoreCompaction.writeEvolvedDelta(bandRows, idxDir, batchId)
   }
 
   /** The q127 curation decision table over a retention WINDOW

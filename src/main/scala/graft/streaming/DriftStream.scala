@@ -26,9 +26,7 @@ object DriftStream {
     * spec's replay pin.
     */
   def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    Corpus.driftCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(Corpus.driftCells(batch), deltaDir, batchId)
   }
 
   /** Cell-maintenance sink: per micro-batch, one histogram aggregate
@@ -91,9 +89,8 @@ object DriftStream {
     * carried it.
     */
   def writeSnapshotDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    Corpus.driftCellsBySnapshot(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      Corpus.driftCellsBySnapshot(batch), deltaDir, batchId)
   }
 
   /** Cell-maintenance sink keyed by snapshot: state is

@@ -127,15 +127,14 @@ object EmbeddingStream {
     */
   def writeOccupancyDelta(batch: DataFrame, centroidPath: String,
       deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
     val spark = batch.sparkSession
     val cents = spark.read.parquet(centroidPath)
-    assignFrozen(batch, cents)
-      .join(batch.select(col("vec_id"), col("snapshot_id")), Seq("vec_id"))
-      .groupBy("snapshot_id", "cluster")
-      .agg(count(lit(1)).as("o"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      assignFrozen(batch, cents)
+        .join(batch.select(col("vec_id"), col("snapshot_id")), Seq("vec_id"))
+        .groupBy("snapshot_id", "cluster")
+        .agg(count(lit(1)).as("o")),
+      deltaDir, batchId)
   }
 
   /** Occupancy-cell maintenance sink — the embedding twin of

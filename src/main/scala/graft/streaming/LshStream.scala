@@ -46,6 +46,27 @@ object LshStream {
   def batchBands(batch: DataFrame): DataFrame =
     Dedup.lshBands(Dedup.minhashSignatures(batch))
 
+  /** A pluggable BANDING FAMILY: the per-batch band kernel PLUS its
+    * configuration identity, persisted as a `_band_conf` marker on
+    * every index store the family writes and checked on every landing
+    * and windowed serve. Pairing kernel and identity in ONE value is
+    * the point — the store machinery here is signature-agnostic (text
+    * minhash, image phash, audio codes all share it), which is exactly
+    * why a config marker keyed to the TEXT constants would be wrong for
+    * the other modalities: each family's rows merge structurally fine
+    * with rows banded under different constants of the SAME family and
+    * silently miss every cross-configuration duplicate. Each modality
+    * therefore carries its own fingerprint (see
+    * [[graft.ops.Dedup.bandConfigFingerprint]] for text,
+    * `Multimodal.phashBandFamily` / `audioBandFamily` for the others).
+    */
+  final case class BandFamily(name: String,
+      bandsOf: DataFrame => DataFrame, conf: String)
+
+  /** The default text MinHash-LSH family. */
+  lazy val textBandFamily: BandFamily =
+    BandFamily("text-minhash", batchBands, Dedup.bandConfigFingerprint)
+
   /** Dedup sink: per micro-batch, score against the band index + the
     * batch's own earlier ids and write (decisions, bands) to per-batchId
     * partitions. Trigger.AvailableNow + checkpoint as in the other
@@ -59,9 +80,12 @@ object LshStream {
     */
   def processBatch(batch: DataFrame, indexDir: String, decisionsDir: String,
       batchId: Long,
-      bandsOf: DataFrame => DataFrame = batchBands): Unit = {
+      family: BandFamily = textBandFamily): Unit = {
     val spark = batch.sparkSession
-    val bands = bandsOf(batch).localCheckpoint()
+    StoreCompaction.requireConfigMarker(indexDir, "_band_conf",
+      family.conf, writeIfAbsent = true,
+      s"banding configuration (${family.name})")
+    val bands = family.bandsOf(batch).localCheckpoint()
     val idx = new java.io.File(indexDir)
     val history =
       if (idx.exists() && idx.listFiles() != null &&
@@ -89,13 +113,13 @@ object LshStream {
     */
   def dedupSink(stream: DataFrame, indexDir: String, decisionsDir: String,
       checkpointDir: String,
-      bandsOf: DataFrame => DataFrame = batchBands): StreamingQuery =
+      family: BandFamily = textBandFamily): StreamingQuery =
     stream.writeStream
       .queryName("lsh_band_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, indexDir, decisionsDir, batchId, bandsOf)
+        processBatch(batch, indexDir, decisionsDir, batchId, family)
         ()
       }
       .start()
@@ -127,7 +151,10 @@ object LshStream {
     * short to band verdict as keeps, like the sink's own batches).
     */
   def windowedDecisions(spark: SparkSession, indexDir: String,
-      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue): DataFrame = {
+      spine: DataFrame, lo: Long, upto: Long = Long.MaxValue,
+      conf: String = Dedup.bandConfigFingerprint): DataFrame = {
+    StoreCompaction.requireConfigMarker(indexDir, "_band_conf",
+      conf, writeIfAbsent = false, "banding configuration")
     val idx = StoreCompaction.readWindow(spark, indexDir, lo, upto)
       .select("doc_id", "band_idx", "band_hash")
     Dedup.keepEarliestVerdicts(spine.select("doc_id"),

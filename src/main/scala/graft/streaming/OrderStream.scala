@@ -38,9 +38,7 @@ object OrderStream {
     * Exposed for the spec's replay pin.
     */
   def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    batchCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(batchCells(batch), deltaDir, batchId)
   }
 
   /** Cell-maintenance sink: per micro-batch, write the partial cells to
@@ -105,9 +103,7 @@ object OrderStream {
       .agg(count(lit(1)).cast("long").as("n_docs"))
 
   def writeMassDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    massCells(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(massCells(batch), deltaDir, batchId)
   }
 
   /** Mass-cell maintenance sink — the q158 twin of [[cellSink]]. */

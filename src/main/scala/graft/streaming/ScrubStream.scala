@@ -179,11 +179,11 @@ object ScrubStream {
     * is therefore exact over whatever has landed, with zero rebuilds.
     */
   def writeShingleDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    Dedup.positionalShingles(
-        batch.filter(col("doc_id") >= 50).select(col("doc_id"), col("text")))
-      .select(col("h"), col("doc_id")).distinct()
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      Dedup.positionalShingles(
+          batch.filter(col("doc_id") >= 50).select(col("doc_id"), col("text")))
+        .select(col("h"), col("doc_id")).distinct(),
+      deltaDir, batchId, coalesce1 = false)
   }
 
   /** Inverted-index maintenance sink — q185's serving artifact kept

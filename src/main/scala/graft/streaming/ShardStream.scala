@@ -44,9 +44,7 @@ object ShardStream {
     * a no-op for the served manifest).
     */
   def writeDelta(batch: DataFrame, deltaDir: String, batchId: Long): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
-    batchDelta(batch).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(batchDelta(batch), deltaDir, batchId)
   }
 
   /** Manifest-maintenance sink: per micro-batch, write the partial

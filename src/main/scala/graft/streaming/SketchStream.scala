@@ -226,10 +226,10 @@ object SketchStream {
     */
   def writeRegisterDelta(batch: DataFrame, deltaDir: String, batchId: Long,
       p: Int = 6): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
     requireParamMarker(deltaDir, "_hll_p", p, writeIfAbsent = true, "p")
-    Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p).coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      Sketches.hllRegisters(batch, Seq("event_type"), userDayKey, p),
+      deltaDir, batchId)
   }
 
   /** HLL distinct estimates over a retention WINDOW [lo, upto] —
@@ -253,14 +253,13 @@ object SketchStream {
     */
   def writeKmvDelta(batch: DataFrame, deltaDir: String, batchId: Long,
       k: Int = 256): Unit = {
-    StoreCompaction.requireLandable(deltaDir, batchId)
     requireParamMarker(deltaDir, "_kmv_k", k, writeIfAbsent = true, "k")
-    batch
-      .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
-      .groupBy("event_type")
-      .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$deltaDir/batch_id=$batchId")
+    StoreCompaction.writeEvolvedDelta(
+      batch
+        .select(col("event_type"), graft.ops.Dedup.h60Col(userDayKey).as("h"))
+        .groupBy("event_type")
+        .agg(graft.functions.KmvMin.kmvMin(k)(col("h")).as("mins")),
+      deltaDir, batchId)
   }
 
   /** q110's overlap estimates over a retention WINDOW [lo, upto] — the

@@ -1015,7 +1015,22 @@ object StoreCompaction {
   def readWindow(spark: SparkSession, storeDir: String, lo: Long,
       upto: Long = Long.MaxValue): DataFrame = {
     requireWindowServableAt(storeDir, lo, upto)
-    spark.read.parquet(storeDir)
+    // SCHEMA-AWARE when the store registered a cell schema (any store
+    // landed through writeEvolvedDelta): read under the registered union
+    // schema so deltas landed before a column was appended null-fill it
+    // deterministically — a plain read samples ONE footer and the served
+    // schema would depend on which file Spark picks. Unregistered stores
+    // read plain, unchanged.
+    val reader = cellSchemaOf(storeDir) match {
+      case Some((_, reg)) =>
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        spark.read.schema(StructType(
+          reg.map { case (n, t) =>
+            StructField(n, org.apache.spark.sql.types.DataType.fromDDL(t)) } :+
+            StructField("batch_id", LongType)))
+      case None => spark.read
+    }
+    reader.parquet(storeDir)
       .filter(windowedReadFilter(storeDir, lo, upto))
   }
 
@@ -1291,10 +1306,17 @@ object StoreCompaction {
     * registers it.
     */
   def writeEvolvedDelta(rows: DataFrame, storeDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, coalesce1: Boolean = true,
+      subPartBy: Seq[String] = Nil): Unit = {
     requireLandable(storeDir, batchId)
     val evolved = planCellSchema(storeDir, rows.schema)
-    rows.coalesce(1).write.mode("overwrite")
+    val shaped =
+      if (subPartBy.nonEmpty) rows.repartition(subPartBy.map(
+        org.apache.spark.sql.functions.col): _*)
+      else if (coalesce1) rows.coalesce(1)
+      else rows
+    val w = shaped.write.mode("overwrite")
+    (if (subPartBy.nonEmpty) w.partitionBy(subPartBy: _*) else w)
       .parquet(s"$storeDir/batch_id=$batchId")
     evolved.foreach { case (v, cols) =>
       new java.io.File(storeDir).mkdirs()

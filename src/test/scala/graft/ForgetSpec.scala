@@ -2362,6 +2362,93 @@ class ForgetSpec extends AnyFunSuite {
       === 0L, "one-row-per-fp must survive repeated amendments")
   }
 
+  test("ledger snapshots: as-of serves match the live recompute at each point, replays are idempotent, and missing or expired snapshots refuse instead of reading as a clean audit") {
+    import graft.streaming.{Compliance, StoreCompaction}
+    val (snaps, deltas, markers, audit) =
+      graft.ops.ForgetOps.buildLedgerSnapshotStore(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // snapshot 1 was landed after the LAST audit event, so it equals the
+    // live recompute today; snapshot 0 must DIFFER from it (wave B and
+    // floor 4 happened in between) — that difference is the whole point
+    // of point-in-time snapshots
+    assert(rows(Compliance.ledgerAsOf(spark, snaps, 1L)) ===
+      rows(Compliance.ledger(spark, Seq("lm" -> deltas),
+        forgetMarkerRoots = Seq(markers), expiryAuditRoots = Seq(audit))),
+      "the newest snapshot must equal the live ledger recompute")
+    assert(rows(Compliance.ledgerAsOf(spark, snaps, 0L)) !==
+      rows(Compliance.ledgerAsOf(spark, snaps, 1L)),
+      "snapshots at different lifecycle points must differ")
+    // replay: re-landing snapshot 1 rewrites identical rows
+    val before = rows(Compliance.ledgerAsOf(spark, snaps, 1L))
+    Compliance.landLedgerSnapshot(spark, snaps, 1L, Seq("lm" -> deltas),
+      forgetMarkerRoots = Seq(markers), expiryAuditRoots = Seq(audit))
+    assert(rows(Compliance.ledgerAsOf(spark, snaps, 1L)) === before,
+      "a replayed snapshot landing must rewrite identical rows")
+    // refusals: a snapshot never landed, and one below a retention floor
+    assert(intercept[IllegalStateException] {
+      Compliance.ledgerAsOf(spark, snaps, 7L)
+    }.getMessage.contains("no ledger snapshot"),
+      "a missing snapshot must refuse, not serve empty")
+    val scratch = tmpDir("graft-ledger-snap-exp") + "/snapshots"
+    Compliance.landLedgerSnapshot(spark, scratch, 0L, Seq("lm" -> deltas),
+      expiryAuditRoots = Seq(audit))
+    Compliance.landLedgerSnapshot(spark, scratch, 1L, Seq("lm" -> deltas),
+      expiryAuditRoots = Seq(audit))
+    StoreCompaction.expireBefore(scratch, 1L)
+    assert(intercept[IllegalStateException] {
+      Compliance.ledgerAsOf(spark, scratch, 0L)
+    }.getMessage.contains("expired"),
+      "an expired snapshot must refuse by the retention contract")
+    assert(rows(Compliance.ledgerAsOf(spark, scratch, 1L)).nonEmpty,
+      "snapshots above the floor keep serving")
+  }
+
+  test("identity-family schema evolution: every sink registers its cell schema, mixed-schema windowed serves null-fill deterministically, and type changes or drops refuse at the identity writers too") {
+    import graft.ops.ForgetOps
+    val d = docs.localCheckpoint()
+    // identity sinks register on first landing: the window-mode fp store
+    val root = tmpDir("graft-ident-evo-fp")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    graft.functions.ShingleHashes.register(spark)
+    CurationStream.writeWindowDelta(d, fpD, idxD, 0L)
+    assert(StoreCompaction.cellSchemaOf(fpD).map(_._2.map(_._1)) ===
+      Some(Seq("doc_id", "fp", "source")),
+      "the fp identity sink must register its cell schema on first landing")
+    assert(StoreCompaction.cellSchemaOf(idxD).isDefined,
+      "the band identity sink must register too")
+
+    // per-doc identity store: mixed-schema serve through readWindow
+    val store = tmpDir("graft-ident-evo") + "/docstats"
+    val ids = d.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    StoreCompaction.writeEvolvedDelta(
+      ForgetOps.statRows(d.filter(col("doc_id") < cut), withAlpha = false),
+      store, 0L)
+    StoreCompaction.writeEvolvedDelta(
+      ForgetOps.statRows(d.filter(col("doc_id") >= cut), withAlpha = true),
+      store, 1L)
+    val served = StoreCompaction.readWindow(spark, store, lo = 0L)
+      .select("doc_id", "n_tok", "n_alpha").orderBy("doc_id")
+      .collect()
+    assert(served.count(_.isNullAt(2)) ===
+      d.filter(col("doc_id") < cut).count(),
+      "pre-append docs must null-fill the appended column, every one of them")
+    assert(served.count(r => !r.isNullAt(2)) > 0,
+      "post-append docs must carry the new statistic")
+
+    // the refusal shapes hold at the identity writers
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.writeEvolvedDelta(
+        ForgetOps.statRows(d, withAlpha = false)
+          .withColumn("n_tok", col("n_tok").cast("double")), store, 2L)
+    }.getMessage.contains("type changes"))
+    assert(intercept[IllegalStateException] {
+      StoreCompaction.writeEvolvedDelta(
+        ForgetOps.statRows(d, withAlpha = true).drop("n_tok"), store, 2L)
+    }.getMessage.contains("drops (or renames)"))
+  }
+
   test("epoch re-band amendments: band-then-amend equals amend-then-band, the archive serves repeated corrections, non-opted stores still refuse, and expiry drops the archive with its epoch") {
     import graft.streaming.{Amend, StoreCompaction}
     val d = docs.localCheckpoint()

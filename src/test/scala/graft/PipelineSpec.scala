@@ -200,7 +200,8 @@ class PipelineSpec extends AnyFunSuite {
       Seq("curation", "decontamination", "leak_repair", "packing", "ordering",
         "schedule", "selection", "fluency", "reweighting", "diversity",
         "dedup_weighting", "holdout", "crossmodal", "maintenance", "forget",
-        "retention", "epoch_banding", "family_retention", "amendment"))
+        "retention", "epoch_banding", "family_retention", "amendment",
+        "schema_evolution"))
     // every stage carries its measured wall time
     stages.foreach(st => assert(st.secs > 0.0, s"stage ${st.name} missing wall time"))
     stages.foreach(st => assert(st.ok, s"stage ${st.name} failed: ${st.detail}"))
@@ -211,7 +212,7 @@ class PipelineSpec extends AnyFunSuite {
         "domain_weights", "diversity", "dup_weighted_mixture",
         "eval_holdout", "crossmodal_audit", "retention_audit",
         "wincur_decisions", "wincur_shards", "wincur_schedule",
-        "asset_audit", "amendment_ledger").foreach { a =>
+        "asset_audit", "amendment_ledger", "evolved_stats").foreach { a =>
       assert(spark.read.parquet(s"$out/$a").count() > 0, s"artifact $a missing/empty")
     }
     // re-running is idempotent: marker-committed stores are reused and
@@ -226,7 +227,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.find(_.name == "maintenance").get.ok,
       s"maintenance re-pass failed: ${again.find(_.name == "maintenance").get.detail}")
     Seq("forget", "retention", "epoch_banding", "family_retention",
-        "amendment").foreach { n =>
+        "amendment", "schema_evolution").foreach { n =>
       val st = again.find(_.name == n).get
       assert(st.ok, s"$n re-pass failed: ${st.detail}")
     }

@@ -72,6 +72,19 @@ class PlanSpec extends AnyFunSuite {
       s"the ledger must never re-read the corpus or the cell store:\n$p")
   }
 
+  test("q234: the point-in-time ledger serve reads ONE snapshot partition — zero audit-root, corpus, or cell-store scans") {
+    val p = plan("q234_ledger_snapshot")
+    val located = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(located.nonEmpty, s"the snapshot store must be scanned:\n$p")
+    assert(located.forall(l => l.contains("snapshots") &&
+      l.contains("batch_id=0")),
+      "the as-of serve must read exactly the one snapshot partition:\n" +
+        located.mkString("\n"))
+    assert(!p.contains("documents.parquet") && !p.contains("/deltas") &&
+      !p.contains("forget_markers") && !p.contains("expiry_audit"),
+      s"the snapshot serve must not recompute from the audit roots:\n$p")
+  }
+
   test("q227/q228: amended curation serves off the stores alone — the window election reads the two window stores, the materialized family reads its decisions store") {
     val p227 = plan("q227_amend_curation_window")
     val loc227 = p227.linesIterator.filter(_.contains("Location:")).toSeq

@@ -1348,13 +1348,13 @@ class StreamingSpec extends AnyFunSuite {
 
     land(docs.filter(col("doc_id") < cut1), "f1.parquet")
     LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+      index, decisions, checkpoint, Multimodal.phashBandFamily).awaitTermination()
     land(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), "f2.parquet")
     LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+      index, decisions, checkpoint, Multimodal.phashBandFamily).awaitTermination()
     land(docs.filter(col("doc_id") >= cut2), "f3.parquet")
     LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-      index, decisions, checkpoint, Multimodal.phashBands).awaitTermination()
+      index, decisions, checkpoint, Multimodal.phashBandFamily).awaitTermination()
 
     def decMap() = LshStream.decisions(spark, decisions).collect()
       .map(r => r.getLong(0) ->
@@ -1387,8 +1387,37 @@ class StreamingSpec extends AnyFunSuite {
     }
     // replay: per-batchId overwrite keeps both stores idempotent
     LshStream.processBatch(docs.filter(col("doc_id") < cut1), index, decisions, 0L,
-      Multimodal.phashBands)
+      Multimodal.phashBandFamily)
     assert(decMap() === batch, "a replayed batch must not move the decisions")
+
+    // PER-MODALITY config markers: the image store persisted the phash
+    // family's own fingerprint — a landing or windowed serve under
+    // another family's constants (text minhash here) merges without
+    // structural error and silently misses every cross-config duplicate,
+    // so both refuse loudly
+    assert(new java.io.File(index, "_band_conf").exists(),
+      "the first landing must persist the modality's own band config")
+    assert(intercept[IllegalStateException] {
+      LshStream.processBatch(docs.filter(col("doc_id") < cut1), index,
+        decisions, 3L) // default = text family
+    }.getMessage.contains("banding configuration"),
+      "a text-family landing into the image store must refuse")
+    assert(intercept[IllegalStateException] {
+      LshStream.windowedDecisions(spark, index, docs.select("doc_id"),
+        lo = 0L) // default text conf against the image store
+    }.getMessage.contains("banding configuration"),
+      "a windowed serve under another family's config must refuse")
+    // the RIGHT config serves: one in-window election over the image
+    // bands equals the batch anchor
+    val win = LshStream.windowedDecisions(spark, index, docs.select("doc_id"),
+        lo = 0L, conf = Multimodal.phashBandConfigFingerprint)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_earlier"), Option(r.get(r.fieldIndex("dup_of")))
+          .map(_.asInstanceOf[Long]), r.getAs[Boolean]("is_band_dup"))))
+      .toMap
+    assert(win === batch,
+      "the windowed election under the right config must equal the batch anchor")
   }
 
   test("audio probe stream: envelope codes ride the band store; streamed keep-earliest equals batch and q176") {
@@ -1413,10 +1442,10 @@ class StreamingSpec extends AnyFunSuite {
 
     land(docs.filter(col("doc_id") < cut), "f1.parquet")
     LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-      index, decisions, checkpoint, Multimodal.audioBands).awaitTermination()
+      index, decisions, checkpoint, Multimodal.audioBandFamily).awaitTermination()
     land(docs.filter(col("doc_id") >= cut), "f2.parquet")
     LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-      index, decisions, checkpoint, Multimodal.audioBands).awaitTermination()
+      index, decisions, checkpoint, Multimodal.audioBandFamily).awaitTermination()
 
     def decMap() = LshStream.decisions(spark, decisions).collect()
       .map(r => r.getLong(0) ->
@@ -1452,6 +1481,14 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(vMap(decisions) === batch,
       "the L1 verify must not move a single verdict on the collision-free fixture")
+
+    // the audio store carries the AUDIO family's own config marker:
+    // an image-family (or text-family) landing refuses loudly
+    assert(intercept[IllegalStateException] {
+      LshStream.processBatch(docs.filter(col("doc_id") < cut), index,
+        decisions, 2L, Multimodal.phashBandFamily)
+    }.getMessage.contains("banding configuration"),
+      "an image-family landing into the audio store must refuse")
 
     // ...and CLEARS a planted cross-family code collision: fabricate a
     // decision row marking two unrelated docs as band-dups — exactly what
@@ -1964,9 +2001,9 @@ class StreamingSpec extends AnyFunSuite {
       CurationStream.curationSink(CurationStream.readDocStream(spark, landing),
         fps, tIndex, tDec, ck1).awaitTermination()
       LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-        iIndex, iDec, ck2, Multimodal.phashBandsSparse).awaitTermination()
+        iIndex, iDec, ck2, Multimodal.phashBandFamilySparse).awaitTermination()
       LshStream.dedupSink(LshStream.readDocStream(spark, landing),
-        aIndex, aDec, ck3, Multimodal.audioBandsSparse).awaitTermination()
+        aIndex, aDec, ck3, Multimodal.audioBandFamilySparse).awaitTermination()
     }
 
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1987,11 +2024,11 @@ class StreamingSpec extends AnyFunSuite {
     val textB = Dedup.q127.fn(spark, sf)
       .select(col("doc_id"), col("is_exact_dup"), col("is_band_dup"),
         lit(true).as("in_text"))
-    val iBands = Multimodal.phashBandsSparse(docs)
+    val iBands = Multimodal.phashBandFamilySparse.bandsOf(docs)
     val imgB = Dedup.keepEarliestVerdicts(docs.select("doc_id"),
         Dedup.firstSeenBandPartners(iBands, iBands.filter(lit(false))))
       .select(col("doc_id"), col("is_band_dup").as("img_dup"))
-    val aBands = Multimodal.audioBandsSparse(docs)
+    val aBands = Multimodal.audioBandFamilySparse.bandsOf(docs)
     val audB = Dedup.keepEarliestVerdicts(docs.select("doc_id"),
         Dedup.firstSeenBandPartners(aBands, aBands.filter(lit(false))))
       .select(col("doc_id"), col("is_band_dup").as("aud_dup"))
