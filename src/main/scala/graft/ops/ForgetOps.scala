@@ -2316,8 +2316,95 @@ object ForgetOps {
     graft.streaming.Compliance.ledgerAsOf(s, snaps, 0L)
   }
 
+  def lmCommuteStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lm_commute_v1_${storeKey(dir, "lmcommute")}"
+
+  /** The corrected corpus MINUS the commute-wave forget set (doc_id ≡ 4
+    * mod 9 below the second quartile boundary) — what q235's store must
+    * serve after erasure and correction both apply.
+    */
+  private val commuteCorpusSql: String =
+    s"""(SELECT * FROM $correctedCorpusSql cc
+       | WHERE NOT (cc.doc_id % 9 = 4
+       |   AND cc.doc_id < 2 * (SELECT MAX(doc_id) // 4 FROM documents)))""".stripMargin
+
+  /** An LM store where an erasure wave PRECEDES the correction of a
+    * landing the wave also hit: four quartile landings, a split-forget
+    * wave over doc_id ≡ 4 (mod 9) below 2·w (negatives sourced at
+    * batches 0 AND 1), then the STREAMED amendment of batch 1. The
+    * corrected content still contains the wave's batch-1 docs — a
+    * re-crawled shard naturally would — so the sink re-applies the
+    * outstanding erasure before amending and retires batch 1's
+    * now-obsolete split negatives. Idempotent. Returns the delta dir.
+    */
+  def buildLmCommuteStore(s: SparkSession, dir: String): String = {
+    val root = lmCommuteStorePath(dir)
+    val deltas = s"$root/deltas"
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val (batch, _, w) = amendFixture(s, dir)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi), deltas, k.toLong)
+      }
+      val fIds = d.filter(col("doc_id") < 2 * w &&
+        pmod(col("doc_id"), lit(9L)) === 4L).select("doc_id")
+      val content = d.withColumn("src_batch",
+        when(col("doc_id") < w, 0L).when(col("doc_id") < 2 * w, 1L)
+          .when(col("doc_id") < 3 * w, 2L).otherwise(3L).cast("long"))
+      graft.streaming.ForgetStream.processBatch(fIds, content,
+        graft.streaming.ForgetStream.ForgetTargets(
+          sumCellStores = Seq(Forget.lmCellTarget(deltas)),
+          splitBySrcBatch = true),
+        s"$root/forget_markers", 0L)
+      fIds.coalesce(1).write.mode("overwrite").parquet(s"$root/requests")
+      graft.streaming.Amend.processAmendBatch(
+        batch.select(lit(1L).as("amend_batch"), col("doc_id"),
+          col("text"), col("source")),
+        graft.streaming.Amend.AmendTargets(
+          sumCellStores = Seq("lm" -> Forget.lmCellTarget(deltas)),
+          forgetRequestDirs = Seq(s"$root/requests")),
+        s"$root/amend_markers", 0L, Some(s"$root/amend_audit"))
+      marker.createNewFile()
+    }
+    deltas
+  }
+
+  /** q235 — ERASURE–CORRECTION COMMUTATION: a right-to-be-forgotten
+    * wave lands BEFORE the correction of a landing it also hit, and the
+    * correction (a re-crawled shard) still contains the forgotten docs.
+    * The streamed amendment sink re-applies the outstanding erasure to
+    * the corrected batch — forget-then-amend ≡ amend-then-forget — and
+    * retires the landing's now-obsolete split negatives instead of
+    * refusing (their positives are excluded from the corrected cells;
+    * batch 0's negatives survive untouched). The served fluency model
+    * must equal a from-scratch retrain on the corrected corpus MINUS
+    * the wave — the oracle IS that retrain; without the re-applied
+    * erasure the amendment would silently resurrect every forgotten
+    * batch-1 doc. Reference anchor: the MERGE upsert
+    * (`notebooks/databricks_data_flow.sql:193-203`) composes with
+    * deletes by key, regardless of arrival order.
+    */
+  val q235 = Q("q235_amend_respects_erasure",
+    lmForgetFluencyOracle(commuteCorpusSql)) { (s, dir) =>
+    val deltas = buildLmCommuteStore(s, dir)
+    val (_, corpus, w) = amendFixture(s, dir)
+    val after = corpus.filter(!(pmod(col("doc_id"), lit(9L)) === 4L &&
+      col("doc_id") < 2 * w))
+    graft.ops.TextOps.fluencyScoredFromCounts(after,
+        Some(Forget.lmCountsAfterForget(s, deltas)))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("sum_fp").cast("double") / (col("n_bigrams") * lit(1000000.0)))
+          .as("fluency_score"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231,
-    q232, q233, q234)
+    q232, q233, q234, q235)
 }

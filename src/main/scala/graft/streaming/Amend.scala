@@ -122,7 +122,8 @@ object Amend {
     *    corrected cells. (Amend first, then re-issue the erasure wave
     *    against the corrected landing.)
     */
-  def requireAmendable(storeDir: String, batchId: Long): Unit = {
+  def requireAmendable(storeDir: String, batchId: Long,
+      allowSourcedNegatives: Boolean = false): Unit = {
     require(batchId >= 0, s"amendments target ingest landings, got $batchId")
     StoreCompaction.retentionFloor(storeDir).filter(_ > batchId).foreach { f =>
       throw new IllegalStateException(
@@ -159,13 +160,22 @@ object Amend {
       .filter(id => id <= StoreCompaction.SplitForgetBase &&
         id > StoreCompaction.EpochFoldBase &&
         StoreCompaction.splitSourceBatch(id) == batchId)
-    if (staleNegs.nonEmpty)
+    // `allowSourcedNegatives`: the STREAMED sink already re-applied every
+    // outstanding forget request to the corrected content, so the
+    // landing's sourced negatives are obsolete after the overwrite (their
+    // positives are excluded from the corrected cells) and the amendment
+    // DROPS them instead of refusing — the forget-then-amend commutation.
+    // A direct caller without that guarantee keeps the refusal: dangling
+    // negatives against replaced positives mis-subtract.
+    if (staleNegs.nonEmpty && !allowSourcedNegatives)
       throw new IllegalStateException(
         s"cannot amend $storeDir batch $batchId: split-forget negative(s) " +
           staleNegs.sorted.mkString(", ") +
           " negate what the OLD content added and would mis-subtract from " +
           "the corrected cells — amend first, then re-issue the erasure " +
-          "wave against the corrected landing")
+          "wave against the corrected landing (or route the correction " +
+          "through the streamed sink with forgetRequestDirs, which " +
+          "re-applies the erasure and retires the negatives)")
   }
 
   /** Can `batchId` amend through the epoch RE-BAND path on this store —
@@ -186,7 +196,8 @@ object Amend {
     * live OR archived with the epoch — still negate the OLD content and
     * would mis-subtract from the corrected cells.
     */
-  private def requireRebandable(storeDir: String, batchId: Long): Unit = {
+  private def requireRebandable(storeDir: String, batchId: Long,
+      allowSourcedNegatives: Boolean = false): Unit = {
     require(batchId >= 0, s"amendments target ingest landings, got $batchId")
     StoreCompaction.retentionFloor(storeDir).filter(_ > batchId).foreach { f =>
       throw new IllegalStateException(
@@ -201,12 +212,17 @@ object Amend {
           "of every batch — replacing this batch's positives would leave " +
           "the wave inconsistent; amend stores that take split forgets")
     }
-    val staleNegs = (StoreCompaction
-      .partitionIds(new java.io.File(storeDir)) ++
-      StoreCompaction.archivedIds(storeDir))
-      .filter(id => id <= StoreCompaction.SplitForgetBase &&
+    def sourcedAt(ids: Seq[Long]) = ids.filter(id =>
+      id <= StoreCompaction.SplitForgetBase &&
         id > StoreCompaction.EpochFoldBase &&
         StoreCompaction.splitSourceBatch(id) == batchId)
+    // live sourced negatives retire with the amendment when the streamed
+    // sink re-applied the erasure (see [[requireAmendable]]); ARCHIVED
+    // ones folded INTO the epoch with their positives and the re-fold
+    // would reproduce them against the corrected cells — always refuse
+    val live = if (allowSourcedNegatives) Nil
+      else sourcedAt(StoreCompaction.partitionIds(new java.io.File(storeDir)))
+    val staleNegs = live ++ sourcedAt(StoreCompaction.archivedIds(storeDir))
     if (staleNegs.nonEmpty)
       throw new IllegalStateException(
         s"cannot amend $storeDir batch $batchId: split-forget negative(s) " +
@@ -235,10 +251,30 @@ object Amend {
     */
   def amendSumCells(t: Forget.SumCellTarget, corrected: DataFrame,
       batchId: Long,
-      audit: Option[(String, String)] = None): Unit =
+      audit: Option[(String, String)] = None,
+      erasureReapplied: Boolean = false): Unit =
     StoreCompaction.withLease(t.deltaDir) {
+      // with `erasureReapplied` (the streamed sink filtered the corrected
+      // content against every outstanding forget request), the landing's
+      // LIVE sourced split negatives are obsolete once the overwrite
+      // lands — their positives are no longer in the store — and they
+      // DROP here, overwrite-first so no crash ordering ever serves the
+      // forgotten docs' cells un-negated (the window between overwrite
+      // and drop over-subtracts, which a replay converges; the reverse
+      // order would resurrect)
+      def sourcedNegatives(): Seq[Long] =
+        if (!erasureReapplied) Nil
+        else StoreCompaction.partitionIds(new java.io.File(t.deltaDir))
+          .filter(id => id <= StoreCompaction.SplitForgetBase &&
+            id > StoreCompaction.EpochFoldBase &&
+            StoreCompaction.splitSourceBatch(id) == batchId)
+      def dropNegatives(negs: Seq[Long]): Unit = negs.foreach { id =>
+        StoreCompaction.deleteRecursively(
+          new java.io.File(t.deltaDir, s"batch_id=$id"))
+      }
       if (rebandsEpoch(t.deltaDir, batchId)) {
-        requireRebandable(t.deltaDir, batchId)
+        requireRebandable(t.deltaDir, batchId, erasureReapplied)
+        val negs = sourcedNegatives()
         val cells = t.cells(corrected).localCheckpoint()
         certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
           ("batch_amended", 1L, "sum-cell landing re-banded into its epoch"),
@@ -246,18 +282,29 @@ object Amend {
             StoreCompaction.foldedEpochOf(t.deltaDir, batchId).get,
             "folded epoch re-banded from the pre-fold archive"),
           ("corrected_cells_landed", cells.count(),
-            "cells of the corrected content, replacing the old landing's")))
+            "cells of the corrected content, replacing the old landing's")) ++
+          (if (negs.nonEmpty) Seq(("stale_negatives_dropped", negs.size.toLong,
+            "sourced split negatives retired — the re-applied erasure " +
+              "already excludes their docs from the corrected cells"))
+           else Nil))
         StoreCompaction.rebandEpochWithAmendment(
           corrected.sparkSession, t.deltaDir, batchId, cells)
+        dropNegatives(negs)
       } else {
-        requireAmendable(t.deltaDir, batchId)
+        requireAmendable(t.deltaDir, batchId, erasureReapplied)
+        val negs = sourcedNegatives()
         val cells = t.cells(corrected).localCheckpoint()
         certifyAmendment(corrected.sparkSession, audit, batchId, Seq(
           ("batch_amended", 1L, "sum-cell landing partition replaced"),
           ("corrected_cells_landed", cells.count(),
-            "cells of the corrected content, replacing the old landing's")))
+            "cells of the corrected content, replacing the old landing's")) ++
+          (if (negs.nonEmpty) Seq(("stale_negatives_dropped", negs.size.toLong,
+            "sourced split negatives retired — the re-applied erasure " +
+              "already excludes their docs from the corrected cells"))
+           else Nil))
         cells.coalesce(1).write.mode("overwrite")
           .parquet(s"${t.deltaDir}/batch_id=$batchId")
+        dropNegatives(negs)
       }
     }
 
@@ -712,12 +759,26 @@ object Amend {
     * insert), the window-mode curation pair (overwrite, serve-time
     * re-election), SUM-cell stores by their own cell kernels (one
     * partition overwrite each), and per-doc identity stores.
+    *
+    * `forgetRequestDirs` names the erasure request dirs (the parquet
+    * sources [[ForgetStream.readRequestStream]] consumes) whose waves
+    * must survive corrections: the sink drops previously-forgotten docs
+    * from every corrected batch before amending (a re-crawled shard
+    * naturally still contains them) and retires the now-obsolete split
+    * negatives on SUM-cell stores — forget-then-amend ≡
+    * amend-then-forget. ORDERING CONTRACT: the forget sink over those
+    * dirs must have DRAINED before the amendment batch runs (run the
+    * sinks erasure-first, the same discipline as erase-derived-stores-
+    * first/content-last) — a request landed but not yet processed would
+    * otherwise have its negatives landed AFTER the amendment already
+    * excluded the docs, over-subtracting.
     */
   case class AmendTargets(
       curationRoot: Option[String] = None,
       windowCuration: Option[(String, String)] = None,
       sumCellStores: Seq[(String, Forget.SumCellTarget)] = Nil,
-      identityStores: Seq[IdentityAmendTarget] = Nil)
+      identityStores: Seq[IdentityAmendTarget] = Nil,
+      forgetRequestDirs: Seq[String] = Nil)
 
   /** File-source amendment-request stream. */
   def readAmendStream(spark: SparkSession, requestDir: String): DataFrame =
@@ -737,16 +798,45 @@ object Amend {
     new java.io.File(markerRoot).mkdirs()
     val marker = new java.io.File(markerRoot, s"_amend_$batchId")
     if (marker.exists()) return
+    // Corrections RESPECT PRIOR ERASURE: a re-crawled shard naturally
+    // still contains docs a right-to-be-forgotten wave already removed,
+    // and re-landing them through the amendment would silently undo the
+    // erasure (an amendment replaces the WHOLE landing, so the corrected
+    // rows are authoritative). The sink re-applies every outstanding
+    // forget request to the corrected batch before it touches any store
+    // — forget-then-amend ≡ amend-then-forget — and certifies the
+    // reapplied mass. An empty post-filter slice still amends: every doc
+    // of the landing was forgotten, so the landing's corrected content
+    // IS empty.
+    val erased = targets.forgetRequestDirs
+      .filter(d => Option(new java.io.File(d).listFiles()).toSeq.flatten
+        .exists(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+      .map(d => spark.read.parquet(d).select("doc_id"))
+      .reduceOption(_ unionByName _).map(_.distinct().localCheckpoint())
+    val kept = erased match {
+      case Some(f) =>
+        val nReapplied = batch.join(f, Seq("doc_id"), "left_semi").count()
+        if (nReapplied > 0)
+          certifyAmendment(spark, auditRoot.map((_, "erasure_reapply")),
+            batchId, Seq(
+              ("erasure_reapplied", nReapplied,
+                "corrected rows dropped because a forget request already " +
+                  "erased their docs — the correction must not resurrect them")))
+        batch.join(f, Seq("doc_id"), "left_anti").localCheckpoint()
+      case None => batch
+    }
     val amended = batch.select(col("amend_batch").cast("long"))
       .distinct().collect().map(_.getLong(0)).sorted
     require(amended.length <= 16,
       s"amendment request batch $batchId targets ${amended.length} landings; " +
         "the deterministic corrective-id window allows 16 per request batch")
     amended.zipWithIndex.foreach { case (b, k) =>
-      val slice = batch.filter(col("amend_batch") === b)
+      val slice = kept.filter(col("amend_batch") === b)
         .select("doc_id", "text", "source").localCheckpoint()
       targets.sumCellStores.foreach { case (n, t) =>
-        amendSumCells(t, slice, b, audit = auditRoot.map((_, n)))
+        amendSumCells(t, slice, b, audit = auditRoot.map((_, n)),
+          erasureReapplied = targets.forgetRequestDirs.nonEmpty)
       }
       targets.windowCuration.foreach { case (fp, idx) =>
         amendWindowCuration(slice, fp, idx, b,

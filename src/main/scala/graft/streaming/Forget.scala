@@ -47,8 +47,14 @@ import graft.ops.Dedup
   */
 object Forget {
 
-  /** One store's forget outcome — the audit row a compliance check reads. */
-  case class ForgetReport(nPartitions: Int, nRewritten: Int, rowsRemoved: Long)
+  /** One store's forget outcome — the audit row a compliance check reads.
+    * `archivedRewritten`/`archivedRowsRemoved` count the same scrub
+    * applied to the store's `.prefold` epoch archive when one exists
+    * (zero otherwise): archived copies are real retained content, and
+    * the re-band path reads them back verbatim.
+    */
+  case class ForgetReport(nPartitions: Int, nRewritten: Int, rowsRemoved: Long,
+      archivedRewritten: Int = 0, archivedRowsRemoved: Long = 0L)
 
   /** Land the negative LM-cell delta for `forgotten` docs as batch
     * `batchId`: the exact cells [[CorpusStream.lmCells]] would emit for
@@ -195,6 +201,36 @@ object Forget {
       keyCol: String = "doc_id", partCol: String = "batch_id",
       subPartBy: Seq[String] = Nil): ForgetReport =
     StoreCompaction.withLease(storeDir) {
+      val live = surgicalPass(spark, storeDir, ids, keyCol, partCol, subPartBy)
+      // A store opted into the pre-fold archive keeps its folded epochs'
+      // source deltas under `.prefold/` — copies of the SAME rows the
+      // live pass just removed. Erasure must scrub them too: the archive
+      // is read back verbatim by the epoch re-band path
+      // ([[StoreCompaction.rebandEpochWithAmendment]]), so a skipped
+      // archive would RESURRECT forgotten rows the next time ANY batch
+      // in the epoch is amended — and the archived copies themselves are
+      // retained content an erasure certificate claims left disk. The
+      // dot-prefixed dir is invisible to the live pass's partition
+      // discovery, so this is a second explicit pass under the same
+      // store lease.
+      val prefold = new java.io.File(storeDir, StoreCompaction.PrefoldDirName)
+      if (!prefold.isDirectory) live
+      else {
+        val arch =
+          surgicalPass(spark, prefold.getPath, ids, keyCol, partCol, subPartBy)
+        live.copy(archivedRewritten = arch.nRewritten,
+          archivedRowsRemoved = arch.rowsRemoved)
+      }
+    }
+
+  /** One [[surgicalDelete]] pass over one partitioned directory —
+    * detection, staged rewrite, crash recovery — WITHOUT the store
+    * lease (the caller holds it; the `.prefold` archive pass runs under
+    * its parent store's lease).
+    */
+  private def surgicalPass(spark: SparkSession, storeDir: String,
+      ids: DataFrame, keyCol: String, partCol: String,
+      subPartBy: Seq[String]): ForgetReport = {
       val root = new java.io.File(storeDir)
       // crash recovery FIRST: a previous run that died mid-swap leaves
       // the staged replacement in a dot-prefixed tmp dir that parquet

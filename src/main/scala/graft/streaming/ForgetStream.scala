@@ -192,9 +192,17 @@ object ForgetStream {
       ()
     }
     def recordSurgical(family: String, store: String,
-        rep: Forget.ForgetReport): Unit =
+        rep: Forget.ForgetReport): Unit = {
       record(family, store, "surgical_delete", rep.rowsRemoved,
         s"rows removed; ${rep.nRewritten}/${rep.nPartitions} partitions rewritten")
+      // stores opted into the pre-fold archive scrub their archived
+      // copies in the same pass — a separate certified action, so the
+      // audit distinguishes live rows from archived duplicates of them
+      if (rep.archivedRowsRemoved > 0)
+        record(family, store, "archive_scrub", rep.archivedRowsRemoved,
+          s"rows removed from the pre-fold archive; ${rep.archivedRewritten} " +
+            "archived partitions rewritten")
+    }
     if (targets.splitBySrcBatch) {
       // pin-preserving mode: one negative delta per ORIGINAL landing
       // batch on every additive family; no forget horizon is sealed, so

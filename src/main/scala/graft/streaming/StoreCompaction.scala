@@ -307,7 +307,7 @@ object StoreCompaction {
   private val RetentionFloorName = "_retention_floor"
   private val EpochSizeName = "_epoch_size"
   private val PrefoldKeepName = "_prefold_keep"
-  private val PrefoldDirName = ".prefold"
+  private[streaming] val PrefoldDirName = ".prefold"
 
   // ── the PRE-FOLD ARCHIVE: what makes epoch-banded landings amendable ──
   //

@@ -2605,4 +2605,161 @@ class ForgetSpec extends AnyFunSuite {
       graft.streaming.SketchStream.overlapWindowed(spark, kmv, lo = 0L, k = 256)
     }.getMessage.contains("k=64"))
   }
+
+  test("erasure scrubs the pre-fold archive: forgotten rows leave .prefold with the live store, and a later re-band amendment cannot resurrect them") {
+    import graft.streaming.Amend
+    graft.functions.ShingleHashes.register(spark)
+    val d = docs.select("doc_id", "text", "source").localCheckpoint()
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    val root = tmpDir("graft-archscrub")
+    val (fpD, idxD) = (s"$root/fps", s"$root/bands")
+    StoreCompaction.declarePrefoldKeep(fpD)
+    StoreCompaction.declarePrefoldKeep(idxD)
+    bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+      CurationStream.writeWindowDelta(
+        d.filter(col("doc_id") >= lo && col("doc_id") < hi), fpD, idxD, k.toLong)
+    }
+    StoreCompaction.foldEpochs(spark, fpD, 2L, uptoBatch = 3L)
+    StoreCompaction.foldEpochs(spark, idxD, 2L, uptoBatch = 3L)
+
+    // forget docs living in batch 0 — the same epoch (0) the amendment
+    // of batch 1 will later re-fold from the archive
+    val fIds = d.filter(col("doc_id") < w && pmod(col("doc_id"), lit(7L)) === 1L)
+      .select("doc_id").localCheckpoint()
+    assert(fIds.count() > 0, "fixture must forget at least one batch-0 doc")
+    val fpRep = Forget.surgicalDelete(spark, fpD, fIds)
+    val idxRep = Forget.surgicalDelete(spark, idxD, fIds)
+    assert(fpRep.archivedRowsRemoved > 0 && idxRep.archivedRowsRemoved > 0,
+      s"the scrub must reach the archived copies: $fpRep / $idxRep")
+    Seq(fpD, idxD).foreach { dir =>
+      assert(spark.read.parquet(s"$dir/.prefold")
+          .join(fIds, Seq("doc_id"), "left_semi").count() === 0L,
+        s"forgotten docs must leave $dir's pre-fold archive")
+    }
+
+    // the re-band amendment (batch 1, epoch 0) re-folds from the
+    // SCRUBBED archive: the forgotten docs must stay gone
+    Amend.amendWindowCuration(b, fpD, idxD, 1L)
+    val scratch = tmpDir("graft-archscrub-scratch")
+    CurationStream.writeWindowDelta(c.join(fIds, Seq("doc_id"), "left_anti"),
+      s"$scratch/fps", s"$scratch/bands", 0L)
+    assert(CurationStream.windowedDecisions(spark, fpD, idxD, lo = 0L)
+        .collect().map(_.toSeq).toSeq ===
+      CurationStream.windowedDecisions(spark,
+        s"$scratch/fps", s"$scratch/bands", lo = 0L)
+        .collect().map(_.toSeq).toSeq,
+      "the re-banded election must equal the corrected corpus MINUS the " +
+        "forgotten docs — a resurrected row here means the amendment " +
+        "re-folded unscrubbed archive deltas")
+
+    // second pass is a no-op on both legs (idempotent like the live scrub)
+    val again = Forget.surgicalDelete(spark, fpD, fIds)
+    assert(again.rowsRemoved === 0L && again.archivedRowsRemoved === 0L,
+      s"a replayed scrub must find nothing: $again")
+  }
+
+  test("corrections respect prior erasure: the streamed amendment drops forgotten docs, retires their split negatives, and forget-then-amend equals amend-then-forget") {
+    import graft.streaming.{Amend, ForgetStream}
+    val d = docs.select("doc_id", "text", "source").localCheckpoint()
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    def land4(store: String, src: org.apache.spark.sql.DataFrame): Unit =
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CorpusStream.writeLmDelta(
+          src.filter(col("doc_id") >= lo && col("doc_id") < hi), store, k.toLong)
+      }
+    // forgotten docs span batches 0 AND 1 — batch 1 is the landing the
+    // correction targets, so an unfiltered amendment would resurrect its
+    // forgotten docs, and batch 0's negatives must survive the amendment
+    // mod-9 residue 4 (≡ 1 mod 3): the corrected batch KEEPS these docs
+    // (amendFixture drops the ≡2 mod 3 residues), so the request really
+    // does try to resurrect them
+    val fIds = d.filter(col("doc_id") < 2 * w &&
+        pmod(col("doc_id"), lit(9L)) === 4L)
+      .select("doc_id").localCheckpoint()
+    assert(fIds.filter(col("doc_id") < w).count() > 0 &&
+      fIds.filter(col("doc_id") >= w).count() > 0,
+      "the wave must hit both batch 0 and batch 1")
+    val srcB = least(
+      when(col("doc_id") < w, 0L).when(col("doc_id") < 2 * w, 1L)
+        .when(col("doc_id") < 3 * w, 2L).otherwise(3L), lit(3L))
+    def negIdsOf(store: String): Seq[Long] =
+      Option(new java.io.File(store).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong)
+        .filter(id => id <= StoreCompaction.SplitForgetBase &&
+          id > StoreCompaction.EpochFoldBase)
+
+    // ── store X: forget wave FIRST, then the streamed amendment ──
+    val sX = tmpDir("graft-commute-x") + "/deltas"
+    land4(sX, d)
+    val fm = tmpDir("graft-commute-fmark")
+    ForgetStream.processBatch(fIds,
+      d.withColumn("src_batch", srcB.cast("long")),
+      ForgetStream.ForgetTargets(sumCellStores =
+        Seq(Forget.lmCellTarget(sX)), splitBySrcBatch = true), fm, 0L)
+    assert(negIdsOf(sX).map(StoreCompaction.splitSourceBatch).toSet ===
+      Set(0L, 1L), "the wave must land negatives sourced at both batches")
+    // the direct API keeps the refusal — no erasure guarantee there
+    assert(intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(sX), b, 1L)
+    }.getMessage.contains("split-forget negative"),
+      "a direct amendment against sourced negatives must still refuse")
+    val reqDir = tmpDir("graft-commute-req")
+    fIds.coalesce(1).write.mode("overwrite").parquet(reqDir)
+    val targetsX = Amend.AmendTargets(
+      sumCellStores = Seq("lm" -> Forget.lmCellTarget(sX)),
+      forgetRequestDirs = Seq(reqDir))
+    val amReq = b.select(lit(1L).as("amend_batch"), col("doc_id"),
+      col("text"), col("source")).localCheckpoint()
+    val (am, audit) = (tmpDir("graft-commute-amark"), tmpDir("graft-commute-audit"))
+    Amend.processAmendBatch(amReq, targetsX, am, 0L, Some(audit))
+    val expect = lmMap(CorpusStream.lmCells(
+      c.join(fIds, Seq("doc_id"), "left_anti")))
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sX)) === expect,
+      "forget-then-amend must serve the corrected retrain minus the wave")
+    val negsAfter = negIdsOf(sX).map(StoreCompaction.splitSourceBatch).toSet
+    assert(negsAfter === Set(0L),
+      s"batch 1's negatives retire with the amendment, batch 0's survive: $negsAfter")
+
+    // the certificates carry both legs
+    val reap = Amend.amendmentCertificate(spark, audit)
+      .filter(col("store") === "erasure_reapply").collect()
+    assert(reap.length === 1 &&
+      reap.head.getAs[Long]("n") ===
+        amReq.join(fIds, Seq("doc_id"), "left_semi").count(),
+      s"the reapplied-erasure mass must certify: ${reap.toSeq}")
+    val lmCert = Amend.amendmentCertificate(spark, audit)
+      .filter(col("store") === "lm" && col("action") === "stale_negatives_dropped")
+      .collect()
+    assert(lmCert.length === 1 && lmCert.head.getAs[Long]("n") === 1L,
+      s"the retired negatives must certify: ${lmCert.toSeq}")
+
+    // replay: marker skips, nothing moves
+    Amend.processAmendBatch(amReq, targetsX, am, 0L, Some(audit))
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sX)) === expect)
+
+    // ── store Y: amendment FIRST, then the forget wave — commutes ──
+    val sY = tmpDir("graft-commute-y") + "/deltas"
+    land4(sY, d)
+    Amend.processAmendBatch(amReq,
+      Amend.AmendTargets(sumCellStores = Seq("lm" -> Forget.lmCellTarget(sY)),
+        forgetRequestDirs = Seq(tmpDir("graft-commute-noreq"))),
+      tmpDir("graft-commute-amark2"), 0L, None)
+    // the erasure wave now negates the CORRECTED content (the content
+    // archive is the current truth — same contract as erase-derived-
+    // stores-first)
+    ForgetStream.processBatch(fIds,
+      c.withColumn("src_batch", srcB.cast("long")),
+      ForgetStream.ForgetTargets(sumCellStores =
+        Seq(Forget.lmCellTarget(sY)), splitBySrcBatch = true),
+      tmpDir("graft-commute-fmark2"), 0L)
+    assert(lmMap(Forget.lmCountsAfterForget(spark, sY)) === expect,
+      "amend-then-forget must serve the same counts — the operations commute")
+  }
 }
