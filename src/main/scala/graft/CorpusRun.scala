@@ -550,13 +550,21 @@ object CorpusRun {
     // cumulative record off the audit store alone. Self-contained per
     // run (fresh stores/requests/checkpoint), so re-passes replay the
     // amendment deterministically.
+    // The stage also proves the ERASURE–CORRECTION ORDER: a
+    // right-to-be-forgotten wave lands BEFORE the correction, the
+    // corrected batch still contains the forgotten docs (a re-crawled
+    // shard would), and the sink — given the wave's request dir — drops
+    // them before amending, so forget-then-amend equals a from-scratch
+    // build on (corrected corpus MINUS the wave).
     import graft.streaming.Amend
     val aRootS = s"$outDir/amend_stores"
-    val (aLanding, aStage2, aMarkers, aCk, aScratch, aCert) =
+    val (aLanding, aStage2, aMarkers, aCk, aScratch, aCert, aFReq, aFMark) =
       (s"$outDir/amend_requests", s"$outDir/amend_req_stage",
         s"$outDir/amend_markers", s"$outDir/amend_ck",
-        s"$outDir/amend_scratch", s"$outDir/amend_cert")
-    Seq(aRootS, aLanding, aStage2, aMarkers, aCk, aScratch, aCert)
+        s"$outDir/amend_scratch", s"$outDir/amend_cert",
+        s"$outDir/amend_forget_requests", s"$outDir/amend_forget_markers")
+    Seq(aRootS, aLanding, aStage2, aMarkers, aCk, aScratch, aCert,
+        aFReq, aFMark)
       .foreach(p => rmTree(new java.io.File(p)))
     val (corrB0, corrCorpus0, aw) = ops.ForgetOps.amendFixture(spark, sfDir)
     val corrB = corrB0.localCheckpoint()
@@ -569,6 +577,18 @@ object CorpusRun {
         s"$aRootS/fp", s"$aRootS/index", s"$aRootS/decisions", k.toLong,
         Some(s"$aRootS/accepted"), Some(s"$aRootS/quarantine"))
     }
+    // the erasure wave: docs ≡ 4 (mod 9) below the corrected landing's
+    // upper bound — it hits batch 0 AND the landing the correction
+    // targets (the residue is ≡ 1 mod 3, so the corrected batch KEEPS
+    // these docs and really would resurrect them)
+    val fIds19 = rdocsFull.filter(col("doc_id") < 2 * aw &&
+        pmod(col("doc_id"), lit(9L)) === 4L)
+      .select("doc_id").localCheckpoint()
+    fIds19.coalesce(1).write.mode("overwrite").parquet(aFReq)
+    graft.streaming.ForgetStream.processBatch(fIds19,
+      rdocsFull.select("doc_id", "text", "source"),
+      graft.streaming.ForgetStream.ForgetTargets(curationRoot = Some(aRootS)),
+      aFMark, 0L)
     corrB.select(lit(1L).as("amend_batch"), col("doc_id"), col("text"),
         col("source"))
       .coalesce(1).write.mode("overwrite").parquet(aStage2)
@@ -581,32 +601,47 @@ object CorpusRun {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     Amend.amendSink(Amend.readAmendStream(spark, aLanding),
-      Amend.AmendTargets(curationRoot = Some(aRootS)), aMarkers, aCk,
+      Amend.AmendTargets(curationRoot = Some(aRootS),
+        forgetRequestDirs = Seq(aFReq)), aMarkers, aCk,
       auditRoot = Some(aCert)).awaitTermination()
-    graft.streaming.CurationStream.processBatch(corrCorpus,
+    graft.streaming.CurationStream.processBatch(
+      corrCorpus.join(fIds19, Seq("doc_id"), "left_anti"),
       s"$aScratch/fp", s"$aScratch/index", s"$aScratch/decisions", 0L,
       None, None)
     val amendEqual = decSnap(s"$aRootS/decisions") ==
       decSnap(s"$aScratch/decisions")
     val nCorr = corrB.count()
+    val nFb = corrB.join(fIds19, Seq("doc_id"), "left_semi").count()
     val nOldLanding = rdocsFull
       .filter(col("doc_id") >= aw && col("doc_id") < 2 * aw).count()
+    val nF1 = fIds19.filter(col("doc_id") >= aw).count()
     val certMap = Amend.amendmentCertificate(spark, aCert)
       .filter(col("store") === "curation" && col("amend") === 1L)
       .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
-    val certTrue = certMap.get("old_docs_erased").contains(nOldLanding) &&
-      certMap.get("corrected_docs_landed").contains(nCorr)
+    // the wave already erased its landing-1 docs, so the amendment's
+    // forget leg sees the landing minus them; the insert leg lands the
+    // corrected batch minus the re-applied erasure
+    val certTrue = certMap.get("old_docs_erased").contains(nOldLanding - nF1) &&
+      certMap.get("corrected_docs_landed").contains(nCorr - nFb)
+    val reapTrue = Amend.amendmentCertificate(spark, aCert)
+      .filter(col("store") === "erasure_reapply" &&
+        col("action") === "erasure_reapplied" && col("n") === nFb)
+      .count() == 1L
     val aLedger = graft.streaming.Compliance.ledger(spark, Nil,
       amendAuditRoots = Seq(aCert)).localCheckpoint()
     aLedger.coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/amendment_ledger")
-    val ledgerOk = aLedger.filter(col("metric") === "amendments" &&
-      col("value") === 1L).count() == 1L
+    val ledgerOk = aLedger.filter(col("store") === "curation" &&
+        col("metric") === "amendments" && col("value") === 1L).count() == 1L &&
+      aLedger.filter(col("store") === "erasure_reapply" &&
+        col("metric") === "erasure_reapplied" && col("value") === nFb)
+        .count() == 1L
     val s19 = Stage("amendment", nCorr,
-      amendEqual && certTrue && ledgerOk,
+      amendEqual && certTrue && reapTrue && ledgerOk && nFb > 0,
       s"corrected batch of $nCorr docs replaced a $nOldLanding-doc " +
-        s"landing; decisions ≡ corrected-corpus rerun: $amendEqual; " +
-        s"certificate ground-true: $certTrue", secs = tick())
+        s"landing after an erasure wave; $nFb forgotten docs dropped " +
+        s"from the correction; decisions ≡ corrected-minus-wave rerun: " +
+        s"$amendEqual; certificates ground-true: $certTrue", secs = tick())
 
     // 20. SCHEMA EVOLUTION as a lifecycle stage: the reference declares
     // `on_schema_change='append_new_columns'` for its incremental models

@@ -2316,6 +2316,69 @@ object ForgetOps {
     graft.streaming.Compliance.ledgerAsOf(s, snaps, 0L)
   }
 
+  def curationBandAmendStorePath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cur_bandamend_v1_${storeKey(dir, "curamendband")}"
+
+  /** The q228 family built BANDED before the correction arrives: all
+    * five stores opt into the pre-fold archive, four landings fold at
+    * epoch size 2, and THEN batch 1 — inside folded epoch 0 on every
+    * store — is amended through [[graft.streaming.Amend
+    * .amendCurationBatch]]. The composition needs no re-fold (surgical
+    * deletes reach epoch partitions and the scrubbed archive; the
+    * insert lands corrective partitions); the archive supplies the
+    * landing's doc list that banding erased. Idempotent. Returns root.
+    */
+  def buildCurationBandAmendStore(s: SparkSession, dir: String): String = {
+    val root = curationBandAmendStorePath(dir)
+    val marker = new java.io.File(root, "_STORE_COMMITTED")
+    if (!marker.exists()) {
+      ShingleHashes.register(s)
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val (batch, _, w) = amendFixture(s, dir)
+      val bounds = Seq(
+        Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w, 3 * w -> Long.MaxValue)
+      val stores = Seq("fp", "index", "decisions", "accepted", "quarantine")
+        .map(n => s"$root/$n")
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        graft.streaming.CurationStream.processBatch(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          s"$root/fp", s"$root/index", s"$root/decisions", k.toLong,
+          Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      }
+      // the opt-in precedes the FOLD (after the landings: an empty store
+      // dir holding only the marker would break batch 0's history probe)
+      stores.foreach(graft.streaming.StoreCompaction.declarePrefoldKeep)
+      stores.foreach(st =>
+        graft.streaming.StoreCompaction.foldEpochs(s, st, 2L, uptoBatch = 3L))
+      graft.streaming.Amend.amendCurationBatch(s, root, batch,
+        batchId = 1L, correctiveId = 4L,
+        audit = Some((s"$root/amend_audit", "curation")))
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** q236 — q228's law on the BANDED layout: corrections arrive late,
+    * so the materialized family's landings have usually epoch-folded by
+    * the time one lands — previously the composite amendment's loudest
+    * remaining dead end. With the pre-fold archive the amendment works
+    * WITHOUT re-folding: erase the landing's docs (the archive names
+    * them; surgical deletes reach epoch partitions and the archive
+    * itself), then the id-ordered re-electing insert. Banding must not
+    * change a single verdict, so the oracle is q228's verbatim: the
+    * q127 kernel from scratch on the corrected corpus.
+    */
+  val q236 = Q("q236_amend_banded_curation",
+    s"""${Dedup.curationVerdictCtes(correctedCorpusSql)}
+       |SELECT e.doc_id, e.is_exact_dup, e.exact_dup_of,
+       |  v.n_earlier, v.dup_of, v.is_band_dup
+       |FROM exact e LEFT JOIN verdicts v ON e.doc_id = v.doc_id
+       |ORDER BY e.doc_id""".stripMargin) { (s, dir) =>
+    ShingleHashes.register(s)
+    val root = buildCurationBandAmendStore(s, dir)
+    graft.streaming.CurationStream.decisions(s, s"$root/decisions")
+  }
+
   def lmCommuteStorePath(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_lm_commute_v1_${storeKey(dir, "lmcommute")}"
 
@@ -2406,5 +2469,5 @@ object ForgetOps {
   val all: Seq[Q] = Seq(q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q225, q226, q227, q228, q229, q230, q231,
-    q232, q233, q234, q235)
+    q232, q233, q234, q235, q236)
 }

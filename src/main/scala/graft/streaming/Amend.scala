@@ -659,9 +659,16 @@ object Amend {
     * family-wide maintenance lease, so a concurrent fp-history
     * compaction or maintenance pass cannot interleave between the
     * surgical-delete and upsert steps of one amendment; each store also
-    * passes the [[requireAmendable]] refusal shapes (expired / folded /
-    * epoch-banded landings, in-flight split negatives) before anything
-    * mutates.
+    * passes the [[requireAmendable]] refusal shapes (expired / folded
+    * landings, in-flight split negatives) before anything mutates.
+    *
+    * EPOCH-BANDED landings amend too, when the store opted into
+    * [[StoreCompaction.declarePrefoldKeep]] before banding: the
+    * composition needs no re-fold (surgical deletes reach epoch
+    * partitions and the archive; the insert lands corrective
+    * partitions) — only the landing's doc list, which the archived
+    * pre-fold delta supplies. Banded stores without the archive keep
+    * the loud refusal.
     */
   def amendCurationBatch(spark: SparkSession, root: String,
       corrected: DataFrame, batchId: Long,
@@ -670,10 +677,25 @@ object Amend {
     val dirs = Seq(s"$root/fp", s"$root/index", s"$root/decisions",
       s"$root/accepted", s"$root/quarantine")
     StoreCompaction.withLeases(dirs) {
-      dirs.foreach(requireAmendable(_, batchId))
+      // An epoch-banded landing amends WITHOUT re-folding here: the
+      // materialized composition is erase-by-doc-id (surgical deletes
+      // are epoch-partition- and archive-transparent) + an id-ordered
+      // re-electing INSERT into corrective partitions — neither needs
+      // the landing to be its own partition. What banding DOES take is
+      // the landing's doc list, which the pre-fold archive supplies
+      // (landingDocs below); a store banded without the archive keeps
+      // the refusal.
+      dirs.foreach { d =>
+        if (rebandsEpoch(d, batchId)) requireRebandable(d, batchId)
+        else requireAmendable(d, batchId)
+      }
       def landingDocs(dir: String): Option[DataFrame] = {
         val part = new java.io.File(dir, s"batch_id=$batchId")
+        val arch = new java.io.File(dir,
+          s"${StoreCompaction.PrefoldDirName}/batch_id=$batchId")
         if (part.exists()) Some(spark.read.parquet(part.getPath).select("doc_id"))
+        else if (arch.exists())
+          Some(spark.read.parquet(arch.getPath).select("doc_id"))
         else None
       }
       val recorded = {

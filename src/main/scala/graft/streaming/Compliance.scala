@@ -37,7 +37,12 @@ object Compliance {
     *    action class; `files_dropped`: Σ data files deleted by expiry;
     *  - `amendments` / `amended_docs_erased` / `amended_rows_landed`:
     *    distinct corrected-content landings and their certificate sums
-    *    ([[Amend.certifyAmendment]]'s audit store);
+    *    ([[Amend.certifyAmendment]]'s audit store); `epochs_rebanded`:
+    *    re-band amendments (count); `erasure_reapplied` /
+    *    `stale_negatives_retired`: forgotten docs dropped from corrected
+    *    batches and the obsolete split negatives retired with them;
+    *  - `archived_rows_scrubbed` (erasure) / `archived_landings_dropped`
+    *    (expiry): the `.prefold` archive legs;
     *  - `current_floor` (−1 when never expired) and `live_pins`: the
     *    store's live state markers, always emitted.
     *
@@ -66,6 +71,7 @@ object Compliance {
         .select(col("store"), lit("negative_landings").as("metric"), col("value"))
       val acts = fr.withColumn("metric",
           when(col("action") === "surgical_delete", "rows_removed")
+            .when(col("action") === "archive_scrub", "archived_rows_scrubbed")
             .when(col("action") === "negative_split_landing",
               "negative_split_landings")
             .when(col("action").endsWith("reelection"), "reelections"))
@@ -90,6 +96,8 @@ object Compliance {
             .when(col("action") === "split_negative_drop",
               "split_negatives_dropped")
             .when(col("action") === "epoch_drop", "epochs_dropped")
+            .when(col("action") === "prefold_archive_drop",
+              "archived_landings_dropped")
             .when(col("action") === "base_drop", "bases_dropped"))
         .filter(col("metric").isNotNull)
         .groupBy("store", "metric")
@@ -111,6 +119,9 @@ object Compliance {
         .select(col("store"), lit("amendments").as("metric"), col("value"))
       val acts = ar.withColumn("metric",
           when(col("action") === "old_docs_erased", "amended_docs_erased")
+            .when(col("action") === "erasure_reapplied", "erasure_reapplied")
+            .when(col("action") === "stale_negatives_dropped",
+              "stale_negatives_retired")
             .when(col("action") === "corrected_docs_landed" ||
               col("action") === "corrected_cells_landed",
               "amended_rows_landed"))
@@ -118,7 +129,12 @@ object Compliance {
         .groupBy("store", "metric")
         .agg(sum(col("n")).cast("long").as("value"))
         .select("store", "metric", "value")
-      Seq(counts, acts)
+      // epoch_rebanded's n is the epoch NUMBER, not a mass — count
+      // occurrences (re-band amendments), never sum it
+      val rebands = ar.filter(col("action") === "epoch_rebanded")
+        .groupBy("store").agg(count(lit(1)).as("value"))
+        .select(col("store"), lit("epochs_rebanded").as("metric"), col("value"))
+      Seq(counts, acts, rebands)
     }
 
     // live state markers: |stores| tiny driver-side file reads, the

@@ -2362,6 +2362,73 @@ class ForgetSpec extends AnyFunSuite {
       === 0L, "one-row-per-fp must survive repeated amendments")
   }
 
+  test("materialized curation amendment on an epoch-banded landing: the archive supplies the doc list, verdicts equal the from-scratch build, and banding without the archive keeps the refusal") {
+    import graft.streaming.{Amend, StoreCompaction}
+    graft.functions.ShingleHashes.register(spark)
+    val (batch, corpus, w) = graft.ops.ForgetOps.amendFixture(spark, sf)
+    val b = batch.localCheckpoint(); val c = corpus.localCheckpoint()
+    val d = docs.localCheckpoint()
+    val bounds = Seq(Long.MinValue -> w, w -> 2 * w, 2 * w -> 3 * w,
+      3 * w -> Long.MaxValue)
+    def buildFamily(root: String): Unit =
+      bounds.zipWithIndex.foreach { case ((lo, hi), k) =>
+        CurationStream.processBatch(
+          d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          s"$root/fp", s"$root/index", s"$root/decisions", k.toLong,
+          Some(s"$root/accepted"), Some(s"$root/quarantine"))
+      }
+    def famDirs(root: String) = Seq("fp", "index", "decisions",
+      "accepted", "quarantine").map(n => s"$root/$n")
+    def decTable(decDir: String) =
+      CurationStream.decisions(spark, decDir).collect().map(_.toSeq).toSeq
+
+    val root = tmpDir("graft-amend-cur-band")
+    buildFamily(root)
+    // the opt-in must precede the FOLD (not the landings: an empty
+    // store dir with only the marker breaks batch 0's history probe)
+    famDirs(root).foreach(StoreCompaction.declarePrefoldKeep)
+    famDirs(root).foreach(st =>
+      StoreCompaction.foldEpochs(spark, st, 2L, uptoBatch = 3L))
+    val rep = Amend.amendCurationBatch(spark, root, b, batchId = 1L,
+      correctiveId = 4L)
+    assert(rep.nOldDocs > 0L && rep.nSteals > 0L,
+      s"the banded amendment must erase the archived doc list and steal: $rep")
+    val scratch = tmpDir("graft-amend-cur-band-scratch")
+    CurationStream.processBatch(c, s"$scratch/fp", s"$scratch/index",
+      s"$scratch/decisions", 0L,
+      Some(s"$scratch/accepted"), Some(s"$scratch/quarantine"))
+    assert(decTable(s"$root/decisions") === decTable(s"$scratch/decisions"),
+      "the banded amendment's verdicts must equal the from-scratch " +
+        "corrected build — banding must not change a single decision")
+
+    // a SECOND correction of the same banded landing works off the
+    // content record (the archive still names the ORIGINAL docs, whose
+    // erasure is now a no-op — union with the record keeps it exact)
+    val batch2 = b.filter(pmod(col("doc_id"), lit(5L)) =!= lit(1L))
+      .withColumn("text", expr("replace(text, 'a', 'o')"))
+      .localCheckpoint()
+    Amend.amendCurationBatch(spark, root, batch2, batchId = 1L,
+      correctiveId = 6L)
+    val corpus2 = c.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch2).localCheckpoint()
+    val scratch2 = tmpDir("graft-amend-cur-band-scratch2")
+    CurationStream.processBatch(corpus2, s"$scratch2/fp", s"$scratch2/index",
+      s"$scratch2/decisions", 0L,
+      Some(s"$scratch2/accepted"), Some(s"$scratch2/quarantine"))
+    assert(decTable(s"$root/decisions") === decTable(s"$scratch2/decisions"),
+      "a second amendment of the banded landing must equal the " +
+        "from-scratch build on the second corrected corpus")
+
+    // banding WITHOUT the archive keeps the loud dead end
+    val bare = tmpDir("graft-amend-cur-bare")
+    buildFamily(bare)
+    StoreCompaction.foldEpochs(spark, s"$bare/accepted", 2L, uptoBatch = 3L)
+    assert(intercept[IllegalStateException] {
+      Amend.amendCurationBatch(spark, bare, b, batchId = 1L, correctiveId = 4L)
+    }.getMessage.contains("declarePrefoldKeep"),
+      "a banded store without the archive must refuse and name the opt-in")
+  }
+
   test("ledger snapshots: as-of serves match the live recompute at each point, replays are idempotent, and missing or expired snapshots refuse instead of reading as a clean audit") {
     import graft.streaming.{Compliance, StoreCompaction}
     val (snaps, deltas, markers, audit) =

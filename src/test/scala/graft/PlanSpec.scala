@@ -100,6 +100,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p228.contains("documents.parquet"), p228)
   }
 
+  test("q235/q236: erasure-respecting amendments serve off the stores — the commuted LM serve reads its delta store, the banded family its decisions store") {
+    val p235 = plan("q235_amend_respects_erasure")
+    val loc235 = p235.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(loc235.exists(_.contains("graft_lm_commute")),
+      s"the commuted serve must fold the amended LM store:\n${loc235.mkString("\n")}")
+    assert(!p235.contains("amend_audit") && !p235.contains("forget_markers"),
+      s"serving never reads the audit roots:\n$p235")
+    val p236 = plan("q236_amend_banded_curation")
+    val loc236 = p236.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(loc236.nonEmpty &&
+      loc236.forall(l => l.contains("graft_cur_bandamend") &&
+        l.contains("decisions")),
+      s"the banded amended family must serve as a pure decisions-store " +
+        s"read:\n${loc236.mkString("\n")}")
+    assert(!p236.contains("documents.parquet"), p236)
+  }
+
   test("q141: scrub report reads ONLY the scrub store — zero document scans") {
     val p = plan("q141_scrub_report")
     val located = p.linesIterator.filter(_.contains("Location:")).toSeq
