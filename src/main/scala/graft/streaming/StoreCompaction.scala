@@ -328,7 +328,10 @@ object StoreCompaction {
   // the live partitions: certified expiry drops archived deltas below
   // the floor in the same pass that drops their epoch, so opting in
   // costs one retention window of small pre-fold files, not unbounded
-  // history.
+  // history — and a declared AMEND HORIZON ([[declareAmendHorizon]])
+  // bounds it TIGHTER: maintenance retires archives for epochs the
+  // correction window has passed ([[retireArchiveBeyondHorizon]]),
+  // leaving a tombstone so the re-band refusal names the horizon.
 
   /** Opt a store into keeping pre-fold deltas: folds archive their
     * sources under `.prefold/` instead of deleting them, which is what
@@ -348,6 +351,111 @@ object StoreCompaction {
   /** Whether the store keeps pre-fold deltas (the amend-horizon opt-in). */
   def prefoldKeepDeclared(storeDir: String): Boolean =
     new java.io.File(storeDir, PrefoldKeepName).exists()
+
+  private val AmendHorizonName = "_amend_horizon"
+
+  /** Declare the store's AMEND HORIZON: corrections are accepted only
+    * for landings within `nBatches` of the ingest frontier, which lets
+    * maintenance RETIRE pre-fold archives for epochs entirely beyond it
+    * ([[retireArchiveBeyondHorizon]]) — the storage bound that makes
+    * [[declarePrefoldKeep]] safe to leave on forever. Without a horizon
+    * the archive is bounded by retention alone (expiry drops archives
+    * with their epochs), which can be months of serving window; the
+    * horizon is the TIGHTER, amendability-scoped bound — size it to the
+    * latest correction the pipeline contractually accepts (takedown SLA,
+    * re-crawl cadence), the way [[declareReplayDepth]] is sized to the
+    * checkpoint's re-delivery window.
+    */
+  def declareAmendHorizon(storeDir: String, nBatches: Long): Unit = {
+    require(nBatches > 0, s"amend horizon must be positive, got $nBatches")
+    new java.io.File(storeDir).mkdirs()
+    val tmp = new java.io.File(storeDir, s".$AmendHorizonName.tmp")
+    java.nio.file.Files.write(tmp.toPath, nBatches.toString.getBytes(Utf8))
+    val target = new java.io.File(storeDir, AmendHorizonName)
+    target.delete()
+    require(tmp.renameTo(target), s"amend-horizon marker on $storeDir failed")
+  }
+
+  /** The store's declared amend horizon (None = archives bounded by
+    * retention alone).
+    */
+  def amendHorizonOf(storeDir: String): Option[Long] = {
+    val f = new java.io.File(storeDir, AmendHorizonName)
+    if (f.exists())
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath), Utf8).trim.toLong)
+    else None
+  }
+
+  private def archiveTombstoneFile(root: java.io.File, e: Long) =
+    new java.io.File(new java.io.File(root, PrefoldDirName),
+      s"_epoch_${e}_retired")
+
+  /** Whether epoch `e`'s archive was retired by the amend horizon. */
+  private[graft] def archiveRetired(storeDir: String, e: Long): Boolean =
+    archiveTombstoneFile(new java.io.File(storeDir), e).exists()
+
+  /** The store's ingest FRONTIER: the newest batch covered by any live
+    * ingest partition or folded epoch (None when nothing has landed).
+    */
+  private def ingestFrontier(storeDir: String): Option[Long] = {
+    val ids = partitionIds(new java.io.File(storeDir))
+    val live = ids.filter(_ >= 0)
+    val epochTops = epochSizeOf(storeDir).toSeq.flatMap { es =>
+      ids.filter(_ <= EpochFoldBase)
+        .map(id => (EpochFoldBase - id + 1) * es - 1)
+    }
+    val all: Seq[Long] = live ++ epochTops
+    all.maxOption
+  }
+
+  /** Retire pre-fold archives beyond the amend horizon: an epoch whose
+    * NEWEST batch is older than `frontier − horizon` can no longer be
+    * amended under the declared contract, so its archived sources leave
+    * disk and its manifest is replaced by a retirement TOMBSTONE — the
+    * re-band refusal then names the horizon instead of reading as a
+    * mystery-incomplete archive. Tombstone-then-delete ordering: a
+    * crash between the two leaves a tombstoned epoch with stale archive
+    * files, which the next pass finishes deleting — never the reverse
+    * (a deleted archive still claiming amendability). Returns the
+    * retired epoch ids; no-op without both opt-ins.
+    */
+  def retireArchiveBeyondHorizon(storeDir: String): Seq[Long] =
+    withLease(storeDir) {
+      val horizon = amendHorizonOf(storeDir)
+      val es = epochSizeOf(storeDir)
+      if (!prefoldKeepDeclared(storeDir) || horizon.isEmpty || es.isEmpty) Nil
+      else ingestFrontier(storeDir) match {
+        case None => Nil
+        case Some(frontier) =>
+          val cut = frontier - horizon.get
+          val root = new java.io.File(storeDir)
+          val prefold = new java.io.File(root, PrefoldDirName)
+          val manifested = Option(prefold.listFiles()).toSeq.flatten
+            .flatMap { f =>
+              val n = f.getName
+              if (n.startsWith("_epoch_") && n.endsWith("_sources"))
+                Some(n.stripPrefix("_epoch_").stripSuffix("_sources").toLong)
+              else None
+            }
+          val retirable = manifested
+            .filter(e => (e + 1) * es.get - 1 < cut).sorted
+          retirable.foreach { e =>
+            val ids = epochArchiveManifest(storeDir, e).getOrElse(Nil)
+            val tomb = archiveTombstoneFile(root, e)
+            val tmp = new java.io.File(tomb.getParentFile, s".${tomb.getName}.tmp")
+            java.nio.file.Files.write(tmp.toPath,
+              s"retired at frontier $frontier, horizon ${horizon.get}"
+                .getBytes(Utf8))
+            tomb.delete()
+            require(tmp.renameTo(tomb), s"archive tombstone $tomb failed")
+            ids.foreach(id => deleteRecursively(
+              new java.io.File(prefold, s"batch_id=$id")))
+            archiveManifestFile(root, e).delete()
+            ()
+          }
+          retirable
+      }
+    }
 
   /** Ids archived under the store's `.prefold/` directory. */
   private[graft] def archivedIds(storeDir: String): Seq[Long] =
@@ -616,6 +724,16 @@ object StoreCompaction {
     require(target.exists(),
       s"cannot re-band $storeDir epoch $e: it is not folded — amend the " +
         "landing partition directly")
+    // tombstone checked BEFORE the manifest: a retirement that crashed
+    // between tombstone and manifest delete must still refuse as
+    // "retired", not as a mystery-incomplete archive
+    if (archiveRetired(storeDir, e))
+      throw new IllegalStateException(
+        s"cannot re-band $storeDir epoch $e for batch $batchId: its " +
+          s"pre-fold archive was RETIRED by the amend horizon " +
+          s"(${amendHorizonOf(storeDir).getOrElse(-1L)} batches) — the " +
+          "declared correction window has passed; a late correction " +
+          "beyond it needs a window rebuild")
     val arch = epochArchiveManifest(storeDir, e).getOrElse(
       throw new IllegalStateException(
         s"cannot re-band $storeDir epoch $e for batch $batchId: the epoch " +
@@ -1641,7 +1759,8 @@ object StoreCompaction {
       clampedByPins: Boolean,
       filesAppended: Long,
       bucketsRewritten: Long,
-      epochsFolded: Long = 0L)
+      epochsFolded: Long = 0L,
+      archivesRetired: Long = 0L)
 
   /** ONE pin-aware maintenance pass driven by the store's own state —
     * the piece that decides WHEN the LSM levels run, so a deployment
@@ -1709,8 +1828,12 @@ object StoreCompaction {
           else (None, legal < want, 0L)
         } else (None, false, 0L)
       val rewritten = compactBaseBuckets(spark, storeDir, policy.maxFilesPerBucket)
+      // archive retirement rides the same cadence: epochs the declared
+      // amend horizon has passed give their pre-fold archives back —
+      // the storage half of the amendability contract
+      val retired = retireArchiveBeyondHorizon(storeDir).size.toLong
       MaintenanceReport(deltas.size, upto, clamped, appended, rewritten,
-        epochsFolded)
+        epochsFolded, retired)
     }
 
   /** Sink-side maintenance hook shared by every delta sink (the

@@ -2673,6 +2673,54 @@ class ForgetSpec extends AnyFunSuite {
     }.getMessage.contains("k=64"))
   }
 
+  test("amend horizon: maintenance retires archives the correction window has passed, in-horizon re-bands keep working, and the retired epoch's refusal names the horizon") {
+    import graft.streaming.{Amend, StoreCompaction}
+    val d = docs.localCheckpoint()
+    val store = tmpDir("graft-horizon") + "/deltas"
+    def slice(k: Long) = d.filter(pmod(col("doc_id"), lit(8L)) === k)
+    def corrected(k: Long) =
+      slice(k).withColumn("text", expr("replace(text, 'e', 'a')"))
+    (0 until 8).foreach(k =>
+      CorpusStream.writeLmDelta(slice(k.toLong), store, k.toLong))
+    StoreCompaction.declarePrefoldKeep(store)
+    StoreCompaction.declareAmendHorizon(store, 4L)
+    StoreCompaction.foldEpochs(spark, store, 2L, uptoBatch = 7L)
+    // frontier 7, horizon 4 → cut 3: epoch 0 (batches 0-1) is entirely
+    // beyond the window; epoch 1's newest batch (3) is exactly at the
+    // cut and SURVIVES
+    assert(StoreCompaction.retireArchiveBeyondHorizon(store) === Seq(0L))
+    assert(!new java.io.File(store, ".prefold/batch_id=0").exists() &&
+      !new java.io.File(store, ".prefold/batch_id=1").exists(),
+      "retired archives must leave disk")
+    assert(new java.io.File(store, ".prefold/batch_id=2").exists(),
+      "in-horizon archives must survive")
+    assert(StoreCompaction.retireArchiveBeyondHorizon(store) === Seq.empty,
+      "a second retirement pass must be a no-op")
+
+    // an in-horizon banded landing still amends through the re-band path
+    Amend.amendSumCells(Forget.lmCellTarget(store), corrected(2L), 2L)
+    val expect = lmMap(CorpusStream.lmCells(
+      d.filter(pmod(col("doc_id"), lit(8L)) =!= 2L).unionByName(corrected(2L))))
+    assert(lmMap(CorpusStream.lmCountsWindowed(spark, store, lo = 0L)) === expect,
+      "the in-horizon re-band must serve the corrected retrain")
+
+    // the retired epoch refuses with the horizon named
+    assert(intercept[IllegalStateException] {
+      Amend.amendSumCells(Forget.lmCellTarget(store), corrected(0L), 0L)
+    }.getMessage.contains("amend horizon"),
+      "a correction beyond the retired window must refuse naming the horizon")
+
+    // maintenance runs retirement on its own cadence: two more landings
+    // move the frontier to 9 (cut 5), so epoch 1 (newest batch 3) retires
+    CorpusStream.writeLmDelta(slice(0L), store, 8L)
+    CorpusStream.writeLmDelta(slice(1L), store, 9L)
+    val rep = StoreCompaction.maintain(spark, store, Seq("w1"))
+    assert(rep.archivesRetired === 1L,
+      s"maintain must retire epoch 1's archive at the new frontier: $rep")
+    assert(!new java.io.File(store, ".prefold/batch_id=2").exists(),
+      "epoch 1's archives must leave disk with it")
+  }
+
   test("erasure scrubs the pre-fold archive: forgotten rows leave .prefold with the live store, and a later re-band amendment cannot resurrect them") {
     import graft.streaming.Amend
     graft.functions.ShingleHashes.register(spark)
