@@ -47,6 +47,29 @@ object Catalog {
     } else spark.read.parquet(path)
   }
 
+  /** Spread a NARROW SCAN to session parallelism before a CPU-dense
+    * kernel pass (shingling, tokenization, per-token md5, BPE, codec
+    * decodes — all ~ms/KB, so partitioning must follow CORES, not bytes).
+    * The driver-provided sf parquet files are single-row-group, so their
+    * scans cannot split (parquet splits at row-group boundaries) and
+    * every scan-side kernel otherwise runs on ONE core of local[N]
+    * (measured: q142's three 0.8-1.2 s single-task stages). Scale-adaptive,
+    * not a local[32] constant: when the scan already carries ≥
+    * defaultParallelism splits — any real multi-row-group/multi-file
+    * table, i.e. the 100 TB case — this is a NO-OP and no exchange is
+    * added; the round-robin exchange only fires for inputs small enough
+    * that shuffling them is trivially cheap (guide §2.5/§1.2: fix the
+    * distributed algorithm's parallelism before per-task work).
+    *
+    * Only call this on exchange-free frames (a Catalog.table scan plus
+    * projections): `.rdd.getNumPartitions` on a frame with exchanges
+    * would materialize them eagerly under AQE.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     tables.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))

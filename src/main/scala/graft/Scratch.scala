@@ -14,6 +14,14 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "128m"))
+      .config(new org.apache.spark.SparkConf().setAll(
+        sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(';')
+          .filter(_.contains('=')).map { kv =>
+            val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -53,6 +61,68 @@ object Scratch {
         } catch { case e: Throwable =>
           println(s"FORCE FAIL $name: ${e.getClass.getSimpleName}: " +
             String.valueOf(e.getMessage).take(300))
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "adhoc") {
+      // scratch space for one-off measurements; body changes per probe
+      val deltaDir = graft.streaming.ScrubStream.buildShingleTrendStore(spark, sfDir)._1
+      val sh = spark.read.parquet(deltaDir).select("doc_id", "h")
+      time("store rows")(sh.count())
+      val pairs = graft.ops.Dedup.jaccardPairsFromExploded(sh)
+      time("pairs rows")(pairs.count())
+      time("pairs again")(pairs.count())
+      val d = Catalog.table(spark, sfDir, "documents")
+      time("docs rows")(d.count())
+      time("docs bytes")(d.agg(sum(length(col("text")))).head().getLong(0))
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "stages") {
+      // Per-stage wall/task-time breakdown of one query run (guide §1.1:
+      // find where the time actually goes before changing anything).
+      // Warm twice (JIT/codegen), then run once with a listener attached.
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+          .agg(expr("bit_xor(h)")).head()
+      args.drop(2).foreach { n =>
+        Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir).foreach {
+          w => try force(SparkEntry.queries(n)(spark, w))
+          catch { case _: Throwable => () } }
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, Long, Long, Int, String)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = (for {s <- i.submissionTime; c <- i.completionTime}
+              yield c - s).getOrElse(-1L)
+            val m = i.taskMetrics
+            val site = i.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Scratch"))
+              .getOrElse(i.name).trim.take(90)
+            rows.add((i.stageId, wall,
+              m.executorRunTime, i.numTasks,
+              f"deser=${m.executorDeserializeTime / 1e3}%.2f gc=${m.jvmGCTime / 1e3}%.2f " +
+                f"fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%.2f " +
+                f"cpu=${m.executorCpuTime / 1e9}%.2f " + site))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(n)(spark, sfDir))
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"STAGES $n total=$total%.2f s, ${rows.size} stages")
+        import scala.jdk.CollectionConverters._
+        val all = rows.asScala.toSeq.sortBy(-_._2)
+        val sumWall = all.map(_._2).sum
+        println(f"  sum(stage wall)=${sumWall / 1e3}%.2f s (gaps = driver/plan time)")
+        all.take(25).foreach { case (id, wall, run, nt, name) =>
+          println(f"  stage=$id%4d wall=${wall / 1e3}%6.2f s taskSum=${run / 1e3}%7.2f s tasks=$nt%3d  $name")
         }
       }
       spark.stop(); return

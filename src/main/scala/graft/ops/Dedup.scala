@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def docs(s: SparkSession, dir: String) = Catalog.table(s, dir, "documents")
+  private def docs(s: SparkSession, dir: String) =
+    Catalog.spread(Catalog.table(s, dir, "documents"))
 
   /** SQL fragment: h60 of a string expression (DuckDB mirror of
     * TextHash.h60 / the conv(substr(md5)) Spark tree).

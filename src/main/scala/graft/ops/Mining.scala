@@ -2677,6 +2677,12 @@ object Mining {
         .withColumn("w", col("wp") / col("z"))
         .withColumn(s"w${t}_ppm", floor(col("w") * lit(1000000.0)).cast("long"))
         .drop("wp", "z")
+        // each round references the previous round's frame TWICE (u and
+        // z = agg(u)), so an unmaterialized loop tree DOUBLES per round —
+        // 2^MwRounds copies of the base plan (measured: 65 Exchanges in
+        // q192 for a |sources|-row table). Checkpoint the k-row frame per
+        // round to keep the plan linear in rounds (guide §2.4).
+        .localCheckpoint()
     }
     val tot = stats.agg(sum("n_docs").cast("long").as("total_docs"))
     f.crossJoin(broadcast(tot))

@@ -1116,7 +1116,10 @@ object TextOps {
       s"CAST(conv(substring(md5(array_join($arr, ' ')), 1, 15), 16, 10) AS BIGINT)"
     // shingle hashes materialize ONCE into the checkpoint (md5 is the
     // dominant per-row cost; an earlier draft hashed every span twice)
-    val tk = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("t"))
+    // per-shingle md5 is the dominant cost — spread the narrow scan so
+    // the kernel runs at session parallelism (r13; no-op on real inputs)
+    val tk = graft.Catalog.spread(docs(s, dir))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("ghs", expr(
         s"CASE WHEN size(t) >= $w THEN transform(sequence(1, size(t) - ${w - 1}), " +
           s"i -> ${ghOf(s"slice(t, i, $w)")}) ELSE CAST(array() AS ARRAY<BIGINT>) END"))
@@ -1250,7 +1253,9 @@ object TextOps {
     val nT = size(col("t"))
     val share = (cnt: Column, slots: Column) =>
       floor(cnt.cast("double") / slots.cast("double") * lit(10000.0) + lit(0.5)) / lit(10000.0)
-    docs(s, dir)
+    // gram-profile folds are the dominant per-row cost — spread the
+    // narrow scan to session parallelism (r13; no-op on real inputs)
+    graft.Catalog.spread(docs(s, dir))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("p2", expr(dupProfile(gram(2))))
       .withColumn("p5", expr(dupProfile(gram(5))))

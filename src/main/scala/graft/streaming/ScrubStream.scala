@@ -358,6 +358,13 @@ object ScrubStream {
         .select(lit(p.toLong).as("batch_id"), col("n_docs"),
           col("n_contained"), col("mass_fp"))
     }.reduce(_.unionByName(_))
+    // NOTE (r13 optimization pass): the self-join below references this
+    // union twice, which LOOKS like it doubles the four pinned containment
+    // evaluations — measured, it does not: the duplicate subtrees are
+    // byte-identical, so AQE's ReuseExchange executes each evaluation once
+    // (checkpointing the 4-row aggregate here changed nothing at sf0.1 but
+    // hid the per-pin store reads from the serving plan, breaking the
+    // partition-pruning contract PlanSpec pins — so it stays lazy).
     val prev = perLanding.select((col("batch_id") + 1L).as("batch_id"),
       col("n_docs").as("p_docs"), col("n_contained").as("p_contained"),
       col("mass_fp").as("p_mass"))
