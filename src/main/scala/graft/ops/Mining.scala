@@ -1806,6 +1806,9 @@ object Mining {
         explode(sequence(lit(1L), col("copies"))).as("copy_idx"), col("toks"))
     val slotted = renormSlotsOf(s, withRenormWeight(rows), Seq("doc_id", "copy_idx"))
       .select("source", "doc_id", "copy_idx", "toks", "slot")
+      // consumed twice (the slot count below + the prefix-sum pass) —
+      // materialize so the upsample-join + renorm-window chain runs once
+      .localCheckpoint()
     val n = slotted.count()
     val step = n / 32 + 1
     val cum = graft.exec.PrefixSum.globalRunningTotal(
@@ -2165,7 +2168,10 @@ object Mining {
     * and applies it joinless in-row.
     */
   private[graft] def targetedScores(s: SparkSession, dir: String): DataFrame =
-    targetedScoresOf(bigramBuckets(docs(s, dir)))
+    // the bucket projection + in-row ratio fold are the dominant CPU —
+    // spread the narrow scan so the checkpointed base carries session
+    // parallelism (r13; no-op on real multi-split inputs)
+    targetedScoresOf(bigramBuckets(graft.Catalog.spread(docs(s, dir))))
 
   /** The trainer+apply over any pre-projected bucket frame — shared by
     * the dir-reading entry point and CorpusRun's accepted-store stage.

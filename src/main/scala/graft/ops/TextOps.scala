@@ -649,11 +649,18 @@ object TextOps {
     * carries the whole LM. Then the q101 exact-fixed-point per-doc fold.
     */
   private[graft] def fluencyScoredFromCounts(d: DataFrame,
-      bigOpt: Option[DataFrame]): DataFrame = {
+      bigOpt: Option[DataFrame]): DataFrame =
     // bg feeds the scoring join (and, in the batch path, the count
     // aggregate) — materialize the one tokenization pass instead of
     // re-exploding the corpus per consumer (the q56 lesson)
-    val bg = bigramRows(d).localCheckpoint()
+    fluencyScoredFromBg(d, bigramRows(d).localCheckpoint(), bigOpt)
+
+  /** [[fluencyScoredFromCounts]] over an ALREADY-materialized bigram
+    * frame — release-churn callers (q173) score the same corpus against
+    * two models and must not pay the tokenize+explode pass per model.
+    */
+  private[graft] def fluencyScoredFromBg(d: DataFrame, bg: DataFrame,
+      bigOpt: Option[DataFrame]): DataFrame = {
     val big = bigOpt.getOrElse(
       bg.groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12")))
     val uni = big.groupBy("w1").agg(sum(col("c12")).cast("long").as("c1"))
@@ -807,12 +814,17 @@ object TextOps {
   val q173 = Q("q173_fluency_release_churn", q173OracleSql) { (s, dir) =>
     val d = docs(s, dir)
     val cut = d.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val v1Model = bigramRows(d.filter(col("doc_id") < cut))
+    // ONE tokenize+explode pass feeds the v1 model (a doc_id filter of
+    // the same rows), the v2 model, and both scoring joins — the original
+    // shape paid the corpus unroll three times (r13, guide §1.2 step 1:
+    // don't compute things twice before tuning anything else)
+    val bg = bigramRows(d).localCheckpoint()
+    val v1Model = bg.filter(col("doc_id") < cut)
       .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c12"))
-    val v1 = tertileBuckets(fluencyScoredFromCounts(d, Some(v1Model)))
+    val v1 = tertileBuckets(fluencyScoredFromBg(d, bg, Some(v1Model)))
       .select(col("doc_id"), col("source"),
         col("bucket").as("bucket_v1"), col("kept").as("kept_v1"))
-    val v2 = tertileBuckets(fluencyScored(s, dir))
+    val v2 = tertileBuckets(fluencyScoredFromBg(d, bg, None))
       .select(col("doc_id"), col("bucket").as("bucket_v2"), col("kept").as("kept_v2"))
     v1.join(v2, Seq("doc_id"))
       .groupBy("source")
